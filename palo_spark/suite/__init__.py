@@ -1,0 +1,51 @@
+"""Driver-facing query inventory: every implemented operator from
+SURVEY.md §2 gets a (queries, oracle_sql) pair here.
+
+Each submodule exposes ``QUERIES: dict[str, fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[str, str]`` (ANSI SQL for the DuckDB oracle; omitted for
+non-SQL-expressible ops, which the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULE_NAMES = [
+    "tpch",
+    "relational",
+    "window_funcs",
+    "aggregates",
+    "scalar_funcs",
+    "llm",
+    "table_models",
+    "sketches",
+    "behavioral",
+    "streaming_q",
+]
+
+
+def _modules():
+    mods = []
+    for name in _MODULE_NAMES:
+        try:
+            mods.append(importlib.import_module(f"palo_spark.suite.{name}"))
+        except ModuleNotFoundError:
+            pass  # module not built yet — suite grows incrementally
+    return mods
+
+
+def all_queries() -> dict:
+    out = {}
+    for m in _modules():
+        for k, v in getattr(m, "QUERIES", {}).items():
+            if k in out:
+                raise ValueError(f"duplicate query name: {k}")
+            out[k] = v
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out = {}
+    for m in _modules():
+        out.update(getattr(m, "ORACLE", {}))
+    return out
