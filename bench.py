@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+exactly ONE JSON line to stdout:
+
+    {"metric": "wall_total", "value": N, "unit": "sec",
+     "queries": {"tpch_q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized with ``df.count()`` after a shared session
+warm-up, so the measured time is plan+execute, not JVM startup. All
+diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+#: headline set: the most expensive TPC-H shapes + one per new operator
+#: family (window, aggregate tail, LLM ops) as they land.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q18_large_volume_customer",
+    "window_running_sum",
+    "partition_topn",
+    "agg_percentile_exact",
+    "dedup_exact_docs",
+    "dedup_minhash_fuzzy",
+    "similarity_search_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from palo_spark.session import get_session
+    import __spark_entry__ as ent
+
+    spark = get_session("palo_spark-bench")
+    qs = ent.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm up: JVM + parquet footer caches, one tiny job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # never lose the whole bench to one query
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "wall_total",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

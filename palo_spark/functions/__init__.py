@@ -1,0 +1,662 @@
+"""Doris-name scalar function stdlib (SURVEY.md §2.5).
+
+Each public name matches a Doris SQL function (upstream:
+``be/src/vec/functions/function_{string,datetime,math,json,...}.cpp``;
+docs: doris.apache.org/docs/sql-manual/sql-functions). Every function
+returns a native ``pyspark.sql.Column`` built from built-in JVM
+expressions — no Python UDFs anywhere in this module, so everything
+stays inside whole-stage codegen at any scale.
+
+Where MySQL/Doris semantics differ from Spark's (argument order, 1-based
+indexing, NULL behavior, ``%`` datetime patterns), the wrapper encodes
+the Doris behavior and documents it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from palo_spark.functions.datetime_shim import mysql_pattern_to_spark
+
+__all__ = [
+    # conditional
+    "if_", "ifnull", "nvl", "nvl2", "nullif", "coalesce",
+    # string
+    "instr", "locate", "strleft", "strright", "split_part", "split_by_string",
+    "money_format", "append_trailing_char_if_absent", "ends_with", "starts_with",
+    "null_or_empty", "not_null_or_empty", "find_in_set", "elt", "field",
+    "char_length", "lcase", "ucase", "murmur_hash3_32", "murmur_hash3_64",
+    # date/time
+    "date_format", "str_to_date", "datediff", "timestampdiff", "timestampadd",
+    "days_add", "days_sub", "months_add", "months_sub", "years_add", "years_sub",
+    "hours_add", "minutes_add", "seconds_add", "weeks_add", "date_floor",
+    "date_ceil", "from_unixtime", "unix_timestamp", "convert_tz", "curdate",
+    "now", "time_to_sec", "sec_to_time", "makedate", "last_day", "to_days",
+    # math
+    "truncate", "conv", "pmod", "positive", "negative", "money_round",
+    # json
+    "get_json_string", "get_json_int", "get_json_bigint", "get_json_double",
+    "json_extract", "json_object", "json_array", "json_contains", "json_length",
+    # array
+    "array_map", "array_filter", "array_exists", "array_count", "array_sum",
+    "array_avg", "array_min", "array_max", "array_product", "array_sortby",
+    "array_concat", "array_slice", "array_reverse_sort", "array_enumerate",
+    "array_cum_sum", "array_difference", "array_popback", "array_popfront",
+    "array_pushback", "array_pushfront", "array_range", "array_with_constant",
+    # ip
+    "inet_aton", "inet_ntoa", "ipv4_num_to_string", "ipv4_string_to_num",
+    # encryption
+    "aes_encrypt", "aes_decrypt", "md5sum", "sm3sum",
+    # shims
+    "mysql_pattern_to_spark",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def _lit(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# --------------------------------------------------------------- conditional
+
+
+def if_(cond, then, otherwise) -> Column:
+    """Doris ``IF(cond, a, b)``."""
+    return F.when(_c(cond), _lit(then)).otherwise(_lit(otherwise))
+
+
+def ifnull(a, b) -> Column:
+    """Doris ``IFNULL(a, b)`` — b when a IS NULL."""
+    return F.coalesce(_c(a), _lit(b))
+
+
+nvl = ifnull
+
+
+def nvl2(a, not_null_val, null_val) -> Column:
+    """Doris ``NVL2(a, x, y)`` — x when a IS NOT NULL else y."""
+    return F.when(_c(a).isNotNull(), _lit(not_null_val)).otherwise(_lit(null_val))
+
+
+def nullif(a, b) -> Column:
+    return F.nullif(_c(a), _lit(b))
+
+
+def coalesce(*cols) -> Column:
+    return F.coalesce(*[_c(c) for c in cols])
+
+
+# ------------------------------------------------------------------- string
+
+
+def instr(s, sub) -> Column:
+    """Doris ``INSTR(str, substr)`` — 1-based position, 0 if absent.
+
+    NOTE argument order: Doris/MySQL is (haystack, needle), same as
+    Spark's ``instr``.
+    """
+    return F.instr(_c(s), sub if isinstance(sub, str) else _c(sub))
+
+
+def locate(sub, s, pos=None) -> Column:
+    """Doris ``LOCATE(substr, str[, pos])`` — needle first (MySQL order)."""
+    if pos is None:
+        return F.locate(sub, _c(s))
+    return F.locate(sub, _c(s), pos)
+
+
+def strleft(s, n) -> Column:
+    """Doris ``STRLEFT/LEFT(str, len)``."""
+    return F.left(_c(s), _lit(n))
+
+
+def strright(s, n) -> Column:
+    """Doris ``STRRIGHT/RIGHT(str, len)``."""
+    return F.right(_c(s), _lit(n))
+
+
+def split_part(s, delim, part) -> Column:
+    """Doris ``SPLIT_PART(str, delim, k)`` — 1-based; negative k counts
+    from the end; NULL when |k| exceeds the number of fields (Spark's
+    ``split_part`` returns '' — Doris returns NULL, encoded here)."""
+    sp = F.split_part(_c(s), _lit(delim), _lit(part))
+    return F.when(sp == "", F.lit(None).cast("string")).otherwise(sp)
+
+
+def split_by_string(s, delim) -> Column:
+    """Doris ``SPLIT_BY_STRING(str, delim)`` → array (literal delimiter)."""
+    import re as _re
+
+    d = delim if isinstance(delim, str) else None
+    if d is None:
+        raise TypeError("split_by_string requires a literal delimiter")
+    return F.split(_c(s), _re.escape(d))
+
+
+def money_format(x) -> Column:
+    """Doris ``MONEY_FORMAT(n)`` — thousands separators + 2 decimals."""
+    return F.format_number(_c(x).cast("double"), 2)
+
+
+def append_trailing_char_if_absent(s, ch) -> Column:
+    c = _c(s)
+    return F.when(c.endswith(ch), c).otherwise(F.concat(c, F.lit(ch)))
+
+
+def ends_with(s, suffix) -> Column:
+    return _c(s).endswith(suffix)
+
+
+def starts_with(s, prefix) -> Column:
+    return _c(s).startswith(prefix)
+
+
+def null_or_empty(s) -> Column:
+    c = _c(s)
+    return c.isNull() | (F.length(c) == 0)
+
+
+def not_null_or_empty(s) -> Column:
+    return ~null_or_empty(s)
+
+
+def find_in_set(s, strlist) -> Column:
+    """Doris ``FIND_IN_SET(str, 'a,b,c')`` — 1-based index in csv list."""
+    return F.array_position(F.split(_lit(strlist), ","), _c(s)).cast("int")
+
+
+def elt(n, *strs) -> Column:
+    """Doris ``ELT(n, s1, s2, ...)`` — n-th string, 1-based."""
+    return F.element_at(F.array(*[_lit(s) for s in strs]), _c(n).cast("int"))
+
+
+def field(s, *vals) -> Column:
+    """Doris ``FIELD(x, v1, v2, ...)`` — 1-based index of x in vals, 0 if absent."""
+    arr = F.array(*[_lit(v) for v in vals])
+    pos = F.array_position(arr, _c(s))
+    return F.coalesce(pos, F.lit(0)).cast("int")
+
+
+def char_length(s) -> Column:
+    return F.char_length(_c(s))
+
+
+def lcase(s) -> Column:
+    return F.lower(_c(s))
+
+
+def ucase(s) -> Column:
+    return F.upper(_c(s))
+
+
+def murmur_hash3_32(*cols) -> Column:
+    """Doris ``MURMUR_HASH3_32`` ≈ Spark ``hash`` (Murmur3 x86_32).
+
+    Same algorithm family; seed/combine details differ from Doris's exact
+    output — documented dialect gap, stable within this engine.
+    """
+    return F.hash(*[_c(c) for c in cols])
+
+
+def murmur_hash3_64(*cols) -> Column:
+    """Doris ``MURMUR_HASH3_64`` ≈ Spark ``xxhash64`` (64-bit, different
+    algorithm — stable within this engine; documented gap)."""
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+# ---------------------------------------------------------------- date/time
+
+
+def date_format(ts, fmt: str) -> Column:
+    """Doris ``DATE_FORMAT(dt, '%Y-%m-%d')`` — MySQL pattern, translated
+    once driver-side then evaluated by the native JVM formatter."""
+    return F.date_format(_c(ts), mysql_pattern_to_spark(fmt))
+
+
+def str_to_date(s, fmt: str) -> Column:
+    """Doris ``STR_TO_DATE(str, '%Y-%m-%d %H:%i:%s')`` → timestamp."""
+    return F.to_timestamp(_c(s), mysql_pattern_to_spark(fmt))
+
+
+def datediff(end, start) -> Column:
+    """Doris/MySQL ``DATEDIFF(end, start)`` — whole days, date parts only."""
+    return F.datediff(F.to_date(_c(end)), F.to_date(_c(start)))
+
+
+_TS_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
+
+
+def timestampdiff(unit: str, start, end) -> Column:
+    """Doris ``TIMESTAMPDIFF(unit, start, end)``."""
+    u = unit.lower()
+    if u not in _TS_UNITS:
+        raise ValueError(f"unsupported unit {unit!r}")
+    return F.timestamp_diff(u, _c(start), _c(end))
+
+
+def timestampadd(unit: str, n, ts) -> Column:
+    """Doris ``TIMESTAMPADD(unit, n, ts)``."""
+    u = unit.lower()
+    if u not in _TS_UNITS:
+        raise ValueError(f"unsupported unit {unit!r}")
+    return F.timestamp_add(u, _lit(n).cast("int"), _c(ts))
+
+
+def days_add(ts, n) -> Column:
+    return timestampadd("day", n, ts)
+
+
+def days_sub(ts, n) -> Column:
+    return timestampadd("day", -n if not isinstance(n, Column) else -_c(n), ts)
+
+
+def months_add(ts, n) -> Column:
+    return timestampadd("month", n, ts)
+
+
+def months_sub(ts, n) -> Column:
+    return timestampadd("month", -n, ts)
+
+
+def years_add(ts, n) -> Column:
+    return timestampadd("year", n, ts)
+
+
+def years_sub(ts, n) -> Column:
+    return timestampadd("year", -n, ts)
+
+
+def hours_add(ts, n) -> Column:
+    return timestampadd("hour", n, ts)
+
+
+def minutes_add(ts, n) -> Column:
+    return timestampadd("minute", n, ts)
+
+
+def seconds_add(ts, n) -> Column:
+    return timestampadd("second", n, ts)
+
+
+def weeks_add(ts, n) -> Column:
+    return timestampadd("week", n, ts)
+
+
+_TRUNC_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
+
+
+def date_floor(ts, unit: str) -> Column:
+    """Doris ``DATE_FLOOR(dt, INTERVAL 1 unit)`` → ``date_trunc``."""
+    u = unit.lower()
+    if u not in _TRUNC_UNITS:
+        raise ValueError(f"unsupported unit {unit!r}")
+    return F.date_trunc(u, _c(ts))
+
+
+def date_ceil(ts, unit: str) -> Column:
+    """Doris ``DATE_CEIL(dt, INTERVAL 1 unit)`` — next boundary unless
+    already exactly on one."""
+    u = unit.lower()
+    floor = date_floor(ts, u)
+    return F.when(floor == _c(ts), floor).otherwise(F.timestamp_add(u, F.lit(1), floor))
+
+
+def from_unixtime(sec, fmt: str | None = None) -> Column:
+    """Doris ``FROM_UNIXTIME(sec[, '%Y-%m-%d'])`` (MySQL pattern)."""
+    if fmt is None:
+        return F.from_unixtime(_c(sec))
+    return F.from_unixtime(_c(sec), mysql_pattern_to_spark(fmt))
+
+
+def unix_timestamp(ts=None, fmt: str | None = None) -> Column:
+    if ts is None:
+        return F.unix_timestamp()
+    if fmt is None:
+        return F.unix_timestamp(_c(ts))
+    return F.unix_timestamp(_c(ts), mysql_pattern_to_spark(fmt))
+
+
+def convert_tz(ts, from_tz, to_tz) -> Column:
+    """Doris ``CONVERT_TZ(dt, from, to)``."""
+    return F.from_utc_timestamp(F.to_utc_timestamp(_c(ts), from_tz), to_tz)
+
+
+def curdate() -> Column:
+    return F.current_date()
+
+
+def now() -> Column:
+    return F.current_timestamp()
+
+
+def time_to_sec(ts) -> Column:
+    """Doris ``TIME_TO_SEC`` — seconds since midnight of the time part."""
+    c = _c(ts)
+    return (F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)).cast("int")
+
+
+def sec_to_time(sec) -> Column:
+    """Doris ``SEC_TO_TIME(n)`` → 'HH:mm:ss' string."""
+    s = _c(sec).cast("int")
+    return F.format_string(
+        "%02d:%02d:%02d", (s / 3600).cast("int"), ((s % 3600) / 60).cast("int"), s % 60
+    )
+
+
+def makedate(year, dayofyear) -> Column:
+    """Doris ``MAKEDATE(year, dayofyear)``."""
+    return F.date_add(
+        F.make_date(_c(year) if isinstance(year, Column) else _lit(year), F.lit(1), F.lit(1)),
+        (_c(dayofyear) if isinstance(dayofyear, Column) else _lit(dayofyear)).cast("int")
+        - F.lit(1),
+    )
+
+
+def last_day(ts) -> Column:
+    return F.last_day(_c(ts))
+
+
+def to_days(ts) -> Column:
+    """Doris/MySQL ``TO_DAYS(dt)`` — days since year 0 (MySQL epoch:
+    0000-01-01 is day 1; 1970-01-01 is day 719528)."""
+    return (F.datediff(F.to_date(_c(ts)), F.lit("1970-01-01")) + F.lit(719528)).cast(
+        "bigint"
+    )
+
+
+# --------------------------------------------------------------------- math
+
+
+def truncate(x, d=0) -> Column:
+    """Doris ``TRUNCATE(x, d)`` — truncate toward zero to d decimals."""
+    m = F.pow(F.lit(10.0), _lit(d).cast("int"))
+    c = _c(x)
+    return (
+        F.when(c >= 0, F.floor(c * m)).otherwise(-F.floor(-c * m)).cast("double") / m
+    )
+
+
+def conv(n, from_base: int, to_base: int) -> Column:
+    """Doris ``CONV(n, from_base, to_base)``."""
+    return F.conv(_c(n), from_base, to_base)
+
+
+def pmod(a, b) -> Column:
+    return F.pmod(_c(a), _lit(b))
+
+
+def positive(x) -> Column:
+    return F.positive(_c(x))
+
+
+def negative(x) -> Column:
+    return F.negative(_c(x))
+
+
+def money_round(x) -> Column:
+    """Round-half-up to 2 decimals (MySQL money semantics; Spark's
+    ``round`` is also half-up)."""
+    return F.round(_c(x).cast("double"), 2)
+
+
+# --------------------------------------------------------------------- json
+
+
+def get_json_string(j, path: str) -> Column:
+    """Doris ``GET_JSON_STRING(json, '$.k')``."""
+    return F.get_json_object(_c(j), path)
+
+
+def get_json_int(j, path: str) -> Column:
+    """Doris ``GET_JSON_INT`` — NULL when the value isn't an integer."""
+    return F.get_json_object(_c(j), path).cast("int")
+
+
+def get_json_bigint(j, path: str) -> Column:
+    return F.get_json_object(_c(j), path).cast("bigint")
+
+
+def get_json_double(j, path: str) -> Column:
+    return F.get_json_object(_c(j), path).cast("double")
+
+
+def json_extract(j, path: str) -> Column:
+    """Doris ``JSON_EXTRACT`` — JSON text of the element at path."""
+    return F.get_json_object(_c(j), path)
+
+
+def json_object(*kv) -> Column:
+    """Doris ``JSON_OBJECT(k1, v1, k2, v2, ...)`` → JSON string."""
+    if len(kv) % 2:
+        raise ValueError("json_object needs an even number of args")
+    pairs = []
+    for i in range(0, len(kv), 2):
+        k = kv[i]
+        if not isinstance(k, str):
+            raise TypeError("json_object keys must be literal strings")
+        pairs.append(_lit(kv[i + 1]).alias(k))
+    return F.to_json(F.struct(*pairs))
+
+
+def json_array(*vals) -> Column:
+    return F.to_json(F.array(*[_lit(v) for v in vals]))
+
+
+def json_contains(j, candidate: str, path: str = "$") -> Column:
+    """Doris ``JSON_CONTAINS(json, candidate[, path])`` for scalar
+    candidates: true when the element at path equals the candidate."""
+    elem = F.get_json_object(_c(j), path)
+    cand = F.get_json_object(F.lit(candidate), "$")
+    return elem.isNotNull() & (elem == cand)
+
+
+def json_length(j, path: str = "$") -> Column:
+    """Doris ``JSON_LENGTH`` — array length at path (1 for scalars)."""
+    elem = F.get_json_object(_c(j), path)
+    return F.when(
+        elem.startswith("["),
+        F.json_array_length(elem),
+    ).otherwise(F.when(elem.isNotNull(), F.lit(1)))
+
+
+# -------------------------------------------------------------------- array
+# Doris 1.2+ array functions; higher-order ones take Python lambdas that
+# Spark compiles to Catalyst LambdaFunction expressions (still JVM-side).
+
+
+def array_map(f, *arrs) -> Column:
+    """Doris ``ARRAY_MAP(lambda, arr...)`` → Spark ``transform``/``zip_with``."""
+    if len(arrs) == 1:
+        return F.transform(_c(arrs[0]), f)
+    if len(arrs) == 2:
+        return F.zip_with(_c(arrs[0]), _c(arrs[1]), f)
+    raise ValueError("array_map supports 1 or 2 arrays")
+
+
+def array_filter(f, arr) -> Column:
+    return F.filter(_c(arr), f)
+
+
+def array_exists(f, arr) -> Column:
+    return F.exists(_c(arr), f)
+
+
+def array_count(f, arr) -> Column:
+    """Doris ``ARRAY_COUNT(lambda, arr)`` — number of matching elements."""
+    return F.size(F.filter(_c(arr), f))
+
+
+def array_sum(arr) -> Column:
+    return F.aggregate(
+        _c(arr), F.lit(0.0), lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0))
+    )
+
+
+def array_avg(arr) -> Column:
+    c = _c(arr)
+    n = F.size(F.filter(c, lambda x: x.isNotNull()))
+    return F.when(n > 0, array_sum(c) / n)
+
+
+def array_min(arr) -> Column:
+    return F.array_min(_c(arr))
+
+
+def array_max(arr) -> Column:
+    return F.array_max(_c(arr))
+
+
+def array_product(arr) -> Column:
+    return F.aggregate(
+        _c(arr), F.lit(1.0), lambda acc, x: acc * F.coalesce(x.cast("double"), F.lit(1.0))
+    )
+
+
+def array_sortby(arr, key_arr) -> Column:
+    """Doris ``ARRAY_SORTBY(arr, key_arr)`` — sort arr by parallel keys."""
+    zipped = F.arrays_zip(_c(key_arr).alias("k"), _c(arr).alias("v"))
+    return F.transform(F.array_sort(zipped), lambda s: s["v"])
+
+
+def array_concat(*arrs) -> Column:
+    return F.concat(*[_c(a) for a in arrs])
+
+
+def array_slice(arr, offset, length=None) -> Column:
+    """Doris ``ARRAY_SLICE(arr, offset[, len])`` — 1-based offset."""
+    if length is None:
+        c = _c(arr)
+        return F.slice(c, _lit(offset), F.size(c))
+    return F.slice(_c(arr), _lit(offset), _lit(length))
+
+
+def array_reverse_sort(arr) -> Column:
+    return F.reverse(F.array_sort(_c(arr)))
+
+
+def array_enumerate(arr) -> Column:
+    """Doris ``ARRAY_ENUMERATE(arr)`` → [1, 2, ..., len]."""
+    return F.sequence(F.lit(1), F.size(_c(arr)))
+
+
+def array_cum_sum(arr) -> Column:
+    """Doris ``ARRAY_CUM_SUM`` — running sum, O(n²) lambda form kept
+    simple (arrays are per-row small; the 100 TB axis is rows, not
+    array length)."""
+    c = _c(arr)
+    idx = F.sequence(F.lit(1), F.size(c))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(c, F.lit(1), i), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
+    )
+
+
+def array_difference(arr) -> Column:
+    """Doris ``ARRAY_DIFFERENCE`` — [0, a1-a0, a2-a1, ...]."""
+    c = _c(arr)
+    idx = F.sequence(F.lit(1), F.size(c))
+    return F.transform(
+        idx,
+        lambda i: F.when(i == 1, F.lit(0.0)).otherwise(
+            F.element_at(c, i).cast("double") - F.element_at(c, i - 1).cast("double")
+        ),
+    )
+
+
+def array_popback(arr) -> Column:
+    c = _c(arr)
+    return F.slice(c, F.lit(1), F.greatest(F.size(c) - 1, F.lit(0)))
+
+
+def array_popfront(arr) -> Column:
+    c = _c(arr)
+    return F.slice(c, F.lit(2), F.greatest(F.size(c) - 1, F.lit(0)))
+
+
+def array_pushback(arr, v) -> Column:
+    return F.concat(_c(arr), F.array(_lit(v)))
+
+
+def array_pushfront(arr, v) -> Column:
+    return F.concat(F.array(_lit(v)), _c(arr))
+
+
+def array_range(start, end=None, step=1) -> Column:
+    """Doris ``ARRAY_RANGE`` — [start, end) with step (end-exclusive,
+    unlike Spark's inclusive ``sequence``)."""
+    if end is None:
+        start, end = 0, start
+    s, e, st = _lit(start), _lit(end), _lit(step)
+    seq = F.sequence(s, e, st)
+    return F.filter(seq, lambda x: (st > 0) & (x < e) | (st < 0) & (x > e))
+
+
+def array_with_constant(n, v) -> Column:
+    return F.array_repeat(_lit(v), _lit(n).cast("int"))
+
+
+# ----------------------------------------------------------------------- ip
+
+
+def ipv4_string_to_num(s) -> Column:
+    """Doris ``IPV4_STRING_TO_NUM / INET_ATON('a.b.c.d')`` → bigint."""
+    parts = F.split(_c(s), r"\.")
+    return (
+        F.element_at(parts, 1).cast("bigint") * 16777216
+        + F.element_at(parts, 2).cast("bigint") * 65536
+        + F.element_at(parts, 3).cast("bigint") * 256
+        + F.element_at(parts, 4).cast("bigint")
+    )
+
+
+inet_aton = ipv4_string_to_num
+
+
+def ipv4_num_to_string(n) -> Column:
+    """Doris ``IPV4_NUM_TO_STRING / INET_NTOA(num)``."""
+    c = _c(n).cast("bigint")
+    return F.concat_ws(
+        ".",
+        ((c / 16777216) % 256).cast("int").cast("string"),
+        ((c / 65536) % 256).cast("int").cast("string"),
+        ((c / 256) % 256).cast("int").cast("string"),
+        (c % 256).cast("int").cast("string"),
+    )
+
+
+inet_ntoa = ipv4_num_to_string
+
+
+# ----------------------------------------------------------------- security
+
+
+def aes_encrypt(data, key, mode: str = "ECB") -> Column:
+    """Doris ``AES_ENCRYPT(data, key)`` (default AES_128_ECB) → binary.
+
+    Spark's native ``aes_encrypt`` requires a 16/24/32-byte key; Doris
+    derives a 16-byte key from arbitrary-length input — we require the
+    caller to pass a proper-length key (documented deviation).
+    """
+    return F.aes_encrypt(_c(data), _lit(key), F.lit(mode))
+
+
+def aes_decrypt(data, key, mode: str = "ECB") -> Column:
+    return F.aes_decrypt(_c(data), _lit(key), F.lit(mode))
+
+
+def md5sum(*cols) -> Column:
+    """Doris ``MD5SUM(c...)`` — md5 of the concatenation."""
+    return F.md5(F.concat(*[_c(c).cast("string") for c in cols]).cast("binary"))
+
+
+def sm3sum(*cols) -> Column:  # pragma: no cover - documented gap
+    """Doris ``SM3SUM`` — SM3 digest has no JVM built-in; documented gap."""
+    raise NotImplementedError("SM3 digest is not available without extra libraries")

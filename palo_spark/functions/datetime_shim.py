@@ -1,0 +1,109 @@
+"""MySQL ``%``-pattern → Spark datetime-pattern translation.
+
+Doris's ``date_format`` / ``str_to_date`` take MySQL format strings
+(``%Y-%m-%d %H:%i:%s``); Spark's ``date_format`` / ``to_timestamp`` take
+Java ``DateTimeFormatter`` patterns (``yyyy-MM-dd HH:mm:ss``). SURVEY.md
+§2.5 names this translator as one of the two real dialect shims the
+engine needs (upstream: ``be/src/vec/functions/function_datetime_*`` /
+``date_format`` docs).
+
+The translation is a pure driver-side string rewrite done once at plan
+build — the resulting expression is a native JVM ``date_format`` /
+``to_timestamp``, so the hot path stays in whole-stage codegen with zero
+Python involvement per row (100 TB-safe by construction).
+"""
+
+from __future__ import annotations
+
+#: MySQL specifier → Spark (java.time) pattern fragment.
+#: Reference: MySQL 8.0 DATE_FORMAT docs; Spark "Datetime Patterns" docs.
+_MYSQL_TO_SPARK = {
+    "Y": "yyyy",  # 4-digit year
+    "y": "yy",  # 2-digit year
+    "m": "MM",  # month 01..12
+    "c": "M",  # month 1..12
+    "M": "MMMM",  # month name
+    "b": "MMM",  # abbreviated month name
+    "d": "dd",  # day 01..31
+    "e": "d",  # day 1..31
+    "H": "HH",  # hour 00..23
+    "k": "H",  # hour 0..23
+    "h": "hh",  # hour 01..12
+    "I": "hh",  # hour 01..12
+    "l": "h",  # hour 1..12
+    "i": "mm",  # minutes
+    "s": "ss",  # seconds
+    "S": "ss",  # seconds (MySQL alias)
+    "f": "SSSSSS",  # microseconds
+    "p": "a",  # AM/PM
+    "W": "EEEE",  # weekday name
+    "a": "EEE",  # abbreviated weekday name
+    "j": "DDD",  # day of year 001..366
+    "T": "HH:mm:ss",
+    "r": "hh:mm:ss a",
+    "%": "%",  # literal percent (handled specially below)
+}
+
+#: Specifiers with no faithful java.time equivalent. We fail loudly
+#: rather than silently produce wrong dates (Doris would format them).
+_UNSUPPORTED = {
+    "D",  # day with english suffix (1st, 2nd)
+    "U",  # week (Sunday-first, mode 0)
+    "u",  # week (Monday-first, mode 1)
+    "V",  # week (Sunday-first, mode 2)
+    "v",  # week (Monday-first, mode 3) — ISO-ish but year-pairing differs
+    "X",  # year for week (Sunday-first)
+    "x",  # year for week (Monday-first)
+    "w",  # day of week 0=Sunday (java.time has no 0-based day number)
+}
+
+
+def mysql_pattern_to_spark(fmt: str) -> str:
+    """Translate a MySQL format string to a Spark datetime pattern.
+
+    Literal text is single-quoted so letters pass through verbatim
+    (``%Y年`` → ``yyyy'年'`` is unnecessary for CJK but required for
+    ASCII letters, which java.time reserves).
+
+    >>> mysql_pattern_to_spark("%Y-%m-%d %H:%i:%s")
+    'yyyy-MM-dd HH:mm:ss'
+    >>> mysql_pattern_to_spark("%d/%b/%Y")
+    'dd/MMM/yyyy'
+    """
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if not literal:
+            return
+        text = "".join(literal)
+        if any(ch.isalpha() for ch in text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                literal.append("%")
+            elif spec in _MYSQL_TO_SPARK:
+                flush_literal()
+                out.append(_MYSQL_TO_SPARK[spec])
+            elif spec in _UNSUPPORTED:
+                raise ValueError(
+                    f"MySQL datetime specifier %{spec} has no faithful Spark "
+                    f"equivalent (documented dialect gap)"
+                )
+            else:
+                # MySQL treats unknown %x as literal x
+                literal.append(spec)
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush_literal()
+    return "".join(out)

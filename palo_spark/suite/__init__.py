@@ -29,8 +29,12 @@ def _modules():
     for name in _MODULE_NAMES:
         try:
             mods.append(importlib.import_module(f"palo_spark.suite.{name}"))
-        except ModuleNotFoundError:
-            pass  # module not built yet — suite grows incrementally
+        except ModuleNotFoundError as e:
+            # Only swallow "this suite module isn't built yet"; a typo'd
+            # import *inside* an existing module must fail loudly, or its
+            # queries would silently vanish from the verified surface.
+            if e.name != f"palo_spark.suite.{name}":
+                raise
     return mods
 
 

@@ -1,0 +1,288 @@
+"""AGGREGATION function tail (SURVEY.md §2.4).
+
+Doris's aggregate surface beyond COUNT/SUM/MIN/MAX/AVG
+(``be/src/vec/aggregate_functions/`` upstream): MIN_BY/MAX_BY, ANY_VALUE,
+SUM0, stddev/variance family, CORR/COVAR, NDV/APPROX_COUNT_DISTINCT,
+exact + approximate percentiles, MEDIAN, TOPN, GROUP_CONCAT,
+COLLECT_LIST/SET, HISTOGRAM. All are native ``pyspark.sql.functions`` —
+JVM-side, two-phase (partial/final) hash aggregation, no UDFs.
+
+Oracle-comparison techniques used here:
+- ``collect_list``/``group_concat`` are wrapped in ``array_sort`` /
+  ``ORDER BY`` so multiset results are order-canonical in both engines.
+- stddev/corr/covar are rounded to 4 decimals: both engines merge partial
+  moments in nondeterministic partition order, so the last ulps differ.
+- approximate functions (HLL NDV, t-digest percentile) cannot hash-match a
+  different engine's sketch; instead the Spark side *checks its own
+  accuracy against the exact value* and emits a boolean the oracle
+  trivially mirrors (``TRUE``) — the comparison then verifies the sketch
+  is within its documented error bound, which is the actual contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "agg_min_max_by_any_value",
+    """
+    SELECT c_nationkey,
+           MAX_BY(c_name, c_custkey) AS newest_cust,
+           MIN_BY(c_name, c_custkey) AS oldest_cust,
+           ANY_VALUE(c_nationkey % 7) AS any_mod,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_min_max_by_any_value(spark, sf_dir):
+    """MIN_BY/MAX_BY (argmin/argmax) + ANY_VALUE. The by-key (c_custkey)
+    is unique, and any_value's argument is constant per group, so all
+    three are deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_cust"),
+        F.min_by("c_name", "c_custkey").alias("oldest_cust"),
+        F.any_value(F.col("c_nationkey") % 7).alias("any_mod"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "agg_sum0_empty",
+    """
+    SELECT COALESCE(SUM(o_totalprice), 0.0) AS sum0_price,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice < 0
+    """,
+)
+def agg_sum0_empty(spark, sf_dir):
+    """Doris SUM0: returns 0 instead of NULL on empty input."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") < 0)
+    return o.agg(
+        F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("sum0_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "agg_stddev_variance",
+    """
+    SELECT c_nationkey,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_samp,
+           ROUND(STDDEV_POP(c_acctbal), 4)  AS sd_pop,
+           ROUND(VAR_SAMP(c_acctbal), 4)    AS v_samp,
+           ROUND(VAR_POP(c_acctbal), 4)     AS v_pop
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_stddev_variance(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("c_acctbal"), 4).alias("sd_pop"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("v_samp"),
+        F.round(F.var_pop("c_acctbal"), 4).alias("v_pop"),
+    )
+
+
+@q(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_samp,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 2)  AS cov_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_samp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("cov_pop"),
+    )
+
+
+@q(
+    "agg_ndv_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS exact_ndv,
+           TRUE AS ndv_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_ndv_approx_count_distinct(spark, sf_dir):
+    """Doris NDV/APPROX_COUNT_DISTINCT (HLL-based). A sketch can't
+    hash-match another engine, so the query asserts its own error bound:
+    HLL++ at default rsd=0.05 must land within 5% of the exact count. The
+    oracle mirrors the exact count and the (expected-true) bound check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("exact_ndv"),
+            F.approx_count_distinct("l_suppkey").alias("approx_ndv"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_ndv",
+            (
+                F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("ndv_within_5pct"),
+        )
+    )
+
+
+@q(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(l_quantity, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75,
+           ROUND(MEDIAN(l_quantity), 6)              AS med
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact PERCENTILE + MEDIAN (linear interpolation in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", 0.50), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("p75"),
+        F.round(F.median("l_quantity"), 6).alias("med"),
+    )
+
+
+@q(
+    "agg_percentile_approx",
+    """
+    SELECT l_returnflag, TRUE AS approx_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_approx(spark, sf_dir):
+    """PERCENTILE_APPROX self-checked against the exact percentile (same
+    rank-error contract Doris documents for its t-digest percentiles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.02 * F.col("exact_p50")
+            ).alias("approx_within_2pct"),
+        )
+    )
+
+
+@q(
+    "agg_group_concat",
+    """
+    SELECT c_nationkey,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_group_concat(spark, sf_dir):
+    """GROUP_CONCAT(DISTINCT ... ORDER BY ...) — sorted-set join, the
+    order-canonical form (Doris group_concat supports ORDER BY)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments")
+    )
+
+
+@q(
+    "agg_collect_list_set",
+    """
+    SELECT n_regionkey,
+           LIST_SORT(LIST(n_name))          AS names,
+           LIST_SORT(LIST(DISTINCT n_name)) AS names_set,
+           CAST(LEN(LIST(n_name)) AS INT)   AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_list_set(spark, sf_dir):
+    """COLLECT_LIST / COLLECT_SET (ARRAY_AGG), order-canonicalized."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names"),
+        F.array_sort(F.collect_set("n_name")).alias("names_set"),
+        F.size(F.collect_list("n_name")).alias("n"),
+    )
+
+
+@q(
+    "agg_histogram_buckets",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000) + 1, 13) AS INT) AS bucket,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_histogram_buckets(spark, sf_dir):
+    """HISTOGRAM via width_bucket(x, 0, 650000, 13): equi-width bucket
+    counts (the oracle mirrors width_bucket's closed-form for in-range
+    values since DuckDB lacks the function)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(650000.0), F.lit(13))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "agg_topn_values",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 3
+    """,
+)
+def agg_topn_values(spark, sf_dir):
+    """Doris TOPN(c, k) — approximate most-frequent values; v1 computes it
+    exactly as sub-agg + TopN (SURVEY §2.4 decision). At 100 TB the
+    two-phase hash agg partials keep this one shuffle of |distinct| rows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(3)
+    )

@@ -37,10 +37,12 @@ q = register(QUERIES, ORACLE)
     """,
 )
 def hash_join_inner(spark, sf_dir):
-    """INNER equi-join; small side broadcasts (Doris HASH_JOIN broadcast mode)."""
+    """INNER equi-join. No broadcast hint: ``customer`` scales with SF, so
+    the broadcast-vs-shuffle choice is left to AQE/autoBroadcastJoinThreshold
+    (Doris HASH_JOIN picks its distribution mode the same way)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     c = load_table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
@@ -295,9 +297,11 @@ def intersect_all(spark, sf_dir):
     """,
 )
 def except_distinct(spark, sf_dir):
+    """EXCEPT DISTINCT — ``subtract`` is Spark's native set-difference
+    (distinct semantics even when the left side carries duplicates)."""
     n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return n.exceptAll(s.distinct()).distinct()
+    return n.subtract(s)
 
 
 @q(

@@ -88,9 +88,11 @@ def tpch_q1(spark, sf_dir):
 def tpch_q3(spark, sf_dir):
     """TPC-H Q3: dim-filtered 3-way join → agg → TopN.
 
-    customer is broadcast (small side); orders⨝lineitem shuffles on the
-    order key. TopN is Catalyst TakeOrderedAndProject — Doris's SortNode
-    bounded-heap optimization for free.
+    No broadcast hints: customer scales with SF, so AQE picks broadcast
+    while it fits under autoBroadcastJoinThreshold and shuffles when it
+    doesn't (a forced hint would OOM the driver at sf100). TopN is
+    Catalyst TakeOrderedAndProject — Doris's SortNode bounded-heap
+    optimization for free.
     """
     cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -101,8 +103,7 @@ def tpch_q3(spark, sf_dir):
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        F.broadcast(cu)
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(disc_price, scale=10).alias("revenue"))
@@ -162,7 +163,9 @@ def tpch_q4(spark, sf_dir):
     """,
 )
 def tpch_q5(spark, sf_dir):
-    """TPC-H Q5: 6-way star join. Dimensions broadcast, fact shuffles once."""
+    """TPC-H Q5: 6-way star join. Fixed-size dims (region/nation) are
+    broadcast-hinted; SF-scaled supplier is left to AQE so the plan
+    survives a 100× scale-up."""
     cu = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01'"))
@@ -177,7 +180,7 @@ def tpch_q5(spark, sf_dir):
         cu.join(o, cu.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(su),
+            su,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -263,7 +266,8 @@ def tpch_q10(spark, sf_dir):
     """,
 )
 def tpch_q14(spark, sf_dir):
-    """TPC-H Q14: conditional aggregation ratio over a broadcast join."""
+    """TPC-H Q14: conditional aggregation ratio. ``part`` scales with SF —
+    AQE decides broadcast vs shuffle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.expr("timestamp'1996-09-01'"))
         & (F.col("l_shipdate") < F.expr("timestamp'1996-10-01'"))
@@ -272,7 +276,7 @@ def tpch_q14(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -301,8 +305,7 @@ def tpch_q16(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        F.broadcast(pa)
-        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        pa.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")

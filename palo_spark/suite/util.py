@@ -22,7 +22,7 @@ def _c(col) -> Column:
     return col if isinstance(col, Column) else F.col(col)
 
 
-def dsum(col, prec: int = 38, scale: int = 6) -> Column:
+def dsum(col, scale: int = 6) -> Column:
     """Order-independent SUM over a double column/expression.
 
     ``floor(x * 10^scale)`` is pure IEEE double arithmetic — bit-identical
@@ -38,7 +38,7 @@ def dsum(col, prec: int = 38, scale: int = 6) -> Column:
     )
 
 
-def davg(col, prec: int = 38, scale: int = 6) -> Column:
+def davg(col, scale: int = 6) -> Column:
     """Order-independent AVG over a double column/expression (see dsum)."""
     c = _c(col)
     m = float(10**scale)
@@ -47,7 +47,7 @@ def davg(col, prec: int = 38, scale: int = 6) -> Column:
     ) / F.count(c)
 
 
-def o_dsum(expr: str, prec: int = 38, scale: int = 6) -> str:
+def o_dsum(expr: str, scale: int = 6) -> str:
     """Oracle-SQL mirror of :func:`dsum`."""
     m = float(10**scale)
     return (
@@ -55,7 +55,7 @@ def o_dsum(expr: str, prec: int = 38, scale: int = 6) -> str:
     )
 
 
-def o_davg(expr: str, prec: int = 38, scale: int = 6) -> str:
+def o_davg(expr: str, scale: int = 6) -> str:
     """Oracle-SQL mirror of :func:`davg`."""
     m = float(10**scale)
     return (
@@ -69,7 +69,7 @@ def register(queries: dict, oracle: dict):
 
     >>> QUERIES, ORACLE = {}, {}
     >>> q = register(QUERIES, ORACLE)
-    >>> @q("name", oracle="SELECT 1 AS x")
+    >>> @q("name", "SELECT 1 AS x")          # oracle_sql positional
     ... def _name(spark, sf_dir): ...
     """
 
