@@ -457,12 +457,14 @@ def json_contains(j, candidate: str, path: str = "$") -> Column:
 
 
 def json_length(j, path: str = "$") -> Column:
-    """Doris ``JSON_LENGTH`` — array length at path (1 for scalars)."""
+    """Doris ``JSON_LENGTH`` — element count at path: array length for
+    arrays, key count for objects, 1 for scalars (MySQL semantics)."""
     elem = F.get_json_object(_c(j), path)
-    return F.when(
-        elem.startswith("["),
-        F.json_array_length(elem),
-    ).otherwise(F.when(elem.isNotNull(), F.lit(1)))
+    return (
+        F.when(elem.startswith("["), F.json_array_length(elem))
+        .when(elem.startswith("{"), F.size(F.json_object_keys(elem)))
+        .otherwise(F.when(elem.isNotNull(), F.lit(1)))
+    )
 
 
 # -------------------------------------------------------------------- array

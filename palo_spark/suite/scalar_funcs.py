@@ -1,0 +1,351 @@
+"""Scalar function stdlib coverage (SURVEY.md §2.5) — one oracle-checked
+query per family, exercising ``palo_spark.functions`` (the Doris-name
+stdlib) against DuckDB dialect equivalents.
+
+Every expression here compiles to native JVM Catalyst expressions (the
+stdlib contains zero Python UDFs), so these stay in whole-stage codegen
+at any scale; the queries are pure per-row projections — no shuffle at
+all except where a small ORDER BY keeps output deterministic (the
+parity harness sorts rows anyway; no ORDER BY needed).
+
+Float determinism: math outputs are floor-quantized (``FLOOR(x*1e6)/1e6``
+— same IEEE ops both engines) instead of ``round`` because Spark rounds
+HALF_UP while DuckDB rounds half-even.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark import functions as PF
+from palo_spark.catalog import load_table
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "scalar_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<none>') AS seg_or_none,
+           CASE WHEN c_name IS NOT NULL THEN 'named' ELSE 'anon' END AS nvl2_name,
+           COALESCE(NULL, NULL, c_mktsegment) AS first_non_null
+    FROM customer
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    """IF / IFNULL / NULLIF / NVL2 / COALESCE (Doris conditional family)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        PF.if_(F.col("c_acctbal") < 0, "neg", "pos").alias("bal_sign"),
+        PF.ifnull(PF.nullif("c_mktsegment", "BUILDING"), "<none>").alias("seg_or_none"),
+        PF.nvl2("c_name", "named", "anon").alias("nvl2_name"),
+        PF.coalesce(F.lit(None), F.lit(None), F.col("c_mktsegment")).alias(
+            "first_non_null"
+        ),
+    )
+
+
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           left(p_name, 8)                         AS name8,
+           right(p_name, 5)                        AS name_tail,
+           strpos(p_name, 'a')                     AS pos_a,
+           NULLIF(split_part(p_type, ' ', 2), '')  AS type_word2,
+           NULLIF(split_part(p_type, ' ', 9), '')  AS type_word9,
+           CAST(length(p_name) AS INT)             AS name_len,
+           upper(p_brand)                          AS brand_uc,
+           lower(p_type)                           AS type_lc,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')   AS size_pad,
+           reverse(p_brand)                        AS brand_rev,
+           repeat('*', 3)                          AS stars,
+           COALESCE(list_position(string_split('STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO', ','),
+                                  split_part(p_type, ' ', 1)), 0) AS type_class_idx
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    """String family: LEFT/RIGHT/INSTR/SPLIT_PART/LENGTH/case/LPAD/
+    REVERSE/REPEAT/FIND_IN_SET — Doris semantics (split_part → NULL out
+    of range; find_in_set → 0 when absent)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        PF.strleft("p_name", 8).alias("name8"),
+        PF.strright("p_name", 5).alias("name_tail"),
+        PF.instr("p_name", "a").alias("pos_a"),
+        PF.split_part("p_type", " ", 2).alias("type_word2"),
+        PF.split_part("p_type", " ", 9).alias("type_word9"),
+        PF.char_length("p_name").alias("name_len"),
+        PF.ucase("p_brand").alias("brand_uc"),
+        PF.lcase("p_type").alias("type_lc"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.lit("*"), 3).alias("stars"),
+        PF.find_in_set(
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)),
+            "STANDARD,SMALL,MEDIUM,LARGE,ECONOMY,PROMO",
+        ).alias("type_class_idx"),
+    )
+
+
+@q(
+    "scalar_date_format_shim",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')          AS iso_day,
+           strftime(o_orderdate, '%d/%b/%Y %H:%M')    AS mysql_style,
+           strftime(o_orderdate, '%j')                AS day_of_year,
+           strftime(o_orderdate, '%A')                AS weekday_name,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S')              AS ts_roundtrip
+    FROM orders
+    """,
+)
+def scalar_date_format_shim(spark, sf_dir):
+    """The MySQL ``%``-pattern shim (SURVEY §2.5's named dialect shim):
+    Doris ``date_format``/``str_to_date`` patterns translated driver-side
+    to Java patterns, checked against DuckDB's C-style strftime."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        PF.date_format("o_orderdate", "%Y-%m-%d").alias("iso_day"),
+        PF.date_format("o_orderdate", "%d/%b/%Y %H:%i").alias("mysql_style"),
+        PF.date_format("o_orderdate", "%j").alias("day_of_year"),
+        PF.date_format("o_orderdate", "%W").alias("weekday_name"),
+        PF.str_to_date(
+            PF.date_format("o_orderdate", "%Y-%m-%d %H:%i:%s"), "%Y-%m-%d %H:%i:%s"
+        ).alias("ts_roundtrip"),
+    )
+
+
+@q(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+           o_orderdate + INTERVAL 7 DAY    AS plus_week,
+           o_orderdate + INTERVAL 2 MONTH  AS plus_2mo,
+           date_trunc('month', o_orderdate) AS month_floor,
+           CASE WHEN date_trunc('day', o_orderdate) = o_orderdate
+                THEN date_trunc('day', o_orderdate)
+                ELSE date_trunc('day', o_orderdate) + INTERVAL 1 DAY END AS day_ceil,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528
+                AS BIGINT) AS mysql_to_days
+    FROM orders
+    """,
+)
+def scalar_date_arith(spark, sf_dir):
+    """Date arithmetic family: DATEDIFF (MySQL arg order), DAYS_ADD /
+    MONTHS_ADD (month-end clamping matches), DATE_FLOOR / DATE_CEIL,
+    LAST_DAY, TO_DAYS (MySQL day-zero epoch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        PF.datediff(F.lit("1998-01-01"), F.col("o_orderdate")).alias("days_to_98"),
+        PF.days_add("o_orderdate", 7).alias("plus_week"),
+        PF.months_add("o_orderdate", 2).alias("plus_2mo"),
+        PF.date_floor("o_orderdate", "month").alias("month_floor"),
+        PF.date_ceil("o_orderdate", "day").alias("day_ceil"),
+        # cast to timestamp purely for the comparison: pandas renders a
+        # DuckDB DATE as midnight datetime64, a Spark DateType as date
+        PF.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        PF.to_days("o_orderdate").alias("mysql_to_days"),
+    )
+
+
+@q(
+    "scalar_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
+           json_extract_string(props, '$.k')                 AS k_str,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           CAST(len(json_keys(props)) AS INT)                AS n_keys,
+           json_extract_string(props, '$.missing')           AS missing
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark, sf_dir):
+    """JSON family over ``events.props``: GET_JSON_INT/STRING/DOUBLE,
+    JSON_LENGTH (object key count), missing-path → NULL."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        PF.get_json_int("props", "$.k").alias("k_int"),
+        PF.get_json_string("props", "$.k").alias("k_str"),
+        PF.get_json_double("props", "$.k").alias("k_dbl"),
+        PF.json_length("props").alias("n_keys"),
+        PF.get_json_string("props", "$.missing").alias("missing"),
+    )
+
+
+@q(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * 10.0) / 10.0 AS price_trunc1,
+           ((CAST(l_partkey AS BIGINT) % 7) + 7) % 7 AS pk_pmod7,
+           upper(to_hex(l_suppkey)) AS sk_hex,
+           CASE WHEN l_discount > 0 THEN 1 WHEN l_discount = 0 THEN 0 ELSE -1 END AS disc_sign,
+           GREATEST(l_quantity, 25.0) AS qty_hi,
+           LEAST(l_quantity, 25.0)    AS qty_lo,
+           ABS(l_quantity - 25.0)     AS qty_dev,
+           FLOOR(sqrt(l_extendedprice) * 1000000.0) / 1000000.0 AS price_sqrt
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    """Math family: TRUNCATE, PMOD, CONV(10→16), SIGN, GREATEST/LEAST,
+    ABS, SQRT (floor-quantized — see module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        PF.truncate("l_extendedprice", 1).alias("price_trunc1"),
+        PF.pmod("l_partkey", 7).alias("pk_pmod7"),
+        PF.conv(F.col("l_suppkey").cast("string"), 10, 16).alias("sk_hex"),
+        F.signum("l_discount").cast("int").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        (F.floor(F.sqrt("l_extendedprice") * 1e6).cast("double") / 1e6).alias(
+            "price_sqrt"
+        ),
+    )
+
+
+@q(
+    "scalar_array_funcs",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INT)                               AS n_words,
+           w[1]                                              AS first_word,
+           w[-1]                                             AS last_word,
+           list_slice(w, 2, 4)                               AS words_2_4,
+           array_to_string(list_sort(list_distinct(w)), ',') AS vocab,
+           CAST(list_position(w, 'the') AS INT)              AS the_pos,
+           list_contains(w, 'the')                           AS has_the
+    FROM words
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array family over tokenized ``documents.text``: SIZE, ELEMENT_AT
+    (1-based + negative), ARRAY_SLICE, ARRAY_DISTINCT+SORT+JOIN,
+    ARRAY_POSITION, ARRAY_CONTAINS."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        PF.array_slice(w, 2, 3).alias("words_2_4"),
+        F.array_join(F.array_sort(F.array_distinct(w)), ",").alias("vocab"),
+        F.coalesce(F.array_position(w, "the"), F.lit(0)).cast("int").alias("the_pos"),
+        F.array_contains(w, "the").alias("has_the"),
+    )
+
+
+@q(
+    "scalar_array_higher_order",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+           FLOOR(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0) / 1000000.0 AS sq_norm,
+           FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1000000.0) / 1000000.0 AS max_dim,
+           FLOOR(CAST(list_min(embedding) AS DOUBLE) * 1000000.0) / 1000000.0 AS min_dim
+    FROM embeddings
+    """,
+)
+def scalar_array_higher_order(spark, sf_dir):
+    """Higher-order array functions (Doris ARRAY_FILTER/ARRAY_MAP/
+    ARRAY_SUM/MIN/MAX as Catalyst lambdas) over ``embeddings.embedding``
+    — the dot-product building blocks for similarity search. The fold
+    is sequential left-to-right in both engines, so the double sum is
+    deterministic; outputs floor-quantized against float-cast noise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sq = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        PF.array_count(lambda x: x > 0.0, emb).alias("n_pos"),
+        (F.floor(sq * 1e6).cast("double") / 1e6).alias("sq_norm"),
+        (F.floor(F.array_max(emb).cast("double") * 1e6).cast("double") / 1e6).alias(
+            "max_dim"
+        ),
+        (F.floor(F.array_min(emb).cast("double") * 1e6).cast("double") / 1e6).alias(
+            "min_dim"
+        ),
+    )
+
+
+@q(
+    "scalar_ip_funcs",
+    """
+    SELECT c_custkey,
+           CAST(n % 4294967296 AS BIGINT) AS ip_num,
+           concat_ws('.', CAST(CAST(FLOOR(n / 16777216) AS BIGINT) % 256 AS VARCHAR),
+                          CAST(CAST(FLOOR(n / 65536)    AS BIGINT) % 256 AS VARCHAR),
+                          CAST(CAST(FLOOR(n / 256)      AS BIGINT) % 256 AS VARCHAR),
+                          CAST(n % 256 AS VARCHAR)) AS ip_str,
+           TRUE AS roundtrip_ok
+    FROM (SELECT c_custkey, (c_custkey * 7919) % 4294967296 AS n FROM customer)
+    """,
+)
+def scalar_ip_funcs(spark, sf_dir):
+    """IP family: INET_NTOA / INET_ATON round-trip on synthesized IPv4
+    numbers (Doris ipv4_num_to_string / ipv4_string_to_num)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = (F.col("c_custkey") * 7919) % F.lit(4294967296)
+    ip = PF.inet_ntoa(n)
+    return c.select(
+        "c_custkey",
+        n.cast("bigint").alias("ip_num"),
+        ip.alias("ip_str"),
+        (PF.inet_aton(ip) == n).alias("roundtrip_ok"),
+    )
+
+
+@q(
+    "scalar_hash_crypto",
+    """
+    SELECT p_partkey,
+           md5(p_name)            AS name_md5,
+           sha256(p_name)         AS name_sha256,
+           upper(hex(p_brand))    AS brand_hex,
+           p_brand                AS brand_unhex_rt,
+           TRUE                   AS aes_roundtrip_ok
+    FROM part
+    """,
+)
+def scalar_hash_crypto(spark, sf_dir):
+    """Hash/crypto family: MD5, SHA2-256, HEX/UNHEX round-trip, and
+    AES_ENCRYPT/DECRYPT self-inverse (ciphertext is key-dependent so the
+    oracle checks the boolean, not the bytes)."""
+    p = load_table(spark, sf_dir, "part")
+    key = "0123456789abcdef"
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+        F.upper(F.hex(F.col("p_brand"))).alias("brand_hex"),
+        F.unhex(F.hex(F.col("p_brand"))).cast("string").alias("brand_unhex_rt"),
+        (
+            PF.aes_decrypt(PF.aes_encrypt("p_name", key), key).cast("string")
+            == F.col("p_name")
+        ).alias("aes_roundtrip_ok"),
+    )

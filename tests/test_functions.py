@@ -1,0 +1,127 @@
+"""Unit tests for the Doris-name scalar stdlib (palo_spark/functions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from palo_spark import functions as PF
+from palo_spark.functions.datetime_shim import mysql_pattern_to_spark
+
+
+# ---------------------------------------------------- pattern translation
+
+
+@pytest.mark.parametrize(
+    ("mysql", "spark_pat"),
+    [
+        ("%Y-%m-%d %H:%i:%s", "yyyy-MM-dd HH:mm:ss"),
+        ("%d/%b/%Y", "dd/MMM/yyyy"),
+        ("%Y%m%d", "yyyyMMdd"),
+        ("%H:%i", "HH:mm"),
+        ("%T", "HH:mm:ss"),
+        ("%r", "hh:mm:ss a"),
+        ("%W, %M %e, %Y", "EEEE, MMMM d, yyyy"),
+        ("%%", "%"),
+        ("%Y-%m-%dT%H", "yyyy-MM-dd'T'HH"),  # literal letter quoted
+        ("week %j of %y", "'week 'DDD' of 'yy"),
+    ],
+)
+def test_mysql_pattern_to_spark(mysql, spark_pat):
+    assert mysql_pattern_to_spark(mysql) == spark_pat
+
+
+def test_mysql_pattern_unsupported_raises():
+    with pytest.raises(ValueError, match="%D"):
+        mysql_pattern_to_spark("%D of %M")
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+# ------------------------------------------------------------ round trips
+
+
+def test_date_format_and_back(spark):
+    ts = F.lit("2024-02-29 23:05:09").cast("timestamp")
+    assert _one(spark, PF.date_format(ts, "%Y-%m-%d %H:%i:%s")) == "2024-02-29 23:05:09"
+    assert _one(spark, PF.date_format(ts, "%d/%b/%y %p")) == "29/Feb/24 PM"
+    rt = _one(spark, PF.str_to_date(PF.date_format(ts, "%Y-%m-%d %H:%i:%s"), "%Y-%m-%d %H:%i:%s"))
+    assert rt.isoformat() == "2024-02-29T23:05:09"
+
+
+def test_date_ceil_on_boundary_is_identity(spark):
+    ts = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    assert _one(spark, PF.date_ceil(ts, "day")).isoformat() == "2024-03-01T00:00:00"
+    assert _one(spark, PF.date_ceil(ts, "month")).isoformat() == "2024-03-01T00:00:00"
+
+
+def test_months_add_clamps_month_end(spark):
+    ts = F.lit("2024-01-31 12:00:00").cast("timestamp")
+    assert _one(spark, PF.months_add(ts, 1)).isoformat() == "2024-02-29T12:00:00"
+
+
+def test_truncate_negative_toward_zero(spark):
+    assert _one(spark, PF.truncate(F.lit(-3.789), 1)) == -3.7
+    assert _one(spark, PF.truncate(F.lit(3.789), 0)) == 3.0
+
+
+def test_split_part_out_of_range_is_null(spark):
+    assert _one(spark, PF.split_part(F.lit("a,b"), ",", 5)) is None
+    assert _one(spark, PF.split_part(F.lit("a,b"), ",", -1)) == "b"
+
+
+def test_split_by_string_literal_delimiter(spark):
+    # a regex metachar delimiter must be treated literally
+    assert _one(spark, PF.split_by_string(F.lit("a.b.c"), ".")) == ["a", "b", "c"]
+
+
+def test_json_length_object_array_scalar(spark):
+    assert _one(spark, PF.json_length(F.lit('{"a":1,"b":2}'))) == 2
+    assert _one(spark, PF.json_length(F.lit('{"a":[1,2,3]}'), "$.a")) == 3
+    assert _one(spark, PF.json_length(F.lit('{"a":5}'), "$.a")) == 1
+    assert _one(spark, PF.json_length(F.lit('{"a":5}'), "$.zz")) is None
+
+
+def test_money_format(spark):
+    assert _one(spark, PF.money_format(F.lit(1234567.891))) == "1,234,567.89"
+
+
+def test_ip_roundtrip_edges(spark):
+    for ip in ["0.0.0.0", "255.255.255.255", "10.0.0.1"]:
+        num = _one(spark, PF.inet_aton(F.lit(ip)))
+        assert _one(spark, PF.inet_ntoa(F.lit(num))) == ip
+
+
+def test_array_helpers(spark):
+    arr = F.array(*[F.lit(x) for x in [3, 1, 2]])
+    assert _one(spark, PF.array_cum_sum(arr)) == [3.0, 4.0, 6.0]
+    assert _one(spark, PF.array_difference(arr)) == [0.0, -2.0, 1.0]
+    assert _one(spark, PF.array_popback(arr)) == [3, 1]
+    assert _one(spark, PF.array_popfront(arr)) == [1, 2]
+    assert _one(spark, PF.array_range(1, 10, 3)) == [1, 4, 7]
+    assert _one(spark, PF.array_range(3)) == [0, 1, 2]
+    assert _one(spark, PF.array_enumerate(arr)) == [1, 2, 3]
+    assert _one(spark, PF.array_with_constant(3, "x")) == ["x", "x", "x"]
+    assert _one(
+        spark,
+        PF.array_sortby(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit(2), F.lit(1))
+        ),
+    ) == ["b", "a"]
+
+
+def test_field_elt_find_in_set(spark):
+    assert _one(spark, PF.field(F.lit("b"), "a", "b", "c")) == 2
+    assert _one(spark, PF.field(F.lit("zz"), "a", "b")) == 0
+    assert _one(spark, PF.elt(F.lit(1), "x", "y")) == "x"
+    assert _one(spark, PF.find_in_set(F.lit("c"), "a,b,c")) == 3
+    assert _one(spark, PF.find_in_set(F.lit("z"), "a,b,c")) == 0
+
+
+def test_sum0_semantics_via_ifnull(spark):
+    # SUM over empty group is NULL; Doris SUM0 yields 0
+    empty = spark.range(0)
+    row = empty.agg(F.coalesce(F.sum("id"), F.lit(0)).alias("s")).collect()[0]
+    assert row["s"] == 0
