@@ -1,0 +1,241 @@
+"""Table-model coverage (SURVEY.md §1.2, §2.1 OLAP_SCAN merge-on-read,
+§2.2 OLAP_TABLE_SINK): DUPLICATE / UNIQUE / AGGREGATE KEY semantics via
+``palo_spark.tables.Table``.
+
+Each query builds a managed table under ``/tmp/palo_spark_tables/<name>``
+from fixture-derived batches (the OLAP_TABLE_SINK write path), then
+returns the merge-on-read view; the oracle replays the same insert
+sequence in pure SQL (UNION ALL + window / GROUP BY) so DuckDB computes
+the expected merged state independently.
+
+Determinism: every batch carries unique keys (pre-aggregated or built
+from a unique source key), so UNIQUE latest-wins and AGGREGATE REPLACE
+are well-defined; summed doubles go through the ``dsum`` quantization
+when more than two addends could meet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.suite.util import register
+from palo_spark.tables import Table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+_ROOT = "/tmp/palo_spark_tables"
+
+
+def _fresh(spark, name, **kw) -> Table:
+    loc = os.path.join(_ROOT, name)
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(loc, exist_ok=True)
+    return Table(spark, name, location=loc, **kw)
+
+
+@q(
+    "table_model_duplicate_append",
+    """
+    WITH all_rows AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_nationkey < 10
+    )
+    SELECT c_nationkey, COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS n_keys
+    FROM all_rows GROUP BY c_nationkey
+    """,
+)
+def table_model_duplicate_append(spark, sf_dir):
+    """DUPLICATE KEY: append-only — two inserts of overlapping rows are
+    both visible (key = sort order only, no merge)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    t = _fresh(spark, "dup_append", keys_type="DUPLICATE", key_cols=["c_custkey"])
+    t.insert(c)
+    t.insert(c.filter(F.col("c_nationkey") < 10))
+    return t.read().groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.countDistinct("c_custkey").alias("n_keys")
+    )
+
+
+@q(
+    "table_model_unique_upsert",
+    """
+    WITH all_v AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 1 AS v FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 1000.0, 'UPD2', 2
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal - 500.0, 'UPD3', 3
+        FROM customer WHERE c_custkey % 5 = 0
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY v DESC) AS rn
+        FROM all_v
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM r WHERE rn = 1
+    """,
+)
+def table_model_unique_upsert(spark, sf_dir):
+    """UNIQUE KEY upsert: three load versions; the highest version wins
+    per key (merge-on-read row_number over version desc — one key
+    shuffle, Doris's exact merge-on-read plan)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    t = _fresh(spark, "uniq_upsert", keys_type="UNIQUE", key_cols=["c_custkey"])
+    t.insert(c)
+    t.insert(
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("c_mktsegment", F.lit("UPD2"))
+    )
+    t.insert(
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") - 500.0)
+        .withColumn("c_mktsegment", F.lit("UPD3"))
+    )
+    return t.read()
+
+
+@q(
+    "table_model_unique_sequence_col",
+    """
+    WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus FROM r WHERE rn = 1
+    """,
+)
+def table_model_unique_sequence_col(spark, sf_dir):
+    """UNIQUE KEY with a sequence column (Doris
+    ``function_column.sequence_col``): all orders loaded in ONE batch;
+    in-batch duplicate keys are resolved by the sequence column, keeping
+    each customer's highest-numbered order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = _fresh(
+        spark,
+        "uniq_seq",
+        keys_type="UNIQUE",
+        key_cols=["o_custkey"],
+        sequence_col="o_orderkey",
+    )
+    t.insert(o)
+    return t.read()
+
+
+@q(
+    "table_model_aggregate_merge",
+    f"""
+    WITH b1 AS (
+        SELECT l_suppkey, l_returnflag,
+               (CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS qty,
+               MAX(l_extendedprice) AS max_price,
+               MIN(l_discount) AS min_disc,
+               MAX(l_linestatus) AS status,
+               1 AS v
+        FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1, 2
+    ), b2 AS (
+        SELECT l_suppkey, l_returnflag,
+               (CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS qty,
+               MAX(l_extendedprice) AS max_price,
+               MIN(l_discount) AS min_disc,
+               MAX(l_linestatus) AS status,
+               2 AS v
+        FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1, 2
+    ), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT l_suppkey, l_returnflag,
+           SUM(qty) AS qty,
+           MAX(max_price) AS max_price,
+           MIN(min_disc) AS min_disc,
+           arg_max(status, v) AS status
+    FROM u GROUP BY 1, 2
+    """,
+)
+def table_model_aggregate_merge(spark, sf_dir):
+    """AGGREGATE KEY: value columns merge per key across loads — SUM /
+    MAX / MIN accumulate, REPLACE keeps the latest version's value
+    (Doris compaction-as-aggregation). Two batches split by order
+    parity; per-batch pre-aggregation keeps keys unique per rowset."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def batch(pred):
+        return (
+            li.filter(pred)
+            .groupBy("l_suppkey", "l_returnflag")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("l_quantity") * 1e6).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e6
+                ).alias("qty"),
+                F.max("l_extendedprice").alias("max_price"),
+                F.min("l_discount").alias("min_disc"),
+                F.max("l_linestatus").alias("status"),
+            )
+        )
+
+    t = _fresh(
+        spark,
+        "agg_merge",
+        keys_type="AGGREGATE",
+        key_cols=["l_suppkey", "l_returnflag"],
+        agg_spec={
+            "qty": "SUM",
+            "max_price": "MAX",
+            "min_disc": "MIN",
+            "status": "REPLACE",
+        },
+    )
+    t.insert(batch(F.col("l_orderkey") % 2 == 0))
+    t.insert(batch(F.col("l_orderkey") % 2 == 1))
+    return t.read()
+
+
+@q(
+    "table_model_delete_compact",
+    """
+    WITH all_v AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal * 2.0, 'DOUBLED', 2
+        FROM customer WHERE c_custkey % 4 = 0
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY v DESC) AS rn
+        FROM all_v
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM r
+    WHERE rn = 1 AND NOT (c_acctbal < 0.0)
+    """,
+)
+def table_model_delete_compact(spark, sf_dir):
+    """DELETE + compaction: upsert two versions, delete negative
+    balances (predicate delete → storage rewrite), compact to a single
+    rowset, read back. The post-compaction view must equal the logical
+    merge-then-filter."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t = _fresh(spark, "del_compact", keys_type="UNIQUE", key_cols=["c_custkey"])
+    t.insert(c)
+    t.insert(
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2.0)
+        .withColumn("c_mktsegment", F.lit("DOUBLED"))
+    )
+    t.delete_where(F.col("c_acctbal") < 0.0)
+    t.compact()
+    assert len(t.meta.rowsets) == 1, "compact must leave exactly one rowset"
+    return t.read()

@@ -1,0 +1,267 @@
+"""The three Doris table models as insert-time semantics + merge-on-read
+views (SURVEY.md §1.2; upstream ``fe/.../catalog/KeysType.java``,
+``AggregateType.java``; docs: data-model).
+
+A :class:`Table` is a managed directory of immutable **rowsets** (one
+parquet dir per ``insert``, stamped with a monotonically increasing
+version — the same structure as Doris rowsets/versions). Queries read a
+**merge-on-read view**; :meth:`compact` materializes that view back into
+a single rowset (Doris base compaction).
+
+Model semantics:
+
+- ``DUPLICATE`` — append-only; the view is a plain union of rowsets.
+- ``UNIQUE`` — upsert: for each key, the row from the highest version
+  wins (merge-on-read, ``row_number() == 1`` over a version-descending
+  window — one hash shuffle on the key, exactly the distribution Doris
+  uses). An optional **sequence column** (Doris
+  ``function_column.sequence_col``) breaks ties *within* a version;
+  without one, in-batch duplicate keys are resolved arbitrarily (same
+  contract as Doris).
+- ``AGGREGATE`` — each value column carries an aggregate type:
+  ``SUM | MIN | MAX | REPLACE | REPLACE_IF_NOT_NULL``; rows with equal
+  keys are pre-merged. SUM/MIN/MAX are associative so batch order is
+  irrelevant; REPLACE takes the value at the highest version
+  (``max_by(col, version)``), REPLACE_IF_NOT_NULL the latest non-null.
+
+Scale design: ``insert`` is a distributed parquet append (no driver
+data); the merge view is one key-shuffle (window or hash-agg), which AQE
+sizes at runtime; ``compact`` bounds read amplification exactly like
+Doris compaction — at 100 TB you compact when rowset count grows, and
+the view cost is O(live rowsets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_VERSION_COL = "__palo_version"
+_META_FILE = "_palo_table.json"
+
+KEYS_TYPES = ("DUPLICATE", "UNIQUE", "AGGREGATE")
+AGG_TYPES = ("SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL")
+
+
+@dataclass
+class TableMeta:
+    name: str
+    keys_type: str
+    key_cols: list[str]
+    agg_spec: dict[str, str] = field(default_factory=dict)
+    sequence_col: str | None = None
+    partition_by: list[str] = field(default_factory=list)
+    #: committed rowsets: [{"version": int, "path": str, "label": str|None}]
+    rowsets: list[dict] = field(default_factory=list)
+    #: load labels already applied (Stream/Broker Load idempotency ledger)
+    labels: list[str] = field(default_factory=list)
+
+
+class Table:
+    """A managed table with Doris key-model semantics on parquet storage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys_type: str,
+        key_cols: list[str],
+        agg_spec: dict[str, str] | None = None,
+        sequence_col: str | None = None,
+        partition_by: list[str] | None = None,
+        location: str | None = None,
+    ) -> None:
+        keys_type = keys_type.upper()
+        if keys_type not in KEYS_TYPES:
+            raise ValueError(f"keys_type must be one of {KEYS_TYPES}")
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        agg_spec = {k: v.upper() for k, v in (agg_spec or {}).items()}
+        for c, a in agg_spec.items():
+            if a not in AGG_TYPES:
+                raise ValueError(f"unknown aggregate type {a!r} for column {c!r}")
+            if c in key_cols:
+                raise ValueError(f"key column {c!r} cannot carry an aggregate type")
+        if keys_type == "AGGREGATE" and not agg_spec:
+            raise ValueError("AGGREGATE keys_type requires agg_spec")
+        if keys_type != "AGGREGATE" and agg_spec:
+            raise ValueError("agg_spec only applies to AGGREGATE keys_type")
+        if sequence_col and keys_type != "UNIQUE":
+            raise ValueError("sequence_col only applies to UNIQUE keys_type")
+
+        self.spark = spark
+        self.location = location or tempfile.mkdtemp(prefix=f"palo_{name}_")
+        os.makedirs(self.location, exist_ok=True)
+        self.meta = TableMeta(
+            name=name,
+            keys_type=keys_type,
+            key_cols=list(key_cols),
+            agg_spec=agg_spec,
+            sequence_col=sequence_col,
+            partition_by=list(partition_by or []),
+        )
+        self._save_meta()
+
+    # ------------------------------------------------------------- storage
+
+    def _save_meta(self) -> None:
+        tmp = os.path.join(self.location, f".{_META_FILE}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(self.meta.__dict__, f)
+        os.replace(tmp, os.path.join(self.location, _META_FILE))
+
+    @classmethod
+    def open(cls, spark: SparkSession, location: str) -> "Table":
+        """Re-attach to an existing table directory."""
+        with open(os.path.join(location, _META_FILE)) as f:
+            d = json.load(f)
+        t = cls.__new__(cls)
+        t.spark = spark
+        t.location = location
+        t.meta = TableMeta(**d)
+        return t
+
+    @property
+    def _next_version(self) -> int:
+        return max((r["version"] for r in self.meta.rowsets), default=0) + 1
+
+    # -------------------------------------------------------------- writes
+
+    def insert(self, df: DataFrame, label: str | None = None) -> int:
+        """Load one batch as a new rowset; returns the committed version.
+
+        ``label`` is the Stream/Broker-Load idempotency key: re-inserting
+        an already-applied label is a no-op (Doris label dedup ledger).
+        The write lands in a temp dir first and is committed by a single
+        metadata update — a failed job leaves no visible partial rowset.
+        """
+        if label is not None and label in self.meta.labels:
+            return -1  # already applied — idempotent no-op
+        self._check_schema(df)
+        version = self._next_version
+        path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if self.meta.partition_by:
+            writer = writer.partitionBy(*self.meta.partition_by)
+        writer.parquet(path)
+        self.meta.rowsets.append({"version": version, "path": path, "label": label})
+        if label is not None:
+            self.meta.labels.append(label)
+        self._save_meta()
+        return version
+
+    def delete_where(self, condition) -> None:
+        """Doris DELETE: rewrite storage without the matching rows (the
+        parquet equivalent of a delete-predicate + compaction). Rows for
+        which the predicate is NULL are kept — only TRUE matches delete.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
+        self._replace_storage(kept)
+
+    def compact(self) -> None:
+        """Materialize the merge-on-read view into a single rowset
+        (Doris base compaction: applies model merge semantics eagerly)."""
+        self._replace_storage(self.read())
+
+    def _replace_storage(self, df: DataFrame) -> None:
+        version = self._next_version
+        path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if self.meta.partition_by:
+            writer = writer.partitionBy(*self.meta.partition_by)
+        writer.parquet(path)
+        old_paths = [r["path"] for r in self.meta.rowsets]
+        self.meta.rowsets = [{"version": version, "path": path, "label": None}]
+        self._save_meta()
+        for p in old_paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def _check_schema(self, df: DataFrame) -> None:
+        cols = set(df.columns)
+        missing = [c for c in self.meta.key_cols if c not in cols]
+        if missing:
+            raise ValueError(f"insert batch missing key columns: {missing}")
+        if self.meta.sequence_col and self.meta.sequence_col not in cols:
+            raise ValueError(f"insert batch missing sequence column {self.meta.sequence_col!r}")
+        for c in self.meta.agg_spec:
+            if c not in cols:
+                raise ValueError(f"insert batch missing value column {c!r}")
+
+    # --------------------------------------------------------------- reads
+
+    def _raw(self) -> DataFrame | None:
+        """Union of all rowsets with the version column attached."""
+        dfs = []
+        for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
+            dfs.append(
+                self.spark.read.parquet(r["path"]).withColumn(
+                    _VERSION_COL, F.lit(r["version"]).cast("long")
+                )
+            )
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(self) -> DataFrame:
+        """The merge-on-read view (what a query over this table sees)."""
+        raw = self._raw()
+        if raw is None:
+            raise ValueError(f"table {self.meta.name!r} has no data")
+        data_cols = [c for c in raw.columns if c != _VERSION_COL]
+
+        if self.meta.keys_type == "DUPLICATE":
+            return raw.select(*data_cols)
+
+        if self.meta.keys_type == "UNIQUE":
+            order = [F.desc(_VERSION_COL)]
+            if self.meta.sequence_col:
+                order.append(F.desc(self.meta.sequence_col))
+            w = Window.partitionBy(*self.meta.key_cols).orderBy(*order)
+            return (
+                raw.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(*data_cols)
+            )
+
+        # AGGREGATE: pre-merge value columns per key
+        aggs = []
+        for c in data_cols:
+            if c in self.meta.key_cols:
+                continue
+            a = self.meta.agg_spec.get(c, "REPLACE")
+            col = F.col(c)
+            if a == "SUM":
+                aggs.append(F.sum(col).alias(c))
+            elif a == "MIN":
+                aggs.append(F.min(col).alias(c))
+            elif a == "MAX":
+                aggs.append(F.max(col).alias(c))
+            elif a == "REPLACE":
+                aggs.append(F.max_by(col, F.col(_VERSION_COL)).alias(c))
+            else:  # REPLACE_IF_NOT_NULL — latest version where value non-null
+                aggs.append(
+                    F.max_by(
+                        col, F.when(col.isNotNull(), F.col(_VERSION_COL))
+                    ).alias(c)
+                )
+        return raw.groupBy(*self.meta.key_cols).agg(*aggs).select(*data_cols)
+
+    def register(self, view_name: str | None = None) -> str:
+        """Expose the merge view to ``spark.sql`` as a temp view."""
+        name = view_name or self.meta.name
+        self.read().createOrReplaceTempView(name)
+        return name
+
+    def drop(self) -> None:
+        shutil.rmtree(self.location, ignore_errors=True)

@@ -1,0 +1,119 @@
+"""Unit tests for Doris table-model semantics (palo_spark/tables.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from palo_spark.tables import Table
+
+ROOT = "/tmp/palo_spark_test_tables"
+
+
+def _mk(spark, name, **kw) -> Table:
+    loc = os.path.join(ROOT, name)
+    shutil.rmtree(loc, ignore_errors=True)
+    return Table(spark, name, location=loc, **kw)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_duplicate_appends_everything(spark):
+    t = _mk(spark, "dup", keys_type="DUPLICATE", key_cols=["k"])
+    df = spark.createDataFrame([Row(k=1, x=10), Row(k=1, x=20)])
+    t.insert(df)
+    t.insert(df)
+    assert t.read().count() == 4
+
+
+def test_unique_latest_version_wins(spark):
+    t = _mk(spark, "uniq", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=10), Row(k=2, x=20)]))
+    t.insert(spark.createDataFrame([Row(k=2, x=99), Row(k=3, x=30)]))
+    assert _rows(t.read(), "k", "x") == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_unique_sequence_col_breaks_in_batch_ties(spark):
+    t = _mk(spark, "uniq_seq", keys_type="UNIQUE", key_cols=["k"], sequence_col="seq")
+    t.insert(
+        spark.createDataFrame(
+            [Row(k=1, seq=5, x="a"), Row(k=1, seq=9, x="b"), Row(k=1, seq=7, x="c")]
+        )
+    )
+    assert _rows(t.read(), "k", "x") == [(1, "b")]
+    # a later version still beats a higher in-batch sequence
+    t.insert(spark.createDataFrame([Row(k=1, seq=1, x="z")]))
+    assert _rows(t.read(), "k", "x") == [(1, "z")]
+
+
+def test_aggregate_merge_semantics(spark):
+    t = _mk(
+        spark,
+        "aggt",
+        keys_type="AGGREGATE",
+        key_cols=["k"],
+        agg_spec={"s": "SUM", "mn": "MIN", "mx": "MAX", "r": "REPLACE", "rn": "REPLACE_IF_NOT_NULL"},
+    )
+    t.insert(spark.createDataFrame([Row(k=1, s=10, mn=5, mx=5, r="v1", rn="keep")]))
+    t.insert(
+        spark.createDataFrame(
+            [(1, 7, 3, 9, "v2", None), (2, 1, 1, 1, "new", None)],
+            "k long, s long, mn long, mx long, r string, rn string",
+        )
+    )
+    got = {r["k"]: r for r in t.read().collect()}
+    assert got[1]["s"] == 17 and got[1]["mn"] == 3 and got[1]["mx"] == 9
+    assert got[1]["r"] == "v2"
+    assert got[1]["rn"] == "keep"  # REPLACE_IF_NOT_NULL ignores the NULL in v2
+    assert got[2]["s"] == 1 and got[2]["rn"] is None
+
+
+def test_label_dedup_is_idempotent(spark):
+    t = _mk(spark, "labels", keys_type="DUPLICATE", key_cols=["k"])
+    df = spark.createDataFrame([Row(k=1, x=1)])
+    assert t.insert(df, label="load-1") == 1
+    assert t.insert(df, label="load-1") == -1  # replayed label → no-op
+    assert t.read().count() == 1
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    t = _mk(spark, "del", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=5), Row(k=2, x=-1), Row(k=3, x=None)]))
+    t.delete_where(F.col("x") < 0)
+    assert _rows(t.read(), "k") == [(1,), (3,)]
+
+
+def test_compact_single_rowset_same_view(spark):
+    t = _mk(spark, "cmp", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=i, x=i) for i in range(10)]))
+    t.insert(spark.createDataFrame([Row(k=i, x=i * 100) for i in range(0, 10, 2)]))
+    before = _rows(t.read(), "k", "x")
+    t.compact()
+    assert len(t.meta.rowsets) == 1
+    assert _rows(t.read(), "k", "x") == before
+
+
+def test_open_reattaches(spark):
+    t = _mk(spark, "reopen", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=1)]))
+    t2 = Table.open(spark, t.location)
+    assert t2.meta.keys_type == "UNIQUE"
+    assert t2.read().count() == 1
+
+
+def test_validation_errors(spark):
+    with pytest.raises(ValueError, match="keys_type"):
+        _mk(spark, "bad1", keys_type="NOPE", key_cols=["k"])
+    with pytest.raises(ValueError, match="agg_spec"):
+        _mk(spark, "bad2", keys_type="AGGREGATE", key_cols=["k"])
+    with pytest.raises(ValueError, match="key column"):
+        _mk(spark, "bad3", keys_type="AGGREGATE", key_cols=["k"], agg_spec={"k": "SUM"})
+    t = _mk(spark, "bad4", keys_type="UNIQUE", key_cols=["k"])
+    with pytest.raises(ValueError, match="missing key"):
+        t.insert(spark.createDataFrame([Row(z=1)]))
