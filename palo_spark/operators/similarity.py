@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same contract:
+
+- **exact**: brute-force cosine top-k. The dot product is a native
+  ``zip_with`` + ``aggregate`` fold (JVM lambda, no Python), the top-k a
+  ``TakeOrderedAndProject`` — a single scan, no shuffle beyond the final
+  k-row gather. This is the *correct* baseline at any scale where a full
+  scan is acceptable (and the oracle for the ANN path).
+- **ANN via random-hyperplane LSH**: sign-of-projection onto ``p``
+  deterministic hyperplanes → p-bit bucket; only the query's bucket
+  (plus optional multi-probe neighbors at Hamming 1) is scanned exactly.
+  At 100 TB the bucketed parquet layout turns this into partition
+  pruning: the scan reads ~|bucket| rows instead of everything.
+
+Hyperplanes are generated from a fixed seed (numpy ``default_rng``)
+driver-side and shipped as literal arrays — deterministic across runs,
+no randomness inside the plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _qdot(a, b, m: float = 1e6):
+    """Order-independent dot product: per-element products are floored
+    to 1/m granularity and summed as exact integers. Engines may sum a
+    plain double fold in different orders (or SIMD-pairwise); integer
+    addition is associative, so this form is bit-identical everywhere.
+    """
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * m).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a, b, *, quantized: bool = False):
+    """Cosine similarity of two ``array<float|double>`` columns.
+
+    ``quantized=True`` computes dot/norms via :func:`_qdot` — a
+    ~1e-6-accurate score that is deterministic across engines and
+    summation orders (use for oracle comparison and stable ranking).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    if quantized:
+        return _qdot(a, b).cast("double") / F.sqrt(
+            _qdot(a, a).cast("double") * _qdot(b, b).cast("double")
+        )
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def similarity_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantized: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    Returns (id, score) ordered by score desc, id asc (deterministic
+    tie-break). Plan: scan → per-row fold → TakeOrderedAndProject(k).
+    """
+    q = _vec_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q, quantized=quantized).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    quantized: bool = False,
+) -> DataFrame:
+    """k nearest corpus rows for EACH query row (brute force).
+
+    The query side is broadcast (it's the small side by construction);
+    per-query top-k via ``row_number`` — Catalyst's WindowGroupLimit
+    keeps a bounded heap per query, so memory is O(k·|queries|) per
+    task, not O(|corpus|).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id),
+        F.col(c_id),
+        cosine_similarity(F.col(c_vec), F.col(q_vec), quantized=quantized).alias("score"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """p-bit signature: bit i = sign(dot(vec, plane_i)) — one int column.
+
+    Use as a partition/bucket key on write (``df.write.partitionBy``) so
+    queries prune to one bucket's files.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(_dot(v, _vec_lit(p)) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def similarity_topk_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    quantized: bool = False,
+) -> DataFrame:
+    """ANN top-k: scan only the query's LSH bucket (± Hamming-1 probes).
+
+    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
+    higher recall, more scan) and ``multiprobe``. The exact scorer runs
+    on the candidate set only.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(np.asarray(query_vec, dtype=float), np.asarray(p))) > 0:
+            q_bucket |= 1 << i
+    probes = [q_bucket]
+    if multiprobe:
+        probes += [q_bucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
+    cands = bucketed.filter(F.col("__bucket").isin(probes))
+    return similarity_topk(
+        cands, query_vec, k, vec_col=vec_col, id_col=id_col, quantized=quantized
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything is native Catalyst expression work (regexp, split, array
+higher-order functions, joins) — per-row projections plus explicitly
+keyed aggregations, nothing driver-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword sets for the language-ID heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "con"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "des", "est", "dans"],
+}
+
+#: a BPE-ish pre-tokenization: word pieces, numbers, or single non-space
+#: symbols (approximates GPT-2's pre-tokenizer classes without the lib)
+_BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(col, *, lowercase: bool = True):
+    """Whitespace tokenization of a text column → ``array<string>``."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col, *, mode: str = "whitespace"):
+    """Token count: ``whitespace`` splits on runs of spaces; ``bpe``
+    counts word/number/symbol pieces (a deterministic stand-in for a
+    real BPE tokenizer's pre-tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(c), r"\s+"))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(_BPE_REGEX), 0))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def quality_score(col):
+    """Heuristic document quality in [0, 1] from cheap signals:
+
+    - length score: saturating ramp over characters (cap 500),
+    - word-length sanity: mean word length in [3, 12],
+    - punctuation ratio penalty,
+    - stopword presence bonus (English stopword hit ratio).
+
+    Same family of signals as C4/Gopher quality filters, all
+    expressible as native column math.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.size(words).cast("double")
+    mean_wlen = n_chars / F.greatest(n_words, F.lit(1.0))
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    sw = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(words), sw)).cast("double")
+
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.3)
+    punct_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (n_punct / F.greatest(n_chars, F.lit(1.0))) * 5.0
+    )
+    sw_score = F.least(sw_hits / F.lit(3.0), F.lit(1.0))
+    return (
+        len_score * 0.3 + wlen_score * 0.3 + punct_score * 0.2 + sw_score * 0.2
+    ).alias("quality")
+
+
+def lang_id(col):
+    """Heuristic language ID → (lang, confidence) struct.
+
+    Signals, in priority order:
+    1. CJK character ratio → ``zh``; Cyrillic → ``ru`` (script is the
+       strongest signal and needs no dictionary),
+    2. else the stopword dictionary with the highest hit count,
+    3. else ``und`` (confidence 0).
+
+    A real pipeline would swap in fastText — the operator contract
+    (per-row, no shuffle) stays the same.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")).cast("double") / n_chars
+    cyr = F.length(F.regexp_replace(c, r"[^Ѐ-ӿ]", "")).cast("double") / n_chars
+    words = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    hits = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sws]))).cast(
+            "double"
+        )
+        for lang, sws in _LANG_STOPWORDS.items()
+    }
+    best_lang = F.lit("und")
+    best_hits = F.lit(0.0)
+    for lang, h in hits.items():
+        cond = h > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+
+    return F.when(
+        cjk > 0.2, F.struct(F.lit("zh").alias("lang"), cjk.alias("confidence"))
+    ).when(
+        cyr > 0.2, F.struct(F.lit("ru").alias("lang"), cyr.alias("confidence"))
+    ).otherwise(
+        F.struct(
+            best_lang.alias("lang"),
+            F.least(best_hits / F.lit(5.0), F.lit(1.0)).alias("confidence"),
+        )
+    )
+
+
+def doc_fingerprint(col):
+    """Order-insensitive 64-bit document fingerprint: xxhash64 over the
+    sorted distinct token set (collapses word-order permutations and
+    duplicates; cheap bag-of-words identity for audit joins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+")))
+    return F.xxhash64(F.array_join(toks, ""))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    top_k: int = 3,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = term count in doc; idf = ln(N / df_t). Two keyed shuffles
+    (term stats, then per-doc top-k via WindowGroupLimit) — the
+    standard scalable shape; no driver-side vocabulary.
+
+    ``quantize`` floors scores to that granularity *before* ranking:
+    two mathematically-equal scores computed via different ln() calls
+    can order differently across engines/libms, so cross-engine
+    comparisons should rank on a quantized score (term is the
+    tie-break).
+    """
+    n_docs = df.count()  # one lightweight job; N is a scalar broadcast
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    ).groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    scored = terms.join(dfreq, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+    )
+    if quantize:
+        m = 1.0 / quantize
+        scored = scored.withColumn(
+            "tfidf", F.floor(F.col("tfidf") * m).cast("double") / m
+        )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -1,0 +1,428 @@
+"""LLM-data-pipeline operator coverage (SURVEY.md §2.8; BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal —
+over the ``documents`` and ``embeddings`` fixtures.
+
+Oracle strategy:
+- Hash-free operators (exact dedup, n-gram Jaccard, tf-idf, quality
+  score, token stats, multimodal plumbing) are mirrored exactly in
+  DuckDB SQL.
+- Hash-based operators (MinHash, similarity scores) can't be replayed
+  in another engine; instead the *outcome* is oracle-checked where it
+  is provably stable (exact-duplicate variants under MinHash — the
+  estimated Jaccard of identical texts is exactly 1.0 regardless of
+  hash function), and pytest covers the statistical behavior.
+- Engine-specific fingerprints (SimHash, xxhash) get rows-only entries
+  plus pytest unit checks.
+
+Float determinism: similarity scores use the operators' ``quantized``
+mode (integer-quantized element products — bit-identical across
+engines and summation orders); tf-idf ranks on floor-quantized scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.operators import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+    similarity_topk,
+    similarity_topk_lsh,
+    knn_join,
+    quality_score,
+    token_count,
+    lang_id,
+    doc_fingerprint,
+    tfidf_top_terms,
+    pack_media,
+    decode_media,
+    sample_frames,
+)
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+def _with_exact_variants(d):
+    """documents ∪ exact-duplicate copies of every 5th doc (new ids)."""
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dup)
+
+
+_VARIANTS_SQL = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@q(
+    "dedup_exact_docs",
+    f"""
+    WITH all_docs AS ({_VARIANTS_SQL}),
+    r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM all_docs
+    )
+    SELECT doc_id, n_chars FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup on normalized content hash: duplicated docs collapse
+    to the lowest doc_id. One hash shuffle — the canonical exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(_with_exact_variants(d)).select("doc_id", "n_chars")
+
+
+@q(
+    "dedup_minhash_fuzzy",
+    r"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(length(norm) - 4, 1)),
+                   i -> substr(norm, i, 5))) AS sh
+        FROM (SELECT doc_id, n_chars,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+              FROM documents WHERE doc_id < 250)
+    ),
+    ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS i
+        FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    dup AS (SELECT DISTINCT id_b FROM cand WHERE i / (n_a + n_b - i) >= 0.9)
+    SELECT doc_id, n_chars FROM s WHERE doc_id NOT IN (SELECT id_b FROM dup)
+    """,
+)
+def dedup_minhash_fuzzy(spark, sf_dir):
+    """MinHash+LSH fuzzy dedup over the corpus's NATURAL near-dups (the
+    fixture contains reordered word-bag documents with ~identical
+    shingle sets). LSH band buckets generate candidates — never
+    all-pairs — and each candidate is verified with the TRUE shingle-set
+    Jaccard (``verify_exact``, the production design), so the output is
+    exact and hash-independent: the oracle recomputes it via an
+    inverted-index join in SQL. A true-Jaccard-0.9 pair escapes the
+    16x4 banding with probability (1-0.9^4)^16 ~ 1e-8.
+    Estimated-Jaccard mode (``verify_exact=False``) is hash-specific
+    and pytest-checked instead. Restricted to a doc subset purely to
+    keep the ORACLE's brute-ish inverted join fast — the Spark side's
+    LSH candidate join stays selective at any size.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return dedup_minhash(d, threshold=0.9, n_hashes=64, bands=16).select(
+        "doc_id", "n_chars"
+    )
+
+
+@q("dedup_simhash_docs")  # rows-only: 64-bit fingerprint is engine-specific
+def dedup_simhash_docs(spark, sf_dir):
+    """SimHash near-dup removal (Hamming ≤ 3 via 16-bit chunk buckets).
+    Exact variants have Hamming distance 0 and must all be removed;
+    fingerprint values are engine-specific → rows-only + pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_simhash(_with_exact_variants(d)).select("doc_id", "n_chars")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM docs),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS i
+        FROM ex a JOIN ex b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, i / (n_a + n_b - i) AS jaccard
+    FROM inter WHERE i / (n_a + n_b - i) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard pairs (inverted-index join, never
+    all-pairs) — the quadratic-free exact near-dup detector. Low
+    threshold so the word-soup corpus yields a non-trivial pair set."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _o_qdot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1000000.0) "
+        f"AS BIGINT))) AS BIGINT)"
+    )
+
+
+@q(
+    "similarity_search_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               CAST({_o_qdot('embedding', 'qv')} AS DOUBLE)
+               / sqrt(CAST({_o_qdot('embedding', 'embedding')} AS DOUBLE)
+                      * CAST({_o_qdot('qv', 'qv')} AS DOUBLE)) AS score
+        FROM embeddings, q
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_search_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for one query vector (vec_id 0) —
+    scan → JVM lambda fold → TakeOrderedAndProject; quantized scoring
+    for cross-engine determinism."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity_topk(e, qv, k=10, quantized=True)
+
+
+@q(
+    "similarity_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               CAST({_o_qdot('e.embedding', 'q.q_vec')} AS DOUBLE)
+               / sqrt(CAST({_o_qdot('e.embedding', 'e.embedding')} AS DOUBLE)
+                      * CAST({_o_qdot('q.q_vec', 'q.q_vec')} AS DOUBLE)) AS score
+        FROM embeddings e, q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_knn_join(spark, sf_dir):
+    """kNN join: top-5 corpus neighbors for each of 3 query vectors —
+    broadcast queries × corpus scan + WindowGroupLimit bounded heap."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join(queries, e, k=5, quantized=True)
+
+
+@q("similarity_search_lsh")  # rows-only: buckets depend on seeded hyperplanes
+def similarity_search_lsh(spark, sf_dir):
+    """ANN top-10 via random-hyperplane LSH (multi-probe Hamming-1):
+    scans only the query's buckets, then exact-scores candidates.
+    Recall vs brute force is pytest-checked; the plan shape (bucket
+    filter → fold → TopK) is the 100 TB path where buckets become
+    partition pruning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity_topk_lsh(e, qv, k=10, n_planes=8, quantized=True)
+
+
+# ------------------------------------------------------------------- text
+
+
+@q(
+    "text_quality_score",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               string_split(lower(trim(text)), ' ') AS words,
+               CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS n_punct
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_chars_d, n_punct,
+               CAST(len(words) AS DOUBLE) AS n_words,
+               n_chars_d / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_wlen,
+               CAST(len(list_filter(list_distinct(words),
+                    w -> list_contains(['the','and','of','to','in','is','that','for','with','was'], w)))
+                    AS DOUBLE) AS sw_hits
+        FROM s
+    )
+    SELECT doc_id,
+           FLOOR((
+             least(n_chars_d / 500.0, 1.0) * 0.3
+             + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+             + greatest(0.0, 1.0 - (n_punct / greatest(n_chars_d, 1.0)) * 5.0) * 0.2
+             + least(sw_hits / 3.0, 1.0) * 0.2
+           ) * 1000000.0) / 1000000.0 AS q
+    FROM f
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length / word-length / punctuation /
+    stopword signals — C4/Gopher-style filters), mirrored term-by-term
+    in the oracle; floor-quantized."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.floor(quality_score("text") * 1e6).cast("double") / 1e6).alias("q"),
+    )
+
+
+@q(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish pre-tokenization (the
+    deterministic stand-in for a real tokenizer's piece count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text", mode="whitespace").alias("ws_tokens"),
+        token_count("text", mode="bpe").alias("bpe_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+
+
+@q(
+    "text_tfidf_top_terms",
+    """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               FLOOR(tf.tf * ln(n.n_docs / dfreq.df_t) * 1000000.0) / 1000000.0 AS tfidf
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf — explode → two keyed aggs →
+    WindowGroupLimit top-k; ranks on floor-quantized scores so the
+    ordering is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_k=3, quantize=1e-6)
+
+
+@q("text_lang_id")  # rows-only: Java vs RE2 unicode-class edges differ
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic (script ratios + stopword dictionaries):
+    distribution of detected languages over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("lid"))
+        .groupBy(F.col("lid.lang").alias("lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "text_fingerprint_distinct",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT array_to_string(
+               list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ''))
+               AS BIGINT) AS n_distinct_fp
+    FROM documents
+    """,
+)
+def text_fingerprint_distinct(spark, sf_dir):
+    """Bag-of-words fingerprint (xxhash64 of the sorted distinct token
+    set): the distinct-count must equal the distinct token-set count —
+    checkable without mirroring the hash (collision-free at this scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(doc_fingerprint("text")).alias("n_distinct_fp"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@q(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           'image/png' AS mime,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames,
+           CAST(0 AS INT) AS sample_rate,
+           CAST(octet_length(encode(text)) AS INT) AS body_len
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Multimodal plumbing end-to-end: pack text fixtures into binary
+    payloads with a deterministic fake-codec header (native exprs),
+    then decode via an Arrow-batched ``mapInPandas`` UDF — the exact
+    shape a real image/audio decode uses. The oracle recomputes the
+    header fields from the source columns."""
+    d = load_table(spark, sf_dir, "documents")
+    media = pack_media(d, text_col="text", id_col="doc_id")
+    return decode_media(media)
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, CAST(doc_id % 7 AS INT), 2)) AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: every-2nd-frame lateral explode over the
+    metadata's frame count — shuffle-free row generation."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            (F.col("doc_id") % 7 + 1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_n=2)

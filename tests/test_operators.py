@@ -1,0 +1,251 @@
+"""Unit tests for the LLM-pipeline operators (palo_spark/operators)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.operators import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+    similarity_topk,
+    similarity_topk_lsh,
+    knn_join,
+    quality_score,
+    token_count,
+    lang_id,
+    doc_fingerprint,
+    tfidf_top_terms,
+    pack_media,
+    decode_media,
+    sample_frames,
+)
+from palo_spark.operators.multimodal import fake_payload, parse_fake_header
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet village roofs and the river winds between the old stone houses"
+)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_dedup_exact_normalizes_whitespace(spark):
+    df = _docs(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO   WORLD "), (4, "other")],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert kept == [1, 4]
+
+
+def test_dedup_minhash_removes_near_dups(spark):
+    df = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE + " zz"),  # near-dup of 1
+            (3, "completely different text about spark and parquet files"),
+        ],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_minhash(df, threshold=0.7).collect())
+    assert kept == [1, 3]
+
+
+def test_dedup_minhash_estimated_mode(spark):
+    df = _docs(spark, [(1, BASE), (2, BASE), (3, "unrelated words entirely")])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_minhash(df, threshold=0.95, verify_exact=False).collect()
+    )
+    assert kept == [1, 3]  # identical text → est Jaccard exactly 1.0
+
+
+def test_dedup_minhash_iterations_chain(spark):
+    # a↔b similar, b↔c similar, a↔c less so: 2 iterations collapse all to 1
+    df = _docs(spark, [(1, BASE), (2, BASE + " xx"), (3, BASE + " xx yy zz qq")])
+    kept1 = sorted(r["doc_id"] for r in dedup_minhash(df, threshold=0.9).collect())
+    assert 1 in kept1
+    kept2 = sorted(
+        r["doc_id"] for r in dedup_minhash(df, threshold=0.9, iterations=2).collect()
+    )
+    assert kept2 == [1]
+
+
+def test_dedup_simhash_near_dup(spark):
+    df = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("village", "hamlet")),  # one token changed
+            (3, "spark sql window functions over partitioned parquet data lakes"),
+        ],
+    )
+    kept = sorted(r["doc_id"] for r in dedup_simhash(df).collect())
+    assert kept == [1, 3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: grams {a b c, b c d}; doc2: {a b c, b c e} → jaccard 1/3
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_similarity_topk_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    pdf = e.toPandas()
+    q = np.array(pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    mat = np.stack([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    expected = pdf["vec_id"].to_numpy()[order][:10].tolist()
+
+    got = [r["vec_id"] for r in similarity_topk(e, q.tolist(), k=10).collect()]
+    assert got == expected
+
+
+def test_similarity_lsh_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).head()["embedding"]
+    exact = {r["vec_id"] for r in similarity_topk(e, qv, k=10).collect()}
+    # 4 planes → 16 buckets over 500 vectors; multi-probe scans ~5/16 of
+    # the corpus. Near-random synthetic embeddings are LSH's worst case,
+    # so the recall bar is modest; the query vector itself must always
+    # land in its own bucket.
+    ann = {r["vec_id"] for r in similarity_topk_lsh(e, qv, k=10, n_planes=4).collect()}
+    assert 0 in ann
+    assert len(exact & ann) >= 5
+
+
+def test_knn_join_self_is_rank_one(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(queries, e, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q_id  # cosine(v, v) = 1 is the top hit
+        assert best["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_quality_score_ordering(spark):
+    df = _docs(
+        spark,
+        [
+            (1, BASE),  # clean english prose
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),  # punctuation soup
+        ],
+    )
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_lang_id_heuristics(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is in that house for the winter"),
+            (2, "der hund und die katze ist nicht mit den kindern"),
+            (3, "el perro y la casa de los niños en un puerto"),
+            (4, "这是一个中文句子 关于数据处理 的简单测试"),
+        ],
+    )
+    got = {r["doc_id"]: r["lid"]["lang"] for r in df.select("doc_id", lang_id("text").alias("lid")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "zh"}
+
+
+def test_token_count_modes(spark):
+    df = _docs(spark, [(1, "hello, world 42x")])
+    row = df.select(
+        token_count("text", mode="whitespace").alias("ws"),
+        token_count("text", mode="bpe").alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 3
+    assert row["bpe"] == 5  # hello , world 42 x
+
+
+def test_doc_fingerprint_order_invariant(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha"), (3, "alpha beta delta")])
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_tfidf_rare_term_wins(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common rareword"),
+            (2, "common filler"),
+            (3, "common other words"),
+        ],
+    )
+    top = tfidf_top_terms(df, top_k=1).collect()
+    doc1 = [r for r in top if r["doc_id"] == 1][0]
+    assert doc1["term"] == "rareword"  # df=1 beats the ubiquitous 'common'
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_fake_payload_roundtrip():
+    p = fake_payload("audio/wav", 0, 0, n_frames=100, sample_rate=16000, body=b"pcm")
+    meta = parse_fake_header(p)
+    assert meta["mime"] == "audio/wav"
+    assert meta["sample_rate"] == 16000
+    assert meta["body_len"] == 3
+
+
+def test_parse_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        parse_fake_header(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_pack_decode_media(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_media(pack_media(d, text_col="text", id_col="doc_id")).collect()
+    src = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert len(out) == 20
+    for r in out:
+        assert r["mime"] == "image/png"
+        assert r["width"] == r["media_id"] % 640 + 16
+        assert r["body_len"] == len(src[r["media_id"]].encode())
+
+
+def test_sample_frames_every_n(spark):
+    media = spark.createDataFrame([(1, 7), (2, 1)], "media_id long, nf int").select(
+        "media_id",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col("nf").alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    rows = sample_frames(media, every_n=3).collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
+    assert got == [(1, 0), (1, 3), (1, 6), (2, 0)]
