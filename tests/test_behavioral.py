@@ -1,0 +1,115 @@
+"""Unit tests for behavioral aggregates with hand-built event sequences."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from palo_spark.functions.behavioral import (
+    _compile_pattern,
+    retention,
+    sequence_count,
+    sequence_match,
+    window_funnel,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (user, seconds_offset, type)"""
+    data = [(u, T0 + dt.timedelta(seconds=s), t) for u, s, t in rows]
+    return spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+
+
+CONDS = lambda: [  # noqa: E731
+    F.col("event_type") == "a",
+    F.col("event_type") == "b",
+    F.col("event_type") == "c",
+]
+
+
+def test_retention_semantics(spark):
+    df = _events(
+        spark,
+        [(1, 0, "a"), (1, 10, "b"), (2, 0, "b"), (2, 5, "c"), (3, 0, "a")],
+    )
+    got = {
+        r["user_id"]: r["r"]
+        for r in df.groupBy("user_id").agg(retention(*CONDS()).alias("r")).collect()
+    }
+    assert got[1] == [1, 1, 0]
+    assert got[2] == [0, 0, 0]  # no first-step event → all zero
+    assert got[3] == [1, 0, 0]
+
+
+def test_window_funnel_levels_and_window(spark):
+    df = _events(
+        spark,
+        [
+            # user 1: full chain within window
+            (1, 0, "a"), (1, 10, "b"), (1, 20, "c"),
+            # user 2: step 3 arrives after the 60s window → level 2
+            (2, 0, "a"), (2, 10, "b"), (2, 100, "c"),
+            # user 3: wrong order → level 1
+            (3, 0, "b"), (3, 10, "a"),
+            # user 4: second chance start succeeds where the first fails
+            (4, 0, "a"), (4, 100, "a"), (4, 110, "b"), (4, 120, "c"),
+            # user 5: no first step
+            (5, 0, "c"),
+        ],
+    )
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(df, "user_id", "ts", 60.0, CONDS()).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 3, 5: 0}
+
+
+def test_window_funnel_boundary_inclusive(spark):
+    # deadline is start + window inclusive (<=)
+    df = _events(spark, [(1, 0, "a"), (1, 60, "b")])
+    got = window_funnel(df, "user_id", "ts", 60.0, CONDS()[:2]).collect()[0]
+    assert got["funnel_level"] == 2
+
+
+def test_sequence_match_adjacency_vs_gap(spark):
+    df = _events(
+        spark,
+        [
+            # user 1: a ... (noise) ... b — noise doesn't match any cond
+            (1, 0, "a"), (1, 5, "x"), (1, 10, "b"),
+            # user 2: a c b — the c sits between them in the filtered seq
+            (2, 0, "a"), (2, 5, "c"), (2, 10, "b"),
+        ],
+    )
+    adj = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(df, "user_id", "ts", "(?1)(?2)", CONDS()).collect()
+    }
+    gap = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(df, "user_id", "ts", "(?1).*(?2)", CONDS()).collect()
+    }
+    # unmatched events are skipped → user 1 is adjacent; user 2 is not
+    assert adj == {1: True, 2: False}
+    assert gap == {1: True, 2: True}
+
+
+def test_sequence_count_non_overlapping(spark):
+    df = _events(
+        spark,
+        [(1, i, t) for i, t in enumerate(["a", "b", "a", "b", "a"])],
+    )
+    got = sequence_count(df, "user_id", "ts", "(?1)(?2)", CONDS()[:2]).collect()[0]
+    assert got["n_matches"] == 2
+
+
+def test_pattern_compiler_rejects_garbage():
+    with pytest.raises(ValueError):
+        _compile_pattern("(?1)+(?2)", 2)
+    with pytest.raises(ValueError):
+        _compile_pattern("(?3)", 2)
+    assert _compile_pattern("(?1).*(?2)", 2).pattern == "a.*b"
