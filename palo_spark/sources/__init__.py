@@ -1,0 +1,135 @@
+"""Sources & sinks (SURVEY.md §2.2): FILE_SCAN, Broker/Stream Load,
+INSERT INTO, EXPORT, JDBC.
+
+Doris separates *how bytes arrive* (broker files, HTTP stream-load
+batches, Kafka routine load) from *how rows land* (OLAP_TABLE_SINK
+applying table-model semantics in a transaction with label-based
+idempotency). The Spark-first mapping keeps that split:
+
+- read side: ``spark.read.{csv,json,orc,parquet}`` wrappers
+  (:func:`read_file` = FILE_SCAN / BROKER_SCAN),
+- write side: :class:`~palo_spark.tables.Table` ``insert`` — the label
+  ledger in the table metadata is the Doris load-label dedup,
+- :func:`broker_load` composes read → transform → filter → insert in
+  one distributed job (the Broker Load shape),
+- :func:`export_table` is RESULT_FILE_SINK / EXPORT (``SELECT INTO
+  OUTFILE``),
+- :func:`jdbc_scan` / :func:`jdbc_sink` wrap the Spark JDBC connector
+  (MYSQL/JDBC/ODBC_SCAN + JDBC_TABLE_SINK; no database exists in this
+  environment, so they are thin, untested pass-throughs by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from palo_spark.tables import Table
+
+_FORMATS = ("csv", "json", "parquet", "orc")
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """FILE_SCAN: read external files with an explicitly declared schema.
+
+    Doris file scans are schema-declared (the load statement names the
+    columns); passing ``schema`` skips Spark's inference pass — one read
+    instead of two, and no type drift between loads.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def broker_load(
+    spark: SparkSession,
+    table: Table,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    schema=None,
+    transforms: list | None = None,
+    where=None,
+    label: str | None = None,
+    **options,
+) -> int:
+    """Broker Load: bulk-load files with column transforms and a filter,
+    committed under an idempotent label.
+
+    ``read → select(transforms) → filter(where) → Table.insert(label)``
+    is one distributed job; re-running the same label is a no-op (the
+    Doris label ledger), so a retried load never double-commits.
+    Returns the committed version, or -1 if the label was already
+    applied.
+    """
+    df = read_file(spark, path, fmt, schema=schema, **options)
+    if transforms:
+        df = df.select(*transforms)
+    if where is not None:
+        df = df.filter(where)
+    return table.insert(df, label=label)
+
+
+def stream_load(table: Table, batch_df: DataFrame, label: str) -> int:
+    """Stream Load: one micro-batch committed under a mandatory label
+    (the HTTP-PUT batch shape — the label is what makes client retries
+    safe)."""
+    return table.insert(batch_df, label=label)
+
+
+def insert_into(table: Table, df: DataFrame) -> int:
+    """``INSERT INTO t SELECT ...`` — unlabeled append through the
+    table-model sink."""
+    return table.insert(df)
+
+
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """EXPORT / SELECT INTO OUTFILE: write a result set to files.
+
+    Distributed write — one file per task unless the caller coalesces;
+    ``partition_by`` produces directory partitions (partition pruning
+    for whoever reads the export back).
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def jdbc_scan(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """MYSQL/JDBC/ODBC_SCAN → Spark JDBC connector (predicate pushdown
+    and partitioned reads via the standard ``partitionColumn`` options).
+    Untestable here — no database in this environment."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).load()
+
+
+def jdbc_sink(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """JDBC_TABLE_SINK → Spark JDBC writer. Untestable here — no
+    database in this environment."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(
+        **options
+    ).mode(mode).save()

@@ -18,6 +18,7 @@ _MODULE_NAMES = [
     "scalar_funcs",
     "llm",
     "table_models",
+    "sources_sinks",
     "sketches",
     "behavioral",
     "streaming_q",

@@ -1,0 +1,58 @@
+"""Continuous-ingestion coverage (SURVEY.md §2.7; Routine Load).
+
+The query replays the ``events`` parquet through a Structured Streaming
+file source into a managed Table via ``foreachBatch`` +
+label-deduplicated inserts (the exactly-once construction), then
+aggregates the landed table — which must equal aggregating the source
+directly (the oracle). This is a full end-to-end ingestion correctness
+check, not a smoke test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.streaming import routine_load
+from palo_spark.suite.util import dsum, o_dsum, register
+from palo_spark.tables import Table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+_ROOT = "/tmp/palo_spark_streaming"
+
+
+@q(
+    "streaming_routine_load",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_routine_load(spark, sf_dir):
+    """Routine-Load equivalent: stream events (availableNow) →
+    foreachBatch → labeled Table.insert (exactly-once), then aggregate
+    the landed table. Must match aggregating the source directly."""
+    base = os.path.join(_ROOT, "routine")
+    shutil.rmtree(base, ignore_errors=True)
+    tdir = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "incoming")
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    # stage the fixture into the "incoming" directory the stream watches
+    # (file-source streams consume directories, like a landing zone)
+    src_file = f"{sf_dir.rstrip('/')}/events.parquet"
+    shutil.copy(src_file, os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(src_file).schema  # raw schema (ts as long)
+    t = Table(spark, "events_stream", "DUPLICATE", ["event_id"], location=tdir)
+    routine_load(spark, src_dir, schema, t, ckpt, fmt="parquet")
+    return t.read().groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )

@@ -1,0 +1,134 @@
+"""Unit tests for loads/sinks (palo_spark/sources) and continuous
+ingestion (palo_spark/streaming)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from palo_spark.sources import broker_load, export_table, read_file, stream_load
+from palo_spark.streaming import routine_load, windowed_counts
+from palo_spark.tables import Table
+
+ROOT = "/tmp/palo_spark_test_sources"
+
+
+def _dir(name: str) -> str:
+    d = os.path.join(ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def test_read_file_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="fmt"):
+        read_file(spark, "/tmp/x", fmt="avro")
+
+
+def test_csv_export_read_roundtrip(spark):
+    d = _dir("csv")
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    export_table(df, d, fmt="csv", header="true")
+    back = read_file(spark, d, fmt="csv", schema="k long, v string", header="true")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_broker_load_where_and_label(spark):
+    src = _dir("broker_src")
+    export_table(
+        spark.createDataFrame([Row(k=i, v=i * 10) for i in range(10)]), src
+    )
+    t = Table(spark, "bl", "DUPLICATE", ["k"], location=_dir("broker_tbl"))
+    v1 = broker_load(spark, t, src, where=F.col("v") >= 50, label="L1")
+    assert v1 == 1
+    assert broker_load(spark, t, src, where=F.col("v") >= 50, label="L1") == -1
+    assert t.read().count() == 5  # filtered, loaded once
+
+
+def test_stream_load_requires_label_dedup(spark):
+    t = Table(spark, "sl", "DUPLICATE", ["k"], location=_dir("sl_tbl"))
+    df = spark.createDataFrame([Row(k=1)])
+    assert stream_load(t, df, "b-0") == 1
+    assert stream_load(t, df, "b-0") == -1
+    assert stream_load(t, df, "b-1") == 2
+    assert t.read().count() == 2
+
+
+def _land(df, incoming: str, name: str) -> None:
+    """Write df as one parquet file directly inside the landing dir
+    (the file-stream source watches flat files, not nested dirs)."""
+    tmp = incoming + f".__tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(incoming, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_routine_load_exactly_once_across_restarts(spark):
+    base = _dir("routine")
+    incoming = os.path.join(base, "in")
+    os.makedirs(incoming)
+    df = spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)])
+    _land(df, incoming, "f1")
+
+    t = Table(spark, "rl", "DUPLICATE", ["k"], location=os.path.join(base, "tbl"))
+    ckpt = os.path.join(base, "ckpt")
+    schema = "k long, v double"
+
+    routine_load(spark, incoming, schema, t, ckpt)
+    assert t.read().count() == 100
+
+    # restart with the same checkpoint: nothing new → nothing ingested
+    routine_load(spark, incoming, schema, t, ckpt)
+    assert t.read().count() == 100
+
+    # lose the checkpoint entirely: batch ids restart at 0, but the
+    # label ledger rejects the replayed batch — still exactly once
+    shutil.rmtree(ckpt)
+    routine_load(spark, incoming, schema, t, ckpt)
+    assert t.read().count() == 100
+
+    # new data in the landing zone is picked up incrementally
+    _land(spark.createDataFrame([Row(k=100, v=100.0)]), incoming, "f2")
+    routine_load(spark, incoming, schema, t, ckpt)
+    assert t.read().count() == 101
+
+
+def test_windowed_counts_engine_extension(spark):
+    base = _dir("winstream")
+    incoming = os.path.join(base, "in")
+    os.makedirs(incoming)
+    rows = [
+        Row(ts="2024-01-01 00:10:00", value=1.0),
+        Row(ts="2024-01-01 00:20:00", value=2.0),
+        Row(ts="2024-01-01 01:05:00", value=4.0),
+    ]
+    _land(
+        spark.createDataFrame(rows).select(
+            F.col("ts").cast("timestamp").alias("ts"), "value"
+        ),
+        incoming,
+        "f1",
+    )
+    src = spark.readStream.schema("ts timestamp, value double").parquet(incoming)
+    agg = windowed_counts(src, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["win"]["start"].isoformat(): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {
+        "2024-01-01T00:00:00": (2, 3.0),
+        "2024-01-01T01:00:00": (1, 4.0),
+    }
