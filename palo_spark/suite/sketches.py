@@ -1,0 +1,174 @@
+"""Sketch-column coverage (SURVEY.md §1.4, §2.4): BITMAP exact-distinct
+sets and HLL cardinality as mergeable BinaryType values.
+
+Bitmaps are EXACT, so every bitmap query is oracle-checked against
+plain COUNT(DISTINCT)/set-op SQL. HLL estimates are engine-specific
+(hash-dependent) but deterministic, so the queries assert their own
+error bound and — the real sketch contract — that the two-phase merge
+(partial sketches → register max) equals the single-phase sketch
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.functions.sketches import (
+    bitmap_and,
+    bitmap_andnot,
+    bitmap_count,
+    bitmap_or,
+    bitmap_union_of_bitmaps,
+    bitmap_union_of_values,
+    hll_cardinality,
+    hll_union_agg,
+    hll_union_agg_values,
+)
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "sketch_bitmap_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS ndv
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_bitmap_distinct(spark, sf_dir):
+    """BITMAP_UNION_COUNT(TO_BITMAP(c)): exact distinct via bitmap —
+    must equal COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = li.groupBy("l_returnflag").agg(
+        bitmap_union_of_values("l_suppkey").alias("bm")
+    )
+    return bm.select("l_returnflag", bitmap_count("bm").alias("ndv"))
+
+
+@q(
+    "sketch_bitmap_merge_two_phase",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS ndv
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_bitmap_merge_two_phase(spark, sf_dir):
+    """The mergeable-column path: partial bitmaps per (flag, status) —
+    what an AGGREGATE-KEY table stores — merged up to flag level must
+    equal the direct distinct count. This is Doris compaction-merge
+    semantics for sketch columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        bitmap_union_of_values("l_suppkey").alias("bm")
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        bitmap_union_of_bitmaps("bm").alias("bm")
+    )
+    return merged.select("l_returnflag", bitmap_count("bm").alias("ndv"))
+
+
+@q(
+    "sketch_bitmap_ops",
+    """
+    WITH a AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+    r AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS BIGINT) AS n_and,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS BIGINT) AS n_or,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM r)) AS BIGINT) AS n_andnot
+    """,
+)
+def sketch_bitmap_ops(spark, sf_dir):
+    """Bitmap set algebra (AND / OR / ANDNOT) against SQL set-op
+    oracles: suppliers shipping returned vs accepted lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(bitmap_union_of_values("l_suppkey").alias("bm"))
+    )
+    a = bm.filter(F.col("l_returnflag") == "A").select(F.col("bm").alias("bm_a"))
+    r = bm.filter(F.col("l_returnflag") == "R").select(F.col("bm").alias("bm_r"))
+    both = a.crossJoin(r)
+    return both.select(
+        bitmap_count(bitmap_and("bm_a", "bm_r")).alias("n_and"),
+        bitmap_count(bitmap_or("bm_a", "bm_r")).alias("n_or"),
+        bitmap_count(bitmap_andnot("bm_a", "bm_r")).alias("n_andnot"),
+    )
+
+
+@q(
+    "sketch_hll_ndv",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS hll_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sketch_hll_ndv(spark, sf_dir):
+    """HLL_UNION_AGG + HLL_CARDINALITY: p=12 sketch (rse ~1.6%) must
+    land within 5% of the exact NDV; the sketch itself can't be
+    replayed cross-engine, the bound can."""
+    o = load_table(spark, sf_dir, "orders")
+    hll = o.groupBy("o_orderstatus").agg(
+        hll_union_agg_values("o_custkey").alias("hll")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_ndv")
+    )
+    return (
+        hll.join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_ndv",
+            (
+                F.abs(hll_cardinality("hll") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@q(
+    "sketch_hll_merge_two_phase",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS merge_equals_direct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sketch_hll_merge_two_phase(spark, sf_dir):
+    """The HLL merge contract: partial sketches per (status, priority)
+    merged by register-max must equal the directly-built sketch EXACTLY
+    (register-for-register) — merge is associative/commutative, so the
+    estimate is load-order-independent. This is what makes HLL a legal
+    AGGREGATE-KEY column type."""
+    o = load_table(spark, sf_dir, "orders")
+    partial = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        hll_union_agg_values("o_custkey").alias("hll")
+    )
+    merged = partial.groupBy("o_orderstatus").agg(hll_union_agg("hll").alias("hll_m"))
+    # pandas UDAFs can't mix with builtin aggregates in one agg() —
+    # build the direct sketch and the exact count separately and join
+    direct = o.groupBy("o_orderstatus").agg(
+        hll_union_agg_values("o_custkey").alias("hll_d")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_ndv")
+    )
+    return (
+        merged.join(direct, "o_orderstatus")
+        .join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_ndv",
+            (
+                hll_cardinality("hll_m") == hll_cardinality("hll_d")
+            ).alias("merge_equals_direct"),
+        )
+    )

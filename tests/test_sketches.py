@@ -1,0 +1,115 @@
+"""Unit tests for bitmap/HLL sketch columns (palo_spark/functions/sketches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from palo_spark.functions.sketches import (
+    _bm_de,
+    _hll_de,
+    _hll_empty,
+    _hll_add,
+    _hll_estimate,
+    bitmap_and,
+    bitmap_andnot,
+    bitmap_contains,
+    bitmap_count,
+    bitmap_from_string,
+    bitmap_or,
+    bitmap_to_array,
+    bitmap_to_string,
+    bitmap_union_of_bitmaps,
+    bitmap_union_of_values,
+    bitmap_xor,
+    hll_cardinality,
+    hll_union_agg,
+    hll_union_agg_values,
+    to_bitmap,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame([Row(g=g, v=v) for g, v in pairs], "g int, v long")
+
+
+def test_bitmap_union_exact_distinct(spark):
+    df = _kv(spark, [(1, 5), (1, 5), (1, 7), (2, 1), (2, None)])
+    got = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(bitmap_union_of_values("v").alias("bm"))
+        .select("g", bitmap_count("bm").alias("n"))
+        .collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_bitmap_scalar_algebra(spark):
+    df = spark.createDataFrame([Row(a="1,2,3,4", b="3,4,5")])
+    out = df.select(
+        bitmap_count(bitmap_and(bitmap_from_string("a"), bitmap_from_string("b"))).alias("i"),
+        bitmap_count(bitmap_or(bitmap_from_string("a"), bitmap_from_string("b"))).alias("u"),
+        bitmap_count(bitmap_xor(bitmap_from_string("a"), bitmap_from_string("b"))).alias("x"),
+        bitmap_count(bitmap_andnot(bitmap_from_string("a"), bitmap_from_string("b"))).alias("d"),
+        bitmap_contains(bitmap_from_string("a"), 2).alias("has2"),
+        bitmap_contains(bitmap_from_string("b"), 2).alias("bhas2"),
+        bitmap_to_string(bitmap_and(bitmap_from_string("a"), bitmap_from_string("b"))).alias("s"),
+        bitmap_to_array(bitmap_from_string("b")).alias("arr"),
+    ).collect()[0]
+    assert (out["i"], out["u"], out["x"], out["d"]) == (2, 5, 3, 2)
+    assert out["has2"] and not out["bhas2"]
+    assert out["s"] == "3,4"
+    assert out["arr"] == [3, 4, 5]
+
+
+def test_bitmap_merge_matches_direct(spark):
+    df = _kv(spark, [(g, v) for g in (1, 2) for v in range(50)] + [(1, 999)])
+    partial = df.withColumn("sub", F.col("v") % 5).groupBy("g", "sub").agg(
+        bitmap_union_of_values("v").alias("bm")
+    )
+    merged = partial.groupBy("g").agg(bitmap_union_of_bitmaps("bm").alias("bm"))
+    got = {r["g"]: r["n"] for r in merged.select("g", bitmap_count("bm").alias("n")).collect()}
+    assert got == {1: 51, 2: 50}
+
+
+def test_to_bitmap_roundtrip(spark):
+    df = spark.createDataFrame([Row(v=42)])
+    row = df.select(bitmap_to_array(to_bitmap("v")).alias("a")).collect()[0]
+    assert row["a"] == [42]
+
+
+def test_hll_estimate_accuracy_pure_python():
+    regs = _hll_empty()
+    _hll_add(regs, range(10000))
+    est = _hll_estimate(regs)
+    assert abs(est - 10000) <= 0.05 * 10000  # p=12 → rse ~1.6%
+
+
+def test_hll_small_cardinality_linear_counting():
+    regs = _hll_empty()
+    _hll_add(regs, range(10))
+    assert _hll_estimate(regs) == 10  # linear counting regime is exact-ish
+
+
+def test_hll_merge_is_register_max(spark):
+    df = _kv(spark, [(1, v) for v in range(2000)] + [(2, v) for v in range(1000, 3000)])
+    parts = df.groupBy("g").agg(hll_union_agg_values("v").alias("hll"))
+    merged = parts.agg(hll_union_agg("hll").alias("m")).collect()[0]["m"]
+    direct = (
+        df.select("v").agg(hll_union_agg_values("v").alias("d")).collect()[0]["d"]
+    )
+    assert np.array_equal(_hll_de(merged), _hll_de(direct))
+    est = parts.agg(hll_union_agg("hll").alias("m")).select(
+        hll_cardinality("m").alias("c")
+    ).collect()[0]["c"]
+    assert abs(est - 3000) <= 0.06 * 3000
+
+
+def test_bitmap_rejects_foreign_bytes():
+    with pytest.raises(ValueError):
+        _bm_de(b"NOTABITMAP")
+    with pytest.raises(ValueError):
+        _hll_de(b"NOTANHLL..")
