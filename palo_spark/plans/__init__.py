@@ -1,0 +1,222 @@
+"""Rollup / materialized-view rewrite layer (SURVEY.md §1.2, §4;
+upstream ``MaterializedIndex.java`` / ``MaterializedViewSelector.java``).
+
+Doris keeps synchronous pre-aggregated projections (ROLLUPs) of a base
+table and silently answers covered queries from the cheapest one.
+Catalyst has no MV selection, so this is the one genuinely custom
+optimizer piece — implemented as a Python-level rewrite, not a JVM
+rule (SURVEY §4 decision):
+
+- :class:`Rollup` — a materialized ``GROUP BY`` projection with typed
+  measures (count / sum / dsum / min / max), stored as parquet.
+- :class:`RollupCatalog` — registers rollups per base table and
+  answers ``query(group_by, measures, where)`` requests: it picks the
+  smallest covering rollup (fewest grouping columns = most pre-merged)
+  or falls back to the base table. **A rewrite may never change the
+  result** — measures are re-aggregated with their merge function
+  (sum-of-sums, min-of-mins, count as sum), AVG is derived as
+  sum/count, and filters are only pushed to a rollup when they
+  reference its grouping columns alone.
+
+Determinism note: ``dsum`` measures store floor-quantized decimal sums
+(``palo_spark.suite.util.dsum`` pattern) so re-aggregation is exact
+integer arithmetic — the rollup answer is bit-identical to the base
+aggregation regardless of partial-sum order. A plain ``sum`` over
+doubles would NOT give that guarantee (only ulp-level drift, but we
+promise identity).
+
+Scale: the rewrite's whole point is the 100 TB path — a covered query
+scans |groups| pre-merged rows instead of the fact table. ``refresh``
+is a full rebuild (Doris ROLLUPs are maintained synchronously on load;
+our Table.insert callers should refresh after batch loads).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: measure kinds and their (store, merge) behavior
+_KINDS = ("count", "sum", "dsum", "min", "max")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """A pre-aggregated measure: ``kind`` ∈ count|sum|dsum|min|max.
+
+    ``dsum`` is the order-independent double sum: stored as
+    ``sum(cast(floor(col*10^scale) as decimal(38,0)))`` and presented
+    as ``double`` on read-out.
+    """
+
+    kind: str
+    col: str | None = None  # None only for count
+    scale: int = 6  # dsum quantization
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown measure kind {self.kind!r}")
+        if self.kind != "count" and self.col is None:
+            raise ValueError(f"measure {self.kind} needs a column")
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}_{self.col or 'all'}"
+
+    def store_expr(self):
+        """Aggregate expression evaluated over the BASE table."""
+        if self.kind == "count":
+            return F.count("*").alias(self.name)
+        c = F.col(self.col)
+        if self.kind == "sum":
+            return F.sum(c).alias(self.name)
+        if self.kind == "dsum":
+            return F.sum(
+                F.floor(c * F.lit(float(10**self.scale))).cast("decimal(38,0)")
+            ).alias(self.name)
+        if self.kind == "min":
+            return F.min(c).alias(self.name)
+        return F.max(c).alias(self.name)
+
+    def merge_expr(self):
+        """Re-aggregation over rollup rows (roll further up)."""
+        c = F.col(self.name)
+        if self.kind in ("count", "sum", "dsum"):
+            return F.sum(c).alias(self.name)
+        if self.kind == "min":
+            return F.min(c).alias(self.name)
+        return F.max(c).alias(self.name)
+
+    def present_expr(self):
+        """Final user-facing value from the merged column."""
+        c = F.col(self.name)
+        if self.kind == "dsum":
+            return (c.cast("double") / F.lit(float(10**self.scale))).alias(self.name)
+        return c.alias(self.name)
+
+
+class Rollup:
+    def __init__(
+        self,
+        name: str,
+        base: str,
+        group_cols: list[str],
+        measures: list[Measure],
+        location: str,
+    ) -> None:
+        self.name = name
+        self.base = base
+        self.group_cols = list(group_cols)
+        self.measures = list(measures)
+        self.location = location
+        names = [m.name for m in measures]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate measure names")
+
+    def build(self, spark: SparkSession, base_df: DataFrame) -> None:
+        agg = base_df.groupBy(*self.group_cols).agg(
+            *[m.store_expr() for m in self.measures]
+        )
+        tmp = self.location + ".__tmp"
+        agg.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.location, ignore_errors=True)
+        os.replace(tmp, self.location)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.location)
+
+
+class RollupCatalog:
+    """Per-base-table rollup registry + query rewriter."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None) -> None:
+        self.spark = spark
+        self.root = root or "/tmp/palo_spark_rollups"
+        self._bases: dict[str, DataFrame] = {}
+        self._rollups: dict[str, list[Rollup]] = {}
+
+    def register_base(self, name: str, df: DataFrame) -> None:
+        self._bases[name] = df
+
+    def add_rollup(
+        self, name: str, base: str, group_cols: list[str], measures: list[Measure]
+    ) -> Rollup:
+        if base not in self._bases:
+            raise ValueError(f"unknown base table {base!r}")
+        r = Rollup(name, base, group_cols, measures, os.path.join(self.root, name))
+        r.build(self.spark, self._bases[base])
+        self._rollups.setdefault(base, []).append(r)
+        return r
+
+    def refresh(self, base: str) -> None:
+        """Rebuild every rollup of a base (call after batch loads)."""
+        for r in self._rollups.get(base, []):
+            r.build(self.spark, self._bases[base])
+
+    # ---------------------------------------------------------- rewrite
+
+    def _covers(self, r: Rollup, group_by, measures, where_cols) -> bool:
+        if not set(group_by) <= set(r.group_cols):
+            return False
+        if not set(where_cols) <= set(r.group_cols):
+            return False  # filter must be applicable on rollup dims
+        available = {m.name for m in r.measures}
+        return all(m.name in available for m in measures)
+
+    def choose(self, base: str, group_by, measures, where_cols=()) -> Rollup | None:
+        """The selector: smallest covering rollup (fewest grouping
+        columns → most pre-merged rows → cheapest scan)."""
+        candidates = [
+            r
+            for r in self._rollups.get(base, [])
+            if self._covers(r, group_by, measures, where_cols)
+        ]
+        if not candidates:
+            return None
+        return min(candidates, key=lambda r: (len(r.group_cols), r.name))
+
+    def query(
+        self,
+        base: str,
+        group_by: list[str],
+        measures: list[Measure],
+        where=None,
+        where_cols: list[str] = (),
+        avg_pairs: dict[str, tuple[str, str]] | None = None,
+    ) -> tuple[DataFrame, str]:
+        """Answer a GROUP BY query, from a rollup when one covers it.
+
+        Returns ``(df, source)`` where source is the rollup name or
+        ``"base"``. ``where`` must reference only ``where_cols`` (the
+        caller declares them; predicates on non-dimension columns force
+        the base path). ``avg_pairs`` derives ``avg = sum/count``
+        columns from already-requested measures.
+        """
+        r = self.choose(base, group_by, measures, where_cols)
+        if r is not None:
+            df = r.read(self.spark)
+            if where is not None:
+                df = df.filter(where)
+            out = (
+                df.groupBy(*group_by)
+                .agg(*[m.merge_expr() for m in measures])
+                .select(*group_by, *[m.present_expr() for m in measures])
+            )
+            src = r.name
+        else:
+            df = self._bases[base]
+            if where is not None:
+                df = df.filter(where)
+            out = (
+                df.groupBy(*group_by)
+                .agg(*[m.store_expr() for m in measures])
+                .select(*group_by, *[m.present_expr() for m in measures])
+            )
+            src = "base"
+        for out_name, (sum_name, cnt_name) in (avg_pairs or {}).items():
+            out = out.withColumn(out_name, F.col(sum_name) / F.col(cnt_name))
+        return out, src

@@ -19,6 +19,7 @@ _MODULE_NAMES = [
     "llm",
     "table_models",
     "sources_sinks",
+    "rollup_q",
     "sketches",
     "behavioral",
     "streaming_q",

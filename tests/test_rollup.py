@@ -1,0 +1,79 @@
+"""Unit tests for the rollup/MV rewrite layer (palo_spark/plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from palo_spark.plans import Measure, RollupCatalog
+
+ROOT = "/tmp/palo_spark_test_rollups"
+
+
+@pytest.fixture()
+def cat(spark):
+    c = RollupCatalog(spark, root=ROOT)
+    df = spark.createDataFrame(
+        [Row(a=a, b=b, x=float(a * 10 + b), y=a - b) for a in range(3) for b in range(4)]
+    )
+    c.register_base("t", df)
+    c.add_rollup("t_by_ab", "t", ["a", "b"], [Measure("count"), Measure("dsum", "x"), Measure("min", "y")])
+    c.add_rollup("t_by_a", "t", ["a"], [Measure("count"), Measure("dsum", "x"), Measure("min", "y")])
+    return c
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_selector_prefers_smaller_rollup(cat):
+    ms = [Measure("count"), Measure("dsum", "x")]
+    assert cat.choose("t", ["a"], ms).name == "t_by_a"
+    assert cat.choose("t", ["a", "b"], ms).name == "t_by_ab"
+
+
+def test_selector_rejects_uncovered(cat):
+    assert cat.choose("t", ["a"], [Measure("max", "y")]) is None  # max not stored
+    assert cat.choose("t", ["y"], [Measure("count")]) is None  # y not a dim
+    assert cat.choose("t", ["a"], [Measure("count")], where_cols=["x"]) is None
+
+
+def test_rollup_answer_equals_base(cat, spark):
+    ms = [Measure("count"), Measure("dsum", "x"), Measure("min", "y")]
+    df, src = cat.query("t", ["a"], ms)
+    assert src == "t_by_a"
+    base = spark.createDataFrame(
+        [Row(a=a, b=b, x=float(a * 10 + b), y=a - b) for a in range(3) for b in range(4)]
+    ).groupBy("a").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.min("y").alias("my")
+    )
+    got = _rows(df, "a", "count_all", "dsum_x", "min_y")
+    exp = _rows(base, "a", "n", "sx", "my")
+    assert [(a, int(n), sx, my) for a, n, sx, my in got] == [
+        (a, int(n), sx, my) for a, n, sx, my in exp
+    ]
+
+
+def test_filter_on_dim_pushed_to_rollup(cat):
+    df, src = cat.query(
+        "t", ["a"], [Measure("count")], where=F.col("b") == 2, where_cols=["b"]
+    )
+    assert src == "t_by_ab"  # needs b as a dim even though output groups by a
+    assert _rows(df, "a", "count_all") == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_refresh_after_base_change(cat, spark):
+    df2 = spark.createDataFrame([Row(a=9, b=0, x=1.0, y=0)])
+    cat.register_base("t", cat._bases["t"].unionByName(df2))
+    cat.refresh("t")
+    df, src = cat.query("t", ["a"], [Measure("count")])
+    assert src == "t_by_a"
+    assert (9, 1) in _rows(df, "a", "count_all")
+
+
+def test_measure_validation():
+    with pytest.raises(ValueError):
+        Measure("median", "x")
+    with pytest.raises(ValueError):
+        Measure("sum")
