@@ -27,5 +27,7 @@ package re-expresses that capability surface Spark-first:
 
 from palo_spark.session import get_session  # noqa: F401
 from palo_spark.catalog import load_table, register_views, TABLES  # noqa: F401
+from palo_spark.tables import Table  # noqa: F401
+from palo_spark.plans import Measure, Rollup, RollupCatalog  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -12,6 +12,7 @@ import importlib
 
 _MODULE_NAMES = [
     "tpch",
+    "tpch2",
     "relational",
     "window_funcs",
     "aggregates",
