@@ -30,11 +30,19 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
     "tpch_q16_supplier_part_cnt",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_supplier",
     "window_running_sum",
     "partition_topn",
     "agg_percentile_exact",
+    "table_model_unique_upsert",
+    "rollup_rewrite_hit",
+    "behavioral_window_funnel",
+    "sketch_bitmap_distinct",
     "dedup_exact_docs",
     "dedup_minhash_fuzzy",
     "similarity_search_topk",
