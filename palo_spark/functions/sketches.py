@@ -234,6 +234,105 @@ def _hll_estimate(regs: np.ndarray) -> int:
     return int(round(est))
 
 
+# ------------------------------------------------------ quantile state core
+
+_QS_MAGIC = b"PSQ1"  # palo_spark quantile_state v1: t-digest-lite centroids
+_QS_K = 256  # max centroids — rank error ~ 1/K per pass, ~2/K after merges
+
+
+def _qs_compress(means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy size-capped clustering of (mean, weight) centroids sorted
+    by mean — deterministic for a given input multiset; per-centroid
+    weight ≤ ceil(total/K), so any quantile's rank error ≤ 1 centroid."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    cap = max(total / _QS_K, 1.0)
+    out_m, out_w = [], []
+    acc_m, acc_w = 0.0, 0.0
+    for m, w in zip(means, weights):
+        if acc_w and acc_w + w > cap:
+            out_m.append(acc_m / acc_w)
+            out_w.append(acc_w)
+            acc_m, acc_w = 0.0, 0.0
+        acc_m += m * w
+        acc_w += w
+    if acc_w:
+        out_m.append(acc_m / acc_w)
+        out_w.append(acc_w)
+    return np.asarray(out_m, dtype="<f8"), np.asarray(out_w, dtype="<f8")
+
+
+def _qs_ser(means: np.ndarray, weights: np.ndarray) -> bytes:
+    n = means.size
+    return _QS_MAGIC + struct.pack("<I", n) + means.tobytes() + weights.tobytes()
+
+
+def _qs_de(b) -> tuple[np.ndarray, np.ndarray]:
+    if b is None:
+        return np.empty(0, dtype="<f8"), np.empty(0, dtype="<f8")
+    b = bytes(b)
+    if b[:4] != _QS_MAGIC:
+        raise ValueError("not a palo_spark quantile_state value")
+    (n,) = struct.unpack("<I", b[4:8])
+    means = np.frombuffer(b, dtype="<f8", count=n, offset=8)
+    weights = np.frombuffer(b, dtype="<f8", count=n, offset=8 + 8 * n)
+    return means, weights
+
+
+def _qs_quantile(means: np.ndarray, weights: np.ndarray, p: float) -> float:
+    if means.size == 0:
+        return float("nan")
+    cum = np.cumsum(weights) - weights / 2.0
+    target = p * float(weights.sum())
+    return float(np.interp(target, cum, means))
+
+
+# ------------------------------------------------- quantile state functions
+
+
+def quantile_state_of_values(col) -> Column:
+    """Doris ``TO_QUANTILE_STATE(c)`` aggregated: build one mergeable
+    quantile sketch per group from raw values (t-digest-lite: ≤256
+    weight-capped centroids, so the state is O(1) regardless of n)."""
+
+    @pandas_udf("binary")
+    def agg(v: pd.Series) -> bytes:
+        vals = v.dropna().to_numpy(dtype="float64")
+        m, w = _qs_compress(vals, np.ones_like(vals))
+        return _qs_ser(m, w)
+
+    return agg(_c(col))
+
+
+def quantile_union(col) -> Column:
+    """Doris ``QUANTILE_UNION``: merge quantile states — concatenate
+    centroid lists and re-compress (associative up to the documented
+    ~2/K rank-error bound; load-order effects stay inside that bound)."""
+
+    @pandas_udf("binary")
+    def agg(v: pd.Series) -> bytes:
+        parts = [_qs_de(b) for b in v if b is not None]
+        if not parts:
+            return _qs_ser(np.empty(0, dtype="<f8"), np.empty(0, dtype="<f8"))
+        m = np.concatenate([p[0] for p in parts])
+        w = np.concatenate([p[1] for p in parts])
+        return _qs_ser(*_qs_compress(m, w))
+
+    return agg(_c(col))
+
+
+def quantile_percent(col, p: float) -> Column:
+    """Doris ``QUANTILE_PERCENT(state, p)`` — interpolated quantile
+    estimate from a quantile_state value."""
+
+    @pandas_udf("double")
+    def f(v: pd.Series) -> pd.Series:
+        return v.map(lambda b: _qs_quantile(*_qs_de(b), p))
+
+    return f(_c(col))
+
+
 # ----------------------------------------------------------- HLL functions
 
 

@@ -22,6 +22,8 @@ from palo_spark.operators.dedup import (  # noqa: F401
     simhash,
     dedup_simhash,
     ngram_jaccard_pairs,
+    embedding_dup_pairs,
+    dedup_embedding_cosine,
 )
 from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,
@@ -29,6 +31,9 @@ from palo_spark.operators.similarity import (  # noqa: F401
     knn_join,
     lsh_bucket,
     similarity_topk_lsh,
+    ivf_assign,
+    train_centroids,
+    similarity_topk_ivf,
 )
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,

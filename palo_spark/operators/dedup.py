@@ -289,6 +289,100 @@ def dedup_simhash(
     return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.99,
+    n_planes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    quantized: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs, LSH-bucketed.
+
+    Candidate generation: sign-LSH signature over ``n_planes``
+    deterministic hyperplanes, split into ``bands`` OR-amplified bands —
+    a self-join on ``(band_id, band_bits)``, never all-pairs (cf. the
+    MinHash design above; a cosine-0.99 pair lands in at least one
+    common band with probability 1 − (1 − (1−θ/π)^(planes/bands))^bands
+    ≈ 1 − 1e-9 at θ ≈ 8°). Candidates are then verified with the exact
+    cosine, so the output is hash-independent.
+
+    Returns (id_a, id_b, score) with id_a < id_b and score ≥ threshold.
+    """
+    from palo_spark.operators.similarity import cosine_similarity, hyperplanes, lsh_bucket
+
+    rows_per_band = n_planes // bands
+    dim = len(df.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), planes).alias("__sig"),
+    )
+    band_key = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("__sig"), b * rows_per_band)
+                .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+                .alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "__id", "__v", F.explode(band_key).alias("__b")
+    ).select("__id", "__v", F.col("__b.band").alias("__band"), F.col("__b.bits").alias("__bits"))
+
+    a = buckets.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__band", "__bits")
+    b = buckets.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__band", "__bits")
+    cand = (
+        a.join(b, on=["__band", "__bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "score", cosine_similarity(F.col("v_a"), F.col("v_b"), quantized=quantized)
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.99,
+    n_planes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    quantized: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: drop every row that has a
+    lower-id neighbor at cosine ≥ threshold (single-hop canonicalization,
+    same contract as the text dedups). LSH-bucketed candidates + exact
+    verify — scale path identical to :func:`dedup_minhash`."""
+    pairs = embedding_dup_pairs(
+        df,
+        vec_col,
+        id_col,
+        threshold=threshold,
+        n_planes=n_planes,
+        bands=bands,
+        seed=seed,
+        quantized=quantized,
+    )
+    dupes = pairs.select(F.col("id_b").alias("__dup")).distinct()
+    return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -149,6 +149,95 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """IVF cell id: argmax cosine against the (small, broadcast-as-
+    literal) centroid list — one JVM fold per centroid, no shuffle.
+
+    Use as a partition key on write so probes prune to nprobe cells'
+    files — the IVF index IS the parquet layout at scale.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vn = _norm(v)
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot(v, _vec_lit(c)) / (vn * F.lit(float(np.linalg.norm(c))))).alias("s"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["cell"]
+
+
+def train_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Deterministic k-means-lite centroids: seed with the ``n_cells``
+    lowest-id vectors, then ``iterations`` Lloyd rounds — each round is
+    one assignment scan + one groupBy mean (two jobs, no driver loop
+    over rows; only the k centroid vectors ever reach the driver)."""
+    seeds = [
+        r[0]
+        for r in df.orderBy(id_col).select(vec_col).limit(n_cells).collect()
+    ]
+    centroids = [[float(x) for x in s] for s in seeds]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = df.select(
+            ivf_assign(vec_col, centroids).alias("__cell"), F.col(vec_col).alias("__v")
+        )
+        means = (
+            assigned.groupBy("__cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {r["__cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def similarity_topk_ivf(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    nprobe: int = 3,
+    centroids: list[list[float]] | None = None,
+    quantized: bool = False,
+) -> DataFrame:
+    """ANN top-k via IVF: score the query against the centroid list
+    driver-side, scan only the ``nprobe`` nearest cells, exact-score the
+    candidates. Recall is tunable via nprobe (nprobe=n_cells is exact)."""
+    if centroids is None:
+        centroids = train_centroids(df, n_cells, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vec, dtype=float)
+    sims = [
+        float(np.dot(q, np.asarray(c)) / (np.linalg.norm(q) * np.linalg.norm(c)))
+        for c in centroids
+    ]
+    probes = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
+    cands = df.withColumn("__cell", ivf_assign(vec_col, centroids)).filter(
+        F.col("__cell").isin(probes)
+    )
+    return similarity_topk(
+        cands, query_vec, k, vec_col=vec_col, id_col=id_col, quantized=quantized
+    )
+
+
 def similarity_topk_lsh(
     df: DataFrame,
     query_vec,

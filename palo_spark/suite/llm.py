@@ -31,6 +31,8 @@ from palo_spark.operators import (
     ngram_jaccard_pairs,
     similarity_topk,
     similarity_topk_lsh,
+    similarity_topk_ivf,
+    dedup_embedding_cosine,
     knn_join,
     quality_score,
     token_count,
@@ -245,6 +247,60 @@ def similarity_search_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity_topk_lsh(e, qv, k=10, n_planes=8, quantized=True)
+
+
+@q("similarity_search_ivf")  # rows-only: probed cells depend on trained centroids
+def similarity_search_ivf(spark, sf_dir):
+    """ANN top-10 via IVF (k-means-lite cells, nprobe=3 of 8): scans only
+    the probed cells, exact-scores candidates. Recall vs brute force is
+    pytest-checked; at scale the cell id is the parquet partition key, so
+    probing = partition pruning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity_topk_ivf(e, qv, k=10, n_cells=8, nprobe=3, quantized=True)
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5)
+        FROM embeddings WHERE vec_id < 200 AND vec_id % 5 = 0
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        WHERE CAST({_o_qdot('a.embedding', 'b.embedding')} AS DOUBLE)
+              / sqrt(CAST({_o_qdot('a.embedding', 'a.embedding')} AS DOUBLE)
+                     * CAST({_o_qdot('b.embedding', 'b.embedding')} AS DOUBLE)) >= 0.99
+    )
+    SELECT vec_id FROM all_vecs WHERE vec_id NOT IN (SELECT id_b FROM dup)
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup removal over the corpus ∪ planted
+    scaled copies (cosine is scale-invariant, so the copies sit at
+    exactly 1.0 — mirrorable in SQL; natural max cosine in the fixture
+    is ~0.46, far under the 0.99 threshold). The Spark side generates
+    candidates via banded sign-LSH (scaled copies have IDENTICAL sign
+    signatures → guaranteed candidates), then verifies with the exact
+    quantized cosine; the oracle brute-forces all pairs — affordable
+    only because it is the oracle."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        # double up front so original and scaled branches union cleanly
+        # (float→double is exact; the oracle casts the same way)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    allv = e.unionByName(dup)
+    return dedup_embedding_cosine(allv, threshold=0.99, quantized=True).select("vec_id")
 
 
 # ------------------------------------------------------------------- text

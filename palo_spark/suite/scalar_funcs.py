@@ -349,3 +349,48 @@ def scalar_hash_crypto(spark, sf_dir):
             == F.col("p_name")
         ).alias("aes_roundtrip_ok"),
     )
+
+
+@q(
+    "scalar_map_funcs",
+    """
+    SELECT n_nationkey,
+           'nk,rk'                                          AS keys_csv,
+           CAST(n_nationkey + n_regionkey AS BIGINT)        AS vals_sum,
+           TRUE                                             AS has_rk,
+           CAST(2 AS INT)                                   AS m_size,
+           CAST(n_regionkey AS BIGINT)                      AS rk_val,
+           concat('nk=', n_nationkey, ';rk=', n_regionkey)  AS entries_str,
+           CAST(3 AS INT)                                   AS concat_size
+    FROM nation
+    """,
+)
+def scalar_map_funcs(spark, sf_dir):
+    """Map family (Doris 2.0 MAP type): MAP(), MAP_KEYS, MAP_VALUES,
+    MAP_CONTAINS_KEY, MAP_SIZE, ELEMENT_AT, MAP_ENTRIES, MAP_CONCAT —
+    all native Catalyst map expressions. The oracle recomputes every
+    output from the scalar source columns (map construction is ours to
+    test; the values it must carry are self-evident)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey").cast("bigint"),
+        F.lit("rk"), F.col("n_regionkey").cast("bigint"),
+    )
+    entries = F.transform(
+        F.map_entries(m),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("vals_sum"),
+        F.map_contains_key(m, "rk").alias("has_rk"),
+        F.size(m).alias("m_size"),
+        F.element_at(m, F.lit("rk")).alias("rk_val"),
+        F.array_join(entries, ";").alias("entries_str"),
+        F.size(F.map_concat(m, F.create_map(F.lit("x"), F.lit(1).cast("bigint")))).alias(
+            "concat_size"
+        ),
+    )

@@ -24,6 +24,9 @@ from palo_spark.functions.sketches import (
     hll_cardinality,
     hll_union_agg,
     hll_union_agg_values,
+    quantile_percent,
+    quantile_state_of_values,
+    quantile_union,
 )
 from palo_spark.suite.util import register
 
@@ -97,6 +100,59 @@ def sketch_bitmap_ops(spark, sf_dir):
         bitmap_count(bitmap_and("bm_a", "bm_r")).alias("n_and"),
         bitmap_count(bitmap_or("bm_a", "bm_r")).alias("n_or"),
         bitmap_count(bitmap_andnot("bm_a", "bm_r")).alias("n_andnot"),
+    )
+
+
+@q(
+    "sketch_quantile_union",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS merged_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_quantile_union(spark, sf_dir):
+    """QUANTILE_STATE / QUANTILE_UNION / QUANTILE_PERCENT: mergeable
+    t-digest-lite quantile columns. The sketch can't be replayed
+    cross-engine; its rank-error CONTRACT can: the estimated p50/p95 of
+    l_extendedprice must sit within ±3% rank of the target (the sketch
+    guarantees ~2/256), both for the directly-built state and for the
+    two-phase merge (partials per (flag, status) → QUANTILE_UNION) —
+    the AGGREGATE-KEY-column load path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        quantile_state_of_values("l_extendedprice").alias("qs")
+    )
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        quantile_state_of_values("l_extendedprice").alias("qs")
+    )
+    merged = partial.groupBy("l_returnflag").agg(quantile_union("qs").alias("qs_m"))
+    est = (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            quantile_percent("qs", 0.5).alias("e50"),
+            quantile_percent("qs", 0.95).alias("e95"),
+            quantile_percent("qs_m", 0.5).alias("e50_m"),
+        )
+    )
+    # exact rank of each estimate, via one broadcast join back to the data
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg((F.col("l_extendedprice") <= F.col("e50")).cast("double")).alias("r50"),
+            F.avg((F.col("l_extendedprice") <= F.col("e95")).cast("double")).alias("r95"),
+            F.avg((F.col("l_extendedprice") <= F.col("e50_m")).cast("double")).alias("r50_m"),
+        )
+    )
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        F.col("r50").between(0.47, 0.53).alias("p50_rank_ok"),
+        F.col("r95").between(0.92, 0.98).alias("p95_rank_ok"),
+        F.col("r50_m").between(0.47, 0.53).alias("merged_rank_ok"),
     )
 
 

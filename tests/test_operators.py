@@ -249,3 +249,54 @@ def test_sample_frames_every_n(spark):
     rows = sample_frames(media, every_n=3).collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
     assert got == [(1, 0), (1, 3), (1, 6), (2, 0)]
+
+
+# ------------------------------------------------------- IVF / embedding dedup
+
+
+def test_similarity_ivf_recall(spark, sf_dir):
+    from palo_spark.operators import similarity_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).head()["embedding"]
+    exact = {r["vec_id"] for r in similarity_topk(e, qv, k=10).collect()}
+    ann = {r["vec_id"] for r in similarity_topk_ivf(e, qv, k=10, n_cells=8, nprobe=3).collect()}
+    assert 0 in ann  # the query's own vector is in the probed cell
+    assert len(exact & ann) >= 5
+    # nprobe = n_cells probes everything → exact
+    full = {r["vec_id"] for r in similarity_topk_ivf(e, qv, k=10, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_assign_is_argmax_cosine(spark, sf_dir):
+    from palo_spark.operators import ivf_assign, train_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = train_centroids(e, n_cells=4, iterations=1)
+    got = e.select("vec_id", ivf_assign("embedding", cents).alias("cell")).toPandas()
+    C = np.stack([np.asarray(c) for c in cents])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    vecs = e.select("vec_id", "embedding").toPandas()
+    merged = got.merge(vecs, on="vec_id")
+    for _, row in merged.iterrows():
+        v = np.asarray(row["embedding"], dtype=float)
+        sims = Cn @ (v / np.linalg.norm(v))
+        assert int(row["cell"]) == int(np.argmax(sims))
+
+
+def test_dedup_embedding_cosine_removes_planted(spark, sf_dir):
+    from palo_spark.operators import dedup_embedding_cosine
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    out = dedup_embedding_cosine(e.unionByName(dup), threshold=0.99)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    # every planted scaled copy (cosine exactly 1) removed, originals kept
+    assert ids == set(range(100))

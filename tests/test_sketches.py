@@ -113,3 +113,70 @@ def test_bitmap_rejects_foreign_bytes():
         _bm_de(b"NOTABITMAP")
     with pytest.raises(ValueError):
         _hll_de(b"NOTANHLL..")
+
+
+# ------------------------------------------------------------ quantile state
+
+
+def test_quantile_state_rank_error_bound():
+    from palo_spark.functions.sketches import _qs_compress, _qs_quantile
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(mean=3.0, sigma=1.2, size=50_000)
+    m, w = _qs_compress(vals, np.ones_like(vals))
+    assert m.size <= 257
+    for p in (0.05, 0.5, 0.95):
+        est = _qs_quantile(m, w, p)
+        rank = float(np.mean(vals <= est))
+        assert abs(rank - p) <= 0.01, (p, rank)
+
+
+def test_quantile_union_merge_stays_in_bound():
+    from palo_spark.functions.sketches import _qs_compress, _qs_quantile
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=40_000)
+    # 8 partials merged = concat centroid lists + recompress
+    parts = [
+        _qs_compress(chunk, np.ones_like(chunk))
+        for chunk in np.array_split(vals, 8)
+    ]
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    mm, mw = _qs_compress(m, w)
+    assert float(mw.sum()) == float(len(vals))
+    for p in (0.1, 0.5, 0.9):
+        est = _qs_quantile(mm, mw, p)
+        rank = float(np.mean(vals <= est))
+        assert abs(rank - p) <= 0.02, (p, rank)
+
+
+def test_quantile_state_spark_udaf(spark):
+    from palo_spark.functions.sketches import (
+        quantile_percent,
+        quantile_state_of_values,
+        quantile_union,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("x")
+    )
+    direct = df.groupBy("g").agg(quantile_state_of_values("x").alias("qs"))
+    got = {
+        r["g"]: r["p50"]
+        for r in direct.select("g", quantile_percent("qs", 0.5).alias("p50")).collect()
+    }
+    for g, est in got.items():
+        # group g holds {g, g+4, ...}: median ~ 4999.5 ± rank bound
+        assert abs(est - 5000.0) <= 200.0, (g, est)
+    # merge path: partials by finer key, union up
+    partial = df.withColumn("sub", F.col("x") % 16).groupBy("g", "sub").agg(
+        quantile_state_of_values("x").alias("qs")
+    )
+    merged = partial.groupBy("g").agg(quantile_union("qs").alias("qs"))
+    got_m = {
+        r["g"]: r["p50"]
+        for r in merged.select("g", quantile_percent("qs", 0.5).alias("p50")).collect()
+    }
+    for g, est in got_m.items():
+        assert abs(est - 5000.0) <= 300.0, (g, est)
