@@ -1,0 +1,184 @@
+"""Plan-shape assertions: the scale contract, machine-checked.
+
+Correctness says a query returns the right rows at sf0.01; these tests
+pin the *physical plan properties* that make the same query survive a
+1000-executor / 100 TB run: filters pushed into the parquet scan, column
+pruning, bounded-heap TopN, WindowGroupLimit for partition-topn, no
+Python UDFs or cartesian products in relational paths, and two-phase
+(partial/final) aggregation.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Capture df.explain() output as a string."""
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def executed_plan_of(df) -> str:
+    """Final (post-AQE) physical plan — runs the query."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------- scan layer
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    from palo_spark.suite.tpch import tpch_q6
+
+    plan = plan_of(tpch_q6(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # shipdate range + discount band + quantity cap all pushed
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0] or (
+        "GreaterThanOrEqual(l_shipdate" in plan
+    )
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    two_cols = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(two_cols)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # a 2-column projection must not read the 16-column row
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+# --------------------------------------------------------------- TopN layer
+
+
+def test_sort_limit_is_bounded_heap(spark, sf_dir):
+    """ORDER BY + LIMIT must be TakeOrderedAndProject (Doris TopN), not a
+    total sort."""
+    o = load_table(spark, sf_dir, "orders")
+    plan = plan_of(o.orderBy(F.desc("o_totalprice")).limit(10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_topn_uses_window_group_limit(spark, sf_dir):
+    """row_number() <= k filter must trigger WindowGroupLimit (Doris
+    PARTITION_SORT): per-partition bounded heaps, not full sorts."""
+    from palo_spark.suite.window_funcs import partition_topn
+
+    plan = plan_of(partition_topn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_similarity_topk_is_bounded(spark, sf_dir):
+    from palo_spark.operators import similarity_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).head()["embedding"]
+    plan = plan_of(similarity_topk(e, qv, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------- agg layer
+
+
+def test_q1_aggregation_is_two_phase(spark, sf_dir):
+    """Partial (map-side) + final HashAggregate — Doris's 2-phase agg."""
+    from palo_spark.suite.tpch import tpch_q1
+
+    plan = plan_of(tpch_q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_q1_stays_in_codegen(spark, sf_dir):
+    """The Q1 hot path (scan→filter→project→agg) must be inside
+    WholeStageCodegen spans — no Python, no codegen breaks. Codegen
+    spans only appear in the post-AQE executed plan ("*(n)" prefixes)."""
+    from palo_spark.suite.tpch import tpch_q1
+
+    final = executed_plan_of(tpch_q1(spark, sf_dir))
+    assert "*(1)" in final  # at least one whole-stage span
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+# --------------------------------------------------------------- join layer
+
+
+def test_q5_no_forced_broadcast_on_scaled_tables(spark, sf_dir):
+    """AQE decides the strategy for SF-scaled sides at runtime; the final
+    plan at test scale may broadcast (they're small HERE), but the
+    *logical* plan must carry no mandatory broadcast hint on customer/
+    supplier/part — a hint would override AQE at 100×."""
+    from palo_spark.suite.tpch import tpch_q5
+
+    df = tpch_q5(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # hints survive analysis as ResolvedHint(broadcast) nodes; the only
+    # legitimate ones sit on the FIXED-SIZE dims (region: 5 rows,
+    # nation: 25 rows — they do not grow with SF)
+    for chunk in logical.split("ResolvedHint")[1:]:
+        head = chunk[:400]
+        assert ("n_nationkey" in head) or ("r_regionkey" in head), head
+        for scaled in ("c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey"):
+            assert scaled not in head.split("Relation")[0], (scaled, head)
+
+
+def test_dedup_minhash_has_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must be a keyed equi-join on the band
+    bucket — never CartesianProduct / BroadcastNestedLoopJoin."""
+    from palo_spark.operators import dedup_minhash
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    plan = plan_of(dedup_minhash(d, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_has_no_cartesian(spark, sf_dir):
+    from palo_spark.operators import dedup_embedding_cosine
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    plan = plan_of(dedup_embedding_cosine(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_joins_are_native(spark, sf_dir):
+    """IN / NOT IN subqueries must plan as semi/anti hash joins, not
+    materialized distincts + inner joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    assert "LeftSemi" in plan_of(semi)
+    assert "LeftAnti" in plan_of(anti)
+
+
+# ----------------------------------------------------------- runtime (AQE)
+
+
+def test_q3_final_plan_broadcasts_small_side(spark, sf_dir):
+    """At test scale AQE must convert the filtered-customer join to a
+    broadcast join at runtime — proving the unhinted query still gets
+    the broadcast when the side IS small."""
+    from palo_spark.suite.tpch import tpch_q3
+
+    final = executed_plan_of(tpch_q3(spark, sf_dir))
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+
+
+def test_session_has_scale_posture(spark):
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
