@@ -60,8 +60,13 @@ def main() -> None:
     spark = get_session("palo_spark-bench")
     qs = ent.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm up: JVM + parquet footer caches, one tiny job
+    # warm up: JVM, codegen, parquet footers/file index for every table —
+    # so per-query timings measure plan+execute, not first-touch costs
     spark.range(1000).count()
+    from palo_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in names:

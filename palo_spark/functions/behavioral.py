@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,36 +50,86 @@ def retention_sql(conds: Iterable[str]) -> str:
 
 
 def _funnel_kernel(ts: pd.Series, flags: list[pd.Series], window_ns: int) -> int:
-    """Max funnel depth: for each cond1 event, greedily chain the first
-    cond2 event after it, then cond3 after that, ... all within the
-    window of the cond1 event (ClickHouse windowFunnel 'default' mode).
-    Timestamps are exact int64 nanoseconds — no float rounding at the
-    window boundary."""
+    """Sorting wrapper over :func:`_funnel_core` for unsorted input."""
     order = ts.argsort(kind="stable")
     t = ts.iloc[order].to_numpy()
-    fl = [f.iloc[order].to_numpy() for f in flags]
-    best = 0
-    n = len(t)
-    for start in range(n):
-        if not fl[0][start]:
-            continue
-        deadline = t[start] + window_ns
-        level, pos = 1, start
-        for step in range(1, len(fl)):
-            nxt = None
-            for j in range(pos + 1, n):
-                if t[j] > deadline:
-                    break
-                if fl[step][j]:
-                    nxt = j
-                    break
-            if nxt is None:
-                break
-            level, pos = step + 1, nxt
-        best = max(best, level)
-        if best == len(fl):
+    fl = [f.iloc[order].to_numpy().astype(bool) for f in flags]
+    return _funnel_core(t, fl, window_ns)
+
+
+def _funnel_core(t: np.ndarray, fl: list[np.ndarray], window_ns: int) -> int:
+    """Max funnel depth over time-sorted events: for each cond1 event,
+    greedily chain the first cond2 event after it, then cond3 after
+    that, ... all within the window of the cond1 event (ClickHouse
+    windowFunnel 'default' mode). Timestamps are exact int64
+    nanoseconds — no float rounding at the window boundary.
+
+    Vectorized: all cond1 starts advance together; step k is one
+    ``searchsorted`` of every live chain's position into cond-k's sorted
+    event indices — O(levels · n log n) numpy, no per-event Python.
+    "First flag-k event after pos" is exactly the greedy choice, and if
+    that first one is past the deadline every later one is too, so the
+    chain dies — identical to the scalar scan it replaces."""
+    starts = np.flatnonzero(fl[0])
+    if starts.size == 0:
+        return 0
+    deadline = t[starts] + window_ns
+    pos = starts
+    best = 1
+    for step in range(1, len(fl)):
+        idxs = np.flatnonzero(fl[step])
+        if idxs.size == 0:
             break
+        j = np.searchsorted(idxs, pos + 1, side="left")
+        has = j < idxs.size
+        nxt = idxs[np.minimum(j, idxs.size - 1)]  # garbage where ~has; masked next
+        alive = has & (t[nxt] <= deadline)
+        if not alive.any():
+            break
+        pos, deadline = nxt[alive], deadline[alive]
+        best = step + 1
     return best
+
+
+def _group_bounds(g: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of the contiguous runs of equal group values —
+    equality-only, no ordering assumption beyond contiguity."""
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    return starts, np.append(starts[1:], g.size)
+
+
+def _stream_grouped(proj: DataFrame, group_col: str, batch_fn, out_schema: str) -> DataFrame:
+    """One hash shuffle on the group key, in-partition ``(group, ts)``
+    sort, then a SINGLE streaming ``mapInPandas`` pass.
+
+    ``applyInPandas`` calls Python once per group — at 1500 tiny groups
+    the per-call pandas overhead dominates the kernel (measured ~2.3 s
+    of pure machinery at sf0.1). Here each Arrow batch is one call and
+    ``batch_fn`` vectorizes across all complete groups in it; a group
+    split across batch boundaries is carried into the next batch (group
+    rows are contiguous after the sort). Same shuffle count, O(batch)
+    memory, ~1500× fewer Python crossings.
+    """
+    srt = proj.repartition(group_col).sortWithinPartitions(group_col, "__ts")
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            eq_last = (pdf[group_col].to_numpy() == pdf[group_col].iloc[-1])
+            cut = len(pdf) if eq_last.all() else len(pdf) - int(eq_last[::-1].argmin())
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield batch_fn(body)
+        if carry is not None and len(carry):
+            yield batch_fn(carry)
+
+    return srt.mapInPandas(run, out_schema)
 
 
 def window_funnel(
@@ -92,23 +143,29 @@ def window_funnel(
     group → (group_col, funnel_level).
 
     Plan: project the condition flags (native), one hash shuffle on the
-    group key, then an Arrow-batched per-group kernel.
+    group key, in-partition sort, then one streaming Arrow pass
+    (:func:`_stream_grouped`) running the vectorized funnel kernel per
+    group slice.
     """
     flag_cols = [c.cast("boolean").alias(f"__f{i}") for i, c in enumerate(conds)]
     proj = df.select(F.col(group_col), F.col(ts_col).alias("__ts"), *flag_cols)
     n_conds = len(conds)
-
     window_ns = int(round(window_seconds * 1e9))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts_ns = pdf["__ts"].astype("datetime64[ns]").astype("int64")
-        level = _funnel_kernel(
-            ts_ns, [pdf[f"__f{i}"].fillna(False) for i in range(n_conds)], window_ns
-        )
-        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "funnel_level": [level]})
+    def batch_fn(body: pd.DataFrame) -> pd.DataFrame:
+        g = body[group_col].to_numpy()
+        t = body["__ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        fl = [
+            body[f"__f{i}"].fillna(False).to_numpy().astype(bool) for i in range(n_conds)
+        ]
+        starts, ends = _group_bounds(g)
+        levels = [
+            _funnel_core(t[s:e], [f[s:e] for f in fl], window_ns)
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame({group_col: g[starts], "funnel_level": levels})
 
-    out_schema = f"{group_col} long, funnel_level int"
-    return proj.groupBy(group_col).applyInPandas(kernel, out_schema)
+    return _stream_grouped(proj, group_col, batch_fn, f"{group_col} long, funnel_level int")
 
 
 _PATTERN_TOKEN = re.compile(r"\(\?(\d+)\)|\.\*|\.")
@@ -152,15 +209,44 @@ def _seq_string(pdf: pd.DataFrame, n_conds: int) -> str:
     """Per-group event string: events sorted by ts; each event matching
     ≥1 condition contributes the letter of its first matching condition;
     non-matching events are skipped (ClickHouse semantics)."""
-    order = pdf["__ts"].argsort(kind="stable")
-    chars = []
-    flags = [pdf[f"__f{i}"].fillna(False).to_numpy() for i in range(n_conds)]
-    for j in order:
-        for i in range(n_conds):
-            if flags[i][j]:
-                chars.append(chr(ord("a") + i))
-                break
-    return "".join(chars)
+    order = pdf["__ts"].argsort(kind="stable").to_numpy()
+    flags = np.stack(
+        [pdf[f"__f{i}"].fillna(False).to_numpy().astype(bool)[order] for i in range(n_conds)]
+    )
+    return _letters(flags)
+
+
+def _letters(flags: np.ndarray) -> str:
+    """Condition-alphabet string of a (n_conds × n_events) boolean
+    matrix already in time order."""
+    matched = flags.any(axis=0)
+    first = flags.argmax(axis=0)  # index of first True per event (argmax on bool)
+    return (ord("a") + first[matched]).astype(np.uint8).tobytes().decode("ascii")
+
+
+def _sequence_op(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    pattern: str,
+    conds: list[Column],
+    out_col: str,
+    out_type: str,
+    per_string,
+) -> DataFrame:
+    proj, n = _sequence_df(df, group_col, ts_col, conds)
+    rx = _compile_pattern(pattern, n)
+
+    def batch_fn(body: pd.DataFrame) -> pd.DataFrame:
+        g = body[group_col].to_numpy()
+        flags = np.stack(
+            [body[f"__f{i}"].fillna(False).to_numpy().astype(bool) for i in range(n)]
+        )
+        starts, ends = _group_bounds(g)
+        vals = [per_string(rx, _letters(flags[:, s:e])) for s, e in zip(starts, ends)]
+        return pd.DataFrame({group_col: g[starts], out_col: vals})
+
+    return _stream_grouped(proj, group_col, batch_fn, f"{group_col} long, {out_col} {out_type}")
 
 
 def sequence_match(
@@ -172,16 +258,10 @@ def sequence_match(
 ) -> DataFrame:
     """Doris ``SEQUENCE_MATCH('(?1).*(?2)', ts, cond...)`` per group →
     (group_col, matched: boolean)."""
-    proj, n = _sequence_df(df, group_col, ts_col, conds)
-    rx = _compile_pattern(pattern, n)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = _seq_string(pdf, n)
-        return pd.DataFrame(
-            {group_col: [pdf[group_col].iloc[0]], "matched": [rx.search(s) is not None]}
-        )
-
-    return proj.groupBy(group_col).applyInPandas(kernel, f"{group_col} long, matched boolean")
+    return _sequence_op(
+        df, group_col, ts_col, pattern, conds,
+        "matched", "boolean", lambda rx, s: rx.search(s) is not None,
+    )
 
 
 def sequence_count(
@@ -193,13 +273,7 @@ def sequence_count(
 ) -> DataFrame:
     """Doris ``SEQUENCE_COUNT`` — non-overlapping pattern matches per
     group → (group_col, n_matches)."""
-    proj, n = _sequence_df(df, group_col, ts_col, conds)
-    rx = _compile_pattern(pattern, n)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = _seq_string(pdf, n)
-        return pd.DataFrame(
-            {group_col: [pdf[group_col].iloc[0]], "n_matches": [len(rx.findall(s))]}
-        )
-
-    return proj.groupBy(group_col).applyInPandas(kernel, f"{group_col} long, n_matches int")
+    return _sequence_op(
+        df, group_col, ts_col, pattern, conds,
+        "n_matches", "int", lambda rx, s: len(rx.findall(s)),
+    )

@@ -84,6 +84,10 @@ def minhash_signature(shingle_col, n_hashes: int = 64):
     column — all per-row, no shuffle.
     """
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    # n_hashes flat array_min(transform(...)) expressions, NOT one nested
+    # transform over a seed sequence: nested higher-order lambdas bind
+    # per-seed and evaluate ~10× slower (measured 6.5s → 70s at sf0.1);
+    # the flat form lets each seed's fold run as an independent expression
     return F.array(
         *[
             F.array_min(F.transform(c, lambda s, i=i: F.xxhash64(s, F.lit(i))))
