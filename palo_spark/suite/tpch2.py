@@ -383,3 +383,130 @@ def tpch_q22_global_sales_opp(spark, sf_dir):
     SQL text (with the dsum quantization) runs on Spark and DuckDB."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_BODY)
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS u_price
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN unit     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND u_price = (
+          SELECT min(u2.u_price)
+          FROM unit u2
+          JOIN supplier s2 ON u2.l_suppkey = s2.s_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE u2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: minimum-cost supplier per part — the 5-way dim join with
+    a CORRELATED scalar-min subquery over the same join graph (the
+    fixture has no partsupp, so supply cost = the supplier's best
+    observed unit price from lineitem; the plan shape — correlated
+    min + re-join + TopN — is the original's). Both the outer and inner
+    sides share the aggregated `unit` subplan; min(unit-price) equality
+    is a single IEEE division per row, bit-stable across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS u_price
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN unit     ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND r_name = 'EUROPE'
+          AND u_price = (
+              SELECT min(u2.u_price)
+              FROM unit u2
+              JOIN supplier s2 ON u2.l_suppkey = s2.s_suppkey
+              JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+              WHERE u2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    f"""
+    WITH pv AS (
+        SELECT l_partkey, {o_dsum('l_extendedprice * l_quantity', scale=2)} AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = 1
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM pv
+    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape: parts representing a significant fraction of one
+    nation's stock value — grouped value sum HAVING > scalar-subquery
+    threshold over the SAME aggregate (no partsupp: value =
+    price × quantity from that nation's lineitems). Catalyst reuses the
+    pv subplan for both branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
+    pv = (
+        li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), scale=2).alias("value"))
+    )
+    threshold = pv.agg((F.sum("value") * F.lit(0.001)).alias("t"))
+    return pv.join(F.broadcast(threshold)).filter(F.col("value") > F.col("t")).select(
+        "l_partkey", "value"
+    )
+
+
+@q(
+    "tpch_q12_late_lines",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_late_lines(spark, sf_dir):
+    """Q12 shape: late-shipment lines split into high/low-priority
+    counts per line attribute (no shipmode/receiptdate in the fixture:
+    'late' = shipped >60 days after order; the plan shape — fact⨝fact
+    join, date-lag predicate, two conditional sums — is the original's)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("int")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("bigint").alias("low_line_count"),
+        )
+    )
