@@ -124,9 +124,15 @@ def strright(s, n) -> Column:
 def split_part(s, delim, part) -> Column:
     """Doris ``SPLIT_PART(str, delim, k)`` — 1-based; negative k counts
     from the end; NULL when |k| exceeds the number of fields (Spark's
-    ``split_part`` returns '' — Doris returns NULL, encoded here)."""
-    sp = F.split_part(_c(s), _lit(delim), _lit(part))
-    return F.when(sp == "", F.lit(None).cast("string")).otherwise(sp)
+    ``split_part`` returns '' there — Doris returns NULL). A legitimately
+    empty field ('a,,b' k=2) stays '' — out-of-range is detected by
+    comparing |k| against the actual field count, not by the '' result."""
+    col, d, k = _c(s), _lit(delim), _lit(part)
+    sp = F.split_part(col, d, k)
+    n_fields = (
+        (F.length(col) - F.length(F.replace(col, d, F.lit("")))) / F.length(d) + 1
+    ).cast("int")
+    return F.when(F.abs(k) <= n_fields, sp).otherwise(F.lit(None).cast("string"))
 
 
 def split_by_string(s, delim) -> Column:

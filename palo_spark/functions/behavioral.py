@@ -121,7 +121,11 @@ def _stream_grouped(proj: DataFrame, group_col: str, batch_fn, out_schema: str) 
             if not len(pdf):
                 continue
             eq_last = (pdf[group_col].to_numpy() == pdf[group_col].iloc[-1])
-            cut = len(pdf) if eq_last.all() else len(pdf) - int(eq_last[::-1].argmin())
+            # The trailing run that matches the last group value may continue
+            # into the next batch, so it is always carried — including the
+            # whole batch when it is a single group (a group spanning ≥1 full
+            # Arrow batch must accumulate, not emit early).
+            cut = 0 if eq_last.all() else len(pdf) - int(eq_last[::-1].argmin())
             carry = pdf.iloc[cut:]
             body = pdf.iloc[:cut]
             if len(body):
@@ -181,7 +185,11 @@ def _compile_pattern(pattern: str, n_conds: int) -> re.Pattern:
             raise ValueError(f"unsupported pattern fragment: {pattern[pos:m.start()]!r}")
         tok = m.group(0)
         if tok == ".*":
-            out.append(".*")
+            # Non-greedy: SEQUENCE_COUNT counts non-overlapping *minimal*
+            # chains (ClickHouse restarts after each match); greedy '.*'
+            # would swallow later chain starts and undercount. For the
+            # boolean SEQUENCE_MATCH path greediness is irrelevant.
+            out.append(".*?")
         elif tok == ".":
             out.append(".")
         else:

@@ -224,9 +224,14 @@ class Table:
             return raw.select(*data_cols)
 
         if self.meta.keys_type == "UNIQUE":
+            # Doris function_column.sequence_col exists to survive
+            # out-of-order ingestion: the SEQUENCE VALUE decides the winner
+            # across loads, with load version only as the tie-break. A later
+            # insert carrying a lower sequence must NOT overwrite a
+            # higher-sequence row.
             order = [F.desc(_VERSION_COL)]
             if self.meta.sequence_col:
-                order.append(F.desc(self.meta.sequence_col))
+                order = [F.desc(self.meta.sequence_col), F.desc(_VERSION_COL)]
             w = Window.partitionBy(*self.meta.key_cols).orderBy(*order)
             return (
                 raw.withColumn("__rn", F.row_number().over(w))

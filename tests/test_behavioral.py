@@ -107,9 +107,43 @@ def test_sequence_count_non_overlapping(spark):
     assert got["n_matches"] == 2
 
 
+def test_sequence_count_gap_pattern_restarts_after_match(spark):
+    # a,b,a,b with '(?1).*(?2)' = 2 minimal non-overlapping chains; a
+    # greedy '.*' would swallow the second chain and count 1
+    df = _events(
+        spark,
+        [(1, i, t) for i, t in enumerate(["a", "b", "a", "b"])],
+    )
+    got = sequence_count(df, "user_id", "ts", "(?1).*(?2)", CONDS()[:2]).collect()[0]
+    assert got["n_matches"] == 2
+
+
+def test_group_spanning_full_arrow_batches(spark):
+    # A group larger than one Arrow batch must accumulate across batches,
+    # not emit one row per batch (regression: eq_last.all() used to emit).
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        rows = [(1, i * 10, t) for i, t in enumerate(["a", "x", "x", "x", "x", "x", "b", "c"])]
+        rows += [(2, 0, "a"), (2, 10, "b")]
+        df = _events(spark, rows).coalesce(1)
+        got = {
+            r["user_id"]: r["funnel_level"]
+            for r in window_funnel(df, "user_id", "ts", 600.0, CONDS()).collect()
+        }
+        assert got == {1: 3, 2: 2}
+        cnt = sequence_count(df, "user_id", "ts", "(?1).*(?2)", CONDS()[:2]).collect()
+        assert {r["user_id"]: r["n_matches"] for r in cnt} == {1: 1, 2: 1}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_pattern_compiler_rejects_garbage():
     with pytest.raises(ValueError):
         _compile_pattern("(?1)+(?2)", 2)
     with pytest.raises(ValueError):
         _compile_pattern("(?3)", 2)
-    assert _compile_pattern("(?1).*(?2)", 2).pattern == "a.*b"
+    assert _compile_pattern("(?1).*(?2)", 2).pattern == "a.*?b"

@@ -72,6 +72,15 @@ def test_split_part_out_of_range_is_null(spark):
     assert _one(spark, PF.split_part(F.lit("a,b"), ",", -1)) == "b"
 
 
+def test_split_part_empty_field_is_empty_not_null(spark):
+    # Doris: a legitimately empty field returns '', only out-of-range is NULL
+    assert _one(spark, PF.split_part(F.lit("a,,b"), ",", 2)) == ""
+    assert _one(spark, PF.split_part(F.lit("a,,b"), ",", 4)) is None
+    assert _one(spark, PF.split_part(F.lit("a,,b"), ",", -2)) == ""
+    assert _one(spark, PF.split_part(F.lit("a,,b"), ",", -3)) == "a"
+    assert _one(spark, PF.split_part(F.lit("a,,b"), ",", -4)) is None
+
+
 def test_split_by_string_literal_delimiter(spark):
     # a regex metachar delimiter must be treated literally
     assert _one(spark, PF.split_by_string(F.lit("a.b.c"), ".")) == ["a", "b", "c"]

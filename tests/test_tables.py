@@ -47,9 +47,16 @@ def test_unique_sequence_col_breaks_in_batch_ties(spark):
         )
     )
     assert _rows(t.read(), "k", "x") == [(1, "b")]
-    # a later version still beats a higher in-batch sequence
+    # the sequence value decides across loads (out-of-order ingestion):
+    # a later insert with a LOWER sequence must not overwrite seq=9
     t.insert(spark.createDataFrame([Row(k=1, seq=1, x="z")]))
-    assert _rows(t.read(), "k", "x") == [(1, "z")]
+    assert _rows(t.read(), "k", "x") == [(1, "b")]
+    # a later insert with a higher sequence does replace
+    t.insert(spark.createDataFrame([Row(k=1, seq=12, x="w")]))
+    assert _rows(t.read(), "k", "x") == [(1, "w")]
+    # equal sequence → later load version wins (tie-break)
+    t.insert(spark.createDataFrame([Row(k=1, seq=12, x="w2")]))
+    assert _rows(t.read(), "k", "x") == [(1, "w2")]
 
 
 def test_aggregate_merge_semantics(spark):
