@@ -8,9 +8,12 @@ exactly ONE JSON line to stdout:
     {"metric": "wall_total", "value": N, "unit": "sec",
      "queries": {"tpch_q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is materialized with ``df.count()`` after a shared session
-warm-up, so the measured time is plan+execute, not JVM startup. All
-diagnostics go to stderr; stdout carries only the JSON line.
+Each query is materialized with a noop-sink write
+(``df.write.format("noop")``) after a shared session warm-up, so the
+measured time is plan+execute of EVERY output column — ``.count()``
+would let Catalyst prune projection-only and window-only work down to a
+bare row-count scan. All diagnostics go to stderr; stdout carries only
+the JSON line.
 """
 
 from __future__ import annotations
@@ -47,6 +50,10 @@ HEADLINE = [
     "dedup_minhash_fuzzy",
     "similarity_search_topk",
     "text_quality_score",
+    "dedup_embedding_cosine",
+    "similarity_knn_join",
+    "text_tfidf_top_terms",
+    "table_model_aggregate_merge",
 ]
 
 
@@ -72,7 +79,10 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         try:
-            qs[name](spark, sf_dir).count()
+            # noop sink consumes every row of every column, so projection
+            # and window work cannot be pruned away (it would be under
+            # .count()); this is the standard Spark benchmarking sink.
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # never lose the whole bench to one query
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)

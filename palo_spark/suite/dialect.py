@@ -1,0 +1,143 @@
+"""MySQL-dialect edge semantics (SURVEY.md §0 dialect goals; §7 hard
+item (d)): division ``/`` vs ``div``, modulo sign/zero, the lax implicit
+cast matrix, and zero-date handling.
+
+Doris speaks MySQL dialect: ``/`` is always real division (5/2 = 2.5),
+``div`` is integer division truncating toward zero, ``x/0`` and ``x%0``
+are NULL (not errors), and invalid casts yield NULL rather than raising.
+Our engine runs with ``spark.sql.ansi.enabled=false`` (session default,
+palo_spark/session.py) which gives exactly these MySQL-ish semantics;
+these entries pin each edge against the DuckDB oracle so a future conf
+or Spark-version change cannot silently flip them.
+
+All expressions are per-row, whole-stage-codegen JVM arithmetic — no
+shuffles beyond the final collect, scale-free by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "dialect_division_semantics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / l_quantity          AS unit_price,
+           l_quantity / 0                        AS div_zero,
+           CAST(l_linenumber AS DOUBLE) / 2      AS half_line,
+           l_orderkey // 7                       AS okey_div7,
+           (0 - l_orderkey) // 7                 AS neg_div7,
+           l_orderkey % 7                        AS okey_mod7,
+           (0 - l_orderkey) % 7                  AS neg_mod7,
+           l_orderkey % 0                        AS mod_zero
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def dialect_division_semantics(spark, sf_dir):
+    """MySQL ``/`` is real division even on integers (5/2 = 2.5), ``div``
+    truncates toward zero (also for negatives: -15 div 7 = -2, NOT the
+    floor -3), ``%`` takes the dividend's sign, and both are NULL-safe on
+    zero divisors (no error). DuckDB's ``//`` and ``%`` share exactly
+    these conventions, so the oracle expresses them natively."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        (F.col("l_quantity") / F.lit(0)).alias("div_zero"),
+        (F.col("l_linenumber").cast("double") / F.lit(2)).alias("half_line"),
+        F.expr("l_orderkey div 7").alias("okey_div7"),
+        F.expr("(-l_orderkey) div 7").alias("neg_div7"),
+        (F.col("l_orderkey") % F.lit(7)).alias("okey_mod7"),
+        ((-F.col("l_orderkey")) % F.lit(7)).alias("neg_mod7"),
+        (F.col("l_orderkey") % F.lit(0)).alias("mod_zero"),
+    )
+
+
+@q(
+    "dialect_implicit_cast_cmp",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_quantity > TRY_CAST('17' AS DOUBLE)
+    """,
+)
+def dialect_implicit_cast_cmp(spark, sf_dir):
+    """Implicit-cast comparisons: a DATE column compared to a string
+    literal (string→date coercion) and a numeric column compared to a
+    numeric *string* literal (string→double coercion) — the two
+    commonest MySQL lax-comparison shapes. The Spark side leans on the
+    implicit coercions (ANSI off); the oracle spells the casts out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))  # string vs date
+        & (F.col("l_quantity") > F.lit("17"))  # double vs string
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "dialect_string_number_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS DOUBLE) + 1                       AS str_plus,
+           TRY_CAST('3abc' AS DOUBLE) + l_linenumber              AS junk_plus,
+           TRY_CAST(' 7 ' AS INT) + l_linenumber                  AS trimmed_int
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def dialect_string_number_arith(spark, sf_dir):
+    """String↔number arithmetic: a numeric string in arithmetic coerces
+    to DOUBLE ('5' + 2 = 7.0); a non-numeric string coerces to NULL (a
+    documented deviation from MySQL's prefix-parse '3abc'→3 — Doris 2.x
+    also returns NULL here); leading/trailing blanks are tolerated in
+    string→int casts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber").cast("string") + F.lit(1)).alias("str_plus"),
+        (F.lit("3abc") + F.col("l_linenumber")).alias("junk_plus"),
+        (F.lit(" 7 ").cast("int") + F.col("l_linenumber")).alias("trimmed_int"),
+    )
+
+
+@q(
+    "dialect_lax_cast_null",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT)                      AS prio_int,
+           TRY_CAST('0000-00-00' AS DATE)                        AS zero_date,
+           TRY_CAST('2024-13-99' AS DATE)                        AS bad_date,
+           CAST(TRUNC(TRY_CAST('12.5' AS DOUBLE)) AS INT)        AS frac_int,
+           TRY_CAST(o_orderdate AS VARCHAR)                      AS date_str
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def dialect_lax_cast_null(spark, sf_dir):
+    """Lax cast matrix: invalid string→int and string→date casts are
+    NULL (MySQL zero-date '0000-00-00' included — Doris stores it as
+    NULL by default); fractional string→int truncates toward zero
+    (MySQL rounds — documented deviation, Spark/Doris truncate);
+    date→string round-trips ISO format."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").cast("int").alias("prio_int"),
+        F.lit("0000-00-00").cast("date").alias("zero_date"),
+        F.lit("2024-13-99").cast("date").alias("bad_date"),
+        F.lit("12.5").cast("int").alias("frac_int"),
+        F.col("o_orderdate").cast("string").alias("date_str"),
+    )

@@ -235,7 +235,53 @@ def table_model_delete_compact(spark, sf_dir):
         .withColumn("c_acctbal", F.col("c_acctbal") * 2.0)
         .withColumn("c_mktsegment", F.lit("DOUBLED"))
     )
-    t.delete_where(F.col("c_acctbal") < 0.0)
+    t.delete_where("c_acctbal < 0.0")
     t.compact()
     assert len(t.meta.rowsets) == 1, "compact must leave exactly one rowset"
+    return t.read()
+
+
+@q(
+    "table_model_delete_predicate",
+    """
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+    """,
+)
+def table_model_delete_predicate(spark, sf_dir):
+    """Deferred predicate DELETE (Doris delete-version semantics, the
+    100 TB path): delete on a partitioned table is a METADATA write —
+    no rowset file is touched (asserted) — applied at read to data
+    loaded before the delete only; a load committed AFTER the delete
+    re-populates the deleted partition and must be visible."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t = _fresh(
+        spark,
+        "del_pred",
+        keys_type="DUPLICATE",
+        key_cols=["c_custkey"],
+        partition_by=["c_mktsegment"],
+    )
+    t.insert(c)
+
+    def _files():
+        out = {}
+        for r in t.meta.rowsets:
+            for dp, _, fns in os.walk(r["path"]):
+                for fn in fns:
+                    p = os.path.join(dp, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = _files()
+    t.delete_where("c_mktsegment = 'BUILDING'")
+    assert _files() == before, "deferred DELETE must not touch any rowset file"
+    # a load after the delete is NOT subject to the earlier predicate
+    t.insert(c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)))
     return t.read()

@@ -62,6 +62,11 @@ class TableMeta:
     rowsets: list[dict] = field(default_factory=list)
     #: load labels already applied (Stream/Broker Load idempotency ledger)
     labels: list[str] = field(default_factory=list)
+    #: deferred DELETE predicates: [{"version": int, "predicate": str}] —
+    #: applied at read time to rowsets with version < delete version,
+    #: folded into storage only by compact() (Doris delete-predicate +
+    #: compaction design; no storage rewrite at delete time)
+    deletes: list[dict] = field(default_factory=list)
 
 
 class Table:
@@ -130,7 +135,9 @@ class Table:
 
     @property
     def _next_version(self) -> int:
-        return max((r["version"] for r in self.meta.rowsets), default=0) + 1
+        hi = max((r["version"] for r in self.meta.rowsets), default=0)
+        hi = max(hi, max((d["version"] for d in self.meta.deletes), default=0))
+        return hi + 1
 
     # -------------------------------------------------------------- writes
 
@@ -157,18 +164,39 @@ class Table:
         self._save_meta()
         return version
 
-    def delete_where(self, condition) -> None:
-        """Doris DELETE: rewrite storage without the matching rows (the
-        parquet equivalent of a delete-predicate + compaction). Rows for
-        which the predicate is NULL are kept — only TRUE matches delete.
+    def delete_where(self, condition: str) -> int:
+        """Doris DELETE: record the predicate in table meta — NO storage
+        is touched. At read time the predicate filters rows from every
+        rowset loaded *before* the delete (later inserts are unaffected,
+        exactly Doris's delete-version semantics); :meth:`compact` folds
+        accumulated predicates back into storage.
+
+        This is the 100 TB-safe path: a predicate delete on a petabyte
+        table is a metadata write, not a full (or even partial) rewrite —
+        readers pay one extra native filter per live delete until the
+        next compaction, identical to Doris's delete-predicate design.
+
+        ``condition`` must be a SQL predicate string (it is persisted in
+        ``_palo_table.json``; Doris likewise restricts DELETE to simple
+        column predicates). Rows for which the predicate is NULL are
+        kept — only TRUE matches delete. Returns the delete's version.
         """
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
-        self._replace_storage(kept)
+        if not isinstance(condition, str):
+            raise TypeError(
+                "delete_where requires a SQL predicate string (it is "
+                "persisted in table meta and applied at read time); got "
+                f"{type(condition).__name__}"
+            )
+        F.expr(condition)  # fail fast on unparseable predicates
+        version = self._next_version
+        self.meta.deletes.append({"version": version, "predicate": condition})
+        self._save_meta()
+        return version
 
     def compact(self) -> None:
         """Materialize the merge-on-read view into a single rowset
-        (Doris base compaction: applies model merge semantics eagerly)."""
+        (Doris base compaction: applies model merge semantics AND any
+        pending delete predicates eagerly, then clears them)."""
         self._replace_storage(self.read())
 
     def _replace_storage(self, df: DataFrame) -> None:
@@ -180,6 +208,7 @@ class Table:
         writer.parquet(path)
         old_paths = [r["path"] for r in self.meta.rowsets]
         self.meta.rowsets = [{"version": version, "path": path, "label": None}]
+        self.meta.deletes = []  # folded into the rewritten rowset
         self._save_meta()
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
@@ -211,6 +240,19 @@ class Table:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        # Apply deferred delete predicates: a delete at version v removes
+        # matching rows from rowsets with version < v only (later loads
+        # are unaffected — Doris delete-version semantics). The filter is
+        # a native per-row expression: scan-adjacent, scale-free, and for
+        # partition-column predicates Catalyst prunes whole partitions.
+        for d in self.meta.deletes:
+            pred = F.expr(d["predicate"])
+            out = out.filter(
+                ~(
+                    (F.col(_VERSION_COL) < F.lit(int(d["version"])))
+                    & F.coalesce(pred, F.lit(False))
+                )
+            )
         return out
 
     def read(self) -> DataFrame:

@@ -92,7 +92,7 @@ def test_label_dedup_is_idempotent(spark):
 def test_delete_where_keeps_null_predicate_rows(spark):
     t = _mk(spark, "del", keys_type="DUPLICATE", key_cols=["k"])
     t.insert(spark.createDataFrame([Row(k=1, x=5), Row(k=2, x=-1), Row(k=3, x=None)]))
-    t.delete_where(F.col("x") < 0)
+    t.delete_where("x < 0")
     assert _rows(t.read(), "k") == [(1,), (3,)]
 
 
@@ -124,3 +124,46 @@ def test_validation_errors(spark):
     t = _mk(spark, "bad4", keys_type="UNIQUE", key_cols=["k"])
     with pytest.raises(ValueError, match="missing key"):
         t.insert(spark.createDataFrame([Row(z=1)]))
+
+
+def _file_stamps(t):
+    stamps = {}
+    for r in t.meta.rowsets:
+        for dp, _, fns in os.walk(r["path"]):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                st = os.stat(p)
+                stamps[p] = (st.st_size, st.st_mtime_ns)
+    return stamps
+
+
+def test_delete_is_deferred_and_versioned(spark):
+    t = _mk(spark, "defdel", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=5), Row(k=2, x=-1), Row(k=3, x=-7)]))
+    before = _file_stamps(t)
+    v = t.delete_where("x < 0")
+    assert _file_stamps(t) == before  # no storage touched
+    assert t.meta.deletes == [{"version": v, "predicate": "x < 0"}]
+    assert _rows(t.read(), "k") == [(1,)]
+    # a load AFTER the delete is not subject to the predicate
+    t.insert(spark.createDataFrame([Row(k=4, x=-9)]))
+    assert _rows(t.read(), "k") == [(1,), (4,)]
+    # compact folds the predicate into storage and clears it
+    t.compact()
+    assert t.meta.deletes == [] and len(t.meta.rowsets) == 1
+    assert _rows(t.read(), "k") == [(1,), (4,)]
+
+
+def test_delete_survives_reopen(spark):
+    t = _mk(spark, "defdel2", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=1), Row(k=2, x=-2)]))
+    t.delete_where("x < 0")
+    t2 = Table.open(spark, t.location)
+    assert _rows(t2.read(), "k") == [(1,)]
+
+
+def test_delete_requires_sql_string(spark):
+    t = _mk(spark, "defdel3", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=1)]))
+    with pytest.raises(TypeError, match="SQL predicate string"):
+        t.delete_where(F.col("x") < 0)
