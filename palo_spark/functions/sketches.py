@@ -67,7 +67,14 @@ def bitmap_empty() -> bytes:
 
 def bitmap_union_of_values(col) -> Column:
     """Doris ``BITMAP_UNION(TO_BITMAP(c))``: aggregate raw integers into
-    one bitmap (GROUPED_AGG pandas UDF; exact distinct set)."""
+    one bitmap (GROUPED_AGG pandas UDF; exact distinct set).
+
+    .. warning:: Spark GROUPED_AGG pandas UDFs do **no map-side partial
+       aggregation** — every raw value of a group is shipped to one
+       Python worker. On a skewed hot key at scale, use
+       :func:`grouped_bitmap_union_values` (the two-level salted form)
+       instead; this Column form is for small/even group cardinalities.
+    """
 
     @pandas_udf("binary")
     def agg(v: pd.Series) -> bytes:
@@ -353,7 +360,11 @@ def hll_hash(col) -> Column:
 
 
 def hll_union_agg_values(col) -> Column:
-    """``HLL_UNION_AGG`` over raw values: build one HLL per group."""
+    """``HLL_UNION_AGG`` over raw values: build one HLL per group.
+
+    .. warning:: no map-side partials (GROUPED_AGG limitation) — for
+       skewed keys at scale use :func:`grouped_hll_union_values`.
+    """
 
     @pandas_udf("binary")
     def agg(v: pd.Series) -> bytes:
@@ -387,3 +398,59 @@ def hll_cardinality(col) -> Column:
         return v.map(lambda b: _hll_estimate(_hll_de(b)))
 
     return f(_c(col))
+
+
+# ------------------------------------------ two-level (skew-safe) aggregates
+
+_SALT_COL = "__sketch_salt"
+
+
+def _grouped_two_level(df, group_cols, value_col, out_col, partial_agg, merge_agg,
+                       salt_buckets: int):
+    """Shared shape: salt on hash(value) → partial sketch per
+    ``(keys..., salt)`` → merge sketches per ``keys``. Salting by the
+    VALUE hash (not random) keeps the result deterministic and spreads a
+    hot key across ``salt_buckets`` Python workers; the second stage
+    merges at most ``salt_buckets`` O(sketch)-sized states per key."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    salted = df.withColumn(
+        _SALT_COL, F.pmod(F.xxhash64(_c(value_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*group_cols, _SALT_COL).agg(
+        partial_agg(value_col).alias(out_col)
+    )
+    return partial.groupBy(*group_cols).agg(merge_agg(out_col).alias(out_col))
+
+
+def grouped_bitmap_union_values(df, group_cols, value_col, out_col="bm",
+                                salt_buckets: int = 32):
+    """Skew-safe ``BITMAP_UNION(TO_BITMAP(v)) GROUP BY keys`` — the form
+    to use at 100 TB. :func:`bitmap_union_of_values` funnels every raw
+    value of a group through one Python worker (GROUPED_AGG has no
+    map-side combine); this two-level variant pre-aggregates per
+    ``(keys, hash(v) % salt_buckets)`` so the hottest key is split
+    across ``salt_buckets`` workers, then merges the (disjoint) partial
+    bitmaps. Exact — identical output to the direct form (pytest-pinned).
+
+    Returns a DataFrame ``keys..., out_col: binary``.
+    """
+    return _grouped_two_level(
+        df, group_cols, value_col, out_col,
+        bitmap_union_of_values, bitmap_union_of_bitmaps, salt_buckets,
+    )
+
+
+def grouped_hll_union_values(df, group_cols, value_col, out_col="hll",
+                             salt_buckets: int = 32):
+    """Skew-safe ``HLL_UNION_AGG(HLL_HASH(v)) GROUP BY keys``. HLL merge
+    is register-wise max — associative and commutative — so the salted
+    two-level result is bit-identical to the direct form (pytest-pinned),
+    while a hot key's raw values fan out over ``salt_buckets`` workers.
+
+    Returns a DataFrame ``keys..., out_col: binary``.
+    """
+    return _grouped_two_level(
+        df, group_cols, value_col, out_col,
+        hll_union_agg_values, hll_union_agg, salt_buckets,
+    )

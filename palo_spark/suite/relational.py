@@ -216,6 +216,52 @@ def nested_loop_theta_join(spark, sf_dir):
     ).select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
 
 
+@q(
+    "nested_loop_range_join",
+    """
+    WITH bands(band, d1, d2) AS (
+        VALUES ('1996Q1', TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01'),
+               ('1996Q2', TIMESTAMP '1996-04-01', TIMESTAMP '1996-07-01'),
+               ('1996Q3', TIMESTAMP '1996-07-01', TIMESTAMP '1996-10-01'),
+               ('1996Q4', TIMESTAMP '1996-10-01', TIMESTAMP '1997-01-01')
+    )
+    SELECT band, COUNT(*) AS n, {rev} AS revenue
+    FROM lineitem JOIN bands ON l_shipdate >= d1 AND l_shipdate < d2
+    GROUP BY band
+    """.format(rev=o_dsum("l_extendedprice")),
+)
+def nested_loop_range_join(spark, sf_dir):
+    """PURE non-equi join (SURVEY.md §2.1 NESTED_LOOP_JOIN, range form):
+    a date-band frame joined on ``l_shipdate ∈ [d1, d2)`` with NO equi
+    conjunct, so Catalyst MUST plan BroadcastNestedLoopJoin (asserted in
+    tests/test_plans.py). Scale posture: the stream side is the big
+    fact table scanned once; the broadcast side is the band frame, tiny
+    by construction (calendar bands, not data) — each executor does a
+    constant-size comparison per row, so this is scan-bound at 100 TB."""
+    bands = spark.createDataFrame(
+        [
+            ("1996Q1", "1996-01-01", "1996-04-01"),
+            ("1996Q2", "1996-04-01", "1996-07-01"),
+            ("1996Q3", "1996-07-01", "1996-10-01"),
+            ("1996Q4", "1996-10-01", "1997-01-01"),
+        ],
+        "band string, d1 string, d2 string",
+    ).select(
+        "band",
+        F.col("d1").cast("timestamp").alias("d1"),
+        F.col("d2").cast("timestamp").alias("d2"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li["l_shipdate"] >= bands["d1"]) & (li["l_shipdate"] < bands["d2"]),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------- set ops
 
 

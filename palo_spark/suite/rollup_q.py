@@ -112,6 +112,37 @@ def rollup_rewrite_fallback(spark, sf_dir):
 
 
 @q(
+    "rollup_incremental_refresh",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS count_all,
+           {o_dsum('l_quantity')} AS dsum_l_quantity,
+           MIN(l_discount) AS min_l_discount,
+           MAX(l_extendedprice) AS max_l_extendedprice
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rollup_incremental_refresh(spark, sf_dir):
+    """Incremental rollup maintenance: build the rollup over 2/3 of
+    lineitem, load the remaining third as a delta via ``apply_delta``
+    (aggregate-the-delta + merge — the base is NEVER re-scanned), then
+    answer from the rollup. The result must equal a full-table
+    aggregation bit-for-bit: count/sum/dsum merge by exact addition,
+    min/max by min/max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    initial = li.filter(F.col("l_orderkey") % 3 != 0)
+    delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    cat = RollupCatalog(spark, root="/tmp/palo_spark_rollups")
+    cat.register_base("lineitem_incr", initial)
+    cat.add_rollup("li_incr_by_flag", "lineitem_incr", ["l_returnflag"], _M)
+    cat.apply_delta("lineitem_incr", delta)
+    cat.register_base("lineitem_incr", li)  # base now includes the load
+    df, src = cat.query("lineitem_incr", ["l_returnflag"], _M)
+    assert src == "li_incr_by_flag", f"selector picked {src}"
+    return df.withColumn("count_all", F.col("count_all").cast("bigint"))
+
+
+@q(
     "rollup_avg_derivation",
     f"""
     SELECT l_returnflag,

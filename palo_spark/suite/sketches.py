@@ -53,6 +53,26 @@ def sketch_bitmap_distinct(spark, sf_dir):
 
 
 @q(
+    "sketch_bitmap_distinct_salted",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS ndv
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_bitmap_distinct_salted(spark, sf_dir):
+    """The skew-safe two-level form (``grouped_bitmap_union_values``):
+    partial bitmaps per (key, hash(v) % 32) then bitmap merge per key —
+    the REQUIRED form at 100 TB, where a hot key would otherwise funnel
+    all its raw values through one Python worker. Must equal
+    COUNT(DISTINCT) exactly."""
+    from palo_spark.functions.sketches import grouped_bitmap_union_values
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = grouped_bitmap_union_values(li, "l_returnflag", "l_suppkey", out_col="bm")
+    return bm.select("l_returnflag", bitmap_count("bm").alias("ndv"))
+
+
+@q(
     "sketch_bitmap_merge_two_phase",
     """
     SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS ndv

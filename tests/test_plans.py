@@ -153,6 +153,26 @@ def test_embedding_dedup_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The pure non-equi range join is the ONE place a nested-loop plan
+    is correct: no equi conjunct exists, the broadcast side is a
+    constant-size calendar frame, and the fact side streams. Assert
+    Catalyst picks BroadcastNestedLoopJoin (not CartesianProduct, which
+    would shuffle both sides) and that the theta entry with an equi
+    conjunct still plans a hash join."""
+    from palo_spark.suite.relational import (
+        nested_loop_range_join,
+        nested_loop_theta_join,
+    )
+
+    plan = plan_of(nested_loop_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    theta = plan_of(nested_loop_theta_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in theta
+    assert "CartesianProduct" not in theta
+
+
 def test_semi_anti_joins_are_native(spark, sf_dir):
     """IN / NOT IN subqueries must plan as semi/anti hash joins, not
     materialized distincts + inner joins."""

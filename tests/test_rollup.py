@@ -77,3 +77,29 @@ def test_measure_validation():
         Measure("median", "x")
     with pytest.raises(ValueError):
         Measure("sum")
+
+
+def test_apply_delta_equals_full_rebuild(cat, spark):
+    delta = spark.createDataFrame(
+        [Row(a=a, b=b, x=float(a + b) / 3.0, y=-5) for a in (1, 9) for b in range(2)]
+    )
+    full = cat._bases["t"].unionByName(delta)
+    cat.apply_delta("t", delta)
+    incr_ab = _rows(cat._rollups["t"][0].read(spark), "a", "b", "count_all", "dsum_x", "min_y")
+    incr_a = _rows(cat._rollups["t"][1].read(spark), "a", "count_all", "dsum_x", "min_y")
+    # rebuild from scratch over the full data and compare bit-for-bit
+    cat.register_base("t", full)
+    cat.refresh("t")
+    assert _rows(cat._rollups["t"][0].read(spark), "a", "b", "count_all", "dsum_x", "min_y") == incr_ab
+    assert _rows(cat._rollups["t"][1].read(spark), "a", "count_all", "dsum_x", "min_y") == incr_a
+    # and the query answer over the delta-merged state matches the base agg
+    df, src = cat.query("t", ["a"], [Measure("count"), Measure("dsum", "x"), Measure("min", "y")])
+    assert src == "t_by_a"
+    base_agg = full.groupBy("a").agg(
+        F.count("*").alias("count_all"),
+        (F.sum(F.floor(F.col("x") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6).alias("dsum_x"),
+        F.min("y").alias("min_y"),
+    )
+    assert _rows(df, "a", "count_all", "dsum_x", "min_y") == _rows(
+        base_agg, "a", "count_all", "dsum_x", "min_y"
+    )

@@ -180,3 +180,28 @@ def test_quantile_state_spark_udaf(spark):
     }
     for g, est in got_m.items():
         assert abs(est - 5000.0) <= 300.0, (g, est)
+
+
+def test_grouped_bitmap_salted_equals_direct(spark):
+    from palo_spark.functions.sketches import grouped_bitmap_union_values
+
+    # skewed: group 1 holds 500 values (with dups), group 2 holds 3
+    pairs = [(1, i % 250) for i in range(500)] + [(2, v) for v in (7, 8, 7)]
+    df = _kv(spark, pairs)
+    direct = df.groupBy("g").agg(bitmap_union_of_values("v").alias("bm"))
+    salted = grouped_bitmap_union_values(df, "g", "v", out_col="bm", salt_buckets=8)
+    d = {r["g"]: bytes(r["bm"]) for r in direct.collect()}
+    s = {r["g"]: bytes(r["bm"]) for r in salted.collect()}
+    assert d == s  # exact same serialized bitmaps
+
+
+def test_grouped_hll_salted_equals_direct(spark):
+    from palo_spark.functions.sketches import grouped_hll_union_values
+
+    pairs = [(1, i % 300) for i in range(600)] + [(2, v) for v in range(10)]
+    df = _kv(spark, pairs)
+    direct = df.groupBy("g").agg(hll_union_agg_values("v").alias("hll"))
+    salted = grouped_hll_union_values(df, "g", "v", out_col="hll", salt_buckets=8)
+    d = {r["g"]: bytes(r["hll"]) for r in direct.collect()}
+    s = {r["g"]: bytes(r["hll"]) for r in salted.collect()}
+    assert d == s  # register-max merge is associative → bit-identical
