@@ -37,6 +37,7 @@ maintains ROLLUPs synchronously on load without re-reading the base.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from dataclasses import dataclass
 
@@ -259,3 +260,153 @@ class RollupCatalog:
         for out_name, (sum_name, cnt_name) in (avg_pairs or {}).items():
             out = out.withColumn(out_name, F.col(sum_name) / F.col(cnt_name))
         return out, src
+
+    # -------------------------------------------------------- SQL rewrite
+
+    def sql(self, sql_text: str) -> tuple[DataFrame, str]:
+        """Doris's silent MV selection for SQL queries: if ``sql_text``
+        is a simple aggregate over a registered base that a rollup
+        covers, answer it from the rollup; otherwise pass through to
+        ``spark.sql`` untouched (base tables must be registered as temp
+        views for the fallback). Returns ``(df, source)`` with source =
+        the rollup name, ``"base-sql"`` (recognized shape, no covering
+        rollup) or ``"spark"`` (shape outside the rewriter's grammar).
+
+        Grammar (a deliberate subset — everything else falls through,
+        never mis-answers): single table, optional WHERE, GROUP BY of
+        bare columns, select list of group columns and COUNT(*) /
+        SUM / MIN / MAX over bare columns with optional aliases.
+        ``SUM(c)`` matches a stored ``sum_c`` or ``dsum_c`` measure
+        (dsum is this engine's order-independent double sum — its
+        quantized value IS the documented sum semantic here).
+        """
+        parsed = _parse_simple_agg_sql(sql_text)
+        if parsed is not None:
+            base, group_cols, items, where_text, where_cols = parsed
+            if base in self._bases:
+                hit = self._match_rollup(base, group_cols, items, where_cols)
+                if hit is not None:
+                    r, measures = hit
+                    df = r.read(self.spark)
+                    if where_text:
+                        df = df.filter(F.expr(where_text))
+                    out = (
+                        df.groupBy(*group_cols)
+                        .agg(*[m.merge_expr() for m in measures])
+                        .select(*group_cols, *[m.present_expr() for m in measures])
+                    )
+                    sel = []
+                    mi = 0
+                    for it in items:
+                        if it["kind"] == "group":
+                            sel.append(F.col(it["col"]).alias(it["alias"]))
+                        else:
+                            sel.append(F.col(measures[mi].name).alias(it["alias"]))
+                            mi += 1
+                    return out.select(*sel), r.name
+                return self.spark.sql(sql_text), "base-sql"
+        return self.spark.sql(sql_text), "spark"
+
+    def _match_rollup(self, base, group_cols, items, where_cols):
+        """Find the cheapest rollup whose dims cover group+where columns
+        and whose stored measures cover every aggregate item; returns
+        ``(rollup, [Measure per agg item in order])`` or None."""
+        agg_items = [it for it in items if it["kind"] == "agg"]
+        best = None
+        for r in self._rollups.get(base, []):
+            if not (set(group_cols) <= set(r.group_cols)):
+                continue
+            if not (set(where_cols) <= set(r.group_cols)):
+                continue
+            by_name = {m.name: m for m in r.measures}
+            picked = []
+            for it in agg_items:
+                m = None
+                for cand in it["measure_names"]:
+                    if cand in by_name:
+                        m = by_name[cand]
+                        break
+                if m is None:
+                    break
+                picked.append(m)
+            else:
+                if best is None or (len(r.group_cols), r.name) < (
+                    len(best[0].group_cols),
+                    best[0].name,
+                ):
+                    best = (r, picked)
+        return best
+
+
+# ------------------------------------------------------ SQL-shape parsing
+
+_SQL_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ITEM_AGG_RE = re.compile(
+    r"^(?P<func>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+_ITEM_COL_RE = re.compile(r"^(?P<col>\w+)(?:\s+AS\s+(?P<alias>\w+))?$", re.IGNORECASE)
+_SQL_KEYWORDS = {
+    "and", "or", "not", "in", "between", "like", "is", "null",
+    "true", "false", "date", "timestamp", "interval", "case", "when",
+    "then", "else", "end", "cast", "as",
+}
+
+
+def _parse_simple_agg_sql(sql_text: str):
+    m = _SQL_AGG_RE.match(sql_text)
+    if m is None:
+        return None
+    group_cols = [g.strip() for g in m.group("group").split(",")]
+    if not all(re.fullmatch(r"\w+", g) for g in group_cols):
+        return None
+    items = []
+    for raw in m.group("select").split(","):
+        raw = raw.strip()
+        am = _ITEM_AGG_RE.match(raw)
+        if am:
+            func, arg = am.group("func").lower(), am.group("arg")
+            if func == "count" and arg == "*":
+                names, default_alias = ["count_all"], "count_all"
+            elif arg != "*":
+                names = [f"{func}_{arg}"]
+                if func == "sum":
+                    names.append(f"dsum_{arg}")  # engine's exact double sum
+                default_alias = f"{func}_{arg}"
+            else:
+                return None  # MIN(*) etc — not a shape we answer
+            items.append(
+                {
+                    "kind": "agg",
+                    "measure_names": names,
+                    "alias": am.group("alias") or default_alias,
+                }
+            )
+            continue
+        cm = _ITEM_COL_RE.match(raw)
+        if cm and cm.group("col") in group_cols:
+            items.append(
+                {
+                    "kind": "group",
+                    "col": cm.group("col"),
+                    "alias": cm.group("alias") or cm.group("col"),
+                }
+            )
+            continue
+        return None  # expression outside the grammar → pass through
+    where_text = (m.group("where") or "").strip() or None
+    where_cols = []
+    if where_text:
+        no_strings = re.sub(r"'[^']*'", "", where_text)
+        where_cols = [
+            w
+            for w in set(re.findall(r"[A-Za-z_]\w*", no_strings))
+            if w.lower() not in _SQL_KEYWORDS
+        ]
+    return m.group("table"), group_cols, items, where_text, where_cols

@@ -46,7 +46,12 @@ def routine_load(
     src = spark.readStream.schema(schema).format(fmt).load(source_path)
     if transform is not None:
         src = transform(src)
+    return _commit_stream(src, table, checkpoint_dir, await_termination)
 
+
+def _commit_stream(
+    src: DataFrame, table: Table, checkpoint_dir: str, await_termination: bool
+):
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         # label = deterministic function of the batch id: a restarted
         # query that replays batch N hits the label ledger and no-ops.
@@ -61,6 +66,65 @@ def routine_load(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def parse_kafka_value(src: DataFrame, value_format: str, value_schema) -> DataFrame:
+    """Doris routine-load column extraction over the Kafka record shape
+    (``key binary, value binary, topic, partition, offset, timestamp,
+    timestampType``): decode ``value`` per the declared format into
+    typed columns. Shared verbatim by :func:`kafka_routine_load` and the
+    file-source test path, so the parse logic is exercised without a
+    Kafka broker. Unparseable records yield NULL columns (Doris
+    max_error_number posture: tolerate, don't abort) — filter with a
+    ``transform`` if stricter handling is needed.
+    """
+    value_format = value_format.lower()
+    s = F.col("value").cast("string")
+    if value_format == "json":
+        return src.select(F.from_json(s, value_schema).alias("__v")).select("__v.*")
+    if value_format == "csv":
+        return src.select(F.from_csv(s, value_schema).alias("__v")).select("__v.*")
+    raise ValueError(f"unsupported routine-load value format {value_format!r}")
+
+
+def kafka_routine_load(
+    spark: SparkSession,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema,
+    table: Table,
+    checkpoint_dir: str,
+    value_format: str = "json",
+    starting_offsets: str = "earliest",
+    transform=None,
+    await_termination: bool = True,
+):
+    """Routine Load from Kafka (Doris ``CREATE ROUTINE LOAD ... FROM
+    KAFKA``): consume ``topic``, decode each record's ``value`` as
+    ``value_format`` (json/csv) into ``value_schema`` columns, commit
+    batches into ``table`` with the same exactly-once construction as
+    :func:`routine_load` (checkpointed Kafka offsets × label ledger —
+    Doris records offsets in the load txn; this is the same two-sided
+    idempotency).
+
+    Requires the ``spark-sql-kafka`` connector jar on the classpath
+    (absent in this environment — ``.load()`` raises
+    ``DATA_SOURCE_NOT_FOUND`` here; the full parse→commit path below the
+    source is exercised by tests through :func:`parse_kafka_value` over
+    a file source with Kafka-shaped records).
+    """
+    src = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = parse_kafka_value(src, value_format, value_schema)
+    if transform is not None:
+        parsed = transform(parsed)
+    return _commit_stream(parsed, table, checkpoint_dir, await_termination)
 
 
 def windowed_counts(

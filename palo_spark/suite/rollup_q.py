@@ -143,6 +143,30 @@ def rollup_incremental_refresh(spark, sf_dir):
 
 
 @q(
+    "rollup_sql_rewrite",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {o_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rollup_sql_rewrite(spark, sf_dir):
+    """Doris's silent MV selection at the SQL surface: a plain
+    ``spark.sql``-style aggregate string is answered from the covering
+    rollup (``SUM(l_quantity)`` matches the stored exact ``dsum``
+    measure) without the caller naming any rollup — the Python-API
+    rewrite exposed to SQL users (upstream MaterializedViewSelector)."""
+    cat = _catalog(spark, sf_dir)
+    df, src = cat.sql(
+        "SELECT l_returnflag, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    assert src == "li_by_flag", f"SQL rewrite picked {src}"
+    return df.withColumn("n_lines", F.col("n_lines").cast("bigint"))
+
+
+@q(
     "rollup_avg_derivation",
     f"""
     SELECT l_returnflag,

@@ -103,3 +103,37 @@ def test_apply_delta_equals_full_rebuild(cat, spark):
     assert _rows(df, "a", "count_all", "dsum_x", "min_y") == _rows(
         base_agg, "a", "count_all", "dsum_x", "min_y"
     )
+
+
+def test_sql_rewrite_hits_rollup(cat):
+    df, src = cat.sql(
+        "SELECT a, COUNT(*) AS n, SUM(x) AS sx, MIN(y) AS my FROM t GROUP BY a"
+    )
+    assert src == "t_by_a"  # SUM(x) matched the stored dsum_x measure
+    assert sorted(df.columns) == ["a", "my", "n", "sx"]
+    rows = _rows(df, "a", "n", "sx", "my")
+    base = cat._bases["t"].groupBy("a").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("x") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6).alias("sx"),
+        F.min("y").alias("my"),
+    )
+    assert rows == _rows(base, "a", "n", "sx", "my")
+
+
+def test_sql_rewrite_where_on_dim(cat):
+    df, src = cat.sql("SELECT a, COUNT(*) AS n FROM t WHERE b = 2 GROUP BY a")
+    assert src == "t_by_ab"
+    assert _rows(df, "a", "n") == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_sql_rewrite_falls_back_when_uncovered(cat, spark):
+    cat._bases["t"].createOrReplaceTempView("t")
+    # x is not a rollup dimension → recognized shape, no covering rollup
+    df, src = cat.sql("SELECT a, COUNT(*) AS n FROM t WHERE x > 5.0 GROUP BY a")
+    assert src == "base-sql"
+    direct = spark.sql("SELECT a, COUNT(*) AS n FROM t WHERE x > 5.0 GROUP BY a")
+    assert _rows(df, "a", "n") == _rows(direct, "a", "n")
+    # a shape outside the grammar passes through untouched
+    df2, src2 = cat.sql("SELECT a, COUNT(DISTINCT b) AS n FROM t GROUP BY a")
+    assert src2 == "spark"
+    assert _rows(df2, "a", "n") == [(0, 4), (1, 4), (2, 4)]

@@ -132,3 +132,51 @@ def test_windowed_counts_engine_extension(spark):
         "2024-01-01T00:00:00": (2, 3.0),
         "2024-01-01T01:00:00": (1, 4.0),
     }
+
+
+def test_kafka_shaped_routine_load_parse_path(spark):
+    """Kafka-shaped records (key/value binary + topic/partition/offset)
+    through the EXACT parse path kafka_routine_load uses — only the
+    source format differs (file here; the kafka jar is absent)."""
+    import json
+
+    from palo_spark.streaming import _commit_stream, parse_kafka_value
+
+    src_dir = _dir("kafka_shaped_src")
+    ckpt = _dir("kafka_shaped_ckpt")
+    records = [
+        Row(
+            key=str(i).encode(),
+            value=json.dumps({"k": i, "v": f"msg-{i}", "amt": i * 1.5}).encode(),
+            topic="orders",
+            partition=i % 2,
+            offset=i,
+        )
+        for i in range(6)
+    ] + [
+        # an unparseable record must become NULL columns, not kill the load
+        Row(key=b"bad", value=b"not-json", topic="orders", partition=0, offset=99),
+    ]
+    spark.createDataFrame(records).write.mode("overwrite").parquet(src_dir)
+
+    kafka_shaped = (
+        spark.readStream.schema(
+            "key binary, value binary, topic string, partition int, offset long"
+        ).parquet(src_dir)
+    )
+    parsed = parse_kafka_value(kafka_shaped, "json", "k long, v string, amt double")
+    t = Table(spark, "kload", "DUPLICATE", ["k"], location=_dir("kafka_shaped_tbl"))
+    _commit_stream(parsed, t, ckpt, await_termination=True)
+    rows = {r["k"]: (r["v"], r["amt"]) for r in t.read().collect()}
+    assert rows[3] == ("msg-3", 4.5) and len(rows) == 7  # 6 good + 1 NULL-key
+    assert None in rows and rows[None] == (None, None)
+
+
+def test_parse_kafka_value_csv_and_bad_format(spark):
+    from palo_spark.streaming import parse_kafka_value
+
+    df = spark.createDataFrame([Row(value=b"5,hello")])
+    out = parse_kafka_value(df, "csv", "k long, v string").collect()
+    assert (out[0]["k"], out[0]["v"]) == (5, "hello")
+    with pytest.raises(ValueError, match="value format"):
+        parse_kafka_value(df, "avro", "k long")
