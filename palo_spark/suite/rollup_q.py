@@ -8,6 +8,8 @@ rewrite is a perf bug, a wrongly-firing one a correctness bug.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from palo_spark.catalog import load_table
@@ -35,7 +37,7 @@ _CAT_CACHE: dict[str, RollupCatalog] = {}
 def _catalog(spark, sf_dir) -> RollupCatalog:
     cat = _CAT_CACHE.get(sf_dir)
     if cat is None:
-        cat = RollupCatalog(spark, root="/tmp/palo_spark_rollups")
+        cat = RollupCatalog(spark, root=f"/tmp/palo_spark_rollups_{os.getpid()}")
         li = load_table(spark, sf_dir, "lineitem")
         cat.register_base("lineitem", li)
         cat.add_rollup("li_by_flag_status", "lineitem", ["l_returnflag", "l_linestatus"], _M)
@@ -141,7 +143,7 @@ def rollup_incremental_refresh(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     initial = li.filter(F.col("l_orderkey") % 3 != 0)
     delta = li.filter(F.col("l_orderkey") % 3 == 0)
-    cat = RollupCatalog(spark, root="/tmp/palo_spark_rollups")
+    cat = RollupCatalog(spark, root=f"/tmp/palo_spark_rollups_{os.getpid()}")
     cat.register_base("lineitem_incr", initial)
     cat.add_rollup("li_incr_by_flag", "lineitem_incr", ["l_returnflag"], _M)
     cat.apply_delta("lineitem_incr", delta)

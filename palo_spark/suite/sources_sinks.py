@@ -24,7 +24,7 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 q = register(QUERIES, ORACLE)
 
-_ROOT = "/tmp/palo_spark_loads"
+_ROOT = f"/tmp/palo_spark_loads_{os.getpid()}"
 
 
 def _fresh_dir(name: str) -> str:

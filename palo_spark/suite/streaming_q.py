@@ -24,7 +24,7 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 q = register(QUERIES, ORACLE)
 
-_ROOT = "/tmp/palo_spark_streaming"
+_ROOT = f"/tmp/palo_spark_streaming_{os.getpid()}"
 
 
 @q(

@@ -29,7 +29,7 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 q = register(QUERIES, ORACLE)
 
-_ROOT = "/tmp/palo_spark_tables"
+_ROOT = f"/tmp/palo_spark_tables_{os.getpid()}"
 
 
 def _fresh(spark, name, **kw) -> Table:

@@ -2,13 +2,15 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from palo_spark.plans import Measure, RollupCatalog
 
-ROOT = "/tmp/palo_spark_test_rollups"
+ROOT = f"/tmp/palo_spark_test_rollups_{os.getpid()}"
 
 
 @pytest.fixture()

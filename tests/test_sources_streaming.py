@@ -14,7 +14,7 @@ from palo_spark.sources import broker_load, export_table, read_file, stream_load
 from palo_spark.streaming import routine_load, windowed_counts
 from palo_spark.tables import Table
 
-ROOT = "/tmp/palo_spark_test_sources"
+ROOT = f"/tmp/palo_spark_test_sources_{os.getpid()}"
 
 
 def _dir(name: str) -> str:

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from palo_spark.tables import Table
 
-ROOT = "/tmp/palo_spark_test_tables"
+ROOT = f"/tmp/palo_spark_test_tables_{os.getpid()}"
 
 
 def _mk(spark, name, **kw) -> Table:
