@@ -167,6 +167,122 @@ def bitmap_to_array(col) -> Column:
     return f(_c(col))
 
 
+def bitmap_min(col) -> Column:
+    """Doris ``BITMAP_MIN`` — smallest element, NULL for empty."""
+
+    @pandas_udf("bigint")
+    def f(v: pd.Series) -> pd.Series:
+        return v.map(lambda b: (lambda a: int(a[0]) if a.size else None)(_bm_de(b)))
+
+    return f(_c(col))
+
+
+def bitmap_max(col) -> Column:
+    """Doris ``BITMAP_MAX`` — largest element, NULL for empty."""
+
+    @pandas_udf("bigint")
+    def f(v: pd.Series) -> pd.Series:
+        return v.map(lambda b: (lambda a: int(a[-1]) if a.size else None)(_bm_de(b)))
+
+    return f(_c(col))
+
+
+def bitmap_has_any(a, b) -> Column:
+    """Doris ``BITMAP_HAS_ANY`` — do the two bitmaps intersect?"""
+
+    @pandas_udf("boolean")
+    def f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(np.intersect1d(_bm_de(p), _bm_de(q)).size) for p, q in zip(x, y)]
+        )
+
+    return f(_c(a), _c(b))
+
+
+def bitmap_has_all(a, b) -> Column:
+    """Doris ``BITMAP_HAS_ALL`` — is ``b`` a subset of ``a``? (empty b → true)"""
+
+    @pandas_udf("boolean")
+    def f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bool(np.isin(_bm_de(q), _bm_de(p)).all()) for p, q in zip(x, y)]
+        )
+
+    return f(_c(a), _c(b))
+
+
+def sub_bitmap(col, offset: int, limit: int) -> Column:
+    """Doris ``SUB_BITMAP(bm, offset, limit)`` — ``limit`` elements in
+    ascending order starting at ``offset`` (negative offset counts from
+    the end, MySQL substring convention)."""
+
+    @pandas_udf("binary")
+    def f(v: pd.Series) -> pd.Series:
+        def one(b):
+            a = _bm_de(b)
+            start = offset if offset >= 0 else max(a.size + offset, 0)
+            return _bm_ser(a[start : start + limit])
+
+        return v.map(one)
+
+    return f(_c(col))
+
+
+def bitmap_subset_limit(col, range_start: int, limit: int) -> Column:
+    """Doris ``BITMAP_SUBSET_LIMIT`` — up to ``limit`` elements with
+    value ≥ ``range_start``."""
+
+    @pandas_udf("binary")
+    def f(v: pd.Series) -> pd.Series:
+        def one(b):
+            a = _bm_de(b)
+            return _bm_ser(a[a >= range_start][:limit])
+
+        return v.map(one)
+
+    return f(_c(col))
+
+
+def bitmap_subset_in_range(col, lo: int, hi: int) -> Column:
+    """Doris ``BITMAP_SUBSET_IN_RANGE`` — elements in ``[lo, hi)``."""
+
+    @pandas_udf("binary")
+    def f(v: pd.Series) -> pd.Series:
+        def one(b):
+            a = _bm_de(b)
+            return _bm_ser(a[(a >= lo) & (a < hi)])
+
+        return v.map(one)
+
+    return f(_c(col))
+
+
+def _binary_count(op):
+    @pandas_udf("bigint")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(op(_bm_de(x), _bm_de(y)).size) for x, y in zip(a, b)]
+        )
+
+    return f
+
+
+def bitmap_and_count(a, b) -> Column:
+    return _binary_count(np.intersect1d)(_c(a), _c(b))
+
+
+def bitmap_or_count(a, b) -> Column:
+    return _binary_count(np.union1d)(_c(a), _c(b))
+
+
+def bitmap_xor_count(a, b) -> Column:
+    return _binary_count(np.setxor1d)(_c(a), _c(b))
+
+
+def bitmap_andnot_count(a, b) -> Column:
+    return _binary_count(np.setdiff1d)(_c(a), _c(b))
+
+
 def bitmap_from_string(col) -> Column:
     """Doris ``BITMAP_FROM_STRING('1,2,3')``."""
 

@@ -205,6 +205,41 @@ def table_model_aggregate_merge(spark, sf_dir):
 
 
 @q(
+    "table_model_schema_change",
+    """
+    WITH all_v AS (
+        SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS tier, 1 AS v
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, 'GOLD', 2
+        FROM customer WHERE c_custkey % 10 = 0
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY v DESC) AS rn
+        FROM all_v
+    )
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN v = 1 THEN 'STANDARD' ELSE tier END AS tier
+    FROM r WHERE rn = 1
+    """,
+)
+def table_model_schema_change(spark, sf_dir):
+    """Light schema change (Doris ALTER TABLE ADD COLUMN): add a column
+    after the first load — metadata only, no rewrite — old rows surface
+    the default, a post-change load carries real values, and the UNIQUE
+    merge works across the mixed-schema rowsets."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = _fresh(spark, "schema_change", keys_type="UNIQUE", key_cols=["c_custkey"])
+    t.insert(c)
+    t.add_column("tier", "string", default="STANDARD")
+    t.insert(
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("tier", F.lit("GOLD"))
+    )
+    return t.read()
+
+
+@q(
     "table_model_delete_compact",
     """
     WITH all_v AS (

@@ -67,6 +67,12 @@ class TableMeta:
     #: folded into storage only by compact() (Doris delete-predicate +
     #: compaction design; no storage rewrite at delete time)
     deletes: list[dict] = field(default_factory=list)
+    #: light schema change (Doris ADD COLUMN): [{"col", "type", "default"}]
+    #: — no rowset is rewritten; old rowsets surface the default at read
+    schema_adds: list[dict] = field(default_factory=list)
+    #: compact automatically when live rowsets exceed this (0 = manual) —
+    #: Doris cumulative-compaction trigger analog, bounds read amplification
+    auto_compact_rowsets: int = 0
 
 
 class Table:
@@ -82,6 +88,7 @@ class Table:
         sequence_col: str | None = None,
         partition_by: list[str] | None = None,
         location: str | None = None,
+        auto_compact_rowsets: int = 0,
     ) -> None:
         keys_type = keys_type.upper()
         if keys_type not in KEYS_TYPES:
@@ -111,6 +118,7 @@ class Table:
             agg_spec=agg_spec,
             sequence_col=sequence_col,
             partition_by=list(partition_by or []),
+            auto_compact_rowsets=int(auto_compact_rowsets),
         )
         self._save_meta()
 
@@ -162,6 +170,15 @@ class Table:
         if label is not None:
             self.meta.labels.append(label)
         self._save_meta()
+        # cumulative-compaction trigger: bound merge-on-read amplification
+        # (Doris compacts when rowset count grows; the threshold trades
+        # write amplification against read fan-in — at 100 TB you set it
+        # per ingest cadence, the mechanism is identical)
+        if (
+            self.meta.auto_compact_rowsets
+            and len(self.meta.rowsets) > self.meta.auto_compact_rowsets
+        ):
+            self.compact()
         return version
 
     def delete_where(self, condition: str) -> int:
@@ -193,6 +210,31 @@ class Table:
         self._save_meta()
         return version
 
+    def add_column(
+        self, col: str, col_type: str, default=None, agg: str | None = None
+    ) -> None:
+        """Doris light schema change (ALTER TABLE ADD COLUMN): a
+        metadata-only operation — NO rowset is rewritten. Rowsets loaded
+        before the change (and later loads that omit the column) surface
+        ``default`` at read; loads that include the column keep their
+        values, including explicit NULLs. ``agg`` adds the column to an
+        AGGREGATE table's merge spec."""
+        if col in self.meta.key_cols or any(
+            a["col"] == col for a in self.meta.schema_adds
+        ):
+            raise ValueError(f"column {col!r} already exists")
+        if agg is not None:
+            agg = agg.upper()
+            if agg not in AGG_TYPES:
+                raise ValueError(f"unknown aggregate type {agg!r}")
+            if self.meta.keys_type != "AGGREGATE":
+                raise ValueError("agg only applies to AGGREGATE keys_type")
+            self.meta.agg_spec[col] = agg
+        self.meta.schema_adds.append(
+            {"col": col, "type": col_type, "default": default}
+        )
+        self._save_meta()
+
     def compact(self) -> None:
         """Materialize the merge-on-read view into a single rowset
         (Doris base compaction: applies model merge semantics AND any
@@ -220,21 +262,31 @@ class Table:
             raise ValueError(f"insert batch missing key columns: {missing}")
         if self.meta.sequence_col and self.meta.sequence_col not in cols:
             raise ValueError(f"insert batch missing sequence column {self.meta.sequence_col!r}")
+        added = {a["col"] for a in self.meta.schema_adds}  # optional in loads
         for c in self.meta.agg_spec:
-            if c not in cols:
+            if c not in cols and c not in added:
                 raise ValueError(f"insert batch missing value column {c!r}")
 
     # --------------------------------------------------------------- reads
 
     def _raw(self) -> DataFrame | None:
-        """Union of all rowsets with the version column attached."""
+        """Union of all rowsets with the version column attached.
+
+        Added columns (light schema change) are normalized per rowset
+        BEFORE the union: a rowset without the column gets the declared
+        default, one with it keeps its stored values (explicit NULLs
+        survive) — old rowsets never need rewriting."""
         dfs = []
         for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
-            dfs.append(
-                self.spark.read.parquet(r["path"]).withColumn(
-                    _VERSION_COL, F.lit(r["version"]).cast("long")
-                )
+            d = self.spark.read.parquet(r["path"]).withColumn(
+                _VERSION_COL, F.lit(r["version"]).cast("long")
             )
+            for a in self.meta.schema_adds:
+                if a["col"] in d.columns:
+                    d = d.withColumn(a["col"], F.col(a["col"]).cast(a["type"]))
+                else:
+                    d = d.withColumn(a["col"], F.lit(a["default"]).cast(a["type"]))
+            dfs.append(d)
         if not dfs:
             return None
         out = dfs[0]

@@ -202,3 +202,46 @@ def test_session_has_scale_posture(spark):
     conf = spark.conf
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_deferred_delete_filters_only_old_rowsets(spark, tmp_path):
+    """A deferred DELETE's predicate must reach only rowsets older than
+    the delete version: Catalyst constant-folds the per-rowset version
+    literal, leaving a scan-adjacent codegen filter on the old rowset
+    and NO filter on the post-delete rowset."""
+    from pyspark.sql import Row
+
+    from palo_spark.tables import Table
+
+    t = Table(spark, "plandel", "DUPLICATE", ["k"], location=str(tmp_path / "t"))
+    t.insert(spark.createDataFrame([Row(k=i, x=i - 5) for i in range(100)]))
+    t.delete_where("x < 0")
+    t.insert(spark.createDataFrame([Row(k=200 + i, x=-i) for i in range(10)]))
+    plan = plan_of(t.read())
+    assert plan.count("Scan parquet") >= 2
+    # exactly ONE branch carries the delete filter (the pre-delete rowset)
+    assert plan.count("NOT coalesce") == 1
+
+
+def test_partitioned_table_read_prunes_partitions(spark, tmp_path):
+    """A filter on a Table's partition column must prune at the file
+    level (hive-style partition dirs → PartitionFilters), not scan all
+    partitions and filter rows."""
+    from pyspark.sql import Row
+
+    from palo_spark.tables import Table
+
+    t = Table(
+        spark, "planpart", "DUPLICATE", ["k"],
+        partition_by=["seg"], location=str(tmp_path / "t"),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [Row(k=i, seg=["A", "B", "C"][i % 3], x=i) for i in range(90)]
+        )
+    )
+    df = t.read().filter(F.col("seg") == "B")
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "seg" in pf[0], f"partition filter not pushed: {pf}"
+    assert df.count() == 30

@@ -205,3 +205,51 @@ def test_grouped_hll_salted_equals_direct(spark):
     d = {r["g"]: bytes(r["hll"]) for r in direct.collect()}
     s = {r["g"]: bytes(r["hll"]) for r in salted.collect()}
     assert d == s  # register-max merge is associative → bit-identical
+
+
+def test_bitmap_subset_and_count_scalars(spark):
+    from palo_spark.functions.sketches import (
+        bitmap_and_count,
+        bitmap_andnot_count,
+        bitmap_has_all,
+        bitmap_has_any,
+        bitmap_max,
+        bitmap_min,
+        bitmap_or_count,
+        bitmap_subset_in_range,
+        bitmap_subset_limit,
+        bitmap_to_string,
+        bitmap_xor_count,
+        sub_bitmap,
+    )
+
+    df = spark.createDataFrame([Row(a="1,3,5,7,9", b="5,7,11")]).select(
+        bitmap_from_string("a").alias("ba"), bitmap_from_string("b").alias("bb")
+    )
+    r = df.select(
+        bitmap_min("ba").alias("mn"),
+        bitmap_max("ba").alias("mx"),
+        bitmap_has_any("ba", "bb").alias("any"),
+        bitmap_has_all("ba", "bb").alias("all"),
+        bitmap_to_string(sub_bitmap("ba", 1, 2)).alias("sub"),
+        bitmap_to_string(sub_bitmap("ba", -2, 2)).alias("sub_neg"),
+        bitmap_to_string(bitmap_subset_limit("ba", 5, 2)).alias("lim"),
+        bitmap_to_string(bitmap_subset_in_range("ba", 3, 8)).alias("rng"),
+        bitmap_and_count("ba", "bb").alias("n_and"),
+        bitmap_or_count("ba", "bb").alias("n_or"),
+        bitmap_xor_count("ba", "bb").alias("n_xor"),
+        bitmap_andnot_count("ba", "bb").alias("n_andnot"),
+    ).head()
+    assert (r["mn"], r["mx"]) == (1, 9)
+    assert (r["any"], r["all"]) == (True, False)  # 11 not in ba
+    assert r["sub"] == "3,5" and r["sub_neg"] == "7,9"
+    assert r["lim"] == "5,7" and r["rng"] == "3,5,7"
+    assert (r["n_and"], r["n_or"], r["n_xor"], r["n_andnot"]) == (2, 6, 4, 3)
+
+
+def test_bitmap_min_max_empty_is_null(spark):
+    from palo_spark.functions.sketches import bitmap_max, bitmap_min
+
+    df = spark.createDataFrame([Row(a="")]).select(bitmap_from_string("a").alias("bm"))
+    r = df.select(bitmap_min("bm").alias("mn"), bitmap_max("bm").alias("mx")).head()
+    assert r["mn"] is None and r["mx"] is None

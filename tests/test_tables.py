@@ -167,3 +167,42 @@ def test_delete_requires_sql_string(spark):
     t.insert(spark.createDataFrame([Row(k=1, x=1)]))
     with pytest.raises(TypeError, match="SQL predicate string"):
         t.delete_where(F.col("x") < 0)
+
+
+def test_auto_compact_bounds_rowsets(spark):
+    t = _mk(spark, "autoc", keys_type="DUPLICATE", key_cols=["k"], auto_compact_rowsets=3)
+    for i in range(7):
+        t.insert(spark.createDataFrame([Row(k=i, x=i)]))
+    assert len(t.meta.rowsets) <= 3  # compaction kept read fan-in bounded
+    assert t.read().count() == 7
+
+
+def test_add_column_is_metadata_only(spark):
+    t = _mk(spark, "addcol", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=10), Row(k=2, x=20)]))
+    before = _file_stamps(t)
+    t.add_column("tier", "string", default="STANDARD")
+    assert _file_stamps(t) == before  # no rowset rewritten
+    # old rows surface the default
+    assert _rows(t.read(), "k", "tier") == [(1, "STANDARD"), (2, "STANDARD")]
+    # a load including the column keeps its values — explicit NULL survives
+    t.insert(spark.createDataFrame(
+        [(3, 30, "GOLD"), (4, 40, None)], "k long, x long, tier string"))
+    # a load OMITTING the optional column gets the default
+    t.insert(spark.createDataFrame([Row(k=5, x=50)]))
+    got = dict(_rows(t.read(), "k", "tier"))
+    assert got == {1: "STANDARD", 2: "STANDARD", 3: "GOLD", 4: None, 5: "STANDARD"}
+    # survives reopen
+    t2 = Table.open(spark, t.location)
+    assert dict(_rows(t2.read(), "k", "tier"))[5] == "STANDARD"
+
+
+def test_add_column_aggregate_with_agg_spec(spark):
+    t = _mk(spark, "addagg", keys_type="AGGREGATE", key_cols=["k"], agg_spec={"s": "SUM"})
+    t.insert(spark.createDataFrame([Row(k=1, s=10)]))
+    t.add_column("cnt", "long", default=0, agg="SUM")
+    t.insert(spark.createDataFrame([Row(k=1, s=5, cnt=2), Row(k=2, s=1, cnt=7)]))
+    got = {r["k"]: (r["s"], r["cnt"]) for r in t.read().collect()}
+    assert got == {1: (15, 2), 2: (1, 7)}  # old rowset contributes default 0
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("cnt", "long")
