@@ -136,25 +136,50 @@ def _stream_grouped(proj: DataFrame, group_col: str, batch_fn, out_schema: str) 
     return srt.mapInPandas(run, out_schema)
 
 
+_FUNNEL_MODES = ("default", "deduplication", "fixed", "increase")
+
+
 def window_funnel(
     df: DataFrame,
     group_col: str,
     ts_col: str,
     window_seconds: float,
     conds: list[Column],
+    mode: str = "default",
 ) -> DataFrame:
-    """Doris ``WINDOW_FUNNEL(window, 'default', ts, cond1, ...)`` per
+    """Doris ``WINDOW_FUNNEL(window, mode, ts, cond1, ...)`` per
     group → (group_col, funnel_level).
+
+    Modes (Doris semantics):
+
+    - ``default`` — greedy chain within the window.
+    - ``deduplication`` — a repeat of an already-matched condition
+      before the next step is found interrupts the chain.
+    - ``fixed`` — ANY other tracked condition firing before the next
+      step interrupts the chain (steps must be consecutive among
+      tracked events).
+    - ``increase`` — each step's timestamp must be strictly greater
+      than the previous step's.
 
     Plan: project the condition flags (native), one hash shuffle on the
     group key, in-partition sort, then one streaming Arrow pass
-    (:func:`_stream_grouped`) running the vectorized funnel kernel per
-    group slice.
+    (:func:`_stream_grouped`). ``default``/``increase`` run the
+    vectorized kernel; the interrupt modes run a per-chain scan kernel
+    (still numpy row access, bounded by the window span).
     """
+    if mode not in _FUNNEL_MODES:
+        raise ValueError(f"mode must be one of {_FUNNEL_MODES}")
     flag_cols = [c.cast("boolean").alias(f"__f{i}") for i, c in enumerate(conds)]
     proj = df.select(F.col(group_col), F.col(ts_col).alias("__ts"), *flag_cols)
     n_conds = len(conds)
     window_ns = int(round(window_seconds * 1e9))
+    core = (
+        _funnel_core
+        if mode == "default"
+        else _funnel_core_increase
+        if mode == "increase"
+        else (lambda t, fl, w: _funnel_core_interrupt(t, fl, w, mode))
+    )
 
     def batch_fn(body: pd.DataFrame) -> pd.DataFrame:
         g = body[group_col].to_numpy()
@@ -164,12 +189,81 @@ def window_funnel(
         ]
         starts, ends = _group_bounds(g)
         levels = [
-            _funnel_core(t[s:e], [f[s:e] for f in fl], window_ns)
+            core(t[s:e], [f[s:e] for f in fl], window_ns)
             for s, e in zip(starts, ends)
         ]
         return pd.DataFrame({group_col: g[starts], "funnel_level": levels})
 
     return _stream_grouped(proj, group_col, batch_fn, f"{group_col} long, funnel_level int")
+
+
+def _funnel_core_increase(t: np.ndarray, fl: list[np.ndarray], window_ns: int) -> int:
+    """'increase' mode: same greedy chain as :func:`_funnel_core`, but
+    each step must have a STRICTLY greater timestamp than the previous
+    step. Vectorized identically — the per-chain "first event of cond k
+    after my position with t > t[pos]" is one searchsorted over cond-k's
+    (sorted) timestamps, and if that first one misses the deadline every
+    later one does too."""
+    starts = np.flatnonzero(fl[0])
+    if starts.size == 0:
+        return 0
+    deadline = t[starts] + window_ns
+    pos = starts
+    best = 1
+    for step in range(1, len(fl)):
+        idxs = np.flatnonzero(fl[step])
+        if idxs.size == 0:
+            break
+        # first cond-step event with timestamp strictly after t[pos]
+        j = np.searchsorted(t[idxs], t[pos], side="right")
+        has = j < idxs.size
+        nxt = idxs[np.minimum(j, idxs.size - 1)]
+        alive = has & (t[nxt] <= deadline)
+        if not alive.any():
+            break
+        pos, deadline = nxt[alive], deadline[alive]
+        best = step + 1
+    return best
+
+
+def _funnel_core_interrupt(
+    t: np.ndarray, fl: list[np.ndarray], window_ns: int, mode: str
+) -> int:
+    """'deduplication' / 'fixed' modes: per-chain forward scan. Between
+    the current step and the candidate next step, an interrupting event
+    kills the chain at its current level — a repeat of an
+    already-matched condition (deduplication) or ANY tracked condition
+    other than the expected next one (fixed)."""
+    n = t.size
+    best = 0
+    any_tracked = np.logical_or.reduce(fl)
+    for s in np.flatnonzero(fl[0]):
+        deadline = t[s] + window_ns
+        pos, level = s, 1
+        for step in range(1, len(fl)):
+            nxt = -1
+            dead = False
+            for i in range(pos + 1, n):
+                if t[i] > deadline:
+                    break
+                if fl[step][i]:
+                    nxt = i
+                    break
+                if mode == "deduplication":
+                    if any(fl[m][i] for m in range(step)):
+                        dead = True
+                        break
+                else:  # fixed: any tracked condition out of order interrupts
+                    if any_tracked[i]:
+                        dead = True
+                        break
+            if nxt < 0 or dead:
+                break
+            pos, level = nxt, level + 1
+        best = max(best, level)
+        if best == len(fl):
+            break
+    return best
 
 
 _PATTERN_TOKEN = re.compile(r"\(\?(\d+)\)|\.\*|\.")

@@ -127,3 +127,25 @@ def behavioral_sequence_count(spark, sf_dir):
         "(?1)(?2)",
         [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
     )
+
+
+@q("behavioral_funnel_modes")  # rows-only: interrupt semantics ≠ plain SQL
+def behavioral_funnel_modes(spark, sf_dir):
+    """WINDOW_FUNNEL mode variants (Doris 'deduplication'/'fixed'/
+    'increase') over the 3-step signup→purchase→error funnel: one row
+    per user with the level under each mode. Interrupt-mode exactness is
+    pytest-checked on hand-built sequences (tests/test_behavioral.py);
+    this entry keeps the kernels exercised on the real fixture."""
+    e = load_table(spark, sf_dir, "events")
+    conds = [
+        F.col("event_type") == "signup",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+    ]
+    out = None
+    for mode in ("deduplication", "fixed", "increase"):
+        lv = window_funnel(e, "user_id", "ts", 3600.0, conds, mode=mode).withColumnRenamed(
+            "funnel_level", f"level_{mode}"
+        )
+        out = lv if out is None else out.join(lv, "user_id")
+    return out

@@ -147,3 +147,54 @@ def test_pattern_compiler_rejects_garbage():
     with pytest.raises(ValueError):
         _compile_pattern("(?3)", 2)
     assert _compile_pattern("(?1).*(?2)", 2).pattern == "a.*?b"
+
+
+def test_window_funnel_modes(spark):
+    # deduplication: a repeat of a matched condition before the next
+    # step interrupts that chain (second-chance starts still apply)
+    df = _events(
+        spark,
+        [
+            # user 1: a(0) b(10) a(20) c(30) — default reaches 3; dedup
+            # interrupts the t0 chain at the repeated 'a' (level 2), and
+            # the t20 chain finds no 'b' → 2
+            (1, 0, "a"), (1, 10, "b"), (1, 20, "a"), (1, 30, "c"),
+            # user 2: clean chain — identical in every mode
+            (2, 0, "a"), (2, 10, "b"), (2, 20, "c"),
+        ],
+    )
+    default = {r["user_id"]: r["funnel_level"]
+               for r in window_funnel(df, "user_id", "ts", 60.0, CONDS()).collect()}
+    dedup = {r["user_id"]: r["funnel_level"]
+             for r in window_funnel(df, "user_id", "ts", 60.0, CONDS(),
+                                    mode="deduplication").collect()}
+    assert default == {1: 3, 2: 3}
+    assert dedup == {1: 2, 2: 3}
+
+    # fixed: ANY tracked event between steps interrupts (repeated 'b')
+    df2 = _events(
+        spark,
+        [(1, 0, "a"), (1, 10, "b"), (1, 20, "b"), (1, 30, "c"),
+         (2, 0, "a"), (2, 10, "b"), (2, 20, "c")],
+    )
+    fixed = {r["user_id"]: r["funnel_level"]
+             for r in window_funnel(df2, "user_id", "ts", 60.0, CONDS(),
+                                    mode="fixed").collect()}
+    assert fixed == {1: 2, 2: 3}
+
+    # increase: equal timestamps don't advance the chain
+    df3 = _events(
+        spark,
+        [(1, 0, "a"), (1, 0, "b"), (1, 10, "c"),
+         (2, 0, "a"), (2, 5, "b"), (2, 10, "c")],
+    )
+    default3 = {r["user_id"]: r["funnel_level"]
+                for r in window_funnel(df3, "user_id", "ts", 60.0, CONDS()).collect()}
+    incr = {r["user_id"]: r["funnel_level"]
+            for r in window_funnel(df3, "user_id", "ts", 60.0, CONDS(),
+                                   mode="increase").collect()}
+    assert default3[1] == 3  # same-ts 'b' counts in default mode
+    assert incr == {1: 1, 2: 3}
+
+    with pytest.raises(ValueError, match="mode"):
+        window_funnel(df, "user_id", "ts", 60.0, CONDS(), mode="strict")
