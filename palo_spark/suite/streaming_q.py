@@ -56,3 +56,51 @@ def streaming_routine_load(spark, sf_dir):
     return t.read().groupBy("event_type").agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
     )
+
+
+@q(
+    "streaming_upsert_unique",
+    """
+    WITH v1 AS (
+        SELECT event_id, user_id, event_type, value, 1 AS v FROM events
+    ), v2 AS (
+        SELECT event_id, user_id, 'replayed' AS event_type, value + 1000.0, 2
+        FROM events WHERE event_id % 7 = 0
+    ), u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY v DESC) AS rn
+        FROM u
+    )
+    SELECT event_id, user_id, event_type, value FROM r WHERE rn = 1
+    """,
+)
+def streaming_upsert_unique(spark, sf_dir):
+    """Real-time upsert via continuous ingestion (Doris UNIQUE-key +
+    Routine Load): two staged file drops stream into a UNIQUE table
+    through the same checkpoint — the second drop re-keys 1/7 of the
+    events — and the merge-on-read view must show latest-version rows.
+    This is the reference's 'streaming upsert' end-to-end: exactly-once
+    commits × key merge."""
+    base = os.path.join(_ROOT, "upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    tdir = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "incoming")
+    os.makedirs(src_dir, exist_ok=True)
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = load_table(spark, sf_dir, "events").select(*cols)
+    ev.write.mode("overwrite").parquet(os.path.join(src_dir))
+    schema = ", ".join(["event_id long", "user_id long", "event_type string", "value double"])
+    t = Table(spark, "events_upsert", "UNIQUE", ["event_id"], location=tdir)
+    routine_load(spark, src_dir, schema, t, ckpt, fmt="parquet")
+    # second drop: modified subset lands later in the same stream
+    (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("event_type", F.lit("replayed"))
+        .withColumn("value", F.col("value") + 1000.0)
+        .write.mode("append")
+        .parquet(os.path.join(src_dir))
+    )
+    routine_load(spark, src_dir, schema, t, ckpt, fmt="parquet")
+    return t.read()
