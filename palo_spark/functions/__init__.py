@@ -150,6 +150,53 @@ def money_format(x) -> Column:
     return F.format_number(_c(x).cast("double"), 2)
 
 
+def format_round(x, d) -> Column:
+    """Doris ``FORMAT_ROUND(n, d)`` — thousands separators + d decimals."""
+    return F.format_number(_c(x).cast("double"), d)
+
+
+def parse_url(url, part, key=None) -> Column:
+    """Doris ``PARSE_URL(url, 'HOST'|'PATH'|'QUERY'[, key])``."""
+    if key is None:
+        return F.parse_url(_c(url), F.lit(part))
+    return F.parse_url(_c(url), F.lit(part), _lit(key))
+
+
+def url_encode(s) -> Column:
+    """Doris ``URL_ENCODE`` — percent-encode (application/x-www-form-urlencoded)."""
+    return F.url_encode(_c(s))
+
+
+def url_decode(s) -> Column:
+    """Doris ``URL_DECODE``."""
+    return F.url_decode(_c(s))
+
+
+def mask(s, upper="X", lower="x", digit="n") -> Column:
+    """Doris ``MASK(str[, upper, lower, digit])`` — replace character
+    classes (defaults X/x/n, same as Doris/Hive); other chars pass through."""
+    return F.mask(_c(s), F.lit(upper), F.lit(lower), F.lit(digit), F.lit(None))
+
+
+def mask_first_n(s, n=4) -> Column:
+    """Doris ``MASK_FIRST_N(str, n)`` — mask only the first n chars."""
+    c = _c(s)
+    n = int(n)
+    head = F.mask(c.substr(F.lit(1), F.lit(n)), F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None))
+    tail = F.when(F.length(c) > n, c.substr(F.lit(n + 1), F.length(c) - n)).otherwise(F.lit(""))
+    return F.concat(head, tail)
+
+
+def mask_last_n(s, n=4) -> Column:
+    """Doris ``MASK_LAST_N(str, n)`` — mask only the last n chars."""
+    c = _c(s)
+    n = int(n)
+    head = F.when(F.length(c) > n, c.substr(F.lit(1), F.length(c) - n)).otherwise(F.lit(""))
+    tail_start = F.greatest(F.length(c) - n + 1, F.lit(1))
+    tail = F.mask(c.substr(tail_start, F.lit(n)), F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None))
+    return F.concat(head, tail)
+
+
 def append_trailing_char_if_absent(s, ch) -> Column:
     c = _c(s)
     return F.when(c.endswith(ch), c).otherwise(F.concat(c, F.lit(ch)))

@@ -134,3 +134,38 @@ def test_sum0_semantics_via_ifnull(spark):
     empty = spark.range(0)
     row = empty.agg(F.coalesce(F.sum("id"), F.lit(0)).alias("s")).collect()[0]
     assert row["s"] == 0
+
+
+def test_url_and_mask_functions(spark):
+    from palo_spark.functions import (
+        format_round,
+        mask,
+        mask_first_n,
+        mask_last_n,
+        parse_url,
+        url_decode,
+        url_encode,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(u="https://doris.apache.org/docs/install?lang=en&v=2", s="Ab3-Zx9")]
+    )
+    r = df.select(
+        parse_url("u", "HOST").alias("host"),
+        parse_url("u", "PATH").alias("path"),
+        parse_url("u", "QUERY", "lang").alias("lang"),
+        url_encode(F.lit("a b&c")).alias("enc"),
+        url_decode(F.lit("a+b%26c")).alias("dec"),
+        format_round(F.lit(1234567.891), 2).alias("fmt"),
+        mask("s").alias("m"),
+        mask_first_n("s", 3).alias("mf"),
+        mask_last_n("s", 3).alias("ml"),
+    ).head()
+    assert r["host"] == "doris.apache.org" and r["path"] == "/docs/install"
+    assert r["lang"] == "en"
+    assert r["enc"] == "a+b%26c" and r["dec"] == "a b&c"
+    assert r["fmt"] == "1,234,567.89"
+    assert r["m"] == "Xxn-Xxn"
+    assert r["mf"] == "Xxn-Zx9"
+    assert r["ml"] == "Ab3-Xxn"
