@@ -127,6 +127,71 @@ def kafka_routine_load(
     return _commit_stream(parsed, table, checkpoint_dir, await_termination)
 
 
+def streaming_dedup_exact(src: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Streaming exact dedup with keyed state (engine extension; the
+    batch analog is ``operators.dedup_exact``): emit each key's FIRST
+    row ever seen, suppress every later duplicate — across micro-batches
+    and restarts (state lives in the checkpointed state store).
+
+    Built on ``applyInPandasWithState``: one hash shuffle on the key,
+    Arrow-batched state access, O(1) state per key (a single marker —
+    the emitted row itself is not stored). At 100 TB-scale ingest the
+    state store is RocksDB-backed and partitioned by the same key
+    shuffle; for bounded state add a watermark upstream and switch the
+    timeout to ``EventTimeTimeout`` so markers expire with the horizon.
+
+    Contract note: within one micro-batch the "first" row among
+    duplicates of a new key follows micro-batch order (same as Doris
+    UNIQUE-key in-batch ties without a sequence column).
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = src.schema
+    emit_cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][emit_cols]
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return src.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Engine extension (NOT reference parity — Doris has no event-time
+    semantics): session windows — events within ``gap`` of each other
+    merge into one session per group. Native ``F.session_window`` keeps
+    the state store JVM-side (no Python boundary); state per group is
+    bounded by the watermark horizon. Works on both batch and streaming
+    DataFrames (batch = same semantics, no state store)."""
+    w = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    keys = [F.session_window(F.col(ts_col), gap).alias("session")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return w.groupBy(*keys).agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -180,3 +180,62 @@ def test_parse_kafka_value_csv_and_bad_format(spark):
     assert (out[0]["k"], out[0]["v"]) == (5, "hello")
     with pytest.raises(ValueError, match="value format"):
         parse_kafka_value(df, "avro", "k long")
+
+
+def test_sessionized_counts_gap_semantics(spark):
+    """Session windows: events ≤ gap apart merge; a larger gap splits.
+    Verified on batch (identical semantics to the streaming state path,
+    which only adds the watermark-bounded state store)."""
+    import datetime as dt
+
+    from palo_spark.streaming import sessionized_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=10), value=2.0),   # same session
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=50), value=4.0),   # gap>30m → new
+        Row(user_id=2, ts=t0, value=8.0),
+    ]
+    out = sessionized_counts(
+        spark.createDataFrame(rows), gap="30 minutes", group_cols=["user_id"]
+    ).collect()
+    sess = sorted((r["user_id"], r["n"], r["sum_value"]) for r in out)
+    assert sess == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
+def test_streaming_dedup_exact_across_batches(spark):
+    """Keyed-state streaming dedup: duplicates are suppressed WITHIN a
+    run and ACROSS runs (state store survives via the checkpoint)."""
+    from palo_spark.streaming import streaming_dedup_exact
+
+    base = _dir("sdedup")
+    src_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+
+    def run(rows):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema("k long, v string").parquet(src_dir)
+        q = (
+            streaming_dedup_exact(stream, ["k"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run([(1, "a1"), (2, "b1"), (1, "a-dup")])
+    got1 = {r["k"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1, 2}
+    # second drop: 2 is a cross-batch duplicate, 3 is new
+    run([(2, "b-dup"), (3, "c1")])
+    got2 = sorted((r["k"], r["v"]) for r in spark.read.parquet(out_dir).collect())
+    ks = [k for k, _ in got2]
+    assert ks == [1, 2, 3]  # each key exactly once, ever
+    assert dict(got2)[3] == "c1" and dict(got2)[2] == "b1"
