@@ -15,6 +15,7 @@ at 100 TB:
 
 from palo_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
+    dedup_exact_keep_best,
     content_hash,
     shingles,
     minhash_signature,

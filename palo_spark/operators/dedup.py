@@ -394,6 +394,33 @@ def dedup_embedding_cosine(
     return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
 
 
+def dedup_exact_keep_best(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate: highest ``score_col``
+    (ties → lowest ``id_col``) per distinct key — the form a training
+    pipeline actually wants (keep the longest/cleanest copy, not an
+    arbitrary first). Same single key-shuffle WindowGroupLimit plan as
+    :func:`dedup_exact`; only the ordering differs."""
+    if cols is None:
+        keyed = df.withColumn("__key", content_hash("text"))
+        key_cols = ["__key"]
+    else:
+        keyed = df
+        key_cols = list(cols)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__key")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -186,6 +186,33 @@ class RollupCatalog:
         for r in self._rollups.get(base, []):
             r.build(self.spark, self._bases[base])
 
+    def attach_table(self, base: str, table) -> None:
+        """Maintain this base's rollups synchronously on every
+        ``table.insert`` (Doris's load-time rollup maintenance):
+
+        - DUPLICATE / AGGREGATE models: the loaded batch is pure-additive
+          to every mergeable measure → :meth:`apply_delta` (base never
+          re-scanned).
+        - UNIQUE model: an upsert REPLACES rows, so a batch is not
+          additive — fall back to a full :meth:`refresh` (correctness
+          over speed; Doris restricts rollups on unique tables for the
+          same reason).
+
+        The base registration is refreshed to the table's current merge
+        view after each load.
+        """
+        self.register_base(base, table.read())
+
+        def _on_load(batch_df: DataFrame) -> None:
+            if table.meta.keys_type == "UNIQUE":
+                self.register_base(base, table.read())
+                self.refresh(base)
+            else:
+                self.apply_delta(base, batch_df)
+                self.register_base(base, table.read())
+
+        table._on_insert.append(_on_load)
+
     def apply_delta(self, base: str, delta_df: DataFrame) -> None:
         """Incremental maintenance: fold one loaded batch into every
         rollup of ``base``. Call with exactly the rows of the new load

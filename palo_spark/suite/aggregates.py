@@ -286,3 +286,24 @@ def agg_topn_values(spark, sf_dir):
         .orderBy(F.desc("cnt"), "event_type")
         .limit(3)
     )
+
+
+@q(
+    "agg_group_bit_ops",
+    """
+    SELECT l_returnflag,
+           BIT_AND(l_linenumber) AS band,
+           BIT_OR(l_linenumber)  AS bor,
+           BIT_XOR(l_linenumber) AS bxor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_group_bit_ops(spark, sf_dir):
+    """Doris GROUP_BIT_AND / GROUP_BIT_OR / GROUP_BIT_XOR — native Spark
+    bit aggregates (two-phase, whole-stage codegen)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from palo_spark.catalog import load_table
 from palo_spark.operators import (
     dedup_exact,
+    dedup_exact_keep_best,
     dedup_minhash,
     dedup_simhash,
     ngram_jaccard_pairs,
@@ -88,6 +89,28 @@ def dedup_exact_docs(spark, sf_dir):
     to the lowest doc_id. One hash shuffle — the canonical exact dedup."""
     d = load_table(spark, sf_dir, "documents")
     return dedup_exact(_with_exact_variants(d)).select("doc_id", "n_chars")
+
+
+@q(
+    "dedup_exact_keep_best",
+    f"""
+    WITH all_docs AS ({_VARIANTS_SQL}),
+    r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   ORDER BY n_chars DESC, doc_id) AS rn
+        FROM all_docs
+    )
+    SELECT doc_id, n_chars FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_best_docs(spark, sf_dir):
+    """Keep-best exact dedup: among exact duplicates keep the longest
+    copy (ties → lowest doc_id) — what a training pipeline wants instead
+    of an arbitrary survivor. Same single-shuffle plan as dedup_exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact_keep_best(_with_exact_variants(d)).select("doc_id", "n_chars")
 
 
 @q(

@@ -248,3 +248,25 @@ def sketch_hll_merge_two_phase(spark, sf_dir):
             ).alias("merge_equals_direct"),
         )
     )
+
+
+@q(
+    "sketch_explode_bitmap",
+    """
+    SELECT l_returnflag, l_suppkey AS supp
+    FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)
+    """,
+)
+def sketch_explode_bitmap(spark, sf_dir):
+    """Doris ``EXPLODE_BITMAP`` table function: bitmap column back to
+    rows (bitmap_to_array → explode) — the round-trip proves the bitmap
+    is a faithful distinct set."""
+    from palo_spark.functions.sketches import bitmap_to_array
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = li.groupBy("l_returnflag").agg(
+        bitmap_union_of_values("l_suppkey").alias("bm")
+    )
+    return bm.select(
+        "l_returnflag", F.explode(bitmap_to_array("bm")).alias("supp")
+    )

@@ -290,3 +290,47 @@ def partition_topn(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value")
     )
+
+
+@q(
+    "window_ignore_nulls",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(big_price IGNORE NULLS) OVER w AS first_big,
+           last_value(big_price IGNORE NULLS) OVER w AS last_big,
+           lag(big_price, 1 IGNORE NULLS) OVER w AS prev_big
+    FROM (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END AS big_price
+          FROM orders WHERE o_custkey < 200)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """Doris FIRST_VALUE/LAST_VALUE/LAG ... IGNORE NULLS: skip NULL
+    rows when picking the value (MySQL 8 / Doris 2.x semantics) —
+    native Spark ignorenulls flags, still one window pass."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .withColumn(
+            "big_price",
+            F.when(F.col("o_totalprice") > 150000.0, F.col("o_totalprice")),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("big_price", ignorenulls=True).over(w).alias("first_big"),
+        F.last("big_price", ignorenulls=True).over(w).alias("last_big"),
+        # PySpark's F.lag has no ignoreNulls parameter — SQL form does
+        F.expr(
+            "lag(big_price, 1) IGNORE NULLS OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey)"
+        ).alias("prev_big"),
+    )

@@ -111,6 +111,10 @@ class Table:
         self.spark = spark
         self.location = location or tempfile.mkdtemp(prefix=f"palo_{name}_")
         os.makedirs(self.location, exist_ok=True)
+        #: post-commit load listeners (fn(batch_df)) — how rollups are
+        #: maintained synchronously on load (RollupCatalog.attach_table);
+        #: runtime-only, not persisted in meta
+        self._on_insert: list = []
         self.meta = TableMeta(
             name=name,
             keys_type=keys_type,
@@ -139,6 +143,7 @@ class Table:
         t.spark = spark
         t.location = location
         t.meta = TableMeta(**d)
+        t._on_insert = []
         return t
 
     @property
@@ -179,6 +184,8 @@ class Table:
             and len(self.meta.rowsets) > self.meta.auto_compact_rowsets
         ):
             self.compact()
+        for cb in self._on_insert:
+            cb(df)
         return version
 
     def delete_where(self, condition: str) -> int:

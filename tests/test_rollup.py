@@ -139,3 +139,50 @@ def test_sql_rewrite_falls_back_when_uncovered(cat, spark):
     df2, src2 = cat.sql("SELECT a, COUNT(DISTINCT b) AS n FROM t GROUP BY a")
     assert src2 == "spark"
     assert _rows(df2, "a", "n") == [(0, 4), (1, 4), (2, 4)]
+
+
+def test_attach_table_maintains_rollup_on_insert(spark):
+    import os as _os
+    import shutil as _shutil
+
+    from palo_spark.tables import Table
+
+    loc = _os.path.join(ROOT, "attach_t")
+    _shutil.rmtree(loc, ignore_errors=True)
+    t = Table(spark, "attach_t", "DUPLICATE", ["a"], location=loc)
+    t.insert(spark.createDataFrame([Row(a=a, b=0, x=float(a), y=a) for a in range(3)]))
+
+    cat = RollupCatalog(spark, root=ROOT + "_attach")
+    cat.register_base("att", t.read())
+    cat.add_rollup("att_by_a", "att", ["a"], [Measure("count"), Measure("dsum", "x")])
+    cat.attach_table("att", t)
+
+    # a load is folded into the rollup with NO explicit refresh call
+    t.insert(spark.createDataFrame([Row(a=1, b=1, x=10.0, y=9), Row(a=5, b=0, x=2.0, y=0)]))
+    df, src = cat.query("att", ["a"], [Measure("count"), Measure("dsum", "x")])
+    assert src == "att_by_a"
+    got = _rows(df, "a", "count_all", "dsum_x")
+    assert (1, 2, 11.0) in got and (5, 1, 2.0) in got
+
+
+def test_attach_table_unique_falls_back_to_refresh(spark):
+    import os as _os
+    import shutil as _shutil
+
+    from palo_spark.tables import Table
+
+    loc = _os.path.join(ROOT, "attach_u")
+    _shutil.rmtree(loc, ignore_errors=True)
+    t = Table(spark, "attach_u", "UNIQUE", ["a"], location=loc)
+    t.insert(spark.createDataFrame([Row(a=1, x=10.0), Row(a=2, x=20.0)]))
+
+    cat = RollupCatalog(spark, root=ROOT + "_attach_u")
+    cat.register_base("attu", t.read())
+    cat.add_rollup("attu_all", "attu", ["a"], [Measure("dsum", "x")])
+    cat.attach_table("attu", t)
+
+    # upsert REPLACES a=1: a delta-merge would double-count; refresh must not
+    t.insert(spark.createDataFrame([Row(a=1, x=100.0)]))
+    df, src = cat.query("attu", ["a"], [Measure("dsum", "x")])
+    assert src == "attu_all"
+    assert dict(_rows(df, "a", "dsum_x")) == {1: 100.0, 2: 20.0}
