@@ -35,6 +35,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     ivf_assign,
     train_centroids,
     similarity_topk_ivf,
+    quantize_embeddings_int8,
 )
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,

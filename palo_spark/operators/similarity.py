@@ -128,6 +128,45 @@ def knn_join(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard embedding
+    compression for large-scale ANN (4× smaller than float32, dot
+    products stay rank-faithful): ``q_i = floor(x_i * 127 / max|x| + 0.5)``
+    with the per-vector ``scale = max|x| / 127`` kept for dequantization
+    (``x ≈ q * scale``).
+
+    Entirely native higher-order functions (aggregate + transform) —
+    JVM-side, zero Python, scan-bound at any scale. The explicit
+    floor(+0.5) rounding makes the op bit-reproducible across engines
+    (banker's-rounding differences can't creep in). All-zero vectors
+    quantize to zeros with scale 0.
+    """
+    c = F.col(vec_col)
+    mx = F.aggregate(
+        c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    df = df.withColumn("__mx", mx)
+    q = F.when(
+        F.col("__mx") > 0.0,
+        F.transform(
+            c,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("__mx") + F.lit(0.5)
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(c, lambda x: F.lit(0).cast("tinyint")))
+    scale = F.when(F.col("__mx") > 0.0, F.col("__mx") / F.lit(127.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn(out_col, q)
+        .withColumn(f"{out_col}_scale", scale)
+        .drop("__mx")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

@@ -141,3 +141,33 @@ def dialect_lax_cast_null(spark, sf_dir):
         F.lit("12.5").cast("int").alias("frac_int"),
         F.col("o_orderdate").cast("string").alias("date_str"),
     )
+
+
+@q(
+    "dialect_largeint_decimal",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000) AS VARCHAR)
+               AS big_sum,
+           CAST(MAX(CAST(l_orderkey AS DECIMAL(38,0))
+                    + CAST('99999999999999999999' AS DECIMAL(38,0))) AS VARCHAR)
+               AS beyond_i64
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def dialect_largeint_decimal(spark, sf_dir):
+    """Doris LARGEINT (int128) emulation — SURVEY §7 documented gap,
+    closed the Spark way: DECIMAL(38,0) holds the int128 value range
+    used in practice (IDs, big counters) with exact integer arithmetic.
+    Values beyond int64 range round-trip exactly; results compared as
+    strings so no engine float path can touch them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = F.col("l_orderkey").cast("decimal(38,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(big * F.lit(1000000000000).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("big_sum"),
+        F.max(big + F.lit("99999999999999999999").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("beyond_i64"),
+    )

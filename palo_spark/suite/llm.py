@@ -197,6 +197,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.2)
 
 
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings WHERE vec_id < 500
+    )
+    SELECT vec_id,
+           CASE WHEN mx > 0.0 THEN
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS TINYINT))
+           ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+           END AS q_embedding,
+           CASE WHEN mx > 0.0 THEN mx / 127.0 ELSE 0.0 END AS q_embedding_scale
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (4× compression for ANN
+    storage): q = floor(x*127/max|x| + 0.5), scale kept for dequant.
+    All-native transform/aggregate — zero Python — and the explicit
+    floor rounding is bit-reproducible cross-engine (oracle-checked
+    element-wise on the int8 arrays AND the double scales)."""
+    from palo_spark.operators import quantize_embeddings_int8
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return quantize_embeddings_int8(e).select(
+        "vec_id", "q_embedding", "q_embedding_scale"
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 
