@@ -307,3 +307,24 @@ def agg_group_bit_ops(spark, sf_dir):
         F.bit_or("l_linenumber").alias("bor"),
         F.bit_xor("l_linenumber").alias("bxor"),
     )
+
+
+@q(
+    "agg_percentile_array",
+    """
+    SELECT l_returnflag,
+           list_transform(QUANTILE_CONT(l_quantity, [0.1, 0.5, 0.9]),
+                          x -> ROUND(x, 6)) AS pcts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_array(spark, sf_dir):
+    """Doris ``PERCENTILE_ARRAY(c, [p...])`` — one pass, many exact
+    quantiles (linear interpolation in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_quantity", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))),
+            lambda x: F.round(x, 6),
+        ).alias("pcts")
+    )

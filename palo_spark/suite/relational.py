@@ -648,3 +648,31 @@ def values_inline_table(spark, sf_dir):
     return spark.sql(
         "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, tag) WHERE id >= 2"
     )
+
+
+@q(
+    "relational_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def relational_pivot(spark, sf_dir):
+    """PIVOT: order counts by priority × status. Spark's native
+    relational pivot (one shuffle, statuses become columns) against the
+    conditional-aggregation form Doris users write (CASE/FILTER)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+        )
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from palo_spark.catalog import load_table, register_views
-from palo_spark.suite.util import register
+from palo_spark.suite.util import dsum, o_dsum, register
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -333,4 +333,47 @@ def window_ignore_nulls(spark, sf_dir):
             "lag(big_price, 1) IGNORE NULLS OVER "
             "(PARTITION BY o_custkey ORDER BY o_orderkey)"
         ).alias("prev_big"),
+    )
+
+
+@q(
+    "events_sessionization",
+    f"""
+    WITH d AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM d
+    )
+    SELECT user_id,
+           CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Batch sessionization via native ``F.session_window`` (30-min
+    gap): events merge while consecutive gaps stay under the threshold.
+    The oracle replays it as gaps-and-islands SQL (lag → break flag →
+    running island id), pinning Spark's session-merge semantics
+    (a gap of exactly 30:00 starts a NEW session) against plain SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n",
+            "sum_value",
+        )
     )
