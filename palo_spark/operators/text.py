@@ -149,6 +149,11 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
     ).groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # (doc, term, tf) feeds BOTH the doc-frequency aggregate and the
+    # scored join below — persist so the tokenize+explode+agg stage
+    # (the expensive part) runs once, same pattern as the persisted
+    # minhash signature stage (2.4x there)
+    terms = terms.persist()
     dfreq = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     scored = terms.join(dfreq, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
