@@ -200,3 +200,41 @@ def rollup_avg_derivation(spark, sf_dir):
     )
     assert src == "li_by_flag", f"selector picked {src}"
     return df.withColumn("count_all", F.col("count_all").cast("bigint"))
+
+
+@q(
+    "rollup_join_mv",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS count_all,
+           {o_dsum('l_extendedprice')} AS dsum_l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def rollup_join_mv(spark, sf_dir):
+    """Multi-table materialized view (Doris 2.x async MV over a join):
+    the MV base is a JOIN — orders ⋈ lineitem pre-aggregated by
+    customer — and a covering query is answered from the 1.5k-row MV
+    instead of re-running the join. Same selection/merge machinery as
+    single-table rollups; the MV build is the only place the join runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_custkey", "l_extendedprice")
+    cat = RollupCatalog(spark, root=f"/tmp/palo_spark_rollups_{os.getpid()}")
+    cat.register_base("order_lines", joined)
+    cat.add_rollup(
+        "ol_by_cust",
+        "order_lines",
+        ["o_custkey"],
+        [Measure("count"), Measure("dsum", "l_extendedprice")],
+    )
+    df, src = cat.query(
+        "order_lines",
+        ["o_custkey"],
+        [Measure("count"), Measure("dsum", "l_extendedprice")],
+    )
+    assert src == "ol_by_cust", f"selector picked {src}"
+    return df.withColumn("count_all", F.col("count_all").cast("bigint"))
