@@ -21,6 +21,7 @@ Oracle-comparison techniques used here:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from palo_spark.catalog import load_table
@@ -327,4 +328,47 @@ def agg_percentile_array(spark, sf_dir):
             F.percentile("l_quantity", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))),
             lambda x: F.round(x, 6),
         ).alias("pcts")
+    )
+
+
+@q(
+    "agg_topn_weighted",
+    """
+    WITH w AS (
+        SELECT user_id, event_type,
+               SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS wt
+        FROM events WHERE user_id < 30 GROUP BY user_id, event_type
+    ), r AS (
+        SELECT user_id, event_type, wt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY wt DESC, event_type) AS rn
+        FROM w
+    )
+    SELECT user_id, list(event_type ORDER BY rn) AS top_types
+    FROM r WHERE rn <= 2 GROUP BY user_id
+    """,
+)
+def agg_topn_weighted(spark, sf_dir):
+    """Doris ``TOPN_WEIGHTED(col, weight, k)`` — top-k values per group
+    by SUMMED weight (exact decimal weights so cross-engine ordering is
+    deterministic): sub-agg → WindowGroupLimit → sort_array collect.
+    Two keyed shuffles, no driver-side vocabulary."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6).cast("decimal(38,0)")).alias("wt")
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy(F.desc("wt"), F.asc("event_type"))
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("top_types")
+        )
     )
