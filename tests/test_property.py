@@ -1,0 +1,186 @@
+"""Property-based tests (hypothesis) for the custom kernels — the parts
+of the engine that are NOT Catalyst's responsibility and therefore carry
+real correctness risk: sketch codecs/algebra, the quantile sketch's rank
+bound, the vectorized funnel kernel, and the UNIQUE-key merge model.
+
+Pure-python kernel properties run hundreds of random examples; the one
+Spark round-trip property keeps a small example budget (JVM latency)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ----------------------------------------------------------- bitmap algebra
+
+_ints = st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60)
+
+
+@given(_ints, _ints)
+@settings(max_examples=200, deadline=None)
+def test_bitmap_algebra_matches_python_sets(a, b):
+    from palo_spark.functions.sketches import _bm_de, _bm_ser
+
+    ba = _bm_ser(np.unique(np.array(a, dtype="<i8")))
+    bb = _bm_ser(np.unique(np.array(b, dtype="<i8")))
+    sa, sb = set(a), set(b)
+    assert set(np.intersect1d(_bm_de(ba), _bm_de(bb)).tolist()) == (sa & sb)
+    assert set(np.union1d(_bm_de(ba), _bm_de(bb)).tolist()) == (sa | sb)
+    assert set(np.setdiff1d(_bm_de(ba), _bm_de(bb)).tolist()) == (sa - sb)
+    assert set(np.setxor1d(_bm_de(ba), _bm_de(bb)).tolist()) == (sa ^ sb)
+    # serialization round-trips exactly
+    assert _bm_de(ba).tolist() == sorted(sa)
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=10**6), max_size=30), max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_bitmap_union_is_order_independent(parts):
+    from palo_spark.functions.sketches import _bm_de, _bm_ser
+
+    sers = [_bm_ser(np.unique(np.array(p, dtype="<i8"))) for p in parts]
+    def union(order):
+        if not order:
+            return []
+        acc = np.empty(0, dtype="<i8")
+        for i in order:
+            acc = np.union1d(acc, _bm_de(sers[i]))
+        return acc.tolist()
+
+    fwd = union(list(range(len(sers))))
+    rev = union(list(reversed(range(len(sers)))))
+    assert fwd == rev == sorted(set().union(*map(set, parts)) if parts else set())
+
+
+# ------------------------------------------------------------ HLL properties
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_hll_merge_equals_single_pass_and_bounds_error(values):
+    from palo_spark.functions.sketches import _hll_add, _hll_empty, _hll_estimate
+
+    whole = _hll_empty()
+    _hll_add(whole, values)
+    # split into two partials, merge by register max — must be identical
+    mid = len(values) // 2
+    p1, p2 = _hll_empty(), _hll_empty()
+    _hll_add(p1, values[:mid])
+    _hll_add(p2, values[mid:])
+    merged = np.maximum(p1, p2)
+    assert np.array_equal(whole, merged)
+    # estimate within a generous bound (p=12 → ~1.6% rse; allow 10%+small-n slack)
+    n = len(set(values))
+    est = _hll_estimate(whole)
+    assert abs(est - n) <= max(3, 0.1 * n)
+
+
+# ----------------------------------------------------- quantile sketch bound
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=5, max_size=400
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=60, deadline=None)
+def test_quantile_sketch_rank_error_bound(values, p):
+    from palo_spark.functions.sketches import _qs_compress, _qs_quantile
+
+    arr = np.asarray(values, dtype="<f8")
+    m, w = _qs_compress(arr, np.ones_like(arr))
+    est = _qs_quantile(m, w, p)
+    # with ties the estimate's rank is an interval [P(x<est), P(x<=est)];
+    # that interval must intersect the ±(~2 centroids) band around p
+    rank_lo = float(np.mean(arr < est))
+    rank_hi = float(np.mean(arr <= est))
+    tol = 2.0 * max(1.0 / 256, 1.0 / len(arr)) + 1.0 / len(arr)
+    assert rank_lo <= p + tol + 1e-9 and rank_hi >= p - tol - 1e-9
+
+
+# ------------------------------------------------------------- funnel kernel
+
+
+def _funnel_reference(t, fl, window_ns):
+    """Obvious O(starts·levels·n) scalar reference for 'default' mode."""
+    best = 0
+    for s in range(len(t)):
+        if not fl[0][s]:
+            continue
+        best = max(best, 1)
+        deadline = t[s] + window_ns
+        pos, level = s, 1
+        for step in range(1, len(fl)):
+            nxt = None
+            for i in range(pos + 1, len(t)):
+                if fl[step][i] and t[i] <= deadline:
+                    nxt = i
+                    break
+            if nxt is None:
+                break
+            pos, level = nxt, level + 1
+        best = max(best, level)
+    return best
+
+
+@given(
+    st.integers(min_value=2, max_value=4),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.data(),
+)
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_funnel_kernel_matches_reference(n_conds, ts_raw, data):
+    from palo_spark.functions.behavioral import _funnel_core
+
+    t = np.sort(np.array(ts_raw, dtype="int64"))
+    fl = [
+        np.array(
+            data.draw(st.lists(st.booleans(), min_size=len(t), max_size=len(t))),
+            dtype=bool,
+        )
+        for _ in range(n_conds)
+    ]
+    window = data.draw(st.integers(min_value=0, max_value=60))
+    assert _funnel_core(t, fl, window) == _funnel_reference(t, fl, window)
+
+
+# -------------------------------------------------- UNIQUE-key merge model
+
+
+def test_unique_table_matches_dict_model(spark, tmp_path):
+    """Randomized insert sequences vs a dict reference: last version wins,
+    sequence column overrides version order. One Spark table, several
+    random batches (bounded — JVM latency makes per-example sessions
+    impractical, so this is a seeded random sweep, not @given)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from palo_spark.tables import Table
+
+    rng = random.Random(1234)
+    t = Table(
+        spark, "prop_uniq", "UNIQUE", ["k"], sequence_col="seq",
+        location=str(tmp_path / "t"),
+    )
+    model: dict[int, tuple] = {}  # k -> (seq, version, payload)
+    for version in range(1, 6):
+        batch, in_batch = [], {}
+        for _ in range(rng.randint(1, 12)):
+            k = rng.randint(0, 7)
+            seq = rng.randint(0, 5)
+            payload = f"v{version}-{rng.randint(0, 99)}"
+            row = (k, seq, payload)
+            # in-batch: same merge rule (higher seq wins; later row wins ties
+            # is NOT guaranteed by the engine, so make in-batch keys unique)
+            in_batch[k] = row
+            batch = list(in_batch.values())
+        t.insert(spark.createDataFrame([Row(k=k, seq=s, x=p) for k, s, p in batch]))
+        for k, s, p in batch:
+            cur = model.get(k)
+            if cur is None or (s, version) >= (cur[0], cur[1]):
+                model[k] = (s, version, p)
+    got = {r["k"]: (r["seq"], r["x"]) for r in t.read().collect()}
+    want = {k: (s, p) for k, (s, v, p) in model.items()}
+    assert got == want
