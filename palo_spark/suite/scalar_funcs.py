@@ -394,3 +394,31 @@ def scalar_map_funcs(spark, sf_dir):
             "concat_size"
         ),
     )
+
+
+@q(
+    "scalar_variant_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           MIN(CAST(props->>'$.k' AS INT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_json(spark, sf_dir):
+    """Doris 2.1 VARIANT column, the Spark-first way: ``parse_json`` into
+    a real VariantType column (binary semi-structured encoding, NOT a
+    string re-parse per access) and typed path extraction with
+    ``variant_get`` — the same store-once/extract-typed design as Doris's
+    VARIANT subcolumnarization. Aggregates over the extracted int path."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("props_v", F.parse_json(F.col("props")))
+    k = F.variant_get(F.col("props_v"), "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
