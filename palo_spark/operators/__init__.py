@@ -40,6 +40,8 @@ from palo_spark.operators.similarity import (  # noqa: F401
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,
     token_count,
+    match_any,
+    match_all,
     quality_score,
     lang_id,
     doc_fingerprint,

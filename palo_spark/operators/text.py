@@ -31,6 +31,28 @@ def tokenize(col, *, lowercase: bool = True):
     return F.split(F.trim(c), r"\s+")
 
 
+def match_any(col, query: str):
+    """Doris inverted-index ``MATCH_ANY`` predicate: true when the text
+    contains ANY whitespace token of ``query`` (case-insensitive, same
+    tokenization as the index would apply). Semantics-level parity —
+    Doris accelerates this with an inverted index at storage level; the
+    Spark-first analog is a native array-overlap predicate that codegens
+    into the scan stage (and at 100 TB rides column pruning + row-group
+    skipping rather than a posting list)."""
+    toks = F.array(*[F.lit(t) for t in query.lower().split()])
+    return F.arrays_overlap(tokenize(col), toks)
+
+
+def match_all(col, query: str):
+    """Doris ``MATCH_ALL``: text contains EVERY token of ``query``."""
+    doc = tokenize(col)
+    toks = [F.lit(t) for t in query.lower().split()]
+    cond = F.lit(True)
+    for t in toks:
+        cond = cond & F.array_contains(doc, t)
+    return cond
+
+
 def token_count(col, *, mode: str = "whitespace"):
     """Token count: ``whitespace`` splits on runs of spaces; ``bpe``
     counts word/number/symbol pieces (a deterministic stand-in for a

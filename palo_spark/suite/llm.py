@@ -537,3 +537,30 @@ def multimodal_frame_sample(spark, sf_dir):
         ).alias("meta"),
     )
     return sample_frames(media, every_n=2)
+
+
+@q(
+    "text_match_predicates",
+    """
+    SELECT doc_id,
+           list_has_any(string_split(lower(trim(text)), ' '),
+                        ['merge', 'window']) AS m_any,
+           list_has_all(string_split(lower(trim(text)), ' '),
+                        ['table', 'query']) AS m_all
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def text_match_predicates(spark, sf_dir):
+    """Doris inverted-index MATCH_ANY / MATCH_ALL predicates at the
+    semantics level: native array-overlap / containment over the same
+    tokenization the index would apply — codegens into the scan stage
+    (storage-level posting lists are Doris's acceleration; the scan-side
+    predicate is the portable contract)."""
+    from palo_spark.operators import match_all, match_any
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        match_any("text", "merge window").alias("m_any"),
+        match_all("text", "table query").alias("m_all"),
+    )
