@@ -345,17 +345,24 @@ def embedding_dup_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(
-        "__id", "__v", F.explode(band_key).alias("__b")
-    ).select("__id", "__v", F.col("__b.band").alias("__band"), F.col("__b.bits").alias("__bits"))
-
-    a = buckets.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__band", "__bits")
-    b = buckets.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__band", "__bits")
-    cand = (
+    # Band join carries IDs ONLY — the 16×-exploded shuffle would
+    # otherwise ship every vector 16 times; vectors are re-attached to
+    # the (deduped) candidate pairs from the persisted signature stage,
+    # so each vector crosses the wire once per side of the verify join.
+    buckets = sig.select("__id", F.explode(band_key).alias("__b")).select(
+        "__id", F.col("__b.band").alias("__band"), F.col("__b.bits").alias("__bits")
+    )
+    a = buckets.select(F.col("__id").alias("id_a"), "__band", "__bits")
+    b = buckets.select(F.col("__id").alias("id_b"), "__band", "__bits")
+    cand_ids = (
         a.join(b, on=["__band", "__bits"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
     return (
         cand.withColumn(
             "score", cosine_similarity(F.col("v_a"), F.col("v_b"), quantized=quantized)
