@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_fuzzy",
     "similarity_search_topk",
     "text_quality_score",
+    "events_sessionization",
     "dedup_embedding_cosine",
     "similarity_knn_join",
     "text_tfidf_top_terms",

@@ -53,4 +53,6 @@ from palo_spark.operators.multimodal import (  # noqa: F401
     extract_media_meta,
     decode_media,
     sample_frames,
+    resize_media,
+    extract_features,
 )

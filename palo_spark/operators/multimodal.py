@@ -195,3 +195,66 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def _build_payload(mime: str, width: int, height: int, n_frames: int,
+                   sample_rate: int, body: bytes) -> bytes:
+    m = mime.encode()
+    return (
+        _MAGIC + bytes([len(m)]) + m
+        + struct.pack("<iiii", width, height, n_frames, sample_rate) + body
+    )
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing (``mapInPandas``, Arrow-batched): rewrite each
+    payload to the target dimensions. The real implementation would
+    decode pixels and interpolate; the fake codec defines resize as
+    "1 byte per pixel" — the body is truncated/zero-padded to
+    ``width*height`` bytes — so the output payload size is a CHECKABLE
+    function of the target dims (oracle-friendly) while the batch shape,
+    schema contract, and per-task memory bound match a real resizer."""
+    n_body = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_fake_header(bytes(payload))
+                body = bytes(payload)[-meta["body_len"]:] if meta["body_len"] else b""
+                body = body[:n_body].ljust(n_body, b"\0")
+                out.append(
+                    (mid, _build_payload(meta["mime"], width, height,
+                                         meta["n_frames"], meta["sample_rate"], body))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        _resize, "media_id long, payload binary"
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing (CLIP-style embedding stand-in):
+    one ``array<float>`` per payload via ``mapInPandas``. The vector is
+    a DETERMINISTIC function of the payload bytes (blake2b-seeded,
+    mapped into [-1, 1]) so tests can pin exact values; a real model
+    would run batched inference in exactly this UDF shape (Arrow in,
+    Arrow out, bounded batch memory)."""
+    from hashlib import blake2b
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = blake2b(bytes(payload), digest_size=2 * dim).digest()
+                vec = [
+                    (int.from_bytes(h[2 * i : 2 * i + 2], "little") / 32767.5) - 1.0
+                    for i in range(dim)
+                ]
+                rows.append((mid, vec))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        _feat, "media_id long, features array<float>"
+    )

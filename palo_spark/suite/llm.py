@@ -564,3 +564,32 @@ def text_match_predicates(spark, sf_dir):
         match_any("text", "merge window").alias("m_any"),
         match_all("text", "table query").alias("m_all"),
     )
+
+
+@q(
+    "multimodal_resize_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS width,
+           CAST(24 AS INT) AS height,
+           CAST(768 AS INT) AS body_len,
+           CAST(16 AS INT) AS feat_dim
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def multimodal_resize_features(spark, sf_dir):
+    """Resize → feature-extract pipeline over packed media: the fake
+    codec defines resize as 1 byte/pixel so the resized body length is
+    a checkable function of the target dims; the feature stage's shape
+    contract (dim) is oracle-checked, its deterministic values
+    pytest-pinned."""
+    from palo_spark.operators import extract_features, resize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    media = pack_media(d, text_col="text", id_col="doc_id")
+    resized = resize_media(media, 32, 24)
+    decoded = decode_media(resized).select("media_id", "width", "height", "body_len")
+    feats = extract_features(resized, dim=16).select(
+        "media_id", F.size("features").alias("feat_dim")
+    )
+    return decoded.join(feats, "media_id")

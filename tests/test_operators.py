@@ -300,3 +300,24 @@ def test_dedup_embedding_cosine_removes_planted(spark, sf_dir):
     ids = {r["vec_id"] for r in out.select("vec_id").collect()}
     # every planted scaled copy (cosine exactly 1) removed, originals kept
     assert ids == set(range(100))
+
+
+def test_resize_and_feature_extract_deterministic(spark, sf_dir):
+    from palo_spark.catalog import load_table
+    from palo_spark.operators import (
+        decode_media,
+        extract_features,
+        pack_media,
+        resize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = pack_media(d, text_col="text", id_col="doc_id")
+    resized = resize_media(media, 8, 4)
+    meta = {r["media_id"]: r for r in decode_media(resized).collect()}
+    assert all(m["width"] == 8 and m["height"] == 4 and m["body_len"] == 32
+               for m in meta.values())
+    f1 = {r["media_id"]: r["features"] for r in extract_features(resized, dim=4).collect()}
+    f2 = {r["media_id"]: r["features"] for r in extract_features(resized, dim=4).collect()}
+    assert f1 == f2  # deterministic function of payload bytes
+    assert all(len(v) == 4 and all(-1.0 <= x <= 1.0 for x in v) for v in f1.values())
