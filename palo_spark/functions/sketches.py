@@ -97,6 +97,26 @@ def bitmap_union_of_bitmaps(col) -> Column:
     return agg(F.col(col) if isinstance(col, str) else col)
 
 
+def bitmap_intersect(col) -> Column:
+    """Doris ``BITMAP_INTERSECT(bitmap_col)``: AND-merge the group's
+    bitmaps (the audience-segmentation aggregate — "users in ALL
+    segments"). Empty group → empty bitmap. Like the OR-merge forms,
+    pre-aggregate per segment first (the orthogonal-bitmap pattern) so
+    each Python worker only ANDs |segments| sketches, never raw rows."""
+
+    @pandas_udf("binary")
+    def agg(v: pd.Series) -> bytes:
+        parts = [_bm_de(b) for b in v if b is not None]
+        if not parts:
+            return bitmap_empty()
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = np.intersect1d(acc, p)
+        return _bm_ser(acc)
+
+    return agg(F.col(col) if isinstance(col, str) else col)
+
+
 # ---------------------------------------------------------- bitmap scalars
 
 

@@ -270,3 +270,28 @@ def sketch_explode_bitmap(spark, sf_dir):
     return bm.select(
         "l_returnflag", F.explode(bitmap_to_array("bm")).alias("supp")
     )
+
+
+@q(
+    "sketch_bitmap_intersect_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_all_flags
+    FROM (
+        SELECT l_suppkey FROM lineitem
+        GROUP BY l_suppkey HAVING COUNT(DISTINCT l_returnflag) = 3
+    )
+    """,
+)
+def sketch_bitmap_intersect_agg(spark, sf_dir):
+    """BITMAP_INTERSECT (orthogonal-bitmap audience pattern): suppliers
+    present in ALL THREE return flags = AND-merge of the per-flag
+    supplier bitmaps. Two-level: one bitmap per flag (3 sketches), then
+    a 3-row intersect — raw rows never cross the Python boundary twice."""
+    from palo_spark.functions.sketches import bitmap_intersect
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        bitmap_union_of_values("l_suppkey").alias("bm")
+    )
+    inter = per_flag.agg(bitmap_intersect("bm").alias("bm_all"))
+    return inter.select(bitmap_count("bm_all").alias("n_all_flags"))
