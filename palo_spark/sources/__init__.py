@@ -22,6 +22,7 @@ idempotency). The Spark-first mapping keeps that split:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from palo_spark.tables import Table
 
@@ -63,6 +64,8 @@ def broker_load(
     transforms: list | None = None,
     where=None,
     label: str | None = None,
+    quality_check=None,
+    max_filter_ratio: float = 0.0,
     **options,
 ) -> int:
     """Broker Load: bulk-load files with column transforms and a filter,
@@ -73,12 +76,36 @@ def broker_load(
     Doris label ledger), so a retried load never double-commits.
     Returns the committed version, or -1 if the label was already
     applied.
+
+    ``quality_check`` + ``max_filter_ratio`` implement Doris's load
+    quality gate: rows failing ``quality_check`` (a boolean Column) are
+    dropped, and the WHOLE load aborts (``ValueError``, nothing
+    committed) if the dropped fraction exceeds ``max_filter_ratio`` —
+    tolerate a trickle of bad rows, refuse a broken feed. This is
+    distinct from ``where``, which is intentional filtering and never
+    counts against the ratio (exactly Doris's WHERE-vs-quality split).
+    The two counts come from one pass (cached) before the write job.
     """
     df = read_file(spark, path, fmt, schema=schema, **options)
     if transforms:
         df = df.select(*transforms)
     if where is not None:
         df = df.filter(where)
+    if quality_check is not None:
+        df = df.persist()
+        total = df.count()
+        good = df.filter(F.coalesce(quality_check, F.lit(False)))
+        n_good = good.count()
+        bad_ratio = 0.0 if total == 0 else (total - n_good) / total
+        if bad_ratio > max_filter_ratio:
+            df.unpersist()
+            raise ValueError(
+                f"load aborted: {bad_ratio:.4f} of rows failed the quality "
+                f"check (max_filter_ratio={max_filter_ratio}); nothing committed"
+            )
+        version = table.insert(good, label=label)
+        df.unpersist()
+        return version
     return table.insert(df, label=label)
 
 

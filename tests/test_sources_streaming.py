@@ -239,3 +239,31 @@ def test_streaming_dedup_exact_across_batches(spark):
     ks = [k for k, _ in got2]
     assert ks == [1, 2, 3]  # each key exactly once, ever
     assert dict(got2)[3] == "c1" and dict(got2)[2] == "b1"
+
+
+def test_broker_load_max_filter_ratio(spark):
+    src = _dir("quality_src")
+    export_table(
+        spark.createDataFrame(
+            [Row(k=i, v=(None if i % 5 == 0 else i * 10)) for i in range(20)]
+        ),
+        src,
+    )
+    # 20% bad rows (v NULL): tolerated at ratio 0.25, good rows committed
+    t = Table(spark, "q1", "DUPLICATE", ["k"], location=_dir("quality_t1"))
+    v = broker_load(
+        spark, t, src,
+        quality_check=F.col("v").isNotNull(),
+        max_filter_ratio=0.25,
+        label="QL1",
+    )
+    assert v == 1 and t.read().count() == 16
+    # same feed refused at ratio 0.1 — and NOTHING is committed
+    t2 = Table(spark, "q2", "DUPLICATE", ["k"], location=_dir("quality_t2"))
+    with pytest.raises(ValueError, match="load aborted"):
+        broker_load(
+            spark, t2, src,
+            quality_check=F.col("v").isNotNull(),
+            max_filter_ratio=0.1,
+        )
+    assert t2.meta.rowsets == []
