@@ -448,6 +448,24 @@ def quantile_state_of_values(col) -> Column:
     return agg(_c(col))
 
 
+def quantile_state_weighted(col, weight) -> Column:
+    """Doris ``PERCENTILE_APPROX_WEIGHTED`` state: one mergeable
+    quantile sketch per group where each value carries a weight (row
+    multiplicity). Same centroid compression as the unweighted form —
+    a weight-w value is exactly a w-fold repeat."""
+
+    @pandas_udf("binary")
+    def agg(v: pd.Series, w: pd.Series) -> bytes:
+        mask = v.notna() & w.notna()
+        vals = v[mask].to_numpy(dtype="float64")
+        wts = w[mask].to_numpy(dtype="float64")
+        keep = wts > 0
+        m, cw = _qs_compress(vals[keep], wts[keep])
+        return _qs_ser(m, cw)
+
+    return agg(_c(col), _c(weight))
+
+
 def quantile_union(col) -> Column:
     """Doris ``QUANTILE_UNION``: merge quantile states — concatenate
     centroid lists and re-compress (associative up to the documented

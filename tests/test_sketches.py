@@ -253,3 +253,24 @@ def test_bitmap_min_max_empty_is_null(spark):
     df = spark.createDataFrame([Row(a="")]).select(bitmap_from_string("a").alias("bm"))
     r = df.select(bitmap_min("bm").alias("mn"), bitmap_max("bm").alias("mx")).head()
     assert r["mn"] is None and r["mx"] is None
+
+
+def test_weighted_quantile_state_equals_repeats(spark):
+    """A weight-w value must behave exactly like w repeated rows."""
+    from palo_spark.functions.sketches import (
+        quantile_percent,
+        quantile_state_of_values,
+        quantile_state_weighted,
+    )
+
+    vals = [(1.0, 3), (5.0, 1), (9.0, 2), (2.0, 4)]
+    weighted = spark.createDataFrame(vals, "x double, w int")
+    expanded = spark.createDataFrame(
+        [(x,) for x, w in vals for _ in range(w)], "x double"
+    )
+    qw = weighted.agg(quantile_state_weighted("x", "w").alias("qs"))
+    qe = expanded.agg(quantile_state_of_values("x").alias("qs"))
+    for p in (0.1, 0.5, 0.9):
+        got_w = qw.select(quantile_percent("qs", p).alias("v")).head()["v"]
+        got_e = qe.select(quantile_percent("qs", p).alias("v")).head()["v"]
+        assert abs(got_w - got_e) < 1e-9, (p, got_w, got_e)
