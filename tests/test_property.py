@@ -184,3 +184,40 @@ def test_unique_table_matches_dict_model(spark, tmp_path):
     got = {r["k"]: (r["seq"], r["x"]) for r in t.read().collect()}
     want = {k: (s, p) for k, (s, v, p) in model.items()}
     assert got == want
+
+
+# ----------------------------------------------------- sequence regex kernel
+
+
+def _seq_count_reference(letters: str, steps: list[str]) -> int:
+    """Non-overlapping minimal '(?1).*(?2)...' chains, scalar reference:
+    scan left to right; after completing a chain, restart after its end."""
+    n, i, count = len(letters), 0, 0
+    while True:
+        pos = i
+        ok = True
+        for s in steps:
+            j = letters.find(s, pos)
+            if j < 0:
+                ok = False
+                break
+            pos = j + 1
+        if not ok:
+            break
+        count += 1
+        i = pos
+    return count
+
+
+@given(
+    st.text(alphabet="abc", max_size=60),
+    st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_sequence_count_pattern_matches_reference(letters, n_steps):
+    from palo_spark.functions.behavioral import _compile_pattern
+
+    steps = [chr(ord("a") + i) for i in range(n_steps)]
+    pattern = ".*".join(f"(?{i+1})" for i in range(n_steps))
+    rx = _compile_pattern(pattern, 3)
+    assert len(rx.findall(letters)) == _seq_count_reference(letters, steps)
