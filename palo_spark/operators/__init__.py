@@ -25,6 +25,8 @@ from palo_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_dup_pairs,
     dedup_embedding_cosine,
+    resolve_dup_clusters,
+    dedup_by_clusters,
 )
 from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,

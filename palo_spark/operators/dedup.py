@@ -468,3 +468,103 @@ def ngram_jaccard_pairs(
         F.col("__inter") / (F.col("n_a") + F.col("n_b") - F.col("__inter")),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def resolve_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve duplicate *pairs* into duplicate *clusters* (connected
+    components): every id that appears in ``pairs`` is labelled with the
+    minimum id reachable through the pair graph.
+
+    A near-dup pipeline (MinHash / SimHash / embedding LSH) emits pairs;
+    keeping "one doc per pair" is wrong when dups chain (A~B, B~C must
+    collapse to ONE survivor, though A~C was never emitted). This is the
+    transitive-closure step Doris has no analog for — standard in
+    training-data dedup (cf. the CCF/"connected components in MapReduce"
+    formulation, Kiveris et al.).
+
+    Algorithm: hash-min label propagation with pointer jumping —
+    per round, each node takes the min label over itself, its
+    neighbours' labels, and its label's label (path halving). Rounds =
+    O(log(longest chain)); near-dup clusters are star-ish, so 2-3
+    rounds typical. Each round is two keyed shuffles over the edge
+    list — no driver-side graph, no all-pairs. Scale notes:
+
+    - the edge list is the *pair* output, orders of magnitude smaller
+      than the corpus;
+    - per-round ``localCheckpoint`` truncates lineage (on a real
+      cluster use ``spark.sparkContext.setCheckpointDir`` + rdd
+      checkpointing for fault tolerance instead);
+    - convergence is detected with a count over changed labels only.
+
+    Returns ``(node, cluster)``, one row per distinct id in ``pairs``.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among neighbours
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nbr_min"))
+            .withColumnRenamed("u", "node")
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("cluster", F.coalesce("nbr_min", "cluster")).alias("cluster"),
+            F.col("cluster").alias("prev"),
+        )
+        # pointer jump: cluster <- label(cluster)
+        jump = labels.select(
+            F.col("node").alias("cluster"), F.col("cluster").alias("jump_min")
+        )
+        new_labels = (
+            stepped.join(jump, "cluster", "left")
+            .select(
+                "node",
+                F.least("cluster", F.coalesce("jump_min", "cluster")).alias("cluster"),
+                "prev",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("cluster") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Remove near-duplicates given a pair list: resolve pairs into
+    clusters (:func:`resolve_dup_clusters`) and keep the minimum-id
+    member of each cluster plus every unpaired doc. The anti-join ships
+    only (id, cluster) — never document payloads — so the survivor
+    filter is a semi/anti join on ids at any scale."""
+    clusters = resolve_dup_clusters(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -34,6 +34,8 @@ from palo_spark.operators import (
     similarity_topk_lsh,
     similarity_topk_ivf,
     dedup_embedding_cosine,
+    resolve_dup_clusters,
+    dedup_by_clusters,
     knn_join,
     quality_score,
     token_count,
@@ -593,3 +595,82 @@ def multimodal_resize_features(spark, sf_dir):
         "media_id", F.size("features").alias("feat_dim")
     )
     return decoded.join(feats, "media_id")
+
+
+# ------------------------------------------------- cluster resolution
+
+#: word-trigram Jaccard pairs over doc_id < 200 at threshold 0.2 — the
+#: same exact pair rule as ``dedup_ngram_jaccard`` (oracle-checked
+#: there), reused as the edge list for connected components.
+_PAIRS_SQL = """
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM docs),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+        FROM toks
+    ),
+    ex AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS i
+        FROM ex a JOIN ex b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter WHERE i / (n_a + n_b - i) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, re.r FROM reach re JOIN edges e ON e.u = re.node
+    ),
+    clusters AS (
+        SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+    )
+"""
+
+
+def _jaccard_pairs_200(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.2)
+
+
+@q(
+    "dedup_cluster_resolve",
+    f"WITH RECURSIVE {_PAIRS_SQL} SELECT node, cluster FROM clusters",
+)
+def dedup_cluster_resolve(spark, sf_dir):
+    """Connected components over near-dup pairs (hash-min label
+    propagation + pointer jumping): chains A~B, B~C collapse into one
+    cluster even though A~C was never emitted. Oracle = DuckDB
+    recursive CTE reachability over the identical exact pair rule."""
+    return resolve_dup_clusters(_jaccard_pairs_200(spark, sf_dir)).select(
+        "node", "cluster"
+    )
+
+
+@q(
+    "dedup_cluster_keep",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL}
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id < 200
+      AND doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster)
+    """,
+)
+def dedup_cluster_keep(spark, sf_dir):
+    """Transitive near-dup removal: keep the min-id member of every dup
+    cluster plus all unpaired docs (anti-join on ids only — document
+    payloads never enter the cluster computation)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup_by_clusters(d, pairs).select("doc_id", "n_chars")

@@ -321,3 +321,21 @@ def test_resize_and_feature_extract_deterministic(spark, sf_dir):
     f2 = {r["media_id"]: r["features"] for r in extract_features(resized, dim=4).collect()}
     assert f1 == f2  # deterministic function of payload bytes
     assert all(len(v) == 4 and all(-1.0 <= x <= 1.0 for x in v) for v in f1.values())
+
+
+def test_resolve_dup_clusters_transitive(spark):
+    """Chains collapse: A~B, B~C (never A~C) → one cluster; pointer
+    jumping converges on a 6-long chain well inside max_iter."""
+    from palo_spark.operators import dedup_by_clusters, resolve_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (7, 3)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster"] for r in resolve_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 5, 7, 10, 11, 20]], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == [1, 10, 20]  # unpaired 20 survives untouched
