@@ -1,0 +1,160 @@
+"""Deterministic sampling and source mixing for training-data pipelines.
+
+Extension surface (BASELINE.json north star) — no Doris analog; the
+operations a 100 TB corpus pipeline needs to cut reproducible subsets
+and mix sources to target proportions.
+
+Why not ``df.sample``: Spark's sampler draws per-partition random
+streams, so the selected *rows* change whenever partitioning, cluster
+size, or upstream order changes. A training corpus must be cut by a
+pure function of the ROW (id), so the same doc is in/out of the sample
+no matter how the job is partitioned, today or at 1000 executors.
+Everything here is a narrow projection+filter — zero shuffles, fully
+pushed into the scan stage.
+
+Two hash modes:
+
+- ``xxhash64`` (default): Spark's JVM xxhash64 — best dispersion, the
+  production choice; not replayable in other engines (oracle checks are
+  rows-only/statistical).
+- ``minstd``:  the Lehmer/Park-Miller LCG step ``(id*48271) mod (2^31-1)``
+  — pure 64-bit-safe integer arithmetic, bit-identical in any SQL
+  engine, used by the oracle-checked suite entries. Dispersion is
+  adequate for sampling (not for bucketing joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_hash",
+    "stratified_sample",
+    "mix_sources",
+    "MINSTD_MOD",
+]
+
+#: Park-Miller modulus (2^31 - 1, prime)
+MINSTD_MOD = 2147483647
+_MINSTD_MULT = 48271
+
+
+def _hash_u(id_col, seed: int, mode: str):
+    """Uniform value in [0, 1) as a pure function of (id, seed)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if mode == "xxhash64":
+        # map signed 64-bit hash onto [0,1): shift to unsigned via
+        # DECIMAL to avoid Long overflow at the +2^63 edge
+        # 2^63 exceeds Long — route the shift constant through a string
+        # literal cast to DECIMAL
+        h = F.xxhash64(c, F.lit(seed)).cast("decimal(38,0)") + F.lit(
+            "9223372036854775808"
+        ).cast("decimal(38,0)")
+        return (h.cast("double") / F.lit(float(2**64)))
+    if mode == "minstd":
+        # (id + seed) * 48271 mod (2^31-1): inputs are folded into
+        # [0, 2^31-1) first so the product stays under 2^63 (exact in
+        # Long arithmetic — replayable in any engine)
+        folded = F.pmod(c.cast("long") + F.lit(int(seed)), F.lit(MINSTD_MOD))
+        h = F.pmod(folded * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD))
+        return h.cast("double") / F.lit(float(MINSTD_MOD))
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def o_hash_u(id_expr: str, seed: int) -> str:
+    """Oracle-SQL mirror of the ``minstd`` hash → uniform [0,1)."""
+    return (
+        f"(CAST((((({id_expr}) + {seed}) % {MINSTD_MOD} + {MINSTD_MOD}) % {MINSTD_MOD})"
+        f" * {_MINSTD_MULT} % {MINSTD_MOD} AS DOUBLE) / {float(MINSTD_MOD)!r})"
+    )
+
+
+def sample_hash(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    seed: int = 0,
+    mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row iff ``hash(id, seed)/MAX < fraction``.
+
+    Deterministic and partitioning-independent: re-running on a
+    repartitioned, resorted, or differently-sized cluster selects the
+    SAME rows. Changing ``seed`` draws an independent sample; nested
+    fractions are consistent (a 1% sample is a subset of the 10% sample
+    at the same seed) — useful for staged experiments.
+    """
+    return df.filter(_hash_u(id_col, seed, mode) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    *,
+    default: float = 0.0,
+    seed: int = 0,
+    mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``v`` keeps fraction
+    ``fractions[v]`` of its rows (strata absent from the map keep
+    ``default``). One narrow filter — the 100 TB form of "rebalance the
+    language/source distribution of a corpus"; no shuffle, no
+    per-stratum jobs."""
+    frac = F.lit(float(default))
+    for value, f_v in fractions.items():
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f_v))).otherwise(
+            frac
+        )
+    return df.filter(_hash_u(id_col, seed, mode) < frac)
+
+
+def mix_sources(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    *,
+    seed: int = 0,
+    mode: str = "xxhash64",
+    tag_col: str | None = "mix_epoch",
+) -> DataFrame:
+    """Weighted mixture of corpora: each ``(df, weight)`` contributes
+    its rows ``weight`` times in expectation — ``weight=0.25``
+    downsamples to a quarter; ``weight=2.5`` yields every row twice
+    plus a deterministic half-sample (epoch upsampling, the standard
+    way to over-represent a high-quality source in a training mix).
+
+    Rows are replicated via an exploded epoch-index array (narrow op);
+    the fractional remainder reuses :func:`sample_hash` with a
+    per-epoch seed so repeated epochs and the fractional draw are
+    independent. Output schema = input schema (+ ``tag_col`` epoch
+    number unless None). Union of narrow ops — shuffle-free.
+    """
+    out = None
+    for i, (df, weight) in enumerate(sources):
+        if weight <= 0:
+            continue
+        whole, frac = int(weight), float(weight) - int(weight)
+        parts = []
+        if whole:
+            rep = df.withColumn(
+                "__epoch", F.explode(F.sequence(F.lit(0), F.lit(whole - 1)))
+            )
+            parts.append(rep)
+        if frac > 0:
+            extra = sample_hash(
+                df, id_col, frac, seed=seed + 1000003 * (i + 1), mode=mode
+            ).withColumn("__epoch", F.lit(whole))
+            parts.append(extra)
+        for p in parts:
+            p = (
+                p.withColumnRenamed("__epoch", tag_col)
+                if tag_col
+                else p.drop("__epoch")
+            )
+            out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("no source with positive weight")
+    return out

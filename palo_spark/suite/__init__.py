@@ -21,6 +21,7 @@ _MODULE_NAMES = [
     "sketches",
     "behavioral",
     "dialect",
+    "sampling_q",
     "llm",
     "rollup_q",
     "window_funcs",

@@ -1,0 +1,123 @@
+"""Deterministic sampling / source-mixing coverage (training-data
+pipeline extensions; no Doris analog).
+
+All entries use the ``minstd`` hash mode — pure 64-bit-safe integer
+arithmetic mirrored token-for-token in the DuckDB oracle, so the exact
+row set (not just the expected count) is verified. The production
+``xxhash64`` mode shares every line of code except the hash kernel,
+which pytest covers statistically (tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.operators.sampling import (
+    mix_sources,
+    o_hash_u,
+    sample_hash,
+    stratified_sample,
+)
+from palo_spark.suite.util import register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "sample_hash_fraction",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {o_hash_u('doc_id', 7)} < 0.3
+    """,
+)
+def sample_hash_fraction(spark, sf_dir):
+    """30% deterministic sample of documents: membership is a pure
+    function of doc_id, so the SAME rows are selected regardless of
+    partitioning or cluster size (df.sample cannot promise this).
+    Narrow filter — pushed to the scan, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_hash(d, "doc_id", 0.3, seed=7, mode="minstd").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@q(
+    "sample_nested_subset",
+    f"""
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE {o_hash_u('doc_id', 7)} < 0.05) AS BIGINT)
+            AS small_n,
+        CAST(COUNT(*) FILTER (WHERE {o_hash_u('doc_id', 7)} < 0.3) AS BIGINT)
+            AS big_n,
+        CAST(COUNT(*) FILTER (WHERE {o_hash_u('doc_id', 7)} < 0.05
+                                AND NOT {o_hash_u('doc_id', 7)} < 0.3) AS BIGINT)
+            AS escaped
+    FROM documents
+    """,
+)
+def sample_nested_subset(spark, sf_dir):
+    """Nested-sample consistency contract: at one seed the 5% sample is
+    a strict subset of the 30% sample (escaped = 0) — what makes staged
+    scaling experiments comparable."""
+    d = load_table(spark, sf_dir, "documents")
+    small = sample_hash(d, "doc_id", 0.05, seed=7, mode="minstd")
+    big = sample_hash(d, "doc_id", 0.3, seed=7, mode="minstd")
+    esc = small.join(big, "doc_id", "left_anti")
+    return (
+        small.agg(F.count("*").alias("small_n"))
+        .crossJoin(big.agg(F.count("*").alias("big_n")))
+        .crossJoin(esc.agg(F.count("*").alias("escaped")))
+    )
+
+
+@q(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {o_hash_u('doc_id', 11)} <
+        CASE WHEN lang = 'es' THEN 0.5 WHEN lang = 'zh' THEN 0.2 ELSE 0.05 END
+    """,
+)
+def sample_stratified_lang(spark, sf_dir):
+    """Rebalance the language distribution: per-stratum fractions in a
+    single narrow filter (no shuffle, no per-stratum jobs) — the 100 TB
+    form of corpus rebalancing."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d,
+        "lang",
+        {"es": 0.5, "zh": 0.2},
+        "doc_id",
+        default=0.05,
+        seed=11,
+        mode="minstd",
+    ).select("doc_id", "lang")
+
+
+@q(
+    "mix_sources_weighted",
+    f"""
+    WITH s0 AS (SELECT doc_id, source FROM documents WHERE source = 'src0'),
+         s1 AS (SELECT doc_id, source FROM documents WHERE source = 'src1')
+    SELECT doc_id, source, e.epoch AS mix_epoch
+    FROM s0, (VALUES (0), (1)) AS e(epoch)
+    UNION ALL
+    SELECT doc_id, source, 2 AS mix_epoch FROM s0
+    WHERE {o_hash_u('doc_id', 1000003)} < 0.5
+    UNION ALL
+    SELECT doc_id, source, 0 AS mix_epoch FROM s1
+    WHERE {o_hash_u('doc_id', 2000006)} < 0.25
+    """,
+)
+def mix_sources_weighted(spark, sf_dir):
+    """Weighted corpus mixture: src0 at weight 2.5 (two full epochs +
+    deterministic half-sample), src1 at 0.25 — epoch upsampling for a
+    high-quality source, downsampling for a noisy one, as one
+    shuffle-free union."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s0 = d.filter(F.col("source") == "src0")
+    s1 = d.filter(F.col("source") == "src1")
+    return mix_sources([(s0, 2.5), (s1, 0.25)], "doc_id", mode="minstd")

@@ -339,3 +339,40 @@ def test_resolve_dup_clusters_transitive(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
     assert kept == [1, 10, 20]  # unpaired 20 survives untouched
+
+
+def test_hash_sampling_partition_independent(spark, sf_dir):
+    """xxhash64 mode: membership is a pure function of (id, seed) —
+    identical row set under any repartitioning; fraction lands near
+    target; nested samples are subsets; disjoint seeds differ."""
+    from palo_spark.catalog import load_table
+    from palo_spark.operators.sampling import sample_hash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    s1 = set(r[0] for r in sample_hash(d, "doc_id", 0.4, seed=3).collect())
+    s1_repart = set(
+        r[0]
+        for r in sample_hash(d.repartition(13, "doc_id"), "doc_id", 0.4, seed=3).collect()
+    )
+    assert s1 == s1_repart
+    assert abs(len(s1) / n - 0.4) < 0.1
+    s_small = set(r[0] for r in sample_hash(d, "doc_id", 0.1, seed=3).collect())
+    assert s_small <= s1
+    s_other = set(r[0] for r in sample_hash(d, "doc_id", 0.4, seed=4).collect())
+    assert s_other != s1
+
+
+def test_mix_sources_weights(spark, sf_dir):
+    """weight=2.5 emits each row 2 or 3 times; weight=0.25 emits 0/1."""
+    from palo_spark.catalog import load_table
+    from palo_spark.operators.sampling import mix_sources
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s0 = d.filter(F.col("source") == "src0")
+    mixed = mix_sources([(s0, 2.5)], "doc_id")
+    per_doc = mixed.groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in per_doc)
+    n0 = s0.count()
+    assert abs(mixed.count() / n0 - 2.5) < 0.35
