@@ -48,6 +48,8 @@ from palo_spark.operators.text import (  # noqa: F401
     lang_id,
     doc_fingerprint,
     tfidf_top_terms,
+    chunk_documents,
+    redact_pii,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -191,3 +191,73 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preprocessing step of every training/RAG pipeline.
+
+    Token starts advance by ``chunk_size - overlap``; the final chunk
+    is the one whose window first reaches the end of the document
+    (no degenerate tail chunks shorter than ``overlap``). Pure narrow
+    expressions (split → sequence → transform → posexplode): chunking
+    100 TB is embarrassingly parallel with zero shuffles, and the
+    output carries (doc, chunk_index) so downstream dedup/embedding
+    stages can key on chunks.
+
+    Returns (id, chunk_index, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # starts are 1-based and advance by step; generate every start
+    # s <= n - overlap so all tokens are covered and no chunk is pure
+    # overlap (tail chunk length is in [overlap+1, chunk_size])
+    bound = F.greatest(F.size(toks) - F.lit(overlap), F.lit(1))
+    starts = F.sequence(F.lit(1), bound, F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_index", "__chunk_toks"),
+    )
+    return ex.select(
+        id_col,
+        "chunk_index",
+        F.array_join("__chunk_toks", " ").alias("chunk_text"),
+        F.size("__chunk_toks").alias("n_tokens"),
+    )
+
+
+#: conservative public-pattern regexes; applied longest-match-first so
+#: an email's domain is not first rewritten by the bare-domain rule
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / URLs / phone-shaped spans with ``<TYPE>``
+    tags — the standard pre-training scrub. Chained native
+    ``regexp_replace`` (JVM regex, whole-stage codegen); order is
+    email → url → phone so sub-patterns never clobber a longer match.
+    Adds ``{text_col}_redacted`` plus a per-row ``redactions`` count.
+    """
+    c = F.col(text_col)
+    out = c
+    for name, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    n = sum(
+        (F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))) for _, pat in _PII_PATTERNS),
+        F.lit(0),
+    )
+    return df.withColumn(f"{text_col}_redacted", out).withColumn("redactions", n)

@@ -42,6 +42,8 @@ from palo_spark.operators import (
     lang_id,
     doc_fingerprint,
     tfidf_top_terms,
+    chunk_documents,
+    redact_pii,
     pack_media,
     decode_media,
     sample_frames,
@@ -674,3 +676,77 @@ def dedup_cluster_keep(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
     return dedup_by_clusters(d, pairs).select("doc_id", "n_chars")
+
+
+# ------------------------------------------------- chunking / scrubbing
+
+
+@q(
+    "text_chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    st AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS INTEGER) AS chunk_index,
+           array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(t, s, s + 31)) AS INTEGER) AS n_tokens
+    FROM st
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, overlap 8) — the
+    context-window preprocessing step. Narrow split→sequence→posexplode,
+    zero shuffles; tail chunks keep length > overlap."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(d, chunk_size=32, overlap=8)
+
+
+@q(
+    "text_redact_pii",
+    r"""
+    WITH synth AS (
+        SELECT doc_id,
+               concat('mail user', doc_id, '@mail.example.org or +1 (555) 010-',
+                      doc_id, '9 via https://ex.org/d/', doc_id, ' ', text) AS text
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, 'https?://[^\s]+'))
+              + len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{6,}[0-9]'))
+              AS INTEGER) AS redactions
+    FROM synth
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """Email / URL / phone scrubbing over synthesized PII spans (the
+    fixture corpus is clean word soup, so deterministic PII is spliced
+    in per doc_id). Chained JVM regexp_replace — whole-stage codegen,
+    no Python."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("mail user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +1 (555) 010-"),
+            F.col("doc_id").cast("string"),
+            F.lit("9 via https://ex.org/d/"), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return redact_pii(synth).select("doc_id", "text_redacted", "redactions")

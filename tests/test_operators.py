@@ -376,3 +376,30 @@ def test_mix_sources_weights(spark, sf_dir):
     assert all(r["count"] in (2, 3) for r in per_doc)
     n0 = s0.count()
     assert abs(mixed.count() / n0 - 2.5) < 0.35
+
+
+def test_chunk_documents_coverage(spark):
+    """Every token is covered; consecutive chunks share exactly
+    `overlap` tokens; tail chunk is never pure overlap; short docs
+    yield one whole-doc chunk."""
+    from palo_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(40))),   # 40 toks: starts 1, 25
+            (2, " ".join(f"w{i}" for i in range(10))),   # short: 1 chunk
+            (3, " ".join(f"w{i}" for i in range(32))),   # exact: 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_size=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [len(by_doc[i]) for i in (1, 2, 3)] == [2, 1, 1]
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    t0, t1 = c0["chunk_text"].split(" "), c1["chunk_text"].split(" ")
+    assert t0 == [f"w{i}" for i in range(32)]
+    assert t1 == [f"w{i}" for i in range(24, 40)]  # 16 toks > overlap
+    assert set(t0) & set(t1) == {f"w{i}" for i in range(24, 32)}  # 8 shared
+    assert by_doc[2][0]["n_tokens"] == 10 and by_doc[3][0]["n_tokens"] == 32
