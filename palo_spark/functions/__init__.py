@@ -50,6 +50,8 @@ __all__ = [
     "inet_aton", "inet_ntoa", "ipv4_num_to_string", "ipv4_string_to_num",
     # encryption
     "aes_encrypt", "aes_decrypt", "md5sum", "sm3sum",
+    "explode_split", "explode_json_array_int", "explode_json_array_double",
+    "explode_json_array_string", "explode_numbers",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -715,3 +717,37 @@ def md5sum(*cols) -> Column:
 def sm3sum(*cols) -> Column:  # pragma: no cover - documented gap
     """Doris ``SM3SUM`` — SM3 digest has no JVM built-in; documented gap."""
     raise NotImplementedError("SM3 digest is not available without extra libraries")
+
+
+# -------------------------------------------------------- table functions
+# Doris LATERAL VIEW generators beyond plain explode/posexplode
+# [upstream: be/src/vec/exprs/table_function/] — each returns a Column
+# to pass to DataFrame.select(..., F.explode-style); the explode itself
+# stays native so generator output feeds whole-stage codegen.
+
+
+def explode_split(s, delim) -> Column:
+    """Doris ``explode_split(str, delim)`` — explode over split parts."""
+    return F.explode(F.split(_c(s), delim))
+
+
+def explode_json_array_int(j) -> Column:
+    """Doris ``explode_json_array_int('[1,2]')``."""
+    return F.explode(F.from_json(_c(j), "array<bigint>"))
+
+
+def explode_json_array_double(j) -> Column:
+    """Doris ``explode_json_array_double``."""
+    return F.explode(F.from_json(_c(j), "array<double>"))
+
+
+def explode_json_array_string(j) -> Column:
+    """Doris ``explode_json_array_string``."""
+    return F.explode(F.from_json(_c(j), "array<string>"))
+
+
+def explode_numbers(n) -> Column:
+    """Doris ``explode_numbers(n)`` — 0..n-1 as rows. For a standalone
+    numbers table use ``spark.range`` (DATA_GEN_SCAN); this is the
+    LATERAL VIEW form."""
+    return F.explode(F.sequence(F.lit(0), _c(n) - F.lit(1)))

@@ -50,6 +50,8 @@ from palo_spark.operators.text import (  # noqa: F401
     tfidf_top_terms,
     chunk_documents,
     redact_pii,
+    repetition_score,
+    decontaminate,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

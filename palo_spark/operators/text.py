@@ -261,3 +261,54 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0),
     )
     return df.withColumn(f"{text_col}_redacted", out).withColumn("redactions", n)
+
+
+def _word_ngrams(text_col, n: int):
+    toks = F.split(F.lower(F.trim(_c(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def repetition_score(col, *, n: int = 2):
+    """Within-document duplicate n-gram fraction: ``1 - distinct/total``
+    word n-grams — the Gopher/C4-style repetition filter (boilerplate
+    and degenerate generations repeat; prose doesn't). Pure native
+    array expressions, zero shuffles; returns a Column in [0, 1]."""
+    grams = _word_ngrams(col, n)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Remove training docs that share any word ``n``-gram with a
+    benchmark/eval set (the GPT-3-style n-gram decontamination rule).
+
+    Both sides explode to distinct n-grams; contaminated ids come from
+    a semi-join on the gram (inverted-index shape — a doc and a
+    benchmark row only meet on grams they actually share, never
+    all-pairs), and survivors via an ids-only anti-join. The benchmark
+    side is typically tiny → Catalyst broadcasts the gram set; at 100 TB
+    the corpus side stays a narrow scan + one broadcast-semi-join.
+    """
+    corpus_grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g")
+    )
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g")
+    ).distinct()
+    dirty = corpus_grams.join(bench_grams, "__g", "left_semi").select(id_col).distinct()
+    return df.join(dirty, id_col, "left_anti")

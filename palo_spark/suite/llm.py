@@ -44,6 +44,8 @@ from palo_spark.operators import (
     tfidf_top_terms,
     chunk_documents,
     redact_pii,
+    repetition_score,
+    decontaminate,
     pack_media,
     decode_media,
     sample_frames,
@@ -750,3 +752,77 @@ def text_redact_pii(spark, sf_dir):
         ).alias("text"),
     )
     return redact_pii(synth).select("doc_id", "text_redacted", "redactions")
+
+
+@q(
+    "text_repetition_score",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        FROM documents WHERE doc_id < 300
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS g
+        FROM toks
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+               AS rep_score
+    FROM grams
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    """Gopher/C4-style repetition filter signal: duplicate word-bigram
+    fraction per document. Narrow array expressions, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id", repetition_score(F.col("text"), n=2).alias("rep_score")
+    )
+
+
+@q(
+    "text_decontaminate",
+    """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 300
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    ),
+    cg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM corpus)
+    ),
+    bg AS (
+        SELECT DISTINCT
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+        FROM (SELECT string_split(lower(trim(text)), ' ') AS t FROM bench)
+    ),
+    dirty AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+    SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """GPT-3-style eval decontamination: drop corpus docs sharing any
+    word 8-gram with the benchmark set. The spliced-in benchmark copies
+    (+1000000 ids) must all be removed; the inverted-index semi-join
+    broadcasts the tiny benchmark gram set."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    corpus = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .unionByName(
+            bench.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        )
+    )
+    return decontaminate(corpus, bench, n=8).select("doc_id")

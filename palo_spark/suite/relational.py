@@ -676,3 +676,27 @@ def relational_pivot(spark, sf_dir):
             F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
         )
     )
+
+
+@q(
+    "table_function_explode_variants",
+    """
+    WITH e AS (SELECT event_id, props FROM events WHERE event_id < 50)
+    SELECT event_id, part, jn
+    FROM e,
+         unnest(string_split('a,b,c', ',')) AS t1(part),
+         unnest([1, 2]) AS t2(jn)
+    ORDER BY event_id, part, jn
+    """,
+)
+def table_function_explode_variants(spark, sf_dir):
+    """Doris explode_split + explode_json_array_int in one LATERAL VIEW
+    chain (generators compose as successive native explodes)."""
+    from palo_spark.functions import explode_json_array_int, explode_split
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    return (
+        e.select("event_id", explode_split(F.lit("a,b,c"), ",").alias("part"))
+        .select("event_id", "part", explode_json_array_int(F.lit("[1,2]")).alias("jn"))
+        .orderBy("event_id", "part", "jn")
+    )
