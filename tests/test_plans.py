@@ -245,3 +245,51 @@ def test_partitioned_table_read_prunes_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "seg" in pf[0], f"partition filter not pushed: {pf}"
     assert df.count() == 30
+
+
+def test_hash_sample_filter_pushed_to_scan(spark, sf_dir):
+    """Deterministic sampling must stay a narrow scan-stage filter:
+    no Exchange in the plan, and the scan still prunes columns."""
+    from palo_spark.operators.sampling import sample_hash
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = plan_of(sample_hash(d, "doc_id", 0.3, seed=7))
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1][:200]  # pruned payload
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set is tiny → the contaminated-id semi-join
+    must be broadcast (no shuffle of the full corpus gram list against
+    it), and nothing plans a cartesian product."""
+    from palo_spark.operators import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    plan = executed_plan_of(decontaminate(corpus, bench, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cluster_resolution_no_cartesian(spark):
+    """Connected components must stay keyed joins on the edge list."""
+    from palo_spark.operators import resolve_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], ["id_a", "id_b"]
+    )
+    plan = executed_plan_of(resolve_dup_clusters(pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """Chunking a 100 TB corpus must be embarrassingly parallel:
+    generator + projection only, no Exchange."""
+    from palo_spark.operators import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(chunk_documents(d))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode stays a native generator
