@@ -52,6 +52,11 @@ __all__ = [
     "aes_encrypt", "aes_decrypt", "md5sum", "sm3sum",
     "explode_split", "explode_json_array_int", "explode_json_array_double",
     "explode_json_array_string", "explode_numbers",
+    "ascii", "bin", "hex", "unhex", "initcap", "repeat", "reverse",
+    "weekofyear", "space", "char", "uuid",
+    "time_floor", "time_ceil", "minute_floor", "hour_floor", "day_floor",
+    "minute_ceil", "hour_ceil", "day_ceil",
+    "json_insert", "json_replace", "json_set",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -751,3 +756,127 @@ def explode_numbers(n) -> Column:
     numbers table use ``spark.range`` (DATA_GEN_SCAN); this is the
     LATERAL VIEW form."""
     return F.explode(F.sequence(F.lit(0), _c(n) - F.lit(1)))
+
+
+# ------------------------------------------------- name-identical natives
+# Doris names that already exist 1:1 in pyspark.sql.functions —
+# re-exported so a Doris user finds the complete surface in ONE module
+# (palo_spark.functions) instead of needing to know which names to take
+# from F. Zero wrapping cost: these ARE the JVM builtins.
+from pyspark.sql.functions import (  # noqa: E402,F401
+    ascii,
+    bin,
+    hex,
+    unhex,
+    initcap,
+    repeat,
+    reverse,
+    weekofyear,
+)
+
+
+def space(n) -> Column:
+    """Doris/MySQL ``SPACE(n)``."""
+    return F.repeat(F.lit(" "), _c(n) if isinstance(n, str) else n)
+
+
+def char(*codes) -> Column:
+    """MySQL ``CHAR(n, ...)`` — string from integer code points."""
+    return F.concat(*[F.char(_c(c)) for c in codes])
+
+
+def uuid() -> Column:
+    """Doris ``UUID()`` — per-row random v4 UUID (nondeterministic)."""
+    return F.expr("uuid()")
+
+
+# -------------------------------------------- time_round family (Doris
+# second/minute/hour/day/week/month/year_floor|ceil(ts[, period[, origin]]))
+# [docs: sql-functions/date-time-functions/time-round]. Spark-first:
+# pure timestamp integer arithmetic (whole-stage codegen), N-unit
+# periods measured from an origin — semantics of DuckDB/TimescaleDB
+# time_bucket, which the oracle uses.
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+#: Doris default origin 0001-01-01 00:00:00; epoch-anchored here (and
+#: documented) so week boundaries line up with DuckDB time_bucket's
+#: Monday-aligned origin 2000-01-03 only when an origin is passed.
+_DEFAULT_ORIGIN = "1970-01-01 00:00:00"
+
+
+def time_floor(ts, period: int, unit: str, origin: str | None = None) -> Column:
+    """Doris ``<unit>_floor(ts, period, origin)`` — floor to the start
+    of the enclosing ``period × unit`` bucket measured from ``origin``.
+    month/year periods bucket on month counts (calendar-exact)."""
+    u = unit.lower()
+    c = _c(ts)
+    if u in ("month", "year"):
+        months = period * (12 if u == "year" else 1)
+        o = F.lit(origin or _DEFAULT_ORIGIN).cast("timestamp")
+        m_ts = F.year(c) * 12 + F.month(c) - 1
+        m_or = F.year(o) * 12 + F.month(o) - 1
+        k = F.floor((m_ts - m_or) / F.lit(months)) * months + m_or
+        return F.make_timestamp(
+            F.floor(k / 12).cast("int"), (k % 12 + 1).cast("int"),
+            F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+        )
+    if u not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported unit {unit!r}")
+    sec = period * _UNIT_SECONDS[u]
+    o = F.unix_timestamp(F.lit(origin or _DEFAULT_ORIGIN).cast("timestamp"))
+    t = F.unix_timestamp(c)
+    return F.timestamp_seconds(F.floor((t - o) / F.lit(sec)) * sec + o)
+
+
+def time_ceil(ts, period: int, unit: str, origin: str | None = None) -> Column:
+    """Doris ``<unit>_ceil`` — next bucket boundary unless already on
+    one."""
+    fl = time_floor(ts, period, unit, origin)
+    u = unit.lower()
+    if u in ("month", "year"):
+        months = period * (12 if u == "year" else 1)
+        return F.when(fl == _c(ts).cast("timestamp"), fl).otherwise(
+            F.add_months(fl, months).cast("timestamp")
+        )
+    sec = period * _UNIT_SECONDS[u]
+    return F.when(fl == _c(ts), fl).otherwise(
+        F.timestamp_seconds(F.unix_timestamp(fl) + F.lit(sec))
+    )
+
+
+def minute_floor(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_floor(ts, period, "minute", origin)
+
+
+def hour_floor(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_floor(ts, period, "hour", origin)
+
+
+def day_floor(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_floor(ts, period, "day", origin)
+
+
+def minute_ceil(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_ceil(ts, period, "minute", origin)
+
+
+def hour_ceil(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_ceil(ts, period, "hour", origin)
+
+
+def day_ceil(ts, period: int = 1, origin: str | None = None) -> Column:
+    return time_ceil(ts, period, "day", origin)
+
+
+from palo_spark.functions.json_mut import (  # noqa: E402,F401
+    json_insert,
+    json_replace,
+    json_set,
+)

@@ -422,3 +422,47 @@ def scalar_variant_json(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@q(
+    "scalar_time_round_family",
+    """
+    SELECT event_id,
+           CAST(epoch(time_bucket(INTERVAL '15 minutes',
+                CAST(date_trunc('second', ts) AS TIMESTAMP),
+                TIMESTAMP '1970-01-01 00:00:00')) AS BIGINT) AS floor_15m,
+           CAST(epoch(time_bucket(INTERVAL '2 hours',
+                CAST(date_trunc('second', ts) AS TIMESTAMP),
+                TIMESTAMP '1970-01-01 00:00:00')) AS BIGINT) AS floor_2h,
+           CAST(epoch(CASE
+                WHEN time_bucket(INTERVAL '15 minutes',
+                     CAST(date_trunc('second', ts) AS TIMESTAMP),
+                     TIMESTAMP '1970-01-01 00:00:00')
+                   = CAST(date_trunc('second', ts) AS TIMESTAMP)
+                THEN CAST(date_trunc('second', ts) AS TIMESTAMP)
+                ELSE time_bucket(INTERVAL '15 minutes',
+                     CAST(date_trunc('second', ts) AS TIMESTAMP),
+                     TIMESTAMP '1970-01-01 00:00:00') + INTERVAL '15 minutes'
+                END) AS BIGINT) AS ceil_15m,
+           CAST(epoch(time_bucket(INTERVAL '3 months',
+                CAST(date_trunc('second', ts) AS TIMESTAMP),
+                TIMESTAMP '1970-01-01 00:00:00')) AS BIGINT) AS floor_3mo
+    FROM events WHERE event_id < 500
+    """,
+)
+def scalar_time_round_family(spark, sf_dir):
+    """Doris time_round family (minute/hour/month_floor, minute_ceil)
+    as pure timestamp integer arithmetic — N-unit buckets from an
+    origin, DuckDB time_bucket semantics. Outputs as epoch seconds so
+    the comparison is precision-independent."""
+    from palo_spark.functions import time_ceil, time_floor
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    sec = F.date_trunc("second", F.col("ts"))
+    return e.select(
+        "event_id",
+        F.unix_timestamp(time_floor(sec, 15, "minute")).alias("floor_15m"),
+        F.unix_timestamp(time_floor(sec, 2, "hour")).alias("floor_2h"),
+        F.unix_timestamp(time_ceil(sec, 15, "minute")).alias("ceil_15m"),
+        F.unix_timestamp(time_floor(sec, 3, "month")).alias("floor_3mo"),
+    )

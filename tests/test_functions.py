@@ -169,3 +169,57 @@ def test_url_and_mask_functions(spark):
     assert r["m"] == "Xxn-Xxn"
     assert r["mf"] == "Xxn-Zx9"
     assert r["ml"] == "Ab3-Xxn"
+
+
+def test_json_mutation_family(spark):
+    """json_insert adds absent leaves only; json_replace present only;
+    json_set both; intermediate paths are never created; invalid JSON
+    -> NULL (Doris/MySQL semantics)."""
+    from palo_spark import functions as PF
+
+    docs = [
+        ('{"a": 1, "b": {"c": 2}, "arr": [1, 2]}',),
+        ("not json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(docs, ["j"])
+    out = df.select(
+        PF.json_insert("j", "$.x", 9, "$.a", 99).alias("ins"),
+        PF.json_replace("j", "$.a", 5, "$.missing", 1).alias("rep"),
+        PF.json_set("j", "$.b.c", 7, "$.arr[5]", 3, "$.p.q", 1).alias("st"),
+    ).collect()
+    import json as J
+
+    ins, rep, st = out[0]["ins"], out[0]["rep"], out[0]["st"]
+    assert J.loads(ins) == {"a": 1, "b": {"c": 2}, "arr": [1, 2], "x": 9}
+    assert J.loads(rep) == {"a": 5, "b": {"c": 2}, "arr": [1, 2]}
+    # set: replaces b.c, appends out-of-range arr index, skips missing
+    # intermediate path $.p.q
+    assert J.loads(st) == {"a": 1, "b": {"c": 7}, "arr": [1, 2, 3]}
+    assert out[1]["ins"] is None and out[2]["st"] is None
+
+
+def test_time_round_family(spark):
+    """15-minute floor/ceil from epoch origin; boundary ts is its own
+    floor AND ceil; 3-month buckets are calendar-exact."""
+    from palo_spark import functions as PF
+
+    rows = [
+        ("2024-03-01 10:07:30",),
+        ("2024-03-01 10:15:00",),   # exactly on a boundary
+        ("2024-03-31 23:59:59",),
+    ]
+    df = spark.createDataFrame(rows, ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    got = df.select(
+        F.date_format(PF.time_floor("ts", 15, "minute"), "yyyy-MM-dd HH:mm:ss").alias("fl"),
+        F.date_format(PF.time_ceil("ts", 15, "minute"), "yyyy-MM-dd HH:mm:ss").alias("ce"),
+        F.date_format(PF.time_floor("ts", 3, "month"), "yyyy-MM-dd HH:mm:ss").alias("mo"),
+    ).collect()
+    assert [r["fl"] for r in got] == [
+        "2024-03-01 10:00:00", "2024-03-01 10:15:00", "2024-03-31 23:45:00"]
+    assert [r["ce"] for r in got] == [
+        "2024-03-01 10:15:00", "2024-03-01 10:15:00", "2024-04-01 00:00:00"]
+    assert [r["mo"] for r in got] == [
+        "2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00"]
