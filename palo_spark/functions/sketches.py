@@ -26,6 +26,7 @@ group key, partial merge per partition, O(sketch) state per group.
 
 from __future__ import annotations
 
+import re
 import struct
 from hashlib import blake2b
 
@@ -608,3 +609,81 @@ def grouped_hll_union_values(df, group_cols, value_col, out_col="hll",
         df, group_cols, value_col, out_col,
         hll_union_agg_values, hll_union_agg, salt_buckets,
     )
+
+
+# ---------------------------------------------- orthogonal expr calculate
+
+
+def _parse_bitmap_expr(expr: str) -> list:
+    """Parse Doris's ``orthogonal_bitmap_expr_calculate`` input string
+    — tags combined with ``&`` ``|`` ``-`` ``^`` and parentheses — into
+    RPN (shunting-yard; & binds tighter than | and -)."""
+    toks = re.findall(r"[()&|^\-]|[^()&|^\-\s]+", expr)
+    prec = {"&": 2, "^": 2, "-": 1, "|": 1}
+    out: list = []
+    ops: list = []
+    for t in toks:
+        if t == "(":
+            ops.append(t)
+        elif t == ")":
+            while ops and ops[-1] != "(":
+                out.append(ops.pop())
+            if not ops:
+                raise ValueError(f"unbalanced parens in {expr!r}")
+            ops.pop()
+        elif t in prec:
+            while ops and ops[-1] != "(" and prec.get(ops[-1], 0) >= prec[t]:
+                out.append(ops.pop())
+            ops.append(t)
+        else:
+            out.append(("tag", t))
+    while ops:
+        if ops[-1] == "(":
+            raise ValueError(f"unbalanced parens in {expr!r}")
+        out.append(ops.pop())
+    return out
+
+
+def orthogonal_bitmap_expr_calculate(
+    df, tag_col, value_col, expr: str, *, count_only: bool = False
+):
+    """Doris ``ORTHOGONAL_BITMAP_EXPR_CALCULATE(_COUNT)`` — audience
+    algebra: build one exact bitmap per tag, then evaluate a boolean
+    expression over the tag bitmaps, e.g. ``"(premium&mobile)|beta"``.
+
+    Shape: one keyed two-phase bitmap aggregation per tag (the
+    orthogonal part — each partition unions locally, merge is
+    O(#tags × sketch)), then the expression combines a HANDFUL of
+    per-tag bitmaps on a single row — the big fan-in never leaves the
+    executors, matching Doris's BE-side orthogonal merge. Returns a
+    1-row DataFrame with ``result_bitmap`` (or ``result_count``).
+    """
+    from pyspark.sql import functions as _F
+
+    rpn = _parse_bitmap_expr(expr)
+    tags = sorted({t[1] for t in rpn if isinstance(t, tuple)})
+    per_tag = (
+        df.filter(_c(tag_col).isin(tags))
+        .select(_c(tag_col).alias("__tag"), _c(value_col).alias("__v"))
+        .groupBy("__tag")
+        .agg(bitmap_union_of_values(_F.col("__v")).alias("__bm"))
+    )
+    # pivot the few tag bitmaps onto one row (first() per tag)
+    row = per_tag.groupBy().pivot("__tag", tags).agg(_F.first("__bm"))
+    empty = _F.lit(bitmap_empty())
+    stack: list = []
+    for t in rpn:
+        if isinstance(t, tuple):
+            stack.append(_F.coalesce(_F.col(f"`{t[1]}`"), empty))
+        else:
+            b = stack.pop()
+            a = stack.pop()
+            op = {"&": bitmap_and, "|": bitmap_or, "^": bitmap_xor,
+                  "-": bitmap_andnot}[t]
+            stack.append(op(a, b))
+    if len(stack) != 1:
+        raise ValueError(f"malformed expression {expr!r}")
+    res = stack[0]
+    if count_only:
+        return row.select(bitmap_count(res).alias("result_count"))
+    return row.select(res.alias("result_bitmap"))

@@ -312,3 +312,13 @@ def decontaminate(
     ).distinct()
     dirty = corpus_grams.join(bench_grams, "__g", "left_semi").select(id_col).distinct()
     return df.join(dirty, id_col, "left_anti")
+
+
+def match_phrase(col, query: str):
+    """Doris inverted-index ``MATCH_PHRASE``: the query tokens appear
+    adjacent and in order after tokenization. Spark-first: collapse
+    whitespace runs and do one native substring test on the
+    space-joined token stream (codegen, scan-stage)."""
+    stream = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
+    needle = " " + " ".join(query.lower().split()) + " "
+    return stream.contains(needle)

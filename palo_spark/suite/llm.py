@@ -826,3 +826,34 @@ def text_decontaminate(spark, sf_dir):
         )
     )
     return decontaminate(corpus, bench, n=8).select("doc_id")
+
+
+@q(
+    "text_match_phrase",
+    """
+    SELECT doc_id FROM documents
+    WHERE doc_id < 500 AND concat(' ',
+        array_to_string(string_split(lower(trim(text)), ' '), ' '),
+        ' ') LIKE '%' || (
+            SELECT concat(' ', array_to_string(
+                string_split(lower(trim(text)), ' ')[1:2], ' '), ' ')
+            FROM documents WHERE doc_id = 7
+        ) || '%'
+    """,
+)
+def text_match_phrase(spark, sf_dir):
+    """MATCH_PHRASE: the first two tokens of doc 7 appearing adjacent
+    and in order — native substring test over the space-joined token
+    stream (scan-stage codegen; Doris accelerates the same predicate
+    with its inverted index)."""
+    from palo_spark.operators.text import match_phrase
+
+    d = load_table(spark, sf_dir, "documents")
+    probe = (
+        d.filter(F.col("doc_id") == 7)
+        .select(F.array_join(F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 2), " "))
+        .first()[0]
+    )
+    return d.filter(F.col("doc_id") < 500).filter(
+        match_phrase(F.col("text"), probe)
+    ).select("doc_id")

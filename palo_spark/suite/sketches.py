@@ -295,3 +295,31 @@ def sketch_bitmap_intersect_agg(spark, sf_dir):
     )
     inter = per_flag.agg(bitmap_intersect("bm").alias("bm_all"))
     return inter.select(bitmap_count("bm_all").alias("n_all_flags"))
+
+
+@q(
+    "sketch_orthogonal_bitmap_expr",
+    """
+    WITH t AS (
+        SELECT l_suppkey,
+               bool_or(l_returnflag = 'A') AS a,
+               bool_or(l_returnflag = 'N') AS n,
+               bool_or(l_returnflag = 'R') AS r
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE (a AND n) OR (a AND NOT r)) AS BIGINT)
+        AS result_count
+    FROM t
+    """,
+)
+def sketch_orthogonal_bitmap_expr(spark, sf_dir):
+    """ORTHOGONAL_BITMAP_EXPR_CALCULATE_COUNT: audience algebra
+    '(A&N)|(A-R)' over per-flag supplier bitmaps — one two-phase bitmap
+    agg per tag, then set algebra over three single-row sketches.
+    Oracle = the equivalent boolean membership SQL."""
+    from palo_spark.functions.sketches import orthogonal_bitmap_expr_calculate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return orthogonal_bitmap_expr_calculate(
+        li, "l_returnflag", "l_suppkey", "(A&N)|(A-R)", count_only=True
+    )
