@@ -55,6 +55,10 @@ HEADLINE = [
     "similarity_knn_join",
     "text_tfidf_top_terms",
     "table_model_aggregate_merge",
+    "dedup_cluster_keep",
+    "text_decontaminate",
+    "text_chunk_documents",
+    "mix_sources_weighted",
 ]
 
 

@@ -53,21 +53,27 @@ def _hash_u(id_col, seed: int, mode: str):
         ).cast("decimal(38,0)")
         return (h.cast("double") / F.lit(float(2**64)))
     if mode == "minstd":
-        # (id + seed) * 48271 mod (2^31-1): inputs are folded into
-        # [0, 2^31-1) first so the product stays under 2^63 (exact in
-        # Long arithmetic — replayable in any engine)
-        folded = F.pmod(c.cast("long") + F.lit(int(seed)), F.lit(MINSTD_MOD))
-        h = F.pmod(folded * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD))
+        # THREE iterated Lehmer rounds h <- h*48271 mod (2^31-1), after
+        # folding (id+seed) into [0, 2^31-1). One round is not enough:
+        # for a small contiguous id range the product never wraps the
+        # modulus, leaving an ordered ramp (id<44k => u<0.001*id) that
+        # ruins fraction sampling. Each round is a bijection on
+        # [1, M-1] and the second/third rounds wrap thousands of times,
+        # scattering any realistic id range. Every step stays under
+        # 2^47 — exact in BIGINT arithmetic, replayable in any engine.
+        h = F.pmod(c.cast("long") + F.lit(int(seed)), F.lit(MINSTD_MOD))
+        for _ in range(3):
+            h = F.pmod(h * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD))
         return h.cast("double") / F.lit(float(MINSTD_MOD))
     raise ValueError(f"unknown hash mode {mode!r}")
 
 
 def o_hash_u(id_expr: str, seed: int) -> str:
     """Oracle-SQL mirror of the ``minstd`` hash → uniform [0,1)."""
-    return (
-        f"(CAST((((({id_expr}) + {seed}) % {MINSTD_MOD} + {MINSTD_MOD}) % {MINSTD_MOD})"
-        f" * {_MINSTD_MULT} % {MINSTD_MOD} AS DOUBLE) / {float(MINSTD_MOD)!r})"
-    )
+    h = f"((CAST({id_expr} AS BIGINT) + {seed}) % {MINSTD_MOD} + {MINSTD_MOD}) % {MINSTD_MOD}"
+    for _ in range(3):
+        h = f"({h}) * {_MINSTD_MULT} % {MINSTD_MOD}"
+    return f"(CAST({h} AS DOUBLE) / {float(MINSTD_MOD)!r})"
 
 
 def sample_hash(

@@ -221,3 +221,46 @@ def test_sequence_count_pattern_matches_reference(letters, n_steps):
     pattern = ".*".join(f"(?{i+1})" for i in range(n_steps))
     rx = _compile_pattern(pattern, 3)
     assert len(rx.findall(letters)) == _seq_count_reference(letters, steps)
+
+
+# ------------------------------------------------- sampling hash kernel
+
+
+def _minstd_u(i: int, seed: int) -> float:
+    """Pure-python mirror of the oracle-replayable sampling hash
+    (three iterated Lehmer rounds — see operators/sampling.py)."""
+    mod = 2147483647
+    h = ((i + seed) % mod + mod) % mod
+    for _ in range(3):
+        h = h * 48271 % mod
+    return float(h) / float(mod)
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=60, deadline=None)
+def test_minstd_hash_python_mirror(ids, seed):
+    """The SQL-replayable arithmetic (o_hash_u) and the pure-python
+    mirror agree bit-for-bit — the property that makes the oracle
+    comparison exact rather than statistical."""
+    from palo_spark.operators.sampling import o_hash_u
+
+    import duckdb
+
+    con = duckdb.connect()
+    for i in ids:
+        got = con.execute(f"SELECT {o_hash_u(str(i), seed)}").fetchone()[0]
+        assert got == _minstd_u(i, seed)
+
+
+def test_minstd_uniformity():
+    """Decile occupancy of the sampling hash over a contiguous id range
+    is near-uniform (each decile within 25% of expectation) — adequate
+    dispersion for fraction sampling."""
+    n = 20000
+    buckets = [0] * 10
+    for i in range(n):
+        buckets[int(_minstd_u(i, 7) * 10)] += 1
+    assert all(abs(b - n / 10) < n / 10 * 0.25 for b in buckets)
