@@ -857,3 +857,62 @@ def text_match_phrase(spark, sf_dir):
     return d.filter(F.col("doc_id") < 500).filter(
         match_phrase(F.col("text"), probe)
     ).select("doc_id")
+
+
+@q(
+    "corpus_filter_pipeline",
+    r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS n_chars_d,
+               string_split(lower(trim(text)), ' ') AS words,
+               CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+               string_split(lower(trim(text)), ' ') AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, n_chars_d, n_punct,
+               CAST(len(words) AS DOUBLE) AS n_words,
+               n_chars_d / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_wlen,
+               CAST(len(list_filter(list_distinct(words),
+                    w -> list_contains(['the','and','of','to','in','is','that','for','with','was'], w)))
+                    AS DOUBLE) AS sw_hits,
+               1.0 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 1)),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS DOUBLE)
+                   / CAST(greatest(len(t) - 1, 1) AS DOUBLE) AS rep
+        FROM s
+    ),
+    scored AS (
+        SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_tokens,
+               FLOOR((
+                 least(n_chars_d / 500.0, 1.0) * 0.3
+                 + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+                 + greatest(0.0, 1.0 - (n_punct / greatest(n_chars_d, 1.0)) * 5.0) * 0.2
+                 + least(sw_hits / 3.0, 1.0) * 0.2
+               ) * 1000000.0) / 1000000.0 AS q,
+               FLOOR(rep * 1000000.0) / 1000000.0 AS rep_q
+        FROM f
+    )
+    SELECT doc_id, lang, n_tokens, q
+    FROM scored
+    WHERE q >= 0.7 AND rep_q <= 0.05 AND n_tokens BETWEEN 20 AND 10000
+    """,
+)
+def corpus_filter_pipeline(spark, sf_dir):
+    """The end-to-end cleaning pass a pre-training corpus gets:
+    quality >= 0.7 AND repetition <= 0.05 AND token-count band — all
+    three signals in ONE narrow projection+filter over the scan (the
+    composition stays shuffle-free; at 100 TB this runs at I/O speed).
+    Floor-quantized scores keep the filter cross-engine exact."""
+    d = load_table(spark, sf_dir, "documents")
+    q_ = (F.floor(quality_score("text") * 1e6).cast("double") / 1e6)
+    rep = (F.floor(repetition_score(F.col("text"), n=2) * 1e6).cast("double") / 1e6)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tokens"), q_.alias("q"),
+                 rep.alias("rep_q"))
+        .filter((F.col("q") >= 0.7) & (F.col("rep_q") <= 0.05)
+                & F.col("n_tokens").between(20, 10000))
+        .drop("rep_q")
+    )
