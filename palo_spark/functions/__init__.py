@@ -57,6 +57,8 @@ __all__ = [
     "time_floor", "time_ceil", "minute_floor", "hour_floor", "day_floor",
     "minute_ceil", "hour_ceil", "day_ceil",
     "json_insert", "json_replace", "json_set",
+    "array_zip", "array_flatten", "array_shuffle", "array_compact",
+    "array_remove", "arrays_overlap",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -880,3 +882,26 @@ from palo_spark.functions.json_mut import (  # noqa: E402,F401
     json_replace,
     json_set,
 )
+
+
+# --------------------------------------------- remaining array Doris names
+from pyspark.sql.functions import (  # noqa: E402,F401
+    array_compact,
+    array_remove,
+    arrays_overlap,
+)
+
+
+def array_zip(*arrs) -> Column:
+    """Doris ``ARRAY_ZIP`` → ``arrays_zip`` (array of structs)."""
+    return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def array_flatten(arr) -> Column:
+    """Doris ``ARRAY_FLATTEN`` → ``flatten``."""
+    return F.flatten(_c(arr))
+
+
+def array_shuffle(arr, seed: int | None = None) -> Column:
+    """Doris ``ARRAY_SHUFFLE/SHUFFLE`` (nondeterministic unless seeded)."""
+    return F.shuffle(_c(arr)) if seed is None else F.shuffle(_c(arr), F.lit(seed))

@@ -687,3 +687,29 @@ def orthogonal_bitmap_expr_calculate(
     if count_only:
         return row.select(bitmap_count(res).alias("result_count"))
     return row.select(res.alias("result_bitmap"))
+
+
+def bitmap_hash(col) -> Column:
+    """Doris ``BITMAP_HASH(expr)`` — single-element bitmap of the
+    32-bit murmur-ish hash of the value; composes with bitmap_union to
+    count distinct over arbitrary (non-integer) inputs."""
+    return to_bitmap(F.abs(F.hash(_c(col))).cast("long"))
+
+
+def orthogonal_bitmap_union_count(col) -> Column:
+    """Doris ``ORTHOGONAL_BITMAP_UNION_COUNT(bitmap_col)`` — union the
+    per-partition (orthogonal) bitmaps and count. Composition of the
+    existing mergeable pieces: union-of-bitmaps then cardinality."""
+    return bitmap_count_from(bitmap_union_of_bitmaps(_c(col)))
+
+
+def bitmap_count_from(bm_col) -> Column:
+    """Cardinality of a bitmap-typed Column expression (helper: Doris
+    ``BITMAP_COUNT`` accepts any bitmap expression, not just a stored
+    column)."""
+
+    @pandas_udf("long")
+    def f(v: pd.Series) -> pd.Series:
+        return v.map(lambda b: 0 if b is None else len(_bm_de(b)))
+
+    return f(bm_col)
