@@ -403,3 +403,57 @@ def test_chunk_documents_coverage(spark):
     assert t1 == [f"w{i}" for i in range(24, 40)]  # 16 toks > overlap
     assert set(t0) & set(t1) == {f"w{i}" for i in range(24, 32)}  # 8 shared
     assert by_doc[2][0]["n_tokens"] == 10 and by_doc[3][0]["n_tokens"] == 32
+
+
+def test_resolve_dup_clusters_random_graphs(spark):
+    """30 random graphs (chains, stars, cycles, forests) namespaced into
+    one disjoint edge list; one Spark run must match a pure-python
+    union-find on every graph."""
+    import random
+
+    rng = random.Random(42)
+    edges = []
+    expected_parent = {}
+
+    def uf_build(nodes, pair_list):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id root per node
+        return {n: find(n) for n in nodes}
+
+    for g in range(30):
+        base = g * 100000
+        n = rng.randint(2, 40)
+        nodes = [base + i for i in range(n)]
+        m = rng.randint(1, 60)
+        pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            pairs = [(nodes[0], nodes[1])]
+        edges.extend(pairs)
+        labels = uf_build(nodes, pairs)
+        touched = {x for p in pairs for x in p}
+        # roots must be the min reachable id *within touched nodes*
+        comp = {}
+        for t in touched:
+            comp.setdefault(labels[t], []).append(t)
+        for root, members in comp.items():
+            mn = min(members)
+            for t in members:
+                expected_parent[t] = mn
+
+    from palo_spark.operators import resolve_dup_clusters
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["cluster"] for r in resolve_dup_clusters(df).collect()}
+    assert got == expected_parent
