@@ -59,6 +59,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_chunk_documents",
     "mix_sources_weighted",
+    "corpus_filter_pipeline",
 ]
 
 

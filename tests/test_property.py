@@ -264,3 +264,39 @@ def test_minstd_uniformity():
     for i in range(n):
         buckets[int(_minstd_u(i, 7) * 10)] += 1
     assert all(abs(b - n / 10) < n / 10 * 0.25 for b in buckets)
+
+
+# --------------------------------------------------- chunking kernel
+
+
+def _chunks_py(tokens, size, overlap):
+    step = size - overlap
+    n = len(tokens)
+    starts = list(range(0, max(n - overlap, 1), step))
+    return [tokens[s:s + size] for s in starts]
+
+
+@given(
+    st.integers(min_value=0, max_value=120),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=39),
+)
+@settings(max_examples=80, deadline=None)
+def test_chunk_window_math(n_tokens, size, overlap):
+    """The start-sequence arithmetic used by chunk_documents (1-based
+    sequence to n-overlap by step) equals the reference windowing:
+    full coverage, exact overlap, tail chunk longer than overlap."""
+    if overlap >= size:
+        overlap = size - 1
+    step = size - overlap
+    n = max(n_tokens, 1)  # split() never yields an empty array
+    bound = max(n - overlap, 1)
+    starts = list(range(1, bound + 1, step))
+    py = _chunks_py(list(range(n)), size, overlap)
+    assert len(starts) == len(py)
+    covered = set()
+    for s, ref in zip(starts, py):
+        chunk = list(range(s - 1, min(s - 1 + size, n)))
+        assert chunk == ref
+        covered.update(chunk)
+    assert covered == set(range(n))  # every token in some chunk
