@@ -323,3 +323,43 @@ def sketch_orthogonal_bitmap_expr(spark, sf_dir):
     return orthogonal_bitmap_expr_calculate(
         li, "l_returnflag", "l_suppkey", "(A&N)|(A-R)", count_only=True
     )
+
+
+@q(
+    "sketch_orthogonal_union_count",
+    """
+    SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def sketch_orthogonal_union_count(spark, sf_dir):
+    """ORTHOGONAL_BITMAP_UNION_COUNT: per-flag partial bitmaps (the
+    orthogonal partition) union-merged and counted — must equal the
+    plain COUNT(DISTINCT)."""
+    from palo_spark.functions.sketches import orthogonal_bitmap_union_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = li.groupBy("l_returnflag").agg(
+        bitmap_union_of_values("l_suppkey").alias("bm")
+    )
+    return part.agg(orthogonal_bitmap_union_count(F.col("bm")).alias("n"))
+
+
+@q(
+    "sketch_bitmap_hash_distinct",
+    """
+    SELECT o_orderstatus, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sketch_bitmap_hash_distinct(spark, sf_dir):
+    """BITMAP_HASH over a STRING column: hash-to-bitmap extends exact
+    bitmap distinct to non-integer inputs (collision probability ~n²/2³²
+    — negligible at this cardinality; Doris's bitmap_hash has the same
+    property)."""
+    from palo_spark.functions.sketches import bitmap_hash, bitmap_union_of_bitmaps
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.select("o_orderstatus", bitmap_hash(F.col("o_orderpriority")).alias("bm"))
+    bm = per.groupBy("o_orderstatus").agg(bitmap_union_of_bitmaps("bm").alias("u"))
+    return bm.select("o_orderstatus", bitmap_count("u").alias("ndv"))
