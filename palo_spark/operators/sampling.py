@@ -17,7 +17,7 @@ Two hash modes:
 - ``xxhash64`` (default): Spark's JVM xxhash64 — best dispersion, the
   production choice; not replayable in other engines (oracle checks are
   rows-only/statistical).
-- ``minstd``:  the Lehmer/Park-Miller LCG step ``(id*48271) mod (2^31-1)``
+- ``minstd``:  three iterated Lehmer/Park-Miller steps ``h*48271 mod (2^31-1)``
   — pure 64-bit-safe integer arithmetic, bit-identical in any SQL
   engine, used by the oracle-checked suite entries. Dispersion is
   adequate for sampling (not for bucketing joins).
@@ -32,6 +32,7 @@ __all__ = [
     "sample_hash",
     "stratified_sample",
     "mix_sources",
+    "assign_split",
     "MINSTD_MOD",
 ]
 
@@ -164,3 +165,37 @@ def mix_sources(
     if out is None:
         raise ValueError("no source with positive weight")
     return out
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict,
+    *,
+    seed: int = 0,
+    mode: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative-fraction interval contains ``hash(id, seed)``.
+
+    The fractions must sum to 1.0 (±1e-9). Like :func:`sample_hash`,
+    assignment is a pure function of the row id — stable across
+    partitioning, cluster size, and reruns, so a document can never
+    migrate between train and test when the corpus is re-sharded (the
+    property that prevents silent eval leakage). One narrow projection.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    u = _hash_u(id_col, seed, mode)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        acc += float(frac)
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

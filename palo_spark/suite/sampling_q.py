@@ -121,3 +121,26 @@ def mix_sources_weighted(spark, sf_dir):
     s0 = d.filter(F.col("source") == "src0")
     s1 = d.filter(F.col("source") == "src1")
     return mix_sources([(s0, 2.5), (s1, 0.25)], "doc_id", mode="minstd")
+
+
+@q(
+    "sample_split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {o_hash_u('doc_id', 13)} < 0.9 THEN 'train'
+                WHEN {o_hash_u('doc_id', 13)} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assignment(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment: a pure function
+    of doc_id — rows can never migrate between splits under re-sharding
+    (prevents silent eval leakage). Narrow projection, zero shuffles."""
+    from palo_spark.operators.sampling import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return assign_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=13, mode="minstd",
+    ).select("doc_id", "split")
