@@ -363,3 +363,40 @@ def sketch_bitmap_hash_distinct(spark, sf_dir):
     per = o.select("o_orderstatus", bitmap_hash(F.col("o_orderpriority")).alias("bm"))
     bm = per.groupBy("o_orderstatus").agg(bitmap_union_of_bitmaps("bm").alias("u"))
     return bm.select("o_orderstatus", bitmap_count("u").alias("ndv"))
+
+
+@q(
+    "sketch_bitmap_subset_ops",
+    """
+    WITH s AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+    ordered AS (SELECT l_suppkey FROM s ORDER BY l_suppkey)
+    SELECT (SELECT list(l_suppkey ORDER BY l_suppkey)
+              FROM (SELECT l_suppkey FROM ordered LIMIT 5)) AS first5,
+           (SELECT list(l_suppkey ORDER BY l_suppkey)
+              FROM (SELECT l_suppkey FROM ordered WHERE l_suppkey >= 50 LIMIT 5))
+               AS from50_5,
+           (SELECT list(l_suppkey ORDER BY l_suppkey)
+              FROM ordered WHERE l_suppkey >= 10 AND l_suppkey < 40) AS range_10_40
+    """,
+)
+def sketch_bitmap_subset_ops(spark, sf_dir):
+    """SUB_BITMAP / BITMAP_SUBSET_LIMIT / BITMAP_SUBSET_IN_RANGE —
+    positional and range slicing of an ordered bitmap, materialized via
+    bitmap_to_array so the oracle can compare plain sorted lists."""
+    from palo_spark.functions.sketches import (
+        bitmap_subset_in_range,
+        bitmap_subset_limit,
+        bitmap_to_array,
+        sub_bitmap,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bm = (
+        li.filter(F.col("l_returnflag") == "A")
+        .agg(bitmap_union_of_values("l_suppkey").alias("bm"))
+    )
+    return bm.select(
+        bitmap_to_array(sub_bitmap(F.col("bm"), 0, 5)).alias("first5"),
+        bitmap_to_array(bitmap_subset_limit(F.col("bm"), 50, 5)).alias("from50_5"),
+        bitmap_to_array(bitmap_subset_in_range(F.col("bm"), 10, 40)).alias("range_10_40"),
+    )

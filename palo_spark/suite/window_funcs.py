@@ -377,3 +377,39 @@ def events_sessionization(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@q(
+    "window_nth_value",
+    """
+    SELECT event_id, user_id,
+           NTH_VALUE(event_type, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_et,
+           NTH_VALUE(event_type, 3) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_et_all
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """NTH_VALUE over growing and full frames (Doris 2.x analytic
+    surface): NULL until the frame holds n rows, then the n-th by the
+    frame order."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_grow = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_type", 2).over(w_grow).alias("second_et"),
+        F.nth_value("event_type", 3).over(w_full).alias("third_et_all"),
+    )
