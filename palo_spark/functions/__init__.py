@@ -59,6 +59,7 @@ __all__ = [
     "json_insert", "json_replace", "json_set",
     "array_zip", "array_flatten", "array_shuffle", "array_compact",
     "array_remove", "arrays_overlap",
+    "substring_index", "translate", "weekday", "dayname", "monthname", "yearweek",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -905,3 +906,37 @@ def array_flatten(arr) -> Column:
 def array_shuffle(arr, seed: int | None = None) -> Column:
     """Doris ``ARRAY_SHUFFLE/SHUFFLE`` (nondeterministic unless seeded)."""
     return F.shuffle(_c(arr)) if seed is None else F.shuffle(_c(arr), F.lit(seed))
+
+
+# ---------------------------------------------- MySQL date-name functions
+from pyspark.sql.functions import (  # noqa: E402,F401
+    substring_index,
+    translate,
+)
+
+
+def weekday(d) -> Column:
+    """MySQL/Doris ``WEEKDAY(date)`` — 0 = Monday .. 6 = Sunday
+    (Spark's ``dayofweek`` is 1 = Sunday .. 7 = Saturday)."""
+    return F.pmod(F.dayofweek(_c(d)) + F.lit(5), F.lit(7))
+
+
+def dayname(d) -> Column:
+    """Doris ``DAYNAME(date)`` — full English day name."""
+    return F.date_format(_c(d), "EEEE")
+
+
+def monthname(d) -> Column:
+    """Doris ``MONTHNAME(date)`` — full English month name."""
+    return F.date_format(_c(d), "MMMM")
+
+
+def yearweek(d) -> Column:
+    """Doris ``YEARWEEK(date)`` (default mode 0 ≈ ISO week here):
+    year*100 + ISO week-of-year, using the ISO week-numbering year so
+    the first days of January belong to the previous year's week 52/53
+    consistently."""
+    c = _c(d)
+    return (F.year(F.date_sub(F.next_day(c, "Mon"), 7)) * 100 + F.weekofyear(c)).cast(
+        "int"
+    )

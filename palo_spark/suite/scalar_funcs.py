@@ -466,3 +466,29 @@ def scalar_time_round_family(spark, sf_dir):
         F.unix_timestamp(time_ceil(sec, 15, "minute")).alias("ceil_15m"),
         F.unix_timestamp(time_floor(sec, 3, "month")).alias("floor_3mo"),
     )
+
+
+@q(
+    "scalar_date_names",
+    """
+    SELECT o_orderkey,
+           dayname(o_orderdate) AS day_name,
+           monthname(o_orderdate) AS month_name,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+           CAST(string_split(o_orderpriority, '-')[1] AS VARCHAR) AS prio_code
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def scalar_date_names(spark, sf_dir):
+    """MySQL date-name surface: DAYNAME / MONTHNAME / WEEKDAY (0=Mon)
+    plus SUBSTRING_INDEX — all native expressions."""
+    from palo_spark.functions import dayname, monthname, substring_index, weekday
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        dayname("o_orderdate").alias("day_name"),
+        monthname("o_orderdate").alias("month_name"),
+        weekday("o_orderdate").cast("int").alias("wd"),
+        substring_index(F.col("o_orderpriority"), "-", 1).alias("prio_code"),
+    )
