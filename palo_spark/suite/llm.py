@@ -916,3 +916,37 @@ def corpus_filter_pipeline(spark, sf_dir):
                 & F.col("n_tokens").between(20, 10000))
         .drop("rep_q")
     )
+
+
+@q(
+    "embedding_avg_pool",
+    f"""
+    SELECT source, CAST(i AS INTEGER) AS dim,
+           {{o_davg}} AS c
+    FROM (
+        SELECT d.source AS source,
+               unnest(e.embedding) AS v,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE e.vec_id < 400
+    )
+    GROUP BY source, i
+    """.format(o_davg=__import__("palo_spark.suite.util", fromlist=["o_davg"]).o_davg("CAST(v AS DOUBLE)")),
+)
+def embedding_avg_pool(spark, sf_dir):
+    """Per-source embedding centroid (mean pooling): posexplode to
+    (row, dim, value), one keyed shuffle on (source, dim), exact
+    decimal-accumulated mean — the distributed form of class-centroid
+    computation; no vector ever reaches the driver."""
+    from palo_spark.suite.util import davg
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    ex = e.join(d, "vec_id").select(
+        "source", F.posexplode("embedding").alias("pos", "v")
+    )
+    return ex.groupBy("source", (F.col("pos") + 1).cast("int").alias("dim")).agg(
+        davg(F.col("v").cast("double")).alias("c")
+    )
