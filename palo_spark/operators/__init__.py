@@ -38,6 +38,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     train_centroids,
     similarity_topk_ivf,
     quantize_embeddings_int8,
+    normalize_embeddings,
 )
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,

@@ -310,3 +310,22 @@ def similarity_topk_lsh(
     return similarity_topk(
         cands, query_vec, k, vec_col=vec_col, id_col=id_col, quantized=quantized
     )
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", *, out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine = dot
+    — the standard pre-step before ANN indexing). Pure native
+    ``transform``/``aggregate`` expressions, zero shuffles; zero
+    vectors pass through unchanged (norm 0 → divide guarded)."""
+    c = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    unit = F.when(norm > 0.0, F.transform(c, lambda x: x.cast("double") / norm)).otherwise(
+        F.transform(c, lambda x: x.cast("double"))
+    )
+    return df.withColumn(out_col or vec_col, unit)

@@ -950,3 +950,42 @@ def embedding_avg_pool(spark, sf_dir):
     return ex.groupBy("source", (F.col("pos") + 1).cast("int").alias("dim")).agg(
         davg(F.col("v").cast("double")).alias("c")
     )
+
+
+@q(
+    "embedding_l2_normalize",
+    """
+    WITH m AS (
+        SELECT vec_id,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, b) -> a + b)) AS nrm,
+               embedding
+        FROM embeddings WHERE vec_id < 300
+    )
+    SELECT vec_id,
+           CASE WHEN nrm > 0.0 THEN
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) / nrm * 1000000.0) / 1000000.0)
+           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS unit_q
+    FROM m
+    """,
+)
+def embedding_l2_normalize(spark, sf_dir):
+    """L2 normalization (unit vectors make cosine = dot): native
+    transform/aggregate, zero shuffles. Both engines fold the squared
+    sum sequentially (F.aggregate / list_reduce) so the norm is
+    bit-identical; outputs floor-quantized at 1e-6."""
+    from palo_spark.operators import normalize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    u = normalize_embeddings(e, "embedding", out_col="unit")
+    return u.select(
+        "vec_id",
+        F.when(
+            F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                   lambda a, x: a + x.cast("double") * x.cast("double"))) > 0.0,
+            F.transform(F.col("unit"),
+                        lambda x: F.floor(x * 1e6).cast("double") / 1e6),
+        ).otherwise(F.col("unit")).alias("unit_q"),
+    )
