@@ -932,11 +932,11 @@ def monthname(d) -> Column:
 
 
 def yearweek(d) -> Column:
-    """Doris ``YEARWEEK(date)`` (default mode 0 ≈ ISO week here):
-    year*100 + ISO week-of-year, using the ISO week-numbering year so
-    the first days of January belong to the previous year's week 52/53
-    consistently."""
+    """Doris ``YEARWEEK(date)`` (ISO week variant): iso_year*100 +
+    iso_week. The ISO year is the year of the week's THURSDAY (Monday
+    of the week + 3 days) — late-December Mondays whose week belongs to
+    week 1 of the next year get that next year, and early-January dates
+    in week 52/53 keep the previous year."""
     c = _c(d)
-    return (F.year(F.date_sub(F.next_day(c, "Mon"), 7)) * 100 + F.weekofyear(c)).cast(
-        "int"
-    )
+    monday = F.date_sub(F.next_day(c, "Mon"), 7)
+    return (F.year(F.date_add(monday, 3)) * 100 + F.weekofyear(c)).cast("int")

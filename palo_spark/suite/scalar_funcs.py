@@ -475,6 +475,8 @@ def scalar_time_round_family(spark, sf_dir):
            dayname(o_orderdate) AS day_name,
            monthname(o_orderdate) AS month_name,
            CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+           CAST(strftime(o_orderdate, '%G') AS INTEGER) * 100
+             + CAST(strftime(o_orderdate, '%V') AS INTEGER) AS yw,
            CAST(string_split(o_orderpriority, '-')[1] AS VARCHAR) AS prio_code
     FROM orders WHERE o_orderkey < 500
     """,
@@ -482,7 +484,7 @@ def scalar_time_round_family(spark, sf_dir):
 def scalar_date_names(spark, sf_dir):
     """MySQL date-name surface: DAYNAME / MONTHNAME / WEEKDAY (0=Mon)
     plus SUBSTRING_INDEX — all native expressions."""
-    from palo_spark.functions import dayname, monthname, substring_index, weekday
+    from palo_spark.functions import dayname, monthname, substring_index, weekday, yearweek
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     return o.select(
@@ -490,5 +492,6 @@ def scalar_date_names(spark, sf_dir):
         dayname("o_orderdate").alias("day_name"),
         monthname("o_orderdate").alias("month_name"),
         weekday("o_orderdate").cast("int").alias("wd"),
+        yearweek("o_orderdate").alias("yw"),
         substring_index(F.col("o_orderpriority"), "-", 1).alias("prio_code"),
     )
