@@ -223,3 +223,34 @@ def test_time_round_family(spark):
         "2024-03-01 10:15:00", "2024-03-01 10:15:00", "2024-04-01 00:00:00"]
     assert [r["mo"] for r in got] == [
         "2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00"]
+
+
+def test_misc_generator_wrappers(spark):
+    """CHAR/SPACE/UUID/EXPLODE_NUMBERS/ARRAY_SHUFFLE wrappers."""
+    from palo_spark import functions as PF
+
+    r = spark.range(1).select(
+        PF.char(F.lit(72), F.lit(105)).alias("hi"),
+        PF.space(3).alias("sp"),
+        PF.explode_numbers(F.lit(4)).alias("n"),
+    ).collect()
+    assert [x["hi"] for x in r] == ["Hi"] * 4
+    assert r[0]["sp"] == "   "
+    assert [x["n"] for x in r] == [0, 1, 2, 3]
+    u = spark.range(2).select(PF.uuid().alias("u")).collect()
+    assert len({x["u"] for x in u}) == 2 and len(u[0]["u"]) == 36
+    sh = (
+        spark.createDataFrame([([1, 2, 3, 4],)], ["a"])
+        .select(PF.array_shuffle("a", seed=1).alias("s"))
+        .first()["s"]
+    )
+    assert sorted(sh) == [1, 2, 3, 4]
+
+
+def test_yearweek_iso_boundaries(spark):
+    from palo_spark.functions import yearweek
+
+    df = spark.createDataFrame(
+        [("2025-12-29",), ("2027-01-01",), ("2024-06-15",)], ["s"]
+    ).select(yearweek(F.col("s").cast("date")).alias("yw"))
+    assert [r["yw"] for r in df.collect()] == [202601, 202653, 202424]
