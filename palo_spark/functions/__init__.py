@@ -60,6 +60,16 @@ __all__ = [
     "array_zip", "array_flatten", "array_shuffle", "array_compact",
     "array_remove", "arrays_overlap",
     "substring_index", "translate", "weekday", "dayname", "monthname", "yearweek",
+    # vector distances
+    "inner_product", "l2_distance", "cosine_distance",
+    # aggregate wrappers
+    "skew", "kurt", "avg_weighted", "map_agg", "array_agg",
+    "group_array_intersect", "multi_distinct_count", "multi_distinct_sum",
+    "regr_slope", "regr_intercept", "regr_r2",
+    # scalar batch 3
+    "strcmp", "to_base64", "from_base64", "crc32", "xxhash_64",
+    "bit_shift_left", "bit_shift_right", "json_keys", "width_bucket",
+    "cbrt", "sequence", "array_enumerate_uniq",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -940,3 +950,221 @@ def yearweek(d) -> Column:
     c = _c(d)
     monday = F.date_sub(F.next_day(c, "Mon"), 7)
     return (F.year(F.date_add(monday, 3)) * 100 + F.weekofyear(c)).cast("int")
+
+
+# --------------------------------------------------- vector distances
+# Doris 2.1 vector functions [docs: sql-functions/vector-distance-functions]:
+# inner_product / l2_distance / cosine_distance over array<float>.
+# Spark-first: zip_with + a SEQUENTIAL left fold (F.aggregate), so the
+# result is a deterministic function of element order — bit-identical
+# to any engine that folds left (DuckDB list_reduce), independent of
+# partitioning, and fully inside whole-stage codegen (no UDF).
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def inner_product(a, b) -> Column:
+    """Doris ``INNER_PRODUCT(array, array)`` — dot product."""
+    return _dot(_c(a), _c(b))
+
+
+def l2_distance(a, b) -> Column:
+    """Doris ``L2_DISTANCE(array, array)`` — Euclidean distance."""
+    d = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    return F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_distance(a, b) -> Column:
+    """Doris ``COSINE_DISTANCE(array, array)`` — 1 - cos(a, b).
+    NULL when either vector has zero norm (Doris returns NaN there;
+    NULL is this engine's MySQL-lax analogue and is join/filter-safe)."""
+    ac, bc = _c(a), _c(b)
+    na, nb = F.sqrt(_dot(ac, ac)), F.sqrt(_dot(bc, bc))
+    return F.when(
+        (na > 0.0) & (nb > 0.0), F.lit(1.0) - _dot(ac, bc) / (na * nb)
+    )
+
+
+# --------------------------------------------------- aggregate wrappers
+# Doris aggregate names over Spark's distributive JVM aggregates
+# [upstream: be/src/vec/aggregate_functions/]. All are Columns usable in
+# .agg(...) — partial aggregation (map-side combine) applies as usual.
+
+
+def skew(c) -> Column:
+    """Doris ``SKEW/SKEW_POP`` — population skewness m3/m2^1.5
+    (Spark's ``skewness`` IS the population form)."""
+    return F.skewness(_c(c))
+
+
+def kurt(c) -> Column:
+    """Doris ``KURT/KURT_POP`` — population excess kurtosis
+    m4/m2^2 - 3 (Spark's ``kurtosis`` IS that form)."""
+    return F.kurtosis(_c(c))
+
+
+def avg_weighted(x, w) -> Column:
+    """Doris ``AVG_WEIGHTED(x, weight)`` = sum(x*w) / sum(w).
+    NULL rows contribute nothing (both factors skipped), matching the
+    pairwise-skip Doris semantic."""
+    xc, wc = _c(x), _c(w)
+    both = F.when(xc.isNotNull() & wc.isNotNull(), xc.cast("double") * wc.cast("double"))
+    wts = F.when(xc.isNotNull() & wc.isNotNull(), wc.cast("double"))
+    return F.sum(both) / F.sum(wts)
+
+
+def map_agg(k, v) -> Column:
+    """Doris ``MAP_AGG(k, v)`` — map from grouped key/value pairs.
+    Entries are sorted by key so the map is deterministic under any
+    partitioning (Doris map order is unspecified; sorted is a superset
+    of that contract). Duplicate keys keep the smallest (k, v) pair."""
+    return F.map_from_entries(
+        F.array_distinct(F.array_sort(F.collect_list(F.struct(_c(k), _c(v)))))
+    )
+
+
+def array_agg(c) -> Column:
+    """Doris ``ARRAY_AGG`` → ``collect_list`` (order unspecified in
+    both engines; sort the result for deterministic output)."""
+    return F.collect_list(_c(c))
+
+
+def group_array_intersect(c) -> Column:
+    """Doris ``GROUP_ARRAY_INTERSECT(arr)`` — elements present in every
+    row's array of the group. Left fold of ``array_intersect`` over the
+    collected arrays; result sorted (set semantics — order-free)."""
+    cl = F.collect_list(_c(c))
+    return F.array_sort(
+        F.aggregate(
+            F.slice(cl, 2, F.greatest(F.size(cl) - 1, F.lit(0))),
+            F.array_distinct(F.element_at(cl, 1)),
+            lambda acc, x: F.array_intersect(acc, x),
+        )
+    )
+
+
+def multi_distinct_count(*cols) -> Column:
+    """Doris ``MULTI_DISTINCT_COUNT`` — COUNT(DISTINCT ...); Spark
+    plans Expand + two-phase agg, no single-node distinct set."""
+    return F.count_distinct(*[_c(c) for c in cols])
+
+
+def multi_distinct_sum(c) -> Column:
+    """Doris ``MULTI_DISTINCT_SUM`` — SUM(DISTINCT x)."""
+    return F.sum_distinct(_c(c))
+
+
+def regr_slope(y, x) -> Column:
+    """SQL2016/Doris ``REGR_SLOPE(y, x)`` = covar_pop/var_pop."""
+    return F.regr_slope(_c(y), _c(x))
+
+
+def regr_intercept(y, x) -> Column:
+    """SQL2016/Doris ``REGR_INTERCEPT(y, x)``."""
+    return F.regr_intercept(_c(y), _c(x))
+
+
+def regr_r2(y, x) -> Column:
+    """SQL2016 ``REGR_R2(y, x)`` — coefficient of determination."""
+    return F.regr_r2(_c(y), _c(x))
+
+
+# ------------------------------------------------------- scalar batch 3
+
+
+def strcmp(a, b) -> Column:
+    """MySQL/Doris ``STRCMP(a, b)`` — -1/0/1 sign compare, NULL-in
+    NULL-out."""
+    ac, bc = _c(a), _c(b)
+    return (
+        F.when(ac.isNull() | bc.isNull(), F.lit(None).cast("int"))
+        .when(ac < bc, -1)
+        .when(ac > bc, 1)
+        .otherwise(0)
+    )
+
+
+def to_base64(s) -> Column:
+    """Doris ``TO_BASE64``."""
+    return F.base64(_c(s).cast("binary"))
+
+
+def from_base64(s) -> Column:
+    """Doris ``FROM_BASE64`` — returns the decoded string."""
+    return F.unbase64(_c(s)).cast("string")
+
+
+def crc32(s) -> Column:
+    """MySQL ``CRC32`` (zlib polynomial) — Spark's ``crc32`` is the
+    same standard."""
+    return F.crc32(_c(s).cast("binary"))
+
+
+def xxhash_64(*cols) -> Column:
+    """Doris ``XXHASH_64`` family — 64-bit xxHash. NOTE: Spark's
+    ``xxhash64`` fixes seed 42, so values differ from Doris's seed-0
+    hashes; within this engine the function is stable and
+    partition-independent, which is the property sampling/dedup rely
+    on."""
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+def bit_shift_left(x, n) -> Column:
+    """Doris ``BIT_SHIFT_LEFT``."""
+    return F.shiftleft(_c(x), n if isinstance(n, int) else _c(n))
+
+
+def bit_shift_right(x, n) -> Column:
+    """Doris ``BIT_SHIFT_RIGHT`` (arithmetic, sign-propagating —
+    Doris's is arithmetic too)."""
+    return F.shiftright(_c(x), n if isinstance(n, int) else _c(n))
+
+
+def json_keys(j, path: str | None = None) -> Column:
+    """Doris/MySQL ``JSON_KEYS(json[, path])`` — top-level object keys."""
+    c = _c(j)
+    if path is not None:
+        c = F.get_json_object(c, path)
+    return F.json_object_keys(c)
+
+
+def width_bucket(x, lo, hi, n) -> Column:
+    """SQL2016/Doris ``WIDTH_BUCKET(x, lo, hi, n)`` — equi-width
+    histogram bucket in 1..n, 0 below lo, n+1 at/above hi."""
+    return F.width_bucket(_c(x), _lit(lo), _lit(hi), _lit(n))
+
+
+def cbrt(x) -> Column:
+    """Doris ``CBRT`` — cube root."""
+    return F.cbrt(_c(x))
+
+
+def sequence(start, stop, step=None) -> Column:
+    """Doris ``SEQUENCE(start, stop[, step])`` — inclusive arithmetic
+    progression as an array (Doris's array form; the table-function
+    form is ``explode_numbers``)."""
+    if step is None:
+        return F.sequence(_lit(start), _lit(stop))
+    return F.sequence(_lit(start), _lit(stop), _lit(step))
+
+
+def array_enumerate_uniq(arr) -> Column:
+    """Doris/ClickHouse ``ARRAY_ENUMERATE_UNIQ(arr)`` — occurrence
+    rank of each element among its equals so far ([a,b,a] → [1,1,2]).
+    Native transform+filter over the array prefix — O(len²) per array
+    on in-register data, zero shuffles, no UDF."""
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.size(
+            F.filter(F.slice(a, 1, i + 1), lambda y: y.eqNullSafe(x))
+        ),
+    )

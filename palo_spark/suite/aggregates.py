@@ -372,3 +372,168 @@ def agg_topn_weighted(spark, sf_dir):
             ).alias("top_types")
         )
     )
+
+
+@q(
+    "agg_skew_kurt",
+    """
+    WITH mu AS (
+        SELECT c_nationkey AS k, AVG(c_acctbal) AS m
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           FLOOR(
+             (AVG(POWER(c_acctbal - m, 3))
+              / POWER(AVG(POWER(c_acctbal - m, 2)), 1.5)) * 1e4
+           ) / 1e4 AS skew_pop,
+           FLOOR(
+             (AVG(POWER(c_acctbal - m, 4))
+              / POWER(AVG(POWER(c_acctbal - m, 2)), 2) - 3) * 1e4
+           ) / 1e4 AS kurt_pop
+    FROM customer JOIN mu ON c_nationkey = k
+    GROUP BY c_nationkey
+    """,
+)
+def agg_skew_kurt(spark, sf_dir):
+    """Doris SKEW/KURT (population third/fourth standardized moments —
+    Spark's ``skewness``/``kurtosis`` ARE the population forms; the
+    oracle computes the textbook two-pass formula). Single-pass
+    distributive moment aggregation JVM-side; floor-quantized at 1e-4
+    because partial-moment merge order perturbs the last ulps."""
+    from palo_spark.functions import kurt, skew
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        (F.floor(skew("c_acctbal") * 1e4) / 1e4).alias("skew_pop"),
+        (F.floor(kurt("c_acctbal") * 1e4) / 1e4).alias("kurt_pop"),
+    )
+
+
+@q(
+    "agg_avg_weighted_regr",
+    """
+    SELECT l_returnflag,
+           FLOOR((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) * 1e4) / 1e4
+               AS wavg_price,
+           FLOOR(REGR_SLOPE(l_extendedprice, l_quantity) * 1e4) / 1e4 AS slope,
+           FLOOR(REGR_INTERCEPT(l_extendedprice, l_quantity) * 1e4) / 1e4 AS icept,
+           FLOOR(REGR_R2(l_extendedprice, l_quantity) * 1e6) / 1e6 AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_avg_weighted_regr(spark, sf_dir):
+    """Doris AVG_WEIGHTED + SQL2016 REGR_SLOPE/INTERCEPT/R2 — all
+    distributive two-phase JVM aggregates (sum-of-products / covar
+    partials merged map-side). Floor-quantized: double accumulation
+    order differs across engines."""
+    from palo_spark.functions import avg_weighted, regr_intercept, regr_r2, regr_slope
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.floor(avg_weighted("l_extendedprice", "l_quantity") * 1e4) / 1e4).alias(
+            "wavg_price"
+        ),
+        (F.floor(regr_slope("l_extendedprice", "l_quantity") * 1e4) / 1e4).alias("slope"),
+        (F.floor(regr_intercept("l_extendedprice", "l_quantity") * 1e4) / 1e4).alias(
+            "icept"
+        ),
+        (F.floor(regr_r2("l_extendedprice", "l_quantity") * 1e6) / 1e6).alias("r2"),
+    )
+
+
+@q(
+    "agg_map_collect",
+    """
+    WITH seg AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey,
+           LIST(c_mktsegment ORDER BY c_mktsegment) AS seg_keys,
+           LIST(cnt ORDER BY c_mktsegment) AS seg_counts
+    FROM seg GROUP BY c_nationkey
+    """,
+)
+def agg_map_collect(spark, sf_dir):
+    """Doris MAP_AGG: per-nation map of market segment → customer count
+    (two-level agg: count, then map_agg). The map is presented as
+    sorted key/value arrays because maps have no canonical order to
+    hash across engines — map_agg itself sorts entries, so keys/values
+    are aligned and deterministic."""
+    from palo_spark.functions import map_agg
+
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("cnt"))
+    m = seg.groupBy("c_nationkey").agg(
+        map_agg("c_mktsegment", "cnt").alias("m")
+    )
+    return m.select(
+        "c_nationkey",
+        F.map_keys("m").alias("seg_keys"),
+        F.map_values("m").alias("seg_counts"),
+    )
+
+
+@q(
+    "agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_pair,
+           SUM(DISTINCT l_quantity) AS sum_dq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Doris MULTI_DISTINCT_COUNT / MULTI_DISTINCT_SUM — Spark plans
+    these as Expand + two-phase aggregation (per-key distinct sets are
+    never materialized on one node). Distinct quantities are integral
+    doubles 1..50, so SUM(DISTINCT) is exact without quantization."""
+    from palo_spark.functions import multi_distinct_count, multi_distinct_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        multi_distinct_count("l_partkey").alias("nd_part"),
+        multi_distinct_count("l_partkey", "l_suppkey").alias("nd_pair"),
+        multi_distinct_sum("l_quantity").alias("sum_dq"),
+    )
+
+
+@q(
+    "agg_group_array_intersect",
+    """
+    WITH n AS (
+        SELECT p_brand, COUNT(*) AS nr FROM part GROUP BY p_brand
+    ),
+    w AS (
+        SELECT p_brand,
+               UNNEST(LIST_DISTINCT(STRING_SPLIT(p_name, ' '))) AS word
+        FROM part
+    ),
+    c AS (
+        SELECT p_brand, word, COUNT(*) AS cnt
+        FROM w GROUP BY p_brand, word
+    ),
+    common AS (
+        SELECT c.p_brand, LIST(c.word ORDER BY c.word) AS words
+        FROM c JOIN n USING (p_brand)
+        WHERE c.cnt = n.nr
+        GROUP BY c.p_brand
+    )
+    SELECT n.p_brand, COALESCE(common.words, []::VARCHAR[]) AS common_words
+    FROM n LEFT JOIN common USING (p_brand)
+    """,
+)
+def agg_group_array_intersect(spark, sf_dir):
+    """Doris GROUP_ARRAY_INTERSECT: words common to every part name of
+    a brand. Spark side is a native fold of array_intersect over the
+    collected arrays; result sorted (set semantics). Mostly-empty
+    results at this SF exercise the empty-array path."""
+    from palo_spark.functions import group_array_intersect
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_brand", F.split("p_name", " ").alias("words")).groupBy(
+        "p_brand"
+    ).agg(group_array_intersect("words").alias("common_words"))

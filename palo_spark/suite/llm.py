@@ -989,3 +989,54 @@ def embedding_l2_normalize(spark, sf_dir):
                         lambda x: F.floor(x * 1e6).cast("double") / 1e6),
         ).otherwise(F.col("unit")).alias("unit_q"),
     )
+
+
+@q(
+    "embedding_distance_metrics",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y) * 1e6) / 1e6 AS ip,
+           FLOOR(sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                  * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y)) * 1e6) / 1e6 AS l2,
+           FLOOR((1.0 - list_reduce(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)))) * 1e6) / 1e6 AS cos_d
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
+    WHERE a.vec_id < 200
+    """,
+)
+def embedding_distance_metrics(spark, sf_dir):
+    """Doris 2.1 vector-distance functions INNER_PRODUCT / L2_DISTANCE
+    / COSINE_DISTANCE [docs: vector-distance-functions] over embedding
+    pairs. Both engines fold the element products SEQUENTIALLY
+    (F.aggregate ↔ list_reduce), so sums are bit-identical before the
+    defensive 1e-6 floor quantization. The pairing is an equi-join on
+    vec_id — one keyed shuffle, broadcastable when one side is small;
+    the distance math itself is whole-stage-codegen projection."""
+    from palo_spark.functions import cosine_distance, inner_product, l2_distance
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 100).alias("id_a"),
+                 F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("eb"))
+    j = a.join(b, "id_a")
+    q6 = lambda c: F.floor(c * 1e6).cast("double") / 1e6  # noqa: E731
+    return j.select(
+        "id_a", "id_b",
+        q6(inner_product("ea", "eb")).alias("ip"),
+        q6(l2_distance("ea", "eb")).alias("l2"),
+        q6(cosine_distance("ea", "eb")).alias("cos_d"),
+    )

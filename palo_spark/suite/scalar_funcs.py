@@ -495,3 +495,53 @@ def scalar_date_names(spark, sf_dir):
         yearweek("o_orderdate").alias("yw"),
         substring_index(F.col("o_orderpriority"), "-", 1).alias("prio_code"),
     )
+
+
+@q(
+    "scalar_misc_batch3",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_name < 'GERMANY' THEN -1
+                WHEN n_name > 'GERMANY' THEN 1 ELSE 0 END AS cmp_g,
+           base64(encode(n_name)) AS b64,
+           decode(from_base64(base64(encode(n_name)))) AS b64_rt,
+           3818098067 AS crc_doris,
+           n_nationkey << 3 AS shl3,
+           (n_nationkey * 1000 + 7) >> 2 AS shr2,
+           CASE WHEN n_nationkey < 0 THEN 0
+                WHEN n_nationkey >= 25 THEN 6
+                ELSE CAST(FLOOR((n_nationkey - 0.0) / 5.0) AS INT) + 1
+           END AS bucket,
+           FLOOR(cbrt(n_nationkey) * 1e6) / 1e6 AS cb,
+           generate_series(1, n_nationkey % 3 + 2) AS seq,
+           json_keys('{"' || n_name || '":1, "z":2}') AS jk,
+           list_transform(string_split(n_name, '_'), (x, i) ->
+               len(list_filter(string_split(n_name, '_')[1:i], y -> y = x))
+           ) AS enum_uniq
+    FROM nation
+    """,
+)
+def scalar_misc_batch3(spark, sf_dir):
+    """Scalar batch 3: STRCMP, TO/FROM_BASE64, CRC32, BIT_SHIFT_LEFT/
+    RIGHT, WIDTH_BUCKET, CBRT, SEQUENCE, JSON_KEYS,
+    ARRAY_ENUMERATE_UNIQ. The oracle re-derives each semantic in DuckDB
+    dialect (width_bucket/strcmp spelled as CASE — DuckDB lacks the
+    functions; crc32 pinned to the zlib-polynomial constant for
+    'doris'). cbrt floor-quantized: DuckDB's differs in the last ulp."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        PF.strcmp("n_name", F.lit("GERMANY")).alias("cmp_g"),
+        PF.to_base64("n_name").alias("b64"),
+        PF.from_base64(PF.to_base64("n_name")).alias("b64_rt"),
+        PF.crc32(F.lit("doris")).alias("crc_doris"),
+        PF.bit_shift_left("n_nationkey", 3).alias("shl3"),
+        PF.bit_shift_right(F.col("n_nationkey") * 1000 + 7, 2).alias("shr2"),
+        PF.width_bucket("n_nationkey", 0.0, 25.0, 5).cast("int").alias("bucket"),
+        (F.floor(PF.cbrt("n_nationkey") * 1e6) / 1e6).alias("cb"),
+        PF.sequence(F.lit(1), F.col("n_nationkey") % 3 + 2).alias("seq"),
+        PF.json_keys(
+            F.concat(F.lit('{"'), F.col("n_name"), F.lit('":1, "z":2}'))
+        ).alias("jk"),
+        PF.array_enumerate_uniq(F.split("n_name", "_")).alias("enum_uniq"),
+    )
