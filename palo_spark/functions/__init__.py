@@ -70,6 +70,17 @@ __all__ = [
     "strcmp", "to_base64", "from_base64", "crc32", "xxhash_64",
     "bit_shift_left", "bit_shift_right", "json_keys", "width_bucket",
     "cbrt", "sequence", "array_enumerate_uniq",
+    # scalar batch 4 — native re-exports
+    "lpad", "rpad", "levenshtein", "soundex", "bit_length", "make_date",
+    "quarter", "dayofyear", "degrees", "radians", "sign",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "atan2",
+    "log2", "log10", "exp", "factorial", "sha1", "sha2", "md5",
+    # scalar batch 4 — Doris-semantics wrappers
+    "date_trunc", "to_monday", "from_days", "quote", "chr_char",
+    "milliseconds_add", "milliseconds_sub", "milliseconds_diff",
+    "microseconds_add", "microseconds_diff",
+    "extract_url_parameter", "url_domain", "url_protocol",
+    "running_difference", "e", "pi",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -1168,3 +1179,138 @@ def array_enumerate_uniq(arr) -> Column:
             F.filter(F.slice(a, 1, i + 1), lambda y: y.eqNullSafe(x))
         ),
     )
+
+
+# ------------------------------------------------------- scalar batch 4
+# Doris names that exist 1:1 in pyspark.sql.functions
+# [upstream docs: sql-functions/{string,date-time,math,encrypt-digest}-functions].
+from pyspark.sql.functions import (  # noqa: E402,F401
+    lpad,
+    rpad,
+    levenshtein,
+    soundex,
+    bit_length,
+    make_date,
+    quarter,
+    dayofyear,
+    degrees,
+    radians,
+    sign,
+    sinh,
+    cosh,
+    tanh,
+    asinh,
+    acosh,
+    atanh,
+    atan2,
+    log2,
+    log10,
+    exp,
+    factorial,
+    sha1,
+    sha2,
+    md5,
+)
+
+
+def date_trunc(d, unit: str) -> Column:
+    """Doris ``DATE_TRUNC(datetime, unit)`` — note the REVERSED argument
+    order vs Spark/Postgres ``date_trunc(unit, ts)``; the wrapper takes
+    Doris order so ported queries read unchanged."""
+    return F.date_trunc(unit, _c(d))
+
+
+def to_monday(d) -> Column:
+    """Doris ``TO_MONDAY(date)`` — the Monday of the date's week."""
+    return F.date_sub(F.next_day(_c(d), "Mon"), 7)
+
+
+def from_days(n) -> Column:
+    """MySQL/Doris ``FROM_DAYS(n)`` — date from day number where day 719528
+    is 1970-01-01 (MySQL counts from year 0)."""
+    return F.date_add(F.lit("1970-01-01").cast("date"), (_c(n) - 719528).cast("int"))
+
+
+def quote(s) -> Column:
+    """MySQL ``QUOTE(s)`` — single-quoted, backslash-escaped literal."""
+    c = _c(s)
+    body = F.replace(
+        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit("'"), F.lit("\\'")
+    )
+    return F.when(c.isNull(), F.lit("NULL")).otherwise(
+        F.concat(F.lit("'"), body, F.lit("'"))
+    )
+
+
+def chr_char(n) -> Column:
+    """Doris ``CHR(n)`` — single character from code point."""
+    return F.char(_c(n))
+
+
+def milliseconds_add(ts, n) -> Column:
+    """Doris ``MILLISECONDS_ADD(ts, n)`` — exact sub-second arithmetic
+    via microsecond-precision interval."""
+    return F.timestamp_micros(F.unix_micros(_c(ts)) + _lit(n).cast("bigint") * 1000)
+
+
+def milliseconds_sub(ts, n) -> Column:
+    return F.timestamp_micros(F.unix_micros(_c(ts)) - _lit(n).cast("bigint") * 1000)
+
+
+def milliseconds_diff(a, b) -> Column:
+    """Doris ``MILLISECONDS_DIFF(end, start)``."""
+    return ((F.unix_micros(_c(a)) - F.unix_micros(_c(b))) / 1000).cast("bigint")
+
+
+def microseconds_add(ts, n) -> Column:
+    return F.timestamp_micros(F.unix_micros(_c(ts)) + _lit(n).cast("bigint"))
+
+
+def microseconds_diff(a, b) -> Column:
+    return F.unix_micros(_c(a)) - F.unix_micros(_c(b))
+
+
+def extract_url_parameter(url, name) -> Column:
+    """Doris ``EXTRACT_URL_PARAMETER(url, name)`` — query-string value,
+    '' when absent (Doris contract)."""
+    return F.coalesce(
+        F.parse_url(_c(url), F.lit("QUERY"), _lit(name)), F.lit("")
+    )
+
+
+def url_domain(url) -> Column:
+    """Doris ``DOMAIN(url)`` — host part."""
+    return F.parse_url(_c(url), F.lit("HOST"))
+
+
+def url_protocol(url) -> Column:
+    """Doris ``PROTOCOL(url)`` — scheme part."""
+    return F.parse_url(_c(url), F.lit("PROTOCOL"))
+
+
+def running_difference(c, *, partition_by=None, order_by) -> Column:
+    """Doris/ClickHouse ``RUNNING_DIFFERENCE(x)`` — difference to the
+    previous row. Block-order-dependent upstream; here the caller MUST
+    name the order (and optional partition), making it a deterministic
+    window expression — lag-subtract, one keyed sort per partition, no
+    single-node pass. First row yields 0 (upstream contract), typed to
+    the operand."""
+    from pyspark.sql import Window
+
+    ob = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    w = Window.orderBy(*[_c(o) for o in ob])
+    if partition_by is not None:
+        pb = partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]
+        w = Window.partitionBy(*[_c(p) for p in pb]).orderBy(*[_c(o) for o in ob])
+    cc = _c(c)
+    return F.coalesce(cc - F.lag(cc, 1).over(w), cc - cc)
+
+
+def e() -> Column:
+    """Doris ``E()``."""
+    return F.lit(2.718281828459045)
+
+
+def pi() -> Column:
+    """Doris ``PI()``."""
+    return F.lit(3.141592653589793)

@@ -545,3 +545,75 @@ def scalar_misc_batch3(spark, sf_dir):
         ).alias("jk"),
         PF.array_enumerate_uniq(F.split("n_name", "_")).alias("enum_uniq"),
     )
+
+
+@q(
+    "scalar_misc_batch4",
+    """
+    SELECT o_orderkey,
+           lpad(o_orderpriority, 12, '*') AS lp,
+           rpad(o_orderpriority, 12, '.') AS rp,
+           levenshtein(o_orderpriority, '1-URGENT') AS lev,
+           md5(o_orderpriority) AS h_md5,
+           sha256(o_orderpriority) AS h_sha2,
+           date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mon_ts,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS monday,
+           CAST(o_orderdate AS TIMESTAMP) AS day_rt,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           '''' || replace(replace(o_orderpriority, '\', '\\'), '''', '\''') || '''' AS quoted,
+           CAST(o_orderkey % 1000 AS BIGINT) AS ms_rt,
+           regexp_extract('http://ex.com/p?k=' || o_orderkey, 'k=([0-9]+)', 1) AS url_k,
+           'ex.com' AS dom,
+           'http' AS proto,
+           FLOOR(degrees(radians(o_totalprice)) * 1e4) / 1e4 AS deg_rt,
+           CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sgn,
+           FLOOR(atan2(o_totalprice, 100000.0) * 1e6) / 1e6 AS at2,
+           FLOOR(log2(o_totalprice) * 1e6) / 1e6 AS l2,
+           FLOOR(log10(o_totalprice) * 1e6) / 1e6 AS l10,
+           CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fact
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def scalar_misc_batch4(spark, sf_dir):
+    """Scalar batch 4: LPAD/RPAD, LEVENSHTEIN, MD5/SHA2, Doris
+    DATE_TRUNC (reversed arg order vs Spark — the wrapper takes Doris
+    order), TO_MONDAY, TO_DAYS/FROM_DAYS roundtrip, QUARTER/DAYOFYEAR,
+    QUOTE, millisecond arithmetic roundtrip, EXTRACT_URL_PARAMETER /
+    DOMAIN / PROTOCOL, and math natives (degrees∘radians roundtrip,
+    SIGN, ATAN2, LOG2/LOG10, FACTORIAL). Everything is a native JVM
+    projection — one narrow scan, zero shuffles. Transcendentals
+    floor-quantized (libm last-ulp differences across engines)."""
+    from palo_spark import functions as PF2
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ts = F.col("o_orderdate").cast("timestamp")
+    url = F.concat(F.lit("http://ex.com/p?k="), F.col("o_orderkey"))
+    ms = F.col("o_orderkey") % 1000
+    q4 = lambda c: F.floor(c * 1e4).cast("double") / 1e4  # noqa: E731
+    q6 = lambda c: F.floor(c * 1e6).cast("double") / 1e6  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        PF2.lpad(F.col("o_orderpriority"), 12, "*").alias("lp"),
+        PF2.rpad(F.col("o_orderpriority"), 12, ".").alias("rp"),
+        PF2.levenshtein(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("lev"),
+        PF2.md5(F.col("o_orderpriority").cast("binary")).alias("h_md5"),
+        PF2.sha2(F.col("o_orderpriority").cast("binary"), 256).alias("h_sha2"),
+        PF2.date_trunc(ts, "month").alias("mon_ts"),
+        PF2.to_monday("o_orderdate").cast("timestamp").alias("monday"),
+        PF2.from_days(PF2.to_days("o_orderdate")).cast("timestamp").alias("day_rt"),
+        PF2.quarter("o_orderdate").cast("int").alias("qtr"),
+        PF2.dayofyear("o_orderdate").cast("int").alias("doy"),
+        PF2.quote("o_orderpriority").alias("quoted"),
+        PF2.milliseconds_diff(PF2.milliseconds_add(ts, ms), ts).alias("ms_rt"),
+        PF2.extract_url_parameter(url, "k").alias("url_k"),
+        PF2.url_domain(url).alias("dom"),
+        PF2.url_protocol(url).alias("proto"),
+        q4(PF2.degrees(PF2.radians("o_totalprice"))).alias("deg_rt"),
+        PF2.sign(F.col("o_totalprice") - 150000.0).alias("sgn"),
+        q6(PF2.atan2(F.col("o_totalprice"), F.lit(100000.0))).alias("at2"),
+        q6(PF2.log2("o_totalprice")).alias("l2"),
+        q6(PF2.log10("o_totalprice")).alias("l10"),
+        PF2.factorial((F.col("o_orderkey") % 10).cast("int")).alias("fact"),
+    )

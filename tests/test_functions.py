@@ -254,3 +254,67 @@ def test_yearweek_iso_boundaries(spark):
         [("2025-12-29",), ("2027-01-01",), ("2024-06-15",)], ["s"]
     ).select(yearweek(F.col("s").cast("date")).alias("yw"))
     assert [r["yw"] for r in df.collect()] == [202601, 202653, 202424]
+
+
+def test_scalar_batch4_kernels(spark):
+    """Pin the batch-4 wrappers that have no DuckDB-oracle coverage:
+    hyperbolics, QUOTE escaping, RUNNING_DIFFERENCE, CHR, E/PI,
+    milliseconds_sub and microseconds roundtrip, soundex/sha1."""
+    import math
+
+    from palo_spark import functions as PF
+
+    r = spark.range(1).select(
+        PF.sinh(F.lit(1.0)).alias("sh"),
+        PF.cosh(F.lit(1.0)).alias("ch"),
+        PF.tanh(F.lit(1.0)).alias("th"),
+        PF.asinh(F.lit(1.0)).alias("ash"),
+        PF.acosh(F.lit(2.0)).alias("ach"),
+        PF.atanh(F.lit(0.5)).alias("ath"),
+        PF.e().alias("e"),
+        PF.pi().alias("pi"),
+        PF.chr_char(F.lit(65)).alias("a"),
+        PF.quote(F.lit("it's a \\ test")).alias("q"),
+        PF.quote(F.lit(None).cast("string")).alias("qn"),
+        PF.soundex(F.lit("Robert")).alias("sx"),
+        PF.sha1(F.lit("abc").cast("binary")).alias("s1"),
+        PF.milliseconds_sub(
+            PF.milliseconds_add(F.lit("2024-01-01 00:00:00").cast("timestamp"), 250),
+            250,
+        ).alias("ms_rt"),
+        PF.microseconds_diff(
+            PF.microseconds_add(F.lit("2024-01-01 00:00:00").cast("timestamp"), 77),
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        ).alias("us"),
+    ).first()
+    assert abs(r["sh"] - math.sinh(1.0)) < 1e-12
+    assert abs(r["ch"] - math.cosh(1.0)) < 1e-12
+    assert abs(r["th"] - math.tanh(1.0)) < 1e-12
+    assert abs(r["ash"] - math.asinh(1.0)) < 1e-12
+    assert abs(r["ach"] - math.acosh(2.0)) < 1e-12
+    assert abs(r["ath"] - math.atanh(0.5)) < 1e-12
+    assert r["e"] == math.e and r["pi"] == math.pi
+    assert r["a"] == "A"
+    assert r["q"] == r"'it\'s a \\ test'"
+    assert r["qn"] == "NULL"
+    assert r["sx"] == "R163"
+    assert r["s1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert str(r["ms_rt"]) == "2024-01-01 00:00:00"
+    assert r["us"] == 77
+
+
+def test_running_difference(spark):
+    """RUNNING_DIFFERENCE: first row per partition is 0; others are the
+    gap to the previous row in the named order."""
+    from palo_spark.functions import running_difference
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 13.0), ("a", 3, 11.5), ("b", 1, 5.0), ("b", 2, 2.0)],
+        ["g", "i", "v"],
+    ).select(
+        "g", "i",
+        running_difference("v", partition_by="g", order_by="i").alias("d"),
+    )
+    got = {(r["g"], r["i"]): r["d"] for r in df.collect()}
+    assert got == {("a", 1): 0.0, ("a", 2): 3.0, ("a", 3): -1.5,
+                   ("b", 1): 0.0, ("b", 2): -3.0}
