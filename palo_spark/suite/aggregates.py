@@ -222,19 +222,20 @@ def agg_group_concat(spark, sf_dir):
     "agg_collect_list_set",
     """
     SELECT n_regionkey,
-           LIST_SORT(LIST(n_name))          AS names,
-           LIST_SORT(LIST(DISTINCT n_name)) AS names_set,
+           array_to_string(LIST_SORT(LIST(n_name)), ',')          AS names,
+           array_to_string(LIST_SORT(LIST(DISTINCT n_name)), ',') AS names_set,
            CAST(LEN(LIST(n_name)) AS INT)   AS n
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect_list_set(spark, sf_dir):
-    """COLLECT_LIST / COLLECT_SET (ARRAY_AGG), order-canonicalized."""
+    """COLLECT_LIST / COLLECT_SET (ARRAY_AGG), order-canonicalized and
+    CSV-serialized (driver's canonicalizer cannot hash list cells)."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names"),
-        F.array_sort(F.collect_set("n_name")).alias("names_set"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("names_set"),
         F.size(F.collect_list("n_name")).alias("n"),
     )
 
@@ -313,21 +314,37 @@ def agg_group_bit_ops(spark, sf_dir):
 @q(
     "agg_percentile_array",
     """
+    WITH g AS (
+        SELECT l_returnflag,
+               QUANTILE_CONT(l_quantity, [0.1, 0.5, 0.9]) AS qs
+        FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           list_transform(QUANTILE_CONT(l_quantity, [0.1, 0.5, 0.9]),
-                          x -> ROUND(x, 6)) AS pcts
-    FROM lineitem GROUP BY l_returnflag
+           CAST(unnest(generate_series(1, len(qs))) - 1 AS INT) AS pos,
+           ROUND(unnest(qs), 6) AS pct
+    FROM g
     """,
 )
 def agg_percentile_array(spark, sf_dir):
     """Doris ``PERCENTILE_ARRAY(c, [p...])`` — one pass, many exact
-    quantiles (linear interpolation in both engines)."""
+    quantiles (linear interpolation in both engines). Exploded to
+    (pos, pct) rows so the doubles compare as scalars (the driver's
+    canonicalizer cannot hash list cells, and double→string formatting
+    is not cross-engine stable)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_quantity", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))),
-            lambda x: F.round(x, 6),
-        ).alias("pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+            ).alias("qs")
+        )
+        .select(
+            "l_returnflag",
+            F.posexplode(F.transform(F.col("qs"), lambda x: F.round(x, 6))).alias(
+                "pos", "pct"
+            ),
+        )
     )
 
 
@@ -344,7 +361,7 @@ def agg_percentile_array(spark, sf_dir):
                                   ORDER BY wt DESC, event_type) AS rn
         FROM w
     )
-    SELECT user_id, list(event_type ORDER BY rn) AS top_types
+    SELECT user_id, array_to_string(list(event_type ORDER BY rn), ',') AS top_types
     FROM r WHERE rn <= 2 GROUP BY user_id
     """,
 )
@@ -366,9 +383,12 @@ def agg_topn_weighted(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .groupBy("user_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
-                lambda s: s["event_type"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ",",
             ).alias("top_types")
         )
     )
@@ -450,8 +470,8 @@ def agg_avg_weighted_regr(spark, sf_dir):
         FROM customer GROUP BY c_nationkey, c_mktsegment
     )
     SELECT c_nationkey,
-           LIST(c_mktsegment ORDER BY c_mktsegment) AS seg_keys,
-           LIST(cnt ORDER BY c_mktsegment) AS seg_counts
+           array_to_string(LIST(c_mktsegment ORDER BY c_mktsegment), ',') AS seg_keys,
+           array_to_string(LIST(cnt ORDER BY c_mktsegment), ',') AS seg_counts
     FROM seg GROUP BY c_nationkey
     """,
 )
@@ -470,8 +490,8 @@ def agg_map_collect(spark, sf_dir):
     )
     return m.select(
         "c_nationkey",
-        F.map_keys("m").alias("seg_keys"),
-        F.map_values("m").alias("seg_counts"),
+        F.array_join(F.map_keys("m"), ",").alias("seg_keys"),
+        F.array_join(F.map_values("m").cast("array<string>"), ",").alias("seg_counts"),
     )
 
 
@@ -522,7 +542,8 @@ def agg_multi_distinct(spark, sf_dir):
         WHERE c.cnt = n.nr
         GROUP BY c.p_brand
     )
-    SELECT n.p_brand, COALESCE(common.words, []::VARCHAR[]) AS common_words
+    SELECT n.p_brand,
+           COALESCE(array_to_string(common.words, ','), '') AS common_words
     FROM n LEFT JOIN common USING (p_brand)
     """,
 )
@@ -534,6 +555,10 @@ def agg_group_array_intersect(spark, sf_dir):
     from palo_spark.functions import group_array_intersect
 
     p = load_table(spark, sf_dir, "part")
-    return p.select("p_brand", F.split("p_name", " ").alias("words")).groupBy(
-        "p_brand"
-    ).agg(group_array_intersect("words").alias("common_words"))
+    return (
+        p.select("p_brand", F.split("p_name", " ").alias("words"))
+        .groupBy("p_brand")
+        .agg(
+            F.array_join(group_array_intersect("words"), ",").alias("common_words")
+        )
+    )

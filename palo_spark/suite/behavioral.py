@@ -37,20 +37,25 @@ _CONDS_SQL = [
 @q(
     "behavioral_retention",
     f"""
-    SELECT user_id, {retention_sql(_CONDS_SQL)} AS r
+    SELECT user_id, array_to_string({retention_sql(_CONDS_SQL)}, ',') AS r
     FROM events GROUP BY user_id
     """,
 )
 def behavioral_retention(spark, sf_dir):
     """RETENTION(signup, purchase, error) per user: element 0 = signed
     up; element i = signed up AND did step i. Native conditional
-    aggregation, one shuffle."""
+    aggregation, one shuffle. The array is serialized to a CSV string so
+    the driver's pandas canonicalizer (which cannot sort list cells) can
+    hash it."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        retention(
-            F.col("event_type") == "signup",
-            F.col("event_type") == "purchase",
-            F.col("event_type") == "error",
+        F.array_join(
+            retention(
+                F.col("event_type") == "signup",
+                F.col("event_type") == "purchase",
+                F.col("event_type") == "error",
+            ).cast("array<string>"),
+            ",",
         ).alias("r")
     )
 

@@ -212,11 +212,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
         FROM embeddings WHERE vec_id < 500
     )
     SELECT vec_id,
-           CASE WHEN mx > 0.0 THEN
+           array_to_string(CASE WHEN mx > 0.0 THEN
                list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS TINYINT))
            ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
-           END AS q_embedding,
+           END, ',') AS q_embedding,
            CASE WHEN mx > 0.0 THEN mx / 127.0 ELSE 0.0 END AS q_embedding_scale
     FROM m
     """,
@@ -226,12 +226,17 @@ def embedding_quantize_int8(spark, sf_dir):
     storage): q = floor(x*127/max|x| + 0.5), scale kept for dequant.
     All-native transform/aggregate — zero Python — and the explicit
     floor rounding is bit-reproducible cross-engine (oracle-checked
-    element-wise on the int8 arrays AND the double scales)."""
+    element-wise on the int8 arrays AND the double scales). The int8
+    array is CSV-serialized for the driver's pandas canonicalizer."""
     from palo_spark.operators import quantize_embeddings_int8
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return quantize_embeddings_int8(e).select(
-        "vec_id", "q_embedding", "q_embedding_scale"
+        "vec_id",
+        F.array_join(F.col("q_embedding").cast("array<string>"), ",").alias(
+            "q_embedding"
+        ),
+        "q_embedding_scale",
     )
 
 
@@ -963,19 +968,27 @@ def embedding_avg_pool(spark, sf_dir):
                embedding
         FROM embeddings WHERE vec_id < 300
     )
+    , u AS (
+        SELECT vec_id,
+               CASE WHEN nrm > 0.0 THEN
+                   list_transform(embedding,
+                       x -> FLOOR(CAST(x AS DOUBLE) / nrm * 1000000.0) / 1000000.0)
+               ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS unit_q
+        FROM m
+    )
     SELECT vec_id,
-           CASE WHEN nrm > 0.0 THEN
-               list_transform(embedding,
-                   x -> FLOOR(CAST(x AS DOUBLE) / nrm * 1000000.0) / 1000000.0)
-           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS unit_q
-    FROM m
+           CAST(unnest(generate_series(1, len(unit_q))) - 1 AS INT) AS pos,
+           unnest(unit_q) AS v
+    FROM u
     """,
 )
 def embedding_l2_normalize(spark, sf_dir):
     """L2 normalization (unit vectors make cosine = dot): native
     transform/aggregate, zero shuffles. Both engines fold the squared
     sum sequentially (F.aggregate / list_reduce) so the norm is
-    bit-identical; outputs floor-quantized at 1e-6."""
+    bit-identical; outputs floor-quantized at 1e-6 and exploded to
+    (pos, v) scalar rows — the driver's canonicalizer cannot hash list
+    cells, and double→string formatting is not cross-engine stable."""
     from palo_spark.operators import normalize_embeddings
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
@@ -988,7 +1001,7 @@ def embedding_l2_normalize(spark, sf_dir):
             F.transform(F.col("unit"),
                         lambda x: F.floor(x * 1e6).cast("double") / 1e6),
         ).otherwise(F.col("unit")).alias("unit_q"),
-    )
+    ).select("vec_id", F.posexplode("unit_q").alias("pos", "v"))
 
 
 @q(

@@ -233,7 +233,7 @@ def scalar_math_funcs(spark, sf_dir):
            CAST(len(w) AS INT)                               AS n_words,
            w[1]                                              AS first_word,
            w[-1]                                             AS last_word,
-           list_slice(w, 2, 4)                               AS words_2_4,
+           array_to_string(list_slice(w, 2, 4), ',')         AS words_2_4,
            array_to_string(list_sort(list_distinct(w)), ',') AS vocab,
            CAST(list_position(w, 'the') AS INT)              AS the_pos,
            list_contains(w, 'the')                           AS has_the
@@ -251,7 +251,7 @@ def scalar_array_funcs(spark, sf_dir):
         F.size(w).alias("n_words"),
         F.element_at(w, 1).alias("first_word"),
         F.element_at(w, -1).alias("last_word"),
-        PF.array_slice(w, 2, 3).alias("words_2_4"),
+        F.array_join(PF.array_slice(w, 2, 3), ",").alias("words_2_4"),
         F.array_join(F.array_sort(F.array_distinct(w)), ",").alias("vocab"),
         F.coalesce(F.array_position(w, "the"), F.lit(0)).cast("int").alias("the_pos"),
         F.array_contains(w, "the").alias("has_the"),
@@ -513,11 +513,11 @@ def scalar_date_names(spark, sf_dir):
                 ELSE CAST(FLOOR((n_nationkey - 0.0) / 5.0) AS INT) + 1
            END AS bucket,
            FLOOR(cbrt(n_nationkey) * 1e6) / 1e6 AS cb,
-           generate_series(1, n_nationkey % 3 + 2) AS seq,
-           json_keys('{"' || n_name || '":1, "z":2}') AS jk,
-           list_transform(string_split(n_name, '_'), (x, i) ->
+           array_to_string(generate_series(1, n_nationkey % 3 + 2), ',') AS seq,
+           array_to_string(json_keys('{"' || n_name || '":1, "z":2}'), ',') AS jk,
+           array_to_string(list_transform(string_split(n_name, '_'), (x, i) ->
                len(list_filter(string_split(n_name, '_')[1:i], y -> y = x))
-           ) AS enum_uniq
+           ), ',') AS enum_uniq
     FROM nation
     """,
 )
@@ -539,11 +539,19 @@ def scalar_misc_batch3(spark, sf_dir):
         PF.bit_shift_right(F.col("n_nationkey") * 1000 + 7, 2).alias("shr2"),
         PF.width_bucket("n_nationkey", 0.0, 25.0, 5).cast("int").alias("bucket"),
         (F.floor(PF.cbrt("n_nationkey") * 1e6) / 1e6).alias("cb"),
-        PF.sequence(F.lit(1), F.col("n_nationkey") % 3 + 2).alias("seq"),
-        PF.json_keys(
-            F.concat(F.lit('{"'), F.col("n_name"), F.lit('":1, "z":2}'))
+        F.array_join(
+            PF.sequence(F.lit(1), F.col("n_nationkey") % 3 + 2).cast("array<string>"),
+            ",",
+        ).alias("seq"),
+        F.array_join(
+            PF.json_keys(
+                F.concat(F.lit('{"'), F.col("n_name"), F.lit('":1, "z":2}'))
+            ),
+            ",",
         ).alias("jk"),
-        PF.array_enumerate_uniq(F.split("n_name", "_")).alias("enum_uniq"),
+        F.array_join(
+            PF.array_enumerate_uniq(F.split("n_name", "_")).cast("array<string>"), ","
+        ).alias("enum_uniq"),
     )
 
 

@@ -370,20 +370,21 @@ def sketch_bitmap_hash_distinct(spark, sf_dir):
     """
     WITH s AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
     ordered AS (SELECT l_suppkey FROM s ORDER BY l_suppkey)
-    SELECT COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
-              FROM (SELECT l_suppkey FROM ordered LIMIT 5)), []::BIGINT[]) AS first5,
-           COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
+    SELECT array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
+              FROM (SELECT l_suppkey FROM ordered LIMIT 5)), []::BIGINT[]), ',') AS first5,
+           array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
               FROM (SELECT l_suppkey FROM ordered WHERE l_suppkey >= 50 LIMIT 5)),
-              []::BIGINT[]) AS from50_5,
-           COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
+              []::BIGINT[]), ',') AS from50_5,
+           array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
               FROM ordered WHERE l_suppkey >= 10 AND l_suppkey < 40),
-              []::BIGINT[]) AS range_10_40
+              []::BIGINT[]), ',') AS range_10_40
     """,
 )
 def sketch_bitmap_subset_ops(spark, sf_dir):
     """SUB_BITMAP / BITMAP_SUBSET_LIMIT / BITMAP_SUBSET_IN_RANGE —
     positional and range slicing of an ordered bitmap, materialized via
-    bitmap_to_array so the oracle can compare plain sorted lists."""
+    bitmap_to_array and serialized to CSV strings (the driver's pandas
+    canonicalizer cannot hash list cells)."""
     from palo_spark.functions.sketches import (
         bitmap_subset_in_range,
         bitmap_subset_limit,
@@ -396,8 +397,13 @@ def sketch_bitmap_subset_ops(spark, sf_dir):
         li.filter(F.col("l_returnflag") == "A")
         .agg(bitmap_union_of_values("l_suppkey").alias("bm"))
     )
+    def _csv(c):
+        return F.array_join(c.cast("array<string>"), ",")
+
     return bm.select(
-        bitmap_to_array(sub_bitmap(F.col("bm"), 0, 5)).alias("first5"),
-        bitmap_to_array(bitmap_subset_limit(F.col("bm"), 50, 5)).alias("from50_5"),
-        bitmap_to_array(bitmap_subset_in_range(F.col("bm"), 10, 40)).alias("range_10_40"),
+        _csv(bitmap_to_array(sub_bitmap(F.col("bm"), 0, 5))).alias("first5"),
+        _csv(bitmap_to_array(bitmap_subset_limit(F.col("bm"), 50, 5))).alias("from50_5"),
+        _csv(bitmap_to_array(bitmap_subset_in_range(F.col("bm"), 10, 40))).alias(
+            "range_10_40"
+        ),
     )

@@ -372,7 +372,12 @@ def events_sessionization(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(
             "user_id",
-            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(
+                # events.ts is TIMESTAMP_NTZ in the parquet, so the session
+                # window bounds come back NTZ too; unix_micros only accepts
+                # TIMESTAMP. The session is UTC, so the cast is exact.
+                F.col("session_window.start").cast("timestamp")
+            ).alias("session_start_us"),
             "n",
             "sum_value",
         )
