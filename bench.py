@@ -90,6 +90,8 @@ def main() -> None:
             except Exception as e:
                 print(f"bench: warmup {name} FAILED: {e}", file=sys.stderr)
 
+    from palo_spark.operators import release_persisted
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -102,6 +104,13 @@ def main() -> None:
         except Exception as e:  # never lose the whole bench to one query
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # release operator-internal persists + any stray cache so a
+            # query's leftovers never tax the NEXT query's memory (round-3
+            # lesson: leaked signature/term caches inflated later queries
+            # up to 10×; bench must measure clean-session behavior)
+            release_persisted()
+            spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {

@@ -13,6 +13,7 @@ at 100 TB:
                    image/audio libs are not in this environment).
 """
 
+from palo_spark.operators.cache import release_persisted  # noqa: F401
 from palo_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     dedup_exact_keep_best,
@@ -33,6 +34,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     similarity_topk,
     knn_join,
     lsh_bucket,
+    lsh_band_bits,
     similarity_topk_lsh,
     ivf_assign,
     train_centroids,

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from palo_spark.operators.cache import _persist
+
 
 def content_hash(col, *, normalize: bool = True):
     """64-bit content hash of a text column (xxhash64, JVM-side).
@@ -65,14 +67,26 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc
 def shingles(col, k: int = 5):
     """Character k-shingle set of a normalized text column.
 
-    ``sequence(1, len-k+1)`` + ``transform(substring)`` — generates the
-    shingle array without exploding rows; ``array_distinct`` dedups.
+    Built as a zip of k shifted slices of ONE char-split of the
+    normalized text — NOT ``transform(sequence, i -> substring(norm,
+    i, k))``: higher-order lambdas evaluate interpreted, so a ``norm``
+    expression inside the lambda body re-runs the lower+regexp
+    normalization for every shingle index (O(len²) per row). Here the
+    normalization appears only in the ``arrays_zip`` arguments
+    (constant evaluations per row); ``array_distinct`` dedups.
     """
     c = F.col(col) if isinstance(col, str) else col
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    # Java split keeps a trailing empty string at limit -1; slice to len
+    chars = F.slice(F.split(norm, ""), 1, F.greatest(F.length(norm), F.lit(1)))
+    m = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(chars, i + 1, m).alias(f"c{i}") for i in range(k)]
+    )
+    # concat_ws skips zip-padding NULLs → strings shorter than k yield
+    # the single truncated shingle, same as substring(norm, 1, k) did
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+        F.transform(zipped, lambda s: F.concat_ws("", *[s[f"c{i}"] for i in range(k)]))
     )
 
 
@@ -161,8 +175,9 @@ def dedup_minhash(
     # shingle→64-hash pipeline is recomputed per branch — measured 2.4×
     # slower. MEMORY_AND_DISK: spills instead of OOMing at scale; the
     # sketch (64 longs/doc) is tiny next to the corpus it indexes.
-    sh = sh.persist()
-    sig = sig.persist()
+    # Tracked in operators.cache — callers release via release_persisted().
+    sh = _persist(sh)
+    sig = _persist(sig)
     buckets = sig.select(
         "__id", "__sig", F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
     ).select("__id", "__sig", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
@@ -306,51 +321,52 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     *,
     threshold: float = 0.99,
-    n_planes: int = 32,
+    n_planes: int = 128,
     bands: int = 16,
     seed: int = 42,
     quantized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, LSH-bucketed.
 
-    Candidate generation: sign-LSH signature over ``n_planes``
-    deterministic hyperplanes, split into ``bands`` OR-amplified bands —
-    a self-join on ``(band_id, band_bits)``, never all-pairs (cf. the
-    MinHash design above; a cosine-0.99 pair lands in at least one
-    common band with probability 1 − (1 − (1−θ/π)^(planes/bands))^bands
-    ≈ 1 − 1e-9 at θ ≈ 8°). Candidates are then verified with the exact
-    cosine, so the output is hash-independent.
+    Candidate generation: banded sign-LSH over ``n_planes``
+    deterministic hyperplanes — a self-join on ``(band_id, band_bits)``,
+    never all-pairs. With the defaults (128 planes / 16 bands = 8 bits
+    per band) and threshold 0.99 (θ ≈ 8.1°, per-bit agreement
+    p = 1 − θ/π ≈ 0.955): a true pair shares a band with probability
+    1 − (1 − p⁸)¹⁶ ≈ 1 − 7e-9, while an uncorrelated pair collides in a
+    given band with probability ~2⁻⁸ — each band partitions the corpus
+    into up to 256 buckets, so expected candidates are ~bands·n²/2⁸·n
+    ≈ n²/16 only in the adversarial all-identical case and ~n·bands·
+    (n/2⁸) uniformly. At larger corpora raise bits-per-band toward
+    log₂(n) (e.g. 512 planes / 16 bands = 32 bits at 10⁹ vectors:
+    recall 1 − (1 − 0.955³²)¹⁶ ≈ 0.98, near-constant bucket occupancy);
+    the exact-cosine verify keeps the OUTPUT hash-independent either
+    way — only candidate volume, not correctness, is at stake.
 
     Returns (id_a, id_b, score) with id_a < id_b and score ≥ threshold.
     """
-    from palo_spark.operators.similarity import cosine_similarity, hyperplanes, lsh_bucket
+    from palo_spark.operators.similarity import (
+        cosine_similarity,
+        hyperplanes,
+        lsh_band_bits,
+    )
 
-    rows_per_band = n_planes // bands
     dim = len(df.select(vec_col).head()[0])
     planes = hyperplanes(dim, n_planes, seed)
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), planes).alias("__sig"),
-    ).persist()  # feeds both sides of the band self-join — compute once
-    band_key = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("__sig"), b * rows_per_band)
-                .bitwiseAND(F.lit((1 << rows_per_band) - 1))
-                .alias("bits"),
-            )
-            for b in range(bands)
-        ]
-    )
+    sig = _persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            lsh_band_bits(F.col(vec_col), planes, bands).alias("__bk"),
+        )
+    )  # feeds both sides of the band self-join — compute once
     # Band join carries IDs ONLY — the 16×-exploded shuffle would
     # otherwise ship every vector 16 times; vectors are re-attached to
     # the (deduped) candidate pairs from the persisted signature stage,
     # so each vector crosses the wire once per side of the verify join.
-    buckets = sig.select("__id", F.explode(band_key).alias("__b")).select(
-        "__id", F.col("__b.band").alias("__band"), F.col("__b.bits").alias("__bits")
+    buckets = sig.select(
+        "__id", F.posexplode("__bk").alias("__band", "__bits")
     )
     a = buckets.select(F.col("__id").alias("id_a"), "__band", "__bits")
     b = buckets.select(F.col("__id").alias("id_b"), "__band", "__bits")

@@ -914,12 +914,20 @@ def corpus_filter_pipeline(spark, sf_dir):
     q_ = (F.floor(quality_score("text") * 1e6).cast("double") / 1e6)
     rep = (F.floor(repetition_score(F.col("text"), n=2) * 1e6).cast("double") / 1e6)
     n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    # The nondeterministic __mid column is a predicate-pushdown barrier:
+    # without it Catalyst substitutes every signal expression into the
+    # Filter (evaluated interpreted — the repetition HOF has no codegen)
+    # AND keeps it in the Project, evaluating each giant expression
+    # twice per surviving row. With the barrier each signal is computed
+    # once and the filter runs on plain attributes. Output is unchanged
+    # (__mid is dropped).
     return (
         d.select("doc_id", "lang", n_tok.alias("n_tokens"), q_.alias("q"),
-                 rep.alias("rep_q"))
+                 rep.alias("rep_q"),
+                 F.monotonically_increasing_id().alias("__mid"))
         .filter((F.col("q") >= 0.7) & (F.col("rep_q") <= 0.05)
                 & F.col("n_tokens").between(20, 10000))
-        .drop("rep_q")
+        .drop("rep_q", "__mid")
     )
 
 
