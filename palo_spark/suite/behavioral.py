@@ -119,11 +119,31 @@ def behavioral_sequence_match(spark, sf_dir):
     )
 
 
-@q("behavioral_sequence_count")  # rows-only: adjacency semantics ≠ plain SQL
+@q(
+    "behavioral_sequence_count",
+    """
+    WITH f AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ), c AS (
+        SELECT user_id, COUNT(*) AS n FROM f
+        WHERE event_type = 'signup' AND nxt = 'purchase' GROUP BY user_id
+    )
+    SELECT u.user_id, CAST(COALESCE(c.n, 0) AS INT) AS n_matches
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN c USING (user_id)
+    """,
+)
 def behavioral_sequence_count(spark, sf_dir):
     """SEQUENCE_COUNT('(?1)(?2)', ts, signup, purchase): non-overlapping
     *adjacent* signup→purchase pairs in the condition-filtered event
-    stream — the regex-over-sequence kernel; exactness pytest-checked."""
+    stream — the regex-over-sequence kernel. Because the two pattern
+    symbols are mutually exclusive, non-overlapping minimal matches are
+    exactly the adjacent (signup, next-filtered-event=purchase) pairs,
+    which the oracle counts with one LEAD over the filtered stream
+    (exact given the fixture's tie-free (user_id, ts) pairs — verified;
+    deeper/overlapping patterns remain pytest territory)."""
     e = load_table(spark, sf_dir, "events")
     return sequence_count(
         e,
@@ -134,13 +154,104 @@ def behavioral_sequence_count(spark, sf_dir):
     )
 
 
-@q("behavioral_funnel_modes")  # rows-only: interrupt semantics ≠ plain SQL
+@q(
+    "behavioral_funnel_modes",
+    """
+    WITH tr AS (
+        SELECT user_id, ts, event_type,
+               LEAD(ts) OVER w AS nts, LEAD(event_type) OVER w AS ntype
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sp AS (
+        SELECT user_id, ts, event_type,
+               LEAD(ts) OVER w AS nts, LEAD(event_type) OVER w AS ntype
+        FROM events WHERE event_type IN ('signup', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    dedup2 AS (
+        SELECT DISTINCT user_id FROM sp
+        WHERE event_type = 'signup' AND ntype = 'purchase'
+          AND nts <= ts + INTERVAL 1 HOUR
+    ),
+    dedup3 AS (
+        SELECT DISTINCT s.user_id FROM sp s
+        JOIN tr p ON p.user_id = s.user_id AND p.ts = s.nts
+                 AND p.event_type = 'purchase'
+        WHERE s.event_type = 'signup' AND s.ntype = 'purchase'
+          AND s.nts <= s.ts + INTERVAL 1 HOUR
+          AND p.ntype = 'error' AND p.nts <= s.ts + INTERVAL 1 HOUR
+    ),
+    fixed2 AS (
+        SELECT DISTINCT user_id FROM tr
+        WHERE event_type = 'signup' AND ntype = 'purchase'
+          AND nts <= ts + INTERVAL 1 HOUR
+    ),
+    fixed3 AS (
+        SELECT DISTINCT s.user_id FROM tr s
+        JOIN tr p ON p.user_id = s.user_id AND p.ts = s.nts
+                 AND p.event_type = 'purchase'
+        WHERE s.event_type = 'signup' AND s.ntype = 'purchase'
+          AND s.nts <= s.ts + INTERVAL 1 HOUR
+          AND p.ntype = 'error' AND p.nts <= s.ts + INTERVAL 1 HOUR
+    ),
+    inc2 AS (
+        SELECT DISTINCT s.user_id FROM events s
+        JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+                     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
+    ),
+    inc3 AS (
+        SELECT DISTINCT s.user_id FROM events s
+        JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+                     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        JOIN events e ON e.user_id = s.user_id AND e.event_type = 'error'
+                     AND e.ts > p.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
+    ),
+    l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    SELECT u.user_id,
+           CAST(CASE WHEN d3.user_id IS NOT NULL THEN 3
+                     WHEN d2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS level_deduplication,
+           CAST(CASE WHEN f3.user_id IS NOT NULL THEN 3
+                     WHEN f2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS level_fixed,
+           CAST(CASE WHEN i3.user_id IS NOT NULL THEN 3
+                     WHEN i2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS level_increase
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN dedup3 d3 ON u.user_id = d3.user_id
+    LEFT JOIN dedup2 d2 ON u.user_id = d2.user_id
+    LEFT JOIN fixed3 f3 ON u.user_id = f3.user_id
+    LEFT JOIN fixed2 f2 ON u.user_id = f2.user_id
+    LEFT JOIN inc3 i3 ON u.user_id = i3.user_id
+    LEFT JOIN inc2 i2 ON u.user_id = i2.user_id
+    LEFT JOIN l1 ON u.user_id = l1.user_id
+    """,
+)
 def behavioral_funnel_modes(spark, sf_dir):
     """WINDOW_FUNNEL mode variants (Doris 'deduplication'/'fixed'/
     'increase') over the 3-step signup→purchase→error funnel: one row
-    per user with the level under each mode. Interrupt-mode exactness is
-    pytest-checked on hand-built sequences (tests/test_behavioral.py);
-    this entry keeps the kernels exercised on the real fixture."""
+    per user with the level under each mode.
+
+    Oracle closed forms (exact for a 3-step funnel on tie-free
+    timestamps — verified for the fixture):
+
+    - *increase*: greedy-first chaining is optimal for monotone chains,
+      so level ≥ k ⇔ ∃ s < p (< e) within s+window — plain joins.
+    - *deduplication*: a chain from signup s survives step 2 iff the
+      FIRST later signup-or-purchase event (error is not yet matched,
+      so it cannot interrupt) within the window is a purchase, and
+      survives step 3 iff the first later tracked event after that
+      purchase is an error — one LEAD over each filtered stream.
+    - *fixed*: same but ANY tracked condition out of order interrupts,
+      so both lookups use the full tracked stream.
+
+    Interrupt exactness on adversarial hand-built sequences stays
+    pytest-checked (tests/test_behavioral.py)."""
     e = load_table(spark, sf_dir, "events")
     conds = [
         F.col("event_type") == "signup",

