@@ -60,6 +60,7 @@ HEADLINE = [
     "text_chunk_documents",
     "mix_sources_weighted",
     "corpus_filter_pipeline",
+    "pipeline_pretraining_corpus",
 ]
 
 

@@ -1098,3 +1098,102 @@ def embedding_distance_metrics(spark, sf_dir):
         q6(l2_distance("ea", "eb")).alias("l2"),
         q6(cosine_distance("ea", "eb")).alias("cos_d"),
     )
+
+
+# ----------------------------------------------------- end-to-end pipeline
+
+
+@q(
+    "pipeline_pretraining_corpus",
+    r"""
+    WITH kept AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM (
+            SELECT doc_id, text,
+                   CAST(length(text) AS DOUBLE) AS n_chars_d,
+                   string_split(lower(trim(text)), ' ') AS words,
+                   CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                        AS DOUBLE) AS n_punct
+            FROM documents
+        )
+        WHERE len(words) BETWEEN 20 AND 10000
+          AND FLOOR((
+                least(n_chars_d / 500.0, 1.0) * 0.3
+                + (CASE WHEN n_chars_d / greatest(CAST(len(words) AS DOUBLE), 1.0)
+                          BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+                + greatest(0.0, 1.0 - (n_punct / greatest(n_chars_d, 1.0)) * 5.0) * 0.2
+                + least(CAST(len(list_filter(list_distinct(words), w -> list_contains(
+                    ['the','and','of','to','in','is','that','for','with','was'], w)))
+                    AS DOUBLE) / 3.0, 1.0) * 0.2
+              ) * 1000000.0) / 1000000.0 >= 0.5
+    ),
+    ch0 AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS s
+        FROM kept
+    ),
+    ch AS (
+        SELECT doc_id,
+               CAST((s - 1) / 24 AS INT) AS chunk_index,
+               array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk_text,
+               CAST(len(list_slice(toks, s, s + 31)) AS INT) AS n_tokens
+        FROM ch0
+    ),
+    dd AS (
+        SELECT doc_id, chunk_index, chunk_text, n_tokens,
+               doc_id * 1000 + chunk_index AS chunk_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lower(regexp_replace(trim(chunk_text), '\s+', ' ', 'g'))
+                   ORDER BY doc_id * 1000 + chunk_index
+               ) AS rn
+        FROM ch
+    )
+    SELECT doc_id, chunk_index, n_tokens,
+           CASE WHEN (CAST((((((CAST(chunk_id AS BIGINT) + 13) % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647.0) < 0.9 THEN 'train'
+                WHEN (CAST((((((CAST(chunk_id AS BIGINT) + 13) % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647.0) < 0.9500000000000001 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd WHERE rn = 1
+    """,
+)
+def pipeline_pretraining_corpus(spark, sf_dir):
+    """The full pre-training data path in ONE oracle-checked query:
+    quality/length filter → overlapping token-window chunking → exact
+    chunk dedup (normalized content hash, keep lowest chunk id) →
+    deterministic train/val/test split assignment.
+
+    Plan shape at 100 TB: the filter and chunk stages are narrow (scan
+    → posexplode, zero Exchange); dedup is ONE hash shuffle on the
+    chunk-content key; split assignment is a pure per-row function of
+    the chunk id (re-shard-stable, no leakage). The oracle replays
+    every stage in DuckDB; the content hash is mirrored by grouping on
+    the normalized chunk text itself (identical partitioning,
+    collision-free at fixture scale)."""
+    from pyspark.sql import Window
+
+    from palo_spark.operators.dedup import content_hash
+    from palo_spark.operators.sampling import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    q_ = F.floor(quality_score("text") * 1e6).cast("double") / 1e6
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    kept = (
+        d.select(
+            "doc_id", "text", q_.alias("__q"), n_tok.alias("__nt"),
+            F.monotonically_increasing_id().alias("__mid"),  # pushdown barrier
+        )
+        .filter((F.col("__q") >= 0.5) & F.col("__nt").between(20, 10000))
+        .select("doc_id", "text")
+    )
+    ch = chunk_documents(kept, chunk_size=32, overlap=8)
+    w = Window.partitionBy("__k").orderBy("__cid")
+    dd = (
+        ch.withColumn("__cid", F.col("doc_id") * 1000 + F.col("chunk_index"))
+        .withColumn("__k", content_hash("chunk_text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return assign_split(
+        dd, "__cid", {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=13, mode="minstd",
+    ).select("doc_id", "chunk_index", "n_tokens", "split")
