@@ -55,6 +55,8 @@ from palo_spark.operators.text import (  # noqa: F401
     redact_pii,
     repetition_score,
     decontaminate,
+    pack_sequences,
+    contamination_score,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -516,7 +516,8 @@ def resolve_dup_clusters(
     - per-round ``localCheckpoint`` truncates lineage (on a real
       cluster use ``spark.sparkContext.setCheckpointDir`` + rdd
       checkpointing for fault tolerance instead);
-    - convergence is detected with a count over changed labels only.
+    - convergence is detected with a limit-1 emptiness probe over
+      changed labels (short-circuits; never a full count).
 
     Returns ``(node, cluster)``, one row per distinct id in ``pairs``.
     """
@@ -534,7 +535,7 @@ def resolve_dup_clusters(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min label among neighbours
         nbr = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -547,22 +548,31 @@ def resolve_dup_clusters(
             F.least("cluster", F.coalesce("nbr_min", "cluster")).alias("cluster"),
             F.col("cluster").alias("prev"),
         )
-        # pointer jump: cluster <- label(cluster)
-        jump = labels.select(
-            F.col("node").alias("cluster"), F.col("cluster").alias("jump_min")
-        )
-        new_labels = (
-            stepped.join(jump, "cluster", "left")
-            .select(
-                "node",
-                F.least("cluster", F.coalesce("jump_min", "cluster")).alias("cluster"),
-                "prev",
+        if it == 0:
+            # round 1's pointer jump is identity (labels start as
+            # node=cluster) — skip the join entirely
+            new_labels = stepped.localCheckpoint(eager=True)
+        else:
+            # pointer jump: cluster <- label(cluster)
+            jump = labels.select(
+                F.col("node").alias("cluster"), F.col("cluster").alias("jump_min")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("cluster") != F.col("prev")).count()
+            new_labels = (
+                stepped.join(jump, "cluster", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "cluster", F.coalesce("jump_min", "cluster")
+                    ).alias("cluster"),
+                    "prev",
+                )
+                .localCheckpoint(eager=True)
+            )
+        # limit-1 emptiness probe, not a full count — convergence needs
+        # only "did anything change", and the probe short-circuits
+        changed = not new_labels.filter(F.col("cluster") != F.col("prev")).isEmpty()
         labels = new_labels.drop("prev")
-        if changed == 0:
+        if not changed:
             break
     return labels
 

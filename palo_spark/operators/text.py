@@ -347,6 +347,85 @@ def decontaminate(
     return df.join(dirty, id_col, "left_anti")
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    order_col: str = "chunk_id",
+    *,
+    max_tokens: int = 2048,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign chunks to fixed-budget training sequences (sequence
+    packing): chunks are laid out in ``order_col`` order as one
+    contiguous token stream (per ``part_cols`` partition, e.g. split);
+    sequence ``k`` owns every chunk whose starting token offset falls in
+    ``[k*max_tokens, (k+1)*max_tokens)`` — how packed pre-training
+    datasets are actually assembled (concatenate, slice at the context
+    boundary). Deterministic given the ordering; ONE window (running
+    sum) per partition, no Python. First-fit bin packing is inherently
+    sequential and order-dependent — offset packing is the
+    shuffle-parallel form with the same ~1 waste-chunk-per-boundary
+    bound.
+
+    Adds ``seq_id`` (per-partition sequence number) and ``seq_offset``
+    (the chunk's starting token offset within the stream).
+    """
+    parts = part_cols or []
+    w = Window.partitionBy(*parts).orderBy(order_col)
+    running = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("seq_offset", running.cast("bigint")).withColumn(
+        "seq_id", F.floor(F.col("seq_offset") / F.lit(max_tokens)).cast("int")
+    )
+
+
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination FRACTION against a benchmark set:
+    |distinct word n-grams ∩ benchmark grams| / |distinct grams|
+    (0.0 for docs shorter than n tokens' worth of grams that match
+    nothing). :func:`decontaminate` is the binary keep/drop form; the
+    score lets a pipeline rank partial overlaps instead (audit before
+    delete). Same inverted-index shape: the doc and the benchmark only
+    meet on grams they share (broadcast semi-join at scale, benchmark
+    side is small by construction); two keyed aggs on the doc id.
+
+    Returns (id_col, n_grams, n_hits, contamination).
+    """
+    corpus = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g"),
+    )
+    bench = benchmark.select(
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g")
+    ).distinct()
+    totals = corpus.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus.join(bench, "__g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast("double")
+            ).alias("contamination"),
+        )
+    )
+
+
 def match_phrase(col, query: str):
     """Doris inverted-index ``MATCH_PHRASE``: the query tokens appear
     adjacent and in order after tokenization. Spark-first: collapse

@@ -1197,3 +1197,103 @@ def pipeline_pretraining_corpus(spark, sf_dir):
         dd, "__cid", {"train": 0.9, "val": 0.05, "test": 0.05},
         seed=13, mode="minstd",
     ).select("doc_id", "chunk_index", "n_tokens", "split")
+
+
+@q(
+    "text_pack_sequences",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 300
+    ),
+    ch0 AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+        FROM toks
+    ),
+    ch AS (
+        SELECT doc_id * 1000 + CAST((s - 1) / 24 AS INT) AS chunk_id,
+               CAST(doc_id % 4 AS INT) AS shard,
+               CAST(len(list_slice(t, s, s + 31)) AS INT) AS n_tokens
+        FROM ch0
+    )
+    SELECT chunk_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS seq_offset,
+           CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 256.0) AS INT) AS seq_id
+    FROM ch
+    WINDOW w AS (PARTITION BY shard ORDER BY chunk_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing: chunks laid out as a contiguous token stream
+    per shard; sequence k owns chunks starting in [k*256, (k+1)*256) —
+    the concat-and-slice-at-context-boundary assembly of packed
+    pre-training batches. One running-sum window per shard (shuffle on
+    the shard key only — the global-stream form would serialize on one
+    partition, so pipelines shard first)."""
+    from palo_spark.operators import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = (
+        chunk_documents(d, chunk_size=32, overlap=8)
+        .withColumn("chunk_id", F.col("doc_id") * 1000 + F.col("chunk_index"))
+        .withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+    )
+    return pack_sequences(
+        ch, "n_tokens", "chunk_id", max_tokens=256, part_cols=["shard"]
+    ).select("chunk_id", "shard", "n_tokens", "seq_offset", "seq_id")
+
+
+@q(
+    "text_contamination_score",
+    """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 300
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    ),
+    cg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM corpus)
+    ),
+    bg AS (
+        SELECT DISTINCT
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g
+        FROM (SELECT string_split(lower(trim(text)), ' ') AS t FROM bench)
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+    hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM cg
+            WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+               / greatest(COALESCE(t.n_grams, 0), 1) AS contamination
+    FROM corpus c
+    LEFT JOIN tot t ON c.doc_id = t.doc_id
+    LEFT JOIN hit h ON c.doc_id = h.doc_id
+    """,
+)
+def text_contamination_score(spark, sf_dir):
+    """Fractional eval contamination per document (|∩ benchmark
+    8-grams| / |distinct 8-grams|): the audit-and-rank form of
+    decontamination — spliced benchmark copies score 1.0, clean docs
+    0.0, partial overlaps in between. Inverted-index joins only; the
+    benchmark gram set broadcasts."""
+    from palo_spark.operators import contamination_score
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    corpus = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+        .select("doc_id", "text")
+        .unionByName(bench.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    )
+    return contamination_score(corpus, bench, n=8)

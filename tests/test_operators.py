@@ -506,3 +506,41 @@ def test_resolve_dup_clusters_random_graphs(spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["node"]: r["cluster"] for r in resolve_dup_clusters(df).collect()}
     assert got == expected_parent
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    from palo_spark.operators import pack_sequences
+
+    rows = [(i, 1, 100) for i in range(10)]  # 10 chunks x 100 tokens, one shard
+    df = spark.createDataFrame(rows, "chunk_id int, shard int, n_tokens int")
+    out = (
+        pack_sequences(df, "n_tokens", "chunk_id", max_tokens=256, part_cols=["shard"])
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # offsets are the running token stream; seq k owns starts in [256k, 256k+256)
+    assert [r["seq_offset"] for r in out] == [i * 100 for i in range(10)]
+    assert [r["seq_id"] for r in out] == [(i * 100) // 256 for i in range(10)]
+    # every sequence's owned chunks START within budget
+    for r in out:
+        assert r["seq_offset"] - r["seq_id"] * 256 < 256
+
+
+def test_contamination_score_bounds(spark, sf_dir):
+    from palo_spark.catalog import load_table
+    from palo_spark.operators import contamination_score
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    corpus = (
+        d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("doc_id", "text")
+        .unionByName(bench.withColumn("doc_id", F.col("doc_id") + F.lit(777000)))
+    )
+    got = {r["doc_id"]: r for r in contamination_score(corpus, bench, n=8).collect()}
+    # planted benchmark copies are fully contaminated; all scores in [0, 1]
+    for i in range(10):
+        r = got[777000 + i]
+        if r["n_grams"] > 0:
+            assert r["contamination"] == 1.0
+    assert all(0.0 <= r["contamination"] <= 1.0 for r in got.values())
