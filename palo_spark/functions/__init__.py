@@ -1314,3 +1314,162 @@ def e() -> Column:
 def pi() -> Column:
     """Doris ``PI()``."""
     return F.lit(3.141592653589793)
+
+
+# ----------------------------------------------------------- scalar batch 5
+
+
+def overlay(s, pos, length, newstr) -> Column:
+    """Doris ``OVERLAY(str, pos, len, newstr)`` (MySQL INSERT): replace
+    ``len`` chars starting at 1-based ``pos`` with ``newstr``. Spark's
+    native ``overlay`` takes (src, replace, pos, len) — argument order
+    shim only."""
+    return F.overlay(_c(s), _c(newstr) if not isinstance(newstr, str) else F.lit(newstr),
+                     _lit(pos), _lit(length))
+
+
+def bit_count(c) -> Column:
+    """Doris ``BIT_COUNT(x)`` — number of set bits."""
+    return F.bit_count(_c(c))
+
+
+def multi_search_all_positions(s, needles) -> Column:
+    """Doris/ClickHouse ``MULTI_SEARCH_ALL_POSITIONS(haystack,
+    [needle...])`` — array of 1-based first positions, 0 where absent.
+    One native ``instr`` per needle, no UDF."""
+    return F.array(*[F.instr(_c(s), n) for n in needles])
+
+
+def ngram_search(text, pattern: str, n: int = 4) -> Column:
+    """Doris ``NGRAM_SEARCH(text, pattern, gram_num)`` — character
+    n-gram containment of the (constant) pattern in the text:
+    |distinct pattern grams ∩ distinct text grams| / |distinct pattern
+    grams|, in [0, 1]. The pattern-side grams are computed driver-side
+    (it is a literal); the text side reuses the zip-of-slices shingle
+    machinery — per-row native expressions only. (Doris's exact
+    similarity normalization is not publicly specified beyond "n-gram
+    similarity"; containment is the stable, order-free choice and is
+    what the oracle mirrors.)"""
+    from palo_spark.operators.dedup import shingles
+
+    grams = sorted({pattern[i : i + n] for i in range(max(len(pattern) - n + 1, 1))})
+    if not grams:
+        return F.lit(0.0)
+    g = F.array(*[F.lit(x) for x in grams])
+    inter = F.size(F.array_intersect(shingles(_c(text), n), g))
+    return inter.cast("double") / F.lit(float(len(grams)))
+
+
+#: Doris URL-name aliases over the parse_url family
+domain = url_domain
+protocol = url_protocol
+
+
+def domain_without_www(url) -> Column:
+    """Doris ``DOMAIN_WITHOUT_WWW(url)``."""
+    return F.regexp_replace(url_domain(url), r"^www\.", "")
+
+
+def top_level_domain(url) -> Column:
+    """Doris ``TOP_LEVEL_DOMAIN(url)`` — last label of the host (''
+    when the host is empty/IP-like with no dot)."""
+    h = url_domain(url)
+    return F.when(
+        h.rlike(r"\.[A-Za-z][A-Za-z0-9-]*$"), F.regexp_extract(h, r"\.([^.]+)$", 1)
+    ).otherwise(F.lit(""))
+
+
+def cut_to_first_significant_subdomain(url) -> Column:
+    """ClickHouse/Doris ``CUT_TO_FIRST_SIGNIFICANT_SUBDOMAIN``:
+    ``a.b.example.com`` → ``example.com``. Simplification: the last two
+    host labels (no public-suffix list is bundled in this environment;
+    two-label effective TLDs like ``co.uk`` are documented out of
+    scope)."""
+    h = domain_without_www(url)
+    parts = F.split(h, r"\.")
+    np = F.size(parts)
+    return F.when(np >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))).otherwise(h)
+
+
+def first_significant_subdomain(url) -> Column:
+    """ClickHouse/Doris ``FIRST_SIGNIFICANT_SUBDOMAIN``:
+    ``a.b.example.com`` → ``example`` (same two-label simplification as
+    :func:`cut_to_first_significant_subdomain`)."""
+    h = domain_without_www(url)
+    parts = F.split(h, r"\.")
+    np = F.size(parts)
+    return F.when(np >= 2, F.element_at(parts, -2)).otherwise(h)
+
+
+def next_day(d, day_of_week: str) -> Column:
+    """Doris ``NEXT_DAY(date, dow)`` — first ``dow`` strictly after?
+    Spark's next_day (first later occurrence, exclusive) matches the
+    MySQL/Doris contract."""
+    return F.next_day(_c(d), day_of_week)
+
+
+def months_between(a, b) -> Column:
+    """Doris ``MONTHS_BETWEEN`` — fractional months, Spark-native."""
+    return F.months_between(_c(a), _c(b))
+
+
+def _tsdiff(unit: str, e, s) -> Column:
+    # timestamp_diff requires TIMESTAMP operands (DATE is not implicitly
+    # coerced), and computes complete units — MySQL TIMESTAMPDIFF
+    return F.timestamp_diff(
+        unit, _c(s).cast("timestamp"), _c(e).cast("timestamp")
+    ).cast("bigint")
+
+
+def years_diff(e, s) -> Column:
+    """Doris ``YEARS_DIFF(end, start)`` — complete years between."""
+    return _tsdiff("year", e, s)
+
+
+def months_diff(e, s) -> Column:
+    """Doris ``MONTHS_DIFF(end, start)`` — complete months between."""
+    return _tsdiff("month", e, s)
+
+
+def weeks_diff(e, s) -> Column:
+    """Doris ``WEEKS_DIFF(end, start)`` — complete weeks between."""
+    return _tsdiff("week", e, s)
+
+
+def hours_diff(e, s) -> Column:
+    """Doris ``HOURS_DIFF(end, start)`` — complete hours between."""
+    return _tsdiff("hour", e, s)
+
+
+def minutes_diff(e, s) -> Column:
+    """Doris ``MINUTES_DIFF(end, start)``."""
+    return _tsdiff("minute", e, s)
+
+
+def seconds_diff(e, s) -> Column:
+    """Doris ``SECONDS_DIFF(end, start)``."""
+    return _tsdiff("second", e, s)
+
+
+array_repeat = F.array_repeat  #: Doris ``ARRAY_REPEAT(value, count)``
+
+
+def is_ip_address_in_range(ip, cidr: str) -> Column:
+    """Doris ``IS_IP_ADDRESS_IN_RANGE(ip, 'a.b.c.d/p')`` — IPv4 CIDR
+    membership as pure integer math on the dotted-quad value (prefix
+    compare via right-shift; p=0 matches everything)."""
+    base_s, _, plen_s = cidr.partition("/")
+    plen = int(plen_s)
+    if not 0 <= plen <= 32:
+        raise ValueError(f"bad prefix length in {cidr!r}")
+    if plen == 0:
+        return ipv4_string_to_num(_c(ip)).isNotNull()
+    shift = 32 - plen
+    base = ipv4_string_to_num(F.lit(base_s))
+    return F.shiftright(ipv4_string_to_num(_c(ip)), shift) == F.shiftright(base, shift)
+
+
+def version() -> Column:
+    """Doris ``VERSION()`` — reported as the underlying Spark version
+    (this engine IS Spark; there is no MySQL wire protocol to mimic)."""
+    return F.version()

@@ -625,3 +625,101 @@ def scalar_misc_batch4(spark, sf_dir):
         q6(PF2.log10("o_totalprice")).alias("l10"),
         PF2.factorial((F.col("o_orderkey") % 10).cast("int")).alias("fact"),
     )
+
+
+@q(
+    "scalar_misc_batch5",
+    r"""
+    WITH base AS (
+        SELECT n_nationkey, n_name,
+               'https://www.' || lower(replace(replace(n_name, ' ', ''), '_', '')) ||
+                   '.example.co/p?q=' || n_nationkey AS url,
+               DATE '1998-12-01' AS e,
+               DATE '1995-03-07' + CAST(n_nationkey * 40 AS INTEGER) AS s,
+               '10.' || CAST(n_nationkey AS VARCHAR) || '.3.7' AS ip
+        FROM nation
+    ), h AS (
+        SELECT *, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_replace(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                              '^www\.', '') AS dww0,
+               datediff('day', s, e) AS dd,
+               (12 * year(e) + month(e)) - (12 * year(s) + month(s))
+                   - CASE WHEN day(e) < day(s) THEN 1 ELSE 0 END AS mc
+        FROM base
+    )
+    SELECT n_nationkey,
+           substr(n_name, 1, 1) || 'xyz' || substr(n_name, 5) AS ov,
+           CAST(bit_count(n_nationkey) AS INT) AS bc,
+           array_to_string([CAST(instr(n_name, 'AN') AS INT),
+                            CAST(instr(n_name, 'IA') AS INT),
+                            CAST(instr(n_name, 'ZZZ') AS INT)], ',') AS msap,
+           CAST(len(list_filter(['uni', 'nit', 'ite', 'ted'],
+                g -> contains(lower(n_name), g))) AS DOUBLE) / 4.0 AS ngs,
+           'https' AS proto,
+           host AS dom,
+           dww0 AS dww,
+           'co' AS tld,
+           'example' AS fsd,
+           'example.co' AS cutfsd,
+           s + CAST(CASE WHEN (8 - isodow(s)) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(s)) % 7 END AS INTEGER) AS nd,
+           CAST(FLOOR(mc / 12.0) AS BIGINT) AS ydiff,
+           CAST(mc AS BIGINT) AS mdiff,
+           CAST(dd // 7 AS BIGINT) AS wdiff,
+           CAST(dd * 24 AS BIGINT) AS hdiff,
+           CAST(dd * 86400 AS BIGINT) AS sdiff,
+           (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+            + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+            + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+            + CAST(string_split(ip, '.')[4] AS BIGINT)) // 524288
+               = (10 * 16777216 + 8 * 65536) // 524288 AS ipr,
+           array_to_string([n_name, n_name], ',') AS arep
+    FROM h
+    """,
+)
+def scalar_misc_batch5(spark, sf_dir):
+    """Scalar batch 5: OVERLAY, BIT_COUNT, MULTI_SEARCH_ALL_POSITIONS,
+    NGRAM_SEARCH, URL family (PROTOCOL/DOMAIN/DOMAIN_WITHOUT_WWW/
+    TOP_LEVEL_DOMAIN/FIRST_SIGNIFICANT_SUBDOMAIN + CUT), NEXT_DAY,
+    YEARS/MONTHS/WEEKS/HOURS/SECONDS_DIFF (complete-unit TIMESTAMPDIFF
+    semantics, mirrored in DuckDB via calendar arithmetic),
+    IS_IP_ADDRESS_IN_RANGE (10.x.3.7 vs 10.8.0.0/13), ARRAY_REPEAT."""
+    n = load_table(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://www."),
+        F.lower(F.regexp_replace("n_name", "[ _]", "")),
+        F.lit(".example.co/p?q="), F.col("n_nationkey").cast("string"),
+    )
+    b = n.select(
+        "n_nationkey", "n_name", url.alias("url"),
+        F.lit("1998-12-01").cast("date").alias("e"),
+        F.date_add(F.lit("1995-03-07").cast("date"),
+                   (F.col("n_nationkey") * 40).cast("int")).alias("s"),
+        F.concat(F.lit("10."), F.col("n_nationkey").cast("string"),
+                 F.lit(".3.7")).alias("ip"),
+    )
+    return b.select(
+        "n_nationkey",
+        PF.overlay("n_name", 2, 3, "xyz").alias("ov"),
+        PF.bit_count("n_nationkey").cast("int").alias("bc"),
+        F.array_join(
+            PF.multi_search_all_positions("n_name", ["AN", "IA", "ZZZ"])
+            .cast("array<string>"), ",").alias("msap"),
+        PF.ngram_search("n_name", "united", n=3).alias("ngs"),
+        PF.protocol("url").alias("proto"),
+        PF.domain("url").alias("dom"),
+        PF.domain_without_www("url").alias("dww"),
+        PF.top_level_domain("url").alias("tld"),
+        PF.first_significant_subdomain("url").alias("fsd"),
+        PF.cut_to_first_significant_subdomain("url").alias("cutfsd"),
+        # cast for comparison only: DuckDB DATE arrives as midnight
+        # datetime64 in pandas, Spark DateType as date
+        PF.next_day("s", "MO").cast("timestamp").alias("nd"),
+        PF.years_diff("e", "s").alias("ydiff"),
+        PF.months_diff("e", "s").alias("mdiff"),
+        PF.weeks_diff("e", "s").alias("wdiff"),
+        PF.hours_diff("e", "s").alias("hdiff"),
+        PF.seconds_diff("e", "s").alias("sdiff"),
+        PF.is_ip_address_in_range("ip", "10.8.0.0/13").alias("ipr"),
+        F.array_join(PF.array_repeat(F.col("n_name"), 2), ",").alias("arep"),
+    )

@@ -318,3 +318,30 @@ def test_running_difference(spark):
     got = {(r["g"], r["i"]): r["d"] for r in df.collect()}
     assert got == {("a", 1): 0.0, ("a", 2): 3.0, ("a", 3): -1.5,
                    ("b", 1): 0.0, ("b", 2): -3.0}
+
+
+def test_scalar_batch5_edges(spark):
+    """Batch-5 edges not exercised by the oracle entry: ngram_search
+    full/zero containment, CIDR /32 and /0, months_between fraction,
+    version() smoke."""
+    from pyspark.sql import functions as F
+
+    from palo_spark import functions as PF
+
+    df = spark.createDataFrame(
+        [("the united states", "10.8.0.1"), ("zzz", "11.0.0.1")], ["t", "ip"]
+    )
+    r = df.select(
+        PF.ngram_search("t", "united", n=3).alias("ngs"),
+        PF.is_ip_address_in_range("ip", "10.8.0.0/13").alias("in13"),
+        PF.is_ip_address_in_range("ip", "10.8.0.1/32").alias("in32"),
+        PF.is_ip_address_in_range("ip", "0.0.0.0/0").alias("in0"),
+        PF.months_between(F.lit("2024-03-15"), F.lit("2024-01-15")).alias("mb"),
+        PF.version().alias("v"),
+    ).collect()
+    assert r[0]["ngs"] == 1.0 and r[1]["ngs"] == 0.0
+    assert r[0]["in13"] is True and r[1]["in13"] is False
+    assert r[0]["in32"] is True and r[1]["in32"] is False
+    assert r[0]["in0"] is True and r[1]["in0"] is True
+    assert r[0]["mb"] == 2.0
+    assert r[0]["v"].startswith("4.")
