@@ -160,3 +160,48 @@ def jdbc_sink(df: DataFrame, url: str, table: str, mode: str = "append", **optio
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).mode(mode).save()
+
+
+def create_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str | list[str],
+    buckets: int = 8,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed+sorted managed table — the Spark
+    analog of Doris's hash-distributed tablets (``DISTRIBUTED BY
+    HASH(key) BUCKETS n``).
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle: each scan task reads exactly one bucket's
+    files per side and the SortMergeJoin runs Exchange-free (pinned by
+    ``tests/test_plans.py::test_bucketed_join_has_no_exchange``). At
+    100 TB this is the difference between re-shuffling the fact table
+    on every join and co-locating it once at write time; aggregations
+    keyed on the bucket columns also skip their Exchange.
+    """
+    import os
+    import shutil
+
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    # the default in-memory catalog forgets tables across sessions while
+    # their warehouse directories persist on disk; clear both so a fresh
+    # session can recreate the table (saveAsTable refuses a stale
+    # location otherwise: LOCATION_ALREADY_EXISTS)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .mode(mode)
+        .saveAsTable(name)
+    )

@@ -214,3 +214,43 @@ def meta_scan_columns(spark, sf_dir):
         for f in load_table(spark, sf_dir, t).schema.fields:
             rows.append((t, f.name))
     return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+@q(
+    "bucketed_colocated_join",
+    f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {__import__("palo_spark.suite.util", fromlist=["o_dsum"]).o_dsum("o.o_totalprice")} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Doris ``DISTRIBUTED BY HASH(key) BUCKETS n`` analog: customer and
+    orders written bucketed+sorted on the customer key, then joined —
+    bucketed scans feed the SortMergeJoin with NO shuffle on either side
+    (Exchange-free plan pinned by tests/test_plans.py::
+    test_bucketed_join_has_no_exchange; here the values are
+    oracle-checked against the plain parquet join). The write cost is
+    paid once at load; every subsequent join/agg on the bucket key
+    rides it."""
+    from palo_spark.sources import create_bucketed_table
+    from palo_spark.suite.util import dsum
+
+    create_bucketed_table(
+        load_table(spark, sf_dir, "customer"), "bkt_customer", "c_custkey", 8
+    )
+    create_bucketed_table(
+        load_table(spark, sf_dir, "orders"), "bkt_orders", "o_custkey", 8
+    )
+    c = spark.table("bkt_customer")
+    o = spark.table("bkt_orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -293,3 +293,44 @@ def test_chunking_is_narrow(spark, sf_dir):
     plan = plan_of(chunk_documents(d))
     assert "Exchange" not in plan
     assert "Generate" in plan  # posexplode stays a native generator
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on their join keys with equal bucket counts
+    must SortMergeJoin with ZERO shuffles — the co-located join that
+    replaces per-query re-distribution of the fact table at scale."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.sources import create_bucketed_table
+
+    create_bucketed_table(
+        load_table(spark, sf_dir, "customer"), "bkt_plan_cust", "c_custkey", 4
+    )
+    create_bucketed_table(
+        load_table(spark, sf_dir, "orders"), "bkt_plan_ord", "o_custkey", 4
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so the assertion is about bucketing,
+        # not about the fixture being broadcast-small
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        c = spark.table("bkt_plan_cust")
+        o = spark.table("bkt_plan_ord")
+        j = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+            "c_custkey", "o_orderkey"
+        )
+        j.collect()  # run through AQE so the final plan is the real one
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        # and a groupBy on the bucket key skips its Exchange too
+        g = spark.table("bkt_plan_ord").groupBy("o_custkey").agg(F.count("*"))
+        g.collect()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        # unset → falls back to the non-adaptive threshold again
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
