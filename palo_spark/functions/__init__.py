@@ -81,6 +81,18 @@ __all__ = [
     "microseconds_add", "microseconds_diff",
     "extract_url_parameter", "url_domain", "url_protocol",
     "running_difference", "e", "pi",
+    # scalar batch 5
+    "overlay", "bit_count", "multi_search_all_positions", "ngram_search",
+    "domain", "protocol", "domain_without_www", "top_level_domain",
+    "first_significant_subdomain", "cut_to_first_significant_subdomain",
+    "next_day", "months_between", "years_diff", "months_diff", "weeks_diff",
+    "hours_diff", "minutes_diff", "seconds_diff", "array_repeat",
+    "is_ip_address_in_range", "version",
+    # aggregate name surface
+    "any_value", "collect_list", "collect_set", "stddev_samp", "stddev_pop",
+    "variance_samp", "variance_pop", "covar_samp", "covar_pop", "corr",
+    "median", "percentile", "percentile_approx", "approx_count_distinct",
+    "ndv", "min_by", "max_by", "sum0", "group_concat", "topn_array",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -1473,3 +1485,69 @@ def version() -> Column:
     """Doris ``VERSION()`` — reported as the underlying Spark version
     (this engine IS Spark; there is no MySQL wire protocol to mimic)."""
     return F.version()
+
+
+# ------------------------------------------------- aggregate name surface
+# Doris aggregate-function names as callables (SURVEY §2.4). The suite's
+# agg_* entries exercise the semantics; these give a migrating Doris user
+# the NAMES. All are thin native mappings — no Python in the agg path.
+
+any_value = F.any_value  #: Doris ``ANY_VALUE`` / ``ANY``
+collect_list = F.collect_list  #: Doris ``COLLECT_LIST`` / ``ARRAY_AGG``
+collect_set = F.collect_set  #: Doris ``COLLECT_SET``
+stddev_samp = F.stddev_samp  #: Doris ``STDDEV_SAMP``
+stddev_pop = F.stddev_pop  #: Doris ``STDDEV`` / ``STDDEV_POP``
+variance_samp = F.var_samp  #: Doris ``VARIANCE_SAMP`` / ``VAR_SAMP``
+variance_pop = F.var_pop  #: Doris ``VARIANCE`` / ``VAR_POP``
+covar_samp = F.covar_samp  #: Doris ``COVAR_SAMP``
+covar_pop = F.covar_pop  #: Doris ``COVAR`` / ``COVAR_POP``
+corr = F.corr  #: Doris ``CORR``
+median = F.median  #: Doris ``MEDIAN``
+percentile = F.percentile  #: Doris ``PERCENTILE`` (exact)
+percentile_approx = F.percentile_approx  #: Doris ``PERCENTILE_APPROX``
+approx_count_distinct = F.approx_count_distinct  #: Doris ``APPROX_COUNT_DISTINCT``
+ndv = F.approx_count_distinct  #: Doris ``NDV``
+min_by = F.min_by  #: Doris ``MIN_BY``
+max_by = F.max_by  #: Doris ``MAX_BY``
+
+
+def sum0(c) -> Column:
+    """Doris ``SUM0`` — SUM that yields 0 (not NULL) on empty/all-NULL
+    input."""
+    return F.coalesce(F.sum(_c(c)), F.lit(0))
+
+
+def group_concat(c, sep: str = ", ", *, distinct: bool = False) -> Column:
+    """Doris ``GROUP_CONCAT([DISTINCT] col [, sep] [ORDER BY ...])``.
+
+    Upstream's un-ordered form is nondeterministic under parallel
+    merge; this implementation always sorts (equivalent to Doris
+    ``ORDER BY col``) so the result is stable on any partitioning —
+    the only form that makes sense on a cluster."""
+    agg = F.collect_set(_c(c)) if distinct else F.collect_list(_c(c))
+    return F.array_join(F.array_sort(agg), sep)
+
+
+def topn_array(c, k: int) -> Column:
+    """Doris ``TOPN_ARRAY(col, k)`` — the k most frequent values as an
+    array (exact, not the sketch estimate): counts folded from a
+    collected multiset per group. For large/heavy groups prefer the
+    two-level sub-aggregate form (``agg_topn_values`` in the suite) —
+    this Column form materializes the group's distinct values in one
+    aggregation buffer, which is fine for bounded-cardinality columns
+    only."""
+    col = _c(c)
+    vals = F.array_sort(F.array_distinct(F.collect_list(col)))
+    counted = F.transform(
+        vals,
+        lambda v: F.struct(
+            F.aggregate(
+                F.collect_list(col),
+                F.lit(0),
+                lambda acc, x: acc + F.when(x == v, 1).otherwise(0),
+            ).alias("n"),
+            v.alias("v"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(counted))
+    return F.transform(F.slice(ranked, 1, k), lambda s: s["v"])

@@ -562,3 +562,53 @@ def agg_group_array_intersect(spark, sf_dir):
             F.array_join(group_array_intersect("words"), ",").alias("common_words")
         )
     )
+
+
+@q(
+    "agg_name_surface",
+    """
+    WITH pool AS (
+        SELECT c_mktsegment, c_nationkey, c_acctbal FROM customer
+        WHERE c_custkey <= 600
+    )
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS VARCHAR))),
+                           '|') AS nations,
+           CAST(length(c_mktsegment) AS INT) AS seg_len,
+           COALESCE(SUM(CASE WHEN c_acctbal > 99999999 THEN c_acctbal END), 0)
+               AS sum0_big,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd,
+           ROUND(VAR_POP(c_acctbal), 4) AS vp,
+           ROUND(MEDIAN(c_acctbal), 4) AS med,
+           MIN(c_nationkey) FILTER (WHERE c_acctbal = (
+               SELECT MIN(p2.c_acctbal) FROM pool p2
+               WHERE p2.c_mktsegment = pool.c_mktsegment)) AS nat_of_min_bal
+    FROM pool
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_name_surface(spark, sf_dir):
+    """The Doris aggregate NAME surface (`palo_spark.functions`):
+    GROUP_CONCAT(DISTINCT, sorted), ANY_VALUE (over a group-constant
+    expression, so deterministic), SUM0 on an empty slice, STDDEV_SAMP /
+    VARIANCE_POP / MEDIAN, MIN_BY (min-tie broken by taking MIN of the
+    candidates in the oracle — the fixture has unique minima per
+    segment). Semantics of each are covered by the dedicated agg_*
+    entries; this pins the callable names a migrating Doris user
+    reaches for."""
+    from palo_spark import functions as PF
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    return c.groupBy("c_mktsegment").agg(
+        PF.group_concat(
+            F.col("c_nationkey").cast("string"), "|", distinct=True
+        ).alias("nations"),
+        PF.any_value(F.length("c_mktsegment")).cast("int").alias("seg_len"),
+        PF.sum0(
+            F.when(F.col("c_acctbal") > 99999999, F.col("c_acctbal"))
+        ).alias("sum0_big"),
+        F.round(PF.stddev_samp("c_acctbal"), 4).alias("sd"),
+        F.round(PF.variance_pop("c_acctbal"), 4).alias("vp"),
+        F.round(PF.median("c_acctbal"), 4).alias("med"),
+        PF.min_by("c_nationkey", "c_acctbal").alias("nat_of_min_bal"),
+    )

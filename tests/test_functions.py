@@ -345,3 +345,15 @@ def test_scalar_batch5_edges(spark):
     assert r[0]["in0"] is True and r[1]["in0"] is True
     assert r[0]["mb"] == 2.0
     assert r[0]["v"].startswith("4.")
+
+
+def test_topn_array_exact_frequencies(spark):
+    from pyspark.sql import functions as F
+
+    from palo_spark import functions as PF
+
+    df = spark.createDataFrame(
+        [(1, v) for v in ["a", "b", "a", "c", "a", "b", "d"]], ["g", "v"]
+    )
+    r = df.groupBy("g").agg(PF.topn_array("v", 2).alias("top")).collect()[0]
+    assert r["top"] == ["a", "b"]  # a x3, b x2
