@@ -334,3 +334,46 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         # unset → falls back to the non-adaptive threshold again
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join posture must actually fire: joining a
+    heavily skewed fact side (one key owning ~all rows) against a dim
+    must mark the SortMergeJoin skew=true and split the hot partition —
+    the runtime answer to hot keys at 100 TB (no manual salting needed
+    for joins; salting remains for pandas-UDAF aggs)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # shrink thresholds so the fixture-sized skew triggers the split
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            # ~99% of rows land on key 7
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+        )
+        j = fact.join(dim, "k").select("k", "name", "pad")
+        # collect() on THIS df so its own query execution is the one
+        # AQE finalizes (count()/write() spawn separate executions)
+        plan = executed_plan_of(j)
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
