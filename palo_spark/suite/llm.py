@@ -162,13 +162,30 @@ def dedup_minhash_fuzzy(spark, sf_dir):
     )
 
 
-@q("dedup_simhash_docs")  # rows-only: 64-bit fingerprint is engine-specific
+@q(
+    "dedup_simhash_docs",
+    """
+    SELECT CAST(0 AS BIGINT) AS planted_survivors,
+           TRUE AS all_ids_original,
+           TRUE AS has_survivors
+    """,
+)
 def dedup_simhash_docs(spark, sf_dir):
-    """SimHash near-dup removal (Hamming ≤ 3 via 16-bit chunk buckets).
-    Exact variants have Hamming distance 0 and must all be removed;
-    fingerprint values are engine-specific → rows-only + pytest."""
+    """SimHash near-dup removal (Hamming ≤ 3 via 16-bit chunk buckets)
+    over documents ∪ exact-duplicate copies. The fingerprint VALUES are
+    engine-specific (no cross-engine mirror exists), so the entry emits
+    the hash-independent invariants instead and the oracle pins them:
+    every planted exact copy (Hamming distance 0, higher id) is removed,
+    every survivor is an original id, and the survivor set is non-empty.
+    Full survivor-set exactness on hand-built corpora stays
+    pytest-checked (tests/test_operators.py)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup_simhash(_with_exact_variants(d)).select("doc_id", "n_chars")
+    out = dedup_simhash(_with_exact_variants(d)).select("doc_id")
+    return out.agg(
+        F.sum((F.col("doc_id") >= 1000000).cast("bigint")).alias("planted_survivors"),
+        (F.max(F.col("doc_id")) < 1000000).alias("all_ids_original"),
+        (F.count("*") > 0).alias("has_survivors"),
+    )
 
 
 @q(
@@ -303,27 +320,71 @@ def similarity_knn_join(spark, sf_dir):
     return knn_join(queries, e, k=5, quantized=True)
 
 
-@q("similarity_search_lsh")  # rows-only: buckets depend on seeded hyperplanes
+@q(
+    "similarity_search_lsh",
+    """
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS top1_is_query,
+           TRUE AS top1_score_is_unit
+    """,
+)
 def similarity_search_lsh(spark, sf_dir):
     """ANN top-10 via random-hyperplane LSH (multi-probe Hamming-1):
-    scans only the query's buckets, then exact-scores candidates.
-    Recall vs brute force is pytest-checked; the plan shape (bucket
-    filter → fold → TopK) is the 100 TB path where buckets become
-    partition pruning."""
+    scans only the query's buckets, then exact-scores candidates. The
+    returned ID SET depends on the seeded hyperplanes (no cross-engine
+    mirror), so the entry emits the hash-independent invariants the
+    oracle pins: a full k of results, the query vector itself ranked
+    first (its own bucket is always probed) at quantized cosine ≈ 1.
+    Recall vs brute force is pytest-checked at the wider-bucket
+    parameterization; the plan shape (bucket filter → fold → TopK) is
+    the 100 TB path where buckets become partition pruning."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity_topk_lsh(e, qv, k=10, n_planes=8, quantized=True)
+    ann = similarity_topk_lsh(e, qv, k=10, n_planes=8, quantized=True)
+    return ann.agg(
+        F.count("*").alias("k_returned"),
+        (F.max_by("vec_id", "score") == 0).alias("top1_is_query"),
+        (F.max("score") >= 0.999999).alias("top1_score_is_unit"),
+    )
 
 
-@q("similarity_search_ivf")  # rows-only: probed cells depend on trained centroids
+@q(
+    "similarity_search_ivf",
+    """
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           TRUE AS top1_is_query,
+           TRUE AS recall10_ge_70pct
+    """,
+)
 def similarity_search_ivf(spark, sf_dir):
     """ANN top-10 via IVF (k-means-lite cells, nprobe=3 of 8): scans only
-    the probed cells, exact-scores candidates. Recall vs brute force is
-    pytest-checked; at scale the cell id is the parquet partition key, so
-    probing = partition pruning."""
+    the probed cells, exact-scores candidates. Probed cells depend on
+    the trained centroids (no cross-engine mirror), so the entry emits
+    invariants the oracle pins: full k, the query itself ranked first,
+    and recall@10 ≥ 0.7 against the brute-force exact top-10 computed
+    in the SAME query (measured 0.9-1.0 on the fixtures; nprobe 3/8
+    scans ~3/8 of the corpus). At scale the cell id is the parquet
+    partition key, so probing = partition pruning."""
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity_topk_ivf(e, qv, k=10, n_cells=8, nprobe=3, quantized=True)
+    ann = similarity_topk_ivf(e, qv, k=10, n_cells=8, nprobe=3, quantized=True)
+    exact_ids = similarity_topk(e, qv, k=10, quantized=True).select("vec_id")
+    hits = (
+        ann.join(exact_ids, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        ann.agg(
+            F.count("*").alias("k_returned"),
+            (F.max_by("vec_id", "score") == 0).alias("top1_is_query"),
+        )
+        .crossJoin(hits)
+        .select(
+            "k_returned",
+            "top1_is_query",
+            (F.col("__hits") >= 7).alias("recall10_ge_70pct"),
+        )
+    )
 
 
 @q(
