@@ -33,6 +33,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,
     similarity_topk,
     knn_join,
+    knn_join_lsh,
     lsh_bucket,
     lsh_band_bits,
     similarity_topk_lsh,

@@ -129,6 +129,87 @@ def knn_join(
     )
 
 
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    quantized: bool = False,
+) -> DataFrame:
+    """Approximate k-NN join via shared banded sign-LSH: both sides get
+    band keys, candidates come from an equi-join on ``(band, bits)``,
+    and only candidates are exact-scored (per-query top-k via
+    WindowGroupLimit).
+
+    This is the MANY-query form :func:`knn_join` cannot scale to: the
+    brute-force join scores |queries|×|corpus| pairs, which is the right
+    baseline for a handful of queries and death for a query TABLE. Here
+    each side shuffles once on the band key, candidate volume is
+    ~bands/2^(planes/bands) of the cross product on uncorrelated data
+    (4-bit bands at the defaults — raise ``n_planes`` toward
+    log₂(|corpus|)·bands at scale, same math as
+    :func:`~palo_spark.operators.dedup.embedding_dup_pairs`), and a
+    query's own vector (if present in the corpus) is guaranteed to be a
+    candidate (identical vectors share all bands).
+
+    Approximate: a true neighbor sharing no band with the query is
+    missed; recall is pytest-checked against :func:`knn_join`.
+    Returns (q_id, c_id, score, rank) with rank ≤ k per query.
+    """
+    from palo_spark.operators.cache import _persist
+
+    dim = len(corpus.select(c_vec).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    # band join carries IDs only (the bands×-exploded shuffle would ship
+    # every vector `bands` times); vectors re-attach to the deduped
+    # candidate pairs from the persisted signature stages — same design
+    # as embedding_dup_pairs. Release with operators.release_persisted().
+    qs = _persist(
+        queries.select(
+            F.col(q_id), F.col(q_vec),
+            lsh_band_bits(F.col(q_vec), planes, bands).alias("__bk"),
+        )
+    )
+    cs = _persist(
+        corpus.select(
+            F.col(c_id), F.col(c_vec),
+            lsh_band_bits(F.col(c_vec), planes, bands).alias("__bk"),
+        )
+    )
+    qb = qs.select(q_id, F.posexplode("__bk").alias("__band", "__bits"))
+    cb = cs.select(c_id, F.posexplode("__bk").alias("__band", "__bits"))
+    cand = (
+        qb.join(cb, ["__band", "__bits"])
+        .select(q_id, c_id)
+        .dropDuplicates([q_id, c_id])
+    )
+    scored = (
+        cand.join(qs.select(q_id, q_vec), q_id)
+        .join(cs.select(c_id, c_vec), c_id)
+        .select(
+            F.col(q_id),
+            F.col(c_id),
+            cosine_similarity(
+                F.col(c_vec), F.col(q_vec), quantized=quantized
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding"
 ) -> DataFrame:

@@ -1358,3 +1358,53 @@ def text_contamination_score(spark, sf_dir):
         .unionByName(bench.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
     )
     return contamination_score(corpus, bench, n=8)
+
+
+@q(
+    "similarity_knn_join_lsh",
+    """
+    SELECT CAST(20 AS BIGINT) AS n_queries,
+           TRUE AS every_query_selfhit_rank1,
+           TRUE AS recall_ge_60pct
+    """,
+)
+def similarity_knn_join_lsh(spark, sf_dir):
+    """Approximate many-query k-NN join via shared banded sign-LSH —
+    the form that scales past :func:`knn_join`'s |Q|×|C| scoring (one
+    band-key shuffle per side, candidates only). Band membership
+    depends on the seeded hyperplanes (no cross-engine mirror), so the
+    entry emits hash-independent invariants the oracle pins: all 20
+    queries present; every query (its vector IS in the corpus) finds
+    itself at rank 1 (identical vectors share all bands — guaranteed
+    candidate); and recall@3 vs the exact brute-force knn_join computed
+    in the SAME query is ≥ 0.6 (measured ~0.75-0.9 on the near-random
+    fixture — LSH's worst case; clustered real embeddings do better)."""
+    from palo_spark.operators import knn_join, knn_join_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = knn_join_lsh(qs, e, k=3, n_planes=64, bands=16, quantized=True)
+    exact = knn_join(qs, e, k=3, quantized=True).select(
+        F.col("q_id").alias("eq_id"), F.col("vec_id").alias("e_cid")
+    )
+    hits = ann.join(
+        exact,
+        (ann["q_id"] == exact["eq_id"]) & (ann["vec_id"] == exact["e_cid"]),
+        "left_semi",
+    ).agg(F.count("*").alias("__hits"))
+    per_q = ann.groupBy("q_id").agg(
+        F.max(
+            ((F.col("vec_id") == F.col("q_id")) & (F.col("rank") == 1)).cast("int")
+        ).alias("__self1")
+    )
+    summary = per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.min("__self1") == 1).alias("every_query_selfhit_rank1"),
+    )
+    return summary.crossJoin(hits).select(
+        "n_queries",
+        "every_query_selfhit_rank1",
+        (F.col("__hits") >= 36).alias("recall_ge_60pct"),  # 60 exact pairs
+    )

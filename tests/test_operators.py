@@ -544,3 +544,35 @@ def test_contamination_score_bounds(spark, sf_dir):
         if r["n_grams"] > 0:
             assert r["contamination"] == 1.0
     assert all(0.0 <= r["contamination"] <= 1.0 for r in got.values())
+
+
+def test_knn_join_lsh_recall_and_pruning(spark, sf_dir):
+    """The LSH knn join must (a) recall most exact neighbors, (b) score
+    far fewer candidate pairs than |Q|x|C| — the property that makes it
+    the many-query form."""
+    from palo_spark.operators import knn_join, knn_join_lsh
+    from palo_spark.operators.similarity import hyperplanes, lsh_band_bits
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_c = e.count()
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in knn_join(qs, e, k=3, quantized=True).collect()
+    }
+    ann = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_join_lsh(qs, e, k=3, quantized=True).collect()
+    }
+    assert len(exact & ann) >= len(exact) * 0.5
+    assert {(q, q) for q in range(10)} <= ann  # self always a candidate
+    # candidate pruning: pairs actually scored << |Q| x |C|
+    dim = len(e.head()["embedding"])
+    planes = hyperplanes(dim, 64, 42)
+    qb = qs.select("q_id", F.posexplode(lsh_band_bits("q_vec", planes, 16)).alias("b", "v"))
+    cb = e.select("vec_id", F.posexplode(lsh_band_bits("embedding", planes, 16)).alias("b", "v"))
+    cand = qb.join(cb, ["b", "v"]).select("q_id", "vec_id").distinct().count()
+    assert cand < 10 * n_c * 0.7, f"{cand} candidates vs {10 * n_c} cross pairs"
