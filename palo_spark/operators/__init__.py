@@ -58,6 +58,7 @@ from palo_spark.operators.text import (  # noqa: F401
     decontaminate,
     pack_sequences,
     contamination_score,
+    remove_boilerplate_lines,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -347,6 +347,63 @@ def decontaminate(
     return df.join(dirty, id_col, "left_anti")
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every LINE whose normalized
+    form appears in ≥ ``min_docs`` distinct documents (nav menus,
+    cookie banners, copyright footers repeat across a site; prose
+    doesn't), then reassemble each document from its surviving lines in
+    original order.
+
+    Plan shape: posexplode lines (narrow) → one keyed agg on the
+    normalized line for corpus frequency → anti-join the boilerplate
+    set back (tiny by construction — only lines crossing the threshold)
+    → one groupBy per doc to reassemble. Two keyed shuffles total, no
+    driver-side state; the boilerplate set broadcasts at any realistic
+    threshold. Docs whose every line is boilerplate yield ''.
+
+    Returns (id_col, {text_col}_clean, n_lines_kept).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    ).withColumn(
+        "__norm", F.lower(F.trim(F.regexp_replace(F.col("__line"), r"\s+", " ")))
+    )
+    boiler = (
+        lines.groupBy("__norm")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__norm")
+    )
+    kept = lines.join(boiler, "__norm", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ln", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count("*").alias("__n"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__clean", F.lit("")).alias(f"{text_col}_clean"),
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_lines_kept"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",

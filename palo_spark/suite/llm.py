@@ -1408,3 +1408,80 @@ def similarity_knn_join_lsh(spark, sf_dir):
         "every_query_selfhit_rank1",
         (F.col("__hits") >= 36).alias("recall_ge_60pct"),  # 60 exact pairs
     )
+
+
+@q(
+    "text_remove_boilerplate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id < 300
+    ),
+    ch0 AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t), 1), 8)) AS s
+        FROM toks
+    ),
+    body AS (
+        SELECT doc_id,
+               string_agg(array_to_string(list_slice(t, s, s + 7), ' '), chr(10)
+                          ORDER BY s) AS btext
+        FROM ch0 GROUP BY doc_id
+    ),
+    ml AS (
+        SELECT doc_id,
+               'Subscribe to our newsletter now' || chr(10) || btext ||
+               chr(10) || 'All rights reserved 2024' AS mtext
+        FROM body
+    ),
+    lines AS (
+        SELECT doc_id, ln - 1 AS ln,
+               string_split(mtext, chr(10))[ln] AS line
+        FROM ml, UNNEST(generate_series(1, len(string_split(mtext, chr(10))))) AS u(ln)
+    ),
+    nl AS (
+        SELECT doc_id, ln, line,
+               lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS norm
+        FROM lines
+    ),
+    boiler AS (
+        SELECT norm FROM nl GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 50
+    ),
+    kept AS (SELECT * FROM nl WHERE norm NOT IN (SELECT norm FROM boiler))
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY ln) AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style boilerplate line removal over synthesized multi-line
+    documents (the fixture corpus is single-line, so each doc is
+    re-flowed into 8-token lines and a newsletter header + copyright
+    footer are planted in EVERY doc): lines repeating across ≥50 docs
+    are dropped, the body lines (unique 8-grams of word soup) survive,
+    and each document reassembles in original order. The oracle replays
+    the whole computation — synthesis, line frequency, removal,
+    reassembly — in DuckDB."""
+    from palo_spark.operators import chunk_documents, remove_boilerplate_lines
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = chunk_documents(d, chunk_size=8, overlap=0)
+    body = ch.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_index", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("btext")
+    )
+    ml = body.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter now\n"),
+            F.col("btext"),
+            F.lit("\nAll rights reserved 2024"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(ml, min_docs=50)

@@ -576,3 +576,23 @@ def test_knn_join_lsh_recall_and_pruning(spark, sf_dir):
     cb = e.select("vec_id", F.posexplode(lsh_band_bits("embedding", planes, 16)).alias("b", "v"))
     cand = qb.join(cb, ["b", "v"]).select("q_id", "vec_id").distinct().count()
     assert cand < 10 * n_c * 0.7, f"{cand} candidates vs {10 * n_c} cross pairs"
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from palo_spark.operators import remove_boilerplate_lines
+
+    docs = [
+        (1, "cookie banner\nunique prose one\ncookie banner"),
+        (2, "cookie banner\nother text here"),
+        (3, "cookie banner"),  # all-boilerplate doc -> ''
+        (4, "standalone document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert got[1] == ("unique prose one", 1)
+    assert got[2] == ("other text here", 1)
+    assert got[3] == ("", 0)
+    assert got[4] == ("standalone document", 1)
