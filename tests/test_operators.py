@@ -596,3 +596,48 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert got[2] == ("other text here", 1)
     assert got[3] == ("", 0)
     assert got[4] == ("standalone document", 1)
+
+
+def test_minhash_kernel_matches_object_math():
+    """Pin the uint64 split-multiply kernel to exact Python-int math
+    (the r4 object-dtype form): bit-identical (a*h+b) mod 2^61-1 for
+    adversarial h including negative int64 base hashes."""
+    import numpy as np
+    from palo_spark.operators.dedup import _MINHASH_P, _minhash_coeffs, _permute_mod_p
+
+    a, b = _minhash_coeffs(64)
+    rng = np.random.default_rng(7)
+    h_i64 = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64),
+            np.array(
+                [0, -1, 1, 2**62, -(2**62), _MINHASH_P, _MINHASH_P - 1, -_MINHASH_P],
+                dtype=np.int64,
+            ),
+        ]
+    )
+    h_u = h_i64.view(np.uint64) & np.uint64(_MINHASH_P)
+    got = _permute_mod_p(h_u, a.astype(np.uint64), b.astype(np.uint64))
+    # reference: exact Python-int arithmetic (what v2 computed)
+    a_o, b_o = a.astype(object), b.astype(object)
+    h_o = h_i64.astype(object) & _MINHASH_P
+    want = (a_o[:, None] * h_o[None, :] + b_o[:, None]) % _MINHASH_P
+    assert (got.astype(object) == want).all()
+
+
+def test_minhash_signature_batch_edge_cases(spark):
+    """Empty/NULL shingle arrays produce the sentinel signature; the
+    flat-batch reduceat path must not leak a neighbor's minima into
+    empty rows (including trailing empties)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from palo_spark.operators.dedup import _MINHASH_P, minhash_signature
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y", "z"]), ("b", []), ("c", ["x", "y", "z"]), ("d", None), ("e", [])],
+        "id string, sh array<string>",
+    )
+    rows = {r["id"]: r["sig"] for r in df.select("id", minhash_signature(F.col("sh")).alias("sig")).collect()}
+    sentinel = [_MINHASH_P] * 64
+    assert rows["b"] == sentinel and rows["d"] == sentinel and rows["e"] == sentinel
+    assert rows["a"] == rows["c"] and rows["a"] != sentinel
