@@ -1,0 +1,375 @@
+"""Doris/MySQL-dialect SQL *text* entry point.
+
+Doris's primary user interface is SQL text over the MySQL protocol
+(reference ``README_EN.md:4``; SURVEY.md §1.1/§3.1 — the wire protocol
+itself is a declared non-goal, the *dialect* is not). This module lets a
+user paste Doris SQL and run it on Spark:
+
+    >>> from palo_spark.sql_frontend import doris_sql, translate
+    >>> doris_sql(spark, "SELECT date_format(`o_orderdate`, '%Y-%m') ...")
+
+``translate`` is a pure driver-side, token-level source-to-source rewrite
+(once per query, zero per-row cost — the output is ordinary Spark SQL that
+Catalyst plans natively, so the 100 TB execution path is unchanged).
+
+What it rewrites (MySQL/Doris semantics → Spark semantics):
+
+- ``%``-pattern datetime formats in ``date_format`` / ``str_to_date`` /
+  ``from_unixtime`` via :func:`~palo_spark.functions.datetime_shim.
+  mysql_pattern_to_spark` (``str_to_date`` additionally renamed to
+  ``to_timestamp``).
+- ``||`` / ``&&`` are *logical* OR/AND in MySQL/Doris — Spark would read
+  ``||`` as string concat, a silent-wrong-answer trap, so they are
+  rewritten to ``OR`` / ``AND``.
+- ``#`` line comments → ``--``.
+- ``LIMIT offset, count`` (MySQL form) → ``LIMIT count OFFSET offset``.
+- Double-quoted strings → single-quoted (MySQL default reads ``"x"`` as a
+  string literal; Spark shares that default but DuckDB/ANSI do not, and
+  single-quoting is unambiguous).
+- ``CAST(x AS SIGNED/UNSIGNED/DATETIME/VARCHAR(n)/CHAR(n)/TEXT/LARGEINT)``
+  → Spark type names.
+- Doris-name functions with no Spark spelling: ``strleft``/``strright`` →
+  ``left``/``right``, ``money_format`` → ``format_number(x, 2)``,
+  ``ndv`` → ``approx_count_distinct``, ``dayname``/``monthname`` →
+  ``date_format(d, 'EEEE'/'MMMM')``, ``curtime`` → ``current_timestamp``.
+- ``group_concat([DISTINCT] x [, sep] [ORDER BY x])`` →
+  ``array_join(array_sort([array_distinct](collect_list(x))), sep)``
+  (deterministic when ORDER BY is given; the ORDER BY key must be the
+  aggregated expression itself — anything fancier raises).
+- ``date_add/date_sub/adddate/subdate(d, INTERVAL n unit)`` →
+  ``(d + INTERVAL n unit)`` / ``(d - INTERVAL n unit)``; the 2-arg
+  day-count form passes through (Spark shares it).
+- ``date_trunc(datetime, 'unit')`` (Doris arg order) →
+  ``date_trunc('unit', datetime)`` (Spark arg order); only swapped when
+  the *second* arg is the string literal, so Spark-order text is stable.
+
+Everything else passes through verbatim: backtick identifiers, ``div``,
+``%``, ``<=>``, ``IN/EXISTS/BETWEEN/CASE``, window functions and the
+shared function namespace (``if``, ``ifnull``, ``nvl``, ``instr``,
+``locate``, ``find_in_set``, ``elt``, ``lcase``/``ucase``,
+``char_length``, ``concat_ws``, ``datediff(end, start)``,
+``timestampdiff`` — Spark already speaks these).
+
+Known, documented divergences (fail-loud or noted, never silently wrong):
+- MySQL week-numbering specifiers (``%U %u %V %v %X %x %w %D``) raise in
+  the pattern shim (no faithful java.time equivalent).
+- ``length()`` is *bytes* in Doris, *chars* in Spark — identical on ASCII
+  corpora (the fixtures are; see memory note), divergent on multibyte.
+  Use ``char_length`` for characters in both dialects.
+- ``timestampdiff`` month arithmetic: Spark clamps month-ends via
+  java.time; MySQL counts complete months (see functions/__init__.py
+  ``months_diff`` note).
+"""
+
+from __future__ import annotations
+
+import re
+
+from palo_spark.functions.datetime_shim import mysql_pattern_to_spark
+
+Token = tuple[str, str]  # (kind, text)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>--[^\n]*|\#[^\n]*|/\*.*?\*/)
+  | (?P<squote>'(?:[^'\\]|\\.|'')*')
+  | (?P<dquote>"(?:[^"\\]|\\.|"")*")
+  | (?P<bquote>`(?:[^`]|``)*`)
+  | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=>|<>|!=|>=|<=|\|\||&&|:=|[-+*/%(),.;=<>!])
+  | (?P<ws>\s+)
+  | (?P<other>.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(text: str) -> list[Token]:
+    toks: list[Token] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() != pos:  # pragma: no cover - regex covers all chars
+            raise ValueError(f"untokenizable SQL at offset {pos}")
+        pos = m.end()
+        toks.append((m.lastgroup, m.group()))
+    return toks
+
+
+def _unquote_str(tok: str) -> str:
+    """Literal value of a single- or double-quoted SQL string token."""
+    q, body = tok[0], tok[1:-1]
+    body = body.replace(q + q, q)
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def _quote_str(value: str) -> str:
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sig(toks: list[Token], i: int) -> int | None:
+    """Index of the next non-whitespace/comment token at/after ``i``."""
+    while i < len(toks):
+        if toks[i][0] not in ("ws", "comment"):
+            return i
+        i += 1
+    return None
+
+
+def _match_paren(toks: list[Token], open_i: int) -> int:
+    depth = 0
+    for j in range(open_i, len(toks)):
+        if toks[j] == ("op", "("):
+            depth += 1
+        elif toks[j] == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parentheses in SQL text")
+
+
+def _split_args(inner: list[Token]) -> list[list[Token]]:
+    """Split an argument token list on top-level commas (trimmed)."""
+    args: list[list[Token]] = []
+    cur: list[Token] = []
+    depth = 0
+    for t in inner:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if t == ("op", ",") and depth == 0:
+            args.append(_trim(cur))
+            cur = []
+        else:
+            cur.append(t)
+    args.append(_trim(cur))
+    return args
+
+
+def _trim(toks: list[Token]) -> list[Token]:
+    a, b = 0, len(toks)
+    while a < b and toks[a][0] == "ws":
+        a += 1
+    while b > a and toks[b - 1][0] == "ws":
+        b -= 1
+    return toks[a:b]
+
+
+def _text(toks: list[Token]) -> str:
+    return "".join(t[1] for t in toks)
+
+
+def _raw(text: str) -> list[Token]:
+    return [("raw", text)]
+
+
+def _only_str_literal(arg: list[Token]) -> str | None:
+    sig = [t for t in arg if t[0] not in ("ws", "comment")]
+    if len(sig) == 1 and sig[0][0] in ("squote", "dquote"):
+        return _unquote_str(sig[0][1])
+    return None
+
+
+#: plain name-for-name renames (argument shapes already agree with Spark)
+_RENAME = {
+    "strleft": "left",
+    "strright": "right",
+    "ndv": "approx_count_distinct",
+    "curtime": "current_timestamp",
+    "ucase": "ucase",  # Spark shares these; listed for documentation
+    "lcase": "lcase",
+}
+
+#: functions whose LAST string-literal arg is a MySQL %-pattern
+_FMT_FNS = {"date_format", "from_unixtime", "str_to_date"}
+
+#: CAST target-type spellings, MySQL/Doris → Spark
+_TYPE_MAP = {
+    "signed": "BIGINT",
+    "unsigned": "BIGINT",
+    "datetime": "TIMESTAMP",
+    "varchar": "STRING",
+    "char": "STRING",
+    "text": "STRING",
+    "mediumtext": "STRING",
+    "longtext": "STRING",
+    "largeint": "DECIMAL(38,0)",
+    "integer": "INT",
+}
+
+
+def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
+    """Dialect transform for one function call; ``inner`` is already
+    recursively translated. Returns replacement tokens or None to keep
+    the call as-is (with translated arguments)."""
+    if name_lower in _FMT_FNS:
+        args = _split_args(inner)
+        fn = "to_timestamp" if name_lower == "str_to_date" else name_lower
+        if len(args) == 2:
+            fmt = _only_str_literal(args[1])
+            if fmt is not None:
+                spark_fmt = mysql_pattern_to_spark(fmt)
+                return _raw(f"{fn}({_text(args[0])}, {_quote_str(spark_fmt)})")
+            raise ValueError(
+                f"{name_lower}: format argument must be a string literal "
+                f"(got {_text(args[1])!r}) — %-pattern translation happens "
+                f"at plan build"
+            )
+        if name_lower == "from_unixtime" and len(args) == 1:
+            return None  # default pattern agrees with Doris
+        raise ValueError(f"{name_lower} expects 2 arguments")
+
+    if name_lower in ("dayname", "monthname"):
+        pat = "EEEE" if name_lower == "dayname" else "MMMM"
+        return _raw(f"date_format({_text(inner)}, '{pat}')")
+
+    if name_lower == "money_format":
+        return _raw(f"format_number({_text(inner)}, 2)")
+
+    if name_lower in _RENAME:
+        return _raw(f"{_RENAME[name_lower]}({_text(inner)})")
+
+    if name_lower == "cast":
+        # rewrite the target type after the top-level AS
+        depth = 0
+        for j in range(len(inner) - 1, -1, -1):
+            t = inner[j]
+            if t == ("op", ")"):
+                depth += 1
+            elif t == ("op", "("):
+                depth -= 1
+            elif depth == 0 and t[0] == "word" and t[1].lower() == "as":
+                expr, typ = inner[:j], _trim(inner[j + 1 :])
+                if typ and typ[0][0] == "word":
+                    mapped = _TYPE_MAP.get(typ[0][1].lower())
+                    if mapped is not None:
+                        # drop any (n) precision on string-ish types
+                        return _raw(f"cast({_text(expr)} AS {mapped})")
+                break
+        return None
+
+    if name_lower in ("date_add", "adddate", "date_sub", "subdate"):
+        args = _split_args(inner)
+        if len(args) == 2:
+            a2 = args[1]
+            if a2 and a2[0][0] == "word" and a2[0][1].lower() == "interval":
+                op = "+" if name_lower in ("date_add", "adddate") else "-"
+                return _raw(f"({_text(args[0])} {op} {_text(a2)})")
+            if name_lower in ("adddate", "subdate"):
+                fn = "date_add" if name_lower == "adddate" else "date_sub"
+                return _raw(f"{fn}({_text(inner)})")
+        return None
+
+    if name_lower == "date_trunc":
+        args = _split_args(inner)
+        # Doris: date_trunc(datetime, 'unit'); Spark: date_trunc('unit', ts)
+        if len(args) == 2 and _only_str_literal(args[1]) is not None:
+            return _raw(f"date_trunc({_text(args[1])}, {_text(args[0])})")
+        return None
+
+    if name_lower == "group_concat":
+        return _rewrite_group_concat(inner)
+
+    return None
+
+
+def _rewrite_group_concat(inner: list[Token]) -> list[Token]:
+    toks = _trim(inner)
+    distinct = False
+    if toks and toks[0][0] == "word" and toks[0][1].lower() == "distinct":
+        distinct = True
+        toks = _trim(toks[1:])
+    # peel a trailing top-level ORDER BY
+    order_expr: str | None = None
+    depth = 0
+    for j, t in enumerate(toks):
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "word" and t[1].lower() == "order":
+            k = _sig(toks, j + 1)
+            if k is not None and toks[k][1].lower() == "by":
+                order_expr = _text(_trim(toks[k + 1 :]))
+                toks = _trim(toks[:j])
+            break
+    args = _split_args(toks)
+    expr = _text(args[0])
+    sep = _text(args[1]) if len(args) > 1 else "','"
+    if order_expr is not None and order_expr.strip() != expr.strip():
+        raise ValueError(
+            "group_concat ORDER BY key must equal the aggregated "
+            f"expression (got {order_expr!r} vs {expr!r})"
+        )
+    agg = f"collect_list({expr})"
+    if distinct:
+        agg = f"array_distinct({agg})"
+    if order_expr is not None:
+        agg = f"array_sort({agg})"
+    return _raw(f"array_join({agg}, {sep})")
+
+
+def _translate_tokens(toks: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        kind, text = toks[i]
+        if kind == "comment" and text.startswith("#"):
+            out.append(("comment", "--" + text[1:]))
+            i += 1
+            continue
+        if kind == "dquote":
+            out.append(("squote", _quote_str(_unquote_str(text))))
+            i += 1
+            continue
+        if kind == "op" and text == "||":
+            out.append(("word", "OR"))
+            i += 1
+            continue
+        if kind == "op" and text == "&&":
+            out.append(("word", "AND"))
+            i += 1
+            continue
+        if kind == "word":
+            low = text.lower()
+            j = _sig(toks, i + 1)
+            if j is not None and toks[j] == ("op", "("):
+                close = _match_paren(toks, j)
+                inner = _translate_tokens(toks[j + 1 : close])
+                repl = _rewrite_call(low, inner)
+                if repl is not None:
+                    out.extend(repl)
+                else:
+                    out.append((kind, text))
+                    out.append(("op", "("))
+                    out.extend(inner)
+                    out.append(("op", ")"))
+                i = close + 1
+                continue
+            if low == "limit" and j is not None and toks[j][0] == "number":
+                k = _sig(toks, j + 1)
+                if k is not None and toks[k] == ("op", ","):
+                    m = _sig(toks, k + 1)
+                    if m is not None and toks[m][0] == "number":
+                        out.extend(
+                            _raw(f"LIMIT {toks[m][1]} OFFSET {toks[j][1]}")
+                        )
+                        i = m + 1
+                        continue
+        out.append((kind, text))
+        i += 1
+    return out
+
+
+def translate(sql_text: str) -> str:
+    """Doris/MySQL-dialect SQL → Spark SQL (pure string rewrite)."""
+    return _text(_translate_tokens(_tokenize(sql_text))).rstrip().rstrip(";")
+
+
+def doris_sql(spark, sql_text: str):
+    """Run Doris-dialect SQL text on Spark (tables must be resolvable —
+    register fixture tables first via :func:`palo_spark.catalog.
+    register_views`)."""
+    return spark.sql(translate(sql_text))

@@ -1,0 +1,260 @@
+"""Doris-dialect SQL *text* queries through the sql_frontend entry point.
+
+Doris's primary interface is SQL text over the MySQL protocol (reference
+``README_EN.md:4``; SURVEY.md §1.1/§3.1). Every entry here is a genuine
+Doris/MySQL-dialect string — ``%``-pattern ``date_format``, backtick
+quoting, ``str_to_date``, ``if()``, ``LIMIT offset, count``,
+``group_concat``, ``||``/``&&`` logic, ``CAST(... AS SIGNED/DATETIME)``,
+``INTERVAL`` arithmetic — run through
+:func:`palo_spark.sql_frontend.doris_sql` (token-level translation, then
+``spark.sql``). The DuckDB oracle is the ANSI/DuckDB spelling of the same
+query, so the gate checks the *translation semantics*, not just parsing.
+
+Float determinism uses the same floor-decimal ``dsum`` formulation as the
+rest of the suite (suite/util.py) inline in the SQL text.
+"""
+
+from __future__ import annotations
+
+from palo_spark.catalog import register_views
+from palo_spark.sql_frontend import doris_sql
+from palo_spark.suite.util import o_davg, o_dsum, register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+def _entry(name: str, doris_text: str, oracle_sql: str) -> None:
+    def fn(spark, sf_dir, _t=doris_text):
+        register_views(spark, sf_dir)
+        return doris_sql(spark, _t)
+
+    fn.__name__ = name
+    fn.__doc__ = f"Doris-dialect SQL text entry:\n{doris_text}"
+    QUERIES[name] = fn
+    ORACLE[name] = oracle_sql
+
+
+_DISC = "l_extendedprice * (1 - l_discount)"
+
+# --- TPC-H shapes as Doris SQL text ----------------------------------------
+
+_entry(
+    "sql_tpch_q1",
+    f"""
+    SELECT `l_returnflag`, `l_linestatus`,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_davg('l_discount', scale=10)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM `lineitem`
+    WHERE l_shipdate <= str_to_date('1998-09-02', '%Y-%m-%d')
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_davg('l_discount', scale=10)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_entry(
+    "sql_tpch_q3",
+    f"""
+    # shipping-priority: MySQL comment + LIMIT offset,count form
+    SELECT l_orderkey,
+           {o_dsum(_DISC, scale=10)} AS revenue,
+           o_orderdate
+    FROM `customer`
+    JOIN `orders`   ON c_custkey = o_custkey
+    JOIN `lineitem` ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = "BUILDING"
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 0, 10
+    """,
+    f"""
+    SELECT l_orderkey,
+           {o_dsum(_DISC, scale=10)} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_entry(
+    "sql_tpch_q5",
+    f"""
+    SELECT n_name, {o_dsum(_DISC, scale=10)} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA' && o_orderstatus <> 'P'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    f"""
+    SELECT n_name, {o_dsum(_DISC, scale=10)} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA' AND o_orderstatus <> 'P'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+_entry(
+    "sql_tpch_q4_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM `orders`
+    WHERE EXISTS (
+        SELECT 1 FROM `lineitem`
+        WHERE l_orderkey = o_orderkey && l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_entry(
+    "sql_tpch_q12_if",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(if(o_orderpriority = '1-URGENT' || o_orderpriority = '2-HIGH', 1, 0)) AS BIGINT) AS high_line_count,
+           CAST(SUM(if(o_orderpriority <> '1-URGENT' && o_orderpriority <> '2-HIGH', 1, 0)) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# --- dialect-edge entries ---------------------------------------------------
+
+_entry(
+    "sql_dialect_datetime",
+    """
+    SELECT date_format(`o_orderdate`, '%Y-%m') AS ym,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS SIGNED) AS min_price
+    FROM `orders`
+    GROUP BY date_format(`o_orderdate`, '%Y-%m')
+    ORDER BY ym
+    """,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n,
+           CAST(FLOOR(MIN(o_totalprice)) AS BIGINT) AS min_price
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY ym
+    """,
+)
+
+_entry(
+    "sql_dialect_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5, 10
+    """,
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+
+_entry(
+    "sql_dialect_group_concat",
+    """
+    SELECT r_name, group_concat(DISTINCT `n_name`, ',' ORDER BY `n_name`) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    """
+    SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+
+_entry(
+    "sql_dialect_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_format(date_add(o_orderdate, INTERVAL 1 MONTH), '%Y-%m-%d') AS CHAR) AS next_month,
+           datediff(str_to_date('1999-01-01', '%Y-%m-%d'), o_orderdate) AS days_to_99
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+
+_entry(
+    "sql_dialect_cast_nullsafe",
+    """
+    SELECT CAST(o_totalprice AS SIGNED) DIV 1000 AS price_k,
+           COUNT(*) AS n,
+           CAST(SUM(if(o_orderstatus <=> 'F', 1, 0)) AS SIGNED) AS n_f
+    FROM orders
+    GROUP BY CAST(o_totalprice AS SIGNED) DIV 1000
+    ORDER BY price_k
+    """,
+    """
+    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 1000 AS price_k,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+    FROM orders
+    GROUP BY CAST(FLOOR(o_totalprice) AS BIGINT) // 1000
+    ORDER BY price_k
+    """,
+)

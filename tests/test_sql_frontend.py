@@ -1,0 +1,100 @@
+"""Doris/MySQL-dialect SQL → Spark SQL translation (sql_frontend)."""
+
+import pytest
+
+from palo_spark.sql_frontend import translate
+
+
+def test_percent_patterns_rewritten():
+    out = translate("SELECT date_format(d, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert "'yyyy-MM-dd HH:mm:ss'" in out
+
+
+def test_str_to_date_renamed_and_rewritten():
+    out = translate("SELECT str_to_date('2020-01-02', '%Y-%m-%d')")
+    assert out == "SELECT to_timestamp('2020-01-02', 'yyyy-MM-dd')"
+
+
+def test_format_arg_must_be_literal():
+    with pytest.raises(ValueError, match="string literal"):
+        translate("SELECT date_format(d, fmt_col) FROM t")
+
+
+def test_logical_pipes_and_hash_comment():
+    out = translate("SELECT 1 # note\nFROM t WHERE a = 1 || b = 2 && c = 3")
+    assert "||" not in out and "&&" not in out and "#" not in out
+    assert "OR" in out and "AND" in out and "-- note" in out
+
+
+def test_pipes_inside_string_untouched():
+    out = translate("SELECT '||' AS s, \"a && b\" AS t")
+    assert "'||'" in out and "'a && b'" in out
+
+
+def test_double_quoted_string_to_single():
+    assert translate('SELECT "it\'s" AS s') == "SELECT 'it\\'s' AS s"
+
+
+def test_mysql_limit_offset_form():
+    out = translate("SELECT a FROM t ORDER BY a LIMIT 5, 10")
+    assert out.endswith("LIMIT 10 OFFSET 5")
+    # plain LIMIT untouched
+    assert translate("SELECT a FROM t LIMIT 7").endswith("LIMIT 7")
+
+
+def test_cast_type_mapping():
+    assert "AS BIGINT" in translate("SELECT CAST(x AS SIGNED)")
+    assert "AS TIMESTAMP" in translate("SELECT CAST(x AS DATETIME)")
+    assert "AS STRING" in translate("SELECT CAST(x AS VARCHAR(20))")
+    # unmapped types pass through
+    assert "DECIMAL(38,0)" in translate("SELECT CAST(x AS DECIMAL(38,0))")
+
+
+def test_interval_date_add_sub():
+    out = translate("SELECT date_add(d, INTERVAL 1 MONTH), date_sub(d, INTERVAL 2 DAY)")
+    assert "(d + INTERVAL 1 MONTH)" in out and "(d - INTERVAL 2 DAY)" in out
+    # 2-arg day form passes through (Spark shares it)
+    assert "date_add(d, 3)" in translate("SELECT date_add(d, 3)")
+
+
+def test_date_trunc_arg_swap():
+    assert "date_trunc('month', d)" in translate("SELECT date_trunc(d, 'month')")
+    # Spark arg order (literal first) left alone
+    assert "date_trunc('month', d)" in translate("SELECT date_trunc('month', d)")
+
+
+def test_group_concat_forms():
+    out = translate("SELECT group_concat(x) FROM t")
+    assert "array_join(collect_list(x), ',')" in out
+    out = translate("SELECT group_concat(DISTINCT x, ';' ORDER BY x) FROM t")
+    assert "array_join(array_sort(array_distinct(collect_list(x))), ';')" in out
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        translate("SELECT group_concat(x ORDER BY y) FROM t")
+
+
+def test_renames_and_templates():
+    out = translate("SELECT strleft(s, 2), strright(s, 2), money_format(x), ndv(x), dayname(d)")
+    assert "left(s, 2)" in out and "right(s, 2)" in out
+    assert "format_number(x, 2)" in out
+    assert "approx_count_distinct(x)" in out
+    assert "date_format(d, 'EEEE')" in out
+
+
+def test_nested_calls_translate_inside_out():
+    out = translate("SELECT date_format(date_add(d, INTERVAL 1 MONTH), '%Y-%m')")
+    assert out == "SELECT date_format((d + INTERVAL 1 MONTH), 'yyyy-MM')"
+
+
+def test_passthrough_surface():
+    text = "SELECT `a` div 2, b % 3, a <=> b FROM `t` WHERE x IN (1, 2)"
+    out = translate(text)
+    assert "`a` div 2" in out and "% 3" in out and "<=>" in out
+
+
+def test_trailing_semicolon_stripped():
+    assert translate("SELECT 1;") == "SELECT 1"
+
+
+def test_week_specifier_fails_loud():
+    with pytest.raises(ValueError, match="%U"):
+        translate("SELECT date_format(d, '%U')")
