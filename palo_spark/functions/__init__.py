@@ -329,10 +329,16 @@ _TS_UNITS = {"year", "quarter", "month", "week", "day", "hour", "minute", "secon
 
 
 def timestampdiff(unit: str, start, end) -> Column:
-    """Doris ``TIMESTAMPDIFF(unit, start, end)``."""
+    """Doris ``TIMESTAMPDIFF(unit, start, end)``. Month/year units use
+    MySQL complete-unit day-of-month semantics (see ``months_diff``);
+    quarter derives from complete months."""
     u = unit.lower()
     if u not in _TS_UNITS:
         raise ValueError(f"unsupported unit {unit!r}")
+    if u in ("month", "year", "quarter"):
+        months = _months_complete(end, start)
+        div = {"month": 1, "quarter": 3, "year": 12}[u]
+        return (months / div).cast("bigint") if div > 1 else months
     return F.timestamp_diff(u, _c(start), _c(end))
 
 
@@ -1427,20 +1433,44 @@ def months_between(a, b) -> Column:
 
 def _tsdiff(unit: str, e, s) -> Column:
     # timestamp_diff requires TIMESTAMP operands (DATE is not implicitly
-    # coerced), and computes complete units — MySQL TIMESTAMPDIFF
+    # coerced), and computes complete units. Fine for fixed-length units
+    # (week/day/hour/...); month/year go through _months_complete —
+    # java.time ChronoUnit clamps month-ends (Jan 31 → Feb 28 counts as
+    # 1 complete month) where MySQL/Doris TIMESTAMPDIFF returns 0.
     return F.timestamp_diff(
         unit, _c(s).cast("timestamp"), _c(e).cast("timestamp")
     ).cast("bigint")
 
 
+def _months_complete(e, s) -> Column:
+    """MySQL-semantics complete months between ``s`` and ``e`` (signed):
+    calendar month delta, minus one when the end's (day-of-month, time)
+    has not yet reached the start's — the explicit day-of-month
+    correction, NOT java.time's month-end clamping."""
+    e, s = _c(e).cast("timestamp"), _c(s).cast("timestamp")
+    raw = (F.year(e) - F.year(s)) * 12 + (F.month(e) - F.month(s))
+    dm_e = F.struct(F.dayofmonth(e), F.date_format(e, "HH:mm:ss.SSSSSS"))
+    dm_s = F.struct(F.dayofmonth(s), F.date_format(s, "HH:mm:ss.SSSSSS"))
+    adj = (
+        F.when((e >= s) & (dm_e < dm_s), -1)
+        .when((e < s) & (dm_e > dm_s), 1)
+        .otherwise(0)
+    )
+    return (raw + adj).cast("bigint")
+
+
 def years_diff(e, s) -> Column:
-    """Doris ``YEARS_DIFF(end, start)`` — complete years between."""
-    return _tsdiff("year", e, s)
+    """Doris ``YEARS_DIFF(end, start)`` — complete years between (MySQL
+    TIMESTAMPDIFF(YEAR) semantics: truncation of complete months / 12,
+    symmetric for negative spans)."""
+    return (_months_complete(e, s) / 12).cast("bigint")
 
 
 def months_diff(e, s) -> Column:
-    """Doris ``MONTHS_DIFF(end, start)`` — complete months between."""
-    return _tsdiff("month", e, s)
+    """Doris ``MONTHS_DIFF(end, start)`` — complete months between
+    (MySQL TIMESTAMPDIFF(MONTH) semantics incl. month-end boundaries:
+    Jan 31 → Feb 28 is 0 complete months, not 1)."""
+    return _months_complete(e, s)
 
 
 def weeks_diff(e, s) -> Column:

@@ -264,8 +264,8 @@ def dedup_minhash(
     # slower. MEMORY_AND_DISK: spills instead of OOMing at scale; the
     # sketch (64 longs/doc) is tiny next to the corpus it indexes.
     # Tracked in operators.cache — callers release via release_persisted().
-    sh = _persist(sh)
-    sig = _persist(sig)
+    sh = _persist(sh, "dedup_minhash")
+    sig = _persist(sig, "dedup_minhash")
     buckets = sig.select(
         "__id", "__sig", F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
     ).select("__id", "__sig", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
@@ -447,7 +447,8 @@ def embedding_dup_pairs(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             lsh_band_bits(F.col(vec_col), planes, bands).alias("__bk"),
-        )
+        ),
+        "embedding_dup_pairs",
     )  # feeds both sides of the band self-join — compute once
     # Band join carries IDs ONLY — the 16×-exploded shuffle would
     # otherwise ship every vector 16 times; vectors are re-attached to

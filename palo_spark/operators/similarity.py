@@ -176,13 +176,15 @@ def knn_join_lsh(
         queries.select(
             F.col(q_id), F.col(q_vec),
             lsh_band_bits(F.col(q_vec), planes, bands).alias("__bk"),
-        )
+        ),
+        "knn_join_lsh",
     )
     cs = _persist(
         corpus.select(
             F.col(c_id), F.col(c_vec),
             lsh_band_bits(F.col(c_vec), planes, bands).alias("__bk"),
-        )
+        ),
+        "knn_join_lsh",
     )
     qb = qs.select(q_id, F.posexplode("__bk").alias("__band", "__bits"))
     cb = cs.select(c_id, F.posexplode("__bk").alias("__band", "__bits"))
@@ -288,12 +290,24 @@ def lsh_band_bits(vec_col, planes: list[list[float]], bands: int):
     r = P.shape[0] // bands
     weights = (1 << np.arange(r, dtype=np.int64))  # bit j of each band
 
+    dim = P.shape[1]
+
     @F.pandas_udf("array<bigint>")
     def _sig(col: pd.Series) -> pd.Series:
-        V = np.stack(col.to_numpy())  # (batch, dim)
-        signs = (V @ P.T) > 0  # (batch, n_planes)
-        bits = signs[:, : bands * r].reshape(len(V), bands, r) @ weights
-        return pd.Series(list(bits))
+        # NULL / wrong-length vectors get a NULL signature (the row then
+        # drops out of band-key joins, matching the native lsh_bucket
+        # NULL tolerance) instead of failing the whole batch on np.stack.
+        raw = col.to_numpy()
+        ok = np.array(
+            [hasattr(x, "__len__") and len(x) == dim for x in raw], dtype=bool
+        )
+        out = np.empty(len(raw), dtype=object)
+        if ok.any():
+            V = np.stack(raw[ok])  # (n_ok, dim)
+            signs = (V @ P.T) > 0  # (n_ok, n_planes)
+            bits = signs[:, : bands * r].reshape(-1, bands, r) @ weights
+            out[np.flatnonzero(ok)] = list(bits)
+        return pd.Series(out)
 
     return _sig(v)
 

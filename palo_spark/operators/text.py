@@ -177,7 +177,7 @@ def tfidf_top_terms(
     # (the expensive part) runs once, same pattern as the persisted
     # minhash signature stage (2.4x there). Tracked in operators.cache;
     # callers release via release_persisted().
-    terms = _persist(terms)
+    terms = _persist(terms, "tfidf")
     # N comes from the (now cached) terms stage — no dedicated full scan
     # of the raw corpus just to count rows
     n_docs = terms.agg(F.countDistinct(id_col)).first()[0]
@@ -426,10 +426,31 @@ def pack_sequences(
 
     Adds ``seq_id`` (per-partition sequence number) and ``seq_offset``
     (the chunk's starting token offset within the stream).
+
+    Contract (enforced/ordered, per r4 advice): a chunk with
+    ``n_tokens > max_tokens`` cannot fit ANY sequence budget — only its
+    start offset would be binned, silently spanning sequences — so such
+    rows fail the job with a clear error (chunk upstream with
+    ``chunk_documents(max_tokens=...)``). Ordering ties are broken by
+    ``(order_col, n_tokens)`` so ``seq_offset`` is deterministic across
+    runs even when ``order_col`` alone is not unique; callers who need
+    a specific layout should still supply a unique ``order_col``.
     """
     parts = part_cols or []
-    w = Window.partitionBy(*parts).orderBy(order_col)
-    running = F.sum(token_col).over(w) - F.col(token_col)
+    w = Window.partitionBy(*parts).orderBy(order_col, token_col)
+    # guard folded INTO the summed expression (a dropped side-column
+    # would be pruned by Catalyst and never evaluated)
+    guarded = F.when(
+        F.col(token_col) > max_tokens,
+        F.raise_error(
+            F.format_string(
+                "pack_sequences: %s=%%s exceeds max_tokens=%s — split the "
+                "chunk before packing" % (token_col, max_tokens),
+                F.col(token_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(token_col).cast("bigint"))
+    running = F.sum(guarded).over(w) - guarded
     return df.withColumn("seq_offset", running.cast("bigint")).withColumn(
         "seq_id", F.floor(F.col("seq_offset") / F.lit(max_tokens)).cast("int")
     )

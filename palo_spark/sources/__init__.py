@@ -190,14 +190,34 @@ def create_bucketed_table(
     # the default in-memory catalog forgets tables across sessions while
     # their warehouse directories persist on disk; clear both so a fresh
     # session can recreate the table (saveAsTable refuses a stale
-    # location otherwise: LOCATION_ALREADY_EXISTS)
+    # location otherwise: LOCATION_ALREADY_EXISTS). If the catalog still
+    # knows the table, drop via its REAL resolved location (covers
+    # non-default warehouse layouts); otherwise fall back to the managed
+    # path Spark would assign: lowercased name, '<db>.db/<tbl>' for
+    # db-qualified names.
+    loc = None
+    try:
+        loc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").filter(
+            "col_name = 'Location'"
+        ).collect()
+        loc = loc[0]["data_type"] if loc else None
+    except Exception:
+        pass
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    parts = name.lower().strip("`").split(".")
+    rel = parts[-1] if len(parts) == 1 else os.path.join(f"{parts[-2]}.db", parts[-1])
+    for cand in filter(None, [loc, os.path.join(wh, rel)]):
+        for prefix in ("file://", "file:"):
+            if cand.startswith(prefix):
+                cand = cand[len(prefix):]
+                break
+        # only remove paths inside the warehouse this function manages —
+        # never an external/pre-existing location
+        if os.path.realpath(cand).startswith(
+            os.path.realpath(wh.removeprefix("file://").removeprefix("file:"))
+        ):
+            shutil.rmtree(cand, ignore_errors=True)
     (
         df.write.format("parquet")
         .bucketBy(buckets, keys[0], *keys[1:])

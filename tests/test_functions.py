@@ -357,3 +357,31 @@ def test_topn_array_exact_frequencies(spark):
     )
     r = df.groupBy("g").agg(PF.topn_array("v", 2).alias("top")).collect()[0]
     assert r["top"] == ["a", "b"]  # a x3, b x2
+
+
+def test_months_years_diff_month_end_semantics(spark):
+    """MySQL TIMESTAMPDIFF complete-unit semantics at month-end
+    boundaries — java.time would clamp Jan 31 -> Feb 28 to 1 month."""
+    import palo_spark.functions as pf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], "i int")
+
+    def val(col):
+        return df.select(col.alias("v")).collect()[0]["v"]
+
+    ts = lambda s: F.lit(s).cast("timestamp")
+    assert val(pf.months_diff(ts("2020-02-28"), ts("2020-01-31"))) == 0
+    assert val(pf.months_diff(ts("2020-02-29"), ts("2020-01-31"))) == 0
+    assert val(pf.months_diff(ts("2020-03-01"), ts("2020-01-31"))) == 1
+    assert val(pf.months_diff(ts("2020-03-31"), ts("2020-01-31"))) == 2
+    # symmetric for negative spans
+    assert val(pf.months_diff(ts("2020-01-31"), ts("2020-02-28"))) == 0
+    assert val(pf.months_diff(ts("2020-01-31"), ts("2020-03-31"))) == -2
+    # time-of-day participates in the boundary
+    assert val(pf.months_diff(ts("2020-02-15 09:59:59"), ts("2020-01-15 10:00:00"))) == 0
+    assert val(pf.months_diff(ts("2020-02-15 10:00:00"), ts("2020-01-15 10:00:00"))) == 1
+    assert val(pf.years_diff(ts("2021-01-30"), ts("2020-01-31"))) == 0
+    assert val(pf.years_diff(ts("2021-01-31"), ts("2020-01-31"))) == 1
+    assert val(pf.timestampdiff("quarter", ts("2020-01-31"), ts("2020-04-29"))) == 0
+    assert val(pf.timestampdiff("quarter", ts("2020-01-31"), ts("2020-05-01"))) == 1

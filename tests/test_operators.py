@@ -641,3 +641,32 @@ def test_minhash_signature_batch_edge_cases(spark):
     sentinel = [_MINHASH_P] * 64
     assert rows["b"] == sentinel and rows["d"] == sentinel and rows["e"] == sentinel
     assert rows["a"] == rows["c"] and rows["a"] != sentinel
+
+
+def test_lsh_band_bits_null_and_ragged_vectors(spark):
+    """NULL / wrong-length embeddings yield NULL signatures (row drops
+    out of band joins) instead of failing the whole Arrow batch."""
+    from pyspark.sql import functions as F
+    from palo_spark.operators.similarity import hyperplanes, lsh_band_bits
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [1.0]), (4, [4.0, 3.0, 2.0, 1.0])],
+        "id int, emb array<double>",
+    )
+    planes = hyperplanes(4, 8, seed=1)
+    rows = {r["id"]: r["sig"] for r in df.select("id", lsh_band_bits(F.col("emb"), planes, 4).alias("sig")).collect()}
+    assert rows[2] is None and rows[3] is None
+    assert rows[1] is not None and rows[4] is not None and len(rows[1]) == 4
+
+
+def test_pack_sequences_rejects_oversize_chunk(spark):
+    import pytest
+    from palo_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000)], "chunk_id int, n_tokens int"
+    )
+    with pytest.raises(Exception, match="exceeds max_tokens"):
+        pack_sequences(df, max_tokens=2048).collect()
+    ok = pack_sequences(df.filter("n_tokens <= 2048"), max_tokens=2048).collect()
+    assert ok[0]["seq_offset"] == 0
