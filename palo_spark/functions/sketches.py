@@ -70,7 +70,10 @@ def bitmap_union_of_values(col) -> Column:
     """Doris ``BITMAP_UNION(TO_BITMAP(c))``: aggregate raw integers into
     one bitmap (GROUPED_AGG pandas UDF; exact distinct set).
 
-    .. warning:: Spark GROUPED_AGG pandas UDFs do **no map-side partial
+    .. warning:: Prefer :func:`bitmap_distinct_count` /
+       :func:`grouped_bitmap_union_values` (salted two-level, the
+       default convenience path since r5) unless the group is known
+       tiny. Spark GROUPED_AGG pandas UDFs do **no map-side partial
        aggregation** — every raw value of a group is shipped to one
        Python worker. On a skewed hot key at scale, use
        :func:`grouped_bitmap_union_values` (the two-level salted form)
@@ -594,6 +597,50 @@ def grouped_bitmap_union_values(df, group_cols, value_col, out_col="bm",
         df, group_cols, value_col, out_col,
         bitmap_union_of_values, bitmap_union_of_bitmaps, salt_buckets,
     )
+
+
+def bitmap_distinct_count(df, group_cols, value_col, out_col="ndv",
+                          salt_buckets: int = 32):
+    """Exact grouped NDV via bitmap — ``BITMAP_UNION_COUNT(TO_BITMAP(v))
+    GROUP BY keys`` — routed through the salted two-level path BY
+    DEFAULT (r4 verdict: the plain GROUPED_AGG convenience path has no
+    map-side combine, so a hot key funnels all raw values through one
+    Python worker; the salted form is identical output and the only
+    shape that survives skew at 100 TB). ``salt_buckets=1`` degenerates
+    to the direct single-level form for tiny inputs.
+
+    Returns a DataFrame ``keys..., out_col: bigint``.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if salt_buckets <= 1:
+        bm = df.groupBy(*group_cols).agg(
+            bitmap_union_of_values(value_col).alias("__bm")
+        )
+    else:
+        bm = grouped_bitmap_union_values(
+            df, group_cols, value_col, out_col="__bm", salt_buckets=salt_buckets
+        )
+    return bm.select(*group_cols, bitmap_count("__bm").alias(out_col))
+
+
+def hll_distinct_count(df, group_cols, value_col, out_col="ndv",
+                       salt_buckets: int = 32):
+    """Approximate grouped NDV via HLL — ``HLL_UNION_AGG(HLL_HASH(v))
+    GROUP BY keys`` — salted two-level by default (same rationale and
+    bit-identical result as :func:`bitmap_distinct_count`; HLL merge is
+    register-wise max, fully associative)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if salt_buckets <= 1:
+        h = df.groupBy(*group_cols).agg(
+            hll_union_agg_values(value_col).alias("__hll")
+        )
+    else:
+        h = grouped_hll_union_values(
+            df, group_cols, value_col, out_col="__hll", salt_buckets=salt_buckets
+        )
+    return h.select(*group_cols, hll_cardinality("__hll").alias(out_col))
 
 
 def grouped_hll_union_values(df, group_cols, value_col, out_col="hll",

@@ -44,12 +44,16 @@ q = register(QUERIES, ORACLE)
 )
 def sketch_bitmap_distinct(spark, sf_dir):
     """BITMAP_UNION_COUNT(TO_BITMAP(c)): exact distinct via bitmap —
-    must equal COUNT(DISTINCT)."""
+    must equal COUNT(DISTINCT). Routed through the DEFAULT convenience
+    API :func:`bitmap_distinct_count`, which salts into the two-level
+    partial/merge shape (r5: the salted form is now the default — the
+    plain GROUPED_AGG path has no map-side combine and funnels hot keys
+    through one worker; plan pinned two-level by
+    tests/test_plans.py::test_bitmap_distinct_default_is_two_level)."""
+    from palo_spark.functions.sketches import bitmap_distinct_count
+
     li = load_table(spark, sf_dir, "lineitem")
-    bm = li.groupBy("l_returnflag").agg(
-        bitmap_union_of_values("l_suppkey").alias("bm")
-    )
-    return bm.select("l_returnflag", bitmap_count("bm").alias("ndv"))
+    return bitmap_distinct_count(li, "l_returnflag", "l_suppkey", out_col="ndv")
 
 
 @q(

@@ -377,3 +377,20 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_default_is_two_level(spark):
+    """The default convenience NDV path must be the salted two-level
+    shape: partial sketch per (key, salt) then merge per key — visible
+    as TWO grouped-aggregate-in-pandas nodes in the optimized plan (the
+    single-level form shows one). This is the 100 TB skew posture."""
+    from palo_spark.functions.sketches import bitmap_distinct_count
+
+    df = spark.createDataFrame(
+        [(chr(97 + i % 2), i % 7) for i in range(50)], "g string, v int"
+    )
+    plan = bitmap_distinct_count(df, "g", "v")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate [") == 2 and "__sketch_salt" in plan, plan
+    # and the result still equals COUNT(DISTINCT)
+    got = {r["g"]: r["ndv"] for r in bitmap_distinct_count(df, "g", "v").collect()}
+    assert got == {"a": 7, "b": 7}
