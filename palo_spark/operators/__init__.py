@@ -69,3 +69,9 @@ from palo_spark.operators.multimodal import (  # noqa: F401
     resize_media,
     extract_features,
 )
+from palo_spark.operators.text_index import (  # noqa: F401
+    build_text_index,
+    match_any_indexed,
+    match_all_indexed,
+    match_phrase_indexed,
+)

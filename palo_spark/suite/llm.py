@@ -979,6 +979,54 @@ def text_decontaminate(spark, sf_dir):
 
 
 @q(
+    "text_match_indexed",
+    """
+    WITH doc AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+               concat(' ', array_to_string(string_split(lower(trim(text)), ' '), ' '), ' ') AS stream
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, 'any' AS which FROM doc WHERE list_has_any(t, ['merge', 'window'])
+    UNION ALL
+    SELECT doc_id, 'all' AS which FROM doc WHERE list_has_all(t, ['table', 'query'])
+    UNION ALL
+    SELECT doc_id, 'phrase' AS which FROM doc WHERE stream LIKE '% the table %'
+    """,
+)
+def text_match_indexed(spark, sf_dir):
+    """MATCH predicates answered through the STORAGE-side inverted
+    index (operators/text_index.py): posting lists hash-bucketed into
+    partition directories, query tokens prune to their buckets' files
+    (machine-verified by test_text_index_prunes_posting_files), phrase
+    adjacency verified on candidates only. Results must be IDENTICAL to
+    the full-scan MATCH semantics — which is what the oracle computes.
+    Upstream: be/src/olap/rowset/segment_v2/inverted_index_reader.cpp
+    (segment pruning via posting lists)."""
+    import hashlib
+
+    from palo_spark.operators import (
+        build_text_index,
+        match_all_indexed,
+        match_any_indexed,
+        match_phrase_indexed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    path = "/tmp/palo_spark_text_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    build_text_index(d, path, buckets=64)
+    any_ids = match_any_indexed(d, path, "merge window").select(
+        "doc_id", F.lit("any").alias("which")
+    )
+    all_ids = match_all_indexed(d, path, "table query").select(
+        "doc_id", F.lit("all").alias("which")
+    )
+    ph_ids = match_phrase_indexed(d, path, "the table").select(
+        "doc_id", F.lit("phrase").alias("which")
+    )
+    return any_ids.unionByName(all_ids).unionByName(ph_ids)
+
+
+@q(
     "text_match_phrase",
     """
     SELECT doc_id FROM documents

@@ -394,3 +394,57 @@ def test_bitmap_distinct_default_is_two_level(spark):
     # and the result still equals COUNT(DISTINCT)
     got = {r["g"]: r["ndv"] for r in bitmap_distinct_count(df, "g", "v").collect()}
     assert got == {"a": 7, "b": 7}
+
+
+def test_text_index_prunes_posting_files(spark, tmp_path):
+    """A selective MATCH through the posting index must physically touch
+    only the query tokens' bucket partitions, not the whole index — the
+    Spark-layout analog of Doris's segment posting-list pruning
+    (inverted_index_reader.cpp upstream). Measured, not inferred: count
+    distinct files via input_file_name on the filtered scan."""
+    import glob
+    from pyspark.sql import functions as F
+    from palo_spark.operators import build_text_index, match_any_indexed, match_all_indexed, match_any, match_all
+    from palo_spark.operators.text_index import _query_buckets, _TB
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo token{i % 23} charlie delta{i % 7}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, buckets=32)
+
+    total_files = len(glob.glob(f"{path}/{_TB}=*/*.parquet"))
+    assert total_files >= 20  # enough buckets materialized to prune among
+
+    query = "token3 delta5"
+    bs = _query_buckets(spark, query.split(), 32)
+    touched = (
+        spark.read.parquet(path)
+        .filter(F.col(_TB).isin(bs))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched < total_files / 4, (touched, total_files)
+
+    # and the pruned path returns EXACTLY the full-scan MATCH semantics
+    got_any = sorted(r["doc_id"] for r in match_any_indexed(docs, path, query).collect())
+    want_any = sorted(r["doc_id"] for r in docs.filter(match_any("text", query)).collect())
+    assert got_any == want_any and got_any
+    got_all = sorted(r["doc_id"] for r in match_all_indexed(docs, path, "alpha token3").collect())
+    want_all = sorted(r["doc_id"] for r in docs.filter(match_all("text", "alpha token3")).collect())
+    assert got_all == want_all and got_all
+
+
+def test_match_phrase_indexed_prune_then_verify(spark, tmp_path):
+    from palo_spark.operators import build_text_index, match_phrase_indexed
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick the brown"), (3, "a quick brown dog"), (4, "nothing here")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "tidx2")
+    build_text_index(docs, path, buckets=8)
+    got = sorted(r["doc_id"] for r in match_phrase_indexed(docs, path, "quick brown").collect())
+    assert got == [1, 3]  # doc 2 has both tokens (index candidate) but not adjacent
