@@ -1,0 +1,292 @@
+"""TPC-DS-shaped stretch queries over the star fixtures.
+
+Doris's regression suite runs TPC-DS 99 (SURVEY.md §5.1, upstream:
+``regression-test/suites/tpcds_sf1_p1``); the fixture schema is
+TPC-H-ish, so these re-create the characteristic TPC-DS *shapes* —
+window-over-aggregate trend analysis (q47/q57), multi-level ROLLUP
+hierarchies (q18/q22), CASE-heavy banded aggregates (q34/q88), EXISTS /
+NOT EXISTS chains (q10/q35), channel UNIONs re-aggregated (q71), and
+per-group top-n over joined aggregates (q38-ish) — on the star tables.
+
+Scale notes: every shape is one or two keyed shuffles plus windows over
+the already-aggregated (small) result; dimension joins broadcast under
+AQE. Double sums use the suite's floor-decimal ``dsum`` for
+cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from palo_spark.catalog import load_table
+from palo_spark.suite.util import davg, dsum, o_davg, o_dsum, register
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+q = register(QUERIES, ORACLE)
+
+
+@q(
+    "tpcds_window_over_agg",
+    f"""
+    WITH monthly AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+               {o_dsum('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY n_name, strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT n_name, ym, revenue,
+           CAST(RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, ym) AS INT) AS rev_rank,
+           (CAST(SUM(CAST(FLOOR(revenue * 10000.0) AS DECIMAL(38,0)))
+                 OVER (PARTITION BY n_name) AS DOUBLE) / 10000.0)
+           / COUNT(revenue) OVER (PARTITION BY n_name) AS nation_avg
+    FROM monthly
+    """,
+)
+def tpcds_window_over_agg(spark, sf_dir):
+    """TPC-DS q47/q57 shape: aggregate to (nation, month) grain, then
+    windows OVER the aggregate — rank within nation + deviation base
+    (nation average). Window input is the post-agg frame (|nations|×
+    |months| rows), so the window shuffle is tiny regardless of fact
+    size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name")
+    nation_avg = (
+        F.sum(F.floor(F.col("revenue") * 10000.0).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        / 10000.0
+    ) / F.count("revenue").over(w)
+    return monthly.select(
+        "n_name",
+        "ym",
+        "revenue",
+        F.rank().over(w.orderBy(F.desc("revenue"), F.col("ym"))).cast("int").alias("rev_rank"),
+        nation_avg.alias("nation_avg"),
+    )
+
+
+@q(
+    "tpcds_multilevel_rollup",
+    f"""
+    SELECT r_name, n_name, c_mktsegment,
+           CAST(GROUPING(r_name) AS INT) + CAST(GROUPING(n_name) AS INT) * 2
+               + CAST(GROUPING(c_mktsegment) AS INT) * 4 AS g_lvl,
+           COUNT(*) AS n_cust,
+           {o_davg('c_acctbal', scale=4)} AS avg_bal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+    """,
+)
+def tpcds_multilevel_rollup(spark, sf_dir):
+    """TPC-DS q18/q22 shape: 3-level geography/segment ROLLUP with a
+    grouping-level indicator — Doris's REPEAT node over a dimension
+    hierarchy. One shuffle; REPEAT fan-out is 4× the (small) group
+    count, not 4× the fact rows (Catalyst expands after partial agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            davg("c_acctbal", scale=4).alias("avg_bal"),
+            (
+                F.grouping("r_name").cast("int")
+                + F.grouping("n_name").cast("int") * 2
+                + F.grouping("c_mktsegment").cast("int") * 4
+            ).alias("g_lvl"),
+        )
+        .select("r_name", "n_name", "c_mktsegment", "g_lvl", "n_cust", "avg_bal")
+    )
+
+
+@q(
+    "tpcds_case_heavy_agg",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS q_low,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS q_mid,
+           CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS q_high,
+           {o_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1 - l_discount) ELSE 0 END", scale=10)} AS disc_rev,
+           {o_dsum("CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END")} AS taxed_base
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpcds_case_heavy_agg(spark, sf_dir):
+    """TPC-DS q34/q88 shape: one scan, many CASE-banded aggregates —
+    the 8-way count-if pattern collapsed into a single pass (Doris would
+    likewise evaluate all branches in one AGGREGATION node). All
+    branches are codegen'd conditionals; no extra shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(qty < 10, 1).otherwise(0)).cast("bigint").alias("q_low"),
+            F.sum(F.when((qty >= 10) & (qty <= 30), 1).otherwise(0)).cast("bigint").alias("q_mid"),
+            F.sum(F.when(qty > 30, 1).otherwise(0)).cast("bigint").alias("q_high"),
+            dsum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(F.lit(0.0)),
+                scale=10,
+            ).alias("disc_rev"),
+            dsum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("taxed_base"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "tpcds_exists_chain",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_cust
+    FROM customer
+    WHERE EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          )
+      AND EXISTS (
+            SELECT 1 FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+              AND o_totalprice > 300000
+          )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def tpcds_exists_chain(spark, sf_dir):
+    """TPC-DS q10/q35 shape: chained EXISTS / EXISTS-join / NOT EXISTS
+    membership predicates, then aggregate. Catalyst decorrelates each
+    into semi/anti hash joins on c_custkey (pinned native by
+    test_semi_anti_joins_are_native) — never per-row subquery loops."""
+    from palo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer
+        WHERE EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+              )
+          AND EXISTS (
+                SELECT 1 FROM orders
+                JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                  AND o_totalprice > 300000
+              )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@q(
+    "tpcds_channel_union_agg",
+    f"""
+    WITH channels AS (
+        SELECT 'open' AS channel, o_custkey AS ck, o_totalprice AS amt
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'closed' AS channel, o_custkey AS ck, o_totalprice AS amt
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT channel, c_mktsegment, COUNT(*) AS n_orders,
+           {o_dsum('amt')} AS revenue
+    FROM channels JOIN customer ON c_custkey = ck
+    GROUP BY channel, c_mktsegment
+    ORDER BY channel, c_mktsegment
+    """,
+)
+def tpcds_channel_union_agg(spark, sf_dir):
+    """TPC-DS q71 shape: multiple 'channels' UNION ALL'd with a channel
+    tag, joined to a dimension and re-aggregated. The union is
+    plan-level only (both branches scan the same parquet with disjoint
+    pushed filters); one shuffle for the final group."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ch = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.lit("open").alias("channel"), F.col("o_custkey").alias("ck"), F.col("o_totalprice").alias("amt"))
+        .unionByName(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.lit("closed").alias("channel"), F.col("o_custkey").alias("ck"), F.col("o_totalprice").alias("amt")
+            )
+        )
+    )
+    return (
+        ch.join(c, ch.ck == c.c_custkey)
+        .groupBy("channel", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("amt").alias("revenue"))
+        .orderBy("channel", "c_mktsegment")
+    )
+
+
+@q(
+    "tpcds_segment_topn",
+    f"""
+    WITH cust_rev AS (
+        SELECT c_mktsegment, c_custkey, {o_dsum('o_totalprice')} AS revenue
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, c_custkey
+    ),
+    ranked AS (
+        SELECT c_mktsegment, c_custkey, revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY revenue DESC, c_custkey) AS INT) AS rn
+        FROM cust_rev
+    )
+    SELECT c_mktsegment, c_custkey, revenue, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tpcds_segment_topn(spark, sf_dir):
+    """TPC-DS q38-adjacent shape: per-segment top-3 customers by joined
+    aggregate revenue. row_number ≤ k over the agg output triggers
+    WindowGroupLimit (bounded per-group heap) — the PARTITION_SORT
+    posture that keeps top-n cheap at any segment cardinality."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "revenue", "rn")
+    )
