@@ -15,8 +15,10 @@ idempotency). The Spark-first mapping keeps that split:
 - :func:`export_table` is RESULT_FILE_SINK / EXPORT (``SELECT INTO
   OUTFILE``),
 - :func:`jdbc_scan` / :func:`jdbc_sink` wrap the Spark JDBC connector
-  (MYSQL/JDBC/ODBC_SCAN + JDBC_TABLE_SINK; no database exists in this
-  environment, so they are thin, untested pass-throughs by design).
+  (MYSQL/JDBC/ODBC_SCAN + JDBC_TABLE_SINK) — exercised end-to-end
+  against embedded Apache Derby, whose driver ships in the Spark
+  distribution (``jdbc_roundtrip`` suite entry; swap url/driver for
+  MySQL/Postgres on a cluster).
 """
 
 from __future__ import annotations
@@ -148,15 +150,17 @@ def export_table(
 def jdbc_scan(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """MYSQL/JDBC/ODBC_SCAN → Spark JDBC connector (predicate pushdown
     and partitioned reads via the standard ``partitionColumn`` options).
-    Untestable here — no database in this environment."""
+    Exercised end-to-end against embedded Apache Derby (driver ships in
+    the Spark distribution) by the ``jdbc_roundtrip`` suite entry and
+    tests/test_sources_streaming.py."""
     return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).load()
 
 
 def jdbc_sink(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
-    """JDBC_TABLE_SINK → Spark JDBC writer. Untestable here — no
-    database in this environment."""
+    """JDBC_TABLE_SINK → Spark JDBC writer. Exercised end-to-end
+    against embedded Apache Derby by the ``jdbc_roundtrip`` entry."""
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).mode(mode).save()

@@ -254,3 +254,38 @@ def bucketed_colocated_join(spark, sf_dir):
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@q(
+    "jdbc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def jdbc_roundtrip(spark, sf_dir):
+    """MYSQL/JDBC_SCAN + JDBC_TABLE_SINK exercised end-to-end against a
+    REAL database over JDBC: embedded Apache Derby (its driver ships in
+    the Spark distribution, so this runs in any stock Spark env). The
+    nation dimension is written through the JDBC sink (overwrite =
+    drop/recreate, Doris's external-table write), then read back through
+    the JDBC scan; values must equal the parquet source. On a cluster
+    the same two calls speak to MySQL/Postgres — only url/driver change;
+    partitioned parallel reads via the standard partitionColumn options.
+    """
+    import hashlib
+
+    from palo_spark.sources import jdbc_scan, jdbc_sink
+
+    url = (
+        "jdbc:derby:/tmp/palo_spark_derby_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + ";create=true"
+    )
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    jdbc_sink(
+        load_table(spark, sf_dir, "nation"), url, "nation_rt",
+        mode="overwrite", driver=drv,
+    )
+    return jdbc_scan(spark, url, "nation_rt", driver=drv).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -267,3 +267,19 @@ def test_broker_load_max_filter_ratio(spark):
             max_filter_ratio=0.1,
         )
     assert t2.meta.rowsets == []
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC scan+sink against embedded Derby (driver ships in the
+    Spark jars): write, append, read back with a pushed predicate."""
+    from pyspark.sql import functions as F
+    from palo_spark.sources import jdbc_scan, jdbc_sink
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    jdbc_sink(df, url, "t", mode="overwrite", driver=drv)
+    jdbc_sink(spark.createDataFrame([(3, "c")], "id int, s string"), url, "t", driver=drv)
+    back = jdbc_scan(spark, url, "t", driver=drv)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert back.filter(F.col("id") >= 2).count() == 2
