@@ -61,6 +61,13 @@ HEADLINE = [
     "mix_sources_weighted",
     "corpus_filter_pipeline",
     "pipeline_pretraining_corpus",
+    # r5 additions: SQL text front end, TPC-DS shapes, indexed MATCH,
+    # many-query LSH kNN join
+    "sql_tpch_q1",
+    "tpcds_window_over_agg",
+    "tpcds_exists_chain",
+    "text_match_indexed",
+    "similarity_knn_join_lsh",
 ]
 
 
