@@ -30,5 +30,6 @@ from palo_spark.catalog import load_table, register_views, TABLES  # noqa: F401
 from palo_spark.tables import Table  # noqa: F401
 from palo_spark.plans import Measure, Rollup, RollupCatalog  # noqa: F401
 from palo_spark.sql_frontend import doris_sql, translate  # noqa: F401
+from palo_spark.palo_session import PaloSession  # noqa: F401
 
 __version__ = "0.2.0"

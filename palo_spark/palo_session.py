@@ -1,0 +1,294 @@
+"""PaloSession — the single user-facing entry point: Doris SQL text in,
+DataFrames out.
+
+A Doris user interacts through SQL over the MySQL protocol (reference
+``README_EN.md:4``; SURVEY §1.1/§3.1): ``CREATE TABLE`` with a key model
+and hash distribution, ``INSERT``, then ``SELECT`` in the MySQL dialect.
+This class wires the repo's pieces behind that exact surface (the wire
+protocol itself stays out of scope):
+
+- **DDL** — ``CREATE TABLE name (cols...) [AGGREGATE|UNIQUE|DUPLICATE]
+  KEY(k...) [COMMENT ...] DISTRIBUTED BY HASH(c) BUCKETS n
+  [PROPERTIES (...)]`` becomes a :class:`~palo_spark.tables.Table`
+  (key-model merge-on-read semantics; per-value aggregations
+  SUM/MIN/MAX/REPLACE/REPLACE_IF_NOT_NULL parse from the column list).
+  ``DROP TABLE [IF EXISTS] name`` unregisters it.
+- **DML** — ``INSERT INTO name VALUES (...), (...)`` and ``INSERT INTO
+  name SELECT ...`` commit a rowset through the table model (the
+  OLAP_TABLE_SINK path, same ledger as Stream/Broker Load).
+- **Queries** — everything else goes through
+  :func:`~palo_spark.sql_frontend.translate` (MySQL-dialect → Spark
+  SQL); if a :class:`~palo_spark.plans.RollupCatalog` is attached and a
+  registered rollup covers the query, it is silently answered from the
+  rollup first — Doris's transparent MV selection.
+
+Managed tables are exposed to SQL as temp views over the merge-on-read
+read() view, refreshed after every mutation — a query always sees
+committed table-model semantics.
+
+Scale: DDL/DML parsing is driver-side string work (once per statement);
+every produced plan is the same Catalyst plan the DataFrame API builds.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from palo_spark.sql_frontend import doris_sql, translate
+from palo_spark.tables import AGG_TYPES, Table
+
+#: Doris column type → Spark SQL type (DDL position; the scalar-function
+#: CAST map lives in sql_frontend._TYPE_MAP)
+_DDL_TYPES = {
+    "boolean": "boolean",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "largeint": "decimal(38,0)",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "datetime": "timestamp",
+    "char": "string",
+    "varchar": "string",
+    "string": "string",
+    "text": "string",
+}
+
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*\(",
+    re.IGNORECASE,
+)
+
+_CREATE_TAIL_RE = re.compile(
+    r"^\s*(?:ENGINE\s*=\s*\w+\s*)?"
+    r"(?:(?P<model>AGGREGATE|UNIQUE|DUPLICATE)\s+KEY\s*\((?P<keys>[^)]*)\)\s*)?"
+    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:DISTRIBUTED\s+BY\s+HASH\s*\((?P<dist>[^)]*)\)\s*(?:BUCKETS\s+(?P<buckets>\d+))?\s*)?"
+    r"(?:PROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced_span(s: str, open_i: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_i``
+    (quote-aware)."""
+    depth, q = 0, None
+    for i in range(open_i, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in CREATE TABLE")
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+`?(?P<name>\w+)`?\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>VALUES\s*.*|SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    out, cur, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+class PaloSession:
+    """Doris-SQL-text session over Spark (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, *, location_root: str | None = None,
+                 rollups=None) -> None:
+        self.spark = spark
+        self.location_root = location_root
+        self.rollups = rollups  # optional RollupCatalog
+        self.tables: dict[str, Table] = {}
+
+    # ------------------------------------------------------------- DDL
+
+    def _parse_column(self, text: str) -> tuple[str, str, str | None, bool]:
+        """One column def → (name, spark_type, agg_fn|None, is_sequence).
+
+        Doris form: ``name TYPE [agg_fn] [NULL|NOT NULL] [COMMENT '...']``.
+        """
+        m = re.match(
+            r"`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(?P<rest>.*)$",
+            text.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unparsable column definition: {text!r}")
+        name = m.group("name")
+        typ = m.group("type").lower()
+        base = typ.split("(")[0].strip()
+        if base == "decimal":
+            spark_type = typ  # decimal(p,s) passes through
+        elif base in _DDL_TYPES:
+            spark_type = _DDL_TYPES[base]
+        else:
+            raise ValueError(f"unsupported Doris column type {typ!r}")
+        rest = m.group("rest") or ""
+        agg = None
+        first = rest.strip().split(None, 1)[0].upper() if rest.strip() else ""
+        if first in AGG_TYPES:
+            agg = first
+        return name, spark_type, agg, False
+
+    def _create_table(self, text: str) -> Table:
+        hm = _CREATE_HEAD_RE.match(text)
+        if not hm:
+            raise ValueError(f"unparsable CREATE TABLE head: {text!r}")
+        name = hm.group("name")
+        open_i = hm.end() - 1
+        close_i = _balanced_span(text, open_i)
+        cols_text = text[open_i + 1 : close_i - 1]
+        m = _CREATE_TAIL_RE.match(text[close_i:])
+        if not m:
+            raise ValueError(
+                "unparsable CREATE TABLE tail (supported: "
+                "AGGREGATE/UNIQUE/DUPLICATE KEY, DISTRIBUTED BY HASH ... "
+                f"BUCKETS n, PROPERTIES): {text[close_i:]!r}"
+            )
+        model = (m.group("model") or "DUPLICATE").upper()
+        cols = [self._parse_column(c) for c in _split_top(cols_text)]
+        if m.group("keys"):
+            key_cols = [k.strip().strip("`") for k in m.group("keys").split(",")]
+        else:
+            key_cols = [cols[0][0]]
+        agg_spec = {n: a for n, _, a, _ in cols if a}
+        sequence_col = None
+        props = m.group("props") or ""
+        pm = re.search(r"['\"]function_column\.sequence_col['\"]\s*=\s*['\"](\w+)['\"]", props)
+        if pm:
+            sequence_col = pm.group(1)
+        kw: dict = {}
+        if self.location_root:
+            kw["location"] = f"{self.location_root}/{name}"
+        t = Table(
+            self.spark,
+            name,
+            keys_type=model,
+            key_cols=key_cols,
+            agg_spec=agg_spec or None,
+            sequence_col=sequence_col,
+            **kw,
+        )
+        # remember the declared schema so VALUES inserts can be typed
+        t._declared_schema = ", ".join(f"{n} {st}" for n, st, _, _ in cols)  # type: ignore[attr-defined]
+        self.tables[name.lower()] = t
+        return t
+
+    # ------------------------------------------------------------- DML
+
+    def _insert(self, text: str) -> int:
+        m = _INSERT_RE.match(text)
+        assert m is not None
+        name = m.group("name").lower()
+        if name not in self.tables:
+            raise ValueError(f"unknown palo table {name!r}")
+        t = self.tables[name]
+        body = m.group("body")
+        if body.lstrip().upper().startswith("VALUES"):
+            # Spark parses the VALUES clause itself
+            rows = self.spark.sql("SELECT * FROM " + translate(body))
+        else:
+            rows = self.sql(body)
+        # positional column mapping + cast to the declared schema (MySQL
+        # INSERT semantics: the select list / value tuples map by
+        # position to the target columns)
+        schema = getattr(t, "_declared_schema", None)
+        if schema is not None:
+            decl = [s.strip().split()[0] for s in schema.split(",")]
+            typs = [s.strip().split(None, 1)[1] for s in schema.split(",")]
+            cols = m.group("cols")
+            names = (
+                [c.strip().strip("`") for c in cols.split(",")] if cols else decl
+            )
+            if len(rows.columns) != len(names):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(rows.columns)} values for "
+                    f"{len(names)} target columns"
+                )
+            sel = []
+            for col_name, got in zip(names, rows.columns):
+                i = [d.lower() for d in decl].index(col_name.lower())
+                sel.append(f"CAST(`{got}` AS {typs[i]}) AS `{decl[i]}`")
+            rows = rows.selectExpr(*sel)
+        version = t.insert(rows)
+        self._refresh_view(name)
+        return version
+
+    def _refresh_view(self, name: str) -> None:
+        self.tables[name].read().createOrReplaceTempView(name)
+
+    # ----------------------------------------------------------- entry
+
+    def sql(self, text: str):
+        """Run one Doris-dialect SQL statement.
+
+        Returns a DataFrame for queries, the committed version (int) for
+        INSERT, the :class:`Table` for CREATE TABLE, None for DROP.
+        """
+        stripped = text.strip()
+        up = stripped.upper()
+        if up.startswith("CREATE TABLE"):
+            return self._create_table(stripped)
+        if up.startswith("DROP TABLE"):
+            m = _DROP_RE.match(stripped)
+            if not m:
+                raise ValueError(f"unparsable DROP TABLE: {text!r}")
+            name = m.group("name").lower()
+            if name not in self.tables and not m.group("ife"):
+                raise ValueError(f"unknown palo table {name!r}")
+            if name in self.tables:
+                del self.tables[name]
+                self.spark.catalog.dropTempView(name)
+            return None
+        if _INSERT_RE.match(stripped):
+            return self._insert(stripped)
+        # query path: translate the dialect ONCE, then transparent
+        # rollup/MV selection (its pass-through already runs spark.sql
+        # on the translated text — never re-translate: the %-pattern
+        # rewrite is not idempotent)
+        if self.rollups is not None:
+            df, _source = self.rollups.sql(translate(stripped))
+            return df
+        return doris_sql(self.spark, stripped)

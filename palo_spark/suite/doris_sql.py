@@ -258,3 +258,50 @@ _entry(
     ORDER BY price_k
     """,
 )
+
+
+def _sql_session_ddl_pipeline(spark, sf_dir):
+    """End-to-end Doris-SQL-text pipeline through PaloSession: CREATE an
+    AGGREGATE-KEY table, load it twice with INSERT INTO ... SELECT (the
+    second batch proves SUM merge-on-read), query it back in dialect
+    SQL. Revenue is stored as integer cents (BIGINT SUM) so cross-engine
+    sums are exact. The oracle computes the same doubled aggregate
+    directly from the star tables."""
+    import hashlib
+
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    root = "/tmp/palo_sess_suite_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ps = PaloSession(spark, location_root=root)
+    ps.sql("DROP TABLE IF EXISTS seg_stats")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    ps.sql(
+        """CREATE TABLE seg_stats (
+               `mkt` VARCHAR(20),
+               `n_orders` BIGINT SUM,
+               `rev_cents` BIGINT SUM
+           ) AGGREGATE KEY(mkt)
+           DISTRIBUTED BY HASH(mkt) BUCKETS 4"""
+    )
+    load = (
+        "INSERT INTO seg_stats "
+        "SELECT c_mktsegment, 1, CAST(FLOOR(o_totalprice * 100) AS SIGNED) "
+        "FROM orders JOIN customer ON c_custkey = o_custkey"
+    )
+    ps.sql(load)
+    ps.sql(load)  # second rowset: AGGREGATE model must SUM-merge
+    return ps.sql("SELECT `mkt`, n_orders, rev_cents FROM seg_stats ORDER BY mkt")
+
+
+QUERIES["sql_session_ddl_pipeline"] = _sql_session_ddl_pipeline
+ORACLE["sql_session_ddl_pipeline"] = """
+    SELECT c_mktsegment AS mkt,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_orders,
+           CAST(2 * SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY mkt
+"""
