@@ -44,17 +44,26 @@ _MYSQL_TO_SPARK = {
     "%": "%",  # literal percent (handled specially below)
 }
 
-#: Specifiers with no faithful java.time equivalent. We fail loudly
-#: rather than silently produce wrong dates (Doris would format them).
-_UNSUPPORTED = {
+#: Specifiers with no java.time pattern, but computable as expressions —
+#: ``mysql_pattern_segments`` emits them as ("calc", spec) segments that
+#: ``date_format`` (Column path) and the SQL front end compose with
+#: concat. %v is the ISO week (MySQL mode 3), %x its week-year.
+_COMPUTED = {
+    "w",  # day of week 0=Sunday (java.time has no 0-based day number)
     "D",  # day with english suffix (1st, 2nd)
+    "v",  # ISO week number (Monday-first, mode 3)
+    "x",  # ISO week-year (pairs with %v)
+}
+
+#: Specifiers with no faithful java.time equivalent NOR a clean
+#: expression (MySQL week modes 0/2 count from the first Sunday with
+#: year-boundary rules java.time cannot express). We fail loudly rather
+#: than silently produce wrong dates (Doris would format them).
+_UNSUPPORTED = {
     "U",  # week (Sunday-first, mode 0)
     "u",  # week (Monday-first, mode 1)
     "V",  # week (Sunday-first, mode 2)
-    "v",  # week (Monday-first, mode 3) — ISO-ish but year-pairing differs
     "X",  # year for week (Sunday-first)
-    "x",  # year for week (Monday-first)
-    "w",  # day of week 0=Sunday (java.time has no 0-based day number)
 }
 
 
@@ -93,6 +102,12 @@ def mysql_pattern_to_spark(fmt: str) -> str:
             elif spec in _MYSQL_TO_SPARK:
                 flush_literal()
                 out.append(_MYSQL_TO_SPARK[spec])
+            elif spec in _COMPUTED:
+                raise ValueError(
+                    f"MySQL datetime specifier %{spec} needs expression "
+                    f"composition — use mysql_pattern_segments / "
+                    f"palo_spark.functions.date_format"
+                )
             elif spec in _UNSUPPORTED:
                 raise ValueError(
                     f"MySQL datetime specifier %{spec} has no faithful Spark "
@@ -107,3 +122,35 @@ def mysql_pattern_to_spark(fmt: str) -> str:
             i += 1
     flush_literal()
     return "".join(out)
+
+
+def mysql_pattern_segments(fmt: str) -> list[tuple[str, str]]:
+    """Split a MySQL format string into composable segments:
+    ``("pat", java_pattern)`` runs formattable by one ``date_format``
+    call, and ``("calc", spec)`` for the computed specifiers
+    (%w day-of-week-0, %D english suffix, %v ISO week, %x ISO
+    week-year). A format with no computed specifiers yields a single
+    ``("pat", ...)`` segment — callers keep the zero-concat fast path.
+    """
+    segs: list[tuple[str, str]] = []
+    run: list[str] = []  # current raw-MySQL run (re-fed to the translator)
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec in _COMPUTED:
+                if run:
+                    segs.append(("pat", mysql_pattern_to_spark("".join(run))))
+                    run = []
+                segs.append(("calc", spec))
+            else:
+                run.append(ch)
+                run.append(spec)
+            i += 2
+        else:
+            run.append(ch)
+            i += 1
+    if run or not segs:
+        segs.append(("pat", mysql_pattern_to_spark("".join(run))))
+    return segs

@@ -65,7 +65,28 @@ from __future__ import annotations
 
 import re
 
-from palo_spark.functions.datetime_shim import mysql_pattern_to_spark
+from palo_spark.functions.datetime_shim import (
+    mysql_pattern_segments,
+    mysql_pattern_to_spark,
+)
+
+#: SQL-text expansions of the computed datetime specifiers (%w %D %v %x)
+#: — mirrors functions._calc_spec_col; {d} is the datetime expression.
+_CALC_SQL = {
+    "w": "CAST(dayofweek({d}) - 1 AS STRING)",
+    "D": (
+        "CONCAT(CAST(dayofmonth({d}) AS STRING), "
+        "CASE WHEN dayofmonth({d}) IN (11,12,13) THEN 'th' "
+        "WHEN dayofmonth({d}) % 10 = 1 THEN 'st' "
+        "WHEN dayofmonth({d}) % 10 = 2 THEN 'nd' "
+        "WHEN dayofmonth({d}) % 10 = 3 THEN 'rd' ELSE 'th' END)"
+    ),
+    "v": "lpad(CAST(weekofyear({d}) AS STRING), 2, '0')",
+    "x": (
+        "CAST(year(date_add(CAST({d} AS DATE), "
+        "CAST(4 - ((dayofweek({d}) + 5) % 7 + 1) AS INT))) AS STRING)"
+    ),
+}
 
 Token = tuple[str, str]  # (kind, text)
 
@@ -209,6 +230,18 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         if len(args) == 2:
             fmt = _only_str_literal(args[1])
             if fmt is not None:
+                if name_lower == "date_format":
+                    d = _text(args[0])
+                    segs = mysql_pattern_segments(fmt)
+                    if len(segs) > 1 or segs[0][0] != "pat":
+                        pieces = [
+                            f"date_format({d}, {_quote_str(val)})"
+                            if kind == "pat"
+                            else _CALC_SQL[val].format(d=d)
+                            for kind, val in segs
+                            if not (kind == "pat" and val == "")
+                        ]
+                        return _raw("CONCAT(" + ", ".join(pieces) + ")")
                 spark_fmt = mysql_pattern_to_spark(fmt)
                 return _raw(f"{fn}({_text(args[0])}, {_quote_str(spark_fmt)})")
             raise ValueError(

@@ -305,3 +305,31 @@ ORACLE["sql_session_ddl_pipeline"] = """
     GROUP BY c_mktsegment
     ORDER BY mkt
 """
+
+
+_entry(
+    "sql_dialect_week_format",
+    """
+    SELECT o_orderkey,
+           date_format(`o_orderdate`, '%x-W%v') AS iso_week,
+           date_format(`o_orderdate`, '%w') AS dow0,
+           date_format(`o_orderdate`, '%D') AS day_suffixed
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%G-W%V') AS iso_week,
+           strftime(o_orderdate, '%w') AS dow0,
+           CAST(dayofmonth(o_orderdate) AS VARCHAR) ||
+           CASE WHEN dayofmonth(o_orderdate) IN (11,12,13) THEN 'th'
+                WHEN dayofmonth(o_orderdate) % 10 = 1 THEN 'st'
+                WHEN dayofmonth(o_orderdate) % 10 = 2 THEN 'nd'
+                WHEN dayofmonth(o_orderdate) % 10 = 3 THEN 'rd'
+                ELSE 'th' END AS day_suffixed
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)

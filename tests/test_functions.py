@@ -385,3 +385,59 @@ def test_months_years_diff_month_end_semantics(spark):
     assert val(pf.years_diff(ts("2021-01-31"), ts("2020-01-31"))) == 1
     assert val(pf.timestampdiff("quarter", ts("2020-01-31"), ts("2020-04-29"))) == 0
     assert val(pf.timestampdiff("quarter", ts("2020-01-31"), ts("2020-05-01"))) == 1
+
+
+def test_sm3_known_vectors(spark):
+    """GB/T 32905-2016 standard test vectors, through the Spark column."""
+    import palo_spark.functions as pf
+    from palo_spark.functions import _sm3_digest
+
+    assert _sm3_digest(b"abc") == (
+        "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"
+    )
+    assert _sm3_digest(b"abcd" * 16) == (
+        "debe9ff92275b8a138604889c18e5a4d6fdb70e5387e5765293dcba39c0c5732"
+    )
+    df = spark.createDataFrame([("abc",), (None,)], "s string")
+    got = [r["h"] for r in df.select(pf.sm3("s").alias("h")).collect()]
+    assert got[0] == "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"
+    assert got[1] is None
+    # sm3sum concatenates like md5sum
+    two = spark.createDataFrame([("ab", "c")], "a string, b string")
+    assert two.select(pf.sm3sum("a", "b").alias("h")).collect()[0]["h"] == got[0]
+
+
+def test_date_format_computed_specifiers(spark):
+    """%w / %D / %v / %x compose expression pieces with formatter runs;
+    ISO week-year boundaries (Jan 1 in the old ISO year) are the
+    canonical trap."""
+    import palo_spark.functions as pf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2020-01-01",), ("2021-01-01",), ("2023-01-02",), ("2020-12-31",),
+         ("2020-03-22",), ("2020-03-13",)],
+        "d string",
+    )
+    out = df.select(
+        "d",
+        pf.date_format(F.col("d").cast("timestamp"), "%w").alias("w"),
+        pf.date_format(F.col("d").cast("timestamp"), "%D of %M").alias("dd"),
+        pf.date_format(F.col("d").cast("timestamp"), "%x-W%v").alias("isow"),
+    )
+    got = {r["d"]: (r["w"], r["dd"], r["isow"]) for r in out.collect()}
+    assert got["2020-01-01"] == ("3", "1st of January", "2020-W01")
+    assert got["2021-01-01"] == ("5", "1st of January", "2020-W53")  # ISO year 2020!
+    assert got["2023-01-02"] == ("1", "2nd of January", "2023-W01")
+    assert got["2020-12-31"] == ("4", "31st of December", "2020-W53")
+    assert got["2020-03-22"][1] == "22nd of March"
+    assert got["2020-03-13"][1] == "13th of March"
+
+
+def test_sql_frontend_computed_date_format():
+    from palo_spark.sql_frontend import translate
+
+    out = translate("SELECT date_format(d, '%x-W%v') FROM t")
+    assert "CONCAT(" in out and "weekofyear" in out
+    # pure patterns keep the single-call fast path
+    assert "CONCAT" not in translate("SELECT date_format(d, '%Y-%m')")
