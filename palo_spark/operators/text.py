@@ -179,7 +179,10 @@ def tfidf_top_terms(
     # callers release via release_persisted().
     terms = _persist(terms, "tfidf")
     # N comes from the (now cached) terms stage — no dedicated full scan
-    # of the raw corpus just to count rows
+    # of the raw corpus just to count rows. This .first() makes the
+    # operator EAGER (one scalar to the driver, bounded at any corpus
+    # size); the alternative — a one-row crossJoin carrying N — would
+    # keep laziness but add a broadcast stage for zero runtime benefit.
     n_docs = terms.agg(F.countDistinct(id_col)).first()[0]
     dfreq = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     scored = terms.join(dfreq, "term").withColumn(

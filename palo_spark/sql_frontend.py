@@ -198,8 +198,6 @@ _RENAME = {
     "strright": "right",
     "ndv": "approx_count_distinct",
     "curtime": "current_timestamp",
-    "ucase": "ucase",  # Spark shares these; listed for documentation
-    "lcase": "lcase",
 }
 
 #: functions whose LAST string-literal arg is a MySQL %-pattern

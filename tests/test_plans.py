@@ -448,3 +448,14 @@ def test_match_phrase_indexed_prune_then_verify(spark, tmp_path):
     build_text_index(docs, path, buckets=8)
     got = sorted(r["doc_id"] for r in match_phrase_indexed(docs, path, "quick brown").collect())
     assert got == [1, 3]  # doc 2 has both tokens (index candidate) but not adjacent
+
+
+def test_sql_frontend_query_keeps_pushdown(spark, sf_dir):
+    """Doris-dialect SQL text goes through translate() -> spark.sql; the
+    resulting plan must get the same Catalyst treatment as the
+    DataFrame API: filter pushed to the parquet scan, two-phase agg."""
+    from palo_spark.suite.doris_sql import QUERIES
+
+    plan = plan_of(QUERIES["sql_tpch_q1"](spark, sf_dir))
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
