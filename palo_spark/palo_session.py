@@ -15,7 +15,13 @@ protocol itself stays out of scope):
   ``DROP TABLE [IF EXISTS] name`` unregisters it.
 - **DML** — ``INSERT INTO name VALUES (...), (...)`` and ``INSERT INTO
   name SELECT ...`` commit a rowset through the table model (the
-  OLAP_TABLE_SINK path, same ledger as Stream/Broker Load).
+  OLAP_TABLE_SINK path, same ledger as Stream/Broker Load);
+  ``DELETE FROM name WHERE ...`` records a deferred delete predicate
+  (metadata-only, Doris delete-version semantics); ``UPDATE name SET
+  ... WHERE ...`` is the UNIQUE-model read-modify-upsert.
+- **Schema/metadata** — ``ALTER TABLE name ADD COLUMN c TYPE [agg]
+  [DEFAULT v]`` (light schema change, metadata-only), ``SHOW TABLES``,
+  ``DESC name``.
 - **Queries** — everything else goes through
   :func:`~palo_spark.sql_frontend.translate` (MySQL-dialect → Spark
   SQL); if a :class:`~palo_spark.plans.RollupCatalog` is attached and a
@@ -103,6 +109,29 @@ _INSERT_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*;?\s*$",
     re.IGNORECASE,
+)
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+`?(?P<name>\w+)`?\s+WHERE\s+(?P<cond>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+`?(?P<name>\w+)`?\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"(?:\s+(?P<agg>SUM|MIN|MAX|REPLACE|REPLACE_IF_NOT_NULL))?"
+    r"(?:\s+DEFAULT\s+(?P<default>'[^']*'|\S+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_DESC_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
 
@@ -259,6 +288,57 @@ class PaloSession:
     def _refresh_view(self, name: str) -> None:
         self.tables[name].read().createOrReplaceTempView(name)
 
+    def _table(self, name: str) -> Table:
+        t = self.tables.get(name.lower())
+        if t is None:
+            raise ValueError(f"unknown palo table {name!r}")
+        return t
+
+    def _update(self, text: str) -> int:
+        """``UPDATE t SET c = expr [, ...] [WHERE cond]`` — Doris allows
+        UPDATE only on the UNIQUE key model; it is sugar for read →
+        modify matching rows → upsert them back (the merge-on-read
+        replace does the rest). Non-matching rows are never rewritten.
+        """
+        m = _UPDATE_RE.match(text)
+        if not m:
+            raise ValueError(f"unparsable UPDATE: {text!r}")
+        t = self._table(m.group("name"))
+        if t.meta.keys_type != "UNIQUE":
+            raise ValueError("UPDATE requires a UNIQUE-key table (Doris semantics)")
+        assigns: dict[str, str] = {}
+        for item in _split_top(m.group("sets")):
+            am = re.match(r"^`?(\w+)`?\s*=\s*(.+)$", item.strip(), re.DOTALL)
+            if not am:
+                raise ValueError(f"unparsable SET item: {item!r}")
+            assigns[am.group(1).lower()] = translate(am.group(2))
+        for k in assigns:
+            if k in (c.lower() for c in t.meta.key_cols):
+                raise ValueError(f"cannot UPDATE key column {k!r}")
+        cond = translate(m.group("cond")) if m.group("cond") else "true"
+        cur = t.read()
+        from pyspark.sql import functions as F
+
+        matched = cur.filter(F.expr(cond))
+        schema = getattr(t, "_declared_schema", None)
+        typs = {}
+        if schema:
+            for part in schema.split(","):
+                n_, ty = part.strip().split(None, 1)
+                typs[n_.lower()] = ty
+        sel = []
+        for c in cur.columns:
+            rhs = assigns.get(c.lower())
+            if rhs is None:
+                sel.append(f"`{c}`")
+            elif c.lower() in typs:
+                sel.append(f"CAST(({rhs}) AS {typs[c.lower()]}) AS `{c}`")
+            else:
+                sel.append(f"({rhs}) AS `{c}`")
+        version = t.insert(matched.selectExpr(*sel))
+        self._refresh_view(m.group("name").lower())
+        return version
+
     # ----------------------------------------------------------- entry
 
     def sql(self, text: str):
@@ -282,6 +362,65 @@ class PaloSession:
                 del self.tables[name]
                 self.spark.catalog.dropTempView(name)
             return None
+        if up.startswith("DELETE"):
+            m = _DELETE_RE.match(stripped)
+            if not m:
+                raise ValueError(f"unparsable DELETE (need WHERE): {text!r}")
+            t = self._table(m.group("name"))
+            # Doris DELETE is a metadata-recorded predicate applied at
+            # read on pre-delete rowsets — Table.delete_where IS that
+            version = t.delete_where(translate(m.group("cond")))
+            self._refresh_view(m.group("name").lower())
+            return version
+        if up.startswith("UPDATE"):
+            return self._update(stripped)
+        if up.startswith("ALTER"):
+            m = _ALTER_ADD_RE.match(stripped)
+            if not m:
+                raise ValueError(
+                    f"unparsable ALTER TABLE (only ADD COLUMN supported): {text!r}"
+                )
+            t = self._table(m.group("name"))
+            base = m.group("type").lower().split("(")[0]
+            styp = m.group("type").lower() if base == "decimal" else _DDL_TYPES.get(base)
+            if styp is None:
+                raise ValueError(f"unsupported column type {m.group('type')!r}")
+            default = m.group("default")
+            if default is not None:
+                default = default.strip("'")
+                if base in ("int", "integer", "bigint", "tinyint", "smallint"):
+                    default = int(default)
+                elif base in ("float", "double", "decimal"):
+                    default = float(default)
+            t.add_column(m.group("col"), styp, default=default, agg=m.group("agg"))
+            t._declared_schema = (  # type: ignore[attr-defined]
+                getattr(t, "_declared_schema", "") + f", {m.group('col')} {styp}"
+            )
+            self._refresh_view(m.group("name").lower())
+            return None
+        if up.startswith("SHOW TABLES"):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.tables)] or [("",)], "table_name string"
+            ).filter("table_name <> ''")
+        dm = _DESC_RE.match(stripped)
+        if dm and dm.group("name").lower() in self.tables:
+            t = self.tables[dm.group("name").lower()]
+            rows = []
+            schema = getattr(t, "_declared_schema", None)
+            if schema:
+                for part in schema.split(","):
+                    cname, ctype = part.strip().split(None, 1)
+                    rows.append(
+                        (
+                            cname,
+                            ctype,
+                            cname in t.meta.key_cols,
+                            t.meta.agg_spec.get(cname, ""),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows, "field string, type string, is_key boolean, agg string"
+            )
         if _INSERT_RE.match(stripped):
             return self._insert(stripped)
         # query path: translate the dialect ONCE, then transparent

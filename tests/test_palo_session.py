@@ -87,3 +87,52 @@ def test_rollup_integration_answers_from_mv(spark, tmp_path):
     assert source == "r1"  # the MV really covers it
     got = {r["g"]: r["sum_v"] for r in ps.sql("SELECT g, SUM(v) AS sum_v FROM base_t GROUP BY g").collect()}
     assert got == {"a": 3, "b": 3}
+
+
+def test_update_unique_table(ps):
+    ps.sql("CREATE TABLE uu (`uid` BIGINT, `name` VARCHAR(10), `score` INT) UNIQUE KEY(uid) DISTRIBUTED BY HASH(uid) BUCKETS 2")
+    ps.sql("INSERT INTO uu VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    ps.sql("UPDATE uu SET score = score + 5, name = ucase(name) WHERE uid <= 2")
+    got = sorted((r["uid"], r["name"], r["score"]) for r in ps.sql("SELECT * FROM uu").collect())
+    assert got == [(1, "A", 15), (2, "B", 25), (3, "c", 30)]
+    import pytest
+    with pytest.raises(ValueError, match="key column"):
+        ps.sql("UPDATE uu SET uid = 9 WHERE uid = 1")
+
+
+def test_update_requires_unique_model(ps):
+    import pytest
+    ps.sql("CREATE TABLE dupt (`k` INT, `v` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO dupt VALUES (1, 2)")
+    with pytest.raises(ValueError, match="UNIQUE"):
+        ps.sql("UPDATE dupt SET v = 3 WHERE k = 1")
+
+
+def test_delete_where_through_sql(ps):
+    ps.sql("CREATE TABLE dd (`k` INT, `v` VARCHAR(5)) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO dd VALUES (1,'a'),(2,'b'),(3,'c')")
+    ps.sql("DELETE FROM dd WHERE k = 2 || k = 99")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM dd").collect())
+    assert got == [1, 3]
+    # rows loaded AFTER the delete are unaffected (Doris delete-version)
+    ps.sql("INSERT INTO dd VALUES (2,'b2')")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM dd").collect())
+    assert got == [1, 2, 3]
+
+
+def test_alter_add_column_and_desc(ps):
+    ps.sql("CREATE TABLE ac (`k` INT, `v` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ac VALUES (1, 10)")
+    ps.sql("ALTER TABLE ac ADD COLUMN note VARCHAR(20) DEFAULT 'none'")
+    ps.sql("INSERT INTO ac VALUES (2, 20, 'hi')")
+    got = {r["k"]: r["note"] for r in ps.sql("SELECT k, `note` FROM ac").collect()}
+    assert got == {1: "none", 2: "hi"}
+    desc = {r["field"]: (r["type"], r["is_key"]) for r in ps.sql("DESC ac").collect()}
+    assert desc["k"] == ("int", True) and desc["note"][0] == "string"
+
+
+def test_show_tables(ps):
+    ps.sql("CREATE TABLE t1 (`k` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE t2 (`k` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    names = [r["table_name"] for r in ps.sql("SHOW TABLES").collect()]
+    assert names == ["t1", "t2"]
