@@ -1583,3 +1583,71 @@ def text_remove_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return remove_boilerplate_lines(ml, min_docs=50)
+
+
+def _o_pdot(a: str, b: str) -> str:
+    """Plain double dot product (order comparisons only — never hashed)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))"
+    )
+
+
+@q(
+    "similarity_search_ivf_literal",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT cell FROM cent, qv
+        ORDER BY {_o_pdot('cent.cv', 'qv.v')}
+                 / sqrt({_o_pdot('cent.cv', 'cent.cv')} * {_o_pdot('qv.v', 'qv.v')}) DESC,
+                 cell
+        LIMIT 3
+    ),
+    cellscore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_o_pdot('c.cv', 'e.embedding')}
+               / sqrt({_o_pdot('c.cv', 'c.cv')}
+                      * {_o_pdot('e.embedding', 'e.embedding')}) AS cs
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cs DESC, cell DESC) AS rn
+            FROM cellscore
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id, {_o_qcos('a.embedding', 'qv.v')} AS score
+        FROM assign a, qv
+        WHERE a.cell IN (SELECT cell FROM probes)
+    )
+    SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_search_ivf_literal(spark, sf_dir):
+    """IVF probe path with DETERMINISTIC literal centroids (the 8
+    lowest-id vectors, no Lloyd training): the full pipeline — centroid
+    cosine ranking for nprobe=3, per-vector cell assignment (argmax
+    cosine, ties to the higher cell = Spark array_max semantics),
+    candidate scan of probed cells only, quantized exact scoring —
+    replays in DuckDB as a genuine value oracle. Complements
+    ``similarity_search_ivf`` (trained centroids, invariant-checked:
+    distributed double means are not bit-stable cross-engine). Only the
+    8 centroid vectors ever reach the driver."""
+    from palo_spark.operators import similarity_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qv = cents[0]
+    return similarity_topk_ivf(
+        e, qv, k=10, nprobe=3, centroids=cents, quantized=True
+    )
