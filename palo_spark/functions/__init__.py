@@ -54,6 +54,7 @@ __all__ = [
     "inet_aton", "inet_ntoa", "ipv4_num_to_string", "ipv4_string_to_num",
     # encryption
     "aes_encrypt", "aes_decrypt", "md5sum", "sm3", "sm3sum",
+    "sm4_encrypt", "sm4_decrypt",
     "explode_split", "explode_json_array_int", "explode_json_array_double",
     "explode_json_array_string", "explode_numbers",
     "ascii", "bin", "hex", "unhex", "initcap", "repeat", "reverse",
@@ -1025,6 +1026,10 @@ def day_ceil(ts, period: int = 1, origin: str | None = None) -> Column:
     return time_ceil(ts, period, "day", origin)
 
 
+from palo_spark.functions.sm4 import (  # noqa: E402,F401
+    sm4_decrypt,
+    sm4_encrypt,
+)
 from palo_spark.functions.json_mut import (  # noqa: E402,F401
     json_insert,
     json_replace,

@@ -35,6 +35,7 @@ _MODULE_NAMES = [
     "relational",
     "doris_sql",
     "tpcds",
+    "geo_q",
 ]
 
 # r05 window: the driver verifies only the FIRST 50 entries of the
@@ -93,6 +94,10 @@ _PRIORITY = [
     "nested_loop_range_join",
     "relational_pivot",
     "table_function_explode_variants",
+    # slot 50: this round's SQL-session centerpiece (the 49 above close
+    # VERDICT r4's never-driver-green list; one slot remains in the
+    # driver's 50-entry window).
+    "sql_session_ddl_pipeline",
 ]
 
 

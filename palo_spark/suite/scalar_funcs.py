@@ -352,6 +352,39 @@ def scalar_hash_crypto(spark, sf_dir):
 
 
 @q(
+    "scalar_sm4_crypto",
+    """
+    SELECT p_partkey,
+           p_name AS decrypted,
+           CAST((FLOOR(length(p_name) / 16) + 1) * 16 AS INT) AS ecb_len,
+           CAST((FLOOR(length(p_name) / 16) + 1) * 16 AS INT) AS cbc_len,
+           TRUE AS modes_differ
+    FROM part
+    """,
+)
+def scalar_sm4_crypto(spark, sf_dir):
+    """SM4_ENCRYPT/SM4_DECRYPT (GB/T 32907, ECB + CBC with iv): the
+    decrypted payload is genuine value parity (must equal the source
+    string through a full encrypt→decrypt loop), ciphertext length is
+    PKCS#7-deterministic and replayed arithmetically; the kernel itself
+    is pinned to the standard test vector in tests/test_functions.py."""
+    p = load_table(spark, sf_dir, "part")
+    key = "palo-sm4-testkey"
+    iv = "palo-sm4-init-iv"
+    ecb = PF.sm4_encrypt("p_name", key)
+    cbc = PF.sm4_encrypt("p_name", key, iv, "SM4_128_CBC")
+    return p.select(
+        "p_partkey",
+        PF.sm4_decrypt(ecb, key).alias("decrypted"),
+        F.length(ecb).alias("ecb_len"),
+        F.length(cbc).alias("cbc_len"),
+        (
+            F.hex(ecb) != F.hex(cbc)
+        ).alias("modes_differ"),
+    )
+
+
+@q(
     "scalar_map_funcs",
     """
     SELECT n_nationkey,

@@ -441,3 +441,54 @@ def test_sql_frontend_computed_date_format():
     assert "CONCAT(" in out and "weekofyear" in out
     # pure patterns keep the single-call fast path
     assert "CONCAT" not in translate("SELECT date_format(d, '%Y-%m')")
+
+
+def test_sm4_standard_vector_and_roundtrip(spark):
+    """GB/T 32907-2016 Appendix A single-block vector + Spark-side
+    encrypt/decrypt round-trip in both modes, NULL passthrough."""
+    from palo_spark.functions.sm4 import (
+        _crypt_blocks,
+        _from_lanes,
+        _to_lanes,
+        sm4_key_schedule,
+    )
+    import palo_spark.functions as pf
+    from pyspark.sql import functions as F
+
+    key = bytes.fromhex("0123456789abcdeffedcba9876543210")
+    pt = bytes.fromhex("0123456789abcdeffedcba9876543210")
+    ct = _from_lanes(_crypt_blocks(_to_lanes(pt), sm4_key_schedule(key)))
+    assert ct.hex() == "681edf34d206965e86b3e94f536e4246"
+
+    df = spark.createDataFrame(
+        [("short",), ("exactly-16-bytes",), ("a much longer payload spanning blocks",), (None,)],
+        "s string",
+    )
+    k = "0123456789abcdef"
+    out = df.select(
+        "s",
+        pf.sm4_decrypt(pf.sm4_encrypt("s", k), k).alias("ecb_rt"),
+        pf.sm4_decrypt(
+            pf.sm4_encrypt("s", k, "fedcba9876543210", "SM4_128_CBC"),
+            k,
+            "fedcba9876543210",
+            "SM4_128_CBC",
+        ).alias("cbc_rt"),
+        F.length(pf.sm4_encrypt("s", k)).alias("clen"),
+    ).collect()
+    for r in out:
+        assert r["ecb_rt"] == r["s"] and r["cbc_rt"] == r["s"]
+        if r["s"] is not None:
+            assert r["clen"] == (len(r["s"]) // 16 + 1) * 16
+        else:
+            assert r["clen"] is None
+
+
+def test_sm4_decrypt_garbage_is_null(spark):
+    import palo_spark.functions as pf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(b"not-a-block",), (b"0123456789abcdef",)], "b binary")
+    out = df.select(pf.sm4_decrypt(F.col("b"), "0123456789abcdef").alias("d")).collect()
+    # misaligned -> NULL; aligned random block -> decrypts to junk or NULL
+    assert out[0]["d"] is None
