@@ -612,3 +612,65 @@ def agg_name_surface(spark, sf_dir):
         F.round(PF.median("c_acctbal"), 4).alias("med"),
         PF.min_by("c_nationkey", "c_acctbal").alias("nat_of_min_bal"),
     )
+
+
+@q(
+    "agg_state_two_phase",
+    """
+    WITH g AS (
+        SELECT n.n_regionkey AS rk,
+               CAST(FLOOR(c.c_acctbal * 1000000.0) AS DECIMAL(38,0)) AS gx,
+               c.c_acctbal AS x
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT rk,
+           CAST(SUM(gx) AS DOUBLE) / 1000000.0 AS sum_bal,
+           CAST(COUNT(x) AS BIGINT) AS cnt_bal,
+           (CAST(SUM(gx) AS DOUBLE) / 1000000.0) / COUNT(x) AS avg_bal,
+           MIN(x) AS min_bal,
+           MAX(x) AS max_bal,
+           FLOOR(SQRT(GREATEST(
+               (CAST(SUM(gx * gx) AS DOUBLE) / 1000000000000.0
+                - POW(CAST(SUM(gx) AS DOUBLE) / 1000000.0, 2) / COUNT(x))
+               / COUNT(x), 0.0)) * 1e6) / 1e6 AS stddev_bal
+    FROM g GROUP BY rk
+    """,
+)
+def agg_state_two_phase(spark, sf_dir):
+    """AGG_STATE combinators (Doris 2.1 ``_state``/``_union``/``_merge``):
+    segment-level states over customer balances → nation-level ``_union``
+    → region-level ``_merge`` after a join — three aggregation levels
+    where the base table is scanned exactly once (the Doris agg_state
+    rollup-refresh pattern). The oracle replays the grid-decimal algebra
+    directly from the base rows: states carry no information loss."""
+    from palo_spark.functions import agg_state as S
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    seg_states = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        S.sum_state("c_acctbal").alias("st_sum"),
+        S.count_state("c_acctbal").alias("st_cnt"),
+        S.avg_state("c_acctbal").alias("st_avg"),
+        S.min_state("c_acctbal").alias("st_min"),
+        S.max_state("c_acctbal").alias("st_max"),
+        S.stddev_state("c_acctbal").alias("st_std"),
+    )
+    nation_states = seg_states.groupBy("c_nationkey").agg(
+        S.sum_union("st_sum").alias("st_sum"),
+        S.count_union("st_cnt").alias("st_cnt"),
+        S.avg_union("st_avg").alias("st_avg"),
+        S.min_union("st_min").alias("st_min"),
+        S.max_union("st_max").alias("st_max"),
+        S.stddev_union("st_std").alias("st_std"),
+    )
+    joined = nation_states.join(
+        F.broadcast(n), nation_states["c_nationkey"] == n["n_nationkey"]
+    )
+    return joined.groupBy(F.col("n_regionkey").alias("rk")).agg(
+        S.sum_merge("st_sum").alias("sum_bal"),
+        S.count_merge("st_cnt").alias("cnt_bal"),
+        S.avg_merge("st_avg").alias("avg_bal"),
+        S.min_merge("st_min").alias("min_bal"),
+        S.max_merge("st_max").alias("max_bal"),
+        (F.floor(S.stddev_merge("st_std") * 1e6) / 1e6).alias("stddev_bal"),
+    )
