@@ -104,3 +104,38 @@ def streaming_upsert_unique(spark, sf_dir):
     )
     routine_load(spark, src_dir, schema, t, ckpt, fmt="parquet")
     return t.read()
+
+
+@q(
+    "streaming_tumbling_window",
+    f"""
+    SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+           CAST(epoch_us(CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+                              AS TIMESTAMP)) AS BIGINT) AS win_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window(spark, sf_dir):
+    """Watermarked tumbling-window aggregation (`streaming.windowed_counts`
+    semantics, run in batch mode — identical plan shape minus the state
+    store): native ``F.window`` 1-hour buckets per cohort. Oracle
+    replays the bucketing with DuckDB ``time_bucket``. The streaming
+    form of this exact aggregation (watermark + append mode) is pinned
+    by tests/test_sources_streaming.py::test_windowed_counts_engine_extension."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("cohort", F.col("user_id") % 5)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "cohort")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "cohort",
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias(
+                "win_start_us"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
