@@ -290,3 +290,256 @@ def tpcds_segment_topn(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "revenue", "rn")
     )
+
+
+@q(
+    "tpcds_customer_set_ops",
+    """
+    WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1994-01-01'
+                   AND o_orderdate <  DATE '1995-01-01'),
+         y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate <  DATE '1996-01-01'),
+         open_ AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderstatus = 'O')
+    SELECT CAST(COUNT(*) AS BIGINT) AS loyal_closed
+    FROM ((SELECT o_custkey FROM y94
+           INTERSECT
+           SELECT o_custkey FROM y95)
+          EXCEPT
+          SELECT o_custkey FROM open_) t
+    """,
+)
+def tpcds_customer_set_ops(spark, sf_dir):
+    """TPC-DS q38/q87 shape: multi-way set algebra over customer id
+    sets from different slices (bought in BOTH years, no open orders).
+    INTERSECT/EXCEPT plan as hash semi/anti joins on the distinct sets
+    — ids-only shuffles, never row payloads."""
+    o = load_table(spark, sf_dir, "orders")
+    y94 = o.filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_custkey").distinct()
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey").distinct()
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        y94.intersect(y95)
+        .subtract(open_)
+        .agg(F.count("*").cast("bigint").alias("loyal_closed"))
+    )
+
+
+@q(
+    "tpcds_grouping_margin_rank",
+    f"""
+    WITH g AS (
+        SELECT n_name, c_mktsegment,
+               GROUPING(n_name) + GROUPING(c_mktsegment) * 2 AS lvl,
+               {o_dsum('o_totalprice')} AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    )
+    SELECT COALESCE(n_name, '<all>') AS n_name,
+           COALESCE(c_mktsegment, '<all>') AS c_mktsegment,
+           CAST(lvl AS INT) AS lvl,
+           FLOOR(rev / n_orders * 1e4) / 1e4 AS avg_order,
+           CAST(RANK() OVER (PARTITION BY lvl
+                             ORDER BY FLOOR(rev / n_orders * 1e4) / 1e4 DESC)
+                AS INT) AS rnk
+    FROM g
+    """,
+)
+def tpcds_grouping_margin_rank(spark, sf_dir):
+    """TPC-DS q36 shape: lattice rank — ROLLUP hierarchy with
+    GROUPING() lineage, then RANK over each aggregation level by
+    average order value. One REPEAT shuffle, window over the (small)
+    lattice output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") + F.grouping("c_mktsegment") * 2).alias("lvl"),
+            dsum("o_totalprice").alias("rev"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    avg_order = F.floor(F.col("rev") / F.col("n_orders") * 1e4) / 1e4
+    w = Window.partitionBy("lvl").orderBy(F.desc(avg_order))
+    return g.select(
+        F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+        F.coalesce("c_mktsegment", F.lit("<all>")).alias("c_mktsegment"),
+        F.col("lvl").cast("int").alias("lvl"),
+        avg_order.alias("avg_order"),
+        F.rank().over(w).cast("int").alias("rnk"),
+    )
+
+
+@q(
+    "tpcds_revenue_share",
+    f"""
+    WITH bt AS (
+        SELECT p_brand, p_type, {o_dsum('l_extendedprice')} AS rev
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand, p_type
+    )
+    SELECT p_brand, p_type, rev,
+           FLOOR(rev / SUM(rev) OVER (PARTITION BY p_brand) * 1e6) / 1e6
+               AS share_in_brand
+    FROM bt
+    """,
+)
+def tpcds_revenue_share(spark, sf_dir):
+    """TPC-DS q12/q98 shape: ratio-to-report — each (brand, type)'s
+    revenue share within its brand via a windowed sum over the
+    aggregate. The window input is the aggregated (small) frame, and
+    the share divides two identical-order decimal sums, so the ratio is
+    deterministic cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bt = (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(dsum("l_extendedprice").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand")
+    return bt.select(
+        "p_brand",
+        "p_type",
+        "rev",
+        (F.floor(F.col("rev") / F.sum("rev").over(w) * 1e6) / 1e6).alias(
+            "share_in_brand"
+        ),
+    )
+
+
+@q(
+    "tpcds_am_pm_ratio",
+    """
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12
+                           THEN 1 END) AS BIGINT) AS am_cnt,
+           CAST(COUNT(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) >= 12
+                           THEN 1 END) AS BIGINT) AS pm_cnt,
+           FLOOR(CAST(COUNT(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12
+                                 THEN 1 END) AS DOUBLE)
+                 / NULLIF(COUNT(CASE WHEN EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) >= 12
+                                     THEN 1 END), 0) * 1e4) / 1e4 AS am_pm_ratio
+    FROM events GROUP BY event_type
+    """,
+)
+def tpcds_am_pm_ratio(spark, sf_dir):
+    """TPC-DS q90 shape: AM/PM activity ratio per event type — two
+    conditionally-counted aggregates finished as a guarded ratio, one
+    keyed shuffle, everything map-side-combined."""
+    e = load_table(spark, sf_dir, "events")
+    am = F.count(F.when(F.hour("ts") < 12, 1))
+    pm = F.count(F.when(F.hour("ts") >= 12, 1))
+    return e.groupBy("event_type").agg(
+        am.cast("bigint").alias("am_cnt"),
+        pm.cast("bigint").alias("pm_cnt"),
+        (F.floor(am.cast("double") / F.nullif(pm, F.lit(0)) * 1e4) / 1e4).alias(
+            "am_pm_ratio"
+        ),
+    )
+
+
+@q(
+    "tpcds_frequent_buyers",
+    f"""
+    WITH buyers AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25
+    )
+    SELECT b.o_custkey, b.n_orders, b.spend
+    FROM buyers b
+    WHERE b.spend > 0.5 * (SELECT MAX(spend) FROM buyers)
+    """,
+)
+def tpcds_frequent_buyers(spark, sf_dir):
+    """TPC-DS q23 shape: frequent buyers (HAVING over a count) filtered
+    against a scalar subquery of the cohort maximum — the aggregate
+    frame is computed once and reused for both the filter's subquery
+    and the output (Catalyst ReusedExchange / subquery reuse)."""
+    o = load_table(spark, sf_dir, "orders")
+    buyers = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 25)
+    )
+    mx = buyers.agg(F.max("spend").alias("mx"))
+    return (
+        buyers.join(F.broadcast(mx))
+        .filter(F.col("spend") > 0.5 * F.col("mx"))
+        .select("o_custkey", "n_orders", "spend")
+    )
+
+
+_RET_CASE = "CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END"
+
+
+@q(
+    "tpcds_return_rate_bands",
+    f"""
+    WITH sr AS (
+        SELECT l_suppkey,
+               {o_dsum(_RET_CASE)}
+                   AS ret_qty,
+               {o_dsum('l_quantity')} AS tot_qty
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    banded AS (
+        SELECT l_suppkey,
+               FLOOR(ret_qty / tot_qty * 1e6) / 1e6 AS ret_rate,
+               CAST(NTILE(4) OVER (ORDER BY FLOOR(ret_qty / tot_qty * 1e6) / 1e6,
+                                   l_suppkey) AS INT) AS band
+        FROM sr WHERE tot_qty > 0
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           FLOOR(AVG(ret_rate) * 1e6) / 1e6 AS avg_ret_rate
+    FROM banded GROUP BY band
+    """,
+)
+def tpcds_return_rate_bands(spark, sf_dir):
+    """TPC-DS q49 shape: return-rate quartile banding — per-supplier
+    return ratio, NTILE(4) with a unique tiebreak (deterministic), then
+    per-band stats. The NTILE runs over the aggregated supplier frame,
+    not raw lineitem — a global sort, but of one row per supplier.
+    At 100 TB with billions of group keys, swap the exact NTILE for
+    percentile_approx band edges (one pass, no global sort); the exact
+    form is used here because TPC-DS q49's contract is exact ranks."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sr = l.groupBy("l_suppkey").agg(
+        dsum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)
+        ).alias("ret_qty"),
+        dsum("l_quantity").alias("tot_qty"),
+    )
+    rate = F.floor(F.col("ret_qty") / F.col("tot_qty") * 1e6) / 1e6
+    banded = (
+        sr.filter(F.col("tot_qty") > 0)
+        .select(
+            "l_suppkey",
+            rate.alias("ret_rate"),
+            F.ntile(4)
+            .over(Window.orderBy(rate, F.col("l_suppkey")))
+            .cast("int")
+            .alias("band"),
+        )
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        (F.floor(F.avg("ret_rate") * 1e6) / 1e6).alias("avg_ret_rate"),
+    )
