@@ -74,6 +74,8 @@ _CREATE_TAIL_RE = re.compile(
     r"^\s*(?:ENGINE\s*=\s*\w+\s*)?"
     r"(?:(?P<model>AGGREGATE|UNIQUE|DUPLICATE)\s+KEY\s*\((?P<keys>[^)]*)\)\s*)?"
     r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:AUTO\s+PARTITION\s+BY\s+RANGE\s*\(\s*date_trunc\s*\(\s*`?(?P<pcol>\w+)`?\s*,"
+    r"\s*'(?P<pgran>\w+)'\s*\)\s*\)\s*(?:\(\s*\)\s*)?)?"
     r"(?:DISTRIBUTED\s+BY\s+HASH\s*\((?P<dist>[^)]*)\)\s*(?:BUCKETS\s+(?P<buckets>\d+))?\s*)?"
     r"(?:PROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -231,6 +233,8 @@ class PaloSession:
         kw: dict = {}
         if self.location_root:
             kw["location"] = f"{self.location_root}/{name}"
+        if m.group("pcol"):
+            kw["auto_partition"] = (m.group("pcol"), m.group("pgran").lower())
         t = Table(
             self.spark,
             name,

@@ -320,3 +320,47 @@ def table_model_delete_predicate(spark, sf_dir):
     # a load after the delete is NOT subject to the earlier predicate
     t.insert(c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)))
     return t.read()
+
+
+@q(
+    "table_model_auto_partition",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000.0 AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def table_model_auto_partition(spark, sf_dir):
+    """AUTO PARTITION BY RANGE (Doris 2.1 auto/dynamic partitioning):
+    orders land in a month-partitioned DUPLICATE table (labels created
+    implicitly at load), and the scan's range predicate on the time
+    column prunes partition DIRECTORIES before any merge — Doris FE
+    partition pruning, realized as hive-layout pruning. The pruned-scan
+    result must equal DuckDB's plain filter over the raw parquet; the
+    physical file-count reduction is pinned by
+    tests/test_tables.py::test_auto_partition_scan_prunes_files."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = _fresh(
+        spark,
+        "orders_auto_part",
+        keys_type="DUPLICATE",
+        key_cols=["o_orderkey"],
+        auto_partition=("o_orderdate", "month"),
+    )
+    t.insert(o)
+    from palo_spark.suite.util import dsum
+
+    return (
+        t.scan("o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -45,9 +45,22 @@ from pyspark.sql import functions as F
 
 _VERSION_COL = "__palo_version"
 _META_FILE = "_palo_table.json"
+#: hive partition directory column for AUTO PARTITION BY RANGE tables
+AUTO_PART_COL = "_auto_part"
 
 KEYS_TYPES = ("DUPLICATE", "UNIQUE", "AGGREGATE")
 AGG_TYPES = ("SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL")
+
+#: AUTO PARTITION granularities → partition-label formats (Spark
+#: date_format patterns; labels sort lexicographically in time order,
+#: which is what makes label-range pruning equivalent to time-range
+#: pruning)
+AUTO_PART_FMT = {
+    "hour": "yyyy-MM-dd-HH",
+    "day": "yyyy-MM-dd",
+    "month": "yyyy-MM",
+    "year": "yyyy",
+}
 
 
 @dataclass
@@ -58,6 +71,11 @@ class TableMeta:
     agg_spec: dict[str, str] = field(default_factory=dict)
     sequence_col: str | None = None
     partition_by: list[str] = field(default_factory=list)
+    #: Doris AUTO PARTITION BY RANGE (date_trunc(col, granularity)):
+    #: {"col": name, "granularity": "hour|day|month|year"} — partitions
+    #: are created implicitly at load (Doris 2.1 auto-partition /
+    #: dynamic-partition behavior); reads prune them via label ranges.
+    auto_partition: dict | None = None
     #: committed rowsets: [{"version": int, "path": str, "label": str|None}]
     rowsets: list[dict] = field(default_factory=list)
     #: load labels already applied (Stream/Broker Load idempotency ledger)
@@ -89,6 +107,7 @@ class Table:
         partition_by: list[str] | None = None,
         location: str | None = None,
         auto_compact_rowsets: int = 0,
+        auto_partition: tuple[str, str] | None = None,
     ) -> None:
         keys_type = keys_type.upper()
         if keys_type not in KEYS_TYPES:
@@ -107,6 +126,24 @@ class Table:
             raise ValueError("agg_spec only applies to AGGREGATE keys_type")
         if sequence_col and keys_type != "UNIQUE":
             raise ValueError("sequence_col only applies to UNIQUE keys_type")
+        ap = None
+        if auto_partition is not None:
+            pcol, gran = auto_partition
+            gran = gran.lower()
+            if gran not in AUTO_PART_FMT:
+                raise ValueError(
+                    f"auto_partition granularity must be one of {sorted(AUTO_PART_FMT)}"
+                )
+            # Doris requires the partition column to be a key column on
+            # UNIQUE/AGGREGATE models — that is what makes pruning sound
+            # *before* the merge view (all versions of a logical row share
+            # one partition, since key values are immutable).
+            if keys_type != "DUPLICATE" and pcol not in key_cols:
+                raise ValueError(
+                    "auto_partition column must be a key column on "
+                    f"{keys_type} tables (Doris partition-key rule)"
+                )
+            ap = {"col": pcol, "granularity": gran}
 
         self.spark = spark
         self.location = location or tempfile.mkdtemp(prefix=f"palo_{name}_")
@@ -123,6 +160,7 @@ class Table:
             sequence_col=sequence_col,
             partition_by=list(partition_by or []),
             auto_compact_rowsets=int(auto_compact_rowsets),
+            auto_partition=ap,
         )
         self._save_meta()
 
@@ -167,10 +205,7 @@ class Table:
         self._check_schema(df)
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
-        if self.meta.partition_by:
-            writer = writer.partitionBy(*self.meta.partition_by)
-        writer.parquet(path)
+        self._write_rowset(df, path)
         self.meta.rowsets.append({"version": version, "path": path, "label": label})
         if label is not None:
             self.meta.labels.append(label)
@@ -248,13 +283,41 @@ class Table:
         pending delete predicates eagerly, then clears them)."""
         self._replace_storage(self.read())
 
+    def _write_rowset(self, df: DataFrame, path: str) -> None:
+        """One rowset write. AUTO PARTITION tables derive the partition
+        label from the partition column (implicit partition creation at
+        load — Doris 2.1 auto-partition) and lay the rowset out as hive
+        partitions, so label predicates prune directories natively."""
+        ap = self.meta.auto_partition
+        parts = list(self.meta.partition_by)
+        if ap is not None:
+            if AUTO_PART_COL not in df.columns:
+                # label = granularity letter + formatted bucket, e.g.
+                # "d2024-01-15" / "m2024-01" / "y2024": the prefix keeps
+                # hive partition-value type inference from reading labels
+                # back as DATE/INT (which would break string-range
+                # directory pruning); lexicographic time order within a
+                # table is preserved since the prefix is constant.
+                df = df.withColumn(
+                    AUTO_PART_COL,
+                    F.concat(
+                        F.lit(ap["granularity"][0]),
+                        F.date_format(
+                            F.col(ap["col"]).cast("timestamp"),
+                            AUTO_PART_FMT[ap["granularity"]],
+                        ),
+                    ),
+                )
+            parts = [AUTO_PART_COL] + parts
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+
     def _replace_storage(self, df: DataFrame) -> None:
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
-        writer = df.write.mode("overwrite")
-        if self.meta.partition_by:
-            writer = writer.partitionBy(*self.meta.partition_by)
-        writer.parquet(path)
+        self._write_rowset(df, path)
         old_paths = [r["path"] for r in self.meta.rowsets]
         self.meta.rowsets = [{"version": version, "path": path, "label": None}]
         self.meta.deletes = []  # folded into the rewritten rowset
@@ -276,7 +339,106 @@ class Table:
 
     # --------------------------------------------------------------- reads
 
-    def _raw(self) -> DataFrame | None:
+    def partitions(self) -> list[str]:
+        """Live auto-partition labels (Doris SHOW PARTITIONS analog),
+        from rowset directory listings — metadata-only, no data scan."""
+        labels: set[str] = set()
+        for r in self.meta.rowsets:
+            try:
+                names = os.listdir(r["path"])
+            except FileNotFoundError:
+                continue
+            for nm in names:
+                if nm.startswith(f"{AUTO_PART_COL}="):
+                    labels.add(nm.split("=", 1)[1])
+        return sorted(labels)
+
+    def _prune_predicate(self, where: str | None):
+        """Doris-FE-style partition pruning: map simple range/equality
+        conjuncts on the partition column to partition-LABEL bounds
+        (labels sort lexicographically in time order). Conservative and
+        fail-open — anything with OR / parentheses / non-literal
+        comparisons just skips pruning; row-level filtering still
+        applies the full predicate afterwards, so pruning can only
+        remove partitions that cannot match."""
+        import re
+        from datetime import datetime
+
+        ap = self.meta.auto_partition
+        if not ap or not where:
+            return None
+        if re.search(r"(?i)\bor\b", where) or "(" in where:
+            return None
+        strp = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",
+                "month": "%Y-%m", "year": "%Y"}[ap["granularity"]]
+
+        prefix = ap["granularity"][0]
+
+        def label(lit: str) -> str | None:
+            for p in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                      "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+                try:
+                    return prefix + datetime.strptime(lit, p).strftime(strp)
+                except ValueError:
+                    pass
+            return None
+
+        col = re.escape(ap["col"])
+        lit_re = r"(?:date\s+|timestamp\s+)?'([^']+)'"
+        conds = []
+        # pull BETWEEN clauses out first — their inner AND must not be
+        # treated as a conjunction boundary
+        def _between(m):
+            lo, hi = label(m.group(1)), label(m.group(2))
+            if lo is not None:
+                conds.append(F.col(AUTO_PART_COL) >= lo)
+            if hi is not None:
+                conds.append(F.col(AUTO_PART_COL) <= hi)
+            return "TRUE"
+
+        where = re.sub(
+            rf"{col}\s+between\s+{lit_re}\s+and\s+{lit_re}",
+            _between,
+            where,
+            flags=re.IGNORECASE,
+        )
+        for conj in re.split(r"(?i)\s+and\s+", where.strip()):
+            m = re.fullmatch(
+                rf"\s*{col}\s*(>=|<=|=|<|>)\s*{lit_re}\s*", conj, re.IGNORECASE
+            )
+            if m:
+                op, lbl = m.group(1), label(m.group(2))
+                if lbl is None:
+                    continue
+                c = F.col(AUTO_PART_COL)
+                # value-level bounds widen to label-level bounds: e.g.
+                # ts < X keeps X's own partition (rows at X's label but
+                # below X row-filter away afterwards)
+                conds.append(
+                    c >= lbl if op in (">", ">=")
+                    else c <= lbl if op in ("<", "<=")
+                    else c == lbl
+                )
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def scan(self, where: str | None = None) -> DataFrame:
+        """Read the merge view with Doris-style partition pruning: on an
+        AUTO PARTITION table, range/equality predicates on the partition
+        column select partition directories BEFORE the merge window runs
+        (sound because the partition column is a key column on keyed
+        models — all versions of a logical row share one partition).
+        The full ``where`` still applies row-level afterwards."""
+        df = self.read(partition_pred=self._prune_predicate(where))
+        if where:
+            df = df.filter(F.expr(where))
+        return df
+
+    def _raw(self, partition_pred=None) -> DataFrame | None:
         """Union of all rowsets with the version column attached.
 
         Added columns (light schema change) are normalized per rowset
@@ -285,9 +447,10 @@ class Table:
         survive) — old rowsets never need rewriting."""
         dfs = []
         for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
-            d = self.spark.read.parquet(r["path"]).withColumn(
-                _VERSION_COL, F.lit(r["version"]).cast("long")
-            )
+            d = self.spark.read.parquet(r["path"])
+            if partition_pred is not None and AUTO_PART_COL in d.columns:
+                d = d.filter(partition_pred)
+            d = d.withColumn(_VERSION_COL, F.lit(r["version"]).cast("long"))
             for a in self.meta.schema_adds:
                 if a["col"] in d.columns:
                     d = d.withColumn(a["col"], F.col(a["col"]).cast(a["type"]))
@@ -314,9 +477,12 @@ class Table:
             )
         return out
 
-    def read(self) -> DataFrame:
-        """The merge-on-read view (what a query over this table sees)."""
-        raw = self._raw()
+    def read(self, partition_pred=None) -> DataFrame:
+        """The merge-on-read view (what a query over this table sees).
+
+        ``partition_pred`` (internal; see :meth:`scan`) filters auto-
+        partition labels at the rowset scans, before any merge."""
+        raw = self._raw(partition_pred)
         if raw is None:
             raise ValueError(f"table {self.meta.name!r} has no data")
         data_cols = [c for c in raw.columns if c != _VERSION_COL]

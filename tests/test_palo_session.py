@@ -136,3 +136,28 @@ def test_show_tables(ps):
     ps.sql("CREATE TABLE t2 (`k` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
     names = [r["table_name"] for r in ps.sql("SHOW TABLES").collect()]
     assert names == ["t1", "t2"]
+
+
+def test_auto_partition_ddl_through_sql(ps):
+    t = ps.sql(
+        """
+        CREATE TABLE pev (
+            id BIGINT,
+            ts DATETIME,
+            v DOUBLE
+        )
+        DUPLICATE KEY(`id`)
+        AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+        DISTRIBUTED BY HASH(id) BUCKETS 8
+        """
+    )
+    assert t.meta.auto_partition == {"col": "ts", "granularity": "day"}
+    ps.sql(
+        "INSERT INTO pev VALUES "
+        "(1, '2024-03-01 10:00:00', 1.5), "
+        "(2, '2024-03-02 11:00:00', 2.5), "
+        "(3, '2024-03-03 12:00:00', 3.5)"
+    )
+    assert t.partitions() == ["d2024-03-01", "d2024-03-02", "d2024-03-03"]
+    out = t.scan("ts >= '2024-03-03'").collect()
+    assert [r["id"] for r in out] == [3]

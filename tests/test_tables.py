@@ -206,3 +206,84 @@ def test_add_column_aggregate_with_agg_spec(spark):
     assert got == {1: (15, 2), 2: (1, 7)}  # old rowset contributes default 0
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("cnt", "long")
+
+
+def _ts_rows(spark, days, n_per_day=4):
+    rows = []
+    for d in days:
+        for i in range(n_per_day):
+            rows.append(Row(id=d * 100 + i, ts=f"2024-01-{d:02d} 0{i}:30:00", v=float(i)))
+    return spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_auto_partition_layout_and_listing(spark, tmp_path):
+    t = Table(
+        spark, "ev", "DUPLICATE", ["id"],
+        location=str(tmp_path / "ev"), auto_partition=("ts", "day"),
+    )
+    t.insert(_ts_rows(spark, range(1, 11)))
+    parts = t.partitions()
+    assert parts == [f"d2024-01-{d:02d}" for d in range(1, 11)]
+    # labels are strings on read-back (prefix defeats type inference)
+    from palo_spark.tables import AUTO_PART_COL
+    schema = dict(t.read().dtypes)
+    assert schema[AUTO_PART_COL] == "string"
+
+
+def test_auto_partition_scan_prunes_files(spark, tmp_path):
+    t = Table(
+        spark, "ev2", "DUPLICATE", ["id"],
+        location=str(tmp_path / "ev2"), auto_partition=("ts", "day"),
+    )
+    t.insert(_ts_rows(spark, range(1, 21)))
+    full = (
+        t.read().select(F.input_file_name().alias("f")).distinct().count()
+    )
+    pruned_df = t.scan("ts >= '2024-01-18'")
+    touched = (
+        t.read(partition_pred=t._prune_predicate("ts >= '2024-01-18'"))
+        .select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched < full / 3, (touched, full)
+    # pruned result == unpruned filter result
+    got = sorted(r["id"] for r in pruned_df.collect())
+    want = sorted(
+        r["id"] for r in t.read().filter("ts >= '2024-01-18'").collect()
+    )
+    assert got == want and got
+
+
+def test_auto_partition_unique_upsert_prunes_soundly(spark, tmp_path):
+    t = Table(
+        spark, "evu", "UNIQUE", ["id", "ts"],
+        location=str(tmp_path / "evu"), auto_partition=("ts", "day"),
+    )
+    t.insert(_ts_rows(spark, [1, 2, 3]))
+    # upsert day 2 rows with new values (same keys -> same partition)
+    upd = _ts_rows(spark, [2]).withColumn("v", F.col("v") + 100.0)
+    t.insert(upd)
+    out = t.scan("ts = '2024-01-02 01:30:00'").collect()
+    assert len(out) == 1 and out[0]["v"] == 101.0
+    # equality predicate at day granularity prunes to one partition
+    pred = t._prune_predicate("ts = '2024-01-02 01:30:00'")
+    assert pred is not None
+    # BETWEEN form and unsupported (OR) form
+    assert t._prune_predicate("ts BETWEEN '2024-01-01' AND '2024-01-02'") is not None
+    assert t._prune_predicate("ts >= '2024-01-01' OR v > 5") is None
+
+
+def test_auto_partition_validation_and_compact(spark, tmp_path):
+    with pytest.raises(ValueError, match="granularity"):
+        Table(spark, "bad", "DUPLICATE", ["id"], auto_partition=("ts", "week"))
+    with pytest.raises(ValueError, match="key column"):
+        Table(spark, "bad2", "UNIQUE", ["id"], auto_partition=("ts", "day"))
+    t = Table(
+        spark, "evc", "DUPLICATE", ["id"],
+        location=str(tmp_path / "evc"), auto_partition=("ts", "month"),
+    )
+    t.insert(_ts_rows(spark, [1, 2]))
+    t.insert(_ts_rows(spark, [15]))
+    assert t.partitions() == ["m2024-01"]
+    t.compact()
+    assert len(t.meta.rowsets) == 1 and t.partitions() == ["m2024-01"]
+    assert t.read().count() == 12
