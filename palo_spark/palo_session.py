@@ -136,6 +136,29 @@ _DESC_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
+_ALTER_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+DROP\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+RENAME\s+COLUMN\s+"
+    r"`?(?P<old>\w+)`?\s+`?(?P<new>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+DROP\s+PARTITION\s+"
+    r"`?(?P<label>[\w-]+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     out, cur, depth, q = [], [], 0, None
@@ -379,10 +402,46 @@ class PaloSession:
         if up.startswith("UPDATE"):
             return self._update(stripped)
         if up.startswith("ALTER"):
+            dm_ = _ALTER_DROP_COL_RE.match(stripped)
+            if dm_:
+                t = self._table(dm_.group("name"))
+                t.drop_column(dm_.group("col"))
+                schema = getattr(t, "_declared_schema", None)
+                if schema:
+                    t._declared_schema = ", ".join(  # type: ignore[attr-defined]
+                        p.strip()
+                        for p in schema.split(",")
+                        if p.strip().split()[0] != dm_.group("col")
+                    )
+                self._refresh_view(dm_.group("name").lower())
+                return None
+            rm_ = _ALTER_RENAME_COL_RE.match(stripped)
+            if rm_:
+                t = self._table(rm_.group("name"))
+                t.rename_column(rm_.group("old"), rm_.group("new"))
+                schema = getattr(t, "_declared_schema", None)
+                if schema:
+                    parts = []
+                    for p in schema.split(","):
+                        nm, ty = p.strip().split(None, 1)
+                        parts.append(
+                            f"{rm_.group('new')} {ty}" if nm == rm_.group("old")
+                            else f"{nm} {ty}"
+                        )
+                    t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
+                self._refresh_view(rm_.group("name").lower())
+                return None
+            pm_ = _ALTER_DROP_PART_RE.match(stripped)
+            if pm_:
+                t = self._table(pm_.group("name"))
+                t.drop_partition(pm_.group("label"))
+                self._refresh_view(pm_.group("name").lower())
+                return None
             m = _ALTER_ADD_RE.match(stripped)
             if not m:
                 raise ValueError(
-                    f"unparsable ALTER TABLE (only ADD COLUMN supported): {text!r}"
+                    "unparsable ALTER TABLE (supported: ADD COLUMN, DROP "
+                    f"COLUMN, RENAME COLUMN, DROP PARTITION): {text!r}"
                 )
             t = self._table(m.group("name"))
             base = m.group("type").lower().split("(")[0]
@@ -402,6 +461,12 @@ class PaloSession:
             )
             self._refresh_view(m.group("name").lower())
             return None
+        sp_ = _SHOW_PARTS_RE.match(stripped)
+        if sp_:
+            t = self._table(sp_.group("name"))
+            return self.spark.createDataFrame(
+                [(p,) for p in t.partitions()] or [("",)], "partition_name string"
+            ).filter("partition_name <> ''")
         if up.startswith("SHOW TABLES"):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.tables)] or [("",)], "table_name string"

@@ -91,6 +91,15 @@ class TableMeta:
     #: compact automatically when live rowsets exceed this (0 = manual) —
     #: Doris cumulative-compaction trigger analog, bounds read amplification
     auto_compact_rowsets: int = 0
+    #: light schema change (Doris DROP COLUMN): final column names hidden
+    #: at read — storage untouched
+    schema_drops: list[str] = field(default_factory=list)
+    #: light schema change (Doris RENAME COLUMN): applied in order per
+    #: rowset at read — storage untouched
+    schema_renames: list[dict] = field(default_factory=list)
+    #: keep only the newest N auto-partitions, dropping older ones at
+    #: load time (Doris dynamic_partition.start retention; 0 = keep all)
+    dynamic_partition_retention: int = 0
 
 
 class Table:
@@ -108,6 +117,7 @@ class Table:
         location: str | None = None,
         auto_compact_rowsets: int = 0,
         auto_partition: tuple[str, str] | None = None,
+        dynamic_partition_retention: int = 0,
     ) -> None:
         keys_type = keys_type.upper()
         if keys_type not in KEYS_TYPES:
@@ -161,7 +171,12 @@ class Table:
             partition_by=list(partition_by or []),
             auto_compact_rowsets=int(auto_compact_rowsets),
             auto_partition=ap,
+            dynamic_partition_retention=int(dynamic_partition_retention),
         )
+        if dynamic_partition_retention and ap is None:
+            raise ValueError(
+                "dynamic_partition_retention requires auto_partition"
+            )
         self._save_meta()
 
     # ------------------------------------------------------------- storage
@@ -219,6 +234,7 @@ class Table:
             and len(self.meta.rowsets) > self.meta.auto_compact_rowsets
         ):
             self.compact()
+        self._apply_retention()
         for cb in self._on_insert:
             cb(df)
         return version
@@ -276,6 +292,74 @@ class Table:
             {"col": col, "type": col_type, "default": default}
         )
         self._save_meta()
+
+    def drop_column(self, col: str) -> None:
+        """Doris light schema change (ALTER TABLE DROP COLUMN): metadata
+        only — the column disappears from the read view; no rowset is
+        rewritten (storage reclaims at the next compaction). Key,
+        sequence, and partition columns cannot be dropped (Doris rule)."""
+        if col in self.meta.key_cols:
+            raise ValueError(f"cannot drop key column {col!r}")
+        if col == self.meta.sequence_col:
+            raise ValueError(f"cannot drop sequence column {col!r}")
+        if self.meta.auto_partition and col == self.meta.auto_partition["col"]:
+            raise ValueError(f"cannot drop partition column {col!r}")
+        if col in self.meta.partition_by:
+            raise ValueError(f"cannot drop partition column {col!r}")
+        self.meta.agg_spec.pop(col, None)
+        self.meta.schema_adds = [
+            a for a in self.meta.schema_adds if a["col"] != col
+        ]
+        self.meta.schema_drops.append(col)
+        self._save_meta()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Doris light schema change (ALTER TABLE RENAME COLUMN):
+        metadata-only mapping applied per rowset at read; every
+        referencing structure (keys, agg spec, sequence/partition
+        columns, pending adds) tracks the new name. Later inserts must
+        use the new name."""
+        if old in self.meta.schema_drops:
+            raise ValueError(f"column {old!r} is dropped")
+        self.meta.schema_renames.append({"from": old, "to": new})
+        self.meta.key_cols = [new if c == old else c for c in self.meta.key_cols]
+        if old in self.meta.agg_spec:
+            self.meta.agg_spec[new] = self.meta.agg_spec.pop(old)
+        if self.meta.sequence_col == old:
+            self.meta.sequence_col = new
+        self.meta.partition_by = [
+            new if c == old else c for c in self.meta.partition_by
+        ]
+        if self.meta.auto_partition and self.meta.auto_partition["col"] == old:
+            self.meta.auto_partition["col"] = new
+        for a in self.meta.schema_adds:
+            if a["col"] == old:
+                a["col"] = new
+        self._save_meta()
+
+    def drop_partition(self, label: str) -> bool:
+        """Doris DROP PARTITION: remove one auto-partition's directories
+        from every rowset — O(partition size) disk reclaim, zero rewrite
+        of surviving data (the whole point of time-partitioned retention
+        at 100 TB: expiring a day is a directory delete, not a query).
+        Returns whether anything was removed."""
+        if not self.meta.auto_partition:
+            raise ValueError("drop_partition requires an auto_partition table")
+        removed = False
+        for r in self.meta.rowsets:
+            p = os.path.join(r["path"], f"{AUTO_PART_COL}={label}")
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed = True
+        return removed
+
+    def _apply_retention(self) -> None:
+        keep = self.meta.dynamic_partition_retention
+        if not keep:
+            return
+        labels = self.partitions()
+        for lbl in labels[:-keep] if len(labels) > keep else []:
+            self.drop_partition(lbl)
 
     def compact(self) -> None:
         """Materialize the merge-on-read view into a single rowset
@@ -445,17 +529,31 @@ class Table:
         BEFORE the union: a rowset without the column gets the declared
         default, one with it keeps its stored values (explicit NULLs
         survive) — old rowsets never need rewriting."""
+        from pyspark.errors import AnalysisException
+
         dfs = []
         for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
-            d = self.spark.read.parquet(r["path"])
+            try:
+                d = self.spark.read.parquet(r["path"])
+            except AnalysisException:
+                # every partition of this rowset expired via
+                # drop_partition/retention — nothing left to read
+                continue
             if partition_pred is not None and AUTO_PART_COL in d.columns:
                 d = d.filter(partition_pred)
             d = d.withColumn(_VERSION_COL, F.lit(r["version"]).cast("long"))
+            # renames first (schema_adds/key_cols/agg_spec already track
+            # the new names), then add-normalization, then drops
+            for rn in self.meta.schema_renames:
+                if rn["from"] in d.columns:
+                    d = d.withColumnRenamed(rn["from"], rn["to"])
             for a in self.meta.schema_adds:
                 if a["col"] in d.columns:
                     d = d.withColumn(a["col"], F.col(a["col"]).cast(a["type"]))
                 else:
                     d = d.withColumn(a["col"], F.lit(a["default"]).cast(a["type"]))
+            if self.meta.schema_drops:
+                d = d.drop(*[c for c in self.meta.schema_drops if c in d.columns])
             dfs.append(d)
         if not dfs:
             return None

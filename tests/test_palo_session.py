@@ -161,3 +161,32 @@ def test_auto_partition_ddl_through_sql(ps):
     assert t.partitions() == ["d2024-03-01", "d2024-03-02", "d2024-03-03"]
     out = t.scan("ts >= '2024-03-03'").collect()
     assert [r["id"] for r in out] == [3]
+
+
+def test_alter_drop_rename_and_partitions_sql(ps):
+    ps.sql(
+        """
+        CREATE TABLE lake (
+            id BIGINT,
+            ts DATETIME,
+            v DOUBLE,
+            note VARCHAR(64)
+        )
+        DUPLICATE KEY(`id`)
+        AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+        """
+    )
+    ps.sql(
+        "INSERT INTO lake VALUES (1,'2024-05-01 01:00:00',1.0,'a'),"
+        "(2,'2024-05-02 01:00:00',2.0,'b')"
+    )
+    parts = [r["partition_name"] for r in ps.sql("SHOW PARTITIONS FROM lake").collect()]
+    assert parts == ["d2024-05-01", "d2024-05-02"]
+    ps.sql("ALTER TABLE lake RENAME COLUMN note comment_")
+    ps.sql("ALTER TABLE lake DROP COLUMN v")
+    cols = [r["field"] for r in ps.sql("DESC lake").collect()]
+    assert cols == ["id", "ts", "comment_"]
+    out = ps.sql("SELECT id, comment_ FROM lake ORDER BY id").collect()
+    assert [(r["id"], r["comment_"]) for r in out] == [(1, "a"), (2, "b")]
+    ps.sql("ALTER TABLE lake DROP PARTITION d2024-05-01")
+    assert [r["id"] for r in ps.sql("SELECT id FROM lake").collect()] == [2]

@@ -287,3 +287,54 @@ def test_auto_partition_validation_and_compact(spark, tmp_path):
     t.compact()
     assert len(t.meta.rowsets) == 1 and t.partitions() == ["m2024-01"]
     assert t.read().count() == 12
+
+
+def test_drop_and_rename_column_light_schema_change(spark, tmp_path):
+    t = Table(spark, "sc", "UNIQUE", ["k"], location=str(tmp_path / "sc"))
+    t.insert(spark.createDataFrame([Row(k=1, a=10, b="x"), Row(k=2, a=20, b="y")]))
+    t.rename_column("a", "amount")
+    assert "amount" in t.read().columns and "a" not in t.read().columns
+    # new loads use the new name; old rowsets surface it via the rename map
+    t.insert(spark.createDataFrame([Row(k=3, amount=30, b="z")]))
+    got = {r["k"]: r["amount"] for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    t.drop_column("b")
+    assert "b" not in t.read().columns
+    assert t.read().count() == 3
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("k")
+    # dropped columns stay gone through compaction
+    t.compact()
+    assert set(t.read().columns) == {"k", "amount"}
+
+
+def test_drop_partition_and_retention(spark, tmp_path):
+    t = Table(
+        spark, "ret", "DUPLICATE", ["id"],
+        location=str(tmp_path / "ret"),
+        auto_partition=("ts", "day"),
+        dynamic_partition_retention=3,
+    )
+    t.insert(_ts_rows(spark, [1, 2, 3, 4, 5]))
+    # retention keeps only the newest 3 day-partitions
+    assert t.partitions() == ["d2024-01-03", "d2024-01-04", "d2024-01-05"]
+    assert t.read().count() == 12
+    assert t.drop_partition("d2024-01-03") is True
+    assert t.partitions() == ["d2024-01-04", "d2024-01-05"]
+    assert t.drop_partition("d2024-01-03") is False
+    # a non-partitioned table refuses
+    t2 = Table(spark, "np", "DUPLICATE", ["id"], location=str(tmp_path / "np"))
+    with pytest.raises(ValueError, match="auto_partition"):
+        t2.drop_partition("x")
+
+
+def test_all_partitions_expired_rowset_is_skipped(spark, tmp_path):
+    t = Table(
+        spark, "exp", "DUPLICATE", ["id"],
+        location=str(tmp_path / "exp"), auto_partition=("ts", "day"),
+    )
+    t.insert(_ts_rows(spark, [1]))
+    t.insert(_ts_rows(spark, [2]))
+    t.drop_partition("d2024-01-01")  # first rowset fully expired
+    assert t.read().count() == 4
+    assert t.partitions() == ["d2024-01-02"]
