@@ -333,3 +333,140 @@ _entry(
     ORDER BY o_orderkey
     """,
 )
+
+
+_entry(
+    "sql_tpch_q10_returned",
+    f"""
+    SELECT `c_custkey`, `c_name`,
+           {o_dsum(_DISC)} AS revenue,
+           `n_name`
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= str_to_date('1996-10-01', '%Y-%m-%d')
+      AND o_orderdate < date_add(str_to_date('1996-10-01', '%Y-%m-%d'), INTERVAL 3 MONTH)
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    f"""
+    SELECT c_custkey, c_name,
+           {o_dsum(_DISC)} AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+_entry(
+    "sql_tpch_q14_promo_if",
+    f"""
+    SELECT floor(100.00 *
+               {o_dsum("if(p_type LIKE 'PROMO%', l_extendedprice * (1 - l_discount), 0)")}
+               / {o_dsum(_DISC)} * 10000) / 10000 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= str_to_date('1996-09-01', '%Y-%m-%d')
+      AND l_shipdate < date_add(str_to_date('1996-09-01', '%Y-%m-%d'), INTERVAL 1 MONTH)
+    """,
+    f"""
+    SELECT FLOOR(100.00 *
+               {o_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               / {o_dsum(_DISC)} * 10000) / 10000 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+
+_entry(
+    "sql_tpch_q18_in_subquery",
+    f"""
+    SELECT `c_name`, `c_custkey`, `o_orderkey`,
+           date_format(`o_orderdate`, '%Y-%m-%d') AS odate,
+           {o_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           {o_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+
+_entry(
+    "sql_tpch_q19_or_bands",
+    f"""
+    SELECT {o_dsum(_DISC)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+    f"""
+    SELECT {o_dsum(_DISC)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+
+_entry(
+    "sql_dialect_date_funcs",
+    """
+    SELECT o_orderkey,
+           datediff(date_add(`o_orderdate`, INTERVAL 30 DAY), `o_orderdate`) AS dd30,
+           dayofweek(`o_orderdate`) AS dow1,
+           date_format(date_sub(`o_orderdate`, INTERVAL 1 YEAR), '%Y-%m') AS prev_year_month,
+           CAST(o_orderkey div 1000 AS BIGINT) AS k_div,
+           o_orderkey % 7 AS k_mod
+    FROM orders
+    WHERE o_orderkey % 131 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(30 AS INT) AS dd30,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow1,
+           strftime(o_orderdate - INTERVAL 1 YEAR, '%Y-%m') AS prev_year_month,
+           CAST(o_orderkey // 1000 AS BIGINT) AS k_div,
+           o_orderkey % 7 AS k_mod
+    FROM orders
+    WHERE o_orderkey % 131 = 0
+    ORDER BY o_orderkey
+    """,
+)
