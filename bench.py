@@ -68,6 +68,14 @@ HEADLINE = [
     "tpcds_exists_chain",
     "text_match_indexed",
     "similarity_knn_join_lsh",
+    # r5 continuation: geo, agg-state two-phase, auto-partition pruning,
+    # ratio-to-report, tumbling windows, SM4 (the one Python-kernel fn)
+    "geo_distance_azimuth",
+    "agg_state_two_phase",
+    "table_model_auto_partition",
+    "tpcds_revenue_share",
+    "streaming_tumbling_window",
+    "scalar_sm4_crypto",
 ]
 
 
