@@ -159,6 +159,17 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_OUTFILE_RE = re.compile(
+    r"^(?P<body>\s*SELECT\s+.+?)\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+AS\s+(?P<fmt>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     out, cur, depth, q = [], [], 0, None
@@ -312,6 +323,56 @@ class PaloSession:
         self._refresh_view(name)
         return version
 
+    def _create_mv(self, mv_name: str, body: str):
+        """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>
+        FROM base GROUP BY <dims>`` — registers a rollup in the
+        RollupCatalog (created on demand) so subsequent session queries
+        are transparently answered from it, and, when the base is a
+        palo table, attaches load-time maintenance (apply_delta on
+        DUPLICATE/AGGREGATE loads, refresh on UNIQUE)."""
+        from palo_spark.plans import Measure, RollupCatalog, _parse_simple_agg_sql
+
+        parsed = _parse_simple_agg_sql(translate(body.strip()))
+        if parsed is None:
+            raise ValueError(
+                "unsupported MATERIALIZED VIEW shape (need SELECT dims + "
+                "SUM/COUNT/MIN/MAX aggs FROM base GROUP BY dims): "
+                f"{body!r}"
+            )
+        base, group_cols, items, where_text, _ = parsed
+        if where_text:
+            raise ValueError("MATERIALIZED VIEW WHERE clauses are unsupported")
+        measures: list[Measure] = []
+        seen: set[str] = set()
+
+        def _add(kind: str, col=None):
+            m = Measure(kind, col)
+            if m.name not in seen:
+                seen.add(m.name)
+                measures.append(m)
+
+        for it in items:
+            if it["kind"] != "agg":
+                continue
+            for nm in it["measure_names"]:
+                kind, _, col = nm.partition("_")
+                _add(kind, None if kind == "count" else col)
+        if not measures:
+            raise ValueError("MATERIALIZED VIEW needs at least one aggregate")
+        if self.rollups is None:
+            root = (
+                f"{self.location_root}/_rollups" if self.location_root else None
+            )
+            self.rollups = RollupCatalog(self.spark, root=root)
+        bl = base.lower()
+        if bl in self.tables:
+            t = self.tables[bl]
+            self.rollups.register_base(base, t.read())
+            self.rollups.attach_table(base, t)
+        else:
+            self.rollups.register_base(base, self.spark.table(base))
+        return self.rollups.add_rollup(mv_name, base, group_cols, measures)
+
     def _refresh_view(self, name: str) -> None:
         self.tables[name].read().createOrReplaceTempView(name)
 
@@ -378,6 +439,20 @@ class PaloSession:
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             return self._create_table(stripped)
+        mv = _CREATE_MV_RE.match(stripped)
+        if mv:
+            return self._create_mv(mv.group("mv"), mv.group("body"))
+        of = _OUTFILE_RE.match(stripped)
+        if of:
+            df = self.sql(of.group("body"))
+            fmt = (of.group("fmt") or "parquet").lower()
+            if fmt not in ("parquet", "csv", "json", "orc"):
+                raise ValueError(f"unsupported OUTFILE format {fmt!r}")
+            w = df.write.mode("errorifexists")
+            if fmt == "csv":
+                w = w.option("header", True)
+            getattr(w, fmt)(of.group("path"))
+            return of.group("path")
         if up.startswith("DROP TABLE"):
             m = _DROP_RE.match(stripped)
             if not m:

@@ -470,3 +470,71 @@ _entry(
     ORDER BY o_orderkey
     """,
 )
+
+
+def _sql_session_mv_pipeline(spark, sf_dir):
+    """CREATE MATERIALIZED VIEW through the SQL session: load a
+    DUPLICATE table from orders, declare a (priority → count/sum/min/
+    max) MV in Doris DDL, load a SECOND batch (MV maintained by
+    apply_delta — base not re-scanned), and answer the final aggregate
+    — which the session transparently serves from the MV. Measures are
+    integer cents so cross-engine sums are exact; the oracle computes
+    the doubled aggregate directly from orders."""
+    import hashlib
+    import shutil
+
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    root = "/tmp/palo_sess_mv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(root, ignore_errors=True)
+    ps = PaloSession(spark, location_root=root)
+    ps.sql(
+        """CREATE TABLE ord_facts (
+               `okey` BIGINT,
+               `prio` VARCHAR(20),
+               `cents` BIGINT
+           ) DUPLICATE KEY(okey)"""
+    )
+    load = (
+        "INSERT INTO ord_facts "
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(FLOOR(o_totalprice * 100) AS SIGNED) FROM orders"
+    )
+    ps.sql(load)
+    ps.sql(
+        "CREATE MATERIALIZED VIEW mv_prio AS "
+        "SELECT prio, COUNT(*) AS n, SUM(cents) AS total_cents, "
+        "MIN(cents) AS min_cents, MAX(cents) AS max_cents "
+        "FROM ord_facts GROUP BY prio"
+    )
+    ps.sql(load)  # second batch -> MV delta-maintained
+    df, source = ps.rollups.sql(
+        "SELECT prio, COUNT(*) AS n, SUM(cents) AS total_cents, "
+        "MIN(cents) AS min_cents, MAX(cents) AS max_cents "
+        "FROM ord_facts GROUP BY prio"
+    )
+    assert source == "mv_prio", source  # really answered from the MV
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "prio",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.col("min_cents").cast("bigint").alias("min_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )
+
+
+QUERIES["sql_session_mv_pipeline"] = _sql_session_mv_pipeline
+ORACLE["sql_session_mv_pipeline"] = """
+    SELECT o_orderpriority AS prio,
+           CAST(2 * COUNT(*) AS BIGINT) AS n,
+           CAST(2 * SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders GROUP BY o_orderpriority
+"""

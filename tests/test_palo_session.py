@@ -190,3 +190,57 @@ def test_alter_drop_rename_and_partitions_sql(ps):
     assert [(r["id"], r["comment_"]) for r in out] == [(1, "a"), (2, "b")]
     ps.sql("ALTER TABLE lake DROP PARTITION d2024-05-01")
     assert [r["id"] for r in ps.sql("SELECT id FROM lake").collect()] == [2]
+
+
+def test_create_materialized_view_sql(ps):
+    ps.sql(
+        """
+        CREATE TABLE sales (
+            day_key INT,
+            region VARCHAR(16),
+            amount DOUBLE
+        ) DUPLICATE KEY(day_key)
+        """
+    )
+    ps.sql(
+        "INSERT INTO sales VALUES (1,'east',10.5),(1,'west',2.0),"
+        "(2,'east',4.25),(2,'east',1.0)"
+    )
+    ps.sql(
+        "CREATE MATERIALIZED VIEW sales_by_region AS "
+        "SELECT region, SUM(amount) AS total, COUNT(*) AS n "
+        "FROM sales GROUP BY region"
+    )
+    # query is transparently answered from the MV
+    df, source = ps.rollups.sql(
+        "SELECT region, SUM(amount) AS total FROM sales GROUP BY region"
+    )
+    assert source == "sales_by_region"
+    got = {r["region"]: r["total"] for r in df.collect()}
+    assert got == {"east": 15.75, "west": 2.0}
+    # MV is maintained on later loads (apply_delta, base not re-scanned)
+    ps.sql("INSERT INTO sales VALUES (3,'west',7.5)")
+    got2 = {
+        r["region"]: r["total"]
+        for r in ps.sql(
+            "SELECT region, SUM(amount) AS total FROM sales GROUP BY region"
+        ).collect()
+    }
+    assert got2 == {"east": 15.75, "west": 9.5}
+
+
+def test_select_into_outfile(ps, tmp_path):
+    ps.sql("CREATE TABLE exp_t (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO exp_t VALUES (1,1.5),(2,2.5)")
+    out = str(tmp_path / "outfile_parquet")
+    ret = ps.sql(f"SELECT k, v FROM exp_t INTO OUTFILE '{out}' FORMAT AS PARQUET")
+    assert ret == out
+    back = ps.spark.read.parquet(out)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {(1, 1.5), (2, 2.5)}
+    csv_out = str(tmp_path / "outfile_csv")
+    ps.sql(f"SELECT k FROM exp_t INTO OUTFILE '{csv_out}' FORMAT AS CSV")
+    assert ps.spark.read.option("header", True).csv(csv_out).count() == 2
+    # Doris semantics: refuses to overwrite an existing outfile target
+    import pytest as _pt
+    with _pt.raises(Exception):
+        ps.sql(f"SELECT k FROM exp_t INTO OUTFILE '{out}'")
