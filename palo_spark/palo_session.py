@@ -59,6 +59,11 @@ _DDL_TYPES = {
     "double": "double",
     "date": "date",
     "datetime": "timestamp",
+    # sketch-state columns (serialized bytes; AGGREGATE models merge
+    # them with BITMAP_UNION / HLL_UNION / QUANTILE_UNION agg types)
+    "bitmap": "binary",
+    "hll": "binary",
+    "quantile_state": "binary",
     "char": "string",
     "varchar": "string",
     "string": "string",

@@ -364,3 +364,52 @@ def table_model_auto_partition(spark, sf_dir):
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@q(
+    "table_model_bitmap_union_col",
+    """
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+           TRUE AS hll_ok
+    FROM orders
+    """
+    + " GROUP BY o_orderpriority",
+)
+def table_model_bitmap_union_col(spark, sf_dir):
+    """AGGREGATE table with BITMAP_UNION + HLL_UNION sketch columns
+    (Doris's pre-aggregated audience/distinct-count table): two
+    overlapping loads of per-priority customer bitmaps/HLLs merge
+    state-wise; the exact bitmap NDV is genuine value parity vs
+    COUNT(DISTINCT), the HLL column self-checks its error bound."""
+    from palo_spark.functions import sketches as SK
+
+    o = load_table(spark, sf_dir, "orders")
+    t = _fresh(
+        spark,
+        "orders_audience",
+        keys_type="AGGREGATE",
+        key_cols=["prio"],
+        agg_spec={"cust_bm": "BITMAP_UNION", "cust_hll": "HLL_UNION"},
+    )
+
+    def batch(df):
+        return df.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+            SK.bitmap_union_of_values("o_custkey").alias("cust_bm"),
+            SK.hll_union_agg_values(F.col("o_custkey").cast("string")).alias(
+                "cust_hll"
+            ),
+        )
+
+    # overlapping halves: merge must not double-count shared customers
+    t.insert(batch(o.filter(F.col("o_orderkey") % 3 != 0)))
+    t.insert(batch(o.filter(F.col("o_orderkey") % 3 != 1)))
+    exact = SK.bitmap_count("cust_bm")
+    approx = SK.hll_cardinality("cust_hll")
+    return t.read().select(
+        "prio",
+        exact.alias("ndv_cust"),
+        (
+            F.abs(approx - exact) / F.greatest(exact, F.lit(1)) < 0.15
+        ).alias("hll_ok"),
+    )

@@ -49,7 +49,15 @@ _META_FILE = "_palo_table.json"
 AUTO_PART_COL = "_auto_part"
 
 KEYS_TYPES = ("DUPLICATE", "UNIQUE", "AGGREGATE")
-AGG_TYPES = ("SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL")
+#: BITMAP_UNION / HLL_UNION / QUANTILE_UNION merge serialized sketch
+#: states (Doris's pre-aggregated distinct-count / quantile table
+#: pattern); the column stores the sketch bytes, loads provide states
+#: built with functions.sketches (to_bitmap / bitmap_union_of_values,
+#: hll_state, quantile_state_of_values)
+AGG_TYPES = (
+    "SUM", "MIN", "MAX", "REPLACE", "REPLACE_IF_NOT_NULL",
+    "BITMAP_UNION", "HLL_UNION", "QUANTILE_UNION",
+)
 
 #: AUTO PARTITION granularities → partition-label formats (Spark
 #: date_format patterns; labels sort lexicographically in time order,
@@ -619,6 +627,18 @@ class Table:
                 aggs.append(F.max(col).alias(c))
             elif a == "REPLACE":
                 aggs.append(F.max_by(col, F.col(_VERSION_COL)).alias(c))
+            elif a == "BITMAP_UNION":
+                from palo_spark.functions import sketches as SK
+
+                aggs.append(SK.bitmap_union_of_bitmaps(col).alias(c))
+            elif a == "HLL_UNION":
+                from palo_spark.functions import sketches as SK
+
+                aggs.append(SK.hll_union_agg(col).alias(c))
+            elif a == "QUANTILE_UNION":
+                from palo_spark.functions import sketches as SK
+
+                aggs.append(SK.quantile_union(col).alias(c))
             else:  # REPLACE_IF_NOT_NULL — latest version where value non-null
                 aggs.append(
                     F.max_by(

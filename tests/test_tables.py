@@ -338,3 +338,44 @@ def test_all_partitions_expired_rowset_is_skipped(spark, tmp_path):
     t.drop_partition("d2024-01-01")  # first rowset fully expired
     assert t.read().count() == 4
     assert t.partitions() == ["d2024-01-02"]
+
+
+def test_aggregate_table_bitmap_and_hll_union_columns(spark, tmp_path):
+    """Doris's pre-aggregated distinct-count pattern: an AGGREGATE table
+    with BITMAP_UNION / HLL_UNION columns merges sketch states across
+    loads; bitmap counts are exact, HLL within its error bound."""
+    from palo_spark.functions import sketches as SK
+
+    t = Table(
+        spark, "aud", "AGGREGATE", ["seg"],
+        agg_spec={"users_bm": "BITMAP_UNION", "users_hll": "HLL_UNION"},
+        location=str(tmp_path / "aud"),
+    )
+
+    def batch(lo, hi):
+        df = spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("seg"),
+            F.col("id").alias("uid"),
+        )
+        return df.groupBy("seg").agg(
+            SK.bitmap_union_of_values("uid").alias("users_bm"),
+            SK.hll_union_agg_values(F.col("uid").cast("string")).alias("users_hll"),
+        )
+
+    t.insert(batch(0, 300))
+    t.insert(batch(150, 450))  # overlapping uids must not double-count
+    out = t.read().select(
+        "seg",
+        SK.bitmap_count("users_bm").alias("exact"),
+        SK.hll_cardinality("users_hll").alias("approx"),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["exact"] == 150  # 450 distinct uids over 3 segments
+        assert abs(r["approx"] - 150) / 150 < 0.15
+    # compaction folds the merge into storage and stays correct
+    t.compact()
+    out2 = {r["seg"]: r for r in t.read().select(
+        "seg", SK.bitmap_count("users_bm").alias("exact")
+    ).collect()}
+    assert all(v["exact"] == 150 for v in out2.values())
