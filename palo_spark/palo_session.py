@@ -164,6 +164,28 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_LOAD_RE = re.compile(
+    r"^\s*LOAD\s+LABEL\s+`?(?P<label>[\w.-]+)`?\s*\(\s*"
+    r"DATA\s+INFILE\s*\(\s*'(?P<path>[^']+)'\s*\)\s*"
+    r"INTO\s+TABLE\s+`?(?P<name>\w+)`?\s*"
+    r"(?:FORMAT\s+AS\s+'?(?P<fmt>\w+)'?\s*)?"
+    r"(?:WHERE\s+(?P<where>[^)]+?)\s*)?\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+`?(?P<name>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -443,7 +465,78 @@ class PaloSession:
         stripped = text.strip()
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
+            cm = _CTAS_RE.match(stripped)
+            if cm and "(" not in stripped[: cm.start("body")]:
+                df = self.sql(cm.group("body"))
+                name = cm.group("name")
+                kw = (
+                    {"location": f"{self.location_root}/{name}"}
+                    if self.location_root
+                    else {}
+                )
+                t = Table(
+                    self.spark, name, "DUPLICATE", [df.columns[0]], **kw
+                )
+                t._declared_schema = ", ".join(  # type: ignore[attr-defined]
+                    f"{n} {ty}" for n, ty in df.dtypes
+                )
+                self.tables[name.lower()] = t
+                t.insert(df)
+                self._refresh_view(name.lower())
+                return t
             return self._create_table(stripped)
+        lm = _LOAD_RE.match(stripped)
+        if lm:
+            from palo_spark.sources import broker_load
+
+            t = self._table(lm.group("name"))
+            where = lm.group("where")
+            version = broker_load(
+                self.spark,
+                t,
+                lm.group("path"),
+                (lm.group("fmt") or "parquet").lower(),
+                where=translate(where) if where else None,
+                label=lm.group("label"),
+            )
+            self._refresh_view(lm.group("name").lower())
+            return version
+        tm = _TRUNCATE_RE.match(stripped)
+        if tm:
+            t = self._table(tm.group("name"))
+            t.truncate()
+            # a truncated table stays queryable as empty (Doris behavior)
+            schema = getattr(t, "_declared_schema", None)
+            if schema:
+                self.spark.createDataFrame([], schema).createOrReplaceTempView(
+                    tm.group("name").lower()
+                )
+            else:
+                self.spark.catalog.dropTempView(tm.group("name").lower())
+            return None
+        scm = _SHOW_CREATE_RE.match(stripped)
+        if scm:
+            t = self._table(scm.group("name"))
+            cols = []
+            for part in (getattr(t, "_declared_schema", "") or "").split(","):
+                if not part.strip():
+                    continue
+                nm, ty = part.strip().split(None, 1)
+                agg = t.meta.agg_spec.get(nm, "")
+                cols.append(f"  `{nm}` {ty.upper()}" + (f" {agg}" if agg else ""))
+            ap = t.meta.auto_partition
+            ddl = (
+                f"CREATE TABLE `{t.meta.name}` (\n" + ",\n".join(cols) + "\n)\n"
+                f"{t.meta.keys_type} KEY({', '.join('`%s`' % k for k in t.meta.key_cols)})"
+                + (
+                    f"\nAUTO PARTITION BY RANGE (date_trunc(`{ap['col']}`, '{ap['granularity']}')) ()"
+                    if ap
+                    else ""
+                )
+            )
+            return self.spark.createDataFrame(
+                [(t.meta.name, ddl)], "table_name string, create_table string"
+            )
         mv = _CREATE_MV_RE.match(stripped)
         if mv:
             return self._create_mv(mv.group("mv"), mv.group("body"))

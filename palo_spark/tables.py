@@ -653,5 +653,17 @@ class Table:
         self.read().createOrReplaceTempView(name)
         return name
 
+    def truncate(self) -> None:
+        """Doris TRUNCATE TABLE: drop all rowsets, deletes, and the
+        label ledger (a truncated table accepts the same labels again,
+        as Doris does after truncate recreates partitions); schema and
+        model metadata survive."""
+        for r in self.meta.rowsets:
+            shutil.rmtree(r["path"], ignore_errors=True)
+        self.meta.rowsets = []
+        self.meta.deletes = []
+        self.meta.labels = []
+        self._save_meta()
+
     def drop(self) -> None:
         shutil.rmtree(self.location, ignore_errors=True)

@@ -244,3 +244,38 @@ def test_select_into_outfile(ps, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         ps.sql(f"SELECT k FROM exp_t INTO OUTFILE '{out}'")
+
+
+def test_ctas_truncate_show_create(ps, tmp_path):
+    ps.sql("CREATE TABLE src_t (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO src_t VALUES (1,1.0),(2,2.0),(3,3.0)")
+    t = ps.sql("CREATE TABLE ctas_t AS SELECT k, v * 10 AS v10 FROM src_t")
+    assert sorted(r["v10"] for r in ps.sql("SELECT v10 FROM ctas_t").collect()) == [
+        10.0, 20.0, 30.0,
+    ]
+    ddl = ps.sql("SHOW CREATE TABLE src_t").first()["create_table"]
+    assert "CREATE TABLE `src_t`" in ddl and "DUPLICATE KEY(`k`)" in ddl
+    ps.sql("TRUNCATE TABLE src_t")
+    assert ps.sql("SELECT * FROM src_t").count() == 0  # empty, still queryable
+    ps.sql("INSERT INTO src_t VALUES (9,9.0)")
+    assert [r["k"] for r in ps.sql("SELECT k FROM src_t").collect()] == [9]
+
+
+def test_load_label_statement(ps, spark, tmp_path):
+    src = str(tmp_path / "incoming.parquet")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, "c", 7.0)], "k long, s string, v double"
+    ).write.parquet(src)
+    ps.sql("CREATE TABLE landed (k BIGINT, s VARCHAR(8), v DOUBLE) DUPLICATE KEY(k)")
+    v1 = ps.sql(
+        f"LOAD LABEL batch-1 (DATA INFILE('{src}') INTO TABLE landed "
+        "FORMAT AS 'parquet' WHERE v > 0)"
+    )
+    assert v1 == 1
+    assert sorted(r["k"] for r in ps.sql("SELECT k FROM landed").collect()) == [1, 3]
+    # same label replays as a no-op (Doris label ledger)
+    v2 = ps.sql(
+        f"LOAD LABEL batch-1 (DATA INFILE('{src}') INTO TABLE landed)"
+    )
+    assert v2 == -1
+    assert ps.sql("SELECT k FROM landed").count() == 2
