@@ -1630,6 +1630,25 @@ def version() -> Column:
     return F.version()
 
 
+def database() -> Column:
+    """Doris ``DATABASE()`` — the current Spark catalog database."""
+    return F.current_database()
+
+
+def user() -> Column:
+    """Doris ``USER()`` / ``CURRENT_USER()`` — the Spark session user."""
+    return F.current_user()
+
+
+current_user = user
+
+
+def connection_id() -> Column:
+    """Doris ``CONNECTION_ID()`` — constant 0: there is no MySQL wire
+    connection; one SparkSession is one logical connection."""
+    return F.lit(0).cast("bigint")
+
+
 # ------------------------------------------------- aggregate name surface
 # Doris aggregate-function names as callables (SURVEY §2.4). The suite's
 # agg_* entries exercise the semantics; these give a migrating Doris user

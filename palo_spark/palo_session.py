@@ -59,6 +59,11 @@ _DDL_TYPES = {
     "double": "double",
     "date": "date",
     "datetime": "timestamp",
+    # LARGEINT (int128): decimal(38,0) covers [-1e38, 1e38] of the
+    # int128 range [-1.70e38, 1.70e38] — documented edge (SURVEY §6e);
+    # arithmetic stays exact, only the outermost 41% of the range is
+    # unrepresentable
+    "largeint": "decimal(38,0)",
     # sketch-state columns (serialized bytes; AGGREGATE models merge
     # them with BITMAP_UNION / HLL_UNION / QUANTILE_UNION agg types)
     "bitmap": "binary",

@@ -166,6 +166,31 @@ def jdbc_sink(df: DataFrame, url: str, table: str, mode: str = "append", **optio
     ).mode(mode).save()
 
 
+def es_scan(
+    spark: SparkSession,
+    resource: str,
+    nodes: str = "localhost:9200",
+    query: str | None = None,
+    **options,
+) -> DataFrame:
+    """ES_SCAN → the public Elasticsearch-Hadoop Spark connector
+    (``org.elasticsearch.spark.sql``), exactly as SURVEY §2.1 row 4
+    prescribes. Filter/column pushdown is the connector's own
+    (``es.read.field.include`` + pushdown on the ES query DSL), so a
+    selective scan ships the query to ES rather than draining the index.
+
+    The connector jar is not present in this environment — calling this
+    without it raises Spark's CLASS_NOT_FOUND for format ``es``; on a
+    cluster, add ``org.elasticsearch:elasticsearch-spark-30_2.12`` to
+    ``spark.jars.packages`` and this function works unchanged (same
+    posture as ``jdbc_scan`` had before Derby was wired in).
+    """
+    r = spark.read.format("es").option("es.nodes", nodes)
+    if query is not None:
+        r = r.option("es.query", query)
+    return r.options(**options).load(resource)
+
+
 def create_bucketed_table(
     df: DataFrame,
     name: str,
