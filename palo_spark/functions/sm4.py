@@ -198,6 +198,59 @@ def _batch_ecb(series: pd.Series, key: bytes, encrypt: bool) -> pd.Series:
     return pd.Series(res, dtype=object)
 
 
+def _batch_cbc(series: pd.Series, key: bytes, iv: bytes, encrypt: bool) -> pd.Series:
+    """CBC over a whole Arrow batch: chaining is serial *within* a row
+    but rows are independent, so the kernel walks block index b and runs
+    one vectorized 32-round pass over every row that has a b-th block —
+    max(blocks) passes total, each across the full batch width."""
+    rks = sm4_key_schedule(key)
+    if not encrypt:
+        rks = rks[::-1].copy()
+    iv_lanes = _to_lanes(iv)[0]
+    rows: list[np.ndarray | None] = []
+    for v in series:
+        if v is None:
+            rows.append(None)
+            continue
+        raw = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        if encrypt:
+            pad = 16 - len(raw) % 16
+            raw = bytes(raw) + bytes([pad]) * pad
+        elif len(raw) % 16 != 0 or not raw:
+            rows.append(None)
+            continue
+        rows.append(_to_lanes(bytes(raw)))
+    live = [i for i, r in enumerate(rows) if r is not None]
+    if not live:
+        return pd.Series([None] * len(rows), dtype=object)
+    nblocks = np.array([rows[i].shape[0] for i in live])
+    max_b = int(nblocks.max())
+    n = len(live)
+    lanes = np.zeros((n, max_b, 4), dtype=np.uint64)
+    for j, i in enumerate(live):
+        lanes[j, : nblocks[j]] = rows[i]
+    out = np.zeros_like(lanes)
+    prev = np.tile(iv_lanes, (n, 1))
+    for b in range(max_b):
+        m = nblocks > b
+        if encrypt:
+            enc = _crypt_blocks(lanes[m, b] ^ prev[m], rks)
+            out[m, b] = enc
+            prev[m] = enc
+        else:
+            dec = _crypt_blocks(lanes[m, b], rks)
+            out[m, b] = dec ^ prev[m]
+            prev[m] = lanes[m, b]
+    res: list[bytes | None] = [None] * len(rows)
+    for j, i in enumerate(live):
+        chunk = _from_lanes(out[j, : nblocks[j]])
+        if not encrypt:
+            pad = chunk[-1]
+            chunk = chunk[:-pad] if 1 <= pad <= 16 else None
+        res[i] = chunk
+    return pd.Series(res, dtype=object)
+
+
 def _key_bytes(key) -> bytes:
     k = key.encode("utf-8") if isinstance(key, str) else bytes(key)
     if len(k) != 16:
@@ -222,14 +275,12 @@ def sm4_encrypt(data, key, iv=None, mode: str = "SM4_128_ECB") -> Column:
         return _f(c.cast("string"))
 
     ivb = bytes(iv.encode("utf-8") if isinstance(iv, str) else iv)
+    if len(ivb) != 16:
+        raise ValueError("CBC needs a 16-byte iv")
 
     @F.pandas_udf("binary")
     def _g(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: None
-            if v is None
-            else sm4_encrypt_raw(str(v).encode("utf-8"), k, ivb, mode)
-        )
+        return _batch_cbc(s, k, ivb, encrypt=True)
 
     return _g(c.cast("string"))
 
@@ -248,17 +299,11 @@ def sm4_decrypt(data, key, iv=None, mode: str = "SM4_128_ECB") -> Column:
         return _f(c).cast("string")
 
     ivb = bytes(iv.encode("utf-8") if isinstance(iv, str) else iv)
+    if len(ivb) != 16:
+        raise ValueError("CBC needs a 16-byte iv")
 
     @F.pandas_udf("binary")
     def _g(s: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            try:
-                return sm4_decrypt_raw(bytes(v), k, ivb, mode)
-            except ValueError:
-                return None
-
-        return s.map(one)
+        return _batch_cbc(s, k, ivb, encrypt=False)
 
     return _g(c).cast("string")

@@ -371,16 +371,20 @@ def scalar_sm4_crypto(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     key = "palo-sm4-testkey"
     iv = "palo-sm4-init-iv"
-    ecb = PF.sm4_encrypt("p_name", key)
-    cbc = PF.sm4_encrypt("p_name", key, iv, "SM4_128_CBC")
-    return p.select(
+    # two-stage projection: each cipher UDF is evaluated ONCE and its
+    # bytes reused by the downstream expressions (a shared non-cheap
+    # Python UDF must not be re-run per consumer)
+    enc = p.select(
         "p_partkey",
-        PF.sm4_decrypt(ecb, key).alias("decrypted"),
-        F.length(ecb).alias("ecb_len"),
-        F.length(cbc).alias("cbc_len"),
-        (
-            F.hex(ecb) != F.hex(cbc)
-        ).alias("modes_differ"),
+        PF.sm4_encrypt("p_name", key).alias("ecb"),
+        PF.sm4_encrypt("p_name", key, iv, "SM4_128_CBC").alias("cbc"),
+    )
+    return enc.select(
+        "p_partkey",
+        PF.sm4_decrypt(F.col("ecb"), key).alias("decrypted"),
+        F.length("ecb").alias("ecb_len"),
+        F.length("cbc").alias("cbc_len"),
+        (F.hex("ecb") != F.hex("cbc")).alias("modes_differ"),
     )
 
 
