@@ -59,6 +59,9 @@ from palo_spark.operators.text import (  # noqa: F401
     pack_sequences,
     contamination_score,
     remove_boilerplate_lines,
+    dedup_intra_doc_lines,
+    normalize_url,
+    dedup_by_url,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -515,3 +515,63 @@ def match_phrase(col, query: str):
     stream = F.concat(F.lit(" "), F.array_join(tokenize(col), " "), F.lit(" "))
     needle = " " + " ".join(query.lower().split()) + " "
     return stream.contains(needle)
+
+
+def dedup_intra_doc_lines(
+    df: DataFrame, text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """Remove duplicate lines WITHIN each document, preserving first-
+    occurrence order (the intra-document half of C4's line dedup;
+    `remove_boilerplate_lines` is the corpus-frequency half).
+
+    Pure native array expression — split, keep elements whose first
+    index is their own index (``array_position`` = first match, so the
+    filter is order-preserving first-occurrence dedup), rejoin. Zero
+    shuffles, embarrassingly parallel; O(lines²) comparisons per row is
+    the right trade below ~10³ lines/doc (no shuffle beats the window
+    alternative: posexplode → row_number per (doc, line) → re-agg,
+    which is the form to switch to for pathological documents).
+
+    Adds ``{text_col}_dedup``, ``n_lines``, ``n_lines_dedup``.
+    """
+    lines = F.split(F.col(text_col), F.lit(line_sep), -1)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_dedup", F.size(kept))
+        .withColumn(f"{text_col}_dedup", F.array_join(kept, line_sep))
+    )
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonicalize a URL for dedup: lowercase, strip scheme and
+    ``www.``, drop query/fragment, strip trailing slash — the
+    normalization web-crawl pipelines apply before URL-level dedup.
+    Chained native regexp, replayable verbatim in any engine."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    c = F.regexp_replace(c, r"/+$", "")
+    return c
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: keep the lowest-id document per normalized
+    URL (crawl pipelines dedup by canonical URL before any content
+    hashing — it removes the bulk of re-crawls for free). One keyed
+    shuffle on the normalized URL; ids-only min_by then a semi-join
+    would be the column-pruning variant, but min_by over the full row
+    struct keeps it a single aggregation."""
+    norm = normalize_url(F.col(url_col)).alias("_norm_url")
+    cols = df.columns
+    return (
+        df.select(norm, F.struct(*cols).alias("_row"))
+        .groupBy("_norm_url")
+        .agg(F.min_by("_row", F.col("_row")[id_col]).alias("_row"))
+        .select("_row.*")
+    )

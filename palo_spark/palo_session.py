@@ -639,6 +639,19 @@ class PaloSession:
             )
             self._refresh_view(m.group("name").lower())
             return None
+        if up.startswith("EXPLAIN "):
+            # Doris EXPLAIN: return the physical plan as rows. The query
+            # goes through the same dialect translation + MV selection as
+            # execution, so the plan shown is the plan that would run.
+            df = self.sql(stripped[len("EXPLAIN "):])
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         sp_ = _SHOW_PARTS_RE.match(stripped)
         if sp_:
             t = self._table(sp_.group("name"))

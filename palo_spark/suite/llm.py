@@ -1651,3 +1651,90 @@ def similarity_search_ivf_literal(spark, sf_dir):
     return similarity_topk_ivf(
         e, qv, k=10, nprobe=3, centroids=cents, quantized=True
     )
+
+
+@q(
+    "text_intra_doc_line_dedup",
+    r"""
+    WITH lined AS (
+        SELECT doc_id,
+               [array_to_string(string_split(text, ' ')[(i-1)*5+1:i*5], ' ')
+                for i in range(1, CAST(CEIL(len(string_split(text, ' ')) / 5.0)
+                                       AS INT) + 1)] AS lines
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
+                AS INT) AS n_lines_dedup,
+           array_to_string(
+               list_filter(lines, (x, i) -> list_position(lines, x) = i),
+               chr(10)) AS text_dedup
+    FROM lined
+    """,
+)
+def text_intra_doc_line_dedup(spark, sf_dir):
+    """Intra-document line dedup (the within-doc half of C4 line
+    cleaning): documents are given a line structure (5-token lines) and
+    duplicate lines are removed preserving first-occurrence order — a
+    pure native array expression, zero shuffles. The oracle replays the
+    whole computation with DuckDB list comprehensions and an indexed
+    list_filter."""
+    from palo_spark.operators import dedup_intra_doc_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(tok) / F.lit(5.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), nlines),
+        lambda i: F.array_join(F.slice(tok, (i - 1) * 5 + 1, 5), " "),
+    )
+    lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_intra_doc_lines(lined, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_lines_dedup").cast("int").alias("n_lines_dedup"),
+        F.col("text_dedup").alias("text_dedup"),
+    )
+
+
+@q(
+    "dedup_url_normalized",
+    """
+    WITH urls AS (
+        SELECT doc_id, lang, source,
+               source || '.example.com/item/' || CAST(doc_id % 500 AS VARCHAR)
+                   AS norm
+        FROM documents
+    ),
+    kept AS (
+        SELECT norm, MIN(doc_id) AS doc_id FROM urls GROUP BY norm
+    )
+    SELECT k.doc_id, u.lang, u.source
+    FROM kept k JOIN urls u ON u.doc_id = k.doc_id
+    """,
+)
+def dedup_url_normalized(spark, sf_dir):
+    """URL-level dedup: synthesized crawl URLs (scheme/www/trailing-
+    slash/query/fragment variants derived from doc_id) collapse to one
+    canonical form via normalize_url, then one keyed shuffle keeps the
+    lowest-id document per URL. The oracle computes the same canonical
+    key arithmetically and picks MIN(doc_id) — full value parity
+    including the carried row columns."""
+    from palo_spark.operators import dedup_by_url
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("HTTPS://www.")
+        ),
+        F.col("source"),
+        F.lit(".example.com/item/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("#top")),
+    )
+    docs = d.select("doc_id", "lang", "source", url.alias("url"))
+    return dedup_by_url(docs, "url", "doc_id").select("doc_id", "lang", "source")

@@ -670,3 +670,38 @@ def test_pack_sequences_rejects_oversize_chunk(spark):
         pack_sequences(df, max_tokens=2048).collect()
     ok = pack_sequences(df.filter("n_tokens <= 2048"), max_tokens=2048).collect()
     assert ok[0]["seq_offset"] == 0
+
+
+def test_intra_doc_line_dedup_preserves_order(spark):
+    from palo_spark.operators import dedup_intra_doc_lines
+
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_intra_doc_lines(df).collect()}
+    assert out[1]["text_dedup"] == "b\na\nc"
+    assert out[1]["n_lines"] == 5 and out[1]["n_lines_dedup"] == 3
+    assert out[2]["text_dedup"] == "x"
+    assert out[3]["n_lines_dedup"] == 1  # one empty line
+    # fully native — no Python in the plan
+    plan = dedup_intra_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_normalization(spark):
+    from palo_spark.operators import dedup_by_url, normalize_url
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (5, "https://www.Site.com/a/?q=1"),
+            (2, "HTTP://site.com/a/"),
+            (9, "site.com/a#frag"),
+            (1, "https://other.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    norms = df.select(normalize_url(F.col("url")).alias("n")).collect()
+    assert {r["n"] for r in norms} == {"site.com/a", "other.com/b"}
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert kept == [1, 2]  # lowest id per canonical URL

@@ -279,3 +279,11 @@ def test_load_label_statement(ps, spark, tmp_path):
     )
     assert v2 == -1
     assert ps.sql("SELECT k FROM landed").count() == 2
+
+
+def test_explain_statement(ps):
+    ps.sql("CREATE TABLE ex_t (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO ex_t VALUES (1,1.0)")
+    rows = [r["plan"] for r in ps.sql("EXPLAIN SELECT k, SUM(v) FROM ex_t GROUP BY k").collect()]
+    text = "\n".join(rows)
+    assert "HashAggregate" in text and "Physical Plan" in text
