@@ -62,6 +62,7 @@ from palo_spark.operators.text import (  # noqa: F401
     dedup_intra_doc_lines,
     normalize_url,
     dedup_by_url,
+    corpus_profile,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -575,3 +575,52 @@ def dedup_by_url(
         .agg(F.min_by("_row", F.col("_row")[id_col]).alias("_row"))
         .select("_row.*")
     )
+
+
+def corpus_profile(
+    df: DataFrame, text_col: str = "text", lang_col: str | None = "lang"
+) -> DataFrame:
+    """One-pass corpus profile (the first thing run on any new
+    pretraining source): document/token volumes, token-count
+    distribution (exact percentiles), duplicate-content rate from
+    content fingerprints, and the dominant language's share.
+
+    One global aggregation (map-side combined) plus one tiny aggregate
+    over per-language counts; at 100 TB this is the same two-phase
+    hash-agg any COUNT(*) is — no collect, no window over raw rows.
+    """
+    toks = token_count(F.col(text_col))
+    fp = doc_fingerprint(F.col(text_col))
+    base = df.select(
+        toks.alias("_tok"),
+        fp.alias("_fp"),
+        (F.col(lang_col) if lang_col else F.lit("und")).alias("_lang"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("_tok"), 6).alias("avg_tokens"),
+        F.round(F.percentile("_tok", 0.5), 6).alias("p50_tokens"),
+        F.round(F.percentile("_tok", 0.9), 6).alias("p90_tokens"),
+        F.count_distinct(F.col("_fp")).alias("distinct_fingerprints"),
+    ).withColumn(
+        "dup_rate",
+        F.round(
+            1.0 - F.col("distinct_fingerprints") / F.col("n_docs"), 6
+        ),
+    )
+    top_lang = (
+        base.groupBy("_lang")
+        .count()
+        .agg(
+            F.max_by("_lang", F.struct(F.col("count"), F.col("_lang"))).alias(
+                "top_lang"
+            ),
+            F.max(F.struct(F.col("count"), F.col("_lang")))["count"].alias(
+                "_top_cnt"
+            ),
+        )
+    )
+    return stats.crossJoin(F.broadcast(top_lang)).withColumn(
+        "top_lang_share", F.round(F.col("_top_cnt") / F.col("n_docs"), 6)
+    ).drop("_top_cnt")

@@ -1738,3 +1738,50 @@ def dedup_url_normalized(spark, sf_dir):
     )
     docs = d.select("doc_id", "lang", "source", url.alias("url"))
     return dedup_by_url(docs, "url", "doc_id").select("doc_id", "lang", "source")
+
+
+@q(
+    "corpus_profile_report",
+    r"""
+    WITH base AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(lower(trim(text)), '\s+'))), '') AS fp,
+               lang
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS total_tokens,
+               ROUND(AVG(tok), 6) AS avg_tokens,
+               ROUND(QUANTILE_CONT(tok, 0.5), 6) AS p50_tokens,
+               ROUND(QUANTILE_CONT(tok, 0.9), 6) AS p90_tokens,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fingerprints
+        FROM base
+    ),
+    top AS (
+        SELECT lang AS top_lang, COUNT(*) AS c
+        FROM base GROUP BY lang ORDER BY c DESC, lang DESC LIMIT 1
+    )
+    SELECT s.n_docs, s.total_tokens, s.avg_tokens, s.p50_tokens, s.p90_tokens,
+           s.distinct_fingerprints,
+           ROUND(1.0 - s.distinct_fingerprints / s.n_docs, 6) AS dup_rate,
+           t.top_lang,
+           ROUND(t.c / s.n_docs, 6) AS top_lang_share
+    FROM stats s CROSS JOIN top t
+    """,
+)
+def corpus_profile_report(spark, sf_dir):
+    """One-call corpus profile: volumes, exact token-count percentiles,
+    fingerprint-based duplicate rate, dominant language share — the
+    standard first look at a new pretraining source, as one map-side-
+    combined aggregation. The oracle replays every statistic, including
+    the bag-of-words fingerprint distinct count (replayed as the sorted
+    distinct token string the engine hashes)."""
+    from palo_spark.operators import corpus_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_profile(d).select(
+        "n_docs", "total_tokens", "avg_tokens", "p50_tokens", "p90_tokens",
+        "distinct_fingerprints", "dup_rate", "top_lang", "top_lang_share",
+    )
