@@ -1785,3 +1785,64 @@ def corpus_profile_report(spark, sf_dir):
         "n_docs", "total_tokens", "avg_tokens", "p50_tokens", "p90_tokens",
         "distinct_fingerprints", "dup_rate", "top_lang", "top_lang_share",
     )
+
+
+@q(
+    "multimodal_real_ppm_codec",
+    r"""
+    WITH px AS (
+        SELECT doc_id,
+               rpad(substr(text, 1, 96), 96, 'x') AS body
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           'image/x-portable-pixmap' AS mime,
+           CAST(8 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(96 AS INT) AS body_len,
+           CAST(35 AS INT) AS resized_len,
+           FLOOR(list_avg([ord(substr(body, i*3 + 1, 1)) for i in range(0, 32)])
+                 / 255.0 * 1e4) / 1e4 AS r_mean
+    FROM px
+    """,
+)
+def multimodal_real_ppm_codec(spark, sf_dir):
+    """REAL image codec end-to-end (no imaging library): PPM(P6)
+    payloads are built natively from document text (ASCII bytes =
+    pixels), decoded to actual pixel arrays in the mapInPandas UDF,
+    nearest-neighbor resized, and feature-extracted (channel means over
+    real pixels). The oracle replays the geometry AND the red-channel
+    mean from the same constructed bytes — content-level value parity
+    through a genuine decode."""
+    from palo_spark.operators import decode_media, extract_features, resize_media
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n8 4\n255\n"),
+            F.rpad(F.substring("text", 1, 96), 96, "x"),
+        ),
+        "UTF-8",
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    meta = decode_media(media).select("media_id", "mime", "width", "height", "body_len")
+    resized = resize_media(media, 4, 2).select(
+        "media_id", F.length("payload").cast("int").alias("resized_len")
+    )
+    feats = extract_features(media).select(
+        "media_id",
+        (F.floor(F.element_at("features", 1) * 1e4) / 1e4).alias("r_mean"),
+    )
+    return (
+        meta.join(resized, "media_id")
+        .join(feats, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "mime",
+            "width",
+            "height",
+            "body_len",
+            "resized_len",
+            "r_mean",
+        )
+    )
