@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+the pieces whose correctness is NOT covered by the DuckDB oracle
+(engine-internal codecs and ciphers)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from palo_spark.functions.sm4 import sm4_decrypt_raw, sm4_encrypt_raw
+from palo_spark.operators.multimodal import (
+    decode_pixels,
+    encode_ppm,
+    resize_nearest,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=200),
+    key=st.binary(min_size=16, max_size=16),
+)
+def test_sm4_ecb_roundtrip_property(data, key):
+    assert sm4_decrypt_raw(sm4_encrypt_raw(data, key), key) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=200),
+    key=st.binary(min_size=16, max_size=16),
+    iv=st.binary(min_size=16, max_size=16),
+)
+def test_sm4_cbc_roundtrip_property(data, key, iv):
+    ct = sm4_encrypt_raw(data, key, iv, "SM4_128_CBC")
+    assert sm4_decrypt_raw(ct, key, iv, "SM4_128_CBC") == data
+    # ciphertext differs from ECB unless degenerate zero-iv chaining
+    if data and iv != b"\x00" * 16:
+        assert ct != sm4_encrypt_raw(data, key)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(encode_ppm(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    tw=st.integers(min_value=1, max_value=16),
+    th=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_resize_nearest_properties(w, h, tw, th, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    # every output pixel exists in the input (nearest picks, never blends)
+    assert set(map(tuple, out.reshape(-1, 3))) <= set(map(tuple, arr.reshape(-1, 3)))
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(arr, w, h), arr)

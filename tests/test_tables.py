@@ -379,3 +379,35 @@ def test_aggregate_table_bitmap_and_hll_union_columns(spark, tmp_path):
         "seg", SK.bitmap_count("users_bm").alias("exact")
     ).collect()}
     assert all(v["exact"] == 150 for v in out2.values())
+
+
+def test_prune_predicate_fail_open_cases(spark, tmp_path):
+    """The FE-style pruner must be conservative: anything it cannot
+    prove maps to NO pruning (correctness never depends on it)."""
+    t = Table(
+        spark, "fo", "DUPLICATE", ["id"],
+        location=str(tmp_path / "fo"), auto_partition=("ts", "day"),
+    )
+    t.insert(_ts_rows(spark, [1, 2, 3]))
+    # OR / parens / non-literal / other-column predicates: no pruning
+    for w in [
+        "ts >= '2024-01-02' OR v > 1",
+        "(ts >= '2024-01-02')",
+        "ts >= cast(v as timestamp)",
+        "v > 1",
+        "ts >= 'not-a-date'",
+    ]:
+        assert t._prune_predicate(w) is None
+    # and scan() still answers correctly without pruning
+    for w in ["ts >= '2024-01-02' OR v > 1", "(ts >= '2024-01-02')", "v > 1"]:
+        got = {r["id"] for r in t.scan(w).collect()}
+        want = {r["id"] for r in t.read().filter(w).collect()}
+        assert got == want
+    # mixed conjunct: prunable part prunes, rest row-filters
+    pred = t._prune_predicate("ts >= '2024-01-02' AND v > 1.5")
+    assert pred is not None
+    got = sorted(r["id"] for r in t.scan("ts >= '2024-01-02' AND v > 1.5").collect())
+    want = sorted(
+        r["id"] for r in t.read().filter("ts >= '2024-01-02' AND v > 1.5").collect()
+    )
+    assert got == want
