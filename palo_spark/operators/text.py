@@ -578,7 +578,8 @@ def dedup_by_url(
 
 
 def corpus_profile(
-    df: DataFrame, text_col: str = "text", lang_col: str | None = "lang"
+    df: DataFrame, text_col: str = "text", lang_col: str | None = "lang",
+    approx: bool = False,
 ) -> DataFrame:
     """One-pass corpus profile (the first thing run on any new
     pretraining source): document/token volumes, token-count
@@ -588,6 +589,11 @@ def corpus_profile(
     One global aggregation (map-side combined) plus one tiny aggregate
     over per-language counts; at 100 TB this is the same two-phase
     hash-agg any COUNT(*) is — no collect, no window over raw rows.
+
+    Scale caveat: ``F.percentile`` is EXACT and buffers the token-count
+    values; at billions of documents pass ``approx=True`` to use the
+    t-digest ``percentile_approx`` (bounded memory, ±ε quantiles) —
+    the exact form is the default because the suite oracle replays it.
     """
     toks = token_count(F.col(text_col))
     fp = doc_fingerprint(F.col(text_col))
@@ -600,8 +606,12 @@ def corpus_profile(
         F.count("*").alias("n_docs"),
         F.sum("_tok").cast("bigint").alias("total_tokens"),
         F.round(F.avg("_tok"), 6).alias("avg_tokens"),
-        F.round(F.percentile("_tok", 0.5), 6).alias("p50_tokens"),
-        F.round(F.percentile("_tok", 0.9), 6).alias("p90_tokens"),
+        F.round(
+            (F.percentile_approx if approx else F.percentile)("_tok", 0.5), 6
+        ).alias("p50_tokens"),
+        F.round(
+            (F.percentile_approx if approx else F.percentile)("_tok", 0.9), 6
+        ).alias("p90_tokens"),
         F.count_distinct(F.col("_fp")).alias("distinct_fingerprints"),
     ).withColumn(
         "dup_rate",
