@@ -169,6 +169,11 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_PART_SEL_RE = re.compile(
+    r"\b(FROM|JOIN)\s+`?(?P<name>\w+)`?\s+PARTITION\s*\((?P<labels>[^)]*)\)",
+    re.IGNORECASE,
+)
+
 _LOAD_RE = re.compile(
     r"^\s*LOAD\s+LABEL\s+`?(?P<label>[\w.-]+)`?\s*\(\s*"
     r"DATA\s+INFILE\s*\(\s*'(?P<path>[^']+)'\s*\)\s*"
@@ -354,6 +359,33 @@ class PaloSession:
         version = t.insert(rows)
         self._refresh_view(name)
         return version
+
+    def _rewrite_partition_selection(self, text: str) -> str:
+        """Doris ``FROM t PARTITION (p1, p2)`` — explicit partition
+        selection. Each selected table reference becomes a temp view of
+        the merge-on-read view restricted to those partition labels
+        (directory-pruned at the scan, same mechanism as Table.scan)."""
+        from pyspark.sql import functions as F
+
+        from palo_spark.tables import AUTO_PART_COL
+
+        def sub(m):
+            name = m.group("name")
+            t = self.tables.get(name.lower())
+            if t is None or not t.meta.auto_partition:
+                raise ValueError(
+                    f"PARTITION selection requires an auto-partitioned palo "
+                    f"table; {name!r} is not one"
+                )
+            labels = [p.strip().strip("`") for p in m.group("labels").split(",")]
+            missing = set(labels) - set(t.partitions())
+            if missing:
+                raise ValueError(f"unknown partitions for {name!r}: {sorted(missing)}")
+            view = f"{name.lower()}__psel_{abs(hash(tuple(labels))) % 10**8}"
+            t.read(partition_pred=F.col(AUTO_PART_COL).isin(labels)).createOrReplaceTempView(view)
+            return f"{m.group(1)} {view}"
+
+        return _PART_SEL_RE.sub(sub, text)
 
     def _create_mv(self, mv_name: str, body: str):
         """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>
@@ -687,6 +719,8 @@ class PaloSession:
         # rollup/MV selection (its pass-through already runs spark.sql
         # on the translated text — never re-translate: the %-pattern
         # rewrite is not idempotent)
+        if _PART_SEL_RE.search(stripped):
+            stripped = self._rewrite_partition_selection(stripped)
         if self.rollups is not None:
             df, _source = self.rollups.sql(translate(stripped))
             return df

@@ -287,3 +287,28 @@ def test_explain_statement(ps):
     rows = [r["plan"] for r in ps.sql("EXPLAIN SELECT k, SUM(v) FROM ex_t GROUP BY k").collect()]
     text = "\n".join(rows)
     assert "HashAggregate" in text and "Physical Plan" in text
+
+
+def test_partition_selection_syntax(ps):
+    ps.sql(
+        """
+        CREATE TABLE psel (id BIGINT, ts DATETIME, v DOUBLE)
+        DUPLICATE KEY(`id`)
+        AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+        """
+    )
+    ps.sql(
+        "INSERT INTO psel VALUES (1,'2024-06-01 01:00:00',1.0),"
+        "(2,'2024-06-02 01:00:00',2.0),(3,'2024-06-03 01:00:00',3.0)"
+    )
+    out = ps.sql(
+        "SELECT id FROM psel PARTITION (d2024-06-01, d2024-06-03) ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in out] == [1, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown partitions"):
+        ps.sql("SELECT id FROM psel PARTITION (d1999-01-01)")
+    with _pt.raises(ValueError, match="auto-partitioned"):
+        ps.sql("CREATE TABLE nop (k INT) DUPLICATE KEY(k)")
+        ps.sql("INSERT INTO nop VALUES (1)")
+        ps.sql("SELECT k FROM nop PARTITION (x)")
