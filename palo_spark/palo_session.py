@@ -237,11 +237,22 @@ class PaloSession:
     """Doris-SQL-text session over Spark (see module docstring)."""
 
     def __init__(self, spark: SparkSession, *, location_root: str | None = None,
-                 rollups=None) -> None:
+                 rollups=None, result_cache: bool = False,
+                 cache_row_limit: int = 3000, cache_entries: int = 128) -> None:
         self.spark = spark
         self.location_root = location_root
         self.rollups = rollups  # optional RollupCatalog
         self.tables: dict[str, Table] = {}
+        #: Doris SQL result cache (SURVEY §4 "Caches" row): SELECT
+        #: results keyed by (query text, referenced tables' mutation
+        #: tokens). A table mutation changes its token, so stale hits
+        #: are impossible by construction — no explicit invalidation.
+        #: Only small results are cached (Doris cache_row_limit).
+        self.result_cache_enabled = bool(result_cache)
+        self.cache_row_limit = int(cache_row_limit)
+        self.cache_entries = int(cache_entries)
+        self._result_cache: dict = {}  # key -> (rows, schema)
+        self.last_cache_hit = False  # observability for tests/metrics
 
     # ------------------------------------------------------------- DDL
 
@@ -721,7 +732,31 @@ class PaloSession:
         # rewrite is not idempotent)
         if _PART_SEL_RE.search(stripped):
             stripped = self._rewrite_partition_selection(stripped)
+        self.last_cache_hit = False
+        key = None
+        if self.result_cache_enabled and up.startswith("SELECT"):
+            # referenced palo tables = session table names appearing as
+            # identifiers in the text; over-matching only widens the key
+            # (false invalidation), never staleness
+            refs = sorted(
+                n for n in self.tables
+                if re.search(rf"\b{re.escape(n)}\b", stripped, re.IGNORECASE)
+            )
+            key = (stripped, tuple((n, self.tables[n].state_token()) for n in refs))
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                rows, schema = hit
+                self.last_cache_hit = True
+                return self.spark.createDataFrame(rows, schema)
         if self.rollups is not None:
             df, _source = self.rollups.sql(translate(stripped))
-            return df
-        return doris_sql(self.spark, stripped)
+        else:
+            df = doris_sql(self.spark, stripped)
+        if key is not None:
+            rows = df.take(self.cache_row_limit + 1)
+            if len(rows) <= self.cache_row_limit:
+                if len(self._result_cache) >= self.cache_entries:
+                    self._result_cache.pop(next(iter(self._result_cache)))
+                self._result_cache[key] = (rows, df.schema)
+                return self.spark.createDataFrame(rows, df.schema)
+        return df

@@ -108,6 +108,9 @@ class TableMeta:
     #: keep only the newest N auto-partitions, dropping older ones at
     #: load time (Doris dynamic_partition.start retention; 0 = keep all)
     dynamic_partition_retention: int = 0
+    #: monotonic mutation counter (never decremented/reused) — bumped by
+    #: every state-changing operation; see Table.state_token
+    mutations: int = 0
 
 
 class Table:
@@ -190,6 +193,9 @@ class Table:
     # ------------------------------------------------------------- storage
 
     def _save_meta(self) -> None:
+        # every persisted state change bumps the mutation counter (the
+        # result-cache invalidation token)
+        self.meta.mutations += 1
         tmp = os.path.join(self.location, f".{_META_FILE}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(self.meta.__dict__, f)
@@ -359,6 +365,8 @@ class Table:
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed = True
+        if removed:
+            self._save_meta()  # bump the mutation token
         return removed
 
     def _apply_retention(self) -> None:
@@ -652,6 +660,14 @@ class Table:
         name = view_name or self.meta.name
         self.read().createOrReplaceTempView(name)
         return name
+
+    def state_token(self) -> int:
+        """A token that changes on EVERY mutation (loads, deletes,
+        schema changes, truncate, compaction, partition drops) — the
+        invalidation key for result caching (Doris's SQL cache checks
+        partition versions the same way). Monotonic, never reused —
+        truncate+reload cannot collide with an earlier state."""
+        return self.meta.mutations
 
     def truncate(self) -> None:
         """Doris TRUNCATE TABLE: drop all rowsets, deletes, and the

@@ -312,3 +312,49 @@ def test_partition_selection_syntax(ps):
         ps.sql("CREATE TABLE nop (k INT) DUPLICATE KEY(k)")
         ps.sql("INSERT INTO nop VALUES (1)")
         ps.sql("SELECT k FROM nop PARTITION (x)")
+
+
+def test_result_cache_hit_and_invalidate(spark, tmp_path):
+    ps = PaloSession(spark, location_root=str(tmp_path), result_cache=True)
+    ps.sql("CREATE TABLE rc (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO rc VALUES (1,1.0),(2,2.0)")
+    q = "SELECT k, SUM(v) AS s FROM rc GROUP BY k ORDER BY k"
+    r1 = ps.sql(q).collect()
+    assert ps.last_cache_hit is False
+    r2 = ps.sql(q).collect()
+    assert ps.last_cache_hit is True and r2 == r1
+    # any mutation invalidates by token change
+    ps.sql("INSERT INTO rc VALUES (1,10.0)")
+    r3 = ps.sql(q).collect()
+    assert ps.last_cache_hit is False
+    assert {r["k"]: r["s"] for r in r3}[1] == 11.0
+    # and the new state is itself cached
+    ps.sql(q)
+    assert ps.last_cache_hit is True
+    # different query text = different key
+    ps.sql("SELECT COUNT(*) AS n FROM rc")
+    assert ps.last_cache_hit is False
+
+
+def test_result_cache_row_limit_bypass(spark, tmp_path):
+    ps = PaloSession(
+        spark, location_root=str(tmp_path), result_cache=True, cache_row_limit=1
+    )
+    ps.sql("CREATE TABLE rc2 (k INT) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO rc2 VALUES (1),(2),(3)")
+    q = "SELECT k FROM rc2"
+    assert len(ps.sql(q).collect()) == 3
+    ps.sql(q)
+    assert ps.last_cache_hit is False  # 3 rows > limit 1: never cached
+
+
+def test_truncate_reload_cannot_serve_stale_cache(spark, tmp_path):
+    ps = PaloSession(spark, location_root=str(tmp_path), result_cache=True)
+    ps.sql("CREATE TABLE rc3 (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO rc3 VALUES (1,1.0)")
+    q = "SELECT SUM(v) AS s FROM rc3"
+    assert ps.sql(q).collect()[0]["s"] == 1.0
+    ps.sql("TRUNCATE TABLE rc3")
+    ps.sql("INSERT INTO rc3 VALUES (1,99.0)")
+    out = ps.sql(q).collect()
+    assert ps.last_cache_hit is False and out[0]["s"] == 99.0
