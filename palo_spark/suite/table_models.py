@@ -413,3 +413,59 @@ def table_model_bitmap_union_col(spark, sf_dir):
             F.abs(approx - exact) / F.greatest(exact, F.lit(1)) < 0.15
         ).alias("hll_ok"),
     )
+
+
+@q(
+    "table_model_partition_rollup",
+    """
+    WITH eff AS (
+        SELECT o_orderpriority AS prio,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT prio,
+           CAST(SUM(CAST(FLOOR(price * 1000000.0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM eff GROUP BY prio
+    """,
+)
+def table_model_partition_rollup(spark, sf_dir):
+    """Partition-incremental rollup (Doris partition-level MV refresh):
+    a UNIQUE table auto-partitioned by month takes a full load plus an
+    UPSERT batch; the rollup refreshes ONLY the partitions whose
+    version moved (pinned by tests/test_partition_rollup.py) and its
+    merged answer must equal the direct aggregate over the upserted
+    state — which the oracle computes from the base rows."""
+    from palo_spark.plans import Measure
+    from palo_spark.plans.partition_rollup import PartitionRollup
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    t = _fresh(
+        spark,
+        "orders_prollup",
+        keys_type="UNIQUE",
+        key_cols=["o_orderkey", "o_orderdate"],
+        auto_partition=("o_orderdate", "month"),
+    )
+    t.insert(o)
+    roll = PartitionRollup(
+        t,
+        ["o_orderpriority"],
+        [Measure("dsum", "o_totalprice"), Measure("count")],
+        store=os.path.join(_ROOT, "orders_prollup_store"),
+    )
+    roll.read()  # initial build
+    t.insert(
+        o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+    )
+    return roll.read().select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("dsum_o_totalprice").alias("revenue"),
+        F.col("count_all").cast("bigint").alias("n"),
+    )

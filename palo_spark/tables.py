@@ -235,7 +235,17 @@ class Table:
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
         self._write_rowset(df, path)
-        self.meta.rowsets.append({"version": version, "path": path, "label": label})
+        self.meta.rowsets.append(
+            {
+                "version": version,
+                "path": path,
+                "label": label,
+                # auto-partition labels this rowset touched (from the
+                # written directory listing — free); the basis for
+                # partition-level versioning / incremental MV refresh
+                "partitions": self._labels_of(path),
+            }
+        )
         if label is not None:
             self.meta.labels.append(label)
         self._save_meta()
@@ -419,7 +429,14 @@ class Table:
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
         self._write_rowset(df, path)
         old_paths = [r["path"] for r in self.meta.rowsets]
-        self.meta.rowsets = [{"version": version, "path": path, "label": None}]
+        self.meta.rowsets = [
+            {
+                "version": version,
+                "path": path,
+                "label": None,
+                "partitions": self._labels_of(path),
+            }
+        ]
         self.meta.deletes = []  # folded into the rewritten rowset
         self._save_meta()
         for p in old_paths:
@@ -438,6 +455,40 @@ class Table:
                 raise ValueError(f"insert batch missing value column {c!r}")
 
     # --------------------------------------------------------------- reads
+
+    def _labels_of(self, rowset_path: str) -> list[str]:
+        if not self.meta.auto_partition:
+            return []
+        try:
+            names = os.listdir(rowset_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            nm.split("=", 1)[1]
+            for nm in names
+            if nm.startswith(f"{AUTO_PART_COL}=")
+        )
+
+    def partition_versions(self) -> dict[str, int]:
+        """Per-partition version map (Doris partition visible versions):
+        a partition's version is the highest table version that touched
+        it — a new rowset writing into the partition, or any DELETE
+        (conservatively counted against every partition; the predicate
+        may match anywhere). Schema changes are table-wide and tracked
+        separately by :meth:`state_token`. The basis for partition-level
+        cache invalidation and incremental MV refresh."""
+        if not self.meta.auto_partition:
+            raise ValueError("partition_versions requires an auto_partition table")
+        delete_v = max((d["version"] for d in self.meta.deletes), default=0)
+        out: dict[str, int] = {}
+        for r in self.meta.rowsets:
+            labels = r.get("partitions")
+            if labels is None:  # legacy rowset meta: derive on demand
+                labels = self._labels_of(r["path"])
+            for lbl in labels:
+                out[lbl] = max(out.get(lbl, 0), r["version"], delete_v)
+        live = set(self.partitions())  # dropped partitions disappear
+        return {k: v for k, v in out.items() if k in live}
 
     def partitions(self) -> list[str]:
         """Live auto-partition labels (Doris SHOW PARTITIONS analog),
