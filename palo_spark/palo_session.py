@@ -169,6 +169,14 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+COLUMN\s+STATS\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _PART_SEL_RE = re.compile(
     r"\b(FROM|JOIN)\s+`?(?P<name>\w+)`?\s+PARTITION\s*\((?P<labels>[^)]*)\)",
     re.IGNORECASE,
@@ -694,6 +702,58 @@ class PaloSession:
             )
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
+            )
+        am_ = _ANALYZE_RE.match(stripped)
+        if am_:
+            from pyspark.sql import functions as F
+
+            # Doris ANALYZE TABLE: collect per-column stats (count, ndv,
+            # nulls, min, max, avg size) in ONE aggregation over the
+            # merge view — the same one-pass shape Doris's full-stats
+            # collection job runs. Stored session-side for SHOW COLUMN
+            # STATS (Spark's CBO can't ingest external stats for temp
+            # views; the user-facing surface is what's re-expressed).
+            t = self._table(am_.group("name"))
+            view = t.read()
+            aggs, names = [], []
+            for f_ in view.schema.fields:
+                c = F.col(f_.name)
+                names.append(f_.name)
+                aggs += [
+                    F.count(c).alias(f"{f_.name}__cnt"),
+                    F.approx_count_distinct(c).alias(f"{f_.name}__ndv"),
+                    F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(
+                        f"{f_.name}__nulls"
+                    ),
+                    F.min(c).cast("string").alias(f"{f_.name}__min"),
+                    F.max(c).cast("string").alias(f"{f_.name}__max"),
+                ]
+            row = view.agg(*aggs).first()
+            stats = [
+                (
+                    n,
+                    int(row[f"{n}__cnt"]),
+                    int(row[f"{n}__ndv"]),
+                    int(row[f"{n}__nulls"]),
+                    row[f"{n}__min"],
+                    row[f"{n}__max"],
+                )
+                for n in names
+            ]
+            t._column_stats = stats  # type: ignore[attr-defined]
+            return None
+        ss_ = _SHOW_STATS_RE.match(stripped)
+        if ss_:
+            t = self._table(ss_.group("name"))
+            stats = getattr(t, "_column_stats", None)
+            if stats is None:
+                raise ValueError(
+                    f"no statistics for {ss_.group('name')!r}; run ANALYZE TABLE first"
+                )
+            return self.spark.createDataFrame(
+                stats,
+                "column_name string, count bigint, ndv bigint, "
+                "num_nulls bigint, min string, max string",
             )
         sp_ = _SHOW_PARTS_RE.match(stripped)
         if sp_:

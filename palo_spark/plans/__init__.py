@@ -196,7 +196,11 @@ class RollupCatalog:
         - UNIQUE model: an upsert REPLACES rows, so a batch is not
           additive — fall back to a full :meth:`refresh` (correctness
           over speed; Doris restricts rollups on unique tables for the
-          same reason).
+          same reason). When the UNIQUE base is AUTO-PARTITIONed, use
+          :class:`palo_spark.plans.partition_rollup.PartitionRollup`
+          instead: partition-level versioning makes upsert maintenance
+          incremental (only touched partitions recompute) — the Doris
+          2.1 partition-level MV refresh model.
 
         The base registration is refreshed to the table's current merge
         view after each load.

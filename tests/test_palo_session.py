@@ -358,3 +358,17 @@ def test_truncate_reload_cannot_serve_stale_cache(spark, tmp_path):
     ps.sql("INSERT INTO rc3 VALUES (1,99.0)")
     out = ps.sql(q).collect()
     assert ps.last_cache_hit is False and out[0]["s"] == 99.0
+
+
+def test_analyze_table_and_show_column_stats(ps):
+    ps.sql("CREATE TABLE st (k INT, v DOUBLE, s VARCHAR(8)) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO st VALUES (1,1.5,'a'),(2,2.5,'b'),(3,NULL,'a')")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ANALYZE TABLE first"):
+        ps.sql("SHOW COLUMN STATS st")
+    ps.sql("ANALYZE TABLE st")
+    stats = {r["column_name"]: r for r in ps.sql("SHOW COLUMN STATS st").collect()}
+    assert stats["k"]["count"] == 3 and stats["k"]["ndv"] == 3
+    assert stats["k"]["min"] == "1" and stats["k"]["max"] == "3"
+    assert stats["v"]["count"] == 2 and stats["v"]["num_nulls"] == 1
+    assert stats["s"]["ndv"] == 2
