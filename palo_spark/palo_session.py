@@ -169,6 +169,18 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_SHOW_MV_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
+)
+
 _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
@@ -703,6 +715,28 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        if _SHOW_MV_RE.match(stripped):
+            rows = self.rollups.list_rollups() if self.rollups else []
+            return self.spark.createDataFrame(
+                [
+                    (n, b, ", ".join(g), ", ".join(ms))
+                    for n, b, g, ms in rows
+                ]
+                or [("", "", "", "")],
+                "mv_name string, base_table string, group_cols string, measures string",
+            ).filter("mv_name <> ''")
+        dmv_ = _DROP_MV_RE.match(stripped)
+        if dmv_:
+            if self.rollups is None or not self.rollups.drop_rollup(dmv_.group("mv")):
+                raise ValueError(f"unknown materialized view {dmv_.group('mv')!r}")
+            return None
+        rmv_ = _REFRESH_MV_RE.match(stripped)
+        if rmv_:
+            if self.rollups is None or not self.rollups.refresh_rollup(
+                rmv_.group("mv")
+            ):
+                raise ValueError(f"unknown materialized view {rmv_.group('mv')!r}")
+            return None
         am_ = _ANALYZE_RE.match(stripped)
         if am_:
             from pyspark.sql import functions as F

@@ -179,6 +179,34 @@ class RollupCatalog:
         self._rollups.setdefault(base, []).append(r)
         return r
 
+    def list_rollups(self) -> list[tuple[str, str, list[str], list[str]]]:
+        """(name, base, group_cols, measure names) for every rollup."""
+        return [
+            (r.name, base, list(r.group_cols), [m.name for m in r.measures])
+            for base, rs in sorted(self._rollups.items())
+            for r in rs
+        ]
+
+    def drop_rollup(self, name: str) -> bool:
+        """Remove one rollup by name (and its store). Returns whether
+        anything was dropped."""
+        for base, rs in self._rollups.items():
+            for r in rs:
+                if r.name == name:
+                    rs.remove(r)
+                    shutil.rmtree(r.location, ignore_errors=True)
+                    return True
+        return False
+
+    def refresh_rollup(self, name: str) -> bool:
+        """Full rebuild of ONE rollup by name from its base."""
+        for base, rs in self._rollups.items():
+            for r in rs:
+                if r.name == name:
+                    r.build(self.spark, self._bases[base])
+                    return True
+        return False
+
     def refresh(self, base: str) -> None:
         """FULL rebuild of every rollup of a base — the fallback path
         (schema change, suspected drift). For normal loads use

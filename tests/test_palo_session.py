@@ -372,3 +372,22 @@ def test_analyze_table_and_show_column_stats(ps):
     assert stats["k"]["min"] == "1" and stats["k"]["max"] == "3"
     assert stats["v"]["count"] == 2 and stats["v"]["num_nulls"] == 1
     assert stats["s"]["ndv"] == 2
+
+
+def test_mv_management_statements(ps):
+    ps.sql("CREATE TABLE mvt (k INT, g VARCHAR(4), v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO mvt VALUES (1,'a',1.0),(2,'b',2.0)")
+    ps.sql(
+        "CREATE MATERIALIZED VIEW mv_g AS "
+        "SELECT g, SUM(v) AS s FROM mvt GROUP BY g"
+    )
+    mvs = ps.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert [(r["mv_name"], r["base_table"]) for r in mvs] == [("mv_g", "mvt")]
+    ps.sql("REFRESH MATERIALIZED VIEW mv_g")
+    got = {r["g"]: r["s"] for r in ps.sql("SELECT g, SUM(v) AS s FROM mvt GROUP BY g").collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+    ps.sql("DROP MATERIALIZED VIEW mv_g")
+    assert ps.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown materialized view"):
+        ps.sql("DROP MATERIALIZED VIEW mv_g")
