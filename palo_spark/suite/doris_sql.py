@@ -538,3 +538,79 @@ ORACLE["sql_session_mv_pipeline"] = """
                AS max_cents
     FROM orders GROUP BY o_orderpriority
 """
+
+
+
+_entry(
+    "sql_tpch_q15_cte_max",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= str_to_date('1996-01-01', '%Y-%m-%d')
+          AND l_shipdate < date_add(str_to_date('1996-01-01', '%Y-%m-%d'), INTERVAL 3 MONTH)
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+
+_entry(
+    "sql_tpch_q22_not_exists",
+    f"""
+    SELECT cntry, COUNT(*) AS numcust, {o_dsum('c_acctbal')} AS totacctbal
+    FROM (
+        SELECT right(c_name, 2) AS cntry, c_acctbal, c_custkey
+        FROM customer
+        WHERE right(c_name, 2) IN ('13','31','23','29','30','18','17')
+          AND c_acctbal > (
+              SELECT AVG(c_acctbal) FROM customer
+              WHERE c_acctbal > 0.00
+                AND right(c_name, 2) IN ('13','31','23','29','30','18','17')
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          )
+    ) t
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+    f"""
+    SELECT cntry, COUNT(*) AS numcust, {o_dsum('c_acctbal')} AS totacctbal
+    FROM (
+        SELECT right(c_name, 2) AS cntry, c_acctbal, c_custkey
+        FROM customer
+        WHERE right(c_name, 2) IN ('13','31','23','29','30','18','17')
+          AND c_acctbal > (
+              SELECT AVG(c_acctbal) FROM customer
+              WHERE c_acctbal > 0.00
+                AND right(c_name, 2) IN ('13','31','23','29','30','18','17')
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+          )
+    ) t
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+)
+
