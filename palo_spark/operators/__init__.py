@@ -42,6 +42,8 @@ from palo_spark.operators.similarity import (  # noqa: F401
     similarity_topk_ivf,
     quantize_embeddings_int8,
     normalize_embeddings,
+    pca_fit,
+    pca_project,
 )
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,

@@ -453,3 +453,112 @@ def normalize_embeddings(
         F.transform(c, lambda x: x.cast("double"))
     )
     return df.withColumn(out_col or vec_col, unit)
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> dict:
+    """Distributed PCA fit over an embedding column — the MLlib
+    computeCovariance shape, library-free:
+
+    1. one ``mapInPandas`` pass emits per-PARTITION moment partials
+       (n, Σx, flattened ΣxxT) — each partial is O(d²) regardless of
+       row count, so the driver collect is bounded by partitions × d²,
+       never by data;
+    2. partials combine on the driver; covariance = ΣxxT/n − μμT
+       (population form); ``numpy.linalg.eigh`` on the d×d matrix
+       (d is the embedding dim — 64 here — not data-sized);
+    3. returns mean, top-k components (rows, deterministic sign: each
+       component's largest-|coordinate| entry is made positive),
+       eigenvalues, and the explained-variance ratio.
+
+    NULL / wrong-length vectors are skipped (counted in ``n_skipped``).
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).filter("d > 0").first()
+    if first is None:
+        raise ValueError("no vectors to fit")
+    d = int(first["d"])
+
+    def part(batches):
+        n = 0
+        skipped = 0
+        s = np.zeros(d)
+        xx = np.zeros((d, d))
+        for pdf in batches:
+            for v in pdf[vec_col]:
+                if v is None or len(v) != d:
+                    skipped += 1
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                n += 1
+                s += a
+                xx += np.outer(a, a)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "skipped": [skipped],
+                "s": [s.tolist()],
+                "xx": [xx.ravel().tolist()],
+            }
+        )
+
+    parts = df.select(vec_col).mapInPandas(
+        part, f"n long, skipped long, s array<double>, xx array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        raise ValueError("no valid vectors to fit")
+    skipped = sum(r["skipped"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    xx = np.sum([np.asarray(r["xx"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: flip so the max-|coord| entry is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    top = evals[order]
+    total = float(np.sum(np.clip(evals, 0, None)))
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigenvalues": [float(v) for v in top],
+        "explained_variance_ratio": [
+            float(v) / total if total > 0 else 0.0 for v in top
+        ],
+        "trace": total,
+        "n": int(n),
+        "n_skipped": int(skipped),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted components: one vectorized
+    Arrow-batched matmul per batch ((batch × d) @ (d × k)) — the same
+    UDF shape as batched model inference; rows with NULL/wrong-length
+    vectors project to NULL."""
+    mean = np.asarray(model["mean"])
+    comps = np.asarray(model["components"])  # (k, d)
+    d = mean.shape[0]
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        ok = v.map(lambda x: x is not None and len(x) == d)
+        out = pd.Series([None] * len(v), dtype=object, index=v.index)
+        if ok.any():
+            idx = v.index[ok]
+            M = np.stack(v[ok].to_numpy()).astype(np.float64) - mean
+            P = M @ comps.T
+            out.loc[idx] = pd.Series(list(map(list, P)), index=idx)
+        return out
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -1846,3 +1846,54 @@ def multimodal_real_ppm_codec(spark, sf_dir):
             "r_mean",
         )
     )
+
+
+_PCA_TRACE_SQL = " + ".join(
+    f"var_pop(embedding[{i}])" for i in range(1, 65)
+)
+
+
+@q(
+    "embedding_pca_variance",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(({_PCA_TRACE_SQL}) * 1e4) / 1e4 AS trace,
+           TRUE AS ratio_ok,
+           TRUE AS orthonormal_ok
+    FROM embeddings
+    """,
+)
+def embedding_pca_variance(spark, sf_dir):
+    """Distributed PCA over the embedding column: per-partition moment
+    partials (O(d²) each, MLlib computeCovariance shape) → driver-side
+    d×d eigendecomposition → batched projection. The total variance
+    (trace of the covariance) is genuine value parity — DuckDB replays
+    it as the sum of 64 per-dimension population variances; the
+    eigen-side (ratios sum ≤ 1, components orthonormal) self-checks,
+    since no SQL engine can replay an eigendecomposition."""
+    import numpy as np
+
+    from palo_spark.operators import pca_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(e, k=8)
+    C = np.asarray(model["components"])
+    orthonormal = bool(np.allclose(C @ C.T, np.eye(C.shape[0]), atol=1e-8))
+    ratios = model["explained_variance_ratio"]
+    ratio_ok = bool(
+        0.0 < sum(ratios) <= 1.0 + 1e-9
+        and all(a >= b - 1e-12 for a, b in zip(ratios, ratios[1:]))
+    )
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                model["n"],
+                math.floor(model["trace"] * 1e4) / 1e4,
+                ratio_ok,
+                orthonormal,
+            )
+        ],
+        "n bigint, trace double, ratio_ok boolean, orthonormal_ok boolean",
+    )

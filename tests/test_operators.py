@@ -705,3 +705,39 @@ def test_url_dedup_normalization(spark):
     assert {r["n"] for r in norms} == {"site.com/a", "other.com/b"}
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert kept == [1, 2]  # lowest id per canonical URL
+
+
+def test_pca_fit_matches_numpy_and_projects(spark):
+    import numpy as np
+    from palo_spark.operators import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated in 2 directions
+    base = rng.normal(size=(300, 2)) @ np.array([[5.0, 0, 0, 0], [0, 2.0, 0, 0]])
+    X = base + rng.normal(scale=0.1, size=(300, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)] + [(999, None)],
+        "id long, embedding array<double>",
+    ).repartition(5)
+    model = pca_fit(df, k=2)
+    assert model["n"] == 300 and model["n_skipped"] == 1
+    # numpy reference on the same data
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / 300
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model["eigenvalues"], evals[:2], rtol=1e-8)
+    assert np.allclose(model["mean"], mean, rtol=1e-8, atol=1e-10)
+    assert abs(model["trace"] - np.trace(cov)) < 1e-8
+    # top component captures the dominant direction
+    assert model["explained_variance_ratio"][0] > 0.8
+    # components orthonormal
+    C = np.asarray(model["components"])
+    assert np.allclose(C @ C.T, np.eye(2), atol=1e-9)
+
+    out = {r["id"]: r["pca"] for r in pca_project(df, model).collect()}
+    assert out[999] is None
+    P = np.stack([out[i] for i in range(300)])
+    ref = (X - mean) @ C.T
+    assert np.allclose(P, ref, atol=1e-9)
+    # projection variance per component equals the eigenvalues
+    assert np.allclose(P.var(axis=0), model["eigenvalues"], rtol=1e-6)
