@@ -100,6 +100,20 @@ _PRIORITY = [
     "sql_session_ddl_pipeline",
 ]
 
+# r6 rotation TODO: entries added during round 5 that have not yet had a
+# driver-green CORRECTNESS row — put (up to 50 of) these first next
+# round: sql_tpch_{q1,q3,q5,q4_exists,q12_if,q10_returned,q14_promo_if,
+# q18_in_subquery,q19_or_bands,q15_cte_max,q22_not_exists},
+# sql_dialect_{datetime,limit_offset,group_concat,interval_arith,
+# cast_nullsafe,week_format,date_funcs}, sql_session_mv_pipeline,
+# tpcds_* (12), jdbc_roundtrip, text_match_indexed,
+# similarity_search_ivf_literal, geo_* (3), scalar_sm4_crypto,
+# agg_state_two_phase, streaming_tumbling_window,
+# table_model_{auto_partition,bitmap_union_col,partition_rollup},
+# text_intra_doc_line_dedup, dedup_url_normalized,
+# corpus_profile_report, multimodal_real_ppm_codec,
+# embedding_pca_variance.
+
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
