@@ -538,10 +538,15 @@ def dedup_intra_doc_lines(
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
+    # NULL text propagates as NULL outputs (size() would yield -1)
+    null_guard = F.col(text_col).isNull()
     return (
-        df.withColumn("n_lines", F.size(lines))
-        .withColumn("n_lines_dedup", F.size(kept))
-        .withColumn(f"{text_col}_dedup", F.array_join(kept, line_sep))
+        df.withColumn("n_lines", F.when(~null_guard, F.size(lines)))
+        .withColumn("n_lines_dedup", F.when(~null_guard, F.size(kept)))
+        .withColumn(
+            f"{text_col}_dedup",
+            F.when(~null_guard, F.array_join(kept, line_sep)),
+        )
     )
 
 
@@ -567,7 +572,12 @@ def dedup_by_url(
     shuffle on the normalized URL; ids-only min_by then a semi-join
     would be the column-pruning variant, but min_by over the full row
     struct keeps it a single aggregation."""
-    norm = normalize_url(F.col(url_col)).alias("_norm_url")
+    # NULL URLs must NOT collapse together: give each a per-row sentinel
+    # key (docs without a URL are kept, never merged)
+    norm = F.coalesce(
+        normalize_url(F.col(url_col)),
+        F.concat(F.lit("\0null\0"), F.col(id_col).cast("string")),
+    ).alias("_norm_url")
     cols = df.columns
     return (
         df.select(norm, F.struct(*cols).alias("_row"))

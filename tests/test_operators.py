@@ -676,9 +676,11 @@ def test_intra_doc_line_dedup_preserves_order(spark):
     from palo_spark.operators import dedup_intra_doc_lines
 
     df = spark.createDataFrame(
-        [(1, "b\na\nb\nc\na"), (2, "x"), (3, "")], "doc_id long, text string"
+        [(1, "b\na\nb\nc\na"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in dedup_intra_doc_lines(df).collect()}
+    assert out[4]["text_dedup"] is None and out[4]["n_lines"] is None
     assert out[1]["text_dedup"] == "b\na\nc"
     assert out[1]["n_lines"] == 5 and out[1]["n_lines_dedup"] == 3
     assert out[2]["text_dedup"] == "x"
@@ -698,13 +700,16 @@ def test_url_dedup_normalization(spark):
             (2, "HTTP://site.com/a/"),
             (9, "site.com/a#frag"),
             (1, "https://other.com/b"),
+            (7, None),
+            (8, None),
         ],
         "doc_id long, url string",
     )
     norms = df.select(normalize_url(F.col("url")).alias("n")).collect()
-    assert {r["n"] for r in norms} == {"site.com/a", "other.com/b"}
+    assert {r["n"] for r in norms} == {"site.com/a", "other.com/b", None}
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
-    assert kept == [1, 2]  # lowest id per canonical URL
+    # lowest id per canonical URL; NULL-url docs never merge together
+    assert kept == [1, 2, 7, 8]
 
 
 def test_pca_fit_matches_numpy_and_projects(spark):
