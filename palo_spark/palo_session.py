@@ -273,6 +273,7 @@ class PaloSession:
         self.cache_entries = int(cache_entries)
         self._result_cache: dict = {}  # key -> (rows, schema)
         self.last_cache_hit = False  # observability for tests/metrics
+        self._mv_attached: set[str] = set()  # bases with load-time MV upkeep
 
     # ------------------------------------------------------------- DDL
 
@@ -463,7 +464,13 @@ class PaloSession:
         if bl in self.tables:
             t = self.tables[bl]
             self.rollups.register_base(base, t.read())
-            self.rollups.attach_table(base, t)
+            # attach load-time maintenance ONCE per base: attach_table
+            # appends an _on_insert callback, and apply_delta already
+            # fans out to every rollup of the base — a second callback
+            # would double-apply every delta
+            if bl not in self._mv_attached:
+                self.rollups.attach_table(base, t)
+                self._mv_attached.add(bl)
         else:
             self.rollups.register_base(base, self.spark.table(base))
         return self.rollups.add_rollup(mv_name, base, group_cols, measures)

@@ -391,3 +391,17 @@ def test_mv_management_statements(ps):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown materialized view"):
         ps.sql("DROP MATERIALIZED VIEW mv_g")
+
+
+def test_two_mvs_on_one_base_no_double_delta(ps):
+    ps.sql("CREATE TABLE dd (k INT, g VARCHAR(4), v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO dd VALUES (1,'a',1.0)")
+    ps.sql("CREATE MATERIALIZED VIEW dd_mv1 AS SELECT g, SUM(v) AS s FROM dd GROUP BY g")
+    ps.sql("CREATE MATERIALIZED VIEW dd_mv2 AS SELECT g, COUNT(*) AS n FROM dd GROUP BY g")
+    ps.sql("INSERT INTO dd VALUES (2,'a',10.0)")
+    df1, src1 = ps.rollups.sql("SELECT g, SUM(v) AS s FROM dd GROUP BY g")
+    assert src1 == "dd_mv1"
+    assert {r["g"]: r["s"] for r in df1.collect()} == {"a": 11.0}  # not 21.0
+    df2, src2 = ps.rollups.sql("SELECT g, COUNT(*) AS n FROM dd GROUP BY g")
+    assert src2 == "dd_mv2"
+    assert {r["g"]: r["n"] for r in df2.collect()} == {"a": 2}  # not 3
