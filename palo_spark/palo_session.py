@@ -831,6 +831,10 @@ class PaloSession:
         # rollup/MV selection (its pass-through already runs spark.sql
         # on the translated text — never re-translate: the %-pattern
         # rewrite is not idempotent)
+        # reference scan must see the ORIGINAL text: the PARTITION
+        # rewrite replaces table names with __psel views, which would
+        # hide them from the cache key (stale-hit hole)
+        ref_text = stripped
         if _PART_SEL_RE.search(stripped):
             stripped = self._rewrite_partition_selection(stripped)
         self.last_cache_hit = False
@@ -841,7 +845,7 @@ class PaloSession:
             # (false invalidation), never staleness
             refs = sorted(
                 n for n in self.tables
-                if re.search(rf"\b{re.escape(n)}\b", stripped, re.IGNORECASE)
+                if re.search(rf"\b{re.escape(n)}\b", ref_text, re.IGNORECASE)
             )
             key = (stripped, tuple((n, self.tables[n].state_token()) for n in refs))
             hit = self._result_cache.get(key)

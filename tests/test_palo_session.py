@@ -405,3 +405,20 @@ def test_two_mvs_on_one_base_no_double_delta(ps):
     df2, src2 = ps.rollups.sql("SELECT g, COUNT(*) AS n FROM dd GROUP BY g")
     assert src2 == "dd_mv2"
     assert {r["g"]: r["n"] for r in df2.collect()} == {"a": 2}  # not 3
+
+
+def test_cache_with_partition_selection_not_stale(spark, tmp_path):
+    ps = PaloSession(spark, location_root=str(tmp_path), result_cache=True)
+    ps.sql(
+        """CREATE TABLE pcs (id BIGINT, ts DATETIME, v DOUBLE)
+           DUPLICATE KEY(`id`)
+           AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()"""
+    )
+    ps.sql("INSERT INTO pcs VALUES (1,'2024-08-01 01:00:00',1.0)")
+    q = "SELECT SUM(v) AS s FROM pcs PARTITION (d2024-08-01)"
+    assert ps.sql(q).collect()[0]["s"] == 1.0
+    ps.sql(q)
+    assert ps.last_cache_hit is True
+    ps.sql("INSERT INTO pcs VALUES (2,'2024-08-01 02:00:00',10.0)")
+    out = ps.sql(q).collect()
+    assert ps.last_cache_hit is False and out[0]["s"] == 11.0
