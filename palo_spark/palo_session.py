@@ -712,8 +712,15 @@ class PaloSession:
         if up.startswith("EXPLAIN "):
             # Doris EXPLAIN: return the physical plan as rows. The query
             # goes through the same dialect translation + MV selection as
-            # execution, so the plan shown is the plan that would run.
-            df = self.sql(stripped[len("EXPLAIN "):])
+            # execution, so the plan shown is the plan that would run —
+            # with the result cache bypassed (a cached answer would
+            # EXPLAIN as a local relation, not the real plan).
+            saved = self.result_cache_enabled
+            self.result_cache_enabled = False
+            try:
+                df = self.sql(stripped[len("EXPLAIN "):])
+            finally:
+                self.result_cache_enabled = saved
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
