@@ -124,7 +124,14 @@ _DROP_RE = re.compile(
 )
 
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+`?(?P<name>\w+)`?\s+WHERE\s+(?P<cond>.+?);?\s*$",
+    r"^\s*DELETE\s+FROM\s+`?(?P<name>\w+)`?"
+    r"(?:\s+PARTITION\s*\(?\s*`?(?P<part>[\w-]+)`?\s*\)?)?"
+    r"\s+WHERE\s+(?P<cond>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<rest>`?\w+`?.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -338,6 +345,11 @@ class PaloSession:
             kw["location"] = f"{self.location_root}/{name}"
         if m.group("pcol"):
             kw["auto_partition"] = (m.group("pcol"), m.group("pgran").lower())
+        if m.group("dist"):
+            kw["dist_cols"] = [
+                c.strip().strip("`") for c in m.group("dist").split(",")
+            ]
+            kw["buckets"] = int(m.group("buckets") or 8)
         t = Table(
             self.spark,
             name,
@@ -643,8 +655,20 @@ class PaloSession:
                 raise ValueError(f"unparsable DELETE (need WHERE): {text!r}")
             t = self._table(m.group("name"))
             # Doris DELETE is a metadata-recorded predicate applied at
-            # read on pre-delete rowsets — Table.delete_where IS that
-            version = t.delete_where(translate(m.group("cond")))
+            # read on pre-delete rowsets — Table.delete_where IS that.
+            # DELETE ... PARTITION (p) conjoins the partition label: the
+            # predicate filter then only ever matches inside p, and the
+            # label equality prunes directories at read.
+            cond = translate(m.group("cond"))
+            if m.group("part"):
+                from palo_spark.tables import AUTO_PART_COL
+
+                if not t.meta.auto_partition:
+                    raise ValueError(
+                        "DELETE ... PARTITION requires an auto-partitioned table"
+                    )
+                cond = f"{AUTO_PART_COL} = '{m.group('part')}' AND ({cond})"
+            version = t.delete_where(cond)
             self._refresh_view(m.group("name").lower())
             return version
         if up.startswith("UPDATE"):
@@ -832,6 +856,18 @@ class PaloSession:
             return self.spark.createDataFrame(
                 rows, "field string, type string, is_key boolean, agg string"
             )
+        iom = _INSERT_OVERWRITE_RE.match(stripped)
+        if iom:
+            # Doris INSERT OVERWRITE: atomic replace = truncate + load.
+            # (Doris swaps temp partitions; the visible contract —
+            # readers see either old or new state — holds here because
+            # the final metadata update is a single _save_meta.)
+            rewritten = "INSERT INTO " + iom.group("rest")
+            m2 = _INSERT_RE.match(rewritten)
+            if not m2:
+                raise ValueError(f"unparsable INSERT OVERWRITE: {text!r}")
+            self._table(m2.group("name")).truncate()
+            return self._insert(rewritten)
         if _INSERT_RE.match(stripped):
             return self._insert(stripped)
         # query path: translate the dialect ONCE, then transparent

@@ -111,6 +111,12 @@ class TableMeta:
     #: monotonic mutation counter (never decremented/reused) — bumped by
     #: every state-changing operation; see Table.state_token
     mutations: int = 0
+    #: DISTRIBUTED BY HASH(cols) BUCKETS n: each rowset write
+    #: repartitions on these columns into n tasks — bounded file counts
+    #: per load (no small-file explosion at ingest cadence) and a
+    #: hash-co-located layout per rowset (Doris tablet distribution)
+    dist_cols: list[str] = field(default_factory=list)
+    buckets: int = 0
 
 
 class Table:
@@ -129,6 +135,8 @@ class Table:
         auto_compact_rowsets: int = 0,
         auto_partition: tuple[str, str] | None = None,
         dynamic_partition_retention: int = 0,
+        dist_cols: list[str] | None = None,
+        buckets: int = 0,
     ) -> None:
         keys_type = keys_type.upper()
         if keys_type not in KEYS_TYPES:
@@ -183,6 +191,8 @@ class Table:
             auto_compact_rowsets=int(auto_compact_rowsets),
             auto_partition=ap,
             dynamic_partition_retention=int(dynamic_partition_retention),
+            dist_cols=list(dist_cols or []),
+            buckets=int(buckets),
         )
         if dynamic_partition_retention and ap is None:
             raise ValueError(
@@ -330,6 +340,8 @@ class Table:
             raise ValueError(f"cannot drop partition column {col!r}")
         if col in self.meta.partition_by:
             raise ValueError(f"cannot drop partition column {col!r}")
+        if col in self.meta.dist_cols:
+            raise ValueError(f"cannot drop distribution column {col!r}")
         self.meta.agg_spec.pop(col, None)
         self.meta.schema_adds = [
             a for a in self.meta.schema_adds if a["col"] != col
@@ -353,6 +365,9 @@ class Table:
             self.meta.sequence_col = new
         self.meta.partition_by = [
             new if c == old else c for c in self.meta.partition_by
+        ]
+        self.meta.dist_cols = [
+            new if c == old else c for c in self.meta.dist_cols
         ]
         if self.meta.auto_partition and self.meta.auto_partition["col"] == old:
             self.meta.auto_partition["col"] = new
@@ -398,6 +413,10 @@ class Table:
         label from the partition column (implicit partition creation at
         load — Doris 2.1 auto-partition) and lay the rowset out as hive
         partitions, so label predicates prune directories natively."""
+        if self.meta.buckets and self.meta.dist_cols:
+            df = df.repartition(
+                self.meta.buckets, *[F.col(c) for c in self.meta.dist_cols]
+            )
         ap = self.meta.auto_partition
         parts = list(self.meta.partition_by)
         if ap is not None:

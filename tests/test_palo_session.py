@@ -422,3 +422,33 @@ def test_cache_with_partition_selection_not_stale(spark, tmp_path):
     ps.sql("INSERT INTO pcs VALUES (2,'2024-08-01 02:00:00',10.0)")
     out = ps.sql(q).collect()
     assert ps.last_cache_hit is False and out[0]["s"] == 11.0
+
+
+def test_delete_partition_and_insert_overwrite(ps, spark):
+    ps.sql(
+        """CREATE TABLE dp (id BIGINT, ts DATETIME, v DOUBLE)
+           DUPLICATE KEY(`id`)
+           AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+           DISTRIBUTED BY HASH(id) BUCKETS 4"""
+    )
+    ps.sql(
+        "INSERT INTO dp VALUES (1,'2024-09-01 01:00:00',1.0),"
+        "(2,'2024-09-01 02:00:00',5.0),(3,'2024-09-02 01:00:00',5.0)"
+    )
+    # partition-scoped delete: v=5 row in day 2 survives
+    ps.sql("DELETE FROM dp PARTITION (d2024-09-01) WHERE v = 5.0")
+    got = sorted(r["id"] for r in ps.sql("SELECT id FROM dp").collect())
+    assert got == [1, 3]
+    # non-partitioned table refuses partition-scoped delete
+    ps.sql("CREATE TABLE dp2 (k INT) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO dp2 VALUES (1)")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="auto-partitioned"):
+        ps.sql("DELETE FROM dp2 PARTITION (x) WHERE k = 1")
+    # INSERT OVERWRITE replaces the whole table content
+    ps.sql("INSERT OVERWRITE TABLE dp VALUES (9,'2024-09-09 00:00:00',9.0)")
+    rows = ps.sql("SELECT id, v FROM dp").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(9, 9.0)]
+    # bucketed writes: table meta carries the distribution
+    t = ps.tables["dp"]
+    assert t.meta.dist_cols == ["id"] and t.meta.buckets == 4
