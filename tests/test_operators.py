@@ -746,3 +746,25 @@ def test_pca_fit_matches_numpy_and_projects(spark):
     assert np.allclose(P, ref, atol=1e-9)
     # projection variance per component equals the eigenvalues
     assert np.allclose(P.var(axis=0), model["eigenvalues"], rtol=1e-6)
+
+
+def test_heavy_hitters_exact_and_sketch_modes(spark):
+    from palo_spark.operators.sampling import heavy_hitters
+    import random
+
+    random.seed(4)
+    # zipf-ish: value i appears ~ 1000/i times
+    rows = [(f"v{i}",) for i in range(1, 40) for _ in range(1000 // i)]
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "x string").repartition(6)
+    # exact mode: capacity >= NDV
+    out = heavy_hitters(df, "x", k=5, capacity=100).collect()
+    assert [r["value"] for r in out] == ["v1", "v2", "v3", "v4", "v5"]
+    assert [r["est_count"] for r in out] == [1000, 500, 333, 250, 200]
+    assert all(r["max_err"] == 0 for r in out)
+    # sketch mode: tight capacity still surfaces the true heavy hitters
+    # with the overestimate-only guarantee
+    sk = {r["value"]: r for r in heavy_hitters(df, "x", k=5, capacity=12).collect()}
+    assert "v1" in sk and "v2" in sk
+    assert sk["v1"]["est_count"] >= 1000  # never underestimates
+    assert sk["v1"]["est_count"] - sk["v1"]["max_err"] <= 1000
