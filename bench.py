@@ -76,6 +76,10 @@ HEADLINE = [
     "tpcds_revenue_share",
     "streaming_tumbling_window",
     "scalar_sm4_crypto",
+    "embedding_pca_variance",
+    "sample_heavy_hitters",
+    "dedup_url_normalized",
+    "text_intra_doc_line_dedup",
 ]
 
 

@@ -66,3 +66,29 @@ def test_resize_nearest_properties(w, h, tw, th, seed):
     assert set(map(tuple, out.reshape(-1, 3))) <= set(map(tuple, arr.reshape(-1, 3)))
     # identity resize is exact
     assert np.array_equal(resize_nearest(arr, w, h), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=64),
+    key=st.binary(min_size=16, max_size=16),
+)
+def test_sm4_encrypt_deterministic_and_block_aligned(data, key):
+    c1 = sm4_encrypt_raw(data, key)
+    c2 = sm4_encrypt_raw(data, key)
+    assert c1 == c2
+    assert len(c1) % 16 == 0 and len(c1) == (len(data) // 16 + 1) * 16
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_style_flip_consistency(w, h, seed):
+    """Encoding the decode of any image is idempotent (PPM fixpoint)."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    once = encode_ppm(decode_pixels(encode_ppm(arr)))
+    assert once == encode_ppm(arr)
