@@ -176,6 +176,14 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_SHOW_LOAD_RE = re.compile(
+    r"^\s*SHOW\s+LOAD\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_SHOW_DELETE_RE = re.compile(
+    r"^\s*SHOW\s+DELETE\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _DROP_MV_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
@@ -753,6 +761,26 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        sl_ = _SHOW_LOAD_RE.match(stripped)
+        if sl_:
+            # Doris SHOW LOAD: the committed-load ledger straight from
+            # table metadata (version, label, rowset path) — no scan
+            t = self._table(sl_.group("name"))
+            rows = [
+                (r["version"], r.get("label") or "", r["path"])
+                for r in t.meta.rowsets
+            ]
+            return self.spark.createDataFrame(
+                rows or [(0, "", "")],
+                "version long, label string, rowset_path string",
+            ).filter("version > 0")
+        sd_ = _SHOW_DELETE_RE.match(stripped)
+        if sd_:
+            t = self._table(sd_.group("name"))
+            rows = [(d["version"], d["predicate"]) for d in t.meta.deletes]
+            return self.spark.createDataFrame(
+                rows or [(0, "")], "version long, predicate string"
+            ).filter("version > 0")
         if _SHOW_MV_RE.match(stripped):
             rows = self.rollups.list_rollups() if self.rollups else []
             return self.spark.createDataFrame(

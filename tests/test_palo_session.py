@@ -452,3 +452,16 @@ def test_delete_partition_and_insert_overwrite(ps, spark):
     # bucketed writes: table meta carries the distribution
     t = ps.tables["dp"]
     assert t.meta.dist_cols == ["id"] and t.meta.buckets == 4
+
+
+def test_show_load_and_show_delete(ps, spark, tmp_path):
+    ps.sql("CREATE TABLE sl (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    src = str(tmp_path / "sl_in.parquet")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double").write.parquet(src)
+    ps.sql(f"LOAD LABEL lbl-a (DATA INFILE('{src}') INTO TABLE sl)")
+    ps.sql("INSERT INTO sl VALUES (3, 3.0)")
+    loads = ps.sql("SHOW LOAD FROM sl").collect()
+    assert [(r["version"], r["label"]) for r in loads] == [(1, "lbl-a"), (2, "")]
+    ps.sql("DELETE FROM sl WHERE v > 2.5")
+    dels = ps.sql("SHOW DELETE FROM sl").collect()
+    assert len(dels) == 1 and "2.5" in dels[0]["predicate"]
