@@ -1683,13 +1683,13 @@ def text_intra_doc_line_dedup(spark, sf_dir):
     from palo_spark.operators import dedup_intra_doc_lines
 
     d = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.col("text"), " ")
-    nlines = F.ceil(F.size(tok) / F.lit(5.0)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(1), nlines),
-        lambda i: F.array_join(F.slice(tok, (i - 1) * 5 + 1, 5), " "),
+    # line structure via ONE pass: break after every 5th token (the
+    # transform+slice construction re-sliced the token array per line —
+    # O(lines × tokens) per row; a single global regexp is O(tokens))
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n").alias("text"),
     )
-    lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
     out = dedup_intra_doc_lines(lined, "text")
     return out.select(
         "doc_id",
