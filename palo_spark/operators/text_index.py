@@ -64,6 +64,11 @@ def build_text_index(
         )
         .withColumn(_TB, F.pmod(F.xxhash64("token"), F.lit(buckets)))
     )
+    # align write tasks with buckets: without this every map task writes
+    # up to `buckets` files (tasks × buckets small files — the classic
+    # dynamic-partition-write explosion); with it each bucket lands in
+    # exactly one task → one file per bucket dir
+    posting = posting.repartition(buckets, F.col(_TB))
     posting.write.mode("overwrite").partitionBy(_TB).parquet(path)
     # self-describing index: readers must bucket query tokens with the
     # SAME modulus the writer used — a mismatched guess silently probes
