@@ -283,3 +283,15 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     back = jdbc_scan(spark, url, "t", driver=drv)
     assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
     assert back.filter(F.col("id") >= 2).count() == 2
+
+
+def test_es_scan_is_jar_gated_passthrough(spark):
+    """es_scan wires the public ES connector; without its jar the call
+    must fail at Spark's data-source lookup (documented pass-through),
+    not anywhere inside our code."""
+    import pytest
+    from palo_spark.sources import es_scan
+
+    with pytest.raises(Exception) as ei:
+        es_scan(spark, "idx/doc").count()
+    assert "es" in str(ei.value).lower() or "DATA_SOURCE" in str(ei.value)
