@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from palo_spark.catalog import load_table
-from palo_spark.suite.util import register
+from palo_spark.suite.util import dsum, register
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -398,34 +398,53 @@ def agg_topn_weighted(spark, sf_dir):
     "agg_skew_kurt",
     """
     WITH mu AS (
-        SELECT c_nationkey AS k, AVG(c_acctbal) AS m
+        SELECT c_nationkey AS k,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 1000000.0) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1000000.0 / COUNT(*) AS m
         FROM customer GROUP BY c_nationkey
     )
     SELECT c_nationkey,
            FLOOR(
-             (AVG(POWER(c_acctbal - m, 3))
-              / POWER(AVG(POWER(c_acctbal - m, 2)), 1.5)) * 1e4
+             ((CAST(SUM(CAST(FLOOR(POWER(c_acctbal - m, 3) * 1000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000.0 / COUNT(*))
+              / POWER(CAST(SUM(CAST(FLOOR(POWER(c_acctbal - m, 2) * 1000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000.0 / COUNT(*), 1.5)) * 1e4
            ) / 1e4 AS skew_pop,
            FLOOR(
-             (AVG(POWER(c_acctbal - m, 4))
-              / POWER(AVG(POWER(c_acctbal - m, 2)), 2) - 3) * 1e4
+             ((CAST(SUM(CAST(FLOOR(POWER(c_acctbal - m, 4) * 1000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000.0 / COUNT(*))
+              / POWER(CAST(SUM(CAST(FLOOR(POWER(c_acctbal - m, 2) * 1000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000.0 / COUNT(*), 2) - 3) * 1e4
            ) / 1e4 AS kurt_pop
     FROM customer JOIN mu ON c_nationkey = k
     GROUP BY c_nationkey
     """,
 )
 def agg_skew_kurt(spark, sf_dir):
-    """Doris SKEW/KURT (population third/fourth standardized moments —
-    Spark's ``skewness``/``kurtosis`` ARE the population forms; the
-    oracle computes the textbook two-pass formula). Single-pass
-    distributive moment aggregation JVM-side; floor-quantized at 1e-4
-    because partial-moment merge order perturbs the last ulps."""
-    from palo_spark.functions import kurt, skew
-
+    """Doris SKEW/KURT (population third/fourth standardized moments).
+    The engine's native single-pass ``skewness``/``kurtosis`` merge
+    partial moments in partition order and, on tiny groups, drift >1e-4
+    from any fixed-order reference (caught by the sf0.001 sweep) — so
+    the parity entry computes the textbook two-pass formula on the
+    suite's exact decimal grid: the per-group mean and every central
+    power sum are order-independent, making both engines bit-identical
+    before the final quantize. The native one-pass forms stay available
+    as ``functions.skew/kurt`` and are pinned against these two-pass
+    values at test scale in tests/test_functions.py."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_nationkey").agg(
-        (F.floor(skew("c_acctbal") * 1e4) / 1e4).alias("skew_pop"),
-        (F.floor(kurt("c_acctbal") * 1e4) / 1e4).alias("kurt_pop"),
+    grp = c.groupBy("c_nationkey").agg(
+        (dsum("c_acctbal") / F.count("*")).alias("m")
+    )
+    j = c.join(grp, "c_nationkey")
+    d = F.col("c_acctbal") - F.col("m")
+
+    def cavg(p, scale=3):
+        mlt = float(10**scale)
+        return (
+            F.sum(F.floor(F.pow(d, p) * mlt).cast("decimal(38,0)")).cast("double")
+            / mlt
+            / F.count("*")
+        )
+
+    return j.groupBy("c_nationkey").agg(
+        (F.floor(cavg(3) / F.pow(cavg(2), 1.5) * 1e4) / 1e4).alias("skew_pop"),
+        (F.floor((cavg(4) / F.pow(cavg(2), 2) - 3) * 1e4) / 1e4).alias("kurt_pop"),
     )
 
 

@@ -492,3 +492,35 @@ def test_sm4_decrypt_garbage_is_null(spark):
     out = df.select(pf.sm4_decrypt(F.col("b"), "0123456789abcdef").alias("d")).collect()
     # misaligned -> NULL; aligned random block -> decrypts to junk or NULL
     assert out[0]["d"] is None
+
+
+def test_native_skew_kurt_match_two_pass(spark):
+    """functions.skew/kurt (Spark's single-pass population moments)
+    agree with the textbook two-pass formula to float tolerance on
+    non-degenerate groups — the suite's parity entry computes the
+    two-pass form exactly; this pins the native path against it."""
+    import math
+    import random
+
+    import palo_spark.functions as pf
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    rows = [(i % 3, random.gauss(50, 12) + (i % 3) * 5) for i in range(600)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: (r["s"], r["ku"])
+        for r in df.groupBy("k")
+        .agg(pf.skew("v").alias("s"), pf.kurt("v").alias("ku"))
+        .collect()
+    }
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vs in by_k.items():
+        m = sum(vs) / len(vs)
+        m2 = sum((x - m) ** 2 for x in vs) / len(vs)
+        m3 = sum((x - m) ** 3 for x in vs) / len(vs)
+        m4 = sum((x - m) ** 4 for x in vs) / len(vs)
+        assert math.isclose(got[k][0], m3 / m2**1.5, rel_tol=1e-6, abs_tol=1e-9)
+        assert math.isclose(got[k][1], m4 / m2**2 - 3, rel_tol=1e-6, abs_tol=1e-9)
