@@ -374,14 +374,14 @@ def sketch_bitmap_hash_distinct(spark, sf_dir):
     """
     WITH s AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
     ordered AS (SELECT l_suppkey FROM s ORDER BY l_suppkey)
-    SELECT array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
-              FROM (SELECT l_suppkey FROM ordered LIMIT 5)), []::BIGINT[]), ',') AS first5,
-           array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
+    SELECT COALESCE(array_to_string((SELECT list(l_suppkey ORDER BY l_suppkey)
+              FROM (SELECT l_suppkey FROM ordered LIMIT 5)), ','), '') AS first5,
+           COALESCE(array_to_string((SELECT list(l_suppkey ORDER BY l_suppkey)
               FROM (SELECT l_suppkey FROM ordered WHERE l_suppkey >= 50 LIMIT 5)),
-              []::BIGINT[]), ',') AS from50_5,
-           array_to_string(COALESCE((SELECT list(l_suppkey ORDER BY l_suppkey)
+              ','), '') AS from50_5,
+           COALESCE(array_to_string((SELECT list(l_suppkey ORDER BY l_suppkey)
               FROM ordered WHERE l_suppkey >= 10 AND l_suppkey < 40),
-              []::BIGINT[]), ',') AS range_10_40
+              ','), '') AS range_10_40
     """,
 )
 def sketch_bitmap_subset_ops(spark, sf_dir):
