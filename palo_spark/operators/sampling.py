@@ -268,3 +268,53 @@ def heavy_hitters(
         [(v, c[0], c[1]) for v, c in top],
         "value string, est_count long, max_err long",
     )
+
+
+def grouped_heavy_hitters(
+    df, group_col: str, col: str, k: int = 3, capacity: int = 256
+):
+    """Per-group space-saving top-k (the per-group form Doris's
+    ``TOPN(col, k)`` aggregate runs): one hash shuffle on the group key,
+    then a bounded space-saving counter map per group inside
+    ``applyInPandas`` — O(capacity) state per group regardless of group
+    size, the property that makes per-group top-k safe under skew.
+    Exact when ``capacity`` ≥ the group's NDV (same guarantee as
+    :func:`heavy_hitters`); estimates only ever overestimate.
+
+    Returns (group, value, est_count, max_err, rank) rows, rank 1..k by
+    estimated count (ties broken by value for determinism).
+    """
+    import pandas as pd
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for v in pdf[col]:
+            if v is None:
+                continue
+            v = str(v)
+            if v in counts:
+                counts[v][0] += 1
+            elif len(counts) < capacity:
+                counts[v] = [1, 0]
+            else:
+                victim = min(counts, key=lambda x: counts[x][0])
+                vmin = counts[victim][0]
+                del counts[victim]
+                counts[v] = [vmin + 1, vmin]
+        top = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(top),
+                "value": [t[0] for t in top],
+                "est_count": [t[1][0] for t in top],
+                "max_err": [t[1][1] for t in top],
+                "rank": list(range(1, len(top) + 1)),
+            }
+        )
+
+    gtype = dict(df.dtypes)[group_col]
+    return df.select(group_col, col).groupBy(group_col).applyInPandas(
+        per_group,
+        f"{group_col} {gtype}, value string, est_count long, max_err long, rank int",
+    )

@@ -169,3 +169,34 @@ def sample_heavy_hitters(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_suppkey", k=10, capacity=4096)
+
+
+@q(
+    "sample_grouped_heavy_hitters",
+    """
+    WITH cnt AS (
+        SELECT l_returnflag, CAST(l_suppkey AS VARCHAR) AS value,
+               CAST(COUNT(*) AS BIGINT) AS est_count
+        FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ),
+    ranked AS (
+        SELECT l_returnflag, value, est_count,
+               CAST(0 AS BIGINT) AS max_err,
+               CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY est_count DESC, value) AS INT) AS rank
+        FROM cnt
+    )
+    SELECT l_returnflag, value, est_count, max_err, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sample_grouped_heavy_hitters(spark, sf_dir):
+    """Per-group space-saving TOPN (Doris ``TOPN(col, k)`` per group):
+    bounded counter map per group under applyInPandas — O(capacity)
+    state per group under any skew. Capacity above the per-group NDV
+    makes it provably exact, so the oracle is the plain per-group
+    top-3 with the same deterministic tie-break."""
+    from palo_spark.operators.sampling import grouped_heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_heavy_hitters(li, "l_returnflag", "l_suppkey", k=3, capacity=4096)

@@ -768,3 +768,23 @@ def test_heavy_hitters_exact_and_sketch_modes(spark):
     assert "v1" in sk and "v2" in sk
     assert sk["v1"]["est_count"] >= 1000  # never underestimates
     assert sk["v1"]["est_count"] - sk["v1"]["max_err"] <= 1000
+
+
+def test_grouped_heavy_hitters_exact_mode(spark):
+    from palo_spark.operators.sampling import grouped_heavy_hitters
+    from pyspark.sql import functions as F
+
+    rows = [(g, f"v{i % (3 + g)}") for g in range(3) for i in range(120)]
+    df = spark.createDataFrame(rows, "g int, x string").repartition(4)
+    out = grouped_heavy_hitters(df, "g", "x", k=2, capacity=64).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["value"], r["est_count"], r["max_err"]))
+    # group g has (3+g) distinct values over 120 rows, uniform-ish:
+    # counts are 40/40/40 (g=0), 30/30/30/30 (g=1), 24x5 (g=2); ties
+    # break by value asc so rank 1..2 = v0, v1 everywhere
+    for g in range(3):
+        got = sorted(by_g[g])
+        assert [x[1] for x in got] == ["v0", "v1"]
+        assert all(x[3] == 0 for x in got)  # exact mode
+        assert got[0][2] == 120 // (3 + g)
