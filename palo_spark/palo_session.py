@@ -412,6 +412,32 @@ class PaloSession:
         self._refresh_view(name)
         return version
 
+    def script(self, text: str) -> list:
+        """Run a semicolon-separated Doris SQL script (the mysql-client
+        batch shape migrating users paste in). Statements split on
+        TOP-LEVEL ``;`` only (quotes and parentheses respected);
+        returns one result per non-empty statement."""
+        stmts, cur, depth, quote = [], [], 0, None
+        for ch in text:
+            if quote:
+                cur.append(ch)
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == ";" and depth == 0:
+                stmts.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        stmts.append("".join(cur))
+        return [self.sql(s) for s in stmts if s.strip()]
+
     def _rewrite_partition_selection(self, text: str) -> str:
         """Doris ``FROM t PARTITION (p1, p2)`` — explicit partition
         selection. Each selected table reference becomes a temp view of
@@ -586,13 +612,22 @@ class PaloSession:
 
             t = self._table(lm.group("name"))
             where = lm.group("where")
+            fmt = (lm.group("fmt") or "parquet").lower()
+            kw2: dict = {}
+            if fmt in ("csv", "json"):
+                # schemaless formats read with the table's declared
+                # schema (Doris maps load columns to table columns)
+                schema = getattr(t, "_declared_schema", None)
+                if schema:
+                    kw2["schema"] = schema
             version = broker_load(
                 self.spark,
                 t,
                 lm.group("path"),
-                (lm.group("fmt") or "parquet").lower(),
+                fmt,
                 where=translate(where) if where else None,
                 label=lm.group("label"),
+                **kw2,
             )
             self._refresh_view(lm.group("name").lower())
             return version

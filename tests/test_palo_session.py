@@ -465,3 +465,22 @@ def test_show_load_and_show_delete(ps, spark, tmp_path):
     ps.sql("DELETE FROM sl WHERE v > 2.5")
     dels = ps.sql("SHOW DELETE FROM sl").collect()
     assert len(dels) == 1 and "2.5" in dels[0]["predicate"]
+
+
+def test_script_and_csv_load(ps, spark, tmp_path):
+    csv_dir = str(tmp_path / "in_csv")
+    spark.createDataFrame(
+        [(1, "x", 2.5), (2, "y", 3.5)], "k long, s string, v double"
+    ).write.option("header", True).csv(csv_dir)
+    results = ps.script(
+        f"""
+        CREATE TABLE sc_t (k BIGINT, s VARCHAR(8), v DOUBLE) DUPLICATE KEY(k);
+        LOAD LABEL csv-1 (DATA INFILE('{csv_dir}') INTO TABLE sc_t FORMAT AS 'csv');
+        INSERT INTO sc_t VALUES (3, 'z;semi', 4.5);
+        SELECT k, s, v FROM sc_t ORDER BY k
+        """
+    )
+    rows = results[-1].collect()
+    assert [(r["k"], r["s"], r["v"]) for r in rows] == [
+        (1, "x", 2.5), (2, "y", 3.5), (3, "z;semi", 4.5),
+    ]
