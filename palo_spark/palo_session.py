@@ -176,6 +176,14 @@ _SHOW_PARTS_RE = re.compile(
     re.IGNORECASE,
 )
 
+_EXPORT_RE = re.compile(
+    r"^\s*EXPORT\s+TABLE\s+`?(?P<name>\w+)`?"
+    r"(?:\s+PARTITION\s*\(\s*`?(?P<part>[\w-]+)`?\s*\))?"
+    r"\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+(?:WITH\s+)?FORMAT\s+AS\s+'?(?P<fmt>\w+)'?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _SHOW_LOAD_RE = re.compile(
     r"^\s*SHOW\s+LOAD\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
@@ -796,6 +804,28 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
+        ex_ = _EXPORT_RE.match(stripped)
+        if ex_:
+            from pyspark.sql import functions as F
+
+            from palo_spark.sources import export_table
+            from palo_spark.tables import AUTO_PART_COL
+
+            t = self._table(ex_.group("name"))
+            if ex_.group("part"):
+                if not t.meta.auto_partition:
+                    raise ValueError(
+                        "EXPORT ... PARTITION requires an auto-partitioned table"
+                    )
+                view = t.read(
+                    partition_pred=F.col(AUTO_PART_COL) == ex_.group("part")
+                )
+            else:
+                view = t.read()
+            fmt = (ex_.group("fmt") or "parquet").lower()
+            opts = {"header": True} if fmt == "csv" else {}
+            export_table(view, ex_.group("path"), fmt, **opts)
+            return ex_.group("path")
         sl_ = _SHOW_LOAD_RE.match(stripped)
         if sl_:
             # Doris SHOW LOAD: the committed-load ledger straight from

@@ -484,3 +484,22 @@ def test_script_and_csv_load(ps, spark, tmp_path):
     assert [(r["k"], r["s"], r["v"]) for r in rows] == [
         (1, "x", 2.5), (2, "y", 3.5), (3, "z;semi", 4.5),
     ]
+
+
+def test_export_table_statement(ps, spark, tmp_path):
+    ps.sql(
+        """CREATE TABLE ex_p (id BIGINT, ts DATETIME, v DOUBLE)
+           DUPLICATE KEY(`id`)
+           AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()"""
+    )
+    ps.sql(
+        "INSERT INTO ex_p VALUES (1,'2024-10-01 01:00:00',1.0),"
+        "(2,'2024-10-02 01:00:00',2.0)"
+    )
+    out = str(tmp_path / "exp_all")
+    ps.sql(f"EXPORT TABLE ex_p TO '{out}'")
+    assert spark.read.parquet(out).count() == 2
+    pout = str(tmp_path / "exp_p1")
+    ps.sql(f"EXPORT TABLE ex_p PARTITION (d2024-10-01) TO '{pout}' FORMAT AS 'csv'")
+    back = spark.read.option("header", True).csv(pout)
+    assert [r["id"] for r in back.collect()] == ["1"]
