@@ -165,6 +165,12 @@ _ALTER_RENAME_COL_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_MODIFY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+MODIFY\s+COLUMN\s+"
+    r"`?(?P<col>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_DROP_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+DROP\s+PARTITION\s+"
     r"`?(?P<label>[\w-]+)`?\s*;?\s*$",
@@ -753,6 +759,29 @@ class PaloSession:
                         )
                     t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
                 self._refresh_view(rm_.group("name").lower())
+                return None
+            mm_ = _ALTER_MODIFY_RE.match(stripped)
+            if mm_:
+                t = self._table(mm_.group("name"))
+                base = mm_.group("type").lower().split("(")[0]
+                styp = (
+                    mm_.group("type").lower()
+                    if base == "decimal"
+                    else _DDL_TYPES.get(base)
+                )
+                if styp is None:
+                    raise ValueError(f"unsupported column type {mm_.group('type')!r}")
+                t.modify_column_type(mm_.group("col"), styp)
+                schema = getattr(t, "_declared_schema", None)
+                if schema:
+                    parts = []
+                    for p in schema.split(","):
+                        nm, ty = p.strip().split(None, 1)
+                        parts.append(
+                            f"{nm} {styp}" if nm == mm_.group("col") else f"{nm} {ty}"
+                        )
+                    t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
+                self._refresh_view(mm_.group("name").lower())
                 return None
             pm_ = _ALTER_DROP_PART_RE.match(stripped)
             if pm_:

@@ -102,6 +102,11 @@ class TableMeta:
     #: light schema change (Doris DROP COLUMN): final column names hidden
     #: at read — storage untouched
     schema_drops: list[str] = field(default_factory=list)
+    #: light schema change (Doris MODIFY COLUMN type): {col: spark_type}
+    #: cast applied per rowset at read — storage untouched, old rowsets
+    #: surface the new type via cast (Doris light type change for
+    #: compatible widenings)
+    schema_retypes: dict = field(default_factory=dict)
     #: light schema change (Doris RENAME COLUMN): applied in order per
     #: rowset at read — storage untouched
     schema_renames: list[dict] = field(default_factory=list)
@@ -376,6 +381,20 @@ class Table:
                 a["col"] = new
         self._save_meta()
 
+    def modify_column_type(self, col: str, new_type: str) -> None:
+        """Doris light schema change (ALTER TABLE MODIFY COLUMN ...
+        TYPE): metadata-only — every rowset is cast to the new type at
+        read (Doris allows compatible widenings the same way; narrowing
+        casts that cannot represent stored values surface NULLs, as in
+        MySQL-lax casting, so widen, don't narrow)."""
+        if col in self.meta.schema_drops:
+            raise ValueError(f"column {col!r} is dropped")
+        self.meta.schema_retypes[col] = new_type
+        for a in self.meta.schema_adds:
+            if a["col"] == col:
+                a["type"] = new_type
+        self._save_meta()
+
     def drop_partition(self, label: str) -> bool:
         """Doris DROP PARTITION: remove one auto-partition's directories
         from every rowset — O(partition size) disk reclaim, zero rewrite
@@ -640,6 +659,9 @@ class Table:
                     d = d.withColumn(a["col"], F.lit(a["default"]).cast(a["type"]))
             if self.meta.schema_drops:
                 d = d.drop(*[c for c in self.meta.schema_drops if c in d.columns])
+            for rc, rt in self.meta.schema_retypes.items():
+                if rc in d.columns:
+                    d = d.withColumn(rc, F.col(rc).cast(rt))
             dfs.append(d)
         if not dfs:
             return None

@@ -503,3 +503,12 @@ def test_export_table_statement(ps, spark, tmp_path):
     ps.sql(f"EXPORT TABLE ex_p PARTITION (d2024-10-01) TO '{pout}' FORMAT AS 'csv'")
     back = spark.read.option("header", True).csv(pout)
     assert [r["id"] for r in back.collect()] == ["1"]
+
+
+def test_alter_modify_column_sql(ps):
+    ps.sql("CREATE TABLE mc (k INT, v INT) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO mc VALUES (1, 7)")
+    ps.sql("ALTER TABLE mc MODIFY COLUMN v BIGINT")
+    cols = {r["field"]: r["type"] for r in ps.sql("DESC mc").collect()}
+    assert cols["v"] == "bigint"
+    assert ps.sql("SELECT v FROM mc").first()["v"] == 7

@@ -411,3 +411,19 @@ def test_prune_predicate_fail_open_cases(spark, tmp_path):
         r["id"] for r in t.read().filter("ts >= '2024-01-02' AND v > 1.5").collect()
     )
     assert got == want
+
+
+def test_modify_column_type_is_metadata_only(spark, tmp_path):
+    t = Table(spark, "mt", "DUPLICATE", ["k"], location=str(tmp_path / "mt"))
+    t.insert(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]))
+    import glob
+    files_before = sorted(glob.glob(f"{t.location}/rowset_*/*.parquet"))
+    t.modify_column_type("v", "double")
+    assert dict(t.read().dtypes)["v"] == "double"
+    assert {r["v"] for r in t.read().collect()} == {10.0, 20.0}
+    # no rowset rewritten
+    assert sorted(glob.glob(f"{t.location}/rowset_*/*.parquet")) == files_before
+    # later loads may carry either type; the view stays the new type
+    t.insert(spark.createDataFrame([Row(k=3, v=5)]))
+    assert dict(t.read().dtypes)["v"] == "double"
+    assert t.read().count() == 3
