@@ -388,7 +388,7 @@ class PaloSession:
 
     # ------------------------------------------------------------- DML
 
-    def _insert(self, text: str) -> int:
+    def _insert(self, text: str, rows_override=None) -> int:
         m = _INSERT_RE.match(text)
         assert m is not None
         name = m.group("name").lower()
@@ -396,7 +396,9 @@ class PaloSession:
             raise ValueError(f"unknown palo table {name!r}")
         t = self.tables[name]
         body = m.group("body")
-        if body.lstrip().upper().startswith("VALUES"):
+        if rows_override is not None:
+            rows = rows_override
+        elif body.lstrip().upper().startswith("VALUES"):
             # Spark parses the VALUES clause itself
             rows = self.spark.sql("SELECT * FROM " + translate(body))
         else:
@@ -980,16 +982,34 @@ class PaloSession:
             )
         iom = _INSERT_OVERWRITE_RE.match(stripped)
         if iom:
-            # Doris INSERT OVERWRITE: atomic replace = truncate + load.
-            # (Doris swaps temp partitions; the visible contract —
-            # readers see either old or new state — holds here because
-            # the final metadata update is a single _save_meta.)
+            # Doris INSERT OVERWRITE replaces the table with the query
+            # result. The source may read the TARGET itself (INSERT
+            # OVERWRITE t SELECT ... FROM t), so the rows are STAGED to
+            # a temp rowset BEFORE the truncate — evaluating lazily
+            # after truncate would read an already-empty table.
+            import shutil as _sh
+            import tempfile as _tf
+
             rewritten = "INSERT INTO " + iom.group("rest")
             m2 = _INSERT_RE.match(rewritten)
             if not m2:
                 raise ValueError(f"unparsable INSERT OVERWRITE: {text!r}")
-            self._table(m2.group("name")).truncate()
-            return self._insert(rewritten)
+            t = self._table(m2.group("name"))
+            body = m2.group("body")
+            if body.lstrip().upper().startswith("VALUES"):
+                rows = self.spark.sql("SELECT * FROM " + translate(body))
+            else:
+                rows = self.sql(body)
+            staged = _tf.mkdtemp(prefix="palo_iow_")
+            try:
+                rows.write.mode("overwrite").parquet(staged)
+                staged_rows = self.spark.read.parquet(staged)
+                t.truncate()
+                return self._insert(rewritten, rows_override=staged_rows)
+            finally:
+                # the insert re-wrote the data into a rowset; the stage
+                # dir is transient (removed after the load commits)
+                _sh.rmtree(staged, ignore_errors=True)
         if _INSERT_RE.match(stripped):
             return self._insert(stripped)
         # query path: translate the dialect ONCE, then transparent

@@ -512,3 +512,12 @@ def test_alter_modify_column_sql(ps):
     cols = {r["field"]: r["type"] for r in ps.sql("DESC mc").collect()}
     assert cols["v"] == "bigint"
     assert ps.sql("SELECT v FROM mc").first()["v"] == 7
+
+
+def test_insert_overwrite_can_read_its_own_target(ps):
+    ps.sql("CREATE TABLE iow (k INT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO iow VALUES (1,1.0),(2,2.0),(3,3.0)")
+    # self-referencing overwrite: keep only rows with v >= 2, doubled
+    ps.sql("INSERT OVERWRITE TABLE iow SELECT k, v * 2 FROM iow WHERE v >= 2.0")
+    rows = sorted((r["k"], r["v"]) for r in ps.sql("SELECT k, v FROM iow").collect())
+    assert rows == [(2, 4.0), (3, 6.0)]
