@@ -42,6 +42,11 @@ What it rewrites (MySQL/Doris semantics → Spark semantics):
 - ``date_trunc(datetime, 'unit')`` (Doris arg order) →
   ``date_trunc('unit', datetime)`` (Spark arg order); only swapped when
   the *second* arg is the string literal, so Spark-order text is stable.
+- Doris bracket join hints ``JOIN [broadcast] t`` / ``JOIN [shuffle] t``
+  → Spark ``/*+ BROADCAST(t) */`` / ``/*+ SHUFFLE_HASH(t) */`` hint
+  comments on the enclosing SELECT block — the per-join physical-strategy
+  override surface, the thing a 100 TB user reaches for when the
+  optimizer misestimates a dimension side. Unknown hints fail loud.
 
 Everything else passes through verbatim: backtick identifiers, ``div``,
 ``%``, ``<=>``, ``IN/EXISTS/BETWEEN/CASE``, window functions and the
@@ -394,9 +399,142 @@ def _translate_tokens(toks: list[Token]) -> list[Token]:
     return out
 
 
+#: Doris bracket join hints → Spark hint names. Doris `[shuffle]` forces
+#: a partitioned (hash-shuffled) join — Spark's SHUFFLE_HASH is the same
+#: physical strategy; `[broadcast]` maps 1:1. SHUFFLE_MERGE accepted as
+#: the sort-merge spelling for completeness.
+_JOIN_HINTS = {
+    "broadcast": "BROADCAST",
+    "shuffle": "SHUFFLE_HASH",
+    "shuffle_merge": "SHUFFLE_MERGE",
+}
+
+#: words that terminate a table reference (so cannot be its alias)
+_ALIAS_STOP = frozenset(
+    """on using where group order limit having join inner left right full
+    cross natural semi anti outer lateral union intersect except minus
+    when then and or as select straight_join offset""".split()
+)
+
+
+def _ident(text: str) -> str:
+    """Bare identifier value of a word or backtick token."""
+    if text.startswith("`"):
+        return text[1:-1].replace("``", "`")
+    return text
+
+
+def _hint_target(toks: list[Token], i: int) -> tuple[str, int]:
+    """Resolve the Spark-hint target name for the table ref starting at
+    signifcant-token position ``i`` (just past the closing ``]``):
+    the alias if one is given, else the last component of the (possibly
+    db-qualified) table name. Returns (name, index_after_ref) — the
+    tokens themselves are left in place (Spark resolves hints by
+    alias/table name, so only the bracket hint is consumed)."""
+    j = _sig(toks, i)
+    if j is None:
+        raise ValueError("dangling join hint: no table reference follows")
+    if toks[j] == ("op", "("):  # subquery — Spark requires an alias
+        close = _match_paren(toks, j)
+        k = _sig(toks, close + 1)
+        if k is not None and toks[k][0] == "word" and toks[k][1].lower() == "as":
+            k = _sig(toks, k + 1)
+        if k is None or toks[k][0] not in ("word", "bquote") or (
+            toks[k][0] == "word" and toks[k][1].lower() in _ALIAS_STOP
+        ):
+            raise ValueError("join hint on a subquery requires an alias")
+        return _ident(toks[k][1]), k + 1
+    if toks[j][0] not in ("word", "bquote"):
+        raise ValueError(f"join hint not followed by a table ref: {toks[j]!r}")
+    # dotted table ref: a.b.c
+    name = _ident(toks[j][1])
+    k = _sig(toks, j + 1)
+    while k is not None and toks[k] == ("op", "."):
+        k2 = _sig(toks, k + 1)
+        if k2 is None or toks[k2][0] not in ("word", "bquote"):
+            break
+        name = _ident(toks[k2][1])
+        k = _sig(toks, k2 + 1)
+    # optional alias
+    end = k if k is not None else len(toks)
+    if k is not None and toks[k][0] == "word" and toks[k][1].lower() == "as":
+        k2 = _sig(toks, k + 1)
+        if k2 is not None and toks[k2][0] in ("word", "bquote"):
+            return _ident(toks[k2][1]), k2 + 1
+    if k is not None and toks[k][0] in ("word", "bquote") and not (
+        toks[k][0] == "word" and toks[k][1].lower() in _ALIAS_STOP
+    ):
+        return _ident(toks[k][1]), k + 1
+    return name, end
+
+
+def _rewrite_join_hints(toks: list[Token]) -> list[Token]:
+    """Doris bracket join hints — ``JOIN [broadcast] t`` / ``JOIN
+    [shuffle] t`` (SURVEY §3.1; upstream
+    ``fe/fe-core/.../JoinOperator.java`` hint parsing) — become Spark
+    ``/*+ BROADCAST(t) */`` / ``/*+ SHUFFLE_HASH(t) */`` comments
+    injected after the SELECT of the same query block, which is how
+    Spark expresses per-join strategy overrides. Pure text transform:
+    the physical effect (one side broadcast, no big-side shuffle) is
+    pinned by tests/test_sql_frontend.py plan assertions."""
+    hints: dict[int, list[str]] = {}
+    out: list[Token] = []
+    depth = 0
+    select_at: dict[int, int] = {}
+    i, n = 0, len(toks)
+    while i < n:
+        kind, text = toks[i]
+        if toks[i] == ("op", "("):
+            depth += 1
+        elif toks[i] == ("op", ")"):
+            depth -= 1
+        if kind == "word" and text.lower() == "select":
+            select_at[depth] = len(out)
+        if kind == "word" and text.lower() == "join":
+            j = _sig(toks, i + 1)
+            if j is not None and toks[j] == ("other", "["):
+                k = _sig(toks, j + 1)
+                m = _sig(toks, k + 1) if k is not None else None
+                if (
+                    k is not None
+                    and toks[k][0] == "word"
+                    and m is not None
+                    and toks[m] == ("other", "]")
+                ):
+                    hint = toks[k][1].lower()
+                    if hint not in _JOIN_HINTS:
+                        raise ValueError(
+                            f"unknown Doris join hint [{hint}] (supported: "
+                            f"{sorted(_JOIN_HINTS)})"
+                        )
+                    anchor = select_at.get(depth)
+                    if anchor is None:
+                        raise ValueError(
+                            "join hint outside a SELECT block"
+                        )
+                    target, _ = _hint_target(toks, m + 1)
+                    hints.setdefault(anchor, []).append(
+                        f"{_JOIN_HINTS[hint]}({target})"
+                    )
+                    out.append((kind, text))  # keep JOIN, drop [hint]
+                    i = m + 1
+                    continue
+        out.append((kind, text))
+        i += 1
+    if not hints:
+        return out
+    final: list[Token] = []
+    for idx, tok in enumerate(out):
+        final.append(tok)
+        if idx in hints:
+            final.append(("comment", " /*+ " + ", ".join(hints[idx]) + " */"))
+    return final
+
+
 def translate(sql_text: str) -> str:
     """Doris/MySQL-dialect SQL → Spark SQL (pure string rewrite)."""
-    return _text(_translate_tokens(_tokenize(sql_text))).rstrip().rstrip(";")
+    toks = _rewrite_join_hints(_tokenize(sql_text))
+    return _text(_translate_tokens(toks)).rstrip().rstrip(";")
 
 
 def doris_sql(spark, sql_text: str):

@@ -614,3 +614,53 @@ _entry(
     """,
 )
 
+
+
+# --- Doris bracket join hints (`JOIN [broadcast]` / `JOIN [shuffle]`) ------
+# Hint syntax from upstream Doris FE (SURVEY §3.1); results must be
+# identical to the unhinted join — the oracle is the plain ANSI join, so
+# the gate proves the hint changes ONLY the physical strategy. The plan
+# effect itself (BroadcastHashJoin under autoBroadcast=-1) is pinned by
+# tests/test_sql_frontend.py::test_join_hint_forces_broadcast_plan.
+
+_entry(
+    "sql_join_hint_broadcast",
+    """
+    SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS SIGNED)) AS SIGNED) AS bal_cents
+    FROM `customer` c
+    JOIN [broadcast] `nation` n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    """
+    SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+_entry(
+    "sql_join_hint_shuffle",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS SIGNED)) AS SIGNED) AS qty
+    FROM `lineitem` l
+    JOIN [shuffle] `orders` o ON l.l_orderkey = o.o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)

@@ -98,3 +98,61 @@ def test_trailing_semicolon_stripped():
 def test_week_specifier_fails_loud():
     with pytest.raises(ValueError, match="%U"):
         translate("SELECT date_format(d, '%U')")
+
+
+def test_join_hint_broadcast_rewritten():
+    out = translate(
+        "SELECT c_name FROM orders o JOIN [broadcast] `customer` c "
+        "ON o_custkey = c_custkey"
+    )
+    assert "/*+ BROADCAST(c) */" in out
+    assert "[" not in out and "]" not in out
+
+
+def test_join_hint_shuffle_and_nested_block_anchor():
+    out = translate(
+        "SELECT * FROM a JOIN [shuffle] db.b ON a.k = b.k WHERE x IN "
+        "(SELECT y FROM c JOIN [broadcast] (SELECT z FROM d) AS dd "
+        "ON c.z = dd.z)"
+    )
+    # outer hint on the outer SELECT, inner on the subquery's SELECT
+    head, _, tail = out.partition("WHERE")
+    assert "/*+ SHUFFLE_HASH(b) */" in head
+    assert "/*+ BROADCAST(dd) */" in tail
+
+
+def test_join_hint_alias_resolution():
+    # no alias -> table name; AS alias -> alias; db-qualified -> last part
+    assert "/*+ BROADCAST(customer) */" in translate(
+        "SELECT 1 FROM orders JOIN [broadcast] customer ON 1=1"
+    )
+    assert "/*+ BROADCAST(c) */" in translate(
+        "SELECT 1 FROM orders JOIN [broadcast] customer AS c ON 1=1"
+    )
+
+
+def test_join_hint_unknown_fails_loud():
+    with pytest.raises(ValueError, match="join hint"):
+        translate("SELECT 1 FROM a JOIN [colocate] b ON a.k = b.k")
+
+
+def test_join_hint_forces_broadcast_plan(spark):
+    """The rewritten hint must actually reach Catalyst: a [broadcast]
+    join plans as BroadcastHashJoin even with auto-broadcast disabled."""
+    from palo_spark.catalog import register_views
+    from palo_spark.sql_frontend import doris_sql
+
+    register_views(spark, "/root/testdata/sf0.001")
+    sql = (
+        "SELECT o_orderkey, c_name FROM orders o "
+        "JOIN [broadcast] customer c ON o_custkey = c_custkey"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = doris_sql(spark, sql)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
