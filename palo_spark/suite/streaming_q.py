@@ -139,3 +139,124 @@ def streaming_tumbling_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@q(
+    "streaming_state_dedup",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 3 = 0
+    """,
+)
+def streaming_state_dedup(spark, sf_dir):
+    """Keyed-state streaming dedup end-to-end
+    (``streaming.streaming_dedup_exact``: applyInPandasWithState, one
+    hash shuffle on the key, O(1) marker state per key): the fixture
+    subset is dropped THREE times — twice in run 1 (maxFilesPerTrigger=1
+    forces two micro-batches, so in-run cross-batch suppression is
+    exercised) and once more in run 2 through the same checkpoint (state
+    survives restart). Landed output must equal the distinct source rows
+    — every later copy suppressed by state, none by luck of batching."""
+    base = os.path.join(_ROOT, "statededup")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    from palo_spark.streaming import streaming_dedup_exact
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(*cols)
+    )
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        (
+            streaming_dedup_exact(stream, ["event_id"])
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out_dir)
+            )
+            .start()
+            .awaitTermination()
+        )
+
+    # The state-store partition count is FIXED at the stream's first run
+    # (it shards the checkpointed state); at fixture scale 32 shards ×
+    # 3 micro-batches × Python workers is pure overhead (measured 78s →
+    # ~15s at 4). At 100 TB you'd set it HIGH for the same reason you
+    # size any shuffle — this is per-stream sizing, not a semantics knob.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev.coalesce(1).write.mode("append").parquet(src_dir)  # drop 1
+        ev.coalesce(1).write.mode("append").parquet(src_dir)  # drop 2 (dupes)
+        run()
+        ev.coalesce(1).write.mode("append").parquet(src_dir)  # drop 3 (restart)
+        run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(out_dir)
+
+
+@q(
+    "streaming_session_window",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), i AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('value')} AS sum_value
+    FROM i GROUP BY user_id, island
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Native ``F.session_window`` sessionization (the streaming
+    session-state operator, run in batch mode — identical semantics,
+    no state store): events within a 4h gap merge per user. Boundary
+    semantics pinned empirically: an event at exactly prev+gap MERGES
+    (Spark's session end is inclusive for merging), matching the
+    oracle's ``> gap`` break. The oracle replays sessions as
+    gaps-and-islands (LAG + running SUM of breaks) — a genuine value
+    oracle over session starts, sizes, and sums. The watermarked
+    streaming form of the same aggregation is pinned by
+    tests/test_sources_streaming.py::test_sessionized_counts_gap_semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "4 hours").alias("session"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
