@@ -25,7 +25,7 @@ Two hash modes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -33,12 +33,36 @@ __all__ = [
     "stratified_sample",
     "mix_sources",
     "assign_split",
+    "training_order",
     "MINSTD_MOD",
 ]
 
 #: Park-Miller modulus (2^31 - 1, prime)
 MINSTD_MOD = 2147483647
 _MINSTD_MULT = 48271
+
+
+def _minstd_key(id_col, seed: int):
+    """The raw iterated-Lehmer key in [0, 2^31-1) — exact BIGINT math
+    (every intermediate < 2^47), identically replayable in any engine
+    (see :func:`o_minstd_key`). Shared by the ``minstd`` uniform and
+    :func:`training_order`'s integer shard/order keys."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.pmod(c.cast("long") + F.lit(int(seed)), F.lit(MINSTD_MOD))
+    for _ in range(3):
+        h = F.pmod(h * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD))
+    return h
+
+
+def o_minstd_key(id_expr: str, seed: int) -> str:
+    """Oracle-SQL mirror of :func:`_minstd_key` (exact integer math)."""
+    h = (
+        f"((CAST({id_expr} AS BIGINT) + {seed}) % {MINSTD_MOD} "
+        f"+ {MINSTD_MOD}) % {MINSTD_MOD}"
+    )
+    for _ in range(3):
+        h = f"({h}) * {_MINSTD_MULT} % {MINSTD_MOD}"
+    return f"({h})"
 
 
 def _hash_u(id_col, seed: int, mode: str):
@@ -54,18 +78,12 @@ def _hash_u(id_col, seed: int, mode: str):
         ).cast("decimal(38,0)")
         return (h.cast("double") / F.lit(float(2**64)))
     if mode == "minstd":
-        # THREE iterated Lehmer rounds h <- h*48271 mod (2^31-1), after
-        # folding (id+seed) into [0, 2^31-1). One round is not enough:
-        # for a small contiguous id range the product never wraps the
-        # modulus, leaving an ordered ramp (id<44k => u<0.001*id) that
-        # ruins fraction sampling. Each round is a bijection on
-        # [1, M-1] and the second/third rounds wrap thousands of times,
-        # scattering any realistic id range. Every step stays under
-        # 2^47 — exact in BIGINT arithmetic, replayable in any engine.
-        h = F.pmod(c.cast("long") + F.lit(int(seed)), F.lit(MINSTD_MOD))
-        for _ in range(3):
-            h = F.pmod(h * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD))
-        return h.cast("double") / F.lit(float(MINSTD_MOD))
+        # THREE iterated Lehmer rounds (see _minstd_key). One round is
+        # not enough: for a small contiguous id range the product never
+        # wraps the modulus, leaving an ordered ramp (id<44k =>
+        # u<0.001*id) that ruins fraction sampling; rounds 2-3 wrap
+        # thousands of times, scattering any realistic id range.
+        return _minstd_key(c, seed).cast("double") / F.lit(float(MINSTD_MOD))
     raise ValueError(f"unknown hash mode {mode!r}")
 
 
@@ -199,6 +217,60 @@ def assign_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    *,
+    shards: int = 64,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data layout: every row
+    gets a ``(shard, pos)`` address — ``shard`` = which output shard
+    file it belongs to, ``pos`` = its position within that shard — as a
+    pure function of ``(id, seed)``. Writing shard ``s`` sorted by
+    ``pos`` reproduces the exact same globally-shuffled training order
+    on any cluster size, any input partitioning, any rerun; bumping
+    ``seed`` is a fresh epoch permutation.
+
+    Mechanics: the ``minstd`` iterated-Lehmer hash (exact BIGINT math,
+    replayable in any engine — see :func:`_hash_u`) gives each row a
+    pseudorandom key; ``shard`` = a second-round hash mod ``shards`` so
+    shard membership and intra-shard order are independent; ``pos`` =
+    rank of (key, id) within the shard — ONE window per shard, i.e. the
+    ranking parallelizes across shards (never a global single-partition
+    sort). Ties broken by id, so the order is total and deterministic.
+
+    At 100 TB: one hash-partitioned shuffle on ``shard`` (uniform by
+    construction — the hash is the partitioner), then an in-partition
+    sort; equivalent plan shape to a bucketed table write. Downstream
+    ``write.partitionBy(shard)`` + readers streaming shards in pos
+    order is the standard fixed-order training-data serving layout.
+    """
+    key = _minstd_key(id_col, seed)
+    shard = F.pmod(
+        (key + F.lit(1)) * F.lit(_MINSTD_MULT), F.lit(MINSTD_MOD)
+    ) % F.lit(shards)
+    out = df.withColumn("__key", key).withColumn(shard_col, shard.cast("int"))
+    w = Window.partitionBy(shard_col).orderBy("__key", id_col)
+    return (
+        out.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )
+
+
+def o_training_order(id_expr: str, shards: int, seed: int) -> str:
+    """Oracle-SQL mirror of :func:`training_order`'s shard/key columns
+    (the ``pos`` ranking is then a plain ``ROW_NUMBER``)."""
+    key = f"CAST({o_hash_u(id_expr, seed)} * {MINSTD_MOD} AS BIGINT)"
+    return (
+        f"{key} AS __key, "
+        f"CAST((({key} + 1) * {_MINSTD_MULT} % {MINSTD_MOD}) % {shards} "
+        f"AS INT) AS shard"
+    )
 
 
 def heavy_hitters(

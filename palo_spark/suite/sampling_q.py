@@ -16,6 +16,7 @@ from palo_spark.catalog import load_table
 from palo_spark.operators.sampling import (
     mix_sources,
     o_hash_u,
+    o_training_order,
     sample_hash,
     stratified_sample,
 )
@@ -200,3 +201,32 @@ def sample_grouped_heavy_hitters(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return grouped_heavy_hitters(li, "l_returnflag", "l_suppkey", k=3, capacity=4096)
+
+
+@q(
+    "sample_training_order",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, {o_training_order('doc_id', 16, 7)}
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY __key, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def sample_training_order(spark, sf_dir):
+    """Deterministic global shuffle for training layout
+    (`operators.sampling.training_order`): every doc gets a (shard,
+    pos) address as a pure function of (doc_id, seed) — the fixed
+    epoch order is reproducible on any cluster size / partitioning.
+    One uniform hash shuffle + per-shard rank (window parallelizes
+    across shards — never a global sort). Oracle replays the exact
+    integer Lehmer keys and the per-shard ROW_NUMBER."""
+    from palo_spark.operators.sampling import training_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, "doc_id", shards=16, seed=7).select(
+        "doc_id", "shard", "pos"
+    )

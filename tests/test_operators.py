@@ -788,3 +788,31 @@ def test_grouped_heavy_hitters_exact_mode(spark):
         assert [x[1] for x in got] == ["v0", "v1"]
         assert all(x[3] == 0 for x in got)  # exact mode
         assert got[0][2] == 120 // (3 + g)
+
+
+def test_training_order_partitioning_independent(spark):
+    """(shard, pos) must be a pure function of (id, seed): any input
+    partitioning / ordering yields the identical global shuffle order."""
+    from palo_spark.operators.sampling import training_order
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = training_order(df, "doc_id", shards=8, seed=3)
+    b = training_order(
+        df.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+        "doc_id", shards=8, seed=3,
+    )
+    ra = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    assert ra == rb
+    # pos is 1..n_s contiguous within every shard; shards roughly even
+    from collections import Counter
+    sizes = Counter(s for s, _ in ra.values())
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    for s in sizes:
+        ps = sorted(p for sh, p in ra.values() if sh == s)
+        assert ps == list(range(1, len(ps) + 1))
+    # a different seed is a different permutation
+    c = training_order(df, "doc_id", shards=8, seed=4)
+    rc = {r["doc_id"]: (r["shard"], r["pos"]) for r in c.collect()}
+    assert rc != ra
