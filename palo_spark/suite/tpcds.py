@@ -543,3 +543,166 @@ def tpcds_return_rate_bands(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_suppliers"),
         (F.floor(F.avg("ret_rate") * 1e6) / 1e6).alias("avg_ret_rate"),
     )
+
+
+@q(
+    "tpcds_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM orders GROUP BY o_custkey, EXTRACT(year FROM o_orderdate)
+    )
+    SELECT a.o_custkey AS custkey, a.yr AS yr,
+           a.spend_cents AS prev_cents, b.spend_cents AS cur_cents
+    FROM yearly a JOIN yearly b
+      ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    WHERE b.spend_cents > 2 * a.spend_cents
+    ORDER BY custkey, yr
+    """,
+)
+def tpcds_yoy_growth(spark, sf_dir):
+    """TPC-DS q4/q11 shape: a per-(customer, year) aggregate CTE
+    self-joined on (customer, year+1) to find customers whose spend
+    more than doubled year-over-year. Shape notes: the self-join keys
+    on the GROUP BY output — Catalyst reuses one Exchange for both
+    sides of the self-join (aggregate once, join the result to itself);
+    spend in integer cents so the growth comparison is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    a, b = yearly.alias("a"), yearly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .filter(F.col("b.spend_cents") > 2 * F.col("a.spend_cents"))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.yr").alias("yr"),
+            F.col("a.spend_cents").alias("prev_cents"),
+            F.col("b.spend_cents").alias("cur_cents"),
+        )
+        .orderBy("custkey", "yr")
+    )
+
+
+@q(
+    "tpcds_cumulative_channels",
+    """
+    WITH mail AS (
+        SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY strftime(l_shipdate, '%Y-%m')
+    ), ship AS (
+        SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ym,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag = 'A'
+        GROUP BY strftime(l_shipdate, '%Y-%m')
+    ), joined AS (
+        SELECT COALESCE(m.ym, s.ym) AS ym, m.qty AS r_qty, s.qty AS a_qty
+        FROM mail m FULL OUTER JOIN ship s ON m.ym = s.ym
+    )
+    SELECT ym,
+           CAST(SUM(COALESCE(r_qty, 0)) OVER (ORDER BY ym
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r_cum,
+           CAST(SUM(COALESCE(a_qty, 0)) OVER (ORDER BY ym
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a_cum
+    FROM joined
+    ORDER BY ym
+    """,
+)
+def tpcds_cumulative_channels(spark, sf_dir):
+    """TPC-DS q51 shape: two channel aggregates FULL OUTER joined on
+    the time key, then cumulative windows over the merged series. The
+    windows run over the already-aggregated (months-sized) frame — the
+    single-partition window is bounded by the number of months, never
+    by fact rows, which is what makes q51's global ORDER BY survive
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chan(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+            .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+        )
+
+    m, s = chan("R").alias("m"), chan("A").alias("s")
+    joined = m.join(s, F.col("m.ym") == F.col("s.ym"), "full_outer").select(
+        F.coalesce(F.col("m.ym"), F.col("s.ym")).alias("ym"),
+        F.col("m.qty").alias("r_qty"),
+        F.col("s.qty").alias("a_qty"),
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.select(
+            "ym",
+            F.sum(F.coalesce(F.col("r_qty"), F.lit(0))).over(w).cast("long").alias("r_cum"),
+            F.sum(F.coalesce(F.col("a_qty"), F.lit(0))).over(w).cast("long").alias("a_cum"),
+        )
+        .orderBy("ym")
+    )
+
+
+@q(
+    "tpcds_cov_filter",
+    """
+    WITH s AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sum_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                        * CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sumsq_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, n, CAST(sum_c AS BIGINT) AS sum_cents
+    FROM s
+    WHERE n > 1 AND 100 * (n * sumsq_c - sum_c * sum_c) > 25 * sum_c * sum_c
+    ORDER BY p_brand
+    """,
+)
+def tpcds_cov_filter(spark, sf_dir):
+    """TPC-DS q17 shape: statistical dispersion filter — keep brands
+    whose price coefficient of variation exceeds 0.5. The CV test is
+    cross-multiplied into EXACT integer arithmetic on cents
+    (cv^2 = (n*sumsq - sum^2)/sum^2 > 0.25  <=>  100*(n*sumsq - sum^2)
+    > 25*sum^2, DECIMAL(38,0) sums — no float stddev in either engine,
+    so the boundary rows can't flip on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    s = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents.cast("decimal(38,0)")).cast("decimal(38,0)").alias("sum_c"),
+            F.sum((cents * cents).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sumsq_c"),
+        )
+    )
+    return (
+        s.filter(
+            (F.col("n") > 1)
+            & (
+                100 * (F.col("n") * F.col("sumsq_c") - F.col("sum_c") * F.col("sum_c"))
+                > 25 * F.col("sum_c") * F.col("sum_c")
+            )
+        )
+        .select("p_brand", "n", F.col("sum_c").cast("long").alias("sum_cents"))
+        .orderBy("p_brand")
+    )
