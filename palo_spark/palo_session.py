@@ -12,7 +12,11 @@ protocol itself stays out of scope):
   [PROPERTIES (...)]`` becomes a :class:`~palo_spark.tables.Table`
   (key-model merge-on-read semantics; per-value aggregations
   SUM/MIN/MAX/REPLACE/REPLACE_IF_NOT_NULL parse from the column list).
-  ``DROP TABLE [IF EXISTS] name`` unregisters it.
+  ``DROP TABLE [IF EXISTS] name`` unregisters it. ``CREATE VIEW
+  [IF NOT EXISTS] name AS SELECT ...`` / ``ALTER VIEW name AS ...`` /
+  ``DROP VIEW [IF EXISTS] name`` manage logical views (late-binding:
+  the dialect body re-resolves base tables per query, so later inserts
+  are visible — Doris view semantics).
 - **DML** — ``INSERT INTO name VALUES (...), (...)`` and ``INSERT INTO
   name SELECT ...`` commit a rowset through the table model (the
   OLAP_TABLE_SINK path, same ledger as Stream/Broker Load);
@@ -256,6 +260,17 @@ _OUTFILE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*(?:CREATE|ALTER)\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     out, cur, depth, q = [], [], 0, None
@@ -292,6 +307,9 @@ class PaloSession:
         self.location_root = location_root
         self.rollups = rollups  # optional RollupCatalog
         self.tables: dict[str, Table] = {}
+        #: logical views: name -> original Doris-dialect body text
+        #: (late-binding temp views; see the CREATE VIEW branch)
+        self.views: dict[str, str] = {}
         #: Doris SQL result cache (SURVEY §4 "Caches" row): SELECT
         #: results keyed by (query text, referenced tables' mutation
         #: tokens). A table mutation changes its token, so stale hits
@@ -686,6 +704,33 @@ class PaloSession:
         mv = _CREATE_MV_RE.match(stripped)
         if mv:
             return self._create_mv(mv.group("mv"), mv.group("body"))
+        vw = _CREATE_VIEW_RE.match(stripped)
+        if vw:
+            name = vw.group("name").lower()
+            if vw.group("ine") and name in self.views:
+                return None
+            body = translate(vw.group("body"))
+            # SQL-created temp views store the PARSED plan (late
+            # binding, Spark default storeAnalyzedPlanForView=false):
+            # the view re-resolves its base tables on every query, so
+            # inserts into an underlying palo table are visible through
+            # the view — Doris logical-view semantics. A
+            # DataFrame.createTempView would freeze the plan instead.
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}"
+            )
+            self.views[name] = vw.group("body").strip()
+            return None
+        dv = _DROP_VIEW_RE.match(stripped)
+        if dv:
+            name = dv.group("name").lower()
+            if name not in self.views:
+                if dv.group("ife"):
+                    return None
+                raise ValueError(f"unknown view {name!r}")
+            del self.views[name]
+            self.spark.catalog.dropTempView(name)
+            return None
         of = _OUTFILE_RE.match(stripped)
         if of:
             df = self.sql(of.group("body"))

@@ -664,3 +664,38 @@ _entry(
     ORDER BY o_orderpriority
     """,
 )
+
+
+def _sql_create_view_query(spark, sf_dir):
+    """Logical-view pipeline: CREATE VIEW over the star tables in Doris
+    dialect (backticks, if(), %-pattern date_format), query THROUGH the
+    view with a dialect aggregate. Views are late-binding temp views —
+    zero materialization, the composed query plans as one Catalyst tree
+    (filter/column pruning crosses the view boundary)."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP VIEW IF EXISTS v_order_flags")
+    ps.sql(
+        """CREATE VIEW v_order_flags AS
+           SELECT `o_custkey`,
+                  date_format(`o_orderdate`, '%Y') AS yr,
+                  if(o_orderstatus = 'F', 1, 0) AS is_f,
+                  CAST(FLOOR(o_totalprice * 100) AS SIGNED) AS cents
+           FROM `orders`"""
+    )
+    return ps.sql(
+        """SELECT yr, CAST(SUM(is_f) AS SIGNED) AS n_f,
+                  CAST(SUM(cents) AS SIGNED) AS cents
+           FROM v_order_flags GROUP BY yr ORDER BY yr"""
+    )
+
+
+QUERIES["sql_create_view_query"] = _sql_create_view_query
+ORACLE["sql_create_view_query"] = """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) AS yr,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY strftime(o_orderdate, '%Y') ORDER BY yr
+"""

@@ -521,3 +521,25 @@ def test_insert_overwrite_can_read_its_own_target(ps):
     ps.sql("INSERT OVERWRITE TABLE iow SELECT k, v * 2 FROM iow WHERE v >= 2.0")
     rows = sorted((r["k"], r["v"]) for r in ps.sql("SELECT k, v FROM iow").collect())
     assert rows == [(2, 4.0), (3, 6.0)]
+
+
+def test_create_view_late_binding(ps):
+    """Logical views re-resolve per query (Doris semantics): inserts
+    into the base table are visible through an existing view."""
+    ps.sql("CREATE TABLE vt (k INT, v BIGINT SUM) AGGREGATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO vt VALUES (1, 10), (2, 20)")
+    ps.sql("CREATE VIEW v_tot AS SELECT CAST(SUM(v) AS SIGNED) AS tot FROM vt")
+    assert ps.sql("SELECT tot FROM v_tot").collect()[0]["tot"] == 30
+    ps.sql("INSERT INTO vt VALUES (1, 5)")
+    assert ps.sql("SELECT tot FROM v_tot").collect()[0]["tot"] == 35
+    # ALTER VIEW replaces the definition
+    ps.sql("ALTER VIEW v_tot AS SELECT CAST(COUNT(*) AS SIGNED) AS tot FROM vt")
+    assert ps.sql("SELECT tot FROM v_tot").collect()[0]["tot"] == 2
+    # IF NOT EXISTS is a no-op on an existing view
+    ps.sql("CREATE VIEW IF NOT EXISTS v_tot AS SELECT 1 AS tot")
+    assert ps.sql("SELECT tot FROM v_tot").collect()[0]["tot"] == 2
+    ps.sql("DROP VIEW v_tot")
+    with pytest.raises(Exception):
+        ps.sql("SELECT * FROM v_tot").collect()
+    ps.sql("DROP VIEW IF EXISTS v_tot")  # tolerated
