@@ -346,6 +346,43 @@ def _rewrite_group_concat(inner: list[Token]) -> list[Token]:
     return _raw(f"array_join({agg}, {sep})")
 
 
+def _pop_ident(out: list[Token]) -> str | None:
+    """Pop a trailing (possibly dotted/backticked) identifier chain off
+    ``out`` and return its SQL text, or None (nothing popped) if the
+    tail is not a plain identifier."""
+    j = len(out)
+    while j > 0 and out[j - 1][0] in ("ws", "comment"):
+        j -= 1
+    end = j
+    if j == 0 or out[j - 1][0] not in ("word", "bquote"):
+        return None
+    j -= 1
+    while j >= 2 and out[j - 1] == ("op", ".") and out[j - 2][0] in (
+        "word",
+        "bquote",
+    ):
+        j -= 2
+    text = _text(out[j:end])
+    del out[j:]
+    return text
+
+
+#: infix MATCH predicates (Doris inverted-index surface) → the exact
+#: SQL spelling of operators/text.py's native expressions
+def _match_sql(op: str, left: str, query: str) -> str:
+    tok = f"split(trim(lower({left})), '\\\\s+')"
+    terms = query.lower().split()
+    if op == "match_any":
+        arr = ", ".join(_quote_str(t) for t in terms)
+        return f"arrays_overlap({tok}, array({arr}))"
+    if op == "match_all":
+        return "(" + " AND ".join(
+            f"array_contains({tok}, {_quote_str(t)})" for t in terms
+        ) + ")"
+    phrase = _quote_str(" " + " ".join(terms) + " ")
+    return f"contains(concat(' ', array_join({tok}, ' '), ' '), {phrase})"
+
+
 def _translate_tokens(toks: list[Token]) -> list[Token]:
     out: list[Token] = []
     i = 0
@@ -371,6 +408,24 @@ def _translate_tokens(toks: list[Token]) -> list[Token]:
         if kind == "word":
             low = text.lower()
             j = _sig(toks, i + 1)
+            if low in ("match_any", "match_all", "match_phrase"):
+                # Doris infix predicate: <ident> MATCH_X '<terms>'
+                if j is None or toks[j][0] not in ("squote", "dquote"):
+                    raise ValueError(
+                        f"{text} requires a string literal on the right"
+                    )
+                left = _pop_ident(out)
+                if left is None:
+                    raise ValueError(
+                        f"{text}: left side must be a column identifier "
+                        "(wrap anything fancier in a subquery projection)"
+                    )
+                query = _unquote_str(toks[j][1])
+                if not query.split():
+                    raise ValueError(f"{text}: empty query")
+                out.extend(_raw(_match_sql(low, left, query)))
+                i = j + 1
+                continue
             if j is not None and toks[j] == ("op", "("):
                 close = _match_paren(toks, j)
                 inner = _translate_tokens(toks[j + 1 : close])

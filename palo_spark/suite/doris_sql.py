@@ -699,3 +699,32 @@ ORACLE["sql_create_view_query"] = """
            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders GROUP BY strftime(o_orderdate, '%Y') ORDER BY yr
 """
+
+
+_entry(
+    "sql_match_predicates",
+    """
+    SELECT doc_id,
+           if(`text` MATCH_ALL 'the data', 1, 0) AS m_all,
+           if(`text` MATCH_PHRASE 'of the', 1, 0) AS m_phrase
+    FROM `documents`
+    WHERE `text` MATCH_ANY 'data learning'
+    ORDER BY doc_id
+    """,
+    """
+    WITH tokd AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks,
+               ' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')
+                   || ' ' AS stream
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN list_contains(toks, 'the')
+                      AND list_contains(toks, 'data') THEN 1 ELSE 0 END AS INT) AS m_all,
+           CAST(CASE WHEN contains(stream, ' of the ') THEN 1 ELSE 0 END AS INT) AS m_phrase
+    FROM tokd
+    WHERE list_contains(toks, 'data') OR list_contains(toks, 'learning')
+    ORDER BY doc_id
+    """,
+)

@@ -156,3 +156,39 @@ def test_join_hint_forces_broadcast_plan(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_match_predicates_translate():
+    out = translate("SELECT doc_id FROM documents WHERE `text` MATCH_ANY 'Data Spark'")
+    assert "arrays_overlap" in out and "'data'" in out and "`text`" in out
+    out = translate("SELECT 1 FROM d WHERE t MATCH_ALL 'a b'")
+    assert out.count("array_contains") == 2
+    out = translate("SELECT 1 FROM d WHERE t MATCH_PHRASE 'a b'")
+    assert "' a b '" in out
+    with pytest.raises(ValueError, match="string literal"):
+        translate("SELECT 1 FROM d WHERE t MATCH_ANY col2")
+    with pytest.raises(ValueError, match="column identifier"):
+        translate("SELECT 1 FROM d WHERE (t || u) MATCH_ANY 'x'")
+
+
+def test_match_sql_equals_operator_semantics(spark):
+    """The SQL-text spelling and operators.text.match_any/all/phrase
+    must select the same rows on the fixture corpus."""
+    from palo_spark.catalog import load_table, register_views
+    from palo_spark.operators.text import match_any, match_all, match_phrase
+    from palo_spark.sql_frontend import doris_sql
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    for fn, op in [(match_any, "MATCH_ANY"), (match_all, "MATCH_ALL"),
+                   (match_phrase, "MATCH_PHRASE")]:
+        want = sorted(
+            r["doc_id"] for r in docs.filter(fn("text", "the data")).select("doc_id").collect()
+        )
+        got = sorted(
+            r["doc_id"] for r in doris_sql(
+                spark, f"SELECT doc_id FROM documents WHERE text {op} 'the data'"
+            ).collect()
+        )
+        assert got == want, op
