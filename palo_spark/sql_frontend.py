@@ -307,6 +307,56 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
     if name_lower == "group_concat":
         return _rewrite_group_concat(inner)
 
+    if name_lower in _GENERATORS:
+        return _rewrite_generator(name_lower, inner)
+
+    return None
+
+
+#: Doris LATERAL VIEW table functions with no Spark SQL spelling
+#: [upstream: be/src/vec/exprs/table_function/] — each becomes a plain
+#: ``explode(...)`` over a native array expression, so Spark plans its
+#: ordinary Generate node (codegen'd, no UDF).
+_GENERATORS = {
+    "explode_split",
+    "explode_json_array_int",
+    "explode_json_array_double",
+    "explode_json_array_string",
+    "explode_numbers",
+}
+
+_JSON_ARRAY_TYPES = {
+    "explode_json_array_int": "array<bigint>",
+    "explode_json_array_double": "array<double>",
+    "explode_json_array_string": "array<string>",
+}
+
+
+def _rewrite_generator(name_lower: str, inner: list[Token]) -> list[Token] | None:
+    args = _split_args(inner)
+    if name_lower == "explode_split":
+        if len(args) != 2:
+            raise ValueError("explode_split expects (str, delimiter)")
+        # Doris's delimiter is a literal string; Spark's split() takes a
+        # regex — escape metachars when the delimiter is a literal (the
+        # common case), else \Q...\E-quote the runtime value.
+        lit = _only_str_literal(args[1])
+        if lit is not None:
+            pat = re.escape(lit).replace("\\", "\\\\")
+            delim = "'" + pat.replace("'", "\\'") + "'"
+        else:
+            delim = f"concat('\\\\Q', {_text(args[1])}, '\\\\E')"
+        return _raw(f"explode(split({_text(args[0])}, {delim}))")
+    if name_lower in _JSON_ARRAY_TYPES:
+        typ = _JSON_ARRAY_TYPES[name_lower]
+        return _raw(f"explode(from_json({_text(inner)}, '{typ}'))")
+    if name_lower == "explode_numbers":
+        # Doris explode_numbers(n) → rows 0..n-1; empty when n <= 0
+        n = _text(inner)
+        return _raw(
+            f"explode(CASE WHEN ({n}) > 0 THEN sequence(0, ({n}) - 1) "
+            f"ELSE cast(array() AS array<bigint>) END)"
+        )
     return None
 
 
@@ -586,10 +636,105 @@ def _rewrite_join_hints(toks: list[Token]) -> list[Token]:
     return final
 
 
+#: block terminators that end a QUALIFY predicate (stay in the OUTER query)
+_QUALIFY_STOP = frozenset("order limit union intersect except minus".split())
+
+
+def _rewrite_qualify(toks: list[Token]) -> list[Token]:
+    """Doris 2.0 ``QUALIFY`` (filter on window-function results) → Spark.
+
+    Spark has no QUALIFY; the rewrite computes the predicate as a lateral
+    boolean column inside the block and filters it one level up::
+
+        SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+      →
+        SELECT * EXCEPT (__qualify__) FROM (
+            SELECT <list>, (<pred>) AS __qualify__ FROM ...
+        ) __q WHERE __qualify__ [ORDER BY ...] [LIMIT n]
+
+    The predicate may name a window expression directly or reference a
+    select-list alias (Spark's lateral column alias resolution covers
+    the latter). Catalyst collapses the nesting, so the physical plan is
+    identical to a hand-written subquery — window, then filter, with
+    the filter NOT pushed below the window (QUALIFY semantics).
+    Innermost QUALIFYs rewrite first, so nested subqueries each get
+    their own wrap. ``SELECT DISTINCT ... QUALIFY`` fails loud: the
+    helper column would change the DISTINCT key set.
+    """
+    while True:
+        depth = 0
+        select_at: dict[int, int] = {}
+        found = None  # (qualify_idx, depth, select_idx) — deepest wins
+        best_depth = -1
+        for i, t in enumerate(toks):
+            if t == ("op", "("):
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            elif t[0] == "word":
+                low = t[1].lower()
+                if low == "select":
+                    select_at[depth] = i
+                elif low == "qualify" and depth > best_depth:
+                    found = (i, depth, select_at.get(depth))
+                    best_depth = depth
+        if found is None:
+            return toks
+        qi, d, si = found
+        if si is None:
+            raise ValueError("QUALIFY outside a SELECT block")
+        j = _sig(toks, si + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].lower() == "distinct":
+            raise ValueError(
+                "QUALIFY with SELECT DISTINCT is not supported — "
+                "wrap the DISTINCT in a subquery"
+            )
+        # FROM keyword of this block (same depth, between SELECT and QUALIFY)
+        fi = None
+        dd = 0
+        for k in range(si + 1, qi):
+            t = toks[k]
+            if t == ("op", "("):
+                dd += 1
+            elif t == ("op", ")"):
+                dd -= 1
+            elif dd == 0 and t[0] == "word" and t[1].lower() == "from":
+                fi = k
+                break
+        if fi is None:
+            raise ValueError("QUALIFY in a SELECT with no FROM clause")
+        # predicate ends at ORDER/LIMIT/set-op at block depth, a closing
+        # paren that leaves the block, or end of input
+        pend = len(toks)
+        dd = 0
+        for k in range(qi + 1, len(toks)):
+            t = toks[k]
+            if t == ("op", "("):
+                dd += 1
+            elif t == ("op", ")"):
+                dd -= 1
+                if dd < 0:
+                    pend = k
+                    break
+            elif dd == 0 and t[0] == "word" and t[1].lower() in _QUALIFY_STOP:
+                pend = k
+                break
+        pred = _text(_trim(toks[qi + 1 : pend]))
+        if not pred:
+            raise ValueError("QUALIFY requires a predicate")
+        head = _text(toks[si:fi]).rstrip()          # SELECT <list>
+        body = _text(toks[fi:qi]).rstrip()          # FROM ... HAVING
+        repl = _raw(
+            f"SELECT * EXCEPT (__qualify__) FROM ({head}, ({pred}) AS "
+            f"__qualify__ {body}) __q WHERE __qualify__ "
+        )
+        toks = toks[:si] + repl + toks[pend:]
+
+
 def translate(sql_text: str) -> str:
     """Doris/MySQL-dialect SQL → Spark SQL (pure string rewrite)."""
     toks = _rewrite_join_hints(_tokenize(sql_text))
-    return _text(_translate_tokens(toks)).rstrip().rstrip(";")
+    return _text(_rewrite_qualify(_translate_tokens(toks))).rstrip().rstrip(";")
 
 
 def doris_sql(spark, sql_text: str):

@@ -728,3 +728,113 @@ _entry(
     ORDER BY doc_id
     """,
 )
+
+
+# --- Doris LATERAL VIEW table functions in SQL text ------------------------
+# [upstream: be/src/vec/exprs/table_function/vexplode_split.cpp,
+#  vexplode_json_array.cpp, vexplode_numbers.cpp] — translated by
+# sql_frontend._rewrite_generator into plain explode() over native array
+# expressions, so Spark plans an ordinary Generate node (whole-stage
+# codegen, no UDF, no shuffle beyond the downstream aggregate).
+
+_entry(
+    "sql_lateral_explode_split",
+    """
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM `documents` LATERAL VIEW explode_split(`text`, ' ') t AS w
+    WHERE w != '' AND doc_id % 7 = 0
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 25
+    """,
+    """
+    SELECT w AS word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' AND doc_id % 7 = 0
+    GROUP BY w
+    ORDER BY cnt DESC, word
+    LIMIT 25
+    """,
+)
+
+_entry(
+    "sql_lateral_explode_json_numbers",
+    """
+    SELECT `event_type`,
+           CAST(SUM(v) AS SIGNED) AS sum_v,
+           COUNT(*) AS n_rows
+    FROM `events`
+    LATERAL VIEW explode_json_array_int(concat('[', get_json_object(props, '$.k'), ']')) jv AS kv
+    LATERAL VIEW explode_numbers(kv % 4) nv AS v
+    WHERE event_id % 13 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    """
+    SELECT event_type,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           COUNT(*) AS n_rows
+    FROM (
+        SELECT event_type,
+               unnest(range(0, CAST(json_extract_string(props, '$.k') AS BIGINT) % 4)) AS v
+        FROM events
+        WHERE event_id % 13 = 0
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+
+# --- Doris 2.0 QUALIFY clause ---------------------------------------------
+# [upstream: fe/fe-core/.../nereids QUALIFY support] — lowered by
+# sql_frontend._rewrite_qualify into a lateral boolean column + one-level
+# wrap (SELECT * EXCEPT), so Catalyst plans window → filter with the
+# predicate correctly NOT pushed below the window. DuckDB speaks QUALIFY
+# natively, so the oracle exercises the clause end-to-end.
+
+_entry(
+    "sql_qualify_topn_per_group",
+    """
+    SELECT c_nationkey AS nk, c_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS SIGNED)) AS SIGNED) AS cents,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY SUM(CAST(FLOOR(o_totalprice * 100) AS SIGNED)) DESC,
+                                       c_custkey) AS rn
+    FROM `customer` JOIN `orders` ON c_custkey = o_custkey
+    GROUP BY c_nationkey, c_custkey
+    QUALIFY rn <= 3
+    ORDER BY nk, rn
+    """,
+    """
+    SELECT c_nationkey AS nk, c_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) DESC,
+                                       c_custkey) AS rn
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey, c_custkey
+    QUALIFY rn <= 3
+    ORDER BY nk, rn
+    """,
+)
+
+_entry(
+    "sql_qualify_direct_window",
+    """
+    SELECT o_custkey, o_orderkey
+    FROM `orders`
+    WHERE o_orderstatus = "F"
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    ORDER BY o_custkey, o_orderkey
+    """,
+    """
+    SELECT o_custkey, o_orderkey
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    ORDER BY o_custkey, o_orderkey
+    """,
+)

@@ -192,3 +192,70 @@ def test_match_sql_equals_operator_semantics(spark):
             ).collect()
         )
         assert got == want, op
+
+
+def test_lateral_view_generators_translate():
+    from palo_spark.sql_frontend import translate
+
+    out = translate("SELECT w FROM t LATERAL VIEW explode_split(s, '.') v AS w")
+    assert "explode(split(s, '\\\\.'))" in out  # regex-escaped literal delim
+    out = translate("SELECT x FROM t LATERAL VIEW explode_json_array_int(j) v AS x")
+    assert "from_json(j, 'array<bigint>')" in out
+    out = translate("SELECT n FROM t LATERAL VIEW explode_numbers(k) v AS n")
+    assert "sequence(0, (k) - 1)" in out and "ELSE cast(array() AS array<bigint>)" in out
+
+
+def test_explode_numbers_zero_yields_no_rows(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.range(3).toDF("k").createOrReplaceTempView("t_en")
+    rows = doris_sql(
+        spark, "SELECT k, n FROM t_en LATERAL VIEW explode_numbers(k) v AS n ORDER BY k, n"
+    ).collect()
+    assert [(r.k, r.n) for r in rows] == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_explode_split_regex_delimiter_is_literal(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame([("a.b.c",)], "s string").createOrReplaceTempView("t_es")
+    rows = doris_sql(
+        spark, "SELECT w FROM t_es LATERAL VIEW explode_split(s, '.') v AS w"
+    ).collect()
+    assert [r.w for r in rows] == ["a", "b", "c"]
+
+
+def test_qualify_translates_to_except_wrap():
+    from palo_spark.sql_frontend import translate
+
+    out = translate("SELECT g, rank() OVER (ORDER BY v) AS r FROM t QUALIFY r < 2")
+    assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (")
+    assert "(r < 2) AS __qualify__" in out and out.rstrip().endswith("WHERE __qualify__")
+
+
+def test_qualify_distinct_fails_loud():
+    from palo_spark.sql_frontend import translate
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="DISTINCT"):
+        translate("SELECT DISTINCT g FROM t QUALIFY row_number() OVER (ORDER BY g) = 1")
+
+
+def test_qualify_runtime_both_forms(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("t_q")
+    rows = doris_sql(
+        spark,
+        "SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn "
+        "FROM t_q QUALIFY rn <= 2 ORDER BY g, rn",
+    ).collect()
+    assert [(r.g, r.v) for r in rows] == [(1, 30), (1, 20), (2, 5)]
+    rows = doris_sql(
+        spark,
+        "SELECT g, v FROM t_q QUALIFY "
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC) <= 2 ORDER BY g, v",
+    ).collect()
+    assert [(r.g, r.v) for r in rows] == [(1, 20), (1, 30), (2, 5)]
