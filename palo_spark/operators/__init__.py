@@ -28,6 +28,7 @@ from palo_spark.operators.dedup import (  # noqa: F401
     dedup_embedding_cosine,
     resolve_dup_clusters,
     dedup_by_clusters,
+    semantic_dedup,
 )
 from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,

@@ -683,3 +683,54 @@ def dedup_by_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list,
+    threshold: float = 0.99,
+    quantized: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-bounded pairwise cosine dedup over an
+    embedding column.
+
+    Pipeline: (1) assign each vector to its nearest centroid — argmax
+    cosine against the k literal centroids, a pure JVM fold per row, no
+    shuffle; (2) candidate pairs are generated ONLY within a cell (one
+    hash shuffle on the cell id — never an all-pairs cross join);
+    (3) any pair with cosine ≥ ``threshold`` drops the higher id
+    ("keep earliest", the paper's keep-one-per-group greedy with a
+    deterministic representative). ``quantized=True`` scores with exact
+    integer-quantized dots (bit-stable across engines/summation orders).
+
+    Scale: cost is Σ|cell|² ≈ n²/k for balanced cells — choose
+    k ≈ n/10⁴ so each cell's pairwise block stays ~10⁸ ops; cells are
+    independent keys, so AQE skew-split handles hot cells, and the same
+    cell id doubles as a parquet partition key at rest (the SemDeDup
+    cluster layout IS the IVF layout from similarity.py). A scaled or
+    duplicated vector has identical cosine to every centroid, hence the
+    same argmax cell as its original — planted duplicates can never be
+    split across cells by the assignment step.
+    """
+    from palo_spark.operators.similarity import cosine_similarity, ivf_assign
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__cell", ivf_assign("__v", centroids))
+    a = base.select("__cell", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
+    b = base.select("__cell", F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+    dup = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("va"), F.col("vb"), quantized=quantized)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return df.join(dup, df[id_col] == dup["__dup"], "left_anti")

@@ -1897,3 +1897,73 @@ def embedding_pca_variance(spark, sf_dir):
         ],
         "n bigint, trace double, ratio_ok boolean, orthonormal_ok boolean",
     )
+
+
+@q(
+    "dedup_semantic_semdedup",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5)
+        FROM embeddings WHERE vec_id < 300 AND vec_id % 5 = 0
+    ),
+    assign AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT v.vec_id, v.embedding, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_o_pdot('c.cv', 'v.embedding')}
+                       / sqrt({_o_pdot('c.cv', 'c.cv')}
+                              * {_o_pdot('v.embedding', 'v.embedding')}) DESC,
+                       c.cell DESC) AS rn
+            FROM all_vecs v CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE CAST({_o_qdot('a.embedding', 'b.embedding')} AS DOUBLE)
+              / sqrt(CAST({_o_qdot('a.embedding', 'a.embedding')} AS DOUBLE)
+                     * CAST({_o_qdot('b.embedding', 'b.embedding')} AS DOUBLE)) >= 0.99
+    )
+    SELECT vec_id FROM all_vecs WHERE vec_id NOT IN (SELECT id_b FROM dup)
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup.
+    Centroids are the 8 lowest-id vectors (deterministic, no Lloyd
+    training — same convention as ``similarity_search_ivf_literal``),
+    corpus is embeddings ∪ planted 1.5×-scaled copies (cosine exactly
+    1.0 with their originals; scaling never changes the argmax cell, so
+    the planted dups are guaranteed within-cell). The oracle replays
+    the full pipeline — argmax-cosine assignment (ties to the higher
+    cell = Spark ``array_max`` struct semantics), within-cell pairwise
+    quantized cosine, keep-earliest — as a genuine value oracle.
+    The Spark plan: zero-shuffle assignment fold, ONE hash shuffle on
+    the cell id for candidate pairs, ids-only anti-join for survivors
+    — never an all-pairs cross join (Σ|cell|² ≈ n²/k work)."""
+    from palo_spark.operators import semantic_dedup
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    allv = e.unionByName(dup)
+    return (
+        semantic_dedup(allv, centroids=cents, threshold=0.99, quantized=True)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )

@@ -459,3 +459,33 @@ def test_sql_frontend_query_keeps_pushdown(spark, sf_dir):
     plan = plan_of(QUERIES["sql_tpch_q1"](spark, sf_dir))
     assert "PushedFilters:" in plan and "l_shipdate" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semantic_dedup_no_cartesian_and_drops_planted(spark, sf_dir):
+    """SemDeDup candidate generation must be an equi-join on the cell id
+    (never all-pairs), and planted scaled copies (cosine exactly 1.0)
+    must always be eliminated — scaling cannot move a vector to a
+    different argmax cell than its original."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.operators import semantic_dedup
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(150)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = [r["embedding"] for r in e.orderBy("vec_id").limit(4).collect()]
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    n_planted = planted.count()
+    allv = e.unionByName(planted)
+    out = semantic_dedup(allv, centroids=cents, threshold=0.99)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    kept = [r.vec_id for r in out.select("vec_id").collect()]
+    assert n_planted > 0 and not any(v >= 500000 for v in kept)
+    assert len(kept) == e.count()
