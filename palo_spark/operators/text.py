@@ -644,3 +644,40 @@ def corpus_profile(
     return stats.crossJoin(F.broadcast(top_lang)).withColumn(
         "top_lang_share", F.round(F.col("_top_cnt") / F.col("n_docs"), 6)
     ).drop("_top_cnt")
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    weights: dict[str, int],
+    bias: int = 0,
+    threshold: int = 0,
+    out_col: str = "q_score",
+    label_col: str = "q_keep",
+) -> DataFrame:
+    """Linear text-quality classifier (the fastText / CCNet shape:
+    Joulin et al. 2016, arXiv:1607.01759 — a bag-of-words linear model,
+    the standard LLM-corpus quality filter à la wiki-ref classifiers).
+
+    Weights are trained OFFLINE and passed as a literal token→integer
+    map; scoring is ``score = bias + Σ_tokens weight(token)`` — one
+    JVM-side fold per row over a broadcast map literal (zero shuffles,
+    zero UDFs, whole-stage codegen). Integer weights make the score
+    bit-exact across engines — the deterministic-oracle form of the
+    float dot product a production classifier would use; swap the map
+    for float weights and the plan shape is unchanged. ``label_col`` is
+    ``score >= threshold`` (the keep/drop decision).
+    """
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    toks = tokenize(F.col(text_col))
+    score = F.aggregate(
+        toks,
+        F.lit(int(bias)).cast("long"),
+        lambda acc, w: acc + F.coalesce(F.element_at(wmap, w), F.lit(0).cast("long")),
+    )
+    return df.withColumn(out_col, score).withColumn(
+        label_col, (F.col(out_col) >= F.lit(int(threshold)))
+    )

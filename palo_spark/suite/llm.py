@@ -1967,3 +1967,48 @@ def dedup_semantic_semdedup(spark, sf_dir):
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+@q(
+    "text_quality_classifier",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(2 + list_sum(list_transform(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   w -> CASE w
+                        WHEN 'spark'  THEN 5
+                        WHEN 'fast'   THEN 4
+                        WHEN 'data'   THEN 3
+                        WHEN 'query'  THEN 2
+                        WHEN 'vector' THEN 2
+                        WHEN 'slow'   THEN -4
+                        WHEN 'dup'    THEN -3
+                        WHEN 'big'    THEN -1
+                        WHEN 'the'    THEN -1
+                        WHEN 'a'      THEN -1
+                        ELSE 0 END)) AS BIGINT) AS q_score
+        FROM documents
+    )
+    SELECT doc_id, q_score, q_score >= 10 AS q_keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Offline-trained linear quality classifier applied at scan time:
+    integer bag-of-words weights (fastText shape), score fold + keep
+    label, all inside whole-stage codegen. The oracle replays the same
+    weighted fold with DuckDB list_transform/list_sum."""
+    from palo_spark.operators import quality_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quality_classifier_score(
+        d,
+        weights={
+            "spark": 5, "fast": 4, "data": 3, "query": 2, "vector": 2,
+            "slow": -4, "dup": -3, "big": -1, "the": -1, "a": -1,
+        },
+        bias=2,
+        threshold=10,
+    )
+    return out.select("doc_id", "q_score", "q_keep").orderBy("doc_id")
