@@ -29,6 +29,7 @@ from palo_spark.operators.dedup import (  # noqa: F401
     resolve_dup_clusters,
     dedup_by_clusters,
     semantic_dedup,
+    substring_dup_docs,
 )
 from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,

@@ -734,3 +734,104 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dup, df[id_col] == dup["__dup"], "left_anti")
+
+
+def substring_dup_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 16,
+    stride: int = 1,
+    window: int | None = None,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact-substring dedup at document granularity (the signal from
+    Lee et al. 2022, arXiv:2107.06499 "Deduplicating Training Data
+    Makes Language Models Better": any k-token span shared verbatim
+    across documents marks a duplicate — catches quotes, licenses, and
+    boilerplate that Jaccard/MinHash miss on otherwise-different docs).
+
+    A distributed suffix array is unnecessary for the doc-level
+    decision: emit k-token grams, shuffle once on the gram key, keep
+    the minimum id per gram, and drop any doc that contains a gram
+    first seen in an earlier doc. ``hash_grams=True`` (default, the
+    scale path) keys the shuffle on ``xxhash64(gram)`` so long span
+    strings never ship — a collision falsely dropping a doc has
+    probability ≈ n_grams²/2⁶⁴; ``False`` keys on the span text itself
+    (exact, oracle-replayable).
+
+    Gram-volume knobs (the cost lever at 100 TB — full emission is one
+    gram per token position):
+
+    - ``window=w`` — winnowing (Schleimer et al. 2003, SIGMOD):
+      per doc, select the minimum-``xxhash64`` gram of every run of
+      ``w`` consecutive positions. Selection depends only on the span
+      CONTENT, never the span's offset in the doc, so any span of
+      length ≥ k + w − 1 shared by two docs selects at least one
+      identical gram in both — a real guarantee at ~``2/(w+1)`` of the
+      full gram volume. This is the knob to reach for.
+    - ``stride=s`` — fixed-grid subsampling (positions ``0, s, 2s…``).
+      CHEAPER BUT NO GUARANTEE: the two docs' grids can misalign over
+      the shared span (offsets differ mod s), so a shared span of any
+      length can be missed with probability ≈ (s−1)/s. Best-effort
+      sampling only; prefer ``window``.
+    """
+    from palo_spark.operators.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    n_eff = F.size(toks) - F.lit(k - 1)
+    starts = F.when(
+        n_eff > 0, F.transform(F.sequence(F.lit(0), n_eff - 1), lambda i: i)
+    ).otherwise(F.array().cast("array<int>"))
+    if stride > 1:
+        starts = F.filter(starts, lambda i: i % stride == 0)
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    if window is not None and window > 1:
+        # robust winnowing: for each w-window of consecutive gram
+        # positions take the (first-occurrence) min-hash position; the
+        # distinct set of winners is the fingerprint. O(n·w) element
+        # ops per row, all inside one codegen'd projection.
+        w = int(window)
+        hashes = F.transform(grams, lambda g: F.xxhash64(g))
+        n_win = F.size(hashes) - F.lit(w - 1)
+        win_starts = F.when(
+            n_win > 0,
+            F.transform(F.sequence(F.lit(0), n_win - 1), lambda j: j),
+        ).otherwise(F.array().cast("array<int>"))
+        winners = F.array_distinct(
+            F.transform(
+                win_starts,
+                lambda j: j
+                + F.array_position(
+                    F.slice(hashes, j + 1, w),
+                    F.array_min(F.slice(hashes, j + 1, w)),
+                )
+                - 1,
+            )
+        )
+        # short docs (>= 1 gram but < w of them): keep their single
+        # min-hash gram so they still participate in the index
+        short_min = F.when(
+            (F.size(hashes) > 0) & (n_win <= 0),
+            F.array(F.array_position(hashes, F.array_min(hashes)) - 1),
+        ).otherwise(F.array().cast("array<bigint>"))
+        sel = F.when(n_win > 0, winners).otherwise(short_min)
+        full_grams = grams
+        grams = F.transform(
+            sel, lambda i: F.element_at(full_grams, i.cast("int") + 1)
+        )
+    gram_col = F.explode(F.array_distinct(grams)).alias("__gram")
+    exploded = df.select(F.col(id_col).alias("__id"), gram_col)
+    if hash_grams:
+        exploded = exploded.select("__id", F.xxhash64("__gram").alias("__gram"))
+    first_seen = exploded.groupBy("__gram").agg(F.min("__id").alias("__first"))
+    dup = (
+        exploded.join(first_seen, "__gram")
+        .filter(F.col("__id") > F.col("__first"))
+        .select(F.col("__id").alias("__dup"))
+        .distinct()
+    )
+    return df.join(dup, df[id_col] == dup["__dup"], "left_anti")

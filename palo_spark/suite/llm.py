@@ -2012,3 +2012,70 @@ def text_quality_classifier(spark, sf_dir):
         threshold=10,
     )
     return out.select("doc_id", "q_score", "q_keep").orderBy("doc_id")
+
+
+@q(
+    "dedup_substring_spans",
+    r"""
+    WITH planted AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               'zz qq ' || array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+')[5:24], ' ') AS text
+        FROM documents
+        WHERE doc_id % 7 = 0
+          AND len(string_split_regex(trim(lower(text)), '\s+')) >= 25
+    ),
+    allv AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ),
+    tokd AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM allv
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+15], ' ')
+                      for i in range(1, len(toks) - 14)])) AS gram
+        FROM tokd WHERE len(toks) >= 16
+    ),
+    first_seen AS (SELECT gram, MIN(doc_id) AS fst FROM grams GROUP BY gram),
+    dup AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN first_seen f ON g.gram = f.gram
+        WHERE g.doc_id > f.fst
+    )
+    SELECT doc_id FROM allv WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring (shared k-token span) dedup over documents ∪
+    planted partial copies: every 7th doc spawns a new doc carrying a
+    verbatim 20-token excerpt behind fresh lead tokens — invisible to
+    whole-doc hashing, low-Jaccard, but caught by any of its five
+    shared 16-grams. ``hash_grams=False`` keys the shuffle on the span
+    text so DuckDB replays the gram index, min-id-first-seen, and
+    survivor selection as a genuine value oracle (the default hashed
+    form is pinned equal by pytest)."""
+    from palo_spark.operators import substring_dup_docs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    planted = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("__t", toks)
+        .filter(F.size("__t") >= 25)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.lit("zz qq "), F.array_join(F.slice("__t", 5, 20), " ")
+            ).alias("text"),
+        )
+    )
+    allv = d.unionByName(planted)
+    return (
+        substring_dup_docs(allv, k=16, hash_grams=False)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

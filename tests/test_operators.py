@@ -816,3 +816,45 @@ def test_training_order_partitioning_independent(spark):
     c = training_order(df, "doc_id", shards=8, seed=4)
     rc = {r["doc_id"]: (r["shard"], r["pos"]) for r in c.collect()}
     assert rc != ra
+
+
+def test_substring_dedup_hashed_equals_exact_and_winnow_recall(spark, sf_dir):
+    """xxhash64 gram keying must agree with exact span keying on the
+    fixture, and winnowing (window=4) must catch every shared span of
+    length >= k + w - 1 = 19 (content-defined selection is offset-
+    independent, so both copies select an identical gram)."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.operators import substring_dup_docs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    planted = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("__t", toks)
+        .filter(F.size("__t") >= 30)
+        .select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.concat(
+                F.lit("aa bb cc "), F.array_join(F.slice("__t", 3, 20), " ")
+            ).alias("text"),
+        )
+    )
+    allv = d.unionByName(planted)
+    exact = {
+        r.doc_id
+        for r in substring_dup_docs(allv, k=16, hash_grams=False).select("doc_id").collect()
+    }
+    hashed = {
+        r.doc_id
+        for r in substring_dup_docs(allv, k=16, hash_grams=True).select("doc_id").collect()
+    }
+    assert exact == hashed
+    # winnowing: shared run is 20 tokens, k=16, w=4 → guarantee needs
+    # span >= k + w - 1 = 19 <= 20 ✓, at ~2/(w+1) of the gram volume
+    winnowed = {
+        r.doc_id
+        for r in substring_dup_docs(allv, k=16, window=4).select("doc_id").collect()
+    }
+    assert planted.count() > 0
+    assert not any(v >= 900000 for v in winnowed)
