@@ -80,6 +80,13 @@ HEADLINE = [
     "sample_heavy_hitters",
     "dedup_url_normalized",
     "text_intra_doc_line_dedup",
+    # r5 continuation, second wave: SQL QUALIFY, lateral-view generators,
+    # SemDeDup, substring/winnowing dedup, linear quality classifier
+    "sql_qualify_topn_per_group",
+    "sql_lateral_explode_split",
+    "dedup_semantic_semdedup",
+    "dedup_substring_spans",
+    "text_quality_classifier",
 ]
 
 

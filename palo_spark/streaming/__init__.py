@@ -210,3 +210,62 @@ def windowed_counts(
     return w.groupBy(*keys).agg(
         F.count("*").alias("n"), F.sum("value").alias("sum_value")
     )
+
+
+def streaming_running_agg(
+    src: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+):
+    """Streaming AGGREGATE-key table semantics (the continuous form of
+    ``tables.py``'s aggregate model): per key, maintain running
+    ``(sum, max, count)`` across micro-batches and RESTARTS, emitting
+    the updated running totals for every key touched by a batch — what
+    Doris's aggregate-key model shows a reader after each Routine Load
+    commit.
+
+    Built on ``applyInPandasWithState`` keyed state: one hash shuffle
+    on the key, Arrow-batched, a single O(1) state tuple per key in the
+    checkpointed state store (RocksDB-backed and sharded by the same
+    key shuffle at scale). Spark 4's ``transformWithStateInPandas`` is
+    the successor API for this exact shape (typed ValueState + TTL);
+    it requires the ``protobuf`` wheel, absent in this environment —
+    the GroupState form below is semantically identical here.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in key_cols]
+    ) + ", sum_value double, max_value double, n_rows bigint"
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            s, mx, c = state.get
+        else:
+            s, mx, c = 0.0, None, 0
+        for pdf in pdf_iter:
+            v = pdf[value_col].dropna()
+            if len(v):
+                s += float(v.sum())
+                bmx = float(v.max())
+                mx = bmx if mx is None else max(mx, bmx)
+            c += int(len(pdf))
+        state.update((s, mx, c))
+        yield pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(key_cols)},
+                "sum_value": [s],
+                "max_value": [mx],
+                "n_rows": [c],
+            }
+        )
+
+    return src.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="s double, mx double, c bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,93 @@ def streaming_session_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@q(
+    "streaming_running_agg_model",
+    """
+    SELECT event_type,
+           CAST(SUM(cents) AS DOUBLE) AS sum_value,
+           CAST(MAX(cents) AS DOUBLE) AS max_value,
+           COUNT(*) AS n_rows
+    FROM (
+        SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 4 = 0
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_running_agg_model(spark, sf_dir):
+    """Continuous AGGREGATE-key model via ``transformWithStateInPandas``
+    (``streaming.streaming_running_agg``): per-key running (sum, max,
+    count) ValueState maintained across micro-batches AND a restart —
+    the stream is fed in two halves through the same checkpoint. Every
+    batch emits the key's running totals; the LAST emission per key
+    (unique: the running count strictly increases) must equal the plain
+    batch aggregate of everything fed — which is exactly what the
+    DuckDB oracle computes. Values are floor-quantized to integer cents
+    upstream so state addition is order-exact (doubles stay exact
+    through 2^53)."""
+    base = os.path.join(_ROOT, "runagg")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "incoming")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    from palo_spark.streaming import streaming_running_agg
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("double").alias("value"),
+        )
+    )
+    schema = "event_id long, event_type string, value double"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        (
+            streaming_running_agg(stream, ["event_type"], "value")
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out_dir)
+            )
+            .start()
+            .awaitTermination()
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev.filter(F.col("event_id") % 8 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        run()  # first half
+        ev.filter(F.col("event_id") % 8 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        run()  # second half through the same checkpoint (restart)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    snaps = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_rows"))
+    return (
+        snaps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "sum_value", "max_value", "n_rows")
+        .orderBy("event_type")
+    )
