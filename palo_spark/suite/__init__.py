@@ -112,7 +112,11 @@ _PRIORITY = [
 # table_model_{auto_partition,bitmap_union_col,partition_rollup},
 # text_intra_doc_line_dedup, dedup_url_normalized,
 # corpus_profile_report, multimodal_real_ppm_codec,
-# embedding_pca_variance.
+# embedding_pca_variance; second wave: sql_lateral_explode_split,
+# sql_lateral_explode_json_numbers, sql_qualify_topn_per_group,
+# sql_qualify_direct_window, dedup_semantic_semdedup,
+# dedup_substring_spans, text_quality_classifier,
+# streaming_running_agg_model.
 
 
 def _reorder(d: dict) -> dict:
