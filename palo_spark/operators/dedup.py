@@ -779,23 +779,48 @@ def substring_dup_docs(
     """
     from palo_spark.operators.text import tokenize
 
-    toks = tokenize(F.col(text_col))
+    # Stage the computation as MATERIALIZED projections (__toks, __grams,
+    # __h as real columns), never nested expression trees: higher-order
+    # lambdas are interpreted, so an expression referenced inside a
+    # lambda body is RE-EVALUATED per element — composing tokenize
+    # inside the per-gram lambda costs O(tokens²) chars per row, and
+    # the winnow argmin over an inline hash array costs O(grams²·k).
+    # Column references are O(1); Catalyst keeps the projections apart
+    # because the defining expressions are expensive and multi-referenced
+    # (collapseProjectAlwaysInline=false default).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    if src.rdd.getNumPartitions() < parallelism:
+        # few-file inputs (one parquet footer at small SF) would run the
+        # whole gram projection on 1-2 tasks; the doc table is narrow
+        # here (id + text), so this shuffle is cheap insurance
+        src = src.repartition(parallelism)
+    staged = src.select("__id", tokenize(F.col("__text")).alias("__toks"))
+    toks = F.col("__toks")
     n_eff = F.size(toks) - F.lit(k - 1)
     starts = F.when(
         n_eff > 0, F.transform(F.sequence(F.lit(0), n_eff - 1), lambda i: i)
     ).otherwise(F.array().cast("array<int>"))
     if stride > 1:
         starts = F.filter(starts, lambda i: i % stride == 0)
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    staged = staged.select(
+        "__id",
+        F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+        ).alias("__grams"),
     )
     if window is not None and window > 1:
         # robust winnowing: for each w-window of consecutive gram
         # positions take the (first-occurrence) min-hash position; the
         # distinct set of winners is the fingerprint. O(n·w) element
-        # ops per row, all inside one codegen'd projection.
+        # ops per row over the materialized __h column.
         w = int(window)
-        hashes = F.transform(grams, lambda g: F.xxhash64(g))
+        staged = staged.select(
+            "__id",
+            "__grams",
+            F.transform(F.col("__grams"), lambda g: F.xxhash64(g)).alias("__h"),
+        )
+        hashes = F.col("__h")
         n_win = F.size(hashes) - F.lit(w - 1)
         win_starts = F.when(
             n_win > 0,
@@ -819,12 +844,16 @@ def substring_dup_docs(
             F.array(F.array_position(hashes, F.array_min(hashes)) - 1),
         ).otherwise(F.array().cast("array<bigint>"))
         sel = F.when(n_win > 0, winners).otherwise(short_min)
-        full_grams = grams
-        grams = F.transform(
-            sel, lambda i: F.element_at(full_grams, i.cast("int") + 1)
+        grams_col = F.col("__grams")
+        staged = staged.select(
+            "__id",
+            F.transform(
+                sel, lambda i: F.element_at(grams_col, i.cast("int") + 1)
+            ).alias("__grams"),
         )
-    gram_col = F.explode(F.array_distinct(grams)).alias("__gram")
-    exploded = df.select(F.col(id_col).alias("__id"), gram_col)
+    exploded = staged.select(
+        "__id", F.explode(F.array_distinct(F.col("__grams"))).alias("__gram")
+    )
     if hash_grams:
         exploded = exploded.select("__id", F.xxhash64("__gram").alias("__gram"))
     first_seen = exploded.groupBy("__gram").agg(F.min("__id").alias("__first"))
