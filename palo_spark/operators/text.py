@@ -534,19 +534,25 @@ def dedup_intra_doc_lines(
 
     Adds ``{text_col}_dedup``, ``n_lines``, ``n_lines_dedup``.
     """
-    lines = F.split(F.col(text_col), F.lit(line_sep), -1)
+    # __lines is a MATERIALIZED column, not an inline expression: HOF
+    # lambdas are interpreted, so referencing the split() inside the
+    # filter lambda would re-split the whole text once per line
+    # (O(lines × text_len) per row instead of one split)
+    staged = df.withColumn("__lines", F.split(F.col(text_col), F.lit(line_sep), -1))
+    lines = F.col("__lines")
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
     # NULL text propagates as NULL outputs (size() would yield -1)
     null_guard = F.col(text_col).isNull()
     return (
-        df.withColumn("n_lines", F.when(~null_guard, F.size(lines)))
+        staged.withColumn("n_lines", F.when(~null_guard, F.size(lines)))
         .withColumn("n_lines_dedup", F.when(~null_guard, F.size(kept)))
         .withColumn(
             f"{text_col}_dedup",
             F.when(~null_guard, F.array_join(kept, line_sep)),
         )
+        .drop("__lines")
     )
 
 
