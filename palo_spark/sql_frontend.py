@@ -42,6 +42,13 @@ What it rewrites (MySQL/Doris semantics → Spark semantics):
 - ``date_trunc(datetime, 'unit')`` (Doris arg order) →
   ``date_trunc('unit', datetime)`` (Spark arg order); only swapped when
   the *second* arg is the string literal, so Spark-order text is stable.
+- Doris LATERAL VIEW table functions — ``explode_split(s, delim)``
+  (regex-escaped literal delimiter), ``explode_json_array_int/double/
+  string``, ``explode_numbers`` — → plain ``explode()`` over native
+  array expressions (an ordinary Generate node, no UDF).
+- Doris 2.0 ``QUALIFY`` → lateral boolean column + ``SELECT * EXCEPT``
+  wrap (filter stays ABOVE the window, per QUALIFY semantics);
+  innermost-first for nested blocks, DISTINCT blocks fail loud.
 - Doris bracket join hints ``JOIN [broadcast] t`` / ``JOIN [shuffle] t``
   → Spark ``/*+ BROADCAST(t) */`` / ``/*+ SHUFFLE_HASH(t) */`` hint
   comments on the enclosing SELECT block — the per-join physical-strategy

@@ -706,3 +706,159 @@ def tpcds_cov_filter(spark, sf_dir):
         .select("p_brand", "n", F.col("sum_c").cast("long").alias("sum_cents"))
         .orderBy("p_brand")
     )
+
+
+@q(
+    "tpcds_purchase_streaks",
+    """
+    WITH monthly AS (
+        SELECT DISTINCT o_custkey,
+               CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+                 + CAST(strftime(o_orderdate, '%m') AS INT) AS mi
+        FROM orders
+    ),
+    grp AS (
+        SELECT o_custkey, mi,
+               mi - CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY mi) AS INT) AS g
+        FROM monthly
+    ),
+    streaks AS (
+        SELECT o_custkey, g, COUNT(*) AS len
+        FROM grp GROUP BY o_custkey, g
+    )
+    SELECT o_custkey, CAST(MAX(len) AS INT) AS max_streak
+    FROM streaks
+    GROUP BY o_custkey
+    HAVING MAX(len) >= 3
+    ORDER BY max_streak DESC, o_custkey
+    LIMIT 50
+    """,
+)
+def tpcds_purchase_streaks(spark, sf_dir):
+    """Gaps-and-islands consecutive-behavior shape (TPC-DS q… sequential
+    purchase analysis): per customer, the longest run of CONSECUTIVE
+    months with at least one order. month_index − dense_rank(month_index)
+    is constant within a consecutive run (the islands trick), so one
+    window + two keyed aggregations produce streak lengths; all frames
+    after the first DISTINCT are |customers × months| — tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("mi"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    grp = monthly.withColumn(
+        "g", F.col("mi") - F.dense_rank().over(w).cast("int")
+    )
+    streaks = grp.groupBy("o_custkey", "g").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(F.max("len").cast("int").alias("max_streak"))
+        .filter(F.col("max_streak") >= 3)
+        .orderBy(F.desc("max_streak"), "o_custkey")
+        .limit(50)
+    )
+
+
+@q(
+    "tpcds_rolling_3mo_avg",
+    """
+    WITH monthly AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY n_name, strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT n_name, ym,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents,
+           COUNT(*) OVER w AS roll_n
+    FROM monthly
+    WINDOW w AS (PARTITION BY n_name ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY n_name, ym
+    """,
+)
+def tpcds_rolling_3mo_avg(spark, sf_dir):
+    """Rolling-frame trend shape (TPC-DS q47-adjacent): nation×month
+    revenue with a 3-month ROWS frame. Integer cents keep the rolling
+    sums bit-exact; the window input is the post-aggregate frame, so the
+    frame scan is |nations × months| regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("ym")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        monthly.select(
+            "n_name",
+            "ym",
+            F.col("cents").cast("long").alias("cents"),
+            F.sum("cents").over(w).cast("long").alias("roll_cents"),
+            F.count("*").over(w).alias("roll_n"),
+        )
+        .orderBy("n_name", "ym")
+    )
+
+
+@q(
+    "tpcds_spend_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT o_custkey, cents,
+               NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MIN(cents) AS BIGINT) AS floor_cents,
+           CAST(MAX(cents) AS BIGINT) AS ceil_cents
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def tpcds_spend_deciles(spark, sf_dir):
+    """Customer-stratification shape (TPC-DS customer segmentation):
+    NTILE(10) deciles of per-customer spend, then per-decile totals and
+    boundaries. The tile order key (cents, custkey) is unique, so tile
+    assignment is deterministic; the NTILE input is the post-aggregate
+    |customers| frame. A global NTILE is a single-partition window —
+    fine here because the frame is already reduced; at extreme
+    cardinality swap in percent_rank-bucketing, which shuffles by
+    range instead."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("cents").cast("long").alias("floor_cents"),
+            F.max("cents").cast("long").alias("ceil_cents"),
+        )
+        .orderBy("decile")
+    )
