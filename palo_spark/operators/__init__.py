@@ -68,6 +68,7 @@ from palo_spark.operators.text import (  # noqa: F401
     dedup_by_url,
     corpus_profile,
     quality_classifier_score,
+    perplexity_score,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -390,3 +390,54 @@ def grouped_heavy_hitters(
         per_group,
         f"{group_col} {gtype}, value string, est_count long, max_err long, rank int",
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    id_col: str,
+    *,
+    budget: int,
+    group_col: str | None = None,
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+    mode: str = "minstd",
+) -> DataFrame:
+    """Token-budget quota sampling: keep documents in deterministic
+    hash-priority order until each group's token budget fills — the
+    "give me ~10B tokens per source" step of corpus assembly, as a
+    partitioning-independent filter (same selection on any cluster
+    layout / re-run, like :func:`sample_hash`).
+
+    A doc is kept iff the cumulative token count of strictly-higher-
+    priority docs in its group is < ``budget`` — so the first doc of a
+    group is always kept and the selection overshoots by at most one
+    document (the boundary doc), the standard quota convention. One
+    window per group (cumulative sum over the priority order);
+    ``group_col=None`` runs a single global window — fine for a
+    post-aggregation frame, but at corpus scale ALWAYS pass a group
+    (source, language, shard): per-group windows shuffle once on the
+    group key and parallelize across groups.
+    """
+    from palo_spark.operators.text import token_count
+
+    ntok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else token_count(F.col(text_col), mode="whitespace")
+    )
+    staged = df.withColumn("__ntok", ntok.cast("long")).withColumn(
+        "__pr", _hash_u(id_col, seed, mode)
+    )
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__pr", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("__ntok").over(w), F.lit(0))
+    return (
+        staged.withColumn("__before", cum_before)
+        .filter(F.col("__before") < F.lit(int(budget)))
+        .drop("__ntok", "__pr", "__before")
+    )

@@ -687,3 +687,71 @@ def quality_classifier_score(
     return df.withColumn(out_col, score).withColumn(
         label_col, (F.col(out_col) >= F.lit(int(threshold)))
     )
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    bigram_logprobs: dict[tuple[str, str], int],
+    unigram_logprobs: dict[str, int],
+    oov_logprob: int = -10000,
+    out_col: str = "ppl_milli",
+) -> DataFrame:
+    """n-gram LM scoring for perplexity filtering (the CCNet shape —
+    Wenzek et al. 2020, arXiv:1911.00359 — where a small LM trained on
+    clean text scores candidate documents and high-perplexity docs are
+    dropped or down-weighted).
+
+    The model ships as literal token-level log-probability tables in
+    MILLI-nats (integers → bit-exact across engines, like
+    ``quality_classifier_score``): per token position i ≥ 1, score
+    ``logp(tokᵢ | tokᵢ₋₁)`` from the bigram table, backing off to the
+    unigram table, then to ``oov_logprob``. Output is the NEGATIVE mean
+    per-token log-prob × 1000 (integer-rounded toward -∞) — the
+    monotone stand-in for perplexity (= exp of it / 1000).
+
+    Execution: one fold over the token array per row against two
+    constant-folded literal maps — no shuffle, no UDF. A production
+    KenLM swap changes only the map source (broadcast instead of
+    literal); the plan shape is identical.
+    """
+    bmap = F.create_map(
+        *[
+            x
+            for (a, b), v in sorted(bigram_logprobs.items())
+            for x in (F.lit(a + "\x1f" + b), F.lit(int(v)))
+        ]
+    )
+    umap = F.create_map(
+        *[
+            x
+            for k, v in sorted(unigram_logprobs.items())
+            for x in (F.lit(k), F.lit(int(v)))
+        ]
+    )
+    staged = df.withColumn("__toks", tokenize(F.col(text_col)))
+    toks = F.col("__toks")
+    n_scored = F.greatest(F.size(toks) - 1, F.lit(1))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.coalesce(
+            F.element_at(
+                bmap,
+                F.concat(
+                    F.element_at(toks, i.cast("int")),
+                    F.lit("\x1f"),
+                    F.element_at(toks, i.cast("int") + 1),
+                ),
+            ),
+            F.element_at(umap, F.element_at(toks, i.cast("int") + 1)),
+            F.lit(int(oov_logprob)).cast("long"),
+        ),
+    )
+    neg_mean_milli = F.floor(-total.cast("double") / n_scored).cast("long")
+    return staged.withColumn(
+        out_col,
+        F.when(F.size(toks) >= 2, neg_mean_milli).otherwise(F.lit(None).cast("long")),
+    ).drop("__toks")

@@ -2079,3 +2079,74 @@ def dedup_substring_spans(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+#: tiny n-gram LM for the perplexity entry: milli-nat log-probs over the
+#: fixture vocabulary (values are arbitrary but FIXED — the entry tests
+#: the scoring fold, not the model)
+_PPL_UNI = {
+    "the": -2000, "data": -2500, "query": -2800, "spark": -2600,
+    "join": -2700, "table": -2900, "fast": -3100, "slow": -3300,
+    "merge": -3000, "row": -3200,
+}
+_PPL_BI = {
+    ("the", "data"): -1200, ("data", "query"): -1500,
+    ("spark", "join"): -1400, ("fast", "table"): -1800,
+    ("slow", "merge"): -1700, ("table", "scan"): -1600,
+    ("join", "order"): -1900, ("row", "data"): -2100,
+}
+
+
+def _ppl_case_sql() -> str:
+    bi = " ".join(
+        f"WHEN toks[i-1] = '{a}' AND toks[i] = '{b}' THEN CAST({v} AS BIGINT)"
+        for (a, b), v in sorted(_PPL_BI.items())
+    )
+    uni = " ".join(
+        f"WHEN toks[i] = '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in sorted(_PPL_UNI.items())
+    )
+    return (
+        f"COALESCE(CASE {bi} ELSE NULL END, CASE {uni} ELSE NULL END, "
+        f"CAST(-10000 AS BIGINT))"
+    )
+
+
+@q(
+    "text_perplexity_filter",
+    rf"""
+    WITH tokd AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(-CAST(list_sum(list_transform(
+                       range(2, len(toks) + 1), i -> {_ppl_case_sql()}))
+                   AS DOUBLE) / greatest(len(toks) - 1, 1)) AS BIGINT)
+                   AS ppl_milli
+        FROM tokd WHERE len(toks) >= 2
+    )
+    SELECT doc_id, ppl_milli FROM scored
+    WHERE ppl_milli <= 9000
+    ORDER BY doc_id
+    """,
+)
+def text_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): a small
+    n-gram LM (literal bigram + unigram milli-nat tables with OOV
+    backoff) scores every document in one fold per row — no shuffle,
+    no UDF — and docs above the perplexity threshold are dropped.
+    Integer milli log-probs make the fold bit-exact; the oracle replays
+    the same backoff chain with DuckDB list_transform + CASE tables."""
+    from palo_spark.operators import perplexity_score
+
+    d = load_table(spark, sf_dir, "documents")
+    out = perplexity_score(
+        d, bigram_logprobs=_PPL_BI, unigram_logprobs=_PPL_UNI, oov_logprob=-10000
+    )
+    return (
+        out.filter(F.col("ppl_milli") <= 9000)
+        .select("doc_id", "ppl_milli")
+        .orderBy("doc_id")
+    )

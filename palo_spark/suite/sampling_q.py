@@ -230,3 +230,45 @@ def sample_training_order(spark, sf_dir):
     return training_order(docs, "doc_id", shards=16, seed=7).select(
         "doc_id", "shard", "pos"
     )
+
+
+@q(
+    "sample_token_budget",
+    rf"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+               {o_hash_u('doc_id', 11)} AS pr
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, ntok,
+               COALESCE(SUM(ntok) OVER (
+                   PARTITION BY source ORDER BY pr, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM staged
+    )
+    SELECT doc_id, source FROM cum WHERE before < 2000
+    ORDER BY source, doc_id
+    """,
+)
+def sample_token_budget_q(spark, sf_dir):
+    """Token-budget quota sampling (`sampling.sample_token_budget`):
+    per source, keep documents in deterministic minstd-priority order
+    until ~2000 tokens are selected (overshoot ≤ 1 doc, first doc of a
+    source always kept). Partitioning-independent — the oracle replays
+    the hash priority AND the cumulative-sum cutoff exactly, so the
+    selected row SET is verified, not just its size. One window per
+    source group; the scale contract is per-group budgets (global
+    budget = single window, post-aggregation frames only)."""
+    from palo_spark.operators.sampling import sample_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sample_token_budget(
+            d, "doc_id", budget=2000, group_col="source", seed=11, mode="minstd"
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
