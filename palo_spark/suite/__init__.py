@@ -116,7 +116,9 @@ _PRIORITY = [
 # sql_lateral_explode_json_numbers, sql_qualify_topn_per_group,
 # sql_qualify_direct_window, dedup_semantic_semdedup,
 # dedup_substring_spans, text_quality_classifier,
-# streaming_running_agg_model.
+# streaming_running_agg_model, text_perplexity_filter,
+# sample_token_budget, tpcds_purchase_streaks, tpcds_rolling_3mo_avg,
+# tpcds_spend_deciles.
 
 
 def _reorder(d: dict) -> dict:

@@ -858,3 +858,32 @@ def test_substring_dedup_hashed_equals_exact_and_winnow_recall(spark, sf_dir):
     }
     assert planted.count() > 0
     assert not any(v >= 900000 for v in winnowed)
+
+
+def test_token_budget_overshoot_and_partition_independence(spark, sf_dir):
+    """Per group: tokens-before-last-kept < budget (overshoot <= 1 doc),
+    and the selected id set is identical under a different input
+    partitioning (the quota is a pure function of ids and token counts)."""
+    from palo_spark.operators.sampling import sample_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = sample_token_budget(
+        d, "doc_id", budget=1500, group_col="source", seed=3, mode="minstd"
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids_repart = {
+        r.doc_id
+        for r in sample_token_budget(
+            d.repartition(13, "lang"), "doc_id", budget=1500,
+            group_col="source", seed=3, mode="minstd",
+        ).select("doc_id").collect()
+    }
+    assert ids == ids_repart and ids
+    # budget check: total tokens minus the largest kept doc < budget
+    stats = (
+        kept.withColumn("__n", F.size(F.split(F.trim("text"), r"\s+")))
+        .groupBy("source")
+        .agg(F.sum("__n").alias("tot"), F.max("__n").alias("mx"))
+        .collect()
+    )
+    assert stats and all(r.tot - r.mx < 1500 for r in stats)

@@ -489,3 +489,24 @@ def test_semantic_dedup_no_cartesian_and_drops_planted(spark, sf_dir):
     kept = [r.vec_id for r in out.select("vec_id").collect()]
     assert n_planted > 0 and not any(v >= 500000 for v in kept)
     assert len(kept) == e.count()
+
+
+def test_qualify_filter_stays_above_window(spark, sf_dir):
+    """QUALIFY semantics: the predicate filters window RESULTS, so the
+    optimized plan must keep the Filter above the Window node (a filter
+    pushed below the window would change row_number assignments)."""
+    from palo_spark.catalog import register_views
+    from palo_spark.sql_frontend import doris_sql
+
+    register_views(spark, sf_dir)
+    df = doris_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey FROM `orders` QUALIFY "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1",
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    w = opt.find("Window")
+    f = opt.find("Filter")
+    assert w != -1 and f != -1
+    # toString prints top-down: the Filter line must come BEFORE Window
+    assert f < w
