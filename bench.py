@@ -87,6 +87,9 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "dedup_substring_spans",
     "text_quality_classifier",
+    "tpcds_purchase_streaks",
+    "text_perplexity_filter",
+    "sample_token_budget",
 ]
 
 

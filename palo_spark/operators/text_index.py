@@ -47,6 +47,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 64,
+    skip_if_current: bool = False,
 ) -> None:
     """Write the inverted index for ``df`` at ``path``: distinct
     ``(token, doc_id)`` postings, hash-partitioned into ``buckets``
@@ -56,7 +57,34 @@ def build_text_index(
 
     Size ``buckets`` so one bucket ≈ one scan task's worth of posting
     bytes at the target corpus (more buckets = finer pruning, more
-    files)."""
+    files).
+
+    ``skip_if_current=True`` fingerprints the corpus (count + xxhash64
+    fold over (id, text) — one narrow aggregate, no shuffle of text)
+    and no-ops when the on-disk index was built from the same corpus
+    with the same parameters — the Doris posture, where the inverted
+    index is maintained at LOAD time and queries only read it.
+    """
+    spark = df.sparkSession
+    fp = None
+    if skip_if_current:
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(F.col(id_col), F.col(text_col))).alias("h"),
+        ).head()
+        fp = f"{agg['n']}:{agg['h']}"
+        try:
+            row = spark.read.parquet(path + "/_palo_index_meta").head()
+            meta = row.asDict()
+            if (
+                meta.get("buckets") == buckets
+                and meta.get("text_col") == text_col
+                and meta.get("id_col") == id_col
+                and meta.get("fingerprint") == fp
+            ):
+                return
+        except Exception:
+            pass  # absent/old-format index → build
     posting = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -73,10 +101,9 @@ def build_text_index(
     # self-describing index: readers must bucket query tokens with the
     # SAME modulus the writer used — a mismatched guess silently probes
     # empty partitions, so the index carries its parameters
-    spark = df.sparkSession
     spark.createDataFrame(
-        [(int(buckets), text_col, id_col)],
-        "buckets int, text_col string, id_col string",
+        [(int(buckets), text_col, id_col, fp)],
+        "buckets int, text_col string, id_col string, fingerprint string",
     ).write.mode("overwrite").parquet(path + "/_palo_index_meta")
 
 

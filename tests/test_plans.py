@@ -510,3 +510,24 @@ def test_qualify_filter_stays_above_window(spark, sf_dir):
     assert w != -1 and f != -1
     # toString prints top-down: the Filter line must come BEFORE Window
     assert f < w
+
+
+def test_text_index_fingerprint_skip_and_rebuild(spark, sf_dir, tmp_path):
+    """skip_if_current must no-op on an unchanged corpus and REBUILD when
+    the corpus content changes (fingerprint covers (id, text))."""
+    import os
+
+    from palo_spark.operators import build_text_index, match_any_indexed
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, buckets=8, skip_if_current=True)
+    mtime = os.path.getmtime(os.path.join(path, "_palo_index_meta"))
+    build_text_index(docs, path, buckets=8, skip_if_current=True)
+    assert os.path.getmtime(os.path.join(path, "_palo_index_meta")) == mtime
+    changed = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzextra"))
+    )
+    build_text_index(changed, path, buckets=8, skip_if_current=True)
+    assert os.path.getmtime(os.path.join(path, "_palo_index_meta")) != mtime
+    assert match_any_indexed(changed, path, "zzzextra").count() == 50
