@@ -110,6 +110,20 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # spin up the Arrow/pandas Python workers once, so pandas_udf-backed
+    # entries measure the operator rather than the worker fork+import
+    # (~1.5-6s one-time cost that would otherwise land on whichever
+    # UDF entry runs first)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def __warm_udf(s):
+        return s
+
+    spark.range(1000).select(__warm_udf("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
     # setup-warmup: entries whose first call builds a persistent structure
     # (rollups are maintained on load, not per query) — run once untimed so
     # the timed run measures the operator's read path, not the build.

@@ -2,10 +2,16 @@
 
 Everything is native Catalyst expression work (regexp, split, array
 higher-order functions, joins) — per-row projections plus explicitly
-keyed aggregations, nothing driver-side, no Python UDFs.
+keyed aggregations, nothing driver-side. One exception: the n-gram LM
+scorer (:func:`perplexity_score`) is an Arrow-batched pandas_udf —
+dict-table lookups are ~60× faster there than as an interpreted
+aggregate-lambda fold, and immune to Catalyst re-evaluating projection
+expressions under pushdown (no row-at-a-time Python anywhere).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -678,14 +684,22 @@ def quality_classifier_score(
     wmap = F.create_map(
         *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
     )
-    toks = tokenize(F.col(text_col))
-    score = F.aggregate(
-        toks,
-        F.lit(int(bias)).cast("long"),
-        lambda acc, w: acc + F.coalesce(F.element_at(wmap, w), F.lit(0).cast("long")),
+    # stage tokens AND the weight map as real columns: lambda bodies are
+    # interpreted and constant folding does not reach inside them, so an
+    # inline CreateMap would be rebuilt once per TOKEN
+    staged = df.withColumn("__toks", tokenize(F.col(text_col))).withColumn(
+        "__wmap", wmap
     )
-    return df.withColumn(out_col, score).withColumn(
-        label_col, (F.col(out_col) >= F.lit(int(threshold)))
+    score = F.aggregate(
+        F.col("__toks"),
+        F.lit(int(bias)).cast("long"),
+        lambda acc, w: acc
+        + F.coalesce(F.element_at(F.col("__wmap"), w), F.lit(0).cast("long")),
+    )
+    return (
+        staged.withColumn(out_col, score)
+        .withColumn(label_col, (F.col(out_col) >= F.lit(int(threshold))))
+        .drop("__toks", "__wmap")
     )
 
 
@@ -703,55 +717,48 @@ def perplexity_score(
     clean text scores candidate documents and high-perplexity docs are
     dropped or down-weighted).
 
-    The model ships as literal token-level log-probability tables in
-    MILLI-nats (integers → bit-exact across engines, like
-    ``quality_classifier_score``): per token position i ≥ 1, score
-    ``logp(tokᵢ | tokᵢ₋₁)`` from the bigram table, backing off to the
-    unigram table, then to ``oov_logprob``. Output is the NEGATIVE mean
-    per-token log-prob × 1000 (integer-rounded toward -∞) — the
-    monotone stand-in for perplexity (= exp of it / 1000).
+    The model ships as token-level log-probability tables in MILLI-nats
+    (integers → bit-exact across engines): per token position i ≥ 1,
+    score ``logp(tokᵢ | tokᵢ₋₁)`` from the bigram table, backing off to
+    the unigram table, then to ``oov_logprob``. Output is the NEGATIVE
+    mean per-token log-prob × 1000 (floored toward −∞) — the monotone
+    stand-in for perplexity (= exp of it / 1000); NULL for docs with
+    < 2 tokens.
 
-    Execution: one fold over the token array per row against two
-    constant-folded literal maps — no shuffle, no UDF. A production
-    KenLM swap changes only the map source (broadcast instead of
-    literal); the plan shape is identical.
+    Kernel choice: ONE Arrow-batched pandas_udf — dict lookups over the
+    token array, tables closed over (shipped once per executor, exactly
+    how a real KenLM binary would ride along). The all-native
+    alternative (aggregate-lambda fold over literal maps) computes the
+    same thing but interpreted at ~60µs/row, and Catalyst's predicate
+    pushdown + range-sort sampling re-evaluate projection expressions
+    (a downstream ``filter(score <= t).orderBy(...)`` ran the fold 4×:
+    measured 16.5s vs ~0.3s for this kernel at sf0.1). No shuffle; one
+    Python stage.
     """
-    bmap = F.create_map(
-        *[
-            x
-            for (a, b), v in sorted(bigram_logprobs.items())
-            for x in (F.lit(a + "\x1f" + b), F.lit(int(v)))
-        ]
-    )
-    umap = F.create_map(
-        *[
-            x
-            for k, v in sorted(unigram_logprobs.items())
-            for x in (F.lit(k), F.lit(int(v)))
-        ]
-    )
-    staged = df.withColumn("__toks", tokenize(F.col(text_col)))
-    toks = F.col("__toks")
-    n_scored = F.greatest(F.size(toks) - 1, F.lit(1))
-    total = F.aggregate(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.coalesce(
-            F.element_at(
-                bmap,
-                F.concat(
-                    F.element_at(toks, i.cast("int")),
-                    F.lit("\x1f"),
-                    F.element_at(toks, i.cast("int") + 1),
-                ),
-            ),
-            F.element_at(umap, F.element_at(toks, i.cast("int") + 1)),
-            F.lit(int(oov_logprob)).cast("long"),
-        ),
-    )
-    neg_mean_milli = F.floor(-total.cast("double") / n_scored).cast("long")
-    return staged.withColumn(
-        out_col,
-        F.when(F.size(toks) >= 2, neg_mean_milli).otherwise(F.lit(None).cast("long")),
-    ).drop("__toks")
+    import math
+
+    bi = {f"{a}\x1f{b}": int(v) for (a, b), v in bigram_logprobs.items()}
+    uni = {k: int(v) for k, v in unigram_logprobs.items()}
+    oov = int(oov_logprob)
+
+    @F.pandas_udf("bigint")
+    def _score(toks_s: pd.Series) -> pd.Series:
+        out = []
+        for toks in toks_s:
+            if toks is None or len(toks) < 2:
+                out.append(None)
+                continue
+            total = 0
+            prev = toks[0]
+            for cur in toks[1:]:
+                v = bi.get(f"{prev}\x1f{cur}")
+                if v is None:
+                    v = uni.get(cur)
+                    if v is None:
+                        v = oov
+                total += v
+                prev = cur
+            out.append(math.floor(-total / (len(toks) - 1)))
+        return pd.Series(out, dtype="Int64")
+
+    return df.withColumn(out_col, _score(tokenize(F.col(text_col))))
