@@ -43,6 +43,8 @@ every produced plan is the same Catalyst plan the DataFrame API builds.
 from __future__ import annotations
 
 import re
+import shutil as _sh
+import tempfile as _tf
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -271,6 +273,31 @@ _DROP_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 
+_CREATE_IDX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+`?(?P<idx>\w+)`?\s+ON\s+`?(?P<name>\w+)`?\s*"
+    r"\(\s*`?(?P<col>\w+)`?\s*\)\s+USING\s+INVERTED\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_DROP_IDX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+`?(?P<idx>\w+)`?\s+ON\s+`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_IDX_RE = re.compile(
+    r"^\s*SHOW\s+INDEX(?:ES)?\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: one infix MATCH predicate: `col` MATCH_X 'terms'
+_MATCH_PRED_RE = re.compile(
+    r"`?(?P<col>\w+)`?\s+(?P<op>MATCH_ANY|MATCH_ALL|MATCH_PHRASE)\s+"
+    r"(?P<q>'[^']*'|\"[^\"]*\")",
+    re.IGNORECASE,
+)
+
+_FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     out, cur, depth, q = [], [], 0, None
@@ -321,6 +348,13 @@ class PaloSession:
         self._result_cache: dict = {}  # key -> (rows, schema)
         self.last_cache_hit = False  # observability for tests/metrics
         self._mv_attached: set[str] = set()  # bases with load-time MV upkeep
+        #: inverted text indexes (CREATE INDEX ... USING INVERTED):
+        #: index name -> (table, col, posting-dir path). Doris maintains
+        #: the index at load time; here maintenance is LAZY — each
+        #: indexed query fingerprint-checks the corpus and rebuilds the
+        #: postings only if the table changed since the last build.
+        self.indexes: dict[str, tuple[str, str, str]] = {}
+        self.last_match_indexed = False  # observability for tests
 
     # ------------------------------------------------------------- DDL
 
@@ -555,6 +589,77 @@ class PaloSession:
             self.rollups.register_base(base, self.spark.table(base))
         return self.rollups.add_rollup(mv_name, base, group_cols, measures)
 
+    def _refresh_index(self, name: str, col: str, path: str) -> None:
+        """(Re)build the posting index for (table, col) if the corpus
+        changed (fingerprint no-op otherwise) — Doris's load-time index
+        maintenance, done lazily at DDL + query time."""
+        from palo_spark.operators.text_index import build_text_index
+
+        t = self._table(name)
+        id_col = t.meta.key_cols[0]
+        build_text_index(
+            self.spark.table(name),
+            path,
+            text_col=col,
+            id_col=id_col,
+            skip_if_current=True,
+        )
+
+    def _try_indexed_match(self, text: str) -> str | None:
+        """If ``text`` is a single-table query with exactly ONE infix
+        MATCH predicate over an inverted-indexed column, resolve the
+        predicate through the posting index and return the query text
+        with the predicate replaced by an id semi-join against the hit
+        set (identical semantics — the index is acceleration only, and
+        every non-conforming shape falls through to the full-scan
+        translation). Returns None when the index route doesn't apply."""
+        preds = list(_MATCH_PRED_RE.finditer(text))
+        if len(preds) != 1:
+            return None
+        tbls = set(m.group(1).lower() for m in _FROM_TBL_RE.finditer(text))
+        if len(tbls) != 1:
+            return None
+        (tbl,) = tbls
+        col = preds[0].group("col")
+        hit = next(
+            (
+                (t_, c_, p_)
+                for (t_, c_, p_) in self.indexes.values()
+                if t_ == tbl and c_ == col
+            ),
+            None,
+        )
+        if hit is None or tbl not in self.tables:
+            return None
+        from palo_spark.operators.text_index import (
+            match_all_indexed,
+            match_any_indexed,
+            match_phrase_indexed,
+        )
+
+        _, _, path = hit
+        self._refresh_index(tbl, col, path)
+        t = self._table(tbl)
+        id_col = t.meta.key_cols[0]
+        op = preds[0].group("op").lower()
+        query = preds[0].group("q")[1:-1]
+        fn = {
+            "match_any": match_any_indexed,
+            "match_all": match_all_indexed,
+            "match_phrase": match_phrase_indexed,
+        }[op]
+        corpus = self.spark.table(tbl)
+        kw = {"text_col": col} if op == "match_phrase" else {}
+        fn(corpus, path, query, id_col=id_col, **kw).select(
+            id_col
+        ).createOrReplaceTempView("__palo_match_hits")
+        self.last_match_indexed = True
+        return (
+            text[: preds[0].start()]
+            + f"`{id_col}` IN (SELECT `{id_col}` FROM __palo_match_hits)"
+            + text[preds[0].end() :]
+        )
+
     def _refresh_view(self, name: str) -> None:
         self.tables[name].read().createOrReplaceTempView(name)
 
@@ -721,6 +826,37 @@ class PaloSession:
             )
             self.views[name] = vw.group("body").strip()
             return None
+        cim = _CREATE_IDX_RE.match(stripped)
+        if cim:
+            name, col = cim.group("name").lower(), cim.group("col")
+            t = self._table(name)
+            schema = getattr(t, "_declared_schema", "") or ""
+            if col not in [p.strip().split()[0] for p in schema.split(",") if p.strip()]:
+                raise ValueError(f"unknown column {col!r} on table {name!r}")
+            root = self.location_root or _tf.gettempdir()
+            path = f"{root}/_palo_inverted/{name}__{col}"
+            self._refresh_index(name, col, path)
+            self.indexes[cim.group("idx").lower()] = (name, col, path)
+            return None
+        dim = _DROP_IDX_RE.match(stripped)
+        if dim:
+            idx = dim.group("idx").lower()
+            if idx not in self.indexes:
+                raise ValueError(f"unknown index {idx!r}")
+            _, _, path = self.indexes.pop(idx)
+            _sh.rmtree(path, ignore_errors=True)
+            return None
+        sim = _SHOW_IDX_RE.match(stripped)
+        if sim:
+            name = sim.group("name").lower()
+            rows = [
+                (idx, tbl, col, "INVERTED")
+                for idx, (tbl, col, _p) in sorted(self.indexes.items())
+                if tbl == name
+            ]
+            return self.spark.createDataFrame(
+                rows, "index_name string, table_name string, column_name string, index_type string"
+            )
         dv = _DROP_VIEW_RE.match(stripped)
         if dv:
             name = dv.group("name").lower()
@@ -1032,9 +1168,6 @@ class PaloSession:
             # OVERWRITE t SELECT ... FROM t), so the rows are STAGED to
             # a temp rowset BEFORE the truncate — evaluating lazily
             # after truncate would read an already-empty table.
-            import shutil as _sh
-            import tempfile as _tf
-
             rewritten = "INSERT INTO " + iom.group("rest")
             m2 = _INSERT_RE.match(rewritten)
             if not m2:
@@ -1083,6 +1216,11 @@ class PaloSession:
                 rows, schema = hit
                 self.last_cache_hit = True
                 return self.spark.createDataFrame(rows, schema)
+        self.last_match_indexed = False
+        if self.indexes:
+            routed = self._try_indexed_match(stripped)
+            if routed is not None:
+                stripped = routed
         if self.rollups is not None:
             df, _source = self.rollups.sql(translate(stripped))
         else:

@@ -838,3 +838,37 @@ _entry(
     ORDER BY o_custkey, o_orderkey
     """,
 )
+
+
+def _sql_inverted_index_query(spark, sf_dir):
+    """Storage-side inverted index through the SQL session: CREATE TABLE
+    (CTAS), CREATE INDEX ... USING INVERTED, then an infix MATCH query
+    that the session transparently answers via posting-list pruning
+    (bucket-pruned index read + id semi-join; `_try_indexed_match`).
+    Results must be IDENTICAL to full-scan MATCH semantics — which is
+    exactly what the DuckDB oracle computes; the entry raises if the
+    index route was not taken. Upstream:
+    be/src/olap/rowset/segment_v2/inverted_index_reader.cpp."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS iq_docs")
+    ps.sql("CREATE TABLE iq_docs AS SELECT doc_id, text FROM documents")
+    ps.sql("CREATE INDEX iq_docs_text ON iq_docs (text) USING INVERTED")
+    df = ps.sql(
+        "SELECT doc_id FROM iq_docs WHERE `text` MATCH_ANY 'data learning' "
+        "ORDER BY doc_id"
+    )
+    if not ps.last_match_indexed:
+        raise AssertionError("MATCH query did not take the inverted-index route")
+    return df
+
+
+QUERIES["sql_inverted_index_query"] = _sql_inverted_index_query
+ORACLE["sql_inverted_index_query"] = r"""
+    SELECT doc_id FROM documents
+    WHERE list_has_any(string_split_regex(trim(lower(text)), '\s+'),
+                       ['data', 'learning'])
+    ORDER BY doc_id
+"""

@@ -543,3 +543,36 @@ def test_create_view_late_binding(ps):
     with pytest.raises(Exception):
         ps.sql("SELECT * FROM v_tot").collect()
     ps.sql("DROP VIEW IF EXISTS v_tot")  # tolerated
+
+
+def test_inverted_index_ddl_and_match_routing(spark, sf_dir):
+    """CREATE INDEX ... USING INVERTED routes infix MATCH queries through
+    the posting index (identical results to the full-scan translation),
+    survives data changes via the lazy fingerprint rebuild, and DROP
+    INDEX reverts to full scan."""
+    from palo_spark.catalog import register_views
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS ix_docs")
+    ps.sql("CREATE TABLE ix_docs AS SELECT doc_id, text FROM documents WHERE doc_id < 150")
+    ps.sql("CREATE INDEX ix_docs_text ON ix_docs (text) USING INVERTED")
+    assert ps.sql("SHOW INDEX FROM ix_docs").collect()[0].index_type == "INVERTED"
+
+    q = "SELECT doc_id FROM ix_docs WHERE `text` MATCH_ANY 'data learning' ORDER BY doc_id"
+    r_idx = ps.sql(q).collect()
+    assert ps.last_match_indexed
+    ps_plain = PaloSession(spark)
+    ps_plain.tables = ps.tables
+    assert ps_plain.sql(q).collect() == r_idx and not ps_plain.last_match_indexed
+
+    # data change: new rows must be visible through the index route
+    ps.sql("INSERT INTO ix_docs VALUES (99991, 'data data learning rows')")
+    r2 = ps.sql(q).collect()
+    assert ps.last_match_indexed
+    assert 99991 in {r.doc_id for r in r2}
+
+    ps.sql("DROP INDEX ix_docs_text ON ix_docs")
+    assert ps.sql("SHOW INDEX FROM ix_docs").count() == 0
+    assert ps.sql(q).collect() == r2 and not ps.last_match_indexed
