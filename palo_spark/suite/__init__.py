@@ -118,7 +118,7 @@ _PRIORITY = [
 # dedup_substring_spans, text_quality_classifier,
 # streaming_running_agg_model, text_perplexity_filter,
 # sample_token_budget, tpcds_purchase_streaks, tpcds_rolling_3mo_avg,
-# tpcds_spend_deciles.
+# tpcds_spend_deciles, sql_inverted_index_query.
 
 
 def _reorder(d: dict) -> dict:
