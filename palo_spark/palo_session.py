@@ -273,6 +273,18 @@ _DROP_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 
+_SET_VAR_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<name>\w+)\s*=\s*"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|\S+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_VARS_RE = re.compile(
+    r"^\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES"
+    r"(?:\s+LIKE\s+'(?P<pat>[^']*)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _CREATE_IDX_RE = re.compile(
     r"^\s*CREATE\s+INDEX\s+`?(?P<idx>\w+)`?\s+ON\s+`?(?P<name>\w+)`?\s*"
     r"\(\s*`?(?P<col>\w+)`?\s*\)\s+USING\s+INVERTED\s*;?\s*$",
@@ -355,6 +367,21 @@ class PaloSession:
         #: postings only if the table changed since the last build.
         self.indexes: dict[str, tuple[str, str, str]] = {}
         self.last_match_indexed = False  # observability for tests
+        #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
+        #: Most are stored-and-reported (Doris FE behavior for unknown
+        #: engines); the ones with a real Spark analog take effect:
+        #: time_zone → spark.sql.session.timeZone, enable_sql_cache →
+        #: the session result cache toggle.
+        self.variables: dict[str, str] = {
+            "sql_mode": "",
+            "time_zone": spark.conf.get("spark.sql.session.timeZone"),
+            "exec_mem_limit": "2147483648",
+            "query_timeout": "300",
+            "enable_sql_cache": "true" if result_cache else "false",
+            "parallel_pipeline_task_num": str(
+                spark.sparkContext.defaultParallelism
+            ),
+        }
 
     # ------------------------------------------------------------- DDL
 
@@ -826,6 +853,35 @@ class PaloSession:
             )
             self.views[name] = vw.group("body").strip()
             return None
+        sv = _SET_VAR_RE.match(stripped)
+        if sv and not up.startswith("SET SESSION TRANSACTION"):
+            name = sv.group("name").lower()
+            val = sv.group("val").strip("'\"")
+            self.variables[name] = val
+            if name == "time_zone":
+                self.spark.conf.set("spark.sql.session.timeZone", val)
+            elif name == "enable_sql_cache":
+                self.result_cache_enabled = val.lower() in ("true", "1", "on")
+            return None
+        shv = _SHOW_VARS_RE.match(stripped)
+        if shv:
+            pat = shv.group("pat")
+            rex = (
+                re.compile(
+                    "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
+                    re.IGNORECASE,
+                )
+                if pat is not None
+                else None
+            )
+            rows = [
+                (k, v)
+                for k, v in sorted(self.variables.items())
+                if rex is None or rex.match(k)
+            ]
+            return self.spark.createDataFrame(
+                rows, "variable_name string, value string"
+            )
         cim = _CREATE_IDX_RE.match(stripped)
         if cim:
             name, col = cim.group("name").lower(), cim.group("col")

@@ -576,3 +576,24 @@ def test_inverted_index_ddl_and_match_routing(spark, sf_dir):
     ps.sql("DROP INDEX ix_docs_text ON ix_docs")
     assert ps.sql("SHOW INDEX FROM ix_docs").count() == 0
     assert ps.sql(q).collect() == r2 and not ps.last_match_indexed
+
+
+def test_session_variables_set_show_and_effects(spark):
+    """SET/SHOW VARIABLES: stored-and-reported generally; time_zone and
+    enable_sql_cache take real effect."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, result_cache=False)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        ps.sql("SET time_zone = 'Asia/Shanghai'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Shanghai"
+        ps.sql("SET exec_mem_limit = 4294967296")
+        rows = {r.variable_name: r.value for r in ps.sql("SHOW VARIABLES LIKE 'exec%'").collect()}
+        assert rows == {"exec_mem_limit": "4294967296"}
+        assert not ps.result_cache_enabled
+        ps.sql("SET enable_sql_cache = true")
+        assert ps.result_cache_enabled
+        assert ps.sql("SHOW VARIABLES").count() >= 6
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
