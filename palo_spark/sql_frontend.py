@@ -314,6 +314,18 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
     if name_lower == "group_concat":
         return _rewrite_group_concat(inner)
 
+    if name_lower == "field":
+        # MySQL/Doris FIELD(e, v1, v2, ...) → 1-based index of e, 0 when
+        # absent or NULL (Spark array_position: 0 = absent, NULL in →
+        # NULL out, so coalesce restores the MySQL contract)
+        args = _split_args(inner)
+        if len(args) < 2:
+            raise ValueError("field() expects (expr, v1, ...)")
+        arr = ", ".join(_text(a) for a in args[1:])
+        return _raw(
+            f"CAST(coalesce(array_position(array({arr}), {_text(args[0])}), 0) AS INT)"
+        )
+
     if name_lower in _GENERATORS:
         return _rewrite_generator(name_lower, inner)
 

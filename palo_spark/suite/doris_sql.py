@@ -872,3 +872,26 @@ ORACLE["sql_inverted_index_query"] = r"""
                        ['data', 'learning'])
     ORDER BY doc_id
 """
+
+
+_entry(
+    "sql_dialect_field_elt",
+    """
+    SELECT o_orderkey,
+           field(o_orderstatus, 'O', 'F', 'P') AS status_rank,
+           elt(field(o_orderstatus, 'O', 'F', 'P'), 'open', 'final', 'pending') AS status_word
+    FROM `orders`
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2
+                WHEN 'P' THEN 3 ELSE 0 END AS INT) AS status_rank,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'final'
+                WHEN 'P' THEN 'pending' ELSE NULL END AS status_word
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
