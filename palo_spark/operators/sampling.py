@@ -34,6 +34,8 @@ __all__ = [
     "mix_sources",
     "assign_split",
     "training_order",
+    "sample_token_budget",
+    "temperature_mix",
     "MINSTD_MOD",
 ]
 
@@ -440,4 +442,62 @@ def sample_token_budget(
         staged.withColumn("__before", cum_before)
         .filter(F.col("__before") < F.lit(int(budget)))
         .drop("__ntok", "__pr", "__before")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+    mode: str = "minstd",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM
+    α-sampling scheme — XLM-R / mT5 style: sample source s with
+    probability ∝ n_s^α, α < 1 up-weighting small sources), expressed
+    as a deterministic partitioning-independent filter.
+
+    Per-source keep fraction: ``f_s = min(1, target_rows · w_s / Σw / n_s)``
+    with ``w_s = floor(sqrt(n_s)·10⁶)`` for the default α = 0.5 — the
+    integer-quantized weight makes Σw exact and the whole fraction a
+    fixed chain of correctly-rounded IEEE ops, so an oracle replays the
+    selection bit-for-bit (general α uses pow(), whose libm rounding is
+    engine-specific; α=0.5 is the deterministic form, and the plan
+    shape is identical for any α). Selection itself is the
+    :func:`sample_hash` uniform — same rows on any cluster layout.
+
+    Plan: one tiny per-source aggregate, broadcast back (|sources|
+    rows), then a narrow filter — no full-data shuffle.
+    """
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "alpha != 0.5 needs engine-specific pow(); use 0.5 (sqrt) "
+            "for oracle-replayable selection or fork this operator"
+        )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    w = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n").cast("double")) * 1e6).cast("long")
+    )
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    frac = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__f",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("__w").cast("double")
+                / F.col("__tw").cast("double")
+                / F.col("__n").cast("double"),
+            ),
+        )
+        .select(source_col, "__f")
+    )
+    return (
+        df.join(F.broadcast(frac), source_col)
+        .filter(_hash_u(id_col, seed, mode) < F.col("__f"))
+        .drop("__f")
     )

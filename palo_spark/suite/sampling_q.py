@@ -272,3 +272,47 @@ def sample_token_budget_q(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@q(
+    "sample_temperature_mix",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        FROM counts
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+    f AS (
+        SELECT source,
+               least(1.0, 300.0 * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS f
+        FROM w, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f USING (source)
+    WHERE {o_hash_u('d.doc_id', 21)} < f.f
+    ORDER BY d.source, d.doc_id
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based source rebalancing (`sampling.temperature_mix`,
+    the XLM-R/mT5 α-sampling scheme at α=0.5): per-source keep fraction
+    ∝ sqrt(n_s)/n_s toward a 300-row target — small sources up-weighted.
+    The weight is integer-quantized (floor(sqrt(n)·10⁶)) so Σw is exact
+    and the fraction is a fixed chain of correctly-rounded IEEE ops;
+    the oracle replays weighting, normalization, AND the minstd draw —
+    the exact selected row set is verified, not a statistical bound."""
+    from palo_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mix(
+            d, "source", "doc_id", target_rows=300, alpha=0.5, seed=21, mode="minstd"
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
