@@ -895,3 +895,41 @@ _entry(
     ORDER BY o_orderkey
     """,
 )
+
+
+# --- the remaining TPC-H queries through the SQL-text front end ------------
+# With these, ALL 22 TPC-H queries run as Doris SQL text. Each entry
+# reuses the DataFrame twin's oracle VERBATIM as the DuckDB side, and the
+# Doris side is the same query with the date literals re-spelled in the
+# MySQL %-pattern form (str_to_date) — exercising translate() on real
+# query bodies while keeping a single source of truth for semantics.
+
+import re as _re
+
+from palo_spark.suite import tpch as _tpch_mod
+from palo_spark.suite import tpch2 as _tpch2_mod
+
+
+def _dorisify(sql: str) -> str:
+    return _re.sub(
+        r"TIMESTAMP\s+'(\d{4}-\d{2}-\d{2})'",
+        r"str_to_date('\1', '%Y-%m-%d')",
+        sql,
+    )
+
+
+for _n in [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+]:
+    _osql = _tpch_mod.ORACLE.get(_n) or _tpch2_mod.ORACLE[_n]
+    _entry(f"sql_tpch_{_n.split('_')[1]}", _dorisify(_osql), _osql)
