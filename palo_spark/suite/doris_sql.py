@@ -933,3 +933,28 @@ for _n in [
 ]:
     _osql = _tpch_mod.ORACLE.get(_n) or _tpch2_mod.ORACLE[_n]
     _entry(f"sql_tpch_{_n.split('_')[1]}", _dorisify(_osql), _osql)
+
+
+_entry(
+    "sql_rollup_grouping_sets",
+    """
+    SELECT coalesce(`l_returnflag`, 'ALL') AS rf,
+           coalesce(`l_linestatus`, 'ALL') AS ls,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS SIGNED)) AS SIGNED) AS cents,
+           CAST(GROUPING(l_returnflag) AS SIGNED) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS SIGNED) AS g_ls
+    FROM `lineitem`
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY rf, ls, g_rf, g_ls
+    """,
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY rf, ls, g_rf, g_ls
+    """,
+)
