@@ -78,6 +78,9 @@ from palo_spark.operators.multimodal import (  # noqa: F401
     sample_frames,
     resize_media,
     extract_features,
+    encode_wav,
+    decode_wav,
+    audio_features,
 )
 from palo_spark.operators.text_index import (  # noqa: F401
     build_text_index,

@@ -23,6 +23,7 @@ import struct
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -368,3 +369,114 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         _feat, "media_id long, features array<float>"
     )
+
+
+# --------------------------------------------------------------- WAV codec
+# REAL audio codec, library-free: RIFF/WAVE PCM16 is a fixed-layout
+# container — header assembly and sample extraction are pure numpy byte
+# work, the same posture as the PPM/BMP image codec above. Compressed
+# audio (MP3/AAC/OGG) stays behind NotImplementedError pending codec
+# libraries; the Spark-side plumbing (binary column in, Arrow-batched
+# decode, typed feature columns out) is identical for any codec.
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """PCM16 mono WAV bytes for an int sequence (values clipped to
+    int16). Canonical 44-byte RIFF header + little-endian samples."""
+    import struct
+
+    pcm = np.asarray(samples, dtype=np.int64)
+    pcm = np.clip(pcm, -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, int16 sample array) from PCM16 mono/stereo WAV
+    bytes (stereo is averaged to mono). Raises NotImplementedError for
+    non-PCM (compressed) WAV and other containers."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    # walk chunks: fmt then data (canonical files put them in order)
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV supported (no codec libs)")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+        pcm = pcm.astype(np.int64)
+    return rate, np.asarray(pcm, dtype=np.int64)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode WAV payloads and emit deterministic integer features —
+    the audio half of corpus curation (silence/clipping filters, energy
+    stats): sample_rate, n_samples, duration_ms, peak (max |x|),
+    rms_milli (floor(sqrt(mean(x²))·1000) — exact: integer sums feed one
+    correctly-rounded sqrt), zero_crossings. One Arrow-batched
+    mapInPandas pass; schema is typed columns, NULLs for undecodable
+    payloads (tolerate-don't-abort load posture)."""
+    out_schema = (
+        "media_id long, sample_rate int, n_samples long, duration_ms long, "
+        "peak int, rms_milli long, zero_crossings long"
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    rate, pcm = decode_wav(bytes(payload))
+                except NotImplementedError:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                n = int(len(pcm))
+                if n == 0:
+                    rows.append((mid, rate, 0, 0, 0, 0, 0))
+                    continue
+                peak = int(np.abs(pcm).max())
+                # rms = floor(1000·sqrt(double(Σx²)/double(n))) — the
+                # integer sum is exact (int64 safe to ~8.6e9 samples) and
+                # the float chain mirrors SQL CAST/SQRT/FLOOR op-for-op,
+                # so an oracle replays it bit-identically
+                sq_sum = int(np.sum(pcm * pcm))
+                rms_milli = math.floor(
+                    math.sqrt(float(sq_sum) / float(n)) * 1000
+                )
+                zc = int((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).sum())
+                rows.append(
+                    (mid, rate, n, math.floor(n * 1000 / rate), peak, rms_milli, zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak", "rms_milli", "zero_crossings",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(_feat, out_schema)

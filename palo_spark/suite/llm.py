@@ -2153,3 +2153,76 @@ def text_perplexity_filter(spark, sf_dir):
         .select("doc_id", "ppl_milli")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "multimodal_audio_wav_features",
+    """
+    WITH ids AS (SELECT unnest(range(0, 40)) AS media_id),
+    s AS (
+        SELECT media_id, unnest(range(0, 100 + media_id % 50)) AS k
+        FROM ids
+    ),
+    x AS (
+        SELECT media_id, k,
+               ((media_id * 7 + 13 * k) % 200 - 100) * 300 AS v
+        FROM s
+    ),
+    lagged AS (
+        SELECT media_id, k, v,
+               LAG(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
+        FROM x
+    ),
+    feat AS (
+        SELECT media_id,
+               COUNT(*) AS n,
+               MAX(ABS(v)) AS peak,
+               SUM(v * v) AS sq,
+               SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                        THEN 1 ELSE 0 END) AS zc
+        FROM lagged GROUP BY media_id
+    )
+    SELECT media_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(FLOOR(n * 1000 / 16000) AS BIGINT) AS duration_ms,
+           CAST(peak AS INT) AS peak,
+           CAST(FLOOR(SQRT(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)
+                AS BIGINT) AS rms_milli,
+           CAST(zc AS BIGINT) AS zero_crossings
+    FROM feat ORDER BY media_id
+    """,
+)
+def multimodal_audio_wav_features(spark, sf_dir):
+    """REAL audio codec path, library-free: 40 deterministic PCM16
+    waveforms are ENCODED to genuine RIFF/WAVE bytes and DECODED back
+    (`operators/multimodal.py::encode_wav/decode_wav` — pure numpy byte
+    work, the audio analog of the PPM/BMP image codec), then energy/
+    silence features (peak, rms, zero crossings) are extracted in one
+    Arrow-batched mapInPandas pass. The oracle computes the same
+    features straight from the generative waveform formula — so a
+    header-layout or byte-order bug in either codec direction breaks
+    value parity. Compressed audio stays gated (no codec libs)."""
+    import pandas as _pd
+
+    from palo_spark.operators import audio_features, encode_wav
+
+    def _gen(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads = []
+            for mid in ids:
+                n = 100 + int(mid) % 50
+                k = _np.arange(n, dtype=_np.int64)
+                v = ((int(mid) * 7 + 13 * k) % 200 - 100) * 300
+                payloads.append(encode_wav(v, 16000))
+            yield _pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = (
+        spark.range(40)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(_gen, "media_id long, payload binary")
+    )
+    return audio_features(media).orderBy("media_id")

@@ -80,3 +80,21 @@ def test_real_image_through_spark_pipeline(spark):
     # histogram: 4 distinct corner cells, 1/4 each, in bins 100b=4,010b=2,001b=1,111b=7
     hist = v[3:11]
     assert hist[4] == 0.25 and hist[2] == 0.25 and hist[1] == 0.25 and hist[7] == 0.25
+
+
+def test_wav_codec_roundtrip_and_stereo_guard():
+    import numpy as np
+
+    from palo_spark.operators import decode_wav, encode_wav
+
+    pcm = np.array([0, 300, -300, 32767, -32768, 7], dtype=np.int64)
+    rate, out = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000 and out.tolist() == pcm.tolist()
+    # clipping
+    _, clipped = decode_wav(encode_wav([40000, -40000], 8000))
+    assert clipped.tolist() == [32767, -32768]
+    # non-RIFF rejects cleanly
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        decode_wav(b"ID3\x03" + b"\x00" * 60)
