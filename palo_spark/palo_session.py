@@ -273,6 +273,12 @@ _DROP_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ADD_ROLLUP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+ROLLUP\s+"
+    r"`?(?P<r>\w+)`?\s*\((?P<cols>[^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _SET_VAR_RE = re.compile(
     r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<name>\w+)\s*=\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|\S+)\s*;?\s*$",
@@ -970,6 +976,42 @@ class PaloSession:
         if up.startswith("UPDATE"):
             return self._update(stripped)
         if up.startswith("ALTER"):
+            ar_ = _ADD_ROLLUP_RE.match(stripped)
+            if ar_:
+                # Doris ALTER TABLE ... ADD ROLLUP r (cols): the classic
+                # rollup spelling. Keys = listed key columns; every
+                # listed value column aggregates by its table agg type —
+                # so this lowers to the same RollupCatalog registration
+                # as CREATE MATERIALIZED VIEW, with the body DERIVED
+                # from the table's agg spec.
+                t = self._table(ar_.group("name"))
+                cols = [c.strip().strip("`") for c in ar_.group("cols").split(",")]
+                keys, vals = [], []
+                for c in cols:
+                    agg = t.meta.agg_spec.get(c)
+                    if c in t.meta.key_cols or agg is None:
+                        keys.append(c)
+                    elif agg.upper() in ("SUM", "MIN", "MAX"):
+                        vals.append((c, agg.upper()))
+                    else:
+                        raise ValueError(
+                            f"ADD ROLLUP cannot aggregate {c!r} ({agg}) — "
+                            "REPLACE-type columns have no rollup merge"
+                        )
+                if not keys or not vals:
+                    raise ValueError(
+                        "ADD ROLLUP needs at least one key column and one "
+                        "SUM/MIN/MAX value column from the table definition"
+                    )
+                body = (
+                    "SELECT "
+                    + ", ".join(keys)
+                    + ", "
+                    + ", ".join(f"{a}({c}) AS {a.lower()}_{c}" for c, a in vals)
+                    + f" FROM {ar_.group('name')} GROUP BY "
+                    + ", ".join(keys)
+                )
+                return self._create_mv(ar_.group("r"), body)
             dm_ = _ALTER_DROP_COL_RE.match(stripped)
             if dm_:
                 t = self._table(dm_.group("name"))

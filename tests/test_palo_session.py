@@ -597,3 +597,31 @@ def test_session_variables_set_show_and_effects(spark):
         assert ps.sql("SHOW VARIABLES").count() >= 6
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_alter_table_add_rollup(spark):
+    """ALTER TABLE ... ADD ROLLUP derives the rollup body from the
+    table's agg spec and routes matching queries through it."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS ar_sales")
+    ps.sql(
+        """CREATE TABLE ar_sales (
+             region VARCHAR(16), city VARCHAR(16), amount BIGINT SUM
+           ) AGGREGATE KEY(region, city) DISTRIBUTED BY HASH(region) BUCKETS 4"""
+    )
+    ps.sql(
+        "INSERT INTO ar_sales VALUES ('e','a',10),('e','b',5),('w','c',7),('e','a',3)"
+    )
+    ps.sql("ALTER TABLE ar_sales ADD ROLLUP r_region (region, amount)")
+    rows = ps.sql(
+        "SELECT region, SUM(amount) AS s FROM ar_sales GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r.region, r.s) for r in rows] == [("e", 18), ("w", 7)]
+    # rollup stays correct through a subsequent load (delta maintenance)
+    ps.sql("INSERT INTO ar_sales VALUES ('w','c',100)")
+    rows = ps.sql(
+        "SELECT region, SUM(amount) AS s FROM ar_sales GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r.region, r.s) for r in rows] == [("e", 18), ("w", 107)]
