@@ -47,6 +47,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     pca_fit,
     pca_project,
 )
+from palo_spark.operators.temporal import asof_join  # noqa: F401
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,
     token_count,

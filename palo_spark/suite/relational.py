@@ -700,3 +700,90 @@ def table_function_explode_variants(spark, sf_dir):
         .select("event_id", "part", explode_json_array_int(F.lit("[1,2]")).alias("jn"))
         .orderBy("event_id", "part", "jn")
     )
+
+
+@q(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, c.click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (point-in-time): each purchase picks the latest click
+    at or before it per user — the temporal-correctness join every
+    feature-store / trading workload needs. Oracle is DuckDB's native
+    ASOF JOIN; the Spark side is the distributed merge in
+    ``operators/temporal.py`` (ONE key shuffle, no candidate pairs)."""
+    from palo_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.expr("timestampdiff(MICROSECOND, matched_ts, ts)")
+        .cast("long")
+        .alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@q(
+    "events_asof_forward_tolerance",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts, MAX(event_id) AS err_id
+               FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+         m AS (SELECT p.event_id, p.user_id, e.err_id,
+                      CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+               FROM p ASOF LEFT JOIN e
+                 ON p.user_id = e.user_id AND p.ts <= e.ts)
+    SELECT event_id, user_id,
+           CASE WHEN gap_us <= 86400000000 THEN err_id END AS err_id,
+           CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+    FROM m ORDER BY event_id
+    """,
+)
+def events_asof_forward_tolerance(spark, sf_dir):
+    """Forward as-of with a 24h tolerance: first error AFTER each signup
+    per user, nulled when farther than a day — pandas
+    ``merge_asof(direction='forward', tolerance=...)`` semantics."""
+    from palo_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    out = asof_join(
+        p, e, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward", tolerance=86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "err_id",
+        F.expr("timestampdiff(MICROSECOND, ts, matched_ts)")
+        .cast("long")
+        .alias("gap_us"),
+    ).orderBy("event_id")
