@@ -46,6 +46,10 @@ from palo_spark.operators.similarity import (  # noqa: F401
     normalize_embeddings,
     pca_fit,
     pca_project,
+    pq_codebooks,
+    pq_encode,
+    pq_adc_lut,
+    similarity_topk_pq,
 )
 from palo_spark.operators.temporal import asof_join  # noqa: F401
 from palo_spark.operators.text import (  # noqa: F401

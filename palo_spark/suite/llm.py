@@ -2226,3 +2226,71 @@ def multimodal_audio_wav_features(spark, sf_dir):
         .mapInPandas(_gen, "media_id long, payload binary")
     )
     return audio_features(media).orderBy("media_id")
+
+
+def _o_pq_codebook_values() -> str:
+    """The seeded PQ codebooks as a literal (m, k, centroid) VALUES list
+    — 3-decimal floats round-trip exactly through repr and DuckDB's
+    parser, so encode AND ADC scoring replay fully in the oracle."""
+    from palo_spark.operators.similarity import pq_codebooks
+
+    rows = []
+    for m, book in enumerate(pq_codebooks(64, 8, 4)):
+        for k, cent in enumerate(book):
+            rows.append(
+                f"({m}, {k}, [" + ", ".join(repr(float(x)) for x in cent) + "])"
+            )
+    return ", ".join(rows)
+
+
+_O_PQ_SUBDIST = (
+    "CAST(list_sum(list_transform(range(1, 9), j -> "
+    "CAST(floor((CAST({v}[cb.m*8 + j] AS DOUBLE) - c[j]) "
+    "* (CAST({v}[cb.m*8 + j] AS DOUBLE) - c[j]) "
+    "* 1000000.0) AS BIGINT))) AS BIGINT)"
+)
+
+
+@q(
+    "similarity_search_pq",
+    f"""
+    WITH cb(m, k, c) AS (VALUES {_o_pq_codebook_values()}),
+    dist AS (
+        SELECT e.vec_id, cb.m, cb.k,
+               {_O_PQ_SUBDIST.format(v='e.embedding')} AS d
+        FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+            FROM dist) t
+        WHERE rn = 1
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    lut AS (
+        SELECT cb.m, cb.k, {_O_PQ_SUBDIST.format(v='qv.v')} AS qd
+        FROM cb, qv
+    )
+    SELECT codes.vec_id, CAST(SUM(lut.qd) AS BIGINT) AS adc_dist
+    FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.k
+    GROUP BY codes.vec_id
+    ORDER BY adc_dist, codes.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_search_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): vectors collapse to
+    M=8 one-byte codes (argmin centroid per 8-dim subvector), queries
+    score via a driver-side 8×4 ADC lookup table — per-row cost is 8
+    array lookups under codegen, top-k a TakeOrderedAndProject, zero
+    shuffles. Distances use the repo's quantized-integer convention, so
+    the ORACLE REPLAYS EVERYTHING from the same codebook literals:
+    subvector argmin encode (ROW_NUMBER over quantized L2), query LUT,
+    ADC sum, top-k. At 100 TB the codes column (8 B/vector vs 256 B) is
+    what the scan reads; raw embeddings stay cold."""
+    from palo_spark.operators.similarity import pq_codebooks, similarity_topk_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity_topk_pq(e, qv, pq_codebooks(64, 8, 4), k=10)

@@ -75,3 +75,49 @@ def test_single_shuffle_plan(frames):
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---- product quantization (kept here to avoid another JVM-session file) ----
+
+
+def test_pq_encode_argmin_and_adc(spark):
+    import numpy as np
+
+    from palo_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_codebooks,
+        pq_encode,
+        similarity_topk_pq,
+    )
+
+    cb = pq_codebooks(8, 2, 4, seed=3)
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(round(x, 3)) for x in rng.normal(0, 0.2, 8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    rows = df.select("vec_id", "embedding", pq_encode("embedding", cb).alias("codes")).collect()
+    qd = lambda a, b: sum(
+        int(np.floor((float(x) - float(y)) * (float(x) - float(y)) * 1e6))
+        for x, y in zip(a, b)
+    )
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        for m, code in enumerate(r["codes"]):
+            sub = v[m * 4 : (m + 1) * 4]
+            dists = [qd(sub, c) for c in cb[m]]
+            assert dists[code] == min(dists)  # argmin centroid chosen
+    # ADC distance of the top hit == python-side replay
+    q = vecs[0][1]
+    lut = pq_adc_lut(q, cb)
+    top = similarity_topk_pq(df, q, cb, k=40).collect()
+    by_id = {r["vec_id"]: r["adc_dist"] for r in top}
+    for r in rows:
+        expect = sum(lut[m][c] for m, c in enumerate(r["codes"]))
+        assert by_id[r["vec_id"]] == expect
+    # scan-only plan: no Exchange before the TakeOrdered
+    plan = (
+        similarity_topk_pq(df, q, cb, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan and "Exchange hashpartitioning" not in plan
