@@ -30,6 +30,8 @@ from palo_spark.operators.dedup import (  # noqa: F401
     dedup_by_clusters,
     semantic_dedup,
     substring_dup_docs,
+    snapshot_fingerprints,
+    dedup_incremental,
 )
 from palo_spark.operators.similarity import (  # noqa: F401
     cosine_similarity,
@@ -61,6 +63,7 @@ from palo_spark.operators.text import (  # noqa: F401
     lang_id,
     doc_fingerprint,
     tfidf_top_terms,
+    bpe_pair_counts,
     chunk_documents,
     redact_pii,
     repetition_score,

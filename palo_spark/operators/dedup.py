@@ -864,3 +864,50 @@ def substring_dup_docs(
         .distinct()
     )
     return df.join(dup, df[id_col] == dup["__dup"], "left_anti")
+
+
+def snapshot_fingerprints(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-snapshot fingerprint set for incremental dedup: one
+    md5(normalized text) per kept document. md5 (not xxhash64) because
+    snapshot fingerprints OUTLIVE the engine run — they get persisted,
+    exchanged between systems, and replayed by oracles, so the hash must
+    be engine-portable. 16 bytes/doc: a 100-billion-doc corpus is a
+    ~3 TB fingerprint table — write it bucketed by the fingerprint so
+    every future batch anti-joins against it with NO shuffle on the
+    (huge) snapshot side."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.md5(norm).alias("fingerprint"), F.col(id_col).alias("snapshot_id")
+    )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: drop batch docs whose
+    normalized content already exists in a prior corpus snapshot, then
+    exact-dedup the batch against itself (keep lowest id).
+
+    This is the recrawl workhorse: the full corpus is never rescanned —
+    only the (small) new batch shuffles, anti-joined against the
+    snapshot's fingerprint set from :func:`snapshot_fingerprints`. At
+    scale the anti-join is a shuffled hash join keyed on the
+    fingerprint; Spark's runtime bloom filter (enabled in the session
+    posture) pre-prunes batch rows before the exchange, and a bucketed
+    snapshot table removes the snapshot-side shuffle entirely."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = batch.withColumn("__fp", F.md5(norm))
+    fresh = keyed.join(
+        snapshot.select(F.col("fingerprint").alias("__fp")), on="__fp", how="left_anti"
+    )
+    # within-batch exact dedup: first occurrence (lowest id) survives
+    w_min = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(w_min, on=["__fp", id_col], how="left_semi").drop("__fp")
+    )

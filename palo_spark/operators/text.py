@@ -762,3 +762,48 @@ def perplexity_score(
         return pd.Series(out, dtype="Int64")
 
     return df.withColumn(out_col, _score(tokenize(F.col(text_col))))
+
+
+def bpe_pair_counts(
+    df: DataFrame, *, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The distributed primitive of BPE tokenizer training (Sennrich et
+    al. 2016): corpus-wide adjacent-symbol-pair frequencies, weighted by
+    word occurrence. The driver-side training loop is: take the top
+    pair, add it to the merge table, re-derive symbol sequences, count
+    again — each iteration is ONE run of this operator; only the
+    O(vocab) merge table ever lives on the driver.
+
+    Plan shape: word histogram first (shuffle 1, map-side combined — the
+    pair explosion then runs over DISTINCT words, corpus size drops from
+    tokens to vocabulary), then per-word character bigrams via a native
+    ``transform`` over materialized columns, summed per pair (shuffle 2,
+    keyed on ~26² pairs). Words shorter than 2 symbols carry no pairs
+    (and ``sequence(1,0)`` would generate a DESCENDING range — the
+    length filter is load-bearing, not cosmetic)."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wc = (
+        words.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+        "n",
+    )
+    return (
+        pairs.select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "n")
+        .groupBy("l", "r")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(top_n)
+    )

@@ -2294,3 +2294,91 @@ def similarity_search_pq(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     return similarity_topk_pq(e, qv, pq_codebooks(64, 8, 4), k=10)
+
+
+_INCR_BATCH_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents
+        WHERE doc_id < 250 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents
+        WHERE doc_id >= 250 AND doc_id % 11 = 0
+"""
+
+
+@q(
+    "dedup_incremental_snapshot",
+    f"""
+    WITH snap AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    batch AS ({_INCR_BATCH_SQL}),
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           FROM batch),
+    sfp AS (SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM snap),
+    fresh AS (SELECT fp.doc_id, fp.f FROM fp
+              WHERE NOT EXISTS (SELECT 1 FROM sfp WHERE sfp.f = fp.f))
+    SELECT f AS fingerprint, MIN(doc_id) AS doc_id
+    FROM fresh GROUP BY f ORDER BY doc_id
+    """,
+)
+def dedup_incremental_snapshot(spark, sf_dir):
+    """Incremental recrawl dedup: a new batch (fresh docs + re-crawled
+    copies of snapshot docs + an intra-batch duplicate wave) is cleaned
+    against the PRIOR snapshot's portable md5 fingerprint set — the full
+    corpus is never rescanned; only the batch shuffles. Snapshot copies
+    and intra-batch dups are eliminated, first occurrence kept."""
+    from palo_spark.operators.dedup import dedup_incremental, snapshot_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    snap = d.filter(F.col("doc_id") < 250)
+    batch = (
+        d.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 7 == 0)).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") % 11 == 0)).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = dedup_incremental(batch, snapshot_fingerprints(snap))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        out.select(F.md5(norm).alias("fingerprint"), "doc_id").orderBy("doc_id")
+    )
+
+
+@q(
+    "text_bpe_pair_counts",
+    """
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS n FROM w
+           WHERE length(word) >= 2 GROUP BY word),
+    p AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS l,
+               substr(word, CAST(i AS INT) + 1, 1) AS r, n
+        FROM wc, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM p GROUP BY l, r
+    ORDER BY cnt DESC, l, r LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training pair statistics: top-20 adjacent character
+    pairs across the corpus, occurrence-weighted — one iteration of the
+    distributed merge-learning loop (the pair explosion runs over the
+    distinct-word histogram, not raw tokens)."""
+    from palo_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=20)

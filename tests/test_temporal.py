@@ -121,3 +121,37 @@ def test_pq_encode_argmin_and_adc(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan and "Exchange hashpartitioning" not in plan
+
+
+# ---- incremental dedup + BPE pair counts ----
+
+
+def test_dedup_incremental_snapshot_semantics(spark):
+    from palo_spark.operators.dedup import dedup_incremental, snapshot_fingerprints
+
+    snap = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "  ALPHA   beta "),  # normalizes to snapshot doc 1 -> dropped
+            (11, "delta"),            # fresh
+            (12, "delta"),            # intra-batch dup -> dropped (11 kept)
+            (13, "epsilon"),          # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(batch, snapshot_fingerprints(snap))
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_bpe_pair_counts_tiny(spark):
+    from palo_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "bc a")], "doc_id long, text string"
+    )
+    # words >=2 chars: ab(x2), abc, bc -> pairs: a-b:3, b-c:2
+    rows = bpe_pair_counts(df, top_n=10).collect()
+    got = {(r["l"], r["r"]): r["cnt"] for r in rows}
+    assert got == {("a", "b"): 3, ("b", "c"): 2}
