@@ -90,6 +90,12 @@ HEADLINE = [
     "tpcds_purchase_streaks",
     "text_perplexity_filter",
     "sample_token_budget",
+    # r5 continuation, third wave: as-of join, PQ ANN, incremental
+    # recrawl dedup, BPE pair statistics
+    "events_asof_join",
+    "similarity_search_pq",
+    "dedup_incremental_snapshot",
+    "text_bpe_pair_counts",
 ]
 
 

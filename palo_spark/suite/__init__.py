@@ -120,7 +120,9 @@ _PRIORITY = [
 # sample_token_budget, tpcds_purchase_streaks, tpcds_rolling_3mo_avg,
 # tpcds_spend_deciles, sql_inverted_index_query, sql_dialect_field_elt,
 # sample_temperature_mix, sql_tpch_{q2,q6,q7,q8,q9,q11,q13,q16,q17,q20,q21},
-# sql_rollup_grouping_sets, multimodal_audio_wav_features.
+# sql_rollup_grouping_sets, multimodal_audio_wav_features; third wave:
+# events_asof_join, events_asof_forward_tolerance, similarity_search_pq,
+# dedup_incremental_snapshot, text_bpe_pair_counts.
 
 
 def _reorder(d: dict) -> dict:
