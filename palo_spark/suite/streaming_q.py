@@ -350,3 +350,51 @@ def streaming_running_agg_model(spark, sf_dir):
         .select("event_type", "sum_value", "max_value", "n_rows")
         .orderBy("event_type")
     )
+
+
+@q(
+    "streaming_static_enrich",
+    f"""
+    SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('e.value')} AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join — the canonical streaming-ETL
+    shape: a file-source STREAM of events broadcast-joined to the
+    static ``customer`` dimension (no shuffle, no state store for the
+    join; the dimension is re-resolved per micro-batch, which is how
+    slowly-changing dims pick up updates), then a complete-mode global
+    aggregate per market segment. Runs as a REAL StreamingQuery
+    (availableNow trigger, memory sink); the oracle is the identical
+    batch join+agg over the same rows."""
+    import uuid
+
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    src_dir = os.path.join(_ROOT, name)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.write.mode("overwrite").parquet(src_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double"
+    ).parquet(src_dir)
+    joined = s.join(
+        F.broadcast(dim), s["user_id"] == dim["c_custkey"], "left"
+    )
+    agg = joined.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    assert agg.isStreaming
+    sq = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(_ROOT, name + "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name)
