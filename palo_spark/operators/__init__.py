@@ -64,6 +64,7 @@ from palo_spark.operators.text import (  # noqa: F401
     doc_fingerprint,
     tfidf_top_terms,
     bpe_pair_counts,
+    bpe_tokenize_vocab,
     chunk_documents,
     redact_pii,
     repetition_score,

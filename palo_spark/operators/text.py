@@ -807,3 +807,54 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), "l", "r")
         .limit(top_n)
     )
+
+
+def bpe_tokenize_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table: ``(word, tokens array, n_toks)``
+    for every DISTINCT word in the corpus — the other half of the
+    tokenizer loop next to :func:`bpe_pair_counts`.
+
+    Merge semantics (HuggingFace-equivalent): repeatedly merge the
+    occurrence with the globally lowest (merge rank, leftmost position)
+    until no learned pair remains. The Python loop runs via an
+    Arrow-batched pandas_udf over the VOCABULARY (corpus-size
+    independent — exactly how real tokenizers cache word→tokens);
+    per-document token streams are then a broadcast join of this table
+    against exploded words, never a per-token Python call. The suite
+    replays the full merge loop in DuckDB as a recursive CTE — a
+    genuine value oracle for an iterative algorithm."""
+    import pandas as pd
+
+    ranks = {(l, r): i + 1 for i, (l, r) in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _apply(words: pd.Series) -> pd.Series:
+        def tok(word):
+            syms = list(word)
+            while True:
+                best = None
+                for i in range(len(syms) - 1):
+                    rk = ranks.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best[0]):
+                        best = (rk, i)
+                if best is None:
+                    return syms
+                i = best[1]
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+
+        return words.map(tok)
+
+    vocab = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    ).distinct()
+    return vocab.select(
+        "word",
+        _apply(F.col("word")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))

@@ -2382,3 +2382,67 @@ def text_bpe_pair_counts(spark, sf_dir):
     from palo_spark.operators.text import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=20)
+
+
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _o_bpe_merge_values() -> str:
+    return ", ".join(
+        f"('{l}', '{r}', {i + 1})" for i, (l, r) in enumerate(_BPE_MERGES)
+    )
+
+
+@q(
+    "text_bpe_apply",
+    f"""
+    WITH RECURSIVE m(l, r, rank) AS (VALUES {_o_bpe_merge_values()}),
+    vocab(word) AS (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        FROM documents
+    ),
+    init AS (
+        SELECT word,
+               list_transform(range(1, length(word) + 1),
+                              i -> word[CAST(i AS INT)]) AS syms
+        FROM vocab
+    ),
+    step(word, syms, done) AS (
+        SELECT word, syms, FALSE FROM init
+        UNION ALL
+        SELECT word,
+            CASE WHEN pos IS NULL THEN syms
+                 ELSE list_concat(list_concat(
+                          syms[1:CAST(pos AS INT) - 1],
+                          [syms[CAST(pos AS INT)] || syms[CAST(pos AS INT) + 1]]),
+                          syms[CAST(pos AS INT) + 2:]) END,
+            pos IS NULL
+        FROM (
+            SELECT word, syms,
+                (SELECT arg_min(p.i, m.rank * 1000000 + p.i)
+                 FROM (SELECT UNNEST(range(1, len(syms))) AS i) p
+                 JOIN m ON syms[CAST(p.i AS INT)] = m.l
+                       AND syms[CAST(p.i AS INT) + 1] = m.r) AS pos
+            FROM step WHERE NOT done
+        ) s
+    )
+    SELECT word, list_aggregate(syms, 'string_agg', ' ') AS toks,
+           CAST(len(syms) AS INT) AS n_toks
+    FROM step WHERE done ORDER BY word
+    """,
+)
+def text_bpe_apply(spark, sf_dir):
+    """BPE merge application over the corpus vocabulary: the learned
+    merge table tokenizes every distinct word ((rank, leftmost) merge
+    order, HuggingFace semantics). Spark runs the loop as ONE
+    Arrow-batched kernel over the vocabulary; the oracle replays the
+    entire iterative algorithm as a DuckDB recursive CTE."""
+    from palo_spark.operators.text import bpe_tokenize_vocab
+
+    out = bpe_tokenize_vocab(load_table(spark, sf_dir, "documents"), _BPE_MERGES)
+    return out.select(
+        "word", F.array_join("toks", " ").alias("toks"), "n_toks"
+    ).orderBy("word")

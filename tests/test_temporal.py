@@ -155,3 +155,21 @@ def test_bpe_pair_counts_tiny(spark):
     rows = bpe_pair_counts(df, top_n=10).collect()
     got = {(r["l"], r["r"]): r["cnt"] for r in rows}
     assert got == {("a", "b"): 3, ("b", "c"): 2}
+
+
+def test_bpe_tokenize_vocab_merge_order(spark):
+    from palo_spark.operators.text import bpe_tokenize_vocab
+
+    df = spark.createDataFrame(
+        [(1, "aaa cab the")], "doc_id long, text string"
+    )
+    # merges: rank1 (a,b), rank2 (c,ab), rank3 (a,a)
+    out = {
+        r["word"]: (list(r["toks"]), r["n_toks"])
+        for r in bpe_tokenize_vocab(
+            df, [("a", "b"), ("c", "ab"), ("a", "a")]
+        ).collect()
+    }
+    assert out["aaa"] == (["aa", "a"], 2)      # leftmost merge, no re-overlap
+    assert out["cab"] == (["cab"], 1)          # (a,b) first, then (c,ab)
+    assert out["the"] == (["t", "h", "e"], 3)  # no learned pairs
