@@ -161,6 +161,11 @@ def main() -> None:
             # up to 10×; bench must measure clean-session behavior)
             release_persisted()
             spark.catalog.clearCache()
+            # with ~60 queries in one JVM, untracked GC debt from earlier
+            # queries otherwise lands on whichever query triggers the
+            # collection (observed 2-7× noise on mid-list entries); a
+            # forced collection here keeps each timing self-contained
+            spark._jvm.System.gc()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     out = {

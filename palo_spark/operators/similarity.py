@@ -604,26 +604,64 @@ def _pq_subdist(vec, m: int, dsub: int, centroid: list[float]):
     return out
 
 
-def pq_encode(vec_col, codebooks: list[list[list[float]]]):
+def pq_encode(vec_col, codebooks: list[list[list[float]]], *, kernel: str = "numpy"):
     """``array<int>`` of M codes: per subvector, the argmin-distance
-    centroid (ties → lower code, via lexicographic struct min). Fully
-    native — K·M quantized-L2 expressions under whole-stage codegen; for
-    K ≥ 256 swap in a pandas_udf matmul kernel like ``lsh_band_bits``."""
+    centroid (ties → lower code).
+
+    Two equivalent kernels producing BIT-IDENTICAL codes (pytest-pinned;
+    the floor-quantized integer distances use the same IEEE-double
+    operand order either way):
+
+    - ``"native"``: K·M quantized-L2 expression trees under whole-stage
+      codegen — zero Python, but the tree is K·M·dsub ``element_at``
+      nodes: py4j expression BUILD time and codegen size grow with K·M
+      (the same wall ``lsh_band_bits`` documents).
+    - ``"numpy"`` (default): ONE pandas_udf per Arrow batch — einsum the
+      (n, M, dsub) view against the (M, K, dsub) codebook tensor,
+      floor-quantize, argmin (ties already favor the lower code). NULL /
+      wrong-length vectors yield NULL codes instead of failing the batch.
+    """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     dsub = len(codebooks[0][0])
-    codes = []
-    for m, book in enumerate(codebooks):
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_subdist(v, m, dsub, c).alias("d"),
-                    F.lit(k).cast("int").alias("k"),
-                )
-                for k, c in enumerate(book)
-            ]
+    M = len(codebooks)
+    if kernel == "native":
+        codes = []
+        for m, book in enumerate(codebooks):
+            cands = F.array(
+                *[
+                    F.struct(
+                        _pq_subdist(v, m, dsub, c).alias("d"),
+                        F.lit(k).cast("int").alias("k"),
+                    )
+                    for k, c in enumerate(book)
+                ]
+            )
+            codes.append(F.array_min(cands)["k"])
+        return F.array(*codes)
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    dim = M * dsub
+
+    @F.pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        raw = col.to_numpy()
+        ok = np.array(
+            [x is not None and hasattr(x, "__len__") and len(x) == dim for x in raw],
+            dtype=bool,
         )
-        codes.append(F.array_min(cands)["k"])
-    return F.array(*codes)
+        out = np.empty(len(raw), dtype=object)
+        if ok.any():
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in raw[ok]])
+            S = V.reshape(-1, M, 1, dsub)  # (n, M, 1, dsub)
+            diff = S - C[None, :, :, :]  # (n, M, K, dsub)
+            # same scalar order as the native expr: (d*d*1e6) floored
+            # per element, summed exactly as integers
+            d = np.floor(diff * diff * 1_000_000.0).astype(np.int64).sum(axis=3)
+            codes = d.argmin(axis=2).astype(np.int32)  # ties -> lower k
+            out[np.flatnonzero(ok)] = list(codes)
+        return pd.Series(out)
+
+    return _enc(v)
 
 
 def pq_adc_lut(query: list[float], codebooks: list[list[list[float]]]) -> list[list[int]]:

@@ -42,6 +42,7 @@ every produced plan is the same Catalyst plan the DataFrame API builds.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil as _sh
 import tempfile as _tf
@@ -198,6 +199,10 @@ _EXPORT_RE = re.compile(
 
 _SHOW_LOAD_RE = re.compile(
     r"^\s*SHOW\s+LOAD\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_SHOW_DATA_RE = re.compile(
+    r"^\s*SHOW\s+DATA(?:\s+FROM\s+`?(?P<name>\w+)`?)?\s*;?\s*$", re.IGNORECASE
 )
 
 _SHOW_DELETE_RE = re.compile(
@@ -1149,6 +1154,30 @@ class PaloSession:
                 rows or [(0, "", "")],
                 "version long, label string, rowset_path string",
             ).filter("version > 0")
+        sdata_ = _SHOW_DATA_RE.match(stripped)
+        if sdata_:
+            # Doris SHOW DATA: per-table on-disk size and rowset count,
+            # straight from the rowset ledger + filesystem — no scan.
+            names = (
+                [sdata_.group("name").lower()]
+                if sdata_.group("name")
+                else sorted(self.tables)
+            )
+            rows = []
+            for n in names:
+                t = self._table(n)
+                size = 0
+                for r_ in t.meta.rowsets:
+                    for dirpath, _dirs, files in os.walk(r_["path"]):
+                        size += sum(
+                            os.path.getsize(os.path.join(dirpath, f_))
+                            for f_ in files
+                        )
+                rows.append((n, size, len(t.meta.rowsets)))
+            return self.spark.createDataFrame(
+                rows or [("", 0, 0)],
+                "table_name string, size_bytes long, rowset_count int",
+            ).filter("table_name <> ''")
         sd_ = _SHOW_DELETE_RE.match(stripped)
         if sd_:
             t = self._table(sd_.group("name"))

@@ -122,7 +122,8 @@ _PRIORITY = [
 # sample_temperature_mix, sql_tpch_{q2,q6,q7,q8,q9,q11,q13,q16,q17,q20,q21},
 # sql_rollup_grouping_sets, multimodal_audio_wav_features; third wave:
 # events_asof_join, events_asof_forward_tolerance, similarity_search_pq,
-# dedup_incremental_snapshot, text_bpe_pair_counts.
+# dedup_incremental_snapshot, text_bpe_pair_counts,
+# streaming_static_enrich, text_bpe_apply.
 
 
 def _reorder(d: dict) -> dict:

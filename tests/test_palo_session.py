@@ -625,3 +625,17 @@ def test_alter_table_add_rollup(spark):
         "SELECT region, SUM(amount) AS s FROM ar_sales GROUP BY region ORDER BY region"
     ).collect()
     assert [(r.region, r.s) for r in rows] == [("e", 18), ("w", 107)]
+
+
+def test_show_data_sizes(spark, tmp_path):
+    from palo_spark.palo_session import PaloSession
+
+    s = PaloSession(spark, warehouse=str(tmp_path / "wh_showdata"))
+    s.sql("CREATE TABLE sd (k INT, v INT) DUPLICATE KEY(k)")
+    s.sql("INSERT INTO sd VALUES (1, 10), (2, 20)")
+    s.sql("INSERT INTO sd VALUES (3, 30)")
+    rows = {r["table_name"]: r for r in s.sql("SHOW DATA").collect()}
+    assert rows["sd"]["rowset_count"] == 2
+    assert rows["sd"]["size_bytes"] > 0
+    one = s.sql("SHOW DATA FROM sd").collect()
+    assert len(one) == 1 and one[0]["size_bytes"] == rows["sd"]["size_bytes"]

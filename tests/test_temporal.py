@@ -173,3 +173,30 @@ def test_bpe_tokenize_vocab_merge_order(spark):
     assert out["aaa"] == (["aa", "a"], 2)      # leftmost merge, no re-overlap
     assert out["cab"] == (["cab"], 1)          # (a,b) first, then (c,ab)
     assert out["the"] == (["t", "h", "e"], 3)  # no learned pairs
+
+
+def test_pq_encode_kernels_identical(spark):
+    import numpy as np
+
+    from palo_spark.operators.similarity import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(16, 4, 4, seed=9)
+    rng = np.random.RandomState(21)
+    rows = [(i, [float(x) for x in rng.normal(0, 0.3, 16)]) for i in range(60)]
+    rows.append((99, None))  # NULL vector -> NULL codes, batch survives
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    a = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", pq_encode("embedding", cb, kernel="numpy").alias("c")
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["c"]
+        for r in df.filter("embedding IS NOT NULL")
+        .select("vec_id", pq_encode("embedding", cb, kernel="native").alias("c"))
+        .collect()
+    }
+    assert a[99] is None
+    for k, v in b.items():
+        assert list(a[k]) == list(v)
