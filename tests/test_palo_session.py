@@ -630,7 +630,7 @@ def test_alter_table_add_rollup(spark):
 def test_show_data_sizes(spark, tmp_path):
     from palo_spark.palo_session import PaloSession
 
-    s = PaloSession(spark, warehouse=str(tmp_path / "wh_showdata"))
+    s = PaloSession(spark, location_root=str(tmp_path / "wh_showdata"))
     s.sql("CREATE TABLE sd (k INT, v INT) DUPLICATE KEY(k)")
     s.sql("INSERT INTO sd VALUES (1, 10), (2, 20)")
     s.sql("INSERT INTO sd VALUES (3, 30)")
