@@ -96,6 +96,7 @@ HEADLINE = [
     "similarity_search_pq",
     "dedup_incremental_snapshot",
     "text_bpe_pair_counts",
+    "text_bm25_retrieval",
 ]
 
 

@@ -65,6 +65,7 @@ from palo_spark.operators.text import (  # noqa: F401
     tfidf_top_terms,
     bpe_pair_counts,
     bpe_tokenize_vocab,
+    bm25_scores,
     chunk_documents,
     redact_pii,
     repetition_score,

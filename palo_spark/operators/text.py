@@ -858,3 +858,72 @@ def bpe_tokenize_vocab(
         "word",
         _apply(F.col("word")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 retrieval (Robertson-Spärck Jones): top-``top_n`` documents
+    for a bag of query terms — the lexical-retrieval half of a RAG
+    pipeline next to the ANN operators.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N−df_t+0.5)/(df_t+0.5) + 1).
+
+    Plan: one (doc, term) aggregation (the persisted stage feeds doc
+    lengths, term stats, and scoring), then everything narrows to the
+    QUERY terms only — df/idf and the scored join touch |q| terms, with
+    the one-row corpus stats and the |q|-row df table broadcast. Per-term
+    partials are floor-quantized to integers BEFORE the per-doc sum, so
+    ranking is order-independent and engine-exact (the repo's dsum
+    convention). Two keyed shuffles total; no driver-side vocabulary."""
+    from palo_spark.operators.cache import _persist
+
+    q = [t.lower() for t in query_terms]
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf_tab = _persist(
+        words.groupBy(id_col, "term").agg(F.count("*").alias("tf")), "bm25"
+    )
+    dl = tf_tab.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    st = dl.agg(
+        F.count(id_col).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(id_col)).alias("avgdl"),
+    )
+    qtf = tf_tab.filter(F.col("term").isin(q))
+    dfq = qtf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("dft")
+    )
+    part = (
+        qtf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(st))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    den = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    p = F.floor(
+        idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / den * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        part.select(F.col(id_col), p.alias("p"))
+        .groupBy(id_col)
+        .agg(F.sum("p").cast("long").alias("bm25_q"))
+        .orderBy(F.desc("bm25_q"), id_col)
+        .limit(top_n)
+    )

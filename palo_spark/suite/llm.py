@@ -2446,3 +2446,46 @@ def text_bpe_apply(spark, sf_dir):
     return out.select(
         "word", F.array_join("toks", " ").alias("toks"), "n_toks"
     ).orderBy("word")
+
+
+@q(
+    "text_bm25_retrieval",
+    """
+    WITH w AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+            FROM tf WHERE term IN ('hash', 'join', 'vector') GROUP BY term),
+    part AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((st.n - dfq.dft + 0.5) / (dfq.dft + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+                   * 1000000.0) AS BIGINT) AS p
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl USING (doc_id), st
+        WHERE tf.term IN ('hash', 'join', 'vector')
+    )
+    SELECT doc_id, CAST(SUM(p) AS BIGINT) AS bm25_q
+    FROM part GROUP BY doc_id
+    ORDER BY bm25_q DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_retrieval(spark, sf_dir):
+    """BM25 lexical retrieval: top-20 docs for the query {hash, join,
+    vector} with k1=1.2, b=0.75. Per-term partials floor-quantized to
+    integers before the per-doc sum (order-independent ranking); the
+    ENTIRE formula — idf, length normalization, quantization — replays
+    in DuckDB against the same corpus statistics."""
+    from palo_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"), ["hash", "join", "vector"]
+    )

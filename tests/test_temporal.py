@@ -200,3 +200,43 @@ def test_pq_encode_kernels_identical(spark):
     assert a[99] is None
     for k, v in b.items():
         assert list(a[k]) == list(v)
+
+
+def test_bm25_matches_reference(spark):
+    import math
+
+    from palo_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "hash join hash join vector"),
+        (2, "hash scan scan scan scan scan"),
+        (3, "vector"),
+        (4, "scan filter merge"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25_q"] for r in bm25_scores(df, ["hash", "vector"]).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in ("hash", "vector")
+    }
+    ref = {}
+    for i, v in toks.items():
+        s = 0
+        for t in ("hash", "vector"):
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += int(
+                math.floor(
+                    idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+                    * 1e6
+                )
+            )
+        if s:
+            ref[i] = s
+    assert got == ref
+    assert max(got, key=got.get) == 1  # both terms, high tf -> top hit
