@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_incremental_snapshot",
     "text_bpe_pair_counts",
     "text_bm25_retrieval",
+    "rag_fusion_rrf",
 ]
 
 

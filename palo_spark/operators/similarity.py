@@ -712,3 +712,40 @@ def similarity_topk_pq(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    score(d) = Σ_lists floor(10⁹ / (k + rank_d)) — the standard way to
+    combine lexical (BM25) and dense (ANN) retrieval without score
+    calibration. Quantized to integers so the fused ranking is
+    order-independent and engine-exact. Inputs are top-k lists (bounded
+    rows), so the union + one tiny keyed aggregate is driver-negligible
+    at any corpus size — the heavy lifting stays in the retrievers."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1_000_000_000.0) / (F.lit(float(k)) + F.col(rank_col))
+            )
+            .cast("long")
+            .alias("rrf_part"),
+        )
+        for r in ranked
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(F.sum("rrf_part").cast("long").alias("rrf"))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(top_n)
+    )

@@ -123,7 +123,8 @@ _PRIORITY = [
 # sql_rollup_grouping_sets, multimodal_audio_wav_features; third wave:
 # events_asof_join, events_asof_forward_tolerance, similarity_search_pq,
 # dedup_incremental_snapshot, text_bpe_pair_counts,
-# streaming_static_enrich, text_bpe_apply.
+# streaming_static_enrich, text_bpe_apply, text_bm25_retrieval,
+# rag_fusion_rrf.
 
 
 def _reorder(d: dict) -> dict:

@@ -2489,3 +2489,81 @@ def text_bm25_retrieval(spark, sf_dir):
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), ["hash", "join", "vector"]
     )
+
+
+@q(
+    "rag_fusion_rrf",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+            FROM tf WHERE term IN ('hash', 'join', 'vector') GROUP BY term),
+    bm AS (
+        SELECT tf.doc_id, CAST(SUM(CAST(floor(
+                   ln((st.n - dfq.dft + 0.5) / (dfq.dft + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+                   * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_q
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st
+        WHERE tf.term IN ('hash', 'join', 'vector')
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id)
+                            AS INT) AS rank
+        FROM (SELECT * FROM bm ORDER BY bm25_q DESC, doc_id LIMIT 50) t
+    ),
+    q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT vec_id,
+               CAST({_o_qdot('embedding', 'qv')} AS DOUBLE)
+               / sqrt(CAST({_o_qdot('embedding', 'embedding')} AS DOUBLE)
+                      * CAST({_o_qdot('qv', 'qv')} AS DOUBLE)) AS score
+        FROM embeddings, q0
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank
+        FROM (SELECT * FROM sem_scored ORDER BY score DESC, vec_id LIMIT 50) t
+    ),
+    parts AS (
+        SELECT doc_id, CAST(floor(1000000000.0 / (60.0 + rank)) AS BIGINT) AS p
+        FROM lex
+        UNION ALL
+        SELECT doc_id, CAST(floor(1000000000.0 / (60.0 + rank)) AS BIGINT) AS p
+        FROM sem
+    )
+    SELECT doc_id, CAST(SUM(p) AS BIGINT) AS rrf
+    FROM parts GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rag_fusion_rrf(spark, sf_dir):
+    """Two-stage RAG retrieval: BM25 lexical top-50 + dense cosine
+    top-50 fused by reciprocal-rank fusion (k=60) — the standard hybrid
+    retrieval stack, end-to-end in one plan. Both retrievers AND the
+    fusion replay in DuckDB (quantized partials everywhere, so every
+    rank and the fused ordering are engine-exact)."""
+    from pyspark.sql import Window
+
+    from palo_spark.operators.similarity import rrf_fuse, similarity_topk
+    from palo_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, ["hash", "join", "vector"], top_n=50)
+    wl = Window.orderBy(F.desc("bm25_q"), "doc_id")
+    lexr = lex.select("doc_id", F.row_number().over(wl).cast("int").alias("rank"))
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    sem = similarity_topk(e, qv, k=50, quantized=True)
+    ws = Window.orderBy(F.desc("score"), "vec_id")
+    semr = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("int").alias("rank"),
+    )
+    return rrf_fuse([lexr, semr], top_n=10)
