@@ -749,3 +749,39 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), id_col)
         .limit(top_n)
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    label_col: str = "label",
+    quantized: bool = False,
+    lsh: bool = False,
+) -> DataFrame:
+    """k-NN label propagation: each query row gets the majority label of
+    its k nearest corpus rows (ties → smaller label) — weak-labeling /
+    auto-tagging for training-data pipelines. Pure composition: the
+    neighbor search is :func:`knn_join` (or the banded-LSH form for
+    query TABLES at scale), the vote one keyed aggregate + max_by."""
+    join = knn_join_lsh if lsh else knn_join
+    nn = join(
+        queries, corpus, k,
+        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec, quantized=quantized,
+    )
+    votes = (
+        nn.join(corpus.select(F.col(c_id), F.col(label_col)), c_id)
+        .groupBy(q_id, label_col)
+        .agg(F.count("*").alias("votes"))
+    )
+    return votes.groupBy(q_id).agg(
+        F.expr(f"max_by({label_col}, struct(votes, -{label_col}))").alias(
+            "pred_label"
+        ),
+        F.max("votes").alias("votes"),
+    )

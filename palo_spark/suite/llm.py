@@ -2567,3 +2567,44 @@ def rag_fusion_rrf(spark, sf_dir):
         F.row_number().over(ws).cast("int").alias("rank"),
     )
     return rrf_fuse([lexr, semr], top_n=10)
+
+
+@q(
+    "knn_label_propagation",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.q_id, e.vec_id, e.label,
+               CAST({_o_qdot('e.embedding', 'q.q_vec')} AS DOUBLE)
+               / sqrt(CAST({_o_qdot('e.embedding', 'e.embedding')} AS DOUBLE)
+                      * CAST({_o_qdot('q.q_vec', 'q.q_vec')} AS DOUBLE)) AS score
+        FROM embeddings e, q
+    ),
+    nn AS (
+        SELECT q_id, vec_id, label FROM (
+            SELECT q_id, vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM scored) t
+        WHERE rn <= 5
+    ),
+    votes AS (SELECT q_id, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2)
+    SELECT q_id,
+           arg_max(label, votes * 1000 - label) AS pred_label,
+           CAST(MAX(votes) AS BIGINT) AS votes
+    FROM votes GROUP BY q_id ORDER BY q_id
+    """,
+)
+def knn_label_propagation(spark, sf_dir):
+    """Weak labeling by k-NN majority vote: 8 query vectors classified
+    by their 5 nearest corpus neighbors' labels (ties → smaller label).
+    Neighbor ranks use the quantized cosine, so neighbors, votes, and
+    predictions all replay exactly in DuckDB."""
+    from palo_spark.operators.similarity import knn_classify
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_classify(queries, e, k=5, quantized=True).orderBy("q_id")
