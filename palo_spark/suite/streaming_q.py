@@ -398,3 +398,75 @@ def streaming_static_enrich(spark, sf_dir):
     )
     sq.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "streaming_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join — the hardest Structured Streaming
+    operator: purchases and clicks arrive as two independent streams;
+    each purchase joins every click by the same user within the
+    preceding hour. Both sides carry watermarks and the join carries the
+    time-range constraint, so state for rows older than
+    watermark − 1 h is evictable (the canonical interval-join state
+    bound); the 30-day watermark here covers the fixture's full span, so
+    the streamed result is COMPLETE and must equal the batch range join
+    (the oracle) row for row."""
+    import uuid
+
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    src_dir = os.path.join(_ROOT, name)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    ev.write.mode("overwrite").parquet(src_dir)
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    s1 = spark.readStream.schema(schema).parquet(src_dir)
+    s2 = spark.readStream.schema(schema).parquet(src_dir)
+    p = (
+        s1.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        s2.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 days")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    assert joined.isStreaming
+    sq = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(_ROOT, name + "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")

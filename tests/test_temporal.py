@@ -240,3 +240,58 @@ def test_bm25_matches_reference(spark):
             ref[i] = s
     assert got == ref
     assert max(got, key=got.get) == 1  # both terms, high tf -> top hit
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against the de-facto reference implementation on a
+    randomized fixture (both directions, with and without tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 200), unit="s"),
+            "lid": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 150),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 150), unit="s"),
+            "rv": np.arange(150) * 10,
+        }
+    )
+    # dedupe ties on (k, ts): keep max rv (same rule the operator asks of
+    # callers; pandas keeps the LAST sorted row, so sort by rv)
+    right = (
+        right.sort_values(["k", "ts", "rv"]).drop_duplicates(["k", "ts"], keep="last")
+    )
+    l_df = spark.createDataFrame(left.assign(ts=left.ts.dt.to_pydatetime()),
+                                 "k int, ts timestamp_ntz, lid long")
+    r_df = spark.createDataFrame(right.assign(ts=right.ts.dt.to_pydatetime()),
+                                 "k int, ts timestamp_ntz, rv long")
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("backward", 600), ("forward", 600)]:
+        got = {
+            r["lid"]: r["rv"]
+            for r in asof_join(
+                l_df, r_df, on="k", direction=direction, tolerance=tol
+            ).collect()
+        }
+        ref = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+            for r in ref.itertuples()
+        }
+        assert got == exp, direction
