@@ -124,7 +124,8 @@ _PRIORITY = [
 # events_asof_join, events_asof_forward_tolerance, similarity_search_pq,
 # dedup_incremental_snapshot, text_bpe_pair_counts,
 # streaming_static_enrich, text_bpe_apply, text_bm25_retrieval,
-# rag_fusion_rrf, knn_label_propagation, streaming_stream_stream_join.
+# rag_fusion_rrf, knn_label_propagation, streaming_stream_stream_join,
+# multimodal_real_png_codec.
 
 
 def _reorder(d: dict) -> dict:

@@ -295,3 +295,59 @@ def test_asof_matches_pandas_merge_asof(spark):
             for r in ref.itertuples()
         }
         assert got == exp, direction
+
+
+def test_png_codec_all_filters():
+    """decode_png must invert every scanline filter type, not just the
+    filter-0 rows our encoder emits — build filtered streams by hand."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from palo_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (5, 4, 3)).astype(np.uint8)
+    # roundtrip through our own encoder (filter 0)
+    assert (decode_png(encode_png(px)) == px).all()
+
+    # hand-filter each row with types 1..4 and check recovery
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(int)
+    raw = b""
+    prev = np.zeros(stride, dtype=int)
+    for y, ftype in zip(range(h), [1, 2, 3, 4, 1]):
+        row = flat[y]
+        filt = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 1:
+                filt[x] = (row[x] - a) % 256
+            elif ftype == 2:
+                filt[x] = (row[x] - b) % 256
+            elif ftype == 3:
+                filt[x] = (row[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (row[x] - pred) % 256
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == px).all()
