@@ -252,7 +252,15 @@ def dedup_minhash(
     Returns the deduplicated DataFrame (original columns).
     """
     rows_per_band = n_hashes // bands
-    sh = df.select(
+    src = df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        # few-file inputs (one parquet footer at small SF) would run the
+        # shingle + 64-hash signature projection — the expensive stage —
+        # on 1-2 tasks; the input here is (id, text) narrow, so this
+        # shuffle is cheap insurance (same fix as substring_dup_docs)
+        src = src.select(F.col(id_col), F.col(text_col)).repartition(parallelism)
+    sh = src.select(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_k).alias("__sh")
     )
     sig = sh.select(
