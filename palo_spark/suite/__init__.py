@@ -125,7 +125,7 @@ _PRIORITY = [
 # dedup_incremental_snapshot, text_bpe_pair_counts,
 # streaming_static_enrich, text_bpe_apply, text_bm25_retrieval,
 # rag_fusion_rrf, knn_label_propagation, streaming_stream_stream_join,
-# multimodal_real_png_codec.
+# multimodal_real_png_codec, embedding_outlier_topk.
 
 
 def _reorder(d: dict) -> dict:

@@ -2682,3 +2682,55 @@ def multimodal_real_png_codec(spark, sf_dir):
         F.element_at("s", 4).cast("int").alias("color_type"),
         F.element_at("s", 5).alias("r_mean"),
     ).orderBy("doc_id")
+
+
+@q(
+    "embedding_outlier_topk",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    mu AS (SELECT pos,
+                  ((CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0)))
+                         AS DOUBLE) / 1000000.0) / COUNT(v)) AS mu
+           FROM ex GROUP BY pos)
+    SELECT vec_id,
+           CAST(SUM(CAST(FLOOR((v - mu) * (v - mu) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sq_dist_q
+    FROM ex JOIN mu USING (pos)
+    GROUP BY vec_id ORDER BY sq_dist_q DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outlier_topk(spark, sf_dir):
+    """Embedding-space outlier detection (corpus hygiene): top-20
+    vectors by quantized squared distance to the corpus centroid. The
+    per-dimension means accumulate in exact decimal (order-independent
+    — the dsum convention), distances quantize per-dimension before the
+    exact per-vector sum, so the outlier ranking is engine-exact and
+    the WHOLE computation (means included) replays in DuckDB. Plan: one
+    keyed shuffle for the 64-row means (broadcast back), one for the
+    per-vector sum — no vector ever reaches the driver."""
+    from palo_spark.suite.util import davg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    means = ex.groupBy("pos").agg(davg("v").alias("mu"))
+    scored = ex.join(F.broadcast(means), "pos").select(
+        "vec_id",
+        F.floor(
+            (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.sum("p").cast("long").alias("sq_dist_q"))
+        .orderBy(F.desc("sq_dist_q"), "vec_id")
+        .limit(20)
+    )
