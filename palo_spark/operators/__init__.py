@@ -52,6 +52,8 @@ from palo_spark.operators.similarity import (  # noqa: F401
     pq_encode,
     pq_adc_lut,
     similarity_topk_pq,
+    rrf_fuse,
+    knn_classify,
 )
 from palo_spark.operators.temporal import asof_join  # noqa: F401
 from palo_spark.operators.text import (  # noqa: F401
