@@ -779,8 +779,12 @@ def knn_classify(
         .groupBy(q_id, label_col)
         .agg(F.count("*").alias("votes"))
     )
+    # Tie-break via min_by on (-votes, label): negating the numeric vote
+    # count (not the label) keeps "ties -> smaller label" correct for ANY
+    # orderable label type — negating a string label would cast to double
+    # and yield NULL (silently nondeterministic under non-ANSI).
     return votes.groupBy(q_id).agg(
-        F.expr(f"max_by({label_col}, struct(votes, -{label_col}))").alias(
+        F.expr(f"min_by({label_col}, struct(-votes, {label_col}))").alias(
             "pred_label"
         ),
         F.max("votes").alias("votes"),

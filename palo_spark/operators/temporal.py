@@ -63,7 +63,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction must be backward/forward, got {direction}")
     carried = [c for c in right.columns if c not in keys and c != right_ts]
-    clash = [c for c in carried if c in left.columns]
+    clash = [c for c in carried + ["matched_" + right_ts] if c in left.columns]
     if clash:
         raise ValueError(
             f"asof_join: right value columns {clash} collide with left "
@@ -102,10 +102,26 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry = [rt] + carried
+    # Carry ONE struct per right row, not per-column last(): a per-column
+    # ignorenulls carry would skip a matched row's legitimately-NULL value
+    # and resurrect an OLDER right row's value, mixing columns across two
+    # different right rows. The struct is non-null for every right row, so
+    # NULL field values propagate together with their own row (pandas
+    # merge_asof semantics).
+    m = "__asof_match"
     out = l2.unionByName(r2)
-    for c in carry:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = out.withColumn(
+        m,
+        F.when(
+            F.col(_HELPER) == 0,
+            F.struct(*[F.col(c).alias(c) for c in carry]),
+        ),
+    )
+    out = out.withColumn(m, F.last(m, ignorenulls=True).over(w))
     out = out.filter(F.col(_HELPER) == 1)
+    for c in carry:
+        out = out.withColumn(c, F.col(m).getField(c))
+    out = out.drop(m)
     if tolerance is not None:
         # timestampdiff accepts TIMESTAMP_NTZ (unix_micros does not).
         gap = F.abs(

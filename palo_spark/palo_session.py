@@ -1163,7 +1163,18 @@ class PaloSession:
                 if sdata_.group("name")
                 else sorted(self.tables)
             )
-            rows = []
+            # Doris-shaped output: TableName / Size (human-readable,
+            # 3 decimals) / ReplicaCount, then Total / Quota / Left
+            # summary rows — clients parsing Doris's SHOW DATA work as-is.
+            def _fmt(b: int) -> str:
+                v, unit = float(b), "B"
+                for u in ("KB", "MB", "GB", "TB"):
+                    if v < 1024.0:
+                        break
+                    v, unit = v / 1024.0, u
+                return f"{v:.3f} {unit}"
+
+            rows, total = [], 0
             for n in names:
                 t = self._table(n)
                 size = 0
@@ -1173,11 +1184,15 @@ class PaloSession:
                             os.path.getsize(os.path.join(dirpath, f_))
                             for f_ in files
                         )
-                rows.append((n, size, len(t.meta.rowsets)))
+                total += size
+                rows.append((n, _fmt(size), len(t.meta.rowsets)))
+            quota = 1024**4  # Doris default per-db data quota: 1 TB
+            rows.append(("Total", _fmt(total), sum(r[2] for r in rows)))
+            rows.append(("Quota", _fmt(quota), 0))
+            rows.append(("Left", _fmt(max(quota - total, 0)), 0))
             return self.spark.createDataFrame(
-                rows or [("", 0, 0)],
-                "table_name string, size_bytes long, rowset_count int",
-            ).filter("table_name <> ''")
+                rows, "TableName string, Size string, ReplicaCount int"
+            )
         sd_ = _SHOW_DELETE_RE.match(stripped)
         if sd_:
             t = self._table(sd_.group("name"))

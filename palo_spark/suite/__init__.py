@@ -38,94 +38,89 @@ _MODULE_NAMES = [
     "geo_q",
 ]
 
-# r05 window: the driver verifies only the FIRST 50 entries of the
-# registry; these are the 49 entries that had never received a
-# driver-green CORRECTNESS row through r04 (VERDICT r4 "What's wrong"
-# #1) — emitting them first closes the driver-evidence gap in one
-# rotation. Entries listed here are yielded before everything else,
-# in this order; anything not listed keeps module order.
+# r06 window: the driver verifies the FIRST 50 registry entries; these
+# are the 50 highest-value entries of the 102 that have never had a
+# driver-green CORRECTNESS row (VERDICT r5 advice #1 names exactly
+# these groups). Entries listed here are yielded before everything
+# else, in this order; anything not listed keeps module order.
 _PRIORITY = [
-    "scalar_variant_json",
-    "scalar_time_round_family",
-    "scalar_date_names",
-    "scalar_misc_batch3",
-    "scalar_misc_batch4",
-    "scalar_misc_batch5",
-    "file_scan_csv_roundtrip",
-    "file_scan_json_orc_roundtrip",
-    "broker_load_label_dedup",
-    "export_partitioned_roundtrip",
-    "multi_cast_cte_reuse",
-    "schema_scan_tables",
-    "meta_scan_columns",
-    "bucketed_colocated_join",
-    "streaming_routine_load",
-    "streaming_upsert_unique",
-    "sketch_bitmap_subset_ops",
-    "behavioral_retention",
-    "behavioral_sequence_count",
-    "behavioral_funnel_modes",
-    "dedup_simhash_docs",
-    "embedding_quantize_int8",
-    "similarity_search_lsh",
-    "similarity_search_ivf",
-    "text_lang_id",
-    "text_fingerprint_distinct",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "text_match_predicates",
-    "multimodal_resize_features",
-    "dedup_cluster_resolve",
-    "dedup_cluster_keep",
-    "text_chunk_documents",
-    "text_redact_pii",
-    "text_repetition_score",
-    "text_decontaminate",
-    "text_match_phrase",
-    "corpus_filter_pipeline",
-    "embedding_avg_pool",
-    "embedding_l2_normalize",
-    "embedding_distance_metrics",
-    "pipeline_pretraining_corpus",
-    "text_pack_sequences",
-    "text_contamination_score",
-    "similarity_knn_join_lsh",
-    "text_remove_boilerplate",
-    "nested_loop_range_join",
-    "relational_pivot",
-    "table_function_explode_variants",
-    # slot 50: this round's SQL-session centerpiece (the 49 above close
-    # VERDICT r4's never-driver-green list; one slot remains in the
-    # driver's 50-entry window).
-    "sql_session_ddl_pipeline",
+    "sql_tpch_q1",
+    "sql_tpch_q2",
+    "sql_tpch_q3",
+    "sql_tpch_q4_exists",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q10_returned",
+    "sql_tpch_q11",
+    "sql_tpch_q12_if",
+    "sql_tpch_q13",
+    "sql_tpch_q14_promo_if",
+    "sql_tpch_q15_cte_max",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q18_in_subquery",
+    "sql_tpch_q19_or_bands",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22_not_exists",
+    "sql_dialect_datetime",
+    "sql_dialect_limit_offset",
+    "sql_dialect_group_concat",
+    "sql_dialect_interval_arith",
+    "sql_dialect_cast_nullsafe",
+    "sql_dialect_week_format",
+    "sql_dialect_date_funcs",
+    "sql_dialect_field_elt",
+    "jdbc_roundtrip",
+    "text_match_indexed",
+    "geo_point_wkt_roundtrip",
+    "geo_distance_azimuth",
+    "geo_contains_polygon",
+    "agg_state_two_phase",
+    "events_asof_join",
+    "similarity_search_pq",
+    "text_bm25_retrieval",
+    "rag_fusion_rrf",
+    "multimodal_real_ppm_codec",
+    "multimodal_real_png_codec",
+    "tpcds_spend_deciles",
+    "tpcds_rolling_3mo_avg",
+    "tpcds_purchase_streaks",
+    "tpcds_yoy_growth",
+    "tpcds_channel_union_agg",
+    "tpcds_window_over_agg",
+    "tpcds_multilevel_rollup",
+    "tpcds_grouping_margin_rank",
 ]
 
-# r6 rotation TODO: entries added during round 5 that have not yet had a
-# driver-green CORRECTNESS row — put (up to 50 of) these first next
-# round: sql_tpch_{q1,q3,q5,q4_exists,q12_if,q10_returned,q14_promo_if,
-# q18_in_subquery,q19_or_bands,q15_cte_max,q22_not_exists},
-# sql_dialect_{datetime,limit_offset,group_concat,interval_arith,
-# cast_nullsafe,week_format,date_funcs}, sql_session_mv_pipeline,
-# tpcds_* (12), jdbc_roundtrip, text_match_indexed,
-# similarity_search_ivf_literal, geo_* (3), scalar_sm4_crypto,
-# agg_state_two_phase, streaming_tumbling_window,
-# table_model_{auto_partition,bitmap_union_col,partition_rollup},
-# text_intra_doc_line_dedup, dedup_url_normalized,
-# corpus_profile_report, multimodal_real_ppm_codec,
-# embedding_pca_variance; second wave: sql_lateral_explode_split,
-# sql_lateral_explode_json_numbers, sql_qualify_topn_per_group,
-# sql_qualify_direct_window, dedup_semantic_semdedup,
-# dedup_substring_spans, text_quality_classifier,
-# streaming_running_agg_model, text_perplexity_filter,
-# sample_token_budget, tpcds_purchase_streaks, tpcds_rolling_3mo_avg,
-# tpcds_spend_deciles, sql_inverted_index_query, sql_dialect_field_elt,
-# sample_temperature_mix, sql_tpch_{q2,q6,q7,q8,q9,q11,q13,q16,q17,q20,q21},
-# sql_rollup_grouping_sets, multimodal_audio_wav_features; third wave:
-# events_asof_join, events_asof_forward_tolerance, similarity_search_pq,
-# dedup_incremental_snapshot, text_bpe_pair_counts,
-# streaming_static_enrich, text_bpe_apply, text_bm25_retrieval,
-# rag_fusion_rrf, knn_label_propagation, streaming_stream_stream_join,
-# multimodal_real_png_codec, embedding_outlier_topk.
+# r7 rotation TODO: the remaining 52 never-driver-green entries (plus
+# anything added in round 6) — put up to 50 of these first next round:
+# scalar_sm4_crypto, streaming_tumbling_window, streaming_state_dedup,
+# streaming_session_window, streaming_running_agg_model,
+# streaming_static_enrich, streaming_stream_stream_join,
+# table_model_auto_partition, table_model_bitmap_union_col,
+# table_model_partition_rollup, sample_heavy_hitters,
+# sample_grouped_heavy_hitters, sample_training_order,
+# sample_token_budget, sample_temperature_mix,
+# similarity_search_ivf_literal, text_intra_doc_line_dedup,
+# dedup_url_normalized, corpus_profile_report, embedding_pca_variance,
+# dedup_semantic_semdedup, text_quality_classifier,
+# dedup_substring_spans, text_perplexity_filter,
+# multimodal_audio_wav_features, dedup_incremental_snapshot,
+# text_bpe_pair_counts, text_bpe_apply, knn_label_propagation,
+# embedding_outlier_topk, events_asof_forward_tolerance,
+# sql_session_mv_pipeline, sql_join_hint_broadcast,
+# sql_join_hint_shuffle, sql_create_view_query, sql_match_predicates,
+# sql_lateral_explode_split, sql_lateral_explode_json_numbers,
+# sql_qualify_topn_per_group, sql_qualify_direct_window,
+# sql_inverted_index_query, sql_rollup_grouping_sets,
+# tpcds_case_heavy_agg, tpcds_exists_chain, tpcds_segment_topn,
+# tpcds_customer_set_ops, tpcds_revenue_share, tpcds_am_pm_ratio,
+# tpcds_frequent_buyers, tpcds_return_rate_bands,
+# tpcds_cumulative_channels, tpcds_cov_filter
 
 
 def _reorder(d: dict) -> dict:

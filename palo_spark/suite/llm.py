@@ -2651,8 +2651,18 @@ def multimodal_real_png_codec(spark, sf_dir):
 
         rows = []
         for t in texts:
-            body = (t[:96] + "x" * 96)[:96].encode("utf-8", "replace")[:96]
-            body = body + b"x" * (96 - len(body))
+            # CHARACTER-based slice/pad to match the oracle's substr/rpad/
+            # ord exactly, then a loud ASCII assert: a byte-based truncate
+            # would silently diverge from the char-based oracle on any
+            # multi-byte input, so non-ASCII fails the query instead.
+            chars = (t[:96] + "x" * 96)[:96]
+            try:
+                body = chars.encode("ascii")
+            except UnicodeEncodeError as exc:
+                raise AssertionError(
+                    "multimodal_real_png_codec: document text must be "
+                    "ASCII (char==byte) for oracle parity"
+                ) from exc
             px = np.frombuffer(body, dtype=np.uint8).reshape(4, 8, 3)
             png = encode_png(px)
             back = decode_png(png)

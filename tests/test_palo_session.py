@@ -634,8 +634,13 @@ def test_show_data_sizes(spark, tmp_path):
     s.sql("CREATE TABLE sd (k INT, v INT) DUPLICATE KEY(k)")
     s.sql("INSERT INTO sd VALUES (1, 10), (2, 20)")
     s.sql("INSERT INTO sd VALUES (3, 30)")
-    rows = {r["table_name"]: r for r in s.sql("SHOW DATA").collect()}
-    assert rows["sd"]["rowset_count"] == 2
-    assert rows["sd"]["size_bytes"] > 0
-    one = s.sql("SHOW DATA FROM sd").collect()
-    assert len(one) == 1 and one[0]["size_bytes"] == rows["sd"]["size_bytes"]
+    rows = {r["TableName"]: r for r in s.sql("SHOW DATA").collect()}
+    # Doris-shaped: per-table rows plus Total/Quota/Left summary rows,
+    # human-readable sizes ("N.NNN KB"), ReplicaCount = rowset count.
+    assert rows["sd"]["ReplicaCount"] == 2
+    assert rows["sd"]["Size"].split()[1] in ("B", "KB", "MB")
+    assert float(rows["sd"]["Size"].split()[0]) > 0
+    assert {"Total", "Quota", "Left"} <= rows.keys()
+    assert rows["Quota"]["Size"] == "1.000 TB"
+    one = {r["TableName"]: r for r in s.sql("SHOW DATA FROM sd").collect()}
+    assert one["sd"]["Size"] == rows["sd"]["Size"]

@@ -63,6 +63,30 @@ def test_column_collision_fails_loud(frames):
         asof_join(left, right.withColumnRenamed("rv", "lv"), on="k")
 
 
+def test_matched_ts_output_collision_fails_loud(spark, frames):
+    _, right = frames
+    left = spark.createDataFrame(
+        [(1, _t(6), "x")], "k int, ts timestamp_ntz, matched_ts string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k")
+
+
+def test_null_right_value_propagates_with_its_own_row(spark):
+    """A NULL in the matched right row's value column must surface as NULL,
+    never resurrect an OLDER right row's value (pandas merge_asof parity).
+    Regression: per-column last(ignorenulls) mixed columns across rows."""
+    left = spark.createDataFrame([(1, _t(6))], "k int, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, _t(1), 100, "old"), (1, _t(5), None, "new")],
+        "k int, ts timestamp_ntz, rv int, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["matched_ts"] == _t(5)
+    assert row["rv"] is None  # the matched row's own NULL, not 100
+    assert row["tag"] == "new"
+
+
 def test_single_shuffle_plan(frames):
     """The asof merge must cost ONE key shuffle (union -> one Exchange ->
     window), never a join of candidate pairs."""
