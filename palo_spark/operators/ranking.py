@@ -1,0 +1,105 @@
+"""Distributed global ranking: exact row_number / NTILE without a
+single-partition window.
+
+``NTILE(k) OVER (ORDER BY ...)`` with no PARTITION BY is the classic
+scale-killer: Spark plans it as ``Exchange SinglePartition`` → one task
+sorts the ENTIRE frame. Fine at 10⁵ rows, fatal at 10⁹. Doris avoids it
+the same way every MPP engine does — range-partition the sort key, rank
+within ranges, add cross-range offsets [upstream:
+be/src/vec/exec/vpartition_sort_node.* ships the same idea for
+PARTITION_SORT].
+
+The distributed shape here (the standard zipWithIndex design, kept
+entirely inside the DataFrame plan — no driver collect):
+
+1. ``repartitionByRange(P, keys)`` — ONE range shuffle; partition p
+   holds a contiguous key range, so global order = (partition order,
+   in-partition order).
+2. per-partition counts (tiny: P rows) → per-partition global offset
+   via a broadcast theta-join of the count frame with itself
+   (P² ≤ 32² pairs — metadata-scale, no window, no collect).
+3. ``row_number() OVER (PARTITION BY pid ORDER BY keys)`` + offset —
+   a KEYED window, max partition size n/P.
+
+Exact NTILE semantics from the global row number rn ∈ [1, n]: with
+q = n div k, r = n mod k, tiles 1..r hold q+1 rows and tiles r+1..k
+hold q rows — identical to the SQL-standard NTILE, so results are
+bit-equal to the oracle's ``NTILE(k) OVER (ORDER BY ...)`` whenever the
+order key is unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID, _CNT, _OFF, _RN, _N = "__gr_pid", "__gr_cnt", "__gr_off", "__gr_rn", "__gr_n"
+
+
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[str], num_partitions: int
+) -> DataFrame:
+    """Range-shuffle ``df`` on the order keys and attach each row's
+    partition-start global offset plus the total row count. The count
+    scan and the main branch share one Exchange (ReuseExchange)."""
+    keys = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count("*").alias(_CNT))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum(F.col(f"b.{_CNT}")), F.lit(0)).alias(_OFF))
+    )
+    total = counts.agg(F.sum(_CNT).alias(_N))
+    return ranged.join(F.broadcast(offsets), _PID).join(F.broadcast(total))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out: str = "rn",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` as a
+    range shuffle + keyed window — no single-partition stage anywhere
+    in the plan. Order keys should be unique for determinism (same
+    contract as the window form)."""
+    keys = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(_PID).orderBy(*keys)
+    return (
+        _ranged_with_offsets(df, order_cols, num_partitions)
+        .withColumn(out, (F.row_number().over(w) + F.col(_OFF)).cast("bigint"))
+        .drop(_PID, _OFF, _N)
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    *,
+    out: str = "tile",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact SQL ``NTILE(k) OVER (ORDER BY order_cols)`` without the
+    global window: global row number (see module docstring), then the
+    standard tile split — first ``n mod k`` tiles get ``n div k + 1``
+    rows, the rest ``n div k``."""
+    keys = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(_PID).orderBy(*keys)
+    rn: Column = F.row_number().over(w) + F.col(_OFF)
+    q = F.floor(F.col(_N) / k)
+    r = F.col(_N) % k
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    tile = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / F.greatest(q, F.lit(1)))
+    )
+    return (
+        _ranged_with_offsets(df, order_cols, num_partitions)
+        .withColumn(out, tile.cast("int"))
+        .drop(_PID, _OFF, _N)
+    )

@@ -514,12 +514,16 @@ _RET_CASE = "CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END"
 )
 def tpcds_return_rate_bands(spark, sf_dir):
     """TPC-DS q49 shape: return-rate quartile banding — per-supplier
-    return ratio, NTILE(4) with a unique tiebreak (deterministic), then
-    per-band stats. The NTILE runs over the aggregated supplier frame,
-    not raw lineitem — a global sort, but of one row per supplier.
-    At 100 TB with billions of group keys, swap the exact NTILE for
-    percentile_approx band edges (one pass, no global sort); the exact
-    form is used here because TPC-DS q49's contract is exact ranks."""
+    return ratio, exact quartile banding with a unique tiebreak
+    (deterministic), then per-band stats. The banding is
+    ``operators.ranking.global_ntile`` — a range shuffle + keyed window
+    + offset join, NOT ``NTILE(4) OVER (ORDER BY ...)``: the global
+    window plans as Exchange SinglePartition (one task sorts every
+    supplier), the one shape that cannot survive a 100× scale-up.
+    Results are bit-equal to the oracle's exact NTILE because the order
+    key (rate, suppkey) is unique."""
+    from palo_spark.operators.ranking import global_ntile
+
     l = load_table(spark, sf_dir, "lineitem")
     sr = l.groupBy("l_suppkey").agg(
         dsum(
@@ -528,16 +532,13 @@ def tpcds_return_rate_bands(spark, sf_dir):
         dsum("l_quantity").alias("tot_qty"),
     )
     rate = F.floor(F.col("ret_qty") / F.col("tot_qty") * 1e6) / 1e6
-    banded = (
-        sr.filter(F.col("tot_qty") > 0)
-        .select(
-            "l_suppkey",
-            rate.alias("ret_rate"),
-            F.ntile(4)
-            .over(Window.orderBy(rate, F.col("l_suppkey")))
-            .cast("int")
-            .alias("band"),
-        )
+    banded = global_ntile(
+        sr.filter(F.col("tot_qty") > 0).select(
+            "l_suppkey", rate.alias("ret_rate")
+        ),
+        ["ret_rate", "l_suppkey"],
+        4,
+        out="band",
     )
     return banded.groupBy("band").agg(
         F.count("*").cast("bigint").alias("n_suppliers"),
@@ -839,19 +840,21 @@ def tpcds_rolling_3mo_avg(spark, sf_dir):
 )
 def tpcds_spend_deciles(spark, sf_dir):
     """Customer-stratification shape (TPC-DS customer segmentation):
-    NTILE(10) deciles of per-customer spend, then per-decile totals and
+    exact spend deciles per customer, then per-decile totals and
     boundaries. The tile order key (cents, custkey) is unique, so tile
-    assignment is deterministic; the NTILE input is the post-aggregate
-    |customers| frame. A global NTILE is a single-partition window —
-    fine here because the frame is already reduced; at extreme
-    cardinality swap in percent_rank-bucketing, which shuffles by
-    range instead."""
+    assignment is deterministic and bit-equal to the oracle's
+    ``NTILE(10)``. Deciles come from ``operators.ranking.global_ntile``
+    (range shuffle + keyed window + offset join) instead of a global
+    window — ``NTILE(10) OVER (ORDER BY ...)`` plans as Exchange
+    SinglePartition and one task would sort every customer, the one
+    shape that cannot survive a 100× scale-up."""
+    from palo_spark.operators.ranking import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    tiled = global_ntile(spend, ["cents", "o_custkey"], 10, out="decile")
     return (
         tiled.groupBy("decile")
         .agg(
