@@ -48,6 +48,7 @@ def build_text_index(
     id_col: str = "doc_id",
     buckets: int = 64,
     skip_if_current: bool = False,
+    version: str | None = None,
 ) -> None:
     """Write the inverted index for ``df`` at ``path``: distinct
     ``(token, doc_id)`` postings, hash-partitioned into ``buckets``
@@ -59,20 +60,27 @@ def build_text_index(
     bytes at the target corpus (more buckets = finer pruning, more
     files).
 
-    ``skip_if_current=True`` fingerprints the corpus (count + xxhash64
-    fold over (id, text) — one narrow aggregate, no shuffle of text)
-    and no-ops when the on-disk index was built from the same corpus
-    with the same parameters — the Doris posture, where the inverted
-    index is maintained at LOAD time and queries only read it.
+    ``skip_if_current=True`` no-ops when the on-disk index is current
+    for the same corpus and parameters — the Doris posture, where the
+    inverted index is maintained at LOAD time and queries only read it.
+    Freshness is decided by ``version`` when given: a caller-supplied
+    monotonic mutation token (a ``Table``'s mutation counter, or
+    :func:`source_version` for immutable parquet) compared against the
+    stored one — O(1) metadata, NO corpus scan on the query path. Only
+    when no token exists does it fall back to fingerprinting the corpus
+    (count + xxhash64 fold over (id, text) — one narrow aggregate).
     """
     spark = df.sparkSession
     fp = None
     if skip_if_current:
-        agg = df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64(F.col(id_col), F.col(text_col))).alias("h"),
-        ).head()
-        fp = f"{agg['n']}:{agg['h']}"
+        if version is not None:
+            fp = "v:" + version
+        else:
+            agg = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(F.col(id_col), F.col(text_col))).alias("h"),
+            ).head()
+            fp = f"{agg['n']}:{agg['h']}"
         try:
             row = spark.read.parquet(path + "/_palo_index_meta").head()
             meta = row.asDict()
@@ -105,6 +113,29 @@ def build_text_index(
         [(int(buckets), text_col, id_col, fp)],
         "buckets int, text_col string, id_col string, fingerprint string",
     ).write.mode("overwrite").parquet(path + "/_palo_index_meta")
+
+
+def source_version(path: str) -> str:
+    """Mutation token for an immutable file corpus: a fold over the
+    source files' (name, size, mtime) — filesystem METADATA only, cost
+    O(#files) stat calls, zero data read. Any rewrite of the source
+    changes the token; suitable as ``build_text_index(version=...)``
+    for parquet corpora that have no table mutation ledger."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    else:
+        for dirpath, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def _index_meta(spark, path: str) -> dict:

@@ -641,6 +641,9 @@ class PaloSession:
             text_col=col,
             id_col=id_col,
             skip_if_current=True,
+            # freshness = the table's monotonic mutation counter — O(1)
+            # metadata; no corpus scan on the query path
+            version=str(t.meta.mutations),
         )
 
     def _try_indexed_match(self, text: str) -> str | None:

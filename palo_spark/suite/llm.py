@@ -1014,12 +1014,18 @@ def text_match_indexed(spark, sf_dir):
         match_phrase_indexed,
     )
 
+    from palo_spark.operators.text_index import source_version
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     path = "/tmp/palo_spark_text_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     # Doris posture: the inverted index is maintained at LOAD time, the
-    # query path only reads it — fingerprint-skip makes repeat calls
-    # measure the indexed READ (and still rebuilds if the corpus changed)
-    build_text_index(d, path, buckets=64, skip_if_current=True)
+    # query path only reads it — the freshness probe is the source
+    # parquet's file-metadata token (stat calls, no corpus scan), so
+    # repeat calls measure the indexed READ and still rebuild on change
+    build_text_index(
+        d, path, buckets=64, skip_if_current=True,
+        version=source_version(sf_dir + "/documents.parquet"),
+    )
     any_ids = match_any_indexed(d, path, "merge window").select(
         "doc_id", F.lit("any").alias("which")
     )

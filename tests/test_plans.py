@@ -533,6 +533,30 @@ def test_text_index_fingerprint_skip_and_rebuild(spark, sf_dir, tmp_path):
     assert match_any_indexed(changed, path, "zzzextra").count() == 50
 
 
+def test_text_index_version_token_skips_without_scan(spark, sf_dir, tmp_path):
+    """With a mutation token the freshness probe is O(1) metadata: an
+    unchanged token must no-op EVEN IF the corpus content differs
+    (proving no content scan happens), and a bumped token rebuilds."""
+    import os
+
+    from palo_spark.operators import build_text_index, match_any_indexed
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "tixv")
+    build_text_index(docs, path, buckets=8, skip_if_current=True, version="1")
+    meta = os.path.join(path, "_palo_index_meta")
+    mtime = os.path.getmtime(meta)
+    changed = docs.withColumn("text", F.concat(F.col("text"), F.lit(" qqnew")))
+    # same token → skip, regardless of content (freshness is the token)
+    build_text_index(changed, path, buckets=8, skip_if_current=True, version="1")
+    assert os.path.getmtime(meta) == mtime
+    assert match_any_indexed(changed, path, "qqnew").count() == 0
+    # bumped token → rebuild picks up the new content
+    build_text_index(changed, path, buckets=8, skip_if_current=True, version="2")
+    assert os.path.getmtime(meta) != mtime
+    assert match_any_indexed(changed, path, "qqnew").count() == 50
+
+
 def test_global_ntile_has_no_single_partition_stage(spark, sf_dir):
     """VERDICT r5's one scale-killer: NTILE over a global (unpartitioned)
     window plans as Exchange SinglePartition — one task sorts the whole
