@@ -175,6 +175,10 @@ def main() -> None:
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # execution order, verbatim: rounds append new entries strictly
+        # AFTER the shared prefix, so round-over-round per-query ratios
+        # compare measurements taken at the same position in the run
+        "order": names,
         "sf": sf,
     }
     print(json.dumps(out))
