@@ -743,9 +743,13 @@ def _rewrite_qualify(toks: list[Token]) -> list[Token]:
             raise ValueError("QUALIFY requires a predicate")
         head = _text(toks[si:fi]).rstrip()          # SELECT <list>
         body = _text(toks[fi:qi]).rstrip()          # FROM ... HAVING
+        # head/body may END with a `--` line comment (e.g. a translated
+        # `#` note after the WHERE clause) — gluing text onto that line
+        # would swallow it into the comment, so the joins go on fresh
+        # lines (found by the dialect fuzzer, r6)
         repl = _raw(
-            f"SELECT * EXCEPT (__qualify__) FROM ({head}, ({pred}) AS "
-            f"__qualify__ {body}) __q WHERE __qualify__ "
+            f"SELECT * EXCEPT (__qualify__) FROM ({head}\n, ({pred}) AS "
+            f"__qualify__ {body}\n) __q WHERE __qualify__ "
         )
         toks = toks[:si] + repl + toks[pend:]
 
