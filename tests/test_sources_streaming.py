@@ -295,3 +295,98 @@ def test_es_scan_is_jar_gated_passthrough(spark):
     with pytest.raises(Exception) as ei:
         es_scan(spark, "idx/doc").count()
     assert "es" in str(ei.value).lower() or "DATA_SOURCE" in str(ei.value)
+
+
+def test_watermark_drops_expired_keeps_inside(spark):
+    """Late-arrival semantics across a RESTART (VERDICT r5 advice #8):
+    the watermark survives the checkpoint, rows later than it are
+    dropped, late rows still inside it are kept. Append-mode file sink
+    so only CLOSED windows are emitted — the exactly-once shape a
+    Routine Load consumer of the windowed stream would see."""
+    base = _dir("wmark")
+    incoming, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    os.makedirs(incoming)
+
+    def land(name, *ts):
+        _land(
+            spark.createDataFrame([Row(ts=t, value=1.0) for t in ts]).select(
+                F.col("ts").cast("timestamp").alias("ts"), "value"
+            ),
+            incoming,
+            name,
+        )
+
+    def run():
+        src = spark.readStream.schema("ts timestamp, value double").parquet(incoming)
+        q = (
+            windowed_counts(src, window="1 hour", watermark="1 hour")
+            .select(F.col("win.start").alias("start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["start"].isoformat(): r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: max event time 12:10 → watermark 11:10 → [10:00) closes n=2
+    land("f1", "2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 12:10:00")
+    assert run() == {"2024-01-01T10:00:00": 2}
+
+    # run 2 (restart, same checkpoint — watermark restored at 11:10):
+    #   10:45 → older than the watermark, its window already closed: DROPPED
+    #   12:05 → late vs max-seen (12:10) but INSIDE the watermark: KEPT
+    #   14:30 → advances watermark to 13:30 → [12:00) closes
+    land(
+        "f2",
+        "2024-01-01 10:45:00",
+        "2024-01-01 12:05:00",
+        "2024-01-01 12:20:00",
+        "2024-01-01 14:30:00",
+    )
+    got = run()
+    assert got["2024-01-01T10:00:00"] == 2  # unchanged: late row dropped
+    assert got["2024-01-01T12:00:00"] == 3  # 12:10 + kept late 12:05 + 12:20
+    assert "2024-01-01T14:00:00" not in got  # still open
+
+
+def test_routine_load_kill_between_table_and_checkpoint_commit(spark):
+    """Kill-restart in the worst window: the batch's table insert
+    COMMITTED but the process died before Spark wrote the checkpoint
+    commit marker. Recovery replays the batch with the same batch id;
+    the deterministic label hits the ledger and no-ops — exactly once
+    end-to-end, which is the load-bearing Routine Load claim."""
+    base = _dir("killwin")
+    incoming = os.path.join(base, "in")
+    os.makedirs(incoming)
+    t = Table(spark, "rl_kill", "DUPLICATE", ["k"], location=os.path.join(base, "tbl"))
+    ckpt = os.path.join(base, "ckpt")
+    schema = "k long, v double"
+
+    _land(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(10)]), incoming, "f1")
+    routine_load(spark, incoming, schema, t, ckpt)
+    _land(spark.createDataFrame([Row(k=100, v=1.0), Row(k=101, v=2.0)]), incoming, "f2")
+    routine_load(spark, incoming, schema, t, ckpt)
+    assert t.read().count() == 12
+
+    # simulate the crash: batch 1 is in the table, but its checkpoint
+    # commit marker never made it to disk. (A copy of the checkpoint is
+    # used because the live session caches the commit log per path and
+    # treats in-place deletion as a concurrent query.)
+    ckpt2 = os.path.join(base, "ckpt_after_crash")
+    shutil.copytree(ckpt, ckpt2)
+    os.remove(os.path.join(ckpt2, "commits", "1"))
+    crc = os.path.join(ckpt2, "commits", ".1.crc")  # hadoop checksum ghost
+    if os.path.exists(crc):
+        os.remove(crc)
+    routine_load(spark, incoming, schema, t, ckpt2)  # recovery replays batch 1
+    assert t.read().count() == 12  # label ledger rejected the replay
+    # and new data still flows after the recovery
+    _land(spark.createDataFrame([Row(k=102, v=3.0)]), incoming, "f3")
+    routine_load(spark, incoming, schema, t, ckpt2)
+    assert t.read().count() == 13
