@@ -98,6 +98,12 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "text_bm25_retrieval",
     "rag_fusion_rrf",
+    # r6 additions (strictly after the shared prefix): channel-union
+    # rollup (3 fact joins + REPEAT), distributed exact deciles (the
+    # global-NTILE replacement), returns anti-join
+    "tpcds_channel_rollup_union",
+    "tpcds_spend_deciles",
+    "tpcds_returns_anti_join",
 ]
 
 

@@ -96,8 +96,12 @@ _PRIORITY = [
     "tpcds_grouping_margin_rank",
 ]
 
-# r7 rotation TODO: the remaining 52 never-driver-green entries (plus
-# anything added in round 6) — put up to 50 of these first next round:
+# r7 rotation TODO: the remaining 52 never-driver-green entries plus the
+# 9 tpcds shapes added in round 6 (tpcds_channel_rollup_union,
+# tpcds_yoy_nation_share, tpcds_returns_anti_join, tpcds_brand_rank_shift,
+# tpcds_lifetime_gap_bands, tpcds_quarter_brand_deviation,
+# tpcds_returned_spend_ratio, tpcds_promo_share_by_nation,
+# tpcds_priority_year_matrix) — put up to 50 of these first next round:
 # scalar_sm4_crypto, streaming_tumbling_window, streaming_state_dedup,
 # streaming_session_window, streaming_running_agg_model,
 # streaming_static_enrich, streaming_stream_stream_join,

@@ -865,3 +865,476 @@ def tpcds_spend_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ----------------------------------------------------------------- r6 tranche
+# VERDICT r5 advice #6: rollup-over-channel-union shapes, multi-year
+# comparisons, returns anti-joins — the next slice of the 99-query
+# surface (upstream: regression-test/suites/tpcds_sf1_p1). All money is
+# exact integer cents so both engines agree bit-for-bit.
+
+_CENTS = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+
+
+@q(
+    "tpcds_channel_rollup_union",
+    f"""
+    WITH u AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'returns' ELSE 'sales' END
+                   AS channel,
+               n_name,
+               CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(GROUPING(channel) * 2 + GROUPING(n_name) AS INT) AS lvl
+    FROM u GROUP BY ROLLUP(channel, n_name)
+    ORDER BY lvl, channel, n_name
+    """,
+)
+def tpcds_channel_rollup_union(spark, sf_dir):
+    """TPC-DS q5/q77 shape: per-channel results re-aggregated through a
+    ROLLUP hierarchy (channel → nation → grand total). The rollup input
+    is the post-aggregate |channels × nations| frame, so the REPEAT
+    expansion is metadata-sized; the one fact shuffle is the (channel,
+    nation) hash agg, dimensions broadcast under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    u = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.when(F.col("l_returnflag") == "R", "returns")
+            .otherwise("sales")
+            .alias("channel"),
+            "n_name",
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    return (
+        u.rollup("channel", "n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            (F.grouping("channel") * 2 + F.grouping("n_name"))
+            .cast("int")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "cents",
+            "lvl",
+        )
+        .orderBy("lvl", "channel", "n_name")
+    )
+
+
+@q(
+    "tpcds_yoy_nation_share",
+    """
+    WITH yearly AS (
+        SELECT n_name, CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT n_name, yr, cents,
+               CAST(FLOOR(cents * 1000000.0 / SUM(cents) OVER (PARTITION BY yr))
+                    AS BIGINT) AS share_ppm
+        FROM yearly
+    )
+    SELECT n_name, yr AS cur_yr,
+           LAG(share_ppm) OVER (PARTITION BY n_name ORDER BY yr)
+               AS prev_share_ppm,
+           share_ppm AS cur_share_ppm
+    FROM shared
+    QUALIFY prev_share_ppm IS NOT NULL
+        AND cur_share_ppm < prev_share_ppm
+    ORDER BY n_name, cur_yr
+    """,
+)
+def tpcds_yoy_nation_share(spark, sf_dir):
+    """TPC-DS q74/q75 shape: multi-year comparison of each nation's
+    share of total revenue — years where the share DECLINED vs the
+    prior year. Shares are integer parts-per-million (exact BIGINT
+    division) so the decline test can't flip on float rounding; all
+    windows run over the |nations × years| aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wy = Window.partitionBy("yr")
+    # FLOOR of the double division on BOTH sides: operands are exact in
+    # IEEE double (< 2^53) and division is correctly rounded, so the two
+    # engines agree bit-for-bit; a bare long cast would truncate in Spark
+    # but round in DuckDB at .9999.. boundaries.
+    shared = yearly.withColumn(
+        "share_ppm",
+        F.floor(F.col("cents") * 1000000 / F.sum("cents").over(wy)).cast("long"),
+    )
+    wn = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        shared.select(
+            "n_name",
+            F.col("yr").alias("cur_yr"),
+            F.lag("share_ppm").over(wn).alias("prev_share_ppm"),
+            F.col("share_ppm").alias("cur_share_ppm"),
+        )
+        .filter(
+            F.col("prev_share_ppm").isNotNull()
+            & (F.col("cur_share_ppm") < F.col("prev_share_ppm"))
+        )
+        .orderBy("n_name", "cur_yr")
+    )
+
+
+@q(
+    "tpcds_returns_anti_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS clean_orders
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1997
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpcds_returns_anti_join(spark, sf_dir):
+    """TPC-DS catalog-returns anti-join shape (q16 family): 1997 orders
+    with NO returned line, counted per priority. Left-anti hash join on
+    the order key after the returns-side filter — the anti side is
+    pre-filtered to returned lines only, so the join build is a
+    fraction of lineitem, and the year filter prunes the probe side at
+    the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    ret = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(ret, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("clean_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpcds_brand_rank_shift",
+    f"""
+    WITH by_year AS (
+        SELECT p_brand, CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+               CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, yr,
+               CAST(DENSE_RANK() OVER (PARTITION BY yr
+                    ORDER BY cents DESC, p_brand) AS INT) AS rnk
+        FROM by_year
+    )
+    SELECT a.p_brand AS p_brand, a.rnk AS rank_1996, b.rnk AS rank_1997,
+           CAST(a.rnk - b.rnk AS INT) AS moved_up
+    FROM ranked a JOIN ranked b
+      ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 1997
+    WHERE ABS(a.rnk - b.rnk) >= 3
+    ORDER BY moved_up DESC, p_brand
+    """,
+)
+def tpcds_brand_rank_shift(spark, sf_dir):
+    """Multi-year rank-movement shape (TPC-DS q74's rank comparison):
+    brand revenue rank in 1996 vs 1997, reporting movers of ≥3
+    positions. Both rankings window over the |brands| aggregate; the
+    year-vs-year comparison is a self-join on brand of that tiny
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    by_year = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("cents"), "p_brand")
+    ranked = by_year.select(
+        "p_brand", "yr", F.dense_rank().over(w).cast("int").alias("rnk")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")))
+        .filter((F.col("a.yr") == 1996) & (F.col("b.yr") == 1997))
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.rnk").alias("rank_1996"),
+            F.col("b.rnk").alias("rank_1997"),
+            (F.col("a.rnk") - F.col("b.rnk")).cast("int").alias("moved_up"),
+        )
+        .filter(F.abs(F.col("rank_1996") - F.col("rank_1997")) >= 3)
+        .orderBy(F.desc("moved_up"), "p_brand")
+    )
+
+
+@q(
+    "tpcds_lifetime_gap_bands",
+    """
+    WITH lifetime AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS gap_days,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN gap_days = 0 THEN 'single'
+                WHEN gap_days <= 365 THEN 'within_1y'
+                WHEN gap_days <= 1095 THEN 'within_3y'
+                ELSE 'over_3y' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM lifetime GROUP BY 1 ORDER BY band
+    """,
+)
+def tpcds_lifetime_gap_bands(spark, sf_dir):
+    """Customer-lifetime banding (TPC-DS demographic-band family):
+    first-to-last order span per customer, banded with CASE, counted.
+    One keyed agg over orders, then a metadata-sized band agg."""
+    o = load_table(spark, sf_dir, "orders")
+    lifetime = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("gap_days"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    band = (
+        F.when(F.col("gap_days") == 0, "single")
+        .when(F.col("gap_days") <= 365, "within_1y")
+        .when(F.col("gap_days") <= 1095, "within_3y")
+        .otherwise("over_3y")
+    )
+    return (
+        lifetime.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "tpcds_quarter_brand_deviation",
+    f"""
+    WITH q AS (
+        SELECT p_brand,
+               CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+               CAST(quarter(l_shipdate) AS INT) AS qtr,
+               CAST(SUM({_CENTS}) AS BIGINT) AS qcents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1997
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT p_brand, yr, qtr, qcents,
+               SUM(qcents) OVER (PARTITION BY p_brand) AS bcents,
+               COUNT(*) OVER (PARTITION BY p_brand) AS nq
+        FROM q
+    )
+    SELECT p_brand, qtr, qcents
+    FROM tot
+    WHERE nq > 1 AND qcents * nq * 10 > bcents * 11
+    ORDER BY p_brand, qtr
+    """,
+)
+def tpcds_quarter_brand_deviation(spark, sf_dir):
+    """TPC-DS q53 shape: quarters where a brand's revenue exceeds 1.1×
+    its own quarterly average for the year. The avg test is
+    cross-multiplied into exact integers (qcents·nq·10 > bcents·11) so
+    boundary quarters can't flip; windows run over the |brand ×
+    quarter| aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    qf = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.quarter("l_shipdate").cast("int").alias("qtr"),
+        )
+        .agg(F.sum(cents).cast("long").alias("qcents"))
+    )
+    wb = Window.partitionBy("p_brand")
+    tot = qf.select(
+        "p_brand",
+        "qtr",
+        "qcents",
+        F.sum("qcents").over(wb).alias("bcents"),
+        F.count("*").over(wb).alias("nq"),
+    )
+    return (
+        tot.filter(
+            (F.col("nq") > 1)
+            & (F.col("qcents") * F.col("nq") * 10 > F.col("bcents") * 11)
+        )
+        .select("p_brand", "qtr", "qcents")
+        .orderBy("p_brand", "qtr")
+    )
+
+
+@q(
+    "tpcds_returned_spend_ratio",
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_CENTS}
+                             ELSE 0 END) AS BIGINT) AS ret_cents,
+               CAST(SUM({_CENTS}) AS BIGINT) AS tot_cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, ret_cents, tot_cents
+    FROM per_cust
+    WHERE ret_cents * 2 > tot_cents AND tot_cents > 0
+    ORDER BY ret_cents DESC, o_custkey
+    LIMIT 40
+    """,
+)
+def tpcds_returned_spend_ratio(spark, sf_dir):
+    """TPC-DS q93 shape: customers whose RETURNED spend exceeds half
+    their total spend, top 40 by returned value. One fact-side join +
+    one keyed agg; the ratio test is exact integer cross-multiplication
+    (ret·2 > tot), LIMIT is a bounded heap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    per_cust = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(0))
+            .cast("long")
+            .alias("ret_cents"),
+            F.sum(cents).cast("long").alias("tot_cents"),
+        )
+    )
+    return (
+        per_cust.filter(
+            (F.col("ret_cents") * 2 > F.col("tot_cents")) & (F.col("tot_cents") > 0)
+        )
+        .orderBy(F.desc("ret_cents"), "o_custkey")
+        .limit(40)
+    )
+
+
+@q(
+    "tpcds_promo_share_by_nation",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
+                * 1000000.0 / SUM({_CENTS})) AS BIGINT) AS promo_ppm
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_promo_share_by_nation(spark, sf_dir):
+    """TPC-DS q61 shape (promotion effect by geography): per supplier
+    nation, the promo-part share of revenue in integer ppm. Conditional
+    aggregation — ONE pass over the fact join, no second subquery scan;
+    part/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(0)
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(promo).cast("long").alias("promo_cents"),
+            F.sum(cents).cast("long").alias("total_cents"),
+            # floor of the correctly-rounded double division — exact and
+            # engine-agreed (see yoy_nation_share note)
+            F.floor(F.sum(promo) * 1000000 / F.sum(cents)).cast("long").alias("promo_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_priority_year_matrix",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y1995_cents,
+           CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y1996_cents,
+           CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%Y') AS INT) = 1997
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS y1997_cents
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%Y') AS INT) BETWEEN 1995 AND 1997
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpcds_priority_year_matrix(spark, sf_dir):
+    """TPC-DS q66 matrix shape: a years × priority pivot as conditional
+    sums in ONE scan+agg (the manual-pivot form every DS matrix query
+    compiles to) — no per-year re-scan, no transpose shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1995, 1997)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+
+    def ycol(y):
+        return (
+            F.sum(F.when(F.year("o_orderdate") == y, cents).otherwise(0))
+            .cast("long")
+            .alias(f"y{y}_cents")
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(ycol(1995), ycol(1996), ycol(1997))
+        .orderBy("o_orderpriority")
+    )
