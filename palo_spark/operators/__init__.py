@@ -55,6 +55,10 @@ from palo_spark.operators.similarity import (  # noqa: F401
     rrf_fuse,
     knn_classify,
 )
+from palo_spark.operators.ranking import (  # noqa: F401
+    global_ntile,
+    global_row_number,
+)
 from palo_spark.operators.temporal import asof_join  # noqa: F401
 from palo_spark.operators.text import (  # noqa: F401
     tokenize,
