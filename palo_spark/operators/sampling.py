@@ -221,6 +221,38 @@ def assign_split(
     return df.withColumn(out_col, expr)
 
 
+def split_by_group(
+    df: DataFrame,
+    group_col,
+    id_col: str,
+    splits: dict,
+    *,
+    seed: int = 0,
+    mode: str = "minstd",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every row of a GROUP receives
+    the same split, so duplicates / near-duplicates sharing a group key
+    (content fingerprint, dedup cluster id, URL host, …) can never
+    straddle train and test — the contamination guard row-level
+    :func:`assign_split` cannot give.
+
+    Group identity is reduced to ``MIN(id_col)`` within the group — a
+    deterministic integer any engine reproduces — and that group id is
+    hashed exactly like :func:`assign_split`. Cost: ONE keyed shuffle
+    (the per-group min window); the assignment itself stays a narrow
+    projection. At 100 TB the group key should be the already-computed
+    fingerprint/cluster column, so no extra corpus pass is added.
+    """
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    gid = F.min(F.col(id_col)).over(Window.partitionBy(gcol))
+    tagged = df.withColumn("__split_gid", gid)
+    out = assign_split(
+        tagged, "__split_gid", splits, seed=seed, mode=mode, out_col=out_col
+    )
+    return out.drop("__split_gid")
+
+
 def training_order(
     df: DataFrame,
     id_col: str,

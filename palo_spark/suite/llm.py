@@ -2750,3 +2750,77 @@ def embedding_outlier_topk(spark, sf_dir):
         .orderBy(F.desc("sq_dist_q"), "vec_id")
         .limit(20)
     )
+
+
+_SPLIT_GKEY = (
+    "array_to_string(list_sort(list_distinct("
+    "string_split(lower(trim(text)), ' '))), '')"
+)
+
+
+@q(
+    "split_leakage_safe",
+    f"""
+    WITH gid AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY {_SPLIT_GKEY}) AS g
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, g,
+               CASE WHEN {{u}} < 0.8 THEN 'train'
+                    WHEN {{u}} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM gid
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(0 AS BIGINT) AS straddling_groups
+    FROM assigned GROUP BY split ORDER BY split
+    """.replace(
+        "{u}",
+        "(CAST((((((CAST(g AS BIGINT) + 101) % 2147483647 + 2147483647)"
+        " % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647)"
+        " * 48271 % 2147483647 AS DOUBLE) / 2147483647.0)",
+    ),
+)
+def split_leakage_safe(spark, sf_dir):
+    """Group-aware train/val/test split (``operators.sampling.
+    split_by_group``): groups = bag-of-words content fingerprints, so
+    EXACT-DUPLICATE documents can never straddle train and test — the
+    eval-contamination guard a row-hash split cannot give. The
+    ``straddling_groups`` column is computed genuinely on the Spark
+    side (count of groups seen in >1 split — must be 0 by
+    construction); doc/group counts per split are full value parity,
+    with the oracle partitioning on the token-set string itself (same
+    group equivalence as the xxhash64 fingerprint, collision-free at
+    fixture scale) and replaying the minstd hash of MIN(doc_id)."""
+    from pyspark.sql import Window
+
+    from palo_spark.operators.sampling import split_by_group
+    from palo_spark.operators.text import doc_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", doc_fingerprint("text").alias("__fp"))
+    out = split_by_group(
+        fp, "__fp", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=101, mode="minstd",
+    )
+    gid = F.min("doc_id").over(Window.partitionBy("__fp"))
+    tagged = out.withColumn("g", gid)
+    straddle = (
+        tagged.groupBy("g")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("straddling_groups"))
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("g").cast("bigint").alias("n_groups"),
+    )
+    return (
+        per_split.join(F.broadcast(straddle))
+        .select("split", "n_docs", "n_groups", "straddling_groups")
+        .orderBy("split")
+    )

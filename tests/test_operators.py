@@ -887,3 +887,31 @@ def test_token_budget_overshoot_and_partition_independence(spark, sf_dir):
         .collect()
     )
     assert stats and all(r.tot - r.mx < 1500 for r in stats)
+
+
+def test_split_by_group_no_straddle_and_inheritance(spark):
+    from palo_spark.operators.sampling import split_by_group
+
+    # 60 rows in 20 groups (3 rows each) — every row must inherit its
+    # group's split; no group may straddle splits at any seed
+    df = spark.createDataFrame(
+        [(i, i % 20) for i in range(60)], "rid int, grp int"
+    )
+    for seed in (0, 7, 101):
+        out = split_by_group(
+            df, "grp", "rid", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=seed,
+        )
+        per_group = (
+            out.groupBy("grp")
+            .agg(F.countDistinct("split").alias("ns"), F.count("*").alias("n"))
+            .collect()
+        )
+        assert all(r["ns"] == 1 and r["n"] == 3 for r in per_group), seed
+    # deterministic under repartition (re-shard stability)
+    a = {r["rid"]: r["split"] for r in split_by_group(
+        df, "grp", "rid", {"train": 0.5, "test": 0.5}, seed=3).collect()}
+    b = {r["rid"]: r["split"] for r in split_by_group(
+        df.repartition(13), "grp", "rid", {"train": 0.5, "test": 0.5}, seed=3
+    ).collect()}
+    assert a == b
