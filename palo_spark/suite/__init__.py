@@ -101,7 +101,11 @@ _PRIORITY = [
 # tpcds_yoy_nation_share, tpcds_returns_anti_join, tpcds_brand_rank_shift,
 # tpcds_lifetime_gap_bands, tpcds_quarter_brand_deviation,
 # tpcds_returned_spend_ratio, tpcds_promo_share_by_nation,
-# tpcds_priority_year_matrix) — put up to 50 of these first next round:
+# tpcds_priority_year_matrix), wave 4 (tpcds_above_nation_avg_returns,
+# tpcds_frequent_parts_best_customers, tpcds_channel_parity_brands,
+# tpcds_repeat_purchase_pairs, tpcds_hour_value_band_matrix,
+# tpcds_category_cross_channel), and split_leakage_safe — put up to 50
+# of these first next round:
 # scalar_sm4_crypto, streaming_tumbling_window, streaming_state_dedup,
 # streaming_session_window, streaming_running_agg_model,
 # streaming_static_enrich, streaming_stream_stream_join,

@@ -1338,3 +1338,320 @@ def tpcds_priority_year_matrix(spark, sf_dir):
         .agg(ycol(1995), ycol(1996), ycol(1997))
         .orderBy("o_orderpriority")
     )
+
+
+# -------------------------------------------------------- r6 tranche, wave 4
+# Remaining TPC-DS archetypes: correlated group-average filters (q1),
+# frequent-item/best-customer set composition (q23), channel-parity
+# bands (q58), repeat-purchase self-joins (q64), and multi-band count
+# matrices (q88).
+
+
+@q(
+    "tpcds_above_nation_avg_returns",
+    f"""
+    WITH per_cust AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_CENTS}
+                             ELSE 0 END) AS BIGINT) AS ret_cents
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_nationkey
+    ),
+    nat AS (
+        SELECT c_nationkey AS nk,
+               CAST(SUM(ret_cents) AS BIGINT) AS nat_cents,
+               CAST(COUNT(*) AS BIGINT) AS nat_n
+        FROM per_cust GROUP BY c_nationkey
+    )
+    SELECT c_custkey, ret_cents
+    FROM per_cust JOIN nat ON nk = c_nationkey
+    WHERE ret_cents * nat_n * 10 > nat_cents * 12
+    ORDER BY ret_cents DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def tpcds_above_nation_avg_returns(spark, sf_dir):
+    """TPC-DS q1 shape: customers whose returned value exceeds 1.2× the
+    average of their nation — the correlated aggregate decorrelated
+    into (per-customer agg) ⋈ (per-nation re-agg), with the comparison
+    cross-multiplied into exact integers. The nation frame is
+    |nations|-sized and broadcasts; one fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    per_cust = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(0))
+            .cast("long")
+            .alias("ret_cents")
+        )
+    )
+    nat = per_cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum("ret_cents").cast("long").alias("nat_cents"),
+        F.count("*").cast("long").alias("nat_n"),
+    )
+    return (
+        per_cust.join(F.broadcast(nat), F.col("nk") == F.col("c_nationkey"))
+        .filter(F.col("ret_cents") * F.col("nat_n") * 10 > F.col("nat_cents") * 12)
+        .select("c_custkey", "ret_cents")
+        .orderBy(F.desc("ret_cents"), "c_custkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_frequent_parts_best_customers",
+    f"""
+    WITH freq_parts AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey HAVING COUNT(*) >= 8
+    ),
+    best_cust AS (
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey
+        HAVING SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) >= 50000000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_CENTS}) AS BIGINT) AS cents
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_cust)
+    """,
+)
+def tpcds_frequent_parts_best_customers(spark, sf_dir):
+    """TPC-DS q23 shape: spend of high-value customers on frequently
+    sold parts — two independently computed membership sets applied as
+    semi-joins to the fact. Both set builds are keyed aggregates with
+    HAVING; the memberships broadcast (they are aggregate outputs, a
+    fraction of the fact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    freq_parts = (
+        li.groupBy("l_partkey").agg(F.count("*").alias("n")).filter(F.col("n") >= 8)
+        .select("l_partkey")
+    )
+    best_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s"))
+        .filter(F.col("s") >= 50000000)
+        .select("o_custkey")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(freq_parts), "l_partkey", "left_semi")
+        .join(F.broadcast(best_cust), "o_custkey", "left_semi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+
+
+@q(
+    "tpcds_channel_parity_brands",
+    f"""
+    WITH ch AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_CENTS}
+                             ELSE 0 END) AS BIGINT) AS f_cents,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {_CENTS}
+                             ELSE 0 END) AS BIGINT) AS o_cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, f_cents, o_cents
+    FROM ch
+    WHERE f_cents > 0 AND o_cents > 0
+      AND f_cents * 10 <= o_cents * 11 AND o_cents * 10 <= f_cents * 11
+    ORDER BY p_brand
+    """,
+)
+def tpcds_channel_parity_brands(spark, sf_dir):
+    """TPC-DS q58 shape: brands whose revenue is within ±10% across two
+    channels (linestatus F vs O standing in for store/web). Both
+    channel sums come from ONE conditional aggregate pass; the
+    symmetric band test is exact integer cross-multiplication."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    ch = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", cents).otherwise(0))
+            .cast("long")
+            .alias("f_cents"),
+            F.sum(F.when(F.col("l_linestatus") == "O", cents).otherwise(0))
+            .cast("long")
+            .alias("o_cents"),
+        )
+    )
+    return (
+        ch.filter(
+            (F.col("f_cents") > 0)
+            & (F.col("o_cents") > 0)
+            & (F.col("f_cents") * 10 <= F.col("o_cents") * 11)
+            & (F.col("o_cents") * 10 <= F.col("f_cents") * 11)
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "tpcds_repeat_purchase_pairs",
+    """
+    WITH cp AS (
+        SELECT DISTINCT o_custkey, l_partkey,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS yr
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (1996, 1997)
+    )
+    SELECT a.o_custkey AS custkey, a.l_partkey AS partkey
+    FROM cp a JOIN cp b
+      ON a.o_custkey = b.o_custkey AND a.l_partkey = b.l_partkey
+     AND a.yr = 1996 AND b.yr = 1997
+    ORDER BY custkey, partkey
+    LIMIT 200
+    """,
+)
+def tpcds_repeat_purchase_pairs(spark, sf_dir):
+    """TPC-DS q64 shape: (customer, part) pairs bought in BOTH 1996 and
+    1997 — the fact self-join on the composite key after a DISTINCT
+    reduction. The distinct (cust, part, yr) frame is the only fact
+    shuffle; the year-vs-year join is a co-partitioned hash join on the
+    same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            "o_custkey", "l_partkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_partkey") == F.col("b.l_partkey")),
+        )
+        .filter((F.col("a.yr") == 1996) & (F.col("b.yr") == 1997))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.l_partkey").alias("partkey"),
+        )
+        .orderBy("custkey", "partkey")
+        .limit(200)
+    )
+
+
+@q(
+    "tpcds_hour_value_band_matrix",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                         AND value < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS night_small,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) < 8
+                         AND value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS night_large,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 15
+                         AND value < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS day_small,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) BETWEEN 8 AND 15
+                         AND value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS day_large,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) > 15
+                         AND value < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS eve_small,
+           CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) > 15
+                         AND value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS eve_large
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def tpcds_hour_value_band_matrix(spark, sf_dir):
+    """TPC-DS q88 shape: the 3×2 time-of-day × size count matrix in ONE
+    scan — q88's eight correlated sub-selects collapsed into
+    conditional aggregation (Doris's AGGREGATION node evaluates all
+    cells per row the same way)."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts")
+
+    def cell(name, hcond, vcond):
+        return (
+            F.sum(F.when(hcond & vcond, 1).otherwise(0)).cast("bigint").alias(name)
+        )
+
+    v = F.col("value")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            cell("night_small", hr < 8, v < 100),
+            cell("night_large", hr < 8, v >= 100),
+            cell("day_small", (hr >= 8) & (hr <= 15), v < 100),
+            cell("day_large", (hr >= 8) & (hr <= 15), v >= 100),
+            cell("eve_small", hr > 15, v < 100),
+            cell("eve_large", hr > 15, v >= 100),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "tpcds_category_cross_channel",
+    f"""
+    WITH pool AS (
+        SELECT l_partkey, l_returnflag, {_CENTS} AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+    )
+    SELECT l_partkey AS partkey,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN cents ELSE 0 END)
+                AS BIGINT) AS n_cents,
+           CAST(SUM(CASE WHEN l_returnflag <> 'N' THEN cents ELSE 0 END)
+                AS BIGINT) AS rest_cents
+    FROM pool
+    GROUP BY l_partkey
+    HAVING SUM(cents) > 0
+    ORDER BY n_cents + rest_cents DESC, partkey
+    LIMIT 60
+    """,
+)
+def tpcds_category_cross_channel(spark, sf_dir):
+    """TPC-DS q33/q56 shape: revenue for a category short-list split
+    across channels, top parts by combined revenue. The category filter
+    (an IN over a literal list) prunes at the broadcast-joined part
+    side BEFORE the fact aggregate — the oracle's WHERE and the Spark
+    plan both reduce the fact input first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    pool = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (
+        pool.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "N", cents).otherwise(0))
+            .cast("long")
+            .alias("n_cents"),
+            F.sum(F.when(F.col("l_returnflag") != "N", cents).otherwise(0))
+            .cast("long")
+            .alias("rest_cents"),
+        )
+        .filter(F.col("n_cents") + F.col("rest_cents") > 0)
+        .orderBy(F.desc(F.col("n_cents") + F.col("rest_cents")), "partkey")
+        .limit(60)
+    )
