@@ -427,3 +427,98 @@ def test_modify_column_type_is_metadata_only(spark, tmp_path):
     t.insert(spark.createDataFrame([Row(k=3, v=5)]))
     assert dict(t.read().dtypes)["v"] == "double"
     assert t.read().count() == 3
+
+
+def test_unique_model_randomized_vs_reference_model(spark):
+    """Model-based check of the UNIQUE merge-on-read path: a seeded
+    random interleaving of upsert batches, predicate deletes, and
+    compactions, mirrored against a plain Python dict reference. The
+    fixed examples above pin individual semantics; this pins their
+    COMPOSITION (delete-version application to pre-delete rowsets only,
+    upserts after deletes resurrecting keys, compaction folding)."""
+    import random
+
+    rng = random.Random(2026)
+    t = _mk(spark, "uniq_model", keys_type="UNIQUE", key_cols=["k"])
+    # Reference mirrors the DOCUMENTED delete-version design: a delete
+    # predicate applies to rowsets older than the delete version, and
+    # the UNIQUE merge then picks the newest SURVIVING row per key — so
+    # deleting a key's newest version can resurrect an older one.
+    inserts: list[tuple[int, dict[int, int]]] = []  # (version, batch)
+    deletes: list[tuple[int, int]] = []  # (version, cut): drops x < cut
+    ver = 0
+
+    def expected() -> dict[int, int]:
+        best: dict[int, tuple[int, int]] = {}
+        for iv, batch in inserts:
+            for k, v in batch.items():
+                if any(dv > iv and v < cut for dv, cut in deletes):
+                    continue  # row deleted in its rowset
+                if k not in best or iv > best[k][0]:
+                    best[k] = (iv, v)
+        return {k: v for k, (_, v) in best.items()}
+
+    for step in range(24):
+        op = rng.random()
+        ver += 1
+        if op < 0.65:
+            batch = {rng.randint(0, 14): rng.randint(0, 999) for _ in range(rng.randint(1, 6))}
+            t.insert(spark.createDataFrame(
+                [Row(k=k, x=v) for k, v in sorted(batch.items())]))
+            inserts.append((ver, batch))
+        elif op < 0.85:
+            cut = rng.randint(0, 999)
+            t.delete_where(f"x < {cut}")
+            deletes.append((ver, cut))
+        else:
+            t.compact()
+            # compaction materializes the merged view and DISCARDS
+            # superseded row versions (Doris cumulative compaction), so
+            # a later delete can no longer resurrect them
+            inserts = [(ver, expected())]
+            deletes = []
+        got = dict(_rows(t.read(), "k", "x"))
+        assert got == expected(), f"step {step}"
+
+
+def test_aggregate_model_randomized_vs_reference_model(spark):
+    """Same model-based approach for the AGGREGATE merge: SUM/MIN/MAX/
+    REPLACE/REPLACE_IF_NOT_NULL folded across random batches and
+    compactions must equal a sequential Python fold (REPLACE order =
+    load order, the Doris contract)."""
+    import random
+
+    rng = random.Random(77)
+    t = _mk(
+        spark, "agg_model_rand", keys_type="AGGREGATE", key_cols=["k"],
+        agg_spec={"s": "SUM", "mn": "MIN", "mx": "MAX", "r": "REPLACE",
+                  "rn": "REPLACE_IF_NOT_NULL"},
+    )
+    ref: dict[int, list] = {}
+    for step in range(16):
+        if rng.random() < 0.2:
+            t.compact()
+        else:
+            rows = []
+            # one row per key within a batch (in-batch REPLACE order is
+            # unspecified in Doris; the ledger contract is across loads)
+            for k in rng.sample(range(8), rng.randint(1, 4)):
+                s = rng.randint(1, 9)
+                mn = rng.randint(0, 99)
+                mx = rng.randint(0, 99)
+                r = f"r{step}_{k}"
+                rn = None if rng.random() < 0.4 else f"n{step}_{k}"
+                rows.append((k, s, mn, mx, r, rn))
+                if k in ref:
+                    o = ref[k]
+                    ref[k] = [o[0] + s, min(o[1], mn), max(o[2], mx), r,
+                              rn if rn is not None else o[4]]
+                else:
+                    ref[k] = [s, mn, mx, r, rn]
+            t.insert(spark.createDataFrame(
+                rows, "k long, s long, mn long, mx long, r string, rn string"))
+        got = {
+            r["k"]: [r["s"], r["mn"], r["mx"], r["r"], r["rn"]]
+            for r in t.read().collect()
+        }
+        assert got == ref, f"step {step}"
