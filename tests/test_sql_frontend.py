@@ -308,7 +308,7 @@ def _fuzz_pair(rng):
                 both("MIN(k) + MAX(g) AS mm")
     else:
         both("k")
-        choices = rng.sample(range(7), k=rng.randint(1, 3))
+        choices = rng.sample(range(8), k=rng.randint(1, 3))
         for c in sorted(choices):
             if c == 0:
                 both('IF(k % 2 = 0, "even", "odd") AS par',
@@ -328,14 +328,24 @@ def _fuzz_pair(rng):
                     f"date_add(d, INTERVAL {n} DAY) AS da",
                     f"(d + INTERVAL {n} DAY) AS da",
                 )
+            elif c == 6:
+                both(
+                    'date_format(`d`, "%Y-%m") AS ym',
+                    "date_format(d, 'yyyy-MM') AS ym",
+                )
             else:
                 both("concat_ws('-', s, s) AS cw")
 
     where_d = where_s = ""
     if rng.random() < 0.6:
         lo, hi = sorted(rng.sample(range(0, 40), 2))
-        pred_d = f"(k >= {lo} && k <= {hi}) || g = 0"
-        pred_s = f"(k >= {lo} AND k <= {hi}) OR g = 0"
+        if rng.random() < 0.3:  # IN-list + backticks pass through
+            ins = sorted(rng.sample(range(0, 5), 3))
+            pred_d = f"`g` IN ({', '.join(map(str, ins))}) && k >= {lo}"
+            pred_s = f"g IN ({', '.join(map(str, ins))}) AND k >= {lo}"
+        else:
+            pred_d = f"(k >= {lo} && k <= {hi}) || g = 0"
+            pred_s = f"(k >= {lo} AND k <= {hi}) OR g = 0"
         cmt = "  # trailing note" if rng.random() < 0.3 else ""
         where_d = f" WHERE {pred_d}{cmt}\n"
         where_s = f" WHERE {pred_s}\n"
@@ -356,6 +366,9 @@ def _fuzz_pair(rng):
     if grouped:
         doris += " GROUP BY g"
         sparkq += " GROUP BY g"
+        if rng.random() < 0.4:
+            doris += " HAVING COUNT(*) > 2 && `g` < 4"
+            sparkq += " HAVING COUNT(*) > 2 AND g < 4"
     elif rng.random() < 0.35 and not lateral_d:
         n = rng.randint(1, 3)
         doris += f" QUALIFY row_number() OVER (PARTITION BY g ORDER BY k) <= {n}"
@@ -374,6 +387,12 @@ def _fuzz_pair(rng):
         order = ", ".join(str(j) for j in range(1, len(proj_doris) + 1))
         doris += f" ORDER BY {order} LIMIT {off}, {cnt}"
         sparkq += f" ORDER BY {order} LIMIT {cnt} OFFSET {off}"
+
+    # plain subquery wrap: the translator must recurse into nested blocks
+    if rng.random() < 0.2:
+        key = "g" if grouped else "k"
+        doris = f"SELECT * FROM ({doris}) sub WHERE `{key}` >= 0"
+        sparkq = f"SELECT * FROM ({sparkq}) sub WHERE {key} >= 0"
 
     # random join-hint wrapper: same rows, exercises the hint rewriter
     if rng.random() < 0.25:
