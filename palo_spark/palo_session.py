@@ -641,9 +641,13 @@ class PaloSession:
             text_col=col,
             id_col=id_col,
             skip_if_current=True,
-            # freshness = the table's monotonic mutation counter — O(1)
-            # metadata; no corpus scan on the query path
-            version=str(t.meta.mutations),
+            # freshness = (creation nonce, mutation counter) — O(1)
+            # metadata, no corpus scan on the query path. The nonce is
+            # load-bearing: a DROP + re-CREATE (or another run's table of
+            # the same name) restarts the counter, and a bare counter
+            # would let a stale index of the OLD lineage pass as current
+            # (caught by the sf0.001 sweep in r6).
+            version=f"{t.meta.lineage}:{t.meta.mutations}",
         )
 
     def _try_indexed_match(self, text: str) -> str | None:
@@ -958,6 +962,12 @@ class PaloSession:
             if name in self.tables:
                 del self.tables[name]
                 self.spark.catalog.dropTempView(name)
+                # indexes belong to the table (Doris drops them with it):
+                # remove their entries AND their on-disk posting dirs so a
+                # later same-named table can never see a stale index
+                for idx in [i for i, (t_, _c, _p) in self.indexes.items() if t_ == name]:
+                    _, _, p_ = self.indexes.pop(idx)
+                    _sh.rmtree(p_, ignore_errors=True)
             return None
         if up.startswith("DELETE"):
             m = _DELETE_RE.match(stripped)

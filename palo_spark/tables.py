@@ -116,6 +116,12 @@ class TableMeta:
     #: monotonic mutation counter (never decremented/reused) — bumped by
     #: every state-changing operation; see Table.state_token
     mutations: int = 0
+    #: creation nonce: two tables that happen to share a name (DROP +
+    #: re-CREATE, or the same name in two runs) must never be mistaken
+    #: for each other by anything keying on (name, mutations) — index
+    #: freshness tokens include this so a counter that RESTARTS on a new
+    #: lineage cannot collide with the old one's
+    lineage: str = ""
     #: DISTRIBUTED BY HASH(cols) BUCKETS n: each rowset write
     #: repartitions on these columns into n tasks — bounded file counts
     #: per load (no small-file explosion at ingest cadence) and a
@@ -198,6 +204,7 @@ class Table:
             dynamic_partition_retention=int(dynamic_partition_retention),
             dist_cols=list(dist_cols or []),
             buckets=int(buckets),
+            lineage=uuid.uuid4().hex,
         )
         if dynamic_partition_retention and ap is None:
             raise ValueError(

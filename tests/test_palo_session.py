@@ -644,3 +644,29 @@ def test_show_data_sizes(spark, tmp_path):
     assert rows["Quota"]["Size"] == "1.000 TB"
     one = {r["TableName"]: r for r in s.sql("SHOW DATA FROM sd").collect()}
     assert one["sd"]["Size"] == rows["sd"]["Size"]
+
+
+def test_recreated_table_never_serves_stale_index(spark, tmp_path):
+    """DROP + re-CREATE restarts the table's mutation counter; the index
+    freshness token must include the creation lineage so the OLD
+    table's index can never pass as current (r6 regression: caught by
+    the sf0.001 sweep when two runs shared the index path)."""
+    from palo_spark.palo_session import PaloSession
+
+    root = str(tmp_path / "wh_lineage")
+    s = PaloSession(spark, location_root=root)
+    s.sql("CREATE TABLE lx (id INT, body STRING) DUPLICATE KEY(id)")
+    s.sql("INSERT INTO lx VALUES (1, 'alpha beta'), (2, 'gamma')")
+    s.sql("CREATE INDEX lx_body ON lx (body) USING INVERTED")
+    hits = s.sql("SELECT id FROM lx WHERE body MATCH_ANY 'alpha'").collect()
+    assert [r["id"] for r in hits] == [1]
+
+    # same name, same statement sequence (=> same mutation counter),
+    # different content
+    s2 = PaloSession(spark, location_root=root)
+    s2.sql("DROP TABLE IF EXISTS lx")
+    s2.sql("CREATE TABLE lx (id INT, body STRING) DUPLICATE KEY(id)")
+    s2.sql("INSERT INTO lx VALUES (7, 'delta'), (8, 'alpha epsilon')")
+    s2.sql("CREATE INDEX lx_body ON lx (body) USING INVERTED")
+    hits = s2.sql("SELECT id FROM lx WHERE body MATCH_ANY 'alpha'").collect()
+    assert [r["id"] for r in hits] == [8]  # stale index would say 1
