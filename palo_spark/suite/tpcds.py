@@ -1655,3 +1655,179 @@ def tpcds_category_cross_channel(spark, sf_dir):
         .orderBy(F.desc(F.col("n_cents") + F.col("rest_cents")), "partkey")
         .limit(60)
     )
+
+
+# -------------------------------------------------------- r6 tranche, wave 5
+# Latency banding (q62), multi-supplier order predicates (q95/q21),
+# above-own-average detail filters (q92), and buy→return→re-buy event
+# chains (q25/q29).
+
+
+@q(
+    "tpcds_ship_latency_bands",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90p
+    FROM (
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate) AS lat
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ) t
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpcds_ship_latency_bands(spark, sf_dir):
+    """TPC-DS q62 shape: order→ship latency banded into 30-day buckets
+    per priority — the days-in-transit matrix as conditional sums in
+    one pass over the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(name, cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority", lat.alias("lat"))
+        .groupBy("o_orderpriority")
+        .agg(
+            band("d30", F.col("lat") <= 30),
+            band("d60", (F.col("lat") > 30) & (F.col("lat") <= 60)),
+            band("d90", (F.col("lat") > 60) & (F.col("lat") <= 90)),
+            band("d90p", F.col("lat") > 90),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpcds_multi_supplier_returned_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) >= 3
+           AND SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpcds_multi_supplier_returned_orders(spark, sf_dir):
+    """TPC-DS q95/q21 shape: orders touched by ≥3 distinct suppliers
+    with at least one returned line — a grouped-HAVING membership set
+    semi-joined back to orders. ONE aggregate over the fact computes
+    both conditions; the qualifying id set broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ids = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("nr"),
+        )
+        .filter((F.col("ns") >= 3) & (F.col("nr") > 0))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(ids, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpcds_discount_above_part_avg",
+    """
+    WITH pavg AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(FLOOR(l_discount * 1000) AS BIGINT)) AS BIGINT)
+                   AS mdisc_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem JOIN pavg ON pk = l_partkey
+    WHERE n > 1
+      AND CAST(FLOOR(l_discount * 1000) AS BIGINT) * n * 10 > mdisc_sum * 13
+    """,
+)
+def tpcds_discount_above_part_avg(spark, sf_dir):
+    """TPC-DS q92 shape: lineitems discounted more than 1.3× their own
+    part's average discount — the correlated scalar average
+    decorrelated into a per-part aggregate joined back to the detail,
+    compared in exact integer milli-discounts (no float boundary
+    flips). Two passes over the fact, one keyed shuffle each; the
+    per-part aggregate is |parts|-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mdisc = F.floor(F.col("l_discount") * 1000).cast("long")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(mdisc).cast("long").alias("mdisc_sum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        li.join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(
+            (F.col("n") > 1)
+            & (mdisc * F.col("n") * 10 > F.col("mdisc_sum") * 13)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+@q(
+    "tpcds_buy_return_rebuy",
+    """
+    WITH ev AS (
+        SELECT o_custkey AS ck, l_partkey AS pk, l_shipdate AS d,
+               l_returnflag = 'R' AS ret
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    firsts AS (
+        SELECT ck, pk,
+               MIN(CASE WHEN ret THEN d END) AS first_ret,
+               MAX(d) AS last_any
+        FROM ev GROUP BY ck, pk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM firsts
+    WHERE first_ret IS NOT NULL AND last_any > first_ret
+    """,
+)
+def tpcds_buy_return_rebuy(spark, sf_dir):
+    """TPC-DS q25/q29 chain shape: (customer, part) pairs with a
+    purchase AFTER their first return of that part — the
+    sold→returned→re-sold funnel collapsed into one keyed aggregate
+    (first return date vs latest activity date) instead of a 3-way
+    fact self-join; same result set, one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").alias("d"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    firsts = ev.groupBy("ck", "pk").agg(
+        F.min(F.when(F.col("ret"), F.col("d"))).alias("first_ret"),
+        F.max("d").alias("last_any"),
+    )
+    return firsts.filter(
+        F.col("first_ret").isNotNull() & (F.col("last_any") > F.col("first_ret"))
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
