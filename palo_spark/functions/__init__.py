@@ -336,15 +336,43 @@ def _calc_spec_col(spec: str, c: Column) -> Column:
         iso_dow = (F.dayofweek(c) + 5) % 7 + 1  # Mon=1..Sun=7
         thursday = F.date_add(c.cast("date"), (4 - iso_dow).cast("int"))
         return F.year(thursday).cast("string")
+    # MySQL week modes 0/1/2 (%U %u %V with %X): pure day-arithmetic —
+    # doy = day of year, w = Sunday-first weekday index of the date.
+    doy = F.dayofyear(c)
+    w_sun = F.dayofweek(c) - 1  # Sunday=0..Saturday=6
+    if spec == "U":
+        # mode 0: Sunday-first, 00-53, week 1 starts at the first Sunday
+        return F.lpad(
+            F.floor((doy + 6 - w_sun) / 7).cast("int").cast("string"), 2, "0"
+        )
+    if spec == "u":
+        # mode 1: Monday-first, 00-53, week 1 = first week with ≥4 days
+        # in the year. jan1_wd = Monday-first weekday of Jan 1.
+        jan1 = F.trunc(c.cast("date"), "year")
+        jan1_wd = (F.dayofweek(jan1) + 5) % 7  # Monday=0..Sunday=6
+        wk = F.floor((doy - 1 + jan1_wd) / 7) + F.when(jan1_wd <= 3, 1).otherwise(0)
+        return F.lpad(wk.cast("int").cast("string"), 2, "0")
+    if spec in ("V", "X"):
+        # mode 2: like mode 0 but 1-53 — week-0 days belong to the LAST
+        # week of the previous year; %X is that week's year
+        u0 = F.floor((doy + 6 - w_sun) / 7)
+        prev_days = F.dayofyear(F.date_sub(F.trunc(c.cast("date"), "year"), 1))
+        v = F.when(u0 >= 1, u0).otherwise(
+            F.floor((doy + prev_days + 6 - w_sun) / 7)
+        )
+        if spec == "V":
+            return F.lpad(v.cast("int").cast("string"), 2, "0")
+        x = F.when(u0 >= 1, F.year(c)).otherwise(F.year(c) - 1)
+        return x.cast("string")
     raise AssertionError(spec)
 
 
 def date_format(ts, fmt: str) -> Column:
     """Doris ``DATE_FORMAT(dt, '%Y-%m-%d')`` — MySQL pattern, translated
     once driver-side then evaluated by the native JVM formatter. Formats
-    containing the computed specifiers (%w %D %v %x) compose a native
-    concat of formatter runs and expression pieces (still zero Python
-    per row); %U/%u/%V/%X week modes raise (documented gap)."""
+    containing the computed specifiers (%w %D %v %x and the week modes
+    %U %u %V %X) compose a native concat of formatter runs and
+    expression pieces (still zero Python per row)."""
     c = _c(ts)
     segs = mysql_pattern_segments(fmt)
     if len(segs) == 1 and segs[0][0] == "pat":

@@ -53,18 +53,17 @@ _COMPUTED = {
     "D",  # day with english suffix (1st, 2nd)
     "v",  # ISO week number (Monday-first, mode 3)
     "x",  # ISO week-year (pairs with %v)
+    "U",  # week 00-53, Sunday-first, mode 0 (week 1 = first Sunday on)
+    "u",  # week 00-53, Monday-first, mode 1 (week 1 = ≥4 days in year)
+    "V",  # week 01-53, Sunday-first, mode 2 (week 0 → prev year's last)
+    "X",  # year of the %V week
 }
 
-#: Specifiers with no faithful java.time equivalent NOR a clean
-#: expression (MySQL week modes 0/2 count from the first Sunday with
-#: year-boundary rules java.time cannot express). We fail loudly rather
-#: than silently produce wrong dates (Doris would format them).
-_UNSUPPORTED = {
-    "U",  # week (Sunday-first, mode 0)
-    "u",  # week (Monday-first, mode 1)
-    "V",  # week (Sunday-first, mode 2)
-    "X",  # year for week (Sunday-first)
-}
+#: No specifiers are unsupported any more — the week modes 0/1/2 joined
+#: the computed set in r6 (pure day-arithmetic expressions; see
+#: functions._calc_spec_col). Kept as an (empty) set so the fail-loud
+#: path stays exercised if a future spec lands here.
+_UNSUPPORTED: set[str] = set()
 
 
 def mysql_pattern_to_spark(fmt: str) -> str:

@@ -63,11 +63,10 @@ shared function namespace (``if``, ``ifnull``, ``nvl``, ``instr``,
 ``timestampdiff`` — Spark already speaks these).
 
 Known, documented divergences (fail-loud or noted, never silently wrong):
-- MySQL week-numbering specifiers (``%U %u %V %v %X %x %w %D``) raise in
-  the pattern shim (no faithful java.time equivalent).
-- ``length()`` is *bytes* in Doris, *chars* in Spark — identical on ASCII
-  corpora (the fixtures are; see memory note), divergent on multibyte.
-  Use ``char_length`` for characters in both dialects.
+- (closed in r6) week-numbering specifiers ``%U %u %V %X`` — now computed
+  expressions (modes 0/1/2 as pure day arithmetic), like ``%w %D %v %x``.
+- (closed in r6) ``length()`` is *bytes* in Doris/MySQL — now rewritten to
+  Spark ``octet_length``; ``char_length`` counts characters in both.
 - ``timestampdiff`` month arithmetic: Spark clamps month-ends via
   java.time; MySQL counts complete months (see functions/__init__.py
   ``months_diff`` note).
@@ -97,6 +96,28 @@ _CALC_SQL = {
     "x": (
         "CAST(year(date_add(CAST({d} AS DATE), "
         "CAST(4 - ((dayofweek({d}) + 5) % 7 + 1) AS INT))) AS STRING)"
+    ),
+    # MySQL week modes 0/1/2 — mirrors functions._calc_spec_col
+    "U": (
+        "lpad(CAST(CAST(FLOOR((dayofyear({d}) + 6 - (dayofweek({d}) - 1))"
+        " / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    "u": (
+        "lpad(CAST(CAST(FLOOR((dayofyear({d}) - 1 + "
+        "(dayofweek(trunc(CAST({d} AS DATE), 'year')) + 5) % 7) / 7) + "
+        "IF((dayofweek(trunc(CAST({d} AS DATE), 'year')) + 5) % 7 <= 3, 1, 0)"
+        " AS INT) AS STRING), 2, '0')"
+    ),
+    "V": (
+        "lpad(CAST(CAST(CASE WHEN FLOOR((dayofyear({d}) + 6 - "
+        "(dayofweek({d}) - 1)) / 7) >= 1 THEN FLOOR((dayofyear({d}) + 6 - "
+        "(dayofweek({d}) - 1)) / 7) ELSE FLOOR((dayofyear({d}) + "
+        "dayofyear(date_sub(trunc(CAST({d} AS DATE), 'year'), 1)) + 6 - "
+        "(dayofweek({d}) - 1)) / 7) END AS INT) AS STRING), 2, '0')"
+    ),
+    "X": (
+        "CAST(CASE WHEN FLOOR((dayofyear({d}) + 6 - (dayofweek({d}) - 1))"
+        " / 7) >= 1 THEN year({d}) ELSE year({d}) - 1 END AS STRING)"
     ),
 }
 
@@ -269,6 +290,12 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
 
     if name_lower == "money_format":
         return _raw(f"format_number({_text(inner)}, 2)")
+
+    if name_lower == "length":
+        # Doris/MySQL length() counts BYTES; Spark's counts characters —
+        # a silent-wrong-answer trap on multibyte text. octet_length is
+        # Spark's byte count (char_length passes through for characters).
+        return _raw(f"octet_length({_text(inner)})")
 
     if name_lower in _RENAME:
         return _raw(f"{_RENAME[name_lower]}({_text(inner)})")

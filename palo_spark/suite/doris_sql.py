@@ -958,3 +958,41 @@ _entry(
     ORDER BY rf, ls, g_rf, g_ls
     """,
 )
+
+
+# r6: MySQL week modes 0/1/2 (%U %u %V %X) + byte-semantics length(),
+# both newly-closed dialect gaps — oracle replays mode 0 via DuckDB's
+# C-semantics strftime('%U'), mode 1 via the day-arithmetic definition,
+# and byte length via strlen().
+_entry(
+    "sql_dialect_week_modes",
+    """
+    SELECT o_orderkey,
+           date_format(`o_orderdate`, '%U') AS wk_mode0,
+           date_format(`o_orderdate`, '%u') AS wk_mode1,
+           date_format(`o_orderdate`, '%X-%V') AS wk_yearweek,
+           length(o_orderpriority) AS prio_bytes
+    FROM `orders`
+    WHERE o_orderkey % 53 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%U') AS wk_mode0,
+           lpad(CAST(CAST(FLOOR((dayofyear(o_orderdate) - 1 +
+                (dayofweek(date_trunc('year', o_orderdate)) + 6) % 7) / 7)
+                + CASE WHEN (dayofweek(date_trunc('year', o_orderdate)) + 6) % 7 <= 3
+                       THEN 1 ELSE 0 END AS INT) AS VARCHAR), 2, '0') AS wk_mode1,
+           CAST(CASE WHEN CAST(strftime(o_orderdate, '%U') AS INT) >= 1
+                     THEN year(o_orderdate) ELSE year(o_orderdate) - 1 END
+                AS VARCHAR) || '-' ||
+           CASE WHEN CAST(strftime(o_orderdate, '%U') AS INT) >= 1
+                THEN strftime(o_orderdate, '%U')
+                ELSE strftime(CAST(date_trunc('year', o_orderdate)
+                              - INTERVAL 1 DAY AS DATE), '%U') END AS wk_yearweek,
+           CAST(strlen(o_orderpriority) AS INT) AS prio_bytes
+    FROM orders
+    WHERE o_orderkey % 53 = 0
+    ORDER BY o_orderkey
+    """,
+)

@@ -524,3 +524,65 @@ def test_native_skew_kurt_match_two_pass(spark):
         m4 = sum((x - m) ** 4 for x in vs) / len(vs)
         assert math.isclose(got[k][0], m3 / m2**1.5, rel_tol=1e-6, abs_tol=1e-9)
         assert math.isclose(got[k][1], m4 / m2**2 - 3, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_mysql_week_modes_match_python(spark):
+    """%U/%u/%V/%X (MySQL week modes 0/1/2) against an INDEPENDENT
+    oracle: %U via C strftime, %u via isocalendar (mode-1 = ISO weeks
+    renumbered within the calendar year), %V/%X via the previous-year
+    fallback of %U — across several year boundaries including
+    Sunday/Monday/Friday January 1sts."""
+    import datetime as dt
+
+    from palo_spark.functions import date_format
+    from palo_spark.sql_frontend import doris_sql
+
+    days = [dt.date(1995, 1, 1) + dt.timedelta(days=i * 13) for i in range(290)]
+    days += [dt.date(y, m, d)
+             for y in (1996, 1999, 2016, 2017, 2019, 2020, 2021)
+             for (m, d) in ((1, 1), (1, 2), (1, 7), (12, 28), (12, 30), (12, 31))]
+
+    def exp_U(d):
+        return d.strftime("%U")
+
+    def exp_u(d):
+        iso_y, iso_w, _ = d.isocalendar()
+        if iso_y < d.year:
+            return "00"
+        if iso_y == d.year:
+            return f"{iso_w:02d}"
+        return f"{dt.date(d.year, 12, 28).isocalendar()[1] + 1:02d}"
+
+    def exp_V(d):
+        u = int(d.strftime("%U"))
+        if u >= 1:
+            return f"{u:02d}"
+        return f"{int(dt.date(d.year - 1, 12, 31).strftime('%U')):02d}"
+
+    def exp_X(d):
+        return str(d.year if int(d.strftime("%U")) >= 1 else d.year - 1)
+
+    df = spark.createDataFrame([(d.isoformat(),) for d in days], "ds string")
+    got = df.select(
+        "ds",
+        date_format(F.to_date("ds"), "%U").alias("U"),
+        date_format(F.to_date("ds"), "%u").alias("u"),
+        date_format(F.to_date("ds"), "%V").alias("V"),
+        date_format(F.to_date("ds"), "%X").alias("X"),
+    ).collect()
+    for r in got:
+        d = dt.date.fromisoformat(r["ds"])
+        assert r["U"] == exp_U(d), ("U", d, r["U"])
+        assert r["u"] == exp_u(d), ("u", d, r["u"])
+        assert r["V"] == exp_V(d), ("V", d, r["V"])
+        assert r["X"] == exp_X(d), ("X", d, r["X"])
+    # SQL-text path agrees with the Column path
+    df.createOrReplaceTempView("wk_days")
+    rows = doris_sql(
+        spark,
+        "SELECT ds, date_format(CAST(ds AS DATE), '%X-%V|%U|%u') AS s "
+        "FROM wk_days",
+    ).collect()
+    for r in rows:
+        d = dt.date.fromisoformat(r["ds"])
+        assert r["s"] == f"{exp_X(d)}-{exp_V(d)}|{exp_U(d)}|{exp_u(d)}", d

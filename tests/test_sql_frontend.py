@@ -96,9 +96,19 @@ def test_trailing_semicolon_stripped():
     assert translate("SELECT 1;") == "SELECT 1"
 
 
-def test_week_specifier_fails_loud():
-    with pytest.raises(ValueError, match="%U"):
-        translate("SELECT date_format(d, '%U')")
+def test_week_specifiers_translate_to_expressions():
+    # r6: %U/%u/%V/%X are computed day-arithmetic expressions (values
+    # verified against Python in test_functions.py); a bare %U must
+    # translate, not raise
+    out = translate("SELECT date_format(d, '%U') AS wk")
+    assert "dayofyear" in out and "FLOOR" in out
+    out = translate("SELECT date_format(d, '%X-%V')")
+    assert out.count("CASE WHEN") >= 2
+
+
+def test_length_is_bytes():
+    out = translate("SELECT length(s), char_length(s) FROM t")
+    assert "octet_length(s)" in out and "char_length(s)" in out
 
 
 def test_join_hint_broadcast_rewritten():
