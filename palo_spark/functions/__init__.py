@@ -1575,9 +1575,11 @@ def months_between(a, b) -> Column:
 def _tsdiff(unit: str, e, s) -> Column:
     # timestamp_diff requires TIMESTAMP operands (DATE is not implicitly
     # coerced), and computes complete units. Fine for fixed-length units
-    # (week/day/hour/...); month/year go through _months_complete —
-    # java.time ChronoUnit clamps month-ends (Jan 31 → Feb 28 counts as
-    # 1 complete month) where MySQL/Doris TIMESTAMPDIFF returns 0.
+    # (week/day/hour/...); month/year go through _months_complete — the
+    # explicit MySQL day-of-month form. (Spark 4's native timestampdiff
+    # empirically agrees on month-end/leap edges — pinned by
+    # test_timestampdiff_month_semantics_mysql — but the explicit form
+    # is engine-version-proof and is what the oracle replays.)
     return F.timestamp_diff(
         unit, _c(s).cast("timestamp"), _c(e).cast("timestamp")
     ).cast("bigint")

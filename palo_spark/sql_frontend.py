@@ -67,9 +67,11 @@ Known, documented divergences (fail-loud or noted, never silently wrong):
   expressions (modes 0/1/2 as pure day arithmetic), like ``%w %D %v %x``.
 - (closed in r6) ``length()`` is *bytes* in Doris/MySQL — now rewritten to
   Spark ``octet_length``; ``char_length`` counts characters in both.
-- ``timestampdiff`` month arithmetic: Spark clamps month-ends via
-  java.time; MySQL counts complete months (see functions/__init__.py
-  ``months_diff`` note).
+- (verified closed, r6) ``timestampdiff(MONTH|QUARTER|YEAR)`` — Spark 4's
+  native timestampdiff computes MySQL complete-unit semantics (grid-checked
+  against ``functions._months_complete`` over month-end/leap edges:
+  ``test_timestampdiff_month_semantics_mysql``), so the passthrough is
+  faithful; an earlier note claiming java.time month-end clamping was stale.
 """
 
 from __future__ import annotations

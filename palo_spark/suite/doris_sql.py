@@ -996,3 +996,49 @@ _entry(
     ORDER BY o_orderkey
     """,
 )
+
+
+# r6: MySQL complete-month TIMESTAMPDIFF through the SQL-text path —
+# the oracle replays the day-of-month comparison explicitly (DuckDB's
+# datediff counts boundary crossings, a third semantics, so neither
+# engine's builtin is usable).
+_entry(
+    "sql_dialect_tsdiff_months",
+    """
+    SELECT o_orderkey,
+           timestampdiff(MONTH, `o_orderdate`,
+                         CAST('1998-06-15 12:00:00' AS DATETIME)) AS m_to_ref,
+           timestampdiff(YEAR, `o_orderdate`,
+                         CAST('1998-06-15 12:00:00' AS DATETIME)) AS y_to_ref
+    FROM `orders`
+    WHERE o_orderkey % 101 = 0
+    ORDER BY o_orderkey
+    """,
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderdate,
+               TIMESTAMP '1998-06-15 12:00:00' AS ref
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    m AS (
+        SELECT o_orderkey,
+               (year(ref) - year(o_orderdate)) * 12
+                 + (month(ref) - month(o_orderdate))
+                 + CASE WHEN ref >= o_orderdate
+                         AND (day(ref) < day(o_orderdate)
+                              OR (day(ref) = day(o_orderdate)
+                                  AND CAST(ref AS TIME) < CAST(o_orderdate AS TIME)))
+                        THEN -1
+                        WHEN ref < o_orderdate
+                         AND (day(ref) > day(o_orderdate)
+                              OR (day(ref) = day(o_orderdate)
+                                  AND CAST(ref AS TIME) > CAST(o_orderdate AS TIME)))
+                        THEN 1 ELSE 0 END AS months
+        FROM t
+    )
+    SELECT o_orderkey,
+           CAST(months AS BIGINT) AS m_to_ref,
+           CAST(TRUNC(CAST(months AS DOUBLE) / 12) AS BIGINT) AS y_to_ref
+    FROM m ORDER BY o_orderkey
+    """,
+)

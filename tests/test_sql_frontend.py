@@ -445,3 +445,37 @@ def test_fuzz_translate_matches_native_spark(spark):
         if got != want:
             mismatches.append((i, doris, sparkq, f"{got[:3]} != {want[:3]}"))
     assert not mismatches, mismatches[:3]
+
+
+def test_timestampdiff_month_semantics_mysql(spark):
+    """timestampdiff(MONTH/.../YEAR) through the SQL-text PASSTHROUGH is
+    MySQL-faithful on Spark 4 (complete units by day-of-month
+    comparison, no month-end clamping) — pinned on the edges, plus a
+    grid equivalence against the explicit functions._months_complete
+    form, so a future Spark regression would fail here."""
+    from palo_spark.functions import timestampdiff as my_tsdiff
+    from palo_spark.sql_frontend import doris_sql
+
+    r = doris_sql(spark, """
+        SELECT timestampdiff(MONTH, CAST('2024-01-31' AS DATETIME),
+                             CAST('2024-02-29' AS DATETIME)) AS m_clamp,
+               timestampdiff(MONTH, CAST('2023-01-31' AS DATETIME),
+                             CAST('2023-02-28' AS DATETIME)) AS m_clamp2,
+               timestampdiff(MONTH, CAST('2024-03-31' AS DATETIME),
+                             CAST('2024-01-31' AS DATETIME)) AS m_neg,
+               timestampdiff(YEAR, CAST('2020-02-29' AS DATETIME),
+                             CAST('2021-02-28' AS DATETIME)) AS y_edge,
+               timestampdiff(DAY, CAST('2024-01-01' AS DATETIME),
+                             CAST('2024-01-08' AS DATETIME)) AS d_plain
+    """).collect()[0]
+    assert (r.m_clamp, r.m_clamp2, r.m_neg, r.y_edge, r.d_plain) == (0, 0, -2, 0, 7)
+    grid = spark.range(500).select(
+        (F.to_timestamp(F.lit("2019-01-28 00:00:00"))
+         + F.make_interval(days=(F.col("id") * 7919) % 1500)).alias("s"),
+        (F.to_timestamp(F.lit("2020-06-15 00:00:00"))
+         + F.make_interval(days=(F.col("id") * 104729) % 1500,
+                           hours=(F.col("id") * 31) % 24)).alias("e"),
+    )
+    assert grid.filter(
+        F.expr("timestampdiff(MONTH, s, e)") != my_tsdiff("month", "s", "e")
+    ).count() == 0
