@@ -106,7 +106,8 @@ _PRIORITY = [
 # tpcds_repeat_purchase_pairs, tpcds_hour_value_band_matrix,
 # tpcds_category_cross_channel), wave 5 (tpcds_ship_latency_bands,
 # tpcds_multi_supplier_returned_orders, tpcds_discount_above_part_avg,
-# tpcds_buy_return_rebuy), and split_leakage_safe — put up to 50 of
+# tpcds_buy_return_rebuy), sql_dialect_week_modes,
+# sql_dialect_tsdiff_months, and split_leakage_safe — put up to 50 of
 # these first next round:
 # scalar_sm4_crypto, streaming_tumbling_window, streaming_state_dedup,
 # streaming_session_window, streaming_running_agg_model,
