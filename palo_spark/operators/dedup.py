@@ -333,16 +333,28 @@ def dedup_minhash(
     return df.join(keep, df[id_col] == keep["__id"], "left_semi")
 
 
-def simhash(col, *, bits: int = 64):
-    """64-bit SimHash of a text column, fully native.
+def md5_token_hash(t):
+    """Portable 60-bit token hash: the first 15 hex digits of md5.
+
+    Exists so SimHash fingerprints can be replayed bit-for-bit in any
+    engine with md5 (DuckDB, Trino, ...) for cross-engine value
+    oracles; the xxhash64 default stays the production fast path.
+    """
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(col, *, bits: int = 64, token_hash=None):
+    """SimHash of a text column, fully native.
 
     Token hashes vote per bit (+1/−1); the sign of each bit's sum forms
     the fingerprint. Implemented as a per-row fold over the token array
-    — no explode, no shuffle.
+    — no explode, no shuffle. ``token_hash`` swaps the per-token hash
+    (default xxhash64; pass ``md5_token_hash`` with ``bits<=60`` for a
+    cross-engine-replayable fingerprint).
     """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.lower(F.trim(c)), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, token_hash or (lambda t: F.xxhash64(t)))
     # bit b sum = Σ tokens (hash>>b & 1 ? 1 : -1); fingerprint bit = sum > 0.
     # Python-level loop over bit positions (shift amounts must be
     # literals); each bit is one JVM fold over the token-hash array.
@@ -372,15 +384,22 @@ def dedup_simhash(
     id_col: str = "doc_id",
     *,
     max_hamming: int = 3,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup removal via SimHash + 16-bit chunk bucketing.
+    """Near-dup removal via SimHash + (bits/4)-bit chunk bucketing.
 
     Two fingerprints within Hamming distance ≤ 3 share at least one of
-    their four 16-bit chunks (pigeonhole), so candidates come from a
-    bucket join on (chunk_id, chunk_value) — never all-pairs. Exact
-    Hamming distance then filters candidates; lowest id survives.
+    their four chunks (pigeonhole), so candidates come from a bucket
+    join on (chunk_id, chunk_value) — never all-pairs. Exact Hamming
+    distance then filters candidates; lowest id survives.
     """
-    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__fp"))
+    width = bits // 4
+    mask = (1 << width) - 1
+    fp = df.select(
+        F.col(id_col).alias("__id"),
+        simhash(text_col, bits=bits, token_hash=token_hash).alias("__fp"),
+    )
     chunks = fp.select(
         "__id",
         "__fp",
@@ -389,8 +408,8 @@ def dedup_simhash(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("__fp"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("__fp"), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
                     for i in range(4)

@@ -199,6 +199,80 @@ def dedup_simhash_docs(spark, sf_dir):
 
 
 @q(
+    "dedup_simhash_md5_replay",
+    """
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id < 150 AND doc_id % 5 = 0
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM all_docs
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(1, 15),
+                   i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1))
+                         - 1)::BIGINT << (4 * (15 - i)))) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN generate_series(0, 59) AS g(b)
+        GROUP BY 1, 2
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM votes GROUP BY 1
+    ),
+    chunks AS (
+        SELECT doc_id, fp, ci, (fp >> (15 * ci)) & 32767 AS cv
+        FROM fps CROSS JOIN generate_series(0, 3) AS c(ci)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM chunks a
+        JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    ),
+    dup AS (
+        SELECT DISTINCT id_b FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    )
+    SELECT d.doc_id, f.fp
+    FROM all_docs d JOIN fps f USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT id_b FROM dup)
+    """,
+)
+def dedup_simhash_md5_replay(spark, sf_dir):
+    """SimHash dedup with a FULL cross-engine value oracle: the
+    portable 60-bit md5 token hash (``md5_token_hash`` — first 15 md5
+    hex digits) makes every stage replayable in DuckDB — per-token
+    hashes, per-bit ±1 votes, the 60-bit fingerprint, 4×15-bit chunk
+    bucketing (pigeonhole for Hamming ≤ 3), and exact-Hamming
+    verification via bit_count(xor). Upgrades ``dedup_simhash_docs``'s
+    invariant oracle to value parity on the same pipeline shape (the
+    xxhash64 default stays the production fast path; this proves the
+    MATH, not just the invariants). Plan shape is identical to the
+    production entry: one bucket self-join, never all-pairs."""
+    from palo_spark.operators.dedup import md5_token_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    dd = _with_exact_variants(d)
+    surv = dedup_simhash(dd, bits=60, token_hash=md5_token_hash).select("doc_id")
+    from palo_spark.operators.dedup import simhash
+
+    fps = dd.select(
+        "doc_id", simhash("text", bits=60, token_hash=md5_token_hash).alias("fp")
+    )
+    return surv.join(fps, "doc_id").select("doc_id", "fp")
+
+
+@q(
     "dedup_ngram_jaccard",
     """
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
