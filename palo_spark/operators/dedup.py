@@ -343,6 +343,9 @@ def md5_token_hash(t):
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
 
+md5_token_hash.hash_bits = 60  # declared width; simhash() rejects bits beyond it
+
+
 def simhash(col, *, bits: int = 64, token_hash=None):
     """SimHash of a text column, fully native.
 
@@ -352,6 +355,16 @@ def simhash(col, *, bits: int = 64, token_hash=None):
     (default xxhash64; pass ``md5_token_hash`` with ``bits<=60`` for a
     cross-engine-replayable fingerprint).
     """
+    width = getattr(token_hash, "hash_bits", 64) if token_hash is not None else 64
+    if bits > width:
+        # Beyond the hash width every token's bit is 0, so bits
+        # width..bits-1 vote uniformly −1: the fingerprint's top bits
+        # carry no signal and the chunk bucketing silently degrades.
+        # Fail loud instead (ADVICE r6).
+        raise ValueError(
+            f"simhash bits={bits} exceeds token_hash width {width}; "
+            f"pass bits<={width} (md5_token_hash is 60-bit)"
+        )
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.lower(F.trim(c)), r"\s+")
     hashes = F.transform(tokens, token_hash or (lambda t: F.xxhash64(t)))

@@ -10,11 +10,14 @@ be/src/vec/exec/vpartition_sort_node.* ships the same idea for
 PARTITION_SORT].
 
 The distributed shape here (the standard zipWithIndex design, kept
-entirely inside the DataFrame plan — no driver collect):
+entirely inside the DataFrame plan — no driver collect of data, only
+a scalar count to materialize):
 
 1. ``repartitionByRange(P, keys)`` — ONE range shuffle; partition p
    holds a contiguous key range, so global order = (partition order,
-   in-partition order).
+   in-partition order). The ranged frame is persisted and counted so
+   every downstream branch reads the SAME physical partitioning (see
+   ``_ranged_with_offsets``).
 2. per-partition counts (tiny: P rows) → per-partition global offset
    via a broadcast theta-join of the count frame with itself
    (P² ≤ 32² pairs — metadata-scale, no window, no collect).
@@ -32,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID, _CNT, _OFF, _RN, _N = "__gr_pid", "__gr_cnt", "__gr_off", "__gr_rn", "__gr_n"
 
@@ -40,12 +44,28 @@ def _ranged_with_offsets(
     df: DataFrame, order_cols: list[str], num_partitions: int
 ) -> DataFrame:
     """Range-shuffle ``df`` on the order keys and attach each row's
-    partition-start global offset plus the total row count. The count
-    scan and the main branch share one Exchange (ReuseExchange)."""
+    partition-start global offset plus the total row count.
+
+    The ranged frame is materialized (persist + count) BEFORE the plan
+    branches. This is load-bearing for correctness, not a cache hint:
+    without it, Catalyst column-prunes the counts branch down to the
+    range keys, so its range Exchange is a *different plan instance*
+    from the main branch's — each samples RangePartitioner boundaries
+    independently, and the ``__gr_pid`` ↔ count mapping can disagree
+    with the partition assignment the main branch actually used
+    (observed: duplicate global row numbers whenever the frame carries
+    any payload column outside ``order_cols``; pinned by
+    tests/test_plans.py::test_global_ranking_with_payload_column).
+    Pinning one physical frame makes the pid assignment a fact of the
+    data rather than of the plan. MEMORY_AND_DISK, one materialization
+    of the input — the same price ``zipWithIndex`` pays for exact
+    global indices, and still no single-partition stage anywhere."""
     keys = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
         _PID, F.spark_partition_id()
     )
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged.count()  # materialize: bakes pid into the cached rows
     counts = ranged.groupBy(_PID).agg(F.count("*").alias(_CNT))
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (

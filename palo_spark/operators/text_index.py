@@ -124,17 +124,23 @@ def source_version(path: str) -> str:
     import hashlib
     import os
 
+    # Nanosecond mtime + root-relative path (ADVICE r6): whole-second
+    # mtime made a same-size rewrite within one second (fixture
+    # regenerated back-to-back) yield an unchanged token, serving a
+    # stale index as current; basename-only keys folded identically
+    # sized same-named files in different subdirectories together.
     parts = []
     if os.path.isfile(path):
         st = os.stat(path)
-        parts.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     else:
         for dirpath, _dirs, files in sorted(os.walk(path)):
+            rel = os.path.relpath(dirpath, path)
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
                 st = os.stat(os.path.join(dirpath, f))
-                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+                parts.append(f"{rel}/{f}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 

@@ -953,7 +953,8 @@ def tpcds_channel_rollup_union(spark, sf_dir):
     ),
     shared AS (
         SELECT n_name, yr, cents,
-               CAST(FLOOR(cents * 1000000.0 / SUM(cents) OVER (PARTITION BY yr))
+               CAST((CAST(cents AS HUGEINT) * 1000000)
+                    // SUM(cents) OVER (PARTITION BY yr)
                     AS BIGINT) AS share_ppm
         FROM yearly
     )
@@ -987,13 +988,21 @@ def tpcds_yoy_nation_share(spark, sf_dir):
         )
     )
     wy = Window.partitionBy("yr")
-    # FLOOR of the double division on BOTH sides: operands are exact in
-    # IEEE double (< 2^53) and division is correctly rounded, so the two
-    # engines agree bit-for-bit; a bare long cast would truncate in Spark
-    # but round in DuckDB at .9999.. boundaries.
-    shared = yearly.withColumn(
-        "share_ppm",
-        F.floor(F.col("cents") * 1000000 / F.sum("cents").over(wy)).cast("long"),
+    # Exact integer ppm on BOTH sides (ADVICE r6): decimal(38,0) DIV here,
+    # HUGEINT // in DuckDB. The earlier double-FLOOR form was only exact
+    # below 2^53 — a (nation, year) aggregate past ~$90M in cents made
+    # cents*1e6 inexact in IEEE double and the two engines' FLOOR of the
+    # rounded product could disagree. Integer division never rounds.
+    shared = (
+        yearly.withColumn("__yr_total", F.sum("cents").over(wy))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)"
+                " DIV __yr_total AS BIGINT)"
+            ),
+        )
+        .drop("__yr_total")
     )
     wn = Window.partitionBy("n_name").orderBy("yr")
     return (
@@ -1261,8 +1270,8 @@ def tpcds_returned_spend_ratio(spark, sf_dir):
            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
                 AS BIGINT) AS promo_cents,
            CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
-           CAST(FLOOR(SUM(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
-                * 1000000.0 / SUM({_CENTS})) AS BIGINT) AS promo_ppm
+           CAST((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
+                AS HUGEINT) * 1000000) // SUM({_CENTS}) AS BIGINT) AS promo_ppm
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1290,9 +1299,15 @@ def tpcds_promo_share_by_nation(spark, sf_dir):
         .agg(
             F.sum(promo).cast("long").alias("promo_cents"),
             F.sum(cents).cast("long").alias("total_cents"),
-            # floor of the correctly-rounded double division — exact and
-            # engine-agreed (see yoy_nation_share note)
-            F.floor(F.sum(promo) * 1000000 / F.sum(cents)).cast("long").alias("promo_ppm"),
+        )
+        # exact integer ppm — decimal DIV / hugeint //, never a double
+        # product (see yoy_nation_share note)
+        .withColumn(
+            "promo_ppm",
+            F.expr(
+                "CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000)"
+                " DIV total_cents AS BIGINT)"
+            ),
         )
         .orderBy("n_name")
     )

@@ -615,3 +615,44 @@ def test_global_ntile_matches_window_ntile(spark):
         ).collect()
     }
     assert rn == {i: i + 1 for i in range(100)}
+
+
+def test_global_ranking_with_payload_column(spark):
+    """ADVICE r6 (high): with any column NOT in order_cols, Catalyst
+    used to column-prune the counts branch to the range keys, giving it
+    a separate range Exchange whose RangePartitioner sampled boundaries
+    independently of the main branch — the pid↔count mapping then
+    disagreed with the actual partition assignment (observed: 469
+    duplicate row numbers on 20k rows). The materialize-before-branch
+    fix pins one physical frame; this test carries the payload column
+    the old ntile test lacked."""
+    from pyspark.sql import Window
+
+    from palo_spark.operators.ranking import global_ntile, global_row_number
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+        F.col("id").alias("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    rows = global_row_number(df, ["k", "id"], out="rn").collect()
+    rns = sorted(r["rn"] for r in rows)
+    assert rns == list(range(1, n + 1))  # exact permutation: no dup, no gap
+    # order agreement with the (single-partition) window form
+    got = {(r["k"], r["id"]): r["rn"] for r in rows}
+    want = {
+        (r["k"], r["id"]): r["rn"]
+        for r in df.select(
+            "k", "id", F.row_number().over(Window.orderBy("k", "id")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+    # ntile over the same payload-carrying frame: exact tile sizes
+    tiles = (
+        global_ntile(df, ["k", "id"], 10, out="t")
+        .groupBy("t").count().collect()
+    )
+    assert sorted((r["t"], r["count"]) for r in tiles) == [
+        (i, n // 10) for i in range(1, 11)
+    ]
