@@ -56,6 +56,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     knn_classify,
 )
 from palo_spark.operators.ranking import (  # noqa: F401
+    global_cumsum,
     global_ntile,
     global_row_number,
 )

@@ -97,6 +97,45 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global ``SUM(value) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` without a single-partition window — the same
+    range-shuffle + broadcast-offsets shape as ``global_row_number``,
+    with per-partition SUMs instead of COUNTs. Order keys must be
+    unique (ties would make the running sum order-dependent, same
+    contract as the window form over a unique key)."""
+    keys = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged.count()  # materialize: see _ranged_with_offsets
+    sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
+    a, b = sums.alias("a"), sums.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum(F.col(f"b.{_CNT}")), F.lit(0)).alias(_OFF))
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(out, F.sum(value_col).over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list[str],

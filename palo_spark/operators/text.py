@@ -612,10 +612,19 @@ def corpus_profile(
     over per-language counts; at 100 TB this is the same two-phase
     hash-agg any COUNT(*) is — no collect, no window over raw rows.
 
-    Scale caveat: ``F.percentile`` is EXACT and buffers the token-count
-    values; at billions of documents pass ``approx=True`` to use the
-    t-digest ``percentile_approx`` (bounded memory, ±ε quantiles) —
-    the exact form is the default because the suite oracle replays it.
+    Exact percentiles are computed from the token-count HISTOGRAM
+    (``groupBy(_tok).count()`` — one value-keyed shuffle bounded by the
+    number of DISTINCT token counts, i.e. by max document length, never
+    by corpus row count) with a distributed cumulative sum
+    (``operators.ranking.global_cumsum`` — range shuffle + broadcast
+    offsets, no single-partition stage). ``F.percentile``, by contrast,
+    buffers every raw value in ONE aggregate task — the r6 plan sweep
+    flagged exactly that. Interpolation follows the SQL
+    ``PERCENTILE_CONT`` definition (rank r = q·(n−1); linear between
+    the flooring/ceiling order statistics), identical to both
+    ``F.percentile`` and DuckDB's ``QUANTILE_CONT``. ``approx=True``
+    swaps in t-digest ``percentile_approx`` for ±ε quantiles in a
+    single pass.
     """
     toks = token_count(F.col(text_col))
     fp = doc_fingerprint(F.col(text_col))
@@ -624,23 +633,44 @@ def corpus_profile(
         fp.alias("_fp"),
         (F.col(lang_col) if lang_col else F.lit("und")).alias("_lang"),
     )
-    stats = base.agg(
+    agg_cols = [
         F.count("*").alias("n_docs"),
         F.sum("_tok").cast("bigint").alias("total_tokens"),
         F.round(F.avg("_tok"), 6).alias("avg_tokens"),
-        F.round(
-            (F.percentile_approx if approx else F.percentile)("_tok", 0.5), 6
-        ).alias("p50_tokens"),
-        F.round(
-            (F.percentile_approx if approx else F.percentile)("_tok", 0.9), 6
-        ).alias("p90_tokens"),
         F.count_distinct(F.col("_fp")).alias("distinct_fingerprints"),
-    ).withColumn(
+    ]
+    if approx:
+        agg_cols += [
+            F.round(F.percentile_approx("_tok", 0.5), 6).alias("p50_tokens"),
+            F.round(F.percentile_approx("_tok", 0.9), 6).alias("p90_tokens"),
+        ]
+    stats = base.agg(*agg_cols).withColumn(
         "dup_rate",
         F.round(
             1.0 - F.col("distinct_fingerprints") / F.col("n_docs"), 6
         ),
     )
+    if not approx:
+        from palo_spark.operators.ranking import global_cumsum
+
+        hist = base.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+        cum = global_cumsum(hist, ["_tok"], "_cnt", out="_cum")
+        n1 = cum.agg(F.max("_cum").alias("_n"))  # max cum == n_docs
+        sel = cum.crossJoin(F.broadcast(n1))
+        pct_exprs = []
+        for name, qv in (("p50_tokens", 0.5), ("p90_tokens", 0.9)):
+            r = (F.col("_n") - F.lit(1)) * F.lit(qv)
+            lo, hi = F.floor(r), F.ceil(r)
+            in_row = lambda idx: (  # noqa: E731 — row holding 0-based index idx
+                (F.col("_cum") - F.col("_cnt") <= idx) & (idx < F.col("_cum"))
+            )
+            v_lo = F.max(F.when(in_row(lo), F.col("_tok")))
+            v_hi = F.max(F.when(in_row(hi), F.col("_tok")))
+            frac = F.max(r - lo)  # constant per row (broadcast n)
+            pct_exprs.append(
+                F.round(v_lo + frac * (v_hi - v_lo), 6).alias(name)
+            )
+        stats = stats.crossJoin(F.broadcast(sel.agg(*pct_exprs)))
     top_lang = (
         base.groupBy("_lang")
         .count()

@@ -1,0 +1,96 @@
+"""Registry-wide single-partition plan sweep (VERDICT r6 advice #2).
+
+The r5→r6 rounds eliminated individual global-window scale-killers
+(NTILE deciles, then the exact-percentile shape) case by case; this test
+closes the CLASS: every ``queries()`` entry's physical plan is scanned
+for a ``Sort`` or ``Window`` node consuming an ``Exchange
+SinglePartition`` — the shape where one task sorts/windows the whole
+frame, fine at sf0.001 and fatal at 10⁹ rows. Plans are inspected
+pre-execution (the initial physical plan), which is data-size
+independent — AQE can only coalesce partitions at runtime, never
+introduce a new global sort.
+
+Node matching is exact: ``SortAggregate`` above a SinglePartition
+exchange is the standard two-phase scalar aggregate (each partition
+pre-reduces to ONE row; the single partition merges P rows) and must
+NOT count — only genuine ``Sort``/``Window``/``WindowGroupLimit``
+nodes do.
+
+Entries in ALLOWLIST have a global window by design over a frame whose
+size is bounded by something other than row count; each carries its
+bound.
+"""
+
+from __future__ import annotations
+
+import re
+
+# name -> why a global sort/window is safe there (the bound that holds
+# at any scale factor)
+ALLOWLIST = {
+    # cumulative revenue per calendar month over a full_outer join of two
+    # per-(month) aggregates: the window input is one row per month —
+    # bounded by the calendar (~84 rows for the 7-year fixture), never by
+    # fact-table rows (suite/tpcds.py, the VERDICT-sanctioned case).
+    "tpcds_cumulative_channels": "calendar-bounded: one row per month",
+}
+
+_NODE = re.compile(r"(?:^|[+:]- )(Sort|Window|WindowGroupLimit)[ \[(]")
+
+
+def single_partition_sorts(plan: str) -> list[str]:
+    """Lines where a Sort/Window node sits directly above an Exchange
+    SinglePartition. Scalar aggregates (HashAggregate/SortAggregate/
+    ObjectHashAggregate) over a SinglePartition exchange are fine —
+    partial aggregation bounds the exchanged rows at one per partition."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        ctx = "\n".join(lines[max(0, i - 2): i])
+        if _NODE.search(ctx):
+            bad.append(line.strip())
+    return bad
+
+
+def test_registry_wide_no_single_partition_sort_or_window(spark, sf_dir):
+    import palo_spark.suite as suite
+
+    qs = suite.all_queries()
+    offenders: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    checked = 0
+    for name, fn in qs.items():
+        if name in ALLOWLIST:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # surface build failures, don't mask them
+            errors[name] = repr(e)[:200]
+            continue
+        checked += 1
+        bad = single_partition_sorts(plan)
+        if bad:
+            offenders[name] = len(bad)
+    assert not errors, f"plan build failed for: {errors}"
+    assert not offenders, (
+        f"single-partition Sort/Window (the global-window scale-killer) "
+        f"re-entered the registry: {offenders} — fix the plan or, if the "
+        f"window input is provably bounded by something other than row "
+        f"count, add an ALLOWLIST entry with the bound"
+    )
+    # the sweep must actually cover the registry (guard against silent
+    # collection failures making this vacuously green)
+    assert checked >= 300, checked
+
+
+def test_allowlist_entries_still_exist():
+    """An ALLOWLIST name that no longer resolves is stale — remove it so
+    the sweep's coverage claim stays honest."""
+    import palo_spark.suite as suite
+
+    qs = suite.all_queries()
+    missing = [n for n in ALLOWLIST if n not in qs]
+    assert not missing, missing
