@@ -43,6 +43,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     similarity_topk_lsh,
     ivf_assign,
     train_centroids,
+    train_centroids_exact,
     similarity_topk_ivf,
     quantize_embeddings_int8,
     normalize_embeddings,

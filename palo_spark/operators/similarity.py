@@ -312,22 +312,31 @@ def lsh_band_bits(vec_col, planes: list[list[float]], bands: int):
     return _sig(v)
 
 
-def ivf_assign(vec_col, centroids: list[list[float]]):
+def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False):
     """IVF cell id: argmax cosine against the (small, broadcast-as-
     literal) centroid list — one JVM fold per centroid, no shuffle.
+    Ties go to the higher cell (``array_max`` struct ordering).
+
+    ``quantized=True`` scores with the integer-quantized cosine
+    (:func:`_qdot`) — bit-identical across engines and summation
+    orders, so an external oracle can replay the assignment exactly.
 
     Use as a partition key on write so probes prune to nprobe cells'
     files — the IVF index IS the parquet layout at scale.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    vn = _norm(v)
+    if quantized:
+        scores = [cosine_similarity(v, _vec_lit(c), quantized=True) for c in centroids]
+    else:
+        vn = _norm(v)
+        scores = [
+            _dot(v, _vec_lit(c)) / (vn * F.lit(float(np.linalg.norm(c))))
+            for c in centroids
+        ]
     scored = F.array(
         *[
-            F.struct(
-                (_dot(v, _vec_lit(c)) / (vn * F.lit(float(np.linalg.norm(c))))).alias("s"),
-                F.lit(i).cast("int").alias("cell"),
-            )
-            for i, c in enumerate(centroids)
+            F.struct(s.alias("s"), F.lit(i).cast("int").alias("cell"))
+            for i, s in enumerate(scores)
         ]
     )
     return F.array_max(scored)["cell"]
@@ -370,6 +379,64 @@ def train_centroids(
     return centroids
 
 
+def train_centroids_exact(
+    df: DataFrame,
+    n_cells: int = 8,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Cross-engine-REPLAYABLE k-means-lite: same seeding and Lloyd
+    structure as :func:`train_centroids`, but every float operation is
+    pinned so an external engine (the DuckDB suite oracle) reproduces
+    the trained centroids bit-for-bit:
+
+    - assignment scores with the integer-quantized cosine
+      (:func:`_qdot` — exact integer sums, order-independent);
+    - the centroid update is ``c_i = S_i / (n · 10⁶)`` where
+      ``S_i = Σ FLOOR(x_i · 10⁶)`` is an exact BIGINT sum — one
+      correctly-rounded IEEE division of two exact integers, identical
+      in Spark, Python, and any SQL engine (vs ``AVG(double)``, whose
+      parallel summation order is engine-dependent);
+    - empty cells keep their previous centroid.
+
+    Per round: one assignment scan + one groupBy with d integer sums;
+    only k×d centroid values reach the driver."""
+    seeds = [
+        r[0]
+        for r in df.orderBy(id_col).select(vec_col).limit(n_cells).collect()
+    ]
+    centroids = [[float(x) for x in s] for s in seeds]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = df.select(
+            ivf_assign(vec_col, centroids, quantized=True).alias("__cell"),
+            F.col(vec_col).alias("__v"),
+        )
+        rows = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.count("*").alias("__n"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("__v", i + 1).cast("double") * 1e6
+                        ).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            r["__cell"]: [r[f"s{i}"] / (r["__n"] * 1_000_000) for i in range(dim)]
+            for r in rows
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
 def similarity_topk_ivf(
     df: DataFrame,
     query_vec,
@@ -381,21 +448,39 @@ def similarity_topk_ivf(
     nprobe: int = 3,
     centroids: list[list[float]] | None = None,
     quantized: bool = False,
+    assign_quantized: bool = False,
 ) -> DataFrame:
     """ANN top-k via IVF: score the query against the centroid list
     driver-side, scan only the ``nprobe`` nearest cells, exact-score the
-    candidates. Recall is tunable via nprobe (nprobe=n_cells is exact)."""
+    candidates. Recall is tunable via nprobe (nprobe=n_cells is exact).
+
+    ``assign_quantized=True`` ranks probes and assigns cells with the
+    integer-quantized cosine (ties: probes to the lower cell — stable
+    sort; assignment to the higher cell — ``array_max``), making the
+    whole probe path replayable by an external value oracle."""
     if centroids is None:
         centroids = train_centroids(df, n_cells, vec_col=vec_col, id_col=id_col)
-    q = np.asarray(query_vec, dtype=float)
-    sims = [
-        float(np.dot(q, np.asarray(c)) / (np.linalg.norm(q) * np.linalg.norm(c)))
-        for c in centroids
-    ]
+    if assign_quantized:
+        import math
+
+        def _pyqdot(u, w):
+            return sum(math.floor(float(x) * float(y) * 1e6) for x, y in zip(u, w))
+
+        qv = [float(x) for x in query_vec]
+        sims = [
+            _pyqdot(qv, c) / math.sqrt(_pyqdot(qv, qv) * _pyqdot(c, c))
+            for c in centroids
+        ]
+    else:
+        q = np.asarray(query_vec, dtype=float)
+        sims = [
+            float(np.dot(q, np.asarray(c)) / (np.linalg.norm(q) * np.linalg.norm(c)))
+            for c in centroids
+        ]
     probes = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
-    cands = df.withColumn("__cell", ivf_assign(vec_col, centroids)).filter(
-        F.col("__cell").isin(probes)
-    )
+    cands = df.withColumn(
+        "__cell", ivf_assign(vec_col, centroids, quantized=assign_quantized)
+    ).filter(F.col("__cell").isin(probes))
     return similarity_topk(
         cands, query_vec, k, vec_col=vec_col, id_col=id_col, quantized=quantized
     )
