@@ -104,6 +104,12 @@ HEADLINE = [
     "tpcds_channel_rollup_union",
     "tpcds_spend_deciles",
     "tpcds_returns_anti_join",
+    # r7 additions (strictly after the shared prefix): trained-IVF with
+    # the replayable quantized k-means (2 Lloyd rounds in-query), the
+    # q72 rolling-stockout window, grouping-set channel margins
+    "similarity_search_ivf",
+    "tpcds_rolling_stockout",
+    "tpcds_channel_margin_grouping_sets",
 ]
 
 

@@ -111,7 +111,15 @@ _PRIORITY = [
 # tpcds_case_heavy_agg, tpcds_exists_chain, tpcds_segment_topn,
 # tpcds_customer_set_ops, tpcds_revenue_share, tpcds_am_pm_ratio,
 # tpcds_frequent_buyers, tpcds_return_rate_bands,
-# tpcds_cumulative_channels, tpcds_cov_filter
+# tpcds_cumulative_channels, tpcds_cov_filter,
+# and the r7 wave-6 additions: tpcds_rolling_stockout,
+# tpcds_same_store_yoy_except, tpcds_cross_channel_migration,
+# tpcds_channel_margin_grouping_sets, tpcds_inventory_position,
+# tpcds_quarter_brand_share, tpcds_first_purchase_cohort,
+# tpcds_consecutive_active_months, tpcds_weekday_weekend_mix
+# (plus similarity_search_ivf, whose oracle changed from invariant to
+# full-value in r7 and which has no driver-green row under the new
+# oracle)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -1846,3 +1846,536 @@ def tpcds_buy_return_rebuy(spark, sf_dir):
     return firsts.filter(
         F.col("first_ret").isNotNull() & (F.col("last_any") > F.col("first_ret"))
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+# ------------------------------------------------------------ wave 6
+# Inventory / date-dimension shapes (VERDICT r6 advice #4): rolling
+# stock-out windows (q72), same-store YoY churn via EXCEPT (q38/q87),
+# cross-channel customer migration (q68-ish), grouping-set channel
+# margins (q77/q80), running inventory position, cohort matrices (q30),
+# gaps-and-islands consecutive activity, weekday/weekend date-dim mix.
+# Money stays exact-integer cents (FLOOR(x*100) summed as BIGINT);
+# shares use decimal DIV / hugeint // (never a double product).
+
+_NET_CENTS = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@q(
+    "tpcds_rolling_stockout",
+    f"""
+    WITH monthly AS (
+        SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS ym,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    rolled AS (
+        SELECT p_brand, ym, qty,
+               CAST(SUM(qty) OVER (PARTITION BY p_brand ORDER BY ym
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS demand_3mo,
+               CAST(SUM(qty) OVER (PARTITION BY p_brand) AS BIGINT) AS total_qty,
+               CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n_months
+        FROM monthly
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) FILTER (WHERE demand_3mo * n_months > 4 * total_qty)
+                AS BIGINT) AS risk_months,
+           CAST(MAX(demand_3mo) AS BIGINT) AS peak_3mo_qty
+    FROM rolled
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def tpcds_rolling_stockout(spark, sf_dir):
+    """TPC-DS q72 (inventory stock-out) shape on the star fixtures:
+    demand aggregated to (brand, ship-month) grain, a 3-month rolling
+    window over the aggregate flags months whose rolling demand exceeds
+    the brand's long-run rate (exact integer cross-multiplication
+    ``demand_3mo·n_months > 4·total`` — no division, no floats). The
+    rolling window runs per brand over ≤ |months| rows — keyed, never
+    fact-scaled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    wb = Window.partitionBy("p_brand")
+    w3 = wb.orderBy("ym").rowsBetween(-2, Window.currentRow)
+    rolled = monthly.select(
+        "p_brand",
+        "ym",
+        F.sum("qty").over(w3).cast("long").alias("demand_3mo"),
+        F.sum("qty").over(wb).cast("long").alias("total_qty"),
+        F.count("*").over(wb).cast("long").alias("n_months"),
+    )
+    return (
+        rolled.groupBy("p_brand")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("demand_3mo") * F.col("n_months")
+                    > 4 * F.col("total_qty"),
+                    True,
+                )
+            )
+            .cast("long")
+            .alias("risk_months"),
+            F.max("demand_3mo").cast("long").alias("peak_3mo_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "tpcds_same_store_yoy_except",
+    """
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+    ),
+    y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+    ),
+    churned AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    SELECT n_name,
+           CAST(COUNT(DISTINCT ch.o_custkey) AS BIGINT) AS churned_customers,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS lost_spend_cents
+    FROM churned ch
+    JOIN customer ON c_custkey = ch.o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN orders o ON o.o_custkey = ch.o_custkey
+              AND CAST(strftime(o.o_orderdate, '%Y') AS INT) = 1995
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_same_store_yoy_except(spark, sf_dir):
+    """TPC-DS q38/q87 EXCEPT shape as same-store YoY churn: customers
+    active in 1995 EXCEPT active in 1996, then their 1995 spend rolled
+    up per nation. The EXCEPT runs on DISTINCT custkey sets (already
+    reduced), the spend join is a semi-join-shaped probe back into the
+    1995 slice; nation/customer dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
+    y95 = o.filter(yr == 1995).select("o_custkey").distinct()
+    y96 = o.filter(yr == 1996).select("o_custkey").distinct()
+    churned = y95.exceptAll(y96).distinct()
+    spend95 = o.filter(yr == 1995).join(churned, "o_custkey")
+    return (
+        spend95.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("churned_customers"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("lost_spend_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_cross_channel_migration",
+    """
+    WITH tagged AS (
+        SELECT o_custkey,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'express' ELSE 'standard' END AS channel,
+               COUNT(*) AS n
+        FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (1995, 1996)
+        GROUP BY 1, 2, 3
+    ),
+    dominant AS (
+        SELECT o_custkey, yr, channel FROM (
+            SELECT o_custkey, yr, channel,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, yr
+                        ORDER BY n DESC, channel DESC) AS rn
+            FROM tagged
+        ) WHERE rn = 1
+    )
+    SELECT a.channel AS from_channel, b.channel AS to_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM dominant a JOIN dominant b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_cross_channel_migration(spark, sf_dir):
+    """TPC-DS cross-channel migration matrix: each customer's dominant
+    order channel (priority band) in 1995 vs 1996, counted as a 2×2
+    from→to matrix. Dominance = max order count, ties to the
+    lexically-higher channel (max_by struct ordering = the oracle's
+    ROW_NUMBER tie-break). One keyed agg + one self-join on the
+    per-customer-year frame (already ≤ |customers|·2 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+    ).otherwise("standard")
+    tagged = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey", yr.alias("yr"), channel.alias("channel"))
+        .agg(F.count("*").alias("n"))
+    )
+    dominant = tagged.groupBy("o_custkey", "yr").agg(
+        F.max_by("channel", F.struct(F.col("n"), F.col("channel"))).alias("channel")
+    )
+    a = dominant.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("channel").alias("from_channel")
+    )
+    b = dominant.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("channel").alias("to_channel")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("from_channel", "to_channel")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("from_channel", "to_channel")
+    )
+
+
+@q(
+    "tpcds_channel_margin_grouping_sets",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'express' ELSE 'standard' END AS channel,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               {_CENTS} AS gross,
+               {_NET_CENTS} AS net
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           CAST(SUM(gross) AS BIGINT) AS gross_cents,
+           CAST(SUM(net) AS BIGINT) AS net_cents,
+           CAST(SUM(gross) - SUM(net) AS BIGINT) AS discount_cents,
+           CAST(GROUPING(channel) * 2 + GROUPING(yr) AS INT) AS lvl
+    FROM base
+    GROUP BY GROUPING SETS ((channel, yr), (channel), ())
+    ORDER BY lvl, channel, yr
+    """,
+)
+def tpcds_channel_margin_grouping_sets(spark, sf_dir):
+    """TPC-DS q77/q80 shape: channel margin report over GROUPING SETS
+    ((channel, yr), (channel), ()) — gross vs discounted revenue and
+    the margin given away, with the GROUPING() bitmask as the level
+    marker. One fact-side pass (grouping sets expand AFTER the partial
+    aggregate), dims broadcast; all money exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+    ).otherwise("standard")
+    base = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        channel.alias("channel"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("gross"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("net"),
+    )
+    return (
+        base.groupingSets(
+            [["channel", "yr"], ["channel"], []], "channel", "yr"
+        )
+        .agg(
+            F.sum("gross").cast("long").alias("gross_cents"),
+            F.sum("net").cast("long").alias("net_cents"),
+            (F.sum("gross") - F.sum("net")).cast("long").alias("discount_cents"),
+            (F.grouping("channel") * 2 + F.grouping("yr"))
+            .cast("int")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            "gross_cents",
+            "net_cents",
+            "discount_cents",
+            "lvl",
+        )
+        .orderBy("lvl", "channel", "yr")
+    )
+
+
+@q(
+    "tpcds_inventory_position",
+    """
+    WITH monthly AS (
+        SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ym,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(l_quantity AS BIGINT)
+                             ELSE -CAST(l_quantity AS BIGINT) END)
+                    AS BIGINT) AS net_qty
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, ym, net_qty,
+           CAST(SUM(net_qty) OVER (PARTITION BY n_name ORDER BY ym)
+                AS BIGINT) AS position_qty
+    FROM monthly
+    ORDER BY n_name, ym
+    """,
+)
+def tpcds_inventory_position(spark, sf_dir):
+    """Running inventory position per supplier nation: returns restock
+    (+qty), shipments draw down (−qty); monthly nets accumulate through
+    a window PARTITIONED BY nation over the (nation × month) aggregate
+    — ≤ |nations|·|months| rows, so the cumulative sort is keyed and
+    calendar-bounded, never fact-scaled (the q72 date-dim companion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("long")
+    monthly = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
+            )
+            .cast("long")
+            .alias("net_qty")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("ym")
+    return monthly.select(
+        "n_name",
+        "ym",
+        "net_qty",
+        F.sum("net_qty").over(w).cast("long").alias("position_qty"),
+    ).orderBy("n_name", "ym")
+
+
+@q(
+    "tpcds_quarter_brand_share",
+    f"""
+    WITH qb AS (
+        SELECT strftime(l_shipdate, '%Y') || '-Q' ||
+               CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+               p_brand,
+               CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT qtr, p_brand, cents,
+               CAST((CAST(cents AS HUGEINT) * 1000000)
+                    // SUM(cents) OVER (PARTITION BY qtr) AS BIGINT)
+                   AS share_ppm
+        FROM qb
+    )
+    SELECT qtr, p_brand, cents, share_ppm FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qtr
+                    ORDER BY share_ppm DESC, p_brand) AS rn
+        FROM shared
+    ) WHERE rn <= 3
+    ORDER BY qtr, share_ppm DESC, p_brand
+    """,
+)
+def tpcds_quarter_brand_share(spark, sf_dir):
+    """Top-3 brands per quarter by revenue share: (quarter, brand)
+    aggregate, exact-integer ppm share (decimal DIV — the r6 advice
+    pattern), per-quarter top-3 via a keyed window (WindowGroupLimit
+    keeps a 3-row heap per quarter). Quarter key built as YYYY-Qn in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qtr = F.concat(
+        F.year("l_shipdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("l_shipdate").cast("string"),
+    )
+    qb = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(qtr.alias("qtr"), F.col("p_brand"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wq = Window.partitionBy("qtr")
+    shared = (
+        qb.withColumn("__q_total", F.sum("cents").over(wq))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)"
+                " DIV __q_total AS BIGINT)"
+            ),
+        )
+        .drop("__q_total")
+    )
+    wr = wq.orderBy(F.desc("share_ppm"), "p_brand")
+    return (
+        shared.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("qtr", "p_brand", "cents", "share_ppm")
+        .orderBy("qtr", F.desc("share_ppm"), "p_brand")
+    )
+
+
+@q(
+    "tpcds_first_purchase_cohort",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(strftime(o_orderdate, '%Y') AS INT)) AS cohort
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS yr,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_first_purchase_cohort(spark, sf_dir):
+    """TPC-DS q30-style cohort matrix: customers keyed by first-order
+    year, then (cohort × order-year) activity and spend. Two keyed
+    shuffles on o_custkey (the min-year aggregate reuses the join
+    partitioning); output is a |years|² matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("cohort")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("active_customers"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+        .orderBy("cohort", "yr")
+    )
+
+
+@q(
+    "tpcds_consecutive_active_months",
+    """
+    WITH months AS (
+        SELECT DISTINCT n_name,
+               CAST(strftime(o_orderdate, '%Y') AS INT) * 12 +
+               CAST(strftime(o_orderdate, '%m') AS INT) AS midx
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+    ),
+    islands AS (
+        SELECT n_name,
+               midx - ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY midx)
+                   AS grp
+        FROM months
+    )
+    SELECT n_name, CAST(MAX(run_len) AS BIGINT) AS longest_streak_months
+    FROM (
+        SELECT n_name, grp, COUNT(*) AS run_len
+        FROM islands GROUP BY n_name, grp
+    )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_consecutive_active_months(spark, sf_dir):
+    """Gaps-and-islands over the date dimension: per nation, the
+    longest run of consecutive calendar months with at least one order.
+    Month index minus its per-nation row_number is constant within a
+    consecutive run (the classic islands key); every window runs over
+    the DISTINCT (nation, month) frame — calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    months = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "n_name",
+            (F.year("o_orderdate").cast("int") * 12
+             + F.month("o_orderdate").cast("int")).alias("midx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("n_name").orderBy("midx")
+    islands = months.withColumn(
+        "grp", F.col("midx") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("n_name", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        runs.groupBy("n_name")
+        .agg(F.max("run_len").cast("long").alias("longest_streak_months"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_weekday_weekend_mix",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN isodow(o_orderdate) >= 6
+                    THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS weekend_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST((CAST(SUM(CASE WHEN isodow(o_orderdate) >= 6
+                         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS HUGEINT) * 1000000)
+                // SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS weekend_ppm
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_weekday_weekend_mix(spark, sf_dir):
+    """Date-dimension mix report: weekend (ISO day-of-week ≥ 6) share
+    of spend per nation in exact ppm. Spark's weekday() (Mon=0) + 1
+    equals DuckDB's isodow (Mon=1..Sun=7) — pinned here rather than
+    dayofweek(), whose week origin differs between the engines. One
+    conditional aggregate pass, dims broadcast, exact-integer share."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    weekend = (F.weekday("o_orderdate") + 1) >= 6
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(weekend, cents).otherwise(0))
+            .cast("long")
+            .alias("weekend_cents"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+        .withColumn(
+            "weekend_ppm",
+            F.expr(
+                "CAST((CAST(weekend_cents AS DECIMAL(38,0)) * 1000000)"
+                " DIV total_cents AS BIGINT)"
+            ),
+        )
+        .orderBy("n_name")
+    )
