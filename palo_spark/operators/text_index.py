@@ -145,18 +145,80 @@ def source_version(path: str) -> str:
 
 
 def _index_meta(spark, path: str) -> dict:
-    row = spark.read.parquet(path + "/_palo_index_meta").head()
-    return {"buckets": row["buckets"], "text_col": row["text_col"], "id_col": row["id_col"]}
+    """Index parameters from the meta file — read driver-side with
+    pyarrow (a one-row file; a Spark job here would add a fixed
+    ~0.2-0.4 s of scheduling per MATCH query for nothing)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path + "/_palo_index_meta").to_pylist()[0]
+    return {"buckets": t["buckets"], "text_col": t["text_col"], "id_col": t["id_col"]}
+
+
+# XXH64 constants (Collet's xxHash, public domain spec) — Spark's
+# ``xxhash64`` is XXH64 over the UTF-8 bytes with seed 42.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    """Pure-Python XXH64 of a string's UTF-8 bytes, bit-identical to
+    Spark's ``F.xxhash64(string_col)`` (seed 42) — pinned by
+    ``tests/test_plans.py::test_python_xxhash64_matches_spark``. Lets
+    the MATCH planner bucket query tokens driver-side instead of
+    launching a Spark job per query. Returns the SIGNED 64-bit value
+    Spark reports."""
+    data = s.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl((v1 + int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8:i + 16], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16:i + 24], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24:i + 32], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl(h ^ k, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64), 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _XP5) & _M64), 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= 1 << 63 else h
 
 
 def _query_buckets(spark, tokens: list[str], buckets: int) -> list[int]:
-    """Bucket ids of the query tokens — computed with the SAME xxhash64
-    the writer used (one k-row driver-side job; k = |query tokens|)."""
-    df = spark.createDataFrame([(t,) for t in tokens], "token string")
-    rows = df.select(
-        F.pmod(F.xxhash64("token"), F.lit(buckets)).alias("b")
-    ).collect()
-    return sorted({r["b"] for r in rows})
+    """Bucket ids of the query tokens — the SAME ``pmod(xxhash64(t),
+    buckets)`` the writer used, computed driver-side (pure-Python
+    XXH64; k = |query tokens| values, no Spark job)."""
+    return sorted({xxhash64_str(t) % buckets for t in tokens})
 
 
 def _matching_ids(spark, index_path: str, query: str, mode: str):

@@ -656,3 +656,47 @@ def test_global_ranking_with_payload_column(spark):
     assert sorted((r["t"], r["count"]) for r in tiles) == [
         (i, n // 10) for i in range(1, 11)
     ]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The MATCH planner buckets query tokens driver-side with a pure-
+    Python XXH64 (operators/text_index.py::xxhash64_str). A divergence
+    from Spark's xxhash64 would silently probe the WRONG posting
+    buckets — missed postings, wrong results — so the two hashes are
+    pinned bit-equal across lengths (incl. the ≥32-byte lane path),
+    unicode, and the empty string."""
+    import random
+    import string
+
+    from palo_spark.operators.text_index import xxhash64_str
+
+    rng = random.Random(20260814)
+    samples = ["", "a", "merge", "the", "0" * 31, "x" * 32, "y" * 33,
+               "z" * 100, "héllo wörld", "日本語テキスト"]
+    samples += ["".join(rng.choices(string.printable, k=rng.randint(0, 120)))
+                for _ in range(120)]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    for r in df.select("t", F.xxhash64("t").alias("h")).collect():
+        assert xxhash64_str(r["t"]) == r["h"], r["t"][:30]
+
+
+def test_global_cumsum_exact_with_payload(spark):
+    """global_cumsum (the global_row_number shape with per-partition
+    SUMs): running total must equal the sequential prefix sum in key
+    order, including with a payload column riding along (the same
+    branch-divergence trap the payload test above pins for ranking)."""
+    from palo_spark.operators.ranking import global_cumsum
+
+    n = 5_000
+    df = spark.range(n).select(
+        (n - 1 - F.col("id")).alias("k"),
+        (F.col("id") % 7 + 1).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    rows = global_cumsum(df, ["k"], "v", out="c").collect()
+    vals = {r["k"]: r["v"] for r in rows}
+    got = {r["k"]: r["c"] for r in rows}
+    acc = 0
+    for k in sorted(vals):
+        acc += vals[k]
+        assert got[k] == acc, (k, got[k], acc)
