@@ -36,6 +36,7 @@ __all__ = [
     "training_order",
     "sample_token_budget",
     "temperature_mix",
+    "dsir_select",
     "MINSTD_MOD",
 ]
 
@@ -532,4 +533,77 @@ def temperature_mix(
         df.join(F.broadcast(frac), source_col)
         .filter(_hash_u(id_col, seed, mode) < F.col("__f"))
         .drop("__f")
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 256,
+    top_n: int = 100,
+) -> DataFrame:
+    """DSIR-shaped data selection (Data Selection via Importance
+    Resampling — Xie et al. 2023, arXiv:2302.03169): rank raw-corpus
+    documents by how much their hashed n-gram profile resembles a small
+    target domain, keep the top ``top_n``.
+
+    DSIR's importance weight is a log-likelihood ratio over hashed
+    n-gram features. Logs are transcendental — libm rounding differs
+    across engines — so this implementation uses the RATIONAL form that
+    preserves the same ranking signal with exact integer arithmetic:
+
+    - bucket every word n-gram with the portable 60-bit md5 hash
+      (``dedup.md5_token_hash`` pattern) mod ``buckets``;
+    - per bucket ``b``: ``ratio_ppm(b) = (target_count(b) · 10⁶)
+      div raw_count(b)`` — floor division of exact BIGINTs (every
+      scored gram's bucket occurs in the raw counts by construction,
+      so the divisor is ≥ 1);
+    - doc score = Σ ``ratio_ppm(bucket(g))`` over the doc's grams
+      (with multiplicity); top ``top_n`` by (score desc, id).
+
+    Shape at 100 TB: two gram-explode aggregations reduce to
+    ``buckets`` rows each (map-side combined); the ratio table
+    broadcasts; scoring is one keyed sum per doc; the cut is a bounded
+    TopN heap. No window over raw rows, no driver data collect.
+    """
+    from palo_spark.operators.dedup import md5_token_hash
+    from palo_spark.operators.text import _word_ngrams
+
+    def gram_buckets(df):
+        g = F.explode(_word_ngrams(text_col, n)).alias("__g")
+        return df.select(F.col(id_col).alias("__id"), g).select(
+            "__id", F.pmod(md5_token_hash(F.col("__g")), F.lit(buckets)).alias("__b")
+        )
+
+    raw_b = gram_buckets(corpus)
+    raw_counts = raw_b.groupBy("__b").agg(F.count("*").alias("__rc"))
+    tgt_counts = (
+        gram_buckets(target).groupBy("__b").agg(F.count("*").alias("__tc"))
+    )
+    ratios = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .select(
+            "__b",
+            F.expr(
+                "CAST((CAST(coalesce(__tc, 0) AS DECIMAL(38,0)) * 1000000)"
+                " DIV __rc AS BIGINT)"
+            ).alias("__ppm"),
+        )
+    )
+    scores = (
+        raw_b.join(F.broadcast(ratios), "__b")
+        .groupBy("__id")
+        .agg(F.sum("__ppm").cast("long").alias("dsir_score"))
+    )
+    return (
+        corpus.join(
+            scores.withColumnRenamed("__id", id_col), id_col
+        )
+        .select(id_col, "dsir_score")
+        .orderBy(F.desc("dsir_score"), id_col)
+        .limit(top_n)
     )

@@ -119,7 +119,8 @@ _PRIORITY = [
 # tpcds_consecutive_active_months, tpcds_weekday_weekend_mix
 # (plus similarity_search_ivf, whose oracle changed from invariant to
 # full-value in r7 and which has no driver-green row under the new
-# oracle)
+# oracle, and the late-r7 additions sample_dsir_importance and
+# embedding_kmeans_clusters)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

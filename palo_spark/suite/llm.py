@@ -573,6 +573,53 @@ def similarity_search_ivf(spark, sf_dir):
 
 
 @q(
+    "embedding_kmeans_clusters",
+    f"""
+    WITH cent0 AS (
+        SELECT vec_id AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    {_o_ivf_assign('cent0', 0)},
+    {_o_ivf_update('cent0', 0)},
+    {_o_ivf_assign('cent1', 1)},
+    {_o_ivf_update('cent1', 1)},
+    {_o_ivf_assign('cent2', 2)}
+    SELECT CAST(a.cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           c.cv[1] AS centroid_x0
+    FROM a2 a JOIN cent2 c ON c.cell = a.cell
+    GROUP BY a.cell, c.cv[1]
+    ORDER BY a.cell
+    """,
+)
+def embedding_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means clustering as a USER-FACING operator (the
+    cluster-based curation shape behind SemDeDup / cluster-balanced
+    sampling): `train_centroids_exact` (8 cells, 2 Lloyd rounds, every
+    float op pinned) + quantized argmax assignment; output is cluster
+    sizes plus the trained centroid's first coordinate — a direct probe
+    that DuckDB's replayed Lloyd iterations produced the SAME centroids
+    bit-for-bit, not just the same memberships. Training is two scans +
+    two k×d-bounded aggregates; assignment is one scan, zero
+    shuffles beyond the size count."""
+    from palo_spark.operators import ivf_assign, train_centroids_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids_exact(e, 8, iterations=2)
+    sizes = (
+        e.select(ivf_assign("embedding", cents, quantized=True).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+    c0 = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cents)], "cell int, centroid_x0 double"
+    )
+    return sizes.join(F.broadcast(c0), "cell").select(
+        "cell", "n_vectors", "centroid_x0"
+    ).orderBy("cell")
+
+
+@q(
     "dedup_embedding_cosine",
     f"""
     WITH all_vecs AS (

@@ -316,3 +316,72 @@ def sample_temperature_mix(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+_O_MD5_60 = (
+    "CAST(list_sum(list_transform(generate_series(1, 15), "
+    "i -> (strpos('0123456789abcdef', substr(md5({g}), i, 1)) - 1)::BIGINT "
+    "<< (4 * (15 - i)))) AS BIGINT)"
+)
+
+
+@q(
+    "sample_dsir_importance",
+    r"""
+    WITH raw AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    tgt AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE lang = 'en' AND doc_id < 100
+    ),
+    rg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        FROM raw
+    ),
+    tg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        FROM tgt
+    ),
+    rb AS (SELECT doc_id, __MD5G__ % 256 AS b FROM rg),
+    tb AS (SELECT __MD5G__ % 256 AS b FROM tg),
+    rc AS (SELECT b, COUNT(*) AS rcnt FROM rb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS tcnt FROM tb GROUP BY b),
+    ratios AS (
+        SELECT rc.b,
+               CAST((CAST(COALESCE(tc.tcnt, 0) AS HUGEINT) * 1000000)
+                    // rc.rcnt AS BIGINT) AS ppm
+        FROM rc LEFT JOIN tc ON tc.b = rc.b
+    ),
+    scores AS (
+        SELECT rb.doc_id, CAST(SUM(r.ppm) AS BIGINT) AS dsir_score
+        FROM rb JOIN ratios r ON r.b = rb.b
+        GROUP BY rb.doc_id
+    )
+    SELECT doc_id, dsir_score FROM scores
+    ORDER BY dsir_score DESC, doc_id LIMIT 100
+    """.replace("__MD5G__", _O_MD5_60.format(g="g")),
+)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR-shaped importance selection (`sampling.dsir_select`, Xie et
+    al. 2023 arXiv:2302.03169): raw docs ranked by hashed-bigram
+    affinity to an English target slice, top-100 kept. The importance
+    weight uses the exact-integer rational form — per hashed bucket,
+    ``(target_count·10⁶) div raw_count`` with the portable 60-bit md5
+    gram hash — so bucketing, ratios, per-doc scores, and the final cut
+    all replay in DuckDB value-for-value (logs would differ in libm
+    rounding; floor-rational ranks identically). Two bucket-bounded
+    aggregations + one broadcast join + a bounded TopN — no raw-row
+    window anywhere."""
+    from palo_spark.operators.sampling import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.filter((F.col("lang") == "en") & (F.col("doc_id") < 100))
+    return dsir_select(d, tgt, n=2, buckets=256, top_n=100)
