@@ -119,8 +119,12 @@ _PRIORITY = [
 # tpcds_consecutive_active_months, tpcds_weekday_weekend_mix
 # (plus similarity_search_ivf, whose oracle changed from invariant to
 # full-value in r7 and which has no driver-green row under the new
-# oracle, and the late-r7 additions sample_dsir_importance and
-# embedding_kmeans_clusters)
+# oracle, the late-r7 additions sample_dsir_importance and
+# embedding_kmeans_clusters, and wave 7: tpcds_volume_band_customers,
+# tpcds_part_quantity_outliers, tpcds_nation_channel_growth_pairs,
+# tpcds_weekday_halfyear_matrix, tpcds_best_brand_per_nation,
+# tpcds_sized_parts_supplier_window, tpcds_above_avg_nations,
+# tpcds_post_promo_window_revenue, tpcds_monthly_dip_detection)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -2379,3 +2379,525 @@ def tpcds_weekday_weekend_mix(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+# ------------------------------------------------------------ wave 7
+# Statistical / growth-comparison shapes: q34/q73 volume bands, q17
+# exact 2-sigma outliers (integer cross-multiplication, no sqrt), q31
+# channel growth pairs, q59 weekday matrix, q65 best brand per nation,
+# q37/q82 sized-part supplier windows, q6 above-average nations, q54
+# post-promo revenue window, q47 rolling-dip detection.
+
+
+@q(
+    "tpcds_volume_band_customers",
+    """
+    WITH per_order AS (
+        SELECT o_orderkey, o_custkey, COUNT(*) AS n_lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_custkey
+    ),
+    banded AS (
+        SELECT o_custkey,
+               CASE WHEN n_lines >= 6 THEN 'bulk'
+                    WHEN n_lines >= 3 THEN 'mid' ELSE 'small' END AS band
+        FROM per_order
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def tpcds_volume_band_customers(spark, sf_dir):
+    """TPC-DS q34/q73 (customers buying in volume): per-order line
+    counts banded small/mid/bulk, then order and distinct-customer
+    counts per band. One fact join + keyed count; the band histogram is
+    3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    band = (
+        F.when(F.col("n_lines") >= 6, "bulk")
+        .when(F.col("n_lines") >= 3, "mid")
+        .otherwise("small")
+    )
+    return (
+        per_order.select("o_custkey", band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("band")
+    )
+
+
+@q(
+    "tpcds_part_quantity_outliers",
+    """
+    WITH q AS (
+        SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    stats AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qty) AS BIGINT) AS s,
+               CAST(SUM(qty * qty) AS BIGINT) AS sq
+        FROM q GROUP BY p_brand
+    )
+    SELECT q.p_brand,
+           CAST(COUNT(*) FILTER (WHERE
+                (CAST(q.qty AS HUGEINT) * st.n - st.s)
+                * (CAST(q.qty AS HUGEINT) * st.n - st.s)
+                > 4 * (CAST(st.sq AS HUGEINT) * st.n - CAST(st.s AS HUGEINT) * st.s))
+                AS BIGINT) AS n_outliers,
+           CAST(MIN(st.n) AS BIGINT) AS n_lines
+    FROM q JOIN stats st ON st.p_brand = q.p_brand
+    GROUP BY q.p_brand
+    ORDER BY q.p_brand
+    """,
+)
+def tpcds_part_quantity_outliers(spark, sf_dir):
+    """TPC-DS q17 shape (quantity outliers vs the part's own
+    distribution), EXACT: |x − μ| > 2σ rewritten with integer
+    cross-multiplication — (n·x − S)² > 4·(n·Q − S²) where S=Σx, Q=Σx²
+    are exact BIGINT sums — so no mean, variance, or sqrt is ever
+    materialized in floating point. One stats aggregate per brand
+    broadcast back over the fact; per-brand outlier counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q_ = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_brand", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    stats = q_.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("sq"),
+    )
+    d = F.col("qty").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var4 = 4 * (
+        F.col("sq").cast("decimal(38,0)") * F.col("n")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return (
+        q_.join(F.broadcast(stats), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.when(d * d > var4, True)).cast("long").alias("n_outliers"),
+            F.min("n").cast("long").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "tpcds_nation_channel_growth_pairs",
+    """
+    WITH yearly AS (
+        SELECT n_name,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'express' ELSE 'standard' END AS channel,
+               CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (1995, 1996)
+        GROUP BY 1, 2, 3
+    ),
+    wide AS (
+        SELECT n_name, channel,
+               SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS c95,
+               SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS c96
+        FROM yearly GROUP BY 1, 2
+    ),
+    pair AS (
+        SELECT e.n_name,
+               e.c95 AS e95, e.c96 AS e96, s.c95 AS s95, s.c96 AS s96
+        FROM wide e JOIN wide s
+          ON e.n_name = s.n_name AND e.channel = 'express'
+         AND s.channel = 'standard'
+        WHERE e.c95 > 0 AND s.c95 > 0
+    )
+    SELECT n_name,
+           CAST(e95 AS BIGINT) AS e95, CAST(e96 AS BIGINT) AS e96,
+           CAST(s95 AS BIGINT) AS s95, CAST(s96 AS BIGINT) AS s96
+    FROM pair
+    WHERE CAST(e96 AS HUGEINT) * s95 > CAST(s96 AS HUGEINT) * e95
+    ORDER BY n_name
+    """,
+)
+def tpcds_nation_channel_growth_pairs(spark, sf_dir):
+    """TPC-DS q31 shape (web growth outpacing store growth per county):
+    nations where the express channel's 1995→1996 revenue growth RATIO
+    exceeds the standard channel's — compared exactly as
+    e96·s95 > s96·e95 (integer cross-multiplication, no division).
+    One fact aggregate, a 2-row-per-nation self-join on the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate").cast("int")
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+    ).otherwise("standard")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    wide = (
+        o.filter(yr.isin(1995, 1996))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", channel.alias("channel"))
+        .agg(
+            F.sum(F.when(yr == 1995, cents).otherwise(0)).alias("c95"),
+            F.sum(F.when(yr == 1996, cents).otherwise(0)).alias("c96"),
+        )
+    )
+    e = wide.filter(F.col("channel") == "express").select(
+        "n_name", F.col("c95").alias("e95"), F.col("c96").alias("e96")
+    )
+    s = wide.filter(F.col("channel") == "standard").select(
+        "n_name", F.col("c95").alias("s95"), F.col("c96").alias("s96")
+    )
+    pair = e.join(s, "n_name").filter((F.col("e95") > 0) & (F.col("s95") > 0))
+    growth_cmp = (
+        F.col("e96").cast("decimal(38,0)") * F.col("s95")
+        > F.col("s96").cast("decimal(38,0)") * F.col("e95")
+    )
+    return (
+        pair.filter(growth_cmp)
+        .select(
+            "n_name",
+            F.col("e95").cast("long").alias("e95"),
+            F.col("e96").cast("long").alias("e96"),
+            F.col("s95").cast("long").alias("s95"),
+            F.col("s96").cast("long").alias("s96"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_weekday_halfyear_matrix",
+    """
+    SELECT n_name, CAST(isodow(o_orderdate) AS INT) AS dow,
+           CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%m') AS INT) <= 6
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS h1_cents,
+           CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%m') AS INT) > 6
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS h2_cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_weekday_halfyear_matrix(spark, sf_dir):
+    """TPC-DS q59 shape (week-over-week sales matrix by weekday): per
+    (nation, ISO weekday) first-half vs second-half 1995 spend, one
+    conditional-aggregate pass. ISO weekday pinned as Spark
+    weekday()+1 = DuckDB isodow (see tpcds_weekday_weekend_mix)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    h1 = F.month("o_orderdate") <= 6
+    return (
+        o.filter(F.year("o_orderdate") == 1995)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", (F.weekday("o_orderdate") + 1).cast("int").alias("dow"))
+        .agg(
+            F.sum(F.when(h1, cents).otherwise(0)).cast("long").alias("h1_cents"),
+            F.sum(F.when(~h1, cents).otherwise(0)).cast("long").alias("h2_cents"),
+        )
+        .orderBy("n_name", "dow")
+    )
+
+
+@q(
+    "tpcds_best_brand_per_nation",
+    f"""
+    WITH nb AS (
+        SELECT n_name, p_brand, CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, p_brand, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                    ORDER BY cents DESC, p_brand) AS rn
+        FROM nb
+    ) WHERE rn = 1
+    ORDER BY n_name
+    """,
+)
+def tpcds_best_brand_per_nation(spark, sf_dir):
+    """TPC-DS q65 shape (best-selling item per store): revenue per
+    (supplier nation, brand), then the top brand per nation via a keyed
+    window over the |nations|×|brands| aggregate (WindowGroupLimit
+    bounded heap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nb = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("cents"), "p_brand")
+    return (
+        nb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "p_brand", "cents")
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_sized_parts_supplier_window",
+    """
+    SELECT p_brand, CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts
+    FROM part p
+    WHERE p_size BETWEEN 10 AND 25
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          JOIN supplier s ON s_suppkey = l_suppkey
+          WHERE l.l_partkey = p.p_partkey
+            AND s.s_acctbal > 0
+            AND l.l_shipdate >= CAST('1995-03-01' AS TIMESTAMP)
+            AND l.l_shipdate <  CAST('1995-06-01' AS TIMESTAMP)
+      )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def tpcds_sized_parts_supplier_window(spark, sf_dir):
+    """TPC-DS q37/q82 shape (sized in-stock parts with activity in a
+    date window): size-banded parts having any positive-balance
+    supplier shipment inside a 3-month window — a left-semi join from
+    the (pre-filtered, broadcastable) part dim into the date-pruned
+    fact slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    window_li = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+        )
+        .join(s.filter(F.col("s_acctbal") > 0), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey")
+    )
+    return (
+        p.filter(F.col("p_size").between(10, 25))
+        .join(window_li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count_distinct("p_partkey").cast("long").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "tpcds_above_avg_nations",
+    """
+    WITH per_nation AS (
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    ),
+    tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS g_cents,
+               CAST(SUM(n_orders) AS BIGINT) AS g_orders
+        FROM per_nation
+    )
+    SELECT n_name, cents, n_orders, n_customers
+    FROM per_nation, tot
+    WHERE CAST(cents AS HUGEINT) * g_orders
+          > CAST(g_cents AS HUGEINT) * n_orders
+    ORDER BY n_name
+    """,
+)
+def tpcds_above_avg_nations(spark, sf_dir):
+    """TPC-DS q6 shape (states whose customers spend above average):
+    nations whose mean order value exceeds the global mean — compared
+    exactly as cents·g_orders > g_cents·n_orders (integer
+    cross-multiplication, no division; a fixed premium like q6's 1.2×
+    degenerates to an empty set as nation means converge with scale, so
+    the plain above-average cut keeps the entry discriminative at every
+    SF). One keyed aggregate + a one-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("cents").cast("long").alias("g_cents"),
+        F.sum("n_orders").cast("long").alias("g_orders"),
+    )
+    cond = (
+        F.col("cents").cast("decimal(38,0)") * F.col("g_orders")
+        > F.col("g_cents").cast("decimal(38,0)") * F.col("n_orders")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(tot))
+        .filter(cond)
+        .select("n_name", "cents", "n_orders", "n_customers")
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_post_promo_window_revenue",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(strftime(o_orderdate, '%Y') AS INT) * 12 +
+                   CAST(strftime(o_orderdate, '%m') AS INT)) AS promo_m
+        FROM orders o
+        JOIN lineitem l ON l_orderkey = o_orderkey
+        JOIN part p     ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY o_custkey
+    )
+    SELECT f.promo_m,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS follow_cents
+    FROM orders o
+    JOIN firsts f ON f.o_custkey = o.o_custkey
+    WHERE CAST(strftime(o.o_orderdate, '%Y') AS INT) * 12 +
+          CAST(strftime(o.o_orderdate, '%m') AS INT)
+          BETWEEN f.promo_m + 1 AND f.promo_m + 3
+    GROUP BY f.promo_m
+    ORDER BY f.promo_m
+    """,
+)
+def tpcds_post_promo_window_revenue(spark, sf_dir):
+    """TPC-DS q54 shape (revenue in the 3 months after a promo
+    purchase): each customer's FIRST promo-part month, then their spend
+    in months m+1..m+3, cohorted by promo month. Two fact passes joined
+    on the customer key — the month-window predicate rides the join,
+    no window function over raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
+    firsts = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p.filter(F.col("p_type") == "PROMO"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("o_custkey")
+        .agg(F.min(midx).alias("promo_m"))
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .filter(midx.between(F.col("promo_m") + 1, F.col("promo_m") + 3))
+        .groupBy("promo_m")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("follow_cents"),
+        )
+        .orderBy("promo_m")
+    )
+
+
+@q(
+    "tpcds_monthly_dip_detection",
+    """
+    WITH monthly AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT n_name, ym, cents,
+               CAST(SUM(cents) OVER (PARTITION BY n_name ORDER BY ym
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+                   AS sum3,
+               CAST(COUNT(*) OVER (PARTITION BY n_name ORDER BY ym
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+                   AS n3
+        FROM monthly
+    )
+    SELECT n_name, ym, cents, sum3
+    FROM ctx
+    WHERE n3 = 3 AND CAST(cents AS HUGEINT) * 3 * 10 < CAST(sum3 AS HUGEINT) * 9
+    ORDER BY n_name, ym
+    """,
+)
+def tpcds_monthly_dip_detection(spark, sf_dir):
+    """TPC-DS q47 shape (months deviating from their neighborhood):
+    nation-months whose revenue falls below 90% of the centered
+    3-month mean — exactly, as cents·3·10 < sum3·9 (the 0.9 threshold
+    is the rational 9/10; the mean is never divided out). Centered
+    window over the (nation, month) aggregate, interior months only."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w3 = Window.partitionBy("n_name").orderBy("ym").rowsBetween(-1, 1)
+    ctx = monthly.select(
+        "n_name",
+        "ym",
+        "cents",
+        F.sum("cents").over(w3).cast("long").alias("sum3"),
+        F.count("*").over(w3).cast("long").alias("n3"),
+    )
+    dip = (
+        F.col("cents").cast("decimal(38,0)") * 30
+        < F.col("sum3").cast("decimal(38,0)") * 9
+    )
+    return (
+        ctx.filter((F.col("n3") == 3) & dip)
+        .select("n_name", "ym", "cents", "sum3")
+        .orderBy("n_name", "ym")
+    )
