@@ -98,6 +98,8 @@ __all__ = [
     "variance_samp", "variance_pop", "covar_samp", "covar_pop", "corr",
     "median", "percentile", "percentile_approx", "approx_count_distinct",
     "ndv", "min_by", "max_by", "sum0", "group_concat", "topn_array",
+    # r7 batch: positional replace, MySQL-format zlib, random-id surface
+    "sub_replace", "compress", "uncompress", "uuid_numeric", "random_uniform",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -1758,3 +1760,100 @@ def topn_array(c, k: int) -> Column:
     )
     ranked = F.reverse(F.array_sort(counted))
     return F.transform(F.slice(ranked, 1, k), lambda s: s["v"])
+
+
+# ---------------------------------------------------------- r7 batch
+
+
+def sub_replace(s, new, start, length=None) -> Column:
+    """Doris ``SUB_REPLACE(str, new, start[, len])`` — overwrite ``len``
+    characters of ``str`` at 0-based ``start`` with ``new`` (``len``
+    defaults to ``length(new)``). Pure native concat/substring — stays
+    in whole-stage codegen. [upstream: docs/sql-functions/string-functions/sub_replace]"""
+    c, n = _c(s), _c(new) if not isinstance(new, str) else F.lit(new)
+    st = F.lit(start) if isinstance(start, int) else _c(start)
+    ln = F.length(n) if length is None else (
+        F.lit(length) if isinstance(length, int) else _c(length)
+    )
+    return F.concat(
+        c.substr(F.lit(1), st),
+        n,
+        c.substr(st + ln + 1, F.length(c)),
+    )
+
+
+def compress(s) -> Column:
+    """Doris/MySQL ``COMPRESS(str)``: 4-byte little-endian uncompressed
+    length + zlib deflate (empty string → empty binary, the MySQL
+    contract). Arrow-batched pandas UDF — compression is genuinely
+    per-row CPU work with no native Spark expression; the batch
+    transfer amortizes the Python boundary."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _comp(v: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
+            if not b:
+                return b""
+            return struct.pack("<I", len(b)) + zlib.compress(b)
+
+        return v.map(one)
+
+    return _comp(_c(s))
+
+
+def uncompress(b) -> Column:
+    """Doris/MySQL ``UNCOMPRESS(bin)`` — inverse of :func:`compress`;
+    malformed input → NULL (MySQL contract), empty binary → empty
+    string."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _uncomp(v: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = bytes(x)
+            if not b:
+                return ""
+            if len(b) < 5:
+                return None
+            try:
+                n = struct.unpack("<I", b[:4])[0]
+                out = zlib.decompress(b[4:])
+                return out.decode("utf-8") if len(out) == n else None
+            except Exception:
+                return None
+
+        return v.map(one)
+
+    return _uncomp(_c(b))
+
+
+def uuid_numeric() -> Column:
+    """Doris ``UUID_NUMERIC()`` — a random LARGEINT id. Nondeterministic
+    by contract (like ``uuid()``); composed from two 32-bit ``rand``
+    draws into a positive 64-bit value (the fixture-safe range —
+    SURVEY §1.4 documents the 128-bit deviation)."""
+    hi = F.floor(F.rand() * F.lit(2147483648))  # 31 high bits: stays positive
+    lo = F.floor(F.rand() * F.lit(4294967296))
+    return (hi * F.lit(4294967296) + lo).cast("long")
+
+
+def random_uniform(lo=0.0, hi=1.0) -> Column:
+    """Doris ``RANDOM()`` / ``RAND()`` surface with an explicit range.
+    Nondeterministic; for reproducible sampling use
+    ``operators.sampling`` (hash-based, partition-stable) instead —
+    this exists only for dialect parity."""
+    return F.lit(float(lo)) + F.rand() * (F.lit(float(hi)) - F.lit(float(lo)))

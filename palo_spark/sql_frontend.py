@@ -293,6 +293,20 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
     if name_lower == "money_format":
         return _raw(f"format_number({_text(inner)}, 2)")
 
+    if name_lower == "sub_replace":
+        # SUB_REPLACE(str, new, start[, len]) — overwrite at 0-based
+        # start; len defaults to length(new). Pure substring/concat
+        # composition, stays native.
+        args = _split_args(inner)
+        if len(args) not in (3, 4):
+            raise ValueError("sub_replace expects 3 or 4 arguments")
+        s, new, start = _text(args[0]), _text(args[1]), _text(args[2])
+        ln = _text(args[3]) if len(args) == 4 else f"LENGTH({new})"
+        return _raw(
+            f"CONCAT(SUBSTRING({s}, 1, {start}), {new}, "
+            f"SUBSTRING({s}, ({start}) + ({ln}) + 1))"
+        )
+
     if name_lower == "length":
         # Doris/MySQL length() counts BYTES; Spark's counts characters —
         # a silent-wrong-answer trap on multibyte text. octet_length is

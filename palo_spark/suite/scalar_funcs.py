@@ -760,3 +760,30 @@ def scalar_misc_batch5(spark, sf_dir):
         PF.is_ip_address_in_range("ip", "10.8.0.0/13").alias("ipr"),
         F.array_join(PF.array_repeat(F.col("n_name"), 2), ",").alias("arep"),
     )
+
+
+@q(
+    "scalar_sub_replace_compress",
+    """
+    SELECT doc_id,
+           substr(source, 1, 2) || 'XY' ||
+               substr(source, 2 + 3 + 1) AS sr,
+           text AS rt,
+           CAST(strlen(text) AS INT) AS n_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_sub_replace_compress(spark, sf_dir):
+    """r7 scalar batch: SUB_REPLACE (positional overwrite, pure native
+    concat/substr — whole-stage codegen) value-replayed in DuckDB as
+    the substr composition, and the MySQL COMPRESS/UNCOMPRESS pair
+    proven by round-trip identity — the oracle's `rt` is the original
+    text, which only matches if the 4-byte-length + zlib framing
+    decodes losslessly (byte length checked alongside)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        PF.sub_replace("source", "XY", 2, 3).alias("sr"),
+        PF.uncompress(PF.compress("text")).alias("rt"),
+        F.octet_length("text").cast("int").alias("n_bytes"),
+    )

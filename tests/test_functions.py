@@ -331,6 +331,63 @@ def test_running_difference(spark):
     assert {r["i"]: r["d"] for r in rows} == {1: 0.0, 2: 3.0}
 
 
+def test_scalar_r7_batch(spark):
+    """r7 scalar batch: sub_replace positional semantics (0-based
+    start, default len = length(new), edges at both ends),
+    compress/uncompress MySQL framing (4-byte LE length + zlib;
+    empty → empty, malformed → NULL), uuid_numeric positivity."""
+    from palo_spark.functions import (
+        compress,
+        sub_replace,
+        uncompress,
+        uuid_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world",), ("",), (None,)], "s string"
+    )
+    rows = df.select(
+        sub_replace("s", "XY", 2, 3).alias("mid"),
+        sub_replace("s", "Q", 0).alias("head"),
+        uncompress(compress("s")).alias("rt"),
+    ).collect()
+    assert [(r["mid"], r["head"], r["rt"]) for r in rows] == [
+        ("heXY world", "Qello world", "hello world"),
+        ("XY", "Q", ""),
+        (None, None, None),
+    ]
+    # framing: first 4 bytes are the little-endian uncompressed length
+    import struct
+
+    blob = (
+        spark.createDataFrame([("abcdef",)], "s string")
+        .select(compress("s").alias("b"))
+        .head()["b"]
+    )
+    assert struct.unpack("<I", bytes(blob[:4]))[0] == 6
+    # malformed input → NULL (MySQL contract)
+    bad = (
+        spark.createDataFrame([(bytearray(b"\x06\x00\x00\x00junk"),)], "b binary")
+        .select(uncompress("b").alias("u"))
+        .head()["u"]
+    )
+    assert bad is None
+    assert all(
+        r["u"] >= 0
+        for r in spark.range(50).select(uuid_numeric().alias("u")).collect()
+    )
+    # SQL-text route: Doris SUB_REPLACE through the frontend
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame([("hello world",)], "s string").createOrReplaceTempView(
+        "srv"
+    )
+    r = doris_sql(
+        spark, "SELECT sub_replace(s, 'XY', 2, 3) AS a FROM srv"
+    ).head()
+    assert r["a"] == "heXY world"
+
+
 def test_scalar_batch5_edges(spark):
     """Batch-5 edges not exercised by the oracle entry: ngram_search
     full/zero containment, CIDR /32 and /0, months_between fraction,
