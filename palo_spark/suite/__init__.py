@@ -124,7 +124,11 @@ _PRIORITY = [
 # tpcds_part_quantity_outliers, tpcds_nation_channel_growth_pairs,
 # tpcds_weekday_halfyear_matrix, tpcds_best_brand_per_nation,
 # tpcds_sized_parts_supplier_window, tpcds_above_avg_nations,
-# tpcds_post_promo_window_revenue, tpcds_monthly_dip_detection)
+# tpcds_post_promo_window_revenue, tpcds_monthly_dip_detection,
+# scalar_sub_replace_compress, and wave 8:
+# tpcds_cumulative_channel_crossover, tpcds_declining_brands_net,
+# tpcds_returned_value_pivot, tpcds_refund_reason_bands,
+# tpcds_unspecified_dim_report, tpcds_weekly_item_vs_year)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -2901,3 +2901,326 @@ def tpcds_monthly_dip_detection(spark, sf_dir):
         .select("n_name", "ym", "cents", "sum3")
         .orderBy("n_name", "ym")
     )
+
+
+# ------------------------------------------------------------ wave 8
+# Channel-crossover cumulative (q51), declining brands with returns
+# netted (q75), returned value before/after a pivot (q40), refund
+# reason bands (q85), unspecified-dimension report (q76), weekly item
+# sales vs year average (q2).
+
+
+@q(
+    "tpcds_cumulative_channel_crossover",
+    """
+    WITH monthly AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'express' ELSE 'standard' END AS channel,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT channel, ym,
+               CAST(SUM(cents) OVER (PARTITION BY channel ORDER BY ym)
+                    AS BIGINT) AS cum_cents
+        FROM monthly
+    ),
+    wide AS (
+        SELECT e.ym, e.cum_cents AS express_cum, s.cum_cents AS standard_cum
+        FROM cum e JOIN cum s ON e.ym = s.ym
+         AND e.channel = 'express' AND s.channel = 'standard'
+    )
+    SELECT ym, express_cum, standard_cum
+    FROM wide WHERE express_cum > standard_cum
+    ORDER BY ym
+    """,
+)
+def tpcds_cumulative_channel_crossover(spark, sf_dir):
+    """TPC-DS q51 shape (web/store cumulative crossover): per-channel
+    cumulative revenue by month, months where the express channel's
+    running total exceeds the standard channel's. The cumulative window
+    is PARTITIONED BY channel over month-grain rows — keyed and
+    calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+    ).otherwise("standard")
+    monthly = o.groupBy(
+        channel.alias("channel"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("channel").orderBy("ym")
+    cum = monthly.select(
+        "channel", "ym", F.sum("cents").over(w).cast("long").alias("cum_cents")
+    )
+    e = cum.filter(F.col("channel") == "express").select(
+        "ym", F.col("cum_cents").alias("express_cum")
+    )
+    s = cum.filter(F.col("channel") == "standard").select(
+        "ym", F.col("cum_cents").alias("standard_cum")
+    )
+    return (
+        e.join(s, "ym")
+        .filter(F.col("express_cum") > F.col("standard_cum"))
+        .orderBy("ym")
+    )
+
+
+@q(
+    "tpcds_declining_brands_net",
+    """
+    WITH net AS (
+        SELECT p_brand,
+               CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN -CAST(l_quantity AS BIGINT)
+                             ELSE CAST(l_quantity AS BIGINT) END)
+                    AS BIGINT) AS net_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) IN (1995, 1996)
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT a.p_brand, a.net_qty AS q95, b.net_qty AS q96
+        FROM net a JOIN net b
+          ON a.p_brand = b.p_brand AND a.yr = 1995 AND b.yr = 1996
+        WHERE a.net_qty > 0
+    )
+    SELECT p_brand, q95, q96
+    FROM wide WHERE q96 * 10 < q95 * 9
+    ORDER BY p_brand
+    """,
+)
+def tpcds_declining_brands_net(spark, sf_dir):
+    """TPC-DS q75 shape (declining brands with returns netted): net
+    quantity (sold − returned) per (brand, year); brands whose 1996 net
+    fell more than 10% below 1995 — exactly, as q96·10 < q95·9. One
+    fact aggregate + a 2-row self-join per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = F.year("l_shipdate").cast("int")
+    qty = F.col("l_quantity").cast("long")
+    net = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(yr.isin(1995, 1996))
+        .groupBy("p_brand", yr.alias("yr"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", -qty).otherwise(qty)
+            )
+            .cast("long")
+            .alias("net_qty")
+        )
+    )
+    a = net.filter((F.col("yr") == 1995) & (F.col("net_qty") > 0)).select(
+        "p_brand", F.col("net_qty").alias("q95")
+    )
+    b = net.filter(F.col("yr") == 1996).select(
+        "p_brand", F.col("net_qty").alias("q96")
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("q96") * 10 < F.col("q95") * 9)
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "tpcds_returned_value_pivot",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN l_shipdate < CAST('1996-01-01' AS TIMESTAMP)
+                THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS before_cents,
+           CAST(SUM(CASE WHEN l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+                THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS after_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_returned_value_pivot(spark, sf_dir):
+    """TPC-DS q40 shape (returned value before/after a pivot date):
+    returned-lineitem value per supplier nation split at 1996-01-01 —
+    one conditional-aggregate pass over the returns slice, dims
+    broadcast, filter pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    pivot = F.lit("1996-01-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, cents).otherwise(0))
+            .cast("long")
+            .alias("before_cents"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, cents).otherwise(0))
+            .cast("long")
+            .alias("after_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_refund_reason_bands",
+    """
+    SELECT o_orderpriority,
+           CASE WHEN l_discount >= 0.08 THEN 'deep'
+                WHEN l_discount >= 0.04 THEN 'mid' ELSE 'shallow' END
+               AS discount_band,
+           CAST(COUNT(*) AS BIGINT) AS n_returns,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS refund_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_refund_reason_bands(spark, sf_dir):
+    """TPC-DS q85 shape (refunds crossed by reason bands): returned
+    lineitems bucketed by (order priority × discount depth), counts and
+    refunded value. One conditional pass over the returns slice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("l_discount") >= 0.08, "deep")
+        .when(F.col("l_discount") >= 0.04, "mid")
+        .otherwise("shallow")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", band.alias("discount_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_returns"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("refund_cents"),
+        )
+        .orderBy("o_orderpriority", "discount_band")
+    )
+
+
+@q(
+    "tpcds_unspecified_dim_report",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                THEN 'unspecified' ELSE 'specified' END AS dim_state,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_unspecified_dim_report(spark, sf_dir):
+    """TPC-DS q76 shape (rows with an unspecified dimension value,
+    reported alongside the specified ones): orders whose priority is
+    the placeholder '4-NOT SPECIFIED' vs the rest, per year — the
+    data-quality report q76 runs over NULL channel keys. Single
+    aggregate pass."""
+    o = load_table(spark, sf_dir, "orders")
+    state = F.when(
+        F.col("o_orderpriority") == "4-NOT SPECIFIED", "unspecified"
+    ).otherwise("specified")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            state.alias("dim_state"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("yr", "dim_state")
+    )
+
+
+@q(
+    "tpcds_weekly_item_vs_year",
+    """
+    WITH weekly AS (
+        SELECT p_brand,
+               CAST(strftime(l_shipdate, '%V') AS INT) AS wk,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+          AND CAST(strftime(l_shipdate, '%m') AS INT) BETWEEN 2 AND 11
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT p_brand,
+               CAST(SUM(cents) AS BIGINT) AS y_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM weekly GROUP BY p_brand
+    )
+    SELECT w.p_brand,
+           CAST(COUNT(*) FILTER (WHERE
+                CAST(w.cents AS HUGEINT) * t.n_weeks * 2
+                > CAST(t.y_cents AS HUGEINT) * 3) AS BIGINT) AS hot_weeks,
+           CAST(MIN(t.n_weeks) AS BIGINT) AS n_weeks
+    FROM weekly w JOIN tot t ON t.p_brand = w.p_brand
+    GROUP BY w.p_brand
+    ORDER BY w.p_brand
+    """,
+)
+def tpcds_weekly_item_vs_year(spark, sf_dir):
+    """TPC-DS q2 shape (weekly sales vs the year's average): ISO-week
+    brand revenue (interior months only, so ISO week ≡ calendar year —
+    Spark weekofyear and DuckDB %V agree) flagged when a week runs over
+    1.5× the brand's weekly average — exactly, as
+    cents·n_weeks·2 > y_cents·3. Aggregate → one-row-per-brand
+    broadcast → count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.filter(
+            (F.year("l_shipdate") == 1995)
+            & F.month("l_shipdate").between(2, 11)
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", F.weekofyear("l_shipdate").cast("int").alias("wk"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = weekly.groupBy("p_brand").agg(
+        F.sum("cents").cast("long").alias("y_cents"),
+        F.count("*").cast("long").alias("n_weeks"),
+    )
+    hot = (
+        F.col("cents").cast("decimal(38,0)") * F.col("n_weeks") * 2
+        > F.col("y_cents").cast("decimal(38,0)") * 3
+    )
+    return (
+        weekly.join(F.broadcast(tot), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.when(hot, True)).cast("long").alias("hot_weeks"),
+            F.min("n_weeks").cast("long").alias("n_weeks"),
+        )
+        .orderBy("p_brand")
+    )
