@@ -99,36 +99,65 @@ _PRIORITY = [
     "tpcds_buy_return_rebuy",
 ]
 
-# r8 rotation TODO: the remaining 25 never-driver-green entries — put
-# these first next round (plus any new r7 additions after them):
-# text_bpe_apply, knn_label_propagation, embedding_outlier_topk,
-# events_asof_forward_tolerance, sql_session_mv_pipeline,
-# sql_join_hint_broadcast, sql_join_hint_shuffle,
-# sql_create_view_query, sql_match_predicates,
-# sql_lateral_explode_split, sql_lateral_explode_json_numbers,
-# sql_qualify_topn_per_group, sql_qualify_direct_window,
-# sql_inverted_index_query, sql_rollup_grouping_sets,
-# tpcds_case_heavy_agg, tpcds_exists_chain, tpcds_segment_topn,
-# tpcds_customer_set_ops, tpcds_revenue_share, tpcds_am_pm_ratio,
-# tpcds_frequent_buyers, tpcds_return_rate_bands,
-# tpcds_cumulative_channels, tpcds_cov_filter,
-# and the r7 wave-6 additions: tpcds_rolling_stockout,
-# tpcds_same_store_yoy_except, tpcds_cross_channel_migration,
-# tpcds_channel_margin_grouping_sets, tpcds_inventory_position,
-# tpcds_quarter_brand_share, tpcds_first_purchase_cohort,
-# tpcds_consecutive_active_months, tpcds_weekday_weekend_mix
-# (plus similarity_search_ivf, whose oracle changed from invariant to
-# full-value in r7 and which has no driver-green row under the new
-# oracle, the late-r7 additions sample_dsir_importance and
-# embedding_kmeans_clusters, and wave 7: tpcds_volume_band_customers,
-# tpcds_part_quantity_outliers, tpcds_nation_channel_growth_pairs,
-# tpcds_weekday_halfyear_matrix, tpcds_best_brand_per_nation,
-# tpcds_sized_parts_supplier_window, tpcds_above_avg_nations,
-# tpcds_post_promo_window_revenue, tpcds_monthly_dip_detection,
-# scalar_sub_replace_compress, and wave 8:
-# tpcds_cumulative_channel_crossover, tpcds_declining_brands_net,
-# tpcds_returned_value_pivot, tpcds_refund_reason_bands,
-# tpcds_unspecified_dim_report, tpcds_weekly_item_vs_year)
+# r8 rotation TODO — EXACT ordered backlog (after the r7 window goes
+# green): the 25 longest-waiting carry-overs, then every r7 addition
+# (similarity_search_ivf is ledger-green under its OLD invariant
+# oracle; re-scheduled because r7 replaced it with a full value
+# oracle). Put the first 50 of these in the r8 _PRIORITY; the
+# remainder (plus r8 additions) lead r9:
+#   text_bpe_apply
+#   knn_label_propagation
+#   embedding_outlier_topk
+#   events_asof_forward_tolerance
+#   sql_session_mv_pipeline
+#   sql_join_hint_broadcast
+#   sql_join_hint_shuffle
+#   sql_create_view_query
+#   sql_match_predicates
+#   sql_lateral_explode_split
+#   sql_lateral_explode_json_numbers
+#   sql_qualify_topn_per_group
+#   sql_qualify_direct_window
+#   sql_inverted_index_query
+#   sql_rollup_grouping_sets
+#   tpcds_case_heavy_agg
+#   tpcds_exists_chain
+#   tpcds_segment_topn
+#   tpcds_customer_set_ops
+#   tpcds_revenue_share
+#   tpcds_am_pm_ratio
+#   tpcds_frequent_buyers
+#   tpcds_return_rate_bands
+#   tpcds_cumulative_channels
+#   tpcds_cov_filter
+#   scalar_sub_replace_compress
+#   sample_dsir_importance
+#   embedding_kmeans_clusters
+#   similarity_search_ivf
+#   tpcds_rolling_stockout
+#   tpcds_same_store_yoy_except
+#   tpcds_cross_channel_migration
+#   tpcds_channel_margin_grouping_sets
+#   tpcds_inventory_position
+#   tpcds_quarter_brand_share
+#   tpcds_first_purchase_cohort
+#   tpcds_consecutive_active_months
+#   tpcds_weekday_weekend_mix
+#   tpcds_volume_band_customers
+#   tpcds_part_quantity_outliers
+#   tpcds_nation_channel_growth_pairs
+#   tpcds_weekday_halfyear_matrix
+#   tpcds_best_brand_per_nation
+#   tpcds_sized_parts_supplier_window
+#   tpcds_above_avg_nations
+#   tpcds_post_promo_window_revenue
+#   tpcds_monthly_dip_detection
+#   tpcds_cumulative_channel_crossover
+#   tpcds_declining_brands_net
+#   tpcds_returned_value_pivot
+#   tpcds_refund_reason_bands
+#   tpcds_unspecified_dim_report
+#   tpcds_weekly_item_vs_year
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
