@@ -271,15 +271,22 @@ def jdbc_roundtrip(spark, sf_dir):
     the JDBC scan; values must equal the parquet source. On a cluster
     the same two calls speak to MySQL/Postgres — only url/driver change;
     partitioned parallel reads via the standard partitionColumn options.
+
+    The Derby path is keyed by (sf_dir, pid): embedded Derby holds a
+    SINGLE-process lock on its database directory, so two concurrent
+    verification runs (pytest's embedded sweep + a standalone
+    check_parity) sharing one path would deadlock each other — a
+    harness artifact a per-process path removes entirely.
     """
     import hashlib
+    import os
 
     from palo_spark.sources import jdbc_scan, jdbc_sink
 
     url = (
         "jdbc:derby:/tmp/palo_spark_derby_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        + ";create=true"
+        + f"_{os.getpid()};create=true"
     )
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     jdbc_sink(
