@@ -74,12 +74,20 @@ def test_registry_wide_no_single_partition_sort_or_window(spark, sf_dir):
         bad = single_partition_sorts(plan)
         if bad:
             offenders[name] = len(bad)
+        # no-cartesian, registry-wide: a CartesianProduct node is the
+        # unbounded |A|×|B| pair materialization — never acceptable at
+        # scale (BroadcastNestedLoopJoin against a broadcast-bounded
+        # side is the legitimate cross-join shape and is NOT flagged).
+        # Zero entries plan one as of r7; this keeps it that way.
+        if "CartesianProduct" in plan:
+            offenders[name] = offenders.get(name, 0) + 1000
     assert not errors, f"plan build failed for: {errors}"
     assert not offenders, (
         f"single-partition Sort/Window (the global-window scale-killer) "
-        f"re-entered the registry: {offenders} — fix the plan or, if the "
-        f"window input is provably bounded by something other than row "
-        f"count, add an ALLOWLIST entry with the bound"
+        f"or CartesianProduct (counted +1000) re-entered the registry: "
+        f"{offenders} — fix the plan or, if the window input is provably "
+        f"bounded by something other than row count, add an ALLOWLIST "
+        f"entry with the bound"
     )
     # the sweep must actually cover the registry (guard against silent
     # collection failures making this vacuously green)
