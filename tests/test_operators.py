@@ -284,6 +284,27 @@ def test_ivf_assign_is_argmax_cosine(spark, sf_dir):
         assert int(row["cell"]) == int(np.argmax(sims))
 
 
+def test_ivf_assign_quantized_ties_to_higher_cell(spark):
+    """The quantized assignment's tie contract (ties → HIGHER cell =
+    array_max struct ordering) is what every Lloyd-replay oracle's
+    `ORDER BY score DESC, cell DESC` mirrors — pinned here against the
+    transform-based formulation so a future refactor can't silently
+    flip it. Duplicate centroids force exact score ties."""
+    from palo_spark.operators import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # cells 0 and 2 identical
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, [0.1, 2.0])], "vec_id int, v array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", ivf_assign("v", cents, quantized=True).alias("cell")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}  # tie between cells 0 and 2 → 2
+
+
 def test_dedup_embedding_cosine_removes_planted(spark, sf_dir):
     from palo_spark.operators import dedup_embedding_cosine
 
