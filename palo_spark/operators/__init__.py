@@ -82,6 +82,7 @@ from palo_spark.operators.text import (  # noqa: F401
     contamination_score,
     remove_boilerplate_lines,
     dedup_intra_doc_lines,
+    corpus_line_dedup,
     normalize_url,
     dedup_by_url,
     corpus_profile,

@@ -562,6 +562,63 @@ def dedup_intra_doc_lines(
     )
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-WIDE line dedup (the cross-document half of C4/RefinedWeb
+    line cleaning: a line already seen ANYWHERE in the corpus —
+    navigation chrome, cookie banners, license blocks — is boilerplate,
+    and only its globally-first occurrence survives). Complements
+    :func:`dedup_intra_doc_lines` (within-doc).
+
+    Shape: posexplode lines → ONE keyed shuffle on the line text to
+    find the global first occurrence (``min(struct(id, pos))`` — the
+    deterministic "earliest document, earliest position" rule) → join
+    back on the line keeps exactly those occurrences → per-doc
+    reassembly sorts survivors by position. At 100 TB the line-keyed
+    aggregate is the same two-phase hash-agg any GROUP BY is, and the
+    skewed ultra-common lines (empty strings, separators) are exactly
+    what AQE skew-split handles; no window ever touches raw rows.
+
+    Returns (id, n_lines, n_lines_kept, text_dedup); a document whose
+    every line appeared earlier keeps 0 lines and an empty text.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep), -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    firsts = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first")
+    )
+    kept = lines.join(firsts, "__line").filter(
+        (F.col("__first.__id") == F.col("__id"))
+        & (F.col("__first.__pos") == F.col("__pos"))
+    )
+    stats_all = lines.groupBy("__id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count("*").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            line_sep,
+        ).alias("text_dedup"),
+    )
+    return stats_all.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def normalize_url(col) -> "F.Column":
     """Canonicalize a URL for dedup: lowercase, strip scheme and
     ``www.``, drop query/fragment, strip trailing slash — the

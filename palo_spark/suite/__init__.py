@@ -158,6 +158,7 @@ _PRIORITY = [
 #   tpcds_refund_reason_bands
 #   tpcds_unspecified_dim_report
 #   tpcds_weekly_item_vs_year
+#   dedup_corpus_lines
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -3015,3 +3015,61 @@ def split_leakage_safe(spark, sf_dir):
         .select("split", "n_docs", "n_groups", "straddling_groups")
         .orderBy("split")
     )
+
+
+@q(
+    "dedup_corpus_lines",
+    r"""
+    WITH lined AS (
+        SELECT doc_id,
+               [array_to_string(string_split(text, ' ')[(i-1)*5+1:i*5], ' ')
+                for i in range(1, CAST(CEIL(len(string_split(text, ' ')) / 5.0)
+                                       AS INT) + 1)] AS lines
+        FROM documents WHERE doc_id < 400
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(lines))) - 1 AS pos,
+               unnest(lines) AS line
+        FROM lined
+    ),
+    kept AS (
+        SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY line
+                        ORDER BY doc_id, pos) AS rn
+            FROM ex
+        ) WHERE rn = 1
+    ),
+    stats AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines
+              FROM ex GROUP BY doc_id),
+    reb AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_lines,
+           CAST(COALESCE(r.n_lines_kept, 0) AS INT) AS n_lines_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM stats s LEFT JOIN reb r USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_corpus_lines(spark, sf_dir):
+    """CORPUS-WIDE line dedup (`operators.text.corpus_line_dedup` — the
+    cross-document half of C4/RefinedWeb line cleaning; the intra-doc
+    half is `text_intra_doc_line_dedup`): documents get a 5-token line
+    structure, a line seen anywhere earlier in the corpus (earliest
+    doc, earliest position — deterministic min-struct rule) is
+    boilerplate, survivors reassemble in position order. One keyed
+    shuffle on the line text, no raw-row windows; the oracle replays
+    line construction, global first-occurrence, and reassembly
+    value-for-value."""
+    from palo_spark.operators import corpus_line_dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n").alias("text"),
+    )
+    return corpus_line_dedup(lined).orderBy("doc_id")
