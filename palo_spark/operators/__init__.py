@@ -55,6 +55,7 @@ from palo_spark.operators.similarity import (  # noqa: F401
     similarity_topk_pq,
     rrf_fuse,
     knn_classify,
+    semantic_decontaminate,
 )
 from palo_spark.operators.ranking import (  # noqa: F401
     global_cumsum,

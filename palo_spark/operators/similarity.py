@@ -902,3 +902,52 @@ def knn_classify(
         ),
         F.max("votes").alias("votes"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    max_literal: int = 256,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop corpus rows whose
+    cosine to ANY eval/benchmark vector reaches ``threshold`` — the
+    semantic complement of the n-gram ``text.decontaminate`` (catches
+    paraphrased or reformatted eval leakage that shares no 8-gram).
+
+    The bench set is an eval benchmark — small by definition — so its
+    vectors ship as LITERALS (the centroid pattern): scoring is one
+    per-row fold over the broadcast-as-literal array, quantized cosine
+    (:func:`_qdot`, bit-stable cross-engine), ZERO shuffles — the
+    filter rides the scan at any corpus size. Benches beyond
+    ``max_literal`` vectors fail loud; use :func:`knn_join` (broadcast
+    join + keyed max) for that regime instead of silently building a
+    megabyte-scale plan."""
+    import math
+
+    rows = bench.select(vec_col).collect()
+    if len(rows) > max_literal:
+        raise ValueError(
+            f"semantic_decontaminate: bench has {len(rows)} vectors "
+            f"(> max_literal={max_literal}); use knn_join for large benches"
+        )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+
+    def _py_qd(u, w):
+        return sum(math.floor(float(x) * float(y) * 1e6) for x, y in zip(u, w))
+
+    bench2d = F.array(*[_vec_lit(b) for b in vecs])
+    bb = F.array(*[F.lit(float(_py_qd(b, b))) for b in vecs])
+    v = F.col(vec_col)
+    vv = _qdot(v, v).cast("double")
+    scores = F.transform(
+        bench2d,
+        lambda b, i: _qdot(v, b).cast("double")
+        / F.sqrt(vv * F.element_at(bb, i + 1)),
+    )
+    return corpus.filter(
+        F.array_max(scores) < F.lit(float(threshold))
+    )

@@ -159,6 +159,7 @@ _PRIORITY = [
 #   tpcds_unspecified_dim_report
 #   tpcds_weekly_item_vs_year
 #   dedup_corpus_lines
+#   dedup_semantic_decontaminate
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

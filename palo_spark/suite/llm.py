@@ -3073,3 +3073,55 @@ def dedup_corpus_lines(spark, sf_dir):
         F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n").alias("text"),
     )
     return corpus_line_dedup(lined).orderBy("doc_id")
+
+
+@q(
+    "dedup_semantic_decontaminate",
+    f"""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2.0)
+        FROM bench WHERE vec_id % 3 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.vec_id
+        FROM corpus c JOIN bench b
+          ON {_o_qcos('c.embedding', 'b.embedding')} >= 0.99
+    )
+    SELECT vec_id FROM corpus
+    WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (`similarity.semantic_decontaminate`): corpus rows whose quantized
+    cosine to ANY of the 20 bench vectors reaches 0.99 are dropped —
+    the semantic complement of the n-gram `text_decontaminate` (catches
+    paraphrased eval leakage sharing no 8-gram). Planted 2×-scaled
+    bench copies (cosine ≈ 1 with their originals) must all vanish.
+    The bench ships as literals, so scoring is ONE per-row fold with
+    ZERO shuffles — the filter rides the corpus scan at any size; the
+    oracle replays the quantized cosine against the same bench rows."""
+    from palo_spark.operators import semantic_decontaminate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 20)
+    planted = bench.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = (
+        e.filter(F.col("vec_id") >= 20)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    return (
+        semantic_decontaminate(corpus, bench, threshold=0.99)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
