@@ -100,6 +100,7 @@ __all__ = [
     "ndv", "min_by", "max_by", "sum0", "group_concat", "topn_array",
     # r7 batch: positional replace, MySQL-format zlib, random-id surface
     "sub_replace", "compress", "uncompress", "uuid_numeric", "random_uniform",
+    "register_sql_udfs",
     # shims
     "mysql_pattern_to_spark",
 ]
@@ -1857,3 +1858,53 @@ def random_uniform(lo=0.0, hi=1.0) -> Column:
     ``operators.sampling`` (hash-based, partition-stable) instead —
     this exists only for dialect parity."""
     return F.lit(float(lo)) + F.rand() * (F.lit(float(hi)) - F.lit(float(lo)))
+
+
+def register_sql_udfs(spark) -> None:
+    """Register the (few) pandas-UDF-backed dialect functions under
+    their Doris names for SQL-TEXT use — ``COMPRESS``/``UNCOMPRESS``
+    have no native Spark expression, so the SQL surface needs a
+    session-registered UDF where every other stdlib name is a token
+    rewrite. Idempotent; called by ``PaloSession.__init__``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _compress_udf(v: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
+            if not b:
+                return b""
+            return struct.pack("<I", len(b)) + zlib.compress(b)
+
+        return v.map(one)
+
+    @pandas_udf("string")
+    def _uncompress_udf(v: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = bytes(x)
+            if not b:
+                return ""
+            if len(b) < 5:
+                return None
+            try:
+                n = struct.unpack("<I", b[:4])[0]
+                out = zlib.decompress(b[4:])
+                return out.decode("utf-8") if len(out) == n else None
+            except Exception:
+                return None
+
+        return v.map(one)
+
+    spark.udf.register("compress", _compress_udf)
+    spark.udf.register("uncompress", _uncompress_udf)

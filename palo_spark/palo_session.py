@@ -354,6 +354,11 @@ class PaloSession:
                  rollups=None, result_cache: bool = False,
                  cache_row_limit: int = 3000, cache_entries: int = 128) -> None:
         self.spark = spark
+        from palo_spark.functions import register_sql_udfs
+
+        # COMPRESS/UNCOMPRESS need session UDFs for SQL-text use (every
+        # other stdlib name is a token rewrite); idempotent per session
+        register_sql_udfs(spark)
         self.location_root = location_root
         self.rollups = rollups  # optional RollupCatalog
         self.tables: dict[str, Table] = {}

@@ -670,3 +670,23 @@ def test_recreated_table_never_serves_stale_index(spark, tmp_path):
     s2.sql("CREATE INDEX lx_body ON lx (body) USING INVERTED")
     hits = s2.sql("SELECT id FROM lx WHERE body MATCH_ANY 'alpha'").collect()
     assert [r["id"] for r in hits] == [8]  # stale index would say 1
+
+
+def test_compress_uncompress_through_sql_text(spark):
+    """COMPRESS/UNCOMPRESS are the only stdlib names needing session
+    UDFs (no native Spark expression); PaloSession registers them at
+    construction so the Doris SQL spelling works — round-trip identity
+    incl. multibyte text, NULL pass-through, and composition with the
+    sub_replace token rewrite in one statement."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark)
+    spark.createDataFrame(
+        [("hello wörld",), (None,)], "s string"
+    ).createOrReplaceTempView("cz")
+    rows = ps.sql(
+        "SELECT uncompress(compress(s)) AS rt, "
+        "sub_replace(s, 'XX', 1, 2) AS sr FROM cz"
+    ).collect()
+    got = sorted(((r["rt"], r["sr"]) for r in rows), key=lambda t: (t[0] is None, t))
+    assert got == [("hello wörld", "hXXlo wörld"), (None, None)]
