@@ -336,26 +336,37 @@ def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False
         # the same exact integer), so the oracle replays this formula
         # bit-for-bit.
         #
-        # The k per-centroid scores are ONE transform over a 2-D
-        # centroid-literal array, not k separate fold expressions:
-        # higher-order functions evaluate interpreted either way, so
-        # the unrolled form bought no codegen — it only multiplied the
-        # analyzed plan k-fold (measured ~2× entry latency at k=8,
-        # dim=64 from planning alone). Element arithmetic and the
-        # array_max tie-break (ties → higher cell) are unchanged.
+        # Vectorized Arrow kernel, not an expression tree: Spark
+        # higher-order functions evaluate INTERPRETED (~1 µs per lambda
+        # call), so a k=8 × d=64 quantized argmax costs ~0.5 k lambda
+        # evals per ROW — the numpy kernel does the identical exact
+        # arithmetic (float32→float64 exact widening, left-associated
+        # (v·c)·10⁶ products, np.floor = FLOOR toward −∞, int64 sums,
+        # one correctly-rounded division by the sqrt literal) at
+        # ~1 ns/element, and ties break to the HIGHER cell via
+        # last-argmax — bit-equal to the array_max form (pinned by
+        # test_ivf_assign_quantized_ties_to_higher_cell and the 3-SF
+        # oracle parity of all three consumers).
         def _py_qd(u, w):
             return sum(math.floor(float(x) * float(y) * 1e6) for x, y in zip(u, w))
 
-        cents2d = F.array(*[_vec_lit(c) for c in centroids])
-        norms = F.array(*[F.lit(math.sqrt(_py_qd(c, c))) for c in centroids])
-        scored = F.transform(
-            cents2d,
-            lambda c, i: F.struct(
-                (_qdot(v, c).cast("double") / F.element_at(norms, i + 1)).alias("s"),
-                i.cast("int").alias("cell"),
-            ),
-        )
-        return F.array_max(scored)["cell"]
+        C = np.array(centroids, dtype=np.float64)  # (k, d)
+        sqrt_cc = [math.sqrt(_py_qd(c, c)) for c in centroids]
+
+        @F.pandas_udf("int")
+        def _assign(vs: pd.Series) -> pd.Series:
+            V = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in vs]
+            )  # (n, d); float32 parquet values widen exactly
+            S = np.empty((V.shape[0], len(C)), dtype=np.float64)
+            for j in range(len(C)):
+                q = np.floor((V * C[j]) * 1e6).astype(np.int64).sum(axis=1)
+                S[:, j] = q.astype(np.float64) / sqrt_cc[j]
+            # last-argmax == ties to the higher cell (array_max order)
+            best = S.shape[1] - 1 - np.argmax(S[:, ::-1], axis=1)
+            return pd.Series(best.astype("int32"))
+
+        return _assign(v)
     vn = _norm(v)
     scores = [
         _dot(v, _vec_lit(c)) / (vn * F.lit(float(np.linalg.norm(c))))
