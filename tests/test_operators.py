@@ -936,3 +936,55 @@ def test_split_by_group_no_straddle_and_inheritance(spark):
         df.repartition(13), "grp", "rid", {"train": 0.5, "test": 0.5}, seed=3
     ).collect()}
     assert a == b
+
+
+def test_corpus_line_dedup_edges(spark):
+    """Corpus-wide line dedup edges: a doc whose EVERY line appeared
+    earlier keeps 0 lines and empty text; an intra-doc duplicate keeps
+    only its first position; the earliest (doc, pos) always wins."""
+    from palo_spark.operators import corpus_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),   # intra-doc dup of "alpha"
+            (2, "beta\nalpha"),          # fully boilerplate vs doc 1
+            (3, "gamma\nbeta"),          # one fresh line
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_lines"], r["n_lines_kept"], r["text_dedup"])
+        for r in corpus_line_dedup(df).collect()
+    }
+    assert rows[1] == (3, 2, "alpha\nbeta")
+    assert rows[2] == (2, 0, "")
+    assert rows[3] == (2, 1, "gamma")
+
+
+def test_semantic_decontaminate_guard_and_planted(spark):
+    """semantic_decontaminate: planted scaled copies of bench vectors
+    vanish, unrelated vectors survive, and a bench larger than
+    max_literal fails loud instead of building a megabyte plan."""
+    import pytest as _pytest
+
+    from palo_spark.operators import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),   # scaled bench copy -> dropped
+            (11, [0.0, 0.0, 5.0]),   # orthogonal -> kept
+            (12, [0.0, 3.0, 0.01]),  # near-copy of bench 1 -> dropped
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_decontaminate(corpus, bench, threshold=0.99).collect()
+    }
+    assert kept == {11}
+    with _pytest.raises(ValueError, match="max_literal"):
+        semantic_decontaminate(corpus, bench, threshold=0.99, max_literal=1)
