@@ -1783,63 +1783,73 @@ def sub_replace(s, new, start, length=None) -> Column:
     )
 
 
-def compress(s) -> Column:
-    """Doris/MySQL ``COMPRESS(str)``: 4-byte little-endian uncompressed
-    length + zlib deflate (empty string → empty binary, the MySQL
-    contract). Arrow-batched pandas UDF — compression is genuinely
-    per-row CPU work with no native Spark expression; the batch
-    transfer amortizes the Python boundary."""
+def _compress_one(x):
+    """Row kernel for ``COMPRESS`` — the SINGLE copy shared by the
+    Column API and the SQL-registered UDF (ADVICE r7: duplicated
+    kernels can silently drift if the MySQL framing is fixed in only
+    one). MySQL contract: 4-byte little-endian uncompressed length +
+    zlib deflate; empty string → empty binary."""
+    import struct
+    import zlib
+
+    if x is None:
+        return None
+    b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
+    if not b:
+        return b""
+    return struct.pack("<I", len(b)) + zlib.compress(b)
+
+
+def _uncompress_one(x):
+    """Row kernel for ``UNCOMPRESS`` — inverse of :func:`_compress_one`;
+    malformed input → NULL, empty binary → empty string (MySQL)."""
+    import struct
+    import zlib
+
+    if x is None:
+        return None
+    b = bytes(x)
+    if not b:
+        return ""
+    if len(b) < 5:
+        return None
+    try:
+        n = struct.unpack("<I", b[:4])[0]
+        out = zlib.decompress(b[4:])
+        return out.decode("utf-8") if len(out) == n else None
+    except Exception:
+        return None
+
+
+def _compress_pandas_udfs():
+    """Build the Arrow-batched pandas UDF pair over the shared row
+    kernels — compression is genuinely per-row CPU work with no native
+    Spark expression; the batch transfer amortizes the Python
+    boundary."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def _comp(v: pd.Series) -> pd.Series:
-        import struct
-        import zlib
+        return v.map(_compress_one)
 
-        def one(x):
-            if x is None:
-                return None
-            b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
-            if not b:
-                return b""
-            return struct.pack("<I", len(b)) + zlib.compress(b)
+    @pandas_udf("string")
+    def _uncomp(v: pd.Series) -> pd.Series:
+        return v.map(_uncompress_one)
 
-        return v.map(one)
+    return _comp, _uncomp
 
-    return _comp(_c(s))
+
+def compress(s) -> Column:
+    """Doris/MySQL ``COMPRESS(str)`` — see :func:`_compress_one` for
+    the framing contract."""
+    return _compress_pandas_udfs()[0](_c(s))
 
 
 def uncompress(b) -> Column:
     """Doris/MySQL ``UNCOMPRESS(bin)`` — inverse of :func:`compress`;
-    malformed input → NULL (MySQL contract), empty binary → empty
-    string."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _uncomp(v: pd.Series) -> pd.Series:
-        import struct
-        import zlib
-
-        def one(x):
-            if x is None:
-                return None
-            b = bytes(x)
-            if not b:
-                return ""
-            if len(b) < 5:
-                return None
-            try:
-                n = struct.unpack("<I", b[:4])[0]
-                out = zlib.decompress(b[4:])
-                return out.decode("utf-8") if len(out) == n else None
-            except Exception:
-                return None
-
-        return v.map(one)
-
-    return _uncomp(_c(b))
+    see :func:`_uncompress_one` for the NULL/empty contract."""
+    return _compress_pandas_udfs()[1](_c(b))
 
 
 def uuid_numeric() -> Column:
@@ -1865,46 +1875,13 @@ def register_sql_udfs(spark) -> None:
     their Doris names for SQL-TEXT use — ``COMPRESS``/``UNCOMPRESS``
     have no native Spark expression, so the SQL surface needs a
     session-registered UDF where every other stdlib name is a token
-    rewrite. Idempotent; called by ``PaloSession.__init__``."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def _compress_udf(v: pd.Series) -> pd.Series:
-        import struct
-        import zlib
-
-        def one(x):
-            if x is None:
-                return None
-            b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
-            if not b:
-                return b""
-            return struct.pack("<I", len(b)) + zlib.compress(b)
-
-        return v.map(one)
-
-    @pandas_udf("string")
-    def _uncompress_udf(v: pd.Series) -> pd.Series:
-        import struct
-        import zlib
-
-        def one(x):
-            if x is None:
-                return None
-            b = bytes(x)
-            if not b:
-                return ""
-            if len(b) < 5:
-                return None
-            try:
-                n = struct.unpack("<I", b[:4])[0]
-                out = zlib.decompress(b[4:])
-                return out.decode("utf-8") if len(out) == n else None
-            except Exception:
-                return None
-
-        return v.map(one)
-
-    spark.udf.register("compress", _compress_udf)
-    spark.udf.register("uncompress", _uncompress_udf)
+    rewrite. Idempotent — skips names the session has already bound, so
+    a user's own ``compress``/``uncompress`` registration survives a
+    later ``PaloSession`` attach (ADVICE r7). The UDFs wrap the same
+    module-level row kernels the Column API uses, so the two surfaces
+    cannot drift. Called by ``PaloSession.__init__``."""
+    comp_udf, uncomp_udf = _compress_pandas_udfs()
+    if not spark.catalog.functionExists("compress"):
+        spark.udf.register("compress", comp_udf)
+    if not spark.catalog.functionExists("uncompress"):
+        spark.udf.register("uncompress", uncomp_udf)

@@ -15,9 +15,9 @@ a scalar count to materialize):
 
 1. ``repartitionByRange(P, keys)`` — ONE range shuffle; partition p
    holds a contiguous key range, so global order = (partition order,
-   in-partition order). The ranged frame is persisted and counted so
-   every downstream branch reads the SAME physical partitioning (see
-   ``_ranged_with_offsets``).
+   in-partition order). The ranged frame is eagerly local-checkpointed
+   so every downstream branch reads the SAME physical partitioning and
+   the blocks free with the result frame (see ``_ranged_with_offsets``).
 2. per-partition counts (tiny: P rows) → per-partition global offset
    via a broadcast theta-join of the count frame with itself
    (P² ≤ 32² pairs — metadata-scale, no window, no collect).
@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 _PID, _CNT, _OFF, _RN, _N = "__gr_pid", "__gr_cnt", "__gr_off", "__gr_rn", "__gr_n"
 
@@ -46,10 +45,10 @@ def _ranged_with_offsets(
     """Range-shuffle ``df`` on the order keys and attach each row's
     partition-start global offset plus the total row count.
 
-    The ranged frame is materialized (persist + count) BEFORE the plan
-    branches. This is load-bearing for correctness, not a cache hint:
-    without it, Catalyst column-prunes the counts branch down to the
-    range keys, so its range Exchange is a *different plan instance*
+    The ranged frame is materialized (eager localCheckpoint) BEFORE the
+    plan branches. This is load-bearing for correctness, not a cache
+    hint: without it, Catalyst column-prunes the counts branch down to
+    the range keys, so its range Exchange is a *different plan instance*
     from the main branch's — each samples RangePartitioner boundaries
     independently, and the ``__gr_pid`` ↔ count mapping can disagree
     with the partition assignment the main branch actually used
@@ -57,15 +56,22 @@ def _ranged_with_offsets(
     any payload column outside ``order_cols``; pinned by
     tests/test_plans.py::test_global_ranking_with_payload_column).
     Pinning one physical frame makes the pid assignment a fact of the
-    data rather than of the plan. MEMORY_AND_DISK, one materialization
-    of the input — the same price ``zipWithIndex`` pays for exact
-    global indices, and still no single-partition stage anywhere."""
+    data rather than of the plan.
+
+    localCheckpoint over persist+count (ADVICE r7: persisted frames
+    were never unpersisted, accumulating in the CacheManager for the
+    session lifetime): the eager checkpoint materializes identically
+    (MEMORY_AND_DISK, spills, one pass) but TRUNCATES lineage, so the
+    pid column can never be recomputed under different boundaries, and
+    the blocks are reference-counted — Spark's ContextCleaner frees
+    them when the caller drops the result DataFrame, instead of
+    requiring an explicit unpersist nobody can safely time."""
     keys = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    ranged.count()  # materialize: bakes pid into the cached rows
+    # eager: bakes pid into the checkpointed rows before the plan forks
+    ranged = ranged.localCheckpoint(eager=True)
     counts = ranged.groupBy(_PID).agg(F.count("*").alias(_CNT))
     a, b = counts.alias("a"), counts.alias("b")
     offsets = (
@@ -115,8 +121,9 @@ def global_cumsum(
     ranged = df.repartitionByRange(num_partitions, *keys).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    ranged.count()  # materialize: see _ranged_with_offsets
+    # eager localCheckpoint: see _ranged_with_offsets (pins pid, no
+    # CacheManager residue — blocks GC-clean with the result frame)
+    ranged = ranged.localCheckpoint(eager=True)
     sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias(_CNT))
     a, b = sums.alias("a"), sums.alias("b")
     offsets = (

@@ -351,20 +351,47 @@ def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False
             return sum(math.floor(float(x) * float(y) * 1e6) for x, y in zip(u, w))
 
         C = np.array(centroids, dtype=np.float64)  # (k, d)
+        d = C.shape[1]
         sqrt_cc = [math.sqrt(_py_qd(c, c)) for c in centroids]
+        # a zero-norm centroid would divide every row's score by 0 →
+        # inf/NaN silently skewing the argmax (ADVICE r7); the
+        # expression path would NULL out — fail loud instead, the
+        # centroid list is a training bug
+        for j, s in enumerate(sqrt_cc):
+            if s == 0.0:
+                raise ValueError(
+                    f"ivf_assign: centroid {j} has qdot(c,c)==0 "
+                    "(zero vector after quantization) — scores would be "
+                    "inf/NaN; retrain or drop the empty cell"
+                )
 
         @F.pandas_udf("int")
         def _assign(vs: pd.Series) -> pd.Series:
-            V = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in vs]
-            )  # (n, d); float32 parquet values widen exactly
-            S = np.empty((V.shape[0], len(C)), dtype=np.float64)
-            for j in range(len(C)):
-                q = np.floor((V * C[j]) * 1e6).astype(np.int64).sum(axis=1)
-                S[:, j] = q.astype(np.float64) / sqrt_cc[j]
-            # last-argmax == ties to the higher cell (array_max order)
-            best = S.shape[1] - 1 - np.argmax(S[:, ::-1], axis=1)
-            return pd.Series(best.astype("int32"))
+            # NULL / wrong-dimension rows → NULL cell, matching the
+            # expression path (aggregate over a NULL array is NULL →
+            # array_max struct NULL); a ragged row must not crash
+            # np.stack for the whole batch (ADVICE r7)
+            arrs = [
+                None
+                if x is None
+                else np.asarray(x, dtype=np.float64)  # float32 widens exactly
+                for x in vs
+            ]
+            ok = np.array(
+                [a is not None and a.shape == (d,) for a in arrs], dtype=bool
+            )
+            out = np.full(len(arrs), -1, dtype=np.int64)
+            if ok.any():
+                V = np.stack([a for a, k in zip(arrs, ok) if k])  # (m, d)
+                S = np.empty((V.shape[0], len(C)), dtype=np.float64)
+                for j in range(len(C)):
+                    q = np.floor((V * C[j]) * 1e6).astype(np.int64).sum(axis=1)
+                    S[:, j] = q.astype(np.float64) / sqrt_cc[j]
+                # last-argmax == ties to the higher cell (array_max order)
+                out[ok] = S.shape[1] - 1 - np.argmax(S[:, ::-1], axis=1)
+            res = pd.Series(out).astype("Int32")
+            res[~ok] = None
+            return res
 
         return _assign(v)
     vn = _norm(v)

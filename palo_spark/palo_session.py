@@ -525,16 +525,56 @@ class PaloSession:
 
     @staticmethod
     def _split_statements(text: str) -> list[str]:
-        """Split on TOP-LEVEL ``;`` only (quotes and parentheses
-        respected); drops empty statements."""
-        stmts, cur, depth, quote = [], [], 0, None
-        for ch in text:
+        """Split on TOP-LEVEL ``;`` only. Respected (never split
+        inside): ``'...'``/``"..."``/backtick literals with both
+        backslash-escaped and doubled-quote escapes (MySQL string
+        rules), ``(...)`` nesting, ``-- `` line comments (MySQL
+        requires whitespace/EOL after the dashes, so ``a--b``
+        arithmetic still splits normally), ``#`` line comments, and
+        ``/* ... */`` block comments. Comment text is preserved in the
+        statement it belongs to (Spark parses it fine); statements that
+        are ONLY comments/whitespace are dropped."""
+        stmts: list[str] = []
+        cur: list[str] = []
+        depth, quote = 0, None
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
             if quote:
                 cur.append(ch)
+                if ch == "\\" and quote != "`" and i + 1 < n:
+                    # backslash escape (\' \" \\) — consume escaped char
+                    cur.append(text[i + 1])
+                    i += 2
+                    continue
                 if ch == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        # doubled-quote escape ('' "" ``) stays inside
+                        cur.append(text[i + 1])
+                        i += 2
+                        continue
                     quote = None
+                i += 1
                 continue
-            if ch in "'\"":
+            if text.startswith("--", i) and (i + 2 >= n or text[i + 2] in " \t\n\r"):
+                j = text.find("\n", i)
+                j = n if j == -1 else j
+                cur.append(text[i:j])
+                i = j
+                continue
+            if ch == "#":
+                j = text.find("\n", i)
+                j = n if j == -1 else j
+                cur.append(text[i:j])
+                i = j
+                continue
+            if text.startswith("/*", i):
+                j = text.find("*/", i + 2)
+                j = n if j == -1 else j + 2
+                cur.append(text[i:j])
+                i = j
+                continue
+            if ch in "'\"`":
                 quote = ch
             elif ch == "(":
                 depth += 1
@@ -543,10 +583,48 @@ class PaloSession:
             elif ch == ";" and depth == 0:
                 stmts.append("".join(cur))
                 cur = []
+                i += 1
                 continue
             cur.append(ch)
+            i += 1
         stmts.append("".join(cur))
-        return [s for s in stmts if s.strip()]
+        return [s for s in stmts if PaloSession._strip_comments(s).strip()]
+
+    @staticmethod
+    def _strip_comments(s: str) -> str:
+        """Remove SQL comments (for the is-this-statement-empty check
+        only — executed text keeps its comments)."""
+        out: list[str] = []
+        i, n, quote = 0, len(s), None
+        while i < n:
+            ch = s[i]
+            if quote:
+                out.append(ch)
+                if ch == "\\" and quote != "`" and i + 1 < n:
+                    out.append(s[i + 1])
+                    i += 2
+                    continue
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if s.startswith("--", i) and (i + 2 >= n or s[i + 2] in " \t\n\r"):
+                j = s.find("\n", i)
+                i = n if j == -1 else j
+                continue
+            if ch == "#":
+                j = s.find("\n", i)
+                i = n if j == -1 else j
+                continue
+            if s.startswith("/*", i):
+                j = s.find("*/", i + 2)
+                i = n if j == -1 else j + 2
+                continue
+            if ch in "'\"`":
+                quote = ch
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     def script(self, text: str) -> list:
         """Run a semicolon-separated Doris SQL script (the mysql-client

@@ -171,3 +171,68 @@ def dialect_largeint_decimal(spark, sf_dir):
         .cast("string")
         .alias("beyond_i64"),
     )
+
+
+@q(
+    "dialect_largeint_overflow",
+    """
+    SELECT n_nationkey,
+           CAST(n_nationkey + 30 AS INT) AS n_digits,
+           CAST(TRY_CAST(repeat('9', n_nationkey + 30) AS DECIMAL(38,0))
+                AS VARCHAR) AS pos_fit,
+           CAST(TRY_CAST('-' || repeat('9', n_nationkey + 30) AS DECIMAL(38,0))
+                AS VARCHAR) AS neg_fit,
+           CASE WHEN n_nationkey >= 1 THEN NULL
+                ELSE CAST(CAST(repeat('9', 38) AS DECIMAL(38,0)) AS VARCHAR)
+           END AS max_plus_key,
+           CAST(TRY_CAST('170141183460469231731687303715884105727'
+                         AS DECIMAL(38,0)) AS VARCHAR) AS int128_max
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def dialect_largeint_overflow(spark, sf_dir):
+    """SURVEY §1.4's LARGEINT deviation, machine-checked at the exact
+    boundary (VERDICT r7 advice #7): our LARGEINT is DECIMAL(38,0), so
+    the representable range ends at 10³⁸−1 — BELOW Doris's int128 max
+    2¹²⁷−1 (a 39-digit value). Pinned behaviors, identical rows from
+    both engines:
+
+    - ``pos_fit``/``neg_fit``: repeat('9', 30..54)-digit strings cast
+      with TRY_CAST — the value for ≤38 digits, NULL above (both engines'
+      TRY_CAST contract, same grid).
+    - ``max_plus_key``: (10³⁸−1) + n_nationkey — our engine returns
+      NULL on decimal overflow (``spark.sql.ansi.enabled=false``, the
+      MySQL posture); DuckDB would raise, so the oracle states the
+      SAME boundary explicitly with CASE — the comparison pins that
+      our overflow-NULL starts exactly at key=1.
+    - ``int128_max``: Doris's true LARGEINT max → NULL here, the
+      documented deviation made visible as data.
+
+    Per-row codegen arithmetic; no shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    digits = (F.col("n_nationkey") + 30).cast("int")
+    nines = F.repeat(F.lit("9"), digits)
+    max38 = F.lit("9" * 38).cast("decimal(38,0)")
+    return (
+        n.select(
+            "n_nationkey",
+            digits.alias("n_digits"),
+            F.expr(
+                "CAST(TRY_CAST(repeat('9', n_nationkey + 30)"
+                " AS DECIMAL(38,0)) AS STRING)"
+            ).alias("pos_fit"),
+            F.expr(
+                "CAST(TRY_CAST('-' || repeat('9', n_nationkey + 30)"
+                " AS DECIMAL(38,0)) AS STRING)"
+            ).alias("neg_fit"),
+            (max38 + F.col("n_nationkey").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("max_plus_key"),
+            F.expr(
+                "CAST(TRY_CAST('170141183460469231731687303715884105727'"
+                " AS DECIMAL(38,0)) AS STRING)"
+            ).alias("int128_max"),
+        )
+        .orderBy("n_nationkey")
+    )

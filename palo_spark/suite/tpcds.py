@@ -3224,3 +3224,541 @@ def tpcds_weekly_item_vs_year(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------- wave 9
+# VERDICT r7 advice #4: the multi-year store-comparison shapes the star
+# fixtures can still express — q11/q4 cross-channel lifetime preference,
+# q35/q69 demographic EXISTS batteries, q89 rolling category deviation,
+# plus q54/q65/q66/q49/q59. All integer-exact (cents, cross-multiplied
+# thresholds, decimal-DIV ppm ratios) per the suite's exactness patterns.
+
+
+@q(
+    "tpcds_lifetime_channel_preference",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                              AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+                             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS e95,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                              AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+                             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS e96,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) NOT IN ('1','2')
+                              AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+                             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s95,
+               CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) NOT IN ('1','2')
+                              AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+                             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s96
+        FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (1995, 1996)
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, e95, e96, s95, s96
+    FROM per
+    WHERE e95 > 0 AND e96 > 0 AND s95 > 0 AND s96 > 0
+      AND CAST(e96 AS HUGEINT) * s95 > CAST(s96 AS HUGEINT) * e95
+    ORDER BY o_custkey
+    """,
+)
+def tpcds_lifetime_channel_preference(spark, sf_dir):
+    """TPC-DS q11/q4 shape (customers whose year-over-year growth in one
+    channel outpaces the other): express channel = priority 1-2 orders,
+    standard = the rest; per-customer 1995/1996 spend in each, keep
+    customers active in all four cells whose express growth ratio beats
+    standard — EXACTLY, via integer cross-multiplication
+    e96·s95 > s96·e95 (no float division anywhere). ONE conditional
+    aggregate pass over the two-year orders slice; the year filter
+    pushes to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("int")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    express = F.substring("o_orderpriority", 1, 1).isin("1", "2")
+
+    def cell(ch, y):
+        return (
+            F.sum(F.when(ch & (yr == y), cents).otherwise(0))
+            .cast("long")
+        )
+
+    per = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            cell(express, 1995).alias("e95"),
+            cell(express, 1996).alias("e96"),
+            cell(~express, 1995).alias("s95"),
+            cell(~express, 1996).alias("s96"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    return (
+        per.filter(
+            (F.col("e95") > 0) & (F.col("e96") > 0)
+            & (F.col("s95") > 0) & (F.col("s96") > 0)
+            & (dec("e96") * dec("s95") > dec("s96") * dec("e95"))
+        )
+        .select("o_custkey", "e95", "e96", "s95", "s96")
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "tpcds_demographic_exists_battery",
+    """
+    SELECT n_name,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_bal_cents,
+           CAST(MAX(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_bal_cents,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c_custkey
+              AND CAST(strftime(o.o_orderdate, '%Y') AS INT) = 1995)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c_custkey
+              AND CAST(strftime(o.o_orderdate, '%Y') AS INT) = 1995
+              AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey = c_custkey
+              AND CAST(strftime(o.o_orderdate, '%Y') AS INT) = 1995
+              AND l.l_returnflag = 'R')
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_demographic_exists_battery(spark, sf_dir):
+    """TPC-DS q35/q69 shape (demographic report over an EXISTS / NOT
+    EXISTS battery): customers who ordered in 1995 (EXISTS), never
+    urgently (NOT EXISTS), and had nothing returned that year (NOT
+    EXISTS through the order→lineitem chain), profiled per
+    (nation × account-balance band) with count/min/max/sum over exact
+    balance cents. Plan: one semi-join + two anti-joins on c_custkey
+    (each ONE keyed shuffle; Spark plans them as broadcast at dim size)
+    feeding a single aggregate — the Doris q35 posture."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o95 = o.filter(F.year("o_orderdate") == 1995)
+    urgent = o95.filter(F.col("o_orderpriority") == "1-URGENT")
+    returned = o95.join(
+        li.filter(F.col("l_returnflag") == "R"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    base = (
+        c.join(o95.select("o_custkey"), c.c_custkey == o95.o_custkey, "left_semi")
+        .join(
+            urgent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(
+            returned.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    bal_cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    return (
+        base.groupBy("n_name", band.alias("bal_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min(bal_cents).cast("long").alias("min_bal_cents"),
+            F.max(bal_cents).cast("long").alias("max_bal_cents"),
+            F.sum(bal_cents).cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("n_name", "bal_band")
+    )
+
+
+@q(
+    "tpcds_rolling_category_deviation",
+    """
+    WITH monthly AS (
+        SELECT p_type, p_brand, strftime(l_shipdate, '%Y-%m') AS ym,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1, 2, 3
+    ),
+    win AS (
+        SELECT p_type, p_brand, ym, cents,
+               CAST(COUNT(*) OVER (PARTITION BY p_type, p_brand) AS BIGINT)
+                   AS n_months,
+               CAST(SUM(cents) OVER (PARTITION BY p_type, p_brand) AS BIGINT)
+                   AS tot_cents
+        FROM monthly
+    )
+    SELECT p_type, p_brand, ym, cents, n_months, tot_cents
+    FROM win
+    WHERE ABS(CAST(cents AS HUGEINT) * n_months - tot_cents) * 10
+          > CAST(tot_cents AS HUGEINT)
+    ORDER BY p_type, p_brand, ym
+    """,
+)
+def tpcds_rolling_category_deviation(spark, sf_dir):
+    """TPC-DS q89 shape (months deviating from the category-brand
+    average): monthly (type, brand) revenue in 1995, flag months whose
+    sales sit more than 10% off the brand's monthly average — EXACTLY,
+    as |cents·n − tot|·10 > tot (integer cross-multiplication, no
+    float division). The window runs over the post-aggregate
+    |types × brands × 12| frame — metadata-sized, keyed on
+    (type, brand), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_type", "p_brand",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("p_type", "p_brand")
+    win = monthly.select(
+        "p_type", "p_brand", "ym", "cents",
+        F.count("*").over(w).cast("long").alias("n_months"),
+        F.sum("cents").over(w).cast("long").alias("tot_cents"),
+    )
+    dev = (
+        F.abs(
+            F.col("cents").cast("decimal(38,0)") * F.col("n_months")
+            - F.col("tot_cents")
+        )
+        * 10
+        > F.col("tot_cents").cast("decimal(38,0)")
+    )
+    return win.filter(dev).orderBy("p_type", "p_brand", "ym")
+
+
+@q(
+    "tpcds_cohort_next_quarter_spend",
+    """
+    WITH cohort AS (
+        SELECT DISTINCT o_custkey
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+          AND p_type = 'PROMO'
+    ),
+    spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_custkey IN (SELECT o_custkey FROM cohort)
+          AND o_orderdate >= CAST('1995-04-01' AS TIMESTAMP)
+          AND o_orderdate <  CAST('1995-07-01' AS TIMESTAMP)
+        GROUP BY o_custkey
+    )
+    SELECT CAST(cents // 500000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM spend GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpcds_cohort_next_quarter_spend(spark, sf_dir):
+    """TPC-DS q54 shape (cohort of category buyers, segmented by their
+    next-quarter spend): customers who bought a PROMO part in 1995-03;
+    their Q2-1995 order spend bucketed into $5,000 bands (integer
+    cents // 500000 — exact in both engines). Cohort = one distinct
+    semi-join key set; spend = one filtered aggregate; bands =
+    metadata-sized regroup. Customers with no Q2 orders drop out (INNER
+    cohort join), matching q54's 'revenue counted only for purchasers'
+    reading."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cohort = (
+        o.filter(F.date_format("o_orderdate", "yyyy-MM") == "1995-03")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p.filter(F.col("p_type") == "PROMO"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .select("o_custkey")
+        .distinct()
+    )
+    spend = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .join(cohort, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return (
+        spend.select(F.expr("CAST(cents DIV 500000 AS BIGINT)").alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+@q(
+    "tpcds_underperforming_brands",
+    """
+    WITH rev AS (
+        SELECT p_type, p_brand,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1, 2
+    ),
+    typ AS (
+        SELECT p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(SUM(cents) AS BIGINT) AS tot_cents
+        FROM rev GROUP BY p_type
+    )
+    SELECT r.p_type, r.p_brand, r.cents, t.n_brands, t.tot_cents
+    FROM rev r JOIN typ t ON t.p_type = r.p_type
+    WHERE CAST(r.cents AS HUGEINT) * t.n_brands * 20
+          < CAST(t.tot_cents AS HUGEINT) * 19
+    ORDER BY r.p_type, r.p_brand
+    """,
+)
+def tpcds_underperforming_brands(spark, sf_dir):
+    """TPC-DS q65 shape (items selling below a fraction of their
+    category's average): 1995 revenue per (type, brand); keep brands
+    under 95% of the type's average brand revenue — EXACTLY, as
+    cents·n·20 < tot·19. One fact aggregate, then a 6-row broadcast of
+    per-type totals; no window needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    typ = rev.groupBy("p_type").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("cents").cast("long").alias("tot_cents"),
+    )
+    under = (
+        F.col("cents").cast("decimal(38,0)") * F.col("n_brands") * 20
+        < F.col("tot_cents").cast("decimal(38,0)") * 19
+    )
+    return (
+        rev.join(F.broadcast(typ), "p_type")
+        .filter(under)
+        .select("p_type", "p_brand", "cents", "n_brands", "tot_cents")
+        .orderBy("p_type", "p_brand")
+    )
+
+
+@q(
+    "tpcds_monthly_ship_pivot",
+    """
+    SELECT n_name,
+    """
+    + ",\n".join(
+        f"""       CAST(SUM(CASE WHEN CAST(strftime(l_shipdate, '%m') AS INT) = {m}
+                THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS m{m:02d}_cents"""
+        for m in range(1, 13)
+    )
+    + """
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_monthly_ship_pivot(spark, sf_dir):
+    """TPC-DS q66 shape (12-month shipped-value pivot per warehouse →
+    here supplier nation): one conditional-aggregate pass produces the
+    wide monthly matrix — no PIVOT operator, no 12 self-joins; the year
+    filter pushes to the scan and the dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    aggs = [
+        F.sum(F.when(F.month("l_shipdate") == m, cents).otherwise(0))
+        .cast("long")
+        .alias(f"m{m:02d}_cents")
+        for m in range(1, 13)
+    ]
+    return (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(*aggs)
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_worst_return_ratio_topn",
+    """
+    WITH per AS (
+        SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                    THEN 'express' ELSE 'standard' END AS channel,
+               l_partkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS ret_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold_qty
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT channel, l_partkey, ret_qty, sold_qty,
+               CAST((CAST(ret_qty AS HUGEINT) * 1000000) // sold_qty AS BIGINT)
+                   AS ratio_ppm
+        FROM per WHERE ret_qty > 0
+    )
+    SELECT channel, l_partkey, ret_qty, sold_qty, ratio_ppm, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY channel
+                   ORDER BY ratio_ppm DESC, l_partkey) AS INT) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    ORDER BY channel, rn
+    """,
+)
+def tpcds_worst_return_ratio_topn(spark, sf_dir):
+    """TPC-DS q49 shape (worst return ratios per channel, top-n): per
+    (channel, part) returned vs sold quantity in 1995; the ratio is the
+    EXACT integer ppm (decimal DIV — never a float division), ranked
+    per channel with the unique part key as tiebreak, top 10 kept.
+    One fact aggregate + a bounded per-channel window (WindowGroupLimit
+    pushes the rank filter into the sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    channel = F.when(
+        F.substring("o_orderpriority", 1, 1).isin("1", "2"), "express"
+    ).otherwise("standard")
+    qty = F.col("l_quantity").cast("long")
+    per = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(channel.alias("channel"), "l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", qty).otherwise(0))
+            .cast("long")
+            .alias("ret_qty"),
+            F.sum(qty).cast("long").alias("sold_qty"),
+        )
+        .filter(F.col("ret_qty") > 0)
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "CAST((CAST(ret_qty AS DECIMAL(38,0)) * 1000000)"
+                " DIV sold_qty AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("channel").orderBy(
+        F.desc("ratio_ppm"), F.col("l_partkey")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("channel", "l_partkey", "ret_qty", "sold_qty", "ratio_ppm", "rn")
+        .orderBy("channel", "rn")
+    )
+
+
+@q(
+    "tpcds_weekly_sales_yoy_ratio",
+    """
+    WITH wk AS (
+        SELECT n_name, CAST(strftime(l_shipdate, '%V') AS INT) AS wk,
+               CAST(SUM(CASE WHEN CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+                             THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents95,
+               CAST(SUM(CASE WHEN CAST(strftime(l_shipdate, '%Y') AS INT) = 1996
+                             THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents96
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) IN (1995, 1996)
+          AND CAST(strftime(l_shipdate, '%m') AS INT) BETWEEN 2 AND 11
+        GROUP BY 1, 2
+    )
+    SELECT n_name, wk, cents95, cents96,
+           CAST((CAST(cents96 AS HUGEINT) * 1000000) // cents95 AS BIGINT)
+               AS yoy_ppm
+    FROM wk WHERE cents95 > 0
+    ORDER BY n_name, wk
+    """,
+)
+def tpcds_weekly_sales_yoy_ratio(spark, sf_dir):
+    """TPC-DS q59 shape (weekly sales this year vs last, per store →
+    supplier nation): ISO-week revenue 1995 vs 1996 (interior months
+    Feb–Nov only, where Spark weekofyear ≡ DuckDB %V — the ISO-year
+    edge weeks differ between engines), YoY ratio as EXACT integer ppm
+    via decimal DIV. One conditional aggregate over the two-year slice;
+    dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("l_shipdate").cast("int")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    wk = (
+        li.filter(yr.isin(1995, 1996) & F.month("l_shipdate").between(2, 11))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", F.weekofyear("l_shipdate").cast("int").alias("wk"))
+        .agg(
+            F.sum(F.when(yr == 1995, cents).otherwise(0))
+            .cast("long")
+            .alias("cents95"),
+            F.sum(F.when(yr == 1996, cents).otherwise(0))
+            .cast("long")
+            .alias("cents96"),
+        )
+    )
+    return (
+        wk.filter(F.col("cents95") > 0)
+        .withColumn(
+            "yoy_ppm",
+            F.expr(
+                "CAST((CAST(cents96 AS DECIMAL(38,0)) * 1000000)"
+                " DIV cents95 AS BIGINT)"
+            ),
+        )
+        .select("n_name", "wk", "cents95", "cents96", "yoy_ppm")
+        .orderBy("n_name", "wk")
+    )

@@ -305,6 +305,31 @@ def test_ivf_assign_quantized_ties_to_higher_cell(spark):
     assert got == {1: 2, 2: 1}  # tie between cells 0 and 2 → 2
 
 
+def test_ivf_assign_quantized_null_ragged_and_zero_centroid(spark):
+    """ADVICE r7: NULL / wrong-dimension embedding rows must yield a
+    NULL cell (the expression path's behavior) instead of crashing the
+    whole Arrow batch, and a zero-norm centroid must fail loud rather
+    than silently skewing the argmax with inf/NaN scores."""
+    import pytest
+
+    from palo_spark.operators import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, None), (3, [1.0, 2.0, 3.0]), (4, [0.1, 2.0])],
+        "vec_id int, v array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", ivf_assign("v", cents, quantized=True).alias("cell")
+        ).collect()
+    }
+    assert got == {1: 0, 2: None, 3: None, 4: 1}
+    with pytest.raises(ValueError, match="qdot"):
+        ivf_assign("v", [[1.0, 0.0], [0.0, 0.0]], quantized=True)
+
+
 def test_dedup_embedding_cosine_removes_planted(spark, sf_dir):
     from palo_spark.operators import dedup_embedding_cosine
 

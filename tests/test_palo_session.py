@@ -690,3 +690,39 @@ def test_compress_uncompress_through_sql_text(spark):
     ).collect()
     got = sorted(((r["rt"], r["sr"]) for r in rows), key=lambda t: (t[0] is None, t))
     assert got == [("hello wörld", "hXXlo wörld"), (None, None)]
+
+
+def test_split_statements_ignores_comments_and_escapes(ps):
+    """';' inside comments or escaped string literals must NOT split
+    (ADVICE r7 medium: sql() auto-splits every call, so a fragmented
+    single statement executes bogus pieces)."""
+    split = ps._split_statements
+    # ';' inside a -- line comment stays in one statement
+    assert split("SELECT 1 AS a -- note; not a split\nFROM range(1)") == [
+        "SELECT 1 AS a -- note; not a split\nFROM range(1)"
+    ]
+    # ';' inside /* */ block comment
+    assert split("SELECT /* a;b */ 1 AS a") == ["SELECT /* a;b */ 1 AS a"]
+    # ';' inside a # comment (MySQL dialect)
+    assert split("SELECT 1 AS a # t;t") == ["SELECT 1 AS a # t;t"]
+    # backslash-escaped quote then ';' still inside the literal
+    assert split(r"SELECT 'it\'s; fine' AS s") == [r"SELECT 'it\'s; fine' AS s"]
+    # doubled-quote escape
+    assert split("SELECT 'it''s; fine' AS s") == ["SELECT 'it''s; fine' AS s"]
+    # backtick identifiers may hold ';'
+    assert split("SELECT 1 AS `a;b`") == ["SELECT 1 AS `a;b`"]
+    # a--b is arithmetic (MySQL needs whitespace after --), splits fine
+    assert split("SELECT 1--1 AS a; SELECT 2 AS b") == [
+        "SELECT 1--1 AS a",
+        " SELECT 2 AS b",
+    ]
+    # trailing comment-only fragment is dropped, not executed
+    assert split("SELECT 1 AS a; -- done\n") == ["SELECT 1 AS a"]
+    assert split("SELECT 1 AS a; /* tail */") == ["SELECT 1 AS a"]
+
+
+def test_sql_single_statement_with_comment_semicolon(ps):
+    rows = ps.sql(
+        "SELECT 1 AS a -- comment; with semicolon\n UNION ALL SELECT 2"
+    ).collect()
+    assert sorted(r["a"] for r in rows) == [1, 2]
