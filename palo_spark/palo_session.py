@@ -321,6 +321,20 @@ _MATCH_PRED_RE = re.compile(
 
 _FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
 
+_CREATE_CATALOG_RE = re.compile(
+    r"CREATE\s+CATALOG\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
+    r"PROPERTIES\s*\(\s*(?P<props>.*?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CATALOG_RE = re.compile(
+    r"DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*$", re.IGNORECASE
+)
+_SHOW_CATALOGS_RE = re.compile(r"SHOW\s+CATALOGS\s*$", re.IGNORECASE)
+_REFRESH_CATALOG_RE = re.compile(
+    r"REFRESH\s+CATALOG\s+`?(?P<name>\w+)`?\s*$", re.IGNORECASE
+)
+_PROP_KV_RE = re.compile(r"['\"](?P<k>[^'\"]+)['\"]\s*=\s*['\"](?P<v>[^'\"]*)['\"]")
+
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
     out, cur, depth, q = [], [], 0, None
@@ -383,6 +397,12 @@ class PaloSession:
         #: postings only if the table changed since the last build.
         self.indexes: dict[str, tuple[str, str, str]] = {}
         self.last_match_indexed = False  # observability for tests
+        #: external catalogs (Doris 1.2 multi-catalog lite): name →
+        #: {"type", "root", "tables"}. type='parquet_dir' maps every
+        #: <root>/<tbl>.parquet to a queryable table addressed as
+        #: ``name.tbl`` (Doris ``catalog.db.table`` with the db level
+        #: collapsed — the fixture roots have no database tier).
+        self.catalogs: dict[str, dict] = {}
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -631,6 +651,76 @@ class PaloSession:
         batch shape migrating users paste in); returns one result per
         non-empty statement."""
         return [self.sql(s) for s in self._split_statements(text)]
+
+    def _create_catalog(
+        self, name: str, props_text: str, if_not_exists: bool
+    ) -> None:
+        """Doris 1.2 multi-catalog, the lite shim (SURVEY-era external
+        tables surface): ``CREATE CATALOG ext PROPERTIES
+        ('type'='parquet_dir', 'root'='/data/ext')`` maps every
+        ``<root>/<tbl>.parquet`` to a table addressed ``ext.tbl``.
+        Tables register as temp views named ``ext__tbl`` (Spark temp
+        views cannot hold dots); :meth:`_rewrite_catalog_refs`
+        translates the dotted references in query text. Reads go
+        through :func:`palo_spark.catalog.load_table`, so the external
+        tables get the same runtime-conf defenses (nanos timestamps)
+        as the primary fixture root.
+        [upstream: Doris fe multi-catalog — CatalogMgr/ExternalCatalog;
+        here only the file-system catalog type is meaningful.]"""
+        import os as _os
+
+        from palo_spark.catalog import load_table
+
+        name = name.lower()
+        if name in self.catalogs:
+            if if_not_exists:
+                return None
+            # re-create = refresh (re-scan the directory)
+        props = {
+            m.group("k").lower(): m.group("v")
+            for m in _PROP_KV_RE.finditer(props_text)
+        }
+        ctype = props.get("type", "")
+        if ctype != "parquet_dir":
+            raise ValueError(
+                f"unsupported catalog type {ctype!r} (only 'parquet_dir' "
+                "is available in this build; es/jdbc external tables go "
+                "through palo_spark.sources)"
+            )
+        root = props.get("root")
+        if not root or not _os.path.isdir(root):
+            raise ValueError(f"catalog root is not a directory: {root!r}")
+        tables = sorted(
+            f[: -len(".parquet")]
+            for f in _os.listdir(root)
+            if f.endswith(".parquet")
+        )
+        if not tables:
+            raise ValueError(f"no *.parquet tables under {root!r}")
+        for tbl in tables:
+            load_table(self.spark, root, tbl).createOrReplaceTempView(
+                f"{name}__{tbl}"
+            )
+        self.catalogs[name] = {"type": ctype, "root": root, "tables": tables}
+        return None
+
+    def _rewrite_catalog_refs(self, text: str) -> str:
+        """Rewrite ``cat.tbl`` → ``cat__tbl`` for registered catalogs,
+        outside string literals only (a quoted 'cat.tbl' is data)."""
+        pats = [
+            (
+                re.compile(
+                    rf"\b{re.escape(n)}\.`?(?P<t>\w+)`?", re.IGNORECASE
+                ),
+                n,
+            )
+            for n in self.catalogs
+        ]
+        parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", text)
+        for i in range(0, len(parts), 2):  # even indices = unquoted spans
+            for pat, n in pats:
+                parts[i] = pat.sub(lambda m, n=n: f"{n}__{m.group('t')}", parts[i])
+        return "".join(parts)
 
     def _rewrite_partition_selection(self, text: str) -> str:
         """Doris ``FROM t PARTITION (p1, p2)`` — explicit partition
@@ -889,6 +979,41 @@ class PaloSession:
                 self._refresh_view(name.lower())
                 return t
             return self._create_table(stripped)
+        ccm = _CREATE_CATALOG_RE.match(stripped)
+        if ccm:
+            return self._create_catalog(
+                ccm.group("name"), ccm.group("props"), bool(ccm.group("ine"))
+            )
+        dcm = _DROP_CATALOG_RE.match(stripped)
+        if dcm:
+            cat = self.catalogs.pop(dcm.group("name").lower(), None)
+            if cat:
+                for tbl in cat["tables"]:
+                    self.spark.catalog.dropTempView(
+                        f"{dcm.group('name').lower()}__{tbl}"
+                    )
+            return None
+        if _SHOW_CATALOGS_RE.match(stripped):
+            rows = [
+                (n, c["type"], c["root"], len(c["tables"]))
+                for n, c in sorted(self.catalogs.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", "", 0)],
+                "catalog_name string, type string, root string, n_tables int",
+            ).filter("catalog_name <> ''")
+        rcm = _REFRESH_CATALOG_RE.match(stripped)
+        if rcm:
+            name = rcm.group("name").lower()
+            if name not in self.catalogs:
+                raise ValueError(f"unknown catalog: {name}")
+            cat = self.catalogs[name]
+            self._create_catalog(
+                name,
+                f"'type'='{cat['type']}', 'root'='{cat['root']}'",
+                if_not_exists=False,
+            )
+            return None
         lm = _LOAD_RE.match(stripped)
         if lm:
             from palo_spark.sources import broker_load
@@ -1452,6 +1577,8 @@ class PaloSession:
         # rewrite replaces table names with __psel views, which would
         # hide them from the cache key (stale-hit hole)
         ref_text = stripped
+        if self.catalogs:
+            stripped = self._rewrite_catalog_refs(stripped)
         if _PART_SEL_RE.search(stripped):
             stripped = self._rewrite_partition_selection(stripped)
         self.last_cache_hit = False

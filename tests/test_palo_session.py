@@ -726,3 +726,44 @@ def test_sql_single_statement_with_comment_semicolon(ps):
         "SELECT 1 AS a -- comment; with semicolon\n UNION ALL SELECT 2"
     ).collect()
     assert sorted(r["a"] for r in rows) == [1, 2]
+
+
+def test_multi_catalog_parquet_dir(ps, spark, tmp_path):
+    """Doris 1.2 multi-catalog lite: CREATE CATALOG over a parquet
+    directory, dotted cat.tbl references in queries, SHOW/REFRESH/DROP."""
+    root = str(tmp_path / "ext_cat")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k long, s string"
+    ).write.parquet(root + "/dim.parquet")
+    ps.sql(
+        f"CREATE CATALOG extc PROPERTIES ('type'='parquet_dir', 'root'='{root}')"
+    )
+    cats = ps.sql("SHOW CATALOGS").collect()
+    assert [(r["catalog_name"], r["n_tables"]) for r in cats] == [("extc", 1)]
+    rows = ps.sql("SELECT k, s FROM extc.dim ORDER BY k").collect()
+    assert [(r["k"], r["s"]) for r in rows] == [(1, "x"), (2, "y")]
+    # cross-catalog join against a session table
+    ps.sql("CREATE TABLE loc_t (k BIGINT, v DOUBLE) DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO loc_t VALUES (1, 10.0), (3, 30.0)")
+    j = ps.sql(
+        "SELECT d.k, d.s, l.v FROM extc.dim d JOIN loc_t l ON l.k = d.k"
+    ).collect()
+    assert [(r["k"], r["s"], r["v"]) for r in j] == [(1, "x", 10.0)]
+    # a string literal containing 'extc.dim' must NOT be rewritten
+    lit = ps.sql("SELECT 'extc.dim' AS s FROM extc.dim LIMIT 1").collect()
+    assert lit[0]["s"] == "extc.dim"
+    # REFRESH picks up a new table in the directory
+    spark.createDataFrame([(9,)], "z long").write.parquet(root + "/dim2.parquet")
+    ps.sql("REFRESH CATALOG extc")
+    assert ps.sql("SELECT z FROM extc.dim2").collect()[0]["z"] == 9
+    # IF NOT EXISTS is a no-op; unsupported type fails loud
+    ps.sql(
+        f"CREATE CATALOG IF NOT EXISTS extc PROPERTIES "
+        f"('type'='parquet_dir', 'root'='{root}')"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported catalog type"):
+        ps.sql("CREATE CATALOG bad PROPERTIES ('type'='hive', 'root'='/x')")
+    ps.sql("DROP CATALOG extc")
+    assert ps.sql("SHOW CATALOGS").count() == 0
