@@ -89,6 +89,7 @@ from palo_spark.operators.text import (  # noqa: F401
     corpus_profile,
     quality_classifier_score,
     perplexity_score,
+    gopher_rules,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -1014,3 +1014,93 @@ def bm25_scores(
         .orderBy(F.desc("bm25_q"), id_col)
         .limit(top_n)
     )
+
+
+#: the eight MassiveText/Gopher stop words (Rae et al. 2021, A1.1) — a
+#: document must contain at least two DISTINCT of these to pass the
+#: stop-word rule (a cheap "is this prose at all" test)
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """The Gopher/MassiveText quality-rule battery (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1) — the standard rule-based
+    pretraining filter. Each rule is its own boolean column so the
+    pipeline can report per-rule rejection rates; ``keep_col`` is their
+    conjunction:
+
+    - ``r_word_count``: word count in [min_words, max_words]
+    - ``r_mean_word_len``: mean word length in [3, 10] — EXACT, as
+      3·n_words ≤ Σword_chars ≤ 10·n_words (integer cross-
+      multiplication, no float division)
+    - ``r_hash_ratio``: '#' symbols ≤ 10% of words (n_hash·10 ≤ n_words)
+    - ``r_ellipsis_ratio``: '...' occurrences ≤ 10% of words
+    - ``r_bullet_lines``: ≤ 90% of lines start with a bullet ('-'/'•')
+    - ``r_ellipsis_lines``: ≤ 30% of lines end with '...'
+    - ``r_alpha_words``: ≥ 80% of words contain an alphabetic character
+      (n_alpha·10 ≥ n_words·8)
+    - ``r_stop_words``: ≥ ``min_stop_words`` distinct Gopher stop
+      words present (paper default 2)
+
+    Every rule is integer arithmetic over counts, so an external SQL
+    oracle replays the battery bit-for-bit; the whole battery is native
+    column math (split/filter/aggregate on the JVM — zero UDFs, zero
+    shuffles: it rides the corpus scan at any scale).
+    """
+    c = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.filter(
+        F.split(c, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+    n_lines = F.greatest(F.size(lines).cast("long"), F.lit(1).cast("long"))
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-•*]"))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.transform(words, F.lower)), sw)
+    ).cast("long")
+
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "r_hash_ratio": n_hash * 10 <= n_words,
+        "r_ellipsis_ratio": n_ellipsis * 10 <= n_words,
+        "r_bullet_lines": n_bullet * 10 <= n_lines * 9,
+        "r_ellipsis_lines": n_ell_lines * 10 <= n_lines * 3,
+        "r_alpha_words": n_alpha * 10 >= n_words * 8,
+        "r_stop_words": n_stop >= int(min_stop_words),
+    }
+    out = df.withColumn("n_words", n_words)
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return out.withColumn(keep_col, keep)

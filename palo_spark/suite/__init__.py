@@ -134,6 +134,7 @@ _RESCHEDULED_OK = {
 #   tpcds_weekly_sales_yoy_ratio
 #   dialect_largeint_overflow
 #   sql_catalog_cross_join
+#   text_gopher_rules
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

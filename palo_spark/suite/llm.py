@@ -3152,3 +3152,85 @@ def dedup_semantic_decontaminate(spark, sf_dir):
         .select("vec_id")
         .orderBy("vec_id")
     )
+
+
+@q(
+    "text_gopher_rules",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> len(x) > 0) AS words,
+               list_filter(string_split(text, chr(10)),
+                           l -> len(trim(l)) > 0) AS lns,
+               len(text) - len(replace(text, '#', '')) AS n_hash,
+               (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell,
+               text
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT)
+                   AS word_chars,
+               CAST(n_hash AS BIGINT) AS n_hash,
+               CAST(n_ell AS BIGINT) AS n_ell,
+               CAST(greatest(len(lns), 1) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lns,
+                    l -> regexp_matches(trim(l), '^[-•*]'))) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(lns,
+                    l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS BIGINT)
+                   AS n_ell_lines,
+               CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+               CAST(len(list_intersect(
+                    list_distinct(list_transform(words, x -> lower(x))),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS n_stop
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000            AS r_word_count,
+           word_chars >= 3 * n_words
+             AND word_chars <= 10 * n_words               AS r_mean_word_len,
+           n_hash * 10 <= n_words                          AS r_hash_ratio,
+           n_ell * 10 <= n_words                           AS r_ellipsis_ratio,
+           n_bullet * 10 <= n_lines * 9                    AS r_bullet_lines,
+           n_ell_lines * 10 <= n_lines * 3                 AS r_ellipsis_lines,
+           n_alpha * 10 >= n_words * 8                     AS r_alpha_words,
+           n_stop >= 1                                     AS r_stop_words,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+             AND n_hash * 10 <= n_words
+             AND n_ell * 10 <= n_words
+             AND n_bullet * 10 <= n_lines * 9
+             AND n_ell_lines * 10 <= n_lines * 3
+             AND n_alpha * 10 >= n_words * 8
+             AND n_stop >= 1                               AS keep
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule-based quality filter (Rae et al. 2021
+    A1.1) as a per-rule boolean battery + conjunction keep flag — the
+    standard first-stage pretraining filter, before any learned
+    classifier. Every rule is integer count arithmetic (cross-
+    multiplied ratios, no float division), so DuckDB replays the
+    battery bit-for-bit. Native column math over one corpus scan —
+    zero UDFs, zero shuffles; at 100 TB this rides the document scan
+    and the per-rule rejection-rate report is one tiny aggregate away."""
+    from palo_spark.operators import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    # min_stop_words=1: the synthetic fixture vocabulary carries only
+    # one of the eight Gopher stop words ('the'), so the paper default
+    # of 2 would zero the keep column; 1 keeps every rule discriminating
+    out = gopher_rules(d, "text", min_stop_words=1)
+    return out.select(
+        "doc_id", "n_words",
+        "r_word_count", "r_mean_word_len", "r_hash_ratio",
+        "r_ellipsis_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stop_words", "keep",
+    ).orderBy("doc_id")

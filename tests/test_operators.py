@@ -1013,3 +1013,31 @@ def test_semantic_decontaminate_guard_and_planted(spark):
     assert kept == {11}
     with _pytest.raises(ValueError, match="max_literal"):
         semantic_decontaminate(corpus, bench, threshold=0.99, max_literal=1)
+
+
+def test_gopher_rules_battery(spark):
+    """Gopher rule battery edges: short doc fails word count, '#'-heavy
+    fails hash ratio, bullet lists fail bullet-lines, prose passes."""
+    from palo_spark.operators import gopher_rules
+
+    prose = ("the quick brown fox jumps over the lazy dog and that have "
+             "with be to of " * 6).strip()  # 84 words, all rules pass
+    short = "too short to count"
+    hashy = " ".join(["#tag"] * 60) + " the be"  # every word has '#'
+    bullets = "\n".join(["- item %d" % i for i in range(10)]) + "\nthe be " + (
+        "word " * 60
+    )
+    df = spark.createDataFrame(
+        [(1, prose), (2, short), (3, hashy), (4, bullets)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["r_hash_ratio"] is False
+    # 10 of 11 non-empty lines are bullets (91% > the 90% bound) -> fails
+    assert out[4]["r_bullet_lines"] is False
+    # mostly-prose doc with a couple of bullets passes the bound
+    mixed = "\n".join(["- item", "- item2"] + ["prose line %d" % i for i in range(8)])
+    df2 = spark.createDataFrame([(5, mixed)], "doc_id int, text string")
+    r5 = gopher_rules(df2, "text", min_words=5).collect()[0]
+    assert r5["r_bullet_lines"] is True
