@@ -115,6 +115,14 @@ HEADLINE = [
     "similarity_search_ivf",
     "tpcds_rolling_stockout",
     "tpcds_channel_margin_grouping_sets",
+    # r8 additions (strictly after the shared prefix): lifetime channel
+    # preference (q11), rolling category deviation (q89), worst return
+    # ratios (q49), the Gopher rule battery, and the cross-catalog join
+    "tpcds_lifetime_channel_preference",
+    "tpcds_rolling_category_deviation",
+    "tpcds_worst_return_ratio_topn",
+    "text_gopher_rules",
+    "sql_catalog_cross_join",
 ]
 
 

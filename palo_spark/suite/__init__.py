@@ -135,6 +135,7 @@ _RESCHEDULED_OK = {
 #   dialect_largeint_overflow
 #   sql_catalog_cross_join
 #   text_gopher_rules
+#   tpcds_period_overlap_counts
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

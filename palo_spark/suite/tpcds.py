@@ -3762,3 +3762,51 @@ def tpcds_weekly_sales_yoy_ratio(spark, sf_dir):
         .select("n_name", "wk", "cents95", "cents96", "yoy_ppm")
         .orderBy("n_name", "wk")
     )
+
+
+@q(
+    "tpcds_period_overlap_counts",
+    """
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE a.o_custkey IS NOT NULL
+                                   AND b.o_custkey IS NOT NULL) AS BIGINT)
+               AS both_years,
+           CAST(COUNT(*) FILTER (WHERE b.o_custkey IS NULL) AS BIGINT)
+               AS only_1995,
+           CAST(COUNT(*) FILTER (WHERE a.o_custkey IS NULL) AS BIGINT)
+               AS only_1996
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def tpcds_period_overlap_counts(spark, sf_dir):
+    """TPC-DS q97 shape (customer overlap between two periods): the
+    distinct 1995 and 1996 buyer sets FULL OUTER joined on the customer
+    key, counted into both/only-left/only-right buckets in one pass —
+    the q97 store/catalog overlap report on the star fixture's year
+    axis. Two distinct-aggregates + one keyed full join + a scalar
+    aggregate; no window, no cross join."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def buyers(year, alias):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias(alias))
+            .distinct()
+        )
+
+    a, b = buyers(1995, "ck_a"), buyers(1996, "ck_b")
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("ck_a").isNotNull() & F.col("ck_b").isNotNull(), 1))
+        .cast("long")
+        .alias("both_years"),
+        F.count(F.when(F.col("ck_b").isNull(), 1)).cast("long").alias("only_1995"),
+        F.count(F.when(F.col("ck_a").isNull(), 1)).cast("long").alias("only_1996"),
+    )

@@ -92,3 +92,49 @@ def test_bmp_style_flip_consistency(w, h, seed):
     arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     once = encode_ppm(decode_pixels(encode_ppm(arr)))
     assert once == encode_ppm(arr)
+
+
+# --- statement splitter properties (r8: comment/escape hardening) ----------
+
+_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "SELECT 1 AS a",
+            "SELECT 'a;b' AS s",
+            'SELECT "x;y" AS s2',
+            "SELECT `c;d` FROM t",
+            r"SELECT 'it\'s' AS e",
+            "SELECT 'it''s' AS e2",
+            "SELECT (1; 2)".replace(";", ","),  # parens with commas
+            "SELECT f(1, 2) AS g",
+            "SELECT 1 -- note; with semi",
+            "SELECT 1 # hash; note",
+            "SELECT /* block; comment */ 2",
+            "INSERT INTO t VALUES (1, ';')",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_FRAGMENTS)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip_property(stmts):
+    """Joining N statements with ';' and splitting recovers exactly N
+    statements whose comment-stripped text matches the originals —
+    i.e. no ';' inside quotes/comments ever splits, and every real
+    top-level ';' always does. Line comments force a newline before the
+    joiner (as any real script has), since text after '--' on the same
+    line IS comment by SQL rules."""
+    from palo_spark.palo_session import PaloSession
+
+    joined = ""
+    for s in stmts:
+        joined += s + ("\n" if ("--" in s or "#" in s) else "") + ";"
+    got = PaloSession._split_statements(joined)
+    assert len(got) == len(stmts)
+    for g, s in zip(got, stmts):
+        assert PaloSession._strip_comments(g).strip() == (
+            PaloSession._strip_comments(s).strip()
+        )
