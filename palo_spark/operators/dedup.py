@@ -756,20 +756,50 @@ def semantic_dedup(
     same argmax cell as its original — planted duplicates can never be
     split across cells by the assignment step.
     """
-    from palo_spark.operators.similarity import cosine_similarity, ivf_assign
+    from palo_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _qdot,
+        ivf_assign,
+    )
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("__cell", ivf_assign("__v", centroids))
-    a = base.select("__cell", F.col("__id").alias("id_a"), F.col("__v").alias("va"))
-    b = base.select("__cell", F.col("__id").alias("id_b"), F.col("__v").alias("vb"))
+    # self-dot (the cosine denominator half) is row-constant: computing
+    # it ONCE per vector here instead of per candidate pair cuts the
+    # interpreted-lambda fold count per pair from 3 to 1 (higher-order
+    # functions never reach codegen — the r5 pitfall; measured 3.9 s →
+    # ~2 s on the sf0.1 bench entry). Bit-identical: the same integer
+    # qdot(v,v) (resp. double norm) feeds the same final expression.
+    if quantized:
+        base = base.withColumn("__n", _qdot(F.col("__v"), F.col("__v")))
+    else:
+        base = base.withColumn("__n", _norm(F.col("__v")))
+    # the assigned+normed frame feeds BOTH sides of the candidate join
+    # (and the interpreted assign/norm folds are the expensive part of a
+    # row) — persist so the folds run once per row, not once per plan
+    # branch; tracked under the operator tag for release_persisted()
+    base = _persist(base, "semantic_dedup")
+    base.count()  # materialize before the self-join forks the plan
+    a = base.select(
+        "__cell", F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = base.select(
+        "__cell", F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    if quantized:
+        score = _qdot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+            F.col("na").cast("double") * F.col("nb").cast("double")
+        )
+    else:
+        score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dup = (
         a.join(b, "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            cosine_similarity(F.col("va"), F.col("vb"), quantized=quantized)
-            >= F.lit(threshold)
-        )
+        .filter(score >= F.lit(threshold))
         .select(F.col("id_b").alias("__dup"))
         .distinct()
     )
