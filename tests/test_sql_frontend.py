@@ -509,8 +509,13 @@ def test_fuzz_multi_statement_scripts(spark):
                 "SELECT ';' AS semi_in_string",  # ; inside a literal
                 "SELECT k FROM fz WHERE k IN (SELECT 3) LIMIT 1",
                 "SELECT COUNT(*) AS c FROM fz",
+                # r8 splitter hardening: ';' inside comments and
+                # escaped literals must not fragment the statement
+                "SELECT 2 AS probe2 -- trailing; note\n",
+                "SELECT /* block; comment */ 3 AS probe3",
+                "SELECT 'it''s;ok' AS esc",
             ],
-            k=rng.randint(1, 2),
+            k=rng.randint(1, 3),
         )
         script = ";\n".join(lead + [doris]) + (";" if rng.random() < 0.5 else "")
         try:
