@@ -136,6 +136,11 @@ _RESCHEDULED_OK = {
 #   sql_catalog_cross_join
 #   text_gopher_rules
 #   tpcds_period_overlap_counts
+#   tpcds_case_ratio_report
+#   tpcds_part_attribute_battery
+#   tpcds_or_band_matrix
+#   tpcds_demographic_or_averages
+#   tpcds_net_paid_after_returns
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -3810,3 +3810,250 @@ def tpcds_period_overlap_counts(spark, sf_dir):
         F.count(F.when(F.col("ck_b").isNull(), 1)).cast("long").alias("only_1995"),
         F.count(F.when(F.col("ck_a").isNull(), 1)).cast("long").alias("only_1996"),
     )
+
+
+# ---------------------------------------------------------------- wave 9b
+
+
+@q(
+    "tpcds_case_ratio_report",
+    """
+    WITH g AS (
+        SELECT
+    """
+    + ",\n".join(
+        f"""           CAST(COUNT(*) FILTER (WHERE l_quantity >= {lo} AND l_quantity < {hi})
+                   AS BIGINT) AS cnt{i},
+           CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_quantity >= {lo} AND l_quantity < {hi}
+                          AND l_returnflag = 'R'), 0) AS BIGINT) AS r{i},
+           CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_quantity >= {lo} AND l_quantity < {hi}
+                          AND l_returnflag <> 'R'), 0) AS BIGINT) AS nr{i}"""
+        for i, (lo, hi) in enumerate([(1, 11), (11, 21), (21, 31), (31, 41), (41, 51)])
+    )
+    + """
+        FROM lineitem
+    )
+    SELECT """
+    + ",\n           ".join(
+        f"CASE WHEN cnt{i} > 3000 THEN r{i} ELSE nr{i} END AS bucket{i}"
+        for i in range(5)
+    )
+    + """
+    FROM g
+    """,
+)
+def tpcds_case_ratio_report(spark, sf_dir):
+    """TPC-DS q9 shape (bucket report choosing between two aggregates
+    per quantity band) — re-expressed Spark-first: upstream q9 runs 15
+    scalar subqueries (15 fact scans); here ALL candidate aggregates
+    compute in ONE conditional-aggregate pass and the CASE picks among
+    the resulting columns. Same answer, 15× fewer scans — the rewrite a
+    100 TB plan needs. Exact integer cents; count thresholds exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    bands = [(1, 11), (11, 21), (21, 31), (31, 41), (41, 51)]
+    aggs = []
+    for i, (lo, hi) in enumerate(bands):
+        inb = (F.col("l_quantity") >= lo) & (F.col("l_quantity") < hi)
+        ret = F.col("l_returnflag") == "R"
+        aggs += [
+            F.count(F.when(inb, 1)).cast("long").alias(f"cnt{i}"),
+            F.coalesce(F.sum(F.when(inb & ret, cents)), F.lit(0))
+            .cast("long")
+            .alias(f"r{i}"),
+            F.coalesce(F.sum(F.when(inb & ~ret, cents)), F.lit(0))
+            .cast("long")
+            .alias(f"nr{i}"),
+        ]
+    g = li.agg(*aggs)
+    return g.select(
+        *[
+            F.when(F.col(f"cnt{i}") > 3000, F.col(f"r{i}"))
+            .otherwise(F.col(f"nr{i}"))
+            .alias(f"bucket{i}")
+            for i in range(5)
+        ]
+    )
+
+
+@q(
+    "tpcds_part_attribute_battery",
+    """
+    SELECT DISTINCT p.p_name
+    FROM part p
+    WHERE p.p_size BETWEEN 10 AND 40
+      AND EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_brand = p.p_brand AND q.p_partkey <> p.p_partkey
+            AND ((q.p_type = 'PROMO'   AND q.p_size BETWEEN 10 AND 20)
+              OR (q.p_type = 'ECONOMY' AND q.p_size BETWEEN 20 AND 30)
+              OR (q.p_type = 'LARGE'   AND q.p_size BETWEEN 30 AND 40)))
+    ORDER BY p.p_name
+    """,
+)
+def tpcds_part_attribute_battery(spark, sf_dir):
+    """TPC-DS q41 shape (dimension-only attribute battery): part names
+    whose BRAND also carries another part matching one of three
+    (type × size-band) OR-combinations — a correlated EXISTS entirely
+    inside the dimension table. Plans as a broadcast semi-join on the
+    brand key over the (tiny) dimension; the fact tables are never
+    touched, exactly q41's appeal at scale."""
+    p = load_table(spark, sf_dir, "part")
+    combo = (
+        ((F.col("q.p_type") == "PROMO") & F.col("q.p_size").between(10, 20))
+        | ((F.col("q.p_type") == "ECONOMY") & F.col("q.p_size").between(20, 30))
+        | ((F.col("q.p_type") == "LARGE") & F.col("q.p_size").between(30, 40))
+    )
+    q_side = p.alias("q").filter(combo).select(
+        F.col("q.p_brand").alias("qb"), F.col("q.p_partkey").alias("qk")
+    )
+    return (
+        p.alias("p")
+        .filter(F.col("p.p_size").between(10, 40))
+        .join(
+            q_side,
+            (F.col("qb") == F.col("p.p_brand"))
+            & (F.col("qk") != F.col("p.p_partkey")),
+            "left_semi",
+        )
+        .select("p.p_name")
+        .distinct()
+        .orderBy("p_name")
+    )
+
+
+@q(
+    "tpcds_or_band_matrix",
+    """
+    SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE (c_mktsegment = 'BUILDING'  AND c_acctbal BETWEEN 0 AND 3000
+             AND l_quantity BETWEEN 1 AND 15)
+       OR (c_mktsegment = 'MACHINERY' AND c_acctbal BETWEEN 3000 AND 6000
+             AND l_quantity BETWEEN 16 AND 35)
+       OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal BETWEEN 6000 AND 10000
+             AND l_quantity BETWEEN 36 AND 50)
+    """,
+)
+def tpcds_or_band_matrix(spark, sf_dir):
+    """TPC-DS q48 shape (a disjunction of three (segment × balance-band
+    × quantity-band) conjunctions feeding one total): the OR matrix sits
+    in the WHERE, so Catalyst pushes each band's constraints into the
+    scan as a disjunctive filter and the whole query is one scan + two
+    broadcast joins + a scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (
+        ((F.col("c_mktsegment") == "BUILDING")
+         & F.col("c_acctbal").between(0, 3000)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("c_mktsegment") == "MACHINERY")
+           & F.col("c_acctbal").between(3000, 6000)
+           & F.col("l_quantity").between(16, 35))
+        | ((F.col("c_mktsegment") == "HOUSEHOLD")
+           & F.col("c_acctbal").between(6000, 10000)
+           & F.col("l_quantity").between(36, 50))
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_total"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "tpcds_demographic_or_averages",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal >= 5000)
+       OR (c_mktsegment IN ('MACHINERY', 'FURNITURE') AND c_acctbal < 1000)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpcds_demographic_or_averages(spark, sf_dir):
+    """TPC-DS q13 shape (averages under OR'd demographic branches):
+    lineitems of customers matching either of two (segment-set ×
+    balance) branches, profiled per order priority. The exact-sum
+    form (counts + integer sums) carries the same information as q13's
+    AVGs without a float division; one scan, dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (
+        (F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+         & (F.col("c_acctbal") >= 5000))
+        | (F.col("c_mktsegment").isin("MACHINERY", "FURNITURE")
+           & (F.col("c_acctbal") < 1000))
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpcds_net_paid_after_returns",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R'
+                         THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS net_cents,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    ORDER BY net_cents DESC, o_custkey
+    LIMIT 100
+    """,
+)
+def tpcds_net_paid_after_returns(spark, sf_dir):
+    """TPC-DS q93 shape (net paid once returns are subtracted, top
+    customers): per-customer kept vs returned value in exact cents, top
+    100 by net with the unique customer key as tie-break — a
+    TakeOrderedAndProject over the post-aggregate frame, never a global
+    sort of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(~ret, cents).otherwise(0)).cast("long").alias("net_cents"),
+            F.sum(F.when(ret, cents).otherwise(0))
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .orderBy(F.desc("net_cents"), F.col("o_custkey"))
+        .limit(100)
+    )
