@@ -141,6 +141,8 @@ _RESCHEDULED_OK = {
 #   tpcds_or_band_matrix
 #   tpcds_demographic_or_averages
 #   tpcds_net_paid_after_returns
+#   tpcds_best_worst_performers
+#   tpcds_excess_discount_total
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -4057,3 +4057,127 @@ def tpcds_net_paid_after_returns(spark, sf_dir):
         .orderBy(F.desc("net_cents"), F.col("o_custkey"))
         .limit(100)
     )
+
+
+@q(
+    "tpcds_best_worst_performers",
+    """
+    WITH perf AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS INT)
+                   AS best_rn,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, l_partkey) AS INT)
+                   AS worst_rn
+        FROM perf
+    )
+    SELECT b.best_rn AS rnk,
+           pb.p_name AS best_part, b.cents AS best_cents,
+           pw.p_name AS worst_part, w.cents AS worst_cents
+    FROM ranked b
+    JOIN ranked w ON w.worst_rn = b.best_rn
+    JOIN part pb ON pb.p_partkey = b.l_partkey
+    JOIN part pw ON pw.p_partkey = w.l_partkey
+    WHERE b.best_rn <= 10
+    ORDER BY rnk
+    """,
+)
+def tpcds_best_worst_performers(spark, sf_dir):
+    """TPC-DS q44 shape (best and worst performing items side by side):
+    1995 revenue per part, ranked ascending AND descending, the two
+    rank-1..10 lists zipped on rank position and decorated with part
+    names. The ranks run over the post-aggregate |parts| frame — and
+    since the rank-n rows are all that survive, Spark plans the rank
+    filter as a bounded WindowGroupLimit, never materializing a global
+    sort of the fact table. Tie-break on the unique part key keeps both
+    engines' orderings identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    perf = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wb = Window.orderBy(F.desc("cents"), F.col("l_partkey"))
+    ww = Window.orderBy(F.asc("cents"), F.col("l_partkey"))
+    ranked = perf.select(
+        "l_partkey", "cents",
+        F.row_number().over(wb).cast("int").alias("best_rn"),
+        F.row_number().over(ww).cast("int").alias("worst_rn"),
+    )
+    b = ranked.filter(F.col("best_rn") <= 10).select(
+        F.col("best_rn").alias("rnk"),
+        F.col("l_partkey").alias("bk"),
+        F.col("cents").alias("best_cents"),
+    )
+    w = ranked.filter(F.col("worst_rn") <= 10).select(
+        F.col("worst_rn").alias("rnk"),
+        F.col("l_partkey").alias("wk"),
+        F.col("cents").alias("worst_cents"),
+    )
+    pb = p.select(F.col("p_partkey").alias("bk"), F.col("p_name").alias("best_part"))
+    pw = p.select(F.col("p_partkey").alias("wk"), F.col("p_name").alias("worst_part"))
+    return (
+        b.join(w, "rnk")
+        .join(F.broadcast(pb), "bk")
+        .join(F.broadcast(pw), "wk")
+        .select("rnk", "best_part", "best_cents", "worst_part", "worst_cents")
+        .orderBy("rnk")
+    )
+
+
+@q(
+    "tpcds_excess_discount_total",
+    """
+    WITH avg_d AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_discount * 1000000) AS BIGINT)) AS BIGINT)
+                   AS d_ppm_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS excess_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN avg_d a ON a.l_partkey = l.l_partkey
+    WHERE CAST(FLOOR(l.l_discount * 1000000) AS HUGEINT) * a.n * 10
+          > CAST(a.d_ppm_sum AS HUGEINT) * 13
+    """,
+)
+def tpcds_excess_discount_total(spark, sf_dir):
+    """TPC-DS q32 shape (total value sold above 1.3× the item's average
+    discount): per-part discount mean replayed exactly as integer ppm
+    sums, the 1.3× threshold as the cross-multiplication
+    d·n·10 > Σd·13 (no float division anywhere), and one scalar total
+    over the excess lines. Upstream q32 phrases the mean as a
+    correlated scalar subquery; here it is the same aggregate computed
+    once and joined back — one extra keyed shuffle instead of a
+    re-scan per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d_ppm = F.floor(F.col("l_discount") * 1000000).cast("long")
+    avg_d = li.groupBy("l_partkey").agg(
+        F.sum(d_ppm).cast("long").alias("d_ppm_sum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    joined = li.join(avg_d, "l_partkey")
+    excess = (
+        d_ppm.cast("decimal(38,0)") * F.col("n") * 10
+        > F.col("d_ppm_sum").cast("decimal(38,0)") * 13
+    )
+    return joined.filter(excess).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("excess_cents"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
