@@ -90,6 +90,7 @@ from palo_spark.operators.text import (  # noqa: F401
     quality_classifier_score,
     perplexity_score,
     gopher_rules,
+    gopher_repetition,
 )
 from palo_spark.operators.multimodal import (  # noqa: F401
     media_schema,

@@ -1104,3 +1104,82 @@ def gopher_rules(
         out = out.withColumn(name, expr)
         keep = keep & F.col(name)
     return out.withColumn(keep_col, keep)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The repetition half of the Gopher/MassiveText filter (Rae et al.
+    2021, A1.1): documents dominated by a few repeated n-grams are
+    low-quality. Per document, over word bigrams:
+
+    - ``top_bigram`` / ``top_n``: the most frequent bigram (ties to the
+      lexicographically smallest — deterministic) and its count;
+    - ``top2_ppm``: characters covered by the top bigram's occurrences
+      as a fraction of total word characters — EXACT integer ppm
+      (count·len(gram)·10⁶ DIV Σword_chars; occurrences counted
+      independently, the documented simplification of the paper's
+      span-deduplicated character count);
+    - ``dup2_ppm``: the same fraction summed over EVERY bigram that
+      occurs at least twice.
+
+    Shape: one (doc, gram) shuffle for counts + one doc-keyed window
+    for the top gram — both partition on high-cardinality keys, so the
+    metric scales with the corpus like any grouped aggregate."""
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0)
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+    ).withColumn(
+        "__wchars",
+        F.aggregate(F.col("__w"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)),
+    )
+    grams = base.select(
+        id_col,
+        "__wchars",
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__w")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i - 1), F.element_at("__w", i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "__wchars", "gram").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("gram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "__wchars",
+            F.col("gram").alias("top_bigram"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    dup = counts.filter(F.col("n") >= 2).groupBy(id_col).agg(
+        F.sum(F.col("n") * F.length("gram")).cast("long").alias("__dup_chars")
+    )
+    ppm = lambda num: F.expr(
+        f"CAST((CAST({num} AS DECIMAL(38,0)) * 1000000) DIV __wchars AS BIGINT)"
+    )
+    return (
+        top.join(dup, id_col, "left")
+        .withColumn("__dup_chars", F.coalesce(F.col("__dup_chars"), F.lit(0)))
+        .select(
+            id_col,
+            "top_bigram",
+            "top_n",
+            ppm("top_n * length(top_bigram)").alias("top2_ppm"),
+            ppm("__dup_chars").alias("dup2_ppm"),
+        )
+    )

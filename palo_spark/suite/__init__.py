@@ -143,6 +143,7 @@ _RESCHEDULED_OK = {
 #   tpcds_net_paid_after_returns
 #   tpcds_best_worst_performers
 #   tpcds_excess_discount_total
+#   text_gopher_repetition
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

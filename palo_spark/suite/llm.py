@@ -3234,3 +3234,61 @@ def text_gopher_rules(spark, sf_dir):
         "r_ellipsis_ratio", "r_bullet_lines", "r_ellipsis_lines",
         "r_alpha_words", "r_stop_words", "keep",
     ).orderBy("doc_id")
+
+
+@q(
+    "text_gopher_repetition",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> len(x) > 0) AS words
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT)
+                   AS wchars,
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(generate_series(2, len(words)),
+                                        i -> words[i-1] || ' ' || words[i])
+                    ELSE [] END AS bigrams
+        FROM w
+    ),
+    c AS (
+        SELECT doc_id, wchars, gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, wchars, unnest(bigrams) AS gram FROM t)
+        GROUP BY 1, 2, 3
+    ),
+    top AS (
+        SELECT doc_id, wchars, gram AS top_bigram, n AS top_n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, gram) AS rn
+            FROM c
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT doc_id, CAST(SUM(n * len(gram)) AS BIGINT) AS dup_chars
+        FROM c WHERE n >= 2 GROUP BY doc_id
+    )
+    SELECT top.doc_id, top.top_bigram, top.top_n,
+           CAST((CAST(top.top_n * len(top.top_bigram) AS HUGEINT) * 1000000)
+                // top.wchars AS BIGINT) AS top2_ppm,
+           CAST((CAST(COALESCE(dup.dup_chars, 0) AS HUGEINT) * 1000000)
+                // top.wchars AS BIGINT) AS dup2_ppm
+    FROM top LEFT JOIN dup ON dup.doc_id = top.doc_id
+    ORDER BY top.doc_id
+    """,
+)
+def text_gopher_repetition(spark, sf_dir):
+    """Gopher repetition metrics (Rae et al. 2021 A1.1, the other half
+    of the rule battery): per-document top-bigram dominance and
+    duplicate-bigram character fraction as EXACT integer ppm (decimal
+    DIV over exact char counts — no float division, ties broken
+    lexicographically). One (doc, gram) count shuffle + one doc-keyed
+    WindowGroupLimit for the top gram; DuckDB replays the full metric
+    bit-for-bit."""
+    from palo_spark.operators import gopher_repetition
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_repetition(d, "text").orderBy("doc_id")

@@ -1041,3 +1041,24 @@ def test_gopher_rules_battery(spark):
     df2 = spark.createDataFrame([(5, mixed)], "doc_id int, text string")
     r5 = gopher_rules(df2, "text", min_words=5).collect()[0]
     assert r5["r_bullet_lines"] is True
+
+
+def test_gopher_repetition_metrics(spark):
+    from palo_spark.operators import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),        # 'spam ham' x3 dominates
+            (2, "all words here are fully distinct"), # no duplicate bigram
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(df, "text").collect()}
+    # doc 1: bigrams = [spam ham, ham spam, spam ham, ham spam, spam ham]
+    assert out[1]["top_bigram"] == "spam ham" and out[1]["top_n"] == 3
+    # top chars = 3*8=24 of 21 word chars (3x'spam'=12 + 3x'ham'=9) ->
+    # ppm > 1e6 (occurrences counted independently, documented); dup
+    # covers both repeated bigrams ('spam ham' x3 + 'ham spam' x2)
+    assert out[1]["top2_ppm"] == (3 * 8 * 1000000) // 21
+    assert out[1]["dup2_ppm"] == ((3 * 8 + 2 * 8) * 1000000) // 21
+    assert out[2]["top_n"] == 1 and out[2]["dup2_ppm"] == 0
