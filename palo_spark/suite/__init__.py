@@ -144,6 +144,7 @@ _RESCHEDULED_OK = {
 #   tpcds_best_worst_performers
 #   tpcds_excess_discount_total
 #   text_gopher_repetition
+#   behavioral_transition_matrix
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

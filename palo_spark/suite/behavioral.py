@@ -11,6 +11,7 @@ hand-built sequences (rows-only here).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from palo_spark.catalog import load_table
@@ -265,3 +266,45 @@ def behavioral_funnel_modes(spark, sf_dir):
         )
         out = lv if out is None else out.join(lv, "user_id")
     return out
+
+
+@q(
+    "behavioral_transition_matrix",
+    """
+    WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type
+    """,
+)
+def behavioral_transition_matrix(spark, sf_dir):
+    """Event-transition matrix (the user-journey Markov counts behind
+    path-analysis dashboards — the Doris user-behavior family next to
+    RETENTION/WINDOW_FUNNEL): per user, consecutive event pairs via a
+    user-keyed LAG window ((user_id, ts) is unique in the fixture, so
+    the ordering is total), then global pair counts + distinct-user
+    counts. One keyed window + one grouped aggregate — no self-join of
+    the event stream, which is the naive O(n²) formulation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        s.groupBy("prev_type", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
