@@ -405,7 +405,13 @@ def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False
             for i, s in enumerate(scores)
         ]
     )
-    return F.array_max(scored)["cell"]
+    # NULL/wrong-dimension rows → NULL cell, same contract as the
+    # quantized kernel above (zip_with would otherwise silently score
+    # the truncated common prefix and assign a bogus cell)
+    d = len(centroids[0])
+    return F.when(F.size(v) == d, F.array_max(scored)["cell"]).otherwise(
+        F.lit(None).cast("int")
+    )
 
 
 def train_centroids(

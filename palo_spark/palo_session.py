@@ -675,7 +675,12 @@ class PaloSession:
         if name in self.catalogs:
             if if_not_exists:
                 return None
-            # re-create = refresh (re-scan the directory)
+            # re-create = refresh: drop EVERY old view first so tables
+            # that vanished from the (possibly different) root cannot
+            # keep serving the previous root's data through a stale
+            # temp view, and a later DROP CATALOG cannot leak them
+            for tbl in self.catalogs[name]["tables"]:
+                self.spark.catalog.dropTempView(f"{name}__{tbl}")
         props = {
             m.group("k").lower(): m.group("v")
             for m in _PROP_KV_RE.finditer(props_text)
@@ -706,20 +711,36 @@ class PaloSession:
 
     def _rewrite_catalog_refs(self, text: str) -> str:
         """Rewrite ``cat.tbl`` → ``cat__tbl`` for registered catalogs,
-        outside string literals only (a quoted 'cat.tbl' is data)."""
+        outside string literals AND backtick identifiers (a quoted
+        'cat.tbl' is data; a backticked `cat.tbl` is a literal
+        identifier). Only names actually REGISTERED in the catalog are
+        rewritten, so a table alias that happens to equal a catalog
+        name keeps working — ``SELECT extfix.l_suppkey FROM lineitem
+        extfix`` is untouched because ``l_suppkey`` is not a table of
+        catalog ``extfix``."""
         pats = [
             (
                 re.compile(
-                    rf"\b{re.escape(n)}\.`?(?P<t>\w+)`?", re.IGNORECASE
+                    rf"\b{re.escape(n)}\.(?P<t>\w+)\b", re.IGNORECASE
                 ),
                 n,
+                {t.lower() for t in c["tables"]},
             )
-            for n in self.catalogs
+            for n, c in self.catalogs.items()
         ]
-        parts = re.split(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", text)
+        parts = re.split(
+            r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|`[^`]*`)", text
+        )
         for i in range(0, len(parts), 2):  # even indices = unquoted spans
-            for pat, n in pats:
-                parts[i] = pat.sub(lambda m, n=n: f"{n}__{m.group('t')}", parts[i])
+            for pat, n, tbls in pats:
+                parts[i] = pat.sub(
+                    lambda m, n=n, tbls=tbls: (
+                        f"{n}__{m.group('t')}"
+                        if m.group("t").lower() in tbls
+                        else m.group(0)
+                    ),
+                    parts[i],
+                )
         return "".join(parts)
 
     def _rewrite_partition_selection(self, text: str) -> str:
@@ -986,12 +1007,14 @@ class PaloSession:
             )
         dcm = _DROP_CATALOG_RE.match(stripped)
         if dcm:
-            cat = self.catalogs.pop(dcm.group("name").lower(), None)
-            if cat:
-                for tbl in cat["tables"]:
-                    self.spark.catalog.dropTempView(
-                        f"{dcm.group('name').lower()}__{tbl}"
-                    )
+            name = dcm.group("name").lower()
+            cat = self.catalogs.pop(name, None)
+            if cat is None:
+                if re.search(r"IF\s+EXISTS", stripped, re.IGNORECASE):
+                    return None
+                raise ValueError(f"unknown catalog: {name}")
+            for tbl in cat["tables"]:
+                self.spark.catalog.dropTempView(f"{name}__{tbl}")
             return None
         if _SHOW_CATALOGS_RE.match(stripped):
             rows = [
@@ -1583,7 +1606,18 @@ class PaloSession:
             stripped = self._rewrite_partition_selection(stripped)
         self.last_cache_hit = False
         key = None
-        if self.result_cache_enabled and up.startswith("SELECT"):
+        touches_catalog = self.catalogs and any(
+            f"{n}__" in stripped for n in self.catalogs
+        )
+        if (
+            self.result_cache_enabled
+            and up.startswith("SELECT")
+            # external-catalog tables have NO mutation ledger (the files
+            # can change under us), so queries touching them are never
+            # cached — the cache's "stale hits impossible" invariant
+            # only holds for session tables with state tokens
+            and not touches_catalog
+        ):
             # referenced palo tables = session table names appearing as
             # identifiers in the text; over-matching only widens the key
             # (false invalidation), never staleness

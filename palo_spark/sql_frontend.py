@@ -127,7 +127,7 @@ Token = tuple[str, str]  # (kind, text)
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<comment>--[^\n]*|\#[^\n]*|/\*.*?\*/)
+    (?P<comment>--(?=\s|$)[^\n]*|\#[^\n]*|/\*.*?\*/)
   | (?P<squote>'(?:[^'\\]|\\.|'')*')
   | (?P<dquote>"(?:[^"\\]|\\.|"")*")
   | (?P<bquote>`(?:[^`]|``)*`)
@@ -503,6 +503,20 @@ def _translate_tokens(toks: list[Token]) -> list[Token]:
         kind, text = toks[i]
         if kind == "comment" and text.startswith("#"):
             out.append(("comment", "--" + text[1:]))
+            i += 1
+            continue
+        if (
+            kind == "op"
+            and text == "-"
+            and i + 1 < n
+            and toks[i + 1] == ("op", "-")
+        ):
+            # MySQL treats `--` as a comment only when whitespace
+            # follows, so `1--1` is 1 - (-1); the tokenizer (same rule)
+            # yields two minus ops, but Spark's parser applies the
+            # ANSI any-`--` rule to the REJOINED text — keep the ops
+            # separated so double negation survives the round trip
+            out.append(("op", "- "))
             i += 1
             continue
         if kind == "dquote":

@@ -212,7 +212,6 @@ def dialect_largeint_overflow(spark, sf_dir):
     Per-row codegen arithmetic; no shuffle."""
     n = load_table(spark, sf_dir, "nation")
     digits = (F.col("n_nationkey") + 30).cast("int")
-    nines = F.repeat(F.lit("9"), digits)
     max38 = F.lit("9" * 38).cast("decimal(38,0)")
     return (
         n.select(

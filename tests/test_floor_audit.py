@@ -37,9 +37,11 @@ _FLOOR = re.compile(r"floor\s*\(", re.I)
 #: inputs that can disagree in the last ulp between the JVM and C libm
 #: (or between a float32 schema and the float64 oracle) before a floor
 _RISKY = re.compile(
-    r"(SQRT|ATAN|ASIN|ACOS|\bSIN\s*\(|\bCOS\s*\(|\bTAN\s*\(|\bLN\s*\(|"
-    r"LOG\s*\(|\bEXP\s*\(|POWER\s*\(|F\.pow|\bPOW\s*\(|RADIANS|REGR_|"
-    r"regr_|stddev|STDDEV|st_azimuth|st_distance|haversine|features)",
+    r"(\bSQRT\s*\(|\bATAN2?\s*\(|\bASIN\s*\(|\bACOS\s*\(|\bSIN\s*\(|"
+    r"\bCOS\s*\(|\bTAN\s*\(|\bLN\s*\(|\bLOG(?:2|10)?\s*\(|\bEXP\s*\(|"
+    r"\bPOWER\s*\(|F\.pow\b|\bPOW\s*\(|\bRADIANS\s*\(|\bDEGREES\s*\(|"
+    r"\bREGR_|\bregr_|\bstddev|\bSTDDEV|st_azimuth|st_distance|haversine|"
+    r"\bfeatures\b)",
     re.I,
 )
 
@@ -55,8 +57,8 @@ _BOUNDARY_RANDOM_BUDGET = {
     "llm.py": 3,
     # weighted-sample sqrt(n) weight (code + its docstring mention)
     "sampling_q.py": 2,
-    # sqrt/degrees-radians/atan2 scalar-function showcase entries
-    "scalar_funcs.py": 4,
+    # sqrt/degrees-radians/atan2/log2/log10 scalar showcase entries
+    "scalar_funcs.py": 6,
 }
 
 
@@ -65,7 +67,9 @@ def _risky_unguarded(path: str) -> list[int]:
     out = []
     for i, line in enumerate(lines):
         if _FLOOR.search(line) and _RISKY.search(line):
-            window = "\n".join(lines[i : i + 5])
+            # the guard may sit on a continuation line BEFORE the line
+            # carrying floor( (multi-line expressions wrap either way)
+            window = "\n".join(lines[max(0, i - 2) : i + 5])
             if "1e-3" not in window:
                 out.append(i + 1)
     return out

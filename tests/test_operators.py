@@ -1062,3 +1062,24 @@ def test_gopher_repetition_metrics(spark):
     assert out[1]["top2_ppm"] == (3 * 8 * 1000000) // 21
     assert out[1]["dup2_ppm"] == ((3 * 8 + 2 * 8) * 1000000) // 21
     assert out[2]["top_n"] == 1 and out[2]["dup2_ppm"] == 0
+
+
+def test_ivf_assign_expression_path_null_on_ragged(spark):
+    """r8 self-review: the non-quantized expression path must NULL a
+    wrong-dimension vector like the quantized kernel does — zip_with
+    would otherwise score the truncated prefix and assign a bogus
+    cell."""
+    from palo_spark.operators import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.1]), (2, None), (3, [1.0, 2.0, 3.0])],
+        "vec_id int, v array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", ivf_assign("v", cents).alias("cell")
+        ).collect()
+    }
+    assert got == {1: 0, 2: None, 3: None}

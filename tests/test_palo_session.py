@@ -767,3 +767,51 @@ def test_multi_catalog_parquet_dir(ps, spark, tmp_path):
         ps.sql("CREATE CATALOG bad PROPERTIES ('type'='hive', 'root'='/x')")
     ps.sql("DROP CATALOG extc")
     assert ps.sql("SHOW CATALOGS").count() == 0
+
+
+def test_multi_catalog_refresh_drops_vanished_and_cache_bypass(ps, spark, tmp_path):
+    """r8 self-review fixes: re-creating a catalog must drop views for
+    tables that vanished (no stale reads from the old root), queries
+    touching catalog tables bypass the result cache (no mutation
+    ledger), DROP CATALOG without IF EXISTS errors on unknown names,
+    and a table alias equal to a catalog name is not mangled."""
+    import pytest as _pt
+
+    from palo_spark.palo_session import PaloSession
+
+    ra, rb = str(tmp_path / "ra"), str(tmp_path / "rb")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(
+        ra + "/old.parquet"
+    )
+    spark.createDataFrame([(2, "b")], "k long, s string").write.parquet(
+        rb + "/fresh.parquet"
+    )
+    cps = PaloSession(spark, result_cache=True)
+    cps.sql(f"CREATE CATALOG swap PROPERTIES ('type'='parquet_dir', 'root'='{ra}')")
+    assert cps.sql("SELECT k FROM swap.old").collect()[0]["k"] == 1
+    # re-create against root B: 'old' must vanish, not serve root A data
+    cps.sql(f"CREATE CATALOG swap PROPERTIES ('type'='parquet_dir', 'root'='{rb}')")
+    with _pt.raises(Exception):
+        cps.sql("SELECT k FROM swap.old").collect()
+    assert cps.sql("SELECT k FROM swap.fresh").collect()[0]["k"] == 2
+    # catalog queries never hit the result cache
+    cps.sql("SELECT k FROM swap.fresh").collect()
+    cps.sql("SELECT k FROM swap.fresh").collect()
+    assert cps.last_cache_hit is False
+    # alias shadowing: a table alias equal to the catalog name survives
+    spark.createDataFrame([(5,)], "k long").createOrReplaceTempView("plain_t")
+    r = cps.sql("SELECT swap.k FROM plain_t swap").collect()
+    assert r[0]["k"] == 5
+    with _pt.raises(ValueError, match="unknown catalog"):
+        cps.sql("DROP CATALOG nosuch")
+    cps.sql("DROP CATALOG IF EXISTS nosuch")  # no-op, no error
+    cps.sql("DROP CATALOG swap")
+
+
+def test_double_minus_is_arithmetic_through_dialect(ps):
+    """MySQL rule: '--' without trailing whitespace is subtraction of a
+    negative, not a comment — and must survive the rejoin into Spark
+    (which applies the ANSI any-'--' rule). r8 self-review fix."""
+    rows = ps.script("SELECT 1--1 AS a; SELECT 2---2 AS b")
+    assert rows[0].collect()[0]["a"] == 2
+    assert rows[1].collect()[0]["b"] == 0
