@@ -145,6 +145,17 @@ _RESCHEDULED_OK = {
 #   tpcds_excess_discount_total
 #   text_gopher_repetition
 #   behavioral_transition_matrix
+#   tpcds_brand_year_revenue
+#   tpcds_demographic_rollup_averages
+#   tpcds_preferred_nation_intersect
+#   tpcds_nonlocal_brand_revenue
+#   tpcds_best_trip_per_customer
+#   tpcds_band_join_acct_tiers
+#   tpcds_cross_channel_item_intersect
+#   tpcds_disjunctive_branch_filter
+#   tpcds_quantity_bucket_battery
+#   tpcds_cov_consecutive_months
+#   tpcds_top_regions_rollup
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -4181,3 +4181,669 @@ def tpcds_excess_discount_total(spark, sf_dir):
         .alias("excess_cents"),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+# ------------------------------------------------------------ wave 10
+# Round-8 closing wave: the remaining distinct TPC-DS plan shapes the
+# star fixtures can express — simple brand/year report (q3/q42/q52/
+# q55), demographic ROLLUP averages (q7/q26/q27), INTERSECT-driven
+# dimension short-list (q8), cross-channel item INTERSECT with an
+# above-average scalar gate (q14), disjunctive filters across join
+# branches (q15/q45), customer/supplier locality mismatch (q19),
+# bucket scalar-aggregate battery (q28), coefficient-of-variation
+# month pairs (q39), windowed dimension short-list over a ROLLUP
+# (q70), per-trip/per-customer two-grain max (q79), and a banded
+# non-equi dimension join (q84). Money stays exact integer cents;
+# ratios are integer ppm via decimal DIV / hugeint //.
+
+
+@q(
+    "tpcds_brand_year_revenue",
+    f"""
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr, p_brand,
+           CAST(SUM({_NET_CENTS}) AS BIGINT) AS rev_cents
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part   ON p_partkey = l_partkey
+    WHERE CAST(strftime(o_orderdate, '%m') AS INT) = 12
+    GROUP BY 1, 2
+    ORDER BY yr, rev_cents DESC, p_brand
+    """,
+)
+def tpcds_brand_year_revenue(spark, sf_dir):
+    """TPC-DS q3/q42/q52/q55 shape (the canonical star-probe: one fact,
+    two dimension joins, a month predicate, brand×year aggregate,
+    ordered report). Catalyst broadcasts both dims under AQE and the
+    month filter prunes before the join; one keyed shuffle total.
+    Money is exact integer cents so the ORDER BY can't flip on float
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.month("o_orderdate") == 12)
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), "p_brand")
+        .agg(F.sum(net).cast("long").alias("rev_cents"))
+        .orderBy("yr", F.desc("rev_cents"), "p_brand")
+    )
+
+
+@q(
+    "tpcds_demographic_rollup_averages",
+    f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY ROLLUP(n_name)
+    """,
+)
+def tpcds_demographic_rollup_averages(spark, sf_dir):
+    """TPC-DS q7/q26/q27 shape: average quantity/price/discount for one
+    demographic slice (a market segment standing in for the customer-
+    demographics dimension), rolled up by geography — q27 is exactly
+    q7 plus the ROLLUP. All averages use the order-independent
+    floor-decimal form; the rollup runs over the post-join fact with
+    one Expand + one keyed shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .rollup("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+        )
+    )
+
+
+@q(
+    "tpcds_preferred_nation_intersect",
+    """
+    WITH preferred AS (
+        SELECT n_nationkey FROM nation
+        WHERE substr(n_name, 8, 1) IN ('1', '2')
+        INTERSECT
+        SELECT CAST(c_nationkey AS INT) FROM customer
+        GROUP BY 1 HAVING COUNT(*) > 2
+    )
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE n_nationkey IN (SELECT n_nationkey FROM preferred)
+    GROUP BY n_name
+    """,
+)
+def tpcds_preferred_nation_intersect(spark, sf_dir):
+    """TPC-DS q8 shape: the dimension short-list is itself an INTERSECT
+    — zip prefixes from a literal list ∩ zips with more than N resident
+    customers, here nations by first letter ∩ nations by customer
+    count. The INTERSECT runs over dimension-sized sets (≤|nations|
+    rows) and feeds a broadcast semi-join into the fact scan, so the
+    fact is filtered without any extra fact-sized shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    by_letter = n.filter(
+        F.substring("n_name", 8, 1).isin("1", "2")
+    ).select("n_nationkey")
+    by_count = (
+        c.groupBy(F.col("c_nationkey").cast("int").alias("n_nationkey"))
+        .count()
+        .filter(F.col("count") > 2)
+        .select("n_nationkey")
+    )
+    preferred = by_letter.intersect(by_count)
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(preferred), "n_nationkey", "left_semi")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "tpcds_nonlocal_brand_revenue",
+    f"""
+    SELECT p_brand,
+           CAST(SUM({_NET_CENTS}) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE c_nationkey <> s_nationkey
+      AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+    GROUP BY p_brand
+    """,
+)
+def tpcds_nonlocal_brand_revenue(spark, sf_dir):
+    """TPC-DS q19 shape: brand revenue restricted to NON-LOCAL trade —
+    the customer's geography differs from the seller's (upstream: the
+    store zip ≠ customer zip predicate). The inequality is evaluated
+    post-join inside codegen (it cannot be an equi-key); all four
+    dimension joins broadcast, the fact shuffles once for the brand
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            (F.col("c_nationkey") != F.col("s_nationkey"))
+            & (F.year("o_orderdate") == 1996)
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(net).cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "tpcds_best_trip_per_customer",
+    f"""
+    WITH trips AS (
+        SELECT o_custkey, l_orderkey AS trip,
+               CAST(SUM({_NET_CENTS}) AS BIGINT) AS trip_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS trip_qty
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT c_name, trip AS best_order, trip_cents, trip_qty
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY trip_cents DESC, trip DESC) AS rn
+          FROM trips) t
+    JOIN customer ON c_custkey = o_custkey
+    WHERE rn = 1
+    """,
+)
+def tpcds_best_trip_per_customer(spark, sf_dir):
+    """TPC-DS q79 shape: two-grain analysis — aggregate to the
+    (customer, shopping-trip) grain first, then keep each customer's
+    single largest trip. The trip grain is one keyed shuffle over the
+    fact; the per-customer pick is a partitioned row_number over the
+    already-aggregated trips frame (group-limit pushdown applies), and
+    the customer-name join broadcasts. Deterministic tie-break on the
+    order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    trips = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", F.col("l_orderkey").alias("trip"))
+        .agg(
+            F.sum(net).cast("long").alias("trip_cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("trip_qty"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("trip_cents"), F.desc("trip")
+    )
+    return (
+        trips.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("trip").alias("best_order"),
+            "trip_cents",
+            "trip_qty",
+        )
+    )
+
+
+@q(
+    "tpcds_band_join_acct_tiers",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', -1000.0, 2000.0),
+               ('mid', 2000.0, 6000.0),
+               ('high', 6000.0, 100000.0)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+    GROUP BY band
+    """,
+)
+def tpcds_band_join_acct_tiers(spark, sf_dir):
+    """TPC-DS q84 shape: a chained lookup through an income-band
+    dimension — the join key is a BETWEEN range, not an equality
+    (upstream: household_demographics → income_band ib_lower_bound /
+    ib_upper_bound). The band table is a 3-row inline VALUES frame, so
+    Spark plans a BroadcastNestedLoopJoin: each fact row streams
+    through codegen against 3 broadcast rows — no shuffle, no
+    cartesian blow-up, scale-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [("low", -1000.0, 2000.0), ("mid", 2000.0, 6000.0),
+         ("high", 6000.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+
+
+@q(
+    "tpcds_cross_channel_item_intersect",
+    f"""
+    WITH sold AS (
+        SELECT o_orderstatus AS channel, l_partkey,
+               CAST(SUM({_NET_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    cross_items AS (
+        SELECT l_partkey FROM sold WHERE channel = 'O'
+        INTERSECT SELECT l_partkey FROM sold WHERE channel = 'F'
+        INTERSECT SELECT l_partkey FROM sold WHERE channel = 'P'
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS all_cents,
+               CAST(COUNT(*) AS BIGINT) AS all_n
+        FROM sold
+    )
+    SELECT channel, p_brand,
+           CAST(SUM(cents) AS BIGINT) AS brand_cents
+    FROM sold
+    JOIN part ON p_partkey = l_partkey
+    JOIN tot ON TRUE
+    WHERE l_partkey IN (SELECT l_partkey FROM cross_items)
+    GROUP BY channel, p_brand, all_cents, all_n
+    HAVING CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) * all_n > all_cents
+    """,
+)
+def tpcds_cross_channel_item_intersect(spark, sf_dir):
+    """TPC-DS q14 shape: items sold through ALL channels (a 3-way
+    INTERSECT of per-channel item sets — order status stands in for the
+    store/catalog/web split) reported per channel×brand, keeping only
+    groups above the average per-(channel, item) sales — q14's
+    ``avg_sales`` scalar gate. The gate is cross-multiplied in exact
+    integers (group_cents × total_n > total_cents) so no float division
+    can flip it; the one-row total broadcasts, the INTERSECT runs over
+    item-sized sets and semi-joins back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    sold = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_orderstatus").alias("channel"), "l_partkey")
+        .agg(F.sum(net).cast("long").alias("cents"))
+    )
+    # NOTE: no persist() — sold is recomputed for the channel branches,
+    # but a suite-entry persist would sit in the CacheManager for the
+    # session lifetime (the ADVICE-r7 leak class); the frame is an
+    # item-grain aggregate and the recompute is one cheap keyed agg.
+    chans = [
+        sold.filter(F.col("channel") == st).select("l_partkey")
+        for st in ("O", "F", "P")
+    ]
+    cross_items = chans[0].intersect(chans[1]).intersect(chans[2])
+    tot = sold.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("all_cents"),
+        F.count("*").cast("long").alias("all_n"),
+    )
+    return (
+        sold.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cross_items, "l_partkey", "left_semi")
+        .join(F.broadcast(tot))
+        .groupBy("channel", "p_brand", "all_cents", "all_n")
+        .agg(F.sum("cents").cast("long").alias("brand_cents"))
+        .filter(
+            F.col("brand_cents").cast("decimal(38,0)") * F.col("all_n")
+            > F.col("all_cents")
+        )
+        .select("channel", "p_brand", "brand_cents")
+    )
+
+
+@q(
+    "tpcds_disjunctive_branch_filter",
+    f"""
+    SELECT n_name,
+           CAST(SUM({_NET_CENTS}) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE substr(n_name, 8, 1) IN ('3', '9')
+       OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+    GROUP BY n_name
+    """,
+)
+def tpcds_disjunctive_branch_filter(spark, sf_dir):
+    """TPC-DS q15/q45 shape: a disjunction ACROSS join branches — keep
+    a row if its geography matches a literal short-list OR its item is
+    in a subquery-defined set (upstream: zip prefix list OR item id
+    list). An OR spanning two tables can't be pushed into either scan
+    and can't be a semi-join alone; the Spark-first form joins the
+    small item set as a broadcast LEFT join and evaluates the OR over
+    the marker column in codegen — no fact re-scan, no union of two
+    branches (which would double-count rows matching both arms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("__sz1_pk")
+    )
+    net = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(small),
+            F.col("l_partkey") == F.col("__sz1_pk"),
+            "left",
+        )
+        .filter(
+            F.substring("n_name", 8, 1).isin("3", "9")
+            | F.col("__sz1_pk").isNotNull()
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(net).cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+_B28 = [(1, 8), (9, 16), (17, 24), (25, 32), (33, 40), (41, 50)]
+
+
+@q(
+    "tpcds_quantity_bucket_battery",
+    "SELECT "
+    + ", ".join(
+        f"b{i}.avg_price AS b{i}_avg, b{i}.n AS b{i}_n, b{i}.nd AS b{i}_nd"
+        for i in range(1, 7)
+    )
+    + " FROM "
+    + ", ".join(
+        f"(SELECT {o_davg('l_extendedprice')} AS avg_price,"
+        f" CAST(COUNT(*) AS BIGINT) AS n,"
+        f" CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS nd"
+        f" FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}) b{i}"
+        for i, (lo, hi) in enumerate(_B28, 1)
+    ),
+)
+def tpcds_quantity_bucket_battery(spark, sf_dir):
+    """TPC-DS q28 shape: six quantity-band scalar aggregates (average
+    list price, row count, DISTINCT price count per band) cross-joined
+    into one wide row. The reference form is six separate fact scans;
+    the Spark-first rewrite is ONE scan → groupBy(band) (six groups,
+    count-distinct evaluated exactly per band in the same pass) → a
+    six-row pivot into the wide row. The oracle keeps the six-subquery
+    spelling — same values, and the plan diff is the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q_ = F.col("l_quantity")
+    band = F.lit(None).cast("int")
+    for i, (lo, hi) in reversed(list(enumerate(_B28, 1))):
+        band = F.when((q_ >= lo) & (q_ <= hi), F.lit(i)).otherwise(band)
+    g = (
+        li.withColumn("__b", band)
+        .filter(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 1000000.0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+            F.count("l_extendedprice").alias("cnt"),
+            F.countDistinct("l_extendedprice").alias("nd"),
+        )
+    )
+    cols = []
+    for i in range(1, 7):
+        hit = F.col("__b") == i
+        s = F.max(F.when(hit, F.col("s")))
+        cnt = F.max(F.when(hit, F.col("cnt")))
+        nd = F.max(F.when(hit, F.col("nd")))
+        cols.append(
+            ((s.cast("double") / 1000000.0) / cnt).alias(f"b{i}_avg")
+        )
+        # an EMPTY band yields NULL from the max-pivot but 0 from the
+        # oracle's COUNT() subquery — coalesce to the COUNT contract
+        cols.append(F.coalesce(cnt, F.lit(0)).cast("long").alias(f"b{i}_n"))
+        cols.append(F.coalesce(nd, F.lit(0)).cast("long").alias(f"b{i}_nd"))
+    return g.agg(*cols)
+
+
+@q(
+    "tpcds_cov_consecutive_months",
+    """
+    WITH monthly AS (
+        SELECT s_suppkey, s_name,
+               CAST(strftime(l_shipdate, '%Y') AS INT) * 12
+                   + CAST(strftime(l_shipdate, '%m') AS INT) - 1 AS ymi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS ss
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+        SELECT s_suppkey, s_name, ymi,
+               CAST(((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                     * n * n * 1000000)
+                    // ((CAST(n AS HUGEINT) * (n - 1)) * s * s)
+                    AS BIGINT) AS cov2_ppm
+        FROM monthly
+    )
+    SELECT m1.s_name AS s_name, m1.ymi AS ymi,
+           m1.cov2_ppm AS cov2_ppm, m2.cov2_ppm AS next_cov2_ppm
+    FROM cov m1
+    JOIN cov m2 ON m2.s_suppkey = m1.s_suppkey AND m2.ymi = m1.ymi + 1
+    WHERE m1.cov2_ppm > 250000 AND m2.cov2_ppm > 250000
+    """,
+)
+def tpcds_cov_consecutive_months(spark, sf_dir):
+    """TPC-DS q39 shape: per (supplier, month) demand dispersion — the
+    squared coefficient of variation — self-joined on month+1 to find
+    suppliers volatile in CONSECUTIVE months (upstream: warehouse/item
+    inventory stdev/mean > 1 in March AND April). cov² is computed as
+    an exact integer rational — (n·Σq² − (Σq)²)·n²·10⁶ ÷ (n(n−1)·(Σq)²)
+    — sample variance over squared mean with no sqrt and no float
+    division, decimal DIV here and HUGEINT // in DuckDB, so the
+    volatility threshold is bit-identical cross-engine. The self-join
+    is keyed on (supplier, month): one shuffle of the tiny monthly
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    qv = F.col("l_quantity").cast("long")
+    monthly = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            "s_suppkey",
+            "s_name",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("int")
+            .alias("ymi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(qv).cast("long").alias("s"),
+            F.sum(qv * qv).cast("long").alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    d = "decimal(38,0)"
+    cov = monthly.select(
+        "s_suppkey",
+        "s_name",
+        "ymi",
+        F.expr(
+            f"CAST(((CAST(n AS {d}) * ss - CAST(s AS {d}) * s)"
+            " * n * n * 1000000)"
+            f" DIV ((CAST(n AS {d}) * (n - 1)) * s * s) AS BIGINT)"
+        ).alias("cov2_ppm"),
+    )
+    m1, m2 = cov.alias("m1"), cov.alias("m2")
+    return (
+        m1.join(
+            m2,
+            (F.col("m2.s_suppkey") == F.col("m1.s_suppkey"))
+            & (F.col("m2.ymi") == F.col("m1.ymi") + 1),
+        )
+        .filter(
+            (F.col("m1.cov2_ppm") > 250000) & (F.col("m2.cov2_ppm") > 250000)
+        )
+        .select(
+            F.col("m1.s_name").alias("s_name"),
+            F.col("m1.ymi").alias("ymi"),
+            F.col("m1.cov2_ppm").alias("cov2_ppm"),
+            F.col("m2.cov2_ppm").alias("next_cov2_ppm"),
+        )
+    )
+
+
+@q(
+    "tpcds_top_regions_rollup",
+    """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+    ),
+    top_regions AS (
+        SELECT r_name
+        FROM (SELECT r_name, SUM(CAST(cents AS HUGEINT)) AS t
+              FROM rev GROUP BY 1)
+        ORDER BY t DESC, r_name LIMIT 3
+    )
+    SELECT r_name, n_name,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lochier,
+           CAST(RANK() OVER (
+               PARTITION BY GROUPING(r_name) + GROUPING(n_name),
+                            CASE WHEN GROUPING(n_name) = 0 THEN r_name END
+               ORDER BY SUM(cents) DESC, COALESCE(n_name, '')) AS INT)
+               AS rank_in_parent
+    FROM rev
+    WHERE r_name IN (SELECT r_name FROM top_regions)
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def tpcds_top_regions_rollup(spark, sf_dir):
+    """TPC-DS q70 shape: restrict the geography dimension to the top-k
+    entries chosen by a ranked subquery over the SAME fact, then ROLLUP
+    the hierarchy and rank siblings within each parent (q70's
+    lochierarchy / rank_within_parent). The top-k subquery is a TopN
+    (bounded heap, no global sort) over the region-grain aggregate and
+    semi-joins back as a broadcast; the rank windows partition by
+    grouping level so no single-partition window appears."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    top = (
+        rev.groupBy("r_name")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("t"))
+        .orderBy(F.desc("t"), "r_name")
+        .limit(3)
+        .select("r_name")
+    )
+    rolled = (
+        rev.join(F.broadcast(top), "r_name", "left_semi")
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            (F.grouping("r_name") + F.grouping("n_name"))
+            .cast("int")
+            .alias("lochier"),
+            F.when(F.grouping("n_name") == 0, F.col("r_name")).alias(
+                "__parent"
+            ),
+        )
+    )
+    w = Window.partitionBy("lochier", "__parent").orderBy(
+        F.desc("rev_cents"), F.coalesce("n_name", F.lit(""))
+    )
+    return rolled.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        "lochier",
+        F.rank().over(w).cast("int").alias("rank_in_parent"),
+    )
