@@ -123,6 +123,11 @@ HEADLINE = [
     "tpcds_worst_return_ratio_topn",
     "text_gopher_rules",
     "sql_catalog_cross_join",
+    # r8 wave 11: rank-per-category over the full rollup lattice (q67)
+    # and the returns-excluded cross-channel ratio (q78 — anti join +
+    # conditional aggregation over one cleaned scan)
+    "tpcds_rollup_rank_per_category",
+    "tpcds_returns_excluded_ratio",
 ]
 
 

@@ -156,6 +156,8 @@ _RESCHEDULED_OK = {
 #   tpcds_quantity_bucket_battery
 #   tpcds_cov_consecutive_months
 #   tpcds_top_regions_rollup
+#   tpcds_rollup_rank_per_category
+#   tpcds_returns_excluded_ratio
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -4847,3 +4847,188 @@ def tpcds_top_regions_rollup(spark, sf_dir):
         "lochier",
         F.rank().over(w).cast("int").alias("rank_in_parent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11 (round-8 continuation): the last two distinct expressible shapes —
+# rank-per-category over the FULL rollup lattice (q67) and the
+# returns-excluded cross-channel yearly ratio (q78).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpcds_rollup_rank_per_category",
+    """
+    WITH sales AS (
+        SELECT p_brand, p_type,
+               strftime(l_shipdate, '%Y') || '-Q'
+                   || CAST(quarter(l_shipdate) AS VARCHAR) AS qtr,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    rolled AS (
+        SELECT p_brand, p_type, qtr,
+               CAST(SUM(cents) AS BIGINT) AS sales_cents,
+               CAST(GROUPING(p_brand) + GROUPING(p_type) + GROUPING(qtr)
+                    AS INT) AS g_lvl
+        FROM sales
+        GROUP BY ROLLUP (p_brand, p_type, qtr)
+    )
+    SELECT p_brand, p_type, qtr, sales_cents, g_lvl, rk
+    FROM (
+        SELECT *, CAST(RANK() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY sales_cents DESC, g_lvl,
+                            COALESCE(p_type, ''), COALESCE(qtr, '')) AS INT)
+                   AS rk
+        FROM rolled
+    )
+    WHERE rk <= 10
+    """,
+)
+def tpcds_rollup_rank_per_category(spark, sf_dir):
+    """TPC-DS q67 shape: ROLLUP the full product x time hierarchy, then
+    rank EVERY lattice row (detail rows, subtotals, and the grand total
+    alike) within its top-grain category and keep the top k per
+    category (q67's ``rank() over (partition by i_category order by
+    sumsales desc) <= 100``). Differs from the q70 entry in that no
+    dimension is pre-restricted — the window runs over the whole rollup
+    output, and NULL-category rows (the grand total) form their own
+    partition exactly as q67's NULL i_category does.
+
+    Scale: one fact shuffle for the rollup partial/final agg; the
+    window input is the lattice (|brands|x|types|x|quarters| rows, dim-
+    bounded, independent of fact size), and the rk<=10 filter plans as
+    WindowGroupLimit so no partition materializes more than the frame
+    it keeps. [upstream: regression-test/suites/tpcds_sf1_p1 q67]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sales = li.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        "p_type",
+        F.concat(
+            F.date_format("l_shipdate", "yyyy"),
+            F.lit("-Q"),
+            F.quarter("l_shipdate").cast("string"),
+        ).alias("qtr"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rolled = (
+        sales.rollup("p_brand", "p_type", "qtr")
+        .agg(
+            F.sum("cents").cast("long").alias("sales_cents"),
+            (
+                F.grouping("p_brand")
+                + F.grouping("p_type")
+                + F.grouping("qtr")
+            )
+            .cast("int")
+            .alias("g_lvl"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("sales_cents"),
+        "g_lvl",
+        F.coalesce("p_type", F.lit("")),
+        F.coalesce("qtr", F.lit("")),
+    )
+    return (
+        rolled.withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select("p_brand", "p_type", "qtr", "sales_cents", "g_lvl", "rk")
+    )
+
+
+@q(
+    "tpcds_returns_excluded_ratio",
+    """
+    WITH clean AS (
+        SELECT * FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem r
+            WHERE r.l_returnflag = 'R'
+              AND r.l_orderkey = l.l_orderkey
+              AND r.l_partkey = l.l_partkey)
+    ),
+    yearly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               o_custkey AS ck,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(FLOOR(l_quantity) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS qty_primary,
+               CAST(SUM(CASE WHEN o_orderstatus <> 'F'
+                             THEN CAST(FLOOR(l_quantity) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS qty_other,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_primary
+        FROM clean JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT yr, ck, qty_primary, qty_other, cents_primary,
+           CAST((CAST(qty_other AS HUGEINT) * 1000000) // qty_primary
+                AS BIGINT) AS other_ratio_ppm
+    FROM yearly
+    WHERE qty_primary > 0
+    ORDER BY other_ratio_ppm DESC, yr, ck
+    LIMIT 100
+    """,
+)
+def tpcds_returns_excluded_ratio(spark, sf_dir):
+    """TPC-DS q78 shape: exclude every (order, part) that had ANY
+    returned line via a genuine ANTI JOIN (not a row filter — a
+    returned line knocks out the order's other lines for that part),
+    then compare per-(year, customer) volume across channels and rank
+    by the cross-channel ratio where the primary channel is non-zero.
+
+    Spark-first rewrite: upstream q78 materializes three channel
+    branches (ss/ws/cs minus their returns) and joins them at the
+    (customer, year) grain — three fact scans plus two joins. Here the
+    channel split is conditional aggregation over ONE cleaned scan
+    (channel tag = order status), so the whole query is one anti join +
+    one keyed shuffle. The ratio is an exact integer ppm (decimal DIV /
+    hugeint //, never a double product), and the top-100 is a bounded
+    TakeOrderedAndProject over a totally-ordered key.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q78]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_partkey"
+    )
+    clean = li.join(returned, ["l_orderkey", "l_partkey"], "left_anti")
+    is_primary = F.col("o_orderstatus") == "F"
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    yearly = (
+        clean.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(F.when(is_primary, qty).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("qty_primary"),
+            F.sum(F.when(~is_primary, qty).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("qty_other"),
+            F.sum(F.when(is_primary, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("cents_primary"),
+        )
+    )
+    return (
+        yearly.filter(F.col("qty_primary") > 0)
+        .withColumn(
+            "other_ratio_ppm",
+            F.expr(
+                "CAST((CAST(qty_other AS DECIMAL(38,0)) * 1000000)"
+                " DIV qty_primary AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("other_ratio_ppm"), "yr", "ck")
+        .limit(100)
+    )
