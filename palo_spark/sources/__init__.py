@@ -111,11 +111,18 @@ def broker_load(
     return table.insert(df, label=label)
 
 
-def stream_load(table: Table, batch_df: DataFrame, label: str) -> int:
+def stream_load(
+    table: Table,
+    batch_df: DataFrame,
+    label: str,
+    partial_columns: bool = False,
+) -> int:
     """Stream Load: one micro-batch committed under a mandatory label
     (the HTTP-PUT batch shape — the label is what makes client retries
-    safe)."""
-    return table.insert(batch_df, label=label)
+    safe). ``partial_columns`` mirrors the Doris 2.0 stream-load header
+    of the same name: the batch updates only the columns it carries
+    (UNIQUE key model; see ``Table.insert``)."""
+    return table.insert(batch_df, label=label, partial_columns=partial_columns)
 
 
 def insert_into(table: Table, df: DataFrame) -> int:

@@ -158,6 +158,7 @@ _RESCHEDULED_OK = {
 #   tpcds_top_regions_rollup
 #   tpcds_rollup_rank_per_category
 #   tpcds_returns_excluded_ratio
+#   table_model_partial_update
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

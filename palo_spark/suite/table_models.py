@@ -469,3 +469,53 @@ def table_model_partition_rollup(spark, sf_dir):
         F.col("dsum_o_totalprice").alias("revenue"),
         F.col("count_all").cast("bigint").alias("n"),
     )
+
+
+@q(
+    "table_model_partial_update",
+    """
+    SELECT c_custkey,
+           c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 4 = 0 THEN 'PARTIAL2'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def table_model_partial_update(spark, sf_dir):
+    """Doris 2.0 partial-column update on the UNIQUE model (stream-load
+    ``partial_columns:true``): after a full load, one batch updates ONLY
+    ``c_acctbal`` for keys %3==0 and another ONLY ``c_mktsegment`` for
+    keys %4==0 — each partial rowset stores just (key, that column), and
+    the read resolves latest-wins PER COLUMN, so a key hit by both
+    batches takes its balance from one and its segment from the other
+    while ``c_name`` always survives from the full load.
+
+    Scale: a partial load writes |keys| x |carried columns| cells — on a
+    100-column table updating 1 column writes 1 column, never a row
+    rewrite (that is the feature's entire point upstream). The merge
+    view stays ONE hash aggregate on the key; per column the argmax over
+    (carries-it ? version : -1) is codegen'd expression work. The oracle
+    states the same result positionally (each key's final cell values),
+    which is exact because double addition is the identical IEEE op in
+    both engines. [upstream: docs partial-update; fe load properties
+    ``partial_columns``]"""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    t = _fresh(spark, "uniq_partial", keys_type="UNIQUE", key_cols=["c_custkey"])
+    t.insert(c)
+    t.insert(
+        c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", (F.col("c_acctbal") + 1000.0).alias("c_acctbal")
+        ),
+        partial_columns=True,
+    )
+    t.insert(
+        c.filter(F.col("c_custkey") % 4 == 0).select(
+            "c_custkey", F.lit("PARTIAL2").alias("c_mktsegment")
+        ),
+        partial_columns=True,
+    )
+    return t.read()

@@ -17,7 +17,11 @@ Model semantics:
   uses). An optional **sequence column** (Doris
   ``function_column.sequence_col``) breaks ties *within* a version;
   without one, in-batch duplicate keys are resolved arbitrarily (same
-  contract as Doris).
+  contract as Doris). ``insert(df, partial_columns=True)`` is Doris 2.0
+  partial-column update: the batch carries keys + a subset of value
+  columns and only those are overwritten — resolution is column-wise at
+  read (newest rowset that CARRIES the column wins; a stored NULL
+  overwrites, an absent column preserves).
 - ``AGGREGATE`` — each value column carries an aggregate type:
   ``SUM | MIN | MAX | REPLACE | REPLACE_IF_NOT_NULL``; rows with equal
   keys are pre-merged. SUM/MIN/MAX are associative so batch order is
@@ -44,6 +48,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _VERSION_COL = "__palo_version"
+#: per-rowset literal listing which value columns the rowset CARRIES —
+#: the presence signal partial-column updates need (a stored NULL must
+#: overwrite, an absent column must not; post-union NULLs cannot tell
+#: those apart, a per-rowset constant can)
+_PCOLS_COL = "__palo_pcols"
 _META_FILE = "_palo_table.json"
 #: hive partition directory column for AUTO PARTITION BY RANGE tables
 AUTO_PART_COL = "_auto_part"
@@ -243,17 +252,38 @@ class Table:
 
     # -------------------------------------------------------------- writes
 
-    def insert(self, df: DataFrame, label: str | None = None) -> int:
+    def insert(
+        self,
+        df: DataFrame,
+        label: str | None = None,
+        partial_columns: bool = False,
+    ) -> int:
         """Load one batch as a new rowset; returns the committed version.
 
         ``label`` is the Stream/Broker-Load idempotency key: re-inserting
         an already-applied label is a no-op (Doris label dedup ledger).
         The write lands in a temp dir first and is committed by a single
         metadata update — a failed job leaves no visible partial rowset.
+
+        ``partial_columns=True`` is Doris 2.0 partial-column update
+        (stream-load ``partial_columns:true`` / ``UPDATE`` on the UNIQUE
+        model): the batch carries the key columns plus a SUBSET of value
+        columns, and only those columns are overwritten — every other
+        column keeps its previous value per key. The rowset stores only
+        the carried columns; resolution happens column-wise at read time
+        (see :meth:`read`), so a partial load of 2 columns on a 100-column
+        table writes 2 columns, never a row rewrite. Contract (upstream
+        parity): UNIQUE key model only, no sequence column, batches are
+        key-unique, and a partially-updated key that never had a full row
+        surfaces NULL for the columns no load ever carried.
         """
         if label is not None and label in self.meta.labels:
             return -1  # already applied — idempotent no-op
-        self._check_schema(df)
+        partial_cols: list[str] | None = None
+        if partial_columns:
+            partial_cols = self._check_partial_schema(df)
+        else:
+            self._check_schema(df)
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
         self._write_rowset(df, path)
@@ -266,6 +296,9 @@ class Table:
                 # written directory listing — free); the basis for
                 # partition-level versioning / incremental MV refresh
                 "partitions": self._labels_of(path),
+                # value columns this rowset carries, when it is a
+                # partial-column update (absent key = full-schema rowset)
+                **({"partial": partial_cols} if partial_cols else {}),
             }
         )
         if label is not None:
@@ -487,6 +520,41 @@ class Table:
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
 
+    def _check_partial_schema(self, df: DataFrame) -> list[str]:
+        """Validate a partial-column batch; returns its value columns.
+
+        Doris restricts partial update to the UNIQUE merge-on-write
+        model; the analogous restrictions here keep the column-wise merge
+        well-defined: no sequence column (a partial row carries no basis
+        for sequence comparison against columns it does not touch), and
+        no partitioned layout (a partial row may not carry the partition
+        column at all)."""
+        if self.meta.keys_type != "UNIQUE":
+            raise ValueError(
+                "partial_columns requires the UNIQUE key model (Doris "
+                f"partial update restriction); table is {self.meta.keys_type}"
+            )
+        if self.meta.sequence_col:
+            raise ValueError(
+                "partial_columns is not supported with a sequence column"
+            )
+        if self.meta.partition_by or self.meta.auto_partition:
+            raise ValueError(
+                "partial_columns is not supported on partitioned tables"
+            )
+        cols = list(df.columns)
+        missing = [c for c in self.meta.key_cols if c not in cols]
+        if missing:
+            raise ValueError(f"partial batch missing key columns: {missing}")
+        value_cols = [c for c in cols if c not in self.meta.key_cols]
+        if not value_cols:
+            raise ValueError("partial batch carries no value columns")
+        dropped = set(self.meta.schema_drops)
+        bad = [c for c in value_cols if c in dropped]
+        if bad:
+            raise ValueError(f"partial batch writes dropped columns: {bad}")
+        return sorted(value_cols)
+
     def _check_schema(self, df: DataFrame) -> None:
         cols = set(df.columns)
         missing = [c for c in self.meta.key_cols if c not in cols]
@@ -672,9 +740,29 @@ class Table:
             dfs.append(d)
         if not dfs:
             return None
+        has_partial = any(r.get("partial") for r in self.meta.rowsets)
+        if has_partial:
+            # Tag each rowset with the literal list of value columns it
+            # CARRIES (after schema changes), so the column-wise merge in
+            # read() can tell a stored NULL (present → overwrites) from a
+            # column the load never touched (absent → preserved). A
+            # per-rowset constant array — zero per-row cost, folded by
+            # Catalyst.
+            for i, d in enumerate(dfs):
+                present = [
+                    c
+                    for c in d.columns
+                    if c not in (_VERSION_COL, _PCOLS_COL, AUTO_PART_COL)
+                    and c not in self.meta.key_cols
+                ]
+                dfs[i] = d.withColumn(
+                    _PCOLS_COL, F.array(*[F.lit(c) for c in present])
+                )
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # partial rowsets lack columns by design — fill them NULL and
+            # let the presence tag disambiguate
+            out = out.unionByName(d, allowMissingColumns=has_partial)
         # Apply deferred delete predicates: a delete at version v removes
         # matching rows from rowsets with version < v only (later loads
         # are unaffected — Doris delete-version semantics). The filter is
@@ -698,12 +786,43 @@ class Table:
         raw = self._raw(partition_pred)
         if raw is None:
             raise ValueError(f"table {self.meta.name!r} has no data")
-        data_cols = [c for c in raw.columns if c != _VERSION_COL]
+        data_cols = [c for c in raw.columns if c not in (_VERSION_COL, _PCOLS_COL)]
 
         if self.meta.keys_type == "DUPLICATE":
             return raw.select(*data_cols)
 
         if self.meta.keys_type == "UNIQUE":
+            if _PCOLS_COL in raw.columns:
+                # Partial-column updates present: latest-wins is decided
+                # PER COLUMN, not per row — for each value column take the
+                # value from the newest rowset that CARRIES it. One hash
+                # aggregate on the key (same shuffle as the row-wise
+                # path); per column an argmax over (carried ? version :
+                # -1, value), so an explicit NULL in a carrying load
+                # overwrites while an absent column is invisible. Keys
+                # only ever touched partially yield NULL for columns no
+                # load carried (v stays -1) — the documented contract.
+                val_cols = [c for c in data_cols if c not in self.meta.key_cols]
+                aggs = [
+                    F.max(
+                        F.struct(
+                            F.when(
+                                F.array_contains(F.col(_PCOLS_COL), F.lit(c)),
+                                F.col(_VERSION_COL),
+                            )
+                            .otherwise(F.lit(-1))
+                            .cast("long")
+                            .alias("v"),
+                            F.col(c).alias("x"),
+                        )
+                    )["x"].alias(c)
+                    for c in val_cols
+                ]
+                return (
+                    raw.groupBy(*self.meta.key_cols)
+                    .agg(*aggs)
+                    .select(*data_cols)
+                )
             # Doris function_column.sequence_col exists to survive
             # out-of-order ingestion: the SEQUENCE VALUE decides the winner
             # across loads, with load version only as the tie-break. A later

@@ -522,3 +522,76 @@ def test_aggregate_model_randomized_vs_reference_model(spark):
             for r in t.read().collect()
         }
         assert got == ref, f"step {step}"
+
+
+# ---------------------------------------------------------- partial update
+
+
+def test_partial_update_column_wise_merge(spark):
+    """Doris 2.0 partial_columns: per-column latest-wins — a stored NULL
+    in a carrying load overwrites, an absent column preserves, and a key
+    that never had a full row surfaces NULL for never-carried columns."""
+    t = _mk(spark, "pupd", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double"))
+    t.insert(spark.createDataFrame([(1, 100.0), (2, None)],
+                                   "k long, bal double"),
+             partial_columns=True)
+    t.insert(spark.createDataFrame([(2, "B2"), (4, "d4")],
+                                   "k long, name string"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "name", "bal") == [
+        (1, "a", 100.0),   # bal overwritten, name preserved
+        (2, "B2", None),   # explicit NULL overwrote bal; later name load won
+        (3, "c", 30.0),    # untouched
+        (4, "d4", None),   # never-full key: NULL where no load carried
+    ]
+
+
+def test_partial_update_survives_compact_and_more_partials(spark):
+    t = _mk(spark, "pupd2", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                                   "k long, name string, bal double"))
+    t.insert(spark.createDataFrame([(1, 11.0)], "k long, bal double"),
+             partial_columns=True)
+    t.compact()
+    assert len(t.meta.rowsets) == 1
+    assert not any(r.get("partial") for r in t.meta.rowsets)
+    # post-compact partials start a fresh overlay on the folded base
+    t.insert(spark.createDataFrame([(2, "B")], "k long, name string"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "name", "bal") == [
+        (1, "a", 11.0), (2, "B", 20.0)]
+
+
+def test_partial_update_guards(spark):
+    dup = _mk(spark, "pupd_dup", keys_type="DUPLICATE", key_cols=["k"])
+    with pytest.raises(ValueError, match="UNIQUE key model"):
+        dup.insert(spark.createDataFrame([(1, 1.0)], "k long, bal double"),
+                   partial_columns=True)
+    seq = _mk(spark, "pupd_seq", keys_type="UNIQUE", key_cols=["k"],
+              sequence_col="s")
+    with pytest.raises(ValueError, match="sequence column"):
+        seq.insert(spark.createDataFrame([(1, 2.0)], "k long, bal double"),
+                   partial_columns=True)
+    t = _mk(spark, "pupd_g", keys_type="UNIQUE", key_cols=["k"])
+    with pytest.raises(ValueError, match="no value columns"):
+        t.insert(spark.createDataFrame([(1,)], "k long"),
+                 partial_columns=True)
+    with pytest.raises(ValueError, match="missing key columns"):
+        t.insert(spark.createDataFrame([(1.0,)], "bal double"),
+                 partial_columns=True)
+
+
+def test_partial_update_after_delete_pins_contract(spark):
+    """A delete removes the FULL row from older rowsets; a later partial
+    load on that key resurrects only its carried columns (others NULL) —
+    the documented column-wise contract at the delete boundary."""
+    t = _mk(spark, "pupd_del", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(3, "c", 30.0)],
+                                   "k long, name string, bal double"))
+    t.delete_where("k = 3")
+    t.insert(spark.createDataFrame([(3, 99.0)], "k long, bal double"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "name", "bal") == [(3, None, 99.0)]
