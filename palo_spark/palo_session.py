@@ -945,16 +945,32 @@ class PaloSession:
             for part in schema.split(","):
                 n_, ty = part.strip().split(None, 1)
                 typs[n_.lower()] = ty
+        # Doris 2.0 executes UPDATE as a partial-column load when the
+        # table is eligible: write (keys + SET columns) only — on a wide
+        # table this is the difference between rewriting every column of
+        # every matched row and writing just the touched ones. Fallback
+        # to the full-row upsert where partial updates are restricted
+        # (sequence column, partitioned layout).
+        partial_ok = (
+            not t.meta.sequence_col
+            and not t.meta.partition_by
+            and not t.meta.auto_partition
+        )
+        keys_lower = {c.lower() for c in t.meta.key_cols}
         sel = []
         for c in cur.columns:
             rhs = assigns.get(c.lower())
             if rhs is None:
+                if partial_ok and c.lower() not in keys_lower:
+                    continue  # untouched value column — not rewritten
                 sel.append(f"`{c}`")
             elif c.lower() in typs:
                 sel.append(f"CAST(({rhs}) AS {typs[c.lower()]}) AS `{c}`")
             else:
                 sel.append(f"({rhs}) AS `{c}`")
-        version = t.insert(matched.selectExpr(*sel))
+        version = t.insert(
+            matched.selectExpr(*sel), partial_columns=partial_ok
+        )
         self._refresh_view(m.group("name").lower())
         return version
 

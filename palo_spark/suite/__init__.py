@@ -159,6 +159,7 @@ _RESCHEDULED_OK = {
 #   tpcds_rollup_rank_per_category
 #   tpcds_returns_excluded_ratio
 #   table_model_partial_update
+#   table_model_delete_sign_merge
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

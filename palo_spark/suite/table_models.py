@@ -519,3 +519,60 @@ def table_model_partial_update(spark, sf_dir):
         partial_columns=True,
     )
     return t.read()
+
+
+@q(
+    "table_model_delete_sign_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 14 = 0 THEN 'BACK' ELSE c_name END AS c_name,
+           CASE WHEN c_custkey % 14 = 0 THEN 0.0
+                WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+                    THEN c_acctbal + 500.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 7 <> 0 OR c_custkey % 14 = 0
+    """,
+)
+def table_model_delete_sign_merge(spark, sf_dir):
+    """Doris batch delete via MERGE load (hidden ``__DORIS_DELETE_SIGN__``,
+    upstream ``merge_type=MERGE ... DELETE ON``): one load mixes deletes
+    (sign=1 for keys %7==0) and upserts (bal+500 for keys %5==0 not also
+    deleted) in the SAME batch; a later plain upsert resurrects the %14
+    subset of the deleted keys. The sign rides the normal UNIQUE merge —
+    the key disappears only if the deleting row wins — so batch deletes
+    cost exactly one load, no read-modify-write and no per-key delete
+    predicates (the scalable upstream path for high-QPS CDC deletes).
+
+    Scale: identical plan to any UNIQUE merge-on-read — one key shuffle,
+    the sign filter is a codegen'd predicate after the window. [upstream:
+    docs data-operate batch-delete; fe load property ``merge_type``]"""
+    from palo_spark.tables import DELETE_SIGN_COL
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = _fresh(spark, "uniq_dsign", keys_type="UNIQUE", key_cols=["c_custkey"])
+    t.insert(c)
+    k = F.col("c_custkey")
+    merge = (
+        c.filter(k % 7 == 0).select(
+            "c_custkey", "c_name", "c_acctbal", F.lit(1).alias(DELETE_SIGN_COL)
+        )
+    ).unionByName(
+        c.filter((k % 5 == 0) & (k % 7 != 0)).select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 500.0).alias("c_acctbal"),
+            F.lit(0).alias(DELETE_SIGN_COL),
+        )
+    )
+    t.insert(merge)
+    t.insert(
+        c.filter(k % 14 == 0).select(
+            "c_custkey",
+            F.lit("BACK").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    return t.read()

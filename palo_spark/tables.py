@@ -56,6 +56,10 @@ _PCOLS_COL = "__palo_pcols"
 _META_FILE = "_palo_table.json"
 #: hive partition directory column for AUTO PARTITION BY RANGE tables
 AUTO_PART_COL = "_auto_part"
+#: Doris's hidden batch-delete column (UNIQUE model MERGE loads /
+#: ``merge_type=MERGE ... DELETE ON``): a load row carrying 1 here marks
+#: its key deleted; the key disappears if that row wins the merge
+DELETE_SIGN_COL = "__DORIS_DELETE_SIGN__"
 
 KEYS_TYPES = ("DUPLICATE", "UNIQUE", "AGGREGATE")
 #: BITMAP_UNION / HLL_UNION / QUANTILE_UNION merge serialized sketch
@@ -108,6 +112,9 @@ class TableMeta:
     #: compact automatically when live rowsets exceed this (0 = manual) —
     #: Doris cumulative-compaction trigger analog, bounds read amplification
     auto_compact_rowsets: int = 0
+    #: True once any live rowset carries the hidden delete-sign column
+    #: (UNIQUE MERGE loads); reset when compaction folds the signs away
+    has_delete_sign: bool = False
     #: light schema change (Doris DROP COLUMN): final column names hidden
     #: at read — storage untouched
     schema_drops: list[str] = field(default_factory=list)
@@ -279,6 +286,28 @@ class Table:
         """
         if label is not None and label in self.meta.labels:
             return -1  # already applied — idempotent no-op
+        carries_sign = DELETE_SIGN_COL in df.columns
+        if carries_sign:
+            if self.meta.keys_type != "UNIQUE":
+                raise ValueError(
+                    f"{DELETE_SIGN_COL} requires the UNIQUE key model "
+                    "(Doris batch-delete restriction)"
+                )
+            if partial_columns:
+                raise ValueError(
+                    "a partial-column batch may not carry "
+                    f"{DELETE_SIGN_COL}"
+                )
+            if any(r.get("partial") for r in self.meta.rowsets):
+                raise ValueError(
+                    "delete-sign loads cannot mix with live partial-column "
+                    "rowsets — compact() first"
+                )
+        elif partial_columns and self.meta.has_delete_sign:
+            raise ValueError(
+                "partial-column loads cannot mix with live delete-sign "
+                "rowsets — compact() first"
+            )
         partial_cols: list[str] | None = None
         if partial_columns:
             partial_cols = self._check_partial_schema(df)
@@ -301,6 +330,8 @@ class Table:
                 **({"partial": partial_cols} if partial_cols else {}),
             }
         )
+        if carries_sign:
+            self.meta.has_delete_sign = True
         if label is not None:
             self.meta.labels.append(label)
         self._save_meta()
@@ -516,6 +547,9 @@ class Table:
             }
         ]
         self.meta.deletes = []  # folded into the rewritten rowset
+        # read() already dropped sign-deleted keys and the hidden column —
+        # the folded rowset is sign-free
+        self.meta.has_delete_sign = False
         self._save_meta()
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
@@ -737,6 +771,16 @@ class Table:
             for rc, rt in self.meta.schema_retypes.items():
                 if rc in d.columns:
                     d = d.withColumn(rc, F.col(rc).cast(rt))
+            if self.meta.has_delete_sign:
+                # rowsets loaded without the hidden sign are all-upsert
+                d = d.withColumn(
+                    DELETE_SIGN_COL,
+                    (
+                        F.col(DELETE_SIGN_COL).cast("int")
+                        if DELETE_SIGN_COL in d.columns
+                        else F.lit(0)
+                    ),
+                )
             dfs.append(d)
         if not dfs:
             return None
@@ -786,7 +830,11 @@ class Table:
         raw = self._raw(partition_pred)
         if raw is None:
             raise ValueError(f"table {self.meta.name!r} has no data")
-        data_cols = [c for c in raw.columns if c not in (_VERSION_COL, _PCOLS_COL)]
+        data_cols = [
+            c
+            for c in raw.columns
+            if c not in (_VERSION_COL, _PCOLS_COL, DELETE_SIGN_COL)
+        ]
 
         if self.meta.keys_type == "DUPLICATE":
             return raw.select(*data_cols)
@@ -832,11 +880,18 @@ class Table:
             if self.meta.sequence_col:
                 order = [F.desc(self.meta.sequence_col), F.desc(_VERSION_COL)]
             w = Window.partitionBy(*self.meta.key_cols).orderBy(*order)
-            return (
-                raw.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(*data_cols)
+            merged = raw.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
             )
+            if self.meta.has_delete_sign:
+                # Doris batch delete: the key disappears only if the
+                # DELETING row wins the merge — a delete carrying a lower
+                # sequence than the live row correctly loses and leaves
+                # the key visible
+                merged = merged.filter(
+                    F.coalesce(F.col(DELETE_SIGN_COL), F.lit(0)) != 1
+                )
+            return merged.select(*data_cols)
 
         # AGGREGATE: pre-merge value columns per key
         aggs = []

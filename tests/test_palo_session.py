@@ -815,3 +815,18 @@ def test_double_minus_is_arithmetic_through_dialect(ps):
     rows = ps.script("SELECT 1--1 AS a; SELECT 2---2 AS b")
     assert rows[0].collect()[0]["a"] == 2
     assert rows[1].collect()[0]["b"] == 0
+
+
+def test_update_writes_partial_rowset(ps):
+    """Doris 2.0 runs UPDATE as a partial-column load on eligible UNIQUE
+    tables: only (keys + SET columns) are written, untouched columns are
+    resolved column-wise at read."""
+    ps.sql("CREATE TABLE pu (`uid` BIGINT, `name` VARCHAR(10), `score` INT) UNIQUE KEY(uid) DISTRIBUTED BY HASH(uid) BUCKETS 2")
+    ps.sql("INSERT INTO pu VALUES (1,'a',10),(2,'b',20)")
+    ps.sql("UPDATE pu SET score = score * 2 WHERE uid = 1")
+    t = ps.tables["pu"]
+    last = t.meta.rowsets[-1]
+    assert last.get("partial") == ["score"], last
+    got = sorted((r["uid"], r["name"], r["score"])
+                 for r in ps.sql("SELECT * FROM pu").collect())
+    assert got == [(1, "a", 20), (2, "b", 20)]

@@ -595,3 +595,62 @@ def test_partial_update_after_delete_pins_contract(spark):
     t.insert(spark.createDataFrame([(3, 99.0)], "k long, bal double"),
              partial_columns=True)
     assert _rows(t.read(), "k", "name", "bal") == [(3, None, 99.0)]
+
+
+# ------------------------------------------------------------ delete sign
+
+
+def test_delete_sign_merge_load(spark):
+    """Doris batch delete (MERGE load, hidden __DORIS_DELETE_SIGN__):
+    a load row with sign=1 removes its key if it wins the merge; later
+    upserts resurrect the key; compaction folds signs away."""
+    from palo_spark.tables import DELETE_SIGN_COL
+    t = _mk(spark, "dsign", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   "k long, v string"))
+    t.insert(spark.createDataFrame(
+        [(2, "ignored", 1), (4, "d", 0)],
+        f"k long, v string, {DELETE_SIGN_COL} int"))
+    assert _rows(t.read(), "k", "v") == [(1, "a"), (3, "c"), (4, "d")]
+    # a later plain upsert resurrects the deleted key
+    t.insert(spark.createDataFrame([(2, "B2")], "k long, v string"))
+    assert _rows(t.read(), "k", "v") == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    t.compact()
+    assert t.meta.has_delete_sign is False
+    assert DELETE_SIGN_COL not in t.read().columns
+    assert _rows(t.read(), "k", "v") == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+def test_delete_sign_respects_sequence_col(spark):
+    """A delete carrying a LOWER sequence than the live row must lose
+    (out-of-order ingestion safety — the exact reason sequence_col
+    exists upstream)."""
+    from palo_spark.tables import DELETE_SIGN_COL
+    t = _mk(spark, "dsign_seq", keys_type="UNIQUE", key_cols=["k"],
+            sequence_col="s")
+    t.insert(spark.createDataFrame([(1, 10, "live")], "k long, s long, v string"))
+    t.insert(spark.createDataFrame(
+        [(1, 5, "stale-del", 1)],
+        f"k long, s long, v string, {DELETE_SIGN_COL} int"))
+    assert _rows(t.read(), "k", "v") == [(1, "live")]  # stale delete lost
+    t.insert(spark.createDataFrame(
+        [(1, 20, "del", 1)],
+        f"k long, s long, v string, {DELETE_SIGN_COL} int"))
+    assert t.read().count() == 0  # fresh delete won
+
+
+def test_delete_sign_guards(spark):
+    from palo_spark.tables import DELETE_SIGN_COL
+    dup = _mk(spark, "dsign_dup", keys_type="DUPLICATE", key_cols=["k"])
+    with pytest.raises(ValueError, match="UNIQUE key model"):
+        dup.insert(spark.createDataFrame(
+            [(1, 1)], f"k long, {DELETE_SIGN_COL} int"))
+    t = _mk(spark, "dsign_mix", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, "a", 1.0)],
+                                   "k long, v string, b double"))
+    t.insert(spark.createDataFrame([(1, 2.0)], "k long, b double"),
+             partial_columns=True)
+    with pytest.raises(ValueError, match="compact"):
+        t.insert(spark.createDataFrame(
+            [(1, "x", 3.0, 1)],
+            f"k long, v string, b double, {DELETE_SIGN_COL} int"))
