@@ -160,6 +160,17 @@ _RESCHEDULED_OK = {
 #   tpcds_returns_excluded_ratio
 #   table_model_partial_update
 #   table_model_delete_sign_merge
+#   tpcds_class_ratio_window
+#   tpcds_store_weekday_matrix
+#   tpcds_nonlocal_weekend_trips
+#   tpcds_return_latency_bands
+#   tpcds_state_avg_return_detail
+#   tpcds_rollup_rank_within_parent
+#   tpcds_warehouse_latency_matrix
+#   tpcds_brand_channel_union
+#   tpcds_manager_monthly_deviation
+#   tpcds_returned_qty_channel_ratio
+#   tpcds_clean_multiwarehouse_orders
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -5032,3 +5032,684 @@ def tpcds_returns_excluded_ratio(spark, sf_dir):
         .orderBy(F.desc("other_ratio_ppm"), "yr", "ck")
         .limit(100)
     )
+
+
+# ------------------------------------------------- r8 tranche, wave 12
+# The last expressible shapes: every residual upstream query that the
+# fixtures can carry (q20, q43, q46, q50, q60, q63, q81, q83, q86, q94,
+# q99). Only q24 (zip/color dims) and q91 (call-center dims) need
+# fixture columns that do not exist. All integer-exact (cents,
+# cross-multiplied comparisons, DECIMAL-DIV ppm ratios).
+
+
+@q(
+    "tpcds_class_ratio_window",
+    f"""
+    WITH pr AS (
+        SELECT p_type, p_brand, p_partkey, CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-30'
+          AND p_type IN ('PROMO', 'ECONOMY', 'STANDARD')
+        GROUP BY 1, 2, 3
+    )
+    SELECT p_type, p_brand, p_partkey, cents,
+           CAST((CAST(cents AS HUGEINT) * 1000000)
+                // SUM(cents) OVER (PARTITION BY p_type) AS BIGINT) AS ratio_ppm
+    FROM pr
+    ORDER BY p_type, ratio_ppm DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def tpcds_class_ratio_window(spark, sf_dir):
+    """TPC-DS q20: per-item revenue ratio-to-report WITHIN its class
+    over a 30-day sale window restricted to a 3-category short-list —
+    the dated, filtered variant of the q12/q98 family (which
+    ``tpcds_revenue_share`` covers undated at brand grain). The
+    ratio divides two identical integer cent sums via DECIMAL DIV, so
+    it is exact cross-engine. The date filter pushes to the fact scan
+    and the 3-type filter prunes the broadcast part side BEFORE the
+    aggregate; the window runs over the (small) per-part frame.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q20]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("PROMO", "ECONOMY", "STANDARD")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    pr = (
+        li.filter(
+            F.col("l_shipdate").between("1995-03-01", "1995-03-30")
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "p_brand", "p_partkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        pr.withColumn("cls_cents", F.sum("cents").over(w))
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)"
+                " DIV cls_cents AS BIGINT)"
+            ),
+        )
+        .select("p_type", "p_brand", "p_partkey", "cents", "ratio_ppm")
+        .orderBy("p_type", F.desc("ratio_ppm"), "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_store_weekday_matrix",
+    f"""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 1 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS mon_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 2 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS tue_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 3 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS wed_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 4 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS thu_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 5 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS fri_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 6 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS sat_cents,
+           CAST(SUM(CASE WHEN isodow(l_shipdate) = 7 THEN {_CENTS} ELSE 0 END) AS BIGINT) AS sun_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1996
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_store_weekday_matrix(spark, sf_dir):
+    """TPC-DS q43: one year of sales pivoted into a
+    store × day-of-week matrix — seven conditional cent sums in ONE
+    pass (store → supplier nation). Distinct from the q59-family
+    entries (those compare across halves/years; q43 is the plain
+    weekday pivot). ISO weekday pinned as Spark weekday()+1 = DuckDB
+    isodow. One keyed shuffle; dims broadcast.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q43]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    dow = F.weekday("l_shipdate") + 1
+
+    def day(name, d):
+        return (
+            F.sum(F.when(dow == d, cents).otherwise(0)).cast("long").alias(name)
+        )
+
+    return (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            day("mon_cents", 1),
+            day("tue_cents", 2),
+            day("wed_cents", 3),
+            day("thu_cents", 4),
+            day("fri_cents", 5),
+            day("sat_cents", 6),
+            day("sun_cents", 7),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_nonlocal_weekend_trips",
+    f"""
+    SELECT c_name, sn.n_name AS bought_nation, o_orderkey,
+           CAST(SUM({_CENTS}) AS BIGINT) AS amt_cents,
+           CAST(SUM({_NET_CENTS}) AS BIGINT) AS net_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE isodow(o_orderdate) IN (6, 7)
+      AND s_nationkey <> c_nationkey
+    GROUP BY c_name, sn.n_name, o_orderkey
+    ORDER BY c_name, o_orderkey, bought_nation
+    LIMIT 100
+    """,
+)
+def tpcds_nonlocal_weekend_trips(spark, sf_dir):
+    """TPC-DS q46: weekend shopping trips where the purchase locality
+    differs from the customer's home — trip grain (order, customer,
+    bought-nation), amount + net per trip, home≠bought as a join-time
+    predicate (trip → order, city → nation). One fact shuffle to the
+    trip grain; customer/supplier dims broadcast; the weekend filter
+    prunes at the orders scan. [upstream:
+    regression-test/suites/tpcds_sf1_p1 q46]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(
+            o.filter((F.weekday("o_orderdate") + 1).isin(6, 7)),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "c_name", F.col("n_name").alias("bought_nation"), "o_orderkey"
+        )
+        .agg(
+            F.sum(cents).cast("long").alias("amt_cents"),
+            F.sum(net).cast("long").alias("net_cents"),
+        )
+        .orderBy("c_name", "o_orderkey", "bought_nation")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_return_latency_bands",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lat > 90 AND lat <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lat > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+    FROM (
+        SELECT n_name, date_diff('day', o_orderdate, l_shipdate) AS lat
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE l_returnflag = 'R'
+    ) t
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_return_latency_bands(spark, sf_dir):
+    """TPC-DS q50: RETURNED items banded by days between the sale and
+    the return event, per store (supplier nation), five 30-day bands
+    as conditional counts in one pass. Distinct from
+    ``tpcds_ship_latency_bands`` (q62: all lines, priority grain, four
+    bands). The returnflag filter pushes to the fact scan.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q50]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(name, cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_name", lat.alias("lat"))
+        .groupBy("n_name")
+        .agg(
+            band("d30", F.col("lat") <= 30),
+            band("d60", (F.col("lat") > 30) & (F.col("lat") <= 60)),
+            band("d90", (F.col("lat") > 60) & (F.col("lat") <= 90)),
+            band("d120", (F.col("lat") > 90) & (F.col("lat") <= 120)),
+            band("d120p", F.col("lat") > 120),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "tpcds_state_avg_return_detail",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS ret_cents
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE l_returnflag = 'R'
+          AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1, 2, 3
+    ),
+    nat AS (
+        SELECT c_nationkey AS nk,
+               CAST(SUM(ret_cents) AS BIGINT) AS nat_cents,
+               CAST(COUNT(*) AS BIGINT) AS nat_n
+        FROM per_cust GROUP BY 1
+    )
+    SELECT c_name, n_name, ret_cents
+    FROM per_cust
+    JOIN nat    ON nk = c_nationkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE ret_cents * nat_n * 10 > nat_cents * 12
+    ORDER BY c_name
+    LIMIT 100
+    """,
+)
+def tpcds_state_avg_return_detail(spark, sf_dir):
+    """TPC-DS q81: customer DETAIL (name + geography) for customers
+    whose one-year return total exceeds 1.2× their state's average —
+    the q1/q30 correlated-average family finished with the address
+    join upstream q81 adds. Distinct from
+    ``tpcds_above_nation_avg_returns`` (q1: undated, keys-only
+    output). Comparison cross-multiplied into exact integers; the
+    per-nation frame broadcasts. [upstream:
+    regression-test/suites/tpcds_sf1_p1 q81]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    per_cust = (
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1995)
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(cents).cast("long").alias("ret_cents"))
+    )
+    nat = per_cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.sum("ret_cents").cast("long").alias("nat_cents"),
+        F.count("*").cast("long").alias("nat_n"),
+    )
+    return (
+        per_cust.join(F.broadcast(nat), F.col("nk") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(
+            F.col("ret_cents") * F.col("nat_n") * 10 > F.col("nat_cents") * 12
+        )
+        .select("c_name", "n_name", "ret_cents")
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_rollup_rank_within_parent",
+    f"""
+    WITH g AS (
+        SELECT p_type, p_brand,
+               CAST(GROUPING(p_type) + GROUPING(p_brand) AS INT)
+                   AS lochierarchy,
+               GROUPING(p_brand) AS gb,
+               CAST(SUM({_NET_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY ROLLUP (p_type, p_brand)
+    )
+    SELECT COALESCE(p_type, '<all>') AS p_type,
+           COALESCE(p_brand, '<all>') AS p_brand,
+           lochierarchy, cents,
+           CAST(RANK() OVER (
+                    PARTITION BY lochierarchy,
+                                 CASE WHEN gb = 0 THEN p_type END
+                    ORDER BY cents DESC, p_brand) AS INT) AS rnk
+    FROM g
+    ORDER BY lochierarchy DESC, p_type, p_brand
+    """,
+)
+def tpcds_rollup_rank_within_parent(spark, sf_dir):
+    """TPC-DS q86: the ROLLUP lattice ranked WITHIN EACH PARENT — the
+    rank partition is (lochierarchy, parent key), so detail rows rank
+    among siblings of the same class and subtotals rank among
+    subtotals, exactly upstream's CASE-keyed PARTITION BY. Distinct
+    from ``tpcds_grouping_margin_rank`` (q36: rank within level only)
+    and q70 (dim-restricted). REPEAT fan-out happens after partial
+    agg; the window input is the (small) lattice.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q86]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    g = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.sum(net).cast("long").alias("cents"),
+            (F.grouping("p_type") + F.grouping("p_brand"))
+            .cast("int")
+            .alias("lochierarchy"),
+            F.grouping("p_brand").alias("gb"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("gb") == 0, F.col("p_type")),
+    ).orderBy(F.desc("cents"), "p_brand")
+    return (
+        g.select(
+            F.coalesce("p_type", F.lit("<all>")).alias("p_type"),
+            F.coalesce("p_brand", F.lit("<all>")).alias("p_brand"),
+            "lochierarchy",
+            "cents",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .orderBy(F.desc("lochierarchy"), "p_type", "p_brand")
+    )
+
+
+@q(
+    "tpcds_warehouse_latency_matrix",
+    """
+    SELECT n_name AS warehouse, o_orderpriority AS ship_mode,
+           CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lat > 90 AND lat <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lat > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+    FROM (
+        SELECT n_name, o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate) AS lat
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+    ) t
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def tpcds_warehouse_latency_matrix(spark, sf_dir):
+    """TPC-DS q99: one year of fulfilment latency banded per
+    (warehouse, ship mode) — warehouse → supplier nation, ship mode →
+    order priority — five 30-day bands at a TWO-dimension grain.
+    Distinct from q62 (priority only, undated) and q50 (returns,
+    store grain). One conditional-aggregate pass; dims broadcast.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q99]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(name, cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("warehouse"),
+            F.col("o_orderpriority").alias("ship_mode"),
+            lat.alias("lat"),
+        )
+        .groupBy("warehouse", "ship_mode")
+        .agg(
+            band("d30", F.col("lat") <= 30),
+            band("d60", (F.col("lat") > 30) & (F.col("lat") <= 60)),
+            band("d90", (F.col("lat") > 60) & (F.col("lat") <= 90)),
+            band("d120", (F.col("lat") > 90) & (F.col("lat") <= 120)),
+            band("d120p", F.col("lat") > 120),
+        )
+        .orderBy("warehouse", "ship_mode")
+    )
+
+
+@q(
+    "tpcds_brand_channel_union",
+    f"""
+    WITH ch AS (
+        SELECT p_brand, {_CENTS} AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+          AND CAST(strftime(l_shipdate, '%m') AS INT) = 9
+          AND l_linenumber % 3 = 0
+        UNION ALL
+        SELECT p_brand, {_CENTS} AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+          AND CAST(strftime(l_shipdate, '%m') AS INT) = 9
+          AND l_linenumber % 3 = 1
+        UNION ALL
+        SELECT p_brand, {_CENTS} AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+          AND CAST(strftime(l_shipdate, '%m') AS INT) = 9
+          AND l_linenumber % 3 = 2
+    )
+    SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM ch
+    GROUP BY p_brand
+    ORDER BY total_cents DESC, p_brand
+    LIMIT 100
+    """,
+)
+def tpcds_brand_channel_union(spark, sf_dir):
+    """TPC-DS q60: one month's revenue for a category short-list,
+    summed PER BRAND ACROSS three channels — upstream's three channel
+    CTEs UNION ALLed then re-aggregated (channel → line-number ring,
+    as the other channel entries simulate it). Each branch pushes the
+    same category/date filter; Catalyst re-uses the broadcast part
+    side across branches. Distinct from q33/q56
+    (``tpcds_category_cross_channel``: per-part, channels as columns)
+    — q60 is the union-then-reaggregate shape at brand grain.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q60]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    base = li.filter(
+        (F.year("l_shipdate") == 1995) & (F.month("l_shipdate") == 9)
+    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+
+    def channel(i):
+        return base.filter(F.col("l_linenumber") % 3 == i).select(
+            "p_brand", cents.alias("cents")
+        )
+
+    ch = channel(0).unionAll(channel(1)).unionAll(channel(2))
+    return (
+        ch.groupBy("p_brand")
+        .agg(F.sum("cents").cast("long").alias("total_cents"))
+        .orderBy(F.desc("total_cents"), "p_brand")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_manager_monthly_deviation",
+    f"""
+    WITH m AS (
+        SELECT p_size AS mgr,
+               CAST(strftime(l_shipdate, '%m') AS INT) AS moy,
+               CAST(SUM({_NET_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT mgr, CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nm
+        FROM m GROUP BY 1
+    )
+    SELECT m.mgr, moy, cents,
+           CAST((CAST(tot AS HUGEINT) * 1000000) // nm AS BIGINT)
+               AS avg_monthly_micro
+    FROM m JOIN a ON m.mgr = a.mgr
+    WHERE cents * nm * 10 > tot * 11 OR cents * nm * 10 < tot * 9
+    ORDER BY m.mgr, moy
+    """,
+)
+def tpcds_manager_monthly_deviation(spark, sf_dir):
+    """TPC-DS q63: months where a manager's sales deviate more than
+    10% from that manager's monthly average over the year (manager →
+    p_size, an integer id like upstream's i_manager_id). The
+    correlated AVG decorrelates into a per-manager re-aggregate of the
+    per-month frame; |dev| > 0.1·avg cross-multiplies into exact
+    integers (cents·n vs tot·1.1 and ·0.9). Distinct from q53/q89
+    (quarter grain vs 1.1× only). Two tiny post-agg shuffles.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q63]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    m = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_size").alias("mgr"),
+            F.month("l_shipdate").cast("int").alias("moy"),
+        )
+        .agg(F.sum(net).cast("long").alias("cents"))
+    )
+    a = m.groupBy(F.col("mgr").alias("amgr")).agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nm"),
+    )
+    dev = (F.col("cents") * F.col("nm") * 10 > F.col("tot") * 11) | (
+        F.col("cents") * F.col("nm") * 10 < F.col("tot") * 9
+    )
+    return (
+        m.join(F.broadcast(a), F.col("amgr") == F.col("mgr"))
+        .filter(dev)
+        .withColumn(
+            "avg_monthly_micro",
+            F.expr(
+                "CAST((CAST(tot AS DECIMAL(38,0)) * 1000000)"
+                " DIV nm AS BIGINT)"
+            ),
+        )
+        .select("mgr", "moy", "cents", "avg_monthly_micro")
+        .orderBy("mgr", "moy")
+    )
+
+
+@q(
+    "tpcds_returned_qty_channel_ratio",
+    """
+    WITH r AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CASE WHEN l_linenumber % 3 = 0
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN l_linenumber % 3 = 1
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN l_linenumber % 3 = 2
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q2
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+        GROUP BY 1
+    )
+    SELECT partkey, q0, q1, q2,
+           CAST((CAST(q0 AS HUGEINT) * 3000000) // (q0 + q1 + q2) AS BIGINT)
+               AS r0_ppm,
+           CAST((CAST(q1 AS HUGEINT) * 3000000) // (q0 + q1 + q2) AS BIGINT)
+               AS r1_ppm,
+           CAST((CAST(q2 AS HUGEINT) * 3000000) // (q0 + q1 + q2) AS BIGINT)
+               AS r2_ppm
+    FROM r
+    WHERE q0 > 0 AND q1 > 0 AND q2 > 0
+    ORDER BY partkey
+    LIMIT 100
+    """,
+)
+def tpcds_returned_qty_channel_ratio(spark, sf_dir):
+    """TPC-DS q83: items returned in ALL THREE channels in the same
+    season, each channel's returned quantity as a share of a third of
+    the total (upstream's ``qty/((sr+cr+wr)/3)·100``, here exact
+    integer ppm of the third). Upstream's three-CTE three-way item
+    join collapses Spark-first into ONE conditional aggregate with an
+    all-channels-present HAVING — one fact pass instead of three scans
+    and two joins. [upstream: regression-test/suites/tpcds_sf1_p1 q83]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+
+    def ch(name, i):
+        return (
+            F.sum(F.when(F.col("l_linenumber") % 3 == i, qty).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    r = (
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1995)
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(ch("q0", 0), ch("q1", 1), ch("q2", 2))
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    for i in range(3):
+        r = r.withColumn(
+            f"r{i}_ppm",
+            F.expr(
+                f"CAST((CAST(q{i} AS DECIMAL(38,0)) * 3000000)"
+                " DIV (q0 + q1 + q2) AS BIGINT)"
+            ),
+        )
+    return r.orderBy("partkey").limit(100)
+
+
+@q(
+    "tpcds_clean_multiwarehouse_orders",
+    f"""
+    WITH per_o AS (
+        SELECT l_orderkey AS ok,
+               COUNT(DISTINCT s_nationkey) AS nw,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+               CAST(SUM({_CENTS}) AS BIGINT) AS cents
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM per_o JOIN orders ON o_orderkey = ok
+    WHERE nw >= 2 AND nr = 0
+      AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-01'
+    """,
+)
+def tpcds_clean_multiwarehouse_orders(spark, sf_dir):
+    """TPC-DS q94: orders in a 60-day window shipped from MORE THAN
+    ONE warehouse (EXISTS a sibling line from a different site) with
+    NO return (NOT EXISTS) — both correlated predicates decorrelated
+    into ONE per-order aggregate (distinct-warehouse count ≥ 2, zero
+    returned lines), then the order-count/value rollup. Same
+    decorrelation family as q95/q21 (``tpcds_multi_supplier_returned_
+    orders``: ≥3 suppliers AND returned — q94 is the complement:
+    multi-site AND clean). Scalar output; one fact shuffle.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q94]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    per_o = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.countDistinct("s_nationkey").alias("nw"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("nr"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .filter((F.col("nw") >= 2) & (F.col("nr") == 0))
+    )
+    return (
+        o.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-03-01")
+        )
+        .join(per_o, F.col("o_orderkey") == F.col("ok"), "inner")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
