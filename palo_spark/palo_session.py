@@ -955,6 +955,9 @@ class PaloSession:
             not t.meta.sequence_col
             and not t.meta.partition_by
             and not t.meta.auto_partition
+            # partial rowsets may not mix with live delete-sign rowsets
+            # (Table.insert would refuse) — fall back to full-row upsert
+            and not t.meta.has_delete_sign
         )
         keys_lower = {c.lower() for c in t.meta.key_cols}
         sel = []

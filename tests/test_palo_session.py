@@ -830,3 +830,20 @@ def test_update_writes_partial_rowset(ps):
     got = sorted((r["uid"], r["name"], r["score"])
                  for r in ps.sql("SELECT * FROM pu").collect())
     assert got == [(1, "a", 20), (2, "b", 20)]
+
+
+def test_update_falls_back_after_delete_sign_load(ps):
+    """UPDATE on a table with live delete-sign rowsets must fall back to
+    the full-row upsert (a partial load would be refused)."""
+    from palo_spark.tables import DELETE_SIGN_COL
+    ps.sql("CREATE TABLE pu2 (`uid` BIGINT, `name` VARCHAR(10), `score` INT) UNIQUE KEY(uid) DISTRIBUTED BY HASH(uid) BUCKETS 2")
+    ps.sql("INSERT INTO pu2 VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    t = ps.tables["pu2"]
+    t.insert(t.read().sparkSession.createDataFrame(
+        [(3, "x", 0, 1)],
+        f"uid long, name string, score int, {DELETE_SIGN_COL} int"))
+    ps.sql("UPDATE pu2 SET score = score + 1 WHERE uid = 1")
+    assert t.meta.rowsets[-1].get("partial") is None  # full-row path
+    got = sorted((r["uid"], r["score"])
+                 for r in ps.sql("SELECT * FROM pu2").collect())
+    assert got == [(1, 11), (2, 20)]
