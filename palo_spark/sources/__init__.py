@@ -116,12 +116,36 @@ def stream_load(
     batch_df: DataFrame,
     label: str,
     partial_columns: bool = False,
+    merge_type: str = "APPEND",
+    delete_on: str | None = None,
 ) -> int:
     """Stream Load: one micro-batch committed under a mandatory label
     (the HTTP-PUT batch shape — the label is what makes client retries
     safe). ``partial_columns`` mirrors the Doris 2.0 stream-load header
     of the same name: the batch updates only the columns it carries
-    (UNIQUE key model; see ``Table.insert``)."""
+    (UNIQUE key model; see ``Table.insert``).
+
+    ``merge_type`` mirrors the upstream header [upstream: docs
+    data-operate batch-delete]: ``APPEND`` (default) loads rows as-is;
+    ``DELETE`` marks EVERY batch row a delete; ``MERGE`` requires
+    ``delete_on`` (a boolean SQL expression over the batch columns) and
+    stamps the hidden delete-sign from it, so one batch mixes upserts
+    and deletes. Sign semantics (sequence-aware merge, compaction
+    fold-away) live in ``Table`` — this is just the header-to-column
+    translation the upstream FE performs."""
+    from palo_spark.tables import DELETE_SIGN_COL
+
+    mt = merge_type.upper()
+    if mt not in ("APPEND", "DELETE", "MERGE"):
+        raise ValueError("merge_type must be APPEND, DELETE or MERGE")
+    if (delete_on is not None) != (mt == "MERGE"):
+        raise ValueError("delete_on is required for MERGE and only MERGE")
+    if mt == "DELETE":
+        batch_df = batch_df.withColumn(DELETE_SIGN_COL, F.lit(1))
+    elif mt == "MERGE":
+        batch_df = batch_df.withColumn(
+            DELETE_SIGN_COL, F.expr(delete_on).cast("int")
+        )
     return table.insert(batch_df, label=label, partial_columns=partial_columns)
 
 

@@ -390,3 +390,30 @@ def test_routine_load_kill_between_table_and_checkpoint_commit(spark):
     _land(spark.createDataFrame([Row(k=102, v=3.0)]), incoming, "f3")
     routine_load(spark, incoming, schema, t, ckpt2)
     assert t.read().count() == 13
+
+
+def test_stream_load_merge_type_delete_on(spark):
+    """Upstream merge_type header translation: MERGE stamps the hidden
+    delete sign from the delete_on expression; DELETE marks every row;
+    guards pin the header contract."""
+    import pytest as _pytest
+
+    t = Table(spark, "sl_merge", "UNIQUE", ["k"], location=_dir("sl_merge_tbl"))
+    rows = [Row(k=i, v=f"v{i}") for i in range(6)]
+    stream_load(t, spark.createDataFrame(rows), "m-0")
+    # MERGE: even keys deleted, odd keys upserted, in ONE batch
+    batch = spark.createDataFrame([Row(k=i, v=f"w{i}") for i in range(6)])
+    stream_load(t, batch, "m-1", merge_type="MERGE", delete_on="k % 2 = 0")
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "w1"), (3, "w3"), (5, "w5")]
+    # DELETE: every batch row is a delete
+    stream_load(
+        t, spark.createDataFrame([Row(k=1, v="x")]), "m-2", merge_type="DELETE"
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 5]
+    with _pytest.raises(ValueError, match="delete_on"):
+        stream_load(t, batch, "m-3", merge_type="MERGE")
+    with _pytest.raises(ValueError, match="delete_on"):
+        stream_load(t, batch, "m-4", delete_on="k = 1")
+    with _pytest.raises(ValueError, match="merge_type"):
+        stream_load(t, batch, "m-5", merge_type="UPSERT")
