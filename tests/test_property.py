@@ -300,3 +300,56 @@ def test_chunk_window_math(n_tokens, size, overlap):
         assert chunk == ref
         covered.update(chunk)
     assert covered == set(range(n))  # every token in some chunk
+
+
+def test_unique_delete_sign_matches_dict_model(spark, tmp_path):
+    """Randomized MERGE-load sequences (rows randomly carrying the hidden
+    delete sign) vs a dict reference: the winning (seq, version) row's
+    sign decides visibility; compaction at random points must not change
+    the visible state. Seeded sweep, same rationale as
+    test_unique_table_matches_dict_model."""
+    import random
+
+    from pyspark.sql import Row
+
+    from palo_spark.tables import DELETE_SIGN_COL, Table
+
+    rng = random.Random(4321)
+    t = Table(
+        spark, "prop_dsign", "UNIQUE", ["k"], sequence_col="seq",
+        location=str(tmp_path / "t"),
+    )
+    model: dict[int, tuple] = {}  # k -> (seq, version, payload, sign)
+    for version in range(1, 7):
+        in_batch: dict[int, tuple] = {}
+        for _ in range(rng.randint(1, 12)):
+            k = rng.randint(0, 7)
+            seq = rng.randint(0, 5)
+            sign = rng.randint(0, 4) == 0  # ~20% deletes
+            in_batch[k] = (k, seq, f"v{version}-{rng.randint(0, 99)}", sign)
+        batch = list(in_batch.values())
+        t.insert(
+            spark.createDataFrame(
+                [
+                    Row(k=k, seq=s, x=p, **{DELETE_SIGN_COL: int(g)})
+                    for k, s, p, g in batch
+                ]
+            )
+        )
+        for k, s, p, g in batch:
+            cur = model.get(k)
+            if cur is None or (s, version) >= (cur[0], cur[1]):
+                model[k] = (s, version, p, g)
+        if rng.random() < 0.3:
+            t.compact()
+            assert t.meta.has_delete_sign is False
+            # compaction folds away defeated rows: the model keeps only
+            # visible keys, whose sign is now implicitly 0
+            model = {
+                k: (s, v, p, False)
+                for k, (s, v, p, g) in model.items()
+                if not g
+            }
+    got = {r["k"]: (r["seq"], r["x"]) for r in t.read().collect()}
+    want = {k: (s, p) for k, (s, v, p, g) in model.items() if not g}
+    assert got == want
