@@ -190,7 +190,10 @@ def tfidf_top_terms(
     # size); the alternative — a one-row crossJoin carrying N — would
     # keep laziness but add a broadcast stage for zero runtime benefit.
     n_docs = terms.agg(F.countDistinct(id_col)).first()[0]
-    dfreq = terms.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    # terms is unique on (id, term) after its groupBy, so document
+    # frequency is a plain COUNT — countDistinct here would re-run the
+    # two-phase distinct machinery for a set that is distinct already
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = terms.join(dfreq, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
     )
