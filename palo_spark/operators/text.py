@@ -992,8 +992,10 @@ def bm25_scores(
         (F.sum("dl").cast("double") / F.count(id_col)).alias("avgdl"),
     )
     qtf = tf_tab.filter(F.col("term").isin(q))
+    # tf_tab is unique on (id, term) after its groupBy, so document
+    # frequency is a plain COUNT (same reasoning as tfidf_top_terms)
     dfq = qtf.groupBy("term").agg(
-        F.countDistinct(id_col).cast("double").alias("dft")
+        F.count("*").cast("double").alias("dft")
     )
     part = (
         qtf.join(F.broadcast(dfq), "term")
