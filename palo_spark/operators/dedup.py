@@ -264,25 +264,40 @@ def dedup_minhash(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_k).alias("__sh")
     )
     sig = sh.select(
-        "__id", "__sh", minhash_signature(F.col("__sh"), n_hashes).alias("__sig")
+        "__id", minhash_signature(F.col("__sh"), n_hashes).alias("__sig")
     )
     # the signature feeds BOTH sides of the bucket self-join (and the
     # shingle sets feed the verify join): without a persist the whole
     # shingle→64-hash pipeline is recomputed per branch — measured 2.4×
     # slower. MEMORY_AND_DISK: spills instead of OOMing at scale; the
     # sketch (64 longs/doc) is tiny next to the corpus it indexes.
+    # ``sig`` deliberately does NOT carry ``__sh``: the shingle arrays
+    # are the heaviest column and live in ``sh``'s cache already —
+    # carrying them here would double-cache the corpus's dominant bytes.
     # Tracked in operators.cache — callers release via release_persisted().
     sh = _persist(sh, "dedup_minhash")
     sig = _persist(sig, "dedup_minhash")
+    # with exact verification the bucket self-join needs only (id, band,
+    # bucket-hash) — shuffling the 64-long signatures through the join
+    # (both sides × ``bands`` rows each) would multiply shuffle volume
+    # for columns the verify path never reads; only the estimated-
+    # Jaccard path carries them
+    sig_cols = [] if verify_exact else ["__sig"]
     buckets = sig.select(
-        "__id", "__sig", F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
-    ).select("__id", "__sig", F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
+        "__id", *sig_cols, F.explode(_band_hash(F.col("__sig"), bands, rows_per_band)).alias("__b")
+    ).select("__id", *sig_cols, F.col("__b.band").alias("__band"), F.col("__b.bh").alias("__bh"))
 
     left = buckets.select(
-        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "__band", "__bh"
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias("sig_a") for c in sig_cols],
+        "__band",
+        "__bh",
     )
     right = buckets.select(
-        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "__band", "__bh"
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias("sig_b") for c in sig_cols],
+        "__band",
+        "__bh",
     )
     pairs = (
         left.join(right, on=["__band", "__bh"])
