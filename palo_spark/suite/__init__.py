@@ -171,6 +171,8 @@ _RESCHEDULED_OK = {
 #   tpcds_manager_monthly_deviation
 #   tpcds_returned_qty_channel_ratio
 #   tpcds_clean_multiwarehouse_orders
+#   tpcds_own_zip_color_returns
+#   tpcds_call_center_demographic_loss
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -5713,3 +5713,124 @@ def tpcds_clean_multiwarehouse_orders(spark, sf_dir):
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@q(
+    "tpcds_own_zip_color_returns",
+    f"""
+    WITH ssales AS (
+        SELECT c_name, s_name, split_part(p_name, ' ', 1) AS color,
+               CAST(SUM({_NET_CENTS}) AS BIGINT) AS paid_cents
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE l_returnflag = 'R' AND s_nationkey = c_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    st AS (
+        SELECT CAST(SUM(paid_cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ssales
+    )
+    SELECT c_name, s_name, color, paid_cents
+    FROM ssales, st
+    WHERE paid_cents * n * 100 > tot * 5
+    ORDER BY c_name, s_name, color
+    LIMIT 100
+    """,
+)
+def tpcds_own_zip_color_returns(spark, sf_dir):
+    """TPC-DS q24: returns of items bought from a LOCAL store (upstream
+    ``s_zip = ca_zip`` → supplier and customer share a nation), summed
+    per (customer, store, item COLOR), keeping groups above 5% of the
+    average group's paid value. The color dimension is genuine TPC-H:
+    ``p_name`` is built from the TPC-H color-word list, so its first
+    word plays upstream's ``i_color`` honestly. The correlated scalar
+    (0.05·avg over the CTE) decorrelates into a one-row aggregate
+    cross-joined in (broadcast, scale-free); comparison
+    cross-multiplied into exact integers.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q24]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    ssales = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "c_name",
+            "s_name",
+            F.split(F.col("p_name"), " ")[0].alias("color"),
+        )
+        .agg(F.sum(net).cast("long").alias("paid_cents"))
+    )
+    st = ssales.agg(
+        F.sum("paid_cents").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        ssales.crossJoin(F.broadcast(st))
+        .filter(F.col("paid_cents") * F.col("n") * 100 > F.col("tot") * 5)
+        .select("c_name", "s_name", "color", "paid_cents")
+        .orderBy("c_name", "s_name", "color")
+        .limit(100)
+    )
+
+
+@q(
+    "tpcds_call_center_demographic_loss",
+    f"""
+    SELECT o_orderpriority AS call_center,
+           CAST(SUM({_NET_CENTS}) AS BIGINT) AS returns_loss
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE l_returnflag = 'R'
+      AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+      AND CAST(strftime(l_shipdate, '%m') AS INT) = 11
+      AND ((c_mktsegment = 'BUILDING'  AND c_acctbal < 0)
+        OR (c_mktsegment = 'MACHINERY' AND c_acctbal >= 5000))
+    GROUP BY 1
+    ORDER BY returns_loss DESC, call_center
+    """,
+)
+def tpcds_call_center_demographic_loss(spark, sf_dir):
+    """TPC-DS q91: one month's return loss per call center for an
+    OR-battery of two demographic profiles — call center → order
+    priority (the service-channel dim the fixtures carry), and
+    upstream's (marital, education) pairs → (market segment,
+    balance band) pairs, the same synthetic-demographic convention the
+    q35/q69 battery uses. The disjunction is a row filter ahead of one
+    keyed aggregate; loss in exact integer cents.
+    [upstream: regression-test/suites/tpcds_sf1_p1 q91]"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    demo = (
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0)
+    ) | ((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") >= 5000))
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1995)
+            & (F.month("l_shipdate") == 11)
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.filter(demo), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("o_orderpriority").alias("call_center"))
+        .agg(F.sum(net).cast("long").alias("returns_loss"))
+        .orderBy(F.desc("returns_loss"), "call_center")
+    )
