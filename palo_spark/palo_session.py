@@ -321,6 +321,11 @@ _MATCH_PRED_RE = re.compile(
 
 _FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
 
+_CREATE_LIKE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
+    r"LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_CATALOG_RE = re.compile(
     r"CREATE\s+CATALOG\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
     r"PROPERTIES\s*\(\s*(?P<props>.*?)\s*\)\s*$",
@@ -500,6 +505,43 @@ class PaloSession:
         t._declared_schema = ", ".join(f"{n} {st}" for n, st, _, _ in cols)  # type: ignore[attr-defined]
         self.tables[name.lower()] = t
         return t
+
+    def _create_table_like(
+        self, name: str, src: str, if_not_exists: bool
+    ) -> Table | None:
+        """Doris ``CREATE TABLE x LIKE y``: a new EMPTY table with the
+        source's full layout — key model, key columns, aggregate spec,
+        sequence column, auto-partitioning, and hash distribution — but
+        none of its data or rowset history. [docs: sql-statements
+        CREATE-TABLE-LIKE]"""
+        if name.lower() in self.tables:
+            if if_not_exists:
+                return None
+            raise ValueError(f"table {name!r} already exists")
+        t = self._table(src)
+        kw: dict = {}
+        if self.location_root:
+            kw["location"] = f"{self.location_root}/{name}"
+        if t.meta.auto_partition:
+            ap = t.meta.auto_partition
+            kw["auto_partition"] = (ap["col"], ap["granularity"])
+        if t.meta.dist_cols:
+            kw["dist_cols"] = list(t.meta.dist_cols)
+            kw["buckets"] = t.meta.buckets
+        new = Table(
+            self.spark,
+            name,
+            keys_type=t.meta.keys_type,
+            key_cols=list(t.meta.key_cols),
+            agg_spec=dict(t.meta.agg_spec) or None,
+            sequence_col=t.meta.sequence_col,
+            **kw,
+        )
+        schema = getattr(t, "_declared_schema", None)
+        if schema is not None:
+            new._declared_schema = schema  # type: ignore[attr-defined]
+        self.tables[name.lower()] = new
+        return new
 
     # ------------------------------------------------------------- DML
 
@@ -999,6 +1041,11 @@ class PaloSession:
         stripped = text.strip()
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
+            lk = _CREATE_LIKE_RE.match(stripped)
+            if lk:
+                return self._create_table_like(
+                    lk.group("name"), lk.group("src"), bool(lk.group("ine"))
+                )
             cm = _CTAS_RE.match(stripped)
             if cm and "(" not in stripped[: cm.start("body")]:
                 df = self.sql(cm.group("body"))

@@ -847,3 +847,27 @@ def test_update_falls_back_after_delete_sign_load(ps):
     got = sorted((r["uid"], r["score"])
                  for r in ps.sql("SELECT * FROM pu2").collect())
     assert got == [(1, 11), (2, 20)]
+
+
+def test_create_table_like(ps):
+    """Doris CREATE TABLE LIKE: a new empty table with the source's
+    layout (key model, keys, sequence col, distribution) and none of
+    its data."""
+    import pytest as _pytest
+    ps.sql("CREATE TABLE src_like (`k` BIGINT, `s` BIGINT, `v` VARCHAR(10)) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 4 PROPERTIES ('function_column.sequence_col' = 's')")
+    ps.sql("INSERT INTO src_like VALUES (1, 1, 'a')")
+    ps.sql("CREATE TABLE dst_like LIKE src_like")
+    t = ps.tables["dst_like"]
+    src = ps.tables["src_like"]
+    assert t.meta.keys_type == "UNIQUE"
+    assert t.meta.key_cols == ["k"]
+    assert t.meta.sequence_col == "s"
+    assert t.meta.dist_cols == src.meta.dist_cols
+    assert t.meta.buckets == 4
+    assert t.meta.rowsets == []  # empty — layout only
+    ps.sql("INSERT INTO dst_like VALUES (7, 1, 'z')")
+    assert [r["k"] for r in ps.sql("SELECT * FROM dst_like").collect()] == [7]
+    assert ps.sql("SELECT count(*) AS n FROM src_like").collect()[0]["n"] == 1
+    assert ps.sql("CREATE TABLE IF NOT EXISTS dst_like LIKE src_like") is None
+    with _pytest.raises(ValueError, match="already exists"):
+        ps.sql("CREATE TABLE dst_like LIKE src_like")
