@@ -1160,6 +1160,19 @@ class PaloSession:
                     if ap
                     else ""
                 )
+                # distribution + properties so the emitted DDL
+                # round-trips through PaloSession.sql (pinned by
+                # test_show_create_table_roundtrip)
+                + (
+                    f"\nDISTRIBUTED BY HASH({', '.join('`%s`' % c for c in t.meta.dist_cols)}) BUCKETS {t.meta.buckets}"
+                    if t.meta.dist_cols
+                    else ""
+                )
+                + (
+                    f"\nPROPERTIES ('function_column.sequence_col' = '{t.meta.sequence_col}')"
+                    if t.meta.sequence_col
+                    else ""
+                )
             )
             return self.spark.createDataFrame(
                 [(t.meta.name, ddl)], "table_name string, create_table string"

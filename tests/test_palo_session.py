@@ -871,3 +871,17 @@ def test_create_table_like(ps):
     assert ps.sql("CREATE TABLE IF NOT EXISTS dst_like LIKE src_like") is None
     with _pytest.raises(ValueError, match="already exists"):
         ps.sql("CREATE TABLE dst_like LIKE src_like")
+
+
+def test_show_create_table_roundtrip(ps):
+    """SHOW CREATE TABLE output is re-executable DDL: creating a table
+    from it reproduces the full layout (a migrating user's copy-paste
+    path)."""
+    ps.sql("CREATE TABLE sct (`k` BIGINT, `s` BIGINT, `v` DOUBLE) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 3 PROPERTIES ('function_column.sequence_col' = 's')")
+    ddl = ps.sql("SHOW CREATE TABLE sct").collect()[0]["create_table"]
+    assert "DISTRIBUTED BY HASH(`k`) BUCKETS 3" in ddl
+    assert "sequence_col" in ddl
+    ps.sql(ddl.replace("`sct`", "`sct2`"))
+    a, b = ps.tables["sct"].meta, ps.tables["sct2"].meta
+    assert (a.keys_type, a.key_cols, a.sequence_col, a.dist_cols, a.buckets) \
+        == (b.keys_type, b.key_cols, b.sequence_col, b.dist_cols, b.buckets)
