@@ -178,6 +178,11 @@ _ALTER_MODIFY_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_RENAME_TABLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+RENAME\s+"
+    r"(?!COLUMN\b)`?(?P<new>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_DROP_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+DROP\s+PARTITION\s+"
     r"`?(?P<label>[\w-]+)`?\s*;?\s*$",
@@ -1320,6 +1325,24 @@ class PaloSession:
         if up.startswith("UPDATE"):
             return self._update(stripped)
         if up.startswith("ALTER"):
+            rt_ = _ALTER_RENAME_TABLE_RE.match(stripped)
+            if rt_:
+                # Doris ALTER TABLE x RENAME y — metadata-only: the
+                # Table object (and its storage location) is re-keyed
+                # under the new name; the old temp view is dropped so
+                # stale reads fail instead of serving renamed data
+                old = rt_.group("name").lower()
+                new = rt_.group("new").lower()
+                if new in self.tables:
+                    raise ValueError(f"table {new!r} already exists")
+                t = self._table(old)
+                del self.tables[old]
+                self.spark.catalog.dropTempView(old)
+                t.meta.name = new
+                t._save_meta()
+                self.tables[new] = t
+                self._refresh_view(new)
+                return None
             ar_ = _ADD_ROLLUP_RE.match(stripped)
             if ar_:
                 # Doris ALTER TABLE ... ADD ROLLUP r (cols): the classic

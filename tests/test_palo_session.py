@@ -885,3 +885,21 @@ def test_show_create_table_roundtrip(ps):
     a, b = ps.tables["sct"].meta, ps.tables["sct2"].meta
     assert (a.keys_type, a.key_cols, a.sequence_col, a.dist_cols, a.buckets) \
         == (b.keys_type, b.key_cols, b.sequence_col, b.dist_cols, b.buckets)
+
+
+def test_alter_table_rename(ps):
+    """ALTER TABLE x RENAME y: metadata-only re-key; the old name stops
+    resolving, the new name serves the same data and accepts loads."""
+    import pytest as _pytest
+    ps.sql("CREATE TABLE rn_old (`k` BIGINT, `v` INT) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rn_old VALUES (1, 10)")
+    ps.sql("ALTER TABLE rn_old RENAME rn_new")
+    assert "rn_old" not in ps.tables and "rn_new" in ps.tables
+    assert ps.sql("SELECT v FROM rn_new").collect()[0]["v"] == 10
+    ps.sql("INSERT INTO rn_new VALUES (2, 20)")
+    assert ps.sql("SELECT count(*) AS n FROM rn_new").collect()[0]["n"] == 2
+    with _pytest.raises(Exception):
+        ps.sql("SELECT * FROM rn_old").collect()
+    # RENAME COLUMN still routes to the column path
+    ps.sql("ALTER TABLE rn_new RENAME COLUMN v v2")
+    assert "v2" in ps.sql("SELECT * FROM rn_new").columns
