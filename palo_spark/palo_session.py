@@ -157,7 +157,10 @@ _ALTER_ADD_RE = re.compile(
 )
 
 _DESC_RE = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+    # SHOW COLUMNS FROM t is the MySQL-client spelling of DESC t
+    r"^\s*(?:DESC(?:RIBE)?|SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM)\s+"
+    r"`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 _ALTER_DROP_COL_RE = re.compile(
@@ -326,6 +329,7 @@ _MATCH_PRED_RE = re.compile(
 
 _FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
 
+_USE_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE)
 _CREATE_LIKE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
     r"LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
@@ -1646,6 +1650,21 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.tables)] or [("",)], "table_name string"
             ).filter("table_name <> ''")
+        if up.startswith("SHOW DATABASES"):
+            # single-database engine: the internal db plus one row per
+            # external catalog (MySQL-client compatibility surface)
+            return self.spark.createDataFrame(
+                [("default",)] + [(n,) for n in sorted(self.catalogs)],
+                "database string",
+            )
+        um = _USE_RE.match(stripped)
+        if um:
+            # USE default / USE <catalog> — validated no-op (tables are
+            # addressed directly or via catalog.tbl; there is no db tier)
+            target = um.group("name").lower()
+            if target != "default" and target not in self.catalogs:
+                raise ValueError(f"unknown database/catalog {target!r}")
+            return None
         dm = _DESC_RE.match(stripped)
         if dm and dm.group("name").lower() in self.tables:
             t = self.tables[dm.group("name").lower()]

@@ -903,3 +903,18 @@ def test_alter_table_rename(ps):
     # RENAME COLUMN still routes to the column path
     ps.sql("ALTER TABLE rn_new RENAME COLUMN v v2")
     assert "v2" in ps.sql("SELECT * FROM rn_new").columns
+
+
+def test_mysql_client_compat_statements(ps, tmp_path):
+    """SHOW COLUMNS FROM / SHOW DATABASES / USE — the statements a
+    mysql-client session issues on connect."""
+    import pytest as _pytest
+    ps.sql("CREATE TABLE compat_t (`k` BIGINT, `v` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    cols = [r[0] for r in ps.sql("SHOW COLUMNS FROM compat_t").collect()]
+    desc = [r[0] for r in ps.sql("DESC compat_t").collect()]
+    assert cols == desc == ["k", "v"]
+    dbs = [r["database"] for r in ps.sql("SHOW DATABASES").collect()]
+    assert "default" in dbs
+    assert ps.sql("USE default") is None
+    with _pytest.raises(ValueError, match="unknown database"):
+        ps.sql("USE nonexistent_db")
