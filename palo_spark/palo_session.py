@@ -209,6 +209,23 @@ _SHOW_LOAD_RE = re.compile(
     r"^\s*SHOW\s+LOAD\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
+_CREATE_ROUTINE_RE = re.compile(
+    r"^\s*CREATE\s+ROUTINE\s+LOAD\s+`?(?P<job>\w+)`?\s+ON\s+`?(?P<tbl>\w+)`?"
+    r"\s+PROPERTIES\s*\(\s*(?P<props>.*?)\s*\)\s*"
+    r"FROM\s+KAFKA\s*\(\s*(?P<kafka>.*?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ROUTINE_CTL_RE = re.compile(
+    r"^\s*(?P<op>PAUSE|RESUME|STOP)\s+ROUTINE\s+LOAD\s+FOR\s+"
+    r"`?(?P<job>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_ROUTINE_RE = re.compile(
+    r"^\s*SHOW\s+(?:ALL\s+)?ROUTINE\s+LOAD(?:\s+FOR\s+`?(?P<job>\w+)`?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _SHOW_DATA_RE = re.compile(
     r"^\s*SHOW\s+DATA(?:\s+FROM\s+`?(?P<name>\w+)`?)?\s*;?\s*$", re.IGNORECASE
 )
@@ -417,6 +434,11 @@ class PaloSession:
         #: ``name.tbl`` (Doris ``catalog.db.table`` with the db level
         #: collapsed — the fixture roots have no database tier).
         self.catalogs: dict[str, dict] = {}
+        #: routine-load jobs (CREATE ROUTINE LOAD ... FROM KAFKA):
+        #: name → {"table", "source", "format", "state", "batches"}.
+        #: States follow the upstream FE job FSM: RUNNING ⇄ PAUSED →
+        #: STOPPED (terminal).
+        self.routine_jobs: dict[str, dict] = {}
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -702,6 +724,74 @@ class PaloSession:
         batch shape migrating users paste in); returns one result per
         non-empty statement."""
         return [self.sql(s) for s in self._split_statements(text)]
+
+    def _create_routine_load(self, job: str, tbl: str, props_text: str, kafka_text: str):
+        """``CREATE ROUTINE LOAD job ON tbl PROPERTIES (...) FROM KAFKA
+        (...)`` — the Doris continuous-ingestion statement, lowered to
+        :func:`palo_spark.streaming.routine_load` (checkpointed source
+        offsets × the table's label ledger = exactly-once, the same
+        two-sided idempotency the upstream FE records in load txns).
+
+        ``kafka_broker_list`` of the form ``file://<dir>`` consumes
+        files appearing under that directory — the in-repo stand-in for
+        a broker, since no Kafka connector jar ships in this
+        environment (same adaptation as the embedded-Derby JDBC path).
+        Each scheduling round drains what exists (availableNow) and
+        leaves the job RUNNING; RESUME triggers another round."""
+        job = job.lower()
+        if job in self.routine_jobs:
+            raise ValueError(f"routine load job {job!r} already exists")
+        t = self._table(tbl)
+        props = {
+            m.group("k").lower(): m.group("v")
+            for m in _PROP_KV_RE.finditer(props_text)
+        }
+        kprops = {
+            m.group("k").lower(): m.group("v")
+            for m in _PROP_KV_RE.finditer(kafka_text)
+        }
+        broker = kprops.get("kafka_broker_list", "")
+        if not broker.startswith("file://"):
+            raise ValueError(
+                "no Kafka connector jar in this environment — use a "
+                "file://<dir> broker to consume files appearing there "
+                "(palo_spark.streaming.kafka_routine_load is the real-"
+                "broker path on a cluster with the connector)"
+            )
+        self.routine_jobs[job] = {
+            "table": t.meta.name.lower(),
+            "source": broker[len("file://"):],
+            "format": props.get("format", "json").lower(),
+            "state": "RUNNING",
+            "batches": 0,
+        }
+        self._drain_routine(job)
+        return None
+
+    def _drain_routine(self, job: str) -> None:
+        """One scheduling round: drain everything currently in the
+        job's source directory into its table (availableNow trigger —
+        the production deployment drops the trigger and runs forever)."""
+        import os as _os
+
+        from palo_spark.streaming import routine_load
+
+        j = self.routine_jobs[job]
+        t = self.tables[j["table"]]
+        schema = getattr(t, "_declared_schema", None)
+        if not schema:
+            raise ValueError("routine load needs a declared table schema")
+        ckpt = _os.path.join(t.location, f"_routine_{job}_ckpt")
+        routine_load(
+            self.spark,
+            j["source"],
+            schema,
+            t,
+            ckpt,
+            fmt=j["format"],
+        )
+        j["batches"] += 1
+        self._refresh_view(j["table"])
 
     def _create_catalog(
         self, name: str, props_text: str, if_not_exists: bool
@@ -1075,6 +1165,41 @@ class PaloSession:
                 self._refresh_view(name.lower())
                 return t
             return self._create_table(stripped)
+        crl = _CREATE_ROUTINE_RE.match(stripped)
+        if crl:
+            return self._create_routine_load(
+                crl.group("job"), crl.group("tbl"),
+                crl.group("props"), crl.group("kafka"),
+            )
+        rcl = _ROUTINE_CTL_RE.match(stripped)
+        if rcl:
+            job = rcl.group("job").lower()
+            if job not in self.routine_jobs:
+                raise ValueError(f"unknown routine load job {job!r}")
+            j = self.routine_jobs[job]
+            op = rcl.group("op").upper()
+            if j["state"] == "STOPPED":
+                raise ValueError(f"routine load job {job!r} is STOPPED (terminal)")
+            if op == "PAUSE":
+                j["state"] = "PAUSED"
+            elif op == "STOP":
+                j["state"] = "STOPPED"
+            else:  # RESUME: back to RUNNING and drain new files
+                j["state"] = "RUNNING"
+                self._drain_routine(job)
+            return None
+        srl = _SHOW_ROUTINE_RE.match(stripped)
+        if srl and "ROUTINE" in up:
+            rows = [
+                (n, j["table"], j["state"], j["format"], j["batches"])
+                for n, j in sorted(self.routine_jobs.items())
+                if srl.group("job") is None or n == srl.group("job").lower()
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", "", "", 0)],
+                "name string, table_name string, state string, "
+                "format string, scheduling_rounds int",
+            ).filter("name <> ''")
         ccm = _CREATE_CATALOG_RE.match(stripped)
         if ccm:
             return self._create_catalog(

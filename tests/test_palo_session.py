@@ -918,3 +918,37 @@ def test_mysql_client_compat_statements(ps, tmp_path):
     assert ps.sql("USE default") is None
     with _pytest.raises(ValueError, match="unknown database"):
         ps.sql("USE nonexistent_db")
+
+
+def test_create_routine_load_statement(ps, tmp_path):
+    """CREATE/SHOW/PAUSE/RESUME/STOP ROUTINE LOAD: the Doris
+    continuous-ingestion statement over the file-backed broker
+    simulation; exactly-once across scheduling rounds (checkpoint +
+    label ledger)."""
+    import json as _json
+    import pytest as _pytest
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(
+        _json.dumps({"k": i, "v": i * 10}) for i in range(3)))
+    ps.sql("CREATE TABLE rl_t (`k` BIGINT, `v` INT) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"""CREATE ROUTINE LOAD rl_job ON rl_t
+               PROPERTIES ('format' = 'json')
+               FROM KAFKA ('kafka_broker_list' = 'file://{src}',
+                           'kafka_topic' = 'rl')""")
+    assert ps.sql("SELECT count(*) AS n FROM rl_t").collect()[0]["n"] == 3
+    st = ps.sql("SHOW ROUTINE LOAD FOR rl_job").collect()[0]
+    assert (st["state"], st["table_name"]) == ("RUNNING", "rl_t")
+    # pause, add files, resume → only the new files load, exactly once
+    ps.sql("PAUSE ROUTINE LOAD FOR rl_job")
+    (src / "b1.json").write_text(_json.dumps({"k": 99, "v": 990}))
+    ps.sql("RESUME ROUTINE LOAD FOR rl_job")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM rl_t").collect())
+    assert got == [0, 1, 2, 99]
+    ps.sql("RESUME ROUTINE LOAD FOR rl_job")  # nothing new — no dup rows
+    assert ps.sql("SELECT count(*) AS n FROM rl_t").collect()[0]["n"] == 4
+    ps.sql("STOP ROUTINE LOAD FOR rl_job")
+    with _pytest.raises(ValueError, match="STOPPED"):
+        ps.sql("RESUME ROUTINE LOAD FOR rl_job")
+    with _pytest.raises(ValueError, match="Kafka connector"):
+        ps.sql("CREATE ROUTINE LOAD rl2 ON rl_t PROPERTIES ('format'='json') FROM KAFKA ('kafka_broker_list' = 'broker:9092')")
