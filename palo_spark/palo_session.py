@@ -24,8 +24,15 @@ protocol itself stays out of scope):
   (metadata-only, Doris delete-version semantics); ``UPDATE name SET
   ... WHERE ...`` is the UNIQUE-model read-modify-upsert.
 - **Schema/metadata** — ``ALTER TABLE name ADD COLUMN c TYPE [agg]
-  [DEFAULT v]`` (light schema change, metadata-only), ``SHOW TABLES``,
-  ``DESC name``.
+  [DEFAULT v]`` (light schema change, metadata-only), ``ALTER TABLE x
+  RENAME y``, ``CREATE TABLE x LIKE y``, ``SHOW TABLES``, ``SHOW
+  DATABASES``, ``USE``, ``DESC name`` / ``SHOW COLUMNS FROM name``,
+  ``SHOW CREATE TABLE`` (round-trippable DDL).
+- **Continuous ingestion** — ``CREATE ROUTINE LOAD job ON tbl
+  PROPERTIES (...) FROM KAFKA (...)`` plus ``SHOW / PAUSE / RESUME /
+  STOP ROUTINE LOAD`` (upstream job FSM; exactly-once via checkpointed
+  offsets × the label ledger; ``file://`` broker simulation in this
+  jar-less environment).
 - **Queries** — everything else goes through
   :func:`~palo_spark.sql_frontend.translate` (MySQL-dialect → Spark
   SQL); if a :class:`~palo_spark.plans.RollupCatalog` is attached and a
