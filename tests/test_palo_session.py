@@ -952,3 +952,15 @@ def test_create_routine_load_statement(ps, tmp_path):
         ps.sql("RESUME ROUTINE LOAD FOR rl_job")
     with _pytest.raises(ValueError, match="Kafka connector"):
         ps.sql("CREATE ROUTINE LOAD rl2 ON rl_t PROPERTIES ('format'='json') FROM KAFKA ('kafka_broker_list' = 'broker:9092')")
+
+
+def test_routine_load_csv_format(ps, tmp_path):
+    """Routine load with the csv value format (the other upstream
+    decode path)."""
+    src = tmp_path / "rl_csv"
+    src.mkdir()
+    (src / "a.csv").write_text("1,10\n2,20\n")
+    ps.sql("CREATE TABLE rlc_t (`k` BIGINT, `v` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE ROUTINE LOAD rlc_job ON rlc_t PROPERTIES ('format'='csv') FROM KAFKA ('kafka_broker_list' = 'file://{src}')")
+    got = sorted((r["k"], r["v"]) for r in ps.sql("SELECT * FROM rlc_t").collect())
+    assert got == [(1, 10), (2, 20)]

@@ -654,3 +654,23 @@ def test_delete_sign_guards(spark):
         t.insert(spark.createDataFrame(
             [(1, "x", 3.0, 1)],
             f"k long, v string, b double, {DELETE_SIGN_COL} int"))
+
+
+def test_delete_sign_survives_auto_compaction(spark):
+    """Auto-compaction triggered mid-stream folds sign rowsets away
+    without changing the visible state (cumulative-compaction analog
+    must be invisible to readers)."""
+    from palo_spark.tables import DELETE_SIGN_COL, Table
+    t = _mk(spark, "dsign_ac", keys_type="UNIQUE", key_cols=["k"],
+            auto_compact_rowsets=2)
+    t.insert(spark.createDataFrame([(i, f"v{i}") for i in range(4)],
+                                   "k long, v string"))
+    t.insert(spark.createDataFrame(
+        [(0, "x", 1), (4, "d", 0)],
+        f"k long, v string, {DELETE_SIGN_COL} int"))
+    # third load pushes past the 2-rowset trigger → auto compact runs
+    t.insert(spark.createDataFrame([(5, "e")], "k long, v string"))
+    assert len(t.meta.rowsets) == 1  # compacted
+    assert t.meta.has_delete_sign is False
+    assert _rows(t.read(), "k", "v") == [
+        (1, "v1"), (2, "v2"), (3, "v3"), (4, "d"), (5, "e")]
