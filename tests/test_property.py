@@ -353,3 +353,65 @@ def test_unique_delete_sign_matches_dict_model(spark, tmp_path):
     got = {r["k"]: (r["seq"], r["x"]) for r in t.read().collect()}
     want = {k: (s, p) for k, (s, v, p, g) in model.items() if not g}
     assert got == want
+
+
+def test_unique_partial_and_sign_phases_match_dict_model(spark, tmp_path):
+    """Randomized interleaving of the two r8 load modes — partial-column
+    phases and delete-sign phases — with compact() at each mode switch
+    (the engine's required protocol for mixing them). The dict model
+    applies: full/sign rows replace wholesale and set visibility;
+    partial rows update only carried columns, creating NULL-padded rows
+    for unknown keys (the post-delete contract pin)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from palo_spark.tables import DELETE_SIGN_COL, Table
+
+    rng = random.Random(99)
+    t = Table(
+        spark, "prop_mix", "UNIQUE", ["k"], location=str(tmp_path / "t")
+    )
+    t.insert(
+        spark.createDataFrame(
+            [Row(k=k, name=f"n{k}", bal=float(k)) for k in range(6)]
+        )
+    )
+    # model: k -> {"name","bal","visible"}
+    model = {k: {"name": f"n{k}", "bal": float(k), "visible": True} for k in range(6)}
+    mode = None
+    for phase in range(6):
+        new_mode = rng.choice(["sign", "partial"])
+        if mode is not None and new_mode != mode:
+            t.compact()
+            model = {k: r for k, r in model.items() if r["visible"]}
+        mode = new_mode
+        in_batch: dict[int, tuple] = {}
+        for _ in range(rng.randint(1, 8)):
+            k = rng.randint(0, 9)
+            if mode == "sign":
+                in_batch[k] = (k, f"s{phase}-{k}", float(rng.randint(0, 99)),
+                               int(rng.random() < 0.3))
+            else:
+                in_batch[k] = (k, float(rng.randint(100, 199)))
+        if mode == "sign":
+            t.insert(spark.createDataFrame(
+                list(in_batch.values()),
+                f"k long, name string, bal double, {DELETE_SIGN_COL} int"))
+            for k, nm, b, g in in_batch.values():
+                model[k] = {"name": nm, "bal": b, "visible": g == 0}
+        else:
+            t.insert(spark.createDataFrame(
+                list(in_batch.values()), "k long, bal double"),
+                partial_columns=True)
+            for k, b in in_batch.values():
+                cur = model.get(k)
+                if cur is None or not cur["visible"]:
+                    # unknown or hidden key: partial row creates/overrides
+                    # with NULL-padded missing columns (post-delete pin)
+                    model[k] = {"name": None, "bal": b, "visible": True}
+                else:
+                    cur["bal"] = b
+    got = {r["k"]: (r["name"], r["bal"]) for r in t.read().collect()}
+    want = {k: (r["name"], r["bal"]) for k, r in model.items() if r["visible"]}
+    assert got == want
