@@ -964,3 +964,48 @@ def test_routine_load_csv_format(ps, tmp_path):
     ps.sql(f"CREATE ROUTINE LOAD rlc_job ON rlc_t PROPERTIES ('format'='csv') FROM KAFKA ('kafka_broker_list' = 'file://{src}')")
     got = sorted((r["k"], r["v"]) for r in ps.sql("SELECT * FROM rlc_t").collect())
     assert got == [(1, 10), (2, 20)]
+
+
+def test_ddl_roundtrip_fuzz(ps):
+    """Randomized CREATE TABLE definitions round-trip through SHOW
+    CREATE TABLE: re-executing the emitted DDL reproduces the key
+    model, key columns, aggregate spec, sequence column, and
+    distribution (seeded sweep over the DDL grammar)."""
+    import random
+
+    rng = random.Random(7)
+    types = ["BIGINT", "INT", "DOUBLE", "VARCHAR(20)", "DATE"]
+    aggs = ["SUM", "MAX", "MIN", "REPLACE"]
+    for i in range(8):
+        model = rng.choice(["DUPLICATE", "UNIQUE", "AGGREGATE"])
+        n_keys = rng.randint(1, 2)
+        keys = [f"k{j}" for j in range(n_keys)]
+        cols = [f"`{k}` {rng.choice(['BIGINT', 'INT'])}" for k in keys]
+        vals = []
+        for j in range(rng.randint(1, 3)):
+            ty = rng.choice(types)
+            agg = ""
+            if model == "AGGREGATE":
+                agg = " " + (rng.choice(aggs) if ty != "VARCHAR(20)" else "REPLACE")
+            vals.append(f"`v{j}` {ty}{agg}")
+        seq = ""
+        if model == "UNIQUE" and rng.random() < 0.4:
+            cols.append("`sq` BIGINT")
+            seq = " PROPERTIES ('function_column.sequence_col' = 'sq')"
+        ddl = (
+            f"CREATE TABLE fz{i} (" + ", ".join(cols + vals) + f") "
+            f"{model} KEY({', '.join(keys)}) "
+            f"DISTRIBUTED BY HASH({keys[0]}) BUCKETS {rng.randint(1, 16)}"
+            + seq
+        )
+        ps.sql(ddl)
+        out = ps.sql(f"SHOW CREATE TABLE fz{i}").collect()[0]["create_table"]
+        ps.sql(out.replace(f"`fz{i}`", f"`fz{i}r`"))
+        a, b = ps.tables[f"fz{i}"].meta, ps.tables[f"fz{i}r"].meta
+        assert (
+            a.keys_type, a.key_cols, a.agg_spec, a.sequence_col,
+            a.dist_cols, a.buckets,
+        ) == (
+            b.keys_type, b.key_cols, b.agg_spec, b.sequence_col,
+            b.dist_cols, b.buckets,
+        ), ddl
