@@ -885,6 +885,12 @@ def test_show_create_table_roundtrip(ps):
     a, b = ps.tables["sct"].meta, ps.tables["sct2"].meta
     assert (a.keys_type, a.key_cols, a.sequence_col, a.dist_cols, a.buckets) \
         == (b.keys_type, b.key_cols, b.sequence_col, b.dist_cols, b.buckets)
+    # auto-partition tables round-trip too
+    ps.sql("CREATE TABLE sct_ap (`d` DATE, `v` INT) DUPLICATE KEY(d) AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) () DISTRIBUTED BY HASH(d) BUCKETS 2")
+    ap_ddl = ps.sql("SHOW CREATE TABLE sct_ap").collect()[0]["create_table"]
+    ps.sql(ap_ddl.replace("`sct_ap`", "`sct_ap2`"))
+    assert ps.tables["sct_ap2"].meta.auto_partition == {
+        "col": "d", "granularity": "month"}
 
 
 def test_alter_table_rename(ps):
