@@ -746,6 +746,7 @@ class Table:
         from pyspark.errors import AnalysisException
 
         dfs = []
+        metas = []  # rowset dicts parallel to dfs (skipped rowsets excluded)
         for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
             try:
                 d = self.spark.read.parquet(r["path"])
@@ -782,6 +783,7 @@ class Table:
                     ),
                 )
             dfs.append(d)
+            metas.append(r)
         if not dfs:
             return None
         has_partial = any(r.get("partial") for r in self.meta.rowsets)
@@ -792,13 +794,30 @@ class Table:
             # column the load never touched (absent → preserved). A
             # per-rowset constant array — zero per-row cost, folded by
             # Catalyst.
-            for i, d in enumerate(dfs):
-                present = [
-                    c
-                    for c in d.columns
-                    if c not in (_VERSION_COL, _PCOLS_COL, AUTO_PART_COL)
-                    and c not in self.meta.key_cols
-                ]
+            for i, (r, d) in enumerate(zip(metas, dfs)):
+                if r.get("partial"):
+                    # A partial rowset carries EXACTLY the columns its
+                    # load carried (recorded at insert; renames mapped at
+                    # read, drops excluded). The schema-add normalization
+                    # above fills added columns with their defaults for
+                    # frame alignment only — the rowset must NOT claim
+                    # them, or a newer partial load would overwrite a
+                    # genuinely stored value with the declared default.
+                    names = list(r["partial"])
+                    for rn in self.meta.schema_renames:
+                        names = [
+                            rn["to"] if c == rn["from"] else c for c in names
+                        ]
+                    present = [
+                        c for c in names if c not in self.meta.schema_drops
+                    ]
+                else:
+                    present = [
+                        c
+                        for c in d.columns
+                        if c not in (_VERSION_COL, _PCOLS_COL, AUTO_PART_COL)
+                        and c not in self.meta.key_cols
+                    ]
                 dfs[i] = d.withColumn(
                     _PCOLS_COL, F.array(*[F.lit(c) for c in present])
                 )

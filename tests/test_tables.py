@@ -597,6 +597,58 @@ def test_partial_update_after_delete_pins_contract(spark):
     assert _rows(t.read(), "k", "name", "bal") == [(3, None, 99.0)]
 
 
+def test_partial_update_does_not_claim_added_column_default(spark):
+    """A partial rowset carries EXACTLY the columns its load carried:
+    the read-time schema-add normalization fills an added column with
+    its default for frame alignment, but the rowset must not CLAIM it —
+    otherwise a newer partial load overwrites a genuinely stored value
+    with the declared default. Regression: the presence tag used to be
+    computed from the normalized frame's columns."""
+    t = _mk(spark, "pupd_addcol", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 1.0)],
+                                   "k long, a double, b double"))
+    t.add_column("c", "long", default=0)
+    t.insert(spark.createDataFrame([(1, 2.0, 2.0, 5)],
+                                   "k long, a double, b double, c long"))
+    t.insert(spark.createDataFrame([(1, 3.0)], "k long, a double"),
+             partial_columns=True)
+    # c=5 from the full load must survive the newer partial load
+    assert _rows(t.read(), "k", "a", "b", "c") == [(1, 3.0, 2.0, 5)]
+    # compaction folds the overlay to the same answer
+    t.compact()
+    assert _rows(t.read(), "k", "a", "b", "c") == [(1, 3.0, 2.0, 5)]
+
+
+def test_partial_only_key_added_column_surfaces_default(spark):
+    """An ADDED column surfaces its declared default even for keys that
+    only ever arrived via partial loads — consistent with the row-wise
+    path, where a full load omitting the optional added column also
+    reads back the default. Original never-carried columns stay NULL."""
+    t = _mk(spark, "pupd_addonly", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 1.0)],
+                                   "k long, a double, b double"))
+    t.add_column("c", "long", default=7)
+    t.insert(spark.createDataFrame([(2, 5.0)], "k long, a double"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "b", "c") == [
+        (1, 1.0, 7),    # pre-add full row: default
+        (2, None, 7),   # partial-only key: added col default, original NULL
+    ]
+
+
+def test_partial_update_presence_tracks_renamed_column(spark):
+    """RENAME COLUMN after a partial load: the recorded carried-column
+    list is mapped through the rename at read, so the partial rowset
+    still overwrites under the column's NEW name."""
+    t = _mk(spark, "pupd_rename", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 10.0, 1.0)],
+                                   "k long, bal double, fee double"))
+    t.insert(spark.createDataFrame([(1, 99.0)], "k long, bal double"),
+             partial_columns=True)
+    t.rename_column("bal", "balance")
+    assert _rows(t.read(), "k", "balance", "fee") == [(1, 99.0, 1.0)]
+
+
 # ------------------------------------------------------------ delete sign
 
 
