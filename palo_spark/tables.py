@@ -398,9 +398,16 @@ class Table:
             if self.meta.keys_type != "AGGREGATE":
                 raise ValueError("agg only applies to AGGREGATE keys_type")
             self.meta.agg_spec[col] = agg
-        self.meta.schema_adds.append(
-            {"col": col, "type": col_type, "default": default}
-        )
+        entry = {"col": col, "type": col_type, "default": default}
+        if col in self.meta.schema_drops:
+            # Re-adding a dropped name creates a NEW column (Doris drop +
+            # add): rowsets written before this point may still physically
+            # store the OLD column — their values must not resurrect, so
+            # the add records the first version that may carry real data
+            # and reads surface the default for anything older.
+            self.meta.schema_drops.remove(col)
+            entry["since"] = self._next_version
+        self.meta.schema_adds.append(entry)
         self._save_meta()
 
     def drop_column(self, col: str) -> None:
@@ -433,6 +440,13 @@ class Table:
         use the new name."""
         if old in self.meta.schema_drops:
             raise ValueError(f"column {old!r} is dropped")
+        if new in self.meta.schema_drops:
+            # the read-time drop filter is name-based: renaming onto a
+            # dropped name would silently erase the renamed column's data
+            raise ValueError(
+                f"cannot rename to dropped column name {new!r}; "
+                "ADD COLUMN it back first"
+            )
         self.meta.schema_renames.append({"from": old, "to": new})
         self.meta.key_cols = [new if c == old else c for c in self.meta.key_cols]
         if old in self.meta.agg_spec:
@@ -763,7 +777,10 @@ class Table:
                 if rn["from"] in d.columns:
                     d = d.withColumnRenamed(rn["from"], rn["to"])
             for a in self.meta.schema_adds:
-                if a["col"] in d.columns:
+                # "since" marks a drop + re-add: older rowsets may still
+                # physically store the dropped incarnation — mask it
+                fresh = a.get("since") is None or r["version"] >= a["since"]
+                if a["col"] in d.columns and fresh:
                     d = d.withColumn(a["col"], F.col(a["col"]).cast(a["type"]))
                 else:
                     d = d.withColumn(a["col"], F.lit(a["default"]).cast(a["type"]))

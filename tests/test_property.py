@@ -415,3 +415,124 @@ def test_unique_partial_and_sign_phases_match_dict_model(spark, tmp_path):
     got = {r["k"]: (r["name"], r["bal"]) for r in t.read().collect()}
     want = {k: (r["name"], r["bal"]) for k, r in model.items() if r["visible"]}
     assert got == want
+
+
+def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
+    """Randomized interleaving of light schema changes (ADD with default,
+    RENAME, DROP, drop+re-ADD of a recycled name) with full loads,
+    partial-column loads, and compaction, vs a dict reference.
+
+    Model semantics (the engine's documented contract):
+    - ADD COLUMN default d: every existing row surfaces d; later full
+      loads omitting the optional column write d; partial loads update
+      it only when carried; a drop+re-add is a NEW column (old stored
+      values never resurrect).
+    - RENAME: pure metadata, applied to rowsets (and recorded partial
+      carried-column lists) at read.
+    - DROP: column disappears; partial batches may no longer write it.
+    - Full load: replaces the whole row (key-wise latest version wins).
+    - Partial load: updates only carried columns; an unknown key gets
+      NULL for never-carried original columns and the declared default
+      for added columns.
+    """
+    import random
+
+    from palo_spark.tables import Table
+
+    rng = random.Random(20260815)
+    t = Table(
+        spark, "prop_schema", "UNIQUE", ["k"], location=str(tmp_path / "t")
+    )
+    # live value columns: name -> declared default (None for originals)
+    cols: dict[str, float | None] = {"a": None, "b": None}
+    t.insert(
+        spark.createDataFrame(
+            [(k, float(k), float(10 * k)) for k in range(4)],
+            "k long, a double, b double",
+        )
+    )
+    model: dict[int, dict] = {
+        k: {"a": float(k), "b": float(10 * k)} for k in range(4)
+    }
+    fresh = 0  # counter for generated column names
+    dropped_names: list[str] = []  # recyclable for drop+re-add
+    for _ in range(14):
+        op = rng.choices(
+            ["full", "partial", "add", "rename", "drop", "compact"],
+            weights=[28, 28, 14, 10, 10, 10],
+        )[0]
+        live = sorted(cols)
+        if op == "full":
+            # carry all original (no-default) columns; carry each added
+            # column with p=0.5 (omitted -> its default is written)
+            carried = [c for c in live if cols[c] is None or rng.random() < 0.5]
+            ks = rng.sample(range(8), rng.randint(1, 5))
+            rows = [
+                tuple([k] + [float(rng.randint(0, 99)) for _ in carried])
+                for k in ks
+            ]
+            schema = ", ".join(["k long"] + [f"{c} double" for c in carried])
+            t.insert(spark.createDataFrame(rows, schema))
+            for row in rows:
+                k = row[0]
+                vals = dict(zip(carried, row[1:]))
+                model[k] = {c: vals.get(c, cols[c]) for c in live}
+        elif op == "partial":
+            n = rng.randint(1, len(live))
+            carried = sorted(rng.sample(live, n))
+            ks = rng.sample(range(8), rng.randint(1, 4))
+            rows = [
+                tuple([k] + [float(rng.randint(100, 199)) for _ in carried])
+                for k in ks
+            ]
+            schema = ", ".join(["k long"] + [f"{c} double" for c in carried])
+            t.insert(
+                spark.createDataFrame(rows, schema), partial_columns=True
+            )
+            for row in rows:
+                k = row[0]
+                vals = dict(zip(carried, row[1:]))
+                cur = model.get(k)
+                if cur is None:
+                    # new key: carried values; defaults for added columns;
+                    # NULL for never-carried originals
+                    model[k] = {c: vals.get(c, cols[c]) for c in live}
+                else:
+                    cur.update(vals)
+        elif op == "add":
+            # 50/50: a brand-new name, or recycle a dropped one
+            if dropped_names and rng.random() < 0.5:
+                name = dropped_names.pop(rng.randrange(len(dropped_names)))
+            else:
+                fresh += 1
+                name = f"c{fresh}"
+            default = float(rng.randint(500, 599))
+            t.add_column(name, "double", default=default)
+            cols[name] = default
+            for r in model.values():
+                r[name] = default  # old stored incarnations never resurrect
+        elif op == "rename":
+            fresh += 1
+            old = rng.choice(live)
+            new = f"r{fresh}"
+            t.rename_column(old, new)
+            cols[new] = cols.pop(old)
+            for r in model.values():
+                r[new] = r.pop(old)
+        elif op == "drop":
+            if len(live) < 2:
+                continue  # keep >=1 value column for partial batches
+            victim = rng.choice(live)
+            t.drop_column(victim)
+            cols.pop(victim)
+            dropped_names.append(victim)
+            for r in model.values():
+                r.pop(victim)
+        else:
+            t.compact()
+    live = sorted(cols)
+    got = {
+        r["k"]: tuple(r[c] for c in live) for r in t.read().collect()
+    }
+    want = {k: tuple(r[c] for c in live) for k, r in model.items()}
+    assert got == want

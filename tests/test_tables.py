@@ -636,6 +636,39 @@ def test_partial_only_key_added_column_surfaces_default(spark):
     ]
 
 
+def test_drop_then_readd_column_is_a_new_column(spark):
+    """DROP COLUMN then ADD COLUMN with the same name (Doris allows the
+    cycle): the re-added column is NEW — values from rowsets written
+    before the re-add must not resurrect, old rows surface the declared
+    default, and loads after the re-add carry real values again.
+    Regression: the name used to stay in schema_drops, erasing the
+    re-added column from every read forever."""
+    t = _mk(spark, "readd", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 2.0)],
+                                   "k long, a double, b double"))
+    t.drop_column("b")
+    assert "b" not in t.read().columns
+    t.add_column("b", "double", default=9.0)
+    assert _rows(t.read(), "k", "b") == [(1, 9.0)]  # 2.0 must not resurrect
+    t.insert(spark.createDataFrame([(2, 5.0, 6.0)],
+                                   "k long, a double, b double"))
+    assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
+    t.compact()  # folding must preserve the same view
+    assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
+
+
+def test_rename_to_dropped_name_is_rejected(spark):
+    """The read-time drop filter is name-based, so renaming onto a
+    dropped name would silently erase the renamed column's data — the
+    engine refuses instead."""
+    t = _mk(spark, "ren_dropped", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 2.0)],
+                                   "k long, a double, b double"))
+    t.drop_column("a")
+    with pytest.raises(ValueError, match="dropped column name"):
+        t.rename_column("b", "a")
+
+
 def test_partial_update_presence_tracks_renamed_column(spark):
     """RENAME COLUMN after a partial load: the recorded carried-column
     list is mapped through the rename at read, so the partial rowset
