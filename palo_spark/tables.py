@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -378,6 +379,23 @@ class Table:
         self._save_meta()
         return version
 
+    def _guard_delete_predicate_capture(self, col: str) -> None:
+        """Refuse to introduce column name ``col`` while a pending DELETE
+        predicate references it: predicates are stored as SQL text and
+        bound at read time, so a NEW column under an old referenced name
+        would capture the predicate and delete the wrong rows. (Spark's
+        analyzer resolves renamed/dropped attributes through the plan, so
+        predicates over the ORIGINAL column keep working — only name
+        reuse is unsound.) compact() folds predicates away and lifts the
+        restriction, mirroring Doris's pending-job schema-change limits."""
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])")
+        for d in self.meta.deletes:
+            if pat.search(d["predicate"]):
+                raise ValueError(
+                    f"pending DELETE predicate {d['predicate']!r} references "
+                    f"column name {col!r}; compact() before reusing the name"
+                )
+
     def add_column(
         self, col: str, col_type: str, default=None, agg: str | None = None
     ) -> None:
@@ -391,6 +409,7 @@ class Table:
             a["col"] == col for a in self.meta.schema_adds
         ):
             raise ValueError(f"column {col!r} already exists")
+        self._guard_delete_predicate_capture(col)
         if agg is not None:
             agg = agg.upper()
             if agg not in AGG_TYPES:
@@ -447,6 +466,7 @@ class Table:
                 f"cannot rename to dropped column name {new!r}; "
                 "ADD COLUMN it back first"
             )
+        self._guard_delete_predicate_capture(new)
         self.meta.schema_renames.append({"from": old, "to": new})
         self.meta.key_cols = [new if c == old else c for c in self.meta.key_cols]
         if old in self.meta.agg_spec:

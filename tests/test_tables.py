@@ -657,6 +657,46 @@ def test_drop_then_readd_column_is_a_new_column(spark):
     assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
 
 
+def test_delete_predicate_survives_rename_and_drop_of_column(spark):
+    """A pending DELETE predicate binds to the ORIGINAL column even after
+    that column is renamed (Spark resolves the old attribute through the
+    rename projection) — the recorded predicate keeps deleting the rows
+    it matched when it was issued."""
+    t = _mk(spark, "del_ren", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0), (2, 9.0)], "k long, b double"))
+    t.delete_where("b > 5")
+    t.rename_column("b", "c")
+    assert _rows(t.read(), "k", "c") == [(1, 1.0)]
+
+
+def test_schema_change_cannot_capture_pending_delete_predicate(spark):
+    """Introducing a column NAME that a pending DELETE predicate
+    references is refused: predicates are stored as SQL text and bound at
+    read, so a new same-named column would capture the predicate and
+    delete the wrong rows (regression: rename b->c then add b default 100
+    used to delete every pre-delete row). compact() folds predicates away
+    and lifts the restriction."""
+    t = _mk(spark, "del_capture", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0), (2, 9.0)], "k long, b double"))
+    t.delete_where("b > 5")
+    t.rename_column("b", "c")
+    with pytest.raises(ValueError, match="pending DELETE predicate"):
+        t.add_column("b", "double", default=100.0)
+    t.compact()
+    t.add_column("b", "double", default=100.0)
+    assert _rows(t.read(), "k", "c", "b") == [(1, 1.0, 100.0)]
+
+
+def test_rename_target_cannot_capture_pending_delete_predicate(spark):
+    t = _mk(spark, "del_capture_rn", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 2.0)],
+                                   "k long, b double, x double"))
+    t.delete_where("b > 5")
+    t.rename_column("b", "c")
+    with pytest.raises(ValueError, match="pending DELETE predicate"):
+        t.rename_column("x", "b")
+
+
 def test_rename_to_dropped_name_is_rejected(spark):
     """The read-time drop filter is name-based, so renaming onto a
     dropped name would silently erase the renamed column's data — the
