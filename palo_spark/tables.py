@@ -374,6 +374,17 @@ class Table:
                 f"{type(condition).__name__}"
             )
         F.expr(condition)  # fail fast on unparseable predicates
+        if any(r.get("partial") for r in self.meta.rowsets):
+            # The predicate binds per stored row BEFORE the column-wise
+            # merge; a live partial rowset's uncarried columns are NULL
+            # there, so a delete matching the MERGED row would miss the
+            # overlay and strip the base row instead (leaving the key
+            # visible with NULLed columns). Same mutual exclusion as
+            # delete-sign loads: fold the overlay first.
+            raise ValueError(
+                "DELETE with live partial-column rowsets is ambiguous; "
+                "compact() first"
+            )
         version = self._next_version
         self.meta.deletes.append({"version": version, "predicate": condition})
         self._save_meta()

@@ -657,6 +657,26 @@ def test_drop_then_readd_column_is_a_new_column(spark):
     assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
 
 
+def test_delete_with_live_partial_rowsets_is_rejected(spark):
+    """DELETE predicates bind per stored row BEFORE the column-wise
+    merge, so with a live partial overlay a predicate matching the
+    MERGED row would miss the overlay and strip only the base row —
+    leaving the key visible with NULLed columns (observed: partial
+    (k,name) then DELETE bal>5 kept the key with bal NULL instead of
+    deleting it). Same mutual exclusion as delete-sign loads:
+    compact() folds the overlay and lifts the restriction."""
+    t = _mk(spark, "del_partial", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, "a", 10.0), (2, "b", 1.0)],
+                                   "k long, name string, bal double"))
+    t.insert(spark.createDataFrame([(1, "z")], "k long, name string"),
+             partial_columns=True)
+    with pytest.raises(ValueError, match="live partial-column rowsets"):
+        t.delete_where("bal > 5")
+    t.compact()
+    t.delete_where("bal > 5")  # merged k=1 had bal=10 -> deleted whole
+    assert _rows(t.read(), "k", "name", "bal") == [(2, "b", 1.0)]
+
+
 def test_delete_predicate_survives_rename_and_drop_of_column(spark):
     """A pending DELETE predicate binds to the ORIGINAL column even after
     that column is renamed (Spark resolves the old attribute through the
