@@ -478,7 +478,14 @@ class Table:
                 "ADD COLUMN it back first"
             )
         self._guard_delete_predicate_capture(new)
-        self.meta.schema_renames.append({"from": old, "to": new})
+        # "until" makes the mapping version-aware: only rowsets written
+        # BEFORE the rename store the old name. A later ADD COLUMN may
+        # legitimately reuse it — without the boundary, the mapping would
+        # fire on new rowsets carrying the reused name and collide with
+        # the renamed column (duplicate-column read failure).
+        self.meta.schema_renames.append(
+            {"from": old, "to": new, "until": self._next_version}
+        )
         self.meta.key_cols = [new if c == old else c for c in self.meta.key_cols]
         if old in self.meta.agg_spec:
             self.meta.agg_spec[new] = self.meta.agg_spec.pop(old)
@@ -803,9 +810,14 @@ class Table:
                 d = d.filter(partition_pred)
             d = d.withColumn(_VERSION_COL, F.lit(r["version"]).cast("long"))
             # renames first (schema_adds/key_cols/agg_spec already track
-            # the new names), then add-normalization, then drops
+            # the new names), then add-normalization, then drops; only
+            # rowsets OLDER than the rename store the old name (entries
+            # without "until" predate the boundary and apply to all)
             for rn in self.meta.schema_renames:
-                if rn["from"] in d.columns:
+                before = (
+                    "until" not in rn or r["version"] < rn["until"]
+                )
+                if before and rn["from"] in d.columns:
                     d = d.withColumnRenamed(rn["from"], rn["to"])
             for a in self.meta.schema_adds:
                 # "since" marks a drop + re-add: older rowsets may still
@@ -853,6 +865,8 @@ class Table:
                     # genuinely stored value with the declared default.
                     names = list(r["partial"])
                     for rn in self.meta.schema_renames:
+                        if "until" in rn and r["version"] >= rn["until"]:
+                            continue  # load already used the new name
                         names = [
                             rn["to"] if c == rn["from"] else c for c in names
                         ]

@@ -456,6 +456,7 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
     }
     fresh = 0  # counter for generated column names
     dropped_names: list[str] = []  # recyclable for drop+re-add
+    renamed_away: list[str] = []  # recyclable: old names freed by RENAME
     for _ in range(14):
         op = rng.choices(
             ["full", "partial", "add", "rename", "drop", "compact"],
@@ -500,9 +501,15 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
                 else:
                     cur.update(vals)
         elif op == "add":
-            # 50/50: a brand-new name, or recycle a dropped one
-            if dropped_names and rng.random() < 0.5:
-                name = dropped_names.pop(rng.randrange(len(dropped_names)))
+            # recycle a dropped or renamed-away name half the time —
+            # a reused name is a NEW column either way
+            pool = dropped_names + renamed_away
+            if pool and rng.random() < 0.5:
+                name = rng.choice(pool)
+                if name in dropped_names:
+                    dropped_names.remove(name)
+                else:
+                    renamed_away.remove(name)
             else:
                 fresh += 1
                 name = f"c{fresh}"
@@ -517,6 +524,7 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
             new = f"r{fresh}"
             t.rename_column(old, new)
             cols[new] = cols.pop(old)
+            renamed_away.append(old)
             for r in model.values():
                 r[new] = r.pop(old)
         elif op == "drop":

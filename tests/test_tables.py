@@ -717,6 +717,39 @@ def test_rename_target_cannot_capture_pending_delete_predicate(spark):
         t.rename_column("x", "b")
 
 
+def test_add_column_may_reuse_renamed_away_name(spark):
+    """RENAME b->c then ADD COLUMN b: the rename mapping is version-aware
+    (only rowsets written before the rename store the old name), so new
+    loads carrying the reused name keep it. Regression: the mapping used
+    to fire on new rowsets too, renaming the reused column onto the
+    renamed one and failing the read with COLUMN_ALREADY_EXISTS."""
+    t = _mk(spark, "ren_reuse", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 2.0)], "k long, b double"))
+    t.rename_column("b", "c")
+    t.add_column("b", "double", default=9.0)
+    t.insert(spark.createDataFrame([(2, 3.0, 4.0)],
+                                   "k long, c double, b double"))
+    assert _rows(t.read(), "k", "c", "b") == [(1, 2.0, 9.0), (2, 3.0, 4.0)]
+    t.compact()
+    assert _rows(t.read(), "k", "c", "b") == [(1, 2.0, 9.0), (2, 3.0, 4.0)]
+
+
+def test_partial_presence_mapping_is_rename_version_aware(spark):
+    """A partial load recorded BEFORE a rename maps its carried list to
+    the new name; a partial load recorded AFTER the old name was reused
+    by ADD COLUMN keeps the reused name — the two overlays land on
+    different columns."""
+    t = _mk(spark, "ren_reuse_p", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 2.0)], "k long, b double"))
+    t.insert(spark.createDataFrame([(1, 5.0)], "k long, b double"),
+             partial_columns=True)           # pre-rename: targets old b
+    t.rename_column("b", "c")
+    t.add_column("b", "double", default=9.0)
+    t.insert(spark.createDataFrame([(1, 7.0)], "k long, b double"),
+             partial_columns=True)           # post-reuse: targets NEW b
+    assert _rows(t.read(), "k", "c", "b") == [(1, 5.0, 7.0)]
+
+
 def test_rename_to_dropped_name_is_rejected(spark):
     """The read-time drop filter is name-based, so renaming onto a
     dropped name would silently erase the renamed column's data — the
