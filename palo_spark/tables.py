@@ -366,6 +366,15 @@ class Table:
         ``_palo_table.json``; Doris likewise restricts DELETE to simple
         column predicates). Rows for which the predicate is NULL are
         kept — only TRUE matches delete. Returns the delete's version.
+
+        Semantics note: the predicate filters stored ROWS (version-gated)
+        before any merge — the delete-predicate design. On an AGGREGATE
+        table value-column conditions are therefore rejected (key columns
+        only, the Doris rule — a value condition would drop individual
+        deltas and corrupt the aggregate). On a UNIQUE table value-column
+        conditions are allowed and act on each stored version: deleting a
+        newer matching version exposes an older non-matching one. For
+        merge-level deletes on UNIQUE tables use delete-sign MERGE loads.
         """
         if not isinstance(condition, str):
             raise TypeError(
@@ -374,6 +383,26 @@ class Table:
                 f"{type(condition).__name__}"
             )
         F.expr(condition)  # fail fast on unparseable predicates
+        if self.meta.keys_type == "AGGREGATE":
+            # Doris rule: DELETE conditions on an AGGREGATE table may
+            # reference key columns only. The predicate filters stored
+            # delta rows BEFORE the merge, so a value-column condition
+            # would drop individual deltas and silently corrupt the
+            # aggregate (e.g. SUM rows +10,-3 with 'val>5' leaves -3).
+            # Key-column predicates are exact: every delta of a key
+            # matches uniformly. Resolution check against a keys-only
+            # frame; types don't matter for name resolution.
+            probe = self.spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in self.meta.key_cols)
+            )
+            try:
+                probe.filter(F.expr(condition))
+            except Exception:
+                raise ValueError(
+                    "DELETE on an AGGREGATE table may reference key "
+                    f"columns only ({self.meta.key_cols}); got "
+                    f"{condition!r}"
+                ) from None
         if any(r.get("partial") for r in self.meta.rowsets):
             # The predicate binds per stored row BEFORE the column-wise
             # merge; a live partial rowset's uncarried columns are NULL

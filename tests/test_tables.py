@@ -657,6 +657,23 @@ def test_drop_then_readd_column_is_a_new_column(spark):
     assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
 
 
+def test_aggregate_delete_requires_key_column_predicate(spark):
+    """Doris rule: DELETE on an AGGREGATE table may reference key columns
+    only. The predicate filters stored delta rows BEFORE the merge, so a
+    value-column condition drops individual deltas and silently corrupts
+    the aggregate (observed: SUM deltas +10,-3 with DELETE val>5 left the
+    key visible with val=-3 instead of removing it)."""
+    t = _mk(spark, "agg_del", keys_type="AGGREGATE", key_cols=["k"],
+            agg_spec={"val": "SUM"})
+    t.insert(spark.createDataFrame([(1, 10.0), (2, 1.0)],
+                                   "k long, val double"))
+    t.insert(spark.createDataFrame([(1, -3.0)], "k long, val double"))
+    with pytest.raises(ValueError, match="key columns only"):
+        t.delete_where("val > 5")
+    t.delete_where("k = 1")  # key predicate: every delta matches uniformly
+    assert _rows(t.read(), "k", "val") == [(2, 1.0)]
+
+
 def test_delete_with_live_partial_rowsets_is_rejected(spark):
     """DELETE predicates bind per stored row BEFORE the column-wise
     merge, so with a live partial overlay a predicate matching the
