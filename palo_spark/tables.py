@@ -541,6 +541,25 @@ class Table:
         MySQL-lax casting, so widen, don't narrow)."""
         if col in self.meta.schema_drops:
             raise ValueError(f"column {col!r} is dropped")
+        if col in self.meta.key_cols:
+            # a lax narrowing cast turns unrepresentable keys into NULL,
+            # silently merging distinct rows — Doris likewise excludes
+            # key columns from light type change (full rebuild required)
+            raise ValueError(f"cannot retype key column {col!r}")
+        if col == self.meta.sequence_col:
+            raise ValueError(f"cannot retype sequence column {col!r}")
+        if (
+            col in self.meta.partition_by
+            or col in self.meta.dist_cols
+            or (
+                self.meta.auto_partition
+                and col == self.meta.auto_partition["col"]
+            )
+        ):
+            # partition labels / bucket assignment were derived from the
+            # stored type at write time — a read-time cast would desync
+            # pruning and bucketing from storage
+            raise ValueError(f"cannot retype partition/distribution column {col!r}")
         self.meta.schema_retypes[col] = new_type
         for a in self.meta.schema_adds:
             if a["col"] == col:

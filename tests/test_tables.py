@@ -429,6 +429,26 @@ def test_modify_column_type_is_metadata_only(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_modify_column_type_rejects_structural_columns(spark, tmp_path):
+    """Light type change is value-column only: a lax narrowing cast on a
+    KEY column would NULL unrepresentable keys and silently merge
+    distinct rows; partition/distribution columns drove the physical
+    layout at write time, so a read-time cast would desync pruning and
+    bucketing from storage."""
+    t = Table(spark, "mt_guard", "UNIQUE", ["k"], sequence_col="seq",
+              location=str(tmp_path / "mtg"))
+    t.insert(spark.createDataFrame([Row(k=1, seq=1, v=10)]))
+    with pytest.raises(ValueError, match="key column"):
+        t.modify_column_type("k", "string")
+    with pytest.raises(ValueError, match="sequence column"):
+        t.modify_column_type("seq", "string")
+    t2 = Table(spark, "mt_guard2", "DUPLICATE", ["k"],
+               auto_partition=("ts", "day"),
+               location=str(tmp_path / "mtg2"))
+    with pytest.raises(ValueError, match="partition/distribution"):
+        t2.modify_column_type("ts", "string")
+
+
 def test_unique_model_randomized_vs_reference_model(spark):
     """Model-based check of the UNIQUE merge-on-read path: a seeded
     random interleaving of upsert batches, predicate deletes, and
