@@ -178,7 +178,7 @@ _ALTER_DROP_COL_RE = re.compile(
 
 _ALTER_RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+RENAME\s+COLUMN\s+"
-    r"`?(?P<old>\w+)`?\s+`?(?P<new>\w+)`?\s*;?\s*$",
+    r"`?(?P<old>\w+)`?\s+(?:TO\s+)?`?(?P<new>\w+)`?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1055,6 +1055,25 @@ class PaloSession:
     def _refresh_view(self, name: str) -> None:
         self.tables[name].read().createOrReplaceTempView(name)
 
+    def _guard_mv_column_refs(self, table_name: str, col: str) -> None:
+        """Doris rule: a column referenced by a synchronous materialized
+        view cannot be renamed/dropped/retyped — the MV's load-time
+        maintenance would re-run its definition with the stale name and
+        fail the user's NEXT INSERT (observed: rename then insert crashed
+        inside the rollup refresh hook). DROP MATERIALIZED VIEW first."""
+        if self.rollups is None:
+            return
+        base = table_name.lower()
+        for r in self.rollups._rollups.get(base, []):
+            refs = set(r.group_cols) | {
+                m.col for m in r.measures if m.col is not None
+            }
+            if col in refs:
+                raise ValueError(
+                    f"column {col!r} is referenced by materialized view "
+                    f"{r.name!r}; DROP MATERIALIZED VIEW {r.name} first"
+                )
+
     def _table(self, name: str) -> Table:
         t = self.tables.get(name.lower())
         if t is None:
@@ -1518,6 +1537,7 @@ class PaloSession:
             dm_ = _ALTER_DROP_COL_RE.match(stripped)
             if dm_:
                 t = self._table(dm_.group("name"))
+                self._guard_mv_column_refs(dm_.group("name"), dm_.group("col"))
                 t.drop_column(dm_.group("col"))
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
@@ -1531,6 +1551,7 @@ class PaloSession:
             rm_ = _ALTER_RENAME_COL_RE.match(stripped)
             if rm_:
                 t = self._table(rm_.group("name"))
+                self._guard_mv_column_refs(rm_.group("name"), rm_.group("old"))
                 t.rename_column(rm_.group("old"), rm_.group("new"))
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
@@ -1555,6 +1576,7 @@ class PaloSession:
                 )
                 if styp is None:
                     raise ValueError(f"unsupported column type {mm_.group('type')!r}")
+                self._guard_mv_column_refs(mm_.group("name"), mm_.group("col"))
                 t.modify_column_type(mm_.group("col"), styp)
                 schema = getattr(t, "_declared_schema", None)
                 if schema:

@@ -1015,3 +1015,49 @@ def test_ddl_roundtrip_fuzz(ps):
             b.keys_type, b.key_cols, b.agg_spec, b.sequence_col,
             b.dist_cols, b.buckets,
         ), ddl
+
+
+def test_alter_rejected_while_mv_references_column(ps):
+    """Doris rule: a column referenced by a synchronous MV cannot be
+    renamed/dropped/retyped — the MV's load-time maintenance would re-run
+    its stale definition and fail the user's NEXT INSERT (regression:
+    rename then insert crashed inside the rollup refresh hook). Dropping
+    the MV lifts the restriction; unreferenced columns stay alterable."""
+    import pytest
+
+    ps.sql("CREATE TABLE mguard (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 4")
+    ps.sql("INSERT INTO mguard VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0)")
+    ps.sql("CREATE MATERIALIZED VIEW mvg AS "
+           "SELECT grp, SUM(val) AS s FROM mguard GROUP BY grp")
+    for stmt in (
+        "ALTER TABLE mguard RENAME COLUMN val amount",
+        "ALTER TABLE mguard DROP COLUMN val",
+        "ALTER TABLE mguard MODIFY COLUMN val VARCHAR(10)",
+        "ALTER TABLE mguard RENAME COLUMN grp segment",
+    ):
+        with pytest.raises(ValueError, match="materialized view"):
+            ps.sql(stmt)
+    # a column the MV does not reference is fine, and loads keep
+    # maintaining the MV afterwards
+    ps.sql("ALTER TABLE mguard ADD COLUMN note VARCHAR(20) DEFAULT 'x'")
+    ps.sql("INSERT INTO mguard (k, grp, val) VALUES (4,'b',10.0)")
+    got = {r["grp"]: r["s"] for r in ps.sql(
+        "SELECT grp, SUM(val) AS s FROM mguard GROUP BY grp").collect()}
+    assert got == {"a": 3.0, "b": 13.0}
+    # DROP MATERIALIZED VIEW lifts the restriction
+    ps.sql("DROP MATERIALIZED VIEW mvg")
+    ps.sql("ALTER TABLE mguard RENAME COLUMN val amount")
+    ps.sql("INSERT INTO mguard (k, grp, amount) VALUES (5,'c',7.0)")
+    got = {r["grp"]: r["s"] for r in ps.sql(
+        "SELECT grp, SUM(amount) AS s FROM mguard GROUP BY grp").collect()}
+    assert got == {"a": 3.0, "b": 13.0, "c": 7.0}
+
+
+def test_rename_column_accepts_optional_to_keyword(ps):
+    """MySQL 8 spells it RENAME COLUMN a TO b; Doris omits the TO —
+    accept both."""
+    ps.sql("CREATE TABLE rto (k BIGINT, v DOUBLE) UNIQUE KEY(k)")
+    ps.sql("INSERT INTO rto VALUES (1, 5.0)")
+    ps.sql("ALTER TABLE rto RENAME COLUMN v TO w")
+    assert [r["w"] for r in ps.sql("SELECT w FROM rto").collect()] == [5.0]
