@@ -1454,6 +1454,15 @@ class PaloSession:
                 for idx in [i for i, (t_, _c, _p) in self.indexes.items() if t_ == name]:
                     _, _, p_ = self.indexes.pop(idx)
                     _sh.rmtree(p_, ignore_errors=True)
+                # synchronous MVs likewise die with their base (Doris):
+                # a zombie rollup would silently answer a LATER
+                # same-named table's aggregates with the dropped
+                # table's data via the rewrite path
+                if self.rollups is not None:
+                    for r in list(self.rollups._rollups.get(name, [])):
+                        self.rollups.drop_rollup(r.name)
+                    self.rollups._bases.pop(name, None)
+                    self.rollups._rollups.pop(name, None)
             return None
         if up.startswith("DELETE"):
             m = _DELETE_RE.match(stripped)
@@ -1496,6 +1505,22 @@ class PaloSession:
                 t.meta.name = new
                 t._save_meta()
                 self.tables[new] = t
+                # indexes and synchronous MVs follow the table: re-key
+                # them so they keep serving (and keep being maintained)
+                # under the new name, and so nothing stale can ever be
+                # looked up under the old one
+                for idx, (t_, c_, p_) in list(self.indexes.items()):
+                    if t_ == old:
+                        self.indexes[idx] = (new, c_, p_)
+                if self.rollups is not None:
+                    rs = self.rollups._rollups.pop(old, [])
+                    bdf = self.rollups._bases.pop(old, None)
+                    if rs:
+                        for r in rs:
+                            r.base = new
+                        self.rollups._rollups[new] = rs
+                    if bdf is not None:
+                        self.rollups.register_base(new, t.read())
                 self._refresh_view(new)
                 return None
             ar_ = _ADD_ROLLUP_RE.match(stripped)

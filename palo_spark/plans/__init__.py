@@ -236,12 +236,24 @@ class RollupCatalog:
         self.register_base(base, table.read())
 
         def _on_load(batch_df: DataFrame) -> None:
+            # Resolve the base key at CALL time: ALTER TABLE RENAME
+            # re-keys the catalog, and a hook frozen on the old name
+            # would silently stop maintaining the rollups (stale MV
+            # answers after the first post-rename load). The attach-time
+            # key wins while it is still registered (it may be an alias,
+            # not the table name); after a re-key it is gone and the
+            # table's current name is the key.
+            base_now = (
+                base
+                if base in self._bases or base in self._rollups
+                else table.meta.name.lower()
+            )
             if table.meta.keys_type == "UNIQUE":
-                self.register_base(base, table.read())
-                self.refresh(base)
+                self.register_base(base_now, table.read())
+                self.refresh(base_now)
             else:
-                self.apply_delta(base, batch_df)
-                self.register_base(base, table.read())
+                self.apply_delta(base_now, batch_df)
+                self.register_base(base_now, table.read())
 
         table._on_insert.append(_on_load)
 

@@ -1061,3 +1061,50 @@ def test_rename_column_accepts_optional_to_keyword(ps):
     ps.sql("INSERT INTO rto VALUES (1, 5.0)")
     ps.sql("ALTER TABLE rto RENAME COLUMN v TO w")
     assert [r["w"] for r in ps.sql("SELECT w FROM rto").collect()] == [5.0]
+
+
+def test_drop_table_drops_its_materialized_views(ps):
+    """Synchronous MVs die with their base (Doris): a zombie rollup
+    would silently answer a LATER same-named table's aggregates with
+    the dropped table's data via the rewrite path (regression — it
+    served 100/200 against a recreated table holding only 1.0)."""
+    ps.sql("CREATE TABLE zomb (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO zomb VALUES (1,'a',100.0),(2,'b',200.0)")
+    ps.sql("CREATE MATERIALIZED VIEW zombmv AS "
+           "SELECT grp, SUM(val) AS s FROM zomb GROUP BY grp")
+    ps.sql("DROP TABLE zomb")
+    assert ps.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    ps.sql("CREATE TABLE zomb (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO zomb VALUES (1,'a',1.0)")
+    got = [(r["grp"], r["s"]) for r in ps.sql(
+        "SELECT grp, SUM(val) AS s FROM zomb GROUP BY grp").collect()]
+    assert got == [("a", 1.0)]
+
+
+def test_rename_table_rekeys_mvs_and_keeps_maintaining_them(ps):
+    """ALTER TABLE RENAME moves the table's MVs (and index entries) to
+    the new name: the rewrite still answers from the rollup, loads keep
+    maintaining it (the hook resolves the base name at call time), and
+    a NEW table under the OLD name is never answered from the moved MV."""
+    ps.sql("CREATE TABLE rko (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO rko VALUES (1,'a',100.0),(2,'b',200.0)")
+    ps.sql("CREATE MATERIALIZED VIEW rkomv AS "
+           "SELECT grp, SUM(val) AS s FROM rko GROUP BY grp")
+    ps.sql("ALTER TABLE rko RENAME rkn")
+    ps.sql("INSERT INTO rkn VALUES (3,'a',1.0)")
+    # the rewrite serves the NEW name from the moved, still-maintained MV
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM rkn GROUP BY grp")
+    assert source == "rkomv"
+    assert sorted((r["grp"], r["s"]) for r in df.collect()) == [
+        ("a", 101.0), ("b", 200.0)]
+    # old name reused by a fresh table: plain scan, no MV capture
+    ps.sql("CREATE TABLE rko (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO rko VALUES (9,'a',7.0)")
+    got = [(r["grp"], r["s"]) for r in ps.sql(
+        "SELECT grp, SUM(val) AS s FROM rko GROUP BY grp").collect()]
+    assert got == [("a", 7.0)]
