@@ -1055,6 +1055,18 @@ class PaloSession:
     def _refresh_view(self, name: str) -> None:
         self.tables[name].read().createOrReplaceTempView(name)
 
+    def _refresh_rollups(self, table_name: str, t: Table) -> None:
+        """Rebuild a table's rollups from its current merge view after a
+        NON-INSERT mutation (DELETE, DROP PARTITION). Insert-time
+        maintenance only ever ADDS deltas, so removals must re-derive the
+        stores or MVs keep answering with deleted rows' contributions."""
+        if self.rollups is None:
+            return
+        base = table_name.lower()
+        if self.rollups._rollups.get(base):
+            self.rollups.register_base(base, t.read())
+            self.rollups.refresh(base)
+
     def _guard_mv_column_refs(self, table_name: str, col: str) -> None:
         """Doris rule: a column referenced by a synchronous materialized
         view cannot be renamed/dropped/retyped — the MV's load-time
@@ -1292,6 +1304,17 @@ class PaloSession:
         if tm:
             t = self._table(tm.group("name"))
             t.truncate()
+            # delta-maintained rollups never subtract: without this, an
+            # MV kept answering with pre-truncate sums forever. Empty
+            # each store schema-preservingly (limit(0) of itself, tmp +
+            # replace) so MV-answered queries see the truncated state.
+            if self.rollups is not None:
+                for r in self.rollups._rollups.get(tm.group("name").lower(), []):
+                    empty = r.read(self.spark).limit(0)
+                    tmp_store = r.location + ".__tmp"
+                    empty.write.mode("overwrite").parquet(tmp_store)
+                    _sh.rmtree(r.location, ignore_errors=True)
+                    os.replace(tmp_store, r.location)
             # a truncated table stays queryable as empty (Doris behavior)
             schema = getattr(t, "_declared_schema", None)
             if schema:
@@ -1484,6 +1507,7 @@ class PaloSession:
                     )
                 cond = f"{AUTO_PART_COL} = '{m.group('part')}' AND ({cond})"
             version = t.delete_where(cond)
+            self._refresh_rollups(m.group("name"), t)
             self._refresh_view(m.group("name").lower())
             return version
         if up.startswith("UPDATE"):
@@ -1618,6 +1642,7 @@ class PaloSession:
             if pm_:
                 t = self._table(pm_.group("name"))
                 t.drop_partition(pm_.group("label"))
+                self._refresh_rollups(pm_.group("name"), t)
                 self._refresh_view(pm_.group("name").lower())
                 return None
             m = _ALTER_ADD_RE.match(stripped)

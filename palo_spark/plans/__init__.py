@@ -248,7 +248,15 @@ class RollupCatalog:
                 if base in self._bases or base in self._rollups
                 else table.meta.name.lower()
             )
-            if table.meta.keys_type == "UNIQUE":
+            if (
+                table.meta.keys_type == "UNIQUE"
+                or table.meta.dynamic_partition_retention > 0
+            ):
+                # UNIQUE: an upsert replaces rows — not additive.
+                # Retention: the SAME load may also EXPIRE old
+                # partitions, and apply_delta would only add the batch,
+                # leaving the expired partitions' contributions in the
+                # rollup forever. Both need the full re-derive.
                 self.register_base(base_now, table.read())
                 self.refresh(base_now)
             else:

@@ -1108,3 +1108,27 @@ def test_rename_table_rekeys_mvs_and_keeps_maintaining_them(ps):
     got = [(r["grp"], r["s"]) for r in ps.sql(
         "SELECT grp, SUM(val) AS s FROM rko GROUP BY grp").collect()]
     assert got == [("a", 7.0)]
+
+
+def test_truncate_and_delete_propagate_to_materialized_views(ps):
+    """Insert-time MV maintenance only ever ADDS deltas, so removals
+    must re-derive the stores: TRUNCATE and DELETE used to leave the
+    rollup answering with removed rows' contributions forever
+    (regression: truncate+insert 1.0 answered 101.0; DELETE grp='b'
+    kept serving b=200)."""
+    ps.sql("CREATE TABLE mvrm (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO mvrm VALUES (1,'a',100.0),(2,'b',200.0)")
+    ps.sql("CREATE MATERIALIZED VIEW mvrmv AS "
+           "SELECT grp, SUM(val) AS s FROM mvrm GROUP BY grp")
+    ps.sql("DELETE FROM mvrm WHERE grp = 'b'")
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM mvrm GROUP BY grp")
+    assert source == "mvrmv"  # still MV-answered, from the re-derived store
+    assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 100.0)]
+    ps.sql("TRUNCATE TABLE mvrm")
+    ps.sql("INSERT INTO mvrm VALUES (3,'a',1.0)")
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM mvrm GROUP BY grp")
+    assert source == "mvrmv"
+    assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 1.0)]
