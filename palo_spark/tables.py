@@ -130,6 +130,12 @@ class TableMeta:
     #: keep only the newest N auto-partitions, dropping older ones at
     #: load time (Doris dynamic_partition.start retention; 0 = keep all)
     dynamic_partition_retention: int = 0
+    #: declared value columns, captured at the table's FIRST full load
+    #: (renames/drops maintain it): later full loads must carry exactly
+    #: these (schema-add columns stay optional), because a rowset missing
+    #: a value column poisons every subsequent read at the union. Empty
+    #: on tables persisted before this field existed → legacy-lax.
+    value_cols: list = field(default_factory=list)
     #: monotonic mutation counter (never decremented/reused) — bumped by
     #: every state-changing operation; see Table.state_token
     mutations: int = 0
@@ -314,6 +320,16 @@ class Table:
             partial_cols = self._check_partial_schema(df)
         else:
             self._check_schema(df)
+            if not self.meta.value_cols and not self.meta.rowsets:
+                # capture the declared value schema at the first full
+                # load; every later load validates against it
+                self.meta.value_cols = [
+                    c
+                    for c in df.columns
+                    if c not in self.meta.key_cols
+                    and c != self.meta.sequence_col
+                    and c not in (DELETE_SIGN_COL, AUTO_PART_COL)
+                ]
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
         self._write_rowset(df, path)
@@ -445,8 +461,10 @@ class Table:
         ``default`` at read; loads that include the column keep their
         values, including explicit NULLs. ``agg`` adds the column to an
         AGGREGATE table's merge spec."""
-        if col in self.meta.key_cols or any(
-            a["col"] == col for a in self.meta.schema_adds
+        if (
+            col in self.meta.key_cols
+            or col in self.meta.value_cols
+            or any(a["col"] == col for a in self.meta.schema_adds)
         ):
             raise ValueError(f"column {col!r} already exists")
         self._guard_delete_predicate_capture(col)
@@ -488,6 +506,7 @@ class Table:
         self.meta.schema_adds = [
             a for a in self.meta.schema_adds if a["col"] != col
         ]
+        self.meta.value_cols = [c for c in self.meta.value_cols if c != col]
         self.meta.schema_drops.append(col)
         self._save_meta()
 
@@ -525,6 +544,9 @@ class Table:
         ]
         self.meta.dist_cols = [
             new if c == old else c for c in self.meta.dist_cols
+        ]
+        self.meta.value_cols = [
+            new if c == old else c for c in self.meta.value_cols
         ]
         if self.meta.auto_partition and self.meta.auto_partition["col"] == old:
             self.meta.auto_partition["col"] = new
@@ -687,6 +709,15 @@ class Table:
         bad = [c for c in value_cols if c in dropped]
         if bad:
             raise ValueError(f"partial batch writes dropped columns: {bad}")
+        if self.meta.value_cols:
+            allowed = set(self.meta.value_cols) | {
+                a["col"] for a in self.meta.schema_adds
+            }
+            unknown = sorted(c for c in value_cols if c not in allowed)
+            if unknown:
+                raise ValueError(
+                    f"partial batch carries unknown columns: {unknown}"
+                )
         return sorted(value_cols)
 
     def _check_schema(self, df: DataFrame) -> None:
@@ -700,6 +731,27 @@ class Table:
         for c in self.meta.agg_spec:
             if c not in cols and c not in added:
                 raise ValueError(f"insert batch missing value column {c!r}")
+        if self.meta.value_cols:
+            # a rowset missing a declared value column poisons every
+            # later read at the union — reject the LOAD instead; unknown
+            # columns are equally rejected (they would silently appear
+            # in the read view)
+            missing_v = [c for c in self.meta.value_cols if c not in cols]
+            if missing_v:
+                raise ValueError(
+                    f"insert batch missing value columns: {missing_v}"
+                )
+            allowed = (
+                set(self.meta.value_cols)
+                | added
+                | set(self.meta.key_cols)
+                | {self.meta.sequence_col, DELETE_SIGN_COL, AUTO_PART_COL}
+            )
+            unknown = sorted(c for c in cols if c not in allowed)
+            if unknown:
+                raise ValueError(
+                    f"insert batch carries unknown columns: {unknown}"
+                )
 
     # --------------------------------------------------------------- reads
 

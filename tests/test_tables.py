@@ -677,6 +677,37 @@ def test_drop_then_readd_column_is_a_new_column(spark):
     assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
 
 
+def test_full_load_must_match_declared_value_schema(spark):
+    """The first full load captures the table's value schema; later full
+    loads must carry exactly it (schema-add columns stay optional).
+    Regression: a full load omitting a value column used to COMMIT and
+    poison every subsequent read with an unresolvable-column union;
+    stray columns silently appeared in the read view."""
+    t = _mk(spark, "vschema", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0, 2.0)],
+                                   "k long, a double, b double"))
+    with pytest.raises(ValueError, match="missing value columns"):
+        t.insert(spark.createDataFrame([(2, 3.0)], "k long, a double"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.insert(spark.createDataFrame([(2, 3.0, 4.0, 9)],
+                                       "k long, a double, b double, zz long"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.insert(spark.createDataFrame([(1, 9.0)], "k long, zz double"),
+                 partial_columns=True)
+    # the table stays healthy and the declared set follows renames/drops
+    t.rename_column("b", "c")
+    t.insert(spark.createDataFrame([(2, 3.0, 4.0)],
+                                   "k long, a double, c double"))
+    t.drop_column("a")
+    t.insert(spark.createDataFrame([(3, 5.0)], "k long, c double"))
+    assert _rows(t.read(), "k", "c") == [(1, 2.0), (2, 4.0), (3, 5.0)]
+    # added columns stay optional in loads
+    t.add_column("d", "double", default=7.0)
+    t.insert(spark.createDataFrame([(4, 6.0)], "k long, c double"))
+    assert _rows(t.read(), "k", "d") == [
+        (1, 7.0), (2, 7.0), (3, 7.0), (4, 7.0)]
+
+
 def test_aggregate_delete_requires_key_column_predicate(spark):
     """Doris rule: DELETE on an AGGREGATE table may reference key columns
     only. The predicate filters stored delta rows BEFORE the merge, so a
