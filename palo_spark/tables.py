@@ -136,6 +136,12 @@ class TableMeta:
     #: a value column poisons every subsequent read at the union. Empty
     #: on tables persisted before this field existed → legacy-lax.
     value_cols: list = field(default_factory=list)
+    #: version high-water mark: carries the counter across TRUNCATE
+    #: (which clears the rowset/delete lists the counter is otherwise
+    #: derived from) so versions are never reused — the version-gated
+    #: schema metadata (rename "until", re-add "since", delete gating)
+    #: depends on monotonicity
+    last_version: int = 0
     #: monotonic mutation counter (never decremented/reused) — bumped by
     #: every state-changing operation; see Table.state_token
     mutations: int = 0
@@ -262,6 +268,15 @@ class Table:
     def _next_version(self) -> int:
         hi = max((r["version"] for r in self.meta.rowsets), default=0)
         hi = max(hi, max((d["version"] for d in self.meta.deletes), default=0))
+        # versions must be MONOTONIC for the table's lifetime: the
+        # version-gated schema metadata (rename "until", re-add "since",
+        # delete versions) compares against them, so a counter that
+        # restarted after TRUNCATE cleared the rowset/delete lists made
+        # old boundaries apply to NEW rowsets (observed: a truncated
+        # table's first new rowset got version 1 < a rename's until=2,
+        # the mapping renamed its reused column onto the renamed one,
+        # and the read collapsed into duplicate columns)
+        hi = max(hi, self.meta.last_version)
         return hi + 1
 
     # -------------------------------------------------------------- writes
@@ -617,8 +632,14 @@ class Table:
     def compact(self) -> None:
         """Materialize the merge-on-read view into a single rowset
         (Doris base compaction: applies model merge semantics AND any
-        pending delete predicates eagerly, then clears them)."""
-        self._replace_storage(self.read())
+        pending delete predicates eagerly, then clears them). On an
+        empty table (truncated, or every partition expired) compaction
+        is a no-op, not an error."""
+        try:
+            view = self.read()
+        except ValueError:
+            return
+        self._replace_storage(view)
 
     def _write_rowset(self, df: DataFrame, path: str) -> None:
         """One rowset write. AUTO PARTITION tables derive the partition
@@ -1128,6 +1149,9 @@ class Table:
         label ledger (a truncated table accepts the same labels again,
         as Doris does after truncate recreates partitions); schema and
         model metadata survive."""
+        # pin the high-water mark BEFORE clearing the lists it is
+        # otherwise derived from — post-truncate versions stay monotonic
+        self.meta.last_version = max(self.meta.last_version, self._next_version)
         for r in self.meta.rowsets:
             shutil.rmtree(r["path"], ignore_errors=True)
         self.meta.rowsets = []

@@ -420,7 +420,8 @@ def test_unique_partial_and_sign_phases_match_dict_model(spark, tmp_path):
 def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
     """Randomized interleaving of light schema changes (ADD with default,
     RENAME, DROP, drop+re-ADD of a recycled name) with full loads,
-    partial-column loads, and compaction, vs a dict reference.
+    partial-column loads, key-predicate DELETEs, TRUNCATE, and
+    compaction, vs a dict reference.
 
     Model semantics (the engine's documented contract):
     - ADD COLUMN default d: every existing row surfaces d; later full
@@ -434,6 +435,10 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
     - Partial load: updates only carried columns; an unknown key gets
       NULL for never-carried original columns and the declared default
       for added columns.
+    - DELETE (key predicate, only when no partial rowsets are live —
+      the engine refuses otherwise): removes every currently-stored
+      matching key; later loads are unaffected.
+    - TRUNCATE: clears all rows; schema metadata survives.
     """
     import random
 
@@ -457,10 +462,12 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
     fresh = 0  # counter for generated column names
     dropped_names: list[str] = []  # recyclable for drop+re-add
     renamed_away: list[str] = []  # recyclable: old names freed by RENAME
-    for _ in range(14):
+    live_partials = False  # any partial rowset since the last compact
+    for _ in range(16):
         op = rng.choices(
-            ["full", "partial", "add", "rename", "drop", "compact"],
-            weights=[28, 28, 14, 10, 10, 10],
+            ["full", "partial", "add", "rename", "drop", "compact",
+             "delete", "truncate"],
+            weights=[26, 26, 12, 9, 9, 8, 7, 3],
         )[0]
         live = sorted(cols)
         if op == "full":
@@ -490,6 +497,7 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
             t.insert(
                 spark.createDataFrame(rows, schema), partial_columns=True
             )
+            live_partials = True
             for row in rows:
                 k = row[0]
                 vals = dict(zip(carried, row[1:]))
@@ -536,11 +544,24 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
             dropped_names.append(victim)
             for r in model.values():
                 r.pop(victim)
+        elif op == "delete":
+            if live_partials or not model:
+                continue  # engine refuses DELETE over live partial rowsets
+            lo = rng.randint(0, 7)
+            t.delete_where(f"k >= {lo}")
+            model = {k: r for k, r in model.items() if k < lo}
+        elif op == "truncate":
+            t.truncate()
+            model = {}
+            live_partials = False
         else:
             t.compact()
+            live_partials = False
     live = sorted(cols)
-    got = {
-        r["k"]: tuple(r[c] for c in live) for r in t.read().collect()
-    }
+    try:
+        rows_out = t.read().collect()
+    except ValueError:
+        rows_out = []  # truncated empty table: read() raises "no data"
+    got = {r["k"]: tuple(r[c] for c in live) for r in rows_out}
     want = {k: tuple(r[c] for c in live) for k, r in model.items()}
     assert got == want

@@ -677,6 +677,37 @@ def test_drop_then_readd_column_is_a_new_column(spark):
     assert _rows(t.read(), "k", "b") == [(1, 9.0), (2, 6.0)]
 
 
+def test_compact_on_empty_table_is_noop(spark):
+    """Base compaction of an empty tablet (truncated, or every partition
+    expired) is a no-op, not an error."""
+    t = _mk(spark, "empty_compact", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    t.truncate()
+    t.compact()  # must not raise
+    t.insert(spark.createDataFrame([(2, 2.0)], "k long, v double"))
+    assert _rows(t.read(), "k", "v") == [(2, 2.0)]
+
+
+def test_versions_stay_monotonic_across_truncate(spark):
+    """TRUNCATE clears the rowset/delete lists the version counter was
+    derived from, so versions used to restart at 1 — making old
+    version-gated schema boundaries (rename 'until', re-add 'since',
+    delete gating) apply to NEW rowsets. Regression: rename b->r1, add b
+    (reuse), truncate, partial load carrying both — the restarted
+    version fell below the rename boundary, the mapping renamed the
+    reused column onto the renamed one, and the read collapsed into
+    duplicate columns."""
+    t = _mk(spark, "vmono", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0)], "k long, b double"))
+    t.rename_column("b", "r1")
+    t.add_column("b", "double", default=523.0)
+    t.truncate()
+    t.insert(spark.createDataFrame([(4, 158.0, 166.0)],
+                                   "k long, b double, r1 double"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "b", "r1") == [(4, 158.0, 166.0)]
+
+
 def test_full_load_must_match_declared_value_schema(spark):
     """The first full load captures the table's value schema; later full
     loads must carry exactly it (schema-add columns stay optional).
