@@ -475,7 +475,14 @@ class Table:
         before the change (and later loads that omit the column) surface
         ``default`` at read; loads that include the column keep their
         values, including explicit NULLs. ``agg`` adds the column to an
-        AGGREGATE table's merge spec."""
+        AGGREGATE table's merge spec.
+
+        On an AGGREGATE table the default fills per STORED DELTA ROW
+        before the merge (upstream behavior), so a non-zero default on a
+        SUM column contributes once per unmerged load of a key and again
+        for every later load that omits the column — use default 0 for
+        SUM columns unless that is what you want. Compaction is value-
+        neutral either way (pinned)."""
         if (
             col in self.meta.key_cols
             or col in self.meta.value_cols

@@ -951,3 +951,20 @@ def test_delete_sign_survives_auto_compaction(spark):
     assert t.meta.has_delete_sign is False
     assert _rows(t.read(), "k", "v") == [
         (1, "v1"), (2, "v2"), (3, "v3"), (4, "d"), (5, "e")]
+
+
+def test_aggregate_add_column_default_semantics_pinned(spark):
+    """AGGREGATE + ADD COLUMN with agg spec: the default fills per STORED
+    DELTA ROW before the merge (upstream behavior) — two unmerged loads
+    of a key contribute 2x a SUM default — and compaction is value-
+    neutral on the visible result."""
+    t = _mk(spark, "agg_add", keys_type="AGGREGATE", key_cols=["k"],
+            agg_spec={"val": "SUM"})
+    t.insert(spark.createDataFrame([(1, 10.0)], "k long, val double"))
+    t.insert(spark.createDataFrame([(1, 20.0)], "k long, val double"))
+    t.add_column("c", "double", default=5.0, agg="SUM")
+    assert _rows(t.read(), "k", "val", "c") == [(1, 30.0, 10.0)]
+    t.compact()
+    assert _rows(t.read(), "k", "val", "c") == [(1, 30.0, 10.0)]
+    t.insert(spark.createDataFrame([(1, 1.0)], "k long, val double"))
+    assert _rows(t.read(), "k", "val", "c") == [(1, 31.0, 15.0)]
