@@ -1053,7 +1053,20 @@ class PaloSession:
         )
 
     def _refresh_view(self, name: str) -> None:
-        self.tables[name].read().createOrReplaceTempView(name)
+        t = self.tables[name]
+        try:
+            df = t.read()
+        except ValueError:
+            # empty table (never loaded, or fully truncated): stay
+            # queryable as an empty frame — and keep ALTER statements
+            # working (read() raises on no data, which used to crash any
+            # ALTER on an empty table after its metadata already applied)
+            schema = getattr(t, "_declared_schema", None)
+            if schema is None:
+                self.spark.catalog.dropTempView(name)
+                return
+            df = self.spark.createDataFrame([], schema)
+        df.createOrReplaceTempView(name)
 
     def _refresh_rollups(self, table_name: str, t: Table) -> None:
         """Rebuild a table's rollups from its current merge view after a
@@ -1588,6 +1601,15 @@ class PaloSession:
                 t = self._table(dm_.group("name"))
                 self._guard_mv_column_refs(dm_.group("name"), dm_.group("col"))
                 t.drop_column(dm_.group("col"))
+                # inverted indexes on the dropped column die with it
+                tn_ = dm_.group("name").lower()
+                for idx in [
+                    i
+                    for i, (t_, c_, _p) in self.indexes.items()
+                    if t_ == tn_ and c_ == dm_.group("col")
+                ]:
+                    _, _, p_ = self.indexes.pop(idx)
+                    _sh.rmtree(p_, ignore_errors=True)
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
                     t._declared_schema = ", ".join(  # type: ignore[attr-defined]
@@ -1602,6 +1624,13 @@ class PaloSession:
                 t = self._table(rm_.group("name"))
                 self._guard_mv_column_refs(rm_.group("name"), rm_.group("old"))
                 t.rename_column(rm_.group("old"), rm_.group("new"))
+                # inverted indexes follow the column: postings are
+                # content-keyed, so a rename is a registry re-key, not a
+                # rebuild — MATCH on the new name keeps the pruned path
+                tn_ = rm_.group("name").lower()
+                for idx, (t_, c_, p_) in list(self.indexes.items()):
+                    if t_ == tn_ and c_ == rm_.group("old"):
+                        self.indexes[idx] = (t_, rm_.group("new"), p_)
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
                     parts = []

@@ -1132,3 +1132,23 @@ def test_truncate_and_delete_propagate_to_materialized_views(ps):
         "SELECT grp, SUM(val) AS s FROM mvrm GROUP BY grp")
     assert source == "mvrmv"
     assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 1.0)]
+
+
+def test_inverted_index_follows_column_rename_and_drop(ps):
+    """Postings are content-keyed, so RENAME COLUMN re-keys the index
+    registry (MATCH on the new name keeps the pruned path, rebuilt
+    lazily under the new column); DROP COLUMN removes the index with its
+    posting store, like DROP TABLE already did."""
+    ps.sql("CREATE TABLE idocs (id BIGINT, body VARCHAR(200)) "
+           "DUPLICATE KEY(id)")
+    ps.sql("INSERT INTO idocs VALUES (1,'hash join vector'),"
+           "(2,'sort merge'),(3,'hash table')")
+    ps.sql("CREATE INDEX idx_ib ON idocs (body) USING INVERTED")
+    assert sorted(r["id"] for r in ps.sql(
+        "SELECT id FROM idocs WHERE body MATCH_ANY 'hash'").collect()) == [1, 3]
+    ps.sql("ALTER TABLE idocs RENAME COLUMN body content")
+    assert ps.indexes["idx_ib"][1] == "content"
+    assert sorted(r["id"] for r in ps.sql(
+        "SELECT id FROM idocs WHERE content MATCH_ANY 'hash'").collect()) == [1, 3]
+    ps.sql("ALTER TABLE idocs DROP COLUMN content")
+    assert "idx_ib" not in ps.indexes
