@@ -1939,7 +1939,12 @@ class PaloSession:
                 rows.write.mode("overwrite").parquet(staged)
                 staged_rows = self.spark.read.parquet(staged)
                 t.truncate()
-                return self._insert(rewritten, rows_override=staged_rows)
+                version = self._insert(rewritten, rows_override=staged_rows)
+                # the truncate half of OVERWRITE never reaches the MV
+                # maintenance hooks (they only see the inserted batch):
+                # re-derive, or the rollup keeps pre-overwrite sums
+                self._refresh_rollups(m2.group("name"), t)
+                return version
             finally:
                 # the insert re-wrote the data into a rowset; the stage
                 # dir is transient (removed after the load commits)

@@ -1152,3 +1152,27 @@ def test_inverted_index_follows_column_rename_and_drop(ps):
         "SELECT id FROM idocs WHERE content MATCH_ANY 'hash'").collect()) == [1, 3]
     ps.sql("ALTER TABLE idocs DROP COLUMN content")
     assert "idx_ib" not in ps.indexes
+
+
+def test_insert_overwrite_propagates_to_materialized_views(ps):
+    """INSERT OVERWRITE's truncate half never reaches the MV maintenance
+    hooks (they only see the inserted batch), so the rollup kept
+    pre-overwrite sums plus the new batch (served 101/200 against a
+    table holding only 1.0). The handler re-derives the table's rollups
+    after the overwrite commits."""
+    ps.sql("CREATE TABLE owp (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "DUPLICATE KEY(k)")
+    ps.sql("INSERT INTO owp VALUES (1,'a',100.0),(2,'b',200.0)")
+    ps.sql("CREATE MATERIALIZED VIEW owpmv AS "
+           "SELECT grp, SUM(val) AS s FROM owp GROUP BY grp")
+    ps.sql("INSERT OVERWRITE TABLE owp VALUES (3,'a',1.0)")
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM owp GROUP BY grp")
+    assert source == "owpmv"
+    assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 1.0)]
+    # self-referential overwrite (reads the target) stays correct too
+    ps.sql("INSERT OVERWRITE TABLE owp SELECT k, grp, val * 2 AS val FROM owp")
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM owp GROUP BY grp")
+    assert source == "owpmv"
+    assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 2.0)]
