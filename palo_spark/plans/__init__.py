@@ -232,6 +232,12 @@ class RollupCatalog:
 
         The base registration is refreshed to the table's current merge
         view after each load.
+
+        Maintenance is INSERT-driven: the table only exposes load hooks,
+        so non-insert removals done through the Table API directly —
+        ``delete_where``, ``truncate``, ``drop_partition`` — must be
+        followed by :meth:`refresh` (PaloSession's DELETE / TRUNCATE /
+        DROP PARTITION / INSERT OVERWRITE statements do this for you).
         """
         self.register_base(base, table.read())
 
