@@ -968,3 +968,35 @@ def test_aggregate_add_column_default_semantics_pinned(spark):
     assert _rows(t.read(), "k", "val", "c") == [(1, 30.0, 10.0)]
     t.insert(spark.createDataFrame([(1, 1.0)], "k long, val double"))
     assert _rows(t.read(), "k", "val", "c") == [(1, 31.0, 15.0)]
+
+
+def test_delete_sign_composes_with_schema_changes(spark):
+    """Delete-sign MERGE loads after RENAME (batch carries the new name)
+    and ADD COLUMN (batch omits the optional column): the sign rides the
+    row-wise merge unchanged, the added column's default fills, and the
+    renamed sequence column still decides out-of-order deletes."""
+    from palo_spark.tables import DELETE_SIGN_COL
+
+    t = _mk(spark, "sign_schema", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    t.rename_column("v", "w")
+    t.add_column("c", "double", default=7.0)
+    t.insert(spark.createDataFrame(
+        [(1, 10.0, 0), (2, 2.0, 1)],
+        f"k long, w double, {DELETE_SIGN_COL} int"))
+    assert _rows(t.read(), "k", "w", "c") == [(1, 10.0, 7.0)]
+    t.compact()
+    assert _rows(t.read(), "k", "w", "c") == [(1, 10.0, 7.0)]
+
+    t2 = _mk(spark, "sign_seq_ren", keys_type="UNIQUE", key_cols=["k"],
+             sequence_col="seq")
+    t2.insert(spark.createDataFrame([(1, 5, "a")], "k long, seq long, x string"))
+    t2.rename_column("seq", "ver")
+    # an out-of-order delete (lower renamed-sequence) loses
+    t2.insert(spark.createDataFrame(
+        [(1, 3, "junk", 1)], f"k long, ver long, x string, {DELETE_SIGN_COL} int"))
+    assert _rows(t2.read(), "k", "ver", "x") == [(1, 5, "a")]
+    # a higher-sequence delete wins
+    t2.insert(spark.createDataFrame(
+        [(1, 9, "junk", 1)], f"k long, ver long, x string, {DELETE_SIGN_COL} int"))
+    assert t2.read().count() == 0
