@@ -542,6 +542,8 @@ class PaloSession:
         # remember the declared schema so VALUES inserts can be typed
         t._declared_schema = ", ".join(f"{n} {st}" for n, st, _, _ in cols)  # type: ignore[attr-defined]
         self.tables[name.lower()] = t
+        # a freshly created table is queryable as empty (Doris behavior)
+        self._refresh_view(name.lower())
         return t
 
     def _create_table_like(
@@ -579,6 +581,7 @@ class PaloSession:
         if schema is not None:
             new._declared_schema = schema  # type: ignore[attr-defined]
         self.tables[name.lower()] = new
+        self._refresh_view(name.lower())  # queryable as empty immediately
         return new
 
     # ------------------------------------------------------------- DML
@@ -962,7 +965,15 @@ class PaloSession:
         bl = base.lower()
         if bl in self.tables:
             t = self.tables[bl]
-            self.rollups.register_base(base, t.read())
+            df = self._table_df(t)
+            if df is None:
+                raise ValueError(
+                    f"cannot create MV on {base!r}: empty table with no "
+                    "declared schema"
+                )
+            # empty-safe: Doris allows an MV on an empty table (the
+            # store builds empty and fills on the first load)
+            self.rollups.register_base(base, df)
             # attach load-time maintenance ONCE per base: attach_table
             # appends an _on_insert callback, and apply_delta already
             # fans out to every rollup of the base — a second callback
@@ -1052,20 +1063,24 @@ class PaloSession:
             + text[preds[0].end() :]
         )
 
-    def _refresh_view(self, name: str) -> None:
-        t = self.tables[name]
+    def _table_df(self, t: Table):
+        """The table's merge view, or a typed EMPTY frame when it has no
+        data (never loaded / fully truncated) — None if empty and the
+        declared schema is unknown. Keeps every statement that needs a
+        frame (view refresh, MV registration) working on empty tables."""
         try:
-            df = t.read()
+            return t.read()
         except ValueError:
-            # empty table (never loaded, or fully truncated): stay
-            # queryable as an empty frame — and keep ALTER statements
-            # working (read() raises on no data, which used to crash any
-            # ALTER on an empty table after its metadata already applied)
             schema = getattr(t, "_declared_schema", None)
             if schema is None:
-                self.spark.catalog.dropTempView(name)
-                return
-            df = self.spark.createDataFrame([], schema)
+                return None
+            return self.spark.createDataFrame([], schema)
+
+    def _refresh_view(self, name: str) -> None:
+        df = self._table_df(self.tables[name])
+        if df is None:
+            self.spark.catalog.dropTempView(name)
+            return
         df.createOrReplaceTempView(name)
 
     def _refresh_rollups(self, table_name: str, t: Table) -> None:
@@ -1077,7 +1092,10 @@ class PaloSession:
             return
         base = table_name.lower()
         if self.rollups._rollups.get(base):
-            self.rollups.register_base(base, t.read())
+            df = self._table_df(t)
+            if df is None:
+                return
+            self.rollups.register_base(base, df)
             self.rollups.refresh(base)
 
     def _guard_mv_column_refs(self, table_name: str, col: str) -> None:
@@ -1127,7 +1145,10 @@ class PaloSession:
             if k in (c.lower() for c in t.meta.key_cols):
                 raise ValueError(f"cannot UPDATE key column {k!r}")
         cond = translate(m.group("cond")) if m.group("cond") else "true"
-        cur = t.read()
+        try:
+            cur = t.read()
+        except ValueError:
+            return 0  # empty table: UPDATE matches nothing
         from pyspark.sql import functions as F
 
         matched = cur.filter(F.expr(cond))
@@ -1557,7 +1578,9 @@ class PaloSession:
                             r.base = new
                         self.rollups._rollups[new] = rs
                     if bdf is not None:
-                        self.rollups.register_base(new, t.read())
+                        ndf = self._table_df(t)
+                        if ndf is not None:
+                            self.rollups.register_base(new, ndf)
                 self._refresh_view(new)
                 return None
             ar_ = _ADD_ROLLUP_RE.match(stripped)

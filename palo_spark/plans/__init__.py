@@ -239,7 +239,11 @@ class RollupCatalog:
         followed by :meth:`refresh` (PaloSession's DELETE / TRUNCATE /
         DROP PARTITION / INSERT OVERWRITE statements do this for you).
         """
-        self.register_base(base, table.read())
+        if base not in self._bases:
+            # callers that pre-registered (possibly with an empty-safe
+            # frame for a not-yet-loaded table) keep their registration;
+            # table.read() raises on an empty table
+            self.register_base(base, table.read())
 
         def _on_load(batch_df: DataFrame) -> None:
             # Resolve the base key at CALL time: ALTER TABLE RENAME

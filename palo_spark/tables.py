@@ -439,12 +439,14 @@ class Table:
             # merge; a live partial rowset's uncarried columns are NULL
             # there, so a delete matching the MERGED row would miss the
             # overlay and strip the base row instead (leaving the key
-            # visible with NULLed columns). Same mutual exclusion as
-            # delete-sign loads: fold the overlay first.
-            raise ValueError(
-                "DELETE with live partial-column rowsets is ambiguous; "
-                "compact() first"
-            )
+            # visible with NULLed columns). Fold the overlay FIRST —
+            # compaction materializes the merged state, making the
+            # per-row predicate exact again. Implicit (not a refusal)
+            # because UPDATE takes the partial-load path internally, so
+            # UPDATE-then-DELETE is an everyday sequence; the rewrite
+            # cost is the price of predicate-exactness over an overlay
+            # (Doris's merge-on-write keeps this state continuously).
+            self.compact()
         version = self._next_version
         self.meta.deletes.append({"version": version, "predicate": condition})
         self._save_meta()

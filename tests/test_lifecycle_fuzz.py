@@ -1,0 +1,128 @@
+"""Session-lifecycle fuzzer: random DDL/DML/lifecycle statement
+sequences against a dict model, with MV-rewrite cross-checking.
+
+The round-8 hardening sweep found its defects in the INTERACTIONS of
+features each individually value-oracled (schema change x partial loads
+x delete predicates x MVs x table lifecycle). This fuzzer locks the
+class at the SESSION level, where the per-table randomized models in
+tests/test_property.py cannot see: statement parsing, the MV rewrite
+path, view refreshes, and the lifecycle handlers (DROP/RENAME/TRUNCATE/
+INSERT OVERWRITE) that own cross-object cleanup.
+
+Invariant checked after EVERY phase: the canonical aggregate
+``SELECT grp, SUM(val) FROM t GROUP BY grp`` answered through the
+session (which silently routes via a live MV when one covers it) equals
+the dict model — so a stale rollup, a zombie registration, a missed
+re-derive, or a broken view refresh surfaces immediately, not just at
+the end. When an MV is live, the rewrite SOURCE is asserted too: the
+query must actually be MV-answered for the check to mean anything.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from palo_spark.palo_session import PaloSession
+
+
+@pytest.fixture()
+def ps(spark, tmp_path):
+    return PaloSession(spark, location_root=str(tmp_path))
+
+
+def _check(ps, name, model, mv_name):
+    q = f"SELECT grp, SUM(val) AS s FROM {name} GROUP BY grp"
+    if mv_name is not None:
+        df, source = ps.rollups.sql(q)
+        assert source == mv_name, f"expected MV answer, got {source}"
+    else:
+        df = ps.sql(q)
+    got = {r["grp"]: r["s"] for r in df.collect()}
+    want: dict[str, float] = {}
+    for row in model.values():
+        want[row["grp"]] = want.get(row["grp"], 0.0) + row["val"]
+    assert got == want, f"got={got} want={want}"
+
+
+def _run(ps, seed: int, phases: int = 12) -> None:
+    rng = random.Random(seed)
+    name = f"fz{seed}"
+    ps.sql(
+        f"CREATE TABLE {name} (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+        "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 4"
+    )
+    model: dict[int, dict] = {}
+    mv_name: str | None = None
+    mv_n = 0
+    for _ in range(phases):
+        op = rng.choices(
+            ["insert", "create_mv", "drop_mv", "delete", "truncate",
+             "overwrite", "update", "rename_table"],
+            weights=[40, 12, 8, 10, 5, 8, 12, 5],
+        )[0]
+        if op == "insert":
+            rows = [
+                (k, rng.choice("abc"), float(rng.randint(0, 99)))
+                for k in rng.sample(range(10), rng.randint(1, 5))
+            ]
+            vals = ", ".join(f"({k},'{g}',{v})" for k, g, v in rows)
+            ps.sql(f"INSERT INTO {name} (k, grp, val) VALUES {vals}")
+            for k, g, v in rows:
+                model[k] = {"grp": g, "val": v}
+        elif op == "create_mv":
+            if mv_name is not None:
+                continue
+            mv_n += 1
+            mv_name = f"fzmv{seed}_{mv_n}"
+            ps.sql(
+                f"CREATE MATERIALIZED VIEW {mv_name} AS "
+                f"SELECT grp, SUM(val) AS s FROM {name} GROUP BY grp"
+            )
+        elif op == "drop_mv":
+            if mv_name is None:
+                continue
+            ps.sql(f"DROP MATERIALIZED VIEW {mv_name}")
+            mv_name = None
+        elif op == "delete":
+            lo = rng.randint(0, 9)
+            ps.sql(f"DELETE FROM {name} WHERE k >= {lo}")
+            model = {k: r for k, r in model.items() if k < lo}
+        elif op == "truncate":
+            ps.sql(f"TRUNCATE TABLE {name}")
+            model = {}
+        elif op == "overwrite":
+            k = rng.randint(0, 9)
+            g = rng.choice("abc")
+            v = float(rng.randint(100, 199))
+            ps.sql(f"INSERT OVERWRITE TABLE {name} VALUES ({k},'{g}',{v})")
+            model = {k: {"grp": g, "val": v}}
+        elif op == "update":
+            if not model:
+                continue
+            lo = rng.randint(0, 9)
+            d = rng.randint(1, 9)
+            ps.sql(f"UPDATE {name} SET val = val + {d} WHERE k >= {lo}")
+            for k, r in model.items():
+                if k >= lo:
+                    r["val"] += d
+        else:  # rename_table
+            new = f"{name}_r{mv_n}{len(model)}"
+            ps.sql(f"ALTER TABLE {name} RENAME {new}")
+            name = new
+        if model:  # empty tables: SELECT over the empty view returns 0 rows
+            _check(ps, name, model, mv_name)
+        else:
+            assert ps.sql(f"SELECT * FROM {name}").count() == 0
+    # final: lifecycle teardown must leave no zombies for a reused name
+    ps.sql(f"DROP TABLE {name}")
+    assert all(
+        base != name for _, base, _, _ in
+        (ps.rollups.list_rollups() if ps.rollups else [])
+    )
+
+
+def test_session_lifecycle_fuzz_seeded(ps):
+    for seed in (11, 12, 13):
+        _run(ps, seed)

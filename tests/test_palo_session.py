@@ -1176,3 +1176,38 @@ def test_insert_overwrite_propagates_to_materialized_views(ps):
         "SELECT grp, SUM(val) AS s FROM owp GROUP BY grp")
     assert source == "owpmv"
     assert sorted((r["grp"], r["s"]) for r in df.collect()) == [("a", 2.0)]
+
+
+def test_update_then_delete_just_works(ps):
+    """UPDATE takes the partial-load path internally; a following DELETE
+    must succeed (the engine folds the overlay implicitly) and see the
+    updated values (regression: the lifecycle fuzzer hit a refusal)."""
+    ps.sql("CREATE TABLE updel (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 4")
+    ps.sql("INSERT INTO updel VALUES (1,'a',1.0),(2,'b',10.0)")
+    ps.sql("UPDATE updel SET val = val + 100 WHERE k = 1")
+    ps.sql("DELETE FROM updel WHERE val > 50")  # matches the UPDATED row
+    assert [(r["k"], r["val"]) for r in ps.sql(
+        "SELECT k, val FROM updel ORDER BY k").collect()] == [(2, 10.0)]
+
+
+def test_create_table_is_queryable_before_first_load(ps):
+    """A freshly created (or LIKE-cloned) table is selectable as empty,
+    and an MV may be created on it — the store builds empty and fills on
+    the first load (regressions: unknown-view error, and crashes in MV
+    registration / empty-table UPDATE / empty-table rename with MV)."""
+    ps.sql("CREATE TABLE fresh (k BIGINT, grp VARCHAR(8), val DOUBLE) "
+           "UNIQUE KEY(k)")
+    assert ps.sql("SELECT * FROM fresh").count() == 0
+    ps.sql("CREATE TABLE fresh2 LIKE fresh")
+    assert ps.sql("SELECT * FROM fresh2").count() == 0
+    ps.sql("UPDATE fresh SET val = 1 WHERE k = 1")  # matches nothing
+    ps.sql("CREATE MATERIALIZED VIEW freshmv AS "
+           "SELECT grp, SUM(val) AS s FROM fresh GROUP BY grp")
+    ps.sql("DELETE FROM fresh WHERE k >= 0")  # empty + MV: no crash
+    ps.sql("ALTER TABLE fresh RENAME fresh_r")  # empty + MV re-key
+    ps.sql("INSERT INTO fresh_r VALUES (1,'a',2.0)")
+    df, source = ps.rollups.sql(
+        "SELECT grp, SUM(val) AS s FROM fresh_r GROUP BY grp")
+    assert source == "freshmv"
+    assert [(r["grp"], r["s"]) for r in df.collect()] == [("a", 2.0)]

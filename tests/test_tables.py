@@ -756,23 +756,23 @@ def test_aggregate_delete_requires_key_column_predicate(spark):
     assert _rows(t.read(), "k", "val") == [(2, 1.0)]
 
 
-def test_delete_with_live_partial_rowsets_is_rejected(spark):
+def test_delete_with_live_partial_rowsets_folds_first(spark):
     """DELETE predicates bind per stored row BEFORE the column-wise
     merge, so with a live partial overlay a predicate matching the
     MERGED row would miss the overlay and strip only the base row —
     leaving the key visible with NULLed columns (observed: partial
     (k,name) then DELETE bal>5 kept the key with bal NULL instead of
-    deleting it). Same mutual exclusion as delete-sign loads:
-    compact() folds the overlay and lifts the restriction."""
+    deleting it). DELETE now folds the overlay implicitly (compaction
+    materializes the merged state, making the per-row predicate exact) —
+    a refusal would break the everyday UPDATE-then-DELETE sequence,
+    since UPDATE takes the partial-load path internally."""
     t = _mk(spark, "del_partial", keys_type="UNIQUE", key_cols=["k"])
     t.insert(spark.createDataFrame([(1, "a", 10.0), (2, "b", 1.0)],
                                    "k long, name string, bal double"))
     t.insert(spark.createDataFrame([(1, "z")], "k long, name string"),
              partial_columns=True)
-    with pytest.raises(ValueError, match="live partial-column rowsets"):
-        t.delete_where("bal > 5")
-    t.compact()
     t.delete_where("bal > 5")  # merged k=1 had bal=10 -> deleted whole
+    assert not any(r.get("partial") for r in t.meta.rowsets)  # folded
     assert _rows(t.read(), "k", "name", "bal") == [(2, "b", 1.0)]
 
 
