@@ -39,140 +39,84 @@ _MODULE_NAMES = [
 ]
 
 _PRIORITY = [
-    # r08 window: the driver verifies the FIRST 50 registry entries.
-    # These are the first 50 of the 55-entry ordered backlog VERDICT r7
-    # pinned (the 25 longest-waiting carry-overs, then every r7
-    # addition; similarity_search_ivf is ledger-green under its OLD
-    # invariant oracle and re-scheduled because r7 gave it a full value
-    # oracle — it is the one _RESCHEDULED_OK entry). The 5 left for the
-    # r09 window lead the TODO comment below.
+    # r09 window: the driver verifies the FIRST 50 registry entries.
+    # This is the full 54-entry never-green backlog after r8 went 50/50
+    # green (the 5 pre-r8 carry-overs first, then every r8 addition in
+    # the order VERDICT r8 pinned at the former TODO comment here).
+    # Entries 51-54 plus any r9 additions form the r10 backlog.
     # tests/test_rotation_window.py asserts this window is never stale:
     # every entry is never-green in CORRECTNESS_r01..r{_WINDOW_ROUND-1}
     # or explicitly listed in _RESCHEDULED_OK.
-    "text_bpe_apply",
-    "knn_label_propagation",
-    "embedding_outlier_topk",
-    "events_asof_forward_tolerance",
-    "sql_session_mv_pipeline",
-    "sql_join_hint_broadcast",
-    "sql_join_hint_shuffle",
-    "sql_create_view_query",
-    "sql_match_predicates",
-    "sql_lateral_explode_split",
-    "sql_lateral_explode_json_numbers",
-    "sql_qualify_topn_per_group",
-    "sql_qualify_direct_window",
-    "sql_inverted_index_query",
-    "sql_rollup_grouping_sets",
-    "tpcds_case_heavy_agg",
-    "tpcds_exists_chain",
-    "tpcds_segment_topn",
-    "tpcds_customer_set_ops",
-    "tpcds_revenue_share",
-    "tpcds_am_pm_ratio",
-    "tpcds_frequent_buyers",
-    "tpcds_return_rate_bands",
-    "tpcds_cumulative_channels",
-    "tpcds_cov_filter",
-    "scalar_sub_replace_compress",
-    "sample_dsir_importance",
-    "embedding_kmeans_clusters",
-    "similarity_search_ivf",
-    "tpcds_rolling_stockout",
-    "tpcds_same_store_yoy_except",
-    "tpcds_cross_channel_migration",
-    "tpcds_channel_margin_grouping_sets",
-    "tpcds_inventory_position",
-    "tpcds_quarter_brand_share",
-    "tpcds_first_purchase_cohort",
-    "tpcds_consecutive_active_months",
-    "tpcds_weekday_weekend_mix",
-    "tpcds_volume_band_customers",
-    "tpcds_part_quantity_outliers",
-    "tpcds_nation_channel_growth_pairs",
-    "tpcds_weekday_halfyear_matrix",
-    "tpcds_best_brand_per_nation",
-    "tpcds_sized_parts_supplier_window",
-    "tpcds_above_avg_nations",
-    "tpcds_post_promo_window_revenue",
-    "tpcds_monthly_dip_detection",
-    "tpcds_cumulative_channel_crossover",
-    "tpcds_declining_brands_net",
-    "tpcds_returned_value_pivot",
+    "tpcds_refund_reason_bands",
+    "tpcds_unspecified_dim_report",
+    "tpcds_weekly_item_vs_year",
+    "dedup_corpus_lines",
+    "dedup_semantic_decontaminate",
+    "tpcds_lifetime_channel_preference",
+    "tpcds_demographic_exists_battery",
+    "tpcds_rolling_category_deviation",
+    "tpcds_cohort_next_quarter_spend",
+    "tpcds_underperforming_brands",
+    "tpcds_monthly_ship_pivot",
+    "tpcds_worst_return_ratio_topn",
+    "tpcds_weekly_sales_yoy_ratio",
+    "dialect_largeint_overflow",
+    "sql_catalog_cross_join",
+    "text_gopher_rules",
+    "tpcds_period_overlap_counts",
+    "tpcds_case_ratio_report",
+    "tpcds_part_attribute_battery",
+    "tpcds_or_band_matrix",
+    "tpcds_demographic_or_averages",
+    "tpcds_net_paid_after_returns",
+    "tpcds_best_worst_performers",
+    "tpcds_excess_discount_total",
+    "text_gopher_repetition",
+    "behavioral_transition_matrix",
+    "tpcds_brand_year_revenue",
+    "tpcds_demographic_rollup_averages",
+    "tpcds_preferred_nation_intersect",
+    "tpcds_nonlocal_brand_revenue",
+    "tpcds_best_trip_per_customer",
+    "tpcds_band_join_acct_tiers",
+    "tpcds_cross_channel_item_intersect",
+    "tpcds_disjunctive_branch_filter",
+    "tpcds_quantity_bucket_battery",
+    "tpcds_cov_consecutive_months",
+    "tpcds_top_regions_rollup",
+    "tpcds_rollup_rank_per_category",
+    "tpcds_returns_excluded_ratio",
+    "table_model_partial_update",
+    "table_model_delete_sign_merge",
+    "tpcds_class_ratio_window",
+    "tpcds_store_weekday_matrix",
+    "tpcds_nonlocal_weekend_trips",
+    "tpcds_return_latency_bands",
+    "tpcds_state_avg_return_detail",
+    "tpcds_rollup_rank_within_parent",
+    "tpcds_warehouse_latency_matrix",
+    "tpcds_brand_channel_union",
+    "tpcds_manager_monthly_deviation",
+    "tpcds_returned_qty_channel_ratio",
+    "tpcds_clean_multiwarehouse_orders",
+    "tpcds_own_zip_color_returns",
+    "tpcds_call_center_demographic_loss",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test
 # computes the never-green set from CORRECTNESS_r01..r{N-1} only, so
 # checking in CORRECTNESS_r08.json at round end does not retroactively
 # fail the r8 window. Bump when rotating.
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
 # Entries allowed in the window despite a prior driver-green row,
-# each with the reason (judge-auditable):
-_RESCHEDULED_OK = {
-    # green r05 under the ±5% invariant oracle; r7 replaced that with a
-    # FULL value oracle (train_centroids_exact bit-replay), so the value
-    # oracle itself has never been driver-verified.
-    "similarity_search_ivf",
-}
+# each with the reason (judge-auditable). Empty for r9: every window
+# entry is never-green in CORRECTNESS_r01..r08.
+_RESCHEDULED_OK: set[str] = set()
 
-# r9 rotation TODO — ordered backlog after the r8 window goes green:
-# the 5 remaining never-green entries, then r8 additions. These lead
-# the r9 _PRIORITY:
-#   tpcds_refund_reason_bands
-#   tpcds_unspecified_dim_report
-#   tpcds_weekly_item_vs_year
-#   dedup_corpus_lines
-#   dedup_semantic_decontaminate
-#   tpcds_lifetime_channel_preference
-#   tpcds_demographic_exists_battery
-#   tpcds_rolling_category_deviation
-#   tpcds_cohort_next_quarter_spend
-#   tpcds_underperforming_brands
-#   tpcds_monthly_ship_pivot
-#   tpcds_worst_return_ratio_topn
-#   tpcds_weekly_sales_yoy_ratio
-#   dialect_largeint_overflow
-#   sql_catalog_cross_join
-#   text_gopher_rules
-#   tpcds_period_overlap_counts
-#   tpcds_case_ratio_report
-#   tpcds_part_attribute_battery
-#   tpcds_or_band_matrix
-#   tpcds_demographic_or_averages
-#   tpcds_net_paid_after_returns
-#   tpcds_best_worst_performers
-#   tpcds_excess_discount_total
-#   text_gopher_repetition
-#   behavioral_transition_matrix
-#   tpcds_brand_year_revenue
-#   tpcds_demographic_rollup_averages
-#   tpcds_preferred_nation_intersect
-#   tpcds_nonlocal_brand_revenue
-#   tpcds_best_trip_per_customer
-#   tpcds_band_join_acct_tiers
-#   tpcds_cross_channel_item_intersect
-#   tpcds_disjunctive_branch_filter
-#   tpcds_quantity_bucket_battery
-#   tpcds_cov_consecutive_months
-#   tpcds_top_regions_rollup
-#   tpcds_rollup_rank_per_category
-#   tpcds_returns_excluded_ratio
-#   table_model_partial_update
-#   table_model_delete_sign_merge
-#   tpcds_class_ratio_window
-#   tpcds_store_weekday_matrix
-#   tpcds_nonlocal_weekend_trips
-#   tpcds_return_latency_bands
-#   tpcds_state_avg_return_detail
-#   tpcds_rollup_rank_within_parent
-#   tpcds_warehouse_latency_matrix
-#   tpcds_brand_channel_union
-#   tpcds_manager_monthly_deviation
-#   tpcds_returned_qty_channel_ratio
-#   tpcds_clean_multiwarehouse_orders
-#   tpcds_own_zip_color_returns
-#   tpcds_call_center_demographic_loss
+# r10 rotation TODO — ordered backlog after the r9 window goes green:
+# _PRIORITY[50:] (the 4 entries past the 50-slot window) first, then
+# any r9 additions in registry order.
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
