@@ -568,6 +568,12 @@ class PaloSession:
         if t.meta.dist_cols:
             kw["dist_cols"] = list(t.meta.dist_cols)
             kw["buckets"] = t.meta.buckets
+        if t.meta.partition_by:
+            # the static partition layout is part of LIKE's contract —
+            # without it the clone would (a) lay rowsets out flat and
+            # (b) wrongly pass the partial-column eligibility check,
+            # which refuses partitioned tables
+            kw["partition_by"] = list(t.meta.partition_by)
         new = Table(
             self.spark,
             name,
@@ -577,6 +583,18 @@ class PaloSession:
             sequence_col=t.meta.sequence_col,
             **kw,
         )
+        # columns added by light schema change are part of the source's
+        # CURRENT schema, so the clone declares them too (defaults and
+        # agg type included). "since" boundaries are dropped: they gate
+        # against the SOURCE's version history, which the clone does not
+        # inherit — on the clone every add applies from the beginning.
+        for a in t.meta.schema_adds:
+            if a["col"] in t.meta.schema_drops:
+                continue
+            new.add_column(
+                a["col"], a["type"], default=a.get("default"),
+                agg=t.meta.agg_spec.get(a["col"]),
+            )
         schema = getattr(t, "_declared_schema", None)
         if schema is not None:
             new._declared_schema = schema  # type: ignore[attr-defined]
@@ -1520,6 +1538,14 @@ class PaloSession:
                         self.rollups.drop_rollup(r.name)
                     self.rollups._bases.pop(name, None)
                     self.rollups._rollups.pop(name, None)
+                # routine-load jobs die with their table (Doris cancels
+                # them on DROP): a surviving job would hold a stale table
+                # key — RESUME would KeyError, and worse, a LATER table
+                # created under the same name would silently receive the
+                # old job's ingestion
+                for jn, j in self.routine_jobs.items():
+                    if j["table"] == name:
+                        j["state"] = "STOPPED"
             return None
         if up.startswith("DELETE"):
             m = _DELETE_RE.match(stripped)
@@ -1570,6 +1596,12 @@ class PaloSession:
                 for idx, (t_, c_, p_) in list(self.indexes.items()):
                     if t_ == old:
                         self.indexes[idx] = (new, c_, p_)
+                # routine-load jobs follow the rename: re-key job["table"]
+                # so RESUME keeps ingesting into the same (renamed) table
+                # instead of KeyError-ing on the old name
+                for j in self.routine_jobs.values():
+                    if j["table"] == old:
+                        j["table"] = new
                 if self.rollups is not None:
                     rs = self.rollups._rollups.pop(old, [])
                     bdf = self.rollups._bases.pop(old, None)

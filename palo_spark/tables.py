@@ -360,6 +360,10 @@ class Table:
                 # value columns this rowset carries, when it is a
                 # partial-column update (absent key = full-schema rowset)
                 **({"partial": partial_cols} if partial_cols else {}),
+                # whether this rowset carries the hidden delete sign —
+                # lets drop_partition recompute meta.has_delete_sign when
+                # the last sign-carrying rowset expires
+                **({"sign": True} if carries_sign else {}),
             }
         )
         if carries_sign:
@@ -461,9 +465,14 @@ class Table:
         predicates over the ORIGINAL column keep working — only name
         reuse is unsound.) compact() folds predicates away and lifts the
         restriction, mirroring Doris's pending-job schema-change limits."""
-        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])")
+        # Match bare and backtick-quoted spellings: the predicate text may
+        # reference the column as `col` (the MySQL dialect translate()
+        # accepts), and the quoted form binds to the same attribute at
+        # read — so it must trip the guard too. Stripping backticks first
+        # normalizes both spellings to one pattern.
+        pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])")
         for d in self.meta.deletes:
-            if pat.search(d["predicate"]):
+            if pat.search(d["predicate"].replace("`", "")):
                 raise ValueError(
                     f"pending DELETE predicate {d['predicate']!r} references "
                     f"column name {col!r}; compact() before reusing the name"
@@ -627,6 +636,25 @@ class Table:
                 shutil.rmtree(p, ignore_errors=True)
                 removed = True
         if removed:
+            # prune rowsets whose every partition expired (their meta
+            # entry only costs a skipped scan, but a stranded "sign"
+            # flag would keep refusing partial-column loads forever),
+            # then recompute has_delete_sign from the survivors
+            live, dead = [], []
+            for r in self.meta.rowsets:
+                (live if self._labels_of(r["path"]) else dead).append(r)
+            if dead:
+                # pin the high-water mark before dropping the entries it
+                # is derived from — versions must stay monotonic
+                self.meta.last_version = max(
+                    self.meta.last_version, self._next_version - 1
+                )
+            self.meta.rowsets = live
+            for r in dead:
+                shutil.rmtree(r["path"], ignore_errors=True)
+            self.meta.has_delete_sign = any(
+                r.get("sign") for r in self.meta.rowsets
+            )
             self._save_meta()  # bump the mutation token
         return removed
 
@@ -643,12 +671,13 @@ class Table:
         (Doris base compaction: applies model merge semantics AND any
         pending delete predicates eagerly, then clears them). On an
         empty table (truncated, or every partition expired) compaction
-        is a no-op, not an error."""
-        try:
-            view = self.read()
-        except ValueError:
+        is a no-op, not an error. Emptiness is probed via _raw() — NOT by
+        catching read()'s ValueError, which would also swallow genuine
+        read-path errors (e.g. a malformed stored delete predicate) and
+        turn compaction into a silent no-op."""
+        if self._raw() is None:
             return
-        self._replace_storage(view)
+        self._replace_storage(self.read())
 
     def _write_rowset(self, df: DataFrame, path: str) -> None:
         """One rowset write. AUTO PARTITION tables derive the partition
@@ -1166,6 +1195,9 @@ class Table:
         self.meta.rowsets = []
         self.meta.deletes = []
         self.meta.labels = []
+        # no rowsets → no live sign-carrying rowsets: a truncated table
+        # must accept partial-column loads again without a manual compact
+        self.meta.has_delete_sign = False
         self._save_meta()
 
     def drop(self) -> None:

@@ -1211,3 +1211,76 @@ def test_create_table_is_queryable_before_first_load(ps):
         "SELECT grp, SUM(val) AS s FROM fresh_r GROUP BY grp")
     assert source == "freshmv"
     assert [(r["grp"], r["s"]) for r in df.collect()] == [("a", 2.0)]
+
+
+def test_drop_table_stops_its_routine_jobs(ps, tmp_path):
+    """ADVICE r8: a routine-load job must die with its table (Doris
+    cancels jobs on DROP) — otherwise a LATER table created under the
+    same name silently receives the old job's ingestion."""
+    import json as _json
+    src = tmp_path / "rl_drop_src"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"k": 1, "v": 10}))
+    ps.sql("CREATE TABLE rld_t (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE ROUTINE LOAD rld_job ON rld_t "
+           f"PROPERTIES ('format'='json') "
+           f"FROM KAFKA ('kafka_broker_list' = 'file://{src}')")
+    ps.sql("DROP TABLE rld_t")
+    assert ps.routine_jobs["rld_job"]["state"] == "STOPPED"
+    with pytest.raises(ValueError, match="STOPPED"):
+        ps.sql("RESUME ROUTINE LOAD FOR rld_job")
+    # a new same-named table must NOT receive the dead job's ingestion
+    ps.sql("CREATE TABLE rld_t (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    (src / "b1.json").write_text(_json.dumps({"k": 2, "v": 20}))
+    with pytest.raises(ValueError, match="STOPPED"):
+        ps.sql("RESUME ROUTINE LOAD FOR rld_job")
+    assert ps.sql("SELECT count(*) AS n FROM rld_t").collect()[0]["n"] == 0
+
+
+def test_rename_table_rekeys_its_routine_jobs(ps, tmp_path):
+    """ADVICE r8: ALTER TABLE ... RENAME must re-key routine jobs'
+    stored table name so RESUME keeps ingesting into the renamed table
+    instead of KeyError-ing."""
+    import json as _json
+    src = tmp_path / "rl_ren_src"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"k": 1, "v": 10}))
+    ps.sql("CREATE TABLE rlr_t (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE ROUTINE LOAD rlr_job ON rlr_t "
+           f"PROPERTIES ('format'='json') "
+           f"FROM KAFKA ('kafka_broker_list' = 'file://{src}')")
+    ps.sql("ALTER TABLE rlr_t RENAME rlr_t2")
+    assert ps.routine_jobs["rlr_job"]["table"] == "rlr_t2"
+    (src / "b1.json").write_text(_json.dumps({"k": 2, "v": 20}))
+    ps.sql("RESUME ROUTINE LOAD FOR rlr_job")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM rlr_t2").collect())
+    assert got == [1, 2]
+
+
+def test_create_table_like_clones_partition_layout_and_adds(ps):
+    """ADVICE r8: CREATE TABLE x LIKE y must clone the static partition
+    layout (partition_by) and light-schema-change adds with their
+    defaults — a clone missing partition_by would wrongly pass the
+    partial-column eligibility check."""
+    from palo_spark.tables import Table
+    src = Table(ps.spark, "likesrc", keys_type="UNIQUE", key_cols=["k"],
+                partition_by=["p"])
+    src.insert(ps.spark.createDataFrame([(1, "a", "x")],
+                                        "k long, v string, p string"))
+    src.add_column("extra", "int", default=7)
+    ps.tables["likesrc"] = src
+    ps._refresh_view("likesrc")
+    ps.sql("CREATE TABLE likedst LIKE likesrc")
+    dst = ps.tables["likedst"]
+    assert dst.meta.partition_by == ["p"]
+    assert [(a["col"], a["type"], a["default"])
+            for a in dst.meta.schema_adds] == [("extra", "int", 7)]
+    # partitioned layout → partial-column loads refused, as on the source
+    dst.insert(ps.spark.createDataFrame([(1, "b", "y")],
+                                        "k long, v string, p string"))
+    with pytest.raises(ValueError, match="partition"):
+        dst.insert(ps.spark.createDataFrame([(1, "c")], "k long, v string"),
+                   partial_columns=True)

@@ -1000,3 +1000,80 @@ def test_delete_sign_composes_with_schema_changes(spark):
     t2.insert(spark.createDataFrame(
         [(1, 9, "junk", 1)], f"k long, ver long, x string, {DELETE_SIGN_COL} int"))
     assert t2.read().count() == 0
+
+
+def test_delete_guard_catches_backtick_quoted_predicate(spark):
+    """ADVICE r8: _guard_delete_predicate_capture must also trip on a
+    backtick-quoted column reference in the stored predicate — ADD
+    reintroducing that name would otherwise bypass the guard and the
+    predicate would capture the NEW column at read."""
+    t = _mk(spark, "btguard", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 5), (2, 9)], "k long, x int"))
+    t.drop_column("x")
+    t.delete_where("`x` > 5")  # quoted spelling of a now-dropped column
+    with pytest.raises(ValueError, match="pending DELETE predicate"):
+        t.add_column("x", "int", default=0)
+    # compact folds the predicate (it binds the ORIGINAL stored x, so
+    # the x=9 row goes) and lifts the restriction; the re-added x is a
+    # NEW column surfacing its default
+    t.compact()
+    t.add_column("x", "int", default=0)
+    assert _rows(t.read(), "k", "x") == [(1, 0)]
+
+
+def test_compact_surfaces_malformed_delete_predicate(spark):
+    """ADVICE r8: compact() must not swallow a genuine read-path error
+    as 'empty table' — a malformed stored delete predicate has to
+    surface, not silently no-op the compaction."""
+    t = _mk(spark, "badpred", keys_type="DUPLICATE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, 5)], "k long, x int"))
+    # corrupt the stored predicate the way a buggy writer would
+    t.meta.deletes.append({"version": t.meta.last_version + 99,
+                           "predicate": "x >>> broken ("})
+    with pytest.raises(Exception):
+        t.compact()
+    # and on a genuinely empty table compact stays a silent no-op
+    e = _mk(spark, "emptyc", keys_type="DUPLICATE", key_cols=["k"])
+    e.compact()
+    assert e.meta.rowsets == []
+
+
+def test_truncate_resets_delete_sign_flag(spark):
+    """ADVICE r8: truncate() leaves no rowsets, so has_delete_sign must
+    clear — an empty table must accept partial-column loads without a
+    manual compact()."""
+    from palo_spark.tables import DELETE_SIGN_COL
+    t = _mk(spark, "trsign", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([(1, "a", 10)], "k long, v string, w int"))
+    t.insert(spark.createDataFrame(
+        [(1, "x", 0, 1)], f"k long, v string, w int, {DELETE_SIGN_COL} int"))
+    assert t.meta.has_delete_sign is True
+    t.truncate()
+    assert t.meta.has_delete_sign is False
+    t.insert(spark.createDataFrame([(2, "b", 20)], "k long, v string, w int"))
+    t.insert(spark.createDataFrame([(2, "B2")], "k long, v string"),
+             partial_columns=True)
+    assert _rows(t.read(), "k", "v", "w") == [(2, "B2", 20)]
+
+
+def test_drop_partition_recomputes_delete_sign_flag(spark):
+    """ADVICE r8: expiring the partition holding the only sign-carrying
+    rowset must clear has_delete_sign (and prune the empty rowset), so
+    partial-column loads work again."""
+    from palo_spark.tables import DELETE_SIGN_COL
+    t = _mk(spark, "dpsign", keys_type="UNIQUE", key_cols=["d", "k"],
+            auto_partition=("d", "day"))
+    t.insert(spark.createDataFrame(
+        [("2024-01-01", 1, "a")], "d string, k long, v string"))
+    t.insert(spark.createDataFrame(
+        [("2024-01-02", 2, "gone", 1)],
+        f"d string, k long, v string, {DELETE_SIGN_COL} int"))
+    assert t.meta.has_delete_sign is True
+    assert t.drop_partition("d2024-01-02") is True
+    assert t.meta.has_delete_sign is False
+    assert len(t.meta.rowsets) == 1  # empty sign rowset pruned
+    assert _rows(t.read(), "k", "v") == [(1, "a")]
+    # version monotonicity survives the prune
+    t.insert(spark.createDataFrame(
+        [("2024-01-03", 3, "c")], "d string, k long, v string"))
+    assert _rows(t.read(), "k", "v") == [(1, "a"), (3, "c")]
