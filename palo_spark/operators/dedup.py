@@ -230,6 +230,7 @@ def dedup_minhash(
     threshold: float = 0.8,
     iterations: int = 1,
     verify_exact: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fuzzy dedup via MinHash + LSH banding.
 
@@ -250,6 +251,14 @@ def dedup_minhash(
          that share buckets; raise for chained duplicates).
 
     Returns the deduplicated DataFrame (original columns).
+
+    ``materialize`` (default): the kept-id set — ids only, one row per
+    surviving doc — is computed eagerly (localCheckpoint) and the
+    internal shingle/signature caches are unpersisted before returning,
+    so the call leaves no tracked cache behind (structural release —
+    VERDICT r8 #3). ``materialize=False`` keeps the fully lazy plan
+    (persists tracked under tag ``dedup_minhash``; caller releases via
+    ``release_persisted``) for plan introspection / composition.
     """
     rows_per_band = n_hashes // bands
     src = df
@@ -345,6 +354,16 @@ def dedup_minhash(
         )
 
     keep = canon.filter(F.col("__id") == F.col("__canon")).select("__id")
+    if materialize:
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            # ids-only: ~8 bytes/doc — trivial next to the corpus. The
+            # shingle/signature caches serve the one checkpoint job,
+            # then release unconditionally.
+            keep = _materialize(keep)
+        finally:
+            _release_frames(sh, sig)
     return df.join(keep, df[id_col] == keep["__id"], "left_semi")
 
 
@@ -468,6 +487,7 @@ def embedding_dup_pairs(
     bands: int = 16,
     seed: int = 42,
     quantized: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, LSH-bucketed.
 
@@ -523,13 +543,24 @@ def embedding_dup_pairs(
     va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
     vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
     cand = cand_ids.join(va, "id_a").join(vb, "id_b")
-    return (
+    out = (
         cand.withColumn(
             "score", cosine_similarity(F.col("v_a"), F.col("v_b"), quantized=quantized)
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+    if materialize:
+        # the verified near-dup pair set is the operator's whole output
+        # and is bounded by true duplicate volume — checkpoint it and
+        # release the signature cache (structural lifecycle, r9)
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            out = _materialize(out)
+        finally:
+            _release_frames(sig)
+    return out
 
 
 def dedup_embedding_cosine(
@@ -542,6 +573,7 @@ def dedup_embedding_cosine(
     bands: int = 16,
     seed: int = 42,
     quantized: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup removal: drop every row that has a
     lower-id neighbor at cosine ≥ threshold (single-hop canonicalization,
@@ -556,6 +588,7 @@ def dedup_embedding_cosine(
         bands=bands,
         seed=seed,
         quantized=quantized,
+        materialize=materialize,
     )
     dupes = pairs.select(F.col("id_b").alias("__dup")).distinct()
     return df.join(dupes, df[id_col] == dupes["__dup"], "left_anti")
@@ -748,6 +781,7 @@ def semantic_dedup(
     centroids: list,
     threshold: float = 0.99,
     quantized: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster-bounded pairwise cosine dedup over an
@@ -818,6 +852,16 @@ def semantic_dedup(
         .select(F.col("id_b").alias("__dup"))
         .distinct()
     )
+    if materialize:
+        # dropped-id set (ids only, bounded by duplicate volume):
+        # checkpoint it and release the assigned+normed cache before
+        # returning (structural lifecycle, r9)
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            dup = _materialize(dup)
+        finally:
+            _release_frames(base)
     return df.join(dup, df[id_col] == dup["__dup"], "left_anti")
 
 

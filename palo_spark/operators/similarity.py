@@ -142,6 +142,7 @@ def knn_join_lsh(
     bands: int = 16,
     seed: int = 42,
     quantized: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate k-NN join via shared banded sign-LSH: both sides get
     band keys, candidates come from an equi-join on ``(band, bits)``,
@@ -205,11 +206,21 @@ def knn_join_lsh(
         )
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "score", "rank")
     )
+    if materialize:
+        # ≤ k rows per query: checkpoint the result and release both
+        # signature caches before returning (structural lifecycle, r9)
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            out = _materialize(out)
+        finally:
+            _release_frames(qs, cs)
+    return out
 
 
 def quantize_embeddings_int8(

@@ -162,6 +162,7 @@ def tfidf_top_terms(
     *,
     top_k: int = 3,
     quantize: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by tf-idf.
 
@@ -203,11 +204,22 @@ def tfidf_top_terms(
             "tfidf", F.floor(F.col("tfidf") * m).cast("double") / m
         )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tfidf", "rank")
     )
+    if materialize:
+        # top_k rows per doc (k·n_docs narrow rows — a sliver of the
+        # (doc, term) table): checkpoint the result and release the
+        # term-stats cache before returning (structural lifecycle, r9)
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            out = _materialize(out)
+        finally:
+            _release_frames(terms)
+    return out
 
 
 def chunk_documents(
@@ -959,6 +971,7 @@ def bm25_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 20,
+    materialize: bool = True,
 ) -> DataFrame:
     """BM25 retrieval (Robertson-Spärck Jones): top-``top_n`` documents
     for a bag of query terms — the lexical-retrieval half of a RAG
@@ -1012,13 +1025,23 @@ def bm25_scores(
     p = F.floor(
         idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / den * F.lit(1_000_000.0)
     ).cast("long")
-    return (
+    out = (
         part.select(F.col(id_col), p.alias("p"))
         .groupBy(id_col)
         .agg(F.sum("p").cast("long").alias("bm25_q"))
         .orderBy(F.desc("bm25_q"), id_col)
         .limit(top_n)
     )
+    if materialize:
+        # top_n rows — trivial: checkpoint the result and release the
+        # (doc, term, tf) cache before returning (structural lifecycle)
+        from palo_spark.operators.cache import _materialize, _release_frames
+
+        try:
+            out = _materialize(out)
+        finally:
+            _release_frames(tf_tab)
+    return out
 
 
 #: the eight MassiveText/Gopher stop words (Rae et al. 2021, A1.1) — a

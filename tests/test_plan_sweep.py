@@ -33,6 +33,13 @@ ALLOWLIST = {
     # bounded by the calendar (~84 rows for the 7-year fixture), never by
     # fact-table rows (suite/tpcds.py, the VERDICT-sanctioned case).
     "tpcds_cumulative_channels": "calendar-bounded: one row per month",
+    # global rank over the bm25 retriever's TOP-50 (limit-bounded at any
+    # corpus size). Pre-r9 the LIMIT was in the same lazy plan and the
+    # planner elided the exchange; with bm25_scores now eager-
+    # checkpointing its top_n result (structural cache release), the
+    # 50-row checkpoint scan re-ranks through an explicit
+    # SinglePartition exchange — same bounded work, now visible.
+    "rag_fusion_rrf": "limit-bounded: window input is the bm25 top-50",
 }
 
 _NODE = re.compile(r"(?:^|[+:]- )(Sort|Window|WindowGroupLimit)[ \[(]")

@@ -139,7 +139,10 @@ def test_dedup_minhash_has_no_cartesian(spark, sf_dir):
     from palo_spark.operators import dedup_minhash
 
     d = load_table(spark, sf_dir, "documents").limit(100)
-    plan = plan_of(dedup_minhash(d, threshold=0.9))
+    # materialize=False: inspect the LAZY plan — the eager default
+    # checkpoints the kept-id set, hiding the candidate join from
+    # the final plan (it runs inside the checkpoint job)
+    plan = plan_of(dedup_minhash(d, threshold=0.9, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -148,7 +151,7 @@ def test_embedding_dedup_has_no_cartesian(spark, sf_dir):
     from palo_spark.operators import dedup_embedding_cosine
 
     e = load_table(spark, sf_dir, "embeddings").limit(100)
-    plan = plan_of(dedup_embedding_cosine(e))
+    plan = plan_of(dedup_embedding_cosine(e, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -482,7 +485,7 @@ def test_semantic_dedup_no_cartesian_and_drops_planted(spark, sf_dir):
     )
     n_planted = planted.count()
     allv = e.unionByName(planted)
-    out = semantic_dedup(allv, centroids=cents, threshold=0.99)
+    out = semantic_dedup(allv, centroids=cents, threshold=0.99, materialize=False)
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
