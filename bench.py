@@ -128,6 +128,13 @@ HEADLINE = [
     # conditional aggregation over one cleaned scan)
     "tpcds_rollup_rank_per_category",
     "tpcds_returns_excluded_ratio",
+    # r9 additions (strictly after the shared prefix): one per SSB
+    # flight — the star-schema benchmark family (13 queries total;
+    # these three cover the no-dim scan, the two-broadcast-dim rollup,
+    # and the three-dim profit drill)
+    "ssb_q1_1",
+    "ssb_q2_1",
+    "ssb_q4_2",
 ]
 
 

@@ -36,6 +36,7 @@ _MODULE_NAMES = [
     "doris_sql",
     "tpcds",
     "geo_q",
+    "ssb",
 ]
 
 _PRIORITY = [
