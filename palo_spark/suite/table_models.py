@@ -576,3 +576,67 @@ def table_model_delete_sign_merge(spark, sf_dir):
         )
     )
     return t.read()
+
+
+@q(
+    "table_model_partial_update_sequence",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 OR c_custkey % 5 = 0 THEN 20
+                ELSE 10 END AS seq,
+           c_name,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 7777.0
+                WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+)
+def table_model_partial_update_sequence(spark, sf_dir):
+    """Doris 2.0 partial-column update COMBINED with sequence_col
+    (VERDICT r8 #6 — previously a guard, now a feature): the winner per
+    column is the argmax over (carries-it, sequence, version).
+
+    Sequence script over a full load at seq=10: (a) a seq=20 partial
+    updates c_acctbal (+1000) for keys %3==0; (b) an OUT-OF-ORDER seq=5
+    partial tries to blank c_name for keys %2==0 — it must lose
+    everywhere (the feature's reason to exist: late-arriving stale CDC
+    rows can't clobber); (c) a second seq=20 partial updates c_acctbal
+    (+7777) for keys %5==0 — equal sequence, later version wins where
+    both apply. Final state: names untouched, balances from the
+    highest-(seq, version) carrying load, merged seq = the winner's.
+
+    Scale: identical plan to the no-sequence partial merge — ONE hash
+    aggregate on the key; per column the argmax struct gains two fields
+    (sequence before version), still pure codegen'd expression work.
+    [upstream: docs partial-update + function_column.sequence_col,
+    Doris 2.0 combining both]"""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = _fresh(
+        spark, "uniq_partial_seq", keys_type="UNIQUE",
+        key_cols=["c_custkey"], sequence_col="seq",
+    )
+    k = F.col("c_custkey")
+    t.insert(c.select("c_custkey", F.lit(10).alias("seq"), "c_name", "c_acctbal"))
+    t.insert(
+        c.filter(k % 3 == 0).select(
+            "c_custkey", F.lit(20).alias("seq"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        ),
+        partial_columns=True,
+    )
+    t.insert(
+        c.filter(k % 2 == 0).select(
+            "c_custkey", F.lit(5).alias("seq"), F.lit("STALE").alias("c_name")
+        ),
+        partial_columns=True,
+    )
+    t.insert(
+        c.filter(k % 5 == 0).select(
+            "c_custkey", F.lit(20).alias("seq"),
+            (F.col("c_acctbal") + 7777.0).alias("c_acctbal"),
+        ),
+        partial_columns=True,
+    )
+    return t.read()

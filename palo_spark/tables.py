@@ -740,18 +740,16 @@ class Table:
 
         Doris restricts partial update to the UNIQUE merge-on-write
         model; the analogous restrictions here keep the column-wise merge
-        well-defined: no sequence column (a partial row carries no basis
-        for sequence comparison against columns it does not touch), and
-        no partitioned layout (a partial row may not carry the partition
-        column at all)."""
+        well-defined: no partitioned layout (a partial row may not carry
+        the partition column at all). A table WITH a sequence column
+        accepts partial batches since r9 (upstream 2.0 supports the
+        combination) — the batch must then carry the sequence column,
+        which becomes the batch's per-column win priority (see read()).
+        """
         if self.meta.keys_type != "UNIQUE":
             raise ValueError(
                 "partial_columns requires the UNIQUE key model (Doris "
                 f"partial update restriction); table is {self.meta.keys_type}"
-            )
-        if self.meta.sequence_col:
-            raise ValueError(
-                "partial_columns is not supported with a sequence column"
             )
         if self.meta.partition_by or self.meta.auto_partition:
             raise ValueError(
@@ -761,7 +759,14 @@ class Table:
         missing = [c for c in self.meta.key_cols if c not in cols]
         if missing:
             raise ValueError(f"partial batch missing key columns: {missing}")
-        value_cols = [c for c in cols if c not in self.meta.key_cols]
+        seq = self.meta.sequence_col
+        if seq and seq not in cols:
+            raise ValueError(
+                f"partial batch must carry the sequence column {seq!r} — "
+                "it is the batch's win priority against columns it "
+                "updates (Doris 2.0 partial update + sequence_col)"
+            )
+        value_cols = [c for c in cols if c not in self.meta.key_cols and c != seq]
         if not value_cols:
             raise ValueError("partial batch carries no value columns")
         dropped = set(self.meta.schema_drops)
@@ -777,7 +782,11 @@ class Table:
                 raise ValueError(
                     f"partial batch carries unknown columns: {unknown}"
                 )
-        return sorted(value_cols)
+        # the sequence column rides every load, so it is always "carried"
+        # — the per-column argmax then merges it like any carried column
+        # (the output sequence is the max (seq, version) one, the value
+        # Doris's merge-on-write would store)
+        return sorted(value_cols + ([seq] if seq else []))
 
     def _check_schema(self, df: DataFrame) -> None:
         cols = set(df.columns)
@@ -1091,21 +1100,48 @@ class Table:
                 # only ever touched partially yield NULL for columns no
                 # load carried (v stays -1) — the documented contract.
                 val_cols = [c for c in data_cols if c not in self.meta.key_cols]
-                aggs = [
-                    F.max(
-                        F.struct(
-                            F.when(
-                                F.array_contains(F.col(_PCOLS_COL), F.lit(c)),
-                                F.col(_VERSION_COL),
+                seq = self.meta.sequence_col
+                if seq:
+                    # sequence column present (Doris 2.0 partial update +
+                    # sequence_col): the winner per column is the argmax
+                    # over (carries-it, sequence, version) — a partial
+                    # load with a LOWER sequence than the live row loses
+                    # every column it carries (out-of-order ingestion
+                    # safety), a higher-sequence partial wins exactly its
+                    # carried columns. Every load must carry the sequence
+                    # column (enforced at insert), so its own merged value
+                    # is the winning (seq, version) one. NULL sequences
+                    # lose to non-NULL (struct ordering — same outcome as
+                    # the row-wise desc-NULLS-LAST path).
+                    aggs = [
+                        F.max(
+                            F.struct(
+                                F.array_contains(F.col(_PCOLS_COL), F.lit(c))
+                                .cast("int")
+                                .alias("p"),
+                                F.col(seq).alias("s"),
+                                F.col(_VERSION_COL).alias("v"),
+                                F.col(c).alias("x"),
                             )
-                            .otherwise(F.lit(-1))
-                            .cast("long")
-                            .alias("v"),
-                            F.col(c).alias("x"),
-                        )
-                    )["x"].alias(c)
-                    for c in val_cols
-                ]
+                        )["x"].alias(c)
+                        for c in val_cols
+                    ]
+                else:
+                    aggs = [
+                        F.max(
+                            F.struct(
+                                F.when(
+                                    F.array_contains(F.col(_PCOLS_COL), F.lit(c)),
+                                    F.col(_VERSION_COL),
+                                )
+                                .otherwise(F.lit(-1))
+                                .cast("long")
+                                .alias("v"),
+                                F.col(c).alias("x"),
+                            )
+                        )["x"].alias(c)
+                        for c in val_cols
+                    ]
                 return (
                     raw.groupBy(*self.meta.key_cols)
                     .agg(*aggs)

@@ -565,3 +565,56 @@ def test_unique_schema_change_phases_match_dict_model(spark, tmp_path):
     got = {r["k"]: tuple(r[c] for c in live) for r in rows_out}
     want = {k: tuple(r[c] for c in live) for k, r in model.items()}
     assert got == want
+
+
+def test_unique_partial_with_sequence_matches_dict_model(spark, tmp_path):
+    """Randomized full + partial loads on a sequence_col table (the r9
+    feature: partial update × sequence) vs a dict reference. Per-column
+    winner = argmax over (carried, seq, version); full rows carry every
+    column. Compaction at random points must not change the visible
+    state. Seeded sweep, same rationale as the other dict models."""
+    import random
+
+    from pyspark.sql import Row
+
+    from palo_spark.tables import Table
+
+    rng = random.Random(777)
+    t = Table(
+        spark, "prop_pseq", "UNIQUE", ["k"], sequence_col="seq",
+        location=str(tmp_path / "t"),
+    )
+    t.insert(spark.createDataFrame(
+        [Row(k=k, seq=0, a=f"a{k}", b=f"b{k}") for k in range(5)]))
+    # model: k -> per-column (seq, version, value) for a, b, and seq itself
+    model = {
+        k: {"a": (0, 1, f"a{k}"), "b": (0, 1, f"b{k}"), "seq": (0, 1, 0)}
+        for k in range(5)
+    }
+
+    def win(cur, cand):
+        return cand if cand[:2] >= cur[:2] else cur
+
+    for version in range(2, 9):
+        partial = rng.random() < 0.6
+        carried = rng.choice([["a"], ["b"], ["a", "b"]]) if partial else ["a", "b"]
+        in_batch: dict[int, tuple] = {}
+        for _ in range(rng.randint(1, 6)):
+            k = rng.randint(0, 7)
+            in_batch[k] = (k, rng.randint(0, 5),
+                           *[f"{c}{version}-{rng.randint(0,9)}" for c in carried])
+        rows = [Row(k=k, seq=s, **dict(zip(carried, vs)))
+                for k, s, *vs in in_batch.values()]
+        t.insert(spark.createDataFrame(rows), partial_columns=partial)
+        for k, s, *vs in in_batch.values():
+            cur = model.setdefault(
+                k, {"a": (-1, -1, None), "b": (-1, -1, None), "seq": (-1, -1, None)}
+            )
+            for c, v in zip(carried, vs):
+                cur[c] = win(cur[c], (s, version, v))
+            cur["seq"] = win(cur["seq"], (s, version, s))
+        if rng.random() < 0.25:
+            t.compact()
+    got = {r["k"]: (r["seq"], r["a"], r["b"]) for r in t.read().collect()}
+    want = {k: (m["seq"][2], m["a"][2], m["b"][2]) for k, m in model.items()}
+    assert got == want

@@ -1077,3 +1077,34 @@ def test_drop_partition_recomputes_delete_sign_flag(spark):
     t.insert(spark.createDataFrame(
         [("2024-01-03", 3, "c")], "d string, k long, v string"))
     assert _rows(t.read(), "k", "v") == [(1, "a"), (3, "c")]
+
+
+def test_partial_columns_with_sequence_col(spark):
+    """Doris 2.0 partial update × sequence_col (VERDICT r8 #6): the
+    winner per column is the argmax over (carries-it, sequence,
+    version) — a lower-sequence partial loses every column it carries;
+    a higher-sequence partial wins exactly its carried columns; equal
+    sequences fall back to load order."""
+    t = _mk(spark, "pseq", keys_type="UNIQUE", key_cols=["k"],
+            sequence_col="seq")
+    t.insert(spark.createDataFrame(
+        [(1, 10, "a", "x"), (2, 10, "b", "y")],
+        "k long, seq int, v string, w string"))
+    # higher seq: wins only its carried column (v); w survives
+    t.insert(spark.createDataFrame([(1, 20, "A2")], "k long, seq int, v string"),
+             partial_columns=True)
+    # lower seq: loses entirely (out-of-order ingestion safety)
+    t.insert(spark.createDataFrame([(2, 5, "LOSE")], "k long, seq int, v string"),
+             partial_columns=True)
+    # equal seq: later load wins the carried column
+    t.insert(spark.createDataFrame([(1, 20, "W2")], "k long, seq int, w string"),
+             partial_columns=True)
+    want = [(1, 20, "A2", "W2"), (2, 10, "b", "y")]
+    assert _rows(t.read(), "k", "seq", "v", "w") == want
+    t.compact()  # folding the overlay is value-neutral
+    assert _rows(t.read(), "k", "seq", "v", "w") == want
+    # a partial batch WITHOUT the sequence column is rejected — it has
+    # no win priority to merge under
+    with pytest.raises(ValueError, match="sequence column"):
+        t.insert(spark.createDataFrame([(1, "zz")], "k long, v string"),
+                 partial_columns=True)
