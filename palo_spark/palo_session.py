@@ -417,6 +417,10 @@ class PaloSession:
         #: logical views: name -> original Doris-dialect body text
         #: (late-binding temp views; see the CREATE VIEW branch)
         self.views: dict[str, str] = {}
+        #: views whose body reads an external-catalog table (directly or
+        #: through another such view) — queries touching them bypass the
+        #: result cache (see _text_touches_catalog)
+        self._catalog_views: set[str] = set()
         #: Doris SQL result cache (SURVEY §4 "Caches" row): SELECT
         #: results keyed by (query text, referenced tables' mutation
         #: tokens). A table mutation changes its token, so stale hits
@@ -767,8 +771,15 @@ class PaloSession:
         Each scheduling round drains what exists (availableNow) and
         leaves the job RUNNING; RESUME triggers another round."""
         job = job.lower()
-        if job in self.routine_jobs:
+        existing = self.routine_jobs.get(job)
+        if existing is not None and existing["state"] != "STOPPED":
             raise ValueError(f"routine load job {job!r} already exists")
+        # a STOPPED job is terminal — its name is reusable (upstream:
+        # finalized routine-load job labels can be reused). On the SAME
+        # table the new job continues from the old job's checkpoint, so
+        # already-ingested files are not replayed into the table;
+        # on a different table the checkpoint path is fresh and the new
+        # job drains everything currently in the source.
         t = self._table(tbl)
         props = {
             m.group("k").lower(): m.group("v")
@@ -878,6 +889,19 @@ class PaloSession:
         self.catalogs[name] = {"type": ctype, "root": root, "tables": tables}
         return None
 
+    def _text_touches_catalog(self, text: str) -> bool:
+        """Whether (already-rewritten) statement text reads an external
+        catalog — directly via a ``cat__tbl`` view, or indirectly via a
+        session view flagged in ``_catalog_views``. Gates the result
+        cache: catalog files carry no mutation ledger, so such reads
+        must never be cached."""
+        if self.catalogs and any(f"{n}__" in text for n in self.catalogs):
+            return True
+        return any(
+            re.search(rf"\b{re.escape(v)}\b", text, re.IGNORECASE)
+            for v in self._catalog_views
+        )
+
     def _rewrite_catalog_refs(self, text: str) -> str:
         """Rewrite ``cat.tbl`` → ``cat__tbl`` for registered catalogs,
         outside string literals AND backtick identifiers (a quoted
@@ -958,6 +982,21 @@ class PaloSession:
         base, group_cols, items, where_text, _ = parsed
         if where_text:
             raise ValueError("MATERIALIZED VIEW WHERE clauses are unsupported")
+        # synchronous MVs exist only on internal OLAP tables (upstream:
+        # external tables support ASYNC MVs with explicit refresh).
+        # Building one over an external-catalog table would snapshot the
+        # files with NO maintenance trigger — after REFRESH CATALOG the
+        # rewrite path kept serving pre-refresh aggregates (r9
+        # interaction audit, wrong-answer repro) — so reject instead.
+        if self.catalogs and any(
+            base.lower().startswith(f"{n}__") for n in self.catalogs
+        ):
+            raise ValueError(
+                "synchronous materialized views are not supported over "
+                f"external-catalog tables ({base!r}): the catalog files "
+                "have no load hook to maintain the MV; query the table "
+                "directly or materialize it into a session table first"
+            )
         measures: list[Measure] = []
         seen: set[str] = set()
 
@@ -1228,6 +1267,16 @@ class PaloSession:
                 result = self.sql(p)
             return result
         stripped = text.strip()
+        # catalog refs rewrite FIRST, before any statement dispatch:
+        # `cat.tbl` → `cat__tbl` must be visible to EVERY statement kind
+        # — CREATE VIEW bodies, CTAS, INSERT ... SELECT, OUTFILE — not
+        # just the tail query path (r9 interaction audit: CREATE VIEW
+        # over a catalog table crashed TABLE_OR_VIEW_NOT_FOUND because
+        # its body never saw the rewrite). The rewrite only touches
+        # registered catalog.table pairs outside quotes/backticks, so
+        # every other statement passes through byte-identical.
+        if self.catalogs:
+            stripped = self._rewrite_catalog_refs(stripped)
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
@@ -1431,6 +1480,16 @@ class PaloSession:
                 f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}"
             )
             self.views[name] = vw.group("body").strip()
+            # a view whose body reads an external-catalog table (or
+            # another such view) inherits the no-result-cache rule:
+            # catalog files have no mutation ledger, and the view name
+            # would otherwise HIDE the catalog ref from the cache gate —
+            # a REFRESH CATALOG after a root-file change would then
+            # serve the stale cached rows (r9 interaction audit)
+            if self._text_touches_catalog(body):
+                self._catalog_views.add(name)
+            else:
+                self._catalog_views.discard(name)
             return None
         sv = _SET_VAR_RE.match(stripped)
         if sv and not up.startswith("SET SESSION TRANSACTION"):
@@ -1500,6 +1559,7 @@ class PaloSession:
                     return None
                 raise ValueError(f"unknown view {name!r}")
             del self.views[name]
+            self._catalog_views.discard(name)
             self.spark.catalog.dropTempView(name)
             return None
         of = _OUTFILE_RE.match(stripped)
@@ -2014,15 +2074,11 @@ class PaloSession:
         # rewrite replaces table names with __psel views, which would
         # hide them from the cache key (stale-hit hole)
         ref_text = stripped
-        if self.catalogs:
-            stripped = self._rewrite_catalog_refs(stripped)
         if _PART_SEL_RE.search(stripped):
             stripped = self._rewrite_partition_selection(stripped)
         self.last_cache_hit = False
         key = None
-        touches_catalog = self.catalogs and any(
-            f"{n}__" in stripped for n in self.catalogs
-        )
+        touches_catalog = self._text_touches_catalog(stripped)
         if (
             self.result_cache_enabled
             and up.startswith("SELECT")

@@ -1284,3 +1284,161 @@ def test_create_table_like_clones_partition_layout_and_adds(ps):
     with pytest.raises(ValueError, match="partition"):
         dst.insert(ps.spark.createDataFrame([(1, "c")], "k long, v string"),
                    partial_columns=True)
+
+
+# --------------------------- r9 interaction audit: catalog x session ---
+
+
+@pytest.fixture
+def ext_cat(ps, tmp_path):
+    """A parquet_dir catalog with one table ext.ext_t = (k, v)."""
+    root = tmp_path / "extroot"
+    root.mkdir()
+    ps.spark.range(5).selectExpr("id as k", "id * 10 as v").write.parquet(
+        str(root / "ext_t.parquet")
+    )
+    ps.sql(f"CREATE CATALOG ext PROPERTIES ('type'='parquet_dir', 'root'='{root}')")
+    return root
+
+
+def _rewrite_ext(ps, root, n, mult):
+    import shutil
+    shutil.rmtree(root / "ext_t.parquet")
+    ps.spark.range(n).selectExpr("id as k", f"id * {mult} as v").write.parquet(
+        str(root / "ext_t.parquet")
+    )
+    ps.sql("REFRESH CATALOG ext")
+
+
+def test_create_view_over_catalog_table(ps, ext_cat):
+    """r9 audit: catalog refs must be rewritten for EVERY statement
+    kind, not just the tail query path — CREATE VIEW over ext.tbl
+    crashed TABLE_OR_VIEW_NOT_FOUND before."""
+    ps.sql("CREATE VIEW cvw AS SELECT k, v FROM ext.ext_t WHERE k >= 1")
+    assert ps.sql("SELECT count(*) AS n FROM cvw").collect()[0]["n"] == 4
+    # CTAS and INSERT ... SELECT from the catalog too
+    ps.sql("CREATE TABLE ctas_ext AS SELECT k, v FROM ext.ext_t WHERE k < 2")
+    assert ps.sql("SELECT count(*) AS n FROM ctas_ext").collect()[0]["n"] == 2
+    ps.sql("CREATE TABLE ins_ext (`k` BIGINT, `v` BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ins_ext SELECT k, v FROM ext.ext_t")
+    assert ps.sql("SELECT count(*) AS n FROM ins_ext").collect()[0]["n"] == 5
+
+
+def test_result_cache_bypassed_through_catalog_views(spark, tmp_path):
+    """r9 audit (wrong-answer repro): a view name HID its catalog ref
+    from the result-cache gate, so a REFRESH CATALOG after the root
+    files changed served stale cached rows. Views that read a catalog
+    (directly or through another such view) must never be cached."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    root = tmp_path / "extroot"
+    root.mkdir()
+    ps.spark.range(5).selectExpr("id as k", "id * 10 as v").write.parquet(
+        str(root / "ext_t.parquet")
+    )
+    ps.sql(f"CREATE CATALOG ext PROPERTIES ('type'='parquet_dir', 'root'='{root}')")
+    ps.sql("CREATE VIEW cv AS SELECT k, v FROM ext.ext_t")
+    assert ps.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 100
+    _rewrite_ext(ps, root, 3, 100)
+    assert ps.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 300
+    assert ps.last_cache_hit is False
+    # nested: a view over the catalog view inherits the bypass
+    ps.sql("CREATE VIEW cv2 AS SELECT sum(v) AS s FROM cv")
+    assert ps.sql("SELECT s FROM cv2").collect()[0]["s"] == 300
+    _rewrite_ext(ps, root, 2, 1000)
+    assert ps.sql("SELECT s FROM cv2").collect()[0]["s"] == 1000
+    assert ps.last_cache_hit is False
+    # and plain session-table queries still cache
+    ps.sql("CREATE TABLE sc (`k` BIGINT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO sc VALUES (1)")
+    ps.sql("SELECT count(*) AS n FROM sc").collect()
+    ps.sql("SELECT count(*) AS n FROM sc").collect()
+    assert ps.last_cache_hit is True
+
+
+def test_sync_mv_over_catalog_table_rejected(ps, ext_cat):
+    """r9 audit (wrong-answer repro): a sync MV snapshotted the catalog
+    files with no maintenance trigger — after REFRESH CATALOG the
+    rewrite path served pre-refresh aggregates. Upstream restricts sync
+    MVs to internal OLAP tables; reject."""
+    with pytest.raises(ValueError, match="external-catalog"):
+        ps.sql("CREATE MATERIALIZED VIEW bad_mv AS "
+               "SELECT k, sum(v) AS sv FROM ext.ext_t GROUP BY k")
+
+
+# ---------------------- r9 interaction audit: streaming x lifecycle ---
+
+
+def test_routine_load_follows_schema_changes(ps, tmp_path):
+    """r9 audit pin: ADD COLUMN / RENAME COLUMN between scheduling
+    rounds — later files carrying the new/renamed column load with
+    their values (a stale declared schema would silently default/drop
+    them)."""
+    import json as _json
+    src = tmp_path / "rl_schema"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"k": 1, "v": 10}))
+    ps.sql("CREATE TABLE rsc (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE ROUTINE LOAD rsj ON rsc PROPERTIES ('format'='json') "
+           f"FROM KAFKA ('kafka_broker_list'='file://{src}')")
+    ps.sql("PAUSE ROUTINE LOAD FOR rsj")
+    ps.sql("ALTER TABLE rsc ADD COLUMN w INT DEFAULT 0")
+    (src / "b1.json").write_text(_json.dumps({"k": 2, "v": 20, "w": 99}))
+    ps.sql("RESUME ROUTINE LOAD FOR rsj")
+    got = sorted((r["k"], r["v"], r["w"])
+                 for r in ps.sql("SELECT k, v, w FROM rsc").collect())
+    assert got == [(1, 10, 0), (2, 20, 99)]
+    ps.sql("PAUSE ROUTINE LOAD FOR rsj")
+    ps.sql("ALTER TABLE rsc RENAME COLUMN v v2")
+    (src / "b2.json").write_text(_json.dumps({"k": 3, "v2": 30, "w": 7}))
+    ps.sql("RESUME ROUTINE LOAD FOR rsj")
+    got = sorted((r["k"], r["v2"], r["w"])
+                 for r in ps.sql("SELECT k, v2, w FROM rsc").collect())
+    assert got == [(1, 10, 0), (2, 20, 99), (3, 30, 7)]
+
+
+def test_routine_load_truncate_midstream_exactly_once(ps, tmp_path):
+    """r9 audit pin: TRUNCATE between scheduling rounds empties the
+    table but keeps the job's source offsets — RESUME drains only NEW
+    files (no replay of pre-truncate batches)."""
+    import json as _json
+    src = tmp_path / "rl_trunc"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"k": 1, "v": 10}))
+    ps.sql("CREATE TABLE rtc (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE ROUTINE LOAD rtj ON rtc PROPERTIES ('format'='json') "
+           f"FROM KAFKA ('kafka_broker_list'='file://{src}')")
+    ps.sql("PAUSE ROUTINE LOAD FOR rtj")
+    ps.sql("TRUNCATE TABLE rtc")
+    (src / "b1.json").write_text(_json.dumps({"k": 2, "v": 20}))
+    ps.sql("RESUME ROUTINE LOAD FOR rtj")
+    got = sorted((r["k"], r["v"]) for r in ps.sql("SELECT * FROM rtc").collect())
+    assert got == [(2, 20)]
+
+
+def test_stopped_routine_job_name_is_reusable(ps, tmp_path):
+    """r9 audit: upstream finalized routine-load labels are reusable.
+    Re-creating over a STOPPED job must work, and on the SAME table the
+    new job continues from the old checkpoint — no batch replay."""
+    import json as _json
+    src = tmp_path / "rl_reuse"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"k": 1, "v": 10}))
+    ps.sql("CREATE TABLE rrt (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    mk = (f"CREATE ROUTINE LOAD rrj ON rrt PROPERTIES ('format'='json') "
+          f"FROM KAFKA ('kafka_broker_list'='file://{src}')")
+    ps.sql(mk)
+    ps.sql("STOP ROUTINE LOAD FOR rrj")
+    ps.sql(mk)  # reuse the finalized name
+    assert ps.sql("SELECT count(*) AS n FROM rrt").collect()[0]["n"] == 1
+    st = ps.sql("SHOW ROUTINE LOAD FOR rrj").collect()[0]
+    assert st["state"] == "RUNNING"
+    # a RUNNING name still collides
+    with pytest.raises(ValueError, match="already exists"):
+        ps.sql(mk)
