@@ -866,11 +866,54 @@ class PaloSession:
             for m in _PROP_KV_RE.finditer(props_text)
         }
         ctype = props.get("type", "")
+        if ctype == "jdbc":
+            # Doris 1.2 JDBC catalog ([docs: multi-catalog jdbc]): every
+            # table of the remote database becomes `name.tbl`. Table
+            # discovery queries the database's own metadata (Derby:
+            # SYS.SYSTABLES — swap the discovery query per backend on a
+            # real cluster) unless 'tables' lists them explicitly. The
+            # temp views wrap Spark JDBC relations, so each query
+            # re-reads the live database — remote writes are visible
+            # without REFRESH (REFRESH CATALOG re-runs discovery for
+            # table-LIST changes).
+            from palo_spark.sources import jdbc_scan
+
+            url = props.get("jdbc_url") or props.get("url")
+            if not url:
+                raise ValueError("jdbc catalog needs a 'jdbc_url' property")
+            driver = props.get("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            opts = {"driver": driver}
+            if props.get("tables"):
+                tables = sorted(
+                    t.strip().lower() for t in props["tables"].split(",") if t.strip()
+                )
+            else:
+                disc = props.get(
+                    "discovery_query",
+                    "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T'",
+                )
+                tables = sorted(
+                    r[0].lower()
+                    for r in jdbc_scan(
+                        self.spark, url, f"({disc}) d", **opts
+                    ).collect()
+                )
+            if not tables:
+                raise ValueError(f"no tables discovered in jdbc catalog {name!r}")
+            for tbl in tables:
+                jdbc_scan(self.spark, url, tbl, **opts).createOrReplaceTempView(
+                    f"{name}__{tbl}"
+                )
+            self.catalogs[name] = {
+                "type": ctype, "root": url, "tables": tables,
+                "driver": driver,
+            }
+            return None
         if ctype != "parquet_dir":
             raise ValueError(
                 f"unsupported catalog type {ctype!r} (only 'parquet_dir' "
-                "is available in this build; es/jdbc external tables go "
-                "through palo_spark.sources)"
+                "and 'jdbc' are available in this build; es external "
+                "tables go through palo_spark.sources)"
             )
         root = props.get("root")
         if not root or not _os.path.isdir(root):
@@ -1370,11 +1413,14 @@ class PaloSession:
             if name not in self.catalogs:
                 raise ValueError(f"unknown catalog: {name}")
             cat = self.catalogs[name]
-            self._create_catalog(
-                name,
-                f"'type'='{cat['type']}', 'root'='{cat['root']}'",
-                if_not_exists=False,
-            )
+            if cat["type"] == "jdbc":
+                props = (
+                    f"'type'='jdbc', 'jdbc_url'='{cat['root']}', "
+                    f"'driver'='{cat['driver']}'"
+                )
+            else:
+                props = f"'type'='{cat['type']}', 'root'='{cat['root']}'"
+            self._create_catalog(name, props, if_not_exists=False)
             return None
         lm = _LOAD_RE.match(stripped)
         if lm:

@@ -1442,3 +1442,34 @@ def test_stopped_routine_job_name_is_reusable(ps, tmp_path):
     # a RUNNING name still collides
     with pytest.raises(ValueError, match="already exists"):
         ps.sql(mk)
+
+
+def test_jdbc_catalog_discovery_and_refresh(ps, tmp_path):
+    """CREATE CATALOG type='jdbc' (VERDICT r8 #8): table auto-discovery
+    from the database's own metadata, live remote-write visibility
+    without REFRESH (the views wrap JDBC relations, re-read per query),
+    and REFRESH CATALOG picking up newly created tables."""
+    import os as _os
+
+    from palo_spark.sources import jdbc_sink
+
+    url = f"jdbc:derby:{tmp_path}/jcat;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    jdbc_sink(ps.spark.range(5).selectExpr("id as k", "id * 10 as v"),
+              url, "jt", mode="overwrite", driver=drv)
+    ps.sql(f"CREATE CATALOG jc PROPERTIES ('type'='jdbc', "
+           f"'jdbc_url'='{url}', 'driver'='{drv}')")
+    got = sorted((r["k"], r["v"]) for r in ps.sql("SELECT k, v FROM jc.jt").collect())
+    assert got == [(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)]
+    # remote write visible with no REFRESH
+    jdbc_sink(ps.spark.range(2).selectExpr("id + 100 as k", "id as v"),
+              url, "jt", mode="append", driver=drv)
+    assert ps.sql("SELECT count(*) AS n FROM jc.jt").collect()[0]["n"] == 7
+    # a NEW remote table appears after REFRESH
+    jdbc_sink(ps.spark.range(3).selectExpr("id as a"), url, "jt2",
+              mode="overwrite", driver=drv)
+    ps.sql("REFRESH CATALOG jc")
+    assert ps.sql("SELECT count(*) AS n FROM jc.jt2").collect()[0]["n"] == 3
+    row = ps.sql("SHOW CATALOGS").collect()[0]
+    assert (row["catalog_name"], row["type"], row["n_tables"]) == ("jc", "jdbc", 2)
+    ps.sql("DROP CATALOG jc")
