@@ -346,7 +346,7 @@ _SHOW_IDX_RE = re.compile(
 
 #: one infix MATCH predicate: `col` MATCH_X 'terms'
 _MATCH_PRED_RE = re.compile(
-    r"`?(?P<col>\w+)`?\s+(?P<op>MATCH_ANY|MATCH_ALL|MATCH_PHRASE)\s+"
+    r"`?(?P<col>\w+)`?\s+(?P<op>MATCH_ANY|MATCH_ALL|MATCH_PHRASE|MATCH)\s+"
     r"(?P<q>'[^']*'|\"[^\"]*\")",
     re.IGNORECASE,
 )
@@ -1147,6 +1147,7 @@ class PaloSession:
         op = preds[0].group("op").lower()
         query = preds[0].group("q")[1:-1]
         fn = {
+            "match": match_any_indexed,  # bare MATCH = MATCH_ANY (Doris)
             "match_any": match_any_indexed,
             "match_all": match_all_indexed,
             "match_phrase": match_phrase_indexed,

@@ -534,8 +534,18 @@ def _translate_tokens(toks: list[Token]) -> list[Token]:
         if kind == "word":
             low = text.lower()
             j = _sig(toks, i + 1)
-            if low in ("match_any", "match_all", "match_phrase"):
+            if low in ("match", "match_any", "match_all", "match_phrase"):
                 # Doris infix predicate: <ident> MATCH_X '<terms>'
+                # (bare MATCH is the documented synonym of MATCH_ANY)
+                if low == "match":
+                    if j is None or toks[j][0] not in ("squote", "dquote"):
+                        # a column/alias legitimately named "match" —
+                        # only the infix-with-string-literal shape is
+                        # the predicate
+                        out.append((kind, text))
+                        i += 1
+                        continue
+                    low = "match_any"
                 if j is None or toks[j][0] not in ("squote", "dquote"):
                     raise ValueError(
                         f"{text} requires a string literal on the right"

@@ -1473,3 +1473,36 @@ def test_jdbc_catalog_discovery_and_refresh(ps, tmp_path):
     row = ps.sql("SHOW CATALOGS").collect()[0]
     assert (row["catalog_name"], row["type"], row["n_tables"]) == ("jc", "jdbc", 2)
     ps.sql("DROP CATALOG jc")
+
+
+def test_bare_match_synonym_and_index_follows_loads(ps, tmp_path):
+    """Doris's bare MATCH is a synonym of MATCH_ANY (docs: inverted
+    index); it routes through the posting index like the long
+    spellings, and the index follows UPDATE (partial-load path) and
+    delete-sign loads (r9 audit continuation). A column literally
+    named `match` must not trip the infix translator."""
+    from palo_spark.tables import DELETE_SIGN_COL
+
+    ps.sql("CREATE TABLE mtix (`k` BIGINT, `txt` VARCHAR(100)) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO mtix VALUES (1,'alpha beta'),(2,'gamma delta')")
+    ps.sql("CREATE INDEX mtix_i ON mtix (txt) USING INVERTED")
+    assert [r["k"] for r in ps.sql("SELECT k FROM mtix WHERE txt MATCH 'alpha'").collect()] == [1]
+    assert ps.last_match_indexed is True
+    # UPDATE rewrites the text; MATCH must see the new tokens only
+    ps.sql("UPDATE mtix SET txt = 'omega psi' WHERE k = 1")
+    assert ps.sql("SELECT k FROM mtix WHERE txt MATCH 'alpha'").count() == 0
+    assert [r["k"] for r in ps.sql("SELECT k FROM mtix WHERE txt MATCH 'omega'").collect()] == [1]
+    # sign-load delete after the required compact: MATCH must not
+    # resurrect the deleted key
+    t = ps.tables["mtix"]
+    t.compact()
+    t.insert(ps.spark.createDataFrame(
+        [(2, "gamma delta", 1)], f"k long, txt string, {DELETE_SIGN_COL} int"))
+    ps._refresh_view("mtix")
+    assert ps.sql("SELECT k FROM mtix WHERE txt MATCH 'gamma'").count() == 0
+    # identifier named `match` is data, not the predicate
+    ps.sql("CREATE TABLE mcol (`k` BIGINT, `match` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO mcol VALUES (1, 7)")
+    assert ps.sql("SELECT `match` FROM mcol").collect()[0]["match"] == 7
