@@ -293,6 +293,17 @@ _CREATE_MV_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: Doris 2.1 ASYNC materialized view — distinguished from the sync
+#: (rollup) spelling by the BUILD/REFRESH clauses between name and AS
+_CREATE_ASYNC_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+"
+    r"(?:BUILD\s+(?P<build>IMMEDIATE|DEFERRED)\s+)?"
+    r"REFRESH\s+(?:AUTO|COMPLETE)\s*"
+    r"(?:ON\s+(?P<on>MANUAL|COMMIT)\s*)?"
+    r"AS\s+(?P<body>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _OUTFILE_RE = re.compile(
     r"^(?P<body>\s*SELECT\s+.+?)\s+INTO\s+OUTFILE\s+'(?P<path>[^']+)'"
     r"(?:\s+FORMAT\s+AS\s+(?P<fmt>\w+))?\s*;?\s*$",
@@ -421,6 +432,12 @@ class PaloSession:
         #: through another such view) — queries touching them bypass the
         #: result cache (see _text_touches_catalog)
         self._catalog_views: set[str] = set()
+        #: Doris 2.1 ASYNC materialized views: name -> {body, on, built,
+        #: tables, token}. Snapshot semantics — queryable under the MV
+        #: name, recomputed by REFRESH MATERIALIZED VIEW (or on base-
+        #: table commit for ON COMMIT); `token` bumps per refresh so the
+        #: result cache invalidates exactly (see the cache-gate refs).
+        self.async_mvs: dict[str, dict] = {}
         #: Doris SQL result cache (SURVEY §4 "Caches" row): SELECT
         #: results keyed by (query text, referenced tables' mutation
         #: tokens). A table mutation changes its token, so stale hits
@@ -1006,6 +1023,76 @@ class PaloSession:
 
         return _PART_SEL_RE.sub(sub, text)
 
+    def _create_async_mv(
+        self, name: str, body: str, *, build: str, on: str
+    ):
+        """Doris 2.1 ASYNC materialized view (`CREATE MATERIALIZED VIEW
+        mv BUILD IMMEDIATE REFRESH COMPLETE ON MANUAL AS <query>`,
+        [docs: async-materialized-view]): materializes an ARBITRARY
+        query — multi-table joins, window functions, external-catalog
+        tables — as a parquet snapshot queryable under the MV name.
+
+        Unlike the sync (rollup) form there is no load-time maintenance
+        and no transparent rewrite: the snapshot is explicitly refreshed
+        (``REFRESH MATERIALIZED VIEW mv``; both AUTO and COMPLETE run a
+        full recompute here) and queried directly — the honest
+        staleness contract, which is exactly why this form IS allowed
+        over external catalogs where the sync form is rejected.
+        ``BUILD DEFERRED`` registers an empty typed snapshot until the
+        first refresh. ``ON COMMIT`` re-materializes after every
+        session-statement mutation of a referenced session table.
+
+        Scale: refresh cost is one execution of the defining query plus
+        a parquet write of its result; reads after that are plain
+        snapshot scans (at cluster scale the snapshot directory is the
+        exchange — readers never pay the defining joins again)."""
+        name = name.lower()
+        if name in self.async_mvs:
+            raise ValueError(f"materialized view {name!r} already exists")
+        if self.rollups is not None and any(
+            r.name == name for rs in self.rollups._rollups.values() for r in rs
+        ):
+            raise ValueError(f"materialized view {name!r} already exists")
+        if name in self.tables or name in self.views:
+            raise ValueError(f"name {name!r} already taken by a table/view")
+        refs = sorted(
+            n for n in self.tables
+            if re.search(rf"\b{re.escape(n)}\b", body, re.IGNORECASE)
+        )
+        root = self.location_root or _tf.gettempdir()
+        self.async_mvs[name] = {
+            "body": body.strip(),
+            "on": on.lower(),
+            "built": False,
+            "tables": refs,
+            "token": 0,
+            "path": f"{root}/_async_mv/{name}",
+        }
+        if build == "DEFERRED":
+            # queryable as a typed EMPTY snapshot until the first refresh
+            schema = self.sql(body).schema
+            self.spark.createDataFrame([], schema).createOrReplaceTempView(name)
+        else:
+            self._refresh_async_mv(name)
+        return None
+
+    def _refresh_async_mv(self, name: str) -> None:
+        mv = self.async_mvs[name]
+        staged = mv["path"] + f"_v{mv['token'] + 1}"
+        self.sql(mv["body"]).write.mode("overwrite").parquet(staged)
+        self.spark.read.parquet(staged).createOrReplaceTempView(name)
+        old = mv["path"] + f"_v{mv['token']}"
+        mv["token"] += 1
+        mv["built"] = True
+        _sh.rmtree(old, ignore_errors=True)
+
+    def _commit_async_mvs(self, table: str) -> None:
+        """ON COMMIT refresh hook: re-materialize every async MV whose
+        defining query references the mutated session table."""
+        for n, mv in self.async_mvs.items():
+            if mv["on"] == "commit" and table in mv["tables"]:
+                self._refresh_async_mv(n)
+
     def _create_mv(self, mv_name: str, body: str):
         """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>
         FROM base GROUP BY <dims>`` — registers a rollup in the
@@ -1181,8 +1268,11 @@ class PaloSession:
         df = self._table_df(self.tables[name])
         if df is None:
             self.spark.catalog.dropTempView(name)
-            return
-        df.createOrReplaceTempView(name)
+        else:
+            df.createOrReplaceTempView(name)
+        # _refresh_view runs after every session-statement mutation of
+        # `name`, so it is the ON COMMIT trigger point for async MVs
+        self._commit_async_mvs(name)
 
     def _refresh_rollups(self, table_name: str, t: Table) -> None:
         """Rebuild a table's rollups from its current merge view after a
@@ -1508,6 +1598,14 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(t.meta.name, ddl)], "table_name string, create_table string"
             )
+        amv = _CREATE_ASYNC_MV_RE.match(stripped)
+        if amv:
+            return self._create_async_mv(
+                amv.group("mv"),
+                amv.group("body"),
+                build=(amv.group("build") or "IMMEDIATE").upper(),
+                on=(amv.group("on") or "MANUAL").upper(),
+            )
         mv = _CREATE_MV_RE.match(stripped)
         if mv:
             return self._create_mv(mv.group("mv"), mv.group("body"))
@@ -1533,7 +1631,14 @@ class PaloSession:
             # would otherwise HIDE the catalog ref from the cache gate —
             # a REFRESH CATALOG after a root-file change would then
             # serve the stale cached rows (r9 interaction audit)
-            if self._text_touches_catalog(body):
+            hides_tokened = any(
+                re.search(rf"\b{re.escape(m)}\b", body, re.IGNORECASE)
+                for m in self.async_mvs
+            )
+            if self._text_touches_catalog(body) or hides_tokened:
+                # the view name would HIDE the catalog ref / async-MV
+                # token from the cache gate — bypass the cache for
+                # queries touching this view
                 self._catalog_views.add(name)
             else:
                 self._catalog_views.discard(name)
@@ -1963,21 +2068,36 @@ class PaloSession:
             ).filter("version > 0")
         if _SHOW_MV_RE.match(stripped):
             rows = self.rollups.list_rollups() if self.rollups else []
+            out_rows = [
+                (n, b, ", ".join(g), ", ".join(ms)) for n, b, g, ms in rows
+            ] + [
+                # async MVs: base_table lists the referenced session
+                # tables; measures column carries the refresh posture
+                (n, ", ".join(mv["tables"]) or "(external)", "",
+                 f"async on {mv['on']}, refreshes {mv['token']}")
+                for n, mv in sorted(self.async_mvs.items())
+            ]
             return self.spark.createDataFrame(
-                [
-                    (n, b, ", ".join(g), ", ".join(ms))
-                    for n, b, g, ms in rows
-                ]
-                or [("", "", "", "")],
+                out_rows or [("", "", "", "")],
                 "mv_name string, base_table string, group_cols string, measures string",
             ).filter("mv_name <> ''")
         dmv_ = _DROP_MV_RE.match(stripped)
         if dmv_:
+            mvn = dmv_.group("mv").lower()
+            if mvn in self.async_mvs:
+                mv = self.async_mvs.pop(mvn)
+                self.spark.catalog.dropTempView(mvn)
+                _sh.rmtree(mv["path"] + f"_v{mv['token']}", ignore_errors=True)
+                return None
             if self.rollups is None or not self.rollups.drop_rollup(dmv_.group("mv")):
                 raise ValueError(f"unknown materialized view {dmv_.group('mv')!r}")
             return None
         rmv_ = _REFRESH_MV_RE.match(stripped)
         if rmv_:
+            mvn = rmv_.group("mv").lower()
+            if mvn in self.async_mvs:
+                self._refresh_async_mv(mvn)
+                return None
             if self.rollups is None or not self.rollups.refresh_rollup(
                 rmv_.group("mv")
             ):
@@ -2142,7 +2262,17 @@ class PaloSession:
                 n for n in self.tables
                 if re.search(rf"\b{re.escape(n)}\b", ref_text, re.IGNORECASE)
             )
-            key = (stripped, tuple((n, self.tables[n].state_token()) for n in refs))
+            # async-MV snapshots carry their own refresh token, so a
+            # cached query over one invalidates exactly on REFRESH
+            mv_refs = sorted(
+                n for n in self.async_mvs
+                if re.search(rf"\b{re.escape(n)}\b", ref_text, re.IGNORECASE)
+            )
+            key = (
+                stripped,
+                tuple((n, self.tables[n].state_token()) for n in refs),
+                tuple((n, self.async_mvs[n]["token"]) for n in mv_refs),
+            )
             hit = self._result_cache.get(key)
             if hit is not None:
                 rows, schema = hit

@@ -1161,3 +1161,73 @@ ORACLE["sql_catalog_jdbc_join"] = """
     GROUP BY n.n_name
     ORDER BY n.n_name
 """
+
+
+def _sql_async_mv_refresh(spark, sf_dir):
+    """Doris 2.1 ASYNC materialized view, end-to-end (r9): a
+    MULTI-TABLE MV body — customer × nation, a join the sync rollup
+    grammar cannot express — materialized as a snapshot, left stale
+    through a base-table mutation, then REFRESHed and queried. The
+    returned frame is the post-refresh snapshot, so the oracle states
+    the final per-nation aggregate including the mutation. Exact:
+    integer cents, counts. [docs: async-materialized-view — BUILD
+    IMMEDIATE REFRESH COMPLETE ON MANUAL.]"""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    c = load_table(spark, sf_dir, "customer")
+    t = ps._create_table(
+        "CREATE TABLE amv_cust (`c_custkey` BIGINT, `c_nationkey` INT, "
+        "`c_acctbal` DOUBLE) DUPLICATE KEY(c_custkey) "
+        "DISTRIBUTED BY HASH(c_custkey) BUCKETS 8"
+    )
+    t.insert(c.select("c_custkey", "c_nationkey", "c_acctbal"))
+    ps._refresh_view("amv_cust")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW amv_nation_balance
+        BUILD IMMEDIATE REFRESH COMPLETE ON MANUAL AS
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(FLOOR(a.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM amv_cust a JOIN nation n ON n.n_nationkey = a.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    # mutate the base AFTER the build: the snapshot must not see it
+    # until the explicit refresh (the async-MV contract)
+    extra = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+    )
+    t.insert(extra)
+    ps._refresh_view("amv_cust")
+    ps.sql("REFRESH MATERIALIZED VIEW amv_nation_balance")
+    return ps.sql(
+        "SELECT n_name, n_customers, bal_cents FROM amv_nation_balance "
+        "ORDER BY n_name"
+    )
+
+
+QUERIES["sql_async_mv_refresh"] = _sql_async_mv_refresh
+ORACLE["sql_async_mv_refresh"] = """
+    WITH base AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, c_nationkey, c_acctbal + 50.0
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(a.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM base a JOIN nation n ON n.n_nationkey = a.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""

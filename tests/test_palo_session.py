@@ -1506,3 +1506,84 @@ def test_bare_match_synonym_and_index_follows_loads(ps, tmp_path):
            "DISTRIBUTED BY HASH(k) BUCKETS 2")
     ps.sql("INSERT INTO mcol VALUES (1, 7)")
     assert ps.sql("SELECT `match` FROM mcol").collect()[0]["match"] == 7
+
+
+def test_async_materialized_view_lifecycle(ps, tmp_path):
+    """Doris 2.1 ASYNC materialized views: arbitrary multi-table body
+    (the sync rollup form cannot express a join), snapshot semantics
+    (stale until REFRESH), BUILD DEFERRED, ON COMMIT auto-refresh,
+    catalog-table bodies allowed (explicit-refresh contract), SHOW /
+    DROP integration, and exact result-cache invalidation on refresh."""
+    ps.sql("CREATE TABLE af (`k` BIGINT, `g` VARCHAR(5), `v` INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE ad (`g` VARCHAR(5), `nm` VARCHAR(10)) "
+           "DUPLICATE KEY(g) DISTRIBUTED BY HASH(g) BUCKETS 2")
+    ps.sql("INSERT INTO af VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+    ps.sql("INSERT INTO ad VALUES ('a','alpha'),('b','beta')")
+    ps.sql("CREATE MATERIALIZED VIEW amv BUILD IMMEDIATE REFRESH COMPLETE "
+           "ON MANUAL AS SELECT ad.nm, sum(af.v) AS sv FROM af "
+           "JOIN ad ON af.g = ad.g GROUP BY ad.nm")
+    got = sorted((r.nm, r.sv) for r in ps.sql("SELECT nm, sv FROM amv").collect())
+    assert got == [("alpha", 40), ("beta", 20)]
+    # snapshot: stale until refreshed, then current
+    ps.sql("INSERT INTO af VALUES (4,'a',100)")
+    got = sorted((r.nm, r.sv) for r in ps.sql("SELECT nm, sv FROM amv").collect())
+    assert got == [("alpha", 40), ("beta", 20)]
+    ps.sql("REFRESH MATERIALIZED VIEW amv")
+    got = sorted((r.nm, r.sv) for r in ps.sql("SELECT nm, sv FROM amv").collect())
+    assert got == [("alpha", 140), ("beta", 20)]
+    # ON COMMIT refreshes with the base-table mutation
+    ps.sql("CREATE MATERIALIZED VIEW acmv REFRESH AUTO ON COMMIT AS "
+           "SELECT g, count(*) AS n FROM af GROUP BY g")
+    ps.sql("INSERT INTO af VALUES (5,'b',1)")
+    got = sorted((r.g, r.n) for r in ps.sql("SELECT g, n FROM acmv").collect())
+    assert got == [("a", 3), ("b", 2)]
+    # BUILD DEFERRED: typed empty until the first refresh
+    ps.sql("CREATE MATERIALIZED VIEW admv BUILD DEFERRED REFRESH COMPLETE AS "
+           "SELECT count(*) AS n FROM af")
+    assert ps.sql("SELECT * FROM admv").count() == 0
+    ps.sql("REFRESH MATERIALIZED VIEW admv")
+    assert ps.sql("SELECT n FROM admv").collect()[0]["n"] == 5
+    # external-catalog body is allowed on the ASYNC form
+    root = tmp_path / "amv_ext"
+    root.mkdir()
+    ps.spark.range(4).selectExpr("id as k", "id*2 as v").write.parquet(
+        str(root / "e.parquet"))
+    ps.sql(f"CREATE CATALOG aec PROPERTIES ('type'='parquet_dir', 'root'='{root}')")
+    ps.sql("CREATE MATERIALIZED VIEW axmv REFRESH COMPLETE AS "
+           "SELECT sum(v) AS s FROM aec.e")
+    assert ps.sql("SELECT s FROM axmv").collect()[0]["s"] == 12
+    rows = {r.mv_name: r.measures for r in ps.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert "amv" in rows and rows["amv"].startswith("async on manual")
+    ps.sql("DROP MATERIALIZED VIEW amv")
+    with pytest.raises(Exception):
+        ps.sql("SELECT * FROM amv").collect()
+
+
+def test_async_mv_result_cache_invalidates_on_refresh(spark, tmp_path):
+    """The cache key carries the async MV's refresh token: a REFRESH
+    invalidates cached queries over the snapshot exactly; a view over
+    the MV bypasses the cache (name-hiding rule)."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    ps.sql("CREATE TABLE cb (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO cb VALUES (1, 10)")
+    ps.sql("CREATE MATERIALIZED VIEW cmv2 REFRESH COMPLETE AS "
+           "SELECT sum(v) AS s FROM cb")
+    assert ps.sql("SELECT s FROM cmv2").collect()[0]["s"] == 10
+    assert ps.sql("SELECT s FROM cmv2").collect()[0]["s"] == 10
+    assert ps.last_cache_hit is True  # cached while the snapshot is live
+    ps.sql("INSERT INTO cb VALUES (2, 90)")
+    ps.sql("REFRESH MATERIALIZED VIEW cmv2")
+    assert ps.sql("SELECT s FROM cmv2").collect()[0]["s"] == 100
+    assert ps.last_cache_hit is False  # token bumped → no stale hit
+    # a view over the MV bypasses the cache entirely
+    ps.sql("CREATE VIEW vcm AS SELECT s FROM cmv2")
+    assert ps.sql("SELECT * FROM vcm").collect()[0]["s"] == 100
+    ps.sql("INSERT INTO cb VALUES (3, 900)")
+    ps.sql("REFRESH MATERIALIZED VIEW cmv2")
+    assert ps.sql("SELECT * FROM vcm").collect()[0]["s"] == 1000
+    assert ps.last_cache_hit is False
