@@ -519,6 +519,13 @@ class PaloSession:
         if not hm:
             raise ValueError(f"unparsable CREATE TABLE head: {text!r}")
         name = hm.group("name")
+        if name.lower() in self.async_mvs:
+            # creating a table under a live async MV's name would
+            # silently shadow the MV's snapshot view — and the next
+            # REFRESH would shadow the table right back (r9 audit)
+            raise ValueError(
+                f"name {name!r} is taken by an async materialized view"
+            )
         open_i = hm.end() - 1
         close_i = _balanced_span(text, open_i)
         cols_text = text[open_i + 1 : close_i - 1]
@@ -579,6 +586,10 @@ class PaloSession:
             if if_not_exists:
                 return None
             raise ValueError(f"table {name!r} already exists")
+        if name.lower() in self.async_mvs:
+            raise ValueError(
+                f"name {name!r} is taken by an async materialized view"
+            )
         t = self._table(src)
         kw: dict = {}
         if self.location_root:
@@ -1420,6 +1431,11 @@ class PaloSession:
                 )
             cm = _CTAS_RE.match(stripped)
             if cm and "(" not in stripped[: cm.start("body")]:
+                if cm.group("name").lower() in self.async_mvs:
+                    raise ValueError(
+                        f"name {cm.group('name')!r} is taken by an async "
+                        "materialized view"
+                    )
                 df = self.sql(cm.group("body"))
                 name = cm.group("name")
                 kw = (
@@ -1614,6 +1630,10 @@ class PaloSession:
             name = vw.group("name").lower()
             if vw.group("ine") and name in self.views:
                 return None
+            if name in self.async_mvs:
+                raise ValueError(
+                    f"name {name!r} is taken by an async materialized view"
+                )
             body = translate(vw.group("body"))
             # SQL-created temp views store the PARSED plan (late
             # binding, Spark default storeAnalyzedPlanForView=false):

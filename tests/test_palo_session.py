@@ -1587,3 +1587,35 @@ def test_async_mv_result_cache_invalidates_on_refresh(spark, tmp_path):
     ps.sql("REFRESH MATERIALIZED VIEW cmv2")
     assert ps.sql("SELECT * FROM vcm").collect()[0]["s"] == 1000
     assert ps.last_cache_hit is False
+
+
+def test_async_mv_name_cannot_be_shadowed(ps):
+    """r9 audit: CREATE TABLE / CTAS / CREATE TABLE LIKE / CREATE VIEW
+    under a live async MV's name would silently shadow its snapshot
+    view (and the next REFRESH would shadow the new object right back)
+    — all four are rejected. Base-drop behavior pinned: the snapshot
+    keeps serving, REFRESH surfaces the missing base, and a recreated
+    base makes REFRESH work again."""
+    ps.sql("CREATE TABLE sb (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO sb VALUES (1, 10)")
+    ps.sql("CREATE MATERIALIZED VIEW smv REFRESH COMPLETE AS "
+           "SELECT sum(v) AS s FROM sb")
+    for stmt in (
+        "CREATE TABLE smv (`k` BIGINT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2",
+        "CREATE TABLE smv AS SELECT 1 AS x",
+        "CREATE TABLE smv LIKE sb",
+        "CREATE VIEW smv AS SELECT 1 AS x",
+    ):
+        with pytest.raises(ValueError, match="async materialized view"):
+            ps.sql(stmt)
+    # base lifecycle: snapshot survives a base DROP; REFRESH surfaces it
+    ps.sql("DROP TABLE sb")
+    assert ps.sql("SELECT s FROM smv").collect()[0]["s"] == 10
+    with pytest.raises(Exception, match="sb"):
+        ps.sql("REFRESH MATERIALIZED VIEW smv")
+    ps.sql("CREATE TABLE sb (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO sb VALUES (9, 500)")
+    ps.sql("REFRESH MATERIALIZED VIEW smv")
+    assert ps.sql("SELECT s FROM smv").collect()[0]["s"] == 500
