@@ -115,9 +115,19 @@ _WINDOW_ROUND = 9
 # entry is never-green in CORRECTNESS_r01..r08.
 _RESCHEDULED_OK: set[str] = set()
 
-# r10 rotation TODO — ordered backlog after the r9 window goes green:
-# _PRIORITY[50:] (the 4 entries past the 50-slot window) first, then
-# any r9 additions in registry order.
+# r10 rotation TODO — ordered backlog after the r9 window goes green
+# (20 entries: _PRIORITY[50:] first, then the 16 r9 additions):
+#   tpcds_returned_qty_channel_ratio      (window overflow, r8 addition)
+#   tpcds_clean_multiwarehouse_orders     (window overflow, r8 addition)
+#   tpcds_own_zip_color_returns           (window overflow, r8 addition)
+#   tpcds_call_center_demographic_loss    (window overflow, r8 addition)
+#   table_model_partial_update_sequence   (r9: partial × sequence_col)
+#   sql_catalog_jdbc_join                 (r9: jdbc catalog)
+#   sql_async_mv_refresh                  (r9: async materialized view)
+#   ssb_q1_1 ssb_q1_2 ssb_q1_3            (r9: SSB flight 1)
+#   ssb_q2_1 ssb_q2_2 ssb_q2_3            (r9: SSB flight 2)
+#   ssb_q3_1 ssb_q3_2 ssb_q3_3 ssb_q3_4   (r9: SSB flight 3)
+#   ssb_q4_1 ssb_q4_2 ssb_q4_3            (r9: SSB flight 4)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
