@@ -2292,6 +2292,11 @@ class PaloSession:
                 stripped,
                 tuple((n, self.tables[n].state_token()) for n in refs),
                 tuple((n, self.async_mvs[n]["token"]) for n in mv_refs),
+                # the session time zone changes what identical query
+                # text RETURNS (timestamp rendering/arithmetic) — a
+                # result cached under TZ A must not serve under TZ B
+                # (r9 audit: SET time_zone × cache, wrong-answer repro)
+                self.spark.conf.get("spark.sql.session.timeZone", None),
             )
             hit = self._result_cache.get(key)
             if hit is not None:

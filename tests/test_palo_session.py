@@ -1619,3 +1619,32 @@ def test_async_mv_name_cannot_be_shadowed(ps):
     ps.sql("INSERT INTO sb VALUES (9, 500)")
     ps.sql("REFRESH MATERIALIZED VIEW smv")
     assert ps.sql("SELECT s FROM smv").collect()[0]["s"] == 500
+
+
+def test_result_cache_keyed_by_session_time_zone(spark, tmp_path):
+    """r9 audit (wrong-answer repro): a result cached under one session
+    time zone must not serve after SET time_zone — identical query text
+    renders timestamps differently per TZ, so the TZ is part of the
+    cache key."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    saved = ps.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        ps.sql("CREATE TABLE tzc (`k` BIGINT, `ts` DATETIME) DUPLICATE KEY(k) "
+               "DISTRIBUTED BY HASH(k) BUCKETS 2")
+        ps.sql("SET time_zone = 'UTC'")
+        ps.sql("INSERT INTO tzc VALUES (1, '2024-01-01 00:30:00')")
+        q = "SELECT date_format(ts, '%Y-%m-%d %H:%i') AS d FROM tzc"
+        assert ps.sql(q).collect()[0]["d"] == "2024-01-01 00:30"
+        assert ps.sql(q).collect()[0]["d"] == "2024-01-01 00:30"
+        assert ps.last_cache_hit is True  # same TZ → cache serves
+        ps.sql("SET time_zone = 'Asia/Shanghai'")
+        assert ps.sql(q).collect()[0]["d"] == "2024-01-01 08:30"
+        assert ps.last_cache_hit is False  # TZ changed → key missed
+        ps.sql("SET time_zone = 'UTC'")
+        assert ps.sql(q).collect()[0]["d"] == "2024-01-01 00:30"
+        assert ps.last_cache_hit is True  # back to TZ A → original entry
+    finally:
+        ps.spark.conf.set("spark.sql.session.timeZone", saved)
