@@ -288,6 +288,16 @@ _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
+_SHOW_CREATE_MV_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1578,6 +1588,71 @@ class PaloSession:
             else:
                 self.spark.catalog.dropTempView(tm.group("name").lower())
             return None
+        scmv = _SHOW_CREATE_MV_RE.match(stripped)
+        if scmv:
+            # Doris SHOW CREATE MATERIALIZED VIEW — the round-trippable
+            # statement for async MVs; sync rollups report their derived
+            # CREATE form
+            mvn = scmv.group("mv").lower()
+            if mvn in self.async_mvs:
+                mv = self.async_mvs[mvn]
+                stmt = (
+                    f"CREATE MATERIALIZED VIEW `{mvn}` BUILD IMMEDIATE "
+                    f"REFRESH COMPLETE ON {mv['on'].upper()} AS {mv['body']}"
+                )
+                return self.spark.createDataFrame(
+                    [(mvn, stmt)],
+                    "materialized_view string, create_stmt string",
+                )
+            if self.rollups is not None:
+                for n, b, g, ms in self.rollups.list_rollups():
+                    if n.lower() == mvn:
+                        stmt = (
+                            f"CREATE MATERIALIZED VIEW `{n}` AS SELECT "
+                            f"{', '.join(g)}, {', '.join(ms)} FROM `{b}` "
+                            f"GROUP BY {', '.join(g)}"
+                        )
+                        return self.spark.createDataFrame(
+                            [(n, stmt)],
+                            "materialized_view string, create_stmt string",
+                        )
+            raise ValueError(f"unknown materialized view {mvn!r}")
+        spm = _SHOW_PARTITIONS_RE.match(stripped)
+        if spm:
+            # Doris SHOW PARTITIONS: live partition labels from rowset
+            # directory listings — metadata-only, no data scan
+            t = self._table(spm.group("name"))
+            if not t.meta.auto_partition and not t.meta.partition_by:
+                raise ValueError(
+                    f"table {spm.group('name')!r} is not partitioned"
+                )
+            pcol = (
+                t.meta.auto_partition["col"]
+                if t.meta.auto_partition
+                else ", ".join(t.meta.partition_by)
+            )
+            if t.meta.auto_partition:
+                labels = t.partitions()
+            else:
+                from palo_spark.tables import AUTO_PART_COL
+
+                labels = sorted(
+                    {
+                        nm.split("=", 1)[1]
+                        for r in t.meta.rowsets
+                        for nm in (
+                            os.listdir(r["path"])
+                            if os.path.isdir(r["path"])
+                            else []
+                        )
+                        if "=" in nm and not nm.startswith(AUTO_PART_COL)
+                    }
+                )
+            rows = [(lbl, pcol) for lbl in labels]
+            return self.spark.createDataFrame(
+                rows or [("", "")],
+                "partition_name string, partition_key string",
+            ).filter("partition_name <> ''")
         scm = _SHOW_CREATE_RE.match(stripped)
         if scm:
             t = self._table(scm.group("name"))

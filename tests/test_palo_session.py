@@ -1648,3 +1648,32 @@ def test_result_cache_keyed_by_session_time_zone(spark, tmp_path):
         assert ps.last_cache_hit is True  # back to TZ A → original entry
     finally:
         ps.spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_show_partitions_and_show_create_mv(ps):
+    """Doris SHOW PARTITIONS FROM t (live labels, metadata-only) and
+    SHOW CREATE MATERIALIZED VIEW (round-trippable for async MVs;
+    derived form for sync rollups)."""
+    ps.sql("CREATE TABLE spt (`d` DATETIME, `k` BIGINT, `v` INT) "
+           "DUPLICATE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO spt VALUES ('2024-01-01 10:00:00', 1, 5), "
+           "('2024-01-02 09:00:00', 2, 7)")
+    rows = ps.sql("SHOW PARTITIONS FROM spt").collect()
+    assert sorted(r["partition_name"] for r in rows) == ["d2024-01-01", "d2024-01-02"]
+    assert rows[0]["partition_key"] == "d"
+    with pytest.raises(ValueError, match="not partitioned"):
+        ps.sql("CREATE TABLE nop (`k` BIGINT) DUPLICATE KEY(k) "
+               "DISTRIBUTED BY HASH(k) BUCKETS 2")
+        ps.sql("SHOW PARTITIONS FROM nop")
+    # async MV: the statement round-trips
+    ps.sql("INSERT INTO nop VALUES (1)")
+    ps.sql("CREATE MATERIALIZED VIEW scmv REFRESH COMPLETE AS "
+           "SELECT count(*) AS n FROM nop")
+    stmt = ps.sql("SHOW CREATE MATERIALIZED VIEW scmv").collect()[0]["create_stmt"]
+    ps.sql("DROP MATERIALIZED VIEW scmv")
+    ps.sql(stmt)  # re-executing the emitted statement recreates it
+    assert ps.sql("SELECT n FROM scmv").collect()[0]["n"] == 1
+    with pytest.raises(ValueError, match="unknown materialized view"):
+        ps.sql("SHOW CREATE MATERIALIZED VIEW nosuch")
