@@ -970,6 +970,31 @@ class PaloSession:
         self.catalogs[name] = {"type": ctype, "root": root, "tables": tables}
         return None
 
+    def _expand_view_refs(self, text: str) -> tuple[set[str], list]:
+        """Close ``text`` over session-view bodies: returns the session
+        TABLES reachable from it (directly or through any chain of
+        views) and the (view_name, body) pairs encountered, in sorted
+        order. The result-cache key is built from the EXPANSION — a
+        view name must not hide its base tables (a base mutation has to
+        invalidate) nor its own definition (CREATE OR REPLACE VIEW has
+        to invalidate) from the key (r9 audit, two wrong-answer
+        repros)."""
+        tables: set[str] = set()
+        pairs: dict[str, str] = {}
+        frontier = [text]
+        while frontier:
+            t = frontier.pop()
+            for n in self.tables:
+                if re.search(rf"\b{re.escape(n)}\b", t, re.IGNORECASE):
+                    tables.add(n)
+            for v, body in self.views.items():
+                if v not in pairs and re.search(
+                    rf"\b{re.escape(v)}\b", t, re.IGNORECASE
+                ):
+                    pairs[v] = body
+                    frontier.append(body)
+        return tables, sorted(pairs.items())
+
     def _text_touches_catalog(self, text: str) -> bool:
         """Whether (already-rewritten) statement text reads an external
         catalog — directly via a ``cat__tbl`` view, or indirectly via a
@@ -2351,21 +2376,23 @@ class PaloSession:
             and not touches_catalog
         ):
             # referenced palo tables = session table names appearing as
-            # identifiers in the text; over-matching only widens the key
-            # (false invalidation), never staleness
-            refs = sorted(
-                n for n in self.tables
-                if re.search(rf"\b{re.escape(n)}\b", ref_text, re.IGNORECASE)
-            )
+            # identifiers in the text OR in any view body the text
+            # reaches (transitive expansion — a view must not hide its
+            # bases or its own definition from the key); over-matching
+            # only widens the key (false invalidation), never staleness
+            tables_reached, view_pairs = self._expand_view_refs(ref_text)
+            refs = sorted(tables_reached)
+            expanded = " ".join([ref_text] + [b for _, b in view_pairs])
             # async-MV snapshots carry their own refresh token, so a
             # cached query over one invalidates exactly on REFRESH
             mv_refs = sorted(
                 n for n in self.async_mvs
-                if re.search(rf"\b{re.escape(n)}\b", ref_text, re.IGNORECASE)
+                if re.search(rf"\b{re.escape(n)}\b", expanded, re.IGNORECASE)
             )
             key = (
                 stripped,
                 tuple((n, self.tables[n].state_token()) for n in refs),
+                tuple(view_pairs),
                 tuple((n, self.async_mvs[n]["token"]) for n in mv_refs),
                 # the session time zone changes what identical query
                 # text RETURNS (timestamp rendering/arithmetic) — a

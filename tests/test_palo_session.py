@@ -1677,3 +1677,36 @@ def test_show_partitions_and_show_create_mv(ps):
     assert ps.sql("SELECT n FROM scmv").collect()[0]["n"] == 1
     with pytest.raises(ValueError, match="unknown materialized view"):
         ps.sql("SHOW CREATE MATERIALIZED VIEW nosuch")
+
+
+def test_result_cache_sees_through_views(spark, tmp_path):
+    """r9 audit (two wrong-answer repros): a view name must not hide
+    (a) its base tables — a base mutation has to invalidate cached
+    queries over the view — nor (b) its own definition — CREATE OR
+    REPLACE VIEW has to invalidate. The cache key is built from the
+    transitive view-body expansion."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    ps.sql("CREATE TABLE vb (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO vb VALUES (1, 10)")
+    ps.sql("CREATE VIEW vv AS SELECT sum(v) AS s FROM vb")
+    assert ps.sql("SELECT s FROM vv").collect()[0]["s"] == 10
+    assert ps.sql("SELECT s FROM vv").collect()[0]["s"] == 10
+    assert ps.last_cache_hit is True
+    # (a) base mutation invalidates through the view
+    ps.sql("INSERT INTO vb VALUES (2, 90)")
+    assert ps.sql("SELECT s FROM vv").collect()[0]["s"] == 100
+    assert ps.last_cache_hit is False
+    # (b) view replacement invalidates
+    ps.sql("CREATE VIEW vv AS SELECT sum(v) * 2 AS s FROM vb")
+    assert ps.sql("SELECT s FROM vv").collect()[0]["s"] == 200
+    assert ps.last_cache_hit is False
+    # nested: view over view — the base mutation still reaches the key
+    ps.sql("CREATE VIEW vv2 AS SELECT s + 1 AS s1 FROM vv")
+    assert ps.sql("SELECT s1 FROM vv2").collect()[0]["s1"] == 201
+    ps.sql("INSERT INTO vb VALUES (3, 900)")
+    assert ps.sql("SELECT s1 FROM vv2").collect()[0]["s1"] == 2001
+    assert ps.last_cache_hit is False
