@@ -1210,13 +1210,18 @@ class Table:
         self.read().createOrReplaceTempView(name)
         return name
 
-    def state_token(self) -> int:
+    def state_token(self) -> str:
         """A token that changes on EVERY mutation (loads, deletes,
         schema changes, truncate, compaction, partition drops) — the
         invalidation key for result caching (Doris's SQL cache checks
-        partition versions the same way). Monotonic, never reused —
+        partition versions the same way). Carries the creation-time
+        lineage nonce so a DROPPED-and-RECREATED table under the same
+        name can never collide with the old table's cached entries
+        (r9 audit: mutations alone restarted on the new Table object
+        and replayed the old table's cached count); within one table
+        the mutation counter is monotonic, never reused —
         truncate+reload cannot collide with an earlier state."""
-        return self.meta.mutations
+        return f"{self.meta.lineage}:{self.meta.mutations}"
 
     def truncate(self) -> None:
         """Doris TRUNCATE TABLE: drop all rowsets, deletes, and the

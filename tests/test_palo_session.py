@@ -1710,3 +1710,27 @@ def test_result_cache_sees_through_views(spark, tmp_path):
     ps.sql("INSERT INTO vb VALUES (3, 900)")
     assert ps.sql("SELECT s1 FROM vv2").collect()[0]["s1"] == 2001
     assert ps.last_cache_hit is False
+
+
+def test_result_cache_drop_recreate_cannot_collide(spark, tmp_path):
+    """r9 audit (wrong-answer repro): a dropped-and-recreated table
+    restarted its mutation counter, colliding with the OLD table's
+    cached entries (the old count served against the new table). The
+    state token now carries the creation lineage nonce."""
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    ps.sql("CREATE TABLE dr (`k` BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO dr VALUES (1),(2)")
+    q = "SELECT count(*) AS n FROM dr"
+    assert ps.sql(q).collect()[0]["n"] == 2
+    assert ps.sql(q).collect()[0]["n"] == 2
+    assert ps.last_cache_hit is True
+    ps.sql("DROP TABLE dr")
+    ps.sql("CREATE TABLE dr (`k` BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO dr VALUES (9)")
+    assert ps.sql(q).collect()[0]["n"] == 1
+    assert ps.last_cache_hit is False
