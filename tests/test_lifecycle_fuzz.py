@@ -126,3 +126,67 @@ def _run(ps, seed: int, phases: int = 12) -> None:
 def test_session_lifecycle_fuzz_seeded(ps):
     for seed in (11, 12, 13):
         _run(ps, seed)
+
+
+def test_result_cache_consistency_fuzz(spark, tmp_path):
+    """Randomized closure of the r9 cache-audit class (TZ keying,
+    view-body expansion, drop/recreate lineage): drive random mutations
+    — inserts, deletes, truncate, drop+recreate, view create/replace,
+    time-zone flips — with the result cache ON, and after every phase
+    assert that each probe SELECT answered through the cache path
+    equals the same statement executed with the cache OFF. Seeded
+    sweep; any stale hit shows up as a value mismatch."""
+    import random
+
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
+                     result_cache=True)
+    rng = random.Random(2026)
+    ps.sql("CREATE TABLE fz (`k` BIGINT, `v` INT, `ts` DATETIME) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO fz VALUES (1, 10, '2024-01-01 00:30:00')")
+    ps.sql("CREATE VIEW fzv AS SELECT sum(v) AS s FROM fz")
+    probes = [
+        "SELECT count(*) AS n FROM fz",
+        "SELECT s FROM fzv",
+        "SELECT date_format(max(ts), '%Y-%m-%d %H:%i') AS d FROM fz",
+    ]
+    k = 100
+    for phase in range(40):
+        op = rng.choice(
+            ["insert", "insert", "delete", "truncate", "drop_recreate",
+             "replace_view", "set_tz"]
+        )
+        if op == "insert":
+            k += 1
+            ps.sql(f"INSERT INTO fz VALUES ({k}, {rng.randint(0, 99)}, "
+                   f"'2024-0{rng.randint(1, 9)}-01 0{rng.randint(0, 9)}:15:00')")
+        elif op == "delete":
+            ps.sql(f"DELETE FROM fz WHERE v < {rng.randint(0, 50)}")
+        elif op == "truncate":
+            ps.sql("TRUNCATE TABLE fz")
+        elif op == "drop_recreate":
+            ps.sql("DROP TABLE fz")
+            ps.sql("CREATE TABLE fz (`k` BIGINT, `v` INT, `ts` DATETIME) "
+                   "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+            k += 1
+            ps.sql(f"INSERT INTO fz VALUES ({k}, 5, '2024-02-02 12:00:00')")
+        elif op == "replace_view":
+            mult = rng.randint(1, 3)
+            ps.sql(f"CREATE VIEW fzv AS SELECT sum(v) * {mult} AS s FROM fz")
+        else:
+            ps.sql(f"SET time_zone = "
+                   f"'{rng.choice(['UTC', 'Asia/Shanghai', 'America/New_York'])}'")
+        for q in rng.sample(probes, 2):
+            try:
+                cached = [tuple(r) for r in ps.sql(q).collect()]
+            except ValueError:
+                continue  # empty table state — both paths would raise
+            saved = ps.result_cache_enabled
+            ps.result_cache_enabled = False
+            try:
+                truth = [tuple(r) for r in ps.sql(q).collect()]
+            finally:
+                ps.result_cache_enabled = saved
+            assert cached == truth, (phase, op, q, cached, truth)
