@@ -1734,3 +1734,28 @@ def test_result_cache_drop_recreate_cannot_collide(spark, tmp_path):
     ps.sql("INSERT INTO dr VALUES (9)")
     assert ps.sql(q).collect()[0]["n"] == 1
     assert ps.last_cache_hit is False
+
+
+def test_export_follows_partitions_and_rename(ps, tmp_path):
+    """r9 audit pin (no defect found): EXPORT prunes to the selected
+    partition, follows ALTER TABLE RENAME, excludes dropped partitions,
+    and an unknown partition label exports an empty (but readable)
+    dataset."""
+    ps.sql("CREATE TABLE exp (`d` DATETIME, `k` BIGINT, `v` INT) "
+           "DUPLICATE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO exp VALUES ('2024-01-01 10:00:00', 1, 5), "
+           "('2024-01-02 09:00:00', 2, 7)")
+    out = tmp_path / "exp_out"
+    ps.sql(f"EXPORT TABLE exp PARTITION (d2024-01-01) TO '{out}/p1'")
+    assert ps.spark.read.parquet(f"{out}/p1").count() == 1
+    ps.sql("ALTER TABLE exp RENAME exp2")
+    ps.sql(f"EXPORT TABLE exp2 TO '{out}/all'")
+    assert ps.spark.read.parquet(f"{out}/all").count() == 2
+    ps.tables["exp2"].drop_partition("d2024-01-01")
+    ps._refresh_view("exp2")
+    ps.sql(f"EXPORT TABLE exp2 TO '{out}/rest'")
+    assert ps.spark.read.parquet(f"{out}/rest").count() == 1
+    ps.sql(f"EXPORT TABLE exp2 PARTITION (d2099-01-01) TO '{out}/none'")
+    assert ps.spark.read.parquet(f"{out}/none").count() == 0
