@@ -40,94 +40,88 @@ _MODULE_NAMES = [
 ]
 
 _PRIORITY = [
-    # r09 window: the driver verifies the FIRST 50 registry entries.
-    # This is the full 54-entry never-green backlog after r8 went 50/50
-    # green (the 5 pre-r8 carry-overs first, then every r8 addition in
-    # the order VERDICT r8 pinned at the former TODO comment here).
-    # Entries 51-54 plus any r9 additions form the r10 backlog.
+    # r10 window: the driver verifies the FIRST 50 registry entries.
+    # The first 20 entries are the complete never-green backlog after
+    # the r9 window went 50/50 green (the 4 r8-tail window overflows,
+    # then every r9 addition, in the order VERDICT r9 pinned from the
+    # former r10-TODO comment here). Slots 21-50 are free for r10
+    # additions — for the first time the window covers the whole
+    # backlog, ending rotation debt if this round stays ≤30 additions.
     # tests/test_rotation_window.py asserts this window is never stale:
     # every entry is never-green in CORRECTNESS_r01..r{_WINDOW_ROUND-1}
     # or explicitly listed in _RESCHEDULED_OK.
-    "tpcds_refund_reason_bands",
-    "tpcds_unspecified_dim_report",
-    "tpcds_weekly_item_vs_year",
-    "dedup_corpus_lines",
-    "dedup_semantic_decontaminate",
-    "tpcds_lifetime_channel_preference",
-    "tpcds_demographic_exists_battery",
-    "tpcds_rolling_category_deviation",
-    "tpcds_cohort_next_quarter_spend",
-    "tpcds_underperforming_brands",
-    "tpcds_monthly_ship_pivot",
-    "tpcds_worst_return_ratio_topn",
-    "tpcds_weekly_sales_yoy_ratio",
-    "dialect_largeint_overflow",
-    "sql_catalog_cross_join",
-    "text_gopher_rules",
-    "tpcds_period_overlap_counts",
-    "tpcds_case_ratio_report",
-    "tpcds_part_attribute_battery",
-    "tpcds_or_band_matrix",
-    "tpcds_demographic_or_averages",
-    "tpcds_net_paid_after_returns",
-    "tpcds_best_worst_performers",
-    "tpcds_excess_discount_total",
-    "text_gopher_repetition",
-    "behavioral_transition_matrix",
-    "tpcds_brand_year_revenue",
-    "tpcds_demographic_rollup_averages",
-    "tpcds_preferred_nation_intersect",
-    "tpcds_nonlocal_brand_revenue",
-    "tpcds_best_trip_per_customer",
-    "tpcds_band_join_acct_tiers",
-    "tpcds_cross_channel_item_intersect",
-    "tpcds_disjunctive_branch_filter",
-    "tpcds_quantity_bucket_battery",
-    "tpcds_cov_consecutive_months",
-    "tpcds_top_regions_rollup",
-    "tpcds_rollup_rank_per_category",
-    "tpcds_returns_excluded_ratio",
-    "table_model_partial_update",
-    "table_model_delete_sign_merge",
-    "tpcds_class_ratio_window",
-    "tpcds_store_weekday_matrix",
-    "tpcds_nonlocal_weekend_trips",
-    "tpcds_return_latency_bands",
-    "tpcds_state_avg_return_detail",
-    "tpcds_rollup_rank_within_parent",
-    "tpcds_warehouse_latency_matrix",
-    "tpcds_brand_channel_union",
-    "tpcds_manager_monthly_deviation",
     "tpcds_returned_qty_channel_ratio",
     "tpcds_clean_multiwarehouse_orders",
     "tpcds_own_zip_color_returns",
     "tpcds_call_center_demographic_loss",
+    "table_model_partial_update_sequence",
+    "sql_catalog_jdbc_join",
+    "sql_async_mv_refresh",
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_1",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_1",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_1",
+    "ssb_q4_2",
+    "ssb_q4_3",
+    # Slots 21-50: r10 additions are inserted here as they are built;
+    # any slot not consumed by an addition at round end holds a
+    # re-verification entry (oldest driver-green, r01 vintage — a
+    # freshness re-check now that the never-green backlog is smaller
+    # than the window for the first time). Each re-verify entry is
+    # justified in _RESCHEDULED_OK below.
+    "case_when_projection",
+    "correlated_scalar_subquery",
+    "datagen_numbers",
+    "distinct_projection",
+    "empty_set_const_false",
+    "except_all",
+    "except_distinct",
+    "hash_join_full_outer",
+    "hash_join_inner",
+    "hash_join_left_anti",
+    "hash_join_left_outer",
+    "hash_join_left_semi",
+    "hash_join_right_outer",
+    "having_filter",
+    "in_subquery",
+    "intersect_all",
+    "intersect_distinct",
+    "nested_loop_cross_join",
+    "nested_loop_theta_join",
+    "not_in_subquery",
+    "null_aware_anti_join",
+    "repeat_cube",
+    "repeat_grouping_sets",
+    "repeat_rollup",
+    "scalar_subquery",
+    "sort_limit_offset",
+    "table_function_explode",
+    "table_function_posexplode",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test
 # computes the never-green set from CORRECTNESS_r01..r{N-1} only, so
-# checking in CORRECTNESS_r08.json at round end does not retroactively
-# fail the r8 window. Bump when rotating.
-_WINDOW_ROUND = 9
+# checking in CORRECTNESS_r09.json at round end does not retroactively
+# fail the r9 window. Bump when rotating.
+_WINDOW_ROUND = 10
 
 # Entries allowed in the window despite a prior driver-green row,
-# each with the reason (judge-auditable). Empty for r9: every window
-# entry is never-green in CORRECTNESS_r01..r08.
-_RESCHEDULED_OK: set[str] = set()
-
-# r10 rotation TODO — ordered backlog after the r9 window goes green
-# (20 entries: _PRIORITY[50:] first, then the 16 r9 additions):
-#   tpcds_returned_qty_channel_ratio      (window overflow, r8 addition)
-#   tpcds_clean_multiwarehouse_orders     (window overflow, r8 addition)
-#   tpcds_own_zip_color_returns           (window overflow, r8 addition)
-#   tpcds_call_center_demographic_loss    (window overflow, r8 addition)
-#   table_model_partial_update_sequence   (r9: partial × sequence_col)
-#   sql_catalog_jdbc_join                 (r9: jdbc catalog)
-#   sql_async_mv_refresh                  (r9: async materialized view)
-#   ssb_q1_1 ssb_q1_2 ssb_q1_3            (r9: SSB flight 1)
-#   ssb_q2_1 ssb_q2_2 ssb_q2_3            (r9: SSB flight 2)
-#   ssb_q3_1 ssb_q3_2 ssb_q3_3 ssb_q3_4   (r9: SSB flight 3)
-#   ssb_q4_1 ssb_q4_2 ssb_q4_3            (r9: SSB flight 4)
+# each with the reason (judge-auditable). For r10 the never-green
+# backlog (20 entries) is smaller than the 50-slot window for the
+# first time; the surplus slots hold oldest-green (r01-vintage)
+# re-verification entries until r10 additions displace them. Reason
+# for every name below: freshness re-check — last driver-verified in
+# round 1, nine rounds of code churn ago.
+_RESCHEDULED_OK: set[str] = set(_PRIORITY[20:])
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
