@@ -652,9 +652,15 @@ class Table:
             self.meta.rowsets = live
             for r in dead:
                 shutil.rmtree(r["path"], ignore_errors=True)
-            self.meta.has_delete_sign = any(
-                r.get("sign") for r in self.meta.rowsets
-            )
+            # recompute only when every survivor carries explicit sign
+            # metadata: a rowset persisted before the per-rowset 'sign'
+            # flag existed may hold sign rows, and clearing the table
+            # flag on its behalf would stop the read path filtering
+            # delete-sign rows (batch-deleted keys would resurface)
+            if all("sign" in r for r in self.meta.rowsets):
+                self.meta.has_delete_sign = any(
+                    r["sign"] for r in self.meta.rowsets
+                )
             self._save_meta()  # bump the mutation token
         return removed
 
