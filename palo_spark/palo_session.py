@@ -449,6 +449,11 @@ class PaloSession:
         #: table commit for ON COMMIT); `token` bumps per refresh so the
         #: result cache invalidates exactly (see the cache-gate refs).
         self.async_mvs: dict[str, dict] = {}
+        #: Doris 2.1 transparent rewrite onto async MVs (Nereids
+        #: ``enable_materialized_view_rewrite``): fresh snapshots may
+        #: silently answer derivable queries; stale ones never do.
+        self.mv_rewrite_enabled = True
+        self.last_mv_rewrite: str | None = None  # observability for tests
         #: Doris SQL result cache (SURVEY §4 "Caches" row): SELECT
         #: results keyed by (query text, referenced tables' mutation
         #: tokens). A table mutation changes its token, so stale hits
@@ -489,6 +494,7 @@ class PaloSession:
             "exec_mem_limit": "2147483648",
             "query_timeout": "300",
             "enable_sql_cache": "true" if result_cache else "false",
+            "enable_materialized_view_rewrite": "true",
             "parallel_pipeline_task_num": str(
                 spark.sparkContext.defaultParallelism
             ),
@@ -1136,13 +1142,41 @@ class PaloSession:
         """Run a statement with the result cache bypassed — for internal
         work (MV refresh/build) where sql()'s store path would eagerly
         take() up to cache_row_limit+1 rows only for the caller to
-        recompute the query anyway (write path), paying it twice."""
+        recompute the query anyway (write path), paying it twice.
+        Transparent MV rewrite is also off: a refresh must recompute
+        from the bases, never from a (self- or sibling-) snapshot."""
         prev = self.result_cache_enabled
+        prev_mvr = self.mv_rewrite_enabled
         self.result_cache_enabled = False
+        self.mv_rewrite_enabled = False
         try:
             return self.sql(text)
         finally:
             self.result_cache_enabled = prev
+            self.mv_rewrite_enabled = prev_mvr
+
+    def _async_mv_state(self, body: str, skip_mv: str | None = None):
+        """Freshness basis for the transparent-rewrite gate: the state
+        tokens of every session table the MV body reaches (through any
+        chain of views) plus the view definitions themselves. Returns
+        None — "never provably fresh", so never rewritten onto — when
+        the body touches an external catalog (catalog files carry no
+        mutation ledger) or another async MV (its refresh isn't in the
+        table-token space)."""
+        tables, view_pairs = self._expand_view_refs(body)
+        expanded = " ".join([body] + [b for _, b in view_pairs])
+        if self._text_touches_catalog(expanded):
+            return None
+        if any(
+            n != skip_mv
+            and re.search(rf"\b{re.escape(n)}\b", expanded, re.IGNORECASE)
+            for n in self.async_mvs
+        ):
+            return None
+        return (
+            tuple((n, self.tables[n].state_token()) for n in sorted(tables)),
+            tuple(view_pairs),
+        )
 
     def _refresh_async_mv(self, name: str) -> None:
         mv = self.async_mvs[name]
@@ -1152,6 +1186,9 @@ class PaloSession:
         old = mv["path"] + f"_v{mv['token']}"
         mv["token"] += 1
         mv["built"] = True
+        # transparent rewrite serves this snapshot only while every
+        # reached base token still equals what it is NOW
+        mv["snapshot_state"] = self._async_mv_state(mv["body"], skip_mv=name)
         _sh.rmtree(old, ignore_errors=True)
 
     def _commit_async_mvs(self, table: str) -> None:
@@ -1168,6 +1205,108 @@ class PaloSession:
             if table in reached:
                 mv["tables"] = sorted(reached)  # keep SHOW MV display fresh
                 self._refresh_async_mv(n)
+
+    def _try_async_mv_rewrite(self, text: str):
+        """Doris 2.1 Nereids transparent async-MV rewrite
+        ([docs: async-materialized-view] — ``enable_materialized_view_
+        rewrite``): answer a query from a registered async MV's
+        snapshot when BOTH hold:
+
+        (a) derivability — the query text is the MV body verbatim
+            (modulo whitespace/case), or it is a simple aggregate
+            (the sync-rollup grammar) over the same base whose group
+            columns, filter columns, and aggregates the MV's own
+            grouped body covers (SUM/COUNT re-aggregate as SUM over
+            the snapshot, MIN/MAX as MIN/MAX — classic rollup
+            derivation);
+        (b) freshness — the state token of every session table the
+            body reaches still equals the one recorded when the
+            snapshot was materialized. A stale snapshot NEVER
+            rewrites (the query silently falls back to the bases),
+            so the transparent path cannot produce a wrong answer;
+            only explicit ``SELECT ... FROM mv`` keeps the honest
+            staleness contract.
+
+        Scale: a hit replaces the defining join/aggregate with one
+        scan of the (pre-aggregated, much smaller) snapshot — at
+        cluster scale this is the entire point of async MVs."""
+        from pyspark.sql import functions as F
+
+        from palo_spark.plans import _parse_simple_agg_sql
+
+        def norm(s: str) -> str:
+            return re.sub(r"\s+", " ", s.strip().rstrip(";").strip()).lower()
+
+        qn = norm(text)
+        qparsed = _parse_simple_agg_sql(translate(text))
+        for name, mv in sorted(self.async_mvs.items()):
+            if not mv.get("built"):
+                continue
+            state = mv.get("snapshot_state")
+            if state is None or state != self._async_mv_state(
+                mv["body"], skip_mv=name
+            ):
+                continue  # stale (or unprovable) → no rewrite, use bases
+            if norm(mv["body"]) == qn:
+                self.last_mv_rewrite = name
+                return self.spark.table(name)
+            if qparsed is None:
+                continue
+            mvp = _parse_simple_agg_sql(translate(mv["body"]))
+            if mvp is None:
+                continue
+            mbase, _mgroup, mitems, mwhere, _ = mvp
+            qbase, qgroup, qitems, qwhere, qwcols = qparsed
+            if mwhere is not None or qbase.lower() != mbase.lower():
+                continue
+            # group columns usable from the snapshot: selected in the MV
+            # body under their own name (an aliased dim would need
+            # predicate rewriting — skip, the base path stays correct)
+            dims = {
+                it["col"]
+                for it in mitems
+                if it["kind"] == "group" and it["alias"] == it["col"]
+            }
+            if not (set(qgroup) <= dims and set(qwcols) <= dims):
+                continue
+            # every query aggregate must be derivable from a stored one
+            stored = {
+                it["measure_names"][0]: it["alias"]
+                for it in mitems
+                if it["kind"] == "agg"
+            }
+            derived = []
+            ok = True
+            for it in qitems:
+                if it["kind"] == "group":
+                    derived.append(F.col(it["col"]).alias(it["alias"]))
+                    continue
+                canon = it["measure_names"][0]
+                col = stored.get(canon)
+                if col is None:
+                    ok = False
+                    break
+                func = F.min if canon.startswith("min_") else (
+                    F.max if canon.startswith("max_") else F.sum
+                )
+                derived.append(func(F.col(col)).alias(it["alias"]))
+            if not ok:
+                continue
+            aggs = [d for d, it in zip(derived, qitems) if it["kind"] == "agg"]
+            if not aggs:
+                continue  # dims-only SELECT — not a rollup shape
+            df = self.spark.table(name)
+            if qwhere:
+                df = df.filter(F.expr(qwhere))
+            out = df.groupBy(*qgroup).agg(*aggs)
+            sel = [
+                F.col(it["alias"] if it["kind"] == "agg" else it["col"])
+                .alias(it["alias"])
+                for it in qitems
+            ]
+            self.last_mv_rewrite = name
+            return out.select(*sel)
+        return None
 
     def _create_mv(self, mv_name: str, body: str):
         """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>
@@ -1808,6 +1947,8 @@ class PaloSession:
                 self.spark.conf.set("spark.sql.session.timeZone", val)
             elif name == "enable_sql_cache":
                 self.result_cache_enabled = val.lower() in ("true", "1", "on")
+            elif name == "enable_materialized_view_rewrite":
+                self.mv_rewrite_enabled = val.lower() in ("true", "1", "on")
             return None
         shv = _SHOW_VARS_RE.match(stripped)
         if shv:
@@ -2448,14 +2589,26 @@ class PaloSession:
                 self.last_cache_hit = True
                 return self.spark.createDataFrame(rows, schema)
         self.last_match_indexed = False
-        if self.indexes:
-            routed = self._try_indexed_match(stripped)
-            if routed is not None:
-                stripped = routed
-        if self.rollups is not None:
-            df, _source = self.rollups.sql(translate(stripped))
-        else:
-            df = doris_sql(self.spark, stripped)
+        self.last_mv_rewrite = None
+        df = None
+        # transparent async-MV rewrite first (fresh snapshots only —
+        # see _try_async_mv_rewrite); it must see the PRE-index-routing
+        # text so an exact-body match stays textual
+        if (
+            self.mv_rewrite_enabled
+            and self.async_mvs
+            and up.startswith("SELECT")
+        ):
+            df = self._try_async_mv_rewrite(stripped)
+        if df is None:
+            if self.indexes:
+                routed = self._try_indexed_match(stripped)
+                if routed is not None:
+                    stripped = routed
+            if self.rollups is not None:
+                df, _source = self.rollups.sql(translate(stripped))
+            else:
+                df = doris_sql(self.spark, stripped)
         if key is not None:
             rows = df.take(self.cache_row_limit + 1)
             if len(rows) <= self.cache_row_limit:

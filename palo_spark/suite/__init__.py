@@ -39,17 +39,11 @@ _MODULE_NAMES = [
     "ssb",
 ]
 
-_PRIORITY = [
-    # r10 window: the driver verifies the FIRST 50 registry entries.
-    # The first 20 entries are the complete never-green backlog after
-    # the r9 window went 50/50 green (the 4 r8-tail window overflows,
-    # then every r9 addition, in the order VERDICT r9 pinned from the
-    # former r10-TODO comment here). Slots 21-50 are free for r10
-    # additions — for the first time the window covers the whole
-    # backlog, ending rotation debt if this round stays ≤30 additions.
-    # tests/test_rotation_window.py asserts this window is never stale:
-    # every entry is never-green in CORRECTNESS_r01..r{_WINDOW_ROUND-1}
-    # or explicitly listed in _RESCHEDULED_OK.
+# The r10 never-green backlog (complete, after the r9 window went
+# 50/50 green): the 4 r8-tail window overflows, then every r9
+# addition, in the order VERDICT r9 pinned from the former r10-TODO
+# comment here.
+_BACKLOG = [
     "tpcds_returned_qty_channel_ratio",
     "tpcds_clean_multiwarehouse_orders",
     "tpcds_own_zip_color_returns",
@@ -70,12 +64,18 @@ _PRIORITY = [
     "ssb_q4_1",
     "ssb_q4_2",
     "ssb_q4_3",
-    # Slots 21-50: r10 additions are inserted here as they are built;
-    # any slot not consumed by an addition at round end holds a
-    # re-verification entry (oldest driver-green, r01 vintage — a
-    # freshness re-check now that the never-green backlog is smaller
-    # than the window for the first time). Each re-verify entry is
-    # justified in _RESCHEDULED_OK below.
+]
+
+# r10 additions, in build order (never driver-green by construction).
+_R10_ADDITIONS = [
+    "sql_async_mv_transparent_rewrite",
+]
+
+# Any window slot not consumed by the backlog or an r10 addition holds
+# a re-verification entry (oldest driver-green, r01 vintage — a
+# freshness re-check now that the never-green backlog is smaller than
+# the window for the first time). Justified in _RESCHEDULED_OK below.
+_REVERIFY_PAD = [
     "case_when_projection",
     "correlated_scalar_subquery",
     "datagen_numbers",
@@ -108,20 +108,28 @@ _PRIORITY = [
     "tpch_q14_promo_effect",
 ]
 
+# r10 window: the driver verifies the FIRST 50 registry entries.
+# Backlog first (drains rotation debt permanently), then r10
+# additions, then re-verify padding to fill 50 slots.
+# tests/test_rotation_window.py asserts this window is never stale:
+# every entry is never-green in CORRECTNESS_r01..r{_WINDOW_ROUND-1}
+# or explicitly listed in _RESCHEDULED_OK.
+_PRIORITY = (_BACKLOG + _R10_ADDITIONS + _REVERIFY_PAD)[:50]
+
 # Round this _PRIORITY window was written FOR: the staleness test
 # computes the never-green set from CORRECTNESS_r01..r{N-1} only, so
-# checking in CORRECTNESS_r09.json at round end does not retroactively
-# fail the r9 window. Bump when rotating.
+# checking in CORRECTNESS_r10.json at round end does not retroactively
+# fail the r10 window. Bump when rotating.
 _WINDOW_ROUND = 10
 
-# Entries allowed in the window despite a prior driver-green row,
-# each with the reason (judge-auditable). For r10 the never-green
-# backlog (20 entries) is smaller than the 50-slot window for the
-# first time; the surplus slots hold oldest-green (r01-vintage)
-# re-verification entries until r10 additions displace them. Reason
-# for every name below: freshness re-check — last driver-verified in
-# round 1, nine rounds of code churn ago.
-_RESCHEDULED_OK: set[str] = set(_PRIORITY[20:])
+# Entries allowed in the window despite a prior driver-green row, each
+# with the reason (judge-auditable). For r10 the never-green backlog
+# (20 entries) is smaller than the 50-slot window for the first time;
+# the surplus slots hold oldest-green (r01-vintage) re-verification
+# entries until r10 additions displace them. Reason for every name:
+# freshness re-check — last driver-verified in round 1, nine rounds of
+# code churn ago.
+_RESCHEDULED_OK: set[str] = set(_REVERIFY_PAD)
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -1231,3 +1231,75 @@ ORACLE["sql_async_mv_refresh"] = """
     GROUP BY n.n_name
     ORDER BY n.n_name
 """
+
+
+def _sql_async_mv_transparent_rewrite(spark, sf_dir):
+    """Doris 2.1 Nereids TRANSPARENT rewrite onto an async MV (r10,
+    [docs: async-materialized-view, enable_materialized_view_rewrite]):
+    the MV stores per-(status, priority) sums; the query asks a COARSER
+    aggregate (per-priority, filtered to one status) and never names
+    the MV — the session must silently answer it from the fresh
+    snapshot. Fail-loud: raises if the rewrite did NOT happen or the
+    plan still scans the base rowsets, so the driver row pins the
+    rewrite itself, not just the values. Exact: integer cents, counts.
+    """
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    t = ps._create_table(
+        "CREATE TABLE tr_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `o_orderpriority` VARCHAR(15), `total_cents` BIGINT) "
+        "DUPLICATE KEY(o_orderkey) DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("tr_orders")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW tr_mv BUILD IMMEDIATE REFRESH COMPLETE
+        ON MANUAL AS
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(total_cents) AS sum_cents, COUNT(*) AS n_orders
+        FROM tr_orders GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+    out = ps.sql(
+        "SELECT o_orderpriority, SUM(total_cents) AS sum_cents, "
+        "COUNT(*) AS n_orders FROM tr_orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority"
+    )
+    if ps.last_mv_rewrite != "tr_mv":
+        raise RuntimeError(
+            "transparent async-MV rewrite did not fire "
+            f"(last_mv_rewrite={ps.last_mv_rewrite!r})"
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "_async_mv/tr_mv" not in plan.replace("\n", " ") and "FileScan" not in plan:
+        raise RuntimeError("rewritten plan does not scan the MV snapshot")
+    return out.orderBy("o_orderpriority")
+
+
+QUERIES["sql_async_mv_transparent_rewrite"] = _sql_async_mv_transparent_rewrite
+ORACLE["sql_async_mv_transparent_rewrite"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -1861,3 +1861,85 @@ def test_drop_partition_keeps_sign_flag_for_legacy_rowsets(ps):
     assert t.meta.has_delete_sign is True
     ps._refresh_view("lgp")
     assert ps.sql("SELECT k FROM lgp WHERE k = 3").count() == 0
+
+
+def test_async_mv_transparent_rewrite(ps):
+    """Doris 2.1 Nereids transparent rewrite onto async MVs
+    [docs: async-materialized-view]: a derivable query silently scans
+    a FRESH snapshot (plan provably reads the MV parquet, not the base
+    join); a STALE snapshot never rewrites (falls back to bases, fresh
+    answer); REFRESH re-arms it; SET enable_materialized_view_rewrite
+    = false disables it."""
+    ps.sql("CREATE TABLE rwb (`k` BIGINT, `g` VARCHAR(5), `v` INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rwb VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+    ps.sql("CREATE MATERIALIZED VIEW rwmv BUILD IMMEDIATE REFRESH COMPLETE "
+           "ON MANUAL AS SELECT g, sum(v) AS sum_v, count(*) AS cnt "
+           "FROM rwb GROUP BY g")
+    # exact-body match → snapshot scan
+    df = ps.sql("SELECT g, sum(v) AS sum_v, count(*) AS cnt FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv"
+    # the plan is ONE parquet scan of the snapshot — no aggregate, no
+    # exchange, no scan of the base table's rowsets
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "HashAggregate" not in plan and "Exchange" not in plan
+    assert sorted((r.g, r.sum_v, r.cnt) for r in df.collect()) == [
+        ("a", 40, 2), ("b", 20, 1)]
+    # group-by-coverage: coarser re-aggregate (global) + filtered derivation
+    df = ps.sql("SELECT g, sum(v) AS s FROM rwb WHERE g = 'a' GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv"
+    assert [(r.g, r.s) for r in df.collect()] == [("a", 40)]
+    # COUNT(*) derives as SUM of the stored count
+    df = ps.sql("SELECT g, count(*) AS n FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv"
+    assert sorted((r.g, r.n) for r in df.collect()) == [("a", 2), ("b", 1)]
+    # stale snapshot: base mutated → NO rewrite, the answer is fresh
+    ps.sql("INSERT INTO rwb VALUES (4,'a',100)")
+    df = ps.sql("SELECT g, sum(v) AS sum_v, count(*) AS cnt FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    assert sorted((r.g, r.sum_v, r.cnt) for r in df.collect()) == [
+        ("a", 140, 3), ("b", 20, 1)]
+    # REFRESH re-arms the rewrite
+    ps.sql("REFRESH MATERIALIZED VIEW rwmv")
+    df = ps.sql("SELECT g, sum(v) AS sum_v, count(*) AS cnt FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv"
+    assert sorted((r.g, r.sum_v, r.cnt) for r in df.collect()) == [
+        ("a", 140, 3), ("b", 20, 1)]
+    # session toggle
+    ps.sql("SET enable_materialized_view_rewrite = false")
+    ps.sql("SELECT g, sum(v) AS sum_v FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    ps.sql("SET enable_materialized_view_rewrite = true")
+    # a NON-derivable aggregate (avg not stored) falls back to base
+    df = ps.sql("SELECT g, min(v) AS mn FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    assert sorted((r.g, r.mn) for r in df.collect()) == [("a", 10), ("b", 20)]
+
+
+def test_async_mv_rewrite_never_unprovable(ps, tmp_path):
+    """The rewrite freshness gate returns 'never provably fresh' for
+    MV bodies over external catalogs (no mutation ledger) and bodies
+    over other async MVs (refresh outside the table-token space) —
+    those snapshots stay explicit-query-only."""
+    root = tmp_path / "rwx"
+    root.mkdir()
+    ps.spark.range(4).selectExpr("id as k", "id*2 as v").write.parquet(
+        str(root / "e.parquet"))
+    ps.sql(f"CREATE CATALOG rwc PROPERTIES ('type'='parquet_dir', 'root'='{root}')")
+    ps.sql("CREATE MATERIALIZED VIEW xmv REFRESH COMPLETE AS "
+           "SELECT sum(v) AS s FROM rwc.e")
+    # identical query text must NOT silently serve the snapshot: the
+    # catalog files can change without a token bump
+    ps.sql("SELECT sum(v) AS s FROM rwc.e")
+    assert ps.last_mv_rewrite is None
+    # MV over an MV: the outer body's freshness is unprovable
+    ps.sql("CREATE TABLE rwt (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rwt VALUES (1, 5)")
+    ps.sql("CREATE MATERIALIZED VIEW imv REFRESH COMPLETE AS "
+           "SELECT k, sum(v) AS sv FROM rwt GROUP BY k")
+    ps.sql("CREATE MATERIALIZED VIEW omv REFRESH COMPLETE AS "
+           "SELECT sum(sv) AS t FROM imv")
+    ps.sql("SELECT sum(sv) AS t FROM imv")
+    assert ps.last_mv_rewrite is None
