@@ -362,8 +362,12 @@ class Table:
                 **({"partial": partial_cols} if partial_cols else {}),
                 # whether this rowset carries the hidden delete sign —
                 # lets drop_partition recompute meta.has_delete_sign when
-                # the last sign-carrying rowset expires
-                **({"sign": True} if carries_sign else {}),
+                # the last sign-carrying rowset expires. Always explicit
+                # (True/False): a MISSING key means metadata persisted
+                # before this flag existed, which drop_partition treats
+                # conservatively (never clears the table flag on a
+                # legacy rowset's behalf)
+                "sign": carries_sign,
             }
         )
         if carries_sign:
@@ -1077,11 +1081,38 @@ class Table:
             )
         return out
 
+    def _sync_meta(self) -> None:
+        """Converge on externally-committed state (r10 audit — the
+        cross-handle contract, pinned): another handle of the same
+        table directory (``Table.open``, or a second session) may have
+        committed mutations through its own Table object; this handle's
+        in-memory meta would serve stale rowsets AND a stale
+        ``state_token`` (the result cache would then never invalidate).
+        Reload the persisted meta when its mutation counter is ahead of
+        ours or its lineage differs (directory recreated underneath).
+
+        Contract: ONE writer at a time per table directory (every save
+        is whole-meta, last writer wins — no meta merging); any number
+        of reader handles converge at their next read()/state_token().
+        Concurrent writers are unsupported, same as Doris's single-FE
+        metadata ownership."""
+        try:
+            with open(os.path.join(self.location, _META_FILE)) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        if (
+            d.get("mutations", 0) > self.meta.mutations
+            or d.get("lineage") != self.meta.lineage
+        ):
+            self.meta = TableMeta(**d)
+
     def read(self, partition_pred=None) -> DataFrame:
         """The merge-on-read view (what a query over this table sees).
 
         ``partition_pred`` (internal; see :meth:`scan`) filters auto-
         partition labels at the rowset scans, before any merge."""
+        self._sync_meta()
         raw = self._raw(partition_pred)
         if raw is None:
             raise ValueError(f"table {self.meta.name!r} has no data")
@@ -1226,7 +1257,11 @@ class Table:
         (r9 audit: mutations alone restarted on the new Table object
         and replayed the old table's cached count); within one table
         the mutation counter is monotonic, never reused —
-        truncate+reload cannot collide with an earlier state."""
+        truncate+reload cannot collide with an earlier state. Syncs
+        externally-committed meta first (see ``_sync_meta``) so a
+        cached result can never outlive a mutation committed through
+        another handle of the same directory."""
+        self._sync_meta()
         return f"{self.meta.lineage}:{self.meta.mutations}"
 
     def truncate(self) -> None:

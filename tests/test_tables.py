@@ -1108,3 +1108,39 @@ def test_partial_columns_with_sequence_col(spark):
     with pytest.raises(ValueError, match="sequence column"):
         t.insert(spark.createDataFrame([(1, "zz")], "k long, v string"),
                  partial_columns=True)
+
+
+def test_cross_handle_convergence(spark):
+    """r10 audit — the cross-handle/cross-session contract, PINNED:
+    one writer at a time per table directory; any number of other
+    handles (Table.open re-attachments, other sessions) converge on
+    externally-committed mutations at their next read() or
+    state_token(). Without the meta sync, the first handle served
+    stale rowsets forever AND its state_token never advanced — a
+    result cache keyed on it would replay pre-mutation answers
+    indefinitely."""
+    t = _mk(spark, "xh", keys_type="UNIQUE", key_cols=["k"])
+    t.insert(spark.createDataFrame([Row(k=1, x=1)]))
+    tok0 = t.state_token()
+    assert t.read().count() == 1
+    # a second handle commits an upsert + a new key
+    t2 = Table.open(spark, t.location)
+    t2.insert(spark.createDataFrame([Row(k=1, x=100), Row(k=2, x=2)]))
+    # the FIRST handle sees the commit at its next read...
+    rows = {r["k"]: r["x"] for r in t.read().collect()}
+    assert rows == {1: 100, 2: 2}, rows
+    # ...and its state token advanced (cache invalidation)
+    assert t.state_token() != tok0
+    assert t.state_token() == t2.state_token()
+    # schema change through the second handle converges too
+    t2.add_column("w", "INT", default="7")
+    assert "w" in t.read().columns
+    # directory recreated underneath (new lineage): handle follows
+    import shutil as _sh
+    loc = t.location
+    _sh.rmtree(loc)
+    t3 = Table(spark, "xh", keys_type="DUPLICATE", key_cols=["k"],
+               location=loc)
+    t3.insert(spark.createDataFrame([Row(k=9, y=9)]))
+    assert t.state_token() == t3.state_token()
+    assert [r["k"] for r in t.read().collect()] == [9]
