@@ -56,11 +56,13 @@ def _run(ps, seed: int, phases: int = 12) -> None:
     model: dict[int, dict] = {}
     mv_name: str | None = None
     mv_n = 0
+    extra_col_n = 0  # r10 axis: light schema change in the op mix
     for _ in range(phases):
         op = rng.choices(
             ["insert", "create_mv", "drop_mv", "delete", "truncate",
-             "overwrite", "update", "rename_table"],
-            weights=[40, 12, 8, 10, 5, 8, 12, 5],
+             "overwrite", "update", "rename_table", "add_column",
+             "drop_column"],
+            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4],
         )[0]
         if op == "insert":
             rows = [
@@ -96,7 +98,8 @@ def _run(ps, seed: int, phases: int = 12) -> None:
             k = rng.randint(0, 9)
             g = rng.choice("abc")
             v = float(rng.randint(100, 199))
-            ps.sql(f"INSERT OVERWRITE TABLE {name} VALUES ({k},'{g}',{v})")
+            ps.sql(f"INSERT OVERWRITE TABLE {name} (k, grp, val) "
+                   f"VALUES ({k},'{g}',{v})")
             model = {k: {"grp": g, "val": v}}
         elif op == "update":
             if not model:
@@ -107,6 +110,18 @@ def _run(ps, seed: int, phases: int = 12) -> None:
             for k, r in model.items():
                 if k >= lo:
                     r["val"] += d
+        elif op == "add_column":
+            # r10 audit axis: light schema change interleaved with the
+            # MV/lifecycle mix — an added defaulted column must not
+            # disturb the canonical aggregate (nor MV maintenance)
+            extra_col_n += 1
+            ps.sql(f"ALTER TABLE {name} ADD COLUMN "
+                   f"xc{extra_col_n} INT DEFAULT '0'")
+        elif op == "drop_column":
+            if extra_col_n == 0:
+                continue
+            ps.sql(f"ALTER TABLE {name} DROP COLUMN xc{extra_col_n}")
+            extra_col_n -= 1
         else:  # rename_table
             new = f"{name}_r{mv_n}{len(model)}"
             ps.sql(f"ALTER TABLE {name} RENAME {new}")
