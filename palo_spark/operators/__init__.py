@@ -110,3 +110,7 @@ from palo_spark.operators.text_index import (  # noqa: F401
     match_all_indexed,
     match_phrase_indexed,
 )
+from palo_spark.operators.variant import (  # noqa: F401
+    variant_schema,
+    variant_shred,
+)

@@ -88,6 +88,16 @@ _DDL_TYPES = {
     "varchar": "string",
     "string": "string",
     "text": "string",
+    # Doris 2.1 semi-structured columns, VARIANT-lite ([docs: variant],
+    # SURVEY §1.4): stored as the JSON text; the session rewrites
+    # `col['key']` subscripts on declared variant/json columns to
+    # get_json_object paths, so typed access is CAST(col['k'] AS INT).
+    # The columnar subcolumn shredding Doris does at load time is
+    # deliberately out of scope — parquet + JSON-path pushdown is the
+    # Spark-idiomatic equivalent surface.
+    "variant": "string",
+    "json": "string",
+    "jsonb": "string",
 }
 
 _CREATE_HEAD_RE = re.compile(
@@ -502,8 +512,8 @@ class PaloSession:
 
     # ------------------------------------------------------------- DDL
 
-    def _parse_column(self, text: str) -> tuple[str, str, str | None, bool]:
-        """One column def → (name, spark_type, agg_fn|None, is_sequence).
+    def _parse_column(self, text: str) -> tuple[str, str, str | None, str]:
+        """One column def → (name, spark_type, agg_fn|None, doris_base_type).
 
         Doris form: ``name TYPE [agg_fn] [NULL|NOT NULL] [COMMENT '...']``.
         """
@@ -529,7 +539,7 @@ class PaloSession:
         first = rest.strip().split(None, 1)[0].upper() if rest.strip() else ""
         if first in AGG_TYPES:
             agg = first
-        return name, spark_type, agg, False
+        return name, spark_type, agg, base
 
     def _create_table(self, text: str) -> Table:
         hm = _CREATE_HEAD_RE.match(text)
@@ -586,6 +596,11 @@ class PaloSession:
         )
         # remember the declared schema so VALUES inserts can be typed
         t._declared_schema = ", ".join(f"{n} {st}" for n, st, _, _ in cols)  # type: ignore[attr-defined]
+        # VARIANT/JSON columns get `col['key']` subscript rewriting
+        t._variant_cols = {  # type: ignore[attr-defined]
+            n.lower() for n, _, _, base in cols
+            if base in ("variant", "json", "jsonb")
+        }
         self.tables[name.lower()] = t
         # a freshly created table is queryable as empty (Doris behavior)
         self._refresh_view(name.lower())
@@ -647,6 +662,7 @@ class PaloSession:
         schema = getattr(t, "_declared_schema", None)
         if schema is not None:
             new._declared_schema = schema  # type: ignore[attr-defined]
+        new._variant_cols = set(getattr(t, "_variant_cols", ()))  # type: ignore[attr-defined]
         self.tables[name.lower()] = new
         self._refresh_view(name.lower())  # queryable as empty immediately
         return new
@@ -1047,6 +1063,41 @@ class PaloSession:
                     ),
                     parts[i],
                 )
+        return "".join(parts)
+
+    def _rewrite_variant_subscripts(self, text: str) -> str:
+        """Doris 2.1 VARIANT element access ([docs: variant]):
+        ``col['k']`` / ``col['a']['b']`` on a column DECLARED as
+        VARIANT/JSON on a session table becomes
+        ``get_json_object(col, '$.a.b')`` (string-typed, like Doris's
+        untyped element — wrap in CAST for typed access). Only known
+        variant column names are rewritten, outside string literals and
+        backticks, so genuine Spark map/array subscripts on other
+        columns pass through untouched."""
+        vcols = set()
+        for t in self.tables.values():
+            vcols |= getattr(t, "_variant_cols", set())
+        if not vcols:
+            return text
+        pat = re.compile(
+            r"\b(?P<col>" + "|".join(re.escape(c) for c in sorted(vcols)) +
+            r")(?P<subs>(?:\s*\[\s*'[^']+'\s*\])+)",
+            re.IGNORECASE,
+        )
+
+        def sub(m):
+            keys = re.findall(r"\[\s*'([^']+)'\s*\]", m.group("subs"))
+            path = "$." + ".".join(keys)
+            return f"get_json_object({m.group('col')}, '{path}')"
+
+        # the subscript's own quoted keys must stay visible to the
+        # pattern, so split out only backticks and DOUBLE-quoted
+        # literals; a variant name inside a single-quoted literal
+        # cannot be followed by an un-escaped ['...'] without first
+        # terminating the literal, which breaks the \b..\[ adjacency
+        parts = re.split(r"(`[^`]*`|\"(?:[^\"\\]|\\.)*\")", text)
+        for i in range(0, len(parts), 2):
+            parts[i] = pat.sub(sub, parts[i])
         return "".join(parts)
 
     def _rewrite_partition_selection(self, text: str) -> str:
@@ -1626,6 +1677,9 @@ class PaloSession:
         # every other statement passes through byte-identical.
         if self.catalogs:
             stripped = self._rewrite_catalog_refs(stripped)
+        # VARIANT subscripts likewise rewrite for every statement kind
+        # (view bodies, CTAS, INSERT...SELECT — not just queries)
+        stripped = self._rewrite_variant_subscripts(stripped)
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)

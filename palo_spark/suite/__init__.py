@@ -69,6 +69,8 @@ _BACKLOG = [
 # r10 additions, in build order (never driver-green by construction).
 _R10_ADDITIONS = [
     "sql_async_mv_transparent_rewrite",
+    "variant_shred_events",
+    "sql_variant_subscript",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

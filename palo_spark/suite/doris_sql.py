@@ -1303,3 +1303,43 @@ ORACLE["sql_async_mv_transparent_rewrite"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+def _sql_variant_subscript(spark, sf_dir):
+    """Doris 2.1 VARIANT column end-to-end (r10, [docs: variant]): a
+    session table DECLARES props VARIANT, loads the events fixture's
+    JSON, and queries typed elements with Doris's subscript syntax —
+    ``CAST(props['k'] AS BIGINT)`` — which the session rewrites to a
+    JSON-path projection. Exact: integer subcolumn, counts."""
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = ps._create_table(
+        "CREATE TABLE var_events (`event_id` BIGINT, `event_type` "
+        "VARCHAR(16), `props` VARIANT) DUPLICATE KEY(event_id) "
+        "DISTRIBUTED BY HASH(event_id) BUCKETS 8"
+    )
+    t.insert(ev.select("event_id", "event_type", "props"))
+    ps._refresh_view("var_events")
+    return ps.sql(
+        "SELECT event_type, "
+        "SUM(CAST(props['k'] AS BIGINT)) AS sum_k, "
+        "COUNT(props['k']) AS n_with_k "
+        "FROM var_events GROUP BY event_type ORDER BY event_type"
+    )
+
+
+QUERIES["sql_variant_subscript"] = _sql_variant_subscript
+ORACLE["sql_variant_subscript"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT)
+               AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

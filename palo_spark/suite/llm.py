@@ -3292,3 +3292,40 @@ def text_gopher_repetition(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_repetition(d, "text").orderBy("doc_id")
+
+
+def _variant_shred_events(spark, sf_dir):
+    """VARIANT-lite shredding over events.props ([docs: variant] —
+    Doris 2.1's semi-structured column, Spark-first as read-time typed
+    subcolumn extraction): infer the key schema with ONE keyed
+    aggregate (schema-sized driver result, never data-sized), shred
+    via get_json_object+cast (pure codegen projection), and aggregate
+    the typed subcolumn per event_type. Exact: integer subcolumn,
+    counts."""
+    from palo_spark.operators.variant import variant_shred
+
+    ev = load_table(spark, sf_dir, "events")
+    shredded = variant_shred(ev, "props")
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("props_k").alias("sum_k"),
+            F.max("props_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["variant_shred_events"] = _variant_shred_events
+ORACLE["variant_shred_events"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
