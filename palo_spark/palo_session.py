@@ -1289,6 +1289,12 @@ class PaloSession:
             return re.sub(r"\s+", " ", s.strip().rstrip(";").strip()).lower()
 
         qn = norm(text)
+        # a parquet snapshot does not preserve row order, so an exact
+        # match on a body ending in ORDER BY would return the right
+        # ROWS in the wrong ORDER — conservatively never exact-rewrite
+        # ordered/limited text (the coverage grammar already excludes
+        # both)
+        orderish = " order by " in qn or " limit " in qn
         qparsed = _parse_simple_agg_sql(translate(text))
         for name, mv in sorted(self.async_mvs.items()):
             if not mv.get("built"):
@@ -1298,7 +1304,7 @@ class PaloSession:
                 mv["body"], skip_mv=name
             ):
                 continue  # stale (or unprovable) → no rewrite, use bases
-            if norm(mv["body"]) == qn:
+            if not orderish and norm(mv["body"]) == qn:
                 self.last_mv_rewrite = name
                 return self.spark.table(name)
             if qparsed is None:

@@ -1943,3 +1943,47 @@ def test_async_mv_rewrite_never_unprovable(ps, tmp_path):
            "SELECT sum(sv) AS t FROM imv")
     ps.sql("SELECT sum(sv) AS t FROM imv")
     assert ps.last_mv_rewrite is None
+
+
+def test_async_mv_rewrite_adversarial_edges(ps):
+    """r10 self-audit of the transparent rewrite's freshness gate:
+    base-table RENAME makes the snapshot unprovable (no rewrite);
+    recreating a table under the body's name does NOT revive it
+    (lineage differs); a DEFERRED (unbuilt) MV never rewrites; an
+    ORDER BY body is never exact-matched (parquet snapshots do not
+    preserve order); a WHERE'd body still exact-matches."""
+    ps.sql("CREATE TABLE adv (k BIGINT, g VARCHAR(4), v INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO adv VALUES (1,'a',10),(2,'b',20)")
+    ps.sql("CREATE MATERIALIZED VIEW advmv REFRESH COMPLETE AS "
+           "SELECT g, sum(v) AS sv FROM adv GROUP BY g")
+    ps.sql("SELECT g, sum(v) AS sv FROM adv GROUP BY g")
+    assert ps.last_mv_rewrite == "advmv"
+    # base rename: the body's table no longer exists → never rewrite
+    ps.sql("ALTER TABLE adv RENAME adv2")
+    ps.sql("CREATE TABLE adv (k BIGINT, g VARCHAR(4), v INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO adv VALUES (9,'z',999)")
+    # same query text, but `adv` is now a DIFFERENT table: the old
+    # snapshot must not serve (lineage mismatch in the state)
+    df = ps.sql("SELECT g, sum(v) AS sv FROM adv GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    assert [(r.g, r.sv) for r in df.collect()] == [("z", 999)]
+    # DEFERRED MV: unbuilt snapshots never rewrite
+    ps.sql("CREATE MATERIALIZED VIEW defmv BUILD DEFERRED REFRESH "
+           "COMPLETE AS SELECT g, count(*) AS n FROM adv GROUP BY g")
+    ps.sql("SELECT g, count(*) AS n FROM adv GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    # ORDER BY body: rows would come back unordered from the parquet
+    # snapshot — exact match is refused, the base path serves ordered
+    ps.sql("CREATE MATERIALIZED VIEW ordmv REFRESH COMPLETE AS "
+           "SELECT k, v FROM adv ORDER BY v DESC")
+    df = ps.sql("SELECT k, v FROM adv ORDER BY v DESC")
+    assert ps.last_mv_rewrite is None
+    # WHERE'd body exact-matches (no ordering at stake)
+    ps.sql("INSERT INTO adv VALUES (10,'z',1)")
+    ps.sql("CREATE MATERIALIZED VIEW whmv REFRESH COMPLETE AS "
+           "SELECT g, sum(v) AS sv FROM adv WHERE v > 5 GROUP BY g")
+    df = ps.sql("SELECT g, sum(v) AS sv FROM adv WHERE v > 5 GROUP BY g")
+    assert ps.last_mv_rewrite == "whmv"
+    assert [(r.g, r.sv) for r in df.collect()] == [("z", 999)]
