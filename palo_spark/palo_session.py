@@ -49,6 +49,7 @@ every produced plan is the same Catalyst plan the DataFrame API builds.
 
 from __future__ import annotations
 
+import json as _json
 import os
 import re
 import shutil as _sh
@@ -309,6 +310,33 @@ _SHOW_PARTITIONS_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: Doris BACKUP/RESTORE ([docs: admin-manual data-admin backup]) —
+#: repository-lite: WITH LOCATION '<dir>' stands in for the upstream
+#: WITH BROKER / S3 repository (no remote storage in this build; the
+#: manifest + per-table copy semantics are the same).
+_CREATE_REPO_RE = re.compile(
+    r"^\s*CREATE\s+(?:READ\s+ONLY\s+)?REPOSITORY\s+`?(?P<name>\w+)`?\s+"
+    r"WITH\s+LOCATION\s+'(?P<path>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_REPO_RE = re.compile(
+    r"^\s*DROP\s+REPOSITORY\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+_BACKUP_RE = re.compile(
+    r"^\s*BACKUP\s+SNAPSHOT\s+`?(?P<label>\w+)`?\s+TO\s+`?(?P<repo>\w+)`?\s+"
+    r"ON\s*\(\s*(?P<tables>[`\w,\s]+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+SNAPSHOT\s+`?(?P<label>\w+)`?\s+FROM\s+`?(?P<repo>\w+)`?\s+"
+    r"ON\s*\(\s*(?P<tables>[`\w,\s]+?(?:\s+AS\s+[`\w]+)?(?:\s*,\s*[`\w]+"
+    r"(?:\s+AS\s+[`\w]+)?)*)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_SNAPSHOT_RE = re.compile(
+    r"^\s*SHOW\s+SNAPSHOT\s+ON\s+`?(?P<repo>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -493,6 +521,10 @@ class PaloSession:
         #: States follow the upstream FE job FSM: RUNNING ⇄ PAUSED →
         #: STOPPED (terminal).
         self.routine_jobs: dict[str, dict] = {}
+        #: backup repositories (CREATE REPOSITORY ... WITH LOCATION —
+        #: filesystem-lite stand-in for Doris's broker/S3 repos):
+        #: name → directory. Snapshots live at <dir>/<label>/.
+        self.repositories: dict[str, str] = {}
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -666,6 +698,113 @@ class PaloSession:
         self.tables[name.lower()] = new
         self._refresh_view(name.lower())  # queryable as empty immediately
         return new
+
+    # -------------------------------------------------- backup / restore
+
+    def _backup_snapshot(self, label: str, repo: str, tables: list[str]):
+        """Doris ``BACKUP SNAPSHOT label TO repo ON (t1, ...)``
+        ([docs: data-admin backup]): a full per-table copy — every
+        rowset file plus the table meta (model, schema-change history,
+        delete predicates, sign metadata) — under
+        ``<repo>/<label>/<table>/``, with a manifest. Labels are
+        one-shot (upstream: snapshot names are unique per repo).
+
+        Scale: the copy is file-level (no read/merge/rewrite of data);
+        on a cluster the same layout maps to a distcp of the tablet
+        directories."""
+        if repo not in self.repositories:
+            raise ValueError(f"unknown repository {repo!r}")
+        snapdir = os.path.join(self.repositories[repo], label)
+        if os.path.exists(snapdir):
+            raise ValueError(
+                f"snapshot {label!r} already exists in repository {repo!r}"
+            )
+        manifest: dict = {"label": label, "tables": {}}
+        os.makedirs(snapdir)
+        try:
+            for name in tables:
+                t = self._table(name)
+                t._sync_meta()
+                dst = os.path.join(snapdir, name.lower())
+                _sh.copytree(t.location, dst)
+                manifest["tables"][name.lower()] = {
+                    "location": t.location,
+                    # runtime attrs a reopened handle cannot recover
+                    # from meta alone — carried in the manifest so a
+                    # restored table keeps typed VALUES inserts and
+                    # variant subscripts working
+                    "declared_schema": getattr(t, "_declared_schema", None),
+                    "variant_cols": sorted(getattr(t, "_variant_cols", ())),
+                }
+            with open(os.path.join(snapdir, "_manifest.json"), "w") as f:
+                _json.dump(manifest, f)
+        except Exception:
+            _sh.rmtree(snapdir, ignore_errors=True)  # no half snapshots
+            raise
+        return None
+
+    def _restore_snapshot(
+        self, label: str, repo: str, specs: list[tuple[str, str]]
+    ):
+        """Doris ``RESTORE SNAPSHOT label FROM repo ON (t [AS t2])``:
+        re-materializes backed-up tables as NEW session tables. The
+        restored table gets a fresh lineage nonce — it is a different
+        object from whatever currently bears the name elsewhere, so
+        result-cache keys can never collide — and rowset paths are
+        rebased onto the restore location. Restoring onto an existing
+        table name is refused (upstream restores into a new/OLAP-off
+        table the same way)."""
+        if repo not in self.repositories:
+            raise ValueError(f"unknown repository {repo!r}")
+        snapdir = os.path.join(self.repositories[repo], label)
+        mf = os.path.join(snapdir, "_manifest.json")
+        if not os.path.isfile(mf):
+            raise ValueError(
+                f"unknown snapshot {label!r} in repository {repo!r}"
+            )
+        with open(mf) as f:
+            manifest = _json.load(f)
+        for src, dst in specs:
+            src, dst = src.lower(), dst.lower()
+            if src not in manifest["tables"]:
+                raise ValueError(
+                    f"snapshot {label!r} does not contain table {src!r}"
+                )
+            if dst in self.tables or dst in self.views or dst in self.async_mvs:
+                raise ValueError(f"name {dst!r} already taken")
+        for src, dst in specs:
+            src, dst = src.lower(), dst.lower()
+            entry = manifest["tables"][src]
+            new_loc = (
+                f"{self.location_root}/{dst}"
+                if self.location_root
+                else _tf.mkdtemp(prefix=f"palo_restore_{dst}_")
+            )
+            if os.path.exists(new_loc) and os.listdir(new_loc):
+                raise ValueError(f"restore target dir not empty: {new_loc!r}")
+            _sh.rmtree(new_loc, ignore_errors=True)
+            _sh.copytree(os.path.join(snapdir, src), new_loc)
+            # rebase rowset paths and re-identify the table
+            from palo_spark.tables import _META_FILE
+
+            meta_path = os.path.join(new_loc, _META_FILE)
+            with open(meta_path) as f:
+                d = _json.load(f)
+            old_loc = entry["location"]
+            for r in d.get("rowsets", []):
+                if r["path"].startswith(old_loc):
+                    r["path"] = new_loc + r["path"][len(old_loc):]
+            d["name"] = dst
+            d["lineage"] = _uuid.uuid4().hex
+            with open(meta_path, "w") as f:
+                _json.dump(d, f)
+            t = Table.open(self.spark, new_loc)
+            if entry.get("declared_schema"):
+                t._declared_schema = entry["declared_schema"]  # type: ignore[attr-defined]
+            t._variant_cols = set(entry.get("variant_cols", ()))  # type: ignore[attr-defined]
+            self.tables[dst] = t
+            self._refresh_view(dst)
+        return None
 
     # ------------------------------------------------------------- DML
 
@@ -1877,6 +2016,62 @@ class PaloSession:
                             "materialized_view string, create_stmt string",
                         )
             raise ValueError(f"unknown materialized view {mvn!r}")
+        crm = _CREATE_REPO_RE.match(stripped)
+        if crm:
+            name = crm.group("name").lower()
+            if name in self.repositories:
+                raise ValueError(f"repository {name!r} already exists")
+            path = crm.group("path")
+            os.makedirs(path, exist_ok=True)
+            self.repositories[name] = path
+            return None
+        drm = _DROP_REPO_RE.match(stripped)
+        if drm:
+            name = drm.group("name").lower()
+            if name not in self.repositories:
+                raise ValueError(f"unknown repository {name!r}")
+            # Doris DROP REPOSITORY deletes the reference, never the
+            # backed-up data
+            del self.repositories[name]
+            return None
+        bkm = _BACKUP_RE.match(stripped)
+        if bkm:
+            return self._backup_snapshot(
+                bkm.group("label").lower(),
+                bkm.group("repo").lower(),
+                [t.strip().strip("`") for t in bkm.group("tables").split(",")],
+            )
+        rsm = _RESTORE_RE.match(stripped)
+        if rsm:
+            specs = []
+            for part in rsm.group("tables").split(","):
+                words = part.replace("`", "").split()
+                if len(words) == 3 and words[1].upper() == "AS":
+                    specs.append((words[0], words[2]))
+                elif len(words) == 1:
+                    specs.append((words[0], words[0]))
+                else:
+                    raise ValueError(f"unparsable RESTORE table spec: {part!r}")
+            return self._restore_snapshot(
+                rsm.group("label").lower(), rsm.group("repo").lower(), specs
+            )
+        ssm = _SHOW_SNAPSHOT_RE.match(stripped)
+        if ssm:
+            repo = ssm.group("repo").lower()
+            if repo not in self.repositories:
+                raise ValueError(f"unknown repository {repo!r}")
+            rows = []
+            root = self.repositories[repo]
+            for label in sorted(os.listdir(root)):
+                mf = os.path.join(root, label, "_manifest.json")
+                if os.path.isfile(mf):
+                    with open(mf) as f:
+                        m_ = _json.load(f)
+                    rows.append((label, ", ".join(sorted(m_["tables"])), "OK"))
+            return self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "snapshot string, tables string, status string",
+            ).filter("snapshot <> ''")
         spm = _SHOW_PARTITIONS_RE.match(stripped)
         if spm:
             # Doris SHOW PARTITIONS: live partition labels from rowset

@@ -71,6 +71,7 @@ _R10_ADDITIONS = [
     "sql_async_mv_transparent_rewrite",
     "variant_shred_events",
     "sql_variant_subscript",
+    "sql_backup_restore_roundtrip",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -1343,3 +1343,64 @@ ORACLE["sql_variant_subscript"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def _sql_backup_restore_roundtrip(spark, sf_dir):
+    """Doris BACKUP/RESTORE end-to-end (r10, [docs: data-admin
+    backup/restore], repository-lite WITH LOCATION): build a UNIQUE
+    table from orders, mutate (delete), BACKUP SNAPSHOT, mutate AGAIN
+    (the poison the snapshot must not see), RESTORE under a new name,
+    and aggregate the RESTORED table. The oracle states the state at
+    backup time: original rows minus the pre-backup delete, ignoring
+    every post-backup mutation. Exact: integer cents, counts."""
+    import tempfile as _tf2
+
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    t = ps._create_table(
+        "CREATE TABLE bk_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `total_cents` BIGINT) UNIQUE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("bk_orders")
+    ps.sql("DELETE FROM bk_orders WHERE o_orderstatus = 'P'")
+    repo = _tf2.mkdtemp(prefix="palo_repo_")
+    ps.sql(f"CREATE REPOSITORY bkr WITH LOCATION '{repo}'")
+    ps.sql("BACKUP SNAPSHOT bks TO bkr ON (bk_orders)")
+    # post-backup poison: the snapshot must not see any of it
+    ps.sql("DELETE FROM bk_orders WHERE o_orderstatus = 'F'")
+    ps.sql("INSERT INTO bk_orders VALUES (999999999, 'X', 123456)")
+    ps.sql("RESTORE SNAPSHOT bks FROM bkr ON (bk_orders AS bk_restored)")
+    return ps.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(total_cents) AS sum_cents FROM bk_restored "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+QUERIES["sql_backup_restore_roundtrip"] = _sql_backup_restore_roundtrip
+ORACLE["sql_backup_restore_roundtrip"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

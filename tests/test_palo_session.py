@@ -1987,3 +1987,69 @@ def test_async_mv_rewrite_adversarial_edges(ps):
     df = ps.sql("SELECT g, sum(v) AS sv FROM adv WHERE v > 5 GROUP BY g")
     assert ps.last_mv_rewrite == "whmv"
     assert [(r.g, r.sv) for r in df.collect()] == [("z", 999)]
+
+
+def test_backup_restore_snapshot(ps, tmp_path):
+    """Doris BACKUP/RESTORE (repository-lite, [docs: data-admin
+    backup/restore]): a snapshot captures the table state AT BACKUP
+    TIME (rowsets + meta: deletes, delete-sign, schema changes); a
+    restore rebases it as an independent table with a fresh lineage;
+    labels are one-shot; restore onto a taken name is refused; DROP
+    REPOSITORY keeps the backed-up files."""
+    from palo_spark.tables import DELETE_SIGN_COL
+
+    ps.sql("CREATE TABLE bt (k BIGINT, v INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO bt VALUES (1, 10), (2, 20), (3, 30)")
+    ps.sql("DELETE FROM bt WHERE k = 2")
+    t = ps.tables["bt"]
+    t.insert(ps.spark.createDataFrame(
+        [(3, 30, 1)], f"k long, v int, {DELETE_SIGN_COL} int"))
+    ps.sql("ALTER TABLE bt ADD COLUMN w INT DEFAULT '5'")
+    ps.sql(f"CREATE REPOSITORY r1 WITH LOCATION '{tmp_path}/repo'")
+    ps.sql("BACKUP SNAPSHOT s1 TO r1 ON (bt)")
+    # post-backup mutations must NOT leak into the snapshot
+    ps.sql("INSERT INTO bt (k, v, w) VALUES (9, 90, 9)")
+    ps.sql("UPDATE bt SET v = 1000 WHERE k = 1")
+    ps.sql("RESTORE SNAPSHOT s1 FROM r1 ON (bt AS bt2)")
+    rows = {r["k"]: (r["v"], r["w"])
+            for r in ps.sql("SELECT k, v, w FROM bt2").collect()}
+    # delete + delete-sign + added column all captured; mutations not
+    assert rows == {1: (10, 5)}, rows
+    # independence both ways
+    ps.sql("INSERT INTO bt2 (k, v, w) VALUES (7, 70, 7)")
+    assert ps.sql("SELECT count(*) AS n FROM bt").collect()[0]["n"] == 2
+    assert ps.tables["bt2"].meta.lineage != ps.tables["bt"].meta.lineage
+    # one-shot labels; name collisions refused; SHOW lists the snapshot
+    with pytest.raises(ValueError, match="already exists"):
+        ps.sql("BACKUP SNAPSHOT s1 TO r1 ON (bt)")
+    with pytest.raises(ValueError, match="already taken"):
+        ps.sql("RESTORE SNAPSHOT s1 FROM r1 ON (bt)")
+    got = ps.sql("SHOW SNAPSHOT ON r1").collect()
+    assert [(r["snapshot"], r["tables"]) for r in got] == [("s1", "bt")]
+    # DROP REPOSITORY drops the reference, not the data
+    ps.sql("DROP REPOSITORY r1")
+    ps.sql(f"CREATE REPOSITORY r2 WITH LOCATION '{tmp_path}/repo'")
+    ps.sql("RESTORE SNAPSHOT s1 FROM r2 ON (bt AS bt3)")
+    assert ps.sql("SELECT count(*) AS n FROM bt3").collect()[0]["n"] == 1
+
+
+def test_backup_restore_multi_table_and_variant(ps, tmp_path):
+    """Multi-table snapshot; restored tables keep typed VALUES inserts
+    (declared schema) and VARIANT subscript rewriting (manifest
+    carries the session-runtime attrs meta alone cannot recover)."""
+    ps.sql("CREATE TABLE m1 (k BIGINT, props VARIANT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE m2 (k BIGINT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("""INSERT INTO m1 VALUES (1, '{"a": 4}')""")
+    ps.sql("INSERT INTO m2 VALUES (1, 10)")
+    ps.sql(f"CREATE REPOSITORY mr WITH LOCATION '{tmp_path}/mrepo'")
+    ps.sql("BACKUP SNAPSHOT ms TO mr ON (m1, m2)")
+    ps.sql("RESTORE SNAPSHOT ms FROM mr ON (m1 AS n1, m2 AS n2)")
+    assert ps.sql("SELECT CAST(props['a'] AS INT) AS a FROM n1"
+                  ).collect()[0]["a"] == 4
+    ps.sql("""INSERT INTO n1 VALUES (2, '{"a": 6}')""")  # typed VALUES
+    assert ps.sql("SELECT sum(CAST(props['a'] AS INT)) AS s FROM n1"
+                  ).collect()[0]["s"] == 10
+    assert ps.sql("SELECT v FROM n2").collect()[0]["v"] == 10
