@@ -1220,13 +1220,19 @@ class PaloSession:
             return text
         pat = re.compile(
             r"\b(?P<col>" + "|".join(re.escape(c) for c in sorted(vcols)) +
-            r")(?P<subs>(?:\s*\[\s*'[^']+'\s*\])+)",
+            # first subscript must be a quoted key (a bare-integer first
+            # subscript would collide with array columns named like a
+            # variant column on another table); later ones may be
+            # integer ARRAY indexes — $.arr[0]
+            r")(?P<subs>\s*\[\s*'[^']+'\s*\](?:\s*\[\s*(?:'[^']+'|\d+)\s*\])*)",
             re.IGNORECASE,
         )
 
         def sub(m):
-            keys = re.findall(r"\[\s*'([^']+)'\s*\]", m.group("subs"))
-            path = "$." + ".".join(keys)
+            path = "$"
+            for q, i in re.findall(r"\[\s*(?:'([^']+)'|(\d+))\s*\]",
+                                   m.group("subs")):
+                path += f"[{i}]" if i else f".{q}"
             return f"get_json_object({m.group('col')}, '{path}')"
 
         # the subscript's own quoted keys must stay visible to the

@@ -74,3 +74,22 @@ def test_variant_like_clone_keeps_variant_cols(ps):
     ps.sql("""INSERT INTO vdst VALUES (1, '{"z": 4}')""")
     assert ps.sql("SELECT CAST(props['z'] AS INT) AS z FROM vdst"
                   ).collect()[0]["z"] == 4
+
+
+def test_variant_array_subscripts(ps):
+    """Array elements inside a VARIANT: `props['arr'][0]` rewrites to
+    the JSON array path `$.arr[0]`; CAST of the whole array works via
+    from_json at the user's discretion; a bare-integer FIRST subscript
+    never rewrites (could be a genuine array column)."""
+    ps.sql("CREATE TABLE va (k BIGINT, props VARIANT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("""INSERT INTO va VALUES (1, '{"arr": [7, 8, 9], """
+           """"m": {"x": [1, 2]}}')""")
+    r = ps.sql("SELECT CAST(props['arr'][0] AS INT) AS a0, "
+               "CAST(props['arr'][2] AS INT) AS a2, "
+               "CAST(props['m']['x'][1] AS INT) AS mx1 FROM va").collect()[0]
+    assert (r["a0"], r["a2"], r["mx1"]) == (7, 9, 2)
+    # LATERAL explode over a variant array via explode_json_array_int
+    rows = ps.sql("SELECT e FROM va LATERAL VIEW "
+                  "explode_json_array_int(props['arr']) t AS e").collect()
+    assert sorted(r["e"] for r in rows) == [7, 8, 9]
