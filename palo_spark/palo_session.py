@@ -434,7 +434,18 @@ _REFRESH_CATALOG_RE = re.compile(
 _PROP_KV_RE = re.compile(r"['\"](?P<k>[^'\"]+)['\"]\s*=\s*['\"](?P<v>[^'\"]*)['\"]")
 
 
-def _split_top(s: str, sep: str = ",") -> list[str]:
+def _schema_parts(schema: str) -> list[str]:
+    """Split a Spark DDL schema string on TOP-LEVEL commas only —
+    nested array/map/struct type parameters contain commas that a
+    naive split(',') would cut through."""
+    return [p.strip() for p in _split_top(schema, angle=True) if p.strip()]
+
+
+def _split_top(s: str, sep: str = ",", angle: bool = False) -> list[str]:
+    # angle=True also nests <> — for column-definition lists where
+    # ARRAY<...>/MAP<K,V> type parameters contain top-level-looking
+    # commas. Never enabled for predicate/VALUES text, where `<` is a
+    # comparison operator.
     out, cur, depth, q = [], [], 0, None
     for ch in s:
         if q:
@@ -444,9 +455,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             continue
         if ch in "'\"":
             q = ch
-        elif ch == "(":
+        elif ch == "(" or (angle and ch == "<"):
             depth += 1
-        elif ch == ")":
+        elif ch == ")" or (angle and ch == ">"):
             depth -= 1
         if ch == sep and depth == 0:
             out.append("".join(cur).strip())
@@ -550,7 +561,8 @@ class PaloSession:
         Doris form: ``name TYPE [agg_fn] [NULL|NOT NULL] [COMMENT '...']``.
         """
         m = re.match(
-            r"`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"`?(?P<name>\w+)`?\s+"
+            r"(?P<type>\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\)|\s*<.+>)?)"
             r"(?P<rest>.*)$",
             text.strip(),
             re.IGNORECASE | re.DOTALL,
@@ -559,7 +571,38 @@ class PaloSession:
             raise ValueError(f"unparsable column definition: {text!r}")
         name = m.group("name")
         typ = m.group("type").lower()
-        base = typ.split("(")[0].strip()
+        base = re.split(r"[(<]", typ)[0].strip()
+        if base in ("array", "map", "struct"):
+            # Doris 2.x nested types ([docs: data-types ARRAY/MAP/
+            # STRUCT]): translate the element types recursively —
+            # `ARRAY<INT>` → `array<int>`, `MAP<VARCHAR(10), BIGINT>`
+            # → `map<string,bigint>`; the greedy `<.+>` above may have
+            # swallowed trailing clauses, so re-balance on the angle
+            # brackets first
+            depth, end = 0, -1
+            for i, ch in enumerate(typ):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            if end < 0:
+                raise ValueError(f"unbalanced type parameters: {typ!r}")
+            rest_extra = m.group("type")[end + 1:]
+            inner = typ[typ.index("<") + 1: end]
+            spark_type = f"{base}<" + ",".join(
+                self._translate_nested_type(p)
+                for p in _split_top(inner, angle=True)
+            ) + ">"
+            m_rest = rest_extra + (m.group("rest") or "")
+            rest = m_rest
+            agg = None
+            first = rest.strip().split(None, 1)[0].upper() if rest.strip() else ""
+            if first in AGG_TYPES:
+                agg = first
+            return name, spark_type, agg, base
         if base == "decimal":
             spark_type = typ  # decimal(p,s) passes through
         elif base in _DDL_TYPES:
@@ -572,6 +615,27 @@ class PaloSession:
         if first in AGG_TYPES:
             agg = first
         return name, spark_type, agg, base
+
+    def _translate_nested_type(self, typ: str) -> str:
+        """One type inside ARRAY<>/MAP<>/STRUCT<> → Spark DDL type.
+        Struct fields arrive as ``name:TYPE``."""
+        typ = typ.strip()
+        if ":" in typ.split("<", 1)[0]:
+            fname, ftyp = typ.split(":", 1)
+            return f"{fname.strip()}:{self._translate_nested_type(ftyp)}"
+        low = typ.lower()
+        base = re.split(r"[(<]", low)[0].strip()
+        if base in ("array", "map", "struct"):
+            inner = typ[typ.index("<") + 1: typ.rindex(">")]
+            return f"{base}<" + ",".join(
+                self._translate_nested_type(p)
+                for p in _split_top(inner, angle=True)
+            ) + ">"
+        if base == "decimal":
+            return low
+        if base in _DDL_TYPES:
+            return _DDL_TYPES[base]
+        raise ValueError(f"unsupported nested column type {typ!r}")
 
     def _create_table(self, text: str) -> Table:
         hm = _CREATE_HEAD_RE.match(text)
@@ -596,7 +660,9 @@ class PaloSession:
                 f"BUCKETS n, PROPERTIES): {text[close_i:]!r}"
             )
         model = (m.group("model") or "DUPLICATE").upper()
-        cols = [self._parse_column(c) for c in _split_top(cols_text)]
+        cols = [
+            self._parse_column(c) for c in _split_top(cols_text, angle=True)
+        ]
         if m.group("keys"):
             key_cols = [k.strip().strip("`") for k in m.group("keys").split(",")]
         else:
@@ -828,8 +894,8 @@ class PaloSession:
         # position to the target columns)
         schema = getattr(t, "_declared_schema", None)
         if schema is not None:
-            decl = [s.strip().split()[0] for s in schema.split(",")]
-            typs = [s.strip().split(None, 1)[1] for s in schema.split(",")]
+            decl = [s.strip().split()[0] for s in _schema_parts(schema)]
+            typs = [s.strip().split(None, 1)[1] for s in _schema_parts(schema)]
             cols = m.group("cols")
             names = (
                 [c.strip().strip("`") for c in cols.split(",")] if cols else decl
@@ -1763,7 +1829,7 @@ class PaloSession:
         schema = getattr(t, "_declared_schema", None)
         typs = {}
         if schema:
-            for part in schema.split(","):
+            for part in _schema_parts(schema):
                 n_, ty = part.strip().split(None, 1)
                 typs[n_.lower()] = ty
         # Doris 2.0 executes UPDATE as a partial-column load when the
@@ -2118,7 +2184,7 @@ class PaloSession:
         if scm:
             t = self._table(scm.group("name"))
             cols = []
-            for part in (getattr(t, "_declared_schema", "") or "").split(","):
+            for part in _schema_parts(getattr(t, "_declared_schema", "") or ""):
                 if not part.strip():
                     continue
                 nm, ty = part.strip().split(None, 1)
@@ -2235,7 +2301,7 @@ class PaloSession:
             name, col = cim.group("name").lower(), cim.group("col")
             t = self._table(name)
             schema = getattr(t, "_declared_schema", "") or ""
-            if col not in [p.strip().split()[0] for p in schema.split(",") if p.strip()]:
+            if col not in [p.strip().split()[0] for p in _schema_parts(schema)]:
                 raise ValueError(f"unknown column {col!r} on table {name!r}")
             root = self.location_root or _tf.gettempdir()
             path = f"{root}/_palo_inverted/{name}__{col}"
@@ -2439,7 +2505,7 @@ class PaloSession:
                 if schema:
                     t._declared_schema = ", ".join(  # type: ignore[attr-defined]
                         p.strip()
-                        for p in schema.split(",")
+                        for p in _schema_parts(schema)
                         if p.strip().split()[0] != dm_.group("col")
                     )
                 self._refresh_view(dm_.group("name").lower())
@@ -2459,7 +2525,7 @@ class PaloSession:
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
                     parts = []
-                    for p in schema.split(","):
+                    for p in _schema_parts(schema):
                         nm, ty = p.strip().split(None, 1)
                         parts.append(
                             f"{rm_.group('new')} {ty}" if nm == rm_.group("old")
@@ -2484,7 +2550,7 @@ class PaloSession:
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
                     parts = []
-                    for p in schema.split(","):
+                    for p in _schema_parts(schema):
                         nm, ty = p.strip().split(None, 1)
                         parts.append(
                             f"{nm} {styp}" if nm == mm_.group("col") else f"{nm} {ty}"
@@ -2744,7 +2810,7 @@ class PaloSession:
             rows = []
             schema = getattr(t, "_declared_schema", None)
             if schema:
-                for part in schema.split(","):
+                for part in _schema_parts(schema):
                     cname, ctype = part.strip().split(None, 1)
                     rows.append(
                         (

@@ -72,6 +72,7 @@ _R10_ADDITIONS = [
     "variant_shred_events",
     "sql_variant_subscript",
     "sql_backup_restore_roundtrip",
+    "sql_array_column_roundtrip",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -1404,3 +1404,62 @@ ORACLE["sql_backup_restore_roundtrip"] = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+
+def _sql_array_column_roundtrip(spark, sf_dir):
+    """Doris 2.x ARRAY column type end-to-end (r10, [docs: data-types
+    ARRAY]): a session table DECLARES ARRAY<BIGINT> columns, loads
+    per-order line/quantity arrays built from lineitem, and queries
+    them with array functions (size / element_at / array_sort /
+    array_contains). Output is scalar aggregates grouped by array
+    length, so the oracle states the same numbers straight from
+    lineitem rows. Exact: integers."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).cast(
+            "array<bigint>"
+        ).alias("lines"),
+        F.array_sort(
+            F.collect_list(F.floor("l_quantity").cast("bigint"))
+        ).alias("qtys"),
+    )
+    t = ps._create_table(
+        "CREATE TABLE arr_orders (`l_orderkey` BIGINT, "
+        "`lines` ARRAY<BIGINT>, `qtys` ARRAY<BIGINT>) "
+        "DUPLICATE KEY(l_orderkey) DISTRIBUTED BY HASH(l_orderkey) BUCKETS 8"
+    )
+    t.insert(per_order)
+    ps._refresh_view("arr_orders")
+    return ps.sql(
+        "SELECT size(lines) AS n_lines, COUNT(*) AS n_orders, "
+        "SUM(element_at(qtys, 1)) AS sum_min_qty, "
+        "SUM(CASE WHEN array_contains(lines, 1) THEN 1 ELSE 0 END) "
+        "AS n_with_line1 "
+        "FROM arr_orders GROUP BY size(lines) ORDER BY n_lines"
+    )
+
+
+QUERIES["sql_array_column_roundtrip"] = _sql_array_column_roundtrip
+ORACLE["sql_array_column_roundtrip"] = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS min_qty,
+               MAX(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS has1
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(min_qty) AS BIGINT) AS sum_min_qty,
+           CAST(SUM(has1) AS BIGINT) AS n_with_line1
+    FROM per_order
+    GROUP BY n_lines
+    ORDER BY n_lines
+"""

@@ -1138,6 +1138,35 @@ class Table:
                 # load carried (v stays -1) — the documented contract.
                 val_cols = [c for c in data_cols if c not in self.meta.key_cols]
                 seq = self.meta.sequence_col
+                # MAP-typed (or map-containing) columns are un-orderable
+                # in Spark, so max(struct(rank, x)) fails analysis for
+                # them; those fall back to max_by(x, rank) — same winner,
+                # ties among identical ranks broken arbitrarily instead
+                # of by value (exactly the row-wise path's tie behavior)
+                dtypes = dict(zip(raw.schema.names, raw.schema.fields))
+
+                def _orderable(dt):
+                    from pyspark.sql.types import (
+                        ArrayType, MapType, StructType,
+                    )
+
+                    if isinstance(dt, MapType):
+                        return False
+                    if isinstance(dt, ArrayType):
+                        return _orderable(dt.elementType)
+                    if isinstance(dt, StructType):
+                        return all(_orderable(f.dataType) for f in dt.fields)
+                    return True
+
+                def _argmax(c, rank_fields):
+                    if _orderable(dtypes[c].dataType):
+                        return F.max(
+                            F.struct(*rank_fields, F.col(c).alias("x"))
+                        )["x"].alias(c)
+                    return F.max_by(
+                        F.col(c), F.struct(*rank_fields)
+                    ).alias(c)
+
                 if seq:
                     # sequence column present (Doris 2.0 partial update +
                     # sequence_col): the winner per column is the argmax
@@ -1151,22 +1180,23 @@ class Table:
                     # lose to non-NULL (struct ordering — same outcome as
                     # the row-wise desc-NULLS-LAST path).
                     aggs = [
-                        F.max(
-                            F.struct(
+                        _argmax(
+                            c,
+                            [
                                 F.array_contains(F.col(_PCOLS_COL), F.lit(c))
                                 .cast("int")
                                 .alias("p"),
                                 F.col(seq).alias("s"),
                                 F.col(_VERSION_COL).alias("v"),
-                                F.col(c).alias("x"),
-                            )
-                        )["x"].alias(c)
+                            ],
+                        )
                         for c in val_cols
                     ]
                 else:
                     aggs = [
-                        F.max(
-                            F.struct(
+                        _argmax(
+                            c,
+                            [
                                 F.when(
                                     F.array_contains(F.col(_PCOLS_COL), F.lit(c)),
                                     F.col(_VERSION_COL),
@@ -1174,9 +1204,8 @@ class Table:
                                 .otherwise(F.lit(-1))
                                 .cast("long")
                                 .alias("v"),
-                                F.col(c).alias("x"),
-                            )
-                        )["x"].alias(c)
+                            ],
+                        )
                         for c in val_cols
                     ]
                 return (
