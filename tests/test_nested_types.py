@@ -55,3 +55,23 @@ def test_nested_type_lifecycle(ps):
     # UPDATE's typed-cast path must not trip on the map type
     ps.sql("UPDATE nt2 SET extra = 5 WHERE k = 1")
     assert ps.sql("SELECT extra FROM nt2").collect()[0]["extra"] == 5
+
+
+def test_map_column_merge_paths(ps):
+    """Un-orderable (MAP) value columns survive every merge path: the
+    UNIQUE partial-column read falls back to max_by (max over a
+    struct containing a map fails Spark analysis); the AGGREGATE
+    REPLACE path already rides max_by."""
+    # UNIQUE + partial-column update with a live map column
+    ps.sql("CREATE TABLE um (k BIGINT, m MAP<VARCHAR(5), BIGINT>, v INT) "
+           "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO um VALUES (1, map('a', 1), 10)")
+    ps.sql("UPDATE um SET v = 99 WHERE k = 1")  # partial-column load
+    r = ps.sql("SELECT m['a'] AS ma, v FROM um").collect()[0]
+    assert (r["ma"], r["v"]) == (1, 99)
+    # AGGREGATE REPLACE on a map column
+    ps.sql("CREATE TABLE am (k BIGINT, m MAP<VARCHAR(5), BIGINT> REPLACE) "
+           "AGGREGATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO am VALUES (1, map('x', 1))")
+    ps.sql("INSERT INTO am VALUES (1, map('x', 2))")
+    assert ps.sql("SELECT m['x'] AS x FROM am").collect()[0]["x"] == 2
