@@ -847,7 +847,11 @@ class PaloSession:
                 else _tf.mkdtemp(prefix=f"palo_restore_{dst}_")
             )
             if os.path.exists(new_loc) and os.listdir(new_loc):
-                raise ValueError(f"restore target dir not empty: {new_loc!r}")
+                # the default spot is occupied (e.g. a DROPPED table's
+                # directory still on disk — drops unregister, they do
+                # not reclaim storage): restore beside it rather than
+                # deleting data this session does not own
+                new_loc = f"{new_loc}__restore_{label}_{_uuid.uuid4().hex[:8]}"
             _sh.rmtree(new_loc, ignore_errors=True)
             _sh.copytree(os.path.join(snapdir, src), new_loc)
             # rebase rowset paths and re-identify the table

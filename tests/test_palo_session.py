@@ -2053,3 +2053,49 @@ def test_backup_restore_multi_table_and_variant(ps, tmp_path):
     assert ps.sql("SELECT sum(CAST(props['a'] AS INT)) AS s FROM n1"
                   ).collect()[0]["s"] == 10
     assert ps.sql("SELECT v FROM n2").collect()[0]["v"] == 10
+
+
+def test_backup_restore_lifecycle_audit(ps, tmp_path):
+    """r10 backup/restore audit pins: auto-partition roundtrip with
+    independent drop_partition; truncate-after-backup isolation; double
+    restore independence; restore under the ORIGINAL name after DROP
+    TABLE (the dropped table's directory still occupies the default
+    location — restore lands beside it and the result cache keys on
+    the fresh lineage); schema-change history fidelity."""
+    ps.sql(f"CREATE REPOSITORY lr WITH LOCATION '{tmp_path}/lrepo'")
+    # auto-partition
+    ps.sql("CREATE TABLE lap (d DATETIME, k BIGINT, v INT) "
+           "DUPLICATE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO lap VALUES ('2024-01-01 10:00:00', 1, 5), "
+           "('2024-01-02 09:00:00', 2, 7)")
+    ps.sql("BACKUP SNAPSHOT lb1 TO lr ON (lap)")
+    ps.sql("RESTORE SNAPSHOT lb1 FROM lr ON (lap AS lap2)")
+    t2 = ps.tables["lap2"]
+    assert t2.partitions() == ["d2024-01-01", "d2024-01-02"]
+    t2.drop_partition("d2024-01-01")
+    ps._refresh_view("lap2")
+    assert [r["k"] for r in ps.sql("SELECT k FROM lap2").collect()] == [2]
+    assert ps.tables["lap"].partitions() == ["d2024-01-01", "d2024-01-02"]
+    # restore under the original name after DROP (dir still on disk)
+    ps.sql("CREATE TABLE lct (k BIGINT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO lct VALUES (1, 10)")
+    ps.sql("BACKUP SNAPSHOT lb2 TO lr ON (lct)")
+    ps.sql("DROP TABLE lct")
+    ps.sql("RESTORE SNAPSHOT lb2 FROM lr ON (lct)")
+    ps.sql("INSERT INTO lct VALUES (2, 90)")
+    assert ps.sql("SELECT sum(v) AS s FROM lct").collect()[0]["s"] == 100
+    # schema-change history fidelity
+    ps.sql("CREATE TABLE lsc (k BIGINT, a INT, b INT) UNIQUE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO lsc VALUES (1, 1, 2)")
+    ps.sql("ALTER TABLE lsc RENAME COLUMN a a2")
+    ps.sql("ALTER TABLE lsc DROP COLUMN b")
+    ps.sql("INSERT INTO lsc (k, a2) VALUES (2, 5)")
+    ps.sql("BACKUP SNAPSHOT lb3 TO lr ON (lsc)")
+    ps.sql("RESTORE SNAPSHOT lb3 FROM lr ON (lsc AS lsc2)")
+    rows = {r["k"]: r["a2"] for r in ps.sql("SELECT k, a2 FROM lsc2").collect()}
+    assert rows == {1: 1, 2: 5}
+    assert "b" not in ps.sql("SELECT * FROM lsc2").columns
