@@ -347,7 +347,7 @@ _CREATE_MV_RE = re.compile(
 _CREATE_ASYNC_MV_RE = re.compile(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(?P<mv>\w+)`?\s+"
     r"(?:BUILD\s+(?P<build>IMMEDIATE|DEFERRED)\s+)?"
-    r"REFRESH\s+(?:AUTO|COMPLETE)\s*"
+    r"REFRESH\s+(?P<mode>AUTO|COMPLETE)\s*"
     r"(?:ON\s+(?P<on>MANUAL|COMMIT)\s*)?"
     r"AS\s+(?P<body>SELECT\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1343,7 +1343,8 @@ class PaloSession:
         return _PART_SEL_RE.sub(sub, text)
 
     def _create_async_mv(
-        self, name: str, body: str, *, build: str, on: str
+        self, name: str, body: str, *, build: str, on: str,
+        mode: str = "COMPLETE",
     ):
         """Doris 2.1 ASYNC materialized view (`CREATE MATERIALIZED VIEW
         mv BUILD IMMEDIATE REFRESH COMPLETE ON MANUAL AS <query>`,
@@ -1351,12 +1352,16 @@ class PaloSession:
         query — multi-table joins, window functions, external-catalog
         tables — as a parquet snapshot queryable under the MV name.
 
-        Unlike the sync (rollup) form there is no load-time maintenance
-        and no transparent rewrite: the snapshot is explicitly refreshed
-        (``REFRESH MATERIALIZED VIEW mv``; both AUTO and COMPLETE run a
-        full recompute here) and queried directly — the honest
-        staleness contract, which is exactly why this form IS allowed
-        over external catalogs where the sync form is rejected.
+        Unlike the sync (rollup) form there is no load-time
+        maintenance: the snapshot is refreshed explicitly (``REFRESH
+        MATERIALIZED VIEW mv``) or on commit, and queried directly —
+        the honest staleness contract, which is exactly why this form
+        IS allowed over external catalogs where the sync form is
+        rejected. ``REFRESH COMPLETE`` always recomputes fully;
+        ``REFRESH AUTO`` recomputes PARTITION-INCREMENTALLY when the
+        body is partition-aligned (see ``_mv_incremental_info``).
+        Fresh snapshots may also transparently answer derivable
+        queries (``_try_async_mv_rewrite``).
         ``BUILD DEFERRED`` registers an empty typed snapshot until the
         first refresh. ``ON COMMIT`` re-materializes after every
         session-statement mutation of a referenced session table.
@@ -1392,6 +1397,10 @@ class PaloSession:
             # results for the new one (same drop/recreate staleness
             # class the table lineage nonce closes)
             "nonce": _uuid.uuid4().hex,
+            # REFRESH mode: AUTO may refresh partition-incrementally
+            # when the body is partition-aligned; COMPLETE always runs
+            # the full recompute ([docs: async-materialized-view])
+            "mode": mode.upper(),
             "path": f"{root}/_async_mv/{name}",
         }
         if build == "DEFERRED":
@@ -1444,8 +1453,245 @@ class PaloSession:
             tuple(view_pairs),
         )
 
+    def _mv_incremental_info(self, name: str, mv: dict):
+        """Partition-incremental refresh eligibility ([docs:
+        async-materialized-view] — Doris 2.1 partition refresh: a
+        REFRESH AUTO MV whose body aligns with a partitioned base
+        recomputes only changed partitions). Alignment here: the body
+        is a simple aggregate (the rollup grammar) over ONE
+        auto-partitioned session table, reaches no views / catalogs /
+        other MVs (their changes live outside the partition-version
+        space), every GROUP BY column is selected under its own name,
+        and every aggregate is re-mergeable across partition slices
+        (SUM / COUNT / MIN / MAX — each merges as SUM or MIN/MAX of
+        the per-partition partials). Returns the parsed pieces, or
+        None → full recompute."""
+        from palo_spark.plans import _parse_simple_agg_sql
+
+        parsed = _parse_simple_agg_sql(translate(mv["body"]))
+        if parsed is None:
+            return None
+        base, group_cols, items, where_text, _ = parsed
+        t = self.tables.get(base.lower())
+        if t is None or not t.meta.auto_partition:
+            return None
+        _, view_pairs = self._expand_view_refs(mv["body"])
+        if view_pairs or self._text_touches_catalog(mv["body"]):
+            return None
+        if any(
+            n != name
+            and re.search(rf"\b{re.escape(n)}\b", mv["body"], re.IGNORECASE)
+            for n in self.async_mvs
+        ):
+            return None
+        sel_groups = [it["col"] for it in items if it["kind"] == "group"]
+        if sorted(sel_groups) != sorted(group_cols):
+            return None  # un-selected group col → slices not re-mergeable
+        if any(
+            it["kind"] == "group" and it["alias"] != it["col"] for it in items
+        ):
+            return None
+        for it in items:
+            if it["kind"] != "agg":
+                continue
+            c = it["measure_names"][0]
+            if c != "count_all" and c.split("_", 1)[0] not in (
+                "sum", "min", "max", "count"
+            ):
+                return None
+        return {
+            "t": t,
+            "base": base.lower(),
+            "group_cols": group_cols,
+            "items": items,
+            "where": where_text,
+        }
+
+    @staticmethod
+    def _table_schema_sig(t: Table) -> str:
+        """Schema-change fingerprint: incremental refresh may only mix
+        old snapshot slices with new ones computed under the SAME
+        light-schema-change history (a rename/add/drop/retype changes
+        what identical body text computes)."""
+        return _json.dumps(
+            [
+                t.meta.schema_adds,
+                t.meta.schema_drops,
+                t.meta.schema_renames,
+                sorted(t.meta.schema_retypes.items()),
+                t.meta.lineage,
+            ],
+            default=str,
+        )
+
+    def _mv_slice_df(self, info: dict, labels=None):
+        """The MV body recomputed per base partition: same grammar-
+        reconstructed aggregate, additionally grouped by the partition
+        LABEL (derived from the partition column exactly as the write
+        path derives directory names). ``labels`` restricts the scan to
+        those partitions — directory-pruned at the rowset scans, which
+        is the entire point: a 100 TB table pays only for the changed
+        partitions. Returns (df, temp_view_name)."""
+        from pyspark.sql import functions as F
+
+        from palo_spark.tables import AUTO_PART_COL, AUTO_PART_FMT
+
+        t = info["t"]
+        ap = t.meta.auto_partition
+        pred = (
+            F.col(AUTO_PART_COL).isin(list(labels))
+            if labels is not None
+            else None
+        )
+        view = f"__mvinc_{info['base']}_{_uuid.uuid4().hex[:8]}"
+        t.read(partition_pred=pred).createOrReplaceTempView(view)
+        label_sql = (
+            f"concat('{ap['granularity'][0]}', date_format(cast(`{ap['col']}`"
+            f" as timestamp), '{AUTO_PART_FMT[ap['granularity']]}'))"
+        )
+        sel = [f"{label_sql} AS __mv_part"]
+        gb = ["__mv_part"]
+        for it in info["items"]:
+            if it["kind"] == "group":
+                sel.append(f"`{it['col']}`")
+                gb.append(f"`{it['col']}`")
+            else:
+                c = it["measure_names"][0]
+                if c == "count_all":
+                    expr = "COUNT(*)"
+                else:
+                    func, arg = c.split("_", 1)
+                    expr = f"{func.upper()}(`{arg}`)"
+                sel.append(f"{expr} AS `{it['alias']}`")
+        q = f"SELECT {', '.join(sel)} FROM {view}"
+        if info["where"]:
+            q += f" WHERE {info['where']}"
+        q += " GROUP BY " + ", ".join(gb)
+        return self.spark.sql(q), view
+
+    def _register_async_mv_parts(self, name: str, mv: dict, info: dict):
+        """Register the MV name as the MERGE of the per-partition
+        slices: one scan of the (pre-aggregated, partition-laid-out)
+        snapshot plus a re-merge keyed on the group columns — SUM and
+        COUNT partials merge as SUM, MIN/MAX as MIN/MAX (the same
+        merge a Doris rollup read performs)."""
+        from pyspark.sql import functions as F
+
+        parts_dir = mv["path"] + "_parts"
+        has_parts = os.path.isdir(parts_dir) and any(
+            e.startswith("__mv_part=") for e in os.listdir(parts_dir)
+        )
+        if not has_parts:
+            schema = self._sql_nocache(mv["body"]).schema
+            self.spark.createDataFrame([], schema).createOrReplaceTempView(name)
+            return
+        df = self.spark.read.parquet(parts_dir)
+        aggs = []
+        for it in info["items"]:
+            if it["kind"] != "agg":
+                continue
+            c = it["measure_names"][0]
+            fn = (
+                F.min if c.startswith("min_")
+                else F.max if c.startswith("max_")
+                else F.sum
+            )
+            aggs.append(fn(F.col(it["alias"])).alias(it["alias"]))
+        merged = df.groupBy(*info["group_cols"]).agg(*aggs)
+        sel = [F.col(it["alias"]) for it in info["items"]]
+        merged.select(*sel).createOrReplaceTempView(name)
+
+    def _refresh_async_mv_partitioned(
+        self, name: str, mv: dict, info: dict
+    ) -> None:
+        """Partition-incremental refresh: diff the base's per-partition
+        versions against the snapshot's recorded map, recompute ONLY
+        the stale/new partitions (directory-pruned scan), swap their
+        slice directories in place, and drop slices whose base
+        partition disappeared. Falls back to a full per-partition
+        rebuild when there is no usable prior state (first build,
+        schema-change history moved, snapshot dir missing)."""
+        t = info["t"]
+        t._sync_meta()
+        cur = t.partition_versions()
+        sig = self._table_schema_sig(t)
+        parts_dir = mv["path"] + "_parts"
+        prev = mv.get("part_versions")
+        rebuild = (
+            prev is None
+            or mv.get("schema_sig") != sig
+            or not os.path.isdir(parts_dir)
+        )
+        if rebuild:
+            stale = sorted(cur)
+            dropped = []
+        else:
+            stale = sorted(l for l, v in cur.items() if prev.get(l) != v)
+            dropped = sorted(l for l in prev if l not in cur)
+        view = None
+        try:
+            if rebuild:
+                if cur:
+                    df, view = self._mv_slice_df(info)
+                    tmp = parts_dir + ".__tmp"
+                    df.write.partitionBy("__mv_part").mode(
+                        "overwrite"
+                    ).parquet(tmp)
+                    _sh.rmtree(parts_dir, ignore_errors=True)
+                    os.replace(tmp, parts_dir)
+                else:
+                    _sh.rmtree(parts_dir, ignore_errors=True)
+                    os.makedirs(parts_dir, exist_ok=True)
+            elif stale or dropped:
+                if stale:
+                    df, view = self._mv_slice_df(info, labels=stale)
+                    tmp = parts_dir + ".__tmp"
+                    df.write.partitionBy("__mv_part").mode(
+                        "overwrite"
+                    ).parquet(tmp)
+                    # per-partition directory swap (what Doris's
+                    # partition replace does): only changed slices move
+                    for lbl in stale:
+                        src = os.path.join(tmp, f"__mv_part={lbl}")
+                        dst = os.path.join(parts_dir, f"__mv_part={lbl}")
+                        _sh.rmtree(dst, ignore_errors=True)
+                        if os.path.isdir(src):
+                            os.replace(src, dst)
+                    _sh.rmtree(tmp, ignore_errors=True)
+                for lbl in dropped:
+                    _sh.rmtree(
+                        os.path.join(parts_dir, f"__mv_part={lbl}"),
+                        ignore_errors=True,
+                    )
+        finally:
+            if view is not None:
+                self.spark.catalog.dropTempView(view)
+        mv["part_versions"] = cur
+        mv["schema_sig"] = sig
+        mv["token"] += 1
+        mv["built"] = True
+        self._register_async_mv_parts(name, mv, info)
+        mv["snapshot_state"] = self._async_mv_state(mv["body"], skip_mv=name)
+        # a whole-snapshot dir from an earlier non-incremental refresh
+        # of this MV is dead weight now
+        import glob as _glob
+
+        for d in _glob.glob(mv["path"] + "_v*"):
+            _sh.rmtree(d, ignore_errors=True)
+
     def _refresh_async_mv(self, name: str) -> None:
         mv = self.async_mvs[name]
+        if mv.get("mode", "COMPLETE") == "AUTO":
+            info = self._mv_incremental_info(name, mv)
+            if info is not None:
+                try:
+                    self._refresh_async_mv_partitioned(name, mv, info)
+                    return
+                except Exception:
+                    # the incremental path must never cost correctness:
+                    # any failure falls back to the always-correct full
+                    # recompute below
+                    pass
         staged = mv["path"] + f"_v{mv['token'] + 1}"
         self._sql_nocache(mv["body"]).write.mode("overwrite").parquet(staged)
         self.spark.read.parquet(staged).createOrReplaceTempView(name)
@@ -1456,6 +1702,10 @@ class PaloSession:
         # reached base token still equals what it is NOW
         mv["snapshot_state"] = self._async_mv_state(mv["body"], skip_mv=name)
         _sh.rmtree(old, ignore_errors=True)
+        # stale per-partition layout from an earlier incremental
+        # refresh must not shadow the fresh whole snapshot
+        _sh.rmtree(mv["path"] + "_parts", ignore_errors=True)
+        mv.pop("part_versions", None)
 
     def _commit_async_mvs(self, table: str) -> None:
         """ON COMMIT refresh hook: re-materialize every async MV whose
@@ -2073,7 +2323,8 @@ class PaloSession:
                 mv = self.async_mvs[mvn]
                 stmt = (
                     f"CREATE MATERIALIZED VIEW `{mvn}` BUILD IMMEDIATE "
-                    f"REFRESH COMPLETE ON {mv['on'].upper()} AS {mv['body']}"
+                    f"REFRESH {mv.get('mode', 'COMPLETE')} "
+                    f"ON {mv['on'].upper()} AS {mv['body']}"
                 )
                 return self.spark.createDataFrame(
                     [(mvn, stmt)],
@@ -2227,6 +2478,7 @@ class PaloSession:
                 amv.group("body"),
                 build=(amv.group("build") or "IMMEDIATE").upper(),
                 on=(amv.group("on") or "MANUAL").upper(),
+                mode=amv.group("mode").upper(),
             )
         mv = _CREATE_MV_RE.match(stripped)
         if mv:

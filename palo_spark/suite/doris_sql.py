@@ -1463,3 +1463,112 @@ ORACLE["sql_array_column_roundtrip"] = """
     GROUP BY n_lines
     ORDER BY n_lines
 """
+
+
+def _sql_async_mv_partition_refresh(spark, sf_dir):
+    """Doris 2.1 PARTITION-INCREMENTAL async-MV refresh end-to-end
+    (r10, [docs: async-materialized-view] partition refresh): an
+    auto-partitioned (by month) session table built from events, a
+    REFRESH AUTO MV grouped by event_type, a mutation touching ONE
+    month, then REFRESH — which recomputes only that month's slice
+    (fail-loud assert: the untouched months' slice files keep their
+    mtimes) — and the merged MV is returned. The oracle states the
+    final aggregate over base + mutation. Exact: integer cents,
+    counts."""
+    import os as _os2
+
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ev = load_table(spark, sf_dir, "events")
+    t = ps._create_table(
+        "CREATE TABLE pr_events (`ts` DATETIME, `event_id` BIGINT, "
+        "`event_type` VARCHAR(16), `cents` BIGINT) "
+        "DUPLICATE KEY(ts, event_id) "
+        "AUTO PARTITION BY RANGE (date_trunc(`ts`, 'month')) () "
+        "DISTRIBUTED BY HASH(event_id) BUCKETS 8"
+    )
+    t.insert(
+        ev.select(
+            "ts",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    ps._refresh_view("pr_events")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW pr_mv BUILD IMMEDIATE REFRESH AUTO
+        ON MANUAL AS
+        SELECT event_type, SUM(cents) AS sum_cents, COUNT(*) AS n_events
+        FROM pr_events GROUP BY event_type
+        """
+    )
+    mv = ps.async_mvs["pr_mv"]
+    parts_dir = mv["path"] + "_parts"
+    if mv.get("part_versions") is None:
+        raise RuntimeError("partition-incremental layout did not engage")
+    untouched = sorted(
+        d for d in _os2.listdir(parts_dir)
+        if d.startswith("__mv_part=") and not d.endswith("m2024-02")
+    )
+    stamps = {
+        d: sorted(
+            (f, _os2.path.getmtime(_os2.path.join(parts_dir, d, f)))
+            for f in _os2.listdir(_os2.path.join(parts_dir, d))
+        )
+        for d in untouched
+    }
+    # mutate ONE month only, then refresh
+    extra = ev.filter(
+        (F.month("ts") == 2) & (F.col("event_id") % 10 == 0)
+    ).select(
+        "ts",
+        (F.col("event_id") + 10000000).alias("event_id"),
+        "event_type",
+        (F.floor(F.col("value") * 100).cast("bigint") + 7).alias("cents"),
+    )
+    t.insert(extra)
+    ps._refresh_view("pr_events")
+    ps.sql("REFRESH MATERIALIZED VIEW pr_mv")
+    after = {
+        d: sorted(
+            (f, _os2.path.getmtime(_os2.path.join(parts_dir, d, f)))
+            for f in _os2.listdir(_os2.path.join(parts_dir, d))
+        )
+        for d in untouched
+    }
+    if after != stamps:
+        raise RuntimeError(
+            "incremental refresh rewrote untouched partition slices"
+        )
+    return ps.sql(
+        "SELECT event_type, sum_cents, n_events FROM pr_mv "
+        "ORDER BY event_type"
+    )
+
+
+QUERIES["sql_async_mv_partition_refresh"] = _sql_async_mv_partition_refresh
+ORACLE["sql_async_mv_partition_refresh"] = """
+    WITH base AS (
+        SELECT ts, event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+        UNION ALL
+        SELECT ts, event_id + 10000000, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) + 7
+        FROM events
+        WHERE EXTRACT(MONTH FROM ts) = 2 AND event_id % 10 = 0
+    )
+    SELECT event_type,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -2099,3 +2099,73 @@ def test_backup_restore_lifecycle_audit(ps, tmp_path):
     rows = {r["k"]: r["a2"] for r in ps.sql("SELECT k, a2 FROM lsc2").collect()}
     assert rows == {1: 1, 2: 5}
     assert "b" not in ps.sql("SELECT * FROM lsc2").columns
+
+
+def test_async_mv_partition_incremental_refresh(ps):
+    """Doris 2.1 partition-incremental async-MV refresh ([docs:
+    async-materialized-view] partition refresh): a REFRESH AUTO MV
+    whose body aligns with an auto-partitioned base recomputes ONLY
+    the changed partitions — pinned physically: the unchanged
+    partition's slice files are untouched across a refresh. Dropped
+    base partitions drop their slices. REFRESH COMPLETE on the same
+    shape stays a full recompute."""
+    import os
+
+    ps.sql("CREATE TABLE pe (d DATETIME, k BIGINT, g VARCHAR(4), v INT) "
+           "DUPLICATE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO pe VALUES ('2024-01-01 01:00:00', 1, 'a', 10), "
+           "('2024-01-01 02:00:00', 2, 'b', 20), "
+           "('2024-01-02 01:00:00', 3, 'a', 30)")
+    ps.sql("CREATE MATERIALIZED VIEW pmv BUILD IMMEDIATE REFRESH AUTO "
+           "ON MANUAL AS SELECT g, sum(v) AS sv, count(*) AS n "
+           "FROM pe GROUP BY g")
+    mv = ps.async_mvs["pmv"]
+    assert mv["part_versions"] == {"d2024-01-01": 1, "d2024-01-02": 1}
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM pmv").collect())
+    assert got == [("a", 40, 2), ("b", 20, 1)]
+    p1 = os.path.join(mv["path"] + "_parts", "__mv_part=d2024-01-01")
+    stamp = sorted(os.listdir(p1))
+    mt = {f: os.path.getmtime(os.path.join(p1, f)) for f in stamp}
+    # mutate ONLY day 2 → refresh recomputes only that slice
+    ps.sql("INSERT INTO pe VALUES ('2024-01-02 03:00:00', 4, 'b', 40)")
+    ps.sql("REFRESH MATERIALIZED VIEW pmv")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM pmv").collect())
+    assert got == [("a", 40, 2), ("b", 60, 2)]
+    assert sorted(os.listdir(p1)) == stamp
+    assert all(os.path.getmtime(os.path.join(p1, f)) == mt[f] for f in stamp)
+    # the merged view stays transparent-rewrite eligible
+    ps.sql("SELECT g, sum(v) AS sv, count(*) AS n FROM pe GROUP BY g")
+    assert ps.last_mv_rewrite == "pmv"
+    # dropped base partition drops its slice
+    ps.tables["pe"].drop_partition("d2024-01-01")
+    ps._refresh_view("pe")
+    ps.sql("REFRESH MATERIALIZED VIEW pmv")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM pmv").collect())
+    assert got == [("a", 30, 1), ("b", 40, 1)]
+    assert not os.path.isdir(p1)
+    # schema change forces a consistent full rebuild (no mixed slices)
+    ps.sql("ALTER TABLE pe ADD COLUMN w INT DEFAULT '2'")
+    ps.sql("INSERT INTO pe (d, k, g, v, w) "
+           "VALUES ('2024-01-03 01:00:00', 9, 'a', 1, 3)")
+    ps.sql("REFRESH MATERIALIZED VIEW pmv")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM pmv").collect())
+    assert got == [("a", 31, 2), ("b", 40, 1)]
+    # MIN/MAX aggregates merge correctly across slices
+    ps.sql("CREATE MATERIALIZED VIEW pmm BUILD IMMEDIATE REFRESH AUTO "
+           "ON COMMIT AS SELECT g, min(v) AS mn, max(v) AS mx "
+           "FROM pe GROUP BY g")
+    ps.sql("INSERT INTO pe (d, k, g, v, w) "
+           "VALUES ('2024-01-04 01:00:00', 10, 'a', 500, 1)")
+    got = sorted((r.g, r.mn, r.mx)
+                 for r in ps.sql("SELECT g, mn, mx FROM pmm").collect())
+    assert got == [("a", 1, 500), ("b", 40, 40)]
+    # COMPLETE mode on the same aligned shape: full recompute, correct
+    ps.sql("CREATE MATERIALIZED VIEW pfc BUILD IMMEDIATE REFRESH COMPLETE "
+           "ON MANUAL AS SELECT g, sum(v) AS sv FROM pe GROUP BY g")
+    assert ps.async_mvs["pfc"].get("part_versions") is None
