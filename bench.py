@@ -135,6 +135,13 @@ HEADLINE = [
     "ssb_q1_1",
     "ssb_q2_1",
     "ssb_q4_2",
+    # r10 additions (strictly after the shared prefix): the
+    # transparent async-MV rewrite (plan collapses to a snapshot
+    # scan), VARIANT shredding over events.props, and the
+    # partition-incremental REFRESH AUTO roundtrip
+    "sql_async_mv_transparent_rewrite",
+    "variant_shred_events",
+    "sql_async_mv_partition_refresh",
 ]
 
 
