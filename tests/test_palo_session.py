@@ -2169,3 +2169,46 @@ def test_async_mv_partition_incremental_refresh(ps):
     ps.sql("CREATE MATERIALIZED VIEW pfc BUILD IMMEDIATE REFRESH COMPLETE "
            "ON MANUAL AS SELECT g, sum(v) AS sv FROM pe GROUP BY g")
     assert ps.async_mvs["pfc"].get("part_versions") is None
+
+
+def test_async_mv_incremental_vs_mutations(ps):
+    """r10 audit pins: the partition-incremental path stays correct
+    under DELETE (conservative all-partition staleness), compact()
+    (one new all-partition rowset), TRUNCATE (slices all dropped, MV
+    empty), post-truncate repopulation, and UNIQUE-model upserts
+    (merge-on-read inside the recomputed slice)."""
+    ps.sql("CREATE TABLE ix (d DATETIME, k BIGINT, g VARCHAR(4), v INT) "
+           "DUPLICATE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ix VALUES ('2024-01-01 01:00:00', 1, 'a', 10), "
+           "('2024-01-02 01:00:00', 2, 'b', 20)")
+    ps.sql("CREATE MATERIALIZED VIEW imv BUILD IMMEDIATE REFRESH AUTO "
+           "ON COMMIT AS SELECT g, sum(v) AS sv, count(*) AS n "
+           "FROM ix GROUP BY g")
+    ps.sql("DELETE FROM ix WHERE v = 10")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM imv").collect())
+    assert got == [("b", 20, 1)]
+    ps.tables["ix"].compact()
+    ps._refresh_view("ix")
+    ps.sql("REFRESH MATERIALIZED VIEW imv")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM imv").collect())
+    assert got == [("b", 20, 1)]
+    ps.sql("TRUNCATE TABLE ix")
+    assert ps.sql("SELECT * FROM imv").count() == 0
+    ps.sql("INSERT INTO ix VALUES ('2024-02-01 01:00:00', 9, 'z', 7)")
+    got = sorted((r.g, r.sv, r.n)
+                 for r in ps.sql("SELECT g, sv, n FROM imv").collect())
+    assert got == [("z", 7, 1)]
+    # UNIQUE-model base: upsert of an existing key merges in-slice
+    ps.sql("CREATE TABLE ux (d DATETIME, k BIGINT, v INT) UNIQUE KEY(d, k) "
+           "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ux VALUES ('2024-01-01 01:00:00', 1, 10)")
+    ps.sql("CREATE MATERIALIZED VIEW umv BUILD IMMEDIATE REFRESH AUTO "
+           "ON COMMIT AS SELECT d, sum(v) AS sv FROM ux GROUP BY d")
+    ps.sql("INSERT INTO ux VALUES ('2024-01-01 01:00:00', 1, 99)")
+    got = [(str(r.d), r.sv) for r in ps.sql("SELECT d, sv FROM umv").collect()]
+    assert got == [("2024-01-01 01:00:00", 99)]
