@@ -2212,3 +2212,35 @@ def test_async_mv_incremental_vs_mutations(ps):
     ps.sql("INSERT INTO ux VALUES ('2024-01-01 01:00:00', 1, 99)")
     got = [(str(r.d), r.sv) for r in ps.sql("SELECT d, sv FROM umv").collect()]
     assert got == [("2024-01-01 01:00:00", 99)]
+
+
+def test_rewrite_rollup_precedence_and_nested_export(ps, tmp_path):
+    """r10 probe pins: (a) when a sync rollup AND an async MV both
+    cover an aggregate, the answer is fresh either way — the async
+    rewrite only fires on provably-fresh snapshots, and after a base
+    mutation the (stale) snapshot silently yields to the
+    load-maintained rollup/base path; (b) nested ARRAY/MAP columns
+    survive EXPORT → parquet roundtrip."""
+    ps.sql("CREATE TABLE pr (k BIGINT, g VARCHAR(4), v INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO pr VALUES (1,'a',10),(2,'b',20)")
+    ps.sql("CREATE MATERIALIZED VIEW sync_r AS "
+           "SELECT g, SUM(v) AS sum_v FROM pr GROUP BY g")
+    ps.sql("CREATE MATERIALIZED VIEW async_r REFRESH COMPLETE AS "
+           "SELECT g, SUM(v) AS sum_v FROM pr GROUP BY g")
+    got = sorted((r.g, r.sum_v) for r in ps.sql(
+        "SELECT g, SUM(v) AS sum_v FROM pr GROUP BY g").collect())
+    assert got == [("a", 10), ("b", 20)]
+    ps.sql("INSERT INTO pr VALUES (3,'a',100)")
+    df = ps.sql("SELECT g, SUM(v) AS sum_v FROM pr GROUP BY g")
+    got = sorted((r.g, r.sum_v) for r in df.collect())
+    assert got == [("a", 110), ("b", 20)]
+    assert ps.last_mv_rewrite is None  # stale snapshot yielded
+    ps.sql("CREATE TABLE ne (k BIGINT, tags ARRAY<VARCHAR(4)>, "
+           "m MAP<VARCHAR(2), INT>) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ne VALUES (1, array('x'), map('a', 1))")
+    out = f"{tmp_path}/ne_out"
+    ps.sql(f"EXPORT TABLE ne TO '{out}'")
+    r = ps.spark.read.parquet(out).collect()[0]
+    assert r["tags"] == ["x"] and r["m"] == {"a": 1}
