@@ -102,7 +102,7 @@ _DDL_TYPES = {
 }
 
 _CREATE_HEAD_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*\(",
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s*\(",
     re.IGNORECASE,
 )
 
@@ -414,6 +414,10 @@ _MATCH_PRED_RE = re.compile(
 _FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
 
 _USE_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE)
+#: Doris RECOVER TABLE — un-drop from the catalog recycle bin
+_RECOVER_RE = re.compile(
+    r"^\s*RECOVER\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_LIKE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
     r"LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
@@ -485,6 +489,9 @@ class PaloSession:
         self.location_root = location_root
         self.rollups = rollups  # optional RollupCatalog
         self.tables: dict[str, Table] = {}
+        #: state token each table's temp view was last registered at —
+        #: the cross-session view-convergence check (see sql())
+        self._view_tokens: dict[str, str] = {}
         #: logical views: name -> original Doris-dialect body text
         #: (late-binding temp views; see the CREATE VIEW branch)
         self.views: dict[str, str] = {}
@@ -541,6 +548,33 @@ class PaloSession:
         #: engines); the ones with a real Spark analog take effect:
         #: time_zone → spark.sql.session.timeZone, enable_sql_cache →
         #: the session result cache toggle.
+        #: Doris FE metadata durability (r10): a session pointed at an
+        #: existing warehouse RE-ATTACHES its tables — every subdirectory
+        #: of location_root holding a table meta file (and not marked
+        #: dropped; see DROP/RECOVER TABLE) is reopened and registered.
+        #: Two live dirs claiming one name resolve to the higher mutation
+        #: counter (a restore-beside dir vs its dropped original never
+        #: collides: dropped dirs are skipped).
+        if location_root and os.path.isdir(location_root):
+            from palo_spark.tables import _META_FILE
+
+            for entry in sorted(os.listdir(location_root)):
+                d = os.path.join(location_root, entry)
+                if not os.path.isfile(os.path.join(d, _META_FILE)):
+                    continue
+                try:
+                    t = Table.open(spark, d)
+                except (OSError, TypeError, ValueError):
+                    continue  # foreign or half-written dir — not ours
+                if t.meta.dropped:
+                    continue
+                nm = t.meta.name.lower()
+                prev = self.tables.get(nm)
+                if prev is not None and prev.meta.mutations >= t.meta.mutations:
+                    continue
+                self.tables[nm] = t
+            for nm in self.tables:
+                self._refresh_view(nm)
         self.variables: dict[str, str] = {
             "sql_mode": "",
             "time_zone": spark.conf.get("spark.sql.session.timeZone"),
@@ -649,6 +683,14 @@ class PaloSession:
             raise ValueError(
                 f"name {name!r} is taken by an async materialized view"
             )
+        if name.lower() in self.tables:
+            # Doris semantics: re-creating a live table is an error
+            # unless IF NOT EXISTS (which returns the existing one).
+            # Matters since r10 session re-attach: a restarted session
+            # SEES the previous session's tables
+            if hm.group("ine"):
+                return self.tables[name.lower()]
+            raise ValueError(f"table {name.lower()!r} already exists")
         open_i = hm.end() - 1
         close_i = _balanced_span(text, open_i)
         cols_text = text[open_i + 1 : close_i - 1]
@@ -1681,6 +1723,20 @@ class PaloSession:
 
     def _refresh_async_mv(self, name: str) -> None:
         mv = self.async_mvs[name]
+        if mv.get("_refreshing"):
+            # re-entrancy guard: the refresh itself runs sql() on the
+            # body, whose convergence sweep can re-fire the ON COMMIT
+            # hook for the same MV — the inner call must be a no-op or
+            # the two passes interleave token bumps and delete the
+            # snapshot dir the other just registered
+            return
+        mv["_refreshing"] = True
+        try:
+            self._refresh_async_mv_inner(name, mv)
+        finally:
+            mv.pop("_refreshing", None)
+
+    def _refresh_async_mv_inner(self, name: str, mv: dict) -> None:
         if mv.get("mode", "COMPLETE") == "AUTO":
             info = self._mv_incremental_info(name, mv)
             if info is not None:
@@ -2002,6 +2058,9 @@ class PaloSession:
             return self.spark.createDataFrame([], schema)
 
     def _refresh_view(self, name: str) -> None:
+        # record the token FIRST: _commit_async_mvs may re-enter sql(),
+        # whose convergence sweep would otherwise re-trigger this refresh
+        self._view_tokens[name] = self.tables[name].state_token()
         df = self._table_df(self.tables[name])
         if df is None:
             self.spark.catalog.dropTempView(name)
@@ -2306,6 +2365,10 @@ class PaloSession:
                 )
             else:
                 self.spark.catalog.dropTempView(tm.group("name").lower())
+            # this branch registers the view itself (bypassing
+            # _refresh_view), so record the token or the next query's
+            # convergence sweep re-fires the ON COMMIT hook mid-flight
+            self._view_tokens[tm.group("name").lower()] = t.state_token()
             # TRUNCATE bypasses _refresh_view (it registers the empty
             # view itself), so fire the ON COMMIT hook explicitly — an
             # ON COMMIT async MV must not keep serving pre-truncate
@@ -2343,6 +2406,35 @@ class PaloSession:
                             "materialized_view string, create_stmt string",
                         )
             raise ValueError(f"unknown materialized view {mvn!r}")
+        rcv = _RECOVER_RE.match(stripped)
+        if rcv:
+            name = rcv.group("name").lower()
+            if name in self.tables:
+                raise ValueError(f"table {name!r} already exists")
+            if not self.location_root or not os.path.isdir(self.location_root):
+                raise ValueError(f"no dropped table {name!r} to recover")
+            from palo_spark.tables import _META_FILE
+
+            best = None
+            for entry in sorted(os.listdir(self.location_root)):
+                d = os.path.join(self.location_root, entry)
+                if not os.path.isfile(os.path.join(d, _META_FILE)):
+                    continue
+                try:
+                    t = Table.open(self.spark, d)
+                except (OSError, TypeError, ValueError):
+                    continue
+                if t.meta.dropped and t.meta.name.lower() == name:
+                    # newest drop wins (Doris recovers the most recent)
+                    if best is None or t.meta.mutations > best.meta.mutations:
+                        best = t
+            if best is None:
+                raise ValueError(f"no dropped table {name!r} to recover")
+            best.meta.dropped = False
+            best._save_meta()
+            self.tables[name] = best
+            self._refresh_view(name)
+            return None
         crm = _CREATE_REPO_RE.match(stripped)
         if crm:
             name = crm.group("name").lower()
@@ -2613,6 +2705,12 @@ class PaloSession:
             if name not in self.tables and not m.group("ife"):
                 raise ValueError(f"unknown palo table {name!r}")
             if name in self.tables:
+                # Doris catalog recycle bin: the directory (rowsets +
+                # meta) survives with a dropped marker — RECOVER TABLE
+                # un-drops it; session re-attach skips it
+                t_drop = self.tables[name]
+                t_drop.meta.dropped = True
+                t_drop._save_meta()
                 del self.tables[name]
                 self.spark.catalog.dropTempView(name)
                 # indexes belong to the table (Doris drops them with it):
@@ -2764,6 +2862,10 @@ class PaloSession:
                         for p in _schema_parts(schema)
                         if p.strip().split()[0] != dm_.group("col")
                     )
+                vc = set(getattr(t, "_variant_cols", set()))
+                if dm_.group("col").lower() in vc:
+                    vc.discard(dm_.group("col").lower())
+                    t._variant_cols = vc  # type: ignore[attr-defined]
                 self._refresh_view(dm_.group("name").lower())
                 return None
             rm_ = _ALTER_RENAME_COL_RE.match(stripped)
@@ -2788,6 +2890,12 @@ class PaloSession:
                             else f"{nm} {ty}"
                         )
                     t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
+                # variant subscripts must follow the rename
+                vc = set(getattr(t, "_variant_cols", set()))
+                if rm_.group("old").lower() in vc:
+                    vc.discard(rm_.group("old").lower())
+                    vc.add(rm_.group("new").lower())
+                    t._variant_cols = vc  # type: ignore[attr-defined]
                 self._refresh_view(rm_.group("name").lower())
                 return None
             mm_ = _ALTER_MODIFY_RE.match(stripped)
@@ -3123,6 +3231,15 @@ class PaloSession:
         ref_text = stripped
         if _PART_SEL_RE.search(stripped):
             stripped = self._rewrite_partition_selection(stripped)
+        # cross-session view convergence (r10, with Table._sync_meta):
+        # a commit through ANOTHER session/handle of the same table
+        # directory moved the state token, but THIS session's registered
+        # temp view still enumerates the old rowsets — re-register
+        # before serving. Token comparison is a tiny meta-file read per
+        # table; within one session tokens match and this is a no-op.
+        for _nm, _t in list(self.tables.items()):
+            if self._view_tokens.get(_nm) != _t.state_token():
+                self._refresh_view(_nm)
         self.last_cache_hit = False
         key = None
         touches_catalog = self._text_touches_catalog(stripped)

@@ -74,6 +74,7 @@ _R10_ADDITIONS = [
     "sql_backup_restore_roundtrip",
     "sql_array_column_roundtrip",
     "sql_async_mv_partition_refresh",
+    "sql_session_reattach",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

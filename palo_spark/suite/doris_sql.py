@@ -1572,3 +1572,66 @@ ORACLE["sql_async_mv_partition_refresh"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def _sql_session_reattach(spark, sf_dir):
+    """Doris FE metadata durability end-to-end (r10): session A builds
+    a UNIQUE table from orders in a warehouse directory, upserts and
+    batch-deletes, then a COMPLETELY NEW PaloSession over the same
+    warehouse re-attaches (persisted declared schema, key model,
+    delete-sign state, schema-change history) and serves the query —
+    plus a DROP + RECOVER roundtrip through the recycle bin. The
+    oracle states the final mutated aggregate. Exact: integer cents,
+    counts."""
+    import tempfile as _tf3
+
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    wh = _tf3.mkdtemp(prefix="palo_wh_")
+    a = PaloSession(spark, location_root=wh)
+    o = load_table(spark, sf_dir, "orders")
+    t = a._create_table(
+        "CREATE TABLE ra_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `total_cents` BIGINT) UNIQUE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    a._refresh_view("ra_orders")
+    a.sql("DELETE FROM ra_orders WHERE o_orderstatus = 'P'")
+    # session "restart": fresh PaloSession over the same warehouse
+    b = PaloSession(spark, location_root=wh)
+    if "ra_orders" not in b.tables:
+        raise RuntimeError("session re-attach did not find the table")
+    # recycle-bin roundtrip must not disturb the data
+    b.sql("DROP TABLE ra_orders")
+    b.sql("RECOVER TABLE ra_orders")
+    return b.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(total_cents) AS sum_cents FROM ra_orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+QUERIES["sql_session_reattach"] = _sql_session_reattach
+ORACLE["sql_session_reattach"] = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -157,6 +157,18 @@ class TableMeta:
     #: hash-co-located layout per rowset (Doris tablet distribution)
     dist_cols: list[str] = field(default_factory=list)
     buckets: int = 0
+    #: the Doris-DDL declared schema ("name spark_type, ...") — persisted
+    #: so a session re-attaching to this directory keeps typed VALUES
+    #: inserts, empty-table views, DESC/SHOW CREATE. Empty on tables
+    #: persisted before this field existed (legacy-lax, like value_cols).
+    declared_schema: str = ""
+    #: columns declared VARIANT/JSON — persisted so subscript rewriting
+    #: survives session restarts
+    variant_cols: list = field(default_factory=list)
+    #: Doris catalog recycle bin: DROP TABLE marks the directory dropped
+    #: (storage kept); session re-attach skips dropped dirs; RECOVER
+    #: TABLE clears the flag
+    dropped: bool = False
 
 
 class Table:
@@ -263,6 +275,27 @@ class Table:
         t.meta = TableMeta(**d)
         t._on_insert = []
         return t
+
+    @property
+    def _declared_schema(self) -> str | None:
+        """Doris-DDL declared schema, persisted in meta (r10: survives
+        session re-attach). None when unknown — tables created through
+        the Python API rather than session DDL."""
+        return self.meta.declared_schema or None
+
+    @_declared_schema.setter
+    def _declared_schema(self, v: str | None) -> None:
+        self.meta.declared_schema = v or ""
+        self._save_meta()
+
+    @property
+    def _variant_cols(self) -> set:
+        return set(self.meta.variant_cols)
+
+    @_variant_cols.setter
+    def _variant_cols(self, v) -> None:
+        self.meta.variant_cols = sorted(v)
+        self._save_meta()
 
     @property
     def _next_version(self) -> int:

@@ -1,0 +1,87 @@
+"""Session metadata durability (r10): a PaloSession pointed at an
+existing warehouse RE-ATTACHES its tables (Doris FE metadata
+persistence), DROP TABLE lands in a recycle bin (directory kept,
+marked dropped), RECOVER TABLE un-drops, and live sessions over the
+same warehouse CONVERGE — the query-path sweep re-registers any temp
+view whose table's state token moved under it, so a second session's
+commits are visible AND invalidate this session's result cache."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from palo_spark.palo_session import PaloSession
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    d = tmp_path / "wh"
+    d.mkdir()
+    return str(d)
+
+
+def test_session_reattach(spark, wh):
+    a = PaloSession(spark, location_root=wh)
+    a.sql("CREATE TABLE t1 (k BIGINT, props VARIANT, v INT) UNIQUE KEY(k) "
+          "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    a.sql("""INSERT INTO t1 VALUES (1, '{"x": 5}', 10)""")
+    a.sql("ALTER TABLE t1 ADD COLUMN w INT DEFAULT '3'")
+    # "restart": a fresh session over the same warehouse
+    b = PaloSession(spark, location_root=wh)
+    assert set(b.tables) == {"t1"}
+    r = b.sql("SELECT k, CAST(props['x'] AS INT) AS x, v, w FROM t1"
+              ).collect()[0]
+    # data, variant subscripts (persisted variant_cols), and schema-add
+    # defaults (persisted meta) all survive the restart
+    assert (r["k"], r["x"], r["v"], r["w"]) == (1, 5, 10, 3)
+    # typed VALUES insert works — the declared schema is persisted
+    b.sql("""INSERT INTO t1 VALUES (2, '{"x": 7}', 20, 9)""")
+    assert b.sql("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 2
+    # re-creating a live table is an error; IF NOT EXISTS returns it
+    with pytest.raises(ValueError, match="already exists"):
+        b.sql("CREATE TABLE t1 (k BIGINT) DUPLICATE KEY(k) "
+              "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    same = b.sql("CREATE TABLE IF NOT EXISTS t1 (k BIGINT) "
+                 "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    assert same is b.tables["t1"]
+
+
+def test_drop_recover_recycle_bin(spark, wh):
+    a = PaloSession(spark, location_root=wh)
+    a.sql("CREATE TABLE rc (k BIGINT, v INT) DUPLICATE KEY(k) "
+          "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    a.sql("INSERT INTO rc VALUES (1, 1)")
+    a.sql("DROP TABLE rc")
+    # the directory survives, marked dropped
+    assert os.path.isdir(os.path.join(wh, "rc"))
+    # a fresh session does NOT resurrect it
+    b = PaloSession(spark, location_root=wh)
+    assert "rc" not in b.tables
+    # RECOVER un-drops with data intact
+    b.sql("RECOVER TABLE rc")
+    assert b.sql("SELECT v FROM rc").collect()[0]["v"] == 1
+    with pytest.raises(ValueError, match="already exists"):
+        b.sql("RECOVER TABLE rc")
+    with pytest.raises(ValueError, match="no dropped table"):
+        b.sql("RECOVER TABLE nope")
+
+
+def test_cross_session_convergence_and_cache(spark, wh):
+    a = PaloSession(spark, location_root=wh)
+    a.sql("CREATE TABLE cv (k BIGINT, v INT) UNIQUE KEY(k) "
+          "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    a.sql("INSERT INTO cv VALUES (1, 10)")
+    c = PaloSession(spark, location_root=wh, result_cache=True)
+    assert c.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 10
+    assert c.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 10
+    assert c.last_cache_hit is True
+    # a commit through a DIFFERENT handle, with NO view refresh in
+    # either session: the next query must converge (the registered
+    # temp view held the old rowset enumeration) and the cache must
+    # miss (state token moved)
+    a.tables["cv"].insert(spark.createDataFrame([(2, 90)], "k long, v int"))
+    assert c.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 100
+    assert c.last_cache_hit is False
+    assert a.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 100
