@@ -25,6 +25,7 @@ import random
 import pytest
 
 from palo_spark.palo_session import PaloSession
+from palo_spark.tables import Table
 
 
 @pytest.fixture()
@@ -184,13 +185,17 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         # never cached (catalog) — stale would mean the gate broke
         "SELECT sum(v2) AS sv FROM fzc.e",
     ]
+    # r10: a SECOND session attached to the same warehouse — its
+    # commits go through its own Table handles, exercising the
+    # cross-session convergence sweep + state-token cache invalidation
+    foreign = PaloSession(spark, location_root=str(tmp_path / "loc"))
     k = 100
     amv_live = False
     for phase in range(48):
         op = rng.choice(
             ["insert", "insert", "delete", "truncate", "drop_recreate",
              "replace_view", "set_tz", "amv_create", "amv_refresh",
-             "amv_drop_recreate", "cat_swap"]
+             "amv_drop_recreate", "cat_swap", "foreign_insert"]
         )
         if op == "insert":
             k += 1
@@ -234,6 +239,21 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
             spark.range(n).selectExpr("id AS k", "id * 3 AS v2").write.mode(
                 "overwrite").parquet(str(root / "e.parquet"))
             ps.sql("REFRESH CATALOG fzc")
+        elif op == "foreign_insert":
+            # another session's commit, through ITS handle of the same
+            # directory — neither ps's view nor its cache saw it happen
+            t = foreign.tables.get("fz")
+            if t is None:
+                t = Table.open(spark, ps.tables["fz"].location)
+                foreign.tables["fz"] = t
+            if t.meta.lineage != ps.tables["fz"].meta.lineage:
+                # ps drop_recreate'd fz; re-open the new directory
+                t = Table.open(spark, ps.tables["fz"].location)
+                foreign.tables["fz"] = t
+            k += 1
+            t.insert(spark.createDataFrame(
+                [(k, rng.randint(0, 99), "2024-03-03 03:30:00")],
+                "k long, v int, ts string"))
         else:
             ps.sql(f"SET time_zone = "
                    f"'{rng.choice(['UTC', 'Asia/Shanghai', 'America/New_York'])}'")
