@@ -85,3 +85,23 @@ def test_cross_session_convergence_and_cache(spark, wh):
     assert c.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 100
     assert c.last_cache_hit is False
     assert a.sql("SELECT sum(v) AS s FROM cv").collect()[0]["s"] == 100
+
+
+def test_recreate_evicts_recycle_entry(spark, wh):
+    """Re-creating a dropped table's name reuses its directory —
+    evicting the older recycle-bin entry (documented deviation from
+    Doris's id-keyed bin, where both coexist). RECOVER thereafter
+    returns the NEWEST drop, never a zombie mix of incarnations."""
+    ps = PaloSession(spark, location_root=wh)
+    ps.sql("CREATE TABLE rx (k BIGINT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rx VALUES (1, 1)")
+    ps.sql("DROP TABLE rx")
+    ps.sql("CREATE TABLE rx (k BIGINT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rx VALUES (9, 9)")
+    with pytest.raises(ValueError, match="already exists"):
+        ps.sql("RECOVER TABLE rx")
+    ps.sql("DROP TABLE rx")
+    ps.sql("RECOVER TABLE rx")
+    assert sorted(r["v"] for r in ps.sql("SELECT v FROM rx").collect()) == [9]
