@@ -105,3 +105,30 @@ def test_recreate_evicts_recycle_entry(spark, wh):
     ps.sql("DROP TABLE rx")
     ps.sql("RECOVER TABLE rx")
     assert sorted(r["v"] for r in ps.sql("SELECT v FROM rx").collect()) == [9]
+
+
+def test_incremental_refresh_sees_foreign_commit(spark, wh):
+    """r10 probe pin: the partition-incremental refresh diff uses
+    SYNCED partition versions (`Table._sync_meta` inside
+    partition_versions' caller), so a commit made through a foreign
+    handle of the same directory is picked up and its partition
+    recomputed."""
+    from palo_spark.tables import Table
+
+    a = PaloSession(spark, location_root=wh)
+    a.sql("CREATE TABLE fi (d DATETIME, k BIGINT, g VARCHAR(4), v INT) "
+          "DUPLICATE KEY(d, k) "
+          "AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) () "
+          "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    a.sql("INSERT INTO fi VALUES ('2024-01-01 01:00:00', 1, 'a', 10), "
+          "('2024-01-02 01:00:00', 2, 'b', 20)")
+    a.sql("CREATE MATERIALIZED VIEW fmv BUILD IMMEDIATE REFRESH AUTO "
+          "ON MANUAL AS SELECT g, sum(v) AS sv FROM fi GROUP BY g")
+    t2 = Table.open(spark, a.tables["fi"].location)
+    t2.insert(spark.createDataFrame(
+        [("2024-01-02 05:00:00", 3, "b", 40)],
+        "d string, k long, g string, v int"))
+    a.sql("REFRESH MATERIALIZED VIEW fmv")
+    got = sorted((r.g, r.sv)
+                 for r in a.sql("SELECT g, sv FROM fmv").collect())
+    assert got == [("a", 10), ("b", 60)]
