@@ -418,6 +418,9 @@ _USE_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE)
 _RECOVER_RE = re.compile(
     r"^\s*RECOVER\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_RECYCLE_RE = re.compile(
+    r"^\s*SHOW\s+CATALOG\s+RECYCLE\s+BIN\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_LIKE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?`?(?P<name>\w+)`?\s+"
     r"LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
@@ -2406,6 +2409,28 @@ class PaloSession:
                             "materialized_view string, create_stmt string",
                         )
             raise ValueError(f"unknown materialized view {mvn!r}")
+        if _SHOW_RECYCLE_RE.match(stripped):
+            # Doris SHOW CATALOG RECYCLE BIN — recoverable dropped tables
+            rows = []
+            if self.location_root and os.path.isdir(self.location_root):
+                from palo_spark.tables import _META_FILE
+
+                for entry in sorted(os.listdir(self.location_root)):
+                    d = os.path.join(self.location_root, entry)
+                    if not os.path.isfile(os.path.join(d, _META_FILE)):
+                        continue
+                    try:
+                        t = Table.open(self.spark, d)
+                    except (OSError, TypeError, ValueError):
+                        continue
+                    if t.meta.dropped:
+                        rows.append(
+                            (t.meta.name, "TABLE", t.meta.mutations)
+                        )
+            return self.spark.createDataFrame(
+                rows or [("", "", 0)],
+                "name string, type string, dropped_at_mutation long",
+            ).filter("name <> ''")
         rcv = _RECOVER_RE.match(stripped)
         if rcv:
             name = rcv.group("name").lower()

@@ -132,3 +132,18 @@ def test_incremental_refresh_sees_foreign_commit(spark, wh):
     got = sorted((r.g, r.sv)
                  for r in a.sql("SELECT g, sv FROM fmv").collect())
     assert got == [("a", 10), ("b", 60)]
+
+
+def test_show_catalog_recycle_bin(spark, wh):
+    ps = PaloSession(spark, location_root=wh)
+    assert ps.sql("SHOW CATALOG RECYCLE BIN").count() == 0
+    ps.sql("CREATE TABLE rb1 (k BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE rb2 (k BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("DROP TABLE rb1")
+    got = [(r["name"], r["type"])
+           for r in ps.sql("SHOW CATALOG RECYCLE BIN").collect()]
+    assert got == [("rb1", "TABLE")]
+    ps.sql("RECOVER TABLE rb1")
+    assert ps.sql("SHOW CATALOG RECYCLE BIN").count() == 0
