@@ -58,12 +58,18 @@ def _run(ps, seed: int, phases: int = 12) -> None:
     mv_name: str | None = None
     mv_n = 0
     extra_col_n = 0  # r10 axis: light schema change in the op mix
+    # r10 axis: randomized backup/restore — a restore must reproduce the
+    # dict model EXACTLY as it stood at backup time, regardless of every
+    # mutation in between
+    repo_made = False
+    snapshots: dict[str, dict] = {}
+    snap_n = 0
     for _ in range(phases):
         op = rng.choices(
             ["insert", "create_mv", "drop_mv", "delete", "truncate",
              "overwrite", "update", "rename_table", "add_column",
-             "drop_column"],
-            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4],
+             "drop_column", "backup", "restore_check"],
+            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4, 6, 6],
         )[0]
         if op == "insert":
             rows = [
@@ -123,6 +129,43 @@ def _run(ps, seed: int, phases: int = 12) -> None:
                 continue
             ps.sql(f"ALTER TABLE {name} DROP COLUMN xc{extra_col_n}")
             extra_col_n -= 1
+        elif op == "backup":
+            if not repo_made:
+                import tempfile as _tf
+
+                ps.sql(f"CREATE REPOSITORY fzrepo{seed} WITH LOCATION "
+                       f"'{_tf.mkdtemp(prefix='fzrepo_')}'")
+                repo_made = True
+            snap_n += 1
+            label = f"s{seed}_{snap_n}"
+            ps.sql(f"BACKUP SNAPSHOT {label} TO fzrepo{seed} ON ({name})")
+            # manifest keys the name AT BACKUP TIME (a later table
+            # rename must not orphan the snapshot)
+            snapshots[label] = {
+                "as_name": name,
+                "model": {k: dict(r) for k, r in model.items()},
+            }
+        elif op == "restore_check":
+            if not snapshots:
+                continue
+            label = rng.choice(sorted(snapshots))
+            dst = f"{name}_rst_{label}_{mv_n}{len(model)}"
+            ps.sql(f"RESTORE SNAPSHOT {label} FROM fzrepo{seed} "
+                   f"ON ({snapshots[label]['as_name']} AS {dst})")
+            want: dict[str, float] = {}
+            for row in snapshots[label]["model"].values():
+                want[row["grp"]] = want.get(row["grp"], 0.0) + row["val"]
+            if want:
+                got = {
+                    r["grp"]: r["s"]
+                    for r in ps.sql(
+                        f"SELECT grp, SUM(val) AS s FROM {dst} GROUP BY grp"
+                    ).collect()
+                }
+                assert got == want, (label, got, want)
+            else:
+                assert ps.sql(f"SELECT * FROM {dst}").count() == 0
+            ps.sql(f"DROP TABLE {dst}")
         else:  # rename_table
             new = f"{name}_r{mv_n}{len(model)}"
             ps.sql(f"ALTER TABLE {name} RENAME {new}")
@@ -140,8 +183,10 @@ def _run(ps, seed: int, phases: int = 12) -> None:
 
 
 def test_session_lifecycle_fuzz_seeded(ps):
-    for seed in (11, 12, 13):
-        _run(ps, seed)
+    # 18 phases: enough draws that the low-weight backup/restore axis
+    # actually fires across the seeds
+    for seed in (11, 12, 13, 14):
+        _run(ps, seed, phases=18)
 
 
 def test_result_cache_consistency_fuzz(spark, tmp_path):
