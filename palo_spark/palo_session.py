@@ -1711,6 +1711,9 @@ class PaloSession:
         finally:
             if view is not None:
                 self.spark.catalog.dropTempView(view)
+            # a failed slice write must not leak its staging dir (the
+            # full-recompute fallback would otherwise strand it)
+            _sh.rmtree(parts_dir + ".__tmp", ignore_errors=True)
         mv["part_versions"] = cur
         mv["schema_sig"] = sig
         mv["token"] += 1
