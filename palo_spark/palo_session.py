@@ -156,6 +156,16 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Doris 2.0 join-delete on the UNIQUE model: `DELETE FROM t1 USING t2
+# [JOIN t3 ON ...] WHERE <correlating cond>` — executed upstream as an
+# insert of delete-sign rows selected by the join, which is exactly how
+# the branch below implements it ([docs: delete — DELETE ... USING])
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+`?(?P<name>\w+)`?"
+    r"\s+USING\s+(?P<using>.+?)\s+WHERE\s+(?P<cond>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _INSERT_OVERWRITE_RE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<rest>`?\w+`?.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -2116,6 +2126,50 @@ class PaloSession:
             raise ValueError(f"unknown palo table {name!r}")
         return t
 
+    def _delete_using(self, name: str, using: str, cond: str) -> int:
+        """Doris 2.0 join-delete ([docs: delete — ``DELETE FROM t1 USING
+        t2 ... WHERE ...``], UNIQUE key model only): rows of ``t1``
+        correlated by the USING join are deleted. Upstream executes this
+        as an INSERT of delete-sign rows selected by the join; this does
+        the same — ONE distributed join computes the matched rows, which
+        land as a ``__DORIS_DELETE_SIGN__=1`` rowset, so the read path's
+        existing merge-on-read sign filter applies the delete. The
+        matched side is the rows being deleted (bounded by definition);
+        it is persisted only to avoid recomputing the join between the
+        emptiness probe and the write."""
+        from pyspark.sql import functions as F
+
+        from palo_spark.tables import DELETE_SIGN_COL
+
+        t = self._table(name)
+        if t.meta.keys_type != "UNIQUE":
+            raise ValueError(
+                "DELETE ... USING requires the UNIQUE key model "
+                "(Doris join-delete restriction)"
+            )
+        sel = (
+            f"SELECT DISTINCT `{name}`.* FROM `{name}`, {using} "
+            f"WHERE {cond}"
+        )
+        matched = self._sql_nocache(sel)
+        cols = list(t.meta.key_cols)
+        if t.meta.sequence_col:
+            cols.append(t.meta.sequence_col)
+        cols += [c for c in t.meta.value_cols or [] if c not in cols]
+        batch = matched.select(*cols).persist()
+        try:
+            if not batch.take(1):
+                # nothing matched: commit no rowset (an empty sign rowset
+                # would flip the table onto the sign-filtering read path
+                # forever for nothing)
+                return t.meta.rowsets[-1]["version"] if t.meta.rowsets else 0
+            version = t.insert(batch.withColumn(DELETE_SIGN_COL, F.lit(1)))
+        finally:
+            batch.unpersist()
+        self._refresh_rollups(name, t)
+        self._refresh_view(name.lower())
+        return version
+
     def _update(self, text: str) -> int:
         """``UPDATE t SET c = expr [, ...] [WHERE cond]`` — Doris allows
         UPDATE only on the UNIQUE key model; it is sugar for read →
@@ -2216,6 +2270,14 @@ class PaloSession:
         # VARIANT subscripts likewise rewrite for every statement kind
         # (view bodies, CTAS, INSERT...SELECT — not just queries)
         stripped = self._rewrite_variant_subscripts(stripped)
+        # Doris table-valued functions (local/file/s3/hdfs/numbers) in
+        # FROM position — statement-wide so `INSERT INTO t SELECT ...
+        # FROM S3(...)` (the Doris 2.x load-from-object-store path)
+        # works, not just the tail query path
+        from palo_spark.sources import _TVF_CALL_RE, rewrite_table_functions
+
+        if _TVF_CALL_RE.search(stripped):
+            stripped = rewrite_table_functions(self.spark, stripped)
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
@@ -2766,6 +2828,11 @@ class PaloSession:
                         j["state"] = "STOPPED"
             return None
         if up.startswith("DELETE"):
+            mu = _DELETE_USING_RE.match(stripped)
+            if mu:
+                return self._delete_using(
+                    mu.group("name"), mu.group("using"), mu.group("cond")
+                )
             m = _DELETE_RE.match(stripped)
             if not m:
                 raise ValueError(f"unparsable DELETE (need WHERE): {text!r}")

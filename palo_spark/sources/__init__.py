@@ -285,3 +285,183 @@ def create_bucketed_table(
         .mode(mode)
         .saveAsTable(name)
     )
+
+
+# --------------------------------------------------------------------------
+# Doris table-valued functions in FROM position ([docs: sql-functions/
+# table-functions — local, s3, hdfs, file, numbers]; Doris 2.x load/query
+# path `SELECT * FROM S3(...)` / `INSERT INTO t SELECT * FROM local(...)`).
+#
+# Spark-first mapping: a TVF call site in the SQL *text* is rewritten (once,
+# driver-side) into a registered temp view over the matching `spark.read`
+# scan, so the tail plan is an ordinary FileScan — pushdown/pruning and the
+# 100 TB execution path are identical to a native `FROM` table. `s3()`/
+# `hdfs()` pass their URI straight to the Spark reader (on a cluster the
+# s3a/hdfs filesystem connector resolves it — exactly how Spark reads S3);
+# credential props map onto the standard hadoop-conf keys.
+
+_TVF_CALL_RE_SRC = r"\b(?P<fn>local|file|s3|hdfs|numbers)\s*\("
+import re as _re
+
+_TVF_CALL_RE = _re.compile(_TVF_CALL_RE_SRC, _re.IGNORECASE)
+_TVF_PROP_RE = _re.compile(
+    r"^\s*(?:'(?P<k1>[^']*)'|\"(?P<k2>[^\"]*)\")\s*=\s*"
+    r"(?:'(?P<v1>[^']*)'|\"(?P<v2>[^\"]*)\")\s*$"
+)
+
+#: s3()/hdfs() credential/endpoint props → hadoop conf keys (the standard
+#: spark-on-S3 configuration surface; inert when the connector jar is not
+#: on the classpath, e.g. this test box)
+_S3_CONF_MAP = {
+    "s3.access_key": "fs.s3a.access.key",
+    "s3.secret_key": "fs.s3a.secret.key",
+    "s3.endpoint": "fs.s3a.endpoint",
+    "s3.region": "fs.s3a.endpoint.region",
+}
+
+
+def table_function_read(spark: SparkSession, fn: str, props: dict) -> DataFrame:
+    """Execute one Doris TVF (already-parsed ``"k"="v"`` props) as a
+    Spark scan. ``numbers`` → ``spark.range``; file TVFs → the format
+    reader. CSV without a header names columns ``c1..cN`` (Doris
+    convention); ``csv_with_names`` reads the header row."""
+    fn = fn.lower()
+    props = {k.lower(): v for k, v in props.items()}
+    if fn == "numbers":
+        cnt = int(props.get("number", "0"))
+        df = spark.range(cnt).select(F.col("id").alias("number"))
+        if "const_value" in props:
+            df = df.select(
+                F.lit(int(props["const_value"])).alias("number")
+            )
+        return df
+    path = props.get("file_path") or props.get("uri")
+    if not path:
+        raise ValueError(
+            f"{fn}() needs a 'file_path' (local/file) or 'uri' (s3/hdfs) "
+            "property"
+        )
+    if fn in ("s3", "hdfs"):
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, hk in _S3_CONF_MAP.items():
+            if k in props:
+                hconf.set(hk, props[k])
+    fmt = props.get("format", "csv").lower()
+    reader = spark.read
+    if fmt in ("csv", "csv_with_names"):
+        sep = props.get("column_separator", ",")
+        df = reader.options(
+            header=str(fmt == "csv_with_names").lower(), sep=sep,
+            inferSchema="false",
+        ).csv(path)
+        if fmt == "csv":
+            df = df.toDF(*[f"c{i + 1}" for i in range(len(df.columns))])
+        return df
+    if fmt == "json":
+        return reader.json(path)
+    if fmt in ("parquet", "orc"):
+        return reader.format(fmt).load(path)
+    raise ValueError(f"unsupported TVF format {fmt!r}")
+
+
+def rewrite_table_functions(spark: SparkSession, text: str) -> str:
+    """Rewrite every Doris TVF call site in ``text`` into a registered
+    temp-view name. A candidate is only treated as a TVF when every
+    call argument is a ``"key"="value"`` string-literal pair — the shape
+    no scalar-function call shares — so columns or functions that merely
+    share a name (``file``, ``s3``) pass through untouched."""
+    if not _TVF_CALL_RE.search(text):
+        return text
+    out: list[str] = []
+    i, n = 0, len(text)
+    prev = ""  # last non-space char emitted (word-boundary/qualifier guard)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 2 if text[j] == "\\" and ch != "`" else 1
+            out.append(text[i : j + 1])
+            prev = ch
+            i = j + 1
+            continue
+        # `\b` in the pattern (matched against the ORIGINAL text) already
+        # rejects `xlocal(`; the prev guard rejects qualified refs like
+        # `db.local(` and backtick-adjacent `` `x`local( ``
+        m = _TVF_CALL_RE.match(text, i)
+        if m and prev not in (".", "`"):
+            close = _match_call_paren(text, m.end() - 1)
+            if close is not None:
+                props = _parse_tvf_props(text[m.end() : close])
+                if props is not None:
+                    view = _register_tvf(spark, m.group("fn"), props)
+                    out.append(view)
+                    prev = view[-1]
+                    i = close + 1
+                    continue
+        out.append(ch)
+        if not ch.isspace():
+            prev = ch
+        i += 1
+    return "".join(out)
+
+
+def _match_call_paren(text: str, open_i: int) -> int | None:
+    depth = 0
+    i, n = open_i, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 2 if text[j] == "\\" and ch != "`" else 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def _parse_tvf_props(arg_text: str) -> dict | None:
+    props: dict = {}
+    if not arg_text.strip():
+        return None
+    # split at top-level commas, respecting quotes (props are flat —
+    # nested parens mean this is NOT a TVF call)
+    args, buf, i, n = [], [], 0, len(arg_text)
+    while i < n:
+        ch = arg_text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and arg_text[j] != ch:
+                j += 2 if arg_text[j] == "\\" else 1
+            buf.append(arg_text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == ",":
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    args.append("".join(buf))
+    for a in args:
+        pm = _TVF_PROP_RE.match(a)
+        if pm is None:
+            return None
+        k = pm.group("k1") if pm.group("k1") is not None else pm.group("k2")
+        v = pm.group("v1") if pm.group("v1") is not None else pm.group("v2")
+        props[k] = v
+    return props
+
+
+def _register_tvf(spark: SparkSession, fn: str, props: dict) -> str:
+    key = (fn.lower(), tuple(sorted(props.items())))
+    view = f"__tvf_{fn.lower()}_{abs(hash(key)) % 10**8}"
+    table_function_read(spark, fn, props).createOrReplaceTempView(view)
+    return view

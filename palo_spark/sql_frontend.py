@@ -830,5 +830,9 @@ def translate(sql_text: str) -> str:
 def doris_sql(spark, sql_text: str):
     """Run Doris-dialect SQL text on Spark (tables must be resolvable —
     register fixture tables first via :func:`palo_spark.catalog.
-    register_views`)."""
-    return spark.sql(translate(sql_text))
+    register_views`). Doris table-valued functions in FROM position
+    (``local``/``file``/``s3``/``hdfs``/``numbers``) resolve to
+    registered scans first — see :mod:`palo_spark.sources`."""
+    from palo_spark.sources import rewrite_table_functions
+
+    return spark.sql(translate(rewrite_table_functions(spark, sql_text)))

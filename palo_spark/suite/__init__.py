@@ -75,6 +75,10 @@ _R10_ADDITIONS = [
     "sql_array_column_roundtrip",
     "sql_async_mv_partition_refresh",
     "sql_session_reattach",
+    "sql_tvf_numbers",
+    "sql_tvf_local_parquet",
+    "sql_tvf_csv_columns",
+    "sql_delete_using_join",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -1635,3 +1635,162 @@ ORACLE["sql_session_reattach"] = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+
+# --- Doris table-valued functions + join-delete (r10 continuation) ---------
+
+
+def _sql_tvf_numbers(spark, sf_dir):
+    """Doris ``numbers()`` TVF ([docs: sql-functions/table-functions/
+    numbers]) through the SQL text path: the call site rewrites to a
+    ``spark.range`` scan (DATA_GEN_SCAN — zero I/O, parallel range), so
+    the tail plan is a native Range → Filter → Project. Exact ints."""
+    return doris_sql(
+        spark,
+        'SELECT number AS n, number * number AS sq '
+        'FROM numbers("number" = "50") '
+        'WHERE number % 7 = 0 ORDER BY n',
+    )
+
+
+QUERIES["sql_tvf_numbers"] = _sql_tvf_numbers
+ORACLE["sql_tvf_numbers"] = """
+    SELECT n, n * n AS sq
+    FROM range(0, 50) t(n)
+    WHERE n % 7 = 0
+    ORDER BY n
+"""
+
+
+def _sql_tvf_local_parquet(spark, sf_dir):
+    """Doris ``local()``/``S3()`` file TVF ([docs: sql-functions/
+    table-functions/local, s3] — `SELECT ... FROM local("file_path"=...,
+    "format"="parquet")`): the call rewrites to a registered parquet
+    scan, so filters/projection push into the FileScan exactly like a
+    named table. The oracle reads the same rows via the fixture view.
+    Exact: integer cents, counts."""
+    register_views(spark, sf_dir)
+    return doris_sql(
+        spark,
+        f'''
+        SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS qty_cents
+        FROM local("file_path" = "{sf_dir}/lineitem.parquet",
+                   "format" = "parquet")
+        WHERE l_quantity < 10
+        GROUP BY l_returnflag
+        ORDER BY flag
+        ''',
+    )
+
+
+QUERIES["sql_tvf_local_parquet"] = _sql_tvf_local_parquet
+ORACLE["sql_tvf_local_parquet"] = """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY l_returnflag
+    ORDER BY flag
+"""
+
+
+def _sql_tvf_csv_columns(spark, sf_dir):
+    """Doris csv TVF column naming (``c1..cN`` when the file has no
+    header, [docs: table-functions/local]): write nation's key+name as
+    headerless ``|``-separated CSV, read it back through ``local()``
+    with ``column_separator``, and select by positional names. The
+    oracle states the same rows from the nation fixture."""
+    import tempfile as _tf4
+
+    from palo_spark.catalog import load_table
+
+    register_views(spark, sf_dir)
+    d = _tf4.mkdtemp(prefix="palo_tvf_csv_")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").option("sep", "|").csv(d)
+    return doris_sql(
+        spark,
+        f'''
+        SELECT CAST(c1 AS BIGINT) AS n_nationkey, c2 AS n_name
+        FROM local("file_path" = "{d}", "format" = "csv",
+                   "column_separator" = "|")
+        ORDER BY n_nationkey
+        ''',
+    )
+
+
+QUERIES["sql_tvf_csv_columns"] = _sql_tvf_csv_columns
+ORACLE["sql_tvf_csv_columns"] = """
+    SELECT n_nationkey, n_name
+    FROM nation
+    ORDER BY n_nationkey
+"""
+
+
+def _sql_delete_using_join(spark, sf_dir):
+    """Doris 2.0 join-delete ([docs: delete — ``DELETE FROM t1 USING t2
+    WHERE ...``], UNIQUE model): customers with any F-status order are
+    deleted via one distributed join that lands as a delete-sign rowset
+    (upstream's own execution strategy); the surviving aggregate must
+    equal the oracle's NOT IN anti-join over the raw fixtures. Exact:
+    integer cents, counts."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    c = load_table(spark, sf_dir, "customer")
+    t = ps._create_table(
+        "CREATE TABLE du_cust (`c_custkey` BIGINT, `c_mktsegment` "
+        "VARCHAR(10), `bal_cents` BIGINT) UNIQUE KEY(c_custkey) "
+        "DISTRIBUTED BY HASH(c_custkey) BUCKETS 8"
+    )
+    t.insert(
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    ps._refresh_view("du_cust")
+    o = load_table(spark, sf_dir, "orders")
+    t2 = ps._create_table(
+        "CREATE TABLE du_ord (`o_orderkey` BIGINT, `o_custkey` BIGINT, "
+        "`o_orderstatus` VARCHAR(1)) DUPLICATE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t2.insert(o.select("o_orderkey", "o_custkey", "o_orderstatus"))
+    ps._refresh_view("du_ord")
+    ps.sql(
+        "DELETE FROM du_cust USING du_ord "
+        "WHERE du_cust.c_custkey = du_ord.o_custkey "
+        "AND du_ord.o_orderstatus = 'F'"
+    )
+    return ps.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n_cust, "
+        "SUM(bal_cents) AS sum_cents FROM du_cust "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+
+
+QUERIES["sql_delete_using_join"] = _sql_delete_using_join
+ORACLE["sql_delete_using_join"] = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
