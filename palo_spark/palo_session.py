@@ -1287,7 +1287,11 @@ class PaloSession:
         catalog — directly via a ``cat__tbl`` view, or indirectly via a
         session view flagged in ``_catalog_views``. Gates the result
         cache: catalog files carry no mutation ledger, so such reads
-        must never be cached."""
+        must never be cached. Table-valued-function scans (``__tvf_``
+        views) are the same class — external files, no ledger — so they
+        join the gate."""
+        if "__tvf_" in text:
+            return True
         if self.catalogs and any(f"{n}__" in text for n in self.catalogs):
             return True
         return any(
@@ -3335,6 +3339,18 @@ class PaloSession:
         for _nm, _t in list(self.tables.items()):
             if self._view_tokens.get(_nm) != _t.state_token():
                 self._refresh_view(_nm)
+        # TVF freshness through stored view bodies: a session view over
+        # a table-valued function holds a `__tvf_` name whose temp view
+        # pinned the external file listing at CREATE time — re-register
+        # any such view this statement reaches, so a replaced/extended
+        # external file is re-listed (Doris TVFs read at query time).
+        # Direct TVF calls in the statement were already re-registered
+        # fresh by the rewrite at the top of sql().
+        if self.views and any("__tvf_" in b for b in self.views.values()):
+            from palo_spark.sources import refresh_tvf_views
+
+            _, _vp = self._expand_view_refs(ref_text)
+            refresh_tvf_views(self.spark, [b for _, b in _vp])
         self.last_cache_hit = False
         key = None
         touches_catalog = self._text_touches_catalog(stripped)

@@ -460,8 +460,39 @@ def _parse_tvf_props(arg_text: str) -> dict | None:
     return props
 
 
+#: every TVF view ever registered in this process: view name -> (fn,
+#: props). Lets a session RE-REGISTER a TVF view before serving a
+#: statement that reaches it through a stored body (a session view over
+#: a TVF) — the temp view's plan pins the file listing at registration
+#: time, so without a refresh a replaced external file crashes the read
+#: (FAILED_READ_FILE) or serves stale rows. Names are deterministic
+#: content digests, so re-registration is idempotent.
+_TVF_REGISTRY: dict[str, tuple[str, dict]] = {}
+
+_TVF_VIEW_RE = _re.compile(r"\b__tvf_\w+\b")
+
+
 def _register_tvf(spark: SparkSession, fn: str, props: dict) -> str:
-    key = (fn.lower(), tuple(sorted(props.items())))
-    view = f"__tvf_{fn.lower()}_{abs(hash(key)) % 10**8}"
+    import hashlib
+
+    key = repr((fn.lower(), tuple(sorted(props.items()))))
+    view = f"__tvf_{fn.lower()}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     table_function_read(spark, fn, props).createOrReplaceTempView(view)
+    _TVF_REGISTRY[view] = (fn, dict(props))
     return view
+
+
+def refresh_tvf_views(spark: SparkSession, texts) -> None:
+    """Re-register every known TVF view named in any of ``texts`` (the
+    statement plus any session-view bodies it reaches): a fresh
+    ``spark.read`` re-lists the external files, so mutations under the
+    path are visible — Doris TVF semantics are read-at-query-time."""
+    seen: set[str] = set()
+    for t in texts:
+        for v in _TVF_VIEW_RE.findall(t):
+            if v in seen:
+                continue
+            seen.add(v)
+            reg = _TVF_REGISTRY.get(v)
+            if reg is not None:
+                table_function_read(spark, *reg).createOrReplaceTempView(v)

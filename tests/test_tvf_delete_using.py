@@ -224,3 +224,91 @@ def test_plain_delete_with_using_in_literal_still_parses(spark, sf_dir):
     ps._refresh_view("dlit")
     ps.sql("DELETE FROM dlit WHERE v = 'USING'")
     assert [r.k for r in ps.sql("SELECT k FROM dlit").collect()] == [2]
+
+
+def test_tvf_result_cache_never_stale(spark):
+    """External files have no mutation ledger, so TVF-touching
+    statements must bypass the result cache (same class as external
+    catalogs) — directly and through a session view."""
+    ps = PaloSession(spark, result_cache=True)
+    d = tempfile.mkdtemp(prefix="tvf_cache_pin_")
+    spark.createDataFrame([(1,), (2,)], "x bigint").write.mode(
+        "overwrite"
+    ).parquet(d)
+    q = (
+        f'SELECT COUNT(*) AS n FROM local("file_path"="{d}", '
+        '"format"="parquet")'
+    )
+    assert ps.sql(q).collect()[0].n == 2
+    spark.createDataFrame([(1,), (2,), (3,)], "x bigint").write.mode(
+        "overwrite"
+    ).parquet(d)
+    assert ps.sql(q).collect()[0].n == 3
+    ps.sql(
+        f'CREATE VIEW v_tvf_pin AS SELECT x FROM local("file_path"="{d}", '
+        '"format"="parquet")'
+    )
+    assert ps.sql("SELECT COUNT(*) AS n FROM v_tvf_pin").collect()[0].n == 3
+    spark.createDataFrame([(9,), (8,), (7,), (6,)], "x bigint").write.mode(
+        "overwrite"
+    ).parquet(d)
+    assert ps.sql("SELECT COUNT(*) AS n FROM v_tvf_pin").collect()[0].n == 4
+
+
+def test_view_over_tvf_relists_replaced_files(spark):
+    """A session view over a TVF must re-list the external path per
+    query — a fully REPLACED file set (new part-file names) previously
+    crashed with FAILED_READ_FILE off the listing pinned at CREATE
+    VIEW time."""
+    ps = PaloSession(spark)
+    d = tempfile.mkdtemp(prefix="tvf_relist_pin_")
+    spark.createDataFrame([(1,), (2,)], "x bigint").write.mode(
+        "overwrite"
+    ).parquet(d)
+    ps.sql(
+        f'CREATE VIEW v_tvf_rl AS SELECT x FROM local("file_path"="{d}", '
+        '"format"="parquet")'
+    )
+    assert ps.sql("SELECT COUNT(*) AS n FROM v_tvf_rl").collect()[0].n == 2
+    spark.createDataFrame([(9,), (8,), (7,)], "x bigint").write.mode(
+        "overwrite"
+    ).parquet(d)
+    assert ps.sql("SELECT COUNT(*) AS n FROM v_tvf_rl").collect()[0].n == 3
+
+
+def test_delete_using_sequence_col_semantics(spark):
+    """Join-delete on a sequence_col table carries the CURRENT sequence
+    value, so a later lower-sequence load must NOT resurrect the key
+    while a higher-sequence load must."""
+    ps = PaloSession(spark)
+    t = ps._create_table(
+        "CREATE TABLE sqd (`k` BIGINT, `s` BIGINT, `v` VARCHAR(5)) "
+        "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2 "
+        "PROPERTIES('function_column.sequence_col'='s')"
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b")], "k bigint, s bigint, v string"
+        )
+    )
+    ps._refresh_view("sqd")
+    ps._create_table(
+        "CREATE TABLE sqd2 (`k` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.tables["sqd2"].insert(spark.createDataFrame([(2,)], "k bigint"))
+    ps._refresh_view("sqd2")
+    ps.sql("DELETE FROM sqd USING sqd2 WHERE sqd.k = sqd2.k")
+    t.insert(
+        spark.createDataFrame([(2, 5, "low")], "k bigint, s bigint, v string")
+    )
+    ps._refresh_view("sqd")
+    assert sorted(r.k for r in ps.sql("SELECT k FROM sqd").collect()) == [1]
+    t.insert(
+        spark.createDataFrame([(2, 20, "hi")], "k bigint, s bigint, v string")
+    )
+    ps._refresh_view("sqd")
+    got = dict(
+        (r.k, r.v) for r in ps.sql("SELECT k, v FROM sqd").collect()
+    )
+    assert got == {1: "a", 2: "hi"}
