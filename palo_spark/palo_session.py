@@ -872,9 +872,12 @@ class PaloSession:
         restored table gets a fresh lineage nonce — it is a different
         object from whatever currently bears the name elsewhere, so
         result-cache keys can never collide — and rowset paths are
-        rebased onto the restore location. Restoring onto an existing
-        table name is refused (upstream restores into a new/OLAP-off
-        table the same way)."""
+        rebased onto the restore location. Restoring onto a LIVE table
+        name is the upstream in-place form: the snapshot state replaces
+        the table, the displaced incarnation is tombstoned into the
+        recycle bin (recoverable, re-attach-consistent), and the swap
+        propagates to rollups and ON COMMIT async MVs. Only views and
+        async-MV names are refused."""
         if repo not in self.repositories:
             raise ValueError(f"unknown repository {repo!r}")
         snapdir = os.path.join(self.repositories[repo], label)
@@ -891,7 +894,10 @@ class PaloSession:
                 raise ValueError(
                     f"snapshot {label!r} does not contain table {src!r}"
                 )
-            if dst in self.tables or dst in self.views or dst in self.async_mvs:
+            # restoring onto an EXISTING TABLE is the upstream in-place
+            # form (overwrite with the snapshot state); only views and
+            # async MVs may not be clobbered by a table restore
+            if dst in self.views or dst in self.async_mvs:
                 raise ValueError(f"name {dst!r} already taken")
         for src, dst in specs:
             src, dst = src.lower(), dst.lower()
@@ -927,7 +933,23 @@ class PaloSession:
             if entry.get("declared_schema"):
                 t._declared_schema = entry["declared_schema"]  # type: ignore[attr-defined]
             t._variant_cols = set(entry.get("variant_cols", ()))  # type: ignore[attr-defined]
+            # in-place form: the restored object REPLACES the live table
+            # under the name (upstream overwrite-restore). The displaced
+            # table's storage is left on disk — this session does not
+            # reclaim data directories — and the fresh lineage nonce
+            # plus _refresh_view make the swap cache-safe and propagate
+            # it to rollups and ON COMMIT async MVs.
+            displaced = self.tables.get(dst)
+            if displaced is not None:
+                # tombstone the displaced incarnation (recycle bin): a
+                # session re-attach over this warehouse must resolve the
+                # name to the RESTORED directory, and the old data stays
+                # recoverable the same way a DROP is
+                displaced.meta.dropped = True
+                displaced._save_meta()
             self.tables[dst] = t
+            if displaced is not None:
+                self._refresh_rollups(dst, t)
             self._refresh_view(dst)
         return None
 

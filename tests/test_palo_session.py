@@ -1994,7 +1994,7 @@ def test_backup_restore_snapshot(ps, tmp_path):
     backup/restore]): a snapshot captures the table state AT BACKUP
     TIME (rowsets + meta: deletes, delete-sign, schema changes); a
     restore rebases it as an independent table with a fresh lineage;
-    labels are one-shot; restore onto a taken name is refused; DROP
+    labels are one-shot; restore onto a live table is in-place; DROP
     REPOSITORY keeps the backed-up files."""
     from palo_spark.tables import DELETE_SIGN_COL
 
@@ -2020,11 +2020,13 @@ def test_backup_restore_snapshot(ps, tmp_path):
     ps.sql("INSERT INTO bt2 (k, v, w) VALUES (7, 70, 7)")
     assert ps.sql("SELECT count(*) AS n FROM bt").collect()[0]["n"] == 2
     assert ps.tables["bt2"].meta.lineage != ps.tables["bt"].meta.lineage
-    # one-shot labels; name collisions refused; SHOW lists the snapshot
+    # one-shot labels; SHOW lists the snapshot
     with pytest.raises(ValueError, match="already exists"):
         ps.sql("BACKUP SNAPSHOT s1 TO r1 ON (bt)")
-    with pytest.raises(ValueError, match="already taken"):
-        ps.sql("RESTORE SNAPSHOT s1 FROM r1 ON (bt)")
+    # restore onto the LIVE name is the in-place form: snapshot state
+    # replaces the table (post-backup mutations vanish)
+    ps.sql("RESTORE SNAPSHOT s1 FROM r1 ON (bt)")
+    assert ps.sql("SELECT count(*) AS n FROM bt").collect()[0]["n"] == 1
     got = ps.sql("SHOW SNAPSHOT ON r1").collect()
     assert [(r["snapshot"], r["tables"]) for r in got] == [("s1", "bt")]
     # DROP REPOSITORY drops the reference, not the data
@@ -2244,3 +2246,63 @@ def test_rewrite_rollup_precedence_and_nested_export(ps, tmp_path):
     ps.sql(f"EXPORT TABLE ne TO '{out}'")
     r = ps.spark.read.parquet(out).collect()[0]
     assert r["tags"] == ["x"] and r["m"] == {"a": 1}
+
+
+def test_restore_in_place_overwrites_live_table(spark):
+    """RESTORE onto an existing table name is the upstream in-place
+    form: the snapshot state replaces the live table, post-backup
+    mutations vanish, the displaced incarnation lands in the recycle
+    bin, ON COMMIT async MVs refresh, and a session re-attach resolves
+    the name to the restored directory."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="wh_inplace_")
+    ps = PaloSession(spark, location_root=wh, result_cache=True)
+    t = ps._create_table(
+        "CREATE TABLE ipr (`k` BIGINT, `v` BIGINT) UNIQUE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    t.insert(spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"))
+    ps._refresh_view("ipr")
+    repo = tempfile.mkdtemp(prefix="repo_inplace_")
+    ps.sql(f"CREATE REPOSITORY ipr_repo WITH LOCATION '{repo}'")
+    ps.sql("BACKUP SNAPSHOT ips TO ipr_repo ON (ipr)")
+    # warm the result cache, then poison past the snapshot
+    assert ps.sql("SELECT SUM(v) AS s FROM ipr").collect()[0].s == 30
+    ps.sql("INSERT INTO ipr VALUES (3, 30)")
+    ps.sql(
+        "CREATE MATERIALIZED VIEW ipr_mv BUILD IMMEDIATE REFRESH "
+        "COMPLETE ON COMMIT AS SELECT SUM(v) AS s FROM ipr"
+    )
+    assert ps.sql("SELECT s FROM ipr_mv").collect()[0].s == 60
+    ps.sql("RESTORE SNAPSHOT ips FROM ipr_repo ON (ipr)")
+    # snapshot state serves (no stale cache hit on the old lineage)
+    assert ps.sql("SELECT SUM(v) AS s FROM ipr").collect()[0].s == 30
+    # ON COMMIT MV refreshed by the swap
+    assert ps.sql("SELECT s FROM ipr_mv").collect()[0].s == 30
+    # re-attach resolves to the restored directory, not the displaced one
+    ps2 = PaloSession(spark, location_root=wh)
+    assert ps2.sql("SELECT SUM(v) AS s FROM ipr").collect()[0].s == 30
+    # displaced incarnation is recoverable via the recycle bin listing
+    assert ps2.sql("SHOW CATALOG RECYCLE BIN").count() >= 1
+
+
+def test_restore_in_place_refuses_views_and_mvs(spark):
+    """A table restore may not clobber a view or an async MV name."""
+    import tempfile
+
+    import pytest as _pt
+
+    ps = PaloSession(spark)
+    t = ps._create_table(
+        "CREATE TABLE iprv (`k` BIGINT, `v` BIGINT) UNIQUE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    t.insert(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    ps._refresh_view("iprv")
+    repo = tempfile.mkdtemp(prefix="repo_inplace2_")
+    ps.sql(f"CREATE REPOSITORY iprv_repo WITH LOCATION '{repo}'")
+    ps.sql("BACKUP SNAPSHOT ips2 TO iprv_repo ON (iprv)")
+    ps.sql("CREATE VIEW iprv_view AS SELECT k FROM iprv")
+    with _pt.raises(ValueError, match="already taken"):
+        ps.sql("RESTORE SNAPSHOT ips2 FROM iprv_repo ON (iprv AS iprv_view)")
