@@ -2306,3 +2306,34 @@ def test_restore_in_place_refuses_views_and_mvs(spark):
     ps.sql("CREATE VIEW iprv_view AS SELECT k FROM iprv")
     with _pt.raises(ValueError, match="already taken"):
         ps.sql("RESTORE SNAPSHOT ips2 FROM iprv_repo ON (iprv AS iprv_view)")
+
+
+def test_restore_in_place_disarms_mv_rewrite(spark):
+    """Transparent async-MV rewrite must NOT fire after an in-place
+    restore of the base: the restored lineage/token no longer matches
+    the one recorded at materialization, so the (pre-restore) snapshot
+    is unprovably fresh and the query falls back to the base tables."""
+    import tempfile
+
+    ps = PaloSession(spark)
+    t = ps._create_table(
+        "CREATE TABLE mvrw (`k` BIGINT, `v` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    t.insert(spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"))
+    ps._refresh_view("mvrw")
+    repo = tempfile.mkdtemp(prefix="repo_mvrw_")
+    ps.sql(f"CREATE REPOSITORY mvrw_repo WITH LOCATION '{repo}'")
+    ps.sql("BACKUP SNAPSHOT mvrw_s TO mvrw_repo ON (mvrw)")
+    ps.sql(
+        "CREATE MATERIALIZED VIEW mvrw_mv BUILD IMMEDIATE REFRESH "
+        "COMPLETE ON MANUAL AS SELECT k, SUM(v) AS s FROM mvrw GROUP BY k"
+    )
+    q = "SELECT k, SUM(v) AS s FROM mvrw GROUP BY k"
+    ps.sql(q).collect()
+    assert ps.last_mv_rewrite == "mvrw_mv"
+    ps.sql("INSERT INTO mvrw VALUES (3, 30)")
+    ps.sql("RESTORE SNAPSHOT mvrw_s FROM mvrw_repo ON (mvrw)")
+    rows = sorted((r.k, r.s) for r in ps.sql(q).collect())
+    assert ps.last_mv_rewrite is None
+    assert rows == [(1, 10), (2, 20)]
