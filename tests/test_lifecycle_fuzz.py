@@ -68,8 +68,9 @@ def _run(ps, seed: int, phases: int = 12) -> None:
         op = rng.choices(
             ["insert", "create_mv", "drop_mv", "delete", "truncate",
              "overwrite", "update", "rename_table", "add_column",
-             "drop_column", "backup", "restore_check"],
-            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4, 6, 6],
+             "drop_column", "backup", "restore_check",
+             "restore_in_place"],
+            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4, 6, 6, 5],
         )[0]
         if op == "insert":
             rows = [
@@ -144,6 +145,10 @@ def _run(ps, seed: int, phases: int = 12) -> None:
             snapshots[label] = {
                 "as_name": name,
                 "model": {k: dict(r) for k, r in model.items()},
+                # schema-change counter AT BACKUP TIME: an in-place
+                # restore rewinds the xcN columns too, so the drop
+                # pointer must rewind with it
+                "extra_col_n": extra_col_n,
             }
         elif op == "restore_check":
             if not snapshots:
@@ -166,6 +171,21 @@ def _run(ps, seed: int, phases: int = 12) -> None:
             else:
                 assert ps.sql(f"SELECT * FROM {dst}").count() == 0
             ps.sql(f"DROP TABLE {dst}")
+        elif op == "restore_in_place":
+            # r10-continuation axis: RESTORE onto the LIVE name — the
+            # session must serve the model AS OF BACKUP TIME afterwards
+            # (every mutation since vanishes; a live sync MV must be
+            # re-derived by the swap, which _check asserts through the
+            # MV-answer path)
+            candidates = [
+                lb for lb, s in snapshots.items() if s["as_name"] == name
+            ]
+            if not candidates:
+                continue
+            label = rng.choice(candidates)
+            ps.sql(f"RESTORE SNAPSHOT {label} FROM fzrepo{seed} ON ({name})")
+            model = {k: dict(r) for k, r in snapshots[label]["model"].items()}
+            extra_col_n = snapshots[label]["extra_col_n"]
         else:  # rename_table
             new = f"{name}_r{mv_n}{len(model)}"
             ps.sql(f"ALTER TABLE {name} RENAME {new}")
@@ -220,6 +240,15 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         "overwrite").parquet(str(root / "e.parquet"))
     ps.sql(f"CREATE CATALOG fzc PROPERTIES ('type'='parquet_dir', "
            f"'root'='{root}')")
+    # r10-continuation axis: a table-valued-function scan over an
+    # external dir the fuzzer rewrites underneath — TVF reads carry no
+    # mutation ledger, so they must never be served from the cache,
+    # directly or through a session view
+    tdir = tmp_path / "tvfdata"
+    spark.range(4).selectExpr("id AS x").write.mode("overwrite").parquet(
+        str(tdir))
+    ps.sql(f'CREATE VIEW fztv AS SELECT x FROM local('
+           f'"file_path"="{tdir}", "format"="parquet")')
     probes = [
         "SELECT count(*) AS n FROM fz",
         "SELECT s FROM fzv",
@@ -229,6 +258,10 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         "SELECT v, count(*) AS n FROM fz GROUP BY v",
         # never cached (catalog) — stale would mean the gate broke
         "SELECT sum(v2) AS sv FROM fzc.e",
+        # never cached (TVF — direct and view-wrapped)
+        f'SELECT count(*) AS tn FROM local("file_path"="{tdir}", '
+        '"format"="parquet")',
+        "SELECT count(*) AS tvn FROM fztv",
     ]
     # r10: a SECOND session attached to the same warehouse — its
     # commits go through its own Table handles, exercising the
@@ -240,7 +273,8 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         op = rng.choice(
             ["insert", "insert", "delete", "truncate", "drop_recreate",
              "replace_view", "set_tz", "amv_create", "amv_refresh",
-             "amv_drop_recreate", "cat_swap", "foreign_insert"]
+             "amv_drop_recreate", "cat_swap", "foreign_insert",
+             "tvf_swap"]
         )
         if op == "insert":
             k += 1
@@ -279,6 +313,11 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
             ps.sql("CREATE MATERIALIZED VIEW fzamv REFRESH COMPLETE AS "
                    f"SELECT v, count(*) * {rng.randint(2, 5)} AS n "
                    "FROM fz GROUP BY v")
+        elif op == "tvf_swap":
+            # rewrite the TVF's external files (new part-file names AND
+            # a new row count): the next TVF probe must see it
+            spark.range(rng.randint(1, 9)).selectExpr(
+                "id AS x").write.mode("overwrite").parquet(str(tdir))
         elif op == "cat_swap":
             n = rng.randint(2, 6)
             spark.range(n).selectExpr("id AS k", "id * 3 AS v2").write.mode(
