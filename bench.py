@@ -142,6 +142,11 @@ HEADLINE = [
     "sql_async_mv_transparent_rewrite",
     "variant_shred_events",
     "sql_async_mv_partition_refresh",
+    # r10 continuation: table-valued-function file scan (must plan as
+    # a plain pushed-down FileScan) and the UNIQUE-model join-delete
+    # (one distributed join landing as a delete-sign rowset)
+    "sql_tvf_local_parquet",
+    "sql_delete_using_join",
 ]
 
 

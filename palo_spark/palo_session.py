@@ -166,6 +166,32 @@ _DELETE_USING_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# Doris 2.1 scheduled jobs ([docs: job-scheduler — CREATE JOB ... ON
+# SCHEDULE ... DO <insert>]): AT one-shot or EVERY-interval recurring,
+# controlled via PAUSE/RESUME/DROP JOB WHERE jobname = '...', inspected
+# via the jobs()/tasks() metadata TVFs
+_CREATE_JOB_RE = re.compile(
+    r"^\s*CREATE\s+JOB\s+`?(?P<name>\w+)`?\s+ON\s+SCHEDULE\s+"
+    r"(?:AT\s+'(?P<at>[^']+)'"
+    r"|EVERY\s+(?P<n>\d+)\s+(?P<unit>SECOND|MINUTE|HOUR|DAY|WEEK)S?"
+    r"(?:\s+STARTS\s+'(?P<starts>[^']+)')?"
+    r"(?:\s+ENDS\s+'(?P<ends>[^']+)')?)"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+    r"\s+DO\s+(?P<do>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_JOB_CTL_RE = re.compile(
+    r"^\s*(?P<op>PAUSE|RESUME|DROP)\s+JOB\s+WHERE\s+`?jobname`?\s*=\s*"
+    r"['\"](?P<name>\w+)['\"]\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_JOB_UNIT_S = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    "week": 7 * 86400,
+}
+
 _INSERT_OVERWRITE_RE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<rest>`?\w+`?.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -552,6 +578,12 @@ class PaloSession:
         #: States follow the upstream FE job FSM: RUNNING ⇄ PAUSED →
         #: STOPPED (terminal).
         self.routine_jobs: dict[str, dict] = {}
+        #: Doris 2.1 scheduled insert jobs (CREATE JOB ... DO INSERT):
+        #: name -> {kind, interval_s, next_run, ends, do, state, tasks}.
+        #: Executed by tick_jobs() — the scheduler loop a deployment
+        #: runs on a timer; tests pass an explicit `now` for
+        #: deterministic replay.
+        self.insert_jobs: dict[str, dict] = {}
         #: backup repositories (CREATE REPOSITORY ... WITH LOCATION —
         #: filesystem-lite stand-in for Doris's broker/S3 repos):
         #: name → directory. Snapshots live at <dir>/<label>/.
@@ -1153,6 +1185,124 @@ class PaloSession:
         }
         self._drain_routine(job)
         return None
+
+    @staticmethod
+    def _job_ts(text: str):
+        from datetime import datetime as _dt
+
+        return _dt.fromisoformat(text.strip())
+
+    def _create_job(self, m) -> None:
+        """Doris 2.1 ``CREATE JOB name ON SCHEDULE (AT 'ts' | EVERY n
+        unit [STARTS 'ts'] [ENDS 'ts']) DO <insert>`` ([docs:
+        job-scheduler]). The DO statement must be an INSERT (upstream
+        restriction). Execution happens in :meth:`tick_jobs` — the
+        scheduler loop a deployment runs on a timer; every due
+        occurrence executes exactly once (deterministic catch-up: the
+        result is what a continuously-running scheduler would have
+        produced)."""
+        name = m.group("name").lower()
+        existing = self.insert_jobs.get(name)
+        if existing is not None and existing["state"] != "FINISHED":
+            raise ValueError(f"job {name!r} already exists")
+        do = m.group("do").strip().rstrip(";")
+        if not do.upper().startswith("INSERT"):
+            raise ValueError(
+                "CREATE JOB supports INSERT statements only "
+                "(Doris job-scheduler restriction)"
+            )
+        if m.group("at"):
+            kind, interval, next_run, ends = (
+                "ONE_TIME", None, self._job_ts(m.group("at")), None
+            )
+        else:
+            from datetime import datetime as _dt
+
+            interval = int(m.group("n")) * _JOB_UNIT_S[
+                m.group("unit").lower()
+            ]
+            next_run = (
+                self._job_ts(m.group("starts"))
+                if m.group("starts") else _dt.now()
+            )
+            ends = self._job_ts(m.group("ends")) if m.group("ends") else None
+        self.insert_jobs[name] = {
+            "kind": kind if m.group("at") else "RECURRING",
+            "interval_s": interval,
+            "next_run": next_run,
+            "ends": ends,
+            "do": do,
+            "comment": m.group("comment") or "",
+            "state": "RUNNING",
+            "tasks": [],
+        }
+        return None
+
+    def tick_jobs(self, now=None) -> int:
+        """One scheduler round: execute every due occurrence of every
+        RUNNING job (ordered by occurrence time, then name — the order
+        a continuously-running timer would have used). Returns the
+        number of task executions. ``now`` defaults to wall clock; the
+        deterministic replay path passes it explicitly."""
+        from datetime import datetime as _dt, timedelta as _td
+
+        now = self._job_ts(now) if isinstance(now, str) else (now or _dt.now())
+        ran = 0
+        while True:
+            due = [
+                (j["next_run"], name, j)
+                for name, j in self.insert_jobs.items()
+                if j["state"] == "RUNNING" and j["next_run"] <= now
+                and (j["ends"] is None or j["next_run"] <= j["ends"])
+            ]
+            if not due:
+                break
+            ts, name, j = min(due)
+            try:
+                self._sql_nocache(j["do"])
+                status, err = "SUCCESS", ""
+            except Exception as e:  # noqa: BLE001 — task failure is a row
+                status, err = "FAILED", str(e).split("\n")[0][:200]
+            j["tasks"].append(
+                {"job": name, "ts": ts.isoformat(sep=" "), "status": status,
+                 "err": err}
+            )
+            ran += 1
+            if j["kind"] == "ONE_TIME":
+                j["state"] = "FINISHED"
+            else:
+                j["next_run"] = ts + _td(seconds=j["interval_s"])
+                if j["ends"] is not None and j["next_run"] > j["ends"]:
+                    j["state"] = "FINISHED"
+        return ran
+
+    def _jobs_df(self, props: dict):
+        """The ``jobs("type"="insert")`` metadata TVF ([docs:
+        job-scheduler])."""
+        rows = [
+            (n, j["kind"],
+             f"EVERY {j['interval_s']} SECOND" if j["interval_s"] else "",
+             j["next_run"].isoformat(sep=" "), j["state"], j["comment"])
+            for n, j in sorted(self.insert_jobs.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "Name string, ExecuteType string, RecurringStrategy string, "
+            "NextRun string, Status string, Comment string",
+        )
+
+    def _tasks_df(self, props: dict):
+        """The ``tasks("type"="insert")`` metadata TVF."""
+        rows = [
+            (i, t["job"], t["ts"], t["status"], t["err"])
+            for n, j in sorted(self.insert_jobs.items())
+            for i, t in enumerate(j["tasks"])
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "TaskId long, JobName string, CreateTime string, "
+            "Status string, ErrorMsg string",
+        )
 
     def _drain_routine(self, job: str) -> None:
         """One scheduling round: drain everything currently in the
@@ -2296,14 +2446,20 @@ class PaloSession:
         # VARIANT subscripts likewise rewrite for every statement kind
         # (view bodies, CTAS, INSERT...SELECT — not just queries)
         stripped = self._rewrite_variant_subscripts(stripped)
-        # Doris table-valued functions (local/file/s3/hdfs/numbers) in
-        # FROM position — statement-wide so `INSERT INTO t SELECT ...
-        # FROM S3(...)` (the Doris 2.x load-from-object-store path)
-        # works, not just the tail query path
+        # Doris table-valued functions (local/file/s3/hdfs/numbers, plus
+        # the session-backed jobs()/tasks() metadata TVFs) in FROM
+        # position — statement-wide so `INSERT INTO t SELECT ... FROM
+        # S3(...)` (the Doris 2.x load-from-object-store path) works,
+        # not just the tail query path
         from palo_spark.sources import _TVF_CALL_RE, rewrite_table_functions
 
-        if _TVF_CALL_RE.search(stripped):
-            stripped = rewrite_table_functions(self.spark, stripped)
+        if _TVF_CALL_RE.search(stripped) or re.search(
+            r"\b(?:jobs|tasks)\s*\(", stripped, re.IGNORECASE
+        ):
+            stripped = rewrite_table_functions(
+                self.spark, stripped,
+                extra={"jobs": self._jobs_df, "tasks": self._tasks_df},
+            )
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
@@ -2336,6 +2492,23 @@ class PaloSession:
                 self._refresh_view(name.lower())
                 return t
             return self._create_table(stripped)
+        cj = _CREATE_JOB_RE.match(stripped)
+        if cj:
+            return self._create_job(cj)
+        jc = _JOB_CTL_RE.match(stripped)
+        if jc:
+            name = jc.group("name").lower()
+            if name not in self.insert_jobs:
+                raise ValueError(f"unknown job {name!r}")
+            op = jc.group("op").upper()
+            j = self.insert_jobs[name]
+            if op == "DROP":
+                del self.insert_jobs[name]
+            elif j["state"] == "FINISHED":
+                raise ValueError(f"job {name!r} is FINISHED (terminal)")
+            else:
+                j["state"] = "PAUSED" if op == "PAUSE" else "RUNNING"
+            return None
         crl = _CREATE_ROUTINE_RE.match(stripped)
         if crl:
             return self._create_routine_load(

@@ -364,13 +364,28 @@ def table_function_read(spark: SparkSession, fn: str, props: dict) -> DataFrame:
     raise ValueError(f"unsupported TVF format {fmt!r}")
 
 
-def rewrite_table_functions(spark: SparkSession, text: str) -> str:
+def rewrite_table_functions(
+    spark: SparkSession, text: str, extra=None
+) -> str:
     """Rewrite every Doris TVF call site in ``text`` into a registered
     temp-view name. A candidate is only treated as a TVF when every
     call argument is a ``"key"="value"`` string-literal pair — the shape
     no scalar-function call shares — so columns or functions that merely
-    share a name (``file``, ``s3``) pass through untouched."""
-    if not _TVF_CALL_RE.search(text):
+    share a name (``file``, ``s3``) pass through untouched.
+
+    ``extra`` maps additional TVF names to ``callable(props) ->
+    DataFrame`` — the hook a session uses for metadata TVFs that need
+    session state (Doris ``jobs()`` / ``tasks()``)."""
+    extra = extra or {}
+    call_re = _TVF_CALL_RE
+    if extra:
+        call_re = _re.compile(
+            r"\b(?P<fn>local|file|s3|hdfs|numbers|"
+            + "|".join(_re.escape(k) for k in extra)
+            + r")\s*\(",
+            _re.IGNORECASE,
+        )
+    if not call_re.search(text):
         return text
     out: list[str] = []
     i, n = 0, len(text)
@@ -388,13 +403,22 @@ def rewrite_table_functions(spark: SparkSession, text: str) -> str:
         # `\b` in the pattern (matched against the ORIGINAL text) already
         # rejects `xlocal(`; the prev guard rejects qualified refs like
         # `db.local(` and backtick-adjacent `` `x`local( ``
-        m = _TVF_CALL_RE.match(text, i)
+        m = call_re.match(text, i)
         if m and prev not in (".", "`"):
             close = _match_call_paren(text, m.end() - 1)
             if close is not None:
                 props = _parse_tvf_props(text[m.end() : close])
+                # metadata TVFs take zero-or-more props — allow `()`
+                if props is None and m.group("fn").lower() in extra \
+                        and not text[m.end():close].strip():
+                    props = {}
                 if props is not None:
-                    view = _register_tvf(spark, m.group("fn"), props)
+                    fn = m.group("fn").lower()
+                    if fn in extra:
+                        view = f"__tvf_meta_{fn}"
+                        extra[fn](props).createOrReplaceTempView(view)
+                    else:
+                        view = _register_tvf(spark, fn, props)
                     out.append(view)
                     prev = view[-1]
                     i = close + 1

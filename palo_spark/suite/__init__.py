@@ -79,6 +79,7 @@ _R10_ADDITIONS = [
     "sql_tvf_local_parquet",
     "sql_tvf_csv_columns",
     "sql_delete_using_join",
+    "sql_job_scheduler_insert",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

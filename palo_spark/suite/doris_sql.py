@@ -1794,3 +1794,50 @@ ORACLE["sql_delete_using_join"] = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+
+def _sql_job_scheduler_insert(spark, sf_dir):
+    """Doris 2.1 scheduled jobs ([docs: job-scheduler — ``CREATE JOB ...
+    ON SCHEDULE EVERY ... DO INSERT``]): a daily recurring INSERT job
+    replayed deterministically over a 3-day window (STARTS/ENDS bound;
+    ``tick_jobs`` is the scheduler loop with an injected clock), then
+    inspected via the ``jobs()`` metadata TVF. Three occurrences each
+    load the same cheap-lineitem band, so the oracle is exactly 3x the
+    band aggregate. Exact: integer cents, counts."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE job_li (`k` BIGINT, `qty_cents` BIGINT) "
+        "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 8"
+    )
+    ps.sql(
+        "CREATE JOB job_daily ON SCHEDULE EVERY 1 DAY "
+        "STARTS '2024-01-01 00:00:00' ENDS '2024-01-03 00:00:00' "
+        "COMMENT 'cheap-band load' "
+        "DO INSERT INTO job_li SELECT l_orderkey, "
+        "CAST(FLOOR(l_quantity * 100) AS BIGINT) FROM lineitem "
+        "WHERE l_quantity < 5"
+    )
+    ran = ps.tick_jobs("2024-01-10 00:00:00")
+    assert ran == 3, f"expected 3 occurrences, ran {ran}"
+    status = ps.sql(
+        'SELECT Status FROM jobs("type"="insert")'
+    ).collect()[0].Status
+    assert status == "FINISHED", status
+    return ps.sql(
+        "SELECT COUNT(*) AS n_rows, SUM(qty_cents) AS sum_cents, "
+        "COUNT(DISTINCT k) AS n_orders FROM job_li"
+    )
+
+
+QUERIES["sql_job_scheduler_insert"] = _sql_job_scheduler_insert
+ORACLE["sql_job_scheduler_insert"] = """
+    SELECT CAST(3 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 * SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_quantity < 5
+"""

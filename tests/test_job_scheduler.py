@@ -1,0 +1,95 @@
+"""Doris 2.1 scheduled jobs ([docs: job-scheduler]): CREATE JOB ... ON
+SCHEDULE (AT | EVERY) DO INSERT, PAUSE/RESUME/DROP JOB, tick_jobs
+deterministic replay, jobs()/tasks() metadata TVFs."""
+
+from __future__ import annotations
+
+import pytest
+
+from palo_spark.palo_session import PaloSession
+
+
+@pytest.fixture()
+def ps(spark):
+    s = PaloSession(spark)
+    s.sql(
+        "CREATE TABLE jobt (`k` BIGINT, `v` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    return s
+
+
+def test_recurring_job_catchup_and_ends(ps):
+    ps.sql(
+        "CREATE JOB jr ON SCHEDULE EVERY 1 DAY STARTS "
+        "'2024-01-01 00:00:00' ENDS '2024-01-03 00:00:00' "
+        "DO INSERT INTO jobt VALUES (1, 10)"
+    )
+    # every due occurrence executes once; ENDS caps the window
+    assert ps.tick_jobs("2024-01-10 00:00:00") == 3
+    assert ps.sql("SELECT COUNT(*) AS n FROM jobt").collect()[0].n == 3
+    # finished: further ticks are no-ops
+    assert ps.tick_jobs("2024-02-01 00:00:00") == 0
+    row = ps.sql('SELECT Status FROM jobs("type"="insert")').collect()[0]
+    assert row.Status == "FINISHED"
+
+
+def test_one_time_job_and_task_rows(ps):
+    ps.sql(
+        "CREATE JOB jo ON SCHEDULE AT '2024-02-01 00:00:00' "
+        "DO INSERT INTO jobt VALUES (2, 20)"
+    )
+    assert ps.tick_jobs("2024-01-31 00:00:00") == 0  # not due yet
+    assert ps.tick_jobs("2024-02-01 00:00:00") == 1
+    tasks = ps.sql(
+        'SELECT JobName, Status FROM tasks("type"="insert")'
+    ).collect()
+    assert [(t.JobName, t.Status) for t in tasks] == [("jo", "SUCCESS")]
+
+
+def test_pause_resume_drop(ps):
+    ps.sql(
+        "CREATE JOB jp ON SCHEDULE EVERY 1 HOUR STARTS "
+        "'2024-01-01 00:00:00' DO INSERT INTO jobt VALUES (3, 30)"
+    )
+    ps.sql("PAUSE JOB WHERE jobname = 'jp'")
+    assert ps.tick_jobs("2024-01-01 00:00:00") == 0
+    ps.sql("RESUME JOB WHERE jobname = 'jp'")
+    assert ps.tick_jobs("2024-01-01 00:00:00") == 1
+    ps.sql("DROP JOB WHERE jobname = 'jp'")
+    assert ps.sql('SELECT * FROM jobs("type"="insert")').count() == 0
+    with pytest.raises(ValueError, match="unknown job"):
+        ps.sql("RESUME JOB WHERE jobname = 'jp'")
+
+
+def test_failed_task_recorded_not_raised(ps):
+    ps.sql(
+        "CREATE JOB jf ON SCHEDULE AT '2024-01-01 00:00:00' "
+        "DO INSERT INTO no_such_table VALUES (1, 1)"
+    )
+    assert ps.tick_jobs("2024-01-02 00:00:00") == 1
+    t = ps.sql('SELECT Status, ErrorMsg FROM tasks("type"="insert")').collect()[0]
+    assert t.Status == "FAILED" and "no_such_table" in t.ErrorMsg
+
+
+def test_job_restrictions(ps):
+    with pytest.raises(ValueError, match="INSERT statements only"):
+        ps.sql(
+            "CREATE JOB jb ON SCHEDULE AT '2024-01-01 00:00:00' "
+            "DO DROP TABLE jobt"
+        )
+    ps.sql(
+        "CREATE JOB jd ON SCHEDULE AT '2024-01-01 00:00:00' "
+        "DO INSERT INTO jobt VALUES (4, 40)"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        ps.sql(
+            "CREATE JOB jd ON SCHEDULE AT '2025-01-01 00:00:00' "
+            "DO INSERT INTO jobt VALUES (5, 50)"
+        )
+    # FINISHED name is reusable (same contract as routine load)
+    ps.tick_jobs("2024-01-02 00:00:00")
+    ps.sql(
+        "CREATE JOB jd ON SCHEDULE AT '2025-01-01 00:00:00' "
+        "DO INSERT INTO jobt VALUES (5, 50)"
+    )
