@@ -140,6 +140,10 @@ def _balanced_span(s: str, open_i: int) -> int:
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+`?(?P<name>\w+)`?\s*"
+    # Doris idempotent-load surface: `INSERT INTO t WITH LABEL lbl ...`
+    # — a retried statement under the same label is a no-op (the label
+    # ledger in the table metadata is the dedup)
+    r"(?:WITH\s+LABEL\s+`?(?P<label>\w+)`?\s*)?"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>VALUES\s*.*|SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1023,7 +1027,11 @@ class PaloSession:
                 i = [d.lower() for d in decl].index(col_name.lower())
                 sel.append(f"CAST(`{got}` AS {typs[i]}) AS `{decl[i]}`")
             rows = rows.selectExpr(*sel)
-        version = t.insert(rows)
+        version = t.insert(rows, label=m.group("label"))
+        if version == -1:
+            # label already applied (idempotent replay): no new rowset,
+            # no view/MV refresh needed
+            return -1
         self._refresh_view(name)
         return version
 

@@ -80,6 +80,7 @@ _R10_ADDITIONS = [
     "sql_tvf_csv_columns",
     "sql_delete_using_join",
     "sql_job_scheduler_insert",
+    "sql_insert_with_label",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

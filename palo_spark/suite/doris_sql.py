@@ -1841,3 +1841,40 @@ ORACLE["sql_job_scheduler_insert"] = """
     FROM lineitem
     WHERE l_quantity < 5
 """
+
+
+def _sql_insert_with_label(spark, sf_dir):
+    """Doris load-label idempotency at the SQL surface ([docs: insert —
+    ``INSERT INTO t WITH LABEL lbl ...``]): the same labeled INSERT
+    replayed three times lands exactly once (the label ledger in the
+    table metadata is the dedup — the retry story for every load path).
+    The oracle is a single copy of the selected band."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE lbl_ord (`o_orderkey` BIGINT, `cents` BIGINT) "
+        "DUPLICATE KEY(o_orderkey) DISTRIBUTED BY HASH(o_orderkey) "
+        "BUCKETS 8"
+    )
+    stmt = (
+        "INSERT INTO lbl_ord WITH LABEL retry_load SELECT o_orderkey, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'"
+    )
+    for _ in range(3):
+        ps.sql(stmt)
+    return ps.sql(
+        "SELECT COUNT(*) AS n_rows, SUM(cents) AS sum_cents FROM lbl_ord"
+    )
+
+
+QUERIES["sql_insert_with_label"] = _sql_insert_with_label
+ORACLE["sql_insert_with_label"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+"""

@@ -93,3 +93,11 @@ def test_job_restrictions(ps):
         "CREATE JOB jd ON SCHEDULE AT '2025-01-01 00:00:00' "
         "DO INSERT INTO jobt VALUES (5, 50)"
     )
+
+
+def test_insert_with_label_idempotent(ps):
+    ps.sql("INSERT INTO jobt WITH LABEL l1 VALUES (1, 10), (2, 20)")
+    assert ps.sql("INSERT INTO jobt WITH LABEL l1 VALUES (1, 10)") == -1
+    ps.sql("INSERT INTO jobt WITH LABEL l2 (k, v) VALUES (3, 30)")
+    row = ps.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM jobt").collect()[0]
+    assert (row.n, row.s) == (3, 60)
