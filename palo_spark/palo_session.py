@@ -769,6 +769,37 @@ class PaloSession:
             kw["location"] = f"{self.location_root}/{name}"
         if m.group("pcol"):
             kw["auto_partition"] = (m.group("pcol"), m.group("pgran").lower())
+        # Doris dynamic partition ([docs: dynamic-partition]): the
+        # retention half maps onto partition expiry at load —
+        # `dynamic_partition.start = -N` keeps the N newest partitions.
+        # The pre-creation half (`.end` — empty FUTURE partitions) is a
+        # physical no-op here: auto-partition creates directories at
+        # first write, so an empty pre-created partition has no storage
+        # to reserve.
+        if re.search(
+            r"['\"]dynamic_partition\.enable['\"]\s*=\s*['\"]true['\"]",
+            props, re.IGNORECASE,
+        ):
+            if not m.group("pcol"):
+                raise ValueError(
+                    "dynamic_partition properties require a partitioned "
+                    "table (AUTO PARTITION BY RANGE)"
+                )
+            du = re.search(
+                r"['\"]dynamic_partition\.time_unit['\"]\s*=\s*"
+                r"['\"](\w+)['\"]", props, re.IGNORECASE,
+            )
+            if du and du.group(1).lower() != m.group("pgran").lower():
+                raise ValueError(
+                    f"dynamic_partition.time_unit {du.group(1)!r} does not "
+                    f"match the partition granularity {m.group('pgran')!r}"
+                )
+            ds = re.search(
+                r"['\"]dynamic_partition\.start['\"]\s*=\s*"
+                r"['\"]\s*-?(\d+)\s*['\"]", props,
+            )
+            if ds:
+                kw["dynamic_partition_retention"] = int(ds.group(1))
         if m.group("dist"):
             kw["dist_cols"] = [
                 c.strip().strip("`") for c in m.group("dist").split(",")

@@ -81,6 +81,7 @@ _R10_ADDITIONS = [
     "sql_delete_using_join",
     "sql_job_scheduler_insert",
     "sql_insert_with_label",
+    "sql_dynamic_partition_retention",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

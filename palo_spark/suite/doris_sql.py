@@ -1878,3 +1878,54 @@ ORACLE["sql_insert_with_label"] = """
     FROM orders
     WHERE o_orderpriority = '1-URGENT'
 """
+
+
+def _sql_dynamic_partition_retention(spark, sf_dir):
+    """Doris dynamic partition, retention half ([docs:
+    dynamic-partition — ``dynamic_partition.start = -N`` keeps the N
+    newest partitions, older ones expire]): an auto-partitioned table
+    declared with the dynamic_partition property set loads every order
+    from 1998 on (the fixture's dates run past TPC-H's calendar), and
+    retention trims to the newest 3 month-partitions at load — so the
+    visible aggregate is exactly the trailing three months, which the
+    oracle computes dynamically from the same fixture."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE dynp_ord (`o_orderkey` BIGINT, "
+        "`o_orderdate` DATETIME, "
+        "`cents` BIGINT) DUPLICATE KEY(o_orderkey, o_orderdate) "
+        "AUTO PARTITION BY RANGE (date_trunc(`o_orderdate`, 'month')) () "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4 "
+        "PROPERTIES ('dynamic_partition.enable' = 'true', "
+        "'dynamic_partition.time_unit' = 'MONTH', "
+        "'dynamic_partition.start' = '-3')"
+    )
+    ps.sql(
+        "INSERT INTO dynp_ord SELECT o_orderkey, o_orderdate, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders "
+        "WHERE o_orderdate >= '1998-01-01'"
+    )
+    return ps.sql(
+        "SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents, "
+        "MIN(o_orderdate) AS first_day FROM dynp_ord"
+    )
+
+
+QUERIES["sql_dynamic_partition_retention"] = _sql_dynamic_partition_retention
+ORACLE["sql_dynamic_partition_retention"] = """
+    WITH src AS (
+        SELECT * FROM orders WHERE o_orderdate >= '1998-01-01'
+    ), keep AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS mth
+        FROM src ORDER BY mth DESC LIMIT 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           MIN(o_orderdate) AS first_day
+    FROM src
+    WHERE date_trunc('month', o_orderdate) IN (SELECT mth FROM keep)
+"""

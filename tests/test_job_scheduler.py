@@ -101,3 +101,42 @@ def test_insert_with_label_idempotent(ps):
     ps.sql("INSERT INTO jobt WITH LABEL l2 (k, v) VALUES (3, 30)")
     row = ps.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM jobt").collect()[0]
     assert (row.n, row.s) == (3, 60)
+
+
+def test_dynamic_partition_property_validation(spark):
+    ps = PaloSession(spark)
+    with pytest.raises(ValueError, match="require a partitioned"):
+        ps.sql(
+            "CREATE TABLE dpv1 (`k` BIGINT, `v` BIGINT) DUPLICATE KEY(k) "
+            "DISTRIBUTED BY HASH(k) BUCKETS 2 "
+            "PROPERTIES ('dynamic_partition.enable' = 'true', "
+            "'dynamic_partition.start' = '-3')"
+        )
+    with pytest.raises(ValueError, match="does not match"):
+        ps.sql(
+            "CREATE TABLE dpv2 (`k` BIGINT, `d` DATE, `v` BIGINT) "
+            "DUPLICATE KEY(k, d) "
+            "AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) () "
+            "DISTRIBUTED BY HASH(k) BUCKETS 2 "
+            "PROPERTIES ('dynamic_partition.enable' = 'true', "
+            "'dynamic_partition.time_unit' = 'DAY', "
+            "'dynamic_partition.start' = '-3')"
+        )
+    t = ps.sql(
+        "CREATE TABLE dpv3 (`k` BIGINT, `d` DATE, `v` BIGINT) "
+        "DUPLICATE KEY(k, d) "
+        "AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) () "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2 "
+        "PROPERTIES ('dynamic_partition.enable' = 'true', "
+        "'dynamic_partition.time_unit' = 'MONTH', "
+        "'dynamic_partition.start' = '-2')"
+    )
+    assert t.meta.dynamic_partition_retention == 2
+    import datetime
+
+    t.insert(spark.createDataFrame(
+        [(i, datetime.date(2024, m, 1), i) for i, m in
+         enumerate([1, 2, 3, 4], 1)],
+        "k bigint, d date, v bigint"))
+    ps._refresh_view("dpv3")
+    assert sorted(t.partitions()) == ["m2024-03", "m2024-04"]
