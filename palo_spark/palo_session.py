@@ -110,8 +110,9 @@ _CREATE_TAIL_RE = re.compile(
     r"^\s*(?:ENGINE\s*=\s*\w+\s*)?"
     r"(?:(?P<model>AGGREGATE|UNIQUE|DUPLICATE)\s+KEY\s*\((?P<keys>[^)]*)\)\s*)?"
     r"(?:COMMENT\s+'[^']*'\s*)?"
-    r"(?:AUTO\s+PARTITION\s+BY\s+RANGE\s*\(\s*date_trunc\s*\(\s*`?(?P<pcol>\w+)`?\s*,"
-    r"\s*'(?P<pgran>\w+)'\s*\)\s*\)\s*(?:\(\s*\)\s*)?)?"
+    r"(?:AUTO\s+PARTITION\s+BY\s+(?:RANGE\s*\(\s*date_trunc\s*\(\s*`?(?P<pcol>\w+)`?\s*,"
+    r"\s*'(?P<pgran>\w+)'\s*\)\s*\)"
+    r"|LIST\s*\(\s*`?(?P<lcol>\w+)`?\s*\))\s*(?:\(\s*\)\s*)?)?"
     r"(?:DISTRIBUTED\s+BY\s+HASH\s*\((?P<dist>[^)]*)\)\s*(?:BUCKETS\s+(?P<buckets>\d+))?\s*)?"
     r"(?:PROPERTIES\s*\((?P<props>.*)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -769,6 +770,10 @@ class PaloSession:
             kw["location"] = f"{self.location_root}/{name}"
         if m.group("pcol"):
             kw["auto_partition"] = (m.group("pcol"), m.group("pgran").lower())
+        elif m.group("lcol"):
+            # Doris 2.1 AUTO PARTITION BY LIST(col): one partition per
+            # distinct value
+            kw["auto_partition"] = (m.group("lcol"), "list")
         # Doris dynamic partition ([docs: dynamic-partition]): the
         # retention half maps onto partition expiry at load —
         # `dynamic_partition.start = -N` keeps the N newest partitions.
@@ -1815,10 +1820,13 @@ class PaloSession:
         )
         view = f"__mvinc_{info['base']}_{_uuid.uuid4().hex[:8]}"
         t.read(partition_pred=pred).createOrReplaceTempView(view)
-        label_sql = (
-            f"concat('{ap['granularity'][0]}', date_format(cast(`{ap['col']}`"
-            f" as timestamp), '{AUTO_PART_FMT[ap['granularity']]}'))"
-        )
+        if ap["granularity"] == "list":
+            label_sql = f"concat('l', cast(`{ap['col']}` as string))"
+        else:
+            label_sql = (
+                f"concat('{ap['granularity'][0]}', date_format(cast(`{ap['col']}`"
+                f" as timestamp), '{AUTO_PART_FMT[ap['granularity']]}'))"
+            )
         sel = [f"{label_sql} AS __mv_part"]
         gb = ["__mv_part"]
         for it in info["items"]:
@@ -2870,7 +2878,12 @@ class PaloSession:
                 f"CREATE TABLE `{t.meta.name}` (\n" + ",\n".join(cols) + "\n)\n"
                 f"{t.meta.keys_type} KEY({', '.join('`%s`' % k for k in t.meta.key_cols)})"
                 + (
-                    f"\nAUTO PARTITION BY RANGE (date_trunc(`{ap['col']}`, '{ap['granularity']}')) ()"
+                    (
+                        f"\nAUTO PARTITION BY LIST (`{ap['col']}`) ()"
+                        if ap["granularity"] == "list"
+                        else f"\nAUTO PARTITION BY RANGE (date_trunc("
+                             f"`{ap['col']}`, '{ap['granularity']}')) ()"
+                    )
                     if ap
                     else ""
                 )

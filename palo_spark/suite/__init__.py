@@ -82,6 +82,7 @@ _R10_ADDITIONS = [
     "sql_job_scheduler_insert",
     "sql_insert_with_label",
     "sql_dynamic_partition_retention",
+    "sql_list_partition_prune",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

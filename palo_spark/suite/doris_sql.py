@@ -1929,3 +1929,47 @@ ORACLE["sql_dynamic_partition_retention"] = """
     FROM src
     WHERE date_trunc('month', o_orderdate) IN (SELECT mth FROM keep)
 """
+
+
+def _sql_list_partition_prune(spark, sf_dir):
+    """Doris 2.1 AUTO PARTITION BY LIST ([docs: auto-partition — LIST]):
+    one partition per distinct value of the partition column. Orders
+    land partitioned by o_orderstatus; the status-equality query prunes
+    to ONE partition directory (the fail-loud plan assert checks the
+    PartitionFilters entry), and the aggregate matches the oracle over
+    the raw fixture. Exact: integer cents, counts."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE lstp_ord (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `cents` BIGINT) DUPLICATE KEY(o_orderkey, "
+        "o_orderstatus) AUTO PARTITION BY LIST (`o_orderstatus`) () "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO lstp_ord SELECT o_orderkey, o_orderstatus, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders"
+    )
+    df = t.scan("o_orderstatus = 'F'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_auto_part" in plan and "= lF" in plan.replace("'", ""), (
+        "expected LIST-partition directory pruning in the plan"
+    )
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+QUERIES["sql_list_partition_prune"] = _sql_list_partition_prune
+ORACLE["sql_list_partition_prune"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+"""

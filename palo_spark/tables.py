@@ -82,6 +82,10 @@ AUTO_PART_FMT = {
     "day": "yyyy-MM-dd",
     "month": "yyyy-MM",
     "year": "yyyy",
+    # Doris 2.1 AUTO PARTITION BY LIST(col): one partition per distinct
+    # column VALUE — the label is the value itself (no date bucketing),
+    # so the format entry is unused; the "l" prefix rule still applies
+    "list": None,
 }
 
 
@@ -741,15 +745,19 @@ class Table:
                 # back as DATE/INT (which would break string-range
                 # directory pruning); lexicographic time order within a
                 # table is preserved since the prefix is constant.
+                # LIST partitioning labels with the raw value ("l" +
+                # value string — one partition per distinct value).
+                bucket = (
+                    F.col(ap["col"]).cast("string")
+                    if ap["granularity"] == "list"
+                    else F.date_format(
+                        F.col(ap["col"]).cast("timestamp"),
+                        AUTO_PART_FMT[ap["granularity"]],
+                    )
+                )
                 df = df.withColumn(
                     AUTO_PART_COL,
-                    F.concat(
-                        F.lit(ap["granularity"][0]),
-                        F.date_format(
-                            F.col(ap["col"]).cast("timestamp"),
-                            AUTO_PART_FMT[ap["granularity"]],
-                        ),
-                    ),
+                    F.concat(F.lit(ap["granularity"][0]), bucket),
                 )
             parts = [AUTO_PART_COL] + parts
         writer = df.write.mode("overwrite")
@@ -930,10 +938,29 @@ class Table:
             return None
         if re.search(r"(?i)\bor\b", where) or "(" in where:
             return None
+        prefix = ap["granularity"][0]
+        if ap["granularity"] == "list":
+            # list labels are raw value strings: only EQUALITY conjuncts
+            # prune soundly (lexicographic ranges over arbitrary values
+            # would reorder numerics) — everything else fails open
+            col = re.escape(ap["col"])
+            conds = []
+            for conj in re.split(r"(?i)\s+and\s+", where.strip()):
+                m = re.fullmatch(
+                    rf"\s*{col}\s*=\s*(?:'([^']+)'|(-?\d+))\s*",
+                    conj, re.IGNORECASE,
+                )
+                if m:
+                    lit = m.group(1) if m.group(1) is not None else m.group(2)
+                    conds.append(F.col(AUTO_PART_COL) == prefix + lit)
+            if not conds:
+                return None
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
         strp = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d",
                 "month": "%Y-%m", "year": "%Y"}[ap["granularity"]]
-
-        prefix = ap["granularity"][0]
 
         def label(lit: str) -> str | None:
             for p in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",

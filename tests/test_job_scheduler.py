@@ -140,3 +140,51 @@ def test_dynamic_partition_property_validation(spark):
         "k bigint, d date, v bigint"))
     ps._refresh_view("dpv3")
     assert sorted(t.partitions()) == ["m2024-03", "m2024-04"]
+
+
+def test_list_partition_lifecycle(spark):
+    """AUTO PARTITION BY LIST: value labels, equality pruning, explicit
+    PARTITION selection, DELETE PARTITION, drop_partition."""
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE lpt (`k` BIGINT, `region` VARCHAR(20), `v` BIGINT) "
+        "DUPLICATE KEY(k, region) AUTO PARTITION BY LIST (`region`) () "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql(
+        "INSERT INTO lpt VALUES (1,'asia',10),(2,'europe',20),"
+        "(3,'asia',30),(4,'america',40)"
+    )
+    assert sorted(t.partitions()) == ["lamerica", "lasia", "leurope"]
+    df = t.scan("region = 'asia'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "= lasia" in plan.replace("'", "")  # directory pruning
+    assert sorted(r.k for r in df.collect()) == [1, 3]
+    assert ps.sql(
+        "SELECT COUNT(*) AS n FROM lpt PARTITION (lasia)"
+    ).collect()[0].n == 2
+    ps.sql("DELETE FROM lpt PARTITION (lasia) WHERE v > 0")
+    assert sorted(r.k for r in ps.sql("SELECT k FROM lpt").collect()) == [2, 4]
+    t.drop_partition("leurope")
+    assert sorted(t.partitions()) == ["lamerica", "lasia"]
+    show = ps.sql("SHOW CREATE TABLE lpt").collect()[0][1]
+    assert "AUTO PARTITION BY LIST (`region`) ()" in show
+
+
+def test_list_partition_numeric_equality_only_pruning(spark):
+    """Numeric LIST labels sort lexicographically ('10' < '9'), so only
+    EQUALITY conjuncts may prune — a range predicate must fail open and
+    still answer correctly row-level."""
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE lpn (`k` BIGINT, `bucket` INT, `v` BIGINT) "
+        "DUPLICATE KEY(k, bucket) AUTO PARTITION BY LIST (`bucket`) () "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql(
+        "INSERT INTO lpn VALUES (1,9,10),(2,10,20),(3,11,30)"
+    )
+    assert t._prune_predicate("bucket > 9") is None  # fail-open
+    assert sorted(r.k for r in t.scan("bucket > 9").collect()) == [2, 3]
+    assert t._prune_predicate("bucket = 10") is not None
+    assert [r.k for r in t.scan("bucket = 10").collect()] == [2]
