@@ -252,6 +252,13 @@ _ALTER_DROP_PART_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ALTER_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+PARTITION\s+"
+    r"`?(?P<part>[A-Za-z]\w*)`?\s+VALUES\s+LESS\s+THAN\s*\(\s*"
+    r"(?P<upper>MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$",
     re.IGNORECASE,
@@ -744,12 +751,46 @@ class PaloSession:
         open_i = hm.end() - 1
         close_i = _balanced_span(text, open_i)
         cols_text = text[open_i + 1 : close_i - 1]
-        m = _CREATE_TAIL_RE.match(text[close_i:])
+        tail = text[close_i:]
+        # classic STATIC range partitioning is cut out of the tail
+        # before the tail regex (its partition list nests parentheses):
+        # PARTITION BY RANGE(`col`) (PARTITION p VALUES LESS THAN (...))
+        range_parts = None
+        sp = re.search(
+            r"(?i)(?<![A-Z])(AUTO\s+)?PARTITION\s+BY\s+RANGE\s*\(", tail
+        )
+        if sp and not sp.group(1) and "date_trunc" not in tail[
+            sp.end() - 1 : _balanced_span(tail, sp.end() - 1)
+        ].lower():
+            colspan_end = _balanced_span(tail, sp.end() - 1)
+            rcol = tail[sp.end() : colspan_end - 1].strip().strip("`")
+            list_open = tail.index("(", colspan_end)
+            list_end = _balanced_span(tail, list_open)
+            items = re.findall(
+                r"(?i)PARTITION\s+`?([A-Za-z]\w*)`?\s+VALUES\s+LESS\s+THAN"
+                r"\s*\(\s*(MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+                tail[list_open + 1 : list_end - 1],
+            )
+            if not items:
+                raise ValueError(
+                    "unparsable PARTITION BY RANGE list (expected "
+                    "PARTITION name VALUES LESS THAN ('lit'|MAXVALUE))"
+                )
+            range_parts = {
+                "col": rcol,
+                "parts": [
+                    {"name": nm,
+                     "upper": None if up.upper() == "MAXVALUE" else up}
+                    for nm, up in items
+                ],
+            }
+            tail = tail[: sp.start()] + tail[list_end:]
+        m = _CREATE_TAIL_RE.match(tail)
         if not m:
             raise ValueError(
                 "unparsable CREATE TABLE tail (supported: "
                 "AGGREGATE/UNIQUE/DUPLICATE KEY, DISTRIBUTED BY HASH ... "
-                f"BUCKETS n, PROPERTIES): {text[close_i:]!r}"
+                f"BUCKETS n, PROPERTIES): {tail!r}"
             )
         model = (m.group("model") or "DUPLICATE").upper()
         cols = [
@@ -774,6 +815,8 @@ class PaloSession:
             # Doris 2.1 AUTO PARTITION BY LIST(col): one partition per
             # distinct value
             kw["auto_partition"] = (m.group("lcol"), "list")
+        if range_parts is not None:
+            kw["range_partitions"] = range_parts
         # Doris dynamic partition ([docs: dynamic-partition]): the
         # retention half maps onto partition expiry at load —
         # `dynamic_partition.start = -N` keeps the N newest partitions.
@@ -854,6 +897,10 @@ class PaloSession:
         if t.meta.auto_partition:
             ap = t.meta.auto_partition
             kw["auto_partition"] = (ap["col"], ap["granularity"])
+        if t.meta.range_partitions:
+            import copy as _copy
+
+            kw["range_partitions"] = _copy.deepcopy(t.meta.range_partitions)
         if t.meta.dist_cols:
             kw["dist_cols"] = list(t.meta.dist_cols)
             kw["buckets"] = t.meta.buckets
@@ -1602,13 +1649,20 @@ class PaloSession:
         def sub(m):
             name = m.group("name")
             t = self.tables.get(name.lower())
-            if t is None or not t.meta.auto_partition:
+            if t is None or not (
+                t.meta.auto_partition or t.meta.range_partitions
+            ):
                 raise ValueError(
-                    f"PARTITION selection requires an auto-partitioned palo "
+                    f"PARTITION selection requires a partitioned palo "
                     f"table; {name!r} is not one"
                 )
             labels = [p.strip().strip("`") for p in m.group("labels").split(",")]
-            missing = set(labels) - set(t.partitions())
+            known = set(t.partitions())
+            if t.meta.range_partitions:
+                # declared-but-empty static partitions are selectable
+                # (they just contribute zero rows)
+                known |= {p["name"] for p in t.meta.range_partitions["parts"]}
+            missing = set(labels) - known
             if missing:
                 raise ValueError(f"unknown partitions for {name!r}: {sorted(missing)}")
             view = f"{name.lower()}__psel_{abs(hash(tuple(labels))) % 10**8}"
@@ -2438,6 +2492,7 @@ class PaloSession:
             not t.meta.sequence_col
             and not t.meta.partition_by
             and not t.meta.auto_partition
+            and not t.meta.range_partitions
             # partial rowsets may not mix with live delete-sign rowsets
             # (Table.insert would refuse) — fall back to full-row upsert
             and not t.meta.has_delete_sign
@@ -2832,16 +2887,23 @@ class PaloSession:
             # Doris SHOW PARTITIONS: live partition labels from rowset
             # directory listings — metadata-only, no data scan
             t = self._table(spm.group("name"))
-            if not t.meta.auto_partition and not t.meta.partition_by:
+            if not (t.meta.auto_partition or t.meta.range_partitions
+                    or t.meta.partition_by):
                 raise ValueError(
                     f"table {spm.group('name')!r} is not partitioned"
                 )
             pcol = (
                 t.meta.auto_partition["col"]
                 if t.meta.auto_partition
+                else t.meta.range_partitions["col"]
+                if t.meta.range_partitions
                 else ", ".join(t.meta.partition_by)
             )
-            if t.meta.auto_partition:
+            if t.meta.range_partitions:
+                # DECLARED partitions, in range order (Doris lists
+                # empty partitions too)
+                labels = [p["name"] for p in t.meta.range_partitions["parts"]]
+            elif t.meta.auto_partition:
                 labels = t.partitions()
             else:
                 from palo_spark.tables import AUTO_PART_COL
@@ -2885,7 +2947,21 @@ class PaloSession:
                              f"`{ap['col']}`, '{ap['granularity']}')) ()"
                     )
                     if ap
-                    else ""
+                    else (
+                        "\nPARTITION BY RANGE(`%s`) (%s)" % (
+                            t.meta.range_partitions["col"],
+                            ", ".join(
+                                "PARTITION %s VALUES LESS THAN (%s)" % (
+                                    p["name"],
+                                    "MAXVALUE" if p["upper"] is None
+                                    else p["upper"],
+                                )
+                                for p in t.meta.range_partitions["parts"]
+                            ),
+                        )
+                        if t.meta.range_partitions
+                        else ""
+                    )
                 )
                 # distribution + properties so the emitted DDL
                 # round-trips through PaloSession.sql (pinned by
@@ -3097,9 +3173,9 @@ class PaloSession:
             if m.group("part"):
                 from palo_spark.tables import AUTO_PART_COL
 
-                if not t.meta.auto_partition:
+                if not (t.meta.auto_partition or t.meta.range_partitions):
                     raise ValueError(
-                        "DELETE ... PARTITION requires an auto-partitioned table"
+                        "DELETE ... PARTITION requires a partitioned table"
                     )
                 cond = f"{AUTO_PART_COL} = '{m.group('part')}' AND ({cond})"
             version = t.delete_where(cond)
@@ -3268,6 +3344,15 @@ class PaloSession:
                     t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
                 self._refresh_view(mm_.group("name").lower())
                 return None
+            apm_ = _ALTER_ADD_PART_RE.match(stripped)
+            if apm_:
+                t = self._table(apm_.group("name"))
+                up = apm_.group("upper")
+                t.add_partition(
+                    apm_.group("part"),
+                    None if up.upper() == "MAXVALUE" else up,
+                )
+                return None
             pm_ = _ALTER_DROP_PART_RE.match(stripped)
             if pm_:
                 t = self._table(pm_.group("name"))
@@ -3328,9 +3413,9 @@ class PaloSession:
 
             t = self._table(ex_.group("name"))
             if ex_.group("part"):
-                if not t.meta.auto_partition:
+                if not (t.meta.auto_partition or t.meta.range_partitions):
                     raise ValueError(
-                        "EXPORT ... PARTITION requires an auto-partitioned table"
+                        "EXPORT ... PARTITION requires a partitioned table"
                     )
                 view = t.read(
                     partition_pred=F.col(AUTO_PART_COL) == ex_.group("part")

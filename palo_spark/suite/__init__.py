@@ -83,6 +83,7 @@ _R10_ADDITIONS = [
     "sql_insert_with_label",
     "sql_dynamic_partition_retention",
     "sql_list_partition_prune",
+    "sql_static_range_partition",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

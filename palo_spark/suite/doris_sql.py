@@ -1973,3 +1973,50 @@ ORACLE["sql_list_partition_prune"] = """
     FROM orders
     WHERE o_orderstatus = 'F'
 """
+
+
+def _sql_static_range_partition(spark, sf_dir):
+    """Classic Doris STATIC range partitioning ([docs: partition —
+    ``PARTITION BY RANGE(col) (PARTITION p VALUES LESS THAN ...)``]):
+    orders land in declared year partitions (plus MAXVALUE); a range
+    predicate prunes to the matching partitions (fail-loud plan assert
+    on PartitionFilters) and the aggregate matches the oracle's plain
+    filter. Exact: integer cents, counts."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE statp_ord (`o_orderkey` BIGINT, `o_orderdate` "
+        "DATETIME, `cents` BIGINT) DUPLICATE KEY(o_orderkey, o_orderdate) "
+        "PARTITION BY RANGE(`o_orderdate`) ("
+        "  PARTITION p_old VALUES LESS THAN ('1995-01-01'),"
+        "  PARTITION p_mid VALUES LESS THAN ('1998-01-01'),"
+        "  PARTITION p_new VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO statp_ord SELECT o_orderkey, o_orderdate, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders"
+    )
+    df = t.scan("o_orderdate >= '1998-01-01'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "p_new" in plan and "p_old" not in plan.split("PartitionFilters")[
+        -1
+    ].split("]")[0], "expected static-range partition pruning in the plan"
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+QUERIES["sql_static_range_partition"] = _sql_static_range_partition
+ORACLE["sql_static_range_partition"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= '1998-01-01'
+"""

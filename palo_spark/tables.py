@@ -89,6 +89,26 @@ AUTO_PART_FMT = {
 }
 
 
+def _rp_key(lit_text: str):
+    """Parse a range-partition bound / predicate literal to a typed
+    comparable key: ("t", datetime) | ("n", float) | ("s", str).
+    Comparisons are only sound between SAME kinds — callers fail open
+    on a kind mismatch."""
+    from datetime import datetime
+
+    s = str(lit_text).strip().strip("'\"")
+    for p in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+              "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            return ("t", datetime.strptime(s, p))
+        except ValueError:
+            pass
+    try:
+        return ("n", float(s))
+    except ValueError:
+        return ("s", s)
+
+
 @dataclass
 class TableMeta:
     name: str
@@ -102,6 +122,15 @@ class TableMeta:
     #: are created implicitly at load (Doris 2.1 auto-partition /
     #: dynamic-partition behavior); reads prune them via label ranges.
     auto_partition: dict | None = None
+    #: classic Doris STATIC range partitioning (`PARTITION BY RANGE(col)
+    #: (PARTITION p VALUES LESS THAN (...), ...)`): {"col": name,
+    #: "parts": [{"name": str, "upper": raw-SQL-literal | None}]} —
+    #: upper None = MAXVALUE; rows route to the first partition whose
+    #: upper bound exceeds the value, a row beyond the last bound FAILS
+    #: the load (Doris: no matching partition). Labels share the
+    #: auto-partition hive layout, so selection/delete/drop/pruning use
+    #: the same machinery.
+    range_partitions: dict | None = None
     #: committed rowsets: [{"version": int, "path": str, "label": str|None}]
     rowsets: list[dict] = field(default_factory=list)
     #: load labels already applied (Stream/Broker Load idempotency ledger)
@@ -190,6 +219,7 @@ class Table:
         location: str | None = None,
         auto_compact_rowsets: int = 0,
         auto_partition: tuple[str, str] | None = None,
+        range_partitions: dict | None = None,
         dynamic_partition_retention: int = 0,
         dist_cols: list[str] | None = None,
         buckets: int = 0,
@@ -229,6 +259,42 @@ class Table:
                     f"{keys_type} tables (Doris partition-key rule)"
                 )
             ap = {"col": pcol, "granularity": gran}
+        if range_partitions is not None:
+            if ap is not None:
+                raise ValueError(
+                    "range_partitions and auto_partition are exclusive"
+                )
+            rcol = range_partitions["col"]
+            rparts = range_partitions["parts"]
+            if not rparts:
+                raise ValueError("range_partitions needs at least one partition")
+            names = [p["name"] for p in rparts]
+            if len(set(names)) != len(names):
+                raise ValueError(f"duplicate partition names: {names}")
+            for p in rparts[:-1]:
+                if p["upper"] is None:
+                    raise ValueError(
+                        "MAXVALUE is only allowed on the LAST partition"
+                    )
+            keys = [_rp_key(p["upper"]) for p in rparts if p["upper"] is not None]
+            if len({k[0] for k in keys}) > 1 or keys != sorted(keys):
+                raise ValueError(
+                    "partition upper bounds must be same-typed and "
+                    f"strictly increasing: {[p['upper'] for p in rparts]}"
+                )
+            if keys_type != "DUPLICATE" and rcol not in key_cols:
+                raise ValueError(
+                    "range partition column must be a key column on "
+                    f"{keys_type} tables (Doris partition-key rule)"
+                )
+            # materialize each partition's LOWER bound (the previous
+            # upper): dropping a MIDDLE partition must leave a HOLE —
+            # rows in the dropped range fail to load rather than folding
+            # into the next partition
+            prev = None
+            for p in rparts:
+                p.setdefault("lower", prev)
+                prev = p["upper"]
 
         self.spark = spark
         self.location = location or tempfile.mkdtemp(prefix=f"palo_{name}_")
@@ -246,6 +312,7 @@ class Table:
             partition_by=list(partition_by or []),
             auto_compact_rowsets=int(auto_compact_rowsets),
             auto_partition=ap,
+            range_partitions=range_partitions,
             dynamic_partition_retention=int(dynamic_partition_retention),
             dist_cols=list(dist_cols or []),
             buckets=int(buckets),
@@ -662,14 +729,52 @@ class Table:
                 a["type"] = new_type
         self._save_meta()
 
+    def add_partition(self, name: str, upper: str | None) -> None:
+        """Doris ``ALTER TABLE t ADD PARTITION p VALUES LESS THAN
+        (lit | MAXVALUE)`` on a static range-partitioned table: appends
+        above the current top bound (metadata-only)."""
+        rp = self.meta.range_partitions
+        if rp is None:
+            raise ValueError("ADD PARTITION requires a range-partitioned table")
+        if any(p["name"] == name for p in rp["parts"]):
+            raise ValueError(f"partition {name!r} already exists")
+        last = rp["parts"][-1] if rp["parts"] else None
+        if last is not None and last["upper"] is None:
+            raise ValueError(
+                "cannot add above a MAXVALUE partition (it is unbounded)"
+            )
+        if upper is not None and last is not None:
+            lk, uk = _rp_key(last["upper"]), _rp_key(upper)
+            if lk[0] != uk[0] or uk <= lk:
+                raise ValueError(
+                    f"new upper bound {upper!r} must exceed the current "
+                    f"top bound {last['upper']!r}"
+                )
+        rp["parts"].append(
+            {"name": name, "upper": upper,
+             "lower": last["upper"] if last is not None else None}
+        )
+        self._save_meta()
+
     def drop_partition(self, label: str) -> bool:
         """Doris DROP PARTITION: remove one auto-partition's directories
         from every rowset — O(partition size) disk reclaim, zero rewrite
         of surviving data (the whole point of time-partitioned retention
         at 100 TB: expiring a day is a directory delete, not a query).
         Returns whether anything was removed."""
-        if not self.meta.auto_partition:
-            raise ValueError("drop_partition requires an auto_partition table")
+        if not self.meta.auto_partition and not self.meta.range_partitions:
+            raise ValueError(
+                "drop_partition requires a partitioned table"
+            )
+        rp = self.meta.range_partitions
+        if rp is not None:
+            if not any(p["name"] == label for p in rp["parts"]):
+                raise ValueError(f"unknown partition {label!r}")
+            # the DECLARATION goes too (Doris: rows for a dropped range
+            # have no partition — later loads in that range fail rather
+            # than silently resurrecting it)
+            rp["parts"] = [p for p in rp["parts"] if p["name"] != label]
+            self._save_meta()
         removed = False
         for r in self.meta.rowsets:
             p = os.path.join(r["path"], f"{AUTO_PART_COL}={label}")
@@ -736,7 +841,28 @@ class Table:
                 self.meta.buckets, *[F.col(c) for c in self.meta.dist_cols]
             )
         ap = self.meta.auto_partition
+        rp = self.meta.range_partitions
         parts = list(self.meta.partition_by)
+        if rp is not None:
+            if AUTO_PART_COL not in df.columns:
+                # route each row to the FIRST partition whose upper
+                # bound exceeds the value; beyond the last bound (and
+                # no MAXVALUE) → sentinel label, checked after the
+                # write so the whole load fails atomically (Doris:
+                # "no partition for this row" rejects the load)
+                label_expr = F.lit("__no_part__")
+                for p in reversed(rp["parts"]):
+                    conds = []
+                    if p.get("lower") is not None:
+                        conds.append(f"`{rp['col']}` >= {p['lower']}")
+                    if p["upper"] is not None:
+                        conds.append(f"`{rp['col']}` < {p['upper']}")
+                    cond = F.expr(" AND ".join(conds)) if conds else F.lit(True)
+                    label_expr = F.when(cond, F.lit(p["name"])).otherwise(
+                        label_expr
+                    )
+                df = df.withColumn(AUTO_PART_COL, label_expr)
+            parts = [AUTO_PART_COL] + parts
         if ap is not None:
             if AUTO_PART_COL not in df.columns:
                 # label = granularity letter + formatted bucket, e.g.
@@ -764,6 +890,13 @@ class Table:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
+        if rp is not None and "__no_part__" in self._labels_of(path):
+            shutil.rmtree(path, ignore_errors=True)
+            raise ValueError(
+                "load has rows with no matching range partition (beyond "
+                "the last upper bound, or inside a dropped partition's "
+                "hole) — ADD PARTITION first"
+            )
 
     def _replace_storage(self, df: DataFrame) -> None:
         version = self._next_version
@@ -875,7 +1008,7 @@ class Table:
     # --------------------------------------------------------------- reads
 
     def _labels_of(self, rowset_path: str) -> list[str]:
-        if not self.meta.auto_partition:
+        if not self.meta.auto_partition and not self.meta.range_partitions:
             return []
         try:
             names = os.listdir(rowset_path)
@@ -933,6 +1066,9 @@ class Table:
         import re
         from datetime import datetime
 
+        rp = self.meta.range_partitions
+        if rp is not None and where:
+            return self._prune_range_parts(where)
         ap = self.meta.auto_partition
         if not ap or not where:
             return None
@@ -1013,6 +1149,59 @@ class Table:
         for c in conds[1:]:
             out = out & c
         return out
+
+    def _prune_range_parts(self, where: str):
+        """Static-range-partition pruning: map simple conjuncts on the
+        partition column to the set of DECLARED partitions whose
+        [lower, upper) interval can match, widened at boundaries.
+        Conservative and fail-open (same contract as the auto path):
+        OR / parentheses / kind-mismatched literals skip pruning."""
+        import re
+
+        rp = self.meta.range_partitions
+        if re.search(r"(?i)\bor\b", where) or "(" in where:
+            return None
+        col = re.escape(rp["col"])
+        bounds = [
+            (p["name"],
+             _rp_key(p["lower"]) if p.get("lower") is not None else None,
+             _rp_key(p["upper"]) if p["upper"] is not None else None)
+            for p in rp["parts"]
+        ]
+        allowed: set[str] | None = None
+        for conj in re.split(r"(?i)\s+and\s+", where.strip()):
+            m = re.fullmatch(
+                rf"\s*{col}\s*(>=|<=|=|<|>)\s*"
+                r"(?:date\s+|timestamp\s+)?('[^']+'|-?\d+(?:\.\d+)?)\s*",
+                conj, re.IGNORECASE,
+            )
+            if not m:
+                continue
+            op, x = m.group(1), _rp_key(m.group(2))
+            keep = set()
+            mismatch = False
+            for name, lo, up in bounds:
+                if (lo is not None and lo[0] != x[0]) or (
+                    up is not None and up[0] != x[0]
+                ):
+                    mismatch = True
+                    break
+                # widened interval logic: a boundary partition is KEPT
+                # (row-level filtering finishes the job afterwards)
+                if op in ("<", "<="):
+                    ok = lo is None or lo <= x
+                elif op in (">", ">="):
+                    ok = up is None or up > x
+                else:  # '='
+                    ok = (lo is None or lo <= x) and (up is None or x < up)
+                if ok:
+                    keep.add(name)
+            if mismatch:
+                return None
+            allowed = keep if allowed is None else (allowed & keep)
+        if allowed is None or allowed == {p["name"] for p in rp["parts"]}:
+            return None
+        return F.col(AUTO_PART_COL).isin(sorted(allowed))
 
     def scan(self, where: str | None = None) -> DataFrame:
         """Read the merge view with Doris-style partition pruning: on an

@@ -188,3 +188,82 @@ def test_list_partition_numeric_equality_only_pruning(spark):
     assert sorted(r.k for r in t.scan("bucket > 9").collect()) == [2, 3]
     assert t._prune_predicate("bucket = 10") is not None
     assert [r.k for r in t.scan("bucket = 10").collect()] == [2]
+
+
+def test_static_range_partition_lifecycle(spark):
+    """Classic PARTITION BY RANGE ... VALUES LESS THAN: routing,
+    out-of-range load rejection (atomic), ADD PARTITION above the top
+    bound, middle-drop leaves a HOLE (reload refused), SHOW PARTITIONS
+    lists declared partitions, pruning uses declared bounds."""
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE srpt (`k` BIGINT, `d` DATE, `v` BIGINT) "
+        "DUPLICATE KEY(k, d) PARTITION BY RANGE(`d`) ("
+        "PARTITION a VALUES LESS THAN ('2023-02-01'), "
+        "PARTITION b VALUES LESS THAN ('2023-03-01'), "
+        "PARTITION c VALUES LESS THAN ('2023-04-01')"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql(
+        "INSERT INTO srpt VALUES (1,'2023-01-05',10),(2,'2023-02-10',20),"
+        "(3,'2023-03-20',30)"
+    )
+    assert sorted(t.partitions()) == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="no matching range partition"):
+        ps.sql("INSERT INTO srpt VALUES (4,'2023-05-05',40)")
+    assert ps.sql("SELECT COUNT(*) AS n FROM srpt").collect()[0].n == 3
+    ps.sql("ALTER TABLE srpt ADD PARTITION dd VALUES LESS THAN ('2023-05-01')")
+    with pytest.raises(ValueError, match="must exceed"):
+        ps.sql(
+            "ALTER TABLE srpt ADD PARTITION ee VALUES LESS THAN "
+            "('2023-04-15')"
+        )
+    ps.sql("INSERT INTO srpt VALUES (4,'2023-04-05',40)")
+    # middle drop leaves a hole: the dropped range refuses new rows
+    ps.sql("ALTER TABLE srpt DROP PARTITION b")
+    assert sorted(t.partitions()) == ["a", "c", "dd"]
+    with pytest.raises(ValueError, match="no matching range partition"):
+        ps.sql("INSERT INTO srpt VALUES (9,'2023-02-15',90)")
+    shows = [r[0] for r in ps.sql("SHOW PARTITIONS FROM srpt").collect()]
+    assert shows == ["a", "c", "dd"]
+    # pruning: range predicate → declared-bound interval logic
+    pred = t._prune_predicate("d >= '2023-03-01'")
+    assert pred is not None
+    assert sorted(r.k for r in t.scan("d >= '2023-03-01'").collect()) == [3, 4]
+    # equality inside the hole matches NO partition → empty isin
+    assert t.scan("d = '2023-02-15'").count() == 0
+    show = ps.sql("SHOW CREATE TABLE srpt").collect()[0][1]
+    assert "PARTITION BY RANGE(`d`)" in show and "MAXVALUE" not in show
+
+
+def test_static_range_partition_restrictions(spark):
+    ps = PaloSession(spark)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ps.sql(
+            "CREATE TABLE srx (`k` BIGINT, `d` DATE) DUPLICATE KEY(k, d) "
+            "PARTITION BY RANGE(`d`) ("
+            "PARTITION a VALUES LESS THAN ('2023-03-01'), "
+            "PARTITION b VALUES LESS THAN ('2023-02-01')"
+            ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+        )
+    with pytest.raises(ValueError, match="key column"):
+        ps.sql(
+            "CREATE TABLE sry (`k` BIGINT, `d` DATE, `v` BIGINT) "
+            "UNIQUE KEY(k) PARTITION BY RANGE(`d`) ("
+            "PARTITION a VALUES LESS THAN ('2023-02-01')"
+            ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+        )
+    # MAXVALUE only last; adding above MAXVALUE refused
+    t = ps.sql(
+        "CREATE TABLE srz (`k` BIGINT, `n` BIGINT) DUPLICATE KEY(k, n) "
+        "PARTITION BY RANGE(`n`) ("
+        "PARTITION lo VALUES LESS THAN (100), "
+        "PARTITION hi VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    with pytest.raises(ValueError, match="MAXVALUE"):
+        ps.sql("ALTER TABLE srz ADD PARTITION xx VALUES LESS THAN (200)")
+    # numeric bounds route correctly
+    ps.sql("INSERT INTO srz VALUES (1, 99), (2, 100), (3, 5000)")
+    assert [r.k for r in t.scan("n = 99").collect()] == [1]
+    assert sorted(t.partitions()) == ["hi", "lo"]

@@ -324,7 +324,7 @@ def test_drop_partition_and_retention(spark, tmp_path):
     assert t.drop_partition("d2024-01-03") is False
     # a non-partitioned table refuses
     t2 = Table(spark, "np", "DUPLICATE", ["id"], location=str(tmp_path / "np"))
-    with pytest.raises(ValueError, match="auto_partition"):
+    with pytest.raises(ValueError, match="partitioned table"):
         t2.drop_partition("x")
 
 
