@@ -254,8 +254,10 @@ _ALTER_DROP_PART_RE = re.compile(
 
 _ALTER_ADD_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+PARTITION\s+"
-    r"`?(?P<part>[A-Za-z]\w*)`?\s+VALUES\s+LESS\s+THAN\s*\(\s*"
-    r"(?P<upper>MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)\s*;?\s*$",
+    r"`?(?P<part>[A-Za-z]\w*)`?\s+VALUES\s+"
+    r"(?:LESS\s+THAN\s*\(\s*"
+    r"(?P<upper>MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)"
+    r"|IN\s*\(\s*(?P<invals>[^)]*?)\s*\))\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -757,33 +759,57 @@ class PaloSession:
         # PARTITION BY RANGE(`col`) (PARTITION p VALUES LESS THAN (...))
         range_parts = None
         sp = re.search(
-            r"(?i)(?<![A-Z])(AUTO\s+)?PARTITION\s+BY\s+RANGE\s*\(", tail
+            r"(?i)(?<![A-Z])(AUTO\s+)?PARTITION\s+BY\s+(RANGE|LIST)\s*\(",
+            tail,
         )
         if sp and not sp.group(1) and "date_trunc" not in tail[
             sp.end() - 1 : _balanced_span(tail, sp.end() - 1)
         ].lower():
+            kind = sp.group(2).upper()
             colspan_end = _balanced_span(tail, sp.end() - 1)
             rcol = tail[sp.end() : colspan_end - 1].strip().strip("`")
             list_open = tail.index("(", colspan_end)
             list_end = _balanced_span(tail, list_open)
-            items = re.findall(
-                r"(?i)PARTITION\s+`?([A-Za-z]\w*)`?\s+VALUES\s+LESS\s+THAN"
-                r"\s*\(\s*(MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)",
-                tail[list_open + 1 : list_end - 1],
-            )
-            if not items:
-                raise ValueError(
-                    "unparsable PARTITION BY RANGE list (expected "
-                    "PARTITION name VALUES LESS THAN ('lit'|MAXVALUE))"
+            plist = tail[list_open + 1 : list_end - 1]
+            if kind == "RANGE":
+                items = re.findall(
+                    r"(?i)PARTITION\s+`?([A-Za-z]\w*)`?\s+VALUES\s+LESS\s+"
+                    r"THAN\s*\(\s*(MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+                    plist,
                 )
-            range_parts = {
-                "col": rcol,
-                "parts": [
-                    {"name": nm,
-                     "upper": None if up.upper() == "MAXVALUE" else up}
-                    for nm, up in items
-                ],
-            }
+                if not items:
+                    raise ValueError(
+                        "unparsable PARTITION BY RANGE list (expected "
+                        "PARTITION name VALUES LESS THAN ('lit'|MAXVALUE))"
+                    )
+                range_parts = {
+                    "col": rcol,
+                    "parts": [
+                        {"name": nm,
+                         "upper": None if up.upper() == "MAXVALUE" else up}
+                        for nm, up in items
+                    ],
+                }
+            else:
+                items = re.findall(
+                    r"(?i)PARTITION\s+`?([A-Za-z]\w*)`?\s+VALUES\s+IN"
+                    r"\s*\(\s*([^)]*?)\s*\)",
+                    plist,
+                )
+                if not items:
+                    raise ValueError(
+                        "unparsable PARTITION BY LIST (expected "
+                        "PARTITION name VALUES IN ('a', 'b', ...))"
+                    )
+                range_parts = {
+                    "col": rcol,
+                    "kind": "list",
+                    "parts": [
+                        {"name": nm,
+                         "values": [v.strip() for v in vals.split(",")]}
+                        for nm, vals in items
+                    ],
+                }
             tail = tail[: sp.start()] + tail[list_end:]
         m = _CREATE_TAIL_RE.match(tail)
         if not m:
@@ -2948,13 +2974,23 @@ class PaloSession:
                     )
                     if ap
                     else (
-                        "\nPARTITION BY RANGE(`%s`) (%s)" % (
+                        "\nPARTITION BY %s(`%s`) (%s)" % (
+                            "LIST"
+                            if t.meta.range_partitions.get("kind") == "list"
+                            else "RANGE",
                             t.meta.range_partitions["col"],
                             ", ".join(
-                                "PARTITION %s VALUES LESS THAN (%s)" % (
-                                    p["name"],
-                                    "MAXVALUE" if p["upper"] is None
-                                    else p["upper"],
+                                (
+                                    "PARTITION %s VALUES IN (%s)" % (
+                                        p["name"], ", ".join(p["values"]),
+                                    )
+                                    if "values" in p
+                                    else "PARTITION %s VALUES LESS THAN (%s)"
+                                    % (
+                                        p["name"],
+                                        "MAXVALUE" if p["upper"] is None
+                                        else p["upper"],
+                                    )
                                 )
                                 for p in t.meta.range_partitions["parts"]
                             ),
@@ -3348,10 +3384,19 @@ class PaloSession:
             if apm_:
                 t = self._table(apm_.group("name"))
                 up = apm_.group("upper")
-                t.add_partition(
-                    apm_.group("part"),
-                    None if up.upper() == "MAXVALUE" else up,
-                )
+                if apm_.group("invals") is not None:
+                    t.add_partition(
+                        apm_.group("part"),
+                        values=[
+                            v.strip()
+                            for v in apm_.group("invals").split(",")
+                        ],
+                    )
+                else:
+                    t.add_partition(
+                        apm_.group("part"),
+                        None if up.upper() == "MAXVALUE" else up,
+                    )
                 return None
             pm_ = _ALTER_DROP_PART_RE.match(stripped)
             if pm_:

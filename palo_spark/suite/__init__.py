@@ -84,6 +84,7 @@ _R10_ADDITIONS = [
     "sql_dynamic_partition_retention",
     "sql_list_partition_prune",
     "sql_static_range_partition",
+    "sql_static_list_partition",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2020,3 +2020,50 @@ ORACLE["sql_static_range_partition"] = """
     FROM orders
     WHERE o_orderdate >= '1998-01-01'
 """
+
+
+def _sql_static_list_partition(spark, sf_dir):
+    """Classic Doris STATIC list partitioning ([docs: partition —
+    ``PARTITION BY LIST(col) (PARTITION p VALUES IN (...))``]):
+    customers land in declared segment partitions; the segment-equality
+    query prunes to ONE declared partition (fail-loud plan assert), and
+    the aggregate matches the oracle's plain filter. Exact: integer
+    cents, counts."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE statl_cust (`c_custkey` BIGINT, `c_mktsegment` "
+        "VARCHAR(12), `cents` BIGINT) DUPLICATE KEY(c_custkey, "
+        "c_mktsegment) PARTITION BY LIST(`c_mktsegment`) ("
+        "  PARTITION p_retail VALUES IN ('AUTOMOBILE', 'FURNITURE', "
+        "'HOUSEHOLD'),"
+        "  PARTITION p_industry VALUES IN ('BUILDING', 'MACHINERY')"
+        ") DISTRIBUTED BY HASH(c_custkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO statl_cust SELECT c_custkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal * 100) AS BIGINT) FROM customer"
+    )
+    df = t.scan("c_mktsegment = 'MACHINERY'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "p_industry" in plan and "p_retail" not in plan.split(
+        "PartitionFilters"
+    )[-1].split("]")[0], "expected static-list partition pruning"
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+QUERIES["sql_static_list_partition"] = _sql_static_list_partition
+ORACLE["sql_static_list_partition"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM customer
+    WHERE c_mktsegment = 'MACHINERY'
+"""

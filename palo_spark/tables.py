@@ -129,7 +129,9 @@ class TableMeta:
     #: upper bound exceeds the value, a row beyond the last bound FAILS
     #: the load (Doris: no matching partition). Labels share the
     #: auto-partition hive layout, so selection/delete/drop/pruning use
-    #: the same machinery.
+    #: the same machinery. The static LIST form (`PARTITION BY LIST(col)
+    #: (PARTITION p VALUES IN (...))`) uses the same slot with
+    #: "kind": "list" and per-part "values" instead of bounds.
     range_partitions: dict | None = None
     #: committed rowsets: [{"version": int, "path": str, "label": str|None}]
     rowsets: list[dict] = field(default_factory=list)
@@ -271,17 +273,30 @@ class Table:
             names = [p["name"] for p in rparts]
             if len(set(names)) != len(names):
                 raise ValueError(f"duplicate partition names: {names}")
-            for p in rparts[:-1]:
-                if p["upper"] is None:
+            if range_partitions.get("kind") == "list":
+                seen_vals: set[str] = set()
+                for p in rparts:
+                    for v in p["values"]:
+                        if v in seen_vals:
+                            raise ValueError(
+                                f"value {v!r} appears in two partitions"
+                            )
+                        seen_vals.add(v)
+            else:
+                for p in rparts[:-1]:
+                    if p["upper"] is None:
+                        raise ValueError(
+                            "MAXVALUE is only allowed on the LAST partition"
+                        )
+                keys = [
+                    _rp_key(p["upper"]) for p in rparts
+                    if p["upper"] is not None
+                ]
+                if len({k[0] for k in keys}) > 1 or keys != sorted(keys):
                     raise ValueError(
-                        "MAXVALUE is only allowed on the LAST partition"
+                        "partition upper bounds must be same-typed and "
+                        f"strictly increasing: {[p['upper'] for p in rparts]}"
                     )
-            keys = [_rp_key(p["upper"]) for p in rparts if p["upper"] is not None]
-            if len({k[0] for k in keys}) > 1 or keys != sorted(keys):
-                raise ValueError(
-                    "partition upper bounds must be same-typed and "
-                    f"strictly increasing: {[p['upper'] for p in rparts]}"
-                )
             if keys_type != "DUPLICATE" and rcol not in key_cols:
                 raise ValueError(
                     "range partition column must be a key column on "
@@ -290,11 +305,13 @@ class Table:
             # materialize each partition's LOWER bound (the previous
             # upper): dropping a MIDDLE partition must leave a HOLE —
             # rows in the dropped range fail to load rather than folding
-            # into the next partition
-            prev = None
-            for p in rparts:
-                p.setdefault("lower", prev)
-                prev = p["upper"]
+            # into the next partition. (List parts carry explicit value
+            # sets instead of bounds.)
+            if range_partitions.get("kind") != "list":
+                prev = None
+                for p in rparts:
+                    p.setdefault("lower", prev)
+                    prev = p["upper"]
 
         self.spark = spark
         self.location = location or tempfile.mkdtemp(prefix=f"palo_{name}_")
@@ -729,15 +746,35 @@ class Table:
                 a["type"] = new_type
         self._save_meta()
 
-    def add_partition(self, name: str, upper: str | None) -> None:
+    def add_partition(
+        self, name: str, upper: str | None = None,
+        values: list[str] | None = None,
+    ) -> None:
         """Doris ``ALTER TABLE t ADD PARTITION p VALUES LESS THAN
-        (lit | MAXVALUE)`` on a static range-partitioned table: appends
-        above the current top bound (metadata-only)."""
+        (lit | MAXVALUE)`` on a static range-partitioned table (appends
+        above the current top bound), or ``... VALUES IN (...)`` on a
+        static list-partitioned one. Metadata-only."""
         rp = self.meta.range_partitions
         if rp is None:
             raise ValueError("ADD PARTITION requires a range-partitioned table")
         if any(p["name"] == name for p in rp["parts"]):
             raise ValueError(f"partition {name!r} already exists")
+        if rp.get("kind") == "list":
+            if values is None:
+                raise ValueError(
+                    "a LIST-partitioned table needs VALUES IN (...)"
+                )
+            declared = {v for p in rp["parts"] for v in p["values"]}
+            dup = [v for v in values if v in declared]
+            if dup:
+                raise ValueError(f"values already declared: {dup}")
+            rp["parts"].append({"name": name, "values": list(values)})
+            self._save_meta()
+            return
+        if upper is None and values is not None:
+            raise ValueError(
+                "a RANGE-partitioned table needs VALUES LESS THAN (...)"
+            )
         last = rp["parts"][-1] if rp["parts"] else None
         if last is not None and last["upper"] is None:
             raise ValueError(
@@ -852,12 +889,20 @@ class Table:
                 # "no partition for this row" rejects the load)
                 label_expr = F.lit("__no_part__")
                 for p in reversed(rp["parts"]):
-                    conds = []
-                    if p.get("lower") is not None:
-                        conds.append(f"`{rp['col']}` >= {p['lower']}")
-                    if p["upper"] is not None:
-                        conds.append(f"`{rp['col']}` < {p['upper']}")
-                    cond = F.expr(" AND ".join(conds)) if conds else F.lit(True)
+                    if rp.get("kind") == "list":
+                        cond = F.expr(
+                            f"`{rp['col']}` IN ("
+                            + ", ".join(p["values"]) + ")"
+                        )
+                    else:
+                        conds = []
+                        if p.get("lower") is not None:
+                            conds.append(f"`{rp['col']}` >= {p['lower']}")
+                        if p["upper"] is not None:
+                            conds.append(f"`{rp['col']}` < {p['upper']}")
+                        cond = (
+                            F.expr(" AND ".join(conds)) if conds else F.lit(True)
+                        )
                     label_expr = F.when(cond, F.lit(p["name"])).otherwise(
                         label_expr
                     )
@@ -893,9 +938,9 @@ class Table:
         if rp is not None and "__no_part__" in self._labels_of(path):
             shutil.rmtree(path, ignore_errors=True)
             raise ValueError(
-                "load has rows with no matching range partition (beyond "
-                "the last upper bound, or inside a dropped partition's "
-                "hole) — ADD PARTITION first"
+                "load has rows with no matching partition (value not "
+                "declared, beyond the last upper bound, or inside a "
+                "dropped partition's hole) — ADD PARTITION first"
             )
 
     def _replace_storage(self, df: DataFrame) -> None:
@@ -1162,6 +1207,30 @@ class Table:
         if re.search(r"(?i)\bor\b", where) or "(" in where:
             return None
         col = re.escape(rp["col"])
+        if rp.get("kind") == "list":
+            # static LIST: only equality conjuncts prune — the matching
+            # partition is the one DECLARING the value (none → empty set,
+            # which is itself a sound prune: the value cannot exist)
+            allowed_l: set[str] | None = None
+            for conj in re.split(r"(?i)\s+and\s+", where.strip()):
+                m = re.fullmatch(
+                    rf"\s*{col}\s*=\s*('[^']*'|-?\d+(?:\.\d+)?)\s*",
+                    conj, re.IGNORECASE,
+                )
+                if not m:
+                    continue
+                want = _rp_key(m.group(1))
+                keep = {
+                    p["name"]
+                    for p in rp["parts"]
+                    if any(_rp_key(v) == want for v in p["values"])
+                }
+                allowed_l = keep if allowed_l is None else (allowed_l & keep)
+            if allowed_l is None or allowed_l == {
+                p["name"] for p in rp["parts"]
+            }:
+                return None
+            return F.col(AUTO_PART_COL).isin(sorted(allowed_l))
         bounds = [
             (p["name"],
              _rp_key(p["lower"]) if p.get("lower") is not None else None,

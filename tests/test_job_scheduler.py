@@ -209,7 +209,7 @@ def test_static_range_partition_lifecycle(spark):
         "(3,'2023-03-20',30)"
     )
     assert sorted(t.partitions()) == ["a", "b", "c"]
-    with pytest.raises(ValueError, match="no matching range partition"):
+    with pytest.raises(ValueError, match="no matching partition"):
         ps.sql("INSERT INTO srpt VALUES (4,'2023-05-05',40)")
     assert ps.sql("SELECT COUNT(*) AS n FROM srpt").collect()[0].n == 3
     ps.sql("ALTER TABLE srpt ADD PARTITION dd VALUES LESS THAN ('2023-05-01')")
@@ -222,7 +222,7 @@ def test_static_range_partition_lifecycle(spark):
     # middle drop leaves a hole: the dropped range refuses new rows
     ps.sql("ALTER TABLE srpt DROP PARTITION b")
     assert sorted(t.partitions()) == ["a", "c", "dd"]
-    with pytest.raises(ValueError, match="no matching range partition"):
+    with pytest.raises(ValueError, match="no matching partition"):
         ps.sql("INSERT INTO srpt VALUES (9,'2023-02-15',90)")
     shows = [r[0] for r in ps.sql("SHOW PARTITIONS FROM srpt").collect()]
     assert shows == ["a", "c", "dd"]
@@ -267,3 +267,32 @@ def test_static_range_partition_restrictions(spark):
     ps.sql("INSERT INTO srz VALUES (1, 99), (2, 100), (3, 5000)")
     assert [r.k for r in t.scan("n = 99").collect()] == [1]
     assert sorted(t.partitions()) == ["hi", "lo"]
+
+
+def test_static_list_partition_lifecycle(spark):
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE slpt (`k` BIGINT, `seg` VARCHAR(12), `v` BIGINT) "
+        "DUPLICATE KEY(k, seg) PARTITION BY LIST(`seg`) ("
+        "PARTITION pa VALUES IN ('A', 'B'), "
+        "PARTITION pb VALUES IN ('C')"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO slpt VALUES (1,'A',10),(2,'C',20),(3,'B',30)")
+    assert sorted(t.partitions()) == ["pa", "pb"]
+    with pytest.raises(ValueError, match="no matching partition"):
+        ps.sql("INSERT INTO slpt VALUES (4,'Z',40)")
+    ps.sql("ALTER TABLE slpt ADD PARTITION pc VALUES IN ('Z')")
+    with pytest.raises(ValueError, match="already declared"):
+        ps.sql("ALTER TABLE slpt ADD PARTITION pd VALUES IN ('A')")
+    ps.sql("INSERT INTO slpt VALUES (4,'Z',40)")
+    # equality pruning to the single declaring partition
+    assert [r.k for r in t.scan("seg = 'C'").collect()] == [2]
+    pred = t._prune_predicate("seg = 'C'")
+    assert pred is not None
+    # dropping removes the declaration: the value refuses to reload
+    ps.sql("ALTER TABLE slpt DROP PARTITION pb")
+    with pytest.raises(ValueError, match="no matching partition"):
+        ps.sql("INSERT INTO slpt VALUES (9,'C',90)")
+    show = ps.sql("SHOW CREATE TABLE slpt").collect()[0][1]
+    assert "PARTITION BY LIST(`seg`)" in show and "VALUES IN ('Z')" in show
