@@ -656,6 +656,11 @@ class Table:
             raise ValueError(f"cannot drop sequence column {col!r}")
         if self.meta.auto_partition and col == self.meta.auto_partition["col"]:
             raise ValueError(f"cannot drop partition column {col!r}")
+        if (
+            self.meta.range_partitions
+            and col == self.meta.range_partitions["col"]
+        ):
+            raise ValueError(f"cannot drop partition column {col!r}")
         if col in self.meta.partition_by:
             raise ValueError(f"cannot drop partition column {col!r}")
         if col in self.meta.dist_cols:
@@ -708,6 +713,11 @@ class Table:
         ]
         if self.meta.auto_partition and self.meta.auto_partition["col"] == old:
             self.meta.auto_partition["col"] = new
+        if (
+            self.meta.range_partitions
+            and self.meta.range_partitions["col"] == old
+        ):
+            self.meta.range_partitions["col"] = new
         for a in self.meta.schema_adds:
             if a["col"] == old:
                 a["col"] = new
@@ -734,6 +744,10 @@ class Table:
             or (
                 self.meta.auto_partition
                 and col == self.meta.auto_partition["col"]
+            )
+            or (
+                self.meta.range_partitions
+                and col == self.meta.range_partitions["col"]
             )
         ):
             # partition labels / bucket assignment were derived from the

@@ -296,3 +296,28 @@ def test_static_list_partition_lifecycle(spark):
         ps.sql("INSERT INTO slpt VALUES (9,'C',90)")
     show = ps.sql("SHOW CREATE TABLE slpt").collect()[0][1]
     assert "PARTITION BY LIST(`seg`)" in show and "VALUES IN ('Z')" in show
+
+
+def test_static_partition_column_schema_change_guards(spark):
+    """The static partition column is load-bearing for routing: DROP and
+    MODIFY refuse; RENAME follows through to the declaration so later
+    loads keep routing."""
+    ps = PaloSession(spark)
+    # DUPLICATE model: the partition column need not be a key column,
+    # so these guards are the ONLY protection
+    t = ps.sql(
+        "CREATE TABLE spguard (`k` BIGINT, `n` BIGINT, `v` BIGINT) "
+        "DUPLICATE KEY(k) PARTITION BY RANGE(`n`) ("
+        "PARTITION lo VALUES LESS THAN (100), "
+        "PARTITION hi VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO spguard VALUES (1, 5, 50)")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("n")
+    with pytest.raises(ValueError, match="key column|partition"):
+        t.modify_column_type("n", "string")
+    ps.sql("ALTER TABLE spguard RENAME COLUMN n num")
+    assert t.meta.range_partitions["col"] == "num"
+    ps.sql("INSERT INTO spguard (k, num, v) VALUES (2, 500, 70)")
+    assert sorted(t.partitions()) == ["hi", "lo"]
