@@ -145,6 +145,9 @@ _INSERT_RE = re.compile(
     # — a retried statement under the same label is a no-op (the label
     # ledger in the table metadata is the dedup)
     r"(?:WITH\s+LABEL\s+`?(?P<label>\w+)`?\s*)?"
+    # staged backfill load: rows land in the (invisible) temporary
+    # partition until REPLACE PARTITION swaps it in
+    r"(?:TEMPORARY\s+PARTITION\s*\(\s*`?(?P<temppart>\w+)`?\s*\)\s*)?"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>VALUES\s*.*|SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -253,11 +256,19 @@ _ALTER_DROP_PART_RE = re.compile(
 )
 
 _ALTER_ADD_PART_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+PARTITION\s+"
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+"
+    r"(?P<temp>TEMPORARY\s+)?PARTITION\s+"
     r"`?(?P<part>[A-Za-z]\w*)`?\s+VALUES\s+"
     r"(?:LESS\s+THAN\s*\(\s*"
     r"(?P<upper>MAXVALUE|'[^']*'|-?\d+(?:\.\d+)?)\s*\)"
     r"|IN\s*\(\s*(?P<invals>[^)]*?)\s*\))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ALTER_REPLACE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+REPLACE\s+PARTITION\s*"
+    r"\(\s*`?(?P<formal>\w+)`?\s*\)\s+WITH\s+TEMPORARY\s+PARTITION\s*"
+    r"\(\s*`?(?P<temp>\w+)`?\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1136,7 +1147,10 @@ class PaloSession:
                 i = [d.lower() for d in decl].index(col_name.lower())
                 sel.append(f"CAST(`{got}` AS {typs[i]}) AS `{decl[i]}`")
             rows = rows.selectExpr(*sel)
-        version = t.insert(rows, label=m.group("label"))
+        version = t.insert(
+            rows, label=m.group("label"),
+            temp_partition=m.group("temppart"),
+        )
         if version == -1:
             # label already applied (idempotent replay): no new rowset,
             # no view/MV refresh needed
@@ -3384,8 +3398,12 @@ class PaloSession:
             if apm_:
                 t = self._table(apm_.group("name"))
                 up = apm_.group("upper")
+                add = (
+                    t.add_temp_partition if apm_.group("temp")
+                    else t.add_partition
+                )
                 if apm_.group("invals") is not None:
-                    t.add_partition(
+                    add(
                         apm_.group("part"),
                         values=[
                             v.strip()
@@ -3393,10 +3411,18 @@ class PaloSession:
                         ],
                     )
                 else:
-                    t.add_partition(
+                    add(
                         apm_.group("part"),
                         None if up.upper() == "MAXVALUE" else up,
                     )
+                return None
+            rpp_ = _ALTER_REPLACE_PART_RE.match(stripped)
+            if rpp_:
+                t = self._table(rpp_.group("name"))
+                t.replace_partition(rpp_.group("formal"), rpp_.group("temp"))
+                # visible data changed: rollups re-derive, views/MVs see it
+                self._refresh_rollups(rpp_.group("name"), t)
+                self._refresh_view(rpp_.group("name").lower())
                 return None
             pm_ = _ALTER_DROP_PART_RE.match(stripped)
             if pm_:

@@ -85,6 +85,7 @@ _R10_ADDITIONS = [
     "sql_list_partition_prune",
     "sql_static_range_partition",
     "sql_static_list_partition",
+    "sql_temp_partition_backfill",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

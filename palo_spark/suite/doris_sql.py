@@ -2067,3 +2067,64 @@ ORACLE["sql_static_list_partition"] = """
     FROM customer
     WHERE c_mktsegment = 'MACHINERY'
 """
+
+
+def _sql_temp_partition_backfill(spark, sf_dir):
+    """Doris temporary partitions ([docs: temporary-partition] — the
+    atomic backfill primitive): pre-1995 orders are rebuilt DOUBLED
+    under a staged temporary partition while the original keeps
+    serving, then one REPLACE PARTITION swap makes the corrected data
+    visible. The oracle states the post-swap world: doubled cents
+    before 1995, original cents after. Exact: integer cents, counts."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE tpb_ord (`o_orderkey` BIGINT, `o_orderdate` "
+        "DATETIME, `cents` BIGINT) DUPLICATE KEY(o_orderkey, o_orderdate) "
+        "PARTITION BY RANGE(`o_orderdate`) ("
+        "  PARTITION p_old VALUES LESS THAN ('1995-01-01'),"
+        "  PARTITION p_new VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO tpb_ord SELECT o_orderkey, o_orderdate, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders"
+    )
+    ps.sql(
+        "ALTER TABLE tpb_ord ADD TEMPORARY PARTITION t_old "
+        "VALUES LESS THAN ('1995-01-01')"
+    )
+    # staged rebuild: the corrected (doubled) early years, invisible
+    # while loading
+    ps.sql(
+        "INSERT INTO tpb_ord TEMPORARY PARTITION (t_old) "
+        "SELECT o_orderkey, o_orderdate, "
+        "2 * CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders "
+        "WHERE o_orderdate < '1995-01-01'"
+    )
+    before = ps.sql(
+        "SELECT SUM(cents) AS s FROM tpb_ord"
+    ).collect()[0].s
+    ps.sql(
+        "ALTER TABLE tpb_ord REPLACE PARTITION (p_old) "
+        "WITH TEMPORARY PARTITION (t_old)"
+    )
+    return ps.sql(
+        "SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents, "
+        f"CAST({before} AS BIGINT) AS pre_swap_cents FROM tpb_ord"
+    )
+
+
+QUERIES["sql_temp_partition_backfill"] = _sql_temp_partition_backfill
+ORACLE["sql_temp_partition_backfill"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderdate < '1995-01-01'
+                         THEN 2 * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                         ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS pre_swap_cents
+    FROM orders
+"""

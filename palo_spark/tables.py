@@ -407,6 +407,7 @@ class Table:
         df: DataFrame,
         label: str | None = None,
         partial_columns: bool = False,
+        temp_partition: str | None = None,
     ) -> int:
         """Load one batch as a new rowset; returns the committed version.
 
@@ -466,9 +467,17 @@ class Table:
                     and c != self.meta.sequence_col
                     and c not in (DELETE_SIGN_COL, AUTO_PART_COL)
                 ]
+        if temp_partition is not None:
+            rp_ = self.meta.range_partitions
+            if rp_ is None or not any(
+                p["name"] == temp_partition for p in rp_.get("temp", [])
+            ):
+                raise ValueError(
+                    f"unknown temporary partition {temp_partition!r}"
+                )
         version = self._next_version
         path = os.path.join(self.location, f"rowset_v{version}_{uuid.uuid4().hex[:8]}")
-        self._write_rowset(df, path)
+        self._write_rowset(df, path, temp_partition=temp_partition)
         self.meta.rowsets.append(
             {
                 "version": version,
@@ -807,6 +816,102 @@ class Table:
         )
         self._save_meta()
 
+    def add_temp_partition(
+        self, name: str, upper: str | None = None,
+        values: list[str] | None = None,
+    ) -> None:
+        """Doris ``ALTER TABLE t ADD TEMPORARY PARTITION tp VALUES ...``
+        ([docs: temporary-partition]): a staging partition invisible to
+        reads. Strict matching (the Doris default): the declared bounds
+        / value set must EQUAL one formal partition's — that is the
+        partition REPLACE may later swap. Keeps the swap sound: every
+        staged row provably belongs to the interval it will serve."""
+        rp = self.meta.range_partitions
+        if rp is None:
+            raise ValueError(
+                "temporary partitions require a static-partitioned table"
+            )
+        temps = rp.setdefault("temp", [])
+        taken = {p["name"] for p in rp["parts"]} | {
+            p["name"] for p in temps
+        }
+        if name in taken:
+            raise ValueError(f"partition name {name!r} already taken")
+        if rp.get("kind") == "list":
+            if values is None:
+                raise ValueError("LIST table: use VALUES IN (...)")
+            match = [
+                p for p in rp["parts"]
+                if sorted(_rp_key(v) for v in p["values"])
+                == sorted(_rp_key(v) for v in values)
+            ]
+            if not match:
+                raise ValueError(
+                    "strict matching: the temporary partition's value set "
+                    "must equal one formal partition's"
+                )
+            temps.append(
+                {"name": name, "for": match[0]["name"], "values": list(values)}
+            )
+        else:
+            if upper is None:
+                raise ValueError(
+                    "RANGE table: use VALUES LESS THAN ('lit') — a "
+                    "temporary partition for the MAXVALUE partition is "
+                    "not supported (strict matching needs a finite bound)"
+                )
+            match = [
+                p for p in rp["parts"]
+                if p["upper"] is not None
+                and _rp_key(p["upper"]) == _rp_key(upper)
+            ]
+            if not match:
+                raise ValueError(
+                    "strict matching: the temporary partition's upper bound "
+                    "must equal one formal partition's"
+                )
+            temps.append(
+                {"name": name, "for": match[0]["name"],
+                 "upper": match[0]["upper"], "lower": match[0].get("lower")}
+            )
+        self._save_meta()
+
+    def replace_partition(self, formal: str, temp: str) -> None:
+        """Doris ``ALTER TABLE t REPLACE PARTITION (p) WITH TEMPORARY
+        PARTITION (tp)``: the staged rows atomically take the formal
+        partition's place — the backfill primitive (rebuild a day under
+        a temp label while the old day keeps serving, then one metadata
+        swap). The swap is a per-rowset directory rename; the formal
+        name and bounds survive (upstream default
+        ``use_temp_partition_name=false``)."""
+        rp = self.meta.range_partitions
+        if rp is None:
+            raise ValueError("requires a static-partitioned table")
+        tp = next(
+            (p for p in rp.get("temp", []) if p["name"] == temp), None
+        )
+        if tp is None:
+            raise ValueError(f"unknown temporary partition {temp!r}")
+        if tp["for"] != formal:
+            raise ValueError(
+                f"strict matching: {temp!r} was declared for partition "
+                f"{tp['for']!r}, not {formal!r}"
+            )
+        for r in self.meta.rowsets:
+            fdir = os.path.join(r["path"], f"{AUTO_PART_COL}={formal}")
+            tdir = os.path.join(r["path"], f"{AUTO_PART_COL}={temp}")
+            if os.path.isdir(fdir):
+                shutil.rmtree(fdir, ignore_errors=True)
+            if os.path.isdir(tdir):
+                os.rename(tdir, fdir)
+            if "partitions" in r:
+                r["partitions"] = sorted(
+                    {formal if lbl == temp else lbl
+                     for lbl in r["partitions"] if lbl != formal}
+                )
+        rp["temp"] = [p for p in rp["temp"] if p["name"] != temp]
+        self._save_meta()
+
     def drop_partition(self, label: str) -> bool:
         """Doris DROP PARTITION: remove one auto-partition's directories
         from every rowset — O(partition size) disk reclaim, zero rewrite
@@ -819,12 +924,18 @@ class Table:
             )
         rp = self.meta.range_partitions
         if rp is not None:
-            if not any(p["name"] == label for p in rp["parts"]):
+            if any(p["name"] == label for p in rp.get("temp", [])):
+                # dropping a staged TEMPORARY partition discards it
+                rp["temp"] = [
+                    p for p in rp["temp"] if p["name"] != label
+                ]
+            elif any(p["name"] == label for p in rp["parts"]):
+                # the DECLARATION goes too (Doris: rows for a dropped
+                # range have no partition — later loads in that range
+                # fail rather than silently resurrecting it)
+                rp["parts"] = [p for p in rp["parts"] if p["name"] != label]
+            else:
                 raise ValueError(f"unknown partition {label!r}")
-            # the DECLARATION goes too (Doris: rows for a dropped range
-            # have no partition — later loads in that range fail rather
-            # than silently resurrecting it)
-            rp["parts"] = [p for p in rp["parts"] if p["name"] != label]
             self._save_meta()
         removed = False
         for r in self.meta.rowsets:
@@ -878,11 +989,21 @@ class Table:
         catching read()'s ValueError, which would also swallow genuine
         read-path errors (e.g. a malformed stored delete predicate) and
         turn compaction into a silent no-op."""
+        if (self.meta.range_partitions or {}).get("temp"):
+            # compaction materializes read() — which EXCLUDES staged
+            # temporary-partition rows, so compacting now would silently
+            # discard them
+            raise ValueError(
+                "cannot compact with live temporary partitions — "
+                "REPLACE or drop them first"
+            )
         if self._raw() is None:
             return
         self._replace_storage(self.read())
 
-    def _write_rowset(self, df: DataFrame, path: str) -> None:
+    def _write_rowset(
+        self, df: DataFrame, path: str, temp_partition: str | None = None
+    ) -> None:
         """One rowset write. AUTO PARTITION tables derive the partition
         label from the partition column (implicit partition creation at
         load — Doris 2.1 auto-partition) and lay the rowset out as hive
@@ -900,9 +1021,17 @@ class Table:
                 # bound exceeds the value; beyond the last bound (and
                 # no MAXVALUE) → sentinel label, checked after the
                 # write so the whole load fails atomically (Doris:
-                # "no partition for this row" rejects the load)
+                # "no partition for this row" rejects the load).
+                # A TEMPORARY-partition load routes against the temp's
+                # interval ONLY — every row must fall inside it.
+                route_parts = (
+                    [p for p in rp.get("temp", [])
+                     if p["name"] == temp_partition]
+                    if temp_partition is not None
+                    else rp["parts"]
+                )
                 label_expr = F.lit("__no_part__")
-                for p in reversed(rp["parts"]):
+                for p in reversed(route_parts):
                     if rp.get("kind") == "list":
                         cond = F.expr(
                             f"`{rp['col']}` IN ("
@@ -1445,6 +1574,15 @@ class Table:
         ``partition_pred`` (internal; see :meth:`scan`) filters auto-
         partition labels at the rowset scans, before any merge."""
         self._sync_meta()
+        rp = self.meta.range_partitions
+        temp_labels = [p["name"] for p in (rp or {}).get("temp", [])]
+        if temp_labels:
+            # staged TEMPORARY-partition rows are invisible until
+            # REPLACE PARTITION swaps them in (Doris semantics)
+            excl = ~F.col(AUTO_PART_COL).isin(temp_labels)
+            partition_pred = (
+                excl if partition_pred is None else (partition_pred & excl)
+            )
         raw = self._raw(partition_pred)
         if raw is None:
             raise ValueError(f"table {self.meta.name!r} has no data")

@@ -321,3 +321,47 @@ def test_static_partition_column_schema_change_guards(spark):
     assert t.meta.range_partitions["col"] == "num"
     ps.sql("INSERT INTO spguard (k, num, v) VALUES (2, 500, 70)")
     assert sorted(t.partitions()) == ["hi", "lo"]
+
+
+def test_temporary_partition_backfill(spark):
+    """Temp partitions: staged rows invisible, interval-validated,
+    strict-match REPLACE swaps atomically, compact refuses while
+    staged, DROP discards a staged temp."""
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE tpbt (`k` BIGINT, `n` BIGINT, `v` BIGINT) "
+        "DUPLICATE KEY(k) PARTITION BY RANGE(`n`) ("
+        "PARTITION lo VALUES LESS THAN (100), "
+        "PARTITION hi VALUES LESS THAN (200)"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO tpbt VALUES (1, 5, 10), (2, 150, 20)")
+    ps.sql("ALTER TABLE tpbt ADD TEMPORARY PARTITION tlo VALUES LESS THAN (100)")
+    ps.sql("INSERT INTO tpbt TEMPORARY PARTITION (tlo) VALUES (7, 50, 777)")
+    assert sorted(r.k for r in ps.sql("SELECT k FROM tpbt").collect()) == [1, 2]
+    with pytest.raises(ValueError, match="no matching partition"):
+        ps.sql("INSERT INTO tpbt TEMPORARY PARTITION (tlo) VALUES (9, 150, 9)")
+    with pytest.raises(ValueError, match="strict matching"):
+        ps.sql(
+            "ALTER TABLE tpbt REPLACE PARTITION (hi) "
+            "WITH TEMPORARY PARTITION (tlo)"
+        )
+    with pytest.raises(ValueError, match="temporary partitions"):
+        t.compact()
+    ps.sql("ALTER TABLE tpbt REPLACE PARTITION (lo) WITH TEMPORARY PARTITION (tlo)")
+    assert sorted(
+        (r.k, r.v) for r in ps.sql("SELECT k, v FROM tpbt").collect()
+    ) == [(2, 20), (7, 777)]
+    assert t.meta.range_partitions.get("temp") == []
+    # a dropped staged temp disappears without touching visible data
+    ps.sql("ALTER TABLE tpbt ADD TEMPORARY PARTITION thi VALUES LESS THAN (200)")
+    ps.sql("INSERT INTO tpbt TEMPORARY PARTITION (thi) VALUES (5, 150, 55)")
+    ps.sql("ALTER TABLE tpbt DROP PARTITION thi")
+    assert sorted(r.k for r in ps.sql("SELECT k FROM tpbt").collect()) == [2, 7]
+    t.compact()  # allowed again once no temp is live
+    # strict matching at CREATE time: bound must equal a formal's
+    with pytest.raises(ValueError, match="strict matching"):
+        ps.sql(
+            "ALTER TABLE tpbt ADD TEMPORARY PARTITION tx "
+            "VALUES LESS THAN (150)"
+        )
