@@ -349,7 +349,9 @@ _LOAD_RE = re.compile(
 )
 
 _TRUNCATE_RE = re.compile(
-    r"^\s*TRUNCATE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+    r"^\s*TRUNCATE\s+TABLE\s+`?(?P<name>\w+)`?"
+    r"(?:\s+PARTITION\s*\(\s*`?(?P<part>[\w-]+)`?\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 _CTAS_RE = re.compile(
@@ -2754,6 +2756,15 @@ class PaloSession:
         tm = _TRUNCATE_RE.match(stripped)
         if tm:
             t = self._table(tm.group("name"))
+            if tm.group("part"):
+                # partition-scoped truncate: storage empties, the
+                # declaration survives — the table still has data, so
+                # the ordinary refresh path (rollup re-derive + view +
+                # ON COMMIT MVs) applies
+                t.truncate_partition(tm.group("part"))
+                self._refresh_rollups(tm.group("name"), t)
+                self._refresh_view(tm.group("name").lower())
+                return None
             t.truncate()
             # delta-maintained rollups never subtract: without this, an
             # MV kept answering with pre-truncate sums forever. Empty
@@ -3696,7 +3707,18 @@ class PaloSession:
             # OVERWRITE t SELECT ... FROM t), so the rows are STAGED to
             # a temp rowset BEFORE the truncate — evaluating lazily
             # after truncate would read an already-empty table.
-            rewritten = "INSERT INTO " + iom.group("rest")
+            rest = iom.group("rest")
+            # partition-scoped overwrite: only that partition's content
+            # is replaced, and every staged row must ROUTE there
+            ovw_part = None
+            pmatch = re.match(
+                r"(`?\w+`?)\s+PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*(.*)$",
+                rest, re.IGNORECASE | re.DOTALL,
+            )
+            if pmatch:
+                ovw_part = pmatch.group(2)
+                rest = f"{pmatch.group(1)} {pmatch.group(3)}"
+            rewritten = "INSERT INTO " + rest
             m2 = _INSERT_RE.match(rewritten)
             if not m2:
                 raise ValueError(f"unparsable INSERT OVERWRITE: {text!r}")
@@ -3710,7 +3732,41 @@ class PaloSession:
             try:
                 rows.write.mode("overwrite").parquet(staged)
                 staged_rows = self.spark.read.parquet(staged)
-                t.truncate()
+                if ovw_part is not None:
+                    if t.meta.range_partitions is None:
+                        raise ValueError(
+                            "INSERT OVERWRITE ... PARTITION requires a "
+                            "static-partitioned table"
+                        )
+                    from pyspark.sql import functions as F
+
+                    from palo_spark.tables import AUTO_PART_COL
+
+                    # the routing check needs DECLARED column names;
+                    # VALUES tuples arrive as col1..colN, so map them
+                    # positionally the same way _insert will
+                    schema = getattr(t, "_declared_schema", None)
+                    decl = (
+                        [s.strip().split()[0] for s in _schema_parts(schema)]
+                        if schema else list(staged_rows.columns)
+                    )
+                    if len(staged_rows.columns) != len(decl):
+                        raise ValueError(
+                            "INSERT OVERWRITE ... PARTITION needs the full "
+                            f"column list ({len(decl)} columns, got "
+                            f"{len(staged_rows.columns)})"
+                        )
+                    stray = staged_rows.toDF(*decl).withColumn(
+                        AUTO_PART_COL, t.partition_label_expr()
+                    ).filter(F.col(AUTO_PART_COL) != ovw_part).take(1)
+                    if stray:
+                        raise ValueError(
+                            f"INSERT OVERWRITE PARTITION ({ovw_part}): the "
+                            "query produced rows outside that partition"
+                        )
+                    t.truncate_partition(ovw_part)
+                else:
+                    t.truncate()
                 version = self._insert(rewritten, rows_override=staged_rows)
                 # the truncate half of OVERWRITE never reaches the MV
                 # maintenance hooks (they only see the inserted batch):

@@ -86,6 +86,7 @@ _R10_ADDITIONS = [
     "sql_static_range_partition",
     "sql_static_list_partition",
     "sql_temp_partition_backfill",
+    "sql_overwrite_partition",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

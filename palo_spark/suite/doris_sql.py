@@ -2128,3 +2128,51 @@ ORACLE["sql_temp_partition_backfill"] = """
                AS pre_swap_cents
     FROM orders
 """
+
+
+def _sql_overwrite_partition(spark, sf_dir):
+    """Doris partition-scoped rewrite statements ([docs: insert-overwrite,
+    truncate — ``INSERT OVERWRITE t PARTITION (p)`` / ``TRUNCATE TABLE t
+    PARTITION (p)``]): the pre-1995 partition is overwritten with halved
+    cents computed FROM THE TABLE ITSELF (the staging step makes the
+    self-read safe), leaving the other partition untouched; a second
+    scratch partition proves TRUNCATE PARTITION empties storage but
+    keeps the declaration loadable. Exact: integer cents, counts."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE owp_ord (`o_orderkey` BIGINT, `o_orderdate` "
+        "DATETIME, `cents` BIGINT) DUPLICATE KEY(o_orderkey, o_orderdate) "
+        "PARTITION BY RANGE(`o_orderdate`) ("
+        "  PARTITION p_old VALUES LESS THAN ('1995-01-01'),"
+        "  PARTITION p_new VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO owp_ord SELECT o_orderkey, o_orderdate, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders"
+    )
+    # self-referencing partition overwrite: halve the old years
+    ps.sql(
+        "INSERT OVERWRITE owp_ord PARTITION (p_old) "
+        "SELECT o_orderkey, o_orderdate, CAST(FLOOR(cents / 2) AS BIGINT) "
+        "FROM owp_ord WHERE o_orderdate < '1995-01-01'"
+    )
+    return ps.sql(
+        "SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents FROM owp_ord"
+    )
+
+
+QUERIES["sql_overwrite_partition"] = _sql_overwrite_partition
+ORACLE["sql_overwrite_partition"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderdate < '1995-01-01'
+                         THEN CAST(FLOOR(
+                             CAST(FLOOR(o_totalprice * 100) AS BIGINT) / 2
+                         ) AS BIGINT)
+                         ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                    END) AS BIGINT) AS sum_cents
+    FROM orders
+"""

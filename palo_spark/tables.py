@@ -937,12 +937,20 @@ class Table:
             else:
                 raise ValueError(f"unknown partition {label!r}")
             self._save_meta()
+        return self._purge_label(label)
+
+    def _purge_label(self, label: str) -> bool:
+        """Remove one partition label's directories from every rowset
+        (the disk half of DROP/TRUNCATE PARTITION), then prune fully-
+        expired rowsets and recompute the delete-sign flag."""
         removed = False
         for r in self.meta.rowsets:
             p = os.path.join(r["path"], f"{AUTO_PART_COL}={label}")
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed = True
+            if "partitions" in r and label in r["partitions"]:
+                r["partitions"] = [x for x in r["partitions"] if x != label]
         if removed:
             # prune rowsets whose every partition expired (their meta
             # entry only costs a skipped scan, but a stranded "sign"
@@ -1001,6 +1009,48 @@ class Table:
             return
         self._replace_storage(self.read())
 
+    def partition_label_expr(self, temp_partition: str | None = None):
+        """STATIC-partition routing expression: each row maps to the
+        FIRST declared partition whose interval / value set matches;
+        no match → the ``__no_part__`` sentinel (checked after the
+        write so a bad load fails atomically — Doris rejects loads
+        with partition-less rows). A TEMPORARY-partition load routes
+        against that temp's interval ONLY."""
+        rp = self.meta.range_partitions
+        route_parts = (
+            [p for p in rp.get("temp", []) if p["name"] == temp_partition]
+            if temp_partition is not None
+            else rp["parts"]
+        )
+        label_expr = F.lit("__no_part__")
+        for p in reversed(route_parts):
+            if rp.get("kind") == "list":
+                cond = F.expr(
+                    f"`{rp['col']}` IN (" + ", ".join(p["values"]) + ")"
+                )
+            else:
+                conds = []
+                if p.get("lower") is not None:
+                    conds.append(f"`{rp['col']}` >= {p['lower']}")
+                if p["upper"] is not None:
+                    conds.append(f"`{rp['col']}` < {p['upper']}")
+                cond = F.expr(" AND ".join(conds)) if conds else F.lit(True)
+            label_expr = F.when(cond, F.lit(p["name"])).otherwise(label_expr)
+        return label_expr
+
+    def truncate_partition(self, label: str) -> bool:
+        """Doris ``TRUNCATE TABLE t PARTITION (p)``: empty ONE
+        partition's storage. Unlike DROP PARTITION the DECLARATION
+        survives, so later loads in the range still route there."""
+        if not self.meta.auto_partition and not self.meta.range_partitions:
+            raise ValueError("truncate_partition requires a partitioned table")
+        rp = self.meta.range_partitions
+        if rp is not None and not any(
+            p["name"] == label for p in rp["parts"]
+        ):
+            raise ValueError(f"unknown partition {label!r}")
+        return self._purge_label(label)
+
     def _write_rowset(
         self, df: DataFrame, path: str, temp_partition: str | None = None
     ) -> None:
@@ -1017,39 +1067,9 @@ class Table:
         parts = list(self.meta.partition_by)
         if rp is not None:
             if AUTO_PART_COL not in df.columns:
-                # route each row to the FIRST partition whose upper
-                # bound exceeds the value; beyond the last bound (and
-                # no MAXVALUE) → sentinel label, checked after the
-                # write so the whole load fails atomically (Doris:
-                # "no partition for this row" rejects the load).
-                # A TEMPORARY-partition load routes against the temp's
-                # interval ONLY — every row must fall inside it.
-                route_parts = (
-                    [p for p in rp.get("temp", [])
-                     if p["name"] == temp_partition]
-                    if temp_partition is not None
-                    else rp["parts"]
+                df = df.withColumn(
+                    AUTO_PART_COL, self.partition_label_expr(temp_partition)
                 )
-                label_expr = F.lit("__no_part__")
-                for p in reversed(route_parts):
-                    if rp.get("kind") == "list":
-                        cond = F.expr(
-                            f"`{rp['col']}` IN ("
-                            + ", ".join(p["values"]) + ")"
-                        )
-                    else:
-                        conds = []
-                        if p.get("lower") is not None:
-                            conds.append(f"`{rp['col']}` >= {p['lower']}")
-                        if p["upper"] is not None:
-                            conds.append(f"`{rp['col']}` < {p['upper']}")
-                        cond = (
-                            F.expr(" AND ".join(conds)) if conds else F.lit(True)
-                        )
-                    label_expr = F.when(cond, F.lit(p["name"])).otherwise(
-                        label_expr
-                    )
-                df = df.withColumn(AUTO_PART_COL, label_expr)
             parts = [AUTO_PART_COL] + parts
         if ap is not None:
             if AUTO_PART_COL not in df.columns:

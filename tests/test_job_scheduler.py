@@ -365,3 +365,28 @@ def test_temporary_partition_backfill(spark):
             "ALTER TABLE tpbt ADD TEMPORARY PARTITION tx "
             "VALUES LESS THAN (150)"
         )
+
+
+def test_truncate_and_overwrite_partition(spark):
+    ps = PaloSession(spark)
+    t = ps.sql(
+        "CREATE TABLE topt (`k` BIGINT, `n` BIGINT, `v` BIGINT) "
+        "DUPLICATE KEY(k) PARTITION BY RANGE(`n`) ("
+        "PARTITION lo VALUES LESS THAN (100), "
+        "PARTITION hi VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO topt VALUES (1, 5, 10), (2, 150, 20)")
+    # TRUNCATE PARTITION: storage empties, declaration survives
+    ps.sql("TRUNCATE TABLE topt PARTITION (lo)")
+    assert [r.k for r in ps.sql("SELECT k FROM topt").collect()] == [2]
+    ps.sql("INSERT INTO topt VALUES (3, 8, 30)")  # range still loadable
+    # INSERT OVERWRITE PARTITION replaces only that partition
+    ps.sql("INSERT OVERWRITE topt PARTITION (lo) VALUES (9, 50, 900)")
+    assert sorted(
+        (r.k, r.n) for r in ps.sql("SELECT k, n FROM topt").collect()
+    ) == [(2, 150), (9, 50)]
+    # stray rows refuse BEFORE anything is truncated (atomic)
+    with pytest.raises(ValueError, match="outside that partition"):
+        ps.sql("INSERT OVERWRITE topt PARTITION (lo) VALUES (11, 500, 1)")
+    assert sorted(r.k for r in ps.sql("SELECT k FROM topt").collect()) == [2, 9]
