@@ -369,8 +369,17 @@ _SHOW_CREATE_MV_RE = re.compile(
 )
 
 _SHOW_PARTITIONS_RE = re.compile(
-    r"^\s*SHOW\s+PARTITIONS\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$",
+    r"^\s*SHOW\s+(?P<temp>TEMPORARY\s+)?PARTITIONS\s+FROM\s+"
+    r"`?(?P<name>\w+)`?\s*;?\s*$",
     re.IGNORECASE,
+)
+
+# runtime property change — today the dynamic_partition retention knob
+# (the property users flip on an existing table most)
+_ALTER_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+SET\s*"
+    r"\(\s*(?P<props>.*?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 #: Doris BACKUP/RESTORE ([docs: admin-manual data-admin backup]) —
@@ -1422,6 +1431,29 @@ class PaloSession:
             rows,
             "Name string, ExecuteType string, RecurringStrategy string, "
             "NextRun string, Status string, Comment string",
+        )
+
+    def _catalogs_df(self, props: dict):
+        """The ``catalogs()`` metadata TVF ([docs: table-functions/
+        catalogs]): the internal catalog plus every CREATE CATALOG."""
+        rows = [(0, "internal", "internal", "")] + [
+            (i + 1, n, c.get("type", ""), c.get("root", c.get("url", "")))
+            for i, (n, c) in enumerate(sorted(self.catalogs.items()))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "CatalogId long, CatalogName string, Type string, "
+            "Property string",
+        )
+
+    def _nodes_df(self, props: dict):
+        """``frontends()`` / ``backends()`` metadata TVFs: in local
+        Spark there is ONE node (the driver JVM hosts both roles); on a
+        cluster these would enumerate the executor topology."""
+        sc = self.spark.sparkContext
+        return self.spark.createDataFrame(
+            [("local-1", sc.master, "Alive", sc.defaultParallelism)],
+            "Name string, Host string, State string, Cores int",
         )
 
     def _tasks_df(self, props: dict):
@@ -2598,11 +2630,16 @@ class PaloSession:
         from palo_spark.sources import _TVF_CALL_RE, rewrite_table_functions
 
         if _TVF_CALL_RE.search(stripped) or re.search(
-            r"\b(?:jobs|tasks)\s*\(", stripped, re.IGNORECASE
+            r"\b(?:jobs|tasks|catalogs|frontends|backends)\s*\(",
+            stripped, re.IGNORECASE,
         ):
             stripped = rewrite_table_functions(
                 self.spark, stripped,
-                extra={"jobs": self._jobs_df, "tasks": self._tasks_df},
+                extra={
+                    "jobs": self._jobs_df, "tasks": self._tasks_df,
+                    "catalogs": self._catalogs_df,
+                    "frontends": self._nodes_df, "backends": self._nodes_df,
+                },
             )
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
@@ -2943,6 +2980,16 @@ class PaloSession:
                 raise ValueError(
                     f"table {spm.group('name')!r} is not partitioned"
                 )
+            if spm.group("temp"):
+                rp_ = t.meta.range_partitions or {}
+                rows = [
+                    (p["name"], p.get("for", ""))
+                    for p in rp_.get("temp", [])
+                ]
+                return self.spark.createDataFrame(
+                    rows or [("", "")],
+                    "PartitionName string, ReplacesPartition string",
+                ).filter("PartitionName != ''")
             pcol = (
                 t.meta.auto_partition["col"]
                 if t.meta.auto_partition
@@ -3404,6 +3451,37 @@ class PaloSession:
                         )
                     t._declared_schema = ", ".join(parts)  # type: ignore[attr-defined]
                 self._refresh_view(mm_.group("name").lower())
+                return None
+            sprops_ = _ALTER_SET_PROPS_RE.match(stripped)
+            if sprops_:
+                t = self._table(sprops_.group("name"))
+                props_ = {
+                    m_.group("k").lower(): m_.group("v")
+                    for m_ in _PROP_KV_RE.finditer(sprops_.group("props"))
+                }
+                known = False
+                ds_ = props_.get("dynamic_partition.start")
+                if ds_ is not None:
+                    if not t.meta.auto_partition:
+                        raise ValueError(
+                            "dynamic_partition properties require an "
+                            "auto-partitioned table"
+                        )
+                    t.meta.dynamic_partition_retention = abs(int(ds_))
+                    t._apply_retention()
+                    t._save_meta()
+                    self._refresh_rollups(sprops_.group("name"), t)
+                    self._refresh_view(sprops_.group("name").lower())
+                    known = True
+                if props_.get("dynamic_partition.enable", "").lower() == "false":
+                    t.meta.dynamic_partition_retention = 0
+                    t._save_meta()
+                    known = True
+                if not known:
+                    raise ValueError(
+                        f"unsupported ALTER TABLE SET properties: "
+                        f"{sorted(props_)}"
+                    )
                 return None
             apm_ = _ALTER_ADD_PART_RE.match(stripped)
             if apm_:

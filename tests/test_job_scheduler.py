@@ -390,3 +390,51 @@ def test_truncate_and_overwrite_partition(spark):
     with pytest.raises(ValueError, match="outside that partition"):
         ps.sql("INSERT OVERWRITE topt PARTITION (lo) VALUES (11, 500, 1)")
     assert sorted(r.k for r in ps.sql("SELECT k FROM topt").collect()) == [2, 9]
+
+
+def test_metadata_tvfs_and_alter_set_retention(spark):
+    ps = PaloSession(spark)
+    # catalogs()/frontends()/backends() metadata TVFs
+    rows = ps.sql('SELECT CatalogName, Type FROM catalogs()').collect()
+    assert ("internal", "internal") in {(r.CatalogName, r.Type) for r in rows}
+    assert ps.sql("SELECT State FROM backends()").collect()[0].State == "Alive"
+    assert ps.sql("SELECT Name FROM frontends()").count() == 1
+    # ALTER TABLE SET: flip retention on later, applied immediately
+    import datetime
+
+    t = ps.sql(
+        "CREATE TABLE asr (`k` BIGINT, `d` DATE, `v` BIGINT) "
+        "DUPLICATE KEY(k, d) "
+        "AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) () "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    t.insert(spark.createDataFrame(
+        [(i, datetime.date(2024, m, 1), i) for i, m in
+         enumerate([1, 2, 3, 4], 1)],
+        "k bigint, d date, v bigint"))
+    ps._refresh_view("asr")
+    assert len(t.partitions()) == 4
+    ps.sql(
+        "ALTER TABLE asr SET ('dynamic_partition.enable' = 'true', "
+        "'dynamic_partition.start' = '-2')"
+    )
+    assert sorted(t.partitions()) == ["m2024-03", "m2024-04"]
+    ps.sql("ALTER TABLE asr SET ('dynamic_partition.enable' = 'false')")
+    assert t.meta.dynamic_partition_retention == 0
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE SET"):
+        ps.sql("ALTER TABLE asr SET ('bloom_filter_columns' = 'v')")
+
+
+def test_show_temporary_partitions(spark):
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE stpt (`k` BIGINT, `n` BIGINT) DUPLICATE KEY(k) "
+        "PARTITION BY RANGE(`n`) (PARTITION lo VALUES LESS THAN (100)) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    assert ps.sql("SHOW TEMPORARY PARTITIONS FROM stpt").count() == 0
+    ps.sql("ALTER TABLE stpt ADD TEMPORARY PARTITION tlo VALUES LESS THAN (100)")
+    got = ps.sql("SHOW TEMPORARY PARTITIONS FROM stpt").collect()
+    assert [(r.PartitionName, r.ReplacesPartition) for r in got] == [
+        ("tlo", "lo")
+    ]

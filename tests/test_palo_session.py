@@ -308,7 +308,7 @@ def test_partition_selection_syntax(ps):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown partitions"):
         ps.sql("SELECT id FROM psel PARTITION (d1999-01-01)")
-    with _pt.raises(ValueError, match="auto-partitioned"):
+    with _pt.raises(ValueError, match="partitioned"):
         ps.sql("CREATE TABLE nop (k INT) DUPLICATE KEY(k)")
         ps.sql("INSERT INTO nop VALUES (1)")
         ps.sql("SELECT k FROM nop PARTITION (x)")
@@ -443,7 +443,7 @@ def test_delete_partition_and_insert_overwrite(ps, spark):
     ps.sql("CREATE TABLE dp2 (k INT) DUPLICATE KEY(k)")
     ps.sql("INSERT INTO dp2 VALUES (1)")
     import pytest as _pt
-    with _pt.raises(ValueError, match="auto-partitioned"):
+    with _pt.raises(ValueError, match="partitioned"):
         ps.sql("DELETE FROM dp2 PARTITION (x) WHERE k = 1")
     # INSERT OVERWRITE replaces the whole table content
     ps.sql("INSERT OVERWRITE TABLE dp VALUES (9,'2024-09-09 00:00:00',9.0)")
