@@ -147,6 +147,10 @@ HEADLINE = [
     # (one distributed join landing as a delete-sign rowset)
     "sql_tvf_local_parquet",
     "sql_delete_using_join",
+    # r10 continuation, partition-lifecycle wave: declared-bound
+    # pruning (plan-asserted) and the staged temp-partition swap
+    "sql_static_range_partition",
+    "sql_temp_partition_backfill",
 ]
 
 
