@@ -1876,7 +1876,20 @@ class PaloSession:
             return None
         base, group_cols, items, where_text, _ = parsed
         t = self.tables.get(base.lower())
-        if t is None or not t.meta.auto_partition:
+        if t is None:
+            return None
+        # partition-version diffing needs a partitioned base; STATIC
+        # tables qualify too, except while temporary partitions are
+        # staged (their labels appear in directory listings but their
+        # rows are invisible — version space and data diverge, so the
+        # refresh falls back to the always-correct full recompute)
+        if not (
+            t.meta.auto_partition
+            or (
+                t.meta.range_partitions
+                and not t.meta.range_partitions.get("temp")
+            )
+        ):
             return None
         _, view_pairs = self._expand_view_refs(mv["body"])
         if view_pairs or self._text_touches_catalog(mv["body"]):
@@ -1948,7 +1961,25 @@ class PaloSession:
         )
         view = f"__mvinc_{info['base']}_{_uuid.uuid4().hex[:8]}"
         t.read(partition_pred=pred).createOrReplaceTempView(view)
-        if ap["granularity"] == "list":
+        rp = t.meta.range_partitions
+        if ap is None and rp is not None:
+            # STATIC partitioning: the label is the declared partition
+            # name, reconstructed as a CASE over the declared bounds /
+            # value sets (textual twin of Table.partition_label_expr)
+            whens = []
+            for p in rp["parts"]:
+                if rp.get("kind") == "list":
+                    cond = f"`{rp['col']}` IN ({', '.join(p['values'])})"
+                else:
+                    cs = []
+                    if p.get("lower") is not None:
+                        cs.append(f"`{rp['col']}` >= {p['lower']}")
+                    if p["upper"] is not None:
+                        cs.append(f"`{rp['col']}` < {p['upper']}")
+                    cond = " AND ".join(cs) or "TRUE"
+                whens.append(f"WHEN {cond} THEN '{p['name']}'")
+            label_sql = "CASE " + " ".join(whens) + " END"
+        elif ap["granularity"] == "list":
             label_sql = f"concat('l', cast(`{ap['col']}` as string))"
         else:
             label_sql = (

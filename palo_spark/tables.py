@@ -1236,8 +1236,8 @@ class Table:
         may match anywhere). Schema changes are table-wide and tracked
         separately by :meth:`state_token`. The basis for partition-level
         cache invalidation and incremental MV refresh."""
-        if not self.meta.auto_partition:
-            raise ValueError("partition_versions requires an auto_partition table")
+        if not self.meta.auto_partition and not self.meta.range_partitions:
+            raise ValueError("partition_versions requires a partitioned table")
         delete_v = max((d["version"] for d in self.meta.deletes), default=0)
         out: dict[str, int] = {}
         for r in self.meta.rowsets:

@@ -438,3 +438,90 @@ def test_show_temporary_partitions(spark):
     assert [(r.PartitionName, r.ReplacesPartition) for r in got] == [
         ("tlo", "lo")
     ]
+
+
+def test_temp_partitions_survive_backup_restore(spark):
+    """A snapshot taken with staged temporary partitions carries them:
+    the restored table can still REPLACE (or drop) the staged temps,
+    and the staged rows stay invisible until then."""
+    import tempfile
+
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE tbkp (`k` BIGINT, `n` BIGINT) DUPLICATE KEY(k) "
+        "PARTITION BY RANGE(`n`) (PARTITION lo VALUES LESS THAN (100)) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO tbkp VALUES (1, 5)")
+    ps.sql("ALTER TABLE tbkp ADD TEMPORARY PARTITION tl VALUES LESS THAN (100)")
+    ps.sql("INSERT INTO tbkp TEMPORARY PARTITION (tl) VALUES (9, 50)")
+    repo = tempfile.mkdtemp(prefix="repo_tbkp_")
+    ps.sql(f"CREATE REPOSITORY tbkp_r WITH LOCATION '{repo}'")
+    ps.sql("BACKUP SNAPSHOT tbkp_s TO tbkp_r ON (tbkp)")
+    ps.sql("RESTORE SNAPSHOT tbkp_s FROM tbkp_r ON (tbkp AS tbkp2)")
+    t2 = ps.tables["tbkp2"]
+    assert [p["name"] for p in t2.meta.range_partitions["temp"]] == ["tl"]
+    assert [r.k for r in ps.sql("SELECT k FROM tbkp2").collect()] == [1]
+    ps.sql("ALTER TABLE tbkp2 REPLACE PARTITION (lo) WITH TEMPORARY PARTITION (tl)")
+    assert [r.k for r in ps.sql("SELECT k FROM tbkp2").collect()] == [9]
+
+
+def test_incremental_mv_refresh_over_static_partitions(spark):
+    """Partition-incremental REFRESH AUTO extends to STATIC-partitioned
+    bases: a lo-only insert recomputes ONLY the lo slice (mtime pin on
+    the untouched slices), and a dropped partition's slice disappears.
+    With temporary partitions staged, eligibility falls back to the
+    always-correct full recompute (version space and visible data
+    diverge)."""
+    import glob
+    import os
+
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE TABLE imvt (`k` BIGINT, `n` BIGINT, `v` BIGINT) "
+        "DUPLICATE KEY(k) PARTITION BY RANGE(`n`) ("
+        "PARTITION lo VALUES LESS THAN (100), "
+        "PARTITION mid VALUES LESS THAN (200), "
+        "PARTITION hi VALUES LESS THAN (MAXVALUE)"
+        ") DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO imvt VALUES (1, 5, 10), (2, 150, 20), (3, 500, 30)")
+    ps.sql(
+        "CREATE MATERIALIZED VIEW imvt_mv BUILD IMMEDIATE REFRESH AUTO "
+        "ON MANUAL AS SELECT n, SUM(v) AS s FROM imvt GROUP BY n"
+    )
+    ps.sql("REFRESH MATERIALIZED VIEW imvt_mv")
+    parts_dir = ps.async_mvs["imvt_mv"]["path"] + "_parts"
+
+    def mtimes():
+        return {
+            d: max(
+                (os.path.getmtime(f) for f in glob.glob(
+                    os.path.join(parts_dir, d, "**"), recursive=True
+                )),
+                default=0,
+            )
+            for d in os.listdir(parts_dir)
+            if d.startswith("__mv_part=")
+        }
+
+    m0 = mtimes()
+    ps.sql("INSERT INTO imvt VALUES (9, 50, 900)")
+    ps.sql("REFRESH MATERIALIZED VIEW imvt_mv")
+    m1 = mtimes()
+    assert sorted(d for d in m1 if m1[d] != m0.get(d)) == ["__mv_part=lo"]
+    got = sorted(
+        (r.n, r.s) for r in ps.sql("SELECT n, s FROM imvt_mv").collect()
+    )
+    assert got == [(5, 10), (50, 900), (150, 20), (500, 30)]
+    ps.sql("ALTER TABLE imvt DROP PARTITION hi")
+    ps.sql("REFRESH MATERIALIZED VIEW imvt_mv")
+    assert "__mv_part=hi" not in os.listdir(parts_dir)
+    # staged temps gate incremental off (falls back to full — correct)
+    ps.sql("ALTER TABLE imvt ADD TEMPORARY PARTITION tlo VALUES LESS THAN (100)")
+    assert ps._mv_incremental_info("imvt_mv", ps.async_mvs["imvt_mv"]) is None
+    ps.sql("REFRESH MATERIALIZED VIEW imvt_mv")  # still correct via full
+    got = sorted(
+        (r.n, r.s) for r in ps.sql("SELECT n, s FROM imvt_mv").collect()
+    )
+    assert got == [(5, 10), (50, 900), (150, 20)]
