@@ -287,3 +287,154 @@ def match_phrase_indexed(
     predicate runs on those candidates only."""
     cands = match_all_indexed(corpus, index_path, query, id_col=id_col)
     return cands.filter(match_phrase(text_col, query))
+
+
+# ---------------------------------------------------------------------------
+# NGRAM_BF / BITMAP value indexes — the same hash-bucketed posting
+# layout, keyed by character n-grams (LIKE '%needle%' acceleration,
+# Doris `USING NGRAM_BF`) or by whole column values (equality/IN
+# acceleration, Doris `USING BITMAP` and the `bloom_filter_columns`
+# table property).
+#
+# Doris keeps a bloom filter per segment and skips segments whose
+# filter cannot contain the probe ([docs: index/ngram-bloomfilter-index,
+# index/bloomfilter]). Spark has no segment hook, so the adaptation is
+# the SAME layout trick as the inverted index above: postings
+# partitioned by pmod(xxhash64(key), buckets), where Spark's partition
+# pruning on the bucket column plays the role of the bloom-filter
+# skip — a probe reads at most |probe keys| of `buckets` posting
+# directories, never the corpus. Resolution is prune → verify: the
+# candidate id set is by construction a SUPERSET of the true matches
+# (a string containing the needle contains every one of its grams; a
+# value equal to the literal IS the posting key), and the original
+# row-level predicate always re-runs on the survivors, so the rewrite
+# is exactness-preserving for every table model, merge-on-read
+# included (the index is built over the MERGED view).
+
+
+def _gram_array(col: str, n: int):
+    """Case-sensitive character ``n``-grams of a string column as an
+    array, JVM-side (sequence + transform + substring — no UDF). A
+    value shorter than ``n`` grams to the empty array: such rows can
+    never match a LIKE needle of length >= n, and the builder's explode
+    drops them from the postings."""
+    c = f"`{col}`"
+    return F.expr(
+        f"CASE WHEN length({c}) >= {n} THEN "
+        f"transform(sequence(1, length({c}) - {n} + 1), "
+        f"i -> substring({c}, i, {n})) "
+        f"ELSE array() END"
+    ).cast("array<string>")
+
+
+def needle_grams(needle: str, n: int) -> list[str]:
+    """Driver-side twin of :func:`_gram_array` for a literal probe."""
+    return sorted({needle[i : i + n] for i in range(len(needle) - n + 1)})
+
+
+def build_gram_index(
+    df: DataFrame,
+    path: str,
+    *,
+    col: str,
+    id_col: str,
+    gram_size: int = 0,
+    buckets: int = 64,
+    skip_if_current: bool = False,
+    version: str | None = None,
+) -> None:
+    """Write an n-gram (``gram_size >= 2``) or whole-value
+    (``gram_size == 0``) posting index for ``df.col`` at ``path``.
+
+    Same write shape and freshness contract as
+    :func:`build_text_index`: one explode + one distinct keyed shuffle,
+    bucket-aligned write tasks (one file per bucket directory), and a
+    self-describing meta file so readers bucket probes with the
+    writer's modulus; ``version`` short-circuits the rebuild O(1) when
+    the backing table's mutation token is unchanged."""
+    spark = df.sparkSession
+    fp = "v:" + version if version is not None else None
+    if skip_if_current and fp is not None:
+        try:
+            meta = spark.read.parquet(path + "/_palo_index_meta").head().asDict()
+            if (
+                meta.get("buckets") == buckets
+                and meta.get("text_col") == col
+                and meta.get("id_col") == id_col
+                and meta.get("gram_size") == gram_size
+                and meta.get("fingerprint") == fp
+            ):
+                return
+        except Exception:
+            pass  # absent/old-format index -> build
+    if gram_size:
+        keys = F.array_distinct(_gram_array(col, gram_size))
+    else:
+        # whole-value posting: one key per row; NULL values produce no
+        # posting (equality with NULL never matches anyway)
+        keys = F.array(F.col(col).cast("string"))
+    posting = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(keys).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+        .withColumn(_TB, F.pmod(F.xxhash64("token"), F.lit(buckets)))
+    )
+    posting = posting.repartition(buckets, F.col(_TB))
+    posting.write.mode("overwrite").partitionBy(_TB).parquet(path)
+    spark.createDataFrame(
+        [(int(buckets), col, id_col, int(gram_size), fp)],
+        "buckets int, text_col string, id_col string, gram_size int, "
+        "fingerprint string",
+    ).write.mode("overwrite").parquet(path + "/_palo_index_meta")
+
+
+def _posting_for(spark, index_path: str, tokens: list[str]):
+    """Posting rows for exactly ``tokens`` — reads only the bucket
+    partitions the probes hash to (the bloom-skip analog)."""
+    buckets = _index_meta(spark, index_path)["buckets"]
+    bs = _query_buckets(spark, tokens, buckets)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col(_TB).isin(bs))
+        .filter(F.col("token").isin(tokens))
+    )
+
+
+def like_candidate_ids(spark, index_path: str, needle: str) -> DataFrame:
+    """Ids whose indexed column contains EVERY gram of ``needle`` — a
+    superset of the rows matching ``LIKE '%needle%'``; the caller must
+    re-verify with the exact predicate (prune -> verify)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(index_path + "/_palo_index_meta").to_pylist()[0]
+    n = meta["gram_size"]
+    if not n or len(needle) < n:
+        raise ValueError(
+            f"needle shorter than gram_size={n}: index cannot prune"
+        )
+    grams = needle_grams(needle, n)
+    return (
+        _posting_for(spark, index_path, grams)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("__ng"))
+        .filter(F.col("__ng") == len(grams))
+        .select("doc_id")
+    )
+
+
+def value_candidate_ids(spark, index_path: str, value: str) -> DataFrame:
+    """Ids whose indexed column equals ``value`` (compared as strings —
+    the posting key type). Exact, not probabilistic: postings store the
+    key itself, so unlike a real bloom filter there are no false
+    positives; the session still keeps the original predicate in place
+    as a residual, which makes the rewrite trivially sound under any
+    type-coercion subtlety."""
+    return (
+        _posting_for(spark, index_path, [value])
+        .filter(F.col("token") == value)
+        .select("doc_id")
+        .distinct()
+    )

@@ -462,7 +462,9 @@ _SHOW_VARS_RE = re.compile(
 
 _CREATE_IDX_RE = re.compile(
     r"^\s*CREATE\s+INDEX\s+`?(?P<idx>\w+)`?\s+ON\s+`?(?P<name>\w+)`?\s*"
-    r"\(\s*`?(?P<col>\w+)`?\s*\)\s+USING\s+INVERTED\s*;?\s*$",
+    r"\(\s*`?(?P<col>\w+)`?\s*\)\s+USING\s+"
+    r"(?P<kind>INVERTED|NGRAM_BF|BITMAP)"
+    r"(?:\s+PROPERTIES\s*\(\s*(?P<props>[^)]*)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -484,6 +486,27 @@ _MATCH_PRED_RE = re.compile(
 )
 
 _FROM_TBL_RE = re.compile(r"\bFROM\s+`?(\w+)`?", re.IGNORECASE)
+
+#: single-quoted LIKE pattern over a bare column (NGRAM_BF route)
+_LIKE_PRED_RE = re.compile(
+    r"`?(?P<col>\w+)`?\s+LIKE\s+'(?P<pat>[^']*)'", re.IGNORECASE
+)
+
+#: equality against a quoted-string or numeric literal (BITMAP route)
+_EQ_PRED_RE = re.compile(
+    r"`?(?P<col>\w+)`?\s*=\s*(?P<lit>'[^']*'|\"[^\"]*\"|-?\d+)"
+)
+
+#: Doris TABLESAMPLE ([docs: SELECT]) — `FROM t TABLESAMPLE(n PERCENT |
+#: n ROWS) [REPEATABLE(seed)]`
+_TABLESAMPLE_RE = re.compile(
+    r"\bFROM\s+`?(?P<name>\w+)`?"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!TABLESAMPLE\b)\w+))?"
+    r"\s+TABLESAMPLE\s*\(\s*(?P<num>\d+(?:\.\d+)?)\s+"
+    r"(?P<unit>PERCENT|ROWS)\s*\)"
+    r"(?:\s+REPEATABLE\s*\(\s*(?P<seed>\d+)\s*\))?",
+    re.IGNORECASE,
+)
 
 _USE_RE = re.compile(r"^\s*USE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE)
 #: Doris RECOVER TABLE — un-drop from the catalog recycle bin
@@ -596,13 +619,18 @@ class PaloSession:
         self._result_cache: dict = {}  # key -> (rows, schema)
         self.last_cache_hit = False  # observability for tests/metrics
         self._mv_attached: set[str] = set()  # bases with load-time MV upkeep
-        #: inverted text indexes (CREATE INDEX ... USING INVERTED):
-        #: index name -> (table, col, posting-dir path). Doris maintains
-        #: the index at load time; here maintenance is LAZY — each
-        #: indexed query fingerprint-checks the corpus and rebuilds the
-        #: postings only if the table changed since the last build.
-        self.indexes: dict[str, tuple[str, str, str]] = {}
+        #: storage-side indexes (CREATE INDEX ... USING
+        #: INVERTED | NGRAM_BF | BITMAP, plus the `bloom_filter_columns`
+        #: table property): index name -> (table, col, posting-dir path,
+        #: kind, gram_size). Doris maintains indexes at load time; here
+        #: maintenance is LAZY — each indexed query fingerprint-checks
+        #: the table's mutation token and rebuilds the postings only if
+        #: it changed since the last build. gram_size is 0 for every
+        #: kind except NGRAM_BF.
+        self.indexes: dict[str, tuple[str, str, str, str, int]] = {}
         self.last_match_indexed = False  # observability for tests
+        self.last_like_indexed = False  # NGRAM_BF route observability
+        self.last_eq_indexed = False  # BITMAP/bloom route observability
         #: external catalogs (Doris 1.2 multi-catalog lite): name →
         #: {"type", "root", "tables"}. type='parquet_dir' maps every
         #: <root>/<tbl>.parquet to a queryable table addressed as
@@ -920,6 +948,40 @@ class PaloSession:
         self.tables[name.lower()] = t
         # a freshly created table is queryable as empty (Doris behavior)
         self._refresh_view(name.lower())
+        # bloom_filter_columns ([docs: bloomfilter]): per-column value
+        # indexes, maintained lazily like CREATE INDEX ... USING BITMAP
+        # (the posting-bucket layout plays the bloom filter's role —
+        # see operators/text_index.py). Registration only; the first
+        # indexed equality query builds the postings.
+        bfm = re.search(
+            r"['\"]bloom_filter_columns['\"]\s*=\s*['\"]([^'\"]*)['\"]",
+            props,
+        )
+        if bfm:
+            by_name = {n.lower(): base for n, _, _, base in cols}
+            ok_types = (
+                "string", "varchar", "char", "text", "tinyint", "smallint",
+                "int", "integer", "bigint", "largeint", "date", "datetime",
+                "decimal", "boolean",
+            )
+            root = self.location_root or _tf.gettempdir()
+            for c in [x.strip().strip("`") for x in bfm.group(1).split(",")]:
+                if not c:
+                    continue
+                base = by_name.get(c.lower())
+                if base is None:
+                    raise ValueError(
+                        f"bloom_filter_columns: unknown column {c!r}"
+                    )
+                if base not in ok_types:
+                    raise ValueError(
+                        f"bloom_filter_columns unsupported on {c!r} "
+                        f"type {base!r}"
+                    )
+                path = f"{root}/_palo_inverted/{name.lower()}__{c}__bf"
+                self.indexes[f"__bf_{name.lower()}_{c}"] = (
+                    name.lower(), c, path, "BITMAP", 0
+                )
         return t
 
     def _create_table_like(
@@ -2363,28 +2425,52 @@ class PaloSession:
             self.rollups.register_base(base, self.spark.table(base))
         return self.rollups.add_rollup(mv_name, base, group_cols, measures)
 
-    def _refresh_index(self, name: str, col: str, path: str) -> None:
+    def _refresh_index(
+        self,
+        name: str,
+        col: str,
+        path: str,
+        kind: str = "INVERTED",
+        gram_size: int = 0,
+    ) -> None:
         """(Re)build the posting index for (table, col) if the corpus
         changed (fingerprint no-op otherwise) — Doris's load-time index
-        maintenance, done lazily at DDL + query time."""
-        from palo_spark.operators.text_index import build_text_index
+        maintenance, done lazily at DDL + query time. ``kind`` selects
+        the posting key: word tokens (INVERTED), character n-grams
+        (NGRAM_BF), or whole values (BITMAP / bloom_filter_columns)."""
+        from palo_spark.operators.text_index import (
+            build_gram_index,
+            build_text_index,
+        )
 
         t = self._table(name)
         id_col = t.meta.key_cols[0]
-        build_text_index(
-            self.spark.table(name),
-            path,
-            text_col=col,
-            id_col=id_col,
-            skip_if_current=True,
-            # freshness = (creation nonce, mutation counter) — O(1)
-            # metadata, no corpus scan on the query path. The nonce is
-            # load-bearing: a DROP + re-CREATE (or another run's table of
-            # the same name) restarts the counter, and a bare counter
-            # would let a stale index of the OLD lineage pass as current
-            # (caught by the sf0.001 sweep in r6).
-            version=f"{t.meta.lineage}:{t.meta.mutations}",
-        )
+        # freshness = (creation nonce, mutation counter) — O(1)
+        # metadata, no corpus scan on the query path. The nonce is
+        # load-bearing: a DROP + re-CREATE (or another run's table of
+        # the same name) restarts the counter, and a bare counter
+        # would let a stale index of the OLD lineage pass as current
+        # (caught by the sf0.001 sweep in r6).
+        version = f"{t.meta.lineage}:{t.meta.mutations}"
+        if kind == "INVERTED":
+            build_text_index(
+                self.spark.table(name),
+                path,
+                text_col=col,
+                id_col=id_col,
+                skip_if_current=True,
+                version=version,
+            )
+        else:
+            build_gram_index(
+                self.spark.table(name),
+                path,
+                col=col,
+                id_col=id_col,
+                gram_size=gram_size if kind == "NGRAM_BF" else 0,
+                skip_if_current=True,
+                version=version,
+            )
 
     def _try_indexed_match(self, text: str) -> str | None:
         """If ``text`` is a single-table query with exactly ONE infix
@@ -2405,8 +2491,8 @@ class PaloSession:
         hit = next(
             (
                 (t_, c_, p_)
-                for (t_, c_, p_) in self.indexes.values()
-                if t_ == tbl and c_ == col
+                for (t_, c_, p_, k_, _g) in self.indexes.values()
+                if t_ == tbl and c_ == col and k_ == "INVERTED"
             ),
             None,
         )
@@ -2441,6 +2527,197 @@ class PaloSession:
             + f"`{id_col}` IN (SELECT `{id_col}` FROM __palo_match_hits)"
             + text[preds[0].end() :]
         )
+
+    def _single_indexed_pred(self, text: str, pred_re, kinds: tuple):
+        """Shared gate for the NGRAM_BF / BITMAP rewrite routes: the
+        query must be single-table with exactly ONE predicate matching
+        ``pred_re`` after its WHERE, over a column carrying an index of
+        one of ``kinds``. Returns (match, table, index-tuple) or None —
+        every non-conforming shape falls through to the full scan, so
+        the index is acceleration only."""
+        wm = re.search(r"\bWHERE\b", text, re.IGNORECASE)
+        if wm is None:
+            return None
+        preds = [
+            p for p in pred_re.finditer(text) if p.start() >= wm.start()
+        ]
+        if len(preds) != 1:
+            return None
+        tbls = set(m.group(1).lower() for m in _FROM_TBL_RE.finditer(text))
+        if len(tbls) != 1:
+            return None
+        (tbl,) = tbls
+        col = preds[0].group("col")
+        hit = next(
+            (
+                v
+                for v in self.indexes.values()
+                if v[0] == tbl and v[1] == col and v[3] in kinds
+            ),
+            None,
+        )
+        if hit is None or tbl not in self.tables:
+            return None
+        return preds[0], tbl, hit
+
+    def _try_indexed_like(self, text: str) -> str | None:
+        """NGRAM_BF route ([docs: ngram-bloomfilter-index]): a single
+        infix ``col LIKE '%needle%'`` predicate over an NGRAM_BF-indexed
+        column resolves through the gram posting index — candidate ids
+        are rows containing EVERY gram of the needle (a superset of the
+        true matches), spliced in as an ADDED conjunct so the original
+        LIKE re-verifies the survivors. Prune -> verify: exactness never
+        depends on the index. Returns None when the route doesn't apply
+        (non-infix pattern, inner wildcards, needle shorter than
+        gram_size, multi-table, ...)."""
+        got = self._single_indexed_pred(text, _LIKE_PRED_RE, ("NGRAM_BF",))
+        if got is None:
+            return None
+        pred, tbl, (_, _, path, _, gram_size) = got
+        pat = pred.group("pat")
+        if not (pat.startswith("%") and pat.endswith("%")):
+            return None
+        needle = pat[1:-1]
+        if (
+            len(needle) < max(gram_size, 1)
+            or any(ch in needle for ch in "%_\\")
+        ):
+            return None
+        col = pred.group("col")
+        self._refresh_index(tbl, col, path, "NGRAM_BF", gram_size)
+        from palo_spark.operators.text_index import like_candidate_ids
+
+        t = self._table(tbl)
+        id_col = t.meta.key_cols[0]
+        ids = like_candidate_ids(self.spark, path, needle)
+        ids.withColumnRenamed("doc_id", id_col).createOrReplaceTempView(
+            "__palo_gram_hits"
+        )
+        self.last_like_indexed = True
+        return (
+            text[: pred.end()]
+            + f" AND `{id_col}` IN (SELECT `{id_col}` FROM __palo_gram_hits)"
+            + text[pred.end() :]
+        )
+
+    def _try_indexed_eq(self, text: str) -> str | None:
+        """BITMAP / bloom_filter_columns route ([docs: bloomfilter,
+        bitmap-index]): a single ``col = literal`` predicate over a
+        value-indexed column adds an id-IN conjunct from the posting
+        index. Postings key on ``CAST(col AS STRING)``, so the route is
+        gated to shapes where the literal's string form provably equals
+        the cast (string column + quoted literal, or integer column +
+        canonical integer literal) — anything else falls through, and
+        the original predicate always stays in place as the verifier."""
+        got = self._single_indexed_pred(text, _EQ_PRED_RE, ("BITMAP",))
+        if got is None:
+            return None
+        pred, tbl, (_, _, path, _, _g) = got
+        col = pred.group("col")
+        lit = pred.group("lit")
+        t = self._table(tbl)
+        ctype = self._col_type(t, col)
+        if lit.startswith(("'", '"')):
+            # date is safe: CAST(date AS STRING) is canonical ISO, the
+            # same form a matching quoted literal must be written in
+            if ctype not in ("string", "varchar", "char", "text", "date"):
+                return None
+            probe = lit[1:-1]
+            if ctype == "date" and not re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}", probe
+            ):
+                return None  # non-canonical spelling would cast-compare
+                # equal but string-mismatch the posting key
+        else:
+            if ctype not in ("tinyint", "smallint", "int", "bigint", "integer"):
+                return None
+            try:
+                canonical = str(int(lit))
+            except ValueError:
+                return None
+            if canonical != lit:
+                return None  # e.g. '05' casts differently than it reads
+            probe = canonical
+        self._refresh_index(tbl, col, path, "BITMAP", 0)
+        from palo_spark.operators.text_index import value_candidate_ids
+
+        id_col = t.meta.key_cols[0]
+        ids = value_candidate_ids(self.spark, path, probe)
+        ids.withColumnRenamed("doc_id", id_col).createOrReplaceTempView(
+            "__palo_eq_hits"
+        )
+        self.last_eq_indexed = True
+        return (
+            text[: pred.end()]
+            + f" AND `{id_col}` IN (SELECT `{id_col}` FROM __palo_eq_hits)"
+            + text[pred.end() :]
+        )
+
+    def _rewrite_tablesample(self, text: str) -> str:
+        """Doris ``FROM t TABLESAMPLE(n PERCENT | n ROWS)
+        [REPEATABLE(seed)]`` ([docs: SELECT]). Adaptation, documented:
+        upstream samples whole TABLETS pseudo-randomly, so result sizes
+        are approximate and unstable across runs; here membership is a
+        deterministic hash of the table's first key column —
+        reproducible across partitionings and cluster sizes (the
+        stronger contract a pipeline actually wants), with REPEATABLE
+        mapping onto the hash seed. The filter is a narrow predicate
+        that rides the scan: zero shuffles at any scale. ROWS converts
+        to a fraction of the CURRENT row count (one count job) — the
+        same approximate contract as upstream, not an exact LIMIT."""
+        from palo_spark.operators.sampling import o_hash_u
+
+        def repl(m):
+            name = m.group("name").lower()
+            t = self.tables.get(name)
+            if t is None:
+                raise ValueError(
+                    f"TABLESAMPLE requires an OLAP (session) table, "
+                    f"got {m.group('name')!r}"
+                )
+            key = t.meta.key_cols[0]
+            ktype = self._col_type(t, key)
+            seed = int(m.group("seed") or 0)
+            num = float(m.group("num"))
+            if m.group("unit").upper() == "ROWS":
+                total = t.read().count()
+                frac = min(1.0, num / total) if total else 1.0
+            else:
+                if num > 100:
+                    raise ValueError(f"TABLESAMPLE percent > 100: {num}")
+                frac = num / 100.0
+            alias = m.group("alias") or m.group("name")
+            if frac >= 1.0:
+                return f"FROM `{name}` {alias}"
+            if ktype in (
+                "tinyint", "smallint", "int", "integer", "bigint",
+            ):
+                # minstd hash — the same integer arithmetic the
+                # sampling operators (and their DuckDB oracles) use
+                u = o_hash_u(f"`{key}`", seed)
+            else:
+                # non-numeric key: xxhash64 (Spark-side only), signed
+                # 64-bit mapped onto [0,1)
+                u = (
+                    f"(CAST(xxhash64(`{key}`, {seed}) AS DOUBLE) "
+                    f"/ 1.8446744073709552E19 + 0.5)"
+                )
+            return (
+                f"FROM (SELECT * FROM `{name}` WHERE {u} < {frac!r}) {alias}"
+            )
+
+        return _TABLESAMPLE_RE.sub(repl, text)
+
+    @staticmethod
+    def _col_type(t: Table, col: str) -> str | None:
+        """Base declared type (lowercase, params stripped) of ``col``,
+        or None when the table has no declared schema."""
+        schema = getattr(t, "_declared_schema", "") or ""
+        for p in _schema_parts(schema):
+            bits = p.strip().split(None, 1)
+            if bits and bits[0].strip("`") == col:
+                return re.sub(r"[(<].*", "", bits[1]).strip().lower() if len(bits) > 1 else None
+        return None
 
     def _table_df(self, t: Table):
         """The table's merge view, or a typed EMPTY frame when it has no
@@ -2672,6 +2949,8 @@ class PaloSession:
                     "frontends": self._nodes_df, "backends": self._nodes_df,
                 },
             )
+        if _TABLESAMPLE_RE.search(stripped):
+            stripped = self._rewrite_tablesample(stripped)
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
@@ -3203,29 +3482,66 @@ class PaloSession:
         cim = _CREATE_IDX_RE.match(stripped)
         if cim:
             name, col = cim.group("name").lower(), cim.group("col")
+            kind = cim.group("kind").upper()
             t = self._table(name)
             schema = getattr(t, "_declared_schema", "") or ""
             if col not in [p.strip().split()[0] for p in _schema_parts(schema)]:
                 raise ValueError(f"unknown column {col!r} on table {name!r}")
+            props = cim.group("props") or ""
+            ctype = self._col_type(t, col)
+            if kind == "NGRAM_BF" and ctype not in (
+                "string", "varchar", "char", "text",
+            ):
+                raise ValueError(
+                    f"NGRAM_BF requires a string column; {col!r} is {ctype!r}"
+                )
+            if kind == "BITMAP" and ctype not in (
+                "string", "varchar", "char", "text",
+                "tinyint", "smallint", "int", "integer", "bigint",
+                "date", "datetime", "boolean",
+            ):
+                raise ValueError(
+                    f"BITMAP index unsupported on {col!r} type {ctype!r}"
+                )
+            gram_size = 0
+            if kind == "NGRAM_BF":
+                # Doris defaults gram_size=2; bf_size is accepted but
+                # advisory — the posting-bucket layout replaces the
+                # bloom filter ([docs: ngram-bloomfilter-index], see
+                # operators/text_index.py module docstring)
+                gm = re.search(
+                    r"['\"]gram_size['\"]\s*=\s*['\"](\d+)['\"]", props
+                )
+                gram_size = int(gm.group(1)) if gm else 2
+                if gram_size < 2:
+                    raise ValueError("gram_size must be >= 2")
+            elif props and not re.search(
+                r"['\"]bf_size['\"]", props
+            ):
+                raise ValueError(
+                    f"PROPERTIES not supported for USING {kind}: {props!r}"
+                )
             root = self.location_root or _tf.gettempdir()
-            path = f"{root}/_palo_inverted/{name}__{col}"
-            self._refresh_index(name, col, path)
-            self.indexes[cim.group("idx").lower()] = (name, col, path)
+            path = f"{root}/_palo_inverted/{name}__{col}__{kind.lower()}"
+            self._refresh_index(name, col, path, kind, gram_size)
+            self.indexes[cim.group("idx").lower()] = (
+                name, col, path, kind, gram_size
+            )
             return None
         dim = _DROP_IDX_RE.match(stripped)
         if dim:
             idx = dim.group("idx").lower()
             if idx not in self.indexes:
                 raise ValueError(f"unknown index {idx!r}")
-            _, _, path = self.indexes.pop(idx)
+            path = self.indexes.pop(idx)[2]
             _sh.rmtree(path, ignore_errors=True)
             return None
         sim = _SHOW_IDX_RE.match(stripped)
         if sim:
             name = sim.group("name").lower()
             rows = [
-                (idx, tbl, col, "INVERTED")
-                for idx, (tbl, col, _p) in sorted(self.indexes.items())
+                (idx, tbl, col, kind)
+                for idx, (tbl, col, _p, kind, _g) in sorted(self.indexes.items())
                 if tbl == name
             ]
             return self.spark.createDataFrame(
@@ -3272,8 +3588,8 @@ class PaloSession:
                 # indexes belong to the table (Doris drops them with it):
                 # remove their entries AND their on-disk posting dirs so a
                 # later same-named table can never see a stale index
-                for idx in [i for i, (t_, _c, _p) in self.indexes.items() if t_ == name]:
-                    _, _, p_ = self.indexes.pop(idx)
+                for idx in [i for i, v in self.indexes.items() if v[0] == name]:
+                    p_ = self.indexes.pop(idx)[2]
                     _sh.rmtree(p_, ignore_errors=True)
                 # synchronous MVs likewise die with their base (Doris):
                 # a zombie rollup would silently answer a LATER
@@ -3344,9 +3660,9 @@ class PaloSession:
                 # them so they keep serving (and keep being maintained)
                 # under the new name, and so nothing stale can ever be
                 # looked up under the old one
-                for idx, (t_, c_, p_) in list(self.indexes.items()):
+                for idx, (t_, c_, p_, k_, g_) in list(self.indexes.items()):
                     if t_ == old:
-                        self.indexes[idx] = (new, c_, p_)
+                        self.indexes[idx] = (new, c_, p_, k_, g_)
                 # routine-load jobs follow the rename: re-key job["table"]
                 # so RESUME keeps ingesting into the same (renamed) table
                 # instead of KeyError-ing on the old name
@@ -3411,10 +3727,10 @@ class PaloSession:
                 tn_ = dm_.group("name").lower()
                 for idx in [
                     i
-                    for i, (t_, c_, _p) in self.indexes.items()
-                    if t_ == tn_ and c_ == dm_.group("col")
+                    for i, v in self.indexes.items()
+                    if v[0] == tn_ and v[1] == dm_.group("col")
                 ]:
-                    _, _, p_ = self.indexes.pop(idx)
+                    p_ = self.indexes.pop(idx)[2]
                     _sh.rmtree(p_, ignore_errors=True)
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
@@ -3438,9 +3754,9 @@ class PaloSession:
                 # content-keyed, so a rename is a registry re-key, not a
                 # rebuild — MATCH on the new name keeps the pruned path
                 tn_ = rm_.group("name").lower()
-                for idx, (t_, c_, p_) in list(self.indexes.items()):
+                for idx, (t_, c_, p_, k_, g_) in list(self.indexes.items()):
                     if t_ == tn_ and c_ == rm_.group("old"):
-                        self.indexes[idx] = (t_, rm_.group("new"), p_)
+                        self.indexes[idx] = (t_, rm_.group("new"), p_, k_, g_)
                 schema = getattr(t, "_declared_schema", None)
                 if schema:
                     parts = []
@@ -3968,6 +4284,8 @@ class PaloSession:
                 self.last_cache_hit = True
                 return self.spark.createDataFrame(rows, schema)
         self.last_match_indexed = False
+        self.last_like_indexed = False
+        self.last_eq_indexed = False
         self.last_mv_rewrite = None
         df = None
         # transparent async-MV rewrite first (fresh snapshots only —
@@ -3982,6 +4300,10 @@ class PaloSession:
         if df is None:
             if self.indexes:
                 routed = self._try_indexed_match(stripped)
+                if routed is None:
+                    routed = self._try_indexed_like(stripped)
+                if routed is None:
+                    routed = self._try_indexed_eq(stripped)
                 if routed is not None:
                     stripped = routed
             if self.rollups is not None:

@@ -313,6 +313,61 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         # Spark's byte count (char_length passes through for characters).
         return _raw(f"octet_length({_text(inner)})")
 
+    if name_lower in (
+        "array_map", "array_filter", "array_exists", "array_count",
+        "array_sortby",
+    ):
+        # Doris higher-order array functions put the lambda FIRST
+        # ([docs: sql-functions/array-functions]); Spark's equivalents
+        # (transform/filter/exists/zip_with) put it LAST. Pure argument
+        # surgery — the lambda body and arrays pass through verbatim,
+        # already translated.
+        args = _split_args(inner)
+        texts = [_text(a) for a in args]
+        lam = texts[0] if "->" in texts[0] else None
+        if name_lower == "array_map" and lam:
+            if len(texts) == 2:
+                return _raw(f"transform({texts[1]}, {lam})")
+            if len(texts) == 3:
+                return _raw(f"zip_with({texts[1]}, {texts[2]}, {lam})")
+            raise ValueError("array_map supports 1 or 2 arrays")
+        if name_lower == "array_filter" and len(texts) == 2:
+            if lam:
+                return _raw(f"filter({texts[1]}, {lam})")
+            # non-lambda form: array_filter(arr, bool_arr) keeps
+            # elements whose parallel flag is true
+            a, f = texts
+            return _raw(
+                f"transform(filter(zip_with({a}, {f}, "
+                f"(__v, __k) -> named_struct('k', __k, 'v', __v)), "
+                f"__s -> __s.k), __s -> __s.v)"
+            )
+        if name_lower == "array_exists" and lam and len(texts) == 2:
+            return _raw(f"exists({texts[1]}, {lam})")
+        if name_lower == "array_count" and lam and len(texts) == 2:
+            return _raw(f"size(filter({texts[1]}, {lam}))")
+        if name_lower == "array_sortby" and len(texts) == 2:
+            if lam:
+                arr = texts[1]
+                keys = f"transform({arr}, {lam})"
+            else:
+                # array_sortby(arr, key_arr): sort arr by the parallel
+                # key array
+                arr, keys = texts
+            # struct comparison is field-order lexicographic, so the
+            # key leads; equal keys tie-break on the value (the same
+            # deterministic contract the DataFrame-level array_sortby
+            # in functions/__init__.py documents)
+            return _raw(
+                f"transform(array_sort(zip_with({keys}, {arr}, "
+                f"(__k, __v) -> named_struct('k', __k, 'v', __v))), "
+                f"__s -> __s.v)"
+            )
+        raise ValueError(
+            f"{name_lower}: unsupported argument shape "
+            f"(expected the Doris lambda-first form)"
+        )
+
     if name_lower in _RENAME:
         return _raw(f"{_RENAME[name_lower]}({_text(inner)})")
 

@@ -87,6 +87,10 @@ _R10_ADDITIONS = [
     "sql_static_list_partition",
     "sql_temp_partition_backfill",
     "sql_overwrite_partition",
+    "sql_ngram_index_like",
+    "sql_bitmap_index_eq",
+    "sql_tablesample_percent",
+    "sql_array_lambda_funcs",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2176,3 +2176,136 @@ ORACLE["sql_overwrite_partition"] = """
                     END) AS BIGINT) AS sum_cents
     FROM orders
 """
+
+
+def _sql_ngram_index_like(spark, sf_dir):
+    """NGRAM_BF index through the SQL session ([docs:
+    ngram-bloomfilter-index]): CREATE INDEX ... USING NGRAM_BF, then an
+    infix LIKE that the session answers via the gram posting index
+    (bucket-pruned candidate read + id-IN conjunct + the original LIKE
+    as the exact verifier — prune -> verify, so results are IDENTICAL
+    to the full scan, which is what the oracle computes). Raises if the
+    gram route was not taken."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS ng_docs")
+    ps.sql("CREATE TABLE ng_docs AS SELECT doc_id, text FROM documents")
+    ps.sql(
+        "CREATE INDEX ng_docs_text ON ng_docs (text) USING NGRAM_BF "
+        "PROPERTIES('gram_size'='3', 'bf_size'='256')"
+    )
+    df = ps.sql(
+        "SELECT doc_id FROM ng_docs WHERE `text` LIKE '%merge part%' "
+        "ORDER BY doc_id"
+    )
+    if not ps.last_like_indexed:
+        raise AssertionError("LIKE query did not take the NGRAM_BF route")
+    return df
+
+
+QUERIES["sql_ngram_index_like"] = _sql_ngram_index_like
+ORACLE["sql_ngram_index_like"] = """
+    SELECT doc_id FROM documents
+    WHERE text LIKE '%merge part%'
+    ORDER BY doc_id
+"""
+
+
+def _sql_bitmap_index_eq(spark, sf_dir):
+    """BITMAP value index through the SQL session ([docs: bitmap-index,
+    bloomfilter]): equality over the indexed low-cardinality column
+    resolves via the value posting index (single-bucket read + id-IN
+    conjunct; the original predicate stays as the verifier). Raises if
+    the value route was not taken."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS bm_docs")
+    ps.sql("CREATE TABLE bm_docs AS SELECT doc_id, lang, source FROM documents")
+    ps.sql("CREATE INDEX bm_docs_lang ON bm_docs (lang) USING BITMAP")
+    df = ps.sql(
+        "SELECT doc_id, source FROM bm_docs WHERE lang = 'en' "
+        "ORDER BY doc_id"
+    )
+    if not ps.last_eq_indexed:
+        raise AssertionError("equality query did not take the BITMAP route")
+    return df
+
+
+QUERIES["sql_bitmap_index_eq"] = _sql_bitmap_index_eq
+ORACLE["sql_bitmap_index_eq"] = """
+    SELECT doc_id, source FROM documents
+    WHERE lang = 'en'
+    ORDER BY doc_id
+"""
+
+
+def _sql_tablesample_percent(spark, sf_dir):
+    """Doris TABLESAMPLE ([docs: SELECT]) — deterministic hash-of-key
+    adaptation (upstream samples tablets pseudo-randomly; here
+    membership is minstd(key, seed), reproducible across partitionings,
+    with REPEATABLE as the seed). The oracle applies the IDENTICAL
+    integer arithmetic in DuckDB, so the selected row set matches
+    exactly."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS ts_ord")
+    ps.sql(
+        "CREATE TABLE ts_ord AS SELECT o_orderkey, o_custkey, "
+        "o_orderstatus FROM orders"
+    )
+    return ps.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus "
+        "FROM ts_ord TABLESAMPLE (30 PERCENT) REPEATABLE (7) "
+        "ORDER BY o_orderkey"
+    )
+
+
+QUERIES["sql_tablesample_percent"] = _sql_tablesample_percent
+
+from palo_spark.operators.sampling import o_hash_u as _o_hash_u  # noqa: E402
+
+ORACLE["sql_tablesample_percent"] = f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE {_o_hash_u('o_orderkey', 7)} < 0.3
+    ORDER BY o_orderkey
+"""
+
+
+# Doris lambda-first higher-order array functions, serialized to
+# strings because the driver's canonicalizer hashes scalar cells only
+_entry(
+    "sql_array_lambda_funcs",
+    """
+    SELECT l_orderkey,
+           array_count(x -> x > 25, qs) AS n_big,
+           array_join(array_map(x -> CAST(x AS STRING),
+                      array_filter(x -> x % 2 = 0, qs)), ',') AS evens,
+           array_join(array_map(x -> CAST(x * 2 AS STRING), qs), ',')
+               AS doubled,
+           array_join(array_map(x -> CAST(x AS STRING),
+                      array_sortby(x -> -x, qs)), ',') AS desc_qs
+    FROM (SELECT l_orderkey,
+                 array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
+          FROM lineitem GROUP BY l_orderkey) t
+    ORDER BY l_orderkey
+    """,
+    """
+    SELECT l_orderkey,
+           CAST(length(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+           COALESCE(array_to_string(list_filter(qs, x -> x % 2 = 0), ','),
+                    '') AS evens,
+           array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+           array_to_string(list_reverse_sort(qs), ',') AS desc_qs
+    FROM (SELECT l_orderkey,
+                 list_sort(list(CAST(l_quantity AS INT))) AS qs
+          FROM lineitem GROUP BY l_orderkey) t
+    ORDER BY l_orderkey
+    """,
+)

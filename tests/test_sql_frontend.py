@@ -561,3 +561,33 @@ def test_timestampdiff_month_semantics_mysql(spark):
     assert grid.filter(
         F.expr("timestampdiff(MONTH, s, e)") != my_tsdiff("month", "s", "e")
     ).count() == 0
+
+
+def test_lambda_first_array_hofs_translate():
+    """Doris puts the lambda FIRST in higher-order array functions;
+    Spark's transform/filter/exists/zip_with put it LAST."""
+    from palo_spark.sql_frontend import translate
+
+    assert translate(
+        "SELECT array_map(x -> x * 2, ARRAY(1,2)) AS a"
+    ) == "SELECT transform(ARRAY(1,2), x -> x * 2) AS a"
+    assert translate(
+        "SELECT array_map((x, y) -> x + y, a1, a2) AS s"
+    ) == "SELECT zip_with(a1, a2, (x, y) -> x + y) AS s"
+    assert translate(
+        "SELECT array_filter(x -> x > 1, qs) AS f"
+    ) == "SELECT filter(qs, x -> x > 1) AS f"
+    assert translate(
+        "SELECT array_exists(x -> x > 2, qs) AS e"
+    ) == "SELECT exists(qs, x -> x > 2) AS e"
+    assert translate(
+        "SELECT array_count(x -> x % 2 = 0, qs) AS c"
+    ) == "SELECT size(filter(qs, x -> x % 2 = 0)) AS c"
+    # lambda bodies with nested calls/commas survive the arg surgery
+    assert translate(
+        "SELECT array_map(x -> coalesce(x, 0), qs) AS a"
+    ) == "SELECT transform(qs, x -> coalesce(x, 0)) AS a"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="array_map"):
+        translate("SELECT array_map(x -> x, a, b, c) AS bad")
