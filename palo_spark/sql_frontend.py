@@ -313,6 +313,11 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         # Spark's byte count (char_length passes through for characters).
         return _raw(f"octet_length({_text(inner)})")
 
+    if name_lower.startswith("json_") or name_lower == "get_json_string":
+        got = _rewrite_json_fn(name_lower, inner)
+        if got is not None:
+            return got
+
     if name_lower in (
         "array_map", "array_filter", "array_exists", "array_count",
         "array_sortby",
@@ -477,12 +482,122 @@ def _rewrite_generator(name_lower: str, inner: list[Token]) -> list[Token] | Non
     return None
 
 
+#: json_extract_<T> suffix → Spark CAST target (NULL on mismatch, the
+#: Doris contract)
+_JSON_CASTS = {
+    "int": "BIGINT",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "bool": "BOOLEAN",
+    "largeint": "DECIMAL(38,0)",
+    "string": None,  # get_json_object already yields the unquoted string
+}
+
+
+def _rewrite_json_fn(name_lower: str, inner: list[Token]) -> list[Token] | None:
+    """Doris JSON function family ([docs: sql-functions/json-functions])
+    on Spark's variant toolkit (``parse_json``/``variant_get``/
+    ``to_json``, Spark 4). ``json_extract`` returns JSON TEXT (strings
+    stay quoted — the Doris contract), the typed ``json_extract_<T>``
+    variants return unquoted/cast scalars. Returns None for names this
+    family does not cover (so e.g. user ``json_…`` UDF names still fail
+    loud downstream rather than being silently mangled).
+
+    Documented deviation: ``json_contains`` implements scalar equality
+    and top-level array membership (canonical-JSON comparison); MySQL's
+    object-subset containment compares whole-object equality instead."""
+    args = _split_args(_trim(inner))
+    texts = [_text(a) for a in args]
+
+    if name_lower == "json_extract" and len(texts) == 2:
+        j, p = texts
+        return _raw(f"to_json(variant_get(try_parse_json({j}), {p}))")
+    if name_lower in ("json_extract_string", "get_json_string") and len(texts) == 2:
+        return _raw(f"get_json_object({texts[0]}, {texts[1]})")
+    for suffix, target in _JSON_CASTS.items():
+        if name_lower == f"json_extract_{suffix}" and len(texts) == 2:
+            base = f"get_json_object({texts[0]}, {texts[1]})"
+            return _raw(base if target is None else f"CAST({base} AS {target})")
+    if name_lower == "json_unquote" and len(texts) == 1:
+        s = texts[0]
+        # get_json_object(s, '$') unquotes valid JSON; MySQL passes
+        # non-JSON text through unchanged
+        return _raw(f"COALESCE(get_json_object({s}, '$'), {s})")
+    if name_lower == "json_valid" and len(texts) == 1:
+        j = texts[0]
+        return _raw(
+            f"CASE WHEN {j} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN try_parse_json({j}) IS NOT NULL THEN 1 ELSE 0 END"
+        )
+    if name_lower == "json_length" and len(texts) in (1, 2):
+        j = texts[0]
+        if len(texts) == 2:
+            j = f"to_json(variant_get(try_parse_json({j}), {texts[1]}))"
+        return _raw(
+            f"CASE WHEN try_parse_json({j}) IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN left(trim({j}), 1) = '[' THEN json_array_length({j}) "
+            f"WHEN left(trim({j}), 1) = '{{' THEN size(json_object_keys({j})) "
+            f"ELSE 1 END"
+        )
+    if name_lower == "json_keys" and len(texts) in (1, 2):
+        j = texts[0]
+        if len(texts) == 2:
+            j = f"to_json(variant_get(try_parse_json({j}), {texts[1]}))"
+        return _raw(f"to_json(json_object_keys({j}))")
+    if name_lower == "json_contains" and len(texts) == 2:
+        j, c = texts
+        return _raw(
+            f"CASE WHEN try_parse_json({j}) IS NULL "
+            f"OR try_parse_json({c}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"WHEN left(trim({j}), 1) = '[' THEN "
+            f"exists(from_json({j}, 'array<variant>'), "
+            f"__x -> to_json(__x) = to_json(try_parse_json({c}))) "
+            f"ELSE to_json(try_parse_json({j})) = "
+            f"to_json(try_parse_json({c})) END"
+        )
+    if name_lower == "json_object":
+        if len(texts) % 2:
+            raise ValueError("json_object expects key/value pairs")
+        if not texts:
+            return _raw("'{}'")
+        for k in texts[::2]:
+            if not (k.startswith("'") or k.startswith('"')):
+                raise ValueError(
+                    f"json_object keys must be string literals (got {k!r})"
+                )
+        pairs = ", ".join(
+            f"{k}, {v}" for k, v in zip(texts[::2], texts[1::2])
+        )
+        return _raw(f"to_json(named_struct({pairs}))")
+    if name_lower == "json_array":
+        if not texts or (len(texts) == 1 and not texts[0].strip()):
+            return _raw("'[]'")
+        elems = ", ".join(f"CAST({t} AS VARIANT)" for t in texts)
+        return _raw(f"to_json(array({elems}))")
+    if name_lower == "json_quote" and len(texts) == 1:
+        return _raw(f"to_json(CAST({texts[0]} AS VARIANT))")
+    return None
+
+
 def _rewrite_group_concat(inner: list[Token]) -> list[Token]:
     toks = _trim(inner)
     distinct = False
     if toks and toks[0][0] == "word" and toks[0][1].lower() == "distinct":
         distinct = True
         toks = _trim(toks[1:])
+    # peel a trailing top-level SEPARATOR '<lit>' (MySQL keyword form —
+    # it follows ORDER BY when both are present, so peel it first)
+    sep_kw: str | None = None
+    depth = 0
+    for j, t in enumerate(toks):
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "word" and t[1].lower() == "separator":
+            sep_kw = _text(_trim(toks[j + 1 :]))
+            toks = _trim(toks[:j])
+            break
     # peel a trailing top-level ORDER BY
     order_expr: str | None = None
     depth = 0
@@ -499,7 +614,9 @@ def _rewrite_group_concat(inner: list[Token]) -> list[Token]:
             break
     args = _split_args(toks)
     expr = _text(args[0])
-    sep = _text(args[1]) if len(args) > 1 else "','"
+    sep = sep_kw if sep_kw is not None else (
+        _text(args[1]) if len(args) > 1 else "','"
+    )
     if order_expr is not None and order_expr.strip() != expr.strip():
         raise ValueError(
             "group_concat ORDER BY key must equal the aggregated "

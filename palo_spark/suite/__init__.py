@@ -91,6 +91,7 @@ _R10_ADDITIONS = [
     "sql_bitmap_index_eq",
     "sql_tablesample_percent",
     "sql_array_lambda_funcs",
+    "sql_json_funcs_events",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

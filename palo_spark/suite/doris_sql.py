@@ -2309,3 +2309,31 @@ _entry(
     ORDER BY l_orderkey
     """,
 )
+
+
+# Doris JSON function family over events.props ([docs:
+# sql-functions/json-functions]); json_extract returns JSON TEXT,
+# the typed variants return cast scalars
+_entry(
+    "sql_json_funcs_events",
+    """
+    SELECT event_id,
+           json_extract_int(props, '$.k') AS k_int,
+           json_extract(props, '$.k') AS k_text,
+           json_length(props) AS n_keys,
+           json_valid(props) AS ok,
+           json_extract_string(json_object('t', event_type), '$.t') AS t_back
+    FROM events
+    ORDER BY event_id
+    """,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_text,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(1 AS INT) AS ok,
+           event_type AS t_back
+    FROM events
+    ORDER BY event_id
+    """,
+)

@@ -591,3 +591,48 @@ def test_lambda_first_array_hofs_translate():
 
     with _pt.raises(ValueError, match="array_map"):
         translate("SELECT array_map(x -> x, a, b, c) AS bad")
+
+
+def test_json_function_family(spark):
+    """Doris JSON functions on Spark's variant toolkit; json_extract
+    keeps JSON text (quoted strings), typed variants cast."""
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("""SELECT json_extract('{"a": "x"}', '$.a') AS j""") == '"x"'
+    assert one("""SELECT json_extract('{"a":{"b":[1,2]}}', '$.a.b') AS j""") == "[1,2]"
+    assert one("""SELECT json_extract_string('{"a": "x"}', '$.a') AS j""") == "x"
+    assert one("""SELECT json_extract_int('{"n": 7}', '$.n') AS j""") == 7
+    assert one("""SELECT json_extract_bool('{"b": true}', '$.b') AS j""") is True
+    assert one("""SELECT json_unquote('"x"') AS j""") == "x"
+    assert one("""SELECT json_unquote('plain') AS j""") == "plain"
+    assert one("""SELECT json_valid('{bad') AS j""") == 0
+    assert one("""SELECT json_valid(NULL) AS j""") is None
+    assert one("""SELECT json_length('{"a":1,"b":2}') AS j""") == 2
+    assert one("""SELECT json_length('{"a":[1,2,3]}', '$.a') AS j""") == 3
+    assert one("""SELECT json_keys('{"a":1,"b":2}') AS j""") == '["a","b"]'
+    assert one("""SELECT json_contains('[1,2,3]', '2') AS j""") is True
+    assert one("""SELECT json_contains('[1,2,3]', '5') AS j""") is False
+    assert one("""SELECT json_object('a', 1, 'b', 'x') AS j""") == '{"a":1,"b":"x"}'
+    assert one("""SELECT json_array(1, 'a', true) AS j""") == '[1,"a",true]'
+    assert one("""SELECT json_quote('hi') AS j""") == '"hi"'
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="string literals"):
+        doris_sql(spark, "SELECT json_object(k, 1) AS j")
+
+
+def test_group_concat_separator_keyword(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "c"), (1, "a")], "k int, s string"
+    ).createOrReplaceTempView("gct")
+    got = doris_sql(
+        spark,
+        "SELECT group_concat(DISTINCT s ORDER BY s SEPARATOR '|') AS g "
+        "FROM gct GROUP BY k",
+    ).collect()[0][0]
+    assert got == "a|c"
