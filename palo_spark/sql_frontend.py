@@ -318,6 +318,103 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         if got is not None:
             return got
 
+    if name_lower in _DATE_ARITH:
+        unit, sign = _DATE_ARITH[name_lower]
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise ValueError(f"{name_lower} expects 2 arguments")
+        d, n = _text(args[0]), _text(args[1])
+        # timestampadd preserves time-of-day (add_months/date_add would
+        # silently truncate a DATETIME input to DATE — wrong-answer
+        # class); the result is always TIMESTAMP, a documented widening
+        # for DATE inputs
+        return _raw(f"timestampadd({unit}, {sign}({n}), {d})")
+
+    if name_lower == "to_monday":
+        return _raw(f"trunc(CAST({_text(inner)} AS DATE), 'WEEK')")
+
+    if name_lower in ("week", "yearweek"):
+        args = _split_args(inner)
+        if len(args) not in (1, 2):
+            raise ValueError(f"{name_lower} expects 1 or 2 arguments")
+        d = f"CAST({_text(args[0])} AS DATE)"
+        mode = _text(args[1]).strip() if len(args) == 2 else "0"
+        if mode not in ("0", "3"):
+            raise ValueError(
+                f"{name_lower}: only modes 0 (MySQL default, Sunday-"
+                f"start) and 3 (ISO) are supported, got {mode!r}"
+            )
+        if name_lower == "week":
+            if mode == "3":
+                return _raw(f"weekofyear({d})")
+            return _raw(_week_mode0(d))
+        if mode == "3":
+            # ISO yearweek: the ISO week-year, which weekofyear's
+            # year-boundary weeks need extracted from the same contract
+            return _raw(
+                f"(extract(YEAROFWEEK FROM {d}) * 100 + weekofyear({d}))"
+            )
+        prev_dec31 = f"make_date(year({d}) - 1, 12, 31)"
+        return _raw(
+            f"(CASE WHEN {_week_mode0(d)} = 0 "
+            f"THEN (year({d}) - 1) * 100 + {_week_mode0(prev_dec31)} "
+            f"ELSE year({d}) * 100 + {_week_mode0(d)} END)"
+        )
+
+    if name_lower == "strcmp":
+        args = _split_args(inner)
+        a, b = _text(args[0]), _text(args[1])
+        return _raw(
+            f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN {a} < {b} THEN -1 WHEN {a} = {b} THEN 0 ELSE 1 END)"
+        )
+
+    if name_lower == "append_trailing_char_if_absent":
+        args = _split_args(inner)
+        s, c = _text(args[0]), _text(args[1])
+        return _raw(
+            f"(CASE WHEN right({s}, 1) = {c} THEN {s} "
+            f"ELSE concat({s}, {c}) END)"
+        )
+
+    if name_lower in (
+        "inner_product", "l1_distance", "l2_distance", "cosine_distance",
+    ):
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise ValueError(f"{name_lower} expects 2 array arguments")
+        a, b = _text(args[0]), _text(args[1])
+
+        def dot(x, y):
+            return (
+                f"aggregate(zip_with({x}, {y}, (__p, __q) -> "
+                f"CAST(__p AS DOUBLE) * __q), CAST(0.0 AS DOUBLE), "
+                f"(__acc, __v) -> __acc + __v)"
+            )
+
+        if name_lower == "inner_product":
+            return _raw(dot(a, b))
+        if name_lower == "l1_distance":
+            return _raw(
+                f"aggregate(zip_with({a}, {b}, (__p, __q) -> "
+                f"abs(CAST(__p AS DOUBLE) - __q)), CAST(0.0 AS DOUBLE), "
+                f"(__acc, __v) -> __acc + __v)"
+            )
+        if name_lower == "l2_distance":
+            return _raw(
+                f"sqrt(aggregate(zip_with({a}, {b}, (__p, __q) -> "
+                f"(CAST(__p AS DOUBLE) - __q) * (CAST(__p AS DOUBLE) - __q)), "
+                f"CAST(0.0 AS DOUBLE), (__acc, __v) -> __acc + __v))"
+            )
+        return _raw(
+            f"(1.0 - {dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+        )
+
+    if name_lower.startswith(("bitmap_", "to_bitmap")):
+        got = _rewrite_bitmap_fn(name_lower, inner)
+        if got is not None:
+            return got
+
     if name_lower in (
         "array_map", "array_filter", "array_exists", "array_count",
         "array_sortby",
@@ -479,6 +576,110 @@ def _rewrite_generator(name_lower: str, inner: list[Token]) -> list[Token] | Non
             f"explode(CASE WHEN ({n}) > 0 THEN sequence(0, ({n}) - 1) "
             f"ELSE cast(array() AS array<bigint>) END)"
         )
+    return None
+
+
+#: Doris ``<unit>s_add/<unit>s_sub`` → (timestampadd unit, sign)
+_DATE_ARITH = {
+    f"{u}s_{op}": (u.upper(), "" if op == "add" else "-")
+    for u in (
+        "year", "quarter", "month", "week", "day", "hour", "minute",
+        "second", "millisecond", "microsecond",
+    )
+    for op in ("add", "sub")
+}
+
+
+def _week_mode0(d: str) -> str:
+    """MySQL WEEK(d, 0): Sunday-start weeks numbered 1.. from the first
+    Sunday of the year; days before it are week 0. ``d`` must be a
+    DATE-typed SQL expression."""
+    off = f"((8 - dayofweek(trunc({d}, 'year'))) % 7)"
+    doy = f"dayofyear({d})"
+    return (
+        f"(CASE WHEN {doy} <= {off} THEN 0 "
+        f"ELSE CAST(floor(({doy} - {off} - 1) / 7) AS INT) + 1 END)"
+    )
+
+
+def _rewrite_bitmap_fn(name_lower: str, inner: list[Token]) -> list[Token] | None:
+    """Doris bitmap functions for the SQL-TEXT surface ([docs:
+    sql-functions/bitmap-functions]): a bitmap value is represented as
+    a sorted distinct ARRAY<BIGINT>, so the whole family stays inside
+    whole-stage codegen (array_intersect/except/flatten — no UDF). The
+    DataFrame-level sketch columns in functions/sketches.py keep their
+    compact binary encoding; the two layers are independent by design
+    (the SQL form favors composability, the column form favors
+    AGGREGATE-key mergeability)."""
+    args = _split_args(_trim(inner))
+    texts = [_text(a) for a in args]
+
+    def canon(x):
+        return f"array_sort(array_distinct({x}))"
+
+    if name_lower == "to_bitmap" and len(texts) == 1:
+        return _raw(
+            f"filter(array(CAST({texts[0]} AS BIGINT)), __v -> __v IS NOT NULL)"
+        )
+    if name_lower == "bitmap_empty" and len(texts) in (0, 1) and not any(
+        t.strip() for t in texts
+    ):
+        return _raw("CAST(array() AS ARRAY<BIGINT>)")
+    if name_lower == "bitmap_from_string" and len(texts) == 1:
+        return _raw(canon(
+            f"transform(split({texts[0]}, ','), "
+            f"__x -> CAST(trim(__x) AS BIGINT))"
+        ))
+    if name_lower == "bitmap_to_string" and len(texts) == 1:
+        return _raw(f"array_join(array_sort({texts[0]}), ',')")
+    if name_lower == "bitmap_count" and len(texts) == 1:
+        return _raw(f"COALESCE(size(array_distinct({texts[0]})), 0)")
+    if name_lower == "bitmap_contains" and len(texts) == 2:
+        return _raw(
+            f"array_contains({texts[0]}, CAST({texts[1]} AS BIGINT))"
+        )
+    if name_lower == "bitmap_has_any" and len(texts) == 2:
+        return _raw(f"arrays_overlap({texts[0]}, {texts[1]})")
+    if name_lower == "bitmap_has_all" and len(texts) == 2:
+        return _raw(
+            f"(size(array_except({texts[1]}, {texts[0]})) = 0)"
+        )
+    if name_lower == "bitmap_and" and len(texts) == 2:
+        return _raw(canon(f"array_intersect({texts[0]}, {texts[1]})"))
+    if name_lower == "bitmap_or" and len(texts) == 2:
+        return _raw(canon(f"concat({texts[0]}, {texts[1]})"))
+    if name_lower == "bitmap_xor" and len(texts) == 2:
+        a, b = texts
+        return _raw(canon(
+            f"concat(array_except({a}, {b}), array_except({b}, {a}))"
+        ))
+    if name_lower == "bitmap_andnot" and len(texts) == 2:
+        return _raw(canon(f"array_except({texts[0]}, {texts[1]})"))
+    if name_lower == "bitmap_and_count" and len(texts) == 2:
+        return _raw(
+            f"COALESCE(size(array_distinct("
+            f"array_intersect({texts[0]}, {texts[1]}))), 0)"
+        )
+    if name_lower == "bitmap_or_count" and len(texts) == 2:
+        return _raw(
+            f"COALESCE(size(array_distinct("
+            f"concat({texts[0]}, {texts[1]}))), 0)"
+        )
+    if name_lower == "bitmap_min" and len(texts) == 1:
+        return _raw(f"array_min({texts[0]})")
+    if name_lower == "bitmap_max" and len(texts) == 1:
+        return _raw(f"array_max({texts[0]})")
+    if name_lower == "bitmap_union" and len(texts) == 1:
+        # aggregate: OR-merge the group's bitmaps
+        return _raw(canon(f"flatten(collect_list({texts[0]}))"))
+    if name_lower == "bitmap_union_count" and len(texts) == 1:
+        return _raw(
+            f"COALESCE(size(array_distinct("
+            f"flatten(collect_list({texts[0]})))), 0)"
+        )
+    if name_lower == "bitmap_union_int" and len(texts) == 1:
+        # aggregate: exact distinct count of an integer column
+        return _raw(f"count(DISTINCT {texts[0]})")
     return None
 
 

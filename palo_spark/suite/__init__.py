@@ -92,6 +92,9 @@ _R10_ADDITIONS = [
     "sql_tablesample_percent",
     "sql_array_lambda_funcs",
     "sql_json_funcs_events",
+    "sql_bitmap_segments",
+    "sql_week_yearweek",
+    "sql_vector_distance_topk",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2337,3 +2337,90 @@ _entry(
     ORDER BY event_id
     """,
 )
+
+
+# bitmap SQL family ([docs: sql-functions/bitmap-functions]) — exact
+# distinct-user segmentation per order status; the SQL surface
+# represents bitmaps as sorted distinct BIGINT arrays (whole-stage
+# codegen, no UDF), so the oracle is a plain COUNT(DISTINCT)
+_entry(
+    "sql_bitmap_segments",
+    """
+    SELECT o_orderstatus,
+           bitmap_union_count(to_bitmap(o_custkey)) AS nd_cust,
+           bitmap_count(bitmap_and(
+               bitmap_union(to_bitmap(o_custkey)),
+               bitmap_from_string('1,2,3,4,5,6,7,8,9,10'))) AS nd_low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS INT) AS nd_cust,
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey BETWEEN 1 AND 10
+                                    THEN o_custkey END) AS INT) AS nd_low
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+
+
+_O_WEEK0 = """(CASE WHEN dayofyear({d}) <= (7 - dayofweek(date_trunc('year', {d}))) % 7 THEN 0
+    ELSE CAST(FLOOR((dayofyear({d}) - (7 - dayofweek(date_trunc('year', {d}))) % 7 - 1) / 7) AS INT) + 1 END)"""
+
+# MySQL/Doris WEEK modes 0 (Sunday-start) and 3 (ISO) + YEARWEEK —
+# the DuckDB oracle replicates the mode-0 formula with its own
+# Sunday=0 dayofweek convention
+_entry(
+    "sql_week_yearweek",
+    """
+    SELECT o_orderkey,
+           week(o_orderdate) AS w0,
+           week(o_orderdate, 3) AS w3,
+           yearweek(o_orderdate) AS yw0
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    f"""
+    SELECT o_orderkey,
+           {_O_WEEK0.format(d='o_orderdate')} AS w0,
+           CAST(weekofyear(o_orderdate) AS INT) AS w3,
+           (CASE WHEN {_O_WEEK0.format(d='o_orderdate')} = 0
+                 THEN (year(o_orderdate) - 1) * 100
+                      + {_O_WEEK0.format(d="make_date(year(o_orderdate) - 1, 12, 31)")}
+                 ELSE year(o_orderdate) * 100
+                      + {_O_WEEK0.format(d='o_orderdate')} END) AS yw0
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+
+
+# vector distance functions at the SQL surface ([docs: Doris 2.x
+# array distance functions]): brute-force nearest neighbours to a
+# stored query vector; distances floored at 1e-6 (the float-grid
+# pattern from suite/util.py) so Spark/DuckDB double math compares
+_entry(
+    "sql_vector_distance_topk",
+    """
+    SELECT e.vec_id,
+           CAST(FLOOR(l2_distance(e.embedding, q.embedding) * 1000000)
+                AS BIGINT) AS d6
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY l2_distance(e.embedding, q.embedding), e.vec_id
+    LIMIT 20
+    """,
+    """
+    SELECT e.vec_id,
+           CAST(FLOOR(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    q.q) * 1000000) AS BIGINT) AS d6
+    FROM embeddings e
+    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS q
+                FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), q.q), e.vec_id
+    LIMIT 20
+    """,
+)

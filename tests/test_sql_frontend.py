@@ -636,3 +636,61 @@ def test_group_concat_separator_keyword(spark):
         "FROM gct GROUP BY k",
     ).collect()[0][0]
     assert got == "a|c"
+
+
+def test_date_arith_week_strcmp_family(spark):
+    """Doris <unit>s_add/_sub (timestampadd — preserves time-of-day),
+    to_monday, WEEK/YEARWEEK modes 0 and 3, strcmp,
+    append_trailing_char_if_absent."""
+    import datetime as dt
+
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT months_add('2024-03-15 10:30:00', 1) AS d") == dt.datetime(2024, 4, 15, 10, 30)
+    assert one("SELECT years_sub('2024-03-15', 1) AS d") == dt.datetime(2023, 3, 15)
+    assert one("SELECT weeks_add('2024-03-15', 2) AS d") == dt.datetime(2024, 3, 29)
+    assert one("SELECT hours_add('2024-03-15 01:00:00', 25) AS d") == dt.datetime(2024, 3, 16, 2, 0)
+    assert one("SELECT to_monday('2024-03-15') AS d") == dt.date(2024, 3, 11)
+    # MySQL mode-0 week: Jan 6 '24 precedes the first Sunday -> week 0
+    assert one("SELECT week('2024-01-06') AS w") == 0
+    assert one("SELECT week('2024-01-07') AS w") == 1
+    assert one("SELECT week('2024-03-15') AS w") == 10
+    assert one("SELECT week('2024-03-15', 3) AS w") == 11
+    assert one("SELECT yearweek('2024-03-15') AS yw") == 202410
+    assert one("SELECT yearweek('2024-01-05') AS yw") == 202353  # prev year's week 53
+    assert one("SELECT strcmp('a', 'b') AS s") == -1
+    assert one("SELECT strcmp(NULL, 'b') AS s") is None
+    assert one("SELECT append_trailing_char_if_absent('a/b', '/') AS a") == "a/b/"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="modes 0"):
+        doris_sql(spark, "SELECT week('2024-03-15', 2) AS w")
+
+
+def test_vector_distance_and_bitmap_sql_family(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT inner_product(ARRAY(1.0,2.0), ARRAY(3.0,4.0)) AS x") == 11.0
+    assert one("SELECT l2_distance(ARRAY(0.0,0.0), ARRAY(3.0,4.0)) AS x") == 5.0
+    assert one("SELECT l1_distance(ARRAY(1.0,2.0), ARRAY(3.0,5.0)) AS x") == 5.0
+    assert abs(one("SELECT cosine_distance(ARRAY(1.0,0.0), ARRAY(0.0,1.0)) AS x") - 1.0) < 1e-12
+    # bitmap family: SQL-surface bitmaps are sorted distinct BIGINT arrays
+    assert one("SELECT bitmap_to_string(bitmap_from_string('3,1,2,2')) AS b") == "1,2,3"
+    assert one("SELECT bitmap_count(bitmap_from_string('1,2,3')) AS b") == 3
+    assert one(
+        "SELECT bitmap_to_string(bitmap_xor(bitmap_from_string('1,2'), "
+        "bitmap_from_string('2,4'))) AS b"
+    ) == "1,4"
+    assert one(
+        "SELECT bitmap_has_all(bitmap_from_string('1,2,3'), "
+        "bitmap_from_string('1,2')) AS b"
+    ) is True
+    spark.createDataFrame([(1,), (2,), (1,)], "k int").createOrReplaceTempView("bmt")
+    assert one("SELECT bitmap_union_count(to_bitmap(k)) AS b FROM bmt") == 2
+    assert one("SELECT bitmap_to_string(bitmap_union(to_bitmap(k))) AS b FROM bmt") == "1,2"
