@@ -233,6 +233,14 @@ _RENAME = {
     "strright": "right",
     "ndv": "approx_count_distinct",
     "curtime": "current_timestamp",
+    # aggregates ([docs: sql-functions/aggregate-functions])
+    "group_bit_and": "bit_and",
+    "group_bit_or": "bit_or",
+    "group_bit_xor": "bit_xor",
+    "variance_samp": "var_samp",
+    "variance_pop": "var_pop",
+    "covar": "covar_pop",
+    "percentile_array": "percentile",
 }
 
 #: functions whose LAST string-literal arg is a MySQL %-pattern
@@ -414,6 +422,44 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         got = _rewrite_bitmap_fn(name_lower, inner)
         if got is not None:
             return got
+
+    if name_lower == "avg_weighted":
+        args = _split_args(inner)
+        v, w = _text(args[0]), _text(args[1])
+        return _raw(
+            f"(sum(CAST({v} AS DOUBLE) * CAST({w} AS DOUBLE)) "
+            f"/ sum(CAST({w} AS DOUBLE)))"
+        )
+
+    if name_lower == "multi_distinct_count":
+        return _raw(f"count(DISTINCT {_text(inner)})")
+
+    if name_lower == "multi_distinct_sum":
+        return _raw(f"sum(DISTINCT {_text(inner)})")
+
+    if name_lower == "sum0":
+        e = _text(inner)
+        return _raw(f"COALESCE(sum({e}), 0)")
+
+    if name_lower == "topn":
+        # Doris TOPN(expr, k): the k most frequent values as a JSON
+        # object {"value": count, ...}, count-descending. Composed from
+        # collect_list + HOF counting — O(distinct x rows) per group,
+        # the low-cardinality regime TOPN exists for.
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise ValueError("topn expects (expr, k)")
+        e, k = _text(args[0]), _text(args[1])
+        cl = f"collect_list(CAST({e} AS STRING))"
+        ranked = (
+            f"array_sort(transform(array_distinct({cl}), __v -> "
+            f"named_struct('negcnt', -size(filter({cl}, __y -> __y = __v)), "
+            f"'v', __v)))"
+        )
+        return _raw(
+            f"to_json(map_from_entries(transform(slice({ranked}, 1, {k}), "
+            f"__s -> struct(__s.v, -__s.negcnt))))"
+        )
 
     if name_lower in (
         "array_map", "array_filter", "array_exists", "array_count",
@@ -672,6 +718,18 @@ def _rewrite_bitmap_fn(name_lower: str, inner: list[Token]) -> list[Token] | Non
     if name_lower == "bitmap_union" and len(texts) == 1:
         # aggregate: OR-merge the group's bitmaps
         return _raw(canon(f"flatten(collect_list({texts[0]}))"))
+    if name_lower == "bitmap_intersect" and len(texts) == 1:
+        # aggregate: AND-merge (audience segmentation — "in ALL
+        # segments"); a fold over the collected bitmaps. Identical
+        # collect_list occurrences dedupe to one physical aggregate.
+        cl = f"collect_list({texts[0]})"
+        return _raw(
+            f"(CASE WHEN size({cl}) = 0 "
+            f"THEN CAST(array() AS ARRAY<BIGINT>) "
+            f"ELSE array_sort(array_distinct(aggregate("
+            f"slice({cl}, 2, size({cl}) - 1), element_at({cl}, 1), "
+            f"(__acc, __b) -> array_intersect(__acc, __b)))) END)"
+        )
     if name_lower == "bitmap_union_count" and len(texts) == 1:
         return _raw(
             f"COALESCE(size(array_distinct("

@@ -95,6 +95,7 @@ _R10_ADDITIONS = [
     "sql_bitmap_segments",
     "sql_week_yearweek",
     "sql_vector_distance_topk",
+    "sql_topn_agg_weighted",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2424,3 +2424,49 @@ _entry(
     LIMIT 20
     """,
 )
+
+
+# Doris aggregate surface: TOPN (k most frequent as JSON, count-desc
+# then value-asc — the oracle rebuilds the same JSON with QUALIFY +
+# string_agg), exact weighted average over integer-cents (integer
+# products stay exact in doubles, so no float-grid hedging needed),
+# multi_distinct_count, group_bit_or, sum0
+_entry(
+    "sql_topn_agg_weighted",
+    """
+    SELECT o_orderpriority,
+           topn(o_orderstatus, 2) AS top2,
+           FLOOR(avg_weighted(CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                              o_custkey % 7 + 1)) AS aw_cents,
+           multi_distinct_count(o_custkey) AS ndc,
+           group_bit_or(o_custkey % 16) AS gbo,
+           sum0(CASE WHEN o_totalprice > 1000000000 THEN 1 END) AS zero_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    """
+    WITH cnts AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS val,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY cnt DESC, val) <= 2
+    ), tops AS (
+        SELECT p, '{' || string_agg('"' || val || '":' || cnt, ','
+                                    ORDER BY cnt DESC, val) || '}' AS top2
+        FROM cnts GROUP BY p
+    )
+    SELECT o.o_orderpriority, t.top2,
+           CAST(FLOOR(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                          * CAST(o.o_custkey % 7 + 1 AS DOUBLE))
+                      / SUM(CAST(o.o_custkey % 7 + 1 AS DOUBLE)))
+                AS BIGINT) AS aw_cents,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS ndc,
+           CAST(BIT_OR(o.o_custkey % 16) AS BIGINT) AS gbo,
+           CAST(0 AS BIGINT) AS zero_sum
+    FROM orders o JOIN tops t ON t.p = o.o_orderpriority
+    GROUP BY o.o_orderpriority, t.top2
+    ORDER BY o.o_orderpriority
+    """,
+)

@@ -694,3 +694,29 @@ def test_vector_distance_and_bitmap_sql_family(spark):
     spark.createDataFrame([(1,), (2,), (1,)], "k int").createOrReplaceTempView("bmt")
     assert one("SELECT bitmap_union_count(to_bitmap(k)) AS b FROM bmt") == 2
     assert one("SELECT bitmap_to_string(bitmap_union(to_bitmap(k))) AS b FROM bmt") == "1,2"
+
+
+def test_aggregate_surface_additions(spark):
+    """group_bit_*, avg_weighted, multi_distinct_*, sum0, topn,
+    bitmap_intersect (AND-merge aggregate)."""
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 6), (1, 3)], "k int, v int"
+    ).createOrReplaceTempView("aggt")
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT group_bit_and(v) AS a FROM aggt") == 0
+    assert one("SELECT group_bit_or(v) AS a FROM aggt") == 7
+    assert one("SELECT avg_weighted(v, k) AS a FROM aggt") == (3 + 10 + 18 + 3) / 7
+    assert one("SELECT multi_distinct_count(v) AS a FROM aggt") == 3
+    assert one("SELECT multi_distinct_sum(v) AS a FROM aggt") == 14
+    assert one("SELECT sum0(v) AS a FROM aggt WHERE v > 100") == 0
+    assert one("SELECT topn(v, 2) AS a FROM aggt") == '{"3":2,"5":1}'
+    assert one(
+        "SELECT bitmap_to_string(bitmap_intersect(bitmap_from_string(s))) AS a "
+        "FROM (SELECT '1,2,3' AS s UNION ALL SELECT '2,3,4')"
+    ) == "2,3"
+    assert one("SELECT percentile_array(v, ARRAY(0.0, 1.0)) AS a FROM aggt") == [3.0, 6.0]
