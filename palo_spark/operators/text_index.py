@@ -384,20 +384,32 @@ def build_gram_index(
     )
     posting = posting.repartition(buckets, F.col(_TB))
     posting.write.mode("overwrite").partitionBy(_TB).parquet(path)
+    # id_type makes the read side schema-explicit: an EMPTY corpus
+    # (fresh/truncated table) writes zero part-files, and a
+    # schema-inferring read of that would fail UNABLE_TO_INFER_SCHEMA
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
     spark.createDataFrame(
-        [(int(buckets), col, id_col, int(gram_size), fp)],
+        [(int(buckets), col, id_col, int(gram_size), id_type, fp)],
         "buckets int, text_col string, id_col string, gram_size int, "
-        "fingerprint string",
+        "id_type string, fingerprint string",
     ).write.mode("overwrite").parquet(path + "/_palo_index_meta")
 
 
 def _posting_for(spark, index_path: str, tokens: list[str]):
     """Posting rows for exactly ``tokens`` — reads only the bucket
-    partitions the probes hash to (the bloom-skip analog)."""
-    buckets = _index_meta(spark, index_path)["buckets"]
-    bs = _query_buckets(spark, tokens, buckets)
+    partitions the probes hash to (the bloom-skip analog). The schema
+    comes from the index meta, never inference: an empty index (built
+    over a fresh or truncated table) has zero part-files."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(index_path + "/_palo_index_meta").to_pylist()[0]
+    bs = _query_buckets(spark, tokens, meta["buckets"])
+    id_type = meta.get("id_type") or "bigint"
     return (
-        spark.read.parquet(index_path)
+        spark.read.schema(f"doc_id {id_type}, token string, {_TB} int")
+        .parquet(index_path)
         .filter(F.col(_TB).isin(bs))
         .filter(F.col("token").isin(tokens))
     )

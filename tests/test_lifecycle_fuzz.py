@@ -362,3 +362,96 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
                 ps.mv_rewrite_enabled = saved_mvr
             assert sorted(served, key=repr) == sorted(truth, key=repr), (
                 phase, op, q, served, truth)
+
+
+def test_index_route_consistency_fuzz(spark, tmp_path):
+    """Randomized closure of the r10c index-route class: drive random
+    mutations (insert / delete / truncate / drop+recreate) interleaved
+    with NGRAM_BF / BITMAP index create/drop, with the result cache ON,
+    and after every phase assert that LIKE / equality probes answered
+    through the session (index-accelerated where eligible) equal the
+    same statements with every index removed and the cache off — the
+    full-scan ground truth. Any stale posting read, broken freshness
+    token, or unsound route splice shows up as a value mismatch."""
+    import random
+
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path / "ix"),
+                     result_cache=True)
+    rng = random.Random(10)
+    words = ["alpha", "borwick", "cromulent", "dax", "embiggen"]
+
+    def mk():
+        ps.sql(
+            "CREATE TABLE ix (`id` BIGINT, `txt` VARCHAR(64), "
+            "`tag` VARCHAR(8)) DUPLICATE KEY(id) "
+            "DISTRIBUTED BY HASH(id) BUCKETS 2"
+        )
+
+    mk()
+    nid = 0
+    ng_live = bm_live = False
+    idx_n = 0
+
+    def seed(n):
+        nonlocal nid
+        vals = []
+        for _ in range(n):
+            nid += 1
+            w1, w2 = rng.choice(words), rng.choice(words)
+            vals.append(f"({nid}, '{w1} {w2} t{nid % 13}', 'g{nid % 4}')")
+        ps.sql("INSERT INTO ix VALUES " + ", ".join(vals))
+
+    seed(40)
+    for phase in range(24):
+        op = rng.choice(
+            ["insert", "insert", "delete", "truncate", "drop_recreate",
+             "mk_ngram", "mk_bitmap", "drop_ngram", "drop_bitmap"]
+        )
+        if op == "insert":
+            seed(rng.randint(1, 8))
+        elif op == "delete":
+            ps.sql(f"DELETE FROM ix WHERE id < {rng.randint(0, nid)}")
+        elif op == "truncate":
+            ps.sql("TRUNCATE TABLE ix")
+        elif op == "drop_recreate":
+            ps.sql("DROP TABLE ix")  # indexes die with the table
+            ng_live = bm_live = False
+            mk()
+            seed(10)
+        elif op == "mk_ngram" and not ng_live:
+            idx_n += 1
+            ps.sql(f"CREATE INDEX ng{idx_n} ON ix (txt) USING NGRAM_BF "
+                   "PROPERTIES('gram_size'='3')")
+            ng_live = True
+        elif op == "mk_bitmap" and not bm_live:
+            idx_n += 1
+            ps.sql(f"CREATE INDEX bm{idx_n} ON ix (tag) USING BITMAP")
+            bm_live = True
+        elif op == "drop_ngram" and ng_live:
+            name = next(i for i, v in ps.indexes.items() if v[3] == "NGRAM_BF")
+            ps.sql(f"DROP INDEX {name} ON ix")
+            ng_live = False
+        elif op == "drop_bitmap" and bm_live:
+            name = next(i for i, v in ps.indexes.items() if v[3] == "BITMAP")
+            ps.sql(f"DROP INDEX {name} ON ix")
+            bm_live = False
+        frag = rng.choice(words)[1:5]
+        probes = [
+            f"SELECT id FROM ix WHERE `txt` LIKE '%{frag}%' ORDER BY id",
+            f"SELECT id FROM ix WHERE tag = 'g{rng.randint(0, 4)}' ORDER BY id",
+            f"SELECT count(*) AS n FROM ix WHERE `txt` LIKE '%t{rng.randint(0, 13)} %'",
+        ]
+        for q in rng.sample(probes, 2):
+            try:
+                served = [tuple(r) for r in ps.sql(q).collect()]
+            except ValueError:
+                continue  # empty-table state
+            saved_idx, saved_rc = dict(ps.indexes), ps.result_cache_enabled
+            ps.indexes, ps.result_cache_enabled = {}, False
+            try:
+                truth = [tuple(r) for r in ps.sql(q).collect()]
+            finally:
+                ps.indexes, ps.result_cache_enabled = saved_idx, saved_rc
+            assert served == truth, (phase, op, q, served, truth)
