@@ -151,6 +151,12 @@ HEADLINE = [
     # pruning (plan-asserted) and the staged temp-partition swap
     "sql_static_range_partition",
     "sql_temp_partition_backfill",
+    # r10 continuation, third window: NGRAM_BF-accelerated infix LIKE
+    # (gram posting prune -> exact verify), SQL-surface brute-force
+    # vector top-k, and the lambda-HOF array pipeline
+    "sql_ngram_index_like",
+    "sql_vector_distance_topk",
+    "sql_array_lambda_funcs",
 ]
 
 
