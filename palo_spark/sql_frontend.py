@@ -241,6 +241,11 @@ _RENAME = {
     "variance_pop": "var_pop",
     "covar": "covar_pop",
     "percentile_array": "percentile",
+    # string/bit ([docs: sql-functions/string-functions, bitwise])
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "bit_shift_left": "shiftleft",
+    "bit_shift_right": "shiftright",
 }
 
 #: functions whose LAST string-literal arg is a MySQL %-pattern
@@ -422,6 +427,64 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         got = _rewrite_bitmap_fn(name_lower, inner)
         if got is not None:
             return got
+
+    if name_lower in (
+        "domain", "domain_without_www", "protocol", "top_level_domain",
+        "extract_url_parameter",
+    ):
+        # URL functions ([docs: sql-functions/url-functions]) on
+        # Spark's parse_url
+        args = _split_args(inner)
+        u = _text(args[0])
+        host = f"parse_url({u}, 'HOST')"
+        if name_lower == "domain":
+            return _raw(host)
+        if name_lower == "domain_without_www":
+            return _raw(f"regexp_replace({host}, '^www\\\\.', '')")
+        if name_lower == "protocol":
+            return _raw(f"parse_url({u}, 'PROTOCOL')")
+        if name_lower == "top_level_domain":
+            return _raw(f"regexp_extract({host}, '\\\\.([^.]+)$', 1)")
+        return _raw(f"parse_url({u}, 'QUERY', {_text(args[1])})")
+
+    if name_lower in ("mask_first_n", "mask_last_n"):
+        args = _split_args(inner)
+        s = _text(args[0])
+        n = _text(args[1]) if len(args) > 1 else "4"
+        if name_lower == "mask_first_n":
+            return _raw(
+                f"concat(mask(substring({s}, 1, {n})), "
+                f"substring({s}, ({n}) + 1))"
+            )
+        return _raw(
+            f"concat(substring({s}, 1, char_length({s}) - ({n})), "
+            f"mask(right({s}, {n})))"
+        )
+
+    if name_lower == "digital_masking":
+        # Doris: keep the first 3 and last 4 digits, mask the middle
+        # (the CN phone-number convention)
+        s = f"CAST({_text(inner)} AS STRING)"
+        return _raw(f"concat(left({s}, 3), '****', right({s}, 4))")
+
+    if name_lower == "null_or_empty":
+        e = _text(inner)
+        return _raw(f"({e} IS NULL OR {e} = '')")
+
+    if name_lower == "not_null_or_empty":
+        e = _text(inner)
+        return _raw(f"({e} IS NOT NULL AND {e} != '')")
+
+    if name_lower == "to_base64":
+        return _raw(f"base64(CAST({_text(inner)} AS BINARY))")
+
+    if name_lower == "from_base64":
+        return _raw(f"CAST(unbase64({_text(inner)}) AS STRING)")
+
+    if name_lower == "multi_search_all_positions":
+        args = _split_args(inner)
+        s, arr = _text(args[0]), _text(args[1])
+        return _raw(f"transform({arr}, __p -> locate(__p, {s}))")
 
     if name_lower == "avg_weighted":
         args = _split_args(inner)

@@ -96,6 +96,7 @@ _R10_ADDITIONS = [
     "sql_week_yearweek",
     "sql_vector_distance_topk",
     "sql_topn_agg_weighted",
+    "sql_url_mask_functions",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2470,3 +2470,42 @@ _entry(
     ORDER BY o.o_orderpriority
     """,
 )
+
+
+# URL + masking function family ([docs: url-functions,
+# string-functions]); URLs constructed from table data so the oracle
+# can mirror the decomposition with plain string ops
+_entry(
+    "sql_url_mask_functions",
+    """
+    SELECT doc_id,
+           domain(concat('https://www.', source, '.com/p?id=',
+                         CAST(doc_id AS STRING))) AS dom,
+           domain_without_www(concat('https://www.', source, '.com/p')) AS dom2,
+           protocol(concat('https://www.', source, '.com/p')) AS proto,
+           extract_url_parameter(concat('https://a.com/p?id=',
+                                        CAST(doc_id AS STRING)), 'id') AS pid,
+           mask_last_n(lang, 1) AS lang_masked,
+           not_null_or_empty(lang) AS has_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           'www.' || source || '.com' AS dom,
+           source || '.com' AS dom2,
+           'https' AS proto,
+           CAST(doc_id AS VARCHAR) AS pid,
+           substr(lang, 1, length(lang) - 1) ||
+               CASE WHEN regexp_matches(substr(lang, length(lang), 1), '[a-z]')
+                    THEN 'x'
+                    WHEN regexp_matches(substr(lang, length(lang), 1), '[A-Z]')
+                    THEN 'X'
+                    WHEN regexp_matches(substr(lang, length(lang), 1), '[0-9]')
+                    THEN 'n'
+                    ELSE substr(lang, length(lang), 1) END AS lang_masked,
+           TRUE AS has_lang
+    FROM documents
+    ORDER BY doc_id
+    """,
+)

@@ -720,3 +720,32 @@ def test_aggregate_surface_additions(spark):
         "FROM (SELECT '1,2,3' AS s UNION ALL SELECT '2,3,4')"
     ) == "2,3"
     assert one("SELECT percentile_array(v, ARRAY(0.0, 1.0)) AS a FROM aggt") == [3.0, 6.0]
+
+
+def test_url_mask_misc_string_functions(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT domain('https://a.b.com/x?y=1') AS d") == "a.b.com"
+    assert one("SELECT domain_without_www('https://www.b.com/x') AS d") == "b.com"
+    assert one("SELECT protocol('https://a.b.com/x') AS p") == "https"
+    assert one("SELECT top_level_domain('https://a.b.com/x') AS t") == "com"
+    assert one(
+        "SELECT extract_url_parameter('http://a.com/?k1=v1&k2=v2', 'k2') AS e"
+    ) == "v2"
+    assert one("SELECT mask_first_n('abc123', 3) AS m") == "xxx123"
+    assert one("SELECT mask_last_n('abc123', 3) AS m") == "abcnnn"
+    assert one("SELECT mask_first_n('abcdef') AS m") == "xxxxef"  # default n=4
+    assert one("SELECT null_or_empty('') AS n") is True
+    assert one("SELECT null_or_empty('x') AS n") is False
+    assert one("SELECT from_base64(to_base64('hi')) AS b") == "hi"
+    assert one("SELECT digital_masking(13812345678) AS d") == "138****5678"
+    assert one("SELECT starts_with('hello', 'he') AS s") is True
+    assert one("SELECT ends_with('hello', 'lo') AS s") is True
+    assert one(
+        "SELECT multi_search_all_positions('hello', ARRAY('l', 'he', 'z')) AS m"
+    ) == [3, 1, 0]
+    assert one("SELECT bit_shift_left(1, 3) AS b") == 8
+    assert one("SELECT bit_shift_right(8, 3) AS b") == 1
