@@ -331,6 +331,130 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         if got is not None:
             return got
 
+    if name_lower in _DATE_DIFF:
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise ValueError(f"{name_lower} expects 2 arguments")
+        a, b = _text(args[0]), _text(args[1])
+        # Doris <unit>s_diff(end, start) counts COMPLETE units —
+        # exactly Spark timestampdiff's truncating contract
+        return _raw(
+            f"timestampdiff({_DATE_DIFF[name_lower]}, "
+            f"CAST({b} AS TIMESTAMP), CAST({a} AS TIMESTAMP))"
+        )
+
+    if name_lower in _DATE_ROUND or name_lower in ("date_floor", "date_ceil"):
+        args = _split_args(inner)
+        if name_lower in ("date_floor", "date_ceil"):
+            # date_floor(d, INTERVAL n unit) — peel the interval form
+            if len(args) != 2:
+                raise ValueError(f"{name_lower} expects (datetime, INTERVAL n unit)")
+            im = re.match(
+                r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+)\s*$", _text(args[1])
+            )
+            if not im:
+                raise ValueError(
+                    f"{name_lower}: second argument must be INTERVAL n unit"
+                )
+            unit = im.group(2).upper().rstrip("S")
+            if unit not in _ROUND_UNITS:
+                raise ValueError(f"{name_lower}: unsupported unit {unit!r}")
+            period, origin = im.group(1), None
+            ceil = name_lower == "date_ceil"
+        else:
+            unit, ceil = _DATE_ROUND[name_lower]
+            period, origin = "1", None
+            if len(args) >= 2:
+                t2 = _text(args[1]).strip()
+                if re.fullmatch(r"\d+", t2):
+                    period = t2
+                    if len(args) == 3:
+                        origin = _text(args[2])
+                else:
+                    origin = t2
+        d = f"CAST({_text(args[0])} AS TIMESTAMP)"
+        o = (
+            f"CAST({origin} AS TIMESTAMP)"
+            if origin is not None
+            else "TIMESTAMP'0001-01-01 00:00:00'"
+        )
+        # floor = origin + floor(diff/p)*p complete units; Doris's
+        # period grid is anchored at the origin (default year 1)
+        fl = (
+            f"timestampadd({unit}, CAST(floor(timestampdiff({unit}, {o}, "
+            f"{d}) / {period}) * {period} AS BIGINT), {o})"
+        )
+        if not ceil:
+            return _raw(fl)
+        return _raw(
+            f"(CASE WHEN {fl} = {d} THEN {fl} "
+            f"ELSE timestampadd({unit}, {period}, {fl}) END)"
+        )
+
+    if name_lower == "convert_tz":
+        args = _split_args(inner)
+        d, src, dst = (_text(a) for a in args)
+        return _raw(
+            f"from_utc_timestamp(to_utc_timestamp(CAST({d} AS TIMESTAMP), "
+            f"{src}), {dst})"
+        )
+
+    if name_lower == "to_days":
+        # MySQL day number: TO_DAYS('1970-01-01') = 719528
+        return _raw(
+            f"(datediff(CAST({_text(inner)} AS DATE), DATE'1970-01-01') "
+            f"+ 719528)"
+        )
+
+    if name_lower == "from_days":
+        return _raw(
+            f"date_add(DATE'1970-01-01', CAST({_text(inner)} - 719528 AS INT))"
+        )
+
+    if name_lower == "time_to_sec":
+        t = _text(inner)
+        return _raw(
+            f"(CAST(split({t}, ':')[0] AS BIGINT) * 3600 "
+            f"+ CAST(split({t}, ':')[1] AS BIGINT) * 60 "
+            f"+ CAST(split({t}, ':')[2] AS BIGINT))"
+        )
+
+    if name_lower == "sec_to_time":
+        n = f"CAST({_text(inner)} AS BIGINT)"
+        return _raw(
+            f"concat(lpad(CAST(floor({n} / 3600) AS STRING), 2, '0'), ':', "
+            f"lpad(CAST(floor({n} % 3600 / 60) AS STRING), 2, '0'), ':', "
+            f"lpad(CAST({n} % 60 AS STRING), 2, '0'))"
+        )
+
+    if name_lower == "makedate":
+        args = _split_args(inner)
+        y, doy = _text(args[0]), _text(args[1])
+        return _raw(
+            f"(CASE WHEN ({doy}) >= 1 THEN "
+            f"date_add(make_date({y}, 1, 1), CAST({doy} AS INT) - 1) END)"
+        )
+
+    if name_lower in ("from_second", "from_millisecond", "from_microsecond"):
+        n = _text(inner)
+        fn = {
+            "from_second": f"CAST({n} AS TIMESTAMP)",
+            "from_millisecond": f"timestamp_millis(CAST({n} AS BIGINT))",
+            "from_microsecond": f"timestamp_micros(CAST({n} AS BIGINT))",
+        }[name_lower]
+        return _raw(fn)
+
+    if name_lower in (
+        "second_timestamp", "millisecond_timestamp", "microsecond_timestamp",
+    ):
+        d = f"CAST({_text(inner)} AS TIMESTAMP)"
+        fn = {
+            "second_timestamp": f"unix_seconds({d})",
+            "millisecond_timestamp": f"unix_millis({d})",
+            "microsecond_timestamp": f"unix_micros({d})",
+        }[name_lower]
+        return _raw(fn)
+
     if name_lower in _DATE_ARITH:
         unit, sign = _DATE_ARITH[name_lower]
         args = _split_args(inner)
@@ -687,6 +811,24 @@ def _rewrite_generator(name_lower: str, inner: list[Token]) -> list[Token] | Non
         )
     return None
 
+
+#: Doris ``<unit>s_diff(end, start)`` → timestampdiff unit
+_DATE_DIFF = {
+    f"{u}s_diff": u.upper()
+    for u in (
+        "year", "month", "week", "day", "hour", "minute", "second",
+        "millisecond", "microsecond",
+    )
+}
+
+_ROUND_UNITS = ("YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND")
+
+#: Doris ``<unit>_floor/<unit>_ceil`` → (unit, is_ceil)
+_DATE_ROUND = {
+    f"{u.lower()}_{k}": (u, k == "ceil")
+    for u in _ROUND_UNITS
+    for k in ("floor", "ceil")
+}
 
 #: Doris ``<unit>s_add/<unit>s_sub`` → (timestampadd unit, sign)
 _DATE_ARITH = {

@@ -97,6 +97,7 @@ _R10_ADDITIONS = [
     "sql_vector_distance_topk",
     "sql_topn_agg_weighted",
     "sql_url_mask_functions",
+    "sql_date_round_diff",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

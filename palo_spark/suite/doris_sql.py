@@ -2509,3 +2509,39 @@ _entry(
     ORDER BY doc_id
     """,
 )
+
+
+# date rounding/diff/day-number family ([docs: date-time-functions]):
+# <unit>_ceil on the origin-anchored period grid, complete-unit
+# <unit>s_diff (the oracle uses the explicit complete-months formula —
+# DuckDB's date_diff counts boundary crossings, a different contract),
+# MySQL day numbers
+_entry(
+    "sql_date_round_diff",
+    """
+    SELECT o_orderkey,
+           month_ceil(o_orderdate) AS mc,
+           to_days(o_orderdate) AS td,
+           months_diff('2002-12-31', o_orderdate) AS md,
+           days_diff('2002-12-31', o_orderdate) AS dd
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN date_trunc('month', o_orderdate) = o_orderdate
+                     THEN o_orderdate
+                     ELSE date_trunc('month', o_orderdate)
+                          + INTERVAL 1 MONTH END AS TIMESTAMP) AS mc,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                + 719528 AS BIGINT) AS td,
+           CAST(12 * (2002 - year(o_orderdate))
+                + (12 - month(o_orderdate))
+                - CASE WHEN 31 < day(o_orderdate) THEN 1 ELSE 0 END
+                AS BIGINT) AS md,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2002-12-31') AS BIGINT) AS dd
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)

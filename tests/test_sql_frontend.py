@@ -749,3 +749,40 @@ def test_url_mask_misc_string_functions(spark):
     ) == [3, 1, 0]
     assert one("SELECT bit_shift_left(1, 3) AS b") == 8
     assert one("SELECT bit_shift_right(8, 3) AS b") == 1
+
+
+def test_date_round_diff_conversion_family(spark):
+    """<unit>_floor/_ceil on the origin-anchored period grid,
+    complete-unit <unit>s_diff, convert_tz, MySQL day numbers,
+    time<->seconds, makedate, epoch conversions."""
+    import datetime as dt
+
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT hour_floor('2024-01-01 12:34:56') AS h") == dt.datetime(2024, 1, 1, 12, 0)
+    assert one("SELECT day_ceil('2024-01-01 12:34:56') AS d") == dt.datetime(2024, 1, 2)
+    assert one("SELECT day_ceil('2024-01-01 00:00:00') AS d") == dt.datetime(2024, 1, 1)
+    assert one("SELECT minute_floor('2024-01-01 12:34:56', 5) AS m") == dt.datetime(2024, 1, 1, 12, 30)
+    assert one(
+        "SELECT minute_ceil('2024-01-01 12:31:00', 15, '2024-01-01 12:00:00') AS m"
+    ) == dt.datetime(2024, 1, 1, 12, 45)
+    assert one(
+        "SELECT date_floor('2024-01-01 12:34:56', INTERVAL 5 MINUTE) AS d"
+    ) == dt.datetime(2024, 1, 1, 12, 30)
+    assert one(
+        "SELECT convert_tz('2024-01-01 12:00:00', 'UTC', 'Asia/Shanghai') AS c"
+    ) == dt.datetime(2024, 1, 1, 20, 0)
+    assert one("SELECT to_days('1970-01-01') AS t") == 719528
+    assert one("SELECT from_days(739251) AS f") == dt.date(2024, 1, 1)
+    assert one("SELECT time_to_sec('01:02:03') AS t") == 3723
+    assert one("SELECT sec_to_time(3723) AS s") == "01:02:03"
+    assert one("SELECT makedate(2024, 75) AS m") == dt.date(2024, 3, 15)
+    assert one("SELECT makedate(2024, 0) AS m") is None
+    assert one("SELECT second_timestamp('2024-01-01 00:00:00') AS s") == 1704067200
+    # complete-unit diffs (NOT boundary crossings)
+    assert one("SELECT months_diff('2024-03-15', '2024-01-10') AS m") == 2
+    assert one("SELECT months_diff('2024-02-01', '2024-01-31') AS m") == 0
+    assert one("SELECT hours_diff('2024-01-01 05:00:00', '2024-01-01 01:30:00') AS h") == 3
