@@ -684,9 +684,26 @@ class PaloSession:
                 self.tables[nm] = t
             for nm in self.tables:
                 self._refresh_view(nm)
+        #: SHOW BACKUP / SHOW RESTORE job history (label, repo) — jobs
+        #: run synchronously here, so every recorded row is FINISHED
+        self._backup_history: list[tuple[str, str]] = []
+        self._restore_history: list[tuple[str, str]] = []
         self.variables: dict[str, str] = {
             "sql_mode": "",
             "time_zone": spark.conf.get("spark.sql.session.timeZone"),
+            # mysql-client handshake variables (read via SELECT @@name)
+            "version_comment": "palo_spark",
+            "autocommit": "1",
+            "max_allowed_packet": "16777216",
+            "character_set_client": "utf8mb4",
+            "character_set_results": "utf8mb4",
+            "collation_connection": "utf8mb4_0900_bin",
+            "tx_isolation": "REPEATABLE-READ",
+            "transaction_isolation": "REPEATABLE-READ",
+            "wait_timeout": "28800",
+            "interactive_timeout": "28800",
+            "lower_case_table_names": "0",
+            "net_write_timeout": "60",
             "exec_mem_limit": "2147483648",
             "query_timeout": "300",
             "enable_sql_cache": "true" if result_cache else "false",
@@ -1091,6 +1108,7 @@ class PaloSession:
         except Exception:
             _sh.rmtree(snapdir, ignore_errors=True)  # no half snapshots
             raise
+        self._backup_history.append((label, repo))
         return None
 
     def _restore_snapshot(
@@ -1180,6 +1198,7 @@ class PaloSession:
             if displaced is not None:
                 self._refresh_rollups(dst, t)
             self._refresh_view(dst)
+        self._restore_history.append((label, repo))
         return None
 
     # ------------------------------------------------------------- DML
@@ -1507,6 +1526,151 @@ class PaloSession:
             "CatalogId long, CatalogName string, Type string, "
             "Property string",
         )
+
+    def _rewrite_client_builtins(self, text: str) -> str:
+        """``@@[session.|global.]name`` → the session variable's value
+        as a string literal; ``DATABASE()``/``SCHEMA()`` → 'default';
+        ``CONNECTION_ID()`` → 1. Applied outside single-quoted
+        literals only."""
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        for i in range(0, len(parts), 2):
+            seg = parts[i]
+            seg = re.sub(
+                r"@@(?:session\.|global\.)?(\w+)",
+                lambda m: "'"
+                + self.variables.get(m.group(1).lower(), "").replace("'", "''")
+                + "'",
+                seg,
+            )
+            seg = re.sub(
+                r"\b(?:DATABASE|SCHEMA)\s*\(\s*\)", "'default'", seg,
+                flags=re.IGNORECASE,
+            )
+            seg = re.sub(
+                r"\bCONNECTION_ID\s*\(\s*\)", "1", seg, flags=re.IGNORECASE
+            )
+            parts[i] = seg
+        return "".join(parts)
+
+    def _client_compat_df(self, stripped: str, up: str):
+        """MySQL-client / BI-tool compatibility statements ([docs:
+        sql-statements SHOW-*]): the metadata surface a connector
+        issues on connect or that an ops runbook reads. Single-node,
+        single-user engine — rows state that honestly (one process
+        row, one ALL-grant, FINISHED jobs: light schema change and
+        loads apply synchronously here, so every job the history can
+        name is terminal). Returns None for statements this layer
+        doesn't own."""
+        mk = self.spark.createDataFrame
+        if up.startswith("SHOW TABLE STATUS"):
+            return mk(
+                [(n, "OLAP", "DUP" if t.meta.keys_type == "DUPLICATE"
+                  else t.meta.keys_type, len(t.meta.rowsets))
+                 for n, t in sorted(self.tables.items())]
+                or [("", "", "", 0)],
+                "Name string, Engine string, Model string, Rowsets int",
+            ).filter("Name <> ''")
+        if up.startswith("SHOW PROCESSLIST"):
+            return mk(
+                [(1, "root", "localhost", "default", "Query", 0, "OK")],
+                "Id long, User string, Host string, Db string, "
+                "Command string, Time int, State string",
+            )
+        if up.startswith(("SHOW FRONTENDS", "SHOW BACKENDS")) or re.match(
+            r"^\s*SHOW\s+PROC\s+'/(front|back)ends'", stripped, re.IGNORECASE
+        ):
+            return self._nodes_df({})
+        if up.startswith("SHOW GRANTS"):
+            return mk(
+                [("'root'@'%'", "ALL", "*.*")],
+                "UserIdentity string, Privs string, Scope string",
+            )
+        if up.startswith("SHOW COLLATION"):
+            return mk(
+                [("utf8mb4_0900_bin", "utf8mb4", 309)],
+                "Collation string, Charset string, Id int",
+            )
+        if up.startswith(("SHOW CHARSET", "SHOW CHARACTER SET")):
+            return mk(
+                [("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_bin", 4)],
+                "Charset string, Description string, "
+                "`Default collation` string, Maxlen int",
+            )
+        if up.startswith("SHOW ENGINES"):
+            return mk(
+                [("Olap engine", "YES", "Default storage engine")],
+                "Engine string, Support string, Comment string",
+            )
+        if up.startswith("SHOW LOAD"):
+            rows = [
+                (i, lbl, n, "FINISHED")
+                for i, (n, lbl) in enumerate(
+                    (n, lbl)
+                    for n, t in sorted(self.tables.items())
+                    for lbl in t.meta.labels
+                )
+            ]
+            return mk(
+                rows or [(0, "", "", "")],
+                "JobId long, Label string, TableName string, State string",
+            ).filter("Label <> ''")
+        if up.startswith("SHOW BACKUP"):
+            return mk(
+                [(l, r, "FINISHED") for l, r in self._backup_history]
+                or [("", "", "")],
+                "SnapshotName string, Repository string, State string",
+            ).filter("SnapshotName <> ''")
+        if up.startswith("SHOW RESTORE"):
+            return mk(
+                [(l, r, "FINISHED") for l, r in self._restore_history]
+                or [("", "", "")],
+                "Label string, Repository string, State string",
+            ).filter("Label <> ''")
+        if re.match(r"^\s*SHOW\s+ALTER\s+TABLE\s+COLUMN", stripped,
+                    re.IGNORECASE):
+            rows = []
+            jid = 0
+            for n, t in sorted(self.tables.items()):
+                m = t.meta
+                for a in m.schema_adds:
+                    jid += 1
+                    rows.append((jid, n, f"ADD COLUMN {a['col']}", "FINISHED"))
+                for c in m.schema_drops:
+                    jid += 1
+                    rows.append((jid, n, f"DROP COLUMN {c}", "FINISHED"))
+                for rn in m.schema_renames:
+                    jid += 1
+                    rows.append(
+                        (jid, n, f"RENAME {rn['from']} {rn['to']}", "FINISHED")
+                    )
+            return mk(
+                rows or [(0, "", "", "")],
+                "JobId long, TableName string, Msg string, State string",
+            ).filter("TableName <> ''")
+        if up.startswith("SHOW DYNAMIC PARTITION TABLES"):
+            rows = [
+                (n, "true", -int(t.meta.dynamic_partition_retention))
+                for n, t in sorted(self.tables.items())
+                if getattr(t.meta, "dynamic_partition_retention", None)
+            ]
+            return mk(
+                rows or [("", "", 0)],
+                "TableName string, Enable string, Start int",
+            ).filter("TableName <> ''")
+        am = re.match(
+            r"^\s*ADMIN\s+SHOW\s+REPLICA\s+STATUS\s+FROM\s+`?(\w+)`?",
+            stripped, re.IGNORECASE,
+        )
+        if am:
+            t = self._table(am.group(1))
+            n = t.meta.buckets or 1
+            return mk(
+                [(i + 1, 1, "local-1", t.meta.mutations, "OK")
+                 for i in range(n)],
+                "TabletId long, ReplicaId long, Backend string, "
+                "Version long, Status string",
+            )
+        return None
 
     def _nodes_df(self, props: dict):
         """``frontends()`` / ``backends()`` metadata TVFs: in local
@@ -2930,6 +3094,13 @@ class PaloSession:
         # VARIANT subscripts likewise rewrite for every statement kind
         # (view bodies, CTAS, INSERT...SELECT — not just queries)
         stripped = self._rewrite_variant_subscripts(stripped)
+        # mysql-client builtins: SELECT @@version_comment, DATABASE(),
+        # CONNECTION_ID() — connectors issue these on handshake
+        if "@@" in stripped or re.search(
+            r"\b(?:DATABASE|SCHEMA|CONNECTION_ID)\s*\(\s*\)", stripped,
+            re.IGNORECASE,
+        ):
+            stripped = self._rewrite_client_builtins(stripped)
         # Doris table-valued functions (local/file/s3/hdfs/numbers, plus
         # the session-backed jobs()/tasks() metadata TVFs) in FROM
         # position — statement-wide so `INSERT INTO t SELECT ... FROM
@@ -4087,6 +4258,9 @@ class PaloSession:
             return self.spark.createDataFrame(
                 [(p,) for p in t.partitions()] or [("",)], "partition_name string"
             ).filter("partition_name <> ''")
+        compat = self._client_compat_df(stripped, up)
+        if compat is not None:
+            return compat
         if up.startswith("SHOW TABLES"):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.tables)] or [("",)], "table_name string"

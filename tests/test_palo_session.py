@@ -2337,3 +2337,59 @@ def test_restore_in_place_disarms_mv_rewrite(spark):
     rows = sorted((r.k, r.s) for r in ps.sql(q).collect())
     assert ps.last_mv_rewrite is None
     assert rows == [(1, 10), (2, 20)]
+
+
+def test_mysql_client_compat_surface(ps):
+    """The metadata statements a mysql client / BI connector issues on
+    connect ([docs: sql-statements SHOW-*]) all answer; @@variables,
+    DATABASE(), CONNECTION_ID() rewrite to session values."""
+    ps.sql(
+        "CREATE TABLE cc (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO cc VALUES (1, 10)")
+    ps.sql("ALTER TABLE cc ADD COLUMN w INT DEFAULT '0'")
+    st = ps.sql("SHOW TABLE STATUS").collect()
+    assert [(r["Name"], r["Engine"]) for r in st] == [("cc", "OLAP")]
+    assert ps.sql("SHOW PROCESSLIST").collect()[0]["User"] == "root"
+    assert ps.sql("SHOW FRONTENDS").collect()[0]["State"] == "Alive"
+    assert ps.sql("SHOW PROC '/backends'").collect()[0]["State"] == "Alive"
+    assert "ALL" in ps.sql("SHOW GRANTS").collect()[0]["Privs"]
+    alter = ps.sql("SHOW ALTER TABLE COLUMN").collect()
+    assert [(r["TableName"], r["Msg"], r["State"]) for r in alter] == [
+        ("cc", "ADD COLUMN w", "FINISHED")
+    ]
+    reps = ps.sql("ADMIN SHOW REPLICA STATUS FROM cc").collect()
+    assert len(reps) == 2 and all(r["Status"] == "OK" for r in reps)
+    assert ps.sql("SELECT @@version_comment").collect()[0][0] == "palo_spark"
+    assert ps.sql("SELECT @@session.autocommit AS a").collect()[0][0] == "1"
+    assert ps.sql("SELECT DATABASE()").collect()[0][0] == "default"
+    assert ps.sql("SELECT CONNECTION_ID()").collect()[0][0] == 1
+    # a string literal containing @@ passes through untouched
+    assert ps.sql("SELECT '@@not_a_var' AS s").collect()[0][0] == "@@not_a_var"
+    assert ps.sql("SHOW ENGINES").collect()[0]["Support"] == "YES"
+    for empty in ("SHOW LOAD", "SHOW BACKUP", "SHOW RESTORE",
+                  "SHOW DYNAMIC PARTITION TABLES"):
+        assert ps.sql(empty).collect() == []
+
+
+def test_show_load_and_backup_history(ps, tmp_path):
+    ps.sql(
+        "CREATE TABLE lh (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.tables["lh"].insert(
+        ps.spark.createDataFrame([(1, 2)], "k long, v int"),
+        label="load_one",
+    )
+    rows = ps.sql("SHOW LOAD").collect()
+    assert [(r["Label"], r["TableName"], r["State"]) for r in rows] == [
+        ("load_one", "lh", "FINISHED")
+    ]
+    ps.sql(f"CREATE REPOSITORY bkrepo WITH LOCATION '{tmp_path}/repo'")
+    ps.sql("BACKUP SNAPSHOT snap1 TO bkrepo ON (lh)")
+    assert [(r["SnapshotName"], r["State"]) for r in
+            ps.sql("SHOW BACKUP").collect()] == [("snap1", "FINISHED")]
+    ps.sql("RESTORE SNAPSHOT snap1 FROM bkrepo ON (lh AS lh2)")
+    assert [(r["Label"], r["State"]) for r in
+            ps.sql("SHOW RESTORE").collect()] == [("snap1", "FINISHED")]
