@@ -246,6 +246,12 @@ _RENAME = {
     "ends_with": "endswith",
     "bit_shift_left": "shiftleft",
     "bit_shift_right": "shiftright",
+    # arrays/maps — 1-based and shape-compatible with Spark's natives
+    "array_slice": "slice",
+    "array_concat": "concat",
+    "array_zip": "arrays_zip",
+    "array_shuffle": "shuffle",
+    "map_size": "size",
 }
 
 #: functions whose LAST string-literal arg is a MySQL %-pattern
@@ -609,6 +615,73 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         args = _split_args(inner)
         s, arr = _text(args[0]), _text(args[1])
         return _raw(f"transform({arr}, __p -> locate(__p, {s}))")
+
+    if name_lower in (
+        "array_enumerate", "array_cum_sum", "array_pushfront",
+        "array_pushback", "array_popfront", "array_popback",
+        "array_with_constant", "array_first", "array_last",
+        "array_first_index", "array_last_index", "array_range",
+        "countequal", "array_apply", "map_contains_value",
+    ):
+        # remaining Doris array/map surface ([docs: array-functions]);
+        # all 1-based, all native compositions
+        args = _split_args(inner)
+        texts = [_text(a) for a in args]
+        a = texts[0]
+        if name_lower == "array_enumerate":
+            return _raw(f"sequence(1, size({a}))")
+        if name_lower == "array_cum_sum":
+            # init = first element keeps the element type (int arrays
+            # stay integral, double arrays stay double). DECIMAL
+            # elements fail loud at analysis (decimal addition widens
+            # the merge type, which Spark's aggregate HOF rejects) —
+            # cast the array to DOUBLE first for those.
+            return _raw(
+                f"transform(sequence(1, size({a})), __i -> "
+                f"aggregate(slice({a}, 2, __i - 1), element_at({a}, 1), "
+                f"(__s, __y) -> __s + __y))"
+            )
+        if name_lower == "array_pushfront":
+            return _raw(f"concat(array({texts[1]}), {a})")
+        if name_lower == "array_pushback":
+            return _raw(f"concat({a}, array({texts[1]}))")
+        if name_lower == "array_popfront":
+            return _raw(f"slice({a}, 2, greatest(size({a}) - 1, 0))")
+        if name_lower == "array_popback":
+            return _raw(f"slice({a}, 1, greatest(size({a}) - 1, 0))")
+        if name_lower == "array_with_constant":
+            return _raw(f"array_repeat({texts[1]}, CAST({a} AS INT))")
+        if name_lower == "array_first":
+            return _raw(f"get(filter({texts[1]}, {a}), 0)")
+        if name_lower == "array_last":
+            return _raw(f"get(reverse(filter({texts[1]}, {a})), 0)")
+        if name_lower == "array_first_index":
+            # 1-based index of the first match, 0 when none (Spark
+            # array_position's exact contract over the bool transform)
+            return _raw(f"array_position(transform({texts[1]}, {a}), true)")
+        if name_lower == "array_last_index":
+            arr = texts[1]
+            p = f"array_position(reverse(transform({arr}, {a})), true)"
+            return _raw(
+                f"(CASE WHEN {p} = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE size({arr}) + 1 - {p} END)"
+            )
+        if name_lower == "array_range":
+            if len(texts) == 1:
+                return _raw(f"sequence(0, CAST({a} AS INT) - 1)")
+            if len(texts) == 2:
+                return _raw(f"sequence({a}, ({texts[1]}) - 1)")
+            # end-exclusive with step: last value <= end-1
+            return _raw(f"sequence({a}, ({texts[1]}) - 1, {texts[2]})")
+        if name_lower == "countequal":
+            return _raw(f"size(filter({a}, __x -> __x <=> {texts[1]}))")
+        if name_lower == "map_contains_value":
+            return _raw(f"array_contains(map_values({a}), {texts[1]})")
+        # array_apply(arr, 'op', v): keep elements where `x op v`
+        op = texts[1].strip("'\"")
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"array_apply: unsupported operator {op!r}")
+        return _raw(f"filter({a}, __x -> __x {op} {texts[2]})")
 
     if name_lower == "avg_weighted":
         args = _split_args(inner)

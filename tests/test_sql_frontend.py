@@ -786,3 +786,32 @@ def test_date_round_diff_conversion_family(spark):
     assert one("SELECT months_diff('2024-03-15', '2024-01-10') AS m") == 2
     assert one("SELECT months_diff('2024-02-01', '2024-01-31') AS m") == 0
     assert one("SELECT hours_diff('2024-01-01 05:00:00', '2024-01-01 01:30:00') AS h") == 3
+
+
+def test_array_map_surface_additions(spark):
+    """array_enumerate/cum_sum/slice/concat/zip/push/pop/
+    with_constant/first/last(+_index)/range/countequal/apply and the
+    map_* completions — all 1-based, all native compositions."""
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT array_enumerate(ARRAY('a','b')) AS e") == [1, 2]
+    assert one("SELECT array_cum_sum(ARRAY(1,2,3)) AS c") == [1, 3, 6]
+    assert one("SELECT array_slice(ARRAY(1,2,3,4), 2, 2) AS s") == [2, 3]
+    assert one("SELECT array_pushfront(ARRAY(2,3), 1) AS p") == [1, 2, 3]
+    assert one("SELECT array_popfront(ARRAY(1)) AS p") == []
+    assert one("SELECT array_popback(ARRAY(1,2,3)) AS p") == [1, 2]
+    assert one("SELECT array_with_constant(3, 'x') AS w") == ["x", "x", "x"]
+    assert one("SELECT array_first(x -> x > 1, ARRAY(1,2,3)) AS f") == 2
+    assert one("SELECT array_first(x -> x > 9, ARRAY(1,2,3)) AS f") is None
+    assert one("SELECT array_last(x -> x > 1, ARRAY(1,2,3)) AS l") == 3
+    assert one("SELECT array_first_index(x -> x > 1, ARRAY(1,2,3)) AS f") == 2
+    assert one("SELECT array_last_index(x -> x > 9, ARRAY(1,2,3)) AS l") == 0
+    assert one("SELECT array_range(5) AS r") == [0, 1, 2, 3, 4]
+    assert one("SELECT array_range(1, 10, 2) AS r") == [1, 3, 5, 7, 9]
+    assert one("SELECT countequal(ARRAY(1,2,2,3), 2) AS c") == 2
+    assert one("SELECT array_apply(ARRAY(1,2,3), '>=', 2) AS a") == [2, 3]
+    assert one("SELECT map_contains_value(map('a',1), 1) AS c") is True
+    assert one("SELECT map_size(map('a',1)) AS s") == 1
