@@ -431,6 +431,27 @@ _OUTFILE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: Doris CREATE ALIAS FUNCTION ([docs: sql-statements
+#: CREATE-FUNCTION]): a SQL macro — name(params) expands to the body
+#: with arguments substituted, before translation
+_CREATE_ALIAS_FN_RE = re.compile(
+    r"^\s*CREATE\s+(?:GLOBAL\s+)?ALIAS\s+FUNCTION\s+`?(?P<name>\w+)`?\s*"
+    r"\((?P<types>[^)]*)\)\s+WITH\s+PARAMETER\s*\((?P<params>[^)]*)\)\s+"
+    r"AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_FN_RE = re.compile(
+    r"^\s*DROP\s+(?:GLOBAL\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s*(?:\([^)]*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_FN_RE = re.compile(
+    r"^\s*SHOW\s+(?:FULL\s+)?(?:GLOBAL\s+)?FUNCTIONS\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _CREATE_VIEW_RE = re.compile(
     r"^\s*(?:CREATE|ALTER)\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"`?(?P<name>\w+)`?\s+AS\s+(?P<body>SELECT\s+.+)$",
@@ -684,6 +705,8 @@ class PaloSession:
                 self.tables[nm] = t
             for nm in self.tables:
                 self._refresh_view(nm)
+        #: CREATE ALIAS FUNCTION macros: name -> (params, body text)
+        self.alias_functions: dict[str, tuple[list[str], str]] = {}
         #: SHOW BACKUP / SHOW RESTORE job history (label, repo) — jobs
         #: run synchronously here, so every recorded row is FINISHED
         self._backup_history: list[tuple[str, str]] = []
@@ -1526,6 +1549,87 @@ class PaloSession:
             "CatalogId long, CatalogName string, Type string, "
             "Property string",
         )
+
+    def _expand_alias_functions(self, text: str, depth: int = 0) -> str:
+        """Expand ``CREATE ALIAS FUNCTION`` macro calls: ``name(args)``
+        becomes the stored body with each parameter replaced by its
+        (parenthesized) argument. Textual and pre-translate, exactly
+        the upstream contract; nested/recursive aliases expand up to a
+        bounded depth, cycles fail loud."""
+        if depth > 8:
+            raise ValueError(
+                "alias function expansion exceeded depth 8 (cycle?)"
+            )
+
+        def split_top(s: str) -> list[str]:
+            parts, buf, d, q = [], [], 0, False
+            for ch in s:
+                if q:
+                    buf.append(ch)
+                    if ch == "'":
+                        q = False
+                    continue
+                if ch == "'":
+                    q = True
+                elif ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    parts.append("".join(buf))
+                    buf = []
+                    continue
+                buf.append(ch)
+            if buf or parts:
+                parts.append("".join(buf))
+            return parts
+
+        changed = False
+        for name, (params, body) in self.alias_functions.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                m = pat.search(text, pos)
+                if m is None:
+                    break
+                if text.count("'", 0, m.start()) % 2 == 1:
+                    pos = m.end()  # inside a string literal
+                    continue
+                # balanced-paren scan for the closing argument paren
+                i, d, q = m.end(), 1, False
+                while i < len(text) and d:
+                    ch = text[i]
+                    if q:
+                        q = ch != "'"
+                    elif ch == "'":
+                        q = True
+                    elif ch == "(":
+                        d += 1
+                    elif ch == ")":
+                        d -= 1
+                    i += 1
+                if d:
+                    raise ValueError(f"unbalanced call of alias {name!r}")
+                args = [a.strip() for a in split_top(text[m.end(): i - 1])]
+                args = [a for a in args if a] or []
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"alias function {name!r} expects {len(params)} "
+                        f"arguments, got {len(args)}"
+                    )
+                # substitute params outside the body's string literals
+                bparts = re.split(r"('(?:[^']|'')*')", body)
+                for bi in range(0, len(bparts), 2):
+                    for p, a in zip(params, args):
+                        bparts[bi] = re.sub(
+                            rf"\b{re.escape(p)}\b", f"({a})", bparts[bi]
+                        )
+                text = text[: m.start()] + "(" + "".join(bparts) + ")" + text[i:]
+                changed = True
+                pos = m.start() + 1
+        if changed:
+            return self._expand_alias_functions(text, depth + 1)
+        return text
 
     def _rewrite_client_builtins(self, text: str) -> str:
         """``@@[session.|global.]name`` → the session variable's value
@@ -3101,6 +3205,13 @@ class PaloSession:
             re.IGNORECASE,
         ):
             stripped = self._rewrite_client_builtins(stripped)
+        # ALIAS FUNCTION macros expand before translation (but never
+        # inside their own DDL statements)
+        if self.alias_functions and not re.match(
+            r"^\s*(?:CREATE|DROP)\s+(?:GLOBAL\s+)?(?:ALIAS\s+)?FUNCTION",
+            stripped, re.IGNORECASE,
+        ):
+            stripped = self._expand_alias_functions(stripped)
         # Doris table-valued functions (local/file/s3/hdfs/numbers, plus
         # the session-backed jobs()/tasks() metadata TVFs) in FROM
         # position — statement-wide so `INSERT INTO t SELECT ... FROM
@@ -3650,6 +3761,47 @@ class PaloSession:
             return self.spark.createDataFrame(
                 rows, "variable_name string, value string"
             )
+        afm = _CREATE_ALIAS_FN_RE.match(stripped)
+        if afm:
+            name = afm.group("name").lower()
+            params = [
+                p.strip().strip("`")
+                for p in afm.group("params").split(",")
+                if p.strip()
+            ]
+            ntypes = len(
+                [t for t in afm.group("types").split(",") if t.strip()]
+            )
+            if ntypes != len(params):
+                raise ValueError(
+                    f"alias function {name!r}: {ntypes} argument types "
+                    f"but {len(params)} parameters"
+                )
+            body = afm.group("body").strip().rstrip(";").strip()
+            for p in params:
+                if not re.search(rf"\b{re.escape(p)}\b", body):
+                    raise ValueError(
+                        f"alias function {name!r}: parameter {p!r} never "
+                        f"used in the body"
+                    )
+            self.alias_functions[name] = (params, body)
+            return None
+        dfm = _DROP_FN_RE.match(stripped)
+        if dfm and (
+            dfm.group("name").lower() in self.alias_functions
+            or "IF EXISTS" in stripped.upper()
+        ):
+            self.alias_functions.pop(dfm.group("name").lower(), None)
+            return None
+        if _SHOW_FN_RE.match(stripped):
+            return self.spark.createDataFrame(
+                [
+                    (n, f"({', '.join(ps)}) -> {b}")
+                    for n, (ps, b) in sorted(self.alias_functions.items())
+                ]
+                or [("", "")],
+                "Signature string, Body string",
+            ).filter("Signature <> ''")
         cim = _CREATE_IDX_RE.match(stripped)
         if cim:
             name, col = cim.group("name").lower(), cim.group("col")

@@ -98,6 +98,7 @@ _R10_ADDITIONS = [
     "sql_topn_agg_weighted",
     "sql_url_mask_functions",
     "sql_date_round_diff",
+    "sql_alias_function",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2545,3 +2545,35 @@ _entry(
     ORDER BY o_orderkey
     """,
 )
+
+
+def _sql_alias_function(spark, sf_dir):
+    """CREATE ALIAS FUNCTION through the session ([docs:
+    CREATE-FUNCTION]): a SQL macro expanded before translation; the
+    oracle inlines the same expression by hand."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP FUNCTION IF EXISTS price_band")
+    ps.sql(
+        "CREATE ALIAS FUNCTION price_band(DOUBLE) WITH PARAMETER (p) AS "
+        "CASE WHEN p >= 200000 THEN 'high' WHEN p >= 100000 THEN 'mid' "
+        "ELSE 'low' END"
+    )
+    return ps.sql(
+        "SELECT price_band(o_totalprice) AS band, COUNT(*) AS n "
+        "FROM orders GROUP BY price_band(o_totalprice) ORDER BY band"
+    )
+
+
+QUERIES["sql_alias_function"] = _sql_alias_function
+ORACLE["sql_alias_function"] = """
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY band
+"""

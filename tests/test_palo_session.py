@@ -2393,3 +2393,40 @@ def test_show_load_and_backup_history(ps, tmp_path):
     ps.sql("RESTORE SNAPSHOT snap1 FROM bkrepo ON (lh AS lh2)")
     assert [(r["Label"], r["State"]) for r in
             ps.sql("SHOW RESTORE").collect()] == [("snap1", "FINISHED")]
+
+
+def test_alias_functions(ps):
+    """CREATE ALIAS FUNCTION ([docs: CREATE-FUNCTION]): SQL macros
+    expanded pre-translate with parenthesized argument substitution;
+    nested aliases compose, cycles fail loud, DROP removes."""
+    ps.sql(
+        "CREATE TABLE af (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO af VALUES (1, 10), (2, 25), (3, 40)")
+    ps.sql(
+        "CREATE ALIAS FUNCTION band(INT) WITH PARAMETER (x) AS "
+        "CASE WHEN x >= 30 THEN 'hi' WHEN x >= 20 THEN 'mid' "
+        "ELSE 'lo' END"
+    )
+    got = [r[1] for r in ps.sql("SELECT k, band(v) AS b FROM af ORDER BY k").collect()]
+    assert got == ["lo", "mid", "hi"]
+    # multi-arg; substituted args are parenthesized (precedence-safe)
+    ps.sql("CREATE ALIAS FUNCTION dbl(INT) WITH PARAMETER (z) AS z * 2")
+    assert ps.sql("SELECT dbl(1 + 2) AS d").collect()[0][0] == 6
+    # nested alias expansion
+    ps.sql("CREATE ALIAS FUNCTION band2(INT) WITH PARAMETER (y) AS band(y + 1)")
+    assert ps.sql("SELECT band2(29) AS b").collect()[0][0] == "hi"
+    # string literals never expand
+    assert ps.sql("SELECT 'dbl(3)' AS s").collect()[0][0] == "dbl(3)"
+    assert len(ps.sql("SHOW FUNCTIONS").collect()) == 3
+    ps.sql("DROP FUNCTION band2")
+    assert len(ps.sql("SHOW FUNCTIONS").collect()) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="never used"):
+        ps.sql("CREATE ALIAS FUNCTION bad(INT) WITH PARAMETER (q) AS 1 + 1")
+    ps.sql("CREATE ALIAS FUNCTION c1(INT) WITH PARAMETER (x) AS c2(x)")
+    ps.sql("CREATE ALIAS FUNCTION c2(INT) WITH PARAMETER (x) AS c1(x)")
+    with _pt.raises(ValueError, match="depth"):
+        ps.sql("SELECT c1(1) AS c").collect()
