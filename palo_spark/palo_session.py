@@ -4215,20 +4215,33 @@ class PaloSession:
             self._refresh_view(m.group("name").lower())
             return None
         if up.startswith("EXPLAIN "):
-            # Doris EXPLAIN: return the physical plan as rows. The query
-            # goes through the same dialect translation + MV selection as
-            # execution, so the plan shown is the plan that would run —
-            # with the result cache bypassed (a cached answer would
-            # EXPLAIN as a local relation, not the real plan).
+            # Doris EXPLAIN [VERBOSE|SHAPE PLAN|GRAPH]: return the
+            # physical plan as rows. The query goes through the same
+            # dialect translation + MV selection as execution, so the
+            # plan shown is the plan that would run — with the result
+            # cache bypassed (a cached answer would EXPLAIN as a local
+            # relation, not the real plan). VERBOSE maps to Spark's
+            # extended mode (all four plan phases); SHAPE PLAN / GRAPH
+            # to the formatted tree.
+            tail = stripped[len("EXPLAIN "):].lstrip()
+            mode = "formatted"
+            tm = re.match(
+                r"(?is)^(VERBOSE|SHAPE\s+PLAN|GRAPH|PHYSICAL\s+PLAN)\s+",
+                tail,
+            )
+            if tm:
+                tail = tail[tm.end():]
+                if tm.group(1).upper() == "VERBOSE":
+                    mode = "extended"
             saved = self.result_cache_enabled
             self.result_cache_enabled = False
             try:
-                df = self.sql(stripped[len("EXPLAIN "):])
+                df = self.sql(tail)
             finally:
                 self.result_cache_enabled = saved
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+                    mode
                 )
             )
             return self.spark.createDataFrame(

@@ -2430,3 +2430,15 @@ def test_alias_functions(ps):
     ps.sql("CREATE ALIAS FUNCTION c2(INT) WITH PARAMETER (x) AS c1(x)")
     with _pt.raises(ValueError, match="depth"):
         ps.sql("SELECT c1(1) AS c").collect()
+
+
+def test_explain_modes(ps):
+    ps.sql(
+        "CREATE TABLE exm (`k` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    base = ps.sql("EXPLAIN SELECT * FROM exm").collect()
+    verbose = ps.sql("EXPLAIN VERBOSE SELECT * FROM exm").collect()
+    shape = ps.sql("EXPLAIN SHAPE PLAN SELECT * FROM exm").collect()
+    assert base and shape and len(verbose) > len(base)
+    assert any("Physical Plan" in r[0] for r in base)
