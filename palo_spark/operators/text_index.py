@@ -397,14 +397,16 @@ def build_gram_index(
     ).write.mode("overwrite").parquet(path + "/_palo_index_meta")
 
 
-def _posting_for(spark, index_path: str, tokens: list[str]):
+def _posting_for(spark, index_path: str, tokens: list[str], meta=None):
     """Posting rows for exactly ``tokens`` — reads only the bucket
     partitions the probes hash to (the bloom-skip analog). The schema
     comes from the index meta, never inference: an empty index (built
-    over a fresh or truncated table) has zero part-files."""
-    import pyarrow.parquet as pq
+    over a fresh or truncated table) has zero part-files. Pass ``meta``
+    when the caller already read it (one metadata read per probe)."""
+    if meta is None:
+        import pyarrow.parquet as pq
 
-    meta = pq.read_table(index_path + "/_palo_index_meta").to_pylist()[0]
+        meta = pq.read_table(index_path + "/_palo_index_meta").to_pylist()[0]
     bs = _query_buckets(spark, tokens, meta["buckets"])
     id_type = meta.get("id_type") or "bigint"
     return (
@@ -429,7 +431,7 @@ def like_candidate_ids(spark, index_path: str, needle: str) -> DataFrame:
         )
     grams = needle_grams(needle, n)
     return (
-        _posting_for(spark, index_path, grams)
+        _posting_for(spark, index_path, grams, meta)
         .groupBy("doc_id")
         .agg(F.countDistinct("token").alias("__ng"))
         .filter(F.col("__ng") == len(grams))

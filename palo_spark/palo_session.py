@@ -470,7 +470,8 @@ _ADD_ROLLUP_RE = re.compile(
 )
 
 _SET_VAR_RE = re.compile(
-    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<name>\w+)\s*=\s*"
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+|@@(?:session\.|global\.)?)?"
+    r"(?P<name>\w+)\s*=\s*"
     r"(?P<val>'[^']*'|\"[^\"]*\"|\S+)\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -513,9 +514,11 @@ _LIKE_PRED_RE = re.compile(
     r"`?(?P<col>\w+)`?\s+LIKE\s+'(?P<pat>[^']*)'", re.IGNORECASE
 )
 
-#: equality against a quoted-string or numeric literal (BITMAP route)
+#: equality against a quoted-string or numeric literal (BITMAP route);
+#: the string form consumes doubled '' escapes so a literal containing
+#: a quote can never be truncated mid-splice
 _EQ_PRED_RE = re.compile(
-    r"`?(?P<col>\w+)`?\s*=\s*(?P<lit>'[^']*'|\"[^\"]*\"|-?\d+)"
+    r"`?(?P<col>\w+)`?\s*=\s*(?P<lit>'[^']*(?:''[^']*)*'|\"[^\"]*\"|-?\d+)"
 )
 
 #: Doris TABLESAMPLE ([docs: SELECT]) — `FROM t TABLESAMPLE(n PERCENT |
@@ -1617,13 +1620,21 @@ class PaloSession:
                         f"alias function {name!r} expects {len(params)} "
                         f"arguments, got {len(args)}"
                     )
-                # substitute params outside the body's string literals
+                # substitute params outside the body's string literals —
+                # SIMULTANEOUSLY (one alternation pass, so an argument
+                # that happens to contain another parameter's name is
+                # never re-substituted) and via a lambda (argument text
+                # must never be parsed as a regex replacement template:
+                # backslashes / \1 in a literal argument are data)
+                sub = dict(zip(params, args))
+                alt = re.compile(
+                    r"\b(" + "|".join(re.escape(p) for p in params) + r")\b"
+                )
                 bparts = re.split(r"('(?:[^']|'')*')", body)
                 for bi in range(0, len(bparts), 2):
-                    for p, a in zip(params, args):
-                        bparts[bi] = re.sub(
-                            rf"\b{re.escape(p)}\b", f"({a})", bparts[bi]
-                        )
+                    bparts[bi] = alt.sub(
+                        lambda mm: "(" + sub[mm.group(1)] + ")", bparts[bi]
+                    )
                 text = text[: m.start()] + "(" + "".join(bparts) + ")" + text[i:]
                 changed = True
                 pos = m.start() + 1
@@ -2751,6 +2762,13 @@ class PaloSession:
         preds = list(_MATCH_PRED_RE.finditer(text))
         if len(preds) != 1:
             return None
+        # same single-table contract as _single_indexed_pred: a JOIN
+        # (self-joins included) would leave the spliced unqualified key
+        # column ambiguous
+        if re.search(r"\bJOIN\b", text, re.IGNORECASE) or re.search(
+            r"\bFROM\s+`?\w+`?\s*(?:\w+\s*)?,", text, re.IGNORECASE
+        ):
+            return None
         tbls = set(m.group(1).lower() for m in _FROM_TBL_RE.finditer(text))
         if len(tbls) != 1:
             return None
@@ -2810,6 +2828,18 @@ class PaloSession:
             p for p in pred_re.finditer(text) if p.start() >= wm.start()
         ]
         if len(preds) != 1:
+            return None
+        # a NOT directly before the predicate would bind OUTSIDE the
+        # spliced conjunct — (NOT P) AND Q, not NOT (P AND Q) — so the
+        # route must refuse the negated form
+        if re.search(r"\bNOT\s*$", text[: preds[0].start()], re.IGNORECASE):
+            return None
+        # single-table means truly single-table: a JOIN (even a
+        # self-join, where the FROM-name set still has size 1) would
+        # make the spliced unqualified key column ambiguous
+        if re.search(r"\bJOIN\b", text, re.IGNORECASE) or re.search(
+            r"\bFROM\s+`?\w+`?\s*(?:\w+\s*)?,", text, re.IGNORECASE
+        ):
             return None
         tbls = set(m.group(1).lower() for m in _FROM_TBL_RE.finditer(text))
         if len(tbls) != 1:
@@ -2891,6 +2921,8 @@ class PaloSession:
             if ctype not in ("string", "varchar", "char", "text", "date"):
                 return None
             probe = lit[1:-1]
+            if lit.startswith("'"):
+                probe = probe.replace("''", "'")
             if ctype == "date" and not re.fullmatch(
                 r"\d{4}-\d{2}-\d{2}", probe
             ):
@@ -3199,10 +3231,16 @@ class PaloSession:
         # (view bodies, CTAS, INSERT...SELECT — not just queries)
         stripped = self._rewrite_variant_subscripts(stripped)
         # mysql-client builtins: SELECT @@version_comment, DATABASE(),
-        # CONNECTION_ID() — connectors issue these on handshake
-        if "@@" in stripped or re.search(
-            r"\b(?:DATABASE|SCHEMA|CONNECTION_ID)\s*\(\s*\)", stripped,
-            re.IGNORECASE,
+        # CONNECTION_ID() — connectors issue these on handshake. Never
+        # on SET statements: `SET @@autocommit = 1` is an ASSIGNMENT
+        # (the SET handler strips the @@ prefix itself); rewriting its
+        # left side to a literal would garble it.
+        if not re.match(r"^\s*SET\b", stripped, re.IGNORECASE) and (
+            "@@" in stripped
+            or re.search(
+                r"\b(?:DATABASE|SCHEMA|CONNECTION_ID)\s*\(\s*\)", stripped,
+                re.IGNORECASE,
+            )
         ):
             stripped = self._rewrite_client_builtins(stripped)
         # ALIAS FUNCTION macros expand before translation (but never
@@ -3231,8 +3269,17 @@ class PaloSession:
                     "frontends": self._nodes_df, "backends": self._nodes_df,
                 },
             )
-        if _TABLESAMPLE_RE.search(stripped):
+        if re.search(r"\bTABLESAMPLE\b", stripped, re.IGNORECASE):
             stripped = self._rewrite_tablesample(stripped)
+            if re.search(r"\bTABLESAMPLE\b", stripped, re.IGNORECASE):
+                # a clause the rewrite could not claim (e.g. on a JOIN
+                # side) would silently run Spark's NON-deterministic
+                # row sampling — refuse instead of breaking the
+                # documented reproducibility contract
+                raise ValueError(
+                    "TABLESAMPLE is supported directly after FROM "
+                    "<table> only"
+                )
         up = stripped.upper()
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)

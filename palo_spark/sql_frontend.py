@@ -629,15 +629,22 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         texts = [_text(a) for a in args]
         a = texts[0]
         if name_lower == "array_enumerate":
-            return _raw(f"sequence(1, size({a}))")
+            # Spark's sequence(a, b) counts DOWN when b < a, so the
+            # empty-array case must clamp-and-slice to get []
+            return _raw(
+                f"slice(sequence(1, greatest(size({a}), 1)), 1, size({a}))"
+            )
         if name_lower == "array_cum_sum":
             # init = first element keeps the element type (int arrays
             # stay integral, double arrays stay double). DECIMAL
             # elements fail loud at analysis (decimal addition widens
             # the merge type, which Spark's aggregate HOF rejects) —
-            # cast the array to DOUBLE first for those.
+            # cast the array to DOUBLE first for those. The clamped
+            # index sequence keeps empty arrays empty (sequence would
+            # count down).
             return _raw(
-                f"transform(sequence(1, size({a})), __i -> "
+                f"transform(slice(sequence(1, greatest(size({a}), 1)), 1, "
+                f"size({a})), __i -> "
                 f"aggregate(slice({a}, 2, __i - 1), element_at({a}, 1), "
                 f"(__s, __y) -> __s + __y))"
             )
@@ -667,12 +674,22 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
                 f"ELSE size({arr}) + 1 - {p} END)"
             )
         if name_lower == "array_range":
+            # end-exclusive; empty when end <= start (Spark's sequence
+            # would count DOWN there, so clamp the stop and slice to
+            # the true element count)
             if len(texts) == 1:
-                return _raw(f"sequence(0, CAST({a} AS INT) - 1)")
-            if len(texts) == 2:
-                return _raw(f"sequence({a}, ({texts[1]}) - 1)")
-            # end-exclusive with step: last value <= end-1
-            return _raw(f"sequence({a}, ({texts[1]}) - 1, {texts[2]})")
+                s, e, st = "0", f"CAST({a} AS INT)", "1"
+            elif len(texts) == 2:
+                s, e, st = a, texts[1], "1"
+            else:
+                s, e, st = a, texts[1], texts[2]
+            n = (
+                f"greatest(CAST(ceil((({e}) - ({s})) / ({st})) AS INT), 0)"
+            )
+            return _raw(
+                f"slice(sequence({s}, greatest(({e}) - 1, {s}), {st}), "
+                f"1, {n})"
+            )
         if name_lower == "countequal":
             return _raw(f"size(filter({a}, __x -> __x <=> {texts[1]}))")
         if name_lower == "map_contains_value":

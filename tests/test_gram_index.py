@@ -253,3 +253,46 @@ def test_ngram_index_over_unique_merge_view(ps):
         "SELECT id FROM udoc WHERE `text` LIKE '%blerg%'"
     ).collect()]
     assert got == [1] and ps.last_like_indexed
+
+
+def test_route_refuses_not_prefix_and_joins(ps):
+    """r10c3 review fixes: a NOT directly before the predicate would
+    bind OUTSIDE the spliced conjunct (wrong answers), and any JOIN —
+    self-joins included — would leave the spliced unqualified key
+    ambiguous. Both shapes must run the full scan."""
+    _mk_docs(ps, n=60)
+    ps.sql("CREATE INDEX g_ng ON gdocs (text) USING NGRAM_BF")
+    ps.sql("CREATE INDEX g_bm ON gdocs (lang) USING BITMAP")
+    got = [r[0] for r in ps.sql(
+        "SELECT doc_id FROM gdocs WHERE NOT `text` LIKE '%tok1 %' ORDER BY doc_id"
+    ).collect()]
+    assert not ps.last_like_indexed
+    full = [r[0] for r in ps.sql(
+        "SELECT doc_id FROM gdocs WHERE `text` NOT LIKE '%tok1 %' ORDER BY doc_id"
+    ).collect()]
+    assert got == full and 0 < len(got) < 60
+    got2 = [r[0] for r in ps.sql(
+        "SELECT doc_id FROM gdocs WHERE NOT lang = 'de' ORDER BY doc_id"
+    ).collect()]
+    assert not ps.last_eq_indexed and len(got2) == 40
+    # self-join: valid before the index existed, must stay valid
+    n = ps.sql(
+        "SELECT COUNT(*) AS n FROM gdocs a JOIN gdocs b "
+        "ON a.doc_id = b.doc_id WHERE a.text LIKE '%omega%'"
+    ).collect()[0][0]
+    assert not ps.last_like_indexed and n == 60
+
+
+def test_eq_route_escaped_quote_literal(ps):
+    """A literal containing a doubled '' escape must not truncate the
+    predicate span (the old regex spliced mid-literal -> parse error)."""
+    ps.sql(
+        "CREATE TABLE qt (`k` BIGINT, `s` VARCHAR(16)) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO qt VALUES (1, 'it''s'), (2, 'plain')")
+    ps.sql("CREATE INDEX qt_bm ON qt (s) USING BITMAP")
+    got = [r[0] for r in ps.sql(
+        "SELECT k FROM qt WHERE s = 'it''s' ORDER BY k"
+    ).collect()]
+    assert got == [1]

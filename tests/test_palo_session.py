@@ -2442,3 +2442,46 @@ def test_explain_modes(ps):
     shape = ps.sql("EXPLAIN SHAPE PLAN SELECT * FROM exm").collect()
     assert base and shape and len(verbose) > len(base)
     assert any("Physical Plan" in r[0] for r in base)
+
+
+def test_alias_args_with_backslash_and_param_collision(ps):
+    """r10c3 review fixes: argument text is data, never a regex
+    replacement template; substitution is simultaneous, so an argument
+    containing another parameter's NAME is not re-substituted."""
+    ps.sql("CREATE ALIAS FUNCTION wrap(STRING) WITH PARAMETER (s) AS concat('[', s, ']')")
+    # no crash, and byte-identical to inlining the argument by hand
+    # (Spark's own literal escape semantics apply either way)
+    via_macro = ps.sql(r"SELECT wrap('C:\tmp\1') AS w").collect()[0][0]
+    inlined = ps.sql(r"SELECT concat('[', ('C:\tmp\1'), ']') AS w").collect()[0][0]
+    assert via_macro == inlined
+    ps.sql("CREATE ALIAS FUNCTION two(INT, INT) WITH PARAMETER (a, b) AS a + b * 10")
+    ps.sql(
+        "CREATE TABLE tt (`b` BIGINT) DUPLICATE KEY(b) "
+        "DISTRIBUTED BY HASH(b) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO tt VALUES (3)")
+    # first argument IS the column named like the second parameter
+    assert ps.sql("SELECT two(b, 1) AS t FROM tt").collect()[0][0] == 13
+
+
+def test_set_at_at_variable_assignment(ps):
+    """SET @@session.autocommit = 0 is an assignment — the handshake
+    rewrite must not turn its left side into a literal."""
+    ps.sql("SET @@session.autocommit = 0")
+    assert ps.sql("SELECT @@autocommit AS a").collect()[0][0] == "0"
+    ps.sql("SET @@autocommit = 1")
+    assert ps.sql("SELECT @@autocommit AS a").collect()[0][0] == "1"
+
+
+def test_tablesample_join_side_refused(ps, spark):
+    ps.sql(
+        "CREATE TABLE tsj (`k` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="TABLESAMPLE"):
+        ps.sql(
+            "SELECT * FROM tsj a JOIN tsj b TABLESAMPLE (20 PERCENT) "
+            "ON a.k = b.k"
+        )

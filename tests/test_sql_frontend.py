@@ -815,3 +815,19 @@ def test_array_map_surface_additions(spark):
     assert one("SELECT array_apply(ARRAY(1,2,3), '>=', 2) AS a") == [2, 3]
     assert one("SELECT map_contains_value(map('a',1), 1) AS c") is True
     assert one("SELECT map_size(map('a',1)) AS s") == 1
+
+
+def test_array_sequence_empty_inputs(spark):
+    """Spark's sequence(a, b) counts DOWN when b < a — the empty /
+    zero-size inputs must yield [] (r10c3 review fix)."""
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT array_enumerate(array()) AS e") == []
+    assert one("SELECT array_cum_sum(CAST(array() AS ARRAY<BIGINT>)) AS c") == []
+    assert one("SELECT array_range(0) AS r") == []
+    assert one("SELECT array_range(5, 5) AS r") == []
+    assert one("SELECT array_range(7, 3) AS r") == []
+    assert one("SELECT array_range(3, 4) AS r") == [3]
