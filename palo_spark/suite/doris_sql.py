@@ -2406,8 +2406,8 @@ _entry(
     "sql_vector_distance_topk",
     """
     SELECT e.vec_id,
-           CAST(FLOOR(l2_distance(e.embedding, q.embedding) * 1000000)
-                AS BIGINT) AS d6
+           CAST(FLOOR(l2_distance(e.embedding, q.embedding) * 1000000
+                      + 1e-3) AS BIGINT) AS d6
     FROM embeddings e
     CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
     ORDER BY l2_distance(e.embedding, q.embedding), e.vec_id
@@ -2416,7 +2416,8 @@ _entry(
     """
     SELECT e.vec_id,
            CAST(FLOOR(list_distance(CAST(e.embedding AS DOUBLE[]),
-                                    q.q) * 1000000) AS BIGINT) AS d6
+                                    q.q) * 1000000 + 1e-3)
+                AS BIGINT) AS d6
     FROM embeddings e
     CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS q
                 FROM embeddings WHERE vec_id = 0) q
