@@ -296,3 +296,24 @@ def test_eq_route_escaped_quote_literal(ps):
         "SELECT k FROM qt WHERE s = 'it''s' ORDER BY k"
     ).collect()]
     assert got == [1]
+
+
+def test_index_follows_in_place_restore(ps, tmp_path):
+    """In-place RESTORE swaps the table for the backup-time incarnation
+    (fresh lineage) — the gram index must rebuild, never serve the
+    pre-restore postings (audit probe, r10c3 — no defect)."""
+    ps.sql(
+        "CREATE TABLE rx (`k` BIGINT, `t` VARCHAR(32)) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO rx VALUES (1, 'aaa needle bbb'), (2, 'plain')")
+    ps.sql("CREATE INDEX rx_ng ON rx (t) USING NGRAM_BF")
+    q = "SELECT k FROM rx WHERE `t` LIKE '%needle%'"
+    assert [r[0] for r in ps.sql(q).collect()] == [1]
+    ps.sql(f"CREATE REPOSITORY rr WITH LOCATION '{tmp_path}/repo'")
+    ps.sql("BACKUP SNAPSHOT s1 TO rr ON (rx)")
+    ps.sql("INSERT INTO rx VALUES (3, 'another needle')")
+    assert sorted(r[0] for r in ps.sql(q).collect()) == [1, 3]
+    ps.sql("RESTORE SNAPSHOT s1 FROM rr ON (rx)")
+    got = sorted(r[0] for r in ps.sql(q).collect())
+    assert got == [1] and ps.last_like_indexed

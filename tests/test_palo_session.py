@@ -2485,3 +2485,42 @@ def test_tablesample_join_side_refused(ps, spark):
             "SELECT * FROM tsj a JOIN tsj b TABLESAMPLE (20 PERCENT) "
             "ON a.k = b.k"
         )
+
+
+def test_alias_function_view_survives_drop(ps):
+    """A view over an alias-function call stores the EXPANDED body, so
+    dropping the alias later never breaks the view (audit probe,
+    r10c3 — pinning the property)."""
+    ps.sql(
+        "CREATE TABLE avx (`k` BIGINT, `t` VARCHAR(16)) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO avx VALUES (1, 'abc')")
+    ps.sql(
+        "CREATE ALIAS FUNCTION tagify(STRING) WITH PARAMETER (s) AS "
+        "concat('<', s, '>')"
+    )
+    ps.sql("CREATE VIEW avv AS SELECT k, tagify(t) AS tt FROM avx")
+    ps.sql("DROP FUNCTION tagify")
+    assert ps.sql("SELECT tt FROM avv").collect()[0][0] == "<abc>"
+
+
+def test_tablesample_over_partitioned_table(ps):
+    ps.sql(
+        "CREATE TABLE pts (`k` BIGINT, `d` DATE, `v` INT) DUPLICATE KEY(k) "
+        "PARTITION BY RANGE(d) ("
+        "PARTITION p1 VALUES LESS THAN ('2024-02-01'), "
+        "PARTITION p2 VALUES LESS THAN ('2024-03-01')) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql(
+        "INSERT INTO pts VALUES "
+        + ", ".join(f"({i}, '2024-0{1 + i % 2}-10', {i})" for i in range(100))
+    )
+    a = sorted(r[0] for r in ps.sql(
+        "SELECT k FROM pts TABLESAMPLE (40 PERCENT) REPEATABLE (3)"
+    ).collect())
+    b = sorted(r[0] for r in ps.sql(
+        "SELECT k FROM pts TABLESAMPLE (40 PERCENT) REPEATABLE (3)"
+    ).collect())
+    assert a == b and 0 < len(a) < 100
