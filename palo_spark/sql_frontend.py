@@ -252,6 +252,15 @@ _RENAME = {
     "array_zip": "arrays_zip",
     "array_shuffle": "shuffle",
     "map_size": "size",
+    # math ([docs: sql-functions/math-functions])
+    "dexp": "exp",
+    "dlog10": "log10",
+    "dsqrt": "sqrt",
+    "dpow": "power",
+    "fpow": "power",
+    "round_bankers": "bround",
+    "radians_to_degrees": "degrees",
+    "degrees_to_radians": "radians",
 }
 
 #: functions whose LAST string-literal arg is a MySQL %-pattern
@@ -699,6 +708,26 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"array_apply: unsupported operator {op!r}")
         return _raw(f"filter({a}, __x -> __x {op} {texts[2]})")
+
+    if name_lower == "truncate" and _split_args(inner) and len(_split_args(inner)) == 2:
+        # numeric truncate-toward-zero (MySQL/Doris); floor alone would
+        # round negatives the wrong way
+        args = _split_args(inner)
+        x, d = _text(args[0]), _text(args[1])
+        p = f"power(10, {d})"
+        return _raw(
+            f"(CASE WHEN ({x}) >= 0 THEN floor(({x}) * {p}) / {p} "
+            f"ELSE ceil(({x}) * {p}) / {p} END)"
+        )
+
+    if name_lower == "fmod":
+        args = _split_args(inner)
+        return _raw(f"(({_text(args[0])}) % ({_text(args[1])}))")
+
+    if name_lower in ("nullable", "non_nullable"):
+        # type-annotation functions: value-identity (they only flip the
+        # declared nullability in Doris's planner)
+        return _raw(f"({_text(inner)})")
 
     if name_lower == "avg_weighted":
         args = _split_args(inner)

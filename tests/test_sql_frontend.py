@@ -831,3 +831,21 @@ def test_array_sequence_empty_inputs(spark):
     assert one("SELECT array_range(5, 5) AS r") == []
     assert one("SELECT array_range(7, 3) AS r") == []
     assert one("SELECT array_range(3, 4) AS r") == [3]
+
+
+def test_math_function_completions(spark):
+    from palo_spark.sql_frontend import doris_sql
+
+    def one(s):
+        return doris_sql(spark, s).collect()[0][0]
+
+    assert one("SELECT truncate(3.14159, 2) AS t") == 3.14
+    assert one("SELECT truncate(-3.14159, 2) AS t") == -3.14  # toward zero
+    assert one("SELECT truncate(314.159, -2) AS t") == 300.0
+    assert float(one("SELECT round_bankers(2.5) AS r")) == 2.0
+    assert float(one("SELECT round_bankers(3.5) AS r")) == 4.0
+    assert one("SELECT dsqrt(16.0) AS d") == 4.0
+    assert one("SELECT dpow(2.0, 3.0) AS d") == 8.0
+    assert float(one("SELECT fmod(7.5, 2.0) AS f")) == 1.5
+    assert one("SELECT nullable(5) AS n") == 5
+    assert one("SELECT non_nullable(5) AS n") == 5
