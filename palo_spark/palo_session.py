@@ -206,10 +206,46 @@ _INSERT_OVERWRITE_RE = re.compile(
 )
 
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+`?(?P<name>\w+)`?\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<cond>.+?))?;?\s*$",
+    r"^\s*UPDATE\s+`?(?P<name>\w+)`?(?:\s+(?P<alias>(?!SET\b)\w+))?"
+    r"\s+SET\s+(?P<tail>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_update_tail(tail: str) -> tuple[str, str | None, str | None]:
+    """Split an UPDATE's post-SET text into (sets, from, cond) on the
+    first TOP-LEVEL ``FROM`` / ``WHERE`` keywords — depth- and
+    quote-aware, so ``EXTRACT(YEAR FROM d)`` in a SET expression or a
+    subquery in the source list never splits the statement."""
+    depth = 0
+    q = False
+    from_i = where_i = None
+    for i, ch in enumerate(tail):
+        if q:
+            q = ch != "'"
+        elif ch == "'":
+            q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "FfWw":
+            if from_i is None and where_i is None and re.match(
+                r"FROM\b", tail[i:], re.IGNORECASE
+            ) and (i == 0 or not tail[i - 1].isalnum()):
+                from_i = i
+            elif where_i is None and re.match(
+                r"WHERE\b", tail[i:], re.IGNORECASE
+            ) and (i == 0 or not tail[i - 1].isalnum()):
+                where_i = i
+    end_sets = min(x for x in (from_i, where_i, len(tail)) if x is not None)
+    sets = tail[:end_sets].strip()
+    frm = None
+    if from_i is not None:
+        f_end = where_i if where_i is not None else len(tail)
+        frm = tail[from_i + 4 : f_end].strip()
+    cond = tail[where_i + 5 :].strip() if where_i is not None else None
+    return sets, frm, cond
 
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<name>\w+)`?\s+ADD\s+COLUMN\s+"
@@ -3138,23 +3174,80 @@ class PaloSession:
         m = _UPDATE_RE.match(text)
         if not m:
             raise ValueError(f"unparsable UPDATE: {text!r}")
+        sets, frm, cond = _split_update_tail(m.group("tail"))
+        return self._run_update(m, sets, frm, cond)
+
+    def _update_from(self, m, frm, cond, t: Table, assigns: dict, cur):
+        """Doris 2.0 ``UPDATE t [alias] SET ... FROM src WHERE join``
+        ([docs: update]): one distributed join computes the updated
+        rows, which land as an ordinary upsert batch — rows the join
+        does not reach are untouched. SET expressions may reference the
+        source tables (that is the point); a join that matches one key
+        several times is nondeterministic-last-wins, exactly upstream's
+        documented caveat. The composed statement translates ONCE."""
+        name = m.group("name").lower()
+        alias = (m.group("alias") or m.group("name")).lower()
+        schema = getattr(t, "_declared_schema", None)
+        typs = {}
+        if schema:
+            for part in _schema_parts(schema):
+                n_, ty = part.strip().split(None, 1)
+                typs[n_.lower()] = ty
+        partial_ok = (
+            not t.meta.sequence_col
+            and not t.meta.partition_by
+            and not t.meta.auto_partition
+            and not t.meta.range_partitions
+            and not t.meta.has_delete_sign
+        )
+        keys_lower = {c.lower() for c in t.meta.key_cols}
+        sel = []
+        for c in cur.columns:
+            rhs = assigns.get(c.lower())
+            if rhs is None:
+                if partial_ok and c.lower() not in keys_lower:
+                    continue  # untouched value column — not rewritten
+                sel.append(f"`{alias}`.`{c}`")
+            elif c.lower() in typs:
+                sel.append(f"CAST(({rhs}) AS {typs[c.lower()]}) AS `{c}`")
+            else:
+                sel.append(f"({rhs}) AS `{c}`")
+        inner = (
+            f"SELECT {', '.join(sel)} FROM `{name}` `{alias}`, "
+            f"{frm} WHERE {cond or 'true'}"
+        )
+        matched = doris_sql(self.spark, inner)
+        version = t.insert(matched, partial_columns=partial_ok)
+        self._refresh_view(name)
+        return version
+
+    def _run_update(self, m, sets: str, frm, cond):
         t = self._table(m.group("name"))
         if t.meta.keys_type != "UNIQUE":
             raise ValueError("UPDATE requires a UNIQUE-key table (Doris semantics)")
         assigns: dict[str, str] = {}
-        for item in _split_top(m.group("sets")):
-            am = re.match(r"^`?(\w+)`?\s*=\s*(.+)$", item.strip(), re.DOTALL)
+        for item in _split_top(sets):
+            am = re.match(
+                r"^(?:`?\w+`?\.)?`?(\w+)`?\s*=\s*(.+)$",
+                item.strip(), re.DOTALL,
+            )
             if not am:
                 raise ValueError(f"unparsable SET item: {item!r}")
-            assigns[am.group(1).lower()] = translate(am.group(2))
+            # raw text here; the FROM path translates the composed
+            # statement ONCE (translate is not idempotent for
+            # %-patterns), the single-table path translates per-item
+            assigns[am.group(1).lower()] = am.group(2)
         for k in assigns:
             if k in (c.lower() for c in t.meta.key_cols):
                 raise ValueError(f"cannot UPDATE key column {k!r}")
-        cond = translate(m.group("cond")) if m.group("cond") else "true"
         try:
             cur = t.read()
         except ValueError:
             return 0  # empty table: UPDATE matches nothing
+        if frm is not None:
+            return self._update_from(m, frm, cond, t, assigns, cur)
+        assigns = {k: translate(v) for k, v in assigns.items()}
+        cond = translate(cond) if cond else "true"
         from pyspark.sql import functions as F
 
         matched = cur.filter(F.expr(cond))

@@ -99,6 +99,7 @@ _R10_ADDITIONS = [
     "sql_url_mask_functions",
     "sql_date_round_diff",
     "sql_alias_function",
+    "sql_update_from_join",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

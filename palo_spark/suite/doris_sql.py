@@ -2578,3 +2578,52 @@ ORACLE["sql_alias_function"] = """
     GROUP BY 1
     ORDER BY band
 """
+
+
+def _sql_update_from_join(spark, sf_dir):
+    """Doris 2.0 ``UPDATE ... FROM`` join-update on the UNIQUE model
+    ([docs: update]): a rates table drives a price adjustment for
+    urgent orders; unmatched rows stay untouched. The oracle replays
+    the same join as a CASE."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql("DROP TABLE IF EXISTS ufo")
+    ps.sql("DROP TABLE IF EXISTS ufr")
+    ps.sql(
+        "CREATE TABLE ufo (`o_orderkey` BIGINT, `cents` BIGINT, "
+        "`prio` VARCHAR(16)) UNIQUE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4"
+    )
+    ps.sql(
+        "INSERT INTO ufo SELECT o_orderkey, "
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderpriority "
+        "FROM orders"
+    )
+    ps.sql(
+        "CREATE TABLE ufr (`prio` VARCHAR(16), `bump` BIGINT) "
+        "DUPLICATE KEY(prio) DISTRIBUTED BY HASH(prio) BUCKETS 1"
+    )
+    ps.sql(
+        "INSERT INTO ufr VALUES ('1-URGENT', 500), ('2-HIGH', 200)"
+    )
+    ps.sql(
+        "UPDATE ufo SET cents = ufo.cents + ufr.bump FROM ufr "
+        "WHERE ufo.prio = ufr.prio"
+    )
+    return ps.sql(
+        "SELECT o_orderkey, cents FROM ufo ORDER BY o_orderkey"
+    )
+
+
+QUERIES["sql_update_from_join"] = _sql_update_from_join
+ORACLE["sql_update_from_join"] = """
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+           + CASE o_orderpriority WHEN '1-URGENT' THEN 500
+                                  WHEN '2-HIGH' THEN 200
+                                  ELSE 0 END AS cents
+    FROM orders
+    ORDER BY o_orderkey
+"""

@@ -2524,3 +2524,41 @@ def test_tablesample_over_partitioned_table(ps):
         "SELECT k FROM pts TABLESAMPLE (40 PERCENT) REPEATABLE (3)"
     ).collect())
     assert a == b and 0 < len(a) < 100
+
+
+def test_update_from_join(ps):
+    """Doris 2.0 UPDATE ... FROM ([docs: update]): one distributed join
+    computes the updated rows; unmatched rows untouched; SET may
+    reference the source; the tail splitter is depth/quote-aware so
+    EXTRACT(... FROM ...) and literals containing ' from ' survive."""
+    ps.sql(
+        "CREATE TABLE uf (`k` BIGINT, `v` INT, `s` VARCHAR(12)) "
+        "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO uf VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    ps.sql(
+        "CREATE TABLE ufsrc (`k` BIGINT, `nv` INT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO ufsrc VALUES (1, 100), (3, 300)")
+    ps.sql("UPDATE uf SET v = ufsrc.nv + 1 FROM ufsrc WHERE uf.k = ufsrc.k")
+    got = sorted((r[0], r[1]) for r in ps.sql("SELECT k, v FROM uf").collect())
+    assert got == [(1, 101), (2, 20), (3, 301)]
+    # alias form with a source-side filter
+    ps.sql(
+        "UPDATE uf t SET v = t.v * 2 FROM ufsrc "
+        "WHERE t.k = ufsrc.k AND ufsrc.nv > 200"
+    )
+    got = sorted((r[0], r[1]) for r in ps.sql("SELECT k, v FROM uf").collect())
+    assert got == [(1, 101), (2, 20), (3, 602)]
+    # paren-protected FROM in a plain UPDATE's SET expression
+    ps.sql(
+        "CREATE TABLE ufd (`k` BIGINT, `d` DATETIME, `y` INT) "
+        "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("INSERT INTO ufd VALUES (1, '2024-03-15 00:00:00', 0)")
+    ps.sql("UPDATE ufd SET y = EXTRACT(YEAR FROM d) WHERE k = 1")
+    assert ps.sql("SELECT y FROM ufd").collect()[0][0] == 2024
+    # a string literal containing ' from ' never splits the statement
+    ps.sql("UPDATE uf SET s = 'x from y' WHERE k = 2")
+    assert ps.sql("SELECT s FROM uf WHERE k = 2").collect()[0][0] == "x from y"
