@@ -746,6 +746,11 @@ class PaloSession:
                 self._refresh_view(nm)
         #: CREATE ALIAS FUNCTION macros: name -> (params, body text)
         self.alias_functions: dict[str, tuple[list[str], str]] = {}
+        # Doris hash/digest functions that need a Python kernel at the
+        # SQL surface (seed-0 murmur/xxhash, SM3) — idempotent
+        from palo_spark.functions import register_doris_hash_udfs
+
+        register_doris_hash_udfs(spark)
         #: SHOW BACKUP / SHOW RESTORE job history (label, repo) — jobs
         #: run synchronously here, so every recorded row is FINISHED
         self._backup_history: list[tuple[str, str]] = []

@@ -654,3 +654,43 @@ def test_mysql_week_modes_match_python(spark):
     for r in rows:
         d = dt.date.fromisoformat(r["ds"])
         assert r["s"] == f"{exp_X(d)}-{exp_V(d)}|{exp_U(d)}|{exp_u(d)}", d
+
+
+def test_doris_hash_udfs_sql_surface(spark):
+    """murmur_hash3_32 / xxhash_64 (seed 0 — upstream's seeds; Spark's
+    natives fix seed 42) and sm3 at the SQL surface. The murmur kernel
+    is cross-verified against Spark's native hash() at seed 42 on
+    4-byte-aligned inputs (Spark's tail handling deviates from the
+    standard on unaligned lengths — a documented Spark quirk) plus the
+    published reference vector."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from palo_spark.functions import _murmur3_32, register_doris_hash_udfs
+    from palo_spark.operators.text_index import xxhash64_str
+
+    assert _murmur3_32(b"hello", 0) == 0x248BFA47  # reference vector
+    assert _murmur3_32(b"", 0) == 0
+    rng = random.Random(11)
+    strings = [
+        "".join(rng.choice("abcdef 123XYZ") for _ in range(4 * rng.randint(0, 8)))
+        for _ in range(30)
+    ]
+    rows = spark.createDataFrame([(s,) for s in strings], "s string").select(
+        "s", F.hash("s").alias("h32"), F.xxhash64("s").alias("h64")
+    ).collect()
+    for r in rows:
+        assert _murmur3_32(r["s"].encode(), 42) == r["h32"], r["s"]
+        assert xxhash64_str(r["s"], 42) == r["h64"], r["s"]
+    register_doris_hash_udfs(spark)
+    got = spark.sql(
+        "SELECT murmur_hash3_32('hello') AS m, xxhash_64('hello') AS x, "
+        "sm3('abc') AS s, murmur_hash3_32(NULL) AS mn"
+    ).collect()[0]
+    assert got["m"] == 0x248BFA47
+    assert got["x"] == xxhash64_str("hello", 0)
+    assert got["s"] == (
+        "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"
+    )
+    assert got["mn"] is None
