@@ -404,6 +404,10 @@ _SHOW_CREATE_MV_RE = re.compile(
     re.IGNORECASE,
 )
 
+_SHOW_CREATE_VIEW_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+VIEW\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _SHOW_PARTITIONS_RE = re.compile(
     r"^\s*SHOW\s+(?P<temp>TEMPORARY\s+)?PARTITIONS\s+FROM\s+"
     r"`?(?P<name>\w+)`?\s*;?\s*$",
@@ -3570,6 +3574,15 @@ class PaloSession:
             # for exactly that staleness (r9 advice)
             self._commit_async_mvs(tm.group("name").lower())
             return None
+        scv = _SHOW_CREATE_VIEW_RE.match(stripped)
+        if scv:
+            vn = scv.group("name").lower()
+            if vn not in self.views:
+                raise ValueError(f"unknown view {vn!r}")
+            return self.spark.createDataFrame(
+                [(vn, f"CREATE VIEW `{vn}` AS {self.views[vn]}")],
+                "view string, create_stmt string",
+            )
         scmv = _SHOW_CREATE_MV_RE.match(stripped)
         if scmv:
             # Doris SHOW CREATE MATERIALIZED VIEW — the round-trippable

@@ -2562,3 +2562,19 @@ def test_update_from_join(ps):
     # a string literal containing ' from ' never splits the statement
     ps.sql("UPDATE uf SET s = 'x from y' WHERE k = 2")
     assert ps.sql("SELECT s FROM uf WHERE k = 2").collect()[0][0] == "x from y"
+
+
+def test_show_create_view(ps):
+    ps.sql(
+        "CREATE TABLE scv (`k` BIGINT) DUPLICATE KEY(k) "
+        "DISTRIBUTED BY HASH(k) BUCKETS 2"
+    )
+    ps.sql("CREATE VIEW scvv AS SELECT k, k * 2 AS k2 FROM scv")
+    row = ps.sql("SHOW CREATE VIEW scvv").collect()[0]
+    assert row["view"] == "scvv"
+    assert row["create_stmt"].startswith("CREATE VIEW `scvv` AS ")
+    assert "k * 2" in row["create_stmt"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown view"):
+        ps.sql("SHOW CREATE VIEW nope")
