@@ -100,6 +100,7 @@ _R10_ADDITIONS = [
     "sql_date_round_diff",
     "sql_alias_function",
     "sql_update_from_join",
+    "sql_hash_functions",
 ]
 
 # Any window slot not consumed by the backlog or an r10 addition holds

@@ -2627,3 +2627,54 @@ ORACLE["sql_update_from_join"] = """
     FROM orders
     ORDER BY o_orderkey
 """
+
+
+def _sql_hash_functions(spark, sf_dir):
+    """Doris hash functions at the SQL surface ([docs: hash-functions]):
+    seed-0 murmur_hash3_32 / xxhash_64 over the documents language
+    column. DuckDB has neither kernel, so the oracle REPLAYS the
+    Python-computed reference values as literals (the replayed-constant
+    oracle pattern) — the language domain is fixed across the fixture
+    SFs, and an unexpected value falls to NULL, which would mismatch
+    loudly."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    PaloSession(spark)  # registers the hash UDFs
+    from palo_spark.sql_frontend import doris_sql as _dsql
+
+    return _dsql(
+        spark,
+        "SELECT lang, murmur_hash3_32(lang) AS mh, xxhash_64(lang) AS xh, "
+        "COUNT(*) AS n FROM documents GROUP BY lang, murmur_hash3_32(lang), "
+        "xxhash_64(lang) ORDER BY lang",
+    )
+
+
+QUERIES["sql_hash_functions"] = _sql_hash_functions
+
+
+def _hash_oracle() -> str:
+    from palo_spark.functions import _murmur3_32
+    from palo_spark.operators.text_index import xxhash64_str
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    mh = " ".join(
+        f"WHEN '{v}' THEN {_murmur3_32(v.encode(), 0)}" for v in langs
+    )
+    xh = " ".join(
+        f"WHEN '{v}' THEN CAST({xxhash64_str(v, 0)} AS BIGINT)"
+        for v in langs
+    )
+    return f"""
+        SELECT lang,
+               CAST(CASE lang {mh} END AS INT) AS mh,
+               CASE lang {xh} END AS xh,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+ORACLE["sql_hash_functions"] = _hash_oracle()
