@@ -300,18 +300,56 @@ def ucase(s) -> Column:
 
 
 def murmur_hash3_32(*cols) -> Column:
-    """Doris ``MURMUR_HASH3_32`` ≈ Spark ``hash`` (Murmur3 x86_32).
+    """Doris ``MURMUR_HASH3_32`` — exact Murmur3 x86_32 with Doris's
+    seed 104729 (upstream ``HashUtil::MURMUR3_32_SEED``), multi-arg
+    chained (each value hashed with the previous hash as seed), NULL in
+    any arg → NULL. Pinned to the published doc vectors
+    ``murmur_hash3_32('hello') = 1321743225`` and
+    ``('hello','world') = 984713481`` (ADVICE r10: seed 0 diverged from
+    every real deployment). Arrow-batched pandas UDF — use only where
+    Doris-exact values matter; engine-internal bucketing stays on
+    Spark's native JVM hashes."""
+    cols = [_c(c) for c in cols]
 
-    Same algorithm family; seed/combine details differ from Doris's exact
-    output — documented dialect gap, stable within this engine.
-    """
-    return F.hash(*[_c(c) for c in cols])
+    @F.pandas_udf("int")
+    def _k(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            if any(v is None for v in vals):
+                out.append(None)
+                continue
+            h = _MURMUR3_32_SEED
+            for v in vals:
+                h = _murmur3_32(str(v).encode("utf-8"), h & 0xFFFFFFFF)
+            out.append(h)
+        return pd.Series(out, dtype="Int32")
+
+    return _k(*[c.cast("string") for c in cols])
 
 
 def murmur_hash3_64(*cols) -> Column:
-    """Doris ``MURMUR_HASH3_64`` ≈ Spark ``xxhash64`` (64-bit, different
-    algorithm — stable within this engine; documented gap)."""
-    return F.xxhash64(*[_c(c) for c in cols])
+    """Doris ``MURMUR_HASH3_64`` — exact single-lane Murmur3 x64_64
+    (Doris's ``murmur_hash3_x64_64``: 8-byte blocks, h1 lane only — NOT
+    the standard x64_128 truncation), seed 0, multi-arg chained, NULL →
+    NULL. Pinned to the published doc vectors
+    ``murmur_hash3_64('hello') = -3215607508166160593`` and
+    ``('hello','world') = 3583109472027628045``."""
+    cols = [_c(c) for c in cols]
+
+    @F.pandas_udf("long")
+    def _k(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            if any(v is None for v in vals):
+                out.append(None)
+                continue
+            h = 0
+            for v in vals:
+                h = _murmur3_64(str(v).encode("utf-8"), h & _U64)
+            out.append(h)
+        return pd.Series(out, dtype="Int64")
+
+    return _k(*[c.cast("string") for c in cols])
 
 
 # ---------------------------------------------------------------- date/time
@@ -1887,14 +1925,24 @@ def register_sql_udfs(spark) -> None:
         spark.udf.register("uncompress", uncomp_udf)
 
 
+#: Doris's murmur3_32 seed (upstream ``HashUtil::MURMUR3_32_SEED`` —
+#: the 10000th prime). Seed 0 is the PUBLISHED-SPEC default but diverges
+#: from every real Doris deployment (ADVICE r10):
+#: murmur_hash3_32('hello') = 1321743225 only at seed 104729.
+_MURMUR3_32_SEED = 104729
+_U64 = (1 << 64) - 1
+
+
 def _murmur3_32(data: bytes, seed: int) -> int:
     """MurmurHash3 x86_32 (Appleby's public-domain spec) — the kernel
-    behind Doris ``murmur_hash3_32`` (seed 0). Machine-verified two
-    ways: against Spark's native ``hash()`` at seed 42 on 4-byte-
-    aligned inputs (Spark's block mixing IS standard murmur3; its TAIL
-    handling is per-byte sign-extended, a deliberate Spark deviation,
-    so unaligned lengths differ by design), and against the published
-    reference vector murmur3_32("hello", 0) = 0x248bfa47. Returns the
+    behind Doris ``murmur_hash3_32`` (Doris seed = 104729, see
+    ``_MURMUR3_32_SEED``). Machine-verified three ways: against Spark's
+    native ``hash()`` at seed 42 on 4-byte-aligned inputs (Spark's
+    block mixing IS standard murmur3; its TAIL handling is per-byte
+    sign-extended, a deliberate Spark deviation, so unaligned lengths
+    differ by design), against the published reference vector
+    murmur3_32("hello", 0) = 0x248bfa47, and against the Doris doc
+    vector murmur3_32("hello", 104729) = 1321743225. Returns the
     SIGNED 32-bit value both engines expose."""
     c1, c2 = 0xCC9E2D51, 0x1B873593
     h = seed & 0xFFFFFFFF
@@ -1928,20 +1976,68 @@ def _murmur3_32(data: bytes, seed: int) -> int:
     return (h ^ 0x80000000) - 0x80000000
 
 
+def _murmur3_64(data: bytes, seed: int) -> int:
+    """Doris's ``murmur_hash3_x64_64`` — a single-lane 64-bit cut of
+    MurmurHash3 x64 (8-byte little-endian blocks through the h1 lane
+    only, x64_128's c1/c2/rotations/fmix64, length-xor finalizer).
+    This is NOT a truncation of standard x64_128 (which interleaves
+    two lanes); it is Doris's own published variant. Pinned to the doc
+    vector murmur_hash3_64('hello') = -3215607508166160593 at seed 0.
+    Returns the SIGNED 64-bit value."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = seed & _U64
+    n = len(data) // 8 * 8
+    for i in range(0, n, 8):
+        k1 = int.from_bytes(data[i : i + 8], "little")
+        k1 = (k1 * c1) & _U64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _U64
+        k1 = (k1 * c2) & _U64
+        h1 ^= k1
+        h1 = ((h1 << 27) | (h1 >> 37)) & _U64
+        h1 = (h1 * 5 + 0x52DCE729) & _U64
+    tail = data[n:]
+    k1 = 0
+    for j in range(len(tail) - 1, -1, -1):
+        k1 ^= tail[j] << (8 * j)
+    if tail:
+        k1 = (k1 * c1) & _U64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _U64
+        k1 = (k1 * c2) & _U64
+        h1 ^= k1
+    h1 ^= len(data)
+    h1 ^= h1 >> 33
+    h1 = (h1 * 0xFF51AFD7ED558CCD) & _U64
+    h1 ^= h1 >> 33
+    h1 = (h1 * 0xC4CEB9FE1A85EC53) & _U64
+    h1 ^= h1 >> 33
+    return (h1 ^ (1 << 63)) - (1 << 63)
+
+
 def register_doris_hash_udfs(spark) -> None:
     """Register the Doris hash/digest functions that need a Python
     kernel at the SQL surface ([docs: sql-functions/hash-functions]):
-    ``murmur_hash3_32`` and ``xxhash_64`` use seed 0 upstream (Spark's
-    natives fix seed 42, so a rename would silently produce different
-    hash values than a real Doris deployment persisted), and ``sm3``
-    has no JVM twin at all. All Arrow-batched; idempotent to call."""
+    ``murmur_hash3_32`` uses Doris's seed 104729 and ``xxhash_64``
+    seed 0 (Spark's natives fix seed 42, so a rename would silently
+    produce different hash values than a real Doris deployment
+    persisted); ``murmur_hash3_64`` is Doris's own single-lane x64
+    variant; ``sm3`` has no JVM twin at all. Each pinned to the
+    published doc vectors in ``tests/test_functions.py``. All
+    Arrow-batched; idempotent to call."""
     from palo_spark.operators.text_index import xxhash64_str
 
     @F.pandas_udf("int")
     def _mmh32(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda v: None if v is None else _murmur3_32(v.encode("utf-8"), 0)
+            lambda v: None
+            if v is None
+            else _murmur3_32(v.encode("utf-8"), _MURMUR3_32_SEED)
         ).astype("Int32")
+
+    @F.pandas_udf("long")
+    def _mmh64(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _murmur3_64(v.encode("utf-8"), 0)
+        ).astype("Int64")
 
     @F.pandas_udf("long")
     def _xxh64(s: pd.Series) -> pd.Series:
@@ -1958,5 +2054,6 @@ def register_doris_hash_udfs(spark) -> None:
         )
 
     spark.udf.register("murmur_hash3_32", _mmh32)
+    spark.udf.register("murmur_hash3_64", _mmh64)
     spark.udf.register("xxhash_64", _xxh64)
     spark.udf.register("sm3", _sm3)

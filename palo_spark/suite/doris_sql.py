@@ -2631,12 +2631,15 @@ ORACLE["sql_update_from_join"] = """
 
 def _sql_hash_functions(spark, sf_dir):
     """Doris hash functions at the SQL surface ([docs: hash-functions]):
-    seed-0 murmur_hash3_32 / xxhash_64 over the documents language
-    column. DuckDB has neither kernel, so the oracle REPLAYS the
-    Python-computed reference values as literals (the replayed-constant
-    oracle pattern) — the language domain is fixed across the fixture
-    SFs, and an unexpected value falls to NULL, which would mismatch
-    loudly."""
+    murmur_hash3_32 (Doris seed 104729), murmur_hash3_64 (Doris's
+    single-lane x64 variant, seed 0) and xxhash_64 (seed 0) over the
+    documents language column. DuckDB has none of the kernels, so the
+    oracle REPLAYS the Python-computed reference values as literals
+    (the replayed-constant oracle pattern — acceptable only because
+    each kernel is independently pinned to published doc vectors in
+    tests/test_functions.py, ADVICE r10) — the language domain is
+    fixed across the fixture SFs, and an unexpected value falls to
+    NULL, which would mismatch loudly."""
     from palo_spark.palo_session import PaloSession
 
     register_views(spark, sf_dir)
@@ -2645,8 +2648,9 @@ def _sql_hash_functions(spark, sf_dir):
 
     return _dsql(
         spark,
-        "SELECT lang, murmur_hash3_32(lang) AS mh, xxhash_64(lang) AS xh, "
-        "COUNT(*) AS n FROM documents GROUP BY lang, murmur_hash3_32(lang), "
+        "SELECT lang, murmur_hash3_32(lang) AS mh, murmur_hash3_64(lang) "
+        "AS mh64, xxhash_64(lang) AS xh, COUNT(*) AS n FROM documents "
+        "GROUP BY lang, murmur_hash3_32(lang), murmur_hash3_64(lang), "
         "xxhash_64(lang) ORDER BY lang",
     )
 
@@ -2655,12 +2659,17 @@ QUERIES["sql_hash_functions"] = _sql_hash_functions
 
 
 def _hash_oracle() -> str:
-    from palo_spark.functions import _murmur3_32
+    from palo_spark.functions import _MURMUR3_32_SEED, _murmur3_32, _murmur3_64
     from palo_spark.operators.text_index import xxhash64_str
 
     langs = ["de", "en", "es", "fr", "zh"]
     mh = " ".join(
-        f"WHEN '{v}' THEN {_murmur3_32(v.encode(), 0)}" for v in langs
+        f"WHEN '{v}' THEN {_murmur3_32(v.encode(), _MURMUR3_32_SEED)}"
+        for v in langs
+    )
+    mh64 = " ".join(
+        f"WHEN '{v}' THEN CAST({_murmur3_64(v.encode(), 0)} AS BIGINT)"
+        for v in langs
     )
     xh = " ".join(
         f"WHEN '{v}' THEN CAST({xxhash64_str(v, 0)} AS BIGINT)"
@@ -2669,6 +2678,7 @@ def _hash_oracle() -> str:
     return f"""
         SELECT lang,
                CAST(CASE lang {mh} END AS INT) AS mh,
+               CASE lang {mh64} END AS mh64,
                CASE lang {xh} END AS xh,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM documents

@@ -657,21 +657,44 @@ def test_mysql_week_modes_match_python(spark):
 
 
 def test_doris_hash_udfs_sql_surface(spark):
-    """murmur_hash3_32 / xxhash_64 (seed 0 — upstream's seeds; Spark's
+    """murmur_hash3_32 (Doris seed 104729 — ADVICE r10: seed 0
+    diverges from every real deployment), murmur_hash3_64 (Doris's
+    single-lane x64 variant, seed 0), xxhash_64 (seed 0; Spark's
     natives fix seed 42) and sm3 at the SQL surface. The murmur kernel
     is cross-verified against Spark's native hash() at seed 42 on
     4-byte-aligned inputs (Spark's tail handling deviates from the
     standard on unaligned lengths — a documented Spark quirk) plus the
-    published reference vector."""
+    published Appleby reference vector AND the Doris doc vectors,
+    including the multi-arg chained forms."""
     import random
 
     from pyspark.sql import functions as F
 
-    from palo_spark.functions import _murmur3_32, register_doris_hash_udfs
+    from palo_spark.functions import (
+        _MURMUR3_32_SEED,
+        _murmur3_32,
+        _murmur3_64,
+        register_doris_hash_udfs,
+    )
     from palo_spark.operators.text_index import xxhash64_str
 
-    assert _murmur3_32(b"hello", 0) == 0x248BFA47  # reference vector
+    assert _murmur3_32(b"hello", 0) == 0x248BFA47  # Appleby reference vector
     assert _murmur3_32(b"", 0) == 0
+    # Doris doc vectors ([docs: hash-functions]) — the seeds that match
+    # what a real deployment persisted:
+    assert _MURMUR3_32_SEED == 104729
+    assert _murmur3_32(b"hello", _MURMUR3_32_SEED) == 1321743225
+    h = _MURMUR3_32_SEED
+    for s in (b"hello", b"world"):
+        h = _murmur3_32(s, h & 0xFFFFFFFF)
+    assert h == 984713481  # murmur_hash3_32('hello','world')
+    assert _murmur3_64(b"hello", 0) == -3215607508166160593
+    h = 0
+    for s in (b"hello", b"world"):
+        h = _murmur3_64(s, h & ((1 << 64) - 1))
+    assert h == 3583109472027628045  # murmur_hash3_64('hello','world')
+    # xxhash_64 doc vector: seed-0 XXH64('hello')
+    assert xxhash64_str("hello", 0) == 2794345569481354659
     rng = random.Random(11)
     strings = [
         "".join(rng.choice("abcdef 123XYZ") for _ in range(4 * rng.randint(0, 8)))
@@ -685,12 +708,29 @@ def test_doris_hash_udfs_sql_surface(spark):
         assert xxhash64_str(r["s"], 42) == r["h64"], r["s"]
     register_doris_hash_udfs(spark)
     got = spark.sql(
-        "SELECT murmur_hash3_32('hello') AS m, xxhash_64('hello') AS x, "
-        "sm3('abc') AS s, murmur_hash3_32(NULL) AS mn"
+        "SELECT murmur_hash3_32('hello') AS m, murmur_hash3_64('hello') "
+        "AS m64, xxhash_64('hello') AS x, sm3('abc') AS s, "
+        "murmur_hash3_32(NULL) AS mn"
     ).collect()[0]
-    assert got["m"] == 0x248BFA47
+    assert got["m"] == 1321743225
+    assert got["m64"] == -3215607508166160593
     assert got["x"] == xxhash64_str("hello", 0)
     assert got["s"] == (
         "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"
     )
     assert got["mn"] is None
+    # Column API: multi-arg chained forms + NULL propagation
+    import palo_spark.functions as PF
+
+    row = (
+        spark.createDataFrame([("hello", "world", None)], "a string, b string, c string")
+        .select(
+            PF.murmur_hash3_32("a", "b").alias("m2"),
+            PF.murmur_hash3_64("a", "b").alias("m642"),
+            PF.murmur_hash3_32("a", "c").alias("mnull"),
+        )
+        .collect()[0]
+    )
+    assert row["m2"] == 984713481
+    assert row["m642"] == 3583109472027628045
+    assert row["mnull"] is None
