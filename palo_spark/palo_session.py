@@ -230,13 +230,22 @@ def _split_update_tail(tail: str) -> tuple[str, str | None, str | None]:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and ch in "FfWw":
+            # boundary test must treat '_' as a word char (\b
+            # semantics) or SET col_from = 5 splits at the embedded
+            # 'from' (ADVICE r10)
             if from_i is None and where_i is None and re.match(
                 r"FROM\b", tail[i:], re.IGNORECASE
-            ) and (i == 0 or not tail[i - 1].isalnum()):
+            ) and (
+                i == 0
+                or not (tail[i - 1].isalnum() or tail[i - 1] == "_")
+            ):
                 from_i = i
             elif where_i is None and re.match(
                 r"WHERE\b", tail[i:], re.IGNORECASE
-            ) and (i == 0 or not tail[i - 1].isalnum()):
+            ) and (
+                i == 0
+                or not (tail[i - 1].isalnum() or tail[i - 1] == "_")
+            ):
                 where_i = i
     end_sets = min(x for x in (from_i, where_i, len(tail)) if x is not None)
     sets = tail[:end_sets].strip()
@@ -475,8 +484,11 @@ _OUTFILE_RE = re.compile(
 #: CREATE-FUNCTION]): a SQL macro — name(params) expands to the body
 #: with arguments substituted, before translation
 _CREATE_ALIAS_FN_RE = re.compile(
+    # types allows one level of nested parens so parameterized types
+    # like DECIMAL(10,2) match (ADVICE r10)
     r"^\s*CREATE\s+(?:GLOBAL\s+)?ALIAS\s+FUNCTION\s+`?(?P<name>\w+)`?\s*"
-    r"\((?P<types>[^)]*)\)\s+WITH\s+PARAMETER\s*\((?P<params>[^)]*)\)\s+"
+    r"\((?P<types>(?:[^()]|\([^)]*\))*)\)\s+WITH\s+PARAMETER\s*"
+    r"\((?P<params>[^)]*)\)\s+"
     r"AS\s+(?P<body>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -2960,6 +2972,12 @@ class PaloSession:
         lit = pred.group("lit")
         t = self._table(tbl)
         ctype = self._col_type(t, col)
+        if "\\" in lit:
+            # the literal regex consumes doubled '' escapes but not
+            # backslash escapes: for 'don\'t' the match truncates at the
+            # escaped quote and the spliced conjunct would land INSIDE
+            # the string literal (ADVICE r10) — decline, full scan wins
+            return None
         if lit.startswith(("'", '"')):
             # date is safe: CAST(date AS STRING) is canonical ISO, the
             # same form a matching quoted literal must be written in
@@ -3194,6 +3212,16 @@ class PaloSession:
         source tables (that is the point); a join that matches one key
         several times is nondeterministic-last-wins, exactly upstream's
         documented caveat. The composed statement translates ONCE."""
+        if not cond:
+            # FROM with no WHERE composes a cross join — every target
+            # row updated from an ARBITRARY source row under the
+            # last-wins caveat. Upstream requires a usable join; match
+            # that posture and refuse loudly (VERDICT r10).
+            raise ValueError(
+                "UPDATE ... FROM requires a WHERE clause joining the "
+                "target to the source (without one every row would be "
+                "updated from an arbitrary source row)"
+            )
         name = m.group("name").lower()
         alias = (m.group("alias") or m.group("name")).lower()
         schema = getattr(t, "_declared_schema", None)
@@ -3927,8 +3955,12 @@ class PaloSession:
                 for p in afm.group("params").split(",")
                 if p.strip()
             ]
+            # split types on TOP-LEVEL commas only — DECIMAL(10,2)'s
+            # inner comma is part of one type (ADVICE r10)
             ntypes = len(
-                [t for t in afm.group("types").split(",") if t.strip()]
+                [t for t in re.split(
+                    r",(?![^()]*\))", afm.group("types")
+                ) if t.strip()]
             )
             if ntypes != len(params):
                 raise ValueError(

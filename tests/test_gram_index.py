@@ -103,6 +103,13 @@ def test_bitmap_eq_route_matches_full_scan(ps):
         "SELECT doc_id FROM gdocs WHERE lang IN ('de') ORDER BY doc_id"
     ).collect()]
     assert got == full and got
+    # a backslash-escaped quote in the literal truncates the regex
+    # match mid-string — the route must refuse, never splice inside
+    # the literal (ADVICE r10); the full scan still answers correctly
+    got3 = ps.sql(
+        "SELECT doc_id FROM gdocs WHERE lang = 'don\\'t' ORDER BY doc_id"
+    ).collect()
+    assert not ps.last_eq_indexed and got3 == []
 
 
 def test_bitmap_int_key_route_and_noncanonical_refusal(ps):
