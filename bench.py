@@ -203,10 +203,15 @@ def main() -> None:
     # measures the production PROBE read path — cell-pruned scan +
     # exact re-score — not the offline index build (r7 advice #5, the
     # text_match_indexed pattern).
+    # sql_ngram_index_like joins the same pattern in r11: the warmup
+    # call pays the CTAS + gram-index build (cached per source-version
+    # token in suite/doris_sql.py), the timed call is the
+    # posting-directory-pruned LIKE read (VERDICT r10 #1).
     for name in (
         "rollup_rewrite_hit",
         "text_match_indexed",
         "similarity_search_ivf",
+        "sql_ngram_index_like",
     ):
         if name in qs:
             try:
