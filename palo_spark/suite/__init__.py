@@ -39,79 +39,30 @@ _MODULE_NAMES = [
     "ssb",
 ]
 
-# The r10 never-green backlog (complete, after the r9 window went
-# 50/50 green): the 4 r8-tail window overflows, then every r9
-# addition, in the order VERDICT r9 pinned from the former r10-TODO
-# comment here.
-_BACKLOG = [
-    "tpcds_returned_qty_channel_ratio",
-    "tpcds_clean_multiwarehouse_orders",
-    "tpcds_own_zip_color_returns",
-    "tpcds_call_center_demographic_loss",
-    "table_model_partial_update_sequence",
-    "sql_catalog_jdbc_join",
-    "sql_async_mv_refresh",
-    "ssb_q1_1",
-    "ssb_q1_2",
-    "ssb_q1_3",
-    "ssb_q2_1",
-    "ssb_q2_2",
-    "ssb_q2_3",
-    "ssb_q3_1",
-    "ssb_q3_2",
-    "ssb_q3_3",
-    "ssb_q3_4",
-    "ssb_q4_1",
-    "ssb_q4_2",
-    "ssb_q4_3",
-]
-
-# r10 additions, in build order (never driver-green by construction).
-_R10_ADDITIONS = [
-    "sql_async_mv_transparent_rewrite",
-    "variant_shred_events",
-    "sql_variant_subscript",
-    "sql_backup_restore_roundtrip",
-    "sql_array_column_roundtrip",
-    "sql_async_mv_partition_refresh",
-    "sql_session_reattach",
-    "sql_tvf_numbers",
-    "sql_tvf_local_parquet",
-    "sql_tvf_csv_columns",
-    "sql_delete_using_join",
-    "sql_job_scheduler_insert",
-    "sql_insert_with_label",
-    "sql_dynamic_partition_retention",
-    "sql_list_partition_prune",
-    "sql_static_range_partition",
-    "sql_static_list_partition",
-    "sql_temp_partition_backfill",
-    "sql_overwrite_partition",
-    "sql_ngram_index_like",
-    "sql_bitmap_index_eq",
-    "sql_tablesample_percent",
-    "sql_array_lambda_funcs",
-    "sql_json_funcs_events",
-    "sql_bitmap_segments",
-    "sql_week_yearweek",
-    "sql_vector_distance_topk",
-    "sql_topn_agg_weighted",
-    "sql_url_mask_functions",
-    "sql_date_round_diff",
+# r11 STALENESS rotation (VERDICT r10 advice #2): the never-green
+# backlog drained to zero in r10, so from r11 on the 50-slot driver
+# window re-verifies the LEAST-RECENTLY-driver-checked entries — for
+# each registry entry, its last green round in the checked-in
+# CORRECTNESS_r01..r{_WINDOW_ROUND-1} ledger (0 if never green, which
+# puts brand-new entries first automatically), sorted ascending with
+# name as the tie-break. The list is pinned statically here so the
+# driver order is deterministic and auditable;
+# tests/test_rotation_window.py RECOMPUTES the rule from the ledger
+# and asserts this list matches it, so a new suite entry or a new
+# ledger file forces a conscious re-pin.
+_PRIORITY = [
+    # never driver-green: the r10 window cut off at slot 50, these 3
+    # r10 additions overflowed (plus any r11 additions, by the rule)
     "sql_alias_function",
-    "sql_update_from_join",
     "sql_hash_functions",
-]
-
-# Any window slot not consumed by the backlog or an r10 addition holds
-# a re-verification entry (oldest driver-green, r01 vintage — a
-# freshness re-check now that the never-green backlog is smaller than
-# the window for the first time). Justified in _RESCHEDULED_OK below.
-_REVERIFY_PAD = [
+    "sql_update_from_join",
+    # last green r01 — ten rounds of code churn ago
     "case_when_projection",
+    "distinct_projection",
+    "values_inline_table",
+    # last green r02
     "correlated_scalar_subquery",
     "datagen_numbers",
-    "distinct_projection",
     "empty_set_const_false",
     "except_all",
     "except_distinct",
@@ -137,31 +88,30 @@ _REVERIFY_PAD = [
     "table_function_explode",
     "table_function_posexplode",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_order_distribution",
     "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opp",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
-# r10 window: the driver verifies the FIRST 50 registry entries.
-# Backlog first (drains rotation debt permanently), then r10
-# additions, then re-verify padding to fill 50 slots.
-# tests/test_rotation_window.py asserts this window is never stale:
-# every entry is never-green in CORRECTNESS_r01..r{_WINDOW_ROUND-1}
-# or explicitly listed in _RESCHEDULED_OK.
-_PRIORITY = (_BACKLOG + _R10_ADDITIONS + _REVERIFY_PAD)[:50]
-
 # Round this _PRIORITY window was written FOR: the staleness test
-# computes the never-green set from CORRECTNESS_r01..r{N-1} only, so
-# checking in CORRECTNESS_r10.json at round end does not retroactively
-# fail the r10 window. Bump when rotating.
-_WINDOW_ROUND = 10
-
-# Entries allowed in the window despite a prior driver-green row, each
-# with the reason (judge-auditable). For r10 the never-green backlog
-# (20 entries) is smaller than the 50-slot window for the first time;
-# the surplus slots hold oldest-green (r01-vintage) re-verification
-# entries until r10 additions displace them. Reason for every name:
-# freshness re-check — last driver-verified in round 1, nine rounds of
-# code churn ago.
-_RESCHEDULED_OK: set[str] = set(_REVERIFY_PAD)
+# computes last-green rounds from CORRECTNESS_r01..r{N-1} only, so
+# checking in CORRECTNESS_r11.json at round end does not retroactively
+# invalidate the r11 window. Bump when rotating.
+_WINDOW_ROUND = 11
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -1,19 +1,24 @@
-"""The driver-window rotation can't go stale (VERDICT r7 advice #3).
+"""The driver-window rotation can't go stale (VERDICT r7 advice #3;
+re-armed as a STALENESS rotation in r11 per VERDICT r10 advice #2).
 
 The driver's correctness gate verifies the FIRST 50 registry entries
-each round; ``palo_spark.suite._PRIORITY`` controls that order.  A
-window entry that already has a driver-green CORRECTNESS row wastes a
-rotation slot and delays the never-green backlog, so this test asserts
-— mechanically, from the checked-in ``CORRECTNESS_r0*.json`` ledger —
-that every window entry is either never-green or explicitly listed in
-``_RESCHEDULED_OK`` with a reason.
+each round; ``palo_spark.suite._PRIORITY`` controls that order.  The
+never-green backlog drained to zero in r10, so from r11 on the window
+re-verifies the LEAST-RECENTLY-driver-checked entries: for each
+registry entry, its last green round in the checked-in
+``CORRECTNESS_r01..r{_WINDOW_ROUND-1}`` ledger (0 if never green —
+brand-new entries sort first automatically), ascending, name as the
+tie-break.  ``_PRIORITY`` is pinned statically for deterministic
+driver order; this test RECOMPUTES the rule from the ledger and
+asserts the pin matches, so adding a suite entry or a new ledger file
+without re-pinning the window fails loudly.
 
-Green rows are counted only from rounds BEFORE ``_WINDOW_ROUND`` (the
-round the window was written for): once the window runs, the driver
-checks in CORRECTNESS_r{N}.json whose rows are *this window going
-green* — including them would retroactively fail the very rotation
-they prove.  Bumping _WINDOW_ROUND without rotating _PRIORITY makes
-the stale entries visible again, which is the point.
+Last-green rounds are computed only from rounds BEFORE
+``_WINDOW_ROUND`` (the round the window was written for): once the
+window runs, the driver checks in CORRECTNESS_r{N}.json whose rows are
+*this window going green* — including them would retroactively fail
+the very rotation they prove.  Bumping _WINDOW_ROUND without re-pinning
+_PRIORITY makes any staleness drift visible again, which is the point.
 """
 
 from __future__ import annotations
@@ -23,27 +28,28 @@ import json
 import os
 import re
 
-from palo_spark.suite import _PRIORITY, _RESCHEDULED_OK, _WINDOW_ROUND, all_queries
+from palo_spark.suite import _PRIORITY, _WINDOW_ROUND, all_queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _green_before(round_n: int) -> set[str]:
-    green: set[str] = set()
+def _last_green_before(round_n: int) -> dict[str, int]:
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m or int(m.group(1)) >= round_n:
             continue
+        rn = int(m.group(1))
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
                 continue
             # the driver emits hash_match=None for rows-only (no-oracle)
-            # checks; those still consume the entry's rotation slot
+            # checks; those still count as driver evidence for freshness
             if row.get("rows_match") and row.get("schema_match") and (
                 row.get("hash_match") in (True, None)
             ):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rn)
+    return last
 
 
 def test_window_entries_exist_in_registry():
@@ -52,21 +58,19 @@ def test_window_entries_exist_in_registry():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
 
 
-def test_window_is_not_stale():
-    green = _green_before(_WINDOW_ROUND)
-    stale = [n for n in _PRIORITY[:50] if n in green and n not in _RESCHEDULED_OK]
-    assert not stale, (
-        f"window entries already driver-green before r{_WINDOW_ROUND} "
-        f"(rotate them out or justify in _RESCHEDULED_OK): {stale}"
+def test_window_is_the_stalest_50():
+    """The pinned window must equal the rule's output: the 50 least-
+    recently-driver-green registry entries (never-green first), sorted
+    by (last_green_round, name)."""
+    last = _last_green_before(_WINDOW_ROUND)
+    qs = list(all_queries())
+    expected = sorted(qs, key=lambda n: (last.get(n, 0), n))[:50]
+    assert _PRIORITY == expected, (
+        "window is not the 50 stalest entries — re-pin _PRIORITY "
+        f"(and bump _WINDOW_ROUND if rotating):\n"
+        f"  missing from window: {[n for n in expected if n not in _PRIORITY]}\n"
+        f"  should not be in window: {[n for n in _PRIORITY if n not in expected]}"
     )
-
-
-def test_rescheduled_entries_are_in_ledger():
-    # _RESCHEDULED_OK must name entries that ARE ledger-green — otherwise
-    # the exception list itself has gone stale
-    green = _green_before(_WINDOW_ROUND)
-    bogus = [n for n in _RESCHEDULED_OK if n not in green]
-    assert not bogus, f"_RESCHEDULED_OK entries never green anyway: {bogus}"
 
 
 def test_window_is_full():
