@@ -2585,8 +2585,9 @@ class PaloSession:
             (the sync-rollup grammar) over the same base whose group
             columns, filter columns, and aggregates the MV's own
             grouped body covers (SUM/COUNT re-aggregate as SUM over
-            the snapshot, MIN/MAX as MIN/MAX — classic rollup
-            derivation);
+            the snapshot, MIN/MAX as MIN/MAX, AVG(x) derives as
+            SUM(sum_x)/SUM(count_x) when the MV stores that pair —
+            classic rollup derivation);
         (b) freshness — the state token of every session table the
             body reaches still equals the one recorded when the
             snapshot was materialized. A stale snapshot NEVER
@@ -2656,6 +2657,22 @@ class PaloSession:
                     derived.append(F.col(it["col"]).alias(it["alias"]))
                     continue
                 canon = it["measure_names"][0]
+                if canon.startswith("avg_"):
+                    # AVG derives from a stored SUM + COUNT pair over
+                    # the SAME column (count_col is the null-aware
+                    # count AVG needs; count_all would miscount NULLs)
+                    mcol = canon[4:]
+                    s = stored.get(f"sum_{mcol}")
+                    cnt = stored.get(f"count_{mcol}")
+                    if s is None or cnt is None:
+                        ok = False
+                        break
+                    derived.append(
+                        (F.sum(F.col(s)) / F.sum(F.col(cnt))).alias(
+                            it["alias"]
+                        )
+                    )
+                    continue
                 col = stored.get(canon)
                 if col is None:
                     ok = False
@@ -2701,6 +2718,20 @@ class PaloSession:
         base, group_cols, items, where_text, _ = parsed
         if where_text:
             raise ValueError("MATERIALIZED VIEW WHERE clauses are unsupported")
+        if any(
+            nm.startswith("avg_")
+            for it in items
+            if it["kind"] == "agg"
+            for nm in it["measure_names"]
+        ):
+            # AVG is not re-aggregable across loads — upstream's rollup
+            # guidance is to store SUM + COUNT instead (the rewrite
+            # derives AVG from them transparently)
+            raise ValueError(
+                "AVG is not a storable rollup measure: store SUM(col) "
+                "and COUNT(col) in the materialized view instead — "
+                "queries asking AVG(col) are answered from that pair"
+            )
         # synchronous MVs exist only on internal OLAP tables (upstream:
         # external tables support ASYNC MVs with explicit refresh).
         # Building one over an external-catalog table would snapshot the

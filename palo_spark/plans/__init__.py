@@ -436,7 +436,10 @@ _SQL_AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ITEM_AGG_RE = re.compile(
-    r"^(?P<func>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
+    # AVG parses (r11: the async-MV rewrite derives it as
+    # SUM(sum_x)/SUM(count_x)); it is NOT a storable rollup measure —
+    # every storage-side consumer checks the kind and declines
+    r"^(?P<func>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )

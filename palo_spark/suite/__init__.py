@@ -54,6 +54,7 @@ _PRIORITY = [
     # never driver-green: the r10 window cut off at slot 50, these 3
     # r10 additions overflowed (plus any r11 additions, by the rule)
     "sql_alias_function",
+    "sql_async_mv_avg_rewrite",
     "sql_hash_functions",
     "sql_update_from_join",
     # last green r01 — ten rounds of code churn ago
@@ -104,7 +105,6 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test

@@ -1293,6 +1293,79 @@ def _sql_async_mv_transparent_rewrite(spark, sf_dir):
 
 
 QUERIES["sql_async_mv_transparent_rewrite"] = _sql_async_mv_transparent_rewrite
+
+
+def _sql_async_mv_avg_rewrite(spark, sf_dir):
+    """AVG derivation through the transparent async-MV rewrite (r11,
+    VERDICT r10 #6): the MV stores SUM(total_cents) + COUNT(total_cents)
+    per (status, priority); the query asks AVG per priority — a COARSER
+    group and an aggregate the snapshot does not store directly. The
+    session derives AVG as SUM(sum)/SUM(count) over the snapshot with a
+    residual groupBy. Fail-loud if the rewrite did not fire or the plan
+    still scans the base rowsets. The division is one IEEE op on
+    exactly-representable integer sums, so the double is deterministic
+    and oracle-identical."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    t = ps._create_table(
+        "CREATE TABLE avg_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `o_orderpriority` VARCHAR(15), `total_cents` BIGINT) "
+        "DUPLICATE KEY(o_orderkey) DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("avg_orders")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW avg_mv BUILD IMMEDIATE REFRESH COMPLETE
+        ON MANUAL AS
+        SELECT o_orderstatus, o_orderpriority,
+               SUM(total_cents) AS sum_cents,
+               COUNT(total_cents) AS cnt_cents
+        FROM avg_orders GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+    out = ps.sql(
+        "SELECT o_orderpriority, AVG(total_cents) AS avg_cents, "
+        "COUNT(total_cents) AS n_orders FROM avg_orders "
+        "GROUP BY o_orderpriority"
+    )
+    if ps.last_mv_rewrite != "avg_mv":
+        raise RuntimeError(
+            "transparent AVG rewrite did not fire "
+            f"(last_mv_rewrite={ps.last_mv_rewrite!r})"
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace("\n", " ")
+    if "_async_mv/avg_mv" not in flat and "FileScan" not in flat:
+        raise RuntimeError("rewritten plan does not scan the MV snapshot")
+    return out.orderBy("o_orderpriority")
+
+
+QUERIES["sql_async_mv_avg_rewrite"] = _sql_async_mv_avg_rewrite
+ORACLE["sql_async_mv_avg_rewrite"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
 ORACLE["sql_async_mv_transparent_rewrite"] = """
     SELECT o_orderpriority,
            CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1911,10 +1911,35 @@ def test_async_mv_transparent_rewrite(ps):
     ps.sql("SELECT g, sum(v) AS sum_v FROM rwb GROUP BY g")
     assert ps.last_mv_rewrite is None
     ps.sql("SET enable_materialized_view_rewrite = true")
-    # a NON-derivable aggregate (avg not stored) falls back to base
+    # a NON-derivable aggregate (min not stored) falls back to base
     df = ps.sql("SELECT g, min(v) AS mn FROM rwb GROUP BY g")
     assert ps.last_mv_rewrite is None
     assert sorted((r.g, r.mn) for r in df.collect()) == [("a", 10), ("b", 20)]
+    # AVG derives from a stored SUM + COUNT(col) pair (r11): the MV
+    # above stores sum_v + count(*) only — count(*) is NOT the
+    # null-aware count AVG needs, so no rewrite yet
+    df = ps.sql("SELECT g, avg(v) AS av FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite is None
+    ps.sql("CREATE MATERIALIZED VIEW rwmv2 BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT g, sum(v) AS sv, count(v) AS cv "
+           "FROM rwb GROUP BY g")
+    df = ps.sql("SELECT g, avg(v) AS av FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv2"
+    assert sorted((r.g, r.av) for r in df.collect()) == [
+        ("a", 140 / 3), ("b", 20.0)]
+    # NULLs in the measure: stored count(v) keeps AVG exact
+    ps.sql("INSERT INTO rwb VALUES (5,'b',NULL)")
+    ps.sql("REFRESH MATERIALIZED VIEW rwmv2")
+    df = ps.sql("SELECT g, avg(v) AS av FROM rwb GROUP BY g")
+    assert ps.last_mv_rewrite == "rwmv2"
+    assert sorted((r.g, r.av) for r in df.collect()) == [
+        ("a", 140 / 3), ("b", 20.0)]
+    # a SYNC rollup MV refuses to store AVG, pointing at the pair
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="SUM"):
+        ps.sql("CREATE MATERIALIZED VIEW badavg AS "
+               "SELECT g, avg(v) AS av FROM rwb GROUP BY g")
 
 
 def test_async_mv_rewrite_never_unprovable(ps, tmp_path):
