@@ -64,13 +64,20 @@ def _run(ps, seed: int, phases: int = 12) -> None:
     repo_made = False
     snapshots: dict[str, dict] = {}
     snap_n = 0
+    # r11 axes: UPDATE ... FROM (join-update) and scheduled-job ticks
+    # in the same mix — the job stores statement TEXT, so a
+    # rename_table in between makes its next occurrence FAIL loudly
+    # (recorded task row) instead of writing through a stale handle
+    src_made = False
+    job_made = False
+    job_now = None
     for _ in range(phases):
         op = rng.choices(
             ["insert", "create_mv", "drop_mv", "delete", "truncate",
              "overwrite", "update", "rename_table", "add_column",
              "drop_column", "backup", "restore_check",
-             "restore_in_place"],
-            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4, 6, 6, 5],
+             "restore_in_place", "update_from", "job_tick"],
+            weights=[40, 12, 8, 10, 5, 8, 12, 5, 6, 4, 6, 6, 5, 8, 6],
         )[0]
         if op == "insert":
             rows = [
@@ -186,6 +193,38 @@ def _run(ps, seed: int, phases: int = 12) -> None:
             ps.sql(f"RESTORE SNAPSHOT {label} FROM fzrepo{seed} ON ({name})")
             model = {k: dict(r) for k, r in snapshots[label]["model"].items()}
             extra_col_n = snapshots[label]["extra_col_n"]
+        elif op == "update_from":
+            if not model:
+                continue
+            if not src_made:
+                ps.sql(f"CREATE TABLE fzsrc{seed} (k BIGINT, dv DOUBLE) "
+                       "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+                ps.sql(f"INSERT INTO fzsrc{seed} VALUES " + ", ".join(
+                    f"({k}, {float(k + 1)})" for k in range(5)))
+                src_made = True
+            ps.sql(f"UPDATE {name} SET val = val + s.dv FROM fzsrc{seed} s "
+                   f"WHERE {name}.k = s.k")
+            for k, r in model.items():
+                if k <= 4:
+                    r["val"] += float(k + 1)
+        elif op == "job_tick":
+            from datetime import datetime as _dt, timedelta as _td
+
+            if not job_made:
+                # DO text captures the CURRENT table name; a later
+                # rename makes occurrences fail as task rows
+                ps.sql(f"CREATE JOB fzjob{seed} ON SCHEDULE EVERY 1 HOUR "
+                       "STARTS '2030-01-01 00:00:00' DO "
+                       f"INSERT INTO {name} (k, grp, val) VALUES (7,'a',3.0)")
+                job_made = True
+                job_now = _dt.fromisoformat("2030-01-01 00:00:00")
+            ps.tick_jobs(job_now)
+            last = ps.insert_jobs[f"fzjob{seed}"]["tasks"][-1]
+            if last["status"] == "SUCCESS":
+                model[7] = {"grp": "a", "val": 3.0}
+            else:  # the table was renamed away — loud failure, no write
+                assert "unknown" in last["err"] or "table" in last["err"]
+            job_now = job_now + _td(hours=1)
         else:  # rename_table
             new = f"{name}_r{mv_n}{len(model)}"
             ps.sql(f"ALTER TABLE {name} RENAME {new}")
@@ -195,6 +234,10 @@ def _run(ps, seed: int, phases: int = 12) -> None:
         else:
             assert ps.sql(f"SELECT * FROM {name}").count() == 0
     # final: lifecycle teardown must leave no zombies for a reused name
+    if job_made:
+        ps.sql(f"DROP JOB WHERE jobname = 'fzjob{seed}'")
+    if src_made:
+        ps.sql(f"DROP TABLE fzsrc{seed}")
     ps.sql(f"DROP TABLE {name}")
     assert all(
         base != name for _, base, _, _ in
@@ -263,6 +306,21 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         '"format"="parquet")',
         "SELECT count(*) AS tvn FROM fztv",
     ]
+    # r11 axis: a STATIC-partitioned table in the same mix — partition
+    # truncate and temp-partition REPLACE are metadata/directory ops,
+    # so a stale cache hit or stale transparent rewrite after either
+    # is exactly the class this fuzzer exists to catch
+    ps.sql("CREATE TABLE fzp (`k` BIGINT, `d` DATETIME, `pv` BIGINT) "
+           "DUPLICATE KEY(k, d) PARTITION BY RANGE(`d`) ("
+           "  PARTITION p_lo VALUES LESS THAN ('2000-01-01'),"
+           "  PARTITION p_hi VALUES LESS THAN (MAXVALUE)"
+           ") DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO fzp VALUES (1, '1999-01-01 00:00:00', 10), "
+           "(2, '2001-01-01 00:00:00', 20)")
+    probes.append("SELECT sum(pv) AS ps_ FROM fzp")
+    probes.append("SELECT count(*) AS pn FROM fzp WHERE d < '2000-01-01'")
+    pk = 1000
+    temp_n = 0
     # r10: a SECOND session attached to the same warehouse — its
     # commits go through its own Table handles, exercising the
     # cross-session convergence sweep + state-token cache invalidation
@@ -274,7 +332,7 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
             ["insert", "insert", "delete", "truncate", "drop_recreate",
              "replace_view", "set_tz", "amv_create", "amv_refresh",
              "amv_drop_recreate", "cat_swap", "foreign_insert",
-             "tvf_swap"]
+             "tvf_swap", "part_insert", "part_truncate", "part_replace"]
         )
         if op == "insert":
             k += 1
@@ -318,6 +376,28 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
             # a new row count): the next TVF probe must see it
             spark.range(rng.randint(1, 9)).selectExpr(
                 "id AS x").write.mode("overwrite").parquet(str(tdir))
+        elif op == "part_insert":
+            pk += 1
+            yr = rng.choice(["1998", "1999", "2001", "2002"])
+            ps.sql(f"INSERT INTO fzp VALUES ({pk}, "
+                   f"'{yr}-0{rng.randint(1, 9)}-01 00:00:00', "
+                   f"{rng.randint(0, 99)})")
+        elif op == "part_truncate":
+            ps.sql("TRUNCATE TABLE fzp PARTITION "
+                   f"({rng.choice(['p_lo', 'p_hi'])})")
+        elif op == "part_replace":
+            # stage a rebuilt low partition under a temp label, swap it
+            # in atomically — every cached/rewritten probe must see the
+            # post-swap world
+            temp_n += 1
+            ps.sql(f"ALTER TABLE fzp ADD TEMPORARY PARTITION tz{temp_n} "
+                   "VALUES LESS THAN ('2000-01-01')")
+            pk += 1
+            ps.sql(f"INSERT INTO fzp TEMPORARY PARTITION (tz{temp_n}) "
+                   f"VALUES ({pk}, '1999-06-01 00:00:00', "
+                   f"{rng.randint(100, 199)})")
+            ps.sql("ALTER TABLE fzp REPLACE PARTITION (p_lo) WITH "
+                   f"TEMPORARY PARTITION (tz{temp_n})")
         elif op == "cat_swap":
             n = rng.randint(2, 6)
             spark.range(n).selectExpr("id AS k", "id * 3 AS v2").write.mode(
