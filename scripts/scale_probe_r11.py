@@ -46,7 +46,8 @@ def probe_ngram(spark):
                     *[
                         F.element_at(
                             F.array(*[F.lit(w) for w in words]),
-                            (F.xxhash64("id", F.lit(i)) % 14 + 14) % 14 + 1,
+                            ((F.xxhash64("id", F.lit(i)) % 14 + 14) % 14 + 1)
+                            .cast("int"),
                         )
                         for i in range(12)
                     ],
@@ -61,19 +62,20 @@ def probe_ngram(spark):
         )
         t.insert(docs)
         ps._refresh_view(f"ngp_{mult}")
+        # warm the scan (parquet footers, codegen) so timings compare
+        # plan+execute, not first-touch
+        ps.sql(f"SELECT count(*) AS n FROM ngp_{mult}").collect()
+        q = (f"SELECT count(*) AS n FROM ngp_{mult} "
+             "WHERE `text` LIKE '%merge part%'")
+        # full-scan twin measured BEFORE the index exists
+        full = _timeit(lambda: ps.sql(q).collect())
+        assert not ps.last_like_indexed
         build = _timeit(lambda: ps.sql(
             f"CREATE INDEX ngp_{mult}_ix ON ngp_{mult} (text) USING "
             "NGRAM_BF PROPERTIES('gram_size'='3', 'bf_size'='256')"
         ))
-        q = (f"SELECT count(*) AS n FROM ngp_{mult} "
-             "WHERE `text` LIKE '%merge part%'")
         indexed = _timeit(lambda: ps.sql(q).collect())
         assert ps.last_like_indexed
-        full = _timeit(lambda: ps.sql(
-            f"SELECT count(*) AS n FROM ngp_{mult} "
-            "WHERE `text` LIKE '%merge par' || 't%'"  # defeats the route
-        ).collect())
-        assert not ps.last_like_indexed
         out[mult] = (build, indexed, full)
         print(f"  {mult} ({n} docs): index build {build}s, "
               f"indexed probe {indexed}s, full-scan LIKE {full}s")
