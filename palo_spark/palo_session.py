@@ -448,6 +448,52 @@ _BACKUP_RE = re.compile(
     r"ON\s*\(\s*(?P<tables>[`\w,\s]+?)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+#: privilege / ACL statements ([docs: privilege, row-policy]) — users,
+#: roles, GRANT/REVOKE on a scope or of roles, row policies
+_CREATE_USER_RE = re.compile(
+    r"^\s*CREATE\s+USER\s+(?:IF\s+NOT\s+EXISTS\s+)?'(?P<name>[\w.-]+)'"
+    r"(?:@'%')?(?:\s+IDENTIFIED\s+BY\s+'[^']*')?"
+    r"(?:\s+DEFAULT\s+ROLE\s+'(?P<role>[\w.-]+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_USER_RE = re.compile(
+    r"^\s*DROP\s+USER\s+'(?P<name>[\w.-]+)'(?:@'%')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_ROLE_RE = re.compile(
+    r"^\s*CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?'?(?P<name>[\w.-]+)'?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_ROLE_RE = re.compile(
+    r"^\s*DROP\s+ROLE\s+'?(?P<name>[\w.-]+)'?\s*;?\s*$", re.IGNORECASE
+)
+_GRANT_PRIV_RE = re.compile(
+    r"^\s*(?P<op>GRANT|REVOKE)\s+(?P<privs>[\w\s,]+?)\s+ON\s+"
+    r"(?P<scope>(?:`?[\w*]+`?\.)*`?[\w*]+`?)\s+"
+    r"(?P<dir>TO|FROM)\s+(?:(?P<isrole>ROLE\s+)?'(?P<who>[\w.-]+)'(?:@'%')?)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_GRANT_ROLE_RE = re.compile(
+    r"^\s*(?P<op>GRANT|REVOKE)\s+(?P<roles>'[\w.-]+'(?:\s*,\s*'[\w.-]+')*)\s+"
+    r"(?P<dir>TO|FROM)\s+'(?P<who>[\w.-]+)'(?:@'%')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ROW_POLICY_RE = re.compile(
+    r"^\s*CREATE\s+ROW\s+POLICY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"`?(?P<name>\w+)`?\s+ON\s+`?(?P<tbl>\w+)`?\s+"
+    r"AS\s+(?P<kind>RESTRICTIVE|PERMISSIVE)\s+TO\s+"
+    r"(?:(?P<isrole>ROLE\s+)?'(?P<who>[\w.-]+)'(?:@'%')?)\s+"
+    r"USING\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_ROW_POLICY_RE = re.compile(
+    r"^\s*DROP\s+ROW\s+POLICY\s+(?:IF\s+EXISTS\s+)?`?(?P<name>\w+)`?\s+"
+    r"ON\s+`?(?P<tbl>\w+)`?(?:\s+FOR\s+.+?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+SNAPSHOT\s+`?(?P<label>\w+)`?\s+FROM\s+`?(?P<repo>\w+)`?\s+"
     r"ON\s*\(\s*(?P<tables>[`\w,\s]+?(?:\s+AS\s+[`\w]+)?(?:\s*,\s*[`\w]+"
@@ -728,6 +774,15 @@ class PaloSession:
         #: filesystem-lite stand-in for Doris's broker/S3 repos):
         #: name → directory. Snapshots live at <dir>/<label>/.
         self.repositories: dict[str, str] = {}
+        #: privilege / row-policy state ([docs: privilege, row-policy]);
+        #: the session starts as root (upstream's bootstrap identity) —
+        #: switch with su(). Internal maintenance (MV refresh, job DO
+        #: bodies) runs definer-rights via _sql_nocache's exemption.
+        from palo_spark.privileges import AccessController
+
+        self.access = AccessController()
+        self.current_user = "root"
+        self._definer_depth = 0
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -1150,6 +1205,239 @@ class PaloSession:
         return new
 
     # -------------------------------------------------- backup / restore
+
+    # ------------------------------------------------- privileges / ACL
+
+    def su(self, user: str) -> None:
+        """Switch the session identity ([docs: privilege]) — the
+        embedded analog of reconnecting with the mysql client as
+        another user. Anyone may switch in this single-process sandbox
+        (there is no wire handshake to authenticate against); what the
+        new identity can DO is decided per-statement by the grants."""
+        user = user.lower()
+        if user not in self.access.users:
+            raise ValueError(f"unknown user {user!r}")
+        self.current_user = user
+
+    @staticmethod
+    def _priv_scope(scope_text: str) -> str:
+        """Normalize a Doris grant scope (``ctl.db.tbl`` / ``db.*`` /
+        ``*.*.*`` / bare table) onto this session's flat namespace:
+        the last component if it names a table, else the global '*'."""
+        last = scope_text.replace("`", "").split(".")[-1].strip().lower()
+        return "*" if last in ("", "*") else last
+
+    def _try_privilege_stmt(self, stripped: str, up: str):
+        """Dispatch the privilege/ACL statement family; returns
+        (handled, result)."""
+        from palo_spark.privileges import ALL_PRIVS, PRIVS, RowPolicy
+
+        m = _CREATE_USER_RE.match(stripped)
+        if m:
+            if "IF NOT EXISTS" in up and m.group("name").lower() in self.access.users:
+                return True, None
+            self.access.create_user(m.group("name"), m.group("role"))
+            return True, None
+        m = _DROP_USER_RE.match(stripped)
+        if m:
+            self.access.drop_user(m.group("name"))
+            if self.current_user == m.group("name").lower():
+                self.current_user = "root"
+            return True, None
+        m = _CREATE_ROLE_RE.match(stripped)
+        if m and up.lstrip().startswith("CREATE ROLE"):
+            if "IF NOT EXISTS" in up and m.group("name").lower() in self.access.roles:
+                return True, None
+            self.access.create_role(m.group("name"))
+            return True, None
+        m = _DROP_ROLE_RE.match(stripped)
+        if m and up.lstrip().startswith("DROP ROLE"):
+            self.access.drop_role(m.group("name"))
+            return True, None
+        m = _ROW_POLICY_RE.match(stripped)
+        if m:
+            self.access.add_policy(RowPolicy(
+                name=m.group("name").lower(),
+                table=m.group("tbl").lower(),
+                kind=m.group("kind").upper(),
+                to_kind="role" if m.group("isrole") else "user",
+                to_name=m.group("who").lower(),
+                expr=m.group("expr").strip(),
+            ))
+            return True, None
+        m = _DROP_ROW_POLICY_RE.match(stripped)
+        if m and "ROW POLICY" in up:
+            try:
+                self.access.drop_policy(
+                    m.group("name").lower(), m.group("tbl").lower()
+                )
+            except ValueError:
+                if "IF EXISTS" not in up:
+                    raise
+            return True, None
+        m = _GRANT_ROLE_RE.match(stripped)
+        if m:
+            op = m.group("op").upper()
+            if (op == "GRANT") != (m.group("dir").upper() == "TO"):
+                raise ValueError(f"{op} roles uses {'TO' if op == 'GRANT' else 'FROM'}")
+            for r in re.findall(r"'([\w.-]+)'", m.group("roles")):
+                if op == "GRANT":
+                    self.access.grant_role(r, m.group("who"))
+                else:
+                    self.access.revoke_role(r, m.group("who"))
+            return True, None
+        m = _GRANT_PRIV_RE.match(stripped)
+        if m:
+            op = m.group("op").upper()
+            if (op == "GRANT") != (m.group("dir").upper() == "TO"):
+                raise ValueError(f"{op} uses {'TO' if op == 'GRANT' else 'FROM'}")
+            privs: set[str] = set()
+            for p in m.group("privs").split(","):
+                p = p.strip().upper()
+                if p == "ALL":
+                    privs |= set(ALL_PRIVS)
+                    continue
+                if not p.endswith("_PRIV"):
+                    p += "_PRIV"
+                if p not in PRIVS:
+                    raise ValueError(f"unknown privilege {p!r}")
+                privs.add(p)
+            scope = self._priv_scope(m.group("scope"))
+            kind = "role" if m.group("isrole") else "user"
+            if op == "GRANT":
+                self.access.grant(privs, scope, kind, m.group("who"))
+            else:
+                self.access.revoke(privs, scope, kind, m.group("who"))
+            return True, None
+        return False, None
+
+    #: statement-family → required privilege ([docs: privilege] — the
+    #: FE's PrivPredicate mapping, collapsed to this engine's surface).
+    #: Families absent here are handled structurally: queries check
+    #: SELECT_PRIV per reached table, SHOW/DESC/SET/USE/REFRESH are
+    #: metadata-safe, privilege DDL checks GRANT_PRIV.
+    _PRIV_BY_KEYWORD = {
+        "INSERT": "LOAD_PRIV", "UPDATE": "LOAD_PRIV",
+        "DELETE": "LOAD_PRIV", "TRUNCATE": "LOAD_PRIV",
+        "LOAD": "LOAD_PRIV", "PAUSE": "LOAD_PRIV",
+        "RESUME": "LOAD_PRIV", "STOP": "LOAD_PRIV",
+        "CREATE": "CREATE_PRIV", "DROP": "DROP_PRIV",
+        "RECOVER": "DROP_PRIV", "ALTER": "ALTER_PRIV",
+        "BACKUP": "ADMIN_PRIV", "RESTORE": "ADMIN_PRIV",
+        "GRANT": "GRANT_PRIV", "REVOKE": "GRANT_PRIV",
+    }
+
+    #: second-keyword targets whose name follows for table-scoped checks
+    _PRIV_TARGET_RE = re.compile(
+        r"^\s*(?:INSERT\s+(?:OVERWRITE\s+)?(?:INTO\s+)?(?:TABLE\s+)?"
+        r"|UPDATE\s+|DELETE\s+FROM\s+|TRUNCATE\s+TABLE\s+"
+        r"|ALTER\s+TABLE\s+|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?)"
+        r"`?(?P<name>\w+)`?",
+        re.IGNORECASE,
+    )
+
+    def _enforce_privileges(self, stripped: str, up: str) -> None:
+        """Per-statement authorization for non-root identities
+        ([docs: privilege]): queries need SELECT_PRIV on every session
+        table the text reaches (views expand to their bases — a view
+        cannot launder access); mutations need LOAD_PRIV on the target;
+        DDL families map per _PRIV_BY_KEYWORD, checked table-scoped
+        when the target parses, global otherwise. Raises
+        PermissionError — loud, never a silent empty result."""
+        if self.access.is_superuser(self.current_user):
+            return
+        kw = up.split(None, 1)[0] if up.split() else ""
+        if kw in ("SELECT", "WITH", "VALUES", "DESC", "DESCRIBE",
+                  "EXPLAIN", "SHOW", "SET", "USE", "REFRESH", "HELP"):
+            reached, _ = self._expand_view_refs(stripped)
+            # an async MV cannot launder access either: reading its
+            # snapshot requires SELECT on the bases its body reaches
+            # (invoker-rights — upstream gates the MV itself; this
+            # engine's grants are table-scoped, so the bases ARE the
+            # grant surface)
+            for n, mv in self.async_mvs.items():
+                if re.search(rf"\b{re.escape(n)}\b", stripped, re.IGNORECASE):
+                    reached |= self._expand_view_refs(mv["body"])[0]
+            for t in sorted(reached):
+                if not self.access.has_priv(
+                    self.current_user, "SELECT_PRIV", t
+                ):
+                    raise PermissionError(
+                        f"user {self.current_user!r} lacks SELECT_PRIV "
+                        f"on table {t!r}"
+                    )
+            return
+        if "ROW POLICY" in up or kw in ("GRANT", "REVOKE") or re.match(
+            r"^(?:CREATE|DROP)\s+(?:USER|ROLE)\b", up
+        ):
+            if not self.access.has_priv(self.current_user, "GRANT_PRIV"):
+                raise PermissionError(
+                    f"user {self.current_user!r} lacks GRANT_PRIV"
+                )
+            return
+        need = self._PRIV_BY_KEYWORD.get(kw)
+        if need is None:
+            raise PermissionError(
+                f"user {self.current_user!r} is not authorized for "
+                f"{kw or stripped[:20]!r} statements (ADMIN_PRIV required)"
+            )
+        tm = self._PRIV_TARGET_RE.match(stripped)
+        target = tm.group("name").lower() if tm else None
+        if not self.access.has_priv(self.current_user, need, target):
+            where = f" on table {target!r}" if target else ""
+            raise PermissionError(
+                f"user {self.current_user!r} lacks {need}{where}"
+            )
+        # a mutation's embedded reads (INSERT ... SELECT, UPDATE FROM,
+        # DELETE USING) still need SELECT on the OTHER tables reached
+        reached, _ = self._expand_view_refs(stripped)
+        for t in sorted(reached - {target}):
+            if not self.access.has_priv(self.current_user, "SELECT_PRIV", t):
+                raise PermissionError(
+                    f"user {self.current_user!r} lacks SELECT_PRIV on "
+                    f"table {t!r}"
+                )
+
+    def _applicable_policies(self, text: str) -> dict[str, str]:
+        """Row-policy predicates for the current user over every session
+        table the statement reaches (transitively through views — a
+        view cannot launder policy rows). Empty for exempt users."""
+        if not self.access.policies or self.access.is_superuser(
+            self.current_user
+        ):
+            return {}
+        reached, _ = self._expand_view_refs(text)
+        out = {}
+        for t in sorted(reached):
+            f = self.access.policy_filter(self.current_user, t)
+            if f is not None:
+                out[t] = f
+        return out
+
+    def _run_with_row_policies(self, stripped: str, pol: dict[str, str]):
+        """Execute a query with each policied table's temp view swapped
+        for its filtered projection (views re-resolve against temp
+        views at query time, so the filter flows through session views
+        too), then restore. Result caching, transparent MV rewrite,
+        and rollup answering are bypassed — their stores hold
+        UNFILTERED data, and a policy user must never see it. Filtered
+        dfs are all built BEFORE any swap (a policy predicate may
+        reference its own table's columns only)."""
+        filtered = {}
+        for tbl, expr in pol.items():
+            filtered[tbl] = doris_sql(
+                self.spark, f"SELECT * FROM `{tbl}` WHERE {expr}"
+            )
+        try:
+            for tbl, df in filtered.items():
+                df.createOrReplaceTempView(tbl)
+            return doris_sql(self.spark, stripped)
+        finally:
+            for tbl in filtered:
+                t = self.tables.get(tbl)
+                base = self._table_df(t) if t is not None else None
+                if base is not None:
+                    base.createOrReplaceTempView(tbl)
 
     def _backup_snapshot(self, label: str, repo: str, tables: list[str]):
         """Doris ``BACKUP SNAPSHOT label TO repo ON (t1, ...)``
@@ -1753,10 +2041,40 @@ class PaloSession:
         ):
             return self._nodes_df({})
         if up.startswith("SHOW GRANTS"):
-            return mk(
-                [("'root'@'%'", "ALL", "*.*")],
-                "UserIdentity string, Privs string, Scope string",
+            fm = re.search(
+                r"FOR\s+'?([\w.-]+)'?", stripped, re.IGNORECASE
             )
+            who = (fm.group(1) if fm else self.current_user).lower()
+            if who == "root":
+                rows = [("'root'@'%'", "*", "ADMIN_PRIV")]
+            else:
+                if who not in self.access.users:
+                    raise ValueError(f"unknown user {who!r}")
+                rows = self.access.grants_rows(who)
+            return mk(
+                rows, "UserIdentity string, Scope string, Privs string"
+            )
+        if up.startswith("SHOW ROLES"):
+            return mk(
+                [(r,) for r in sorted(self.access.roles)], "Name string"
+            )
+        if up.startswith("SHOW ROW POLICY"):
+            fm = re.search(
+                r"FOR\s+'?([\w.-]+)'?", stripped, re.IGNORECASE
+            )
+            pols = self.access.policies
+            if fm:
+                w = fm.group(1).lower()
+                pols = [p for p in pols if p.to_name == w]
+            return mk(
+                [
+                    (p.name, p.table, p.kind,
+                     f"{p.to_kind} '{p.to_name}'", p.expr)
+                    for p in pols
+                ] or [("", "", "", "", "")],
+                "PolicyName string, TableName string, Type string, "
+                "GranteeName string, WherePredicate string",
+            ).filter("PolicyName <> ''")
         if up.startswith("SHOW COLLATION"):
             return mk(
                 [("utf8mb4_0900_bin", "utf8mb4", 309)],
@@ -2225,9 +2543,14 @@ class PaloSession:
         prev_mvr = self.mv_rewrite_enabled
         self.result_cache_enabled = False
         self.mv_rewrite_enabled = False
+        # definer-rights: internal work authorizes as the session's
+        # machinery, not the current identity ([docs: privilege] — the
+        # FE runs MV/job maintenance with its own authority)
+        self._definer_depth += 1
         try:
             return self.sql(text)
         finally:
+            self._definer_depth -= 1
             self.result_cache_enabled = prev
             self.mv_rewrite_enabled = prev_mvr
 
@@ -3442,6 +3765,14 @@ class PaloSession:
                     "<table> only"
                 )
         up = stripped.upper()
+        # authorization first ([docs: privilege]): non-root identities
+        # are checked per statement; internal maintenance (MV refresh,
+        # scheduled-job DO bodies) runs definer-rights via _sql_nocache
+        if self.current_user != "root" and self._definer_depth == 0:
+            self._enforce_privileges(stripped, up)
+        handled, _priv_res = self._try_privilege_stmt(stripped, up)
+        if handled:
+            return _priv_res
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
             if lk:
@@ -4795,6 +5126,21 @@ class PaloSession:
 
             _, _vp = self._expand_view_refs(ref_text)
             refresh_tvf_views(self.spark, [b for _, b in _vp])
+        # row policies ([docs: row-policy]): a policied identity's query
+        # runs over filtered views, bypassing every unfiltered store
+        # (result cache, MV snapshots, rollups) — see
+        # _run_with_row_policies. Checked on the PRE-partition-rewrite
+        # text so view indirection cannot hide a policied base.
+        if (
+            self.current_user != "root"
+            and self._definer_depth == 0
+            and up.startswith(("SELECT", "WITH"))
+        ):
+            _pol = self._applicable_policies(ref_text)
+            if _pol:
+                self.last_cache_hit = False
+                self.last_mv_rewrite = None
+                return self._run_with_row_policies(stripped, _pol)
         self.last_cache_hit = False
         key = None
         touches_catalog = self._text_touches_catalog(stripped)

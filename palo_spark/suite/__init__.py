@@ -56,6 +56,7 @@ _PRIORITY = [
     "sql_alias_function",
     "sql_async_mv_avg_rewrite",
     "sql_hash_functions",
+    "sql_row_policy_filter",
     "sql_update_from_join",
     # last green r01 — ten rounds of code churn ago
     "case_when_projection",
@@ -104,7 +105,6 @@ _PRIORITY = [
     "tpch_q22_global_sales_opp",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test

@@ -1378,6 +1378,75 @@ ORACLE["sql_async_mv_transparent_rewrite"] = """
 """
 
 
+def _sql_row_policy_filter(spark, sf_dir):
+    """Doris privilege + row-policy surface (r11, [docs: privilege,
+    row-policy]): a SELECT-granted identity with a RESTRICTIVE policy
+    sees only its rows — including through a GROUP BY and a session
+    view — while root stays unfiltered. The oracle states the policy
+    predicate explicitly. Fail-loud: raises if the policied identity's
+    result silently equalled root's (policy not applied)."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    t = ps._create_table(
+        "CREATE TABLE rp_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `o_orderpriority` VARCHAR(15), `total_cents` BIGINT) "
+        "DUPLICATE KEY(o_orderkey) DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("rp_orders")
+    ps.sql("CREATE USER IF NOT EXISTS 'auditor'")
+    ps.sql("GRANT SELECT_PRIV ON rp_orders TO 'auditor'")
+    ps.sql(
+        "CREATE ROW POLICY IF NOT EXISTS finished_only ON rp_orders AS "
+        "RESTRICTIVE TO 'auditor' USING (o_orderstatus = 'F')"
+    )
+    root_n = ps.sql("SELECT count(*) AS n FROM rp_orders").collect()[0]["n"]
+    ps.su("auditor")
+    try:
+        out = ps.sql(
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "SUM(total_cents) AS sum_cents FROM rp_orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        )
+        seen = out.agg(F.sum("n_orders")).collect()[0][0]
+        if seen >= root_n:
+            raise RuntimeError(
+                f"row policy not applied: auditor sees {seen} of "
+                f"{root_n} rows"
+            )
+    finally:
+        ps.su("root")
+    return out
+
+
+QUERIES["sql_row_policy_filter"] = _sql_row_policy_filter
+ORACLE["sql_row_policy_filter"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 def _sql_variant_subscript(spark, sf_dir):
     """Doris 2.1 VARIANT column end-to-end (r10, [docs: variant]): a
     session table DECLARES props VARIANT, loads the events fixture's

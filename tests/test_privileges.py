@@ -1,0 +1,209 @@
+"""Privilege / ACL / row-policy surface ([docs: privilege,
+row-policy]) — users, roles, GRANT/REVOKE, per-statement enforcement,
+and row policies that filter through views and compose
+RESTRICTIVE-AND / PERMISSIVE-OR, with every unfiltered store (result
+cache, MV snapshots, rollups) bypassed for policied identities."""
+
+from __future__ import annotations
+
+import pytest
+
+from palo_spark.palo_session import PaloSession
+
+
+@pytest.fixture()
+def ps(spark, tmp_path):
+    return PaloSession(spark, location_root=str(tmp_path))
+
+
+def _mk(ps):
+    ps.sql("CREATE TABLE acl_t (`k` BIGINT, `region` VARCHAR(8), `v` INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO acl_t VALUES (1,'eu',10),(2,'us',20),(3,'eu',30)")
+
+
+def test_grant_revoke_enforcement(ps):
+    _mk(ps)
+    ps.sql("CREATE USER 'alice'")
+    ps.su("alice")
+    with pytest.raises(PermissionError, match="SELECT_PRIV"):
+        ps.sql("SELECT k FROM acl_t")
+    with pytest.raises(PermissionError, match="LOAD_PRIV"):
+        ps.sql("INSERT INTO acl_t VALUES (9,'eu',90)")
+    with pytest.raises(PermissionError, match="DROP_PRIV"):
+        ps.sql("DROP TABLE acl_t")
+    with pytest.raises(PermissionError, match="GRANT_PRIV"):
+        ps.sql("GRANT SELECT_PRIV ON acl_t TO 'alice'")
+    ps.su("root")
+    ps.sql("GRANT SELECT_PRIV, LOAD_PRIV ON acl_t TO 'alice'")
+    ps.su("alice")
+    assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+    ps.sql("INSERT INTO acl_t VALUES (9,'eu',90)")
+    # INSERT ... SELECT still needs SELECT on the source
+    ps.su("root")
+    ps.sql("CREATE TABLE acl_src (`k` BIGINT, `region` VARCHAR(8), "
+           "`v` INT) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO acl_src VALUES (50,'eu',5)")
+    ps.su("alice")
+    with pytest.raises(PermissionError, match="acl_src"):
+        ps.sql("INSERT INTO acl_t SELECT * FROM acl_src")
+    ps.su("root")
+    ps.sql("REVOKE SELECT_PRIV ON acl_t FROM 'alice'")
+    ps.su("alice")
+    with pytest.raises(PermissionError, match="SELECT_PRIV"):
+        ps.sql("SELECT k FROM acl_t")
+
+
+def test_roles_and_global_scope(ps):
+    _mk(ps)
+    ps.sql("CREATE ROLE 'analyst'")
+    ps.sql("GRANT SELECT_PRIV ON *.*.* TO ROLE 'analyst'")
+    ps.sql("CREATE USER 'bob' DEFAULT ROLE 'analyst'")
+    ps.su("bob")
+    assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+    with pytest.raises(PermissionError):
+        ps.sql("CREATE TABLE bob_t (k BIGINT) DUPLICATE KEY(k) "
+               "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.su("root")
+    ps.sql("REVOKE 'analyst' FROM 'bob'")
+    ps.su("bob")
+    with pytest.raises(PermissionError):
+        ps.sql("SELECT k FROM acl_t")
+    ps.su("root")
+    # membership in built-in role 'admin' IS admin (upstream)
+    ps.sql("GRANT 'admin' TO 'bob'")
+    ps.su("bob")
+    ps.sql("CREATE TABLE bob_t (k BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("DROP TABLE bob_t")
+    # SHOW GRANTS / SHOW ROLES surfaces
+    ps.su("root")
+    rows = ps.sql("SHOW GRANTS FOR 'bob'").collect()
+    assert any("admin" in r["UserIdentity"] for r in rows) or rows
+    assert {"admin", "operator", "analyst"} <= {
+        r["Name"] for r in ps.sql("SHOW ROLES").collect()
+    }
+
+
+def test_row_policies_filter_and_compose(ps):
+    _mk(ps)
+    ps.sql("CREATE USER 'carol'")
+    ps.sql("GRANT SELECT_PRIV ON acl_t TO 'carol'")
+    ps.sql("CREATE ROW POLICY eu_only ON acl_t AS RESTRICTIVE TO 'carol' "
+           "USING (region = 'eu')")
+    ps.su("carol")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM acl_t").collect())
+    assert got == [1, 3]
+    # a view cannot launder policy rows (views re-resolve per query)
+    ps.su("root")
+    ps.sql("CREATE VIEW acl_v AS SELECT region, SUM(v) AS sv FROM acl_t "
+           "GROUP BY region")
+    ps.su("carol")
+    assert [(r["region"], r["sv"]) for r in
+            ps.sql("SELECT region, sv FROM acl_v").collect()] == [("eu", 40)]
+    # PERMISSIVE policies OR together, then AND with RESTRICTIVE
+    ps.su("root")
+    ps.sql("CREATE ROW POLICY hi ON acl_t AS PERMISSIVE TO 'carol' "
+           "USING (v >= 30)")
+    ps.sql("CREATE ROW POLICY lo ON acl_t AS PERMISSIVE TO 'carol' "
+           "USING (v <= 10)")
+    ps.su("carol")
+    got = sorted((r["k"], r["v"]) for r in
+                 ps.sql("SELECT k, v FROM acl_t").collect())
+    assert got == [(1, 10), (3, 30)]
+    # root and DROP ROW POLICY are unaffected / restore visibility
+    ps.su("root")
+    assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+    for pname in ("eu_only", "hi", "lo"):
+        ps.sql(f"DROP ROW POLICY {pname} ON acl_t")
+    ps.su("carol")
+    assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+
+
+def test_row_policy_bypasses_unfiltered_stores(ps):
+    """The result cache and the transparent MV rewrite hold UNFILTERED
+    data — a policied identity must never be served from either, and a
+    root-cached result must not leak to a policy user (nor the
+    filtered result back to root)."""
+    ps.result_cache_enabled = True
+    _mk(ps)
+    ps.sql("CREATE USER 'dave'")
+    ps.sql("GRANT SELECT_PRIV ON acl_t TO 'dave'")
+    ps.sql("CREATE ROW POLICY d_eu ON acl_t AS RESTRICTIVE TO 'dave' "
+           "USING (region = 'eu')")
+    q = "SELECT count(*) AS n FROM acl_t"
+    assert ps.sql(q).collect()[0]["n"] == 3  # root primes the cache
+    assert ps.sql(q).collect()[0]["n"] == 3 and ps.last_cache_hit
+    ps.su("dave")
+    assert ps.sql(q).collect()[0]["n"] == 2
+    assert not ps.last_cache_hit
+    ps.su("root")
+    assert ps.sql(q).collect()[0]["n"] == 3
+    # transparent MV rewrite: fresh snapshot serves root, never dave
+    ps.sql("CREATE MATERIALIZED VIEW acl_mv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT region, SUM(v) AS sv FROM acl_t "
+           "GROUP BY region")
+    df = ps.sql("SELECT region, SUM(v) AS sv FROM acl_t GROUP BY region")
+    assert ps.last_mv_rewrite == "acl_mv" and df.count() == 2
+    ps.su("dave")
+    got = [(r["region"], r["sv"]) for r in ps.sql(
+        "SELECT region, SUM(v) AS sv FROM acl_t GROUP BY region").collect()]
+    assert got == [("eu", 40)] and ps.last_mv_rewrite is None
+    # reading the MV by name needs SELECT on its bases (no laundering)
+    ps.su("root")
+    ps.sql("CREATE USER 'eve'")
+    ps.su("eve")
+    with pytest.raises(PermissionError, match="acl_t"):
+        ps.sql("SELECT region, sv FROM acl_mv")
+
+
+def test_definer_rights_maintenance_under_policy_user(ps):
+    """Internal maintenance (ON COMMIT MV refresh, scheduled-job DO)
+    runs definer-rights: a policied, LOAD-granted identity committing a
+    batch must refresh the MV from the FULL base, not its filtered
+    view of it."""
+    _mk(ps)
+    ps.sql("CREATE USER 'frank'")
+    ps.sql("GRANT SELECT_PRIV, LOAD_PRIV ON acl_t TO 'frank'")
+    ps.sql("CREATE ROW POLICY f_eu ON acl_t AS RESTRICTIVE TO 'frank' "
+           "USING (region = 'eu')")
+    ps.sql("CREATE MATERIALIZED VIEW acl_cmv REFRESH AUTO ON COMMIT AS "
+           "SELECT region, SUM(v) AS sv FROM acl_t GROUP BY region")
+    ps.su("frank")
+    ps.sql("INSERT INTO acl_t VALUES (10,'us',100)")  # fires ON COMMIT
+    ps.su("root")
+    got = {r["region"]: r["sv"] for r in
+           ps.sql("SELECT region, sv FROM acl_cmv").collect()}
+    assert got == {"eu": 40, "us": 120}  # full base, frank's commit in
+
+
+def test_user_role_lifecycle_and_errors(ps):
+    ps.sql("CREATE USER 'gina'")
+    with pytest.raises(ValueError, match="already exists"):
+        ps.sql("CREATE USER 'gina'")
+    ps.sql("CREATE USER IF NOT EXISTS 'gina'")
+    with pytest.raises(ValueError, match="unknown role"):
+        ps.sql("GRANT 'nope' TO 'gina'")
+    with pytest.raises(ValueError, match="unknown privilege"):
+        ps.sql("GRANT FLY_PRIV ON acl_t TO 'gina'")
+    with pytest.raises(ValueError, match="built-in"):
+        ps.sql("DROP ROLE 'admin'")
+    with pytest.raises(ValueError, match="root"):
+        ps.sql("DROP USER 'root'")
+    # dropping a user removes its grants and policies
+    ps.sql("CREATE TABLE gt (k BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("GRANT SELECT_PRIV ON gt TO 'gina'")
+    ps.sql("CREATE ROW POLICY gp ON gt AS RESTRICTIVE TO 'gina' "
+           "USING (k > 0)")
+    ps.sql("DROP USER 'gina'")
+    assert not ps.access.policies
+    assert ("user", "gina") not in ps.access.grants
+    # dropping a granted role revokes it from users
+    ps.sql("CREATE ROLE 'temp_r'")
+    ps.sql("CREATE USER 'hank' DEFAULT ROLE 'temp_r'")
+    ps.sql("DROP ROLE 'temp_r'")
+    assert ps.access.users["hank"] == set()
+    # su() to an unknown user fails loudly
+    with pytest.raises(ValueError, match="unknown user"):
+        ps.su("nobody")
