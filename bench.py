@@ -157,6 +157,11 @@ HEADLINE = [
     "sql_ngram_index_like",
     "sql_vector_distance_topk",
     "sql_array_lambda_funcs",
+    # r11: AVG derivation through the transparent async-MV rewrite
+    # (snapshot scan + residual groupBy) and the row-policy read path
+    # (filtered view resolution; enforcement is driver-side metadata)
+    "sql_async_mv_avg_rewrite",
+    "sql_row_policy_filter",
 ]
 
 
