@@ -2379,7 +2379,7 @@ def test_mysql_client_compat_surface(ps):
     assert ps.sql("SHOW PROCESSLIST").collect()[0]["User"] == "root"
     assert ps.sql("SHOW FRONTENDS").collect()[0]["State"] == "Alive"
     assert ps.sql("SHOW PROC '/backends'").collect()[0]["State"] == "Alive"
-    assert "ALL" in ps.sql("SHOW GRANTS").collect()[0]["Privs"]
+    assert "ADMIN_PRIV" in ps.sql("SHOW GRANTS").collect()[0]["Privs"]
     alter = ps.sql("SHOW ALTER TABLE COLUMN").collect()
     assert [(r["TableName"], r["Msg"], r["State"]) for r in alter] == [
         ("cc", "ADD COLUMN w", "FINISHED")
