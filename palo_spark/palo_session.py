@@ -4466,6 +4466,14 @@ class PaloSession:
                 for idx in [i for i, v in self.indexes.items() if v[0] == name]:
                     p_ = self.indexes.pop(idx)[2]
                     _sh.rmtree(p_, ignore_errors=True)
+                # row policies die with the table (they bind to the
+                # object, not the name): a LATER same-named table must
+                # not inherit a dead table's filters — and, worse, a
+                # RECOVERed table losing them is the honest direction
+                # (filters a recovered table's readers should re-declare)
+                self.access.policies = [
+                    p for p in self.access.policies if p.table != name
+                ]
                 # synchronous MVs likewise die with their base (Doris):
                 # a zombie rollup would silently answer a LATER
                 # same-named table's aggregates with the dropped
@@ -4544,6 +4552,15 @@ class PaloSession:
                 for j in self.routine_jobs.values():
                     if j["table"] == old:
                         j["table"] = new
+                # row policies bind to the TABLE (upstream stores them
+                # by table id), so they follow the rename — otherwise a
+                # rename would silently strip every policy and a
+                # policied identity would see the unfiltered rows.
+                # GRANTS stay name-based (upstream grants reference
+                # names, a renamed table needs a re-grant).
+                for p in self.access.policies:
+                    if p.table == old:
+                        p.table = new
                 if self.rollups is not None:
                     rs = self.rollups._rollups.pop(old, [])
                     bdf = self.rollups._bases.pop(old, None)

@@ -321,6 +321,14 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
     probes.append("SELECT count(*) AS pn FROM fzp WHERE d < '2000-01-01'")
     pk = 1000
     temp_n = 0
+    # r11 axis: a policied identity probed EVERY phase against the
+    # explicit-predicate ground truth — any cache/rewrite/store leak of
+    # unfiltered rows (in either direction) is a value mismatch. The
+    # policy rides fzp, which partition ops mutate but never drop.
+    ps.sql("CREATE USER 'fzpol'")
+    ps.sql("GRANT SELECT_PRIV ON *.*.* TO 'fzpol'")
+    ps.sql("CREATE ROW POLICY fz_small ON fzp AS RESTRICTIVE TO 'fzpol' "
+           "USING (pv < 50)")
     # r10: a SECOND session attached to the same warehouse — its
     # commits go through its own Table handles, exercising the
     # cross-session convergence sweep + state-token cache invalidation
@@ -442,6 +450,17 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
                 ps.mv_rewrite_enabled = saved_mvr
             assert sorted(served, key=repr) == sorted(truth, key=repr), (
                 phase, op, q, served, truth)
+        # policied-identity probe: filtered count == explicit predicate
+        ps.su("fzpol")
+        try:
+            pol_n = ps.sql(
+                "SELECT count(*) AS n FROM fzp").collect()[0]["n"]
+        finally:
+            ps.su("root")
+        want_n = ps.sql(
+            "SELECT count(*) AS n FROM fzp WHERE pv < 50"
+        ).collect()[0]["n"]
+        assert pol_n == want_n, (phase, op, pol_n, want_n)
 
 
 def test_index_route_consistency_fuzz(spark, tmp_path):

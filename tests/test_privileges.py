@@ -207,3 +207,27 @@ def test_user_role_lifecycle_and_errors(ps):
     # su() to an unknown user fails loudly
     with pytest.raises(ValueError, match="unknown user"):
         ps.su("nobody")
+
+
+def test_row_policy_follows_rename_and_dies_with_drop(ps):
+    """Policies bind to the TABLE (upstream: table id): ALTER TABLE
+    RENAME carries them along — a rename must never silently strip a
+    filter — while DROP TABLE removes them (a later same-named table
+    starts clean, as upstream's id-keyed policies do). Grants stay
+    name-based: the renamed table needs a re-grant."""
+    _mk(ps)
+    ps.sql("CREATE USER 'ivy'")
+    ps.sql("GRANT SELECT_PRIV ON *.*.* TO 'ivy'")  # global: survives rename
+    ps.sql("CREATE ROW POLICY i_eu ON acl_t AS RESTRICTIVE TO 'ivy' "
+           "USING (region = 'eu')")
+    ps.sql("ALTER TABLE acl_t RENAME acl_r")
+    ps.su("ivy")
+    got = sorted(r["k"] for r in ps.sql("SELECT k FROM acl_r").collect())
+    assert got == [1, 3], "policy did not follow the rename"
+    ps.su("root")
+    ps.sql("DROP TABLE acl_r")
+    assert not ps.access.policies
+    # a recreated same-named table starts unpoliced
+    _mk(ps)
+    ps.su("ivy")
+    assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
