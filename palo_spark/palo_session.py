@@ -1428,6 +1428,17 @@ class PaloSession:
             filtered[tbl] = doris_sql(
                 self.spark, f"SELECT * FROM `{tbl}` WHERE {expr}"
             )
+            # PARTITION-selection rewrites replaced some references with
+            # per-statement `<tbl>__psel_<n>` views built straight from
+            # the table's rowsets — filter those too, or the partition
+            # path would bypass the policy (they are re-created from
+            # scratch on every statement, so no restore is needed)
+            for pv in re.findall(
+                rf"\b({re.escape(tbl)}__psel_\d+)\b", stripped
+            ):
+                doris_sql(
+                    self.spark, f"SELECT * FROM `{pv}` WHERE {expr}"
+                ).createOrReplaceTempView(pv)
         try:
             for tbl, df in filtered.items():
                 df.createOrReplaceTempView(tbl)

@@ -209,6 +209,31 @@ def test_user_role_lifecycle_and_errors(ps):
         ps.su("nobody")
 
 
+def test_row_policy_applies_through_partition_selection(ps):
+    """FROM t PARTITION (p) rewrites to a per-statement __psel view
+    built straight from the rowsets — the policy filter must ride it
+    too, or explicit partition selection would bypass the policy."""
+    ps.sql("CREATE TABLE acl_p (`k` BIGINT, `d` DATETIME, `v` INT) "
+           "DUPLICATE KEY(k, d) PARTITION BY RANGE(`d`) ("
+           "  PARTITION p_lo VALUES LESS THAN ('2000-01-01'),"
+           "  PARTITION p_hi VALUES LESS THAN (MAXVALUE)"
+           ") DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO acl_p VALUES (1,'1999-01-01 00:00:00',10), "
+           "(2,'1999-02-01 00:00:00',60), (3,'2001-01-01 00:00:00',70)")
+    ps.sql("CREATE USER 'pat'")
+    ps.sql("GRANT SELECT_PRIV ON acl_p TO 'pat'")
+    ps.sql("CREATE ROW POLICY p_small ON acl_p AS RESTRICTIVE TO 'pat' "
+           "USING (v < 50)")
+    ps.su("pat")
+    got = sorted(r["k"] for r in ps.sql(
+        "SELECT k FROM acl_p PARTITION (p_lo)").collect())
+    assert got == [1], "partition selection bypassed the row policy"
+    ps.su("root")
+    got = sorted(r["k"] for r in ps.sql(
+        "SELECT k FROM acl_p PARTITION (p_lo)").collect())
+    assert got == [1, 2]
+
+
 def test_row_policy_follows_rename_and_dies_with_drop(ps):
     """Policies bind to the TABLE (upstream: table id): ALTER TABLE
     RENAME carries them along — a rename must never silently strip a
