@@ -5007,8 +5007,19 @@ class PaloSession:
         if compat is not None:
             return compat
         if up.startswith("SHOW TABLES"):
+            # upstream lists only tables the identity holds SOME
+            # privilege on ([docs: privilege] — SHOW filtering)
+            names = sorted(
+                n for n in self.tables
+                if self.access.is_superuser(self.current_user)
+                or any(
+                    self.access.has_priv(self.current_user, p, n)
+                    for p in ("SELECT_PRIV", "LOAD_PRIV", "ALTER_PRIV",
+                              "DROP_PRIV")
+                )
+            )
             return self.spark.createDataFrame(
-                [(n,) for n in sorted(self.tables)] or [("",)], "table_name string"
+                [(n,) for n in names] or [("",)], "table_name string"
             ).filter("table_name <> ''")
         if up.startswith("SHOW DATABASES"):
             # single-database engine: the internal db plus one row per

@@ -209,6 +209,20 @@ def test_user_role_lifecycle_and_errors(ps):
         ps.su("nobody")
 
 
+def test_show_tables_filters_by_privilege(ps):
+    _mk(ps)
+    ps.sql("CREATE TABLE acl_hidden (k BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE USER 'sam'")
+    ps.sql("GRANT SELECT_PRIV ON acl_t TO 'sam'")
+    ps.su("sam")
+    names = {r["table_name"] for r in ps.sql("SHOW TABLES").collect()}
+    assert names == {"acl_t"}
+    ps.su("root")
+    names = {r["table_name"] for r in ps.sql("SHOW TABLES").collect()}
+    assert {"acl_t", "acl_hidden"} <= names
+
+
 def test_row_policy_applies_through_partition_selection(ps):
     """FROM t PARTITION (p) rewrites to a per-statement __psel view
     built straight from the rowsets — the policy filter must ride it
