@@ -783,6 +783,14 @@ class PaloSession:
         self.access = AccessController()
         self.current_user = "root"
         self._definer_depth = 0
+        # security state persists with the warehouse (the FE-metadata
+        # analog): a re-attached session keeps users/grants/policies —
+        # a row policy must never silently evaporate on restart
+        if location_root:
+            acc_path = os.path.join(location_root, "_access.json")
+            if os.path.isfile(acc_path):
+                with open(acc_path) as f:
+                    self.access = AccessController.from_dict(_json.load(f))
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -1227,9 +1235,30 @@ class PaloSession:
         last = scope_text.replace("`", "").split(".")[-1].strip().lower()
         return "*" if last in ("", "*") else last
 
+    def _save_access(self) -> None:
+        """Persist the authorization state beside the tables (atomic
+        replace, same durability contract as table meta). No-op for
+        warehouse-less throwaway sessions."""
+        if not self.location_root:
+            return
+        import uuid as _uuid2
+
+        path = os.path.join(self.location_root, "_access.json")
+        tmp = f"{path}.{_uuid2.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(self.access.to_dict(), f)
+        os.replace(tmp, path)
+
     def _try_privilege_stmt(self, stripped: str, up: str):
         """Dispatch the privilege/ACL statement family; returns
-        (handled, result)."""
+        (handled, result). Every mutating branch persists the state
+        (see _save_access)."""
+        handled, res = self._try_privilege_stmt_inner(stripped, up)
+        if handled:
+            self._save_access()
+        return handled, res
+
+    def _try_privilege_stmt_inner(self, stripped: str, up: str):
         from palo_spark.privileges import ALL_PRIVS, PRIVS, RowPolicy
 
         m = _CREATE_USER_RE.match(stripped)
@@ -4482,9 +4511,11 @@ class PaloSession:
                 # not inherit a dead table's filters — and, worse, a
                 # RECOVERed table losing them is the honest direction
                 # (filters a recovered table's readers should re-declare)
-                self.access.policies = [
-                    p for p in self.access.policies if p.table != name
-                ]
+                if any(p.table == name for p in self.access.policies):
+                    self.access.policies = [
+                        p for p in self.access.policies if p.table != name
+                    ]
+                    self._save_access()
                 # synchronous MVs likewise die with their base (Doris):
                 # a zombie rollup would silently answer a LATER
                 # same-named table's aggregates with the dropped
@@ -4569,9 +4600,11 @@ class PaloSession:
                 # policied identity would see the unfiltered rows.
                 # GRANTS stay name-based (upstream grants reference
                 # names, a renamed table needs a re-grant).
-                for p in self.access.policies:
-                    if p.table == old:
-                        p.table = new
+                if any(p.table == old for p in self.access.policies):
+                    for p in self.access.policies:
+                        if p.table == old:
+                            p.table = new
+                    self._save_access()
                 if self.rollups is not None:
                     rs = self.rollups._rollups.pop(old, [])
                     bdf = self.rollups._bases.pop(old, None)

@@ -223,6 +223,47 @@ class AccessController:
             parts.append("(" + " OR ".join(f"({e})" for e in permissive) + ")")
         return " AND ".join(parts)
 
+    # ------------------------------------------------------- persistence
+
+    def to_dict(self) -> dict:
+        """JSON-serializable snapshot — the FE-metadata analog, saved
+        by PaloSession under the warehouse root so a re-attached
+        session keeps its users/grants/policies (security state must
+        never silently evaporate on restart)."""
+        return {
+            "users": {u: sorted(r) for u, r in self.users.items()},
+            "roles": sorted(self.roles),
+            "grants": [
+                [kind, name, scope, sorted(privs)]
+                for (kind, name), by_scope in self.grants.items()
+                for scope, privs in by_scope.items()
+                if privs
+            ],
+            "policies": [
+                [p.name, p.table, p.kind, p.to_kind, p.to_name, p.expr]
+                for p in self.policies
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "AccessController":
+        ac = cls()
+        ac.users = {u: set(r) for u, r in d.get("users", {}).items()}
+        ac.users.setdefault("root", set())
+        ac.users.setdefault("admin", set())
+        ac.roles = set(d.get("roles", [])) | {"admin", "operator"}
+        for kind, name, scope, privs in d.get("grants", []):
+            ac.grants.setdefault((kind, name), {}).setdefault(
+                scope, set()
+            ).update(privs)
+        for name, table, kind, to_kind, to_name, expr in d.get(
+            "policies", []
+        ):
+            ac.policies.append(
+                RowPolicy(name, table, kind, to_kind, to_name, expr)
+            )
+        return ac
+
     # ----------------------------------------------------------- display
 
     def grants_rows(self, user: str) -> list[tuple[str, str, str]]:

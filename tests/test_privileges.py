@@ -209,6 +209,29 @@ def test_user_role_lifecycle_and_errors(ps):
         ps.su("nobody")
 
 
+def test_access_state_survives_session_reattach(spark, tmp_path):
+    """Security state is FE metadata: a session re-attached to the same
+    warehouse keeps users, roles, grants, and row policies — a policy
+    must never silently evaporate on restart."""
+    root = str(tmp_path / "wh")
+    ps1 = PaloSession(spark, location_root=root)
+    ps1.sql("CREATE TABLE per_t (`k` BIGINT, `v` INT) DUPLICATE KEY(k) "
+            "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps1.sql("INSERT INTO per_t VALUES (1, 10), (2, 60)")
+    ps1.sql("CREATE ROLE 'reader'")
+    ps1.sql("GRANT SELECT_PRIV ON per_t TO ROLE 'reader'")
+    ps1.sql("CREATE USER 'uma' DEFAULT ROLE 'reader'")
+    ps1.sql("CREATE ROW POLICY u_small ON per_t AS RESTRICTIVE TO 'uma' "
+            "USING (v < 50)")
+    ps2 = PaloSession(spark, location_root=root)
+    assert "uma" in ps2.access.users and "reader" in ps2.access.roles
+    ps2.su("uma")
+    got = [r["k"] for r in ps2.sql("SELECT k FROM per_t").collect()]
+    assert got == [1], "policy did not survive the re-attach"
+    with pytest.raises(PermissionError):
+        ps2.sql("INSERT INTO per_t VALUES (9, 9)")
+
+
 def test_show_tables_filters_by_privilege(ps):
     _mk(ps)
     ps.sql("CREATE TABLE acl_hidden (k BIGINT) DUPLICATE KEY(k) "
