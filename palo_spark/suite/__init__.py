@@ -57,6 +57,7 @@ _PRIORITY = [
     "sql_async_mv_avg_rewrite",
     "sql_hash_functions",
     "sql_row_policy_filter",
+    "sql_row_policy_role_permissive",
     "sql_update_from_join",
     # last green r01 — ten rounds of code churn ago
     "case_when_projection",
@@ -104,7 +105,6 @@ _PRIORITY = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opp",
     "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test

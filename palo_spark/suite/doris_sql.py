@@ -1447,6 +1447,83 @@ ORACLE["sql_row_policy_filter"] = """
 """
 
 
+def _sql_row_policy_role_permissive(spark, sf_dir):
+    """Row-policy composition through a ROLE grantee (r11, [docs:
+    row-policy]): the identity holds its RESTRICTIVE policy via a
+    granted role while two PERMISSIVE policies attach to the user
+    directly — visible rows = (AND of restrictive) AND (OR of
+    permissive), upstream's combination rule, stated explicitly in the
+    oracle. Exercises role-resolution in the policy path, not just
+    direct user grants."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    t = ps._create_table(
+        "CREATE TABLE rpc_orders (`o_orderkey` BIGINT, `o_orderstatus` "
+        "VARCHAR(1), `o_orderpriority` VARCHAR(15), `total_cents` BIGINT) "
+        "DUPLICATE KEY(o_orderkey) DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    t.insert(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("rpc_orders")
+    ps.sql("CREATE ROLE IF NOT EXISTS 'region_reader'")
+    ps.sql("GRANT SELECT_PRIV ON rpc_orders TO ROLE 'region_reader'")
+    ps.sql("CREATE USER IF NOT EXISTS 'clerk' DEFAULT ROLE 'region_reader'")
+    ps.sql(
+        "CREATE ROW POLICY IF NOT EXISTS r_finished ON rpc_orders AS "
+        "RESTRICTIVE TO ROLE 'region_reader' USING (o_orderstatus = 'F')"
+    )
+    ps.sql(
+        "CREATE ROW POLICY IF NOT EXISTS p_urgent ON rpc_orders AS "
+        "PERMISSIVE TO 'clerk' USING (o_orderpriority = '1-URGENT')"
+    )
+    ps.sql(
+        "CREATE ROW POLICY IF NOT EXISTS p_big ON rpc_orders AS "
+        "PERMISSIVE TO 'clerk' USING (total_cents > 25000000)"
+    )
+    ps.su("clerk")
+    try:
+        # the filtered plan is captured at analysis time (spark.sql is
+        # eager), so the returned df stays policy-filtered even though
+        # the session identity is restored before the driver collects
+        out = ps.sql(
+            "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+            "SUM(total_cents) AS sum_cents FROM rpc_orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        )
+    finally:
+        ps.su("root")
+    return out
+
+
+QUERIES["sql_row_policy_role_permissive"] = _sql_row_policy_role_permissive
+ORACLE["sql_row_policy_role_permissive"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE (o_orderstatus = 'F')
+      AND ((o_orderpriority = '1-URGENT')
+           OR (CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 25000000))
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 def _sql_variant_subscript(spark, sf_dir):
     """Doris 2.1 VARIANT column end-to-end (r10, [docs: variant]): a
     session table DECLARES props VARIANT, loads the events fixture's
