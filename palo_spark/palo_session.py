@@ -740,7 +740,6 @@ class PaloSession:
         self.cache_entries = int(cache_entries)
         self._result_cache: dict = {}  # key -> (rows, schema)
         self.last_cache_hit = False  # observability for tests/metrics
-        self._mv_attached: set[str] = set()  # bases with load-time MV upkeep
         #: storage-side indexes (CREATE INDEX ... USING
         #: INVERTED | NGRAM_BF | BITMAP, plus the `bloom_filter_columns`
         #: table property): index name -> (table, col, posting-dir path,
@@ -3144,13 +3143,18 @@ class PaloSession:
             # empty-safe: Doris allows an MV on an empty table (the
             # store builds empty and fills on the first load)
             self.rollups.register_base(base, df)
-            # attach load-time maintenance ONCE per base: attach_table
-            # appends an _on_insert callback, and apply_delta already
-            # fans out to every rollup of the base — a second callback
-            # would double-apply every delta
-            if bl not in self._mv_attached:
+            # attach load-time maintenance ONCE per TABLE OBJECT:
+            # attach_table appends an _on_insert callback, and
+            # apply_delta already fans out to every rollup of the base —
+            # a second callback would double-apply every delta. The
+            # guard rides the object, NOT the name (r11 fuzz hunt, seed
+            # 19): a name-keyed set skipped re-attach after an in-place
+            # RESTORE swapped in a fresh Table (empty hook list → MV
+            # silently stopped maintaining), and would double-attach after
+            # RENAME + CREATE MV (same object, new name).
+            if not getattr(t, "_mv_hooked", False):
                 self.rollups.attach_table(base, t)
-                self._mv_attached.add(bl)
+                t._mv_hooked = True  # type: ignore[attr-defined]
         else:
             self.rollups.register_base(base, self.spark.table(base))
         return self.rollups.add_rollup(mv_name, base, group_cols, measures)
@@ -3516,6 +3520,13 @@ class PaloSession:
                 return
             self.rollups.register_base(base, df)
             self.rollups.refresh(base)
+            # the hook must ride the CURRENT object: an in-place RESTORE
+            # swaps in a fresh Table whose _on_insert list is empty —
+            # without re-attaching, the next load would silently stop
+            # maintaining the live rollups (r11 fuzz hunt, seed 19 class)
+            if not getattr(t, "_mv_hooked", False):
+                self.rollups.attach_table(base, t)
+                t._mv_hooked = True  # type: ignore[attr-defined]
 
     def _guard_mv_column_refs(self, table_name: str, col: str) -> None:
         """Doris rule: a column referenced by a synchronous materialized

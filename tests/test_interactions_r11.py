@@ -193,6 +193,58 @@ def test_incremental_mv_refresh_after_replace_partition(ps):
         (1, 777), (2, 20)]
 
 
+def test_mv_maintenance_survives_inplace_restore(ps, tmp_path):
+    """r11 fuzz hunt (seed 19, wrong-answer repro): the load-time MV
+    hook rides the Table OBJECT, and an in-place RESTORE swaps in a
+    fresh object — the old name-keyed attach guard skipped re-attach,
+    so an MV created (or already live) after the restore silently
+    stopped maintaining and answered with pre-insert sums."""
+    ps.sql("CREATE TABLE rmv (k BIGINT, grp VARCHAR(4), v DOUBLE) "
+           "UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql(f"CREATE REPOSITORY rmvrepo WITH LOCATION '{tmp_path}/rmvrepo'")
+    ps.sql("BACKUP SNAPSHOT rs1 TO rmvrepo ON (rmv)")
+    ps.sql("INSERT INTO rmv (k, grp, v) VALUES (1,'a',10.0)")
+    ps.sql("RESTORE SNAPSHOT rs1 FROM rmvrepo ON (rmv)")  # rewind: empty
+    # MV created on the RESTORED (fresh) object
+    ps.sql("CREATE MATERIALIZED VIEW rmv_mv AS SELECT grp, SUM(v) AS s "
+           "FROM rmv GROUP BY grp")
+    ps.sql("INSERT INTO rmv (k, grp, v) VALUES (2,'b',20.0), (3,'a',5.0)")
+    df, src = ps.rollups.sql("SELECT grp, SUM(v) AS s FROM rmv GROUP BY grp")
+    assert src == "rmv_mv"
+    assert sorted((r.grp, r.s) for r in df.collect()) == [
+        ("a", 5.0), ("b", 20.0)]
+    # an MV LIVE ACROSS the restore keeps maintaining afterwards too
+    ps.sql("BACKUP SNAPSHOT rs2 TO rmvrepo ON (rmv)")
+    ps.sql("RESTORE SNAPSHOT rs2 FROM rmvrepo ON (rmv)")
+    ps.sql("INSERT INTO rmv (k, grp, v) VALUES (4,'b',7.0)")
+    df, src = ps.rollups.sql("SELECT grp, SUM(v) AS s FROM rmv GROUP BY grp")
+    assert src == "rmv_mv"
+    assert sorted((r.grp, r.s) for r in df.collect()) == [
+        ("a", 5.0), ("b", 27.0)]
+
+
+def test_mv_no_double_attach_after_rename(ps):
+    """The flip side of the object-keyed guard: RENAME keeps the same
+    object, so CREATE MV on the new name must NOT attach a second
+    load hook — on an additive (DUPLICATE) base a double hook would
+    double-apply every delta."""
+    ps.sql("CREATE TABLE dda (k BIGINT, grp VARCHAR(4), v DOUBLE) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO dda VALUES (1,'a',10.0)")
+    ps.sql("CREATE MATERIALIZED VIEW dda_mv1 AS SELECT grp, SUM(v) AS s "
+           "FROM dda GROUP BY grp")
+    ps.sql("ALTER TABLE dda RENAME dda2")
+    ps.sql("CREATE MATERIALIZED VIEW dda_mv2 AS SELECT grp, COUNT(*) AS c "
+           "FROM dda2 GROUP BY grp")
+    ps.sql("INSERT INTO dda2 VALUES (2,'a',30.0)")
+    df, src = ps.rollups.sql("SELECT grp, SUM(v) AS s FROM dda2 GROUP BY grp")
+    assert src in ("dda_mv1", "dda_mv2") or src.startswith("dda_mv")
+    assert [(r.grp, r.s) for r in df.collect()] == [("a", 40.0)], (
+        "delta applied twice — double-attached load hook")
+    df, _ = ps.rollups.sql("SELECT grp, COUNT(*) AS c FROM dda2 GROUP BY grp")
+    assert [(r.grp, r.c) for r in df.collect()] == [("a", 2)]
+
+
 def test_job_scheduler_vs_drop_and_rename_table(ps):
     """Job scheduler x DROP/RENAME TABLE: jobs store statement TEXT,
     not handles — after the target vanishes, a due occurrence records

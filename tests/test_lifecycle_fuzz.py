@@ -247,9 +247,13 @@ def _run(ps, seed: int, phases: int = 12) -> None:
 
 def test_session_lifecycle_fuzz_seeded(ps):
     # 18 phases: enough draws that the low-weight backup/restore axis
-    # actually fires across the seeds
+    # actually fires across the seeds. Seed 19 at 24 phases is the r11
+    # hunt's catcher: in-place RESTORE then CREATE MV then INSERT — the
+    # name-keyed attach guard skipped the fresh object's load hook and
+    # the MV answered stale (kept as a permanent regression tripwire).
     for seed in (11, 12, 13, 14):
         _run(ps, seed, phases=18)
+    _run(ps, 19, phases=24)
 
 
 def test_result_cache_consistency_fuzz(spark, tmp_path):
