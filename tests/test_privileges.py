@@ -209,6 +209,118 @@ def test_user_role_lifecycle_and_errors(ps):
         ps.su("nobody")
 
 
+def test_privilege_policy_fuzz(ps):
+    """Randomized closure of the authorization surface: drive random
+    grant/revoke (user- and role-scoped), role membership flips,
+    policy create/drop (both kinds, both grantee kinds), and table
+    renames, and after EVERY phase assert the identity's view of the
+    table equals a pure-Python model — both the allowed/denied
+    decision and the exact visible row set under the policy
+    combination rule. Any enforcement staleness, policy leak, or
+    rename-follow miss is a hard mismatch."""
+    import random
+
+    rows = [
+        (1, "eu", 10), (2, "eu", 60), (3, "us", 20),
+        (4, "us", 80), (5, "ap", 45), (6, "ap", 95),
+    ]
+    ps.sql("CREATE TABLE fzacl (`k` BIGINT, `region` VARCHAR(4), `v` INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO fzacl VALUES " + ", ".join(
+        f"({k},'{r}',{v})" for k, r, v in rows))
+    ps.sql("CREATE USER 'fu'")
+    ps.sql("CREATE ROLE 'fr'")
+    preds = {
+        "p_eu": ("region = 'eu'", lambda r: r[1] == "eu"),
+        "p_low": ("v < 50", lambda r: r[2] < 50),
+        "p_hi": ("v >= 45", lambda r: r[2] >= 45),
+    }
+    rng = random.Random(7)
+    name = "fzacl"
+    sel_user = sel_role = has_role = False
+    live: dict[str, tuple[str, str]] = {}  # pname -> (kind, to_kind)
+    n_ren = 0
+    for phase in range(40):
+        op = rng.choice(
+            ["gs_user", "rs_user", "gs_role", "rs_role", "g_role",
+             "r_role", "pol_add", "pol_drop", "rename"])
+        if op == "gs_user":
+            ps.sql(f"GRANT SELECT_PRIV ON {name} TO 'fu'")
+            sel_user = True
+        elif op == "rs_user":
+            ps.sql(f"REVOKE SELECT_PRIV ON {name} FROM 'fu'")
+            sel_user = False
+        elif op == "gs_role":
+            ps.sql(f"GRANT SELECT_PRIV ON {name} TO ROLE 'fr'")
+            sel_role = True
+        elif op == "rs_role":
+            ps.sql(f"REVOKE SELECT_PRIV ON {name} FROM ROLE 'fr'")
+            sel_role = False
+        elif op == "g_role":
+            ps.sql("GRANT 'fr' TO 'fu'")
+            has_role = True
+        elif op == "r_role":
+            ps.sql("REVOKE 'fr' FROM 'fu'")
+            has_role = False
+        elif op == "pol_add":
+            pn = rng.choice(list(preds))
+            if pn in live:
+                continue
+            kind = rng.choice(["RESTRICTIVE", "PERMISSIVE"])
+            to_role = rng.random() < 0.5
+            to = "ROLE 'fr'" if to_role else "'fu'"
+            ps.sql(f"CREATE ROW POLICY {pn} ON {name} AS {kind} TO {to} "
+                   f"USING ({preds[pn][0]})")
+            live[pn] = (kind, "role" if to_role else "user")
+        elif op == "pol_drop":
+            if not live:
+                continue
+            pn = rng.choice(sorted(live))
+            ps.sql(f"DROP ROW POLICY {pn} ON {name}")
+            del live[pn]
+        else:  # rename — grants are NAME-based and must be re-issued;
+            # to keep the grant model simple, re-grant what was held
+            n_ren += 1
+            new = f"fzacl_r{n_ren}"
+            ps.sql(f"ALTER TABLE {name} RENAME {new}")
+            if sel_user:
+                ps.sql(f"GRANT SELECT_PRIV ON {new} TO 'fu'")
+            if sel_role:
+                ps.sql(f"GRANT SELECT_PRIV ON {new} TO ROLE 'fr'")
+            name = new
+        # ---- probe as 'fu' against the Python model
+        allowed = sel_user or (has_role and sel_role)
+        mine = [
+            (pn, k)
+            for pn, (k, tk) in live.items()
+            if tk == "user" or has_role
+        ]
+        restr = [preds[pn][1] for pn, k in mine if k == "RESTRICTIVE"]
+        perm = [preds[pn][1] for pn, k in mine if k == "PERMISSIVE"]
+
+        def visible(r):
+            ok = all(f(r) for f in restr)
+            if perm:
+                ok = ok and any(f(r) for f in perm)
+            return ok
+
+        want = sorted(r[0] for r in rows if visible(r))
+        ps.su("fu")
+        try:
+            if not allowed:
+                with pytest.raises(PermissionError):
+                    ps.sql(f"SELECT k FROM {name}").collect()
+            else:
+                got = sorted(
+                    r["k"]
+                    for r in ps.sql(f"SELECT k FROM {name}").collect()
+                )
+                assert got == want, (phase, op, got, want, live,
+                                     has_role, mine)
+        finally:
+            ps.su("root")
+
+
 def test_access_state_survives_session_reattach(spark, tmp_path):
     """Security state is FE metadata: a session re-attached to the same
     warehouse keeps users, roles, grants, and row policies — a policy
