@@ -2025,27 +2025,54 @@ def register_doris_hash_udfs(spark) -> None:
     Arrow-batched; idempotent to call."""
     from palo_spark.operators.text_index import xxhash64_str
 
+    # variadic like upstream's SQL functions (ADVICE r11: the SQL
+    # surface took exactly one argument while Doris's are variadic);
+    # multi-arg chains each value with the previous hash as seed —
+    # identical to the Python-API kernels, whose 2-arg doc vectors
+    # ('hello','world') are pinned in tests/test_functions.py. NULL in
+    # any argument → NULL (Doris semantics).
     @F.pandas_udf("int")
-    def _mmh32(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: None
-            if v is None
-            else _murmur3_32(v.encode("utf-8"), _MURMUR3_32_SEED)
-        ).astype("Int32")
+    def _mmh32(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            if any(pd.isna(v) for v in vals):
+                out.append(None)
+                continue
+            h = _MURMUR3_32_SEED
+            for v in vals:
+                h = _murmur3_32(str(v).encode("utf-8"), h & 0xFFFFFFFF)
+            out.append(h)
+        return pd.Series(out, dtype="Int32")
 
     @F.pandas_udf("long")
-    def _mmh64(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: None if v is None else _murmur3_64(v.encode("utf-8"), 0)
-        ).astype("Int64")
+    def _mmh64(*series: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*series):
+            if any(pd.isna(v) for v in vals):
+                out.append(None)
+                continue
+            h = 0
+            for v in vals:
+                h = _murmur3_64(str(v).encode("utf-8"), h & _U64)
+            out.append(h)
+        return pd.Series(out, dtype="Int64")
 
     @F.pandas_udf("long")
-    def _xxh64(s: pd.Series) -> pd.Series:
+    def _xxh64(*series: pd.Series) -> pd.Series:
         # xxhash64_str already returns the SIGNED 64-bit value (it is
-        # bucket-compatible with Spark's native xxhash64 by design)
-        return s.map(
-            lambda v: None if v is None else xxhash64_str(v, seed=0)
-        ).astype("Int64")
+        # bucket-compatible with Spark's native xxhash64 by design);
+        # multi-arg chaining is seed-chained like the murmur pair (no
+        # published multi-arg doc vector to pin against)
+        out = []
+        for vals in zip(*series):
+            if any(pd.isna(v) for v in vals):
+                out.append(None)
+                continue
+            h = 0
+            for v in vals:
+                h = xxhash64_str(str(v), seed=h & _U64)
+            out.append(h)
+        return pd.Series(out, dtype="Int64")
 
     @F.pandas_udf("string")
     def _sm3(s: pd.Series) -> pd.Series:

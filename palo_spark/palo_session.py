@@ -2099,12 +2099,29 @@ class PaloSession:
             )
         if up.startswith("SHOW ROW POLICY"):
             fm = re.search(
-                r"FOR\s+'?([\w.-]+)'?", stripped, re.IGNORECASE
+                r"FOR\s+(ROLE\s+)?'?([\w.-]+)'?", stripped, re.IGNORECASE
             )
             pols = self.access.policies
             if fm:
-                w = fm.group(1).lower()
-                pols = [p for p in pols if p.to_name == w]
+                w = fm.group(2).lower()
+                if fm.group(1):
+                    # FOR ROLE 'r' — that role's policies only
+                    pols = [
+                        p for p in pols
+                        if p.to_kind == "role" and p.to_name == w
+                    ]
+                else:
+                    # FOR 'user' — everything applicable to that user:
+                    # direct user-grantee policies plus any attached
+                    # via a role the user holds (ADVICE r11: to_name
+                    # alone omitted role-borne policies and conflated
+                    # a role sharing the user's name)
+                    roles = self.access.users.get(w, set())
+                    pols = [
+                        p for p in pols
+                        if (p.to_kind == "user" and p.to_name == w)
+                        or (p.to_kind == "role" and p.to_name in roles)
+                    ]
             return mk(
                 [
                     (p.name, p.table, p.kind,
@@ -3553,6 +3570,25 @@ class PaloSession:
             raise ValueError(f"unknown palo table {name!r}")
         return t
 
+    def _policied_mutation_read(self, sel: str):
+        """A mutation's embedded join-SELECT (``UPDATE ... FROM``,
+        ``DELETE ... USING``) read AS the current identity (ADVICE
+        r11): when that identity is row-policied, each policied table
+        the composed SELECT reaches is swapped for its filtered view —
+        exactly what ``INSERT ... SELECT`` already gets by recursing
+        through :meth:`sql` — so a mutation cannot launder rows a row
+        policy hides from its author (neither from the SOURCE side, by
+        copying hidden values into a readable table, nor from the
+        TARGET side, by deleting/updating rows it cannot see).
+        Returns the policy-filtered DataFrame, or None when the
+        identity is unrestricted (caller takes its normal path)."""
+        if self.current_user == "root" or self._definer_depth != 0:
+            return None
+        pol = self._applicable_policies(sel)
+        if not pol:
+            return None
+        return self._run_with_row_policies(sel, pol)
+
     def _delete_using(self, name: str, using: str, cond: str) -> int:
         """Doris 2.0 join-delete ([docs: delete — ``DELETE FROM t1 USING
         t2 ... WHERE ...``], UNIQUE key model only): rows of ``t1``
@@ -3578,7 +3614,9 @@ class PaloSession:
             f"SELECT DISTINCT `{name}`.* FROM `{name}`, {using} "
             f"WHERE {cond}"
         )
-        matched = self._sql_nocache(sel)
+        matched = self._policied_mutation_read(sel)
+        if matched is None:
+            matched = self._sql_nocache(sel)
         cols = list(t.meta.key_cols)
         if t.meta.sequence_col:
             cols.append(t.meta.sequence_col)
@@ -3658,7 +3696,9 @@ class PaloSession:
             f"SELECT {', '.join(sel)} FROM `{name}` `{alias}`, "
             f"{frm} WHERE {cond or 'true'}"
         )
-        matched = doris_sql(self.spark, inner)
+        matched = self._policied_mutation_read(inner)
+        if matched is None:
+            matched = doris_sql(self.spark, inner)
         version = t.insert(matched, partial_columns=partial_ok)
         self._refresh_view(name)
         return version

@@ -57,7 +57,13 @@ class AccessController:
     metadata — nothing here touches Spark; enforcement call sites live
     in PaloSession.sql()."""
 
-    users: dict = field(default_factory=lambda: {"root": set(), "admin": set()})
+    #: upstream bootstraps admin@'%' holding role 'admin' (Auth.java
+    #: creates both built-in identities with ADMIN_PRIV) — membership
+    #: in role 'admin' is what :meth:`is_superuser` keys on (ADVICE
+    #: r11: a roleless built-in admin was a powerless identity)
+    users: dict = field(
+        default_factory=lambda: {"root": set(), "admin": {"admin"}}
+    )
     roles: set = field(default_factory=lambda: {"operator", "admin"})
     #: grants[(kind, name)][scope] = set of privs; scope '*' or table
     grants: dict = field(default_factory=dict)
@@ -250,7 +256,7 @@ class AccessController:
         ac = cls()
         ac.users = {u: set(r) for u, r in d.get("users", {}).items()}
         ac.users.setdefault("root", set())
-        ac.users.setdefault("admin", set())
+        ac.users.setdefault("admin", {"admin"})
         ac.roles = set(d.get("roles", [])) | {"admin", "operator"}
         for kind, name, scope, privs in d.get("grants", []):
             ac.grants.setdefault((kind, name), {}).setdefault(

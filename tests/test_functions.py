@@ -734,3 +734,17 @@ def test_doris_hash_udfs_sql_surface(spark):
     assert row["m2"] == 984713481
     assert row["m642"] == 3583109472027628045
     assert row["mnull"] is None
+    # SQL surface is variadic like upstream (ADVICE r11) — same doc
+    # vectors as the Column API, NULL in any arg → NULL
+    got = spark.sql(
+        "SELECT murmur_hash3_32('hello', 'world') AS m2, "
+        "murmur_hash3_64('hello', 'world') AS m642, "
+        "xxhash_64('hello', 'world') AS x2, "
+        "murmur_hash3_32('hello', NULL) AS mn2"
+    ).collect()[0]
+    assert got["m2"] == 984713481
+    assert got["m642"] == 3583109472027628045
+    assert got["x2"] == xxhash64_str(
+        "world", xxhash64_str("hello", 0) & 0xFFFFFFFFFFFFFFFF
+    )
+    assert got["mn2"] is None

@@ -405,3 +405,115 @@ def test_row_policy_follows_rename_and_dies_with_drop(ps):
     _mk(ps)
     ps.su("ivy")
     assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+
+
+def test_mutation_embedded_reads_respect_row_policies(ps):
+    """ADVICE r11 (high): UPDATE ... FROM and DELETE ... USING compose
+    a join-SELECT that previously ran definer-rights, so a policied
+    identity could launder policy-hidden source rows into a table it
+    can read (or delete/update correlated with rows it cannot see).
+    The embedded read now runs AS the current identity."""
+    for t in ("pol_mine", "pol_mine2"):
+        ps.sql(f"CREATE TABLE {t} (`k` BIGINT, `v` INT) UNIQUE KEY(k) "
+               "DISTRIBUTED BY HASH(k) BUCKETS 2")
+        ps.sql(f"INSERT INTO {t} VALUES (1, 0), (2, 0)")
+    ps.sql("CREATE TABLE pol_secret (`k` BIGINT, `s` INT, "
+           "`region` VARCHAR(8)) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO pol_secret VALUES (1, 111, 'eu'), (2, 222, 'us')")
+    ps.sql("CREATE USER 'mallory'")
+    ps.sql("GRANT SELECT_PRIV, LOAD_PRIV ON pol_mine TO 'mallory'")
+    ps.sql("GRANT SELECT_PRIV, LOAD_PRIV ON pol_mine2 TO 'mallory'")
+    ps.sql("GRANT SELECT_PRIV ON pol_secret TO 'mallory'")
+    ps.sql("CREATE ROW POLICY s_eu ON pol_secret AS RESTRICTIVE TO "
+           "'mallory' USING (region = 'eu')")
+    try:
+        ps.su("mallory")
+        ps.sql("UPDATE pol_mine SET v = s.s FROM pol_secret s "
+               "WHERE pol_mine.k = s.k")
+        got = {r["k"]: r["v"]
+               for r in ps.sql("SELECT k, v FROM pol_mine").collect()}
+        # k=2's source row is policy-hidden from mallory: untouched
+        assert got == {1: 111, 2: 0}
+        ps.sql("DELETE FROM pol_mine2 USING pol_secret s "
+               "WHERE pol_mine2.k = s.k")
+        left = sorted(
+            r["k"] for r in ps.sql("SELECT k FROM pol_mine2").collect())
+        assert left == [2]
+    finally:
+        ps.su("root")
+    # root's identical join-mutations stay unfiltered
+    ps.sql("UPDATE pol_mine SET v = s.s FROM pol_secret s "
+           "WHERE pol_mine.k = s.k")
+    assert {r["k"]: r["v"]
+            for r in ps.sql("SELECT k, v FROM pol_mine").collect()
+            } == {1: 111, 2: 222}
+    ps.sql("DELETE FROM pol_mine2 USING pol_secret s WHERE pol_mine2.k = s.k")
+    assert ps.sql("SELECT count(*) AS n FROM pol_mine2").collect()[0]["n"] == 0
+
+
+def test_target_side_policy_limits_mutations(ps):
+    """A policy on the TARGET table bounds which rows a join-mutation
+    can touch (the composed read swaps every policied table it
+    reaches, target included — PostgreSQL-RLS posture)."""
+    ps.sql("CREATE TABLE pol_tgt (`k` BIGINT, `region` VARCHAR(8), "
+           "`v` INT) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO pol_tgt VALUES (1,'eu',0),(2,'us',0)")
+    ps.sql("CREATE TABLE pol_srd (`k` BIGINT, `s` INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO pol_srd VALUES (1, 11), (2, 22)")
+    ps.sql("CREATE USER 'nina'")
+    ps.sql("GRANT SELECT_PRIV, LOAD_PRIV ON pol_tgt TO 'nina'")
+    ps.sql("GRANT SELECT_PRIV ON pol_srd TO 'nina'")
+    ps.sql("CREATE ROW POLICY t_eu ON pol_tgt AS RESTRICTIVE TO 'nina' "
+           "USING (region = 'eu')")
+    try:
+        ps.su("nina")
+        ps.sql("DELETE FROM pol_tgt USING pol_srd s WHERE pol_tgt.k = s.k")
+    finally:
+        ps.su("root")
+    # only the row nina can SEE was deletable; the us row survives
+    assert sorted(r["k"] for r in
+                  ps.sql("SELECT k FROM pol_tgt").collect()) == [2]
+
+
+def test_builtin_admin_is_superuser(ps):
+    """ADVICE r11: upstream bootstraps admin@'%' with ADMIN_PRIV (role
+    'admin'); su('admin') must be a working superuser, not a powerless
+    identity."""
+    _mk(ps)
+    assert ps.access.is_superuser("admin")
+    try:
+        ps.su("admin")
+        assert ps.sql("SELECT count(*) AS n FROM acl_t").collect()[0]["n"] == 3
+        ps.sql("CREATE USER 'frank'")  # DDL needs superuser/grants
+    finally:
+        ps.su("root")
+    assert "frank" in ps.access.users
+
+
+def test_show_row_policy_for_resolves_roles(ps):
+    """ADVICE r11: SHOW ROW POLICY FOR 'user' must include policies
+    attached via roles the user holds, and FOR ROLE 'r' must not be
+    conflated with a same-named user."""
+    _mk(ps)
+    ps.sql("CREATE ROLE 'readers'")
+    ps.sql("CREATE USER 'grace'")
+    ps.sql("GRANT 'readers' TO 'grace'")
+    ps.sql("CREATE ROW POLICY via_role ON acl_t AS RESTRICTIVE TO ROLE "
+           "'readers' USING (region = 'eu')")
+    ps.sql("CREATE ROW POLICY direct ON acl_t AS PERMISSIVE TO 'grace' "
+           "USING (v > 0)")
+    # a role named like a user must not bleed into the user listing
+    ps.sql("CREATE ROLE 'grace'")
+    ps.sql("CREATE ROW POLICY role_only ON acl_t AS RESTRICTIVE TO ROLE "
+           "'grace' USING (v < 0)")
+    names = sorted(r["PolicyName"] for r in
+                   ps.sql("SHOW ROW POLICY FOR 'grace'").collect())
+    assert names == ["direct", "via_role"]
+    names = sorted(r["PolicyName"] for r in
+                   ps.sql("SHOW ROW POLICY FOR ROLE 'readers'").collect())
+    assert names == ["via_role"]
+    names = sorted(r["PolicyName"] for r in
+                   ps.sql("SHOW ROW POLICY FOR ROLE 'grace'").collect())
+    assert names == ["role_only"]
