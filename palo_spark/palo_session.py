@@ -2644,7 +2644,12 @@ class PaloSession:
         space), every GROUP BY column is selected under its own name,
         and every aggregate is re-mergeable across partition slices
         (SUM / COUNT / MIN / MAX — each merges as SUM or MIN/MAX of
-        the per-partition partials). Returns the parsed pieces, or
+        the per-partition partials). JOIN bodies (r12) deliberately
+        return None — a dim-side change invalidates every fact
+        partition, so slice-diffing needs join-key lineage this
+        engine does not track; their REFRESH AUTO falls back to the
+        always-correct full recompute (pinned in
+        tests/test_join_mv_rewrite.py). Returns the parsed pieces, or
         None → full recompute."""
         from palo_spark.plans import _parse_simple_agg_sql
 
@@ -2992,7 +2997,16 @@ class PaloSession:
         # ordered/limited text (the coverage grammar already excludes
         # both)
         orderish = " order by " in qn or " limit " in qn
-        qparsed = _parse_simple_agg_sql(translate(text))
+        ttext = translate(text)
+        qparsed = _parse_simple_agg_sql(ttext)
+        qjoin = None
+        if qparsed is None:
+            # join-body path (r12): a query whose FROM is the same
+            # INNER equi-join subtree as an MV body may derive from
+            # the joined snapshot — parsed once per statement
+            from palo_spark.plans import _parse_join_agg_sql
+
+            qjoin = _parse_join_agg_sql(ttext, self._mv_columns_of)
         for name, mv in sorted(self.async_mvs.items()):
             if not mv.get("built"):
                 continue
@@ -3005,6 +3019,11 @@ class PaloSession:
                 self.last_mv_rewrite = name
                 return self.spark.table(name)
             if qparsed is None:
+                if qjoin is not None:
+                    out = self._derive_join_mv(name, mv, qjoin)
+                    if out is not None:
+                        self.last_mv_rewrite = name
+                        return out
                 continue
             mvp = _parse_simple_agg_sql(translate(mv["body"]))
             if mvp is None:
@@ -3077,6 +3096,177 @@ class PaloSession:
             self.last_mv_rewrite = name
             return out.select(*sel)
         return None
+
+    def _mv_columns_of(self, tname: str):
+        """Column resolver for the join-agg parser: the session's view
+        of ``tname`` (session tables / views register temp views) —
+        catalog metadata only, no job. None for unknown names."""
+        try:
+            return set(self.spark.table(tname).columns)
+        except Exception:
+            return None
+
+    @staticmethod
+    def _canon_join_pred(pj: dict) -> str:
+        """Alias-insensitive canonical form of a parsed join-query's
+        WHERE text: qualifiers rewritten to table names, backticks
+        dropped, whitespace/case folded — so the MV body's filter and
+        the query's compare equal regardless of alias spelling.
+        String literals are left untouched."""
+        parts = re.split(r"('(?:[^']|'')*')", pj["where"])
+        for i in range(0, len(parts), 2):
+            s = parts[i].replace("`", "")
+            for alias, tbl in pj["alias_map"].items():
+                s = re.sub(
+                    rf"\b{re.escape(alias)}\s*\.\s*", tbl + ".", s,
+                    flags=re.IGNORECASE,
+                )
+            parts[i] = s
+        return re.sub(r"\s+", " ", "".join(parts)).strip().lower()
+
+    @staticmethod
+    def _pred_to_snapshot(qj: dict, dims: dict) -> str | None:
+        """Rewrite the query's residual WHERE onto the MV snapshot's
+        column names: every (table, col) dim reference — qualified by
+        alias or table name, or bare — becomes the snapshot alias.
+        Returns None when a bare name is ambiguous across dims (two
+        joined tables sharing a column name); the caller then declines
+        the rewrite rather than guessing."""
+        qual_map: dict[tuple, str] = {}
+        bare_map: dict[str, set] = {}
+        for (tbl, col), snap in dims.items():
+            qual_map[(tbl, col)] = snap
+            for alias, t2 in qj["alias_map"].items():
+                if t2 == tbl:
+                    qual_map[(alias, col)] = snap
+            bare_map.setdefault(col, set()).add(snap)
+        ambiguous = False
+
+        def bare_sub(mm):
+            nonlocal ambiguous
+            snaps = bare_map.get(mm.group(0).lower())
+            if snaps is None:
+                return mm.group(0)
+            if len(snaps) != 1:
+                ambiguous = True
+                return mm.group(0)
+            return f"`{next(iter(snaps))}`"
+
+        parts = re.split(r"('(?:[^']|'')*')", qj["where"])
+        for i in range(0, len(parts), 2):
+            s = parts[i]
+            for (q, c), snap in qual_map.items():
+                s = re.sub(
+                    rf"\b`?{re.escape(q)}`?\s*\.\s*`?{re.escape(c)}`?\b",
+                    f"`{snap}`", s, flags=re.IGNORECASE,
+                )
+            s = re.sub(r"(?<![\w.`'])[A-Za-z_]\w*(?![\w.(])", bare_sub, s)
+            parts[i] = s
+        return None if ambiguous else "".join(parts)
+
+    def _derive_join_mv(self, name: str, mv: dict, qj: dict):
+        """Join-aware transparent rewrite (r12; [docs:
+        async-materialized-view] — upstream Nereids matches a query's
+        join subtree against MVs whose body itself joins fact x dim):
+        the query derives from ``name``'s snapshot when
+
+        - its FROM is the SAME table set under the SAME INNER equi-join
+          keys (alias-insensitive, matched as (table, column) pairs);
+        - the MV body's WHERE, if any, equals the query's (canonical
+          text compare) — otherwise the MV is unfiltered and the query
+          WHERE references only snapshot dims (residual filter);
+        - every query group/filter column is a stored MV dim, and every
+          aggregate derives from a stored one (SUM/COUNT re-aggregate
+          as SUM, MIN/MAX as themselves, AVG from the SUM+COUNT pair
+          over the same column) — the coarser-group residual path.
+
+        A hit replaces the defining join with ONE scan of the
+        (pre-joined, pre-aggregated) snapshot — at cluster scale the
+        fact-side shuffle disappears entirely. Returns the derived
+        DataFrame or None (callers fall back to the bases, which is
+        always correct)."""
+        from pyspark.sql import functions as F
+
+        from palo_spark.plans import _parse_join_agg_sql
+
+        mvj = _parse_join_agg_sql(
+            translate(mv["body"]), self._mv_columns_of
+        )
+        if mvj is None:
+            return None
+        if (
+            mvj["tables"] != qj["tables"]
+            or mvj["join_keys"] != qj["join_keys"]
+        ):
+            return None
+        dims = {
+            it["ref"]: it["alias"]
+            for it in mvj["items"]
+            if it["kind"] == "group"
+        }
+        residual = None
+        if mvj["where"] is not None:
+            if qj["where"] is None or self._canon_join_pred(
+                mvj
+            ) != self._canon_join_pred(qj):
+                return None
+        elif qj["where"] is not None:
+            if not set(qj["where_refs"]) <= set(dims):
+                return None
+            residual = self._pred_to_snapshot(qj, dims)
+            if residual is None:
+                return None
+        if not all(ref in dims for ref in qj["group_refs"]):
+            return None
+        stored = {
+            (it["func"], it["ref"]): it["alias"]
+            for it in mvj["items"]
+            if it["kind"] == "agg"
+        }
+        plan = []  # (kind, source, out_alias)
+        for it in qj["items"]:
+            if it["kind"] == "group":
+                snap = dims.get(it["ref"])
+                if snap is None:
+                    return None
+                plan.append(("group", snap, it["alias"]))
+                continue
+            f, ref = it["func"], it["ref"]
+            if f == "avg":
+                s, c = stored.get(("sum", ref)), stored.get(("count", ref))
+                if s is None or c is None:
+                    return None
+                plan.append(("avg", (s, c), it["alias"]))
+            elif f in ("sum", "count", "min", "max"):
+                col = stored.get((f, ref))
+                if col is None:
+                    return None
+                # SUM and COUNT partials both re-merge as SUM
+                plan.append(("sum" if f == "count" else f, col, it["alias"]))
+            else:
+                return None
+        if not any(k != "group" for k, _, _ in plan):
+            return None  # dims-only SELECT — not a rollup shape
+        df = self.spark.table(name)
+        if residual:
+            df = df.filter(F.expr(residual))
+        gb = [src for k, src, _ in plan if k == "group"]
+        aggs = []
+        for k, src, alias in plan:
+            if k == "group":
+                continue
+            if k == "avg":
+                aggs.append(
+                    (F.sum(F.col(src[0])) / F.sum(F.col(src[1]))).alias(alias)
+                )
+            else:
+                aggs.append(getattr(F, k)(F.col(src)).alias(alias))
+        out = df.groupBy(*gb).agg(*aggs)
+        sel = [
+            F.col(src if k == "group" else alias).alias(alias)
+            for k, src, alias in plan
+        ]
+        return out.select(*sel)
 
     def _create_mv(self, mv_name: str, body: str):
         """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>

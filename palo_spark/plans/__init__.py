@@ -502,3 +502,216 @@ def _parse_simple_agg_sql(sql_text: str):
             if w.lower() not in _SQL_KEYWORDS
         ]
     return m.group("table"), group_cols, items, where_text, where_cols
+
+
+# ---------------------------------------------- join-agg shape parsing
+
+_JOIN_SQL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<frm>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[\w\s,.`]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: alias may follow the table name (optionally via AS) but must not be
+#: a clause keyword — the lookahead keeps `t1 JOIN t2` from parsing
+#: `JOIN` as t1's alias
+_T_ALIAS = (
+    r"`?(?P<t>\w+)`?"
+    r"(?:\s+(?:AS\s+)?(?!JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b"
+    r"|ON\b|WHERE\b|GROUP\b)`?(?P<a>\w+)`?)?"
+)
+_JOIN_STEP_RE = re.compile(
+    r"\s+(?:INNER\s+)?JOIN\s+" + _T_ALIAS.replace("<t>", "<jt>").replace("<a>", "<ja>")
+    + r"\s+ON\s+(?P<on>.+?)(?=\s+(?:INNER\s+|LEFT\s+|RIGHT\s+|FULL\s+"
+    r"|CROSS\s+)?JOIN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_EQ_COND_RE = re.compile(
+    r"^`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?$"
+)
+_J_ITEM_AGG_RE = re.compile(
+    r"^(?P<func>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+    r"(?:`?(?P<qual>\w+)`?\.)?`?(?P<arg>\*|\w+)`?\s*\)"
+    r"(?:\s+AS\s+`?(?P<alias>\w+)`?)?$",
+    re.IGNORECASE,
+)
+_J_ITEM_COL_RE = re.compile(
+    r"^(?:`?(?P<qual>\w+)`?\.)?`?(?P<col>\w+)`?"
+    r"(?:\s+AS\s+`?(?P<alias>\w+)`?)?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_join_agg_sql(sql_text: str, columns_of=None):
+    """Parse ``SELECT dims+aggs FROM t1 [a1] JOIN t2 [a2] ON a.k = b.k
+    [AND ...] [JOIN ...] [WHERE ...] GROUP BY dims`` — the join-body
+    async-MV grammar ([docs: async-materialized-view] — upstream's
+    Nereids rewrite matches queries against MVs whose body joins
+    fact x dim). INNER equi-joins only; every other shape returns None
+    (the caller falls back to computing from the bases, which is
+    always correct).
+
+    Columns are resolved to (table, column) pairs through the alias
+    map; unqualified columns resolve via ``columns_of(table) ->
+    set[str] | None`` and must be unambiguous across the joined
+    tables. Returns a dict with:
+
+    - ``alias_map``: alias/name (lower) -> table name (lower)
+    - ``tables``: frozenset of table names
+    - ``join_keys``: frozenset of frozenset({(t, c), (t, c)}) equalities
+    - ``items``: select items in order — {"kind": "group", "ref": (t,c),
+      "alias": out} or {"kind": "agg", "func": f, "ref": (t,c) | None
+      for COUNT(*), "alias": out}
+    - ``where`` / ``where_refs``: residual filter text and the (t, c)
+      pairs it references (None where on no filter)
+
+    or None when the text is outside the grammar or a column cannot be
+    resolved to exactly one joined table."""
+    m = _JOIN_SQL_RE.match(sql_text)
+    if m is None:
+        return None
+    frm = m.group("frm")
+    head = re.match(r"^\s*" + _T_ALIAS, frm, re.IGNORECASE)
+    if head is None:
+        return None
+    alias_map: dict[str, str] = {}
+
+    def add(tbl: str, alias: str | None) -> bool:
+        tbl = tbl.lower()
+        key = (alias or tbl).lower()
+        if key in alias_map or tbl in alias_map.values():
+            return False  # duplicate alias / self-join — out of grammar
+        alias_map[key] = tbl
+        return True
+
+    if not add(head.group("t"), head.group("a")):
+        return None
+    pos = head.end()
+    join_steps = []
+    for jm in _JOIN_STEP_RE.finditer(frm, pos):
+        if jm.start() != pos:
+            return None  # unmatched text between steps (e.g. LEFT JOIN)
+        pos = jm.end()
+        if not add(jm.group("jt"), jm.group("ja")):
+            return None
+        join_steps.append(jm.group("on"))
+    if pos != len(frm.rstrip()) and frm[pos:].strip():
+        return None
+    if not join_steps:
+        return None  # single-table text — the simple-agg parser's job
+
+    _col_cache: dict[str, set | None] = {}
+
+    def cols_of(tbl: str):
+        if tbl not in _col_cache:
+            _col_cache[tbl] = columns_of(tbl) if columns_of else None
+        return _col_cache[tbl]
+
+    def resolve(qual: str | None, col: str):
+        """(table, column) for a reference, or None when unresolvable."""
+        col = col.lower()
+        if qual is not None:
+            tbl = alias_map.get(qual.lower())
+            return (tbl, col) if tbl else None
+        owners = [
+            t for t in alias_map.values()
+            if (cols_of(t) or set()) and col in cols_of(t)
+        ]
+        return (owners[0], col) if len(owners) == 1 else None
+
+    join_keys = set()
+    for on in join_steps:
+        for cond in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
+            em = _EQ_COND_RE.match(cond.strip())
+            if em is None:
+                return None
+            l = resolve(em.group(1), em.group(2))
+            r = resolve(em.group(3), em.group(4))
+            if l is None or r is None or l[0] == r[0]:
+                return None
+            join_keys.add(frozenset((l, r)))
+
+    group_refs = []
+    for g in m.group("group").split(","):
+        gm = _J_ITEM_COL_RE.match(g.strip())
+        if gm is None or gm.group("alias"):
+            return None
+        ref = resolve(gm.group("qual"), gm.group("col"))
+        if ref is None:
+            return None
+        group_refs.append(ref)
+
+    items = []
+    for raw in _split_select_items(m.group("select")):
+        raw = raw.strip()
+        am = _J_ITEM_AGG_RE.match(raw)
+        if am:
+            func = am.group("func").lower()
+            if am.group("arg") == "*":
+                if func != "count" or am.group("qual"):
+                    return None
+                ref = None
+                default = "count_all"
+            else:
+                ref = resolve(am.group("qual"), am.group("arg"))
+                if ref is None:
+                    return None
+                default = f"{func}_{ref[1]}"
+            items.append({
+                "kind": "agg", "func": func, "ref": ref,
+                "alias": (am.group("alias") or default).lower(),
+            })
+            continue
+        cm = _J_ITEM_COL_RE.match(raw)
+        if cm:
+            ref = resolve(cm.group("qual"), cm.group("col"))
+            if ref is None or ref not in group_refs:
+                return None
+            items.append({
+                "kind": "group", "ref": ref,
+                "alias": (cm.group("alias") or ref[1]).lower(),
+            })
+            continue
+        return None
+    where_text = (m.group("where") or "").strip() or None
+    where_refs = []
+    if where_text:
+        no_strings = re.sub(r"'[^']*'", "", where_text)
+        for qual, col in re.findall(
+            r"(?:`?([A-Za-z_]\w*)`?\.)?`?([A-Za-z_]\w*)`?", no_strings
+        ):
+            if not qual and col.lower() in _SQL_KEYWORDS:
+                continue
+            ref = resolve(qual or None, col)
+            if ref is None:
+                return None
+            where_refs.append(ref)
+    return {
+        "alias_map": alias_map,
+        "tables": frozenset(alias_map.values()),
+        "join_keys": frozenset(join_keys),
+        "group_refs": group_refs,
+        "items": items,
+        "where": where_text,
+        "where_refs": where_refs,
+    }
+
+
+def _split_select_items(select: str) -> list[str]:
+    """Split a select list on top-level commas (commas inside agg
+    parens don't occur in this grammar, but keep it paren-aware so a
+    future extension doesn't silently mis-split)."""
+    out, depth, cur = [], 0, []
+    for ch in select:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

@@ -51,67 +51,66 @@ _MODULE_NAMES = [
 # and asserts this list matches it, so a new suite entry or a new
 # ledger file forces a conscious re-pin.
 _PRIORITY = [
-    # never driver-green: the r10 window cut off at slot 50, these 3
-    # r10 additions overflowed (plus any r11 additions, by the rule)
-    "sql_alias_function",
-    "sql_async_mv_avg_rewrite",
-    "sql_hash_functions",
-    "sql_row_policy_filter",
-    "sql_row_policy_role_permissive",
-    "sql_update_from_join",
-    # last green r01 — ten rounds of code churn ago
-    "case_when_projection",
-    "distinct_projection",
-    "values_inline_table",
-    # last green r02
-    "correlated_scalar_subquery",
-    "datagen_numbers",
-    "empty_set_const_false",
-    "except_all",
-    "except_distinct",
-    "hash_join_full_outer",
-    "hash_join_inner",
-    "hash_join_left_anti",
-    "hash_join_left_outer",
-    "hash_join_left_semi",
-    "hash_join_right_outer",
-    "having_filter",
-    "in_subquery",
-    "intersect_all",
-    "intersect_distinct",
-    "nested_loop_cross_join",
-    "nested_loop_theta_join",
-    "not_in_subquery",
-    "null_aware_anti_join",
-    "repeat_cube",
-    "repeat_grouping_sets",
-    "repeat_rollup",
-    "scalar_subquery",
-    "sort_limit_offset",
-    "table_function_explode",
-    "table_function_posexplode",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opp",
-    "tpch_q2_min_cost_supplier",
+    # never driver-green: the r12 addition
+    "sql_async_mv_join_rewrite",
+    # last green r02 — ten rounds of code churn ago
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_all",
+    "union_distinct",
+    # last green r03
+    "behavioral_sequence_match",
+    "behavioral_window_funnel",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_exact_keep_best",
+    "dedup_minhash_fuzzy",
+    "dedup_ngram_jaccard",
+    "dialect_division_semantics",
+    "dialect_implicit_cast_cmp",
+    "dialect_largeint_decimal",
+    "dialect_lax_cast_null",
+    "dialect_string_number_arith",
+    "mix_sources_weighted",
+    "sample_hash_fraction",
+    "sample_nested_subset",
+    "sample_split_assignment",
+    "sample_stratified_lang",
+    "similarity_knn_join",
+    "similarity_search_topk",
+    "sketch_bitmap_distinct",
+    "sketch_bitmap_distinct_salted",
+    "sketch_bitmap_hash_distinct",
+    "sketch_bitmap_intersect_agg",
+    "sketch_bitmap_merge_two_phase",
+    "sketch_bitmap_ops",
+    "sketch_explode_bitmap",
+    "sketch_hll_merge_two_phase",
+    "sketch_hll_ndv",
+    "sketch_orthogonal_bitmap_expr",
+    "sketch_orthogonal_union_count",
+    "sketch_quantile_union",
+    "table_model_aggregate_merge",
+    "table_model_delete_compact",
+    "table_model_delete_predicate",
+    "table_model_duplicate_append",
+    "table_model_schema_change",
+    "table_model_unique_sequence_col",
+    "table_model_unique_upsert",
+    "text_quality_score",
+    "text_tfidf_top_terms",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test
 # computes last-green rounds from CORRECTNESS_r01..r{N-1} only, so
 # checking in CORRECTNESS_r11.json at round end does not retroactively
 # invalidate the r11 window. Bump when rotating.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}

@@ -1356,6 +1356,97 @@ def _sql_async_mv_avg_rewrite(spark, sf_dir):
     return out.orderBy("o_orderpriority")
 
 
+def _sql_async_mv_join_rewrite(spark, sf_dir):
+    """Join-aware transparent async-MV rewrite (r12; [docs:
+    async-materialized-view] — upstream Nereids rewrites queries whose
+    join subtree matches an MV whose body itself joins fact x dim):
+    the MV stores SUM/COUNT partials per (mktsegment, nationkey) over
+    ``orders JOIN customer``; the query asks the SAME join at a
+    COARSER group (mktsegment only) with a residual dim filter
+    (nationkey < 13) and an AVG the snapshot derives from its
+    SUM+COUNT pair. Fail-loud if the rewrite did not fire or the plan
+    still contains the join — the point at cluster scale is that the
+    fact-side shuffle disappears entirely. Cents are exact integers,
+    so SUM re-merge and the one AVG division are deterministic and
+    oracle-identical."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    tf = ps._create_table(
+        "CREATE TABLE jmv_orders (`o_orderkey` BIGINT, `o_custkey` BIGINT, "
+        "`total_cents` BIGINT) DUPLICATE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    tf.insert(
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("jmv_orders")
+    td = ps._create_table(
+        "CREATE TABLE jmv_cust (`c_custkey` BIGINT, `c_mktsegment` "
+        "VARCHAR(10), `c_nationkey` BIGINT) DUPLICATE KEY(c_custkey) "
+        "DISTRIBUTED BY HASH(c_custkey) BUCKETS 8"
+    )
+    td.insert(c.select("c_custkey", "c_mktsegment", "c_nationkey"))
+    ps._refresh_view("jmv_cust")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW jmv_join BUILD IMMEDIATE REFRESH COMPLETE
+        ON MANUAL AS
+        SELECT c.c_mktsegment AS seg, c.c_nationkey AS nk,
+               SUM(f.total_cents) AS sum_cents,
+               COUNT(f.total_cents) AS cnt_cents,
+               COUNT(*) AS n_all
+        FROM jmv_orders f JOIN jmv_cust c ON f.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_nationkey
+        """
+    )
+    out = ps.sql(
+        "SELECT c.c_mktsegment AS seg, SUM(f.total_cents) AS sum_cents, "
+        "AVG(f.total_cents) AS avg_cents, COUNT(*) AS n_orders "
+        "FROM jmv_orders f JOIN jmv_cust c ON f.o_custkey = c.c_custkey "
+        "WHERE c.c_nationkey < 13 GROUP BY c.c_mktsegment"
+    )
+    if ps.last_mv_rewrite != "jmv_join":
+        raise RuntimeError(
+            "join-aware async-MV rewrite did not fire "
+            f"(last_mv_rewrite={ps.last_mv_rewrite!r})"
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace("\n", " ")
+    if "Join" in flat:
+        raise RuntimeError("rewritten plan still joins — rewrite is fake")
+    if "_async_mv/jmv_join" not in flat and "FileScan" not in flat:
+        raise RuntimeError("rewritten plan does not scan the MV snapshot")
+    return out.orderBy("seg")
+
+
+QUERIES["sql_async_mv_join_rewrite"] = _sql_async_mv_join_rewrite
+ORACLE["sql_async_mv_join_rewrite"] = """
+    SELECT c_mktsegment AS seg,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey < 13
+    GROUP BY c_mktsegment
+    ORDER BY seg
+"""
+
+
 QUERIES["sql_async_mv_avg_rewrite"] = _sql_async_mv_avg_rewrite
 ORACLE["sql_async_mv_avg_rewrite"] = """
     SELECT o_orderpriority,
