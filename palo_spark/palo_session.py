@@ -1268,9 +1268,18 @@ class PaloSession:
             return True, None
         m = _DROP_USER_RE.match(stripped)
         if m:
-            self.access.drop_user(m.group("name"))
-            if self.current_user == m.group("name").lower():
-                self.current_user = "root"
+            nm = m.group("name").lower()
+            if nm == self.current_user and nm != "root":
+                # r12 audit: falling back to root here let any
+                # GRANT_PRIV holder self-drop INTO the superuser —
+                # refuse instead (upstream: dropping the connected
+                # identity does not re-authenticate the connection).
+                # root falls through to drop_user's own refusal.
+                raise ValueError(
+                    "cannot drop the current session identity — "
+                    "su() to another user first"
+                )
+            self.access.drop_user(nm)
             return True, None
         m = _CREATE_ROLE_RE.match(stripped)
         if m and up.lstrip().startswith("CREATE ROLE"):
@@ -1450,7 +1459,28 @@ class PaloSession:
         and rollup answering are bypassed — their stores hold
         UNFILTERED data, and a policy user must never see it. Filtered
         dfs are all built BEFORE any swap (a policy predicate may
-        reference its own table's columns only)."""
+        reference its own table's columns only).
+
+        Index routes are NOT bypassed (VERDICT r11 #3): the
+        MATCH/NGRAM/value-index splice replaces the matched predicate
+        with an id semi-join IMPLIED by it, so running the spliced
+        text over the filtered views returns exactly (policy-visible
+        rows) ∩ (predicate rows) — the policy conjunct attaches to
+        the route instead of defeating it. Routing runs BEFORE the
+        view swap so a stale index rebuilds from the UNFILTERED
+        corpus (the posting store is shared; per-identity filtering
+        happens at the scan, never in the index)."""
+        self.last_match_indexed = False
+        self.last_like_indexed = False
+        self.last_eq_indexed = False
+        if self.indexes:
+            routed = self._try_indexed_match(stripped)
+            if routed is None:
+                routed = self._try_indexed_like(stripped)
+            if routed is None:
+                routed = self._try_indexed_eq(stripped)
+            if routed is not None:
+                stripped = routed
         filtered = {}
         for tbl, expr in pol.items():
             filtered[tbl] = doris_sql(

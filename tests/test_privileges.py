@@ -209,15 +209,17 @@ def test_user_role_lifecycle_and_errors(ps):
         ps.su("nobody")
 
 
-def test_privilege_policy_fuzz(ps):
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_privilege_policy_fuzz(ps, tmp_path, seed):
     """Randomized closure of the authorization surface: drive random
     grant/revoke (user- and role-scoped), role membership flips,
-    policy create/drop (both kinds, both grantee kinds), and table
-    renames, and after EVERY phase assert the identity's view of the
-    table equals a pure-Python model — both the allowed/denied
-    decision and the exact visible row set under the policy
-    combination rule. Any enforcement staleness, policy leak, or
-    rename-follow miss is a hard mismatch."""
+    policy create/drop (both kinds, both grantee kinds), table
+    renames, in-place BACKUP/RESTORE roundtrips, and DROP USER +
+    recreate (r12 op extensions), and after EVERY phase assert the
+    identity's view of the table equals a pure-Python model — both
+    the allowed/denied decision and the exact visible row set under
+    the policy combination rule. Any enforcement staleness, policy
+    leak, or lifecycle-follow miss is a hard mismatch."""
     import random
 
     rows = [
@@ -235,15 +237,17 @@ def test_privilege_policy_fuzz(ps):
         "p_low": ("v < 50", lambda r: r[2] < 50),
         "p_hi": ("v >= 45", lambda r: r[2] >= 45),
     }
-    rng = random.Random(7)
+    ps.sql(f"CREATE REPOSITORY fzrepo WITH LOCATION '{tmp_path}/fzrepo'")
+    rng = random.Random(seed)
     name = "fzacl"
     sel_user = sel_role = has_role = False
     live: dict[str, tuple[str, str]] = {}  # pname -> (kind, to_kind)
     n_ren = 0
-    for phase in range(40):
+    for phase in range(48):
         op = rng.choice(
             ["gs_user", "rs_user", "gs_role", "rs_role", "g_role",
-             "r_role", "pol_add", "pol_drop", "rename"])
+             "r_role", "pol_add", "pol_drop", "rename",
+             "snap_roundtrip", "drop_user"])
         if op == "gs_user":
             ps.sql(f"GRANT SELECT_PRIV ON {name} TO 'fu'")
             sel_user = True
@@ -278,7 +282,8 @@ def test_privilege_policy_fuzz(ps):
             pn = rng.choice(sorted(live))
             ps.sql(f"DROP ROW POLICY {pn} ON {name}")
             del live[pn]
-        else:  # rename — grants are NAME-based and must be re-issued;
+        elif op == "rename":
+            # rename — grants are NAME-based and must be re-issued;
             # to keep the grant model simple, re-grant what was held
             n_ren += 1
             new = f"fzacl_r{n_ren}"
@@ -288,6 +293,19 @@ def test_privilege_policy_fuzz(ps):
             if sel_role:
                 ps.sql(f"GRANT SELECT_PRIV ON {new} TO ROLE 'fr'")
             name = new
+        elif op == "snap_roundtrip":
+            # in-place BACKUP + RESTORE: a fresh Table OBJECT under the
+            # same name — enforcement, policies, and visible rows must
+            # be unchanged (NAME-vs-OBJECT lifetime class)
+            ps.sql(f"BACKUP SNAPSHOT fz{phase} TO fzrepo ON ({name})")
+            ps.sql(f"RESTORE SNAPSHOT fz{phase} FROM fzrepo ON ({name})")
+        else:  # drop_user — user grants and user-grantee policies die
+            # with the user; role-grantee policies and role grants
+            # survive (they belong to the role). Recreate fresh.
+            ps.sql("DROP USER 'fu'")
+            ps.sql("CREATE USER 'fu'")
+            sel_user = has_role = False
+            live = {pn: v for pn, v in live.items() if v[1] == "role"}
         # ---- probe as 'fu' against the Python model
         allowed = sel_user or (has_role and sel_role)
         mine = [
@@ -517,3 +535,43 @@ def test_show_row_policy_for_resolves_roles(ps):
     names = sorted(r["PolicyName"] for r in
                    ps.sql("SHOW ROW POLICY FOR ROLE 'grace'").collect())
     assert names == ["role_only"]
+
+
+def test_policied_reads_keep_index_routes_and_pushdown(ps):
+    """VERDICT r11 #3 plan pin: a row policy must attach to, not
+    defeat, the scan's accelerations. The NGRAM/MATCH/value-index
+    splice is IMPLIED by the predicate it replaces, so running it
+    over the policy-filtered view returns exactly (visible rows) ∩
+    (predicate rows) — and the policy conjunct rides the filtered
+    view into the parquet scan as an ordinary pushed filter."""
+    ps.sql("CREATE TABLE pol_docs (`doc_id` BIGINT, `text` VARCHAR(200), "
+           "`lang` VARCHAR(4)) DUPLICATE KEY(doc_id) "
+           "DISTRIBUTED BY HASH(doc_id) BUCKETS 2")
+    rows = ", ".join(
+        f"({i}, 'alpha tok{i % 23} needlehay{i % 7} omega', "
+        f"'{'en' if i % 3 else 'de'}')" for i in range(80))
+    ps.sql(f"INSERT INTO pol_docs VALUES {rows}")
+    ps.sql("CREATE INDEX pd_ng ON pol_docs (text) USING NGRAM_BF "
+           "PROPERTIES('gram_size'='3', 'bf_size'='256')")
+    ps.sql("CREATE USER 'rix'")
+    ps.sql("GRANT SELECT_PRIV ON pol_docs TO 'rix'")
+    ps.sql("CREATE ROW POLICY rix_en ON pol_docs AS RESTRICTIVE TO 'rix' "
+           "USING (lang = 'en')")
+    q = ("SELECT doc_id FROM pol_docs WHERE `text` LIKE '%needlehay3%' "
+         "ORDER BY doc_id")
+    root_hits = [r[0] for r in ps.sql(q).collect()]
+    assert ps.last_like_indexed and root_hits
+    try:
+        ps.su("rix")
+        got = [r[0] for r in ps.sql(q).collect()]
+        assert ps.last_like_indexed, "policy defeated the NGRAM route"
+        assert got == [i for i in root_hits if i % 3]
+        # pushdown pin: policy conjunct AND user predicate both reach
+        # the parquet scan
+        df = ps.sql("SELECT doc_id FROM pol_docs WHERE doc_id = 5")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        flat = plan.replace("\n", " ")
+        assert "EqualTo(lang,en)" in flat, "policy filter not pushed"
+        assert "EqualTo(doc_id,5)" in flat, "user filter not pushed"
+    finally:
+        ps.su("root")
