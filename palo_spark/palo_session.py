@@ -54,6 +54,7 @@ import os
 import re
 import shutil as _sh
 import tempfile as _tf
+import threading as _threading
 import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -657,6 +658,29 @@ _REFRESH_CATALOG_RE = re.compile(
 )
 _PROP_KV_RE = re.compile(r"['\"](?P<k>[^'\"]+)['\"]\s*=\s*['\"](?P<v>[^'\"]*)['\"]")
 
+_CREATE_WG_RE = re.compile(
+    r"^\s*CREATE\s+WORKLOAD\s+GROUP\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"`?(?P<name>\w+)`?\s*"
+    r"(?:PROPERTIES\s*\(\s*(?P<props>.*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_WG_RE = re.compile(
+    r"^\s*ALTER\s+WORKLOAD\s+GROUP\s+`?(?P<name>\w+)`?\s+"
+    r"PROPERTIES\s*\(\s*(?P<props>.*?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_WG_RE = re.compile(
+    r"^\s*DROP\s+WORKLOAD\s+GROUP\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
+    r"`?(?P<name>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: admission applies to top-level query/DML statements only — DDL and
+#: admin statements must stay reachable from a full queue (upstream
+#: queues queries, not management commands)
+_WG_ADMIT_RE = re.compile(
+    r"^\s*(?:SELECT|WITH|INSERT|UPDATE|DELETE)\b", re.IGNORECASE
+)
+
 
 def _schema_parts(schema: str) -> list[str]:
     """Split a Spark DDL schema string on TOP-LEVEL commas only —
@@ -782,6 +806,16 @@ class PaloSession:
         self.access = AccessController()
         self.current_user = "root"
         self._definer_depth = 0
+        #: workload groups ([docs: workload-group]): named admission
+        #: gates; the session's active group comes from the
+        #: ``workload_group`` session variable (upstream: user property
+        #: or session var). 'normal' is the built-in default.
+        from palo_spark.workload import WorkloadGroup
+
+        self.workload_groups: dict[str, WorkloadGroup] = {
+            "normal": WorkloadGroup("normal")
+        }
+        self._wg_local = _threading.local()
         # security state persists with the warehouse (the FE-metadata
         # analog): a re-attached session keeps users/grants/policies —
         # a row policy must never silently evaporate on restart
@@ -1247,6 +1281,65 @@ class PaloSession:
         with open(tmp, "w") as f:
             _json.dump(self.access.to_dict(), f)
         os.replace(tmp, path)
+
+    def _try_workload_group_stmt(self, stripped: str, up: str):
+        """CREATE / ALTER / DROP WORKLOAD GROUP + SHOW WORKLOAD GROUPS
+        ([docs: workload-group]). Returns NotImplemented when the text
+        is not a workload-group statement (caller continues dispatch)."""
+        from palo_spark.workload import WorkloadGroup
+
+        m = _CREATE_WG_RE.match(stripped)
+        if m:
+            name = m.group("name").lower()
+            if name in self.workload_groups:
+                if m.group("ine"):
+                    return None
+                raise ValueError(f"workload group {name!r} already exists")
+            props = {
+                kv.group("k").lower(): kv.group("v")
+                for kv in _PROP_KV_RE.finditer(m.group("props") or "")
+            }
+            self.workload_groups[name] = WorkloadGroup(name, props)
+            return None
+        m = _ALTER_WG_RE.match(stripped)
+        if m:
+            name = m.group("name").lower()
+            g = self.workload_groups.get(name)
+            if g is None:
+                raise ValueError(f"unknown workload group {name!r}")
+            g.update({
+                kv.group("k").lower(): kv.group("v")
+                for kv in _PROP_KV_RE.finditer(m.group("props"))
+            })
+            return None
+        m = _DROP_WG_RE.match(stripped)
+        if m:
+            name = m.group("name").lower()
+            if name == "normal":
+                raise ValueError(
+                    "cannot drop the built-in workload group 'normal'"
+                )
+            if name not in self.workload_groups:
+                if m.group("ie"):
+                    return None
+                raise ValueError(f"unknown workload group {name!r}")
+            if self.variables.get("workload_group", "normal") == name:
+                raise ValueError(
+                    f"workload group {name!r} is the session's active "
+                    "group — SET workload_group to another group first"
+                )
+            del self.workload_groups[name]
+            return None
+        if re.match(r"^\s*SHOW\s+WORKLOAD\s+GROUPS\s*;?\s*$", stripped,
+                    re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [g.show_row() for _, g in sorted(self.workload_groups.items())],
+                "Name string, cpu_share string, memory_limit string, "
+                "max_concurrency string, max_queue_size string, "
+                "queue_timeout string, running_query_num int, "
+                "waiting_query_num int",
+            )
+        return NotImplemented
 
     def _try_privilege_stmt(self, stripped: str, up: str):
         """Dispatch the privilege/ACL statement family; returns
@@ -4004,7 +4097,36 @@ class PaloSession:
         mysql-client batch shape sent to the same entry point) runs each
         in order and returns the LAST statement's result — use
         :meth:`script` for one result per statement.
-        """
+
+        Top-level query/DML statements pass the session workload
+        group's admission gate first ([docs: workload-group]):
+        at most ``max_concurrency`` run at once, ``max_queue_size``
+        wait up to ``queue_timeout`` ms, the rest fail loudly.
+        Internal recursion (CTAS bodies, INSERT ... SELECT, MV
+        maintenance) never re-admits — one statement, one slot."""
+        depth = getattr(self._wg_local, "depth", 0)
+        group = None
+        if depth == 0 and _WG_ADMIT_RE.match(text):
+            group = self.workload_groups.get(
+                self.variables.get("workload_group", "normal")
+            )
+        self._wg_local.depth = depth + 1
+        try:
+            if group is None:
+                # not admission-gated, but still marks the nesting so
+                # internal recursion (a DDL body's SELECT) is never
+                # separately admitted — one user statement, one
+                # admission decision
+                return self._sql_stmt(text)
+            group.acquire()
+            try:
+                return self._sql_stmt(text)
+            finally:
+                group.release()
+        finally:
+            self._wg_local.depth = depth
+
+    def _sql_stmt(self, text: str):
         parts = self._split_statements(text)
         if len(parts) > 1:
             result = None
@@ -4084,6 +4206,10 @@ class PaloSession:
         handled, _priv_res = self._try_privilege_stmt(stripped, up)
         if handled:
             return _priv_res
+        if "WORKLOAD GROUP" in up:
+            wg_res = self._try_workload_group_stmt(stripped, up)
+            if wg_res is not NotImplemented:
+                return wg_res
         if up.startswith("CREATE TABLE"):
             lk = _CREATE_LIKE_RE.match(stripped)
             if lk:
@@ -4593,6 +4719,7 @@ class PaloSession:
         if sv and not up.startswith("SET SESSION TRANSACTION"):
             name = sv.group("name").lower()
             val = sv.group("val").strip("'\"")
+            _prev_var = self.variables.get(name)
             self.variables[name] = val
             if name == "time_zone":
                 self.spark.conf.set("spark.sql.session.timeZone", val)
@@ -4600,6 +4727,15 @@ class PaloSession:
                 self.result_cache_enabled = val.lower() in ("true", "1", "on")
             elif name == "enable_materialized_view_rewrite":
                 self.mv_rewrite_enabled = val.lower() in ("true", "1", "on")
+            elif name == "workload_group":
+                if val.lower() not in self.workload_groups:
+                    # keep the session's current group on a bad SET
+                    if _prev_var is None:
+                        del self.variables[name]
+                    else:
+                        self.variables[name] = _prev_var
+                    raise ValueError(f"unknown workload group {val!r}")
+                self.variables[name] = val.lower()
             return None
         shv = _SHOW_VARS_RE.match(stripped)
         if shv:

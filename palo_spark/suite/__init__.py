@@ -51,8 +51,9 @@ _MODULE_NAMES = [
 # and asserts this list matches it, so a new suite entry or a new
 # ledger file forces a conscious re-pin.
 _PRIORITY = [
-    # never driver-green: the r12 addition
+    # never driver-green: the r12 additions
     "sql_async_mv_join_rewrite",
+    "sql_workload_group_admission",
     # last green r02 — ten rounds of code churn ago
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
@@ -103,7 +104,6 @@ _PRIORITY = [
     "table_model_unique_sequence_col",
     "table_model_unique_upsert",
     "text_quality_score",
-    "text_tfidf_top_terms",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test

@@ -1432,6 +1432,65 @@ def _sql_async_mv_join_rewrite(spark, sf_dir):
     return out.orderBy("seg")
 
 
+def _sql_workload_group_admission(spark, sf_dir):
+    """Workload groups (r12; [docs: workload-group]): named admission
+    gates — CREATE/ALTER/SET binding and SHOW surface, with the
+    admission gate proven REAL inline: a max_concurrency=1 group whose
+    only slot is held must reject the next statement with upstream's
+    queue-full error, and release must re-admit. cpu_share /
+    memory_limit are metadata in one embedded JVM (documented); the
+    concurrency bucket is enforced around every top-level query/DML."""
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    ps.sql(
+        "CREATE WORKLOAD GROUP etl PROPERTIES('max_concurrency'='2', "
+        "'max_queue_size'='10', 'queue_timeout'='5000', "
+        "'cpu_share'='512', 'memory_limit'='30%')"
+    )
+    ps.sql("CREATE WORKLOAD GROUP adhoc PROPERTIES('max_concurrency'='8')")
+    ps.sql("SET workload_group = 'etl'")
+    n = ps.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    if n <= 0:
+        raise RuntimeError("admitted query returned no rows")
+    # fail-loud proof the gate is enforced, not displayed
+    ps.sql(
+        "CREATE WORKLOAD GROUP one PROPERTIES('max_concurrency'='1', "
+        "'max_queue_size'='0', 'queue_timeout'='100')"
+    )
+    ps.sql("SET workload_group = 'one'")
+    g = ps.workload_groups["one"]
+    g.acquire()
+    try:
+        try:
+            ps.sql("SELECT count(*) AS n FROM documents")
+        except RuntimeError:
+            pass
+        else:
+            raise RuntimeError("admission gate did not reject (queue full)")
+    finally:
+        g.release()
+    if ps.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"] != n:
+        raise RuntimeError("released slot did not re-admit")
+    ps.sql("SET workload_group = 'normal'")
+    ps.sql("DROP WORKLOAD GROUP one")
+    return ps.sql("SHOW WORKLOAD GROUPS").orderBy("Name")
+
+
+QUERIES["sql_workload_group_admission"] = _sql_workload_group_admission
+ORACLE["sql_workload_group_admission"] = """
+    SELECT * FROM (VALUES
+      ('adhoc', '1024', '100%', '8', '0', '0', 0, 0),
+      ('etl', '512', '30%', '2', '10', '5000', 0, 0),
+      ('normal', '1024', '100%', '2147483647', '0', '0', 0, 0)
+    ) AS t(Name, cpu_share, memory_limit, max_concurrency,
+           max_queue_size, queue_timeout, running_query_num,
+           waiting_query_num)
+    ORDER BY Name
+"""
+
+
 QUERIES["sql_async_mv_join_rewrite"] = _sql_async_mv_join_rewrite
 ORACLE["sql_async_mv_join_rewrite"] = """
     SELECT c_mktsegment AS seg,
