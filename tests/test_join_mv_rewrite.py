@@ -184,3 +184,126 @@ def test_parser_shapes(spark):
         cols) is None
     assert _parse_join_agg_sql(
         "SELECT t1.a, t2.c FROM t1 JOIN t2 ON t1.b = t2.b", cols) is None
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_join_rewrite_equivalence_fuzz(spark, tmp_path, seed):
+    """Randomized closure of the join-aware rewrite: random join-body
+    MVs x random queries (alias-shuffled, group subsets, AVG asks,
+    matching/residual/declining filters, staleness injections) — after
+    EVERY query, rewrite-enabled results must equal rewrite-disabled
+    (computed from the bases). Tracks that rewrites actually FIRE so
+    the fuzz can't go vacuous."""
+    import random
+
+    rng = random.Random(seed)
+    ps = PaloSession(spark, location_root=str(tmp_path))
+    ps.sql("CREATE TABLE fz_f (`k` BIGINT, `d1` BIGINT, `d2` BIGINT, "
+           "`m1` BIGINT, `m2` BIGINT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE fz_da (`d1` BIGINT, `ga` VARCHAR(4), "
+           "`gb` VARCHAR(4)) DUPLICATE KEY(d1) DISTRIBUTED BY HASH(d1) "
+           "BUCKETS 2")
+    ps.sql("CREATE TABLE fz_db (`d2` BIGINT, `gc` VARCHAR(4)) "
+           "DUPLICATE KEY(d2) DISTRIBUTED BY HASH(d2) BUCKETS 2")
+    ps.sql("INSERT INTO fz_da VALUES " + ", ".join(
+        f"({i}, 'a{i % 3}', 'b{i % 2}')" for i in range(6)))
+    ps.sql("INSERT INTO fz_db VALUES " + ", ".join(
+        f"({i}, 'c{i % 2}')" for i in range(4)))
+    ps.sql("INSERT INTO fz_f VALUES " + ", ".join(
+        f"({i}, {i % 6}, {i % 4}, {i * 7 % 23}, {i * 3 % 11})"
+        for i in range(60)))
+
+    DIM_COLS = {"fz_da": ["ga", "gb"], "fz_db": ["gc"]}
+    WHERES = [  # (text template over alias, refs dim table)
+        ("{a}.ga = 'a1'", "fz_da"),
+        ("{a}.gb != 'b0'", "fz_da"),
+        ("{a}.gc = 'c1'", "fz_db"),
+    ]
+    fired = 0
+    for round_i in range(12):
+        use_db = rng.random() < 0.5
+        tables = ["fz_da"] + (["fz_db"] if use_db else [])
+        # ---- MV body
+        mv_dims = []
+        for t in tables:
+            mv_dims += [(t, c) for c in DIM_COLS[t]
+                        if rng.random() < 0.8]
+        if not mv_dims:
+            mv_dims = [("fz_da", "ga")]
+        aggs = rng.sample(
+            ["sum(f.m1) AS s_m1", "count(f.m1) AS c_m1",
+             "count(*) AS c_all", "min(f.m1) AS mn_m1",
+             "max(f.m2) AS mx_m2"],
+            rng.randint(2, 4))
+        if rng.random() < 0.5 and "sum(f.m1) AS s_m1" not in aggs:
+            aggs.append("sum(f.m1) AS s_m1")
+        sel = [f"{t.split('_')[1]}.{c} AS {c}" for t, c in mv_dims] + aggs
+        frm = "fz_f f JOIN fz_da da ON f.d1 = da.d1"
+        if use_db:
+            frm += " JOIN fz_db db ON f.d2 = db.d2"
+        frm = frm.replace("fz_da da", "fz_da da").replace(
+            "fz_db db", "fz_db db")
+        body = (f"SELECT {', '.join(sel)} FROM {frm} GROUP BY "
+                + ", ".join(f"{t.split('_')[1]}.{c}" for t, c in mv_dims))
+        mv_where = None
+        if rng.random() < 0.3:
+            wt, wtbl = rng.choice(WHERES)
+            if wtbl in tables:
+                mv_where = wt.format(a=wtbl.split("_")[1])
+                body = body.replace(" GROUP BY",
+                                    f" WHERE {mv_where} GROUP BY", 1)
+        ps.sql(f"CREATE MATERIALIZED VIEW fz_mv{round_i} BUILD IMMEDIATE "
+               f"REFRESH COMPLETE ON MANUAL AS {body}")
+        # ---- queries against it
+        for _q in range(3):
+            q_dims = [d for d in mv_dims if rng.random() < 0.7] or mv_dims[:1]
+            q_aggs = []
+            for a in aggs:
+                if rng.random() < 0.6:
+                    q_aggs.append(a.replace(" AS ", " AS q_"))
+            if rng.random() < 0.4:
+                q_aggs.append("avg(f.m1) AS q_avg")  # derivable iff pair
+            if not q_aggs:
+                q_aggs = ["count(*) AS q_n"]
+            qsel = ([f"{t.split('_')[1]}2.{c} AS {c}" for t, c in q_dims]
+                    + [a.replace("f.", "f2.") for a in q_aggs])
+            qfrm = "fz_f f2 JOIN fz_da da2 ON f2.d1 = da2.d1"
+            if use_db:
+                qfrm += " JOIN fz_db db2 ON f2.d2 = db2.d2"
+            q = (f"SELECT {', '.join(qsel)} FROM {qfrm}")
+            r = rng.random()
+            if mv_where is not None:
+                # must match the MV filter exactly (alias-shifted) or
+                # the rewrite declines — both paths must stay correct
+                if r < 0.6:
+                    q += " WHERE " + mv_where.replace(
+                        "da.", "da2.").replace("db.", "db2.")
+            elif r < 0.4:
+                wt, wtbl = rng.choice(WHERES)
+                if wtbl in tables:
+                    q += " WHERE " + wt.format(a=wtbl.split("_")[1] + "2")
+            elif r < 0.5:
+                q += " WHERE f2.m1 > 5"  # fact filter → must decline
+            q += " GROUP BY " + ", ".join(
+                f"{t.split('_')[1]}2.{c}" for t, c in q_dims)
+            want = _base(ps, q)
+            got = sorted(tuple(x) for x in ps.sql(q).collect())
+            if ps.last_mv_rewrite:
+                fired += 1
+            assert got == want, (seed, round_i, _q, q,
+                                 ps.last_mv_rewrite, got[:3], want[:3])
+        # ---- staleness injection: mutate, query (must fall back),
+        # refresh, query again
+        if rng.random() < 0.5:
+            ps.sql(f"INSERT INTO fz_f VALUES (900{round_i}, "
+                   f"{rng.randint(0, 5)}, {rng.randint(0, 3)}, 99, 7)")
+            q = ("SELECT da2.ga AS ga, sum(f2.m1) AS q_s FROM fz_f f2 "
+                 "JOIN fz_da da2 ON f2.d1 = da2.d1 GROUP BY da2.ga")
+            got = sorted(tuple(x) for x in ps.sql(q).collect())
+            assert not (ps.last_mv_rewrite or "").startswith("fz_mv"), (
+                seed, round_i, "stale snapshot answered", ps.last_mv_rewrite)
+            assert got == _base(ps, q), (seed, round_i, "stale", q)
+            ps.sql(f"REFRESH MATERIALIZED VIEW fz_mv{round_i}")
+        ps.sql(f"DROP MATERIALIZED VIEW fz_mv{round_i}")
+    assert fired >= 5, f"rewrite fired only {fired} times — fuzz vacuous"
