@@ -2767,10 +2767,11 @@ class PaloSession:
         space), every GROUP BY column is selected under its own name,
         and every aggregate is re-mergeable across partition slices
         (SUM / COUNT / MIN / MAX — each merges as SUM or MIN/MAX of
-        the per-partition partials). JOIN bodies (r12) deliberately
-        return None — a dim-side change invalidates every fact
-        partition, so slice-diffing needs join-key lineage this
-        engine does not track; their REFRESH AUTO falls back to the
+        the per-partition partials). JOIN bodies (r12) take the
+        fact-side incremental path when exactly one joined table is
+        partitioned (``_mv_join_incremental_info``); a DIM change
+        still rebuilds every slice (its state gates the diff), and a
+        join with no / several partitioned sides falls back to the
         always-correct full recompute (pinned in
         tests/test_join_mv_rewrite.py). Returns the parsed pieces, or
         None → full recompute."""
@@ -2778,7 +2779,9 @@ class PaloSession:
 
         parsed = _parse_simple_agg_sql(translate(mv["body"]))
         if parsed is None:
-            return None
+            # join bodies (r12): fact-side partition-incremental — see
+            # _mv_join_incremental_info; anything else → full recompute
+            return self._mv_join_incremental_info(name, mv)
         base, group_cols, items, where_text, _ = parsed
         t = self.tables.get(base.lower())
         if t is None:
@@ -2828,6 +2831,89 @@ class PaloSession:
             "where": where_text,
         }
 
+    def _mv_join_incremental_info(self, name: str, mv: dict):
+        """Fact-side partition-incremental refresh for JOIN-body MVs
+        (r12; [docs: async-materialized-view] — Doris 2.1 partition
+        refresh tracks the partitioned base of a join MV): the body is
+        an INNER equi-join (the join-agg grammar) over session tables
+        of which exactly ONE is partitioned (the fact); slices = the
+        body recomputed per fact partition joined against the FULL
+        dims. Each joined row belongs to exactly one fact partition,
+        so SUM/COUNT/MIN/MAX partials re-merge exactly. Dim changes
+        invalidate every slice — `_refresh_async_mv_partitioned`
+        records the dims' state tokens + schema sigs and rebuilds all
+        slices when any moved (fact-partition diffing alone cannot see
+        them). Returns the info dict (single-table shape + a ``join``
+        section) or None → full recompute."""
+        from palo_spark.plans import _parse_join_agg_sql
+
+        # same preconditions as the single-table path: views, external
+        # catalogs, and other MVs live outside the partition-version
+        # space this diffing reasons about
+        _, view_pairs = self._expand_view_refs(mv["body"])
+        if view_pairs or self._text_touches_catalog(mv["body"]):
+            return None
+        if any(
+            n != name
+            and re.search(rf"\b{re.escape(n)}\b", mv["body"], re.IGNORECASE)
+            for n in self.async_mvs
+        ):
+            return None
+        pj = _parse_join_agg_sql(translate(mv["body"]), self._mv_columns_of)
+        if pj is None:
+            return None
+        tbls = {}
+        for tn in pj["tables"]:
+            t = self.tables.get(tn)
+            if t is None:
+                return None
+            tbls[tn] = t
+        parted = [
+            tn for tn, t in tbls.items()
+            if t.meta.auto_partition
+            or (
+                t.meta.range_partitions
+                and not t.meta.range_partitions.get("temp")
+            )
+        ]
+        if len(parted) != 1:
+            return None  # no partitioned side, or ambiguous
+        fact = parted[0]
+        items, group_cols = [], []
+        for it in pj["items"]:
+            if it["kind"] == "group":
+                items.append({
+                    "kind": "group", "col": it["alias"],
+                    "alias": it["alias"], "ref": it["ref"],
+                })
+                group_cols.append(it["alias"])
+            else:
+                if it["func"] not in ("sum", "count", "min", "max"):
+                    return None  # AVG etc — not re-mergeable partials
+                canon = (
+                    "count_all" if it["ref"] is None
+                    else f"{it['func']}_{it['ref'][1]}"
+                )
+                items.append({
+                    "kind": "agg", "measure_names": [canon],
+                    "alias": it["alias"], "func": it["func"],
+                    "ref": it["ref"],
+                })
+        if not group_cols:
+            return None  # global aggregate — one slice merge is moot
+        return {
+            "t": tbls[fact],
+            "base": fact,
+            "group_cols": group_cols,
+            "items": items,
+            "where": pj["where"],
+            "join": {
+                "pj": pj,
+                "fact": fact,
+                "dims": sorted(pj["tables"] - {fact}),
+            },
+        }
+
     @staticmethod
     def _table_schema_sig(t: Table) -> str:
         """Schema-change fingerprint: incremental refresh may only mix
@@ -2866,6 +2952,8 @@ class PaloSession:
         )
         view = f"__mvinc_{info['base']}_{_uuid.uuid4().hex[:8]}"
         t.read(partition_pred=pred).createOrReplaceTempView(view)
+        if info.get("join") is not None:
+            return self._mv_join_slice_df(info, view), view
         rp = t.meta.range_partitions
         if ap is None and rp is not None:
             # STATIC partitioning: the label is the declared partition
@@ -2910,6 +2998,80 @@ class PaloSession:
             q += f" WHERE {info['where']}"
         q += " GROUP BY " + ", ".join(gb)
         return self.spark.sql(q), view
+
+    def _mv_join_slice_df(self, info: dict, view: str):
+        """The JOIN body recomputed per FACT partition: the body's own
+        FROM text with the fact table swapped for the (directory-
+        pruned) ``view``, additionally grouped by the fact-partition
+        LABEL. Dim scans are the full session temp views — each joined
+        row lands in exactly one fact partition, so the per-slice
+        partials re-merge exactly. Texts here are POST-translate
+        (the info parse ran on ``translate(body)``), so this composes
+        plain Spark SQL."""
+        from palo_spark.tables import AUTO_PART_FMT
+
+        j = info["join"]
+        pj, fact = j["pj"], j["fact"]
+        t = info["t"]
+        alias_of = {tb: a for a, tb in pj["alias_map"].items()}
+        fa = alias_of[fact]
+        # fact-partition label, qualified with the body's fact alias
+        ap = t.meta.auto_partition
+        rp = t.meta.range_partitions
+        qcol = lambda c: f"`{fa}`.`{c}`"  # noqa: E731
+        if ap is None and rp is not None:
+            whens = []
+            for p in rp["parts"]:
+                if rp.get("kind") == "list":
+                    cond = f"{qcol(rp['col'])} IN ({', '.join(p['values'])})"
+                else:
+                    cs = []
+                    if p.get("lower") is not None:
+                        cs.append(f"{qcol(rp['col'])} >= {p['lower']}")
+                    if p["upper"] is not None:
+                        cs.append(f"{qcol(rp['col'])} < {p['upper']}")
+                    cond = " AND ".join(cs) or "TRUE"
+                whens.append(f"WHEN {cond} THEN '{p['name']}'")
+            label_sql = "CASE " + " ".join(whens) + " END"
+        elif ap["granularity"] == "list":
+            label_sql = f"concat('l', cast({qcol(ap['col'])} as string))"
+        else:
+            label_sql = (
+                f"concat('{ap['granularity'][0]}', "
+                f"date_format(cast({qcol(ap['col'])} as timestamp), "
+                f"'{AUTO_PART_FMT[ap['granularity']]}'))"
+            )
+        # FROM text with the fact table name swapped for the pruned
+        # view; a fact written without an alias keeps its name as the
+        # alias so qualified references still resolve
+        repl = view if fa != fact else f"{view} `{fact}`"
+        frm = re.sub(
+            rf"\b`?{re.escape(fact)}`?\b", repl, pj["frm_text"], count=1,
+            flags=re.IGNORECASE,
+        )
+        qual = {}
+        for tb, a in alias_of.items():
+            qual[tb] = a
+        sel = [f"{label_sql} AS __mv_part"]
+        gb = ["`__mv_part`"]
+        for it in info["items"]:
+            if it["kind"] == "group":
+                tb, c = it["ref"]
+                sel.append(f"`{qual[tb]}`.`{c}` AS `{it['alias']}`")
+                gb.append(f"`{qual[tb]}`.`{c}`")
+            elif it["ref"] is None:
+                sel.append(f"COUNT(*) AS `{it['alias']}`")
+            else:
+                tb, c = it["ref"]
+                sel.append(
+                    f"{it['func'].upper()}(`{qual[tb]}`.`{c}`) "
+                    f"AS `{it['alias']}`"
+                )
+        q = f"SELECT {', '.join(sel)} FROM {frm}"
+        if info["where"]:
+            q += f" WHERE {info['where']}"
+        q += " GROUP BY " + ", ".join(gb)
+        return self.spark.sql(q)
 
     def _register_async_mv_parts(self, name: str, mv: dict, info: dict):
         """Register the MV name as the MERGE of the per-partition
@@ -2959,10 +3121,24 @@ class PaloSession:
         sig = self._table_schema_sig(t)
         parts_dir = mv["path"] + "_parts"
         prev = mv.get("part_versions")
+        # join bodies (r12): a DIM change invalidates EVERY slice —
+        # fact-partition diffing cannot see it, so the dims' state
+        # tokens + schema sigs gate the incremental path
+        dim_state = None
+        if info.get("join") is not None:
+            dim_state = tuple(
+                (
+                    d,
+                    self.tables[d].state_token(),
+                    self._table_schema_sig(self.tables[d]),
+                )
+                for d in info["join"]["dims"]
+            )
         rebuild = (
             prev is None
             or mv.get("schema_sig") != sig
             or not os.path.isdir(parts_dir)
+            or mv.get("dim_state") != dim_state
         )
         if rebuild:
             stale = sorted(cur)
@@ -3013,6 +3189,7 @@ class PaloSession:
             _sh.rmtree(parts_dir + ".__tmp", ignore_errors=True)
         mv["part_versions"] = cur
         mv["schema_sig"] = sig
+        mv["dim_state"] = dim_state
         mv["token"] += 1
         mv["built"] = True
         self._register_async_mv_parts(name, mv, info)
@@ -3065,6 +3242,7 @@ class PaloSession:
         # refresh must not shadow the fresh whole snapshot
         _sh.rmtree(mv["path"] + "_parts", ignore_errors=True)
         mv.pop("part_versions", None)
+        mv.pop("dim_state", None)
 
     def _commit_async_mvs(self, table: str) -> None:
         """ON COMMIT refresh hook: re-materialize every async MV whose

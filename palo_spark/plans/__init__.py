@@ -694,6 +694,9 @@ def _parse_join_agg_sql(sql_text: str, columns_of=None):
         "items": items,
         "where": where_text,
         "where_refs": where_refs,
+        # raw FROM text (same dialect as the input) — the join-body
+        # incremental refresh re-renders the slice query from it
+        "frm_text": frm,
     }
 
 

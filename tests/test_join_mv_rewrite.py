@@ -135,10 +135,10 @@ def test_mv_body_where_requires_exact_match(ps, tmp_path):
 
 
 def test_refresh_auto_join_body_full_refresh_fallback(spark, tmp_path):
-    """REFRESH AUTO on a join body: partition-incremental alignment is
-    single-table by design, so the refresh falls back to the
-    always-correct full recompute (documented fallback; the fact-side
-    incremental path is future work)."""
+    """REFRESH AUTO on a join body with NO partitioned side: the
+    fact-side incremental path needs exactly one partitioned table
+    (see test_join_body_fact_side_incremental_refresh), so this falls
+    back to the always-correct full recompute."""
     ps = PaloSession(spark, location_root=str(tmp_path))
     ps.sql("CREATE TABLE af (`k` BIGINT, `d` BIGINT, `amt` BIGINT) "
            "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
@@ -307,3 +307,82 @@ def test_join_rewrite_equivalence_fuzz(spark, tmp_path, seed):
             ps.sql(f"REFRESH MATERIALIZED VIEW fz_mv{round_i}")
         ps.sql(f"DROP MATERIALIZED VIEW fz_mv{round_i}")
     assert fired >= 5, f"rewrite fired only {fired} times — fuzz vacuous"
+
+
+def test_join_body_fact_side_incremental_refresh(spark, tmp_path):
+    """r12 fact-side incremental for JOIN bodies: with exactly one
+    partitioned table in the join (the fact), REFRESH AUTO recomputes
+    ONLY the stale fact partitions' slices (joined against the full
+    dims; mtime-pinned), while a DIM change rebuilds every slice (its
+    state token gates the diff — fact-partition versions alone cannot
+    see it). Values always equal the base recompute, and the
+    transparent rewrite still derives from the merged slice view."""
+    import os
+    import time
+
+    ps = PaloSession(spark, location_root=str(tmp_path))
+    ps.sql("CREATE TABLE ijf (`k` BIGINT, `d` DATETIME, `c` BIGINT, "
+           "`amt` BIGINT) DUPLICATE KEY(k) AUTO PARTITION BY RANGE "
+           "(date_trunc(`d`, 'month')) () DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE ijd (`c` BIGINT, `g` VARCHAR(4)) DUPLICATE "
+           "KEY(c) DISTRIBUTED BY HASH(c) BUCKETS 2")
+    ps.sql("INSERT INTO ijd VALUES (1,'x'),(2,'y')")
+    ps.sql("INSERT INTO ijf VALUES (1,'2024-01-05 00:00:00',1,10),"
+           "(2,'2024-02-05 00:00:00',2,20),(3,'2024-01-15 00:00:00',2,30)")
+    ps.sql("CREATE MATERIALIZED VIEW ijm BUILD IMMEDIATE REFRESH AUTO "
+           "ON MANUAL AS SELECT ijd.g AS g, SUM(ijf.amt) AS s, "
+           "COUNT(*) AS n FROM ijf JOIN ijd ON ijf.c = ijd.c "
+           "GROUP BY ijd.g")
+    info = ps._mv_incremental_info("ijm", ps.async_mvs["ijm"])
+    assert info is not None and info["join"]["fact"] == "ijf"
+    assert info["join"]["dims"] == ["ijd"]
+    parts = ps.async_mvs["ijm"]["path"] + "_parts"
+
+    def slice_mtimes():
+        return {e: os.path.getmtime(os.path.join(parts, e))
+                for e in os.listdir(parts) if e.startswith("__mv_part=")}
+
+    def truth():
+        return _base(ps, "SELECT ijd.g AS g, SUM(ijf.amt) AS s, "
+                         "COUNT(*) AS n FROM ijf JOIN ijd "
+                         "ON ijf.c = ijd.c GROUP BY ijd.g")
+
+    assert {"__mv_part=m2024-01", "__mv_part=m2024-02"} <= set(
+        os.listdir(parts))
+    assert sorted(tuple(r) for r in
+                  ps.sql("SELECT g, s, n FROM ijm").collect()) == truth()
+    m1 = slice_mtimes()
+    time.sleep(1.1)
+    # fact insert touching ONLY February
+    ps.sql("INSERT INTO ijf VALUES (4,'2024-02-20 00:00:00',1,40)")
+    ps.sql("REFRESH MATERIALIZED VIEW ijm")
+    m2 = slice_mtimes()
+    assert sorted(e for e in m2 if m1.get(e) != m2[e]) == [
+        "__mv_part=m2024-02"], "untouched slices were rewritten"
+    assert sorted(tuple(r) for r in
+                  ps.sql("SELECT g, s, n FROM ijm").collect()) == truth()
+    # a NEW fact partition computes only itself
+    time.sleep(1.1)
+    ps.sql("INSERT INTO ijf VALUES (5,'2024-03-01 00:00:00',2,70)")
+    ps.sql("REFRESH MATERIALIZED VIEW ijm")
+    m3 = slice_mtimes()
+    assert sorted(e for e in m3 if m2.get(e) != m3[e]) == [
+        "__mv_part=m2024-03"]
+    assert sorted(tuple(r) for r in
+                  ps.sql("SELECT g, s, n FROM ijm").collect()) == truth()
+    # DIM change: every slice rebuilds (the diff is gated on dim state)
+    time.sleep(1.1)
+    ps.sql("INSERT INTO ijd VALUES (3,'z')")
+    ps.sql("INSERT INTO ijf VALUES (6,'2024-01-25 00:00:00',3,50)")
+    ps.sql("REFRESH MATERIALIZED VIEW ijm")
+    m4 = slice_mtimes()
+    assert sorted(e for e in m4 if m3.get(e) != m4[e]) == [
+        "__mv_part=m2024-01", "__mv_part=m2024-02", "__mv_part=m2024-03"]
+    assert sorted(tuple(r) for r in
+                  ps.sql("SELECT g, s, n FROM ijm").collect()) == truth()
+    # the transparent rewrite derives from the merged slice view
+    q = ("SELECT ijd.g AS g, SUM(ijf.amt) AS s FROM ijf JOIN ijd "
+         "ON ijf.c = ijd.c GROUP BY ijd.g")
+    got = sorted(tuple(r) for r in ps.sql(q).collect())
+    assert ps.last_mv_rewrite == "ijm"
+    assert got == _base(ps, q)
