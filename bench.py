@@ -162,6 +162,11 @@ HEADLINE = [
     # (filtered view resolution; enforcement is driver-side metadata)
     "sql_async_mv_avg_rewrite",
     "sql_row_policy_filter",
+    # r12: join-aware transparent rewrite (fact JOIN dim collapses to a
+    # snapshot scan) and the workload-group admission gate (queue-full
+    # repro inline; the timed body is DDL + one gated query + SHOW)
+    "sql_async_mv_join_rewrite",
+    "sql_workload_group_admission",
 ]
 
 
