@@ -3308,6 +3308,7 @@ class PaloSession:
             from palo_spark.plans import _parse_join_agg_sql
 
             qjoin = _parse_join_agg_sql(ttext, self._mv_columns_of)
+        join_hits: list = []  # (n_dims, name, df) — cheapest cover wins
         for name, mv in sorted(self.async_mvs.items()):
             if not mv.get("built"):
                 continue
@@ -3323,8 +3324,10 @@ class PaloSession:
                 if qjoin is not None:
                     out = self._derive_join_mv(name, mv, qjoin)
                     if out is not None:
-                        self.last_mv_rewrite = name
-                        return out
+                        # keep looking: prefer the MV with the FEWEST
+                        # stored dims (smallest snapshot — the rollup
+                        # catalog's cheapest-cover rule)
+                        join_hits.append((out[1], name, out[0]))
                 continue
             mvp = _parse_simple_agg_sql(translate(mv["body"]))
             if mvp is None:
@@ -3396,6 +3399,10 @@ class PaloSession:
             ]
             self.last_mv_rewrite = name
             return out.select(*sel)
+        if join_hits:
+            _, best, df = min(join_hits)
+            self.last_mv_rewrite = best
+            return df
         return None
 
     def _mv_columns_of(self, tname: str):
@@ -3483,9 +3490,10 @@ class PaloSession:
 
         A hit replaces the defining join with ONE scan of the
         (pre-joined, pre-aggregated) snapshot — at cluster scale the
-        fact-side shuffle disappears entirely. Returns the derived
-        DataFrame or None (callers fall back to the bases, which is
-        always correct)."""
+        fact-side shuffle disappears entirely. Returns ``(df, n_dims)``
+        — the stored-dim count lets the caller prefer the smallest
+        covering snapshot — or None (callers fall back to the bases,
+        which is always correct)."""
         from pyspark.sql import functions as F
 
         from palo_spark.plans import _parse_join_agg_sql
@@ -3567,7 +3575,7 @@ class PaloSession:
             F.col(src if k == "group" else alias).alias(alias)
             for k, src, alias in plan
         ]
-        return out.select(*sel)
+        return out.select(*sel), len(dims)
 
     def _create_mv(self, mv_name: str, body: str):
         """Doris ``CREATE MATERIALIZED VIEW mv AS SELECT <dims>, <aggs>

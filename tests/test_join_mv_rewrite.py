@@ -386,3 +386,27 @@ def test_join_body_fact_side_incremental_refresh(spark, tmp_path):
     got = sorted(tuple(r) for r in ps.sql(q).collect())
     assert ps.last_mv_rewrite == "ijm"
     assert got == _base(ps, q)
+
+
+def test_cheapest_covering_snapshot_wins(ps):
+    """When several join MVs cover a query, the one with the FEWEST
+    stored dims answers (smallest snapshot — the rollup catalog's
+    cheapest-cover rule). jmv stores (region, seg); a region-only MV
+    must win region-grouped queries."""
+    ps.sql("CREATE MATERIALIZED VIEW jmv_r BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT d2.region AS region, "
+           "SUM(jf.amt) AS sum_amt FROM jf JOIN jd d2 ON jf.d = d2.d "
+           "GROUP BY d2.region")
+    q = ("SELECT d.region AS region, SUM(jf.amt) AS s FROM jf JOIN jd d "
+         "ON jf.d = d.d GROUP BY d.region")
+    expect = _base(ps, q)
+    df = ps.sql(q)
+    assert ps.last_mv_rewrite == "jmv_r", "wider snapshot won"
+    assert sorted(tuple(r) for r in df.collect()) == expect
+    # a seg-grouped query is NOT covered by jmv_r — falls to jmv
+    q2 = ("SELECT d.seg AS seg, SUM(jf.amt) AS s FROM jf JOIN jd d "
+          "ON jf.d = d.d GROUP BY d.seg")
+    expect2 = _base(ps, q2)
+    df2 = ps.sql(q2)
+    assert ps.last_mv_rewrite == "jmv"
+    assert sorted(tuple(r) for r in df2.collect()) == expect2
