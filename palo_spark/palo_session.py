@@ -824,6 +824,14 @@ class PaloSession:
             if os.path.isfile(acc_path):
                 with open(acc_path) as f:
                     self.access = AccessController.from_dict(_json.load(f))
+            # workload groups persist the same way (upstream: FE
+            # metadata) — a re-attached session keeps CREATE WORKLOAD
+            # GROUP definitions; admission counters start fresh
+            wg_path = os.path.join(location_root, "_workload.json")
+            if os.path.isfile(wg_path):
+                with open(wg_path) as f:
+                    for n, props in _json.load(f).items():
+                        self.workload_groups[n] = WorkloadGroup(n, props)
         #: MySQL/Doris session variables (SET x = v / SHOW VARIABLES).
         #: Most are stored-and-reported (Doris FE behavior for unknown
         #: engines); the ones with a real Spark analog take effect:
@@ -1282,6 +1290,24 @@ class PaloSession:
             _json.dump(self.access.to_dict(), f)
         os.replace(tmp, path)
 
+    def _save_workload(self) -> None:
+        """Persist workload-group definitions beside the table meta
+        (upstream: FE metadata — a group survives FE restart). Atomic
+        replace, same contract as ``_save_access``; no-op for
+        warehouse-less throwaway sessions. Runtime admission counters
+        are NOT state — only the validated properties travel."""
+        if not self.location_root:
+            return
+        import uuid as _uuid2
+
+        path = os.path.join(self.location_root, "_workload.json")
+        tmp = f"{path}.{_uuid2.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {n: g.props for n, g in self.workload_groups.items()}, f
+            )
+        os.replace(tmp, path)
+
     def _try_workload_group_stmt(self, stripped: str, up: str):
         """CREATE / ALTER / DROP WORKLOAD GROUP + SHOW WORKLOAD GROUPS
         ([docs: workload-group]). Returns NotImplemented when the text
@@ -1300,6 +1326,7 @@ class PaloSession:
                 for kv in _PROP_KV_RE.finditer(m.group("props") or "")
             }
             self.workload_groups[name] = WorkloadGroup(name, props)
+            self._save_workload()
             return None
         m = _ALTER_WG_RE.match(stripped)
         if m:
@@ -1311,6 +1338,7 @@ class PaloSession:
                 kv.group("k").lower(): kv.group("v")
                 for kv in _PROP_KV_RE.finditer(m.group("props"))
             })
+            self._save_workload()
             return None
         m = _DROP_WG_RE.match(stripped)
         if m:
@@ -1329,6 +1357,7 @@ class PaloSession:
                     "group — SET workload_group to another group first"
                 )
             del self.workload_groups[name]
+            self._save_workload()
             return None
         if re.match(r"^\s*SHOW\s+WORKLOAD\s+GROUPS\s*;?\s*$", stripped,
                     re.IGNORECASE):
@@ -1484,10 +1513,11 @@ class PaloSession:
             # snapshot requires SELECT on the bases its body reaches
             # (invoker-rights — upstream gates the MV itself; this
             # engine's grants are table-scoped, so the bases ARE the
-            # grant surface)
-            for n, mv in self.async_mvs.items():
-                if re.search(rf"\b{re.escape(n)}\b", stripped, re.IGNORECASE):
-                    reached |= self._expand_view_refs(mv["body"])[0]
+            # grant surface). _mv_reach walks VIEW bodies and nested
+            # MV bodies too — a view over an MV must not hide the MV
+            # from the check (r12 audit: ungranted-read repro)
+            for body in self._mv_reach(stripped).values():
+                reached |= self._expand_view_refs(body)[0]
             for t in sorted(reached):
                 if not self.access.has_priv(
                     self.current_user, "SELECT_PRIV", t
@@ -1528,15 +1558,48 @@ class PaloSession:
                     f"table {t!r}"
                 )
 
+    def _mv_reach(self, text: str) -> dict[str, str]:
+        """Async MVs the statement text reaches — named directly, through
+        a chain of session views, or through OTHER MV bodies (an MV body
+        may read a sibling MV). Returns ``{mv_name: body}`` in discovery
+        order; the fixpoint also walks view bodies so a view over an MV
+        cannot hide it."""
+        if not self.async_mvs:
+            return {}
+        found: dict[str, str] = {}
+        scanned_views: set[str] = set()
+        frontier = [text]
+        while frontier:
+            t = frontier.pop()
+            for mvn, mv in self.async_mvs.items():
+                if mvn not in found and re.search(
+                    rf"\b{re.escape(mvn)}\b", t, re.IGNORECASE
+                ):
+                    found[mvn] = mv["body"]
+                    frontier.append(mv["body"])
+            for v, body in self.views.items():
+                if v not in scanned_views and re.search(
+                    rf"\b{re.escape(v)}\b", t, re.IGNORECASE
+                ):
+                    scanned_views.add(v)
+                    frontier.append(body)
+        return found
+
     def _applicable_policies(self, text: str) -> dict[str, str]:
         """Row-policy predicates for the current user over every session
         table the statement reaches (transitively through views — a
-        view cannot launder policy rows). Empty for exempt users."""
+        view cannot launder policy rows — AND through async-MV bodies:
+        an MV snapshot holds UNFILTERED rows derived from its bases, so
+        a statement naming the MV "reaches" those bases for policy
+        purposes; r12 audit, direct-MV-read laundering repro). Empty
+        for exempt users."""
         if not self.access.policies or self.access.is_superuser(
             self.current_user
         ):
             return {}
         reached, _ = self._expand_view_refs(text)
+        for body in self._mv_reach(text).values():
+            reached |= self._expand_view_refs(body)[0]
         out = {}
         for t in sorted(reached):
             f = self.access.policy_filter(self.current_user, t)
@@ -1590,9 +1653,45 @@ class PaloSession:
                 doris_sql(
                     self.spark, f"SELECT * FROM `{pv}` WHERE {expr}"
                 ).createOrReplaceTempView(pv)
+        # async-MV snapshots hold UNFILTERED rows: when the statement
+        # reaches an MV (by name, or through views) whose base closure
+        # includes a policied table, the MV's temp view is swapped for
+        # a recompute of its BODY as this identity — the recursion
+        # through sql() re-enters this method for the body, so base
+        # policies (and nested MVs) apply all the way down (r12 audit:
+        # direct-MV-read laundering repro). The recompute is built
+        # BEFORE any swap (DataFrames freeze their analyzed plan), and
+        # the snapshot view is captured for restore the same way.
+        # Deliberate semantic edge: a policied identity reading a
+        # STALE MV gets the body over the CURRENT bases (fresh), not
+        # the stale snapshot — freshness can only err toward newer,
+        # never toward leaked rows; upstream has no policied-MV
+        # semantics to match (policies don't attach to MVs there).
+        mv_prev = {}
+        mv_filtered = {}
+        for mvn, body in self._mv_reach(stripped).items():
+            closure = self._expand_view_refs(body)[0]
+            for b in self._mv_reach(body).values():
+                closure |= self._expand_view_refs(b)[0]
+            if closure & set(pol):
+                mv_prev[mvn] = self.spark.table(mvn)
+                prev_rc = self.result_cache_enabled
+                prev_mvr = self.mv_rewrite_enabled
+                self.result_cache_enabled = False
+                self.mv_rewrite_enabled = False
+                try:
+                    # plain sql() recursion, NOT _sql_nocache: definer
+                    # rights would bypass the very policies we are
+                    # enforcing — the body must run AS current_user
+                    mv_filtered[mvn] = self.sql(body)
+                finally:
+                    self.result_cache_enabled = prev_rc
+                    self.mv_rewrite_enabled = prev_mvr
         try:
             for tbl, df in filtered.items():
                 df.createOrReplaceTempView(tbl)
+            for mvn, df in mv_filtered.items():
+                df.createOrReplaceTempView(mvn)
             return doris_sql(self.spark, stripped)
         finally:
             for tbl in filtered:
@@ -1600,6 +1699,8 @@ class PaloSession:
                 base = self._table_df(t) if t is not None else None
                 if base is not None:
                     base.createOrReplaceTempView(tbl)
+            for mvn, df in mv_prev.items():
+                df.createOrReplaceTempView(mvn)
 
     def _backup_snapshot(self, label: str, repo: str, tables: list[str]):
         """Doris ``BACKUP SNAPSHOT label TO repo ON (t1, ...)``
@@ -5169,6 +5270,21 @@ class PaloSession:
                 if new in self.tables:
                     raise ValueError(f"table {new!r} already exists")
                 t = self._table(old)
+                # async MV bodies bind to bases BY NAME (text), so a
+                # rename would silently detach ON COMMIT triggers (the
+                # reach check stops matching → stale snapshot serves
+                # forever; r12 audit wrong-answer repro) and break
+                # refresh. Refuse loudly — same posture as the
+                # column-drop guard; the user drops and recreates the
+                # MV against the new name.
+                for mvn, mv in self.async_mvs.items():
+                    if old in self._expand_view_refs(mv["body"])[0]:
+                        raise ValueError(
+                            f"table {old!r} is referenced by async "
+                            f"materialized view {mvn!r}; DROP "
+                            f"MATERIALIZED VIEW {mvn} first (async MV "
+                            "bodies bind to base tables by name)"
+                        )
                 del self.tables[old]
                 self.spark.catalog.dropTempView(old)
                 t.meta.name = new

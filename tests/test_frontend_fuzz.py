@@ -1,5 +1,7 @@
 """Seeded grammar fuzz of the Doris-dialect SQL frontend against DuckDB
-(VERDICT r11 advice #5): generate small SELECTs from an atom table —
+(VERDICT r11 advice #5; r12 extends the grammar with JOIN aggregates
+and IN / NOT IN / EXISTS / NOT EXISTS membership subqueries): generate
+small SELECTs from an atom table —
 dialect functions x WHERE shapes x GROUP BY — run the Doris text
 through translate→Spark over the testdata views and a hand-paired
 ANSI/DuckDB equivalent on the same parquet, and compare normalized
@@ -138,7 +140,50 @@ def _gen(rng: random.Random):
     sides so the comparison keys on names."""
     tbl = rng.choice(["customer", "orders"])
     key = KEYS[tbl]
-    if rng.random() < 0.5:
+    shape = rng.random()
+    if shape >= 0.85:
+        # membership subqueries (r12 grammar extension): IN / NOT IN /
+        # EXISTS / NOT EXISTS against orders, over the non-null key
+        kind = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS"])
+        pd_, pk = rng.choice(PREDS["orders"])
+        cpd, cpk = rng.choice(PREDS["customer"])
+        if kind in ("IN", "NOT IN"):
+            d = (f"SELECT c_custkey FROM customer WHERE c_custkey {kind} "
+                 f"(SELECT o_custkey FROM orders WHERE {pd_}) AND {cpd} "
+                 "ORDER BY c_custkey LIMIT 200")
+            k = (f"SELECT c_custkey FROM customer WHERE c_custkey {kind} "
+                 f"(SELECT o_custkey FROM orders WHERE {pk}) AND {cpk} "
+                 "ORDER BY c_custkey LIMIT 200")
+        else:
+            neg = "NOT " if kind == "NOT EXISTS" else ""
+            d = (f"SELECT c_custkey FROM customer WHERE {neg}EXISTS "
+                 f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+                 f"AND {pd_}) AND {cpd} ORDER BY c_custkey LIMIT 200")
+            k = (f"SELECT c_custkey FROM customer WHERE {neg}EXISTS "
+                 f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+                 f"AND {pk}) AND {cpk} ORDER BY c_custkey LIMIT 200")
+        return d, k
+    if shape >= 0.70:
+        # join aggregate (r12 grammar extension): customer x orders on
+        # the key; dim and predicate drawn from either side (TPC-H
+        # column prefixes keep every bare name unambiguous)
+        dtbl = rng.choice(["customer", "orders"])
+        dd, dk = rng.choice(DIMS[dtbl])
+        a_d, a_k = rng.choice(AGGS[rng.choice(["customer", "orders"])])
+        d = (f"SELECT {dd} AS d0, {a_d} AS a0, count(*) AS n "
+             "FROM customer JOIN orders ON c_custkey = o_custkey")
+        k = (f"SELECT {dk} AS d0, {a_k} AS a0, "
+             "CAST(count(*) AS BIGINT) AS n "
+             "FROM customer JOIN orders ON c_custkey = o_custkey")
+        if rng.random() < 0.7:
+            ptbl = rng.choice(["customer", "orders"])
+            pd_, pk = rng.choice(PREDS[ptbl])
+            d += f" WHERE {pd_}"
+            k += f" WHERE {pk}"
+        d += f" GROUP BY {dd} ORDER BY d0"
+        k += f" GROUP BY {dk} ORDER BY d0"
+        return d, k
+    if shape < 0.35:
         # scalar projection over ordered keys
         n = rng.randint(1, 3)
         atoms = rng.sample(SCALARS[tbl], n)

@@ -160,3 +160,30 @@ def test_mv_maintenance_survives_definer_drop(ps):
                  ps.sql("SELECT region, sv FROM ir_mv").collect())
     assert got == [("ap", 99), ("eu", 10), ("us", 20)]
     ps.sql("REFRESH MATERIALIZED VIEW ir_mv")  # explicit refresh too
+
+
+def test_rename_refused_while_async_mv_references_table(ps):
+    """r12 audit: async MV bodies bind to bases by NAME — a rename
+    would silently detach the ON COMMIT trigger (stale snapshot serves
+    forever; wrong-answer repro) and break manual refresh. The rename
+    must refuse loudly, like the column-drop guard; after DROP MV it
+    proceeds."""
+    import pytest
+
+    ps.sql("CREATE TABLE rnb (k INT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO rnb VALUES (1,10),(2,20)")
+    ps.sql("CREATE MATERIALIZED VIEW rnb_cmv REFRESH AUTO ON COMMIT AS "
+           "SELECT SUM(v) AS sv FROM rnb")
+    with pytest.raises(ValueError, match="rnb_cmv"):
+        ps.sql("ALTER TABLE rnb RENAME rnb2")
+    # through a view too: the MV reaches the table transitively
+    ps.sql("DROP MATERIALIZED VIEW rnb_cmv")
+    ps.sql("CREATE VIEW rnb_v AS SELECT v FROM rnb")
+    ps.sql("CREATE MATERIALIZED VIEW rnb_vmv REFRESH AUTO ON COMMIT AS "
+           "SELECT SUM(v) AS sv FROM rnb_v")
+    with pytest.raises(ValueError, match="rnb_vmv"):
+        ps.sql("ALTER TABLE rnb RENAME rnb2")
+    ps.sql("DROP MATERIALIZED VIEW rnb_vmv")
+    ps.sql("ALTER TABLE rnb RENAME rnb2")
+    assert ps.sql("SELECT count(*) AS n FROM rnb2").collect()[0]["n"] == 2

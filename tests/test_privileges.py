@@ -230,6 +230,17 @@ def test_privilege_policy_fuzz(ps, tmp_path, seed):
            "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
     ps.sql("INSERT INTO fzacl VALUES " + ", ".join(
         f"({k},'{r}',{v})" for k, r, v in rows))
+    # static twin probed THROUGH an async MV and a view-over-MV (r12:
+    # the MV-laundering class) — every grant/policy op below mirrors
+    # onto it, so the model's allowed/visible state applies to both
+    ps.sql("CREATE TABLE fzs (`k` BIGINT, `region` VARCHAR(4), `v` INT) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO fzs VALUES " + ", ".join(
+        f"({k},'{r}',{v})" for k, r, v in rows))
+    ps.sql("CREATE MATERIALIZED VIEW fzs_mv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT region, SUM(v) AS sv FROM fzs "
+           "GROUP BY region")
+    ps.sql("CREATE VIEW v_fzs_mv AS SELECT region, sv FROM fzs_mv")
     ps.sql("CREATE USER 'fu'")
     ps.sql("CREATE ROLE 'fr'")
     preds = {
@@ -250,15 +261,19 @@ def test_privilege_policy_fuzz(ps, tmp_path, seed):
              "snap_roundtrip", "drop_user"])
         if op == "gs_user":
             ps.sql(f"GRANT SELECT_PRIV ON {name} TO 'fu'")
+            ps.sql("GRANT SELECT_PRIV ON fzs TO 'fu'")
             sel_user = True
         elif op == "rs_user":
             ps.sql(f"REVOKE SELECT_PRIV ON {name} FROM 'fu'")
+            ps.sql("REVOKE SELECT_PRIV ON fzs FROM 'fu'")
             sel_user = False
         elif op == "gs_role":
             ps.sql(f"GRANT SELECT_PRIV ON {name} TO ROLE 'fr'")
+            ps.sql("GRANT SELECT_PRIV ON fzs TO ROLE 'fr'")
             sel_role = True
         elif op == "rs_role":
             ps.sql(f"REVOKE SELECT_PRIV ON {name} FROM ROLE 'fr'")
+            ps.sql("REVOKE SELECT_PRIV ON fzs FROM ROLE 'fr'")
             sel_role = False
         elif op == "g_role":
             ps.sql("GRANT 'fr' TO 'fu'")
@@ -275,12 +290,15 @@ def test_privilege_policy_fuzz(ps, tmp_path, seed):
             to = "ROLE 'fr'" if to_role else "'fu'"
             ps.sql(f"CREATE ROW POLICY {pn} ON {name} AS {kind} TO {to} "
                    f"USING ({preds[pn][0]})")
+            ps.sql(f"CREATE ROW POLICY {pn} ON fzs AS {kind} TO {to} "
+                   f"USING ({preds[pn][0]})")
             live[pn] = (kind, "role" if to_role else "user")
         elif op == "pol_drop":
             if not live:
                 continue
             pn = rng.choice(sorted(live))
             ps.sql(f"DROP ROW POLICY {pn} ON {name}")
+            ps.sql(f"DROP ROW POLICY {pn} ON fzs")
             del live[pn]
         elif op == "rename":
             # rename — grants are NAME-based and must be re-issued;
@@ -323,11 +341,21 @@ def test_privilege_policy_fuzz(ps, tmp_path, seed):
             return ok
 
         want = sorted(r[0] for r in rows if visible(r))
+        agg: dict[str, int] = {}
+        for r in rows:
+            if visible(r):
+                agg[r[1]] = agg.get(r[1], 0) + r[2]
+        want_mv = sorted(agg.items())
+        mv_tgt = rng.choice(["fzs_mv", "v_fzs_mv"])
         ps.su("fu")
         try:
             if not allowed:
                 with pytest.raises(PermissionError):
                     ps.sql(f"SELECT k FROM {name}").collect()
+                # the MV (and a view over it) must enforce the same
+                # base grant — no privilege laundering
+                with pytest.raises(PermissionError):
+                    ps.sql(f"SELECT region, sv FROM {mv_tgt}").collect()
             else:
                 got = sorted(
                     r["k"]
@@ -335,6 +363,15 @@ def test_privilege_policy_fuzz(ps, tmp_path, seed):
                 )
                 assert got == want, (phase, op, got, want, live,
                                      has_role, mine)
+                # MV snapshot is UNFILTERED — a policied identity's
+                # read by name must equal the aggregate of its
+                # policy-visible base rows (r12 laundering class)
+                got_mv = sorted(
+                    (r["region"], r["sv"]) for r in
+                    ps.sql(f"SELECT region, sv FROM {mv_tgt}").collect()
+                )
+                assert got_mv == want_mv, (phase, op, mv_tgt, got_mv,
+                                           want_mv, live, has_role)
         finally:
             ps.su("root")
 
@@ -573,5 +610,91 @@ def test_policied_reads_keep_index_routes_and_pushdown(ps):
         flat = plan.replace("\n", " ")
         assert "EqualTo(lang,en)" in flat, "policy filter not pushed"
         assert "EqualTo(doc_id,5)" in flat, "user filter not pushed"
+    finally:
+        ps.su("root")
+
+
+def test_policied_direct_mv_read_is_filtered(ps):
+    """r12 audit: an async-MV snapshot holds UNFILTERED rows, so a
+    row-policied identity reading the MV BY NAME (or through a view
+    over it) must get the body recomputed over its filtered bases —
+    not the snapshot. Non-policied identities keep the snapshot, and
+    the swap restores it."""
+    _mk(ps)
+    ps.sql("CREATE MATERIALIZED VIEW pmv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT region, SUM(v) AS sv FROM acl_t "
+           "GROUP BY region")
+    ps.sql("CREATE VIEW v_pmv AS SELECT region, sv FROM pmv")
+    ps.sql("CREATE USER 'gina'")
+    ps.sql("GRANT SELECT_PRIV ON acl_t TO 'gina'")
+    ps.sql("CREATE ROW POLICY g_eu ON acl_t AS RESTRICTIVE TO 'gina' "
+           "USING (region = 'eu')")
+    try:
+        ps.su("gina")
+        got = {(r["region"], r["sv"])
+               for r in ps.sql("SELECT region, sv FROM pmv").collect()}
+        assert got == {("eu", 40)}, "direct MV read laundered policy rows"
+        got_v = {(r["region"], r["sv"])
+                 for r in ps.sql("SELECT region, sv FROM v_pmv").collect()}
+        assert got_v == {("eu", 40)}, "view-over-MV laundered policy rows"
+    finally:
+        ps.su("root")
+    # snapshot restored for unrestricted identities
+    got = {(r["region"], r["sv"])
+           for r in ps.sql("SELECT region, sv FROM pmv").collect()}
+    assert got == {("eu", 40), ("us", 20)}
+
+
+def test_policied_direct_join_mv_read_is_filtered(ps):
+    """Same laundering check for a JOIN-BODY async MV (r12): the
+    policy sits on the DIM side; the recompute joins the filtered dim,
+    so the policied identity loses exactly the hidden dim's rows."""
+    ps.sql("CREATE TABLE pjf (`k` BIGINT, `d` BIGINT, `amt` DOUBLE) "
+           "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("CREATE TABLE pjd (`d` BIGINT, `region` VARCHAR(8)) "
+           "DUPLICATE KEY(d) DISTRIBUTED BY HASH(d) BUCKETS 2")
+    ps.sql("INSERT INTO pjf VALUES (1,1,10.0),(2,2,20.0),(3,1,30.0)")
+    ps.sql("INSERT INTO pjd VALUES (1,'eu'),(2,'us')")
+    ps.sql("CREATE MATERIALIZED VIEW pjmv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT d2.region AS region, "
+           "SUM(pjf.amt) AS sa FROM pjf JOIN pjd d2 ON pjf.d = d2.d "
+           "GROUP BY d2.region")
+    ps.sql("CREATE USER 'hana'")
+    ps.sql("GRANT SELECT_PRIV ON pjf TO 'hana'")
+    ps.sql("GRANT SELECT_PRIV ON pjd TO 'hana'")
+    ps.sql("CREATE ROW POLICY h_eu ON pjd AS RESTRICTIVE TO 'hana' "
+           "USING (region = 'eu')")
+    try:
+        ps.su("hana")
+        got = {(r["region"], r["sa"])
+               for r in ps.sql("SELECT region, sa FROM pjmv").collect()}
+        assert got == {("eu", 40.0)}, "join-MV read laundered dim policy"
+    finally:
+        ps.su("root")
+    got = {(r["region"], r["sa"])
+           for r in ps.sql("SELECT region, sa FROM pjmv").collect()}
+    assert got == {("eu", 40.0), ("us", 20.0)}
+
+
+def test_view_over_mv_cannot_launder_privileges(ps):
+    """r12 audit: privilege enforcement must see an async MV reached
+    THROUGH a session view (the MV-name scan walks view bodies), or a
+    view-over-MV read needs no grant at all."""
+    _mk(ps)
+    ps.sql("CREATE MATERIALIZED VIEW lmv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT region, SUM(v) AS sv FROM acl_t "
+           "GROUP BY region")
+    ps.sql("CREATE VIEW v_lmv AS SELECT region, sv FROM lmv")
+    ps.sql("CREATE USER 'ivan'")
+    try:
+        ps.su("ivan")
+        with pytest.raises(PermissionError, match="acl_t"):
+            ps.sql("SELECT region, sv FROM v_lmv")
+    finally:
+        ps.su("root")
+    ps.sql("GRANT SELECT_PRIV ON acl_t TO 'ivan'")
+    try:
+        ps.su("ivan")
+        assert ps.sql("SELECT count(*) AS n FROM v_lmv").collect()[0]["n"] == 2
     finally:
         ps.su("root")

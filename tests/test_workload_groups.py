@@ -114,3 +114,27 @@ def test_admission_from_threads_and_internal_recursion(ps):
     th.join(timeout=30)
     assert results == [4]
     ps.sql("SET workload_group = 'normal'")
+
+
+def test_workload_groups_persist_across_reattach(spark, tmp_path):
+    """Workload groups are FE metadata upstream — they survive a
+    restart. A re-attached session sees the group and its properties
+    (admission counters start fresh); DROP travels too."""
+    from palo_spark.palo_session import PaloSession
+
+    root = str(tmp_path)
+    s1 = PaloSession(spark, location_root=root)
+    s1.sql("CREATE WORKLOAD GROUP wg_keep PROPERTIES("
+           "'max_concurrency'='3', 'max_queue_size'='7')")
+    s2 = PaloSession(spark, location_root=root)
+    assert "wg_keep" in s2.workload_groups
+    assert s2.workload_groups["wg_keep"].props["max_concurrency"] == "3"
+    assert s2.workload_groups["wg_keep"].props["max_queue_size"] == "7"
+    s2.sql("ALTER WORKLOAD GROUP wg_keep PROPERTIES("
+           "'max_concurrency'='5')")
+    s3 = PaloSession(spark, location_root=root)
+    assert s3.workload_groups["wg_keep"].props["max_concurrency"] == "5"
+    s3.sql("DROP WORKLOAD GROUP wg_keep")
+    s4 = PaloSession(spark, location_root=root)
+    assert "wg_keep" not in s4.workload_groups
+    assert "normal" in s4.workload_groups  # built-in always present
