@@ -1535,6 +1535,16 @@ class PaloSession:
                     f"user {self.current_user!r} lacks GRANT_PRIV"
                 )
             return
+        if "WORKLOAD GROUP" in up:
+            # upstream gates workload-group DDL behind ADMIN_PRIV
+            # ([docs: workload-group]) — table-level CREATE/DROP grants
+            # must not reach the cluster admission policy
+            if not self.access.has_priv(self.current_user, "ADMIN_PRIV"):
+                raise PermissionError(
+                    f"user {self.current_user!r} lacks ADMIN_PRIV "
+                    "(workload-group DDL is an admin operation)"
+                )
+            return
         need = self._PRIV_BY_KEYWORD.get(kw)
         if need is None:
             raise PermissionError(

@@ -53,6 +53,7 @@ _MODULE_NAMES = [
 _PRIORITY = [
     # never driver-green: the r12 additions
     "sql_async_mv_join_rewrite",
+    "sql_async_mv_snowflake_rewrite",
     "sql_workload_group_admission",
     # last green r02 — ten rounds of code churn ago
     "tpch_q3_shipping_priority",
@@ -103,7 +104,6 @@ _PRIORITY = [
     "table_model_schema_change",
     "table_model_unique_sequence_col",
     "table_model_unique_upsert",
-    "text_quality_score",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test

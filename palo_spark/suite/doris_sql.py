@@ -1491,6 +1491,101 @@ ORACLE["sql_workload_group_admission"] = """
 """
 
 
+def _sql_async_mv_snowflake_rewrite(spark, sf_dir):
+    """Three-table join-aware transparent rewrite (r12; [docs:
+    async-materialized-view]): the MV body joins fact x dim x dim
+    (orders -> customer -> nation, the snowflake chain) and stores
+    SUM/COUNT partials per (mktsegment, nation); the query asks the
+    SAME two-hop join at a COARSER group (nation only) with a residual
+    equality filter on the other stored dim. Fail-loud if the rewrite
+    did not fire or the plan still contains ANY join — at cluster
+    scale the win is that BOTH join shuffles disappear. Cents are
+    exact integers, so the re-merge is oracle-identical."""
+    from pyspark.sql import functions as F
+
+    from palo_spark.catalog import load_table
+    from palo_spark.palo_session import PaloSession
+
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    tf = ps._create_table(
+        "CREATE TABLE sjm_orders (`o_orderkey` BIGINT, `o_custkey` BIGINT, "
+        "`total_cents` BIGINT) DUPLICATE KEY(o_orderkey) "
+        "DISTRIBUTED BY HASH(o_orderkey) BUCKETS 8"
+    )
+    tf.insert(
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "total_cents"
+            ),
+        )
+    )
+    ps._refresh_view("sjm_orders")
+    td = ps._create_table(
+        "CREATE TABLE sjm_cust (`c_custkey` BIGINT, `c_mktsegment` "
+        "VARCHAR(10), `c_nationkey` BIGINT) DUPLICATE KEY(c_custkey) "
+        "DISTRIBUTED BY HASH(c_custkey) BUCKETS 8"
+    )
+    td.insert(c.select("c_custkey", "c_mktsegment", "c_nationkey"))
+    ps._refresh_view("sjm_cust")
+    tn = ps._create_table(
+        "CREATE TABLE sjm_nat (`n_nationkey` BIGINT, `n_name` "
+        "VARCHAR(25)) DUPLICATE KEY(n_nationkey) "
+        "DISTRIBUTED BY HASH(n_nationkey) BUCKETS 2"
+    )
+    tn.insert(n.select("n_nationkey", "n_name"))
+    ps._refresh_view("sjm_nat")
+    ps.sql(
+        """
+        CREATE MATERIALIZED VIEW sjm_mv BUILD IMMEDIATE REFRESH COMPLETE
+        ON MANUAL AS
+        SELECT c.c_mktsegment AS seg, nn.n_name AS nation,
+               SUM(f.total_cents) AS sum_cents,
+               COUNT(f.total_cents) AS cnt_cents,
+               COUNT(*) AS n_all
+        FROM sjm_orders f JOIN sjm_cust c ON f.o_custkey = c.c_custkey
+             JOIN sjm_nat nn ON c.c_nationkey = nn.n_nationkey
+        GROUP BY c.c_mktsegment, nn.n_name
+        """
+    )
+    out = ps.sql(
+        "SELECT nn.n_name AS nation, SUM(f.total_cents) AS sum_cents, "
+        "COUNT(*) AS n_orders "
+        "FROM sjm_orders f JOIN sjm_cust c ON f.o_custkey = c.c_custkey "
+        "JOIN sjm_nat nn ON c.c_nationkey = nn.n_nationkey "
+        "WHERE c.c_mktsegment = 'BUILDING' GROUP BY nn.n_name"
+    )
+    if ps.last_mv_rewrite != "sjm_mv":
+        raise RuntimeError(
+            "snowflake async-MV rewrite did not fire "
+            f"(last_mv_rewrite={ps.last_mv_rewrite!r})"
+        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Join" in plan.replace("\n", " "):
+        raise RuntimeError("rewritten plan still joins — rewrite is fake")
+    return out.orderBy("nation")
+
+
+QUERIES["sql_async_mv_snowflake_rewrite"] = _sql_async_mv_snowflake_rewrite
+ORACLE["sql_async_mv_snowflake_rewrite"] = """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    ORDER BY nation
+"""
+
+
 QUERIES["sql_async_mv_join_rewrite"] = _sql_async_mv_join_rewrite
 ORACLE["sql_async_mv_join_rewrite"] = """
     SELECT c_mktsegment AS seg,

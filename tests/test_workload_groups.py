@@ -138,3 +138,28 @@ def test_workload_groups_persist_across_reattach(spark, tmp_path):
     s4 = PaloSession(spark, location_root=root)
     assert "wg_keep" not in s4.workload_groups
     assert "normal" in s4.workload_groups  # built-in always present
+
+
+def test_workload_group_ddl_requires_admin(spark, tmp_path):
+    """Upstream gates workload-group DDL behind ADMIN_PRIV — a
+    table-level CREATE_PRIV holder must not reach the admission
+    policy; SHOW stays readable."""
+    import pytest
+
+    from palo_spark.palo_session import PaloSession
+
+    s = PaloSession(spark, location_root=str(tmp_path))
+    s.sql("CREATE USER 'wgx'")
+    s.sql("GRANT CREATE_PRIV, DROP_PRIV, ALTER_PRIV ON *.*.* TO 'wgx'")
+    try:
+        s.su("wgx")
+        with pytest.raises(PermissionError, match="ADMIN_PRIV"):
+            s.sql("CREATE WORKLOAD GROUP wg_na PROPERTIES("
+                  "'max_concurrency'='2')")
+        with pytest.raises(PermissionError, match="ADMIN_PRIV"):
+            s.sql("DROP WORKLOAD GROUP normal")
+        s.sql("SHOW WORKLOAD GROUPS")  # readable
+    finally:
+        s.su("root")
+    s.sql("CREATE WORKLOAD GROUP wg_ok PROPERTIES('max_concurrency'='2')")
+    assert "wg_ok" in s.workload_groups
