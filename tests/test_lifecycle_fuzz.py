@@ -256,7 +256,8 @@ def test_session_lifecycle_fuzz_seeded(ps):
     _run(ps, 19, phases=24)
 
 
-def test_result_cache_consistency_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("fuzz_seed", [2026])
+def test_result_cache_consistency_fuzz(spark, tmp_path, fuzz_seed):
     """Randomized closure of the r9 cache-audit class (TZ keying,
     view-body expansion, drop/recreate lineage) EXTENDED in r10 to the
     whole staleness surface (VERDICT r9 advice #6): drive random
@@ -275,7 +276,7 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
 
     ps = PaloSession(spark, location_root=str(tmp_path / "loc"),
                      result_cache=True)
-    rng = random.Random(2026)
+    rng = random.Random(fuzz_seed)
     ps.sql("CREATE TABLE fz (`k` BIGINT, `v` INT, `ts` DATETIME) "
            "DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
     ps.sql("INSERT INTO fz VALUES (1, 10, '2024-01-01 00:30:00')")
@@ -467,7 +468,8 @@ def test_result_cache_consistency_fuzz(spark, tmp_path):
         assert pol_n == want_n, (phase, op, pol_n, want_n)
 
 
-def test_index_route_consistency_fuzz(spark, tmp_path):
+@pytest.mark.parametrize("fuzz_seed", [10])
+def test_index_route_consistency_fuzz(spark, tmp_path, fuzz_seed):
     """Randomized closure of the r10c index-route class: drive random
     mutations (insert / delete / truncate / drop+recreate) interleaved
     with NGRAM_BF / BITMAP index create/drop, with the result cache ON,
@@ -482,7 +484,7 @@ def test_index_route_consistency_fuzz(spark, tmp_path):
 
     ps = PaloSession(spark, location_root=str(tmp_path / "ix"),
                      result_cache=True)
-    rng = random.Random(10)
+    rng = random.Random(fuzz_seed)
     words = ["alpha", "borwick", "cromulent", "dax", "embiggen"]
 
     def mk():
