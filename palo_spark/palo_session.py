@@ -1878,10 +1878,27 @@ class PaloSession:
                     f"INSERT arity mismatch: {len(rows.columns)} values for "
                     f"{len(names)} target columns"
                 )
-            sel = []
+            by_name = {}
             for col_name, got in zip(names, rows.columns):
-                i = [d.lower() for d in decl].index(col_name.lower())
-                sel.append(f"CAST(`{got}` AS {typs[i]}) AS `{decl[i]}`")
+                low = col_name.lower()
+                if low not in [d.lower() for d in decl]:
+                    raise ValueError(
+                        f"unknown INSERT target column {col_name!r}"
+                    )
+                by_name[low] = got
+            # Doris column-list INSERT: listed columns map by position,
+            # UNLISTED declared columns fill with NULL (upstream fills
+            # the column default; this engine's CREATE grammar declares
+            # no defaults, so NULL IS the default) — the projection
+            # must still produce the full declared schema or the
+            # rowset write fails on the missing columns
+            sel = []
+            for i, d in enumerate(decl):
+                got = by_name.get(d.lower())
+                if got is not None:
+                    sel.append(f"CAST(`{got}` AS {typs[i]}) AS `{d}`")
+                else:
+                    sel.append(f"CAST(NULL AS {typs[i]}) AS `{d}`")
             rows = rows.selectExpr(*sel)
         version = t.insert(
             rows, label=m.group("label"),
@@ -5281,19 +5298,26 @@ class PaloSession:
                     raise ValueError(f"table {new!r} already exists")
                 t = self._table(old)
                 # async MV bodies bind to bases BY NAME (text), so a
-                # rename would silently detach ON COMMIT triggers (the
-                # reach check stops matching → stale snapshot serves
-                # forever; r12 audit wrong-answer repro) and break
-                # refresh. Refuse loudly — same posture as the
-                # column-drop guard; the user drops and recreates the
-                # MV against the new name.
+                # rename silently detaches an ON COMMIT trigger (the
+                # reach check stops matching → the stale snapshot
+                # serves forever; r12 audit wrong-answer repro).
+                # Refuse loudly for ON COMMIT MVs — same posture as
+                # the column-drop guard. ON MANUAL MVs keep renaming:
+                # their direct-read staleness is within the manual
+                # contract, the transparent rewrite is lineage-gated
+                # against the renamed-away base, and the next REFRESH
+                # fails loudly (pinned in
+                # test_async_mv_rewrite_adversarial_edges).
                 for mvn, mv in self.async_mvs.items():
-                    if old in self._expand_view_refs(mv["body"])[0]:
+                    if mv["on"] == "commit" and old in (
+                        self._expand_view_refs(mv["body"])[0]
+                    ):
                         raise ValueError(
-                            f"table {old!r} is referenced by async "
-                            f"materialized view {mvn!r}; DROP "
+                            f"table {old!r} is referenced by ON COMMIT "
+                            f"async materialized view {mvn!r}; DROP "
                             f"MATERIALIZED VIEW {mvn} first (async MV "
-                            "bodies bind to base tables by name)"
+                            "bodies bind to base tables by name, so "
+                            "the commit trigger cannot follow a rename)"
                         )
                 del self.tables[old]
                 self.spark.catalog.dropTempView(old)

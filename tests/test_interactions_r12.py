@@ -162,12 +162,14 @@ def test_mv_maintenance_survives_definer_drop(ps):
     ps.sql("REFRESH MATERIALIZED VIEW ir_mv")  # explicit refresh too
 
 
-def test_rename_refused_while_async_mv_references_table(ps):
+def test_rename_refused_while_on_commit_mv_references_table(ps):
     """r12 audit: async MV bodies bind to bases by NAME — a rename
-    would silently detach the ON COMMIT trigger (stale snapshot serves
-    forever; wrong-answer repro) and break manual refresh. The rename
-    must refuse loudly, like the column-drop guard; after DROP MV it
-    proceeds."""
+    silently detaches the ON COMMIT trigger (stale snapshot serves
+    forever; wrong-answer repro: post-rename inserts never refreshed
+    the MV). ON COMMIT MVs refuse the rename loudly, like the
+    column-drop guard. ON MANUAL MVs keep renaming: their staleness is
+    within the manual contract and the rewrite is lineage-gated
+    (pinned in test_async_mv_rewrite_adversarial_edges)."""
     import pytest
 
     ps.sql("CREATE TABLE rnb (k INT, v INT) DUPLICATE KEY(k) "
@@ -185,5 +187,12 @@ def test_rename_refused_while_async_mv_references_table(ps):
     with pytest.raises(ValueError, match="rnb_vmv"):
         ps.sql("ALTER TABLE rnb RENAME rnb2")
     ps.sql("DROP MATERIALIZED VIEW rnb_vmv")
+    # an ON MANUAL MV does NOT block the rename
+    ps.sql("CREATE MATERIALIZED VIEW rnb_mmv BUILD IMMEDIATE REFRESH "
+           "COMPLETE ON MANUAL AS SELECT SUM(v) AS sv FROM rnb")
     ps.sql("ALTER TABLE rnb RENAME rnb2")
     assert ps.sql("SELECT count(*) AS n FROM rnb2").collect()[0]["n"] == 2
+    # post-rename manual refresh fails LOUDLY (base name gone), never
+    # silently serves
+    with pytest.raises(Exception):
+        ps.sql("REFRESH MATERIALIZED VIEW rnb_mmv")

@@ -2626,3 +2626,30 @@ def test_show_create_view(ps):
 
     with _pt.raises(ValueError, match="unknown view"):
         ps.sql("SHOW CREATE VIEW nope")
+
+
+def test_insert_column_list_fills_unlisted_with_null(spark, tmp_path):
+    """Doris column-list INSERT ([docs: insert]): listed columns map by
+    position (any order), UNLISTED declared columns fill with NULL (the
+    default — this engine's CREATE grammar declares no column
+    defaults), unknown targets and arity mismatches refuse loudly, and
+    a SELECT body maps the same way."""
+    import pytest
+
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path))
+    ps.sql("CREATE TABLE icl (k INT, a VARCHAR(4), b INT) DUPLICATE "
+           "KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO icl (k, b) VALUES (1, 5)")
+    ps.sql("INSERT INTO icl (b, k) VALUES (7, 2)")
+    ps.sql("INSERT INTO icl VALUES (3, 'x', 9)")
+    ps.sql("INSERT INTO icl (k, a) SELECT 10, 'y'")
+    got = sorted((r.k, r.a, r.b) for r in
+                 ps.sql("SELECT k, a, b FROM icl").collect())
+    assert got == [(1, None, 5), (2, None, 7), (3, "x", 9),
+                   (10, "y", None)]
+    with pytest.raises(ValueError, match="unknown INSERT target"):
+        ps.sql("INSERT INTO icl (k, zz) VALUES (4, 1)")
+    with pytest.raises(ValueError, match="arity"):
+        ps.sql("INSERT INTO icl (k, b) VALUES (5, 1, 2)")
