@@ -149,6 +149,10 @@ _INSERT_RE = re.compile(
     # staged backfill load: rows land in the (invisible) temporary
     # partition until REPLACE PARTITION swaps it in
     r"(?:TEMPORARY\s+PARTITION\s*\(\s*`?(?P<temppart>\w+)`?\s*\)\s*)?"
+    # Doris target-partition restriction ([docs: insert] — `INSERT
+    # INTO t PARTITION (p1, p2) ...`): rows outside the listed
+    # partitions refuse the load (strict-mode posture)
+    r"(?:PARTITION\s*\((?P<plist>[^)]*)\)\s*)?"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>VALUES\s*.*|SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1900,6 +1904,41 @@ class PaloSession:
                 else:
                     sel.append(f"CAST(NULL AS {typs[i]}) AS `{d}`")
             rows = rows.selectExpr(*sel)
+        plist = m.group("plist")
+        if plist:
+            # target-partition restriction: label every row, refuse the
+            # whole load if any row falls outside the listed partitions
+            # (Doris strict mode errors; silently dropping rows would
+            # be a wrong answer). The labeled column rides into the
+            # write, so the assignment is computed once.
+            from pyspark.sql import functions as F
+
+            from palo_spark.tables import AUTO_PART_COL
+
+            rp = t.meta.range_partitions
+            if rp is None and not t.meta.auto_partition:
+                raise ValueError(
+                    "INSERT ... PARTITION requires a partitioned table"
+                )
+            target = [p.strip().strip("`") for p in plist.split(",") if p.strip()]
+            if rp is not None:
+                declared = {p["name"] for p in rp["parts"]}
+                unknown = [p for p in target if p not in declared]
+                if unknown:
+                    raise ValueError(f"unknown partition(s) {unknown}")
+            labeled = rows.withColumn(
+                AUTO_PART_COL, t.partition_label_expr()
+            )
+            stray = labeled.filter(
+                ~F.col(AUTO_PART_COL).isin(target)
+            ).limit(1).collect()
+            if stray:
+                raise ValueError(
+                    f"insert row belongs to partition "
+                    f"{stray[0][AUTO_PART_COL]!r}, outside the target "
+                    f"PARTITION list {target} (strict mode refuses the load)"
+                )
+            rows = labeled
         version = t.insert(
             rows, label=m.group("label"),
             temp_partition=m.group("temppart"),

@@ -2653,3 +2653,38 @@ def test_insert_column_list_fills_unlisted_with_null(spark, tmp_path):
         ps.sql("INSERT INTO icl (k, zz) VALUES (4, 1)")
     with pytest.raises(ValueError, match="arity"):
         ps.sql("INSERT INTO icl (k, b) VALUES (5, 1, 2)")
+
+
+def test_insert_target_partition_restriction(spark, tmp_path):
+    """Doris `INSERT INTO t PARTITION (p, ...)` ([docs: insert]): rows
+    must belong to a listed partition — a stray row refuses the WHOLE
+    load (strict mode; silent dropping would be a wrong answer),
+    unknown partitions and non-partitioned targets refuse, and an
+    in-target load lands normally (pruned reads see it)."""
+    import pytest
+
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path))
+    ps.sql("CREATE TABLE ptr (`k` BIGINT, `d` DATETIME, `v` BIGINT) "
+           "DUPLICATE KEY(k, d) PARTITION BY RANGE(`d`) ("
+           "PARTITION p_lo VALUES LESS THAN ('2000-01-01'),"
+           "PARTITION p_hi VALUES LESS THAN (MAXVALUE)) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO ptr PARTITION (p_hi) VALUES "
+           "(1,'2002-01-01 00:00:00',10)")
+    with pytest.raises(ValueError, match="outside the target"):
+        ps.sql("INSERT INTO ptr PARTITION (p_hi) VALUES "
+               "(2,'1998-01-01 00:00:00',20)")
+    with pytest.raises(ValueError, match="unknown partition"):
+        ps.sql("INSERT INTO ptr PARTITION (nope) VALUES "
+               "(3,'2002-01-01 00:00:00',30)")
+    # the refused load left nothing behind; the good row is pruned-read
+    assert [r.k for r in
+            ps.sql("SELECT k FROM ptr PARTITION (p_hi)").collect()] == [1]
+    assert ps.sql("SELECT count(*) AS n FROM ptr").collect()[0]["n"] == 1
+    ps2 = PaloSession(spark, location_root=str(tmp_path / "np"))
+    ps2.sql("CREATE TABLE npx (k INT) DUPLICATE KEY(k) "
+            "DISTRIBUTED BY HASH(k) BUCKETS 1")
+    with pytest.raises(ValueError, match="partitioned table"):
+        ps2.sql("INSERT INTO npx PARTITION (x) VALUES (1)")
