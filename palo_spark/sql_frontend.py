@@ -1201,10 +1201,45 @@ def _rewrite_group_concat(inner: list[Token]) -> list[Token]:
         _text(args[1]) if len(args) > 1 else "','"
     )
     if order_expr is not None and order_expr.strip() != expr.strip():
-        raise ValueError(
-            "group_concat ORDER BY key must equal the aggregated "
-            f"expression (got {order_expr!r} vs {expr!r})"
-        )
+        # different sort key ([docs: group_concat] — `GROUP_CONCAT(x
+        # ORDER BY y [DESC])`): collect (key, value) structs, sort by
+        # the struct's field order (key first, value as tie-break —
+        # upstream leaves tie order unspecified, this is deterministic),
+        # then project the values back out. DISTINCT with a foreign
+        # key is ambiguous (which key survives dedup?) and multi-key
+        # ORDER BY is out of grammar — both refuse loudly.
+        oe = order_expr.strip()
+        desc = False
+        mdir = re.match(r"^(.*?)\s+(asc|desc)$", oe, re.IGNORECASE)
+        if mdir:
+            oe = mdir.group(1).strip()
+            desc = mdir.group(2).lower() == "desc"
+        depth_c = 0
+        top_comma = False
+        for ch in oe:
+            if ch == "(":
+                depth_c += 1
+            elif ch == ")":
+                depth_c -= 1
+            elif ch == "," and depth_c == 0:
+                top_comma = True
+                break
+        if distinct or top_comma or oe == "":
+            raise ValueError(
+                "group_concat ORDER BY supports one sort key (optionally "
+                "DESC), and DISTINCT only when the key equals the "
+                f"aggregated expression (got {order_expr!r} vs {expr!r})"
+            )
+        if oe.strip() == expr.strip():
+            agg = f"array_sort(collect_list({expr}))"
+        else:
+            agg = (
+                f"transform(array_sort(collect_list(struct({oe} AS o, "
+                f"{expr} AS x))), s -> s.x)"
+            )
+        if desc:
+            agg = f"reverse({agg})"
+        return _raw(f"array_join({agg}, {sep})")
     agg = f"collect_list({expr})"
     if distinct:
         agg = f"array_distinct({agg})"

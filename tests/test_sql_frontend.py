@@ -69,8 +69,14 @@ def test_group_concat_forms():
     assert "array_join(collect_list(x), ',')" in out
     out = translate("SELECT group_concat(DISTINCT x, ';' ORDER BY x) FROM t")
     assert "array_join(array_sort(array_distinct(collect_list(x))), ';')" in out
-    with pytest.raises(ValueError, match="ORDER BY key"):
-        translate("SELECT group_concat(x ORDER BY y) FROM t")
+    # r12: a DIFFERENT sort key collects (key, value) structs
+    out = translate("SELECT group_concat(x ORDER BY y) FROM t")
+    assert ("array_join(transform(array_sort(collect_list(struct(y AS o, "
+            "x AS x))), s -> s.x), ',')") in out
+    out = translate("SELECT group_concat(x ORDER BY y DESC) FROM t")
+    assert out.count("reverse(") == 1
+    with pytest.raises(ValueError, match="one sort key"):
+        translate("SELECT group_concat(DISTINCT x ORDER BY y) FROM t")
 
 
 def test_renames_and_templates():
@@ -849,3 +855,41 @@ def test_math_function_completions(spark):
     assert float(one("SELECT fmod(7.5, 2.0) AS f")) == 1.5
     assert one("SELECT nullable(5) AS n") == 5
     assert one("SELECT non_nullable(5) AS n") == 5
+
+
+def test_group_concat_order_by_other_key(spark, tmp_path):
+    """`GROUP_CONCAT(x ORDER BY y [DESC])` with a DIFFERENT sort key
+    ([docs: group_concat]): values sort by the key (value as the
+    deterministic tie-break), DESC reverses, DISTINCT with a foreign
+    key refuses (ambiguous dedup), multi-key refuses."""
+    import pytest
+
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame(
+        [(1, "a", 30, "x"), (2, "a", 10, "y"), (3, "a", 20, "z"),
+         (4, "b", 5, "q")],
+        "k int, g string, v int, nm string",
+    ).createOrReplaceTempView("gco")
+    got = {
+        (r["g"], r["s"]) for r in doris_sql(
+            spark,
+            "SELECT g, GROUP_CONCAT(nm ORDER BY v SEPARATOR '|') AS s "
+            "FROM gco GROUP BY g",
+        ).collect()
+    }
+    assert got == {("a", "y|z|x"), ("b", "q")}
+    got = {
+        (r["g"], r["s"]) for r in doris_sql(
+            spark,
+            "SELECT g, GROUP_CONCAT(nm ORDER BY v DESC SEPARATOR '|') "
+            "AS s FROM gco GROUP BY g",
+        ).collect()
+    }
+    assert got == {("a", "x|z|y"), ("b", "q")}
+    with pytest.raises(ValueError, match="one sort key"):
+        doris_sql(spark, "SELECT g, GROUP_CONCAT(DISTINCT nm ORDER BY v) "
+                         "AS s FROM gco GROUP BY g")
+    with pytest.raises(ValueError, match="one sort key"):
+        doris_sql(spark, "SELECT g, GROUP_CONCAT(nm ORDER BY v, k) AS s "
+                         "FROM gco GROUP BY g")
