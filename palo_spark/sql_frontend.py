@@ -133,7 +133,7 @@ _TOKEN_RE = re.compile(
   | (?P<bquote>`(?:[^`]|``)*`)
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=>|<>|!=|>=|<=|\|\||&&|:=|[-+*/%(),.;=<>!])
+  | (?P<op>->>|->|<=>|<>|!=|>=|<=|\|\||&&|:=|[-+*/%(),.;=<>!])
   | (?P<ws>\s+)
   | (?P<other>.)
     """,
@@ -341,10 +341,20 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         # Spark's byte count (char_length passes through for characters).
         return _raw(f"octet_length({_text(inner)})")
 
-    if name_lower.startswith("json_") or name_lower == "get_json_string":
+    if name_lower.startswith(("json_", "get_json_")):
         got = _rewrite_json_fn(name_lower, inner)
         if got is not None:
             return got
+
+    if name_lower == "split_by_string":
+        # Doris splits on a LITERAL delimiter; Spark's split takes a
+        # regex — \Q...\E quoting makes any delimiter (incl. a
+        # runtime expression) literal
+        args = _split_args(_trim(inner))
+        if len(args) != 2:
+            raise ValueError("split_by_string expects (string, delimiter)")
+        s, d = _text(args[0]), _text(args[1])
+        return _raw(f"split({s}, concat('\\\\Q', {d}, '\\\\E'))")
 
     if name_lower in _DATE_DIFF:
         args = _split_args(inner)
@@ -1097,6 +1107,17 @@ def _rewrite_json_fn(name_lower: str, inner: list[Token]) -> list[Token] | None:
         return _raw(f"to_json(variant_get(try_parse_json({j}), {p}))")
     if name_lower in ("json_extract_string", "get_json_string") and len(texts) == 2:
         return _raw(f"get_json_object({texts[0]}, {texts[1]})")
+    if name_lower in (
+        "get_json_int", "get_json_bigint", "get_json_double"
+    ) and len(texts) == 2:
+        target = {
+            "get_json_int": "INT",
+            "get_json_bigint": "BIGINT",
+            "get_json_double": "DOUBLE",
+        }[name_lower]
+        return _raw(
+            f"CAST(get_json_object({texts[0]}, {texts[1]}) AS {target})"
+        )
     for suffix, target in _JSON_CASTS.items():
         if name_lower == f"json_extract_{suffix}" and len(texts) == 2:
             base = f"get_json_object({texts[0]}, {texts[1]})"
@@ -1320,6 +1341,44 @@ def _translate_tokens(toks: list[Token]) -> list[Token]:
         if kind == "op" and text == "&&":
             out.append(("word", "AND"))
             i += 1
+            continue
+        if kind == "op" and text in ("->", "->>"):
+            # MySQL/Doris JSON path operators: `col -> '$.p'` is
+            # json_extract (JSON text out, strings stay quoted),
+            # `col ->> '$.p'` is the unquoting form. `->` is ALSO
+            # Spark's lambda arrow (`x -> x > 1`), so the JSON reading
+            # applies only when the right side is a string literal
+            # whose value is a JSON path (starts with '$') — every
+            # other shape passes through as a lambda.
+            j = _sig(toks, i + 1)
+            is_path = (
+                j is not None
+                and toks[j][0] in ("squote", "dquote")
+                and _unquote_str(toks[j][1]).startswith("$")
+            )
+            if not is_path:
+                if text == "->>":
+                    raise ValueError(
+                        "->> requires a string-literal JSON path "
+                        "(starting with '$') on the right"
+                    )
+                out.append((kind, text))
+                i += 1
+                continue
+            left = _pop_ident(out)
+            if left is None:
+                raise ValueError(
+                    f"{text}: left side must be a column identifier "
+                    "(wrap anything fancier in json_extract(...))"
+                )
+            path = _quote_str(_unquote_str(toks[j][1]))
+            if text == "->":
+                out.extend(_raw(
+                    f"to_json(variant_get(try_parse_json({left}), {path}))"
+                ))
+            else:
+                out.extend(_raw(f"get_json_object({left}, {path})"))
+            i = j + 1
             continue
         if kind == "word":
             low = text.lower()

@@ -893,3 +893,41 @@ def test_group_concat_order_by_other_key(spark, tmp_path):
     with pytest.raises(ValueError, match="one sort key"):
         doris_sql(spark, "SELECT g, GROUP_CONCAT(nm ORDER BY v, k) AS s "
                          "FROM gco GROUP BY g")
+
+
+def test_json_path_operators_and_typed_getters(spark):
+    """MySQL/Doris `->` (json_extract: JSON text, strings stay quoted)
+    and `->>` (unquoting), the typed get_json_int/bigint/double
+    casts, and split_by_string's literal-delimiter split — all at the
+    SQL surface."""
+    import pytest
+
+    from palo_spark.sql_frontend import doris_sql, translate
+
+    spark.createDataFrame(
+        [(1, '{"a": 5, "s": "hi"}')], "k int, j string"
+    ).createOrReplaceTempView("jops")
+    r = doris_sql(
+        spark,
+        "SELECT j->'$.a' AS a, j->'$.s' AS qs, j->>'$.s' AS us, "
+        "get_json_int(j, '$.a') AS i, get_json_double(j, '$.a') AS d "
+        "FROM jops",
+    ).collect()[0]
+    assert (r["a"], r["qs"], r["us"], r["i"], r["d"]) == (
+        "5", '"hi"', "hi", 5, 5.0)
+    r2 = doris_sql(
+        spark,
+        "SELECT split_by_string('a.b.c', '.') AS p, "
+        "split_by_string('x||y', '||') AS q",
+    ).collect()[0]
+    assert (list(r2["p"]), list(r2["q"])) == (["a", "b", "c"], ["x", "y"])
+    # arithmetic minus/greater-than sequences stay untouched
+    assert "->" not in translate("SELECT a - b, a > b FROM t")
+    # lambda arrows (Spark higher-order functions) pass through, even
+    # with a string-literal body — only '$'-path literals read as JSON
+    out = translate("SELECT array_first(x -> x > 1, ARRAY(1,2)) AS f")
+    assert "x -> x > 1" in out.replace("  ", " ")
+    out = translate("SELECT transform(a, x -> 'y') FROM t")
+    assert "-> 'y'" in out
+    with pytest.raises(ValueError, match="JSON path"):
+        translate("SELECT j->>k FROM jops")
