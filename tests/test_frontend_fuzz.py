@@ -122,6 +122,10 @@ AGGS = {
         ("max(c_name)", "max(c_name)"),
         ("count(distinct c_nationkey)",
          "CAST(count(distinct c_nationkey) AS BIGINT)"),
+        # r12: GROUP_CONCAT with a DIFFERENT sort key (unique key →
+        # deterministic) pairs exactly with DuckDB's ordered string_agg
+        ("group_concat(c_mktsegment ORDER BY c_custkey SEPARATOR '|')",
+         "string_agg(c_mktsegment, '|' ORDER BY c_custkey)"),
     ],
     "orders": [
         ("count(*)", "CAST(count(*) AS BIGINT)"),
