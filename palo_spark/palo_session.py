@@ -377,7 +377,28 @@ _SHOW_MV_RE = re.compile(
 )
 
 _ANALYZE_RE = re.compile(
-    r"^\s*ANALYZE\s+TABLE\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+    # Doris grammar tails ([docs: analyze]): WITH SYNC (this engine is
+    # always synchronous — accepted), WITH SAMPLE PERCENT n / ROWS n
+    # (sampled collection)
+    r"^\s*ANALYZE\s+TABLE\s+`?(?P<name>\w+)`?"
+    r"(?:\s+WITH\s+SYNC)?"
+    r"(?:\s+WITH\s+SAMPLE\s+(?:PERCENT\s+(?P<pct>\d+)|ROWS\s+(?P<rows>\d+)))?"
+    r"(?:\s+WITH\s+SYNC)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_TABLE_STATS_RE = re.compile(
+    r"^\s*SHOW\s+TABLE\s+STATS\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+_SHOW_VIEW_RE = re.compile(
+    r"^\s*SHOW\s+VIEW\s+FROM\s+`?(?P<name>\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
+#: per-query variable override ([docs: sql-hints] — `SELECT /*+
+#: SET_VAR(k=v, ...) */`): applied for ONE statement, then restored
+_SETVAR_HINT_RE = re.compile(
+    r"/\*\+\s*SET_VAR\s*\(\s*(?P<pairs>[^)]*)\)\s*\*/", re.IGNORECASE
 )
 
 _SHOW_STATS_RE = re.compile(
@@ -4487,6 +4508,38 @@ class PaloSession:
                 result = self.sql(p)
             return result
         stripped = text.strip()
+        svm = _SETVAR_HINT_RE.search(stripped)
+        if svm:
+            # `/*+ SET_VAR(k=v, ...) */` ([docs: sql-hints]): the
+            # variables apply to THIS statement only — route each pair
+            # through the ordinary SET path (same validation and side
+            # effects), run the de-hinted statement, then restore the
+            # whole variable state (including the effectful trio and
+            # the session time zone) from the snapshot
+            pairs = []
+            for kv in svm.group("pairs").split(","):
+                if not kv.strip():
+                    continue
+                k, eq, v = kv.partition("=")
+                if not eq:
+                    raise ValueError(f"malformed SET_VAR pair {kv.strip()!r}")
+                pairs.append((k.strip().strip("`"), v.strip().strip("'\"")))
+            snap_vars = dict(self.variables)
+            snap_rc = self.result_cache_enabled
+            snap_mvr = self.mv_rewrite_enabled
+            snap_tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+            try:
+                for k, v in pairs:
+                    self.sql(f"SET {k} = '{v}'")
+                return self.sql(_SETVAR_HINT_RE.sub("", stripped, count=1))
+            finally:
+                self.variables = snap_vars
+                self.result_cache_enabled = snap_rc
+                self.mv_rewrite_enabled = snap_mvr
+                if snap_tz is not None:
+                    self.spark.conf.set(
+                        "spark.sql.session.timeZone", snap_tz
+                    )
         # catalog refs rewrite FIRST, before any statement dispatch:
         # `cat.tbl` → `cat__tbl` must be visible to EVERY statement kind
         # — CREATE VIEW bodies, CTAS, INSERT ... SELECT, OUTFILE — not
@@ -5772,6 +5825,16 @@ class PaloSession:
             # views; the user-facing surface is what's re-expressed).
             t = self._table(am_.group("name"))
             view = t.read()
+            if am_.group("pct"):
+                # sampled collection: deterministic fraction sample —
+                # counts/ndv become estimates, the Doris contract for
+                # WITH SAMPLE
+                view = view.sample(
+                    fraction=min(int(am_.group("pct")), 100) / 100.0,
+                    seed=42,
+                )
+            elif am_.group("rows"):
+                view = view.limit(int(am_.group("rows")))
             aggs, names = [], []
             for f_ in view.schema.fields:
                 c = F.col(f_.name)
@@ -5812,6 +5875,37 @@ class PaloSession:
                 "column_name string, count bigint, ndv bigint, "
                 "num_nulls bigint, min string, max string",
             )
+        ts_ = _SHOW_TABLE_STATS_RE.match(stripped)
+        if ts_:
+            # Doris SHOW TABLE STATS: table-level numbers from the last
+            # ANALYZE (row count) + the rowset ledger (no scan)
+            t = self._table(ts_.group("name"))
+            stats = getattr(t, "_column_stats", None)
+            if stats is None:
+                raise ValueError(
+                    f"no statistics for {ts_.group('name')!r}; "
+                    "run ANALYZE TABLE first"
+                )
+            row_count = max((s[1] + s[3] for s in stats), default=0)
+            return self.spark.createDataFrame(
+                [(row_count, len(t.meta.rowsets), len(stats))],
+                "row_count bigint, rowset_num bigint, column_num bigint",
+            )
+        sv_ = _SHOW_VIEW_RE.match(stripped)
+        if sv_:
+            # Doris SHOW VIEW FROM t: the session views whose body
+            # reaches the table (transitively — a view over a view over
+            # t counts, upstream's dependency walk)
+            name = sv_.group("name").lower()
+            self._table(name)  # unknown table fails loud
+            rows = [
+                (v, body)
+                for v, body in sorted(self.views.items())
+                if name in self._expand_view_refs(body)[0]
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "view_name string, create_view string"
+            ).filter("view_name <> ''")
         sp_ = _SHOW_PARTS_RE.match(stripped)
         if sp_:
             t = self._table(sp_.group("name"))

@@ -2688,3 +2688,42 @@ def test_insert_target_partition_restriction(spark, tmp_path):
             "DISTRIBUTED BY HASH(k) BUCKETS 1")
     with pytest.raises(ValueError, match="partitioned table"):
         ps2.sql("INSERT INTO npx PARTITION (x) VALUES (1)")
+
+
+def test_stats_tails_show_view_and_set_var_hint(spark, tmp_path):
+    """r12 continuation batch: ANALYZE grammar tails (WITH SYNC /
+    WITH SAMPLE), SHOW TABLE STATS from the last ANALYZE, SHOW VIEW's
+    transitive dependency walk, and the per-statement /*+ SET_VAR */
+    hint (applies inside, restores after)."""
+    import pytest
+
+    from palo_spark.palo_session import PaloSession
+
+    ps = PaloSession(spark, location_root=str(tmp_path))
+    ps.sql("CREATE TABLE st (k INT, v INT) DUPLICATE KEY(k) "
+           "DISTRIBUTED BY HASH(k) BUCKETS 2")
+    ps.sql("INSERT INTO st VALUES (1,10),(2,20),(3,30)")
+    with pytest.raises(ValueError, match="ANALYZE"):
+        ps.sql("SHOW TABLE STATS st")
+    ps.sql("ANALYZE TABLE st WITH SYNC")
+    r = ps.sql("SHOW TABLE STATS st").collect()[0]
+    assert (r["row_count"], r["column_num"]) == (3, 2)
+    ps.sql("ANALYZE TABLE st WITH SAMPLE ROWS 2")
+    assert ps.sql("SHOW COLUMN STATS st").collect()[0]["count"] == 2
+    ps.sql("CREATE VIEW stv AS SELECT v FROM st")
+    ps.sql("CREATE VIEW stv2 AS SELECT v FROM stv")
+    got = [r["view_name"] for r in ps.sql("SHOW VIEW FROM st").collect()]
+    assert sorted(got) == ["stv", "stv2"]  # transitive
+    # SET_VAR: the TZ applies INSIDE the statement and restores after
+    ps.sql("INSERT INTO st VALUES (9, 99)")
+    inside = ps.sql(
+        "SELECT /*+ SET_VAR(time_zone='Asia/Tokyo') */ "
+        "date_format(from_unixtime(0), '%H') AS h"
+    ).collect()[0]["h"]
+    assert inside == "09"  # 1970-01-01 00:00 UTC is 09:00 in Tokyo
+    after = ps.sql(
+        "SELECT date_format(from_unixtime(0), '%H') AS h"
+    ).collect()[0]["h"]
+    assert after == "00" and ps.variables.get("time_zone") == "UTC"
+    with pytest.raises(ValueError, match="SET_VAR"):
+        ps.sql("SELECT /*+ SET_VAR(nonsense) */ 1")
