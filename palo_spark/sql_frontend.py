@@ -341,6 +341,59 @@ def _rewrite_call(name_lower: str, inner: list[Token]) -> list[Token] | None:
         # Spark's byte count (char_length passes through for characters).
         return _raw(f"octet_length({_text(inner)})")
 
+    if name_lower == "retention":
+        # Doris RETENTION(cond1, ...) → array<int>: element 0 = cond1
+        # ever held; element i = cond1 AND cond_{i+1} both held
+        # (mirrors functions/behavioral.py::retention)
+        args = _split_args(_trim(inner))
+        conds = [f"({_text(a)})" for a in args if _text(a).strip()]
+        if not conds:
+            raise ValueError("retention expects at least one condition")
+        first = f"MAX(CASE WHEN {conds[0]} THEN 1 ELSE 0 END)"
+        elems = [first] + [
+            f"({first} * MAX(CASE WHEN {c} THEN 1 ELSE 0 END))"
+            for c in conds[1:]
+        ]
+        return _raw(
+            "array(" + ", ".join(f"CAST({e} AS INT)" for e in elems) + ")"
+        )
+
+    if name_lower == "map_agg":
+        # Doris MAP_AGG(k, v) → one map per group (duplicate keys fail
+        # loud under Spark's default dedup policy)
+        args = _split_args(_trim(inner))
+        if len(args) != 2:
+            raise ValueError("map_agg expects (key, value)")
+        return _raw(
+            f"map_from_entries(collect_list(struct({_text(args[0])}, "
+            f"{_text(args[1])})))"
+        )
+
+    if name_lower in ("first_value", "last_value"):
+        # Doris spells the null filter INSIDE the call —
+        # `FIRST_VALUE(x IGNORE NULLS)`; Spark takes a boolean flag
+        toks2 = _trim(inner)
+        depth2 = 0
+        for j, t in enumerate(toks2):
+            if t == ("op", "("):
+                depth2 += 1
+            elif t == ("op", ")"):
+                depth2 -= 1
+            elif (
+                depth2 == 0 and t[0] == "word"
+                and t[1].lower() == "ignore"
+            ):
+                k2 = _sig(toks2, j + 1)
+                if (
+                    k2 is not None
+                    and toks2[k2][0] == "word"
+                    and toks2[k2][1].lower() == "nulls"
+                    and _sig(toks2, k2 + 1) is None
+                ):
+                    head = _text(_trim(toks2[:j]))
+                    return _raw(f"{name_lower}({head}, true)")
+                break
+
     if name_lower.startswith(("json_", "get_json_")):
         got = _rewrite_json_fn(name_lower, inner)
         if got is not None:
@@ -1052,6 +1105,12 @@ def _rewrite_bitmap_fn(name_lower: str, inner: list[Token]) -> list[Token] | Non
     if name_lower == "bitmap_union" and len(texts) == 1:
         # aggregate: OR-merge the group's bitmaps
         return _raw(canon(f"flatten(collect_list({texts[0]}))"))
+    if name_lower == "bitmap_agg" and len(texts) == 1:
+        # Doris 2.x shorthand: bitmap_agg(x) == bitmap_union(to_bitmap(x))
+        return _raw(canon(
+            f"flatten(collect_list(filter(array(CAST({texts[0]} AS "
+            f"BIGINT)), __v -> __v IS NOT NULL)))"
+        ))
     if name_lower == "bitmap_intersect" and len(texts) == 1:
         # aggregate: AND-merge (audience segmentation — "in ALL
         # segments"); a fold over the collected bitmaps. Identical

@@ -931,3 +931,40 @@ def test_json_path_operators_and_typed_getters(spark):
     assert "-> 'y'" in out
     with pytest.raises(ValueError, match="JSON path"):
         translate("SELECT j->>k FROM jops")
+
+
+def test_retention_map_agg_bitmap_agg_ignore_nulls(spark):
+    """r12 batch-5 SQL-surface additions: RETENTION (conditional
+    aggregation array), MAP_AGG (map per group; duplicate keys fail
+    loud under Spark's dedup policy), BITMAP_AGG (== bitmap_union over
+    to_bitmap), and FIRST_VALUE/LAST_VALUE with Doris's in-paren
+    IGNORE NULLS."""
+    from palo_spark.sql_frontend import doris_sql
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", None)],
+        "k int, g string, v int",
+    ).createOrReplaceTempView("b5")
+    got = {
+        (row["g"], tuple(row["r"])) for row in doris_sql(
+            spark,
+            "SELECT g, retention(v > 0, v > 25) AS r FROM b5 GROUP BY g",
+        ).collect()
+    }
+    assert got == {("a", (1, 0)), ("b", (1, 1))}
+    r = doris_sql(
+        spark, "SELECT bitmap_count(bitmap_agg(k)) AS c FROM b5"
+    ).collect()[0]["c"]
+    assert r == 4
+    r = doris_sql(
+        spark,
+        "SELECT map_agg(g, k) AS m FROM b5 WHERE k IN (1, 3)",
+    ).collect()[0]["m"]
+    assert r == {"a": 1, "b": 3}
+    rows = doris_sql(
+        spark,
+        "SELECT k, FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY k DESC) "
+        "AS f FROM b5",
+    ).collect()
+    assert {(r["k"], r["f"]) for r in rows} == {
+        (4, None), (3, 30), (2, 30), (1, 30)}
