@@ -1917,12 +1917,30 @@ def register_sql_udfs(spark) -> None:
     a user's own ``compress``/``uncompress`` registration survives a
     later ``PaloSession`` attach (ADVICE r7). The UDFs wrap the same
     module-level row kernels the Column API uses, so the two surfaces
-    cannot drift. Called by ``PaloSession.__init__``."""
+    cannot drift. Called by ``PaloSession.__init__``.
+
+    Memoized per live session (r12): the two ``functionExists`` py4j
+    round-trips plus the UDF construction cost ~40 ms per call, paid by
+    EVERY ``PaloSession()`` — ~2 s across a bench run that builds one
+    per SQL entry. Once this function has registered (or found) the
+    names on a session, nothing un-registers them, so re-checking is
+    pure overhead. Keyed on id() with the session object pinned so a
+    recycled address can never alias a new session."""
+    key = id(spark)
+    slot = _SQL_UDFS_REGISTERED.get(key)
+    if slot is not None:
+        return
+    _SQL_UDFS_REGISTERED.clear()  # previous session's slot is stale
     comp_udf, uncomp_udf = _compress_pandas_udfs()
     if not spark.catalog.functionExists("compress"):
         spark.udf.register("compress", comp_udf)
     if not spark.catalog.functionExists("uncompress"):
         spark.udf.register("uncompress", uncomp_udf)
+    _SQL_UDFS_REGISTERED[key] = spark
+
+
+#: see register_sql_udfs — {id(session): session}
+_SQL_UDFS_REGISTERED: dict = {}
 
 
 #: Doris's murmur3_32 seed (upstream ``HashUtil::MURMUR3_32_SEED`` —
@@ -2022,7 +2040,18 @@ def register_doris_hash_udfs(spark) -> None:
     persisted); ``murmur_hash3_64`` is Doris's own single-lane x64
     variant; ``sm3`` has no JVM twin at all. Each pinned to the
     published doc vectors in ``tests/test_functions.py``. All
-    Arrow-batched; idempotent to call."""
+    Arrow-batched; idempotent to call.
+
+    Memoized per live session (r12, same shape as
+    ``register_sql_udfs``): building + registering four pandas UDFs
+    costs ~25 ms of py4j round-trips, paid by every ``PaloSession()``
+    — once per session is enough, re-registration was pure overhead
+    (and log noise: four 'replaced a previously registered function'
+    warnings per construction)."""
+    key = id(spark)
+    if _HASH_UDFS_REGISTERED.get(key) is not None:
+        return
+    _HASH_UDFS_REGISTERED.clear()
     from palo_spark.operators.text_index import xxhash64_str
 
     # variadic like upstream's SQL functions (ADVICE r11: the SQL
@@ -2084,3 +2113,8 @@ def register_doris_hash_udfs(spark) -> None:
     spark.udf.register("murmur_hash3_64", _mmh64)
     spark.udf.register("xxhash_64", _xxh64)
     spark.udf.register("sm3", _sm3)
+    _HASH_UDFS_REGISTERED[key] = spark
+
+
+#: see register_doris_hash_udfs — {id(session): session}
+_HASH_UDFS_REGISTERED: dict = {}

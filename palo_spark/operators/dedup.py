@@ -874,6 +874,7 @@ def substring_dup_docs(
     stride: int = 1,
     window: int | None = None,
     hash_grams: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring dedup at document granularity (the signal from
     Lee et al. 2022, arXiv:2107.06499 "Deduplicating Training Data
@@ -985,13 +986,33 @@ def substring_dup_docs(
     )
     if hash_grams:
         exploded = exploded.select("__id", F.xxhash64("__gram").alias("__gram"))
-    first_seen = exploded.groupBy("__gram").agg(F.min("__id").alias("__first"))
+    # first-seen-per-gram as a window MIN over the one gram exchange
+    # (r12, guide §2.4): the former groupBy(first_seen) + equi-join
+    # consumed `exploded` TWICE — and the gram projection (interpreted
+    # higher-order lambdas over every token position) is by far the
+    # expensive stage, so the plan paid it once to build the broadcast
+    # and once to probe it. partitionBy(__gram) needs the exact same
+    # hash exchange the groupBy needed; the window min then decides
+    # first-seen in place. Same rows out: id > min(id over gram) ⇔
+    # id > first_seen(gram).
+    w_gram = Window.partitionBy("__gram")
     dup = (
-        exploded.join(first_seen, "__gram")
+        exploded.withColumn("__first", F.min("__id").over(w_gram))
         .filter(F.col("__id") > F.col("__first"))
         .select(F.col("__id").alias("__dup"))
         .distinct()
     )
+    if materialize:
+        # dropped-id set (ids only, bounded by duplicate volume):
+        # checkpoint it so the left-anti probe below — which Catalyst
+        # duplicates into every union branch of a composite `df` —
+        # reuses the computed set instead of re-running the whole gram
+        # pipeline per branch (measured 4 full gram stages in one plan
+        # before r12: 2 union branches × {build, probe}). Structural
+        # lifecycle, r9; same shape as semantic_dedup above.
+        from palo_spark.operators.cache import _materialize
+
+        dup = _materialize(dup)
     return df.join(dup, df[id_col] == dup["__dup"], "left_anti")
 
 

@@ -4297,9 +4297,18 @@ class PaloSession:
                 "DELETE ... USING requires the UNIQUE key model "
                 "(Doris join-delete restriction)"
             )
+        # Semi-join form (r12, guide §3): "rows of t1 correlated by the
+        # USING join" is an existence test, so compose EXISTS rather
+        # than join+DISTINCT — the join multiplies each target row by
+        # its match count (every order of a deleted customer) and then
+        # pays a full-width DISTINCT exchange to collapse the copies;
+        # the semi-join never multiplies and never shuffles more than
+        # the target rows. Row-set identical on the UNIQUE key model
+        # (asserted above): target rows are key-unique, so DISTINCT
+        # t.* of the join == t.* filtered by EXISTS.
         sel = (
-            f"SELECT DISTINCT `{name}`.* FROM `{name}`, {using} "
-            f"WHERE {cond}"
+            f"SELECT `{name}`.* FROM `{name}` "
+            f"WHERE EXISTS (SELECT 1 FROM {using} WHERE {cond})"
         )
         matched = self._policied_mutation_read(sel)
         if matched is None:

@@ -2765,10 +2765,27 @@ ORACLE["sql_tablesample_percent"] = f"""
 
 
 # Doris lambda-first higher-order array functions, serialized to
-# strings because the driver's canonicalizer hashes scalar cells only
-_entry(
-    "sql_array_lambda_funcs",
-    """
+# strings because the driver's canonicalizer hashes scalar cells only.
+#
+# Split into aggregate → range-exchange → lambda projection (r12,
+# guide §2.4/§1.2) instead of one `... ORDER BY l_orderkey` statement:
+# a global Sort ABOVE the four higher-order-lambda projections makes
+# the RangePartitioning sampling job re-execute them over every row
+# (HOF lambdas are interpreted, never codegen — the dominant cost
+# here), and AQE had coalesced the post-aggregate stage to 3-4 tasks,
+# serializing that interpreted work. Ordering first and projecting
+# after runs the lambdas ONCE, at defaultParallelism width, and the
+# sampling pass re-reads only the aggregate's shuffle output. Row-wise
+# projection preserves the range+local-sort order, so the returned
+# frame is globally ordered exactly as before; both stages still go
+# through the Doris SQL frontend (same dialect surface exercised).
+_LAMBDA_INNER = """
+    SELECT l_orderkey,
+           array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+_LAMBDA_OUTER = """
     SELECT l_orderkey,
            array_count(x -> x > 25, qs) AS n_big,
            array_join(array_map(x -> CAST(x AS STRING),
@@ -2777,12 +2794,26 @@ _entry(
                AS doubled,
            array_join(array_map(x -> CAST(x AS STRING),
                       array_sortby(x -> -x, qs)), ',') AS desc_qs
-    FROM (SELECT l_orderkey,
-                 array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
-          FROM lineitem GROUP BY l_orderkey) t
-    ORDER BY l_orderkey
-    """,
-    """
+    FROM __lambda_inner
+"""
+
+
+def _sql_array_lambda_funcs(spark, sf_dir):
+    """Doris-dialect SQL text entry (lambda HOF family); see the
+    staging rationale on ``_LAMBDA_INNER``/``_LAMBDA_OUTER`` above."""
+    register_views(spark, sf_dir)
+    inner = doris_sql(spark, _LAMBDA_INNER)
+    par = spark.sparkContext.defaultParallelism
+    ordered = inner.repartitionByRange(par, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    )
+    ordered.createOrReplaceTempView("__lambda_inner")
+    return doris_sql(spark, _LAMBDA_OUTER)
+
+
+_sql_array_lambda_funcs.__name__ = "sql_array_lambda_funcs"
+QUERIES["sql_array_lambda_funcs"] = _sql_array_lambda_funcs
+ORACLE["sql_array_lambda_funcs"] = """
     SELECT l_orderkey,
            CAST(length(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
            COALESCE(array_to_string(list_filter(qs, x -> x % 2 = 0), ','),
@@ -2793,8 +2824,7 @@ _entry(
                  list_sort(list(CAST(l_quantity AS INT))) AS qs
           FROM lineitem GROUP BY l_orderkey) t
     ORDER BY l_orderkey
-    """,
-)
+    """
 
 
 # Doris JSON function family over events.props ([docs:

@@ -1094,6 +1094,19 @@ class Table:
                     F.concat(F.lit(ap["granularity"][0]), bucket),
                 )
             parts = [AUTO_PART_COL] + parts
+        if parts and not (self.meta.buckets and self.meta.dist_cols):
+            # partitioned, unbucketed write: hash-distribute rows by the
+            # partition label(s) before the partitionBy write (the
+            # write.distribution-mode=hash posture, guide §6). Without
+            # this, every input task writes one small file into EVERY
+            # label directory it touches — a single-task 150k-row load
+            # into 80 month labels spent ~2 s opening 80 sequential
+            # parquet writers (measured r12); and a W-task load would
+            # write W×L files. With it, each label lands in exactly one
+            # task: files-per-load = #labels, written in parallel.
+            # Bucketed tables keep their dist-col layout (above) — the
+            # bucket repartition already bounds file counts per load.
+            df = df.repartition(*[F.col(c) for c in parts])
         writer = df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
