@@ -108,7 +108,15 @@ class PartitionRollup:
             )
             tmp = os.path.join(self.store, "_refresh.tmp")
             shutil.rmtree(tmp, ignore_errors=True)
-            agg.write.partitionBy(AUTO_PART_COL).parquet(tmp)
+            # hash-distribute by label before the partitionBy write
+            # (r12, same posture as Table._write_rowset): the aggregate
+            # is post-shuffle and AQE-coalesced, so without this ONE
+            # task wrote every stale label's file sequentially (~80
+            # writer opens per refresh); with it labels land on
+            # distinct tasks and write in parallel, one file per label.
+            agg.repartition(F.col(AUTO_PART_COL)).write.partitionBy(
+                AUTO_PART_COL
+            ).parquet(tmp)
             for lbl in stale:
                 src = os.path.join(tmp, f"{AUTO_PART_COL}={lbl}")
                 shutil.rmtree(self._part_dir(lbl), ignore_errors=True)
