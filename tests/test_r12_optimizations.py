@@ -34,6 +34,28 @@ def test_load_table_handle_cache_identity_and_freshness(spark, sf_dir):
     assert a.count() == fresh.count()
 
 
+def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
+    """load_table is also used on MUTABLE dirs (the result-cache
+    lifecycle fuzzer overwrites catalog tables through it): a rewrite of
+    the underlying parquet path must invalidate the cached handle — a
+    stale handle would hold the old file listing and fail with
+    FILE_NOT_EXIST (the exact failure the r12 fuzzer caught before the
+    mtime key was added)."""
+    import time as _time
+
+    from palo_spark.catalog import load_table
+
+    d = str(tmp_path)
+    spark.range(10).toDF("x").write.parquet(f"{d}/t.parquet")
+    first = load_table(spark, d, "t")
+    assert first.count() == 10
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    spark.range(25).toDF("x").write.mode("overwrite").parquet(f"{d}/t.parquet")
+    again = load_table(spark, d, "t")
+    assert again is not first
+    assert again.count() == 25
+
+
 def test_partitioned_unbucketed_load_writes_one_file_per_label(spark, tmp_path):
     """The §6 hash-distribute-by-label write: a multi-task load into an
     AUTO PARTITION (month) table must land exactly ONE data file per
