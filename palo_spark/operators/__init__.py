@@ -22,6 +22,7 @@ from palo_spark.operators.dedup import (  # noqa: F401
     minhash_signature,
     dedup_minhash,
     simhash,
+    simhash_fingerprints,
     dedup_simhash,
     ngram_jaccard_pairs,
     embedding_dup_pairs,

@@ -264,11 +264,15 @@ def dedup_simhash_md5_replay(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     dd = _with_exact_variants(d)
     surv = dedup_simhash(dd, bits=60, token_hash=md5_token_hash).select("doc_id")
-    from palo_spark.operators.dedup import simhash
+    # the codegen explode+groupBy fingerprint form (bit-identical to the
+    # Column fold — pinned by tests/test_r12_optimizations.py): the fold
+    # builds a 60-aggregate nested-lambda expression tree whose Catalyst
+    # analysis alone cost seconds here (r12)
+    from palo_spark.operators.dedup import simhash_fingerprints
 
-    fps = dd.select(
-        "doc_id", simhash("text", bits=60, token_hash=md5_token_hash).alias("fp")
-    )
+    fps = simhash_fingerprints(
+        dd, "text", "doc_id", bits=60, token_hash=md5_token_hash
+    ).select(F.col("__id").alias("doc_id"), F.col("__fp").alias("fp"))
     return surv.join(fps, "doc_id").select("doc_id", "fp")
 
 

@@ -146,6 +146,42 @@ def test_substring_dedup_window_form_matches_join_form(spark):
     assert kept == ref_kept
 
 
+def test_simhash_fingerprints_match_column_fold(spark):
+    """The codegen explode+groupBy simhash must be bit-identical to the
+    per-row fold Column form — including a NULL text (fold yields 0;
+    explode would drop the row without the left-join backfill) and the
+    60-bit md5 portable hash."""
+    from palo_spark.operators.dedup import (
+        md5_token_hash,
+        simhash,
+        simhash_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, ""),
+        (4, None),
+        (5, "  spaced   out   tokens  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        {},
+        {"bits": 60, "token_hash": md5_token_hash},
+    ):
+        fold = {
+            r["doc_id"]: r["fp"]
+            for r in df.select(
+                "doc_id", simhash("text", **kw).alias("fp")
+            ).collect()
+        }
+        fast = {
+            r["__id"]: r["__fp"]
+            for r in simhash_fingerprints(df, "text", "doc_id", **kw).collect()
+        }
+        assert fold == fast, kw
+
+
 def test_partition_rollup_refresh_parallel_write_one_file_per_label(
     spark, sf_dir, tmp_path
 ):
