@@ -565,10 +565,13 @@ def dsir_select(
     - doc score = Σ ``ratio_ppm(bucket(g))`` over the doc's grams
       (with multiplicity); top ``top_n`` by (score desc, id).
 
-    Shape at 100 TB: two gram-explode aggregations reduce to
-    ``buckets`` rows each (map-side combined); the ratio table
-    broadcasts; scoring is one keyed sum per doc; the cut is a bounded
-    TopN heap. No window over raw rows, no driver data collect.
+    Shape at 100 TB (r12 form): ONE gram-explode pass over the corpus
+    reduces to the per-doc bucket histogram (≤ ``buckets`` rows per
+    doc — persisted cheaply at any scale); global bucket totals roll up
+    from the histogram, the ratio table broadcasts, and scoring is one
+    keyed sum of ``count × ppm`` per doc — identical to the per-gram
+    sum by distributivity. The cut is a bounded TopN heap,
+    checkpointed; no window over raw rows, no driver data collect.
     """
     from palo_spark.operators.dedup import md5_token_hash
     from palo_spark.operators.text import _word_ngrams
@@ -580,7 +583,22 @@ def dsir_select(
         )
 
     raw_b = gram_buckets(corpus)
-    raw_counts = raw_b.groupBy("__b").agg(F.count("*").alias("__rc"))
+    # Per-doc bucket histogram FIRST (r12, guide §2.3 "aggregate before
+    # you shuffle"): the gram explode + md5 bucketing is the expensive
+    # corpus pass, and both the global bucket totals AND the per-doc
+    # scoring need it — consuming raw grams twice re-ran that pass per
+    # branch. The histogram is ≤ ``buckets`` rows per doc (corpus-sized
+    # bound: docs × 256, a sliver of the gram table), so it persists
+    # cheaply at any scale; global counts roll up from it exactly
+    # (Σ __n per bucket ≡ gram count per bucket) and the score is the
+    # same sum with multiplicity (Σ ppm over grams ≡ Σ __n·ppm over
+    # buckets). One explode pass total, smaller second shuffle.
+    from palo_spark.operators.cache import _persist, _release_frames
+
+    doc_b = raw_b.groupBy("__id", "__b").agg(F.count("*").alias("__n"))
+    doc_b = _persist(doc_b, "dsir_select")
+    doc_b.count()  # force once — the ratio and score branches both read it
+    raw_counts = doc_b.groupBy("__b").agg(F.sum("__n").alias("__rc"))
     tgt_counts = (
         gram_buckets(target).groupBy("__b").agg(F.count("*").alias("__tc"))
     )
@@ -595,11 +613,11 @@ def dsir_select(
         )
     )
     scores = (
-        raw_b.join(F.broadcast(ratios), "__b")
+        doc_b.join(F.broadcast(ratios), "__b")
         .groupBy("__id")
-        .agg(F.sum("__ppm").cast("long").alias("dsir_score"))
+        .agg(F.sum(F.col("__n") * F.col("__ppm")).cast("long").alias("dsir_score"))
     )
-    return (
+    out = (
         corpus.join(
             scores.withColumnRenamed("__id", id_col), id_col
         )
@@ -607,3 +625,11 @@ def dsir_select(
         .orderBy(F.desc("dsir_score"), id_col)
         .limit(top_n)
     )
+    from palo_spark.operators.cache import _materialize
+
+    try:
+        # top_n rows — checkpoint, then release the histogram cache
+        # (structural lifecycle, the r9 pattern)
+        return _materialize(out)
+    finally:
+        _release_frames(doc_b)
