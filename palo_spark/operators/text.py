@@ -705,6 +705,15 @@ def corpus_profile(
         fp.alias("_fp"),
         (F.col(lang_col) if lang_col else F.lit("und")).alias("_lang"),
     )
+    # (_tok, _fp, _lang) feeds THREE branches (global stats, the
+    # token-count histogram + cumsum, the language mode) and the
+    # tokenize + sorted-distinct fingerprint projection is the
+    # expensive pass over the corpus — persist the ~20 B/doc frame so
+    # it runs once, force before the branches fork (cross-executor
+    # race guard, the semantic_dedup pattern), release after the
+    # one-row profile is checkpointed (r12; structural lifecycle, r9).
+    base = _persist(base, "corpus_profile")
+    base.count()
     agg_cols = [
         F.count("*").alias("n_docs"),
         F.sum("_tok").cast("bigint").alias("total_tokens"),
@@ -755,9 +764,15 @@ def corpus_profile(
             ),
         )
     )
-    return stats.crossJoin(F.broadcast(top_lang)).withColumn(
+    out = stats.crossJoin(F.broadcast(top_lang)).withColumn(
         "top_lang_share", F.round(F.col("_top_cnt") / F.col("n_docs"), 6)
     ).drop("_top_cnt")
+    from palo_spark.operators.cache import _materialize, _release_frames
+
+    try:
+        return _materialize(out)  # ONE row
+    finally:
+        _release_frames(base)
 
 
 def quality_classifier_score(
