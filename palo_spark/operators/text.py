@@ -350,6 +350,7 @@ def decontaminate(
     id_col: str = "doc_id",
     *,
     n: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Remove training docs that share any word ``n``-gram with a
     benchmark/eval set (the GPT-3-style n-gram decontamination rule).
@@ -360,6 +361,12 @@ def decontaminate(
     all-pairs), and survivors via an ids-only anti-join. The benchmark
     side is typically tiny → Catalyst broadcasts the gram set; at 100 TB
     the corpus side stays a narrow scan + one broadcast-semi-join.
+
+    ``materialize`` (default) checkpoints the contaminated-id set — ids
+    only, bounded by contamination volume — so the anti-join, which
+    Catalyst duplicates into every union branch of a composite ``df``,
+    probes the computed set instead of re-running the corpus gram
+    explode per branch (r12; the substring_dup_docs pattern).
     """
     corpus_grams = df.select(
         F.col(id_col), F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g")
@@ -368,6 +375,10 @@ def decontaminate(
         F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("__g")
     ).distinct()
     dirty = corpus_grams.join(bench_grams, "__g", "left_semi").select(id_col).distinct()
+    if materialize:
+        from palo_spark.operators.cache import _materialize
+
+        dirty = _materialize(dirty)
     return df.join(dirty, id_col, "left_anti")
 
 
