@@ -262,15 +262,31 @@ def test_hash_sample_filter_pushed_to_scan(spark, sf_dir):
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
-    """The benchmark gram set is tiny → the contaminated-id semi-join
-    must be broadcast (no shuffle of the full corpus gram list against
-    it), and nothing plans a cartesian product."""
+    """Default (materialized) form: the contaminated-id set is computed
+    inside the checkpoint job, so the returned plan is the ids-only
+    LeftAnti broadcast join — no cartesian, no shuffle of the corpus
+    against the id set (r12: 19e7e2e checkpoints the id set)."""
     from palo_spark.operators import decontaminate
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") >= 100).select("doc_id", "text")
     plan = executed_plan_of(decontaminate(corpus, bench, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_decontaminate_lazy_form_broadcasts_semi_join(spark, sf_dir):
+    """materialize=False keeps the whole pipeline lazy for plan
+    introspection: the benchmark gram set is tiny → the contaminated-id
+    semi-join must be broadcast (no shuffle of the full corpus gram list
+    against it), and nothing plans a cartesian product."""
+    from palo_spark.operators import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") >= 100).select("doc_id", "text")
+    plan = executed_plan_of(decontaminate(corpus, bench, n=8, materialize=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
