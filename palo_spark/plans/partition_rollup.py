@@ -54,6 +54,16 @@ class PartitionRollup:
         #: partitions recomputed by the last read() — observability for
         #: tests and operators ("how much did this refresh cost?")
         self.last_refreshed: list[str] = []
+        #: lazy store-read handle cache (r13, the tables._ROWSET_CACHE
+        #: posture): key = the (dir, st_mtime_ns) tuple of every live
+        #: partition dir. A refresh swaps a partition dir wholesale via
+        #: os.replace (fresh inode → fresh mtime), so the key changes
+        #: whenever ANY store file a cached handle listed can have
+        #: vanished — including refreshes committed by another handle
+        #: of the same store. The cached object is an immutable lazy
+        #: plan over ~80 dirs (~100 ms of listing/schema inference per
+        #: construction); no rows are held.
+        self._read_handle: tuple[tuple, DataFrame] | None = None
 
     # ------------------------------------------------------------ ledger
 
@@ -143,7 +153,12 @@ class PartitionRollup:
         ]
         if not dirs:
             raise ValueError("partition rollup is empty (no partitions)")
-        df = spark.read.parquet(*dirs)
+        key = (id(spark),) + tuple((d, os.stat(d).st_mtime_ns) for d in dirs)
+        if self._read_handle is not None and self._read_handle[0] == key:
+            df = self._read_handle[1]
+        else:
+            df = spark.read.parquet(*dirs)
+            self._read_handle = (key, df)
         merged = df.groupBy(*self.group_cols).agg(
             *[m.merge_expr() for m in self.measures]
         )

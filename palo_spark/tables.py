@@ -89,6 +89,27 @@ AUTO_PART_FMT = {
 }
 
 
+#: Lazy rowset-read-handle cache (r13; the catalog.py table-handle
+#: pattern applied to managed-table storage). ``spark.read.parquet``
+#: costs ~70 ms per call even warm (footer/schema inference through
+#: py4j); a table-model entry re-reads each rowset 2-5× per query and
+#: paid ~2 s/bench of pure plan construction (measured r12/r13). The
+#: cached object is an IMMUTABLE LAZY PLAN — no rows; every query still
+#: computes from the parquet files. Keyed like catalog._TABLE_CACHE on
+#: id(spark) with the session object pinned; inner key = table
+#: location, value = (lineage, storage_epoch, {rowset_path: frame}).
+#: Invalidation: any operation that deletes/rewrites files under an
+#: existing rowset path bumps ``TableMeta.storage_epoch`` (see there),
+#: which discards the table's whole per-path dict; append-only loads
+#: create NEW uuid-suffixed rowset dirs and leave prior handles valid.
+#: A lineage change (DROP + re-CREATE at the same location) discards
+#: the dict the same way.
+_ROWSET_CACHE: dict[
+    int,
+    tuple[SparkSession, dict[str, tuple[str, int, dict[str, DataFrame]]]],
+] = {}
+
+
 def _rp_key(lit_text: str):
     """Parse a range-partition bound / predicate literal to a typed
     comparable key: ("t", datetime) | ("n", float) | ("s", str).
@@ -204,6 +225,18 @@ class TableMeta:
     #: (storage kept); session re-attach skips dropped dirs; RECOVER
     #: TABLE clears the flag
     dropped: bool = False
+    #: storage epoch: bumped ONLY by operations that delete or rewrite
+    #: files under EXISTING rowset paths (partition drop/truncate/
+    #: replace, retention, compaction, TRUNCATE TABLE) — the
+    #: invalidation key for cached lazy rowset read handles (a handle
+    #: embeds the file listing taken at construction, so it survives
+    #: append-only loads — which only ever CREATE new rowset dirs — but
+    #: must be discarded when files it listed can have vanished).
+    #: Persisted so a second handle of the same directory invalidates
+    #: via _sync_meta, like ``mutations``. Tables persisted before this
+    #: field existed default to 0 and start counting at their first
+    #: deletion-class mutation.
+    storage_epoch: int = 0
 
 
 class Table:
@@ -910,6 +943,7 @@ class Table:
                      for lbl in r["partitions"] if lbl != formal}
                 )
         rp["temp"] = [p for p in rp["temp"] if p["name"] != temp]
+        self.meta.storage_epoch += 1  # dirs under live rowsets replaced
         self._save_meta()
 
     def drop_partition(self, label: str) -> bool:
@@ -977,6 +1011,7 @@ class Table:
                 self.meta.has_delete_sign = any(
                     r["sign"] for r in self.meta.rowsets
                 )
+            self.meta.storage_epoch += 1  # label dirs deleted in place
             self._save_meta()  # bump the mutation token
         return removed
 
@@ -1136,6 +1171,7 @@ class Table:
         # read() already dropped sign-deleted keys and the hidden column —
         # the folded rowset is sign-free
         self.meta.has_delete_sign = False
+        self.meta.storage_epoch += 1  # prior rowset dirs removed below
         self._save_meta()
         for p in old_paths:
             shutil.rmtree(p, ignore_errors=True)
@@ -1460,6 +1496,30 @@ class Table:
             df = df.filter(F.expr(where))
         return df
 
+    def _rowset_frame(self, path: str) -> DataFrame:
+        """``spark.read.parquet(path)`` through _ROWSET_CACHE: one
+        schema-inference round-trip per (session, rowset, storage
+        epoch) instead of one per read. Failures are never cached —
+        the caller's AnalysisException handling (fully-expired rowset)
+        stays on the uncached path."""
+        key = id(self.spark)
+        slot = _ROWSET_CACHE.get(key)
+        if slot is None:
+            _ROWSET_CACHE.clear()  # old session's frames are dead handles
+            slot = _ROWSET_CACHE.setdefault(key, (self.spark, {}))
+        tables = slot[1]
+        token = (self.meta.lineage, self.meta.storage_epoch)
+        entry = tables.get(self.location)
+        if entry is None or (entry[0], entry[1]) != token:
+            entry = (*token, {})
+            tables[self.location] = entry
+        frames = entry[2]
+        df = frames.get(path)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            frames[path] = df
+        return df
+
     def _raw(self, partition_pred=None) -> DataFrame | None:
         """Union of all rowsets with the version column attached.
 
@@ -1473,7 +1533,7 @@ class Table:
         metas = []  # rowset dicts parallel to dfs (skipped rowsets excluded)
         for r in sorted(self.meta.rowsets, key=lambda r: r["version"]):
             try:
-                d = self.spark.read.parquet(r["path"])
+                d = self._rowset_frame(r["path"])
             except AnalysisException:
                 # every partition of this rowset expired via
                 # drop_partition/retention — nothing left to read
@@ -1812,6 +1872,7 @@ class Table:
         # no rowsets → no live sign-carrying rowsets: a truncated table
         # must accept partial-column loads again without a manual compact
         self.meta.has_delete_sign = False
+        self.meta.storage_epoch += 1  # all rowset dirs removed
         self._save_meta()
 
     def drop(self) -> None:

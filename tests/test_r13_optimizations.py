@@ -1,0 +1,158 @@
+"""Pins for the r13 optimization round's operator-internal changes.
+
+Each test pins the BEHAVIOR the optimization relies on (not timings):
+the rowset-read-handle cache returns live lazy plans that survive
+append-only loads but invalidate at every deletion-class mutation
+(partition drop/truncate/replace, compaction, TRUNCATE TABLE) —
+including mutations committed through ANOTHER handle of the same table
+directory — and the partition-rollup store-read cache invalidates when
+a refresh swaps partition dirs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _month_table(spark, loc, name="r13_rowset_cache"):
+    from palo_spark.tables import Table
+
+    return Table(
+        spark,
+        name,
+        keys_type="DUPLICATE",
+        key_cols=["k"],
+        auto_partition=("d", "month"),
+        location=loc,
+    )
+
+
+def _batch(spark, lo, hi, day0="2024-01-01"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.expr(f"date_add(date'{day0}', cast(id % 120 as int))").alias("d"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_rowset_handle_cache_identity_and_load_survival(spark, tmp_path):
+    """Same (session, table, rowset, storage epoch) → the SAME lazy
+    read handle; an append-only load creates a NEW rowset dir and must
+    NOT discard the prior rowsets' cached handles."""
+    t = _month_table(spark, str(tmp_path / "t"))
+    t.insert(_batch(spark, 0, 500))
+    p0 = t.meta.rowsets[0]["path"]
+    a = t._rowset_frame(p0)
+    assert t._rowset_frame(p0) is a, "second read must hit the handle cache"
+    t.insert(_batch(spark, 500, 900))
+    assert t._rowset_frame(p0) is a, "append-only load must keep handles"
+    # nothing row-level is cached: the merge view sees both loads
+    assert t.read().count() == 900
+
+
+@pytest.mark.parametrize("mutation", ["drop", "truncate_part", "compact", "truncate"])
+def test_rowset_cache_invalidates_on_deletion_class_mutations(
+    spark, tmp_path, mutation
+):
+    """Every operation that deletes/rewrites files under existing
+    rowset paths must bump the storage epoch, so a later read never
+    probes a stale handle's file listing (FILE_NOT_EXIST class)."""
+    t = _month_table(spark, str(tmp_path / "t"), f"r13_inval_{mutation}")
+    t.insert(_batch(spark, 0, 500))
+    t.insert(_batch(spark, 500, 900))
+    before = t.read().count()
+    assert before == 900
+    epoch0 = t.meta.storage_epoch
+    labels = t.partitions()
+    if mutation == "drop":
+        t.drop_partition(labels[0])
+    elif mutation == "truncate_part":
+        t.truncate_partition(labels[0])
+    elif mutation == "compact":
+        t.compact()
+    else:
+        t.truncate()
+    assert t.meta.storage_epoch > epoch0, "deletion site must bump the epoch"
+    if mutation in ("drop", "truncate_part"):
+        got = t.read().count()
+        assert 0 < got < before  # one month label gone, rest intact
+    elif mutation == "compact":
+        assert t.read().count() == before
+    else:
+        with pytest.raises(ValueError):
+            t.read()
+
+
+def test_rowset_cache_replace_partition_swaps_staged_rows(spark, tmp_path):
+    """REPLACE PARTITION renames dirs under live rowsets — the staged
+    rows must be visible through a handle cached before the swap."""
+    from palo_spark.tables import Table
+
+    t = Table(
+        spark,
+        "r13_inval_replace",
+        keys_type="DUPLICATE",
+        key_cols=["k"],
+        range_partitions={
+            "col": "k",
+            "parts": [
+                {"name": "p0", "upper": "500"},
+                {"name": "p1", "upper": "1000"},
+            ],
+        },
+        location=str(tmp_path / "t"),
+    )
+    t.insert(spark.range(0, 900).select("id").withColumnRenamed("id", "k"))
+    assert t.read().count() == 900  # caches the rowset handles
+    t.add_temp_partition("tp0", upper="500")
+    t.insert(
+        spark.range(0, 100).select("id").withColumnRenamed("id", "k"),
+        temp_partition="tp0",
+    )
+    t.replace_partition("p0", "tp0")
+    # p0's 500 rows replaced by the 100 staged rows; p1's 400 intact
+    assert t.read().count() == 500
+
+
+def test_rowset_cache_cross_handle_invalidation(spark, tmp_path):
+    """A deletion committed through ANOTHER handle of the same table
+    directory must invalidate this handle's cached rowset reads (the
+    persisted storage_epoch travels through _sync_meta)."""
+    from palo_spark.tables import Table
+
+    loc = str(tmp_path / "t")
+    t1 = _month_table(spark, loc, "r13_cross_handle")
+    t1.insert(_batch(spark, 0, 500))
+    t1.insert(_batch(spark, 500, 900))
+    assert t1.read().count() == 900  # t1 caches handles for both rowsets
+    t2 = Table.open(spark, loc)
+    dropped = t2.drop_partition(t2.partitions()[0])
+    assert dropped
+    got = t1.read().count()  # must re-read, not probe deleted dirs
+    assert 0 < got < 900
+
+
+def test_partition_rollup_read_handle_cache(spark, tmp_path):
+    """The rollup store-read handle is reused while no partition dir
+    changed, and a refresh (os.replace of a partition dir) yields a
+    fresh handle with the new aggregates."""
+    from palo_spark.plans import Measure
+    from palo_spark.plans.partition_rollup import PartitionRollup
+
+    t = _month_table(spark, str(tmp_path / "t"), "r13_rollup_cache")
+    t.insert(_batch(spark, 0, 500))
+    r = PartitionRollup(
+        t, ["d"], [Measure("sum", "v")], str(tmp_path / "store")
+    )
+    first = r.read()
+    total0 = first.agg(F.sum("sum_v")).collect()[0][0]
+    handle0 = r._read_handle
+    assert handle0 is not None
+    r.read()
+    assert r._read_handle is handle0, "unchanged store must reuse the handle"
+    t.insert(_batch(spark, 500, 900))
+    total1 = r.read().agg(F.sum("sum_v")).collect()[0][0]
+    assert r._read_handle is not handle0, "refresh must rebuild the handle"
+    assert total1 == sum(2 * i for i in range(900))
+    assert total0 == sum(2 * i for i in range(500))
