@@ -80,6 +80,33 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Round-robin repartition a few-partition input up to the session's
+    default parallelism before an expensive INTERPRETED projection
+    (higher-order-lambda batteries, which never whole-stage-codegen) —
+    that stage inherits the pre-amplification partitioning, so a
+    single-file input serializes it onto 1-2 tasks (measured r13:
+    gopher_rules' rule battery ran 1.4 s on ONE task at sf0.1; spread
+    → 0.75 s). No-op when the input already has >= defaultParallelism
+    partitions — the 100 TB case arrives in many splits, so this is
+    strictly small-input insurance, same as the minhash/substring form
+    it generalizes (r11/r12). With ``cols`` the frame is projected down
+    first so only the bytes the downstream stage needs cross the wire.
+
+    Use it ONLY where the serial stage is real interpreted compute:
+    r13 measured the same insurance on codegen tokenize/explode stages
+    (tfidf, bm25) and on the LSH signature folds (embedding_dup_pairs,
+    knn_join_lsh) and it LOST 0.2-1 s per entry — the extra shuffle +
+    the ``.rdd`` planning round-trip cost more than the serial stage
+    saved, because those stages are codegen-compile/first-touch bound,
+    not compute bound, at bench scale."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    out = df.select(*cols) if cols else df
+    if out.rdd.getNumPartitions() < parallelism:
+        out = out.repartition(parallelism)
+    return out
+
+
 def release_persisted(tag: str | None = None) -> int:
     """Unpersist tracked operator-internal caches; returns how many were
     released. With ``tag``, releases only frames persisted under that

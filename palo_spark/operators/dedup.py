@@ -1138,8 +1138,18 @@ def dedup_incremental(
     fresh = keyed.join(
         snapshot.select(F.col("fingerprint").alias("__fp")), on="__fp", how="left_anti"
     )
-    # within-batch exact dedup: first occurrence (lowest id) survives
-    w_min = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    # within-batch exact dedup: first occurrence (lowest id) survives.
+    # Window MIN over one __fp exchange, NOT groupBy + self-semi-join
+    # (r12 substring_dup_docs form, guide §2.4): the join form consumed
+    # `fresh` twice, and when `batch` is a union Catalyst pushes the
+    # semi-join into every branch — the aggregate subtree (itself the
+    # whole union) was re-planned per branch (measured: 30 broadcast
+    # joins / 12 corpus scans in one sf0.1 plan; the window form plans
+    # 3 scans, one per branch). Same rows: id == min(id) over fp ⇔
+    # semi-join on (fp, min(id) per fp).
+    w_fp = Window.partitionBy("__fp")
     return (
-        fresh.join(w_min, on=["__fp", id_col], how="left_semi").drop("__fp")
+        fresh.withColumn("__min", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) == F.col("__min"))
+        .drop("__fp", "__min")
     )

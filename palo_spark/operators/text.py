@@ -1109,6 +1109,13 @@ def gopher_rules(
     column math (split/filter/aggregate on the JVM — zero UDFs, zero
     shuffles: it rides the corpus scan at any scale).
     """
+    from palo_spark.operators.cache import _spread
+
+    # the rule battery is interpreted higher-order lambdas (never
+    # codegen) riding the scan stage — on a few-file input that stage
+    # is 1-2 tasks and the whole battery runs serially (measured 1.4 s
+    # at sf0.1); spread the rows first, a no-op at real corpus scale
+    df = _spread(df)
     c = F.col(text_col)
     words = F.filter(
         F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0
