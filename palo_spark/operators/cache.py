@@ -107,6 +107,29 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return out
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Explicitly repartition a shuffle-stage output to the session's
+    default parallelism before a COMPUTE-BOUND interpreted projection
+    (the ``F.aggregate``/``zip_with`` cosine folds, which never
+    whole-stage-codegen). AQE coalesces post-shuffle stages by BYTES
+    (64 MB advisory): candidate-pair rows are ~2 KB, so a coalesced
+    task carries ~32k pairs ≈ seconds of interpreted fold — measured
+    r13: knn_join_lsh scored its pairs in a 0.76 s 2-task job at
+    sf0.1; with the fanout the entry went 1.54-1.62 s → 1.32-1.33 s
+    (two A/B pairs). An explicit numbered repartition is exempt from
+    AQE coalescing, so the scoring stage gets one task wave across the
+    cluster at any scale (the count derives from the session, not a
+    local constant). Unlike :func:`_spread` this never calls ``.rdd``
+    — on a join subtree that would force upstream query stages.
+
+    Measured-and-rejected on embedding_dup_pairs (r13): its scoring
+    sits between sort-merge-join exchanges, and the added shuffle cost
+    more than the 3-task coalesced fold saved (2.13-2.20 s → 2.28-2.30
+    s, two A/B pairs) — only apply where the scoring stage is the
+    entry's dominant serial cost, as in knn_join_lsh."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def release_persisted(tag: str | None = None) -> int:
     """Unpersist tracked operator-internal caches; returns how many were
     released. With ``tag``, releases only frames persisted under that

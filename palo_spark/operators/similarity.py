@@ -194,9 +194,16 @@ def knn_join_lsh(
         .select(q_id, c_id)
         .dropDuplicates([q_id, c_id])
     )
+    from palo_spark.operators.cache import _fanout
+
+    # the cosine scoring below is an interpreted fold — spread the
+    # candidate pairs to a full task wave instead of AQE's byte-based
+    # coalesce (0.76 s on 2 tasks at sf0.1; see _fanout)
     scored = (
-        cand.join(qs.select(q_id, q_vec), q_id)
-        .join(cs.select(c_id, c_vec), c_id)
+        _fanout(
+            cand.join(qs.select(q_id, q_vec), q_id)
+            .join(cs.select(c_id, c_vec), c_id)
+        )
         .select(
             F.col(q_id),
             F.col(c_id),

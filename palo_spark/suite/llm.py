@@ -3306,9 +3306,15 @@ def _variant_shred_events(spark, sf_dir):
     via get_json_object+cast (pure codegen projection), and aggregate
     the typed subcolumn per event_type. Exact: integer subcolumn,
     counts."""
+    from palo_spark.operators.cache import _spread
     from palo_spark.operators.variant import variant_shred
 
-    ev = load_table(spark, sf_dir, "events")
+    # the JSON parse (from_json vote + get_json_object shred) is the
+    # expensive per-row work and inherits the scan partitioning — a
+    # single-file events input ran BOTH passes serially (1.46 s vote +
+    # 0.65 s shred-agg on one task, r13 job split); spread the two
+    # needed columns first (no-op for multi-split inputs at scale)
+    ev = _spread(load_table(spark, sf_dir, "events"), "event_type", "props")
     shredded = variant_shred(ev, "props")
     return (
         shredded.groupBy("event_type")
