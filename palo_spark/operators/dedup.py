@@ -627,7 +627,7 @@ def embedding_dup_pairs(
     cand = cand_ids.join(va, "id_a").join(vb, "id_b")
     out = (
         cand.withColumn(
-            "score", cosine_similarity(F.col("v_a"), F.col("v_b"), quantized=quantized)
+            "score", cosine_similarity("v_a", "v_b", quantized=quantized)
         )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -904,7 +904,10 @@ def semantic_dedup(
     # ~2 s on the sf0.1 bench entry). Bit-identical: the same integer
     # qdot(v,v) (resp. double norm) feeds the same final expression.
     if quantized:
-        base = base.withColumn("__n", _qdot(F.col("__v"), F.col("__v")))
+        # one-parse SQL twin of _qdot (see similarity._dot_sql)
+        from palo_spark.operators.similarity import _qdot_sql
+
+        base = base.withColumn("__n", F.expr(_qdot_sql("`__v`", "`__v`")))
     else:
         base = base.withColumn("__n", _norm(F.col("__v")))
     # the assigned+normed frame feeds BOTH sides of the candidate join
@@ -922,8 +925,11 @@ def semantic_dedup(
         F.col("__n").alias("nb"),
     )
     if quantized:
-        score = _qdot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
-            F.col("na").cast("double") * F.col("nb").cast("double")
+        from palo_spark.operators.similarity import _qdot_sql
+
+        score = F.expr(
+            f"(CAST({_qdot_sql('`va`', '`vb`')} AS DOUBLE) / "
+            "SQRT((CAST(`na` AS DOUBLE) * CAST(`nb` AS DOUBLE))))"
         )
     else:
         score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

@@ -34,6 +34,34 @@ def _dot(a, b):
     )
 
 
+# -- SQL-string twins of the fold builders -------------------------------
+# Each higher-order-function Column call costs ~10 ms of py4j round-trips
+# (named-lambda creation JVM-side); an ivf_assign over 8 centroids built
+# 18 of them per call (r13 cProfile: 54 HOF invocations = 0.5 s for 3
+# calls). Rendering the SAME expression as a SQL string and parsing it
+# with ONE F.expr call removes that construction cost; the parsed tree is
+# operator-for-operator identical (pinned by
+# test_sql_fold_twins_bit_identical), so results cannot differ.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL form of :func:`_dot` over two column/expression strings."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))), "
+        "0.0D, (acc, x) -> (acc + x))"
+    )
+
+
+def _qdot_sql(a: str, b: str, m: float = 1e6) -> str:
+    """SQL form of :func:`_qdot` over two column/expression strings."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(FLOOR((CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) * {m!r}D) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> (acc + x))"
+    )
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -60,6 +88,20 @@ def cosine_similarity(a, b, *, quantized: bool = False):
     ~1e-6-accurate score that is deterministic across engines and
     summation orders (use for oracle comparison and stable ranking).
     """
+    if isinstance(a, str) and isinstance(b, str):
+        # one-parse SQL twin (see _dot_sql) — same tree, ~30x cheaper
+        # to construct than six HOF Column calls
+        qa, qb = f"`{a}`", f"`{b}`"
+        if quantized:
+            return F.expr(
+                f"(CAST({_qdot_sql(qa, qb)} AS DOUBLE) / "
+                f"SQRT((CAST({_qdot_sql(qa, qa)} AS DOUBLE) * "
+                f"CAST({_qdot_sql(qb, qb)} AS DOUBLE))))"
+            )
+        return F.expr(
+            f"({_dot_sql(qa, qb)} / "
+            f"(SQRT({_dot_sql(qa, qa)}) * SQRT({_dot_sql(qb, qb)})))"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if quantized:
@@ -70,7 +112,21 @@ def cosine_similarity(a, b, *, quantized: bool = False):
 
 
 def _vec_lit(vec) -> "F.Column":
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal ``array<double>`` column for a Python vector.
+
+    Built as ONE ``F.expr`` string (``1.5D`` double-literal syntax) —
+    the per-element ``F.array(*[F.lit(x) ...])`` form costs one py4j
+    round-trip per element, which at 8 centroids × 64 dims was ~0.45 s
+    of pure driver-side plan construction PER ivf_assign call (r13
+    cProfile: 1,614 lit calls → 10,872 py4j sends). ``repr`` round-trips
+    doubles exactly and Spark's parser correctly rounds back to the
+    identical bits (verified bit-equal against the lit form). Non-finite
+    values have no SQL literal syntax — fall back to the slow form.
+    """
+    vals = [float(x) for x in vec]
+    if all(np.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def similarity_topk(
@@ -207,9 +263,9 @@ def knn_join_lsh(
         .select(
             F.col(q_id),
             F.col(c_id),
-            cosine_similarity(
-                F.col(c_vec), F.col(q_vec), quantized=quantized
-            ).alias("score"),
+            cosine_similarity(c_vec, q_vec, quantized=quantized).alias(
+                "score"
+            ),
         )
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
@@ -412,6 +468,28 @@ def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False
             return res
 
         return _assign(v)
+    d = len(centroids[0])
+    if isinstance(vec_col, str) and all(
+        np.isfinite(x) for c in centroids for x in c
+    ):
+        # one-parse SQL twin of the Column construction below (see
+        # _dot_sql): 8 centroids × (dot + struct) built as Columns cost
+        # ~0.3 s of py4j per call; the parsed tree is identical
+        qv = f"`{vec_col}`"
+        structs = []
+        for i, c in enumerate(centroids):
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            cn = float(np.linalg.norm(c))
+            structs.append(
+                f"named_struct('s', ({_dot_sql(qv, arr)} / "
+                f"(SQRT({_dot_sql(qv, qv)}) * {cn!r}D)), "
+                f"'cell', CAST({i} AS INT))"
+            )
+        return F.expr(
+            f"CASE WHEN size({qv}) = {d} THEN "
+            f"array_max(array({','.join(structs)})).cell "
+            "ELSE CAST(NULL AS INT) END"
+        )
     vn = _norm(v)
     scores = [
         _dot(v, _vec_lit(c)) / (vn * F.lit(float(np.linalg.norm(c))))
@@ -426,7 +504,6 @@ def ivf_assign(vec_col, centroids: list[list[float]], *, quantized: bool = False
     # NULL/wrong-dimension rows → NULL cell, same contract as the
     # quantized kernel above (zip_with would otherwise silently score
     # the truncated common prefix and assign a bogus cell)
-    d = len(centroids[0])
     return F.when(F.size(v) == d, F.array_max(scored)["cell"]).otherwise(
         F.lit(None).cast("int")
     )

@@ -1868,9 +1868,14 @@ def similarity_search_ivf_literal(spark, sf_dir):
     from palo_spark.operators import similarity_topk_ivf
 
     e = load_table(spark, sf_dir, "embeddings")
+    # 8 rows: sort driver-side — a distributed orderBy adds a range
+    # exchange (and its AQE stage jobs) for a frame that fits in a list
     cents = [
         r["embedding"]
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        for r in sorted(
+            e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
     ]
     qv = cents[0]
     return similarity_topk_ivf(
@@ -2187,9 +2192,14 @@ def dedup_semantic_semdedup(spark, sf_dir):
         .filter(F.col("vec_id") < 300)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
+    # 8 rows: sort driver-side — a distributed orderBy adds a range
+    # exchange (and its AQE stage jobs) for a frame that fits in a list
     cents = [
         r["embedding"]
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        for r in sorted(
+            e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
     ]
     dup = e.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),

@@ -156,3 +156,81 @@ def test_partition_rollup_read_handle_cache(spark, tmp_path):
     assert r._read_handle is not handle0, "refresh must rebuild the handle"
     assert total1 == sum(2 * i for i in range(900))
     assert total0 == sum(2 * i for i in range(500))
+
+
+# -- SQL-string expression twins (r13: py4j construction cost) ----------
+
+
+def test_sql_fold_twins_bit_identical(spark):
+    """_dot_sql/_qdot_sql/_vec_lit/cosine_similarity(str,str) and the
+    ivf_assign one-parse path must be BIT-identical to the Column-built
+    forms — they are the same expression tree rendered via the SQL
+    parser instead of per-node py4j calls."""
+    import math
+
+    import numpy as np
+
+    from palo_spark.operators.similarity import (
+        _dot,
+        _dot_sql,
+        _qdot,
+        _qdot_sql,
+        _vec_lit,
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(scale=3.0, size=16)],
+         [float(x) for x in rng.normal(scale=0.5, size=16)])
+        for i in range(40)
+    ]
+    rows.append((98, None, [0.5] * 16))          # NULL vector
+    rows.append((99, [1.0] * 7, [2.0] * 7))      # wrong dimension
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+
+    got = df.select(
+        "id",
+        F.expr(_dot_sql("`a`", "`b`")).alias("d_sql"),
+        _dot(F.col("a"), F.col("b")).alias("d_col"),
+        F.expr(_qdot_sql("`a`", "`b`")).alias("q_sql"),
+        _qdot(F.col("a"), F.col("b")).alias("q_col"),
+        cosine_similarity("a", "b", quantized=True).alias("cq_str"),
+        cosine_similarity(F.col("a"), F.col("b"), quantized=True).alias("cq_col"),
+        cosine_similarity("a", "b").alias("c_str"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c_col"),
+    ).collect()
+    for r in got:
+        for x, y in (
+            (r["d_sql"], r["d_col"]),
+            (r["cq_str"], r["cq_col"]),
+            (r["c_str"], r["c_col"]),
+        ):
+            assert (x is None) == (y is None), r["id"]
+            if x is not None:
+                assert math.isnan(x) == math.isnan(y), r["id"]
+                if not math.isnan(x):
+                    assert x.hex() == y.hex(), (r["id"], x, y)
+        assert r["q_sql"] == r["q_col"], r["id"]
+
+    cents = [[float(x) for x in rng.normal(size=16)] for _ in range(5)]
+    asg = df.select(
+        "id",
+        ivf_assign("a", cents).alias("cell_sql"),          # str → one-parse path
+        ivf_assign(F.col("a"), cents).alias("cell_col"),   # Column → fallback
+    ).collect()
+    for r in asg:
+        assert r["cell_sql"] == r["cell_col"], (r["id"], r["cell_sql"], r["cell_col"])
+
+    vec = [float(x) for x in rng.normal(size=16)] + [-0.0, 1e-300, 12345.678]
+    lit_rows = spark.range(1).select(
+        _vec_lit(vec).alias("fast"),
+        F.array(*[F.lit(float(x)) for x in vec]).alias("slow"),
+    ).first()
+    assert [x.hex() for x in lit_rows["fast"]] == [x.hex() for x in lit_rows["slow"]]
+    # non-finite values must still work via the fallback form
+    nf = spark.range(1).select(_vec_lit([1.0, float("inf")]).alias("v")).first()
+    assert nf["v"][1] == float("inf")
