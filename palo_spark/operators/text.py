@@ -1025,6 +1025,14 @@ def bm25_scores(
     tf_tab = _persist(
         words.groupBy(id_col, "term").agg(F.count("*").alias("tf")), "bm25"
     )
+    if materialize:
+        # force the (doc, term) cache BEFORE the checkpoint action: the
+        # st and dfq BROADCAST subtrees below are built before the probe
+        # stage runs, so without a force each broadcast job re-runs the
+        # tokenize+explode+agg pipeline (r13 job split: three ~0.3 s
+        # 33-task jobs for one tokenize pass). One extra count job is
+        # cheaper than two spare corpus passes at any scale.
+        tf_tab.count()
     dl = tf_tab.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     st = dl.agg(
         F.count(id_col).cast("double").alias("n"),

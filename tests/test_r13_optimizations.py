@@ -234,3 +234,23 @@ def test_sql_fold_twins_bit_identical(spark):
     # non-finite values must still work via the fallback form
     nf = spark.range(1).select(_vec_lit([1.0, float("inf")]).alias("v")).first()
     assert nf["v"][1] == float("inf")
+
+
+def test_band_hash_sql_twin_bit_identical(spark):
+    """_band_hash's one-parse SQL form must equal the Column-built form
+    exactly (band ids and xxhash64 bucket hashes)."""
+    from palo_spark.operators.dedup import _band_hash
+
+    df = spark.range(50).select(
+        "id",
+        F.expr(
+            "transform(sequence(1, 64), i -> xxhash64(id * i))"
+        ).alias("sig"),
+    )
+    got = df.select(
+        "id",
+        _band_hash("sig", 16, 4).alias("fast"),
+        _band_hash(F.col("sig"), 16, 4).alias("slow"),
+    ).collect()
+    for r in got:
+        assert [tuple(x) for x in r["fast"]] == [tuple(x) for x in r["slow"]]
