@@ -51,66 +51,65 @@ _MODULE_NAMES = [
 # and asserts this list matches it, so a new suite entry or a new
 # ledger file forces a conscious re-pin.
 _PRIORITY = [
-    # never driver-green: the r12 additions
-    "sql_async_mv_join_rewrite",
-    "sql_async_mv_snowflake_rewrite",
-    "sql_workload_group_admission",
-    # last green r02 — ten rounds of code churn ago
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "union_all",
-    "union_distinct",
-    # last green r03
-    "behavioral_sequence_match",
-    "behavioral_window_funnel",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_exact_keep_best",
-    "dedup_minhash_fuzzy",
-    "dedup_ngram_jaccard",
-    "dialect_division_semantics",
-    "dialect_implicit_cast_cmp",
-    "dialect_largeint_decimal",
-    "dialect_lax_cast_null",
-    "dialect_string_number_arith",
-    "mix_sources_weighted",
-    "sample_hash_fraction",
-    "sample_nested_subset",
-    "sample_split_assignment",
-    "sample_stratified_lang",
-    "similarity_knn_join",
-    "similarity_search_topk",
-    "sketch_bitmap_distinct",
-    "sketch_bitmap_distinct_salted",
-    "sketch_bitmap_hash_distinct",
-    "sketch_bitmap_intersect_agg",
-    "sketch_bitmap_merge_two_phase",
-    "sketch_bitmap_ops",
-    "sketch_explode_bitmap",
-    "sketch_hll_merge_two_phase",
-    "sketch_hll_ndv",
-    "sketch_orthogonal_bitmap_expr",
-    "sketch_orthogonal_union_count",
-    "sketch_quantile_union",
-    "table_model_aggregate_merge",
-    "table_model_delete_compact",
-    "table_model_delete_predicate",
-    "table_model_duplicate_append",
-    "table_model_schema_change",
-    "table_model_unique_sequence_col",
-    "table_model_unique_upsert",
+    # last green r03 — the rest of that cohort rotated through r12
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    # last green r04
+    "agg_avg_weighted_regr",
+    "agg_collect_list_set",
+    "agg_corr_covar",
+    "agg_group_array_intersect",
+    "agg_group_bit_ops",
+    "agg_group_concat",
+    "agg_histogram_buckets",
+    "agg_map_collect",
+    "agg_min_max_by_any_value",
+    "agg_multi_distinct",
+    "agg_name_surface",
+    "agg_ndv_approx_count_distinct",
+    "agg_percentile_approx",
+    "agg_percentile_array",
+    "agg_percentile_exact",
+    "agg_skew_kurt",
+    "agg_stddev_variance",
+    "agg_sum0_empty",
+    "agg_topn_values",
+    "agg_topn_weighted",
+    "events_sessionization",
+    "partition_topn",
+    "rollup_avg_derivation",
+    "rollup_incremental_refresh",
+    "rollup_join_mv",
+    "rollup_rewrite_fallback",
+    "rollup_rewrite_filtered",
+    "rollup_rewrite_hit",
+    "rollup_sql_rewrite",
+    "scalar_array_funcs",
+    "scalar_array_higher_order",
+    "scalar_conditional",
+    "scalar_date_arith",
+    "scalar_date_format_shim",
+    "scalar_hash_crypto",
+    "scalar_ip_funcs",
+    "scalar_json_funcs",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "window_first_last_value",
+    "window_ignore_nulls",
+    "window_lag_lead",
+    "window_nth_value",
+    "window_ntile_percent",
+    "window_range_frame",
+    "window_rank_dense_rank",
 ]
 
 # Round this _PRIORITY window was written FOR: the staleness test
 # computes last-green rounds from CORRECTNESS_r01..r{N-1} only, so
-# checking in CORRECTNESS_r11.json at round end does not retroactively
-# invalidate the r11 window. Bump when rotating.
-_WINDOW_ROUND = 12
+# checking in CORRECTNESS_r13.json at round end does not retroactively
+# invalidate the r13 window. Bump when rotating.
+_WINDOW_ROUND = 13
 
 def _reorder(d: dict) -> dict:
     head = {k: d[k] for k in _PRIORITY if k in d}
