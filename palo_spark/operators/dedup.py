@@ -618,14 +618,23 @@ def embedding_dup_pairs(
     dim = len(df.select(vec_col).head()[0])
     planes = hyperplanes(dim, n_planes, seed)
 
-    sig = _persist(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            lsh_band_bits(F.col(vec_col), planes, bands).alias("__bk"),
-        ),
-        "embedding_dup_pairs",
-    )  # feeds both sides of the band self-join — compute once
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_band_bits(F.col(vec_col), planes, bands).alias("__bk"),
+    )  # feeds both sides of the band self-join AND the verify re-attach
+    if materialize:
+        # r13: eager checkpoint instead of an UNFORCED persist — the
+        # four consumers below (bucket sides a/b, vector re-attach
+        # va/vb) are separate map stages of one job that raced on the
+        # unpopulated cache, re-running the interpreted band fold up to
+        # 4×; the checkpoint computes it exactly once and every
+        # consumer reads stored blocks.
+        from palo_spark.operators.cache import _materialize
+
+        sig = _materialize(sig)
+    else:
+        sig = _persist(sig, "embedding_dup_pairs")
     # Band join carries IDs ONLY — the 16×-exploded shuffle would
     # otherwise ship every vector 16 times; vectors are re-attached to
     # the (deduped) candidate pairs from the persisted signature stage,
@@ -653,14 +662,13 @@ def embedding_dup_pairs(
     )
     if materialize:
         # the verified near-dup pair set is the operator's whole output
-        # and is bounded by true duplicate volume — checkpoint it and
-        # release the signature cache (structural lifecycle, r9)
-        from palo_spark.operators.cache import _materialize, _release_frames
+        # and is bounded by true duplicate volume — checkpoint it: the
+        # standard consumer (resolve_dup_clusters) reads the pair list
+        # TWICE (forward + swapped edge union), so a lazy return would
+        # run the band join + verify per read even from sig's blocks.
+        from palo_spark.operators.cache import _materialize
 
-        try:
-            out = _materialize(out)
-        finally:
-            _release_frames(sig)
+        out = _materialize(out)
     return out
 
 
@@ -931,10 +939,21 @@ def semantic_dedup(
         base = base.withColumn("__n", _norm(F.col("__v")))
     # the assigned+normed frame feeds BOTH sides of the candidate join
     # (and the interpreted assign/norm folds are the expensive part of a
-    # row) — persist so the folds run once per row, not once per plan
-    # branch; tracked under the operator tag for release_persisted()
-    base = _persist(base, "semantic_dedup")
-    base.count()  # materialize before the self-join forks the plan
+    # row) — compute the folds once per row, not once per plan branch.
+    if materialize:
+        # decision-frame batcher (r13, §1.2 job-count floor): ONE eager
+        # checkpoint of the assigned+normed frame replaces the persist +
+        # force-count + dup-set-checkpoint pair; both sides of the
+        # candidate self-join read the stored blocks, and the dropped-id
+        # set stays LAZY in the returned anti-join (bounded rows, and
+        # any per-branch re-probe of a composite caller runs from
+        # blocks, never re-running the folds).
+        from palo_spark.operators.cache import _materialize
+
+        base = _materialize(base)
+    else:
+        base = _persist(base, "semantic_dedup")
+        base.count()  # materialize before the self-join forks the plan
     a = base.select(
         "__cell", F.col("__id").alias("id_a"), F.col("__v").alias("va"),
         F.col("__n").alias("na"),
@@ -959,16 +978,6 @@ def semantic_dedup(
         .select(F.col("id_b").alias("__dup"))
         .distinct()
     )
-    if materialize:
-        # dropped-id set (ids only, bounded by duplicate volume):
-        # checkpoint it and release the assigned+normed cache before
-        # returning (structural lifecycle, r9)
-        from palo_spark.operators.cache import _materialize, _release_frames
-
-        try:
-            dup = _materialize(dup)
-        finally:
-            _release_frames(base)
     return df.join(dup, df[id_col] == dup["__dup"], "left_anti")
 
 

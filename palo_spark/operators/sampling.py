@@ -593,11 +593,14 @@ def dsir_select(
     # (Σ __n per bucket ≡ gram count per bucket) and the score is the
     # same sum with multiplicity (Σ ppm over grams ≡ Σ __n·ppm over
     # buckets). One explode pass total, smaller second shuffle.
-    from palo_spark.operators.cache import _persist, _release_frames
+    from palo_spark.operators.cache import _materialize
 
     doc_b = raw_b.groupBy("__id", "__b").agg(F.count("*").alias("__n"))
-    doc_b = _persist(doc_b, "dsir_select")
-    doc_b.count()  # force once — the ratio and score branches both read it
+    # decision-frame batcher (r13, §1.2 job-count floor): ONE eager
+    # checkpoint of the histogram replaces the persist + force-count +
+    # top-n-checkpoint pair — the ratio and score branches read the
+    # stored blocks, and the bounded top-n cut is returned LAZY.
+    doc_b = _materialize(doc_b)
     raw_counts = doc_b.groupBy("__b").agg(F.sum("__n").alias("__rc"))
     tgt_counts = (
         gram_buckets(target).groupBy("__b").agg(F.count("*").alias("__tc"))
@@ -625,11 +628,4 @@ def dsir_select(
         .orderBy(F.desc("dsir_score"), id_col)
         .limit(top_n)
     )
-    from palo_spark.operators.cache import _materialize
-
-    try:
-        # top_n rows — checkpoint, then release the histogram cache
-        # (structural lifecycle, the r9 pattern)
-        return _materialize(out)
-    finally:
-        _release_frames(doc_b)
+    return out

@@ -179,25 +179,45 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
     ).groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # (doc, term, tf) feeds BOTH the doc-frequency aggregate and the
-    # scored join below — persist so the tokenize+explode+agg stage
-    # (the expensive part) runs once, same pattern as the persisted
-    # minhash signature stage (2.4x there). Tracked in operators.cache;
-    # callers release via release_persisted().
-    terms = _persist(terms, "tfidf")
-    # N comes from the (now cached) terms stage — no dedicated full scan
-    # of the raw corpus just to count rows. This .first() makes the
-    # operator EAGER (one scalar to the driver, bounded at any corpus
-    # size); the alternative — a one-row crossJoin carrying N — would
-    # keep laziness but add a broadcast stage for zero runtime benefit.
-    n_docs = terms.agg(F.countDistinct(id_col)).first()[0]
+    # (doc, term, tf) feeds the N aggregate, the doc-frequency aggregate
+    # AND the scored join below — compute the tokenize+explode+agg stage
+    # (the expensive part) exactly once.
+    if materialize:
+        # decision-frame batcher (r13, §1.2 job-count floor): ONE eager
+        # checkpoint of the shared stage replaces the r12 persist +
+        # force-first + top-k-checkpoint pair; every consumer below
+        # reads the stored blocks, and N rides the plan as a one-row
+        # broadcast computed from those blocks inside the consumer's
+        # job (no dedicated driver round-trip). The top-k result is
+        # returned LAZY — bounded rows, single consumer.
+        from palo_spark.operators.cache import _materialize
+
+        terms = _materialize(terms)
+        # countDistinct == count of rows per doc collapsed — terms is
+        # unique on (id, term); counting distinct ids is exact either way
+        n_docs_col = F.countDistinct(id_col).cast("double").alias("__n_docs")
+        nd = terms.agg(n_docs_col)
+        n_expr = F.col("__n_docs")
+    else:
+        terms = _persist(terms, "tfidf")
+        # N comes from the (now cached) terms stage — no dedicated full
+        # scan of the raw corpus just to count rows. This .first() makes
+        # the lazy form EAGER for one scalar (bounded at any corpus
+        # size), preserving the pre-r13 contract for plan introspection.
+        nd = None
+        n_expr = F.lit(float(terms.agg(F.countDistinct(id_col)).first()[0]))
     # terms is unique on (id, term) after its groupBy, so document
     # frequency is a plain COUNT — countDistinct here would re-run the
     # two-phase distinct machinery for a set that is distinct already
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df_t"))
-    scored = terms.join(dfreq, "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))
+    scored = terms.join(dfreq, "term")
+    if nd is not None:
+        scored = scored.crossJoin(F.broadcast(nd))
+    scored = scored.withColumn(
+        "tfidf", F.col("tf") * F.log(n_expr / F.col("df_t"))
     )
+    if nd is not None:
+        scored = scored.drop("__n_docs")
     if quantize:
         m = 1.0 / quantize
         scored = scored.withColumn(
@@ -209,16 +229,6 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tfidf", "rank")
     )
-    if materialize:
-        # top_k rows per doc (k·n_docs narrow rows — a sliver of the
-        # (doc, term) table): checkpoint the result and release the
-        # term-stats cache before returning (structural lifecycle, r9)
-        from palo_spark.operators.cache import _materialize, _release_frames
-
-        try:
-            out = _materialize(out)
-        finally:
-            _release_frames(terms)
     return out
 
 
@@ -719,12 +729,15 @@ def corpus_profile(
     # (_tok, _fp, _lang) feeds THREE branches (global stats, the
     # token-count histogram + cumsum, the language mode) and the
     # tokenize + sorted-distinct fingerprint projection is the
-    # expensive pass over the corpus — persist the ~20 B/doc frame so
-    # it runs once, force before the branches fork (cross-executor
-    # race guard, the semantic_dedup pattern), release after the
-    # one-row profile is checkpointed (r12; structural lifecycle, r9).
-    base = _persist(base, "corpus_profile")
-    base.count()
+    # expensive pass over the corpus. Decision-frame batcher (r13,
+    # §1.2 job-count floor): ONE eager checkpoint of the ~20 B/doc
+    # frame replaces the r12 persist + force-count + one-row-profile
+    # checkpoint — every branch (including the percentile and
+    # language broadcast subtrees) reads the stored blocks, and the
+    # one-row profile is returned LAZY.
+    from palo_spark.operators.cache import _materialize
+
+    base = _materialize(base)
     agg_cols = [
         F.count("*").alias("n_docs"),
         F.sum("_tok").cast("bigint").alias("total_tokens"),
@@ -775,15 +788,9 @@ def corpus_profile(
             ),
         )
     )
-    out = stats.crossJoin(F.broadcast(top_lang)).withColumn(
+    return stats.crossJoin(F.broadcast(top_lang)).withColumn(
         "top_lang_share", F.round(F.col("_top_cnt") / F.col("n_docs"), 6)
     ).drop("_top_cnt")
-    from palo_spark.operators.cache import _materialize, _release_frames
-
-    try:
-        return _materialize(out)  # ONE row
-    finally:
-        _release_frames(base)
 
 
 def quality_classifier_score(
@@ -1022,17 +1029,23 @@ def bm25_scores(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
         ).alias("term"),
     )
-    tf_tab = _persist(
-        words.groupBy(id_col, "term").agg(F.count("*").alias("tf")), "bm25"
-    )
+    tf_tab = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     if materialize:
-        # force the (doc, term) cache BEFORE the checkpoint action: the
-        # st and dfq BROADCAST subtrees below are built before the probe
-        # stage runs, so without a force each broadcast job re-runs the
-        # tokenize+explode+agg pipeline (r13 job split: three ~0.3 s
-        # 33-task jobs for one tokenize pass). One extra count job is
-        # cheaper than two spare corpus passes at any scale.
-        tf_tab.count()
+        # decision-frame batcher (r13, §1.2 job-count floor): ONE eager
+        # checkpoint of the shared (doc, term) stage replaces the r12/r13
+        # persist + force-count + top-n-checkpoint pair. The checkpoint
+        # action IS the force — it completes before any consumer is
+        # planned, so the dl/st/dfq broadcast subtrees and the probe all
+        # read the stored blocks instead of re-running (or racing on) the
+        # tokenize+explode+agg pipeline. The top-n result is returned
+        # LAZY: it is bounded (top_n rows) and single-consumer, so
+        # checkpointing it bought nothing but a job boundary; blocks are
+        # freed by the ContextCleaner when the returned plan is dropped.
+        from palo_spark.operators.cache import _materialize
+
+        tf_tab = _materialize(tf_tab)
+    else:
+        tf_tab = _persist(tf_tab, "bm25")
     dl = tf_tab.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     st = dl.agg(
         F.count(id_col).cast("double").alias("n"),
@@ -1066,15 +1079,6 @@ def bm25_scores(
         .orderBy(F.desc("bm25_q"), id_col)
         .limit(top_n)
     )
-    if materialize:
-        # top_n rows — trivial: checkpoint the result and release the
-        # (doc, term, tf) cache before returning (structural lifecycle)
-        from palo_spark.operators.cache import _materialize, _release_frames
-
-        try:
-            out = _materialize(out)
-        finally:
-            _release_frames(tf_tab)
     return out
 
 
