@@ -14,6 +14,7 @@ the Doris behavior and documents it.
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterable
 
 import pandas as pd
@@ -1924,23 +1925,27 @@ def register_sql_udfs(spark) -> None:
     EVERY ``PaloSession()`` — ~2 s across a bench run that builds one
     per SQL entry. Once this function has registered (or found) the
     names on a session, nothing un-registers them, so re-checking is
-    pure overhead. Keyed on id() with the session object pinned so a
-    recycled address can never alias a new session."""
-    key = id(spark)
-    slot = _SQL_UDFS_REGISTERED.get(key)
-    if slot is not None:
+    pure overhead. Keyed on the session OBJECT in a WeakKeyDictionary
+    (ADVICE r12): multiple concurrently live sessions each keep their
+    own slot (a single cleared slot thrashed — correct but re-paying the
+    py4j cost the memo exists to avoid), and a stopped session's entry
+    is dropped by the weakref machinery, so a recycled id() can never
+    alias a new session. Caveat (documented, by design): a caller who
+    DROPs the registered ``compress``/``uncompress`` mid-session will
+    not get them re-registered by a later ``PaloSession`` attach — the
+    memo records that registration already happened on this session."""
+    if _SQL_UDFS_REGISTERED.get(spark):
         return
-    _SQL_UDFS_REGISTERED.clear()  # previous session's slot is stale
     comp_udf, uncomp_udf = _compress_pandas_udfs()
     if not spark.catalog.functionExists("compress"):
         spark.udf.register("compress", comp_udf)
     if not spark.catalog.functionExists("uncompress"):
         spark.udf.register("uncompress", uncomp_udf)
-    _SQL_UDFS_REGISTERED[key] = spark
+    _SQL_UDFS_REGISTERED[spark] = True
 
 
-#: see register_sql_udfs — {id(session): session}
-_SQL_UDFS_REGISTERED: dict = {}
+#: see register_sql_udfs — {session -> True}, weak so stopped sessions drop
+_SQL_UDFS_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 #: Doris's murmur3_32 seed (upstream ``HashUtil::MURMUR3_32_SEED`` —
@@ -2047,11 +2052,10 @@ def register_doris_hash_udfs(spark) -> None:
     costs ~25 ms of py4j round-trips, paid by every ``PaloSession()``
     — once per session is enough, re-registration was pure overhead
     (and log noise: four 'replaced a previously registered function'
-    warnings per construction)."""
-    key = id(spark)
-    if _HASH_UDFS_REGISTERED.get(key) is not None:
+    warnings per construction). Keyed on the session object in a
+    WeakKeyDictionary (ADVICE r12) — see ``register_sql_udfs``."""
+    if _HASH_UDFS_REGISTERED.get(spark):
         return
-    _HASH_UDFS_REGISTERED.clear()
     from palo_spark.operators.text_index import xxhash64_str
 
     # variadic like upstream's SQL functions (ADVICE r11: the SQL
@@ -2113,8 +2117,8 @@ def register_doris_hash_udfs(spark) -> None:
     spark.udf.register("murmur_hash3_64", _mmh64)
     spark.udf.register("xxhash_64", _xxh64)
     spark.udf.register("sm3", _sm3)
-    _HASH_UDFS_REGISTERED[key] = spark
+    _HASH_UDFS_REGISTERED[spark] = True
 
 
-#: see register_doris_hash_udfs — {id(session): session}
-_HASH_UDFS_REGISTERED: dict = {}
+#: see register_doris_hash_udfs — {session -> True}, weak per session
+_HASH_UDFS_REGISTERED: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()

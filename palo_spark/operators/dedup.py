@@ -467,6 +467,15 @@ def simhash_fingerprints(
     same ±1 votes, same strict ``sum > 0`` bit rule, and a NULL text —
     which explode would silently drop — comes back via the left join
     with the fold's fingerprint for NULL input (0).
+
+    Precondition (ADVICE r12): ``id_col`` must be UNIQUE and non-NULL
+    per row. Votes are grouped by id, so rows sharing an id (or with
+    NULL ids, which groupBy buckets together) get ONE merged fingerprint
+    fanned back to every such row — the per-row fold form would have
+    fingerprinted each row independently. Every caller in this repo
+    (``dedup_simhash`` and the suite entries) feeds a unique document
+    id; passing a non-unique id is a contract violation, not a
+    supported mode.
     """
     width = getattr(token_hash, "hash_bits", 64) if token_hash is not None else 64
     if bits > width:

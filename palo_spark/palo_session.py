@@ -4306,6 +4306,15 @@ class PaloSession:
         # the target rows. Row-set identical on the UNIQUE key model
         # (asserted above): target rows are key-unique, so DISTINCT
         # t.* of the join == t.* filtered by EXISTS.
+        # Name resolution (ADVICE r12): an UNQUALIFIED column present in
+        # both target and USING tables binds to the inner (USING) scope
+        # under EXISTS, where the join form raised an ambiguity error —
+        # Doris's documented examples always qualify, so this accepts
+        # strictly more texts rather than changing any accepted one.
+        # Non-equality correlated predicates ride Spark's decorrelation
+        # (complete since 3.4; floor pinned by
+        # tests/test_tvf_delete_using.py::
+        # test_delete_using_non_equality_correlated_predicate).
         sel = (
             f"SELECT `{name}`.* FROM `{name}` "
             f"WHERE EXISTS (SELECT 1 FROM {using} WHERE {cond})"

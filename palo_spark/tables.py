@@ -62,6 +62,10 @@ AUTO_PART_COL = "_auto_part"
 #: its key deleted; the key disappears if that row wins the merge
 DELETE_SIGN_COL = "__DORIS_DELETE_SIGN__"
 
+#: rows-per-label threshold above which partitioned unbucketed writes
+#: salt WITHIN the label (see Table._label_salted_exprs). 0 = off.
+HOT_LABEL_THRESHOLD_CONF = "palo_spark.write.hotLabelRowThreshold"
+
 KEYS_TYPES = ("DUPLICATE", "UNIQUE", "AGGREGATE")
 #: BITMAP_UNION / HLL_UNION / QUANTILE_UNION merge serialized sketch
 #: states (Doris's pre-aggregated distinct-count / quantile table
@@ -1086,6 +1090,69 @@ class Table:
             raise ValueError(f"unknown partition {label!r}")
         return self._purge_label(label)
 
+    def _label_salted_exprs(self, df: DataFrame, parts: list[str]):
+        """Partition exprs for the pre-write shuffle, with an OPTIONAL
+        within-label salt for pathologically hot labels (VERDICT r12
+        what's-wrong #3, guide §2.4/§6).
+
+        Hash-distributing by label alone (the write.distribution-mode=
+        hash posture) serializes each label into one writer task — the
+        right default (files-per-load = #labels), but a label holding
+        half the load becomes a straggler writing one giant file. When
+        ``palo_spark.write.hotLabelRowThreshold`` is set > 0, one
+        bounded aggregation (≤ #labels rows collected) finds labels
+        whose row count exceeds the threshold and spreads EACH over
+        ``ceil(rows/threshold)`` salt buckets, so a hot label writes in
+        parallel with files-per-label still bounded by that k. Cold
+        labels keep k=1 — ``pmod(hash, 1) == 0`` — bit-identical
+        placement to the unsalted form.
+
+        Default OFF (threshold 0): the bench and every local workload
+        keep the one-file-per-label layout with no extra pass; a 100 TB
+        deployment sets the threshold to its target rows-per-file (e.g.
+        rows yielding ~1 GiB) where the extra count pass is noise next
+        to a skewed write. Salt input is the hash of the non-partition
+        columns — deterministic under task retry, unlike a
+        monotonically_increasing_id.
+
+        Returns ``(num_partitions | None, exprs)``: when salting, the
+        shuffle gets an EXPLICIT partition count equal to the number of
+        distinct (label, salt) groups — an explicit count is exempt
+        from AQE coalescing, which would otherwise merge the small salt
+        buckets right back into one task (observed at fixture scale);
+        the count derives from the observed label histogram, never from
+        the local core count."""
+        exprs = [F.col(c) for c in parts]
+        try:
+            threshold = int(
+                df.sparkSession.conf.get(HOT_LABEL_THRESHOLD_CONF, "0")
+            )
+        except ValueError:
+            threshold = 0
+        if threshold <= 0:
+            return None, exprs
+        data_cols = [c for c in df.columns if c not in parts]
+        if not data_cols:
+            return None, exprs
+        counts = df.groupBy(*exprs).count().collect()
+        hot: dict[tuple, int] = {}
+        for row in counts:
+            n = row["count"]
+            if n > threshold:
+                hot[tuple(row[c] for c in parts)] = -(-n // threshold)
+        if not hot:
+            return None, exprs
+        k_expr = F.lit(1)
+        for key, k in hot.items():
+            cond = None
+            for c, v in zip(parts, key):
+                this = F.col(c).eqNullSafe(F.lit(v))
+                cond = this if cond is None else (cond & this)
+            k_expr = F.when(cond, F.lit(k)).otherwise(k_expr)
+        salt = F.pmod(F.hash(*[F.col(c) for c in data_cols]), k_expr)
+        groups = len(counts) - len(hot) + sum(hot.values())
+        return groups, exprs + [salt]
+
     def _write_rowset(
         self, df: DataFrame, path: str, temp_partition: str | None = None
     ) -> None:
@@ -1141,7 +1208,20 @@ class Table:
             # task: files-per-load = #labels, written in parallel.
             # Bucketed tables keep their dist-col layout (above) — the
             # bucket repartition already bounds file counts per load.
-            df = df.repartition(*[F.col(c) for c in parts])
+            # Tie note (ADVICE r12): this shuffle discards insertion
+            # order within a load, so for UNIQUE tables WITHOUT a
+            # sequence column, which duplicate-key row within ONE load
+            # survives the merge is UNSPECIFIED (placement-dependent)
+            # rather than file-order-stable. Doris itself documents the
+            # no-sequence-col tie as undefined under concurrent import;
+            # callers that care declare a sequence column (the supported
+            # Doris mechanism, exercised by table_model_unique_sequence).
+            n_salt, exprs = self._label_salted_exprs(df, parts)
+            df = (
+                df.repartition(*exprs)
+                if n_salt is None
+                else df.repartition(n_salt, *exprs)
+            )
         writer = df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)

@@ -254,3 +254,105 @@ def test_band_hash_sql_twin_bit_identical(spark):
     ).collect()
     for r in got:
         assert [tuple(x) for x in r["fast"]] == [tuple(x) for x in r["slow"]]
+
+
+def test_udf_registration_memo_survives_two_live_sessions(spark):
+    """ADVICE r12 #5: the UDF-registration memos must keep one slot PER
+    live session (WeakKeyDictionary), not a single cleared slot — two
+    concurrently alive sessions alternating PaloSession construction
+    must each register exactly once (no thrash re-paying the py4j
+    round-trips the memo exists to avoid)."""
+    from palo_spark.functions import (
+        _SQL_UDFS_REGISTERED,
+        register_sql_udfs,
+    )
+
+    other = spark.newSession()  # distinct session object, same JVM
+    try:
+        register_sql_udfs(spark)
+        register_sql_udfs(other)
+        assert _SQL_UDFS_REGISTERED.get(spark)
+        assert _SQL_UDFS_REGISTERED.get(other)  # first slot NOT evicted
+        # alternating re-attach: both memo hits, no re-registration work
+        register_sql_udfs(spark)
+        register_sql_udfs(other)
+        assert len([k for k in (spark, other) if _SQL_UDFS_REGISTERED.get(k)]) == 2
+    finally:
+        _SQL_UDFS_REGISTERED.pop(other, None)
+
+
+def test_hot_label_salted_write_bounds_files_per_label(spark, tmp_path):
+    """VERDICT r12 what's-wrong #3: with
+    palo_spark.write.hotLabelRowThreshold set, a label exceeding the
+    threshold spreads over ceil(rows/threshold) salt buckets (parallel
+    writers, bounded files-per-label) while cold labels keep the
+    one-file-per-label layout; rows survive bit-for-bit."""
+    import os
+
+    from palo_spark.tables import AUTO_PART_COL, HOT_LABEL_THRESHOLD_CONF, Table
+
+    # 9,200 rows in month 2024-01 (hot), ~200 in each of 2024-02/03
+    df = spark.range(0, 9600).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "CASE WHEN id < 9200 THEN date'2024-01-15' "
+            "WHEN id < 9400 THEN date'2024-02-15' "
+            "ELSE date'2024-03-15' END"
+        ).alias("d"),
+        (F.col("id") * 3).alias("v"),
+    ).repartition(8)
+    t = Table(
+        spark,
+        "r13_opt_hot_label_salt",
+        keys_type="DUPLICATE",
+        key_cols=["k"],
+        auto_partition=("d", "month"),
+        location=str(tmp_path / "t"),
+    )
+    spark.conf.set(HOT_LABEL_THRESHOLD_CONF, "2000")
+    try:
+        t.insert(df)
+    finally:
+        spark.conf.unset(HOT_LABEL_THRESHOLD_CONF)
+    rowset = t.meta.rowsets[-1]["path"]
+    files_of = {}
+    for lbl in os.listdir(rowset):
+        if not lbl.startswith(f"{AUTO_PART_COL}="):
+            continue
+        files_of[lbl.split("=", 1)[1]] = [
+            f
+            for f in os.listdir(os.path.join(rowset, lbl))
+            if f.endswith(".parquet")
+        ]
+    # hot label: parallel writers, bounded by k = ceil(9200/2000) = 5
+    assert 2 <= len(files_of["m2024-01"]) <= 5, files_of["m2024-01"]
+    # cold labels: unchanged single-file layout (k=1 → pmod(hash,1)=0)
+    assert len(files_of["m2024-02"]) == 1
+    assert len(files_of["m2024-03"]) == 1
+    got = sorted((r.k, r.v) for r in t.read().select("k", "v").collect())
+    assert got == [(i, i * 3) for i in range(9600)]
+
+
+def test_unsalted_write_runs_no_count_job(spark, tmp_path):
+    """Threshold unset (the default): _label_salted_exprs must return
+    the plain label exprs WITHOUT an extra aggregation pass over the
+    load — the bench layout and cost are byte-identical to r12."""
+    from palo_spark.tables import Table
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.expr("date_add(date'2024-01-01', cast(id % 60 as int))").alias("d"),
+    )
+    t = Table(
+        spark,
+        "r13_opt_no_salt_default",
+        keys_type="DUPLICATE",
+        key_cols=["k"],
+        auto_partition=("d", "month"),
+        location=str(tmp_path / "t"),
+    )
+    n_salt, exprs = t._label_salted_exprs(
+        df.withColumn("_auto_part", F.lit("x")), ["_auto_part"]
+    )
+    assert n_salt is None  # AQE-coalescible label shuffle, as in r12
+    assert len(exprs) == 1  # no salt column appended, no count job ran

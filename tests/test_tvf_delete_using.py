@@ -312,3 +312,30 @@ def test_delete_using_sequence_col_semantics(spark):
         (r.k, r.v) for r in ps.sql("SELECT k, v FROM sqd").collect()
     )
     assert got == {1: "a", 2: "hi"}
+
+
+def test_delete_using_non_equality_correlated_predicate(spark, sf_dir):
+    """ADVICE r12: the EXISTS rewrite hands non-equality correlated
+    predicates to Spark's subquery decorrelation (complete since 3.4).
+    Pin that a mixed equality + inequality condition still deletes
+    exactly the anti-join complement — if the Spark floor ever drops
+    below decorrelation support, this fails loudly at planning time
+    rather than silently wrong."""
+    register_views(spark, sf_dir)
+    ps = PaloSession(spark)
+    t, _ = _build_delete_using_pair(spark, sf_dir, ps, "q")
+    ps.sql(
+        "DELETE FROM duc_q USING duo_q "
+        "WHERE duc_q.c_custkey = duo_q.o_custkey "
+        "AND duc_q.bal_cents < duo_q.o_orderkey"
+    )
+    got = {r.c_custkey for r in ps.sql("SELECT c_custkey FROM duc_q").collect()}
+    expect = {
+        r.c_custkey
+        for r in spark.sql(
+            "SELECT c.c_custkey FROM customer c WHERE NOT EXISTS ("
+            "  SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey"
+            "  AND CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) < o.o_orderkey)"
+        ).collect()
+    }
+    assert got == expect
